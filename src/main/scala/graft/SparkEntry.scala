@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * All operator surface is registered as [[QuerySpec]]s in the per-plane
+  * objects under graft.operators; this object only aggregates them.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def allSpecs: Seq[QuerySpec] =
+    operators.Relational.specs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Conversion-shaped relational pass over the documents corpus
+    * (SURVEY.md §7.3). */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(length($"text") > 0)
+      .withColumn("markdown", concat(lit("# "), $"source", lit("\n\n"), $"text"))
+      .select($"doc_id", $"markdown", lit(null).cast("string").as("error"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allSpecs.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    allSpecs.flatMap(q => q.oracle.map(o => q.name -> o.stripMargin.trim)).toMap
 }
