@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def allSpecs: Seq[QuerySpec] =
-    operators.Relational.specs
+    operators.Relational.specs ++
+      operators.TextAnalysis.specs ++
+      operators.Dedup.specs ++
+      operators.MinHashDedup.specs ++
+      operators.Similarity.specs ++
+      operators.Multimodal.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Conversion-shaped relational pass over the documents corpus

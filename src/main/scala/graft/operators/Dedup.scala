@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` corpus: exact (hash groupBy),
+  * n-gram Jaccard near-dup (shingle self-join), 16-bit SimHash bucketing, and
+  * MinHash+LSH (banded, via Spark ML — see [[graft.operators.MinHashDedup]]).
+  *
+  * Scale design: exact dedup is one shuffle on the content hash. Shingle
+  * Jaccard shuffles on the shingle (the classic inverted-index join) — at
+  * 100 TB the hot shingles are the skew risk, so the pair-generation stage
+  * would be salted / frequency-capped; the fixture-scale plan keeps the same
+  * shape. SimHash reduces each doc to one signature row, then bands group
+  * O(n) rows, never O(n²).
+  */
+object Dedup {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ----------------------------------------------------------------- d1
+    // Exact dedup: sha2(text) → keep lowest doc_id per hash.
+    QuerySpec(
+      "d1_exact_dedup",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .groupBy(sha2($"text", 256).as("content_hash"))
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+          .orderBy($"keep_id")
+      },
+      Some("""
+        SELECT sha256(text) AS content_hash,
+               MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        FROM documents GROUP BY sha256(text) ORDER BY keep_id""")),
+
+    // ----------------------------------------------------------------- d2
+    // Near-dup via word-3-gram Jaccard: shingle → inverted-index self-join
+    // → pair intersection counts → |A∩B| / |A∪B|.
+    QuerySpec(
+      "d2_ngram_jaccard_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val sh = Tables(s, dir, "documents")
+          .withColumn("toks", split(trim($"text"), "\\s+"))
+          .withColumn("shingle", explode(array_distinct(expr(
+            "transform(sequence(0, greatest(size(toks) - 3, -1)), " +
+              "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))))
+          .select($"doc_id", $"shingle")
+        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val a = sh.as("a"); val b = sh.as("b")
+        val common = a.join(b, $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+          .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+          .withColumn("jaccard", $"common".cast("double") / ($"na" + $"nb" - $"common"))
+          .filter($"jaccard" >= 0.05)
+          .select($"a_id", $"b_id", $"common", $"jaccard")
+          .orderBy($"jaccard".desc, $"a_id", $"b_id")
+          .limit(200)
+      },
+      Some("""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
+                     i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                          regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                          regexp_split_to_array(trim(text), '\s+')[i+2])) AS shingle
+            FROM documents)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT a_id, b_id, common,
+               CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+        FROM pairs JOIN sizes sa ON a_id = sa.doc_id
+                   JOIN sizes sb ON b_id = sb.doc_id
+        WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.05
+        ORDER BY jaccard DESC, a_id, b_id
+        LIMIT 200""")),
+
+    // ----------------------------------------------------------------- d3
+    // SimHash (16-bit) signatures + bucket assignment. Each distinct token
+    // hashes to 31 bits (polynomial hash, same fold as t5); bit i of the
+    // signature is the sign of Σ(±1) over tokens. Banding on the high byte
+    // gives the LSH-style candidate bucket.
+    QuerySpec(
+      "d3_simhash_signatures",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables(s, dir, "documents")
+          .select($"doc_id", explode(array_distinct(split(trim($"text"), "\\s+"))).as("tok"))
+          .withColumn("h", expr(
+            "aggregate(transform(sequence(1, length(tok)), i -> cast(ascii(substring(tok, i, 1)) as bigint)), " +
+              "cast(0 as bigint), (acc, x) -> (acc * 31 + x) % 2147483647)"))
+        val bits = toks
+          .withColumn("b", expr(
+            "explode(transform(sequence(0, 15), i -> struct(i as bit, cast(pow(2, i) as bigint) as pw)))"))
+          .select($"doc_id", $"b.bit".as("bit"), $"b.pw".as("pw"),
+            when(expr("(h div pw) % 2 = 1"), 1L).otherwise(-1L).as("sign"))
+        bits.groupBy($"doc_id", $"bit", $"pw")
+          .agg(sum($"sign").as("s"))
+          .groupBy($"doc_id")
+          .agg(sum(when($"s" > 0, $"pw").otherwise(0L)).as("simhash16"))
+          .withColumn("band_hi", ($"simhash16" / 256).cast("long"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents)),
+        hashed AS (
+          SELECT doc_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(tok)),
+                     i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) AS h
+          FROM tok),
+        bits AS (
+          SELECT doc_id, i AS bit, CAST(pow(2, i) AS BIGINT) AS pw,
+                 CASE WHEN (h // CAST(pow(2, i) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS sign
+          FROM hashed, generate_series(0, 15) AS g(i)),
+        sums AS (
+          SELECT doc_id, bit, pw, SUM(sign) AS s FROM bits GROUP BY doc_id, bit, pw)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash16,
+               CAST(CAST(SUM(CASE WHEN s > 0 THEN pw ELSE 0 END) AS BIGINT) // 256 AS BIGINT) AS band_hi
+        FROM sums GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}

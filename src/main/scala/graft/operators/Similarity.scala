@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * s1 is the exact baseline: brute-force cosine top-k, O(|Q|·N) — the dot
+  * product stays in codegen via zip_with/aggregate (no UDF). At 100 TB the
+  * scale path is s2: an IVF-style coarse quantizer (here: per-label
+  * centroids) prunes the candidate set to the nearest cells before the
+  * exact rerank, turning O(Q·N) into O(Q·N/cells·probes). The centroid
+  * table is tiny → broadcast; only the assignment scan touches the corpus.
+  */
+object Similarity {
+
+  /** Sum of elementwise products as double, sequential fold (codegen HOFs). */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+      "cast(0 as double), (acc, v) -> acc + v)"
+
+  private def norm(a: String): String =
+    s"sqrt(aggregate(transform($a, x -> cast(x as double) * cast(x as double)), " +
+      "cast(0 as double), (acc, v) -> acc + v))"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ----------------------------------------------------------------- s1
+    // Brute-force cosine top-5 for 10 query vectors.
+    QuerySpec(
+      "s1_cosine_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+        val q = emb.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"embedding".as("qv"))
+        val c = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+        val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")
+        broadcast(q).join(c, $"query_id" =!= $"cand_id")
+          .withColumn("cosine",
+            round(expr(dot("qv", "cv")) / (expr(norm("qv")) * expr(norm("cv"))), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .select($"query_id", $"rank", $"cand_id", $"cosine")
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+        p AS (
+          SELECT query_id, cand_id,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(qv)),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(cv)),
+                          i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 6) AS cosine
+          FROM q JOIN c ON query_id != cand_id),
+        r AS (SELECT query_id, cand_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+              FROM p)
+        SELECT query_id, rank, cand_id, cosine FROM r WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // ----------------------------------------------------------------- s2
+    // IVF-style ANN: per-label centroids (exact decimal elementwise means →
+    // deterministic doubles), assign queries to the nearest 2 cells, exact
+    // rerank only within those cells. Rows-only check (the end-to-end recall
+    // vs s1 is asserted in ScalaTest instead).
+    QuerySpec(
+      "s2_ivf_ann_topk",
+      (s, dir) => ivfTopK(s, dir, nQueries = 10, nProbe = 2, k = 5),
+      None)
+  )
+
+  /** IVF search: coarse cells = `label`, probe the `nProbe` nearest
+    * centroids per query, exact cosine rerank within probed cells. */
+  def ivfTopK(s: SparkSession, dir: String, nQueries: Int, nProbe: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+
+    // Centroids: elementwise mean per label. Decimal sums make the centroid
+    // exactly reproducible regardless of partition/merge order.
+    val centroids = emb
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg((sum($"v".cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim", $"c"))).as("pairs"))
+      .select($"label".as("cell"), expr("transform(pairs, p -> p.c)").as("centroid"))
+
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+
+    // Probe assignment: nearest nProbe centroids per query (centroid table
+    // is tiny — broadcast; cost O(Q·cells)).
+    val wProbe = Window.partitionBy($"query_id").orderBy($"cdist".asc, $"cell")
+    val probed = queries.crossJoin(broadcast(centroids))
+      .withColumn("cdist", expr(
+        "aggregate(zip_with(qv, centroid, (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), " +
+          "cast(0 as double), (acc, v) -> acc + v)"))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter($"probe_rank" <= nProbe)
+      .select($"query_id", $"qv", $"cell")
+
+    // Exact rerank within probed cells only.
+    val cands = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"), $"label".as("cell"))
+    val wTop = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")
+    probed.join(cands, Seq("cell"))
+      .filter($"query_id" =!= $"cand_id")
+      .withColumn("cosine",
+        round(expr(dot("qv", "cv")) / (expr(norm("qv")) * expr(norm("cv"))), 6))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"cand_id", $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+}

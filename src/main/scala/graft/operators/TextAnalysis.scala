@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` corpus (builder-prompt
+  * extension plane): corpus stats, token counting (whitespace + BPE-ish
+  * regex), quality scoring, per-language token profiles, and a rolling-hash
+  * document fingerprint.
+  *
+  * Everything here is a single scan + hash aggregate (or scan + explode +
+  * aggregate): at 100 TB these parallelize per-split with map-side partial
+  * aggregation, no cross-partition state. The per-character fold in the
+  * fingerprint is expressed with higher-order functions so it stays inside
+  * codegen rather than a UDF.
+  */
+object TextAnalysis {
+
+  /** Deterministic 31-base polynomial rolling hash mod 2^31-1 of a string
+    * column, expressed with HOFs (identical SQL shape in the DuckDB oracle).
+    */
+  private def polyHash(col: String): String =
+    s"aggregate(transform(sequence(1, length($col)), i -> cast(ascii(substring($col, i, 1)) as bigint)), " +
+      s"cast(0 as bigint), (acc, x) -> (acc * 31 + x) % 2147483647)"
+
+  /** DuckDB rendering of the same fold. */
+  private def polyHashSql(col: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(1, length($col)), i -> CAST(ascii(substring($col, i, 1)) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 31 + x) % 2147483647)"
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private val stopwordsSqlList = stopwords.map(s => s"'$s'").mkString(", ")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ----------------------------------------------------------------- t1
+    // Corpus stats per language: the groupBy(lang) histogram + char stats.
+    QuerySpec(
+      "t1_corpus_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("total_chars"),
+            (sum($"n_chars").cast("double") / count(lit(1))).as("avg_chars"),
+            min($"n_chars").as("min_chars"),
+            max($"n_chars").as("max_chars"),
+            countDistinct($"source").as("n_sources"))
+          .orderBy($"lang")
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+               COUNT(DISTINCT source) AS n_sources
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ----------------------------------------------------------------- t2
+    // Token counting: whitespace tokens and a BPE-ish regex token count
+    // (word pieces | digit runs | single punctuation).
+    QuerySpec(
+      "t2_token_counts",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select(
+            $"doc_id",
+            size(split(trim($"text"), "\\s+")).cast("long").as("ws_tokens"),
+            regexp_count($"text", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("bpe_ish_tokens"),
+            length($"text").cast("long").as("n_chars"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------- t3
+    // Quality scoring: stopword ratio, punctuation ratio, lexical diversity,
+    // and a CASE-WHEN quality bucket — the reference's "is this document
+    // worth keeping" filter generalized to corpus scale.
+    QuerySpec(
+      "t3_quality_scores",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .withColumn("toks", split(trim($"text"), "\\s+"))
+          .withColumn("n_tok", size($"toks").cast("long"))
+          .withColumn("n_stop",
+            size(expr(s"filter(toks, t -> t IN (${stopwordsSqlList}))")).cast("long"))
+          .withColumn("n_uniq", size(array_distinct($"toks")).cast("long"))
+          .withColumn("n_punct",
+            (length($"text") - length(regexp_replace($"text", "[^a-z0-9\\s]", ""))).cast("long"))
+          .select(
+            $"doc_id",
+            ($"n_stop".cast("double") / $"n_tok").as("stopword_ratio"),
+            ($"n_uniq".cast("double") / $"n_tok").as("lexical_diversity"),
+            ($"n_punct".cast("double") / length($"text")).as("punct_ratio"),
+            when($"n_tok" < 10, "too_short")
+              .when($"n_uniq".cast("double") / $"n_tok" < 0.3, "repetitive")
+              .otherwise("ok").as("quality_bucket"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id, text,
+                 CAST(len(toks) AS BIGINT) AS n_tok,
+                 CAST(len(list_filter(toks, tok -> tok IN (${stopwordsSqlList}))) AS BIGINT) AS n_stop,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+                 CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct
+          FROM t)
+        SELECT doc_id,
+               CAST(n_stop AS DOUBLE) / n_tok AS stopword_ratio,
+               CAST(n_uniq AS DOUBLE) / n_tok AS lexical_diversity,
+               CAST(n_punct AS DOUBLE) / length(text) AS punct_ratio,
+               CASE WHEN n_tok < 10 THEN 'too_short'
+                    WHEN CAST(n_uniq AS DOUBLE) / n_tok < 0.3 THEN 'repetitive'
+                    ELSE 'ok' END AS quality_bucket
+        FROM m ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------- t4
+    // Language token profile: top-3 most frequent tokens per language —
+    // the profile-building half of an n-gram language-ID model.
+    QuerySpec(
+      "t4_lang_token_profile",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang").orderBy($"n".desc, $"token")
+        Tables(s, dir, "documents")
+          .select($"lang", explode(split(trim($"text"), "\\s+")).as("token"))
+          .groupBy($"lang", $"token").agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 3)
+          .select($"lang", $"rnk", $"token", $"n")
+          .orderBy($"lang", $"rnk")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents),
+        cnt AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token),
+        rnk AS (SELECT lang, token, n,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+                FROM cnt)
+        SELECT lang, rnk, token, n FROM rnk WHERE rnk <= 3
+        ORDER BY lang, rnk""")),
+
+    // ----------------------------------------------------------------- t5
+    // Document fingerprint: rolling polynomial hash over the text, plus a
+    // prefix fingerprint (first 32 chars) — the cheap shard-level dedup key.
+    QuerySpec(
+      "t5_doc_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .withColumn("fingerprint", expr(polyHash("text")))
+          .withColumn("prefix32", substring($"text", 1, 32))
+          .withColumn("prefix_fp", expr(polyHash("prefix32")))
+          .select($"doc_id", $"fingerprint", $"prefix_fp")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH p AS (SELECT doc_id, text, substring(text, 1, 32) AS prefix32 FROM documents)
+        SELECT doc_id,
+               ${polyHashSql("text")} AS fingerprint,
+               ${polyHashSql("prefix32")} AS prefix_fp
+        FROM p ORDER BY doc_id"""))
+  )
+}
