@@ -1,0 +1,97 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Upload size-limit predicates and batch accounting (reference:
+  * document_converter/upload_validation.py).
+  *
+  * The reference enforces limits imperatively while reading an HTTP stream;
+  * the engine enforces the same accounting relationally over a listing /
+  * binary DataFrame with (filename, length[, content]) columns:
+  *
+  *  - per-file cap  → `length > maxFileBytes`  ⇒ 413 error row
+  *    (upload_validation.py:42-64 bounded read — on the Spark side the
+  *    binaryFile source pushes a `length` filter down to the listing, so
+  *    over-limit files are never read, same never-buffer guarantee);
+  *  - declared-size fail-fast (py:80-85) → statistics pre-check on the
+  *    file listing, before any content scan;
+  *  - batch running total (py:77-98) → cumulative-sum window in upload
+  *    order, files after the budget point ⇒ 413;
+  *  - batch validation is all-or-nothing (py:94-96): any invalid file
+  *    fails the whole batch.
+  */
+object UploadValidation {
+
+  val DefaultMaxFileMb = 100
+  val DefaultMaxBatchMb = 500
+
+  def mbToBytes(mb: Int): Long = mb.toLong * 1024 * 1024
+
+  def fileTooLargeError(maxFileMb: Int): String =
+    s"File size exceeds the maximum allowed size of $maxFileMb MB"
+
+  def batchTooLargeError(maxBatchMb: Int): String =
+    s"Batch size exceeds the maximum allowed total size of $maxBatchMb MB"
+
+  def unsupportedFormatError(filename: String): String =
+    s"Unsupported file format: $filename"
+
+  /** Per-file limit as an error-column: rows keep flowing, over-limit rows
+    * carry the 413 message (error-as-column, SURVEY.md O16). */
+  def withFileLimit(df: DataFrame, maxFileMb: Int = DefaultMaxFileMb): DataFrame =
+    df.withColumn("error",
+      when(col("length") > mbToBytes(maxFileMb), fileTooLargeError(maxFileMb))
+        .otherwise(lit(null).cast("string")))
+
+  /** Driver-side fail-fast on declared sizes (no content read): Some(error)
+    * if any declared size or the declared total exceeds the caps. Declared
+    * sizes may be unknown (None) — the total pre-check only applies when
+    * all are known, like the reference. */
+  def failFast(declaredSizes: Seq[Option[Long]],
+               maxFileMb: Int = DefaultMaxFileMb,
+               maxBatchMb: Int = DefaultMaxBatchMb): Option[String] = {
+    if (declaredSizes.exists(_.exists(_ > mbToBytes(maxFileMb))))
+      Some(fileTooLargeError(maxFileMb))
+    else if (declaredSizes.forall(_.isDefined) &&
+      declaredSizes.flatten.sum > mbToBytes(maxBatchMb))
+      Some(batchTooLargeError(maxBatchMb))
+    else None
+  }
+
+  /** Batch running-total accounting: cumulative sum of `length` in `idx`
+    * order; the first row whose running total exceeds the batch budget — and
+    * everything after it — is over budget. Returns the annotated frame with
+    * `running_total` and `error` columns. */
+  def withBatchAccounting(df: DataFrame,
+                          maxFileMb: Int = DefaultMaxFileMb,
+                          maxBatchMb: Int = DefaultMaxBatchMb): DataFrame = {
+    val w = Window.orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("running_total", sum(col("length")).over(w))
+      .withColumn("error",
+        when(col("length") > mbToBytes(maxFileMb), fileTooLargeError(maxFileMb))
+          .when(col("running_total") > mbToBytes(maxBatchMb), batchTooLargeError(maxBatchMb))
+          .otherwise(lit(null).cast("string")))
+  }
+
+  /** All-or-nothing batch validation (the reference 413s/400s the whole
+    * request): Left(firstError) if any row is over limits or unsupported,
+    * Right(df) otherwise. `formatCol` is the detected format column. */
+  def validateBatch(df: DataFrame,
+                    formatCol: Column,
+                    maxFileMb: Int = DefaultMaxFileMb,
+                    maxBatchMb: Int = DefaultMaxBatchMb): Either[String, DataFrame] = {
+    val annotated = withBatchAccounting(df, maxFileMb, maxBatchMb)
+      .withColumn("error",
+        when(col("error").isNotNull, col("error"))
+          .when(formatCol.isNull,
+            concat(lit("Unsupported file format: "), col("filename")))
+          .otherwise(lit(null).cast("string")))
+    val firstError = annotated.filter(col("error").isNotNull)
+      .orderBy(col("idx")).select(col("error")).limit(1).collect()
+    if (firstError.nonEmpty) Left(firstError(0).getString(0))
+    else Right(annotated.drop("error"))
+  }
+}

@@ -1,0 +1,226 @@
+package graft.kernel
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.kernel.DocModel._
+
+/** Pure-JVM format parsers (the parse kernel, SURVEY.md O9/§7.4.1).
+  *
+  * The reference delegates parsing to Docling (Python + PyTorch models);
+  * there is no JVM Docling and this build is zero-egress, so the ML formats
+  * (pdf/docx/pptx/image — layout models, OCR, table-structure nets per
+  * reference Dockerfile:45-51) are honestly scoped out: they return the
+  * reference's own error-row shape. The text formats (md, csv, html,
+  * asciidoc) get exact parsers.
+  */
+trait FormatParser {
+  def parse(name: String, bytes: Array[Byte]): Either[String, DocTree]
+}
+
+object Parsers {
+
+  private def text(bytes: Array[Byte]): String =
+    new String(bytes, StandardCharsets.UTF_8)
+
+  /** Markdown: headings / pipe-tables / image placeholders / paragraphs.
+    * Block-structured: blocks separated by blank lines. */
+  object MarkdownParser extends FormatParser {
+    def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] = {
+      val blocks = text(bytes).split("\n{2,}").map(_.trim).filter(_.nonEmpty)
+      val items = blocks.map { b =>
+        if (b.startsWith("#")) {
+          val level = b.takeWhile(_ == '#').length
+          HeadingElement(b.dropWhile(_ == '#').trim, level)
+        } else if (b.startsWith("![") || b == ImagePlaceholder) {
+          PictureElement(None)
+        } else if (b.linesIterator.forall(l => l.trim.startsWith("|")) &&
+          b.linesIterator.size >= 2) {
+          parsePipeTable(b)
+        } else TextElement(b)
+      }
+      Right(DocTree(name, items.toSeq))
+    }
+
+    private def parsePipeTable(block: String): Element = {
+      val rows = block.linesIterator.map(_.trim)
+        .filter(l => l.startsWith("|"))
+        .map(_.stripPrefix("|").stripSuffix("|").split("\\|").map(_.trim).toSeq)
+        .toSeq
+      val dataRows = rows.filterNot(_.forall(c => c.nonEmpty && c.forall(ch => ch == '-' || ch == ':')))
+      val nCols = if (dataRows.isEmpty) 0 else dataRows.map(_.length).max
+      val cells = dataRows.zipWithIndex.flatMap { case (r, ri) =>
+        r.zipWithIndex.map { case (c, ci) =>
+          TableCellSpec(ri, ri + 1, ci, ci + 1, c, columnHeader = ri == 0)
+        }
+      }
+      TableElement(cells, dataRows.length, nCols)
+    }
+  }
+
+  /** CSV → one markdown table. Charset fallback happens before this parser
+    * (graft.ingest.Transcode); here the bytes are UTF-8. Quoted fields with
+    * embedded commas/quotes are handled. */
+  object CsvParser extends FormatParser {
+    def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] = {
+      val rows = parseCsv(text(bytes))
+      if (rows.isEmpty) return Right(DocTree(name, Seq.empty))
+      val nCols = rows.map(_.length).max
+      val cells = rows.zipWithIndex.flatMap { case (r, ri) =>
+        r.padTo(nCols, "").zipWithIndex.map { case (c, ci) =>
+          TableCellSpec(ri, ri + 1, ci, ci + 1, c, columnHeader = ri == 0)
+        }
+      }
+      Right(DocTree(name, Seq(TableElement(cells, rows.length, nCols))))
+    }
+
+    private[kernel] def parseCsv(s: String): Seq[Seq[String]] = {
+      val rows = ArrayBuffer[Seq[String]]()
+      val field = new StringBuilder
+      val row = ArrayBuffer[String]()
+      var inQuotes = false
+      var i = 0
+      def endField(): Unit = { row += field.toString; field.clear() }
+      def endRow(): Unit = {
+        endField()
+        if (!(row.length == 1 && row.head.isEmpty)) rows += row.toSeq
+        row.clear()
+      }
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inQuotes) {
+          if (c == '"') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '"') { field += '"'; i += 1 }
+            else inQuotes = false
+          } else field += c
+        } else c match {
+          case '"' => inQuotes = true
+          case ',' => endField()
+          case '\r' => if (i + 1 >= s.length || s.charAt(i + 1) != '\n') endRow()
+          case '\n' => endRow()
+          case other => field += other
+        }
+        i += 1
+      }
+      if (field.nonEmpty || row.nonEmpty) endRow()
+      rows.toSeq
+    }
+  }
+
+  /** HTML → markdown-able tree: stack-free single-pass tag walk with regex
+    * tokenization (the reference's own sniff is regex-based; a full DOM is
+    * out of scope). Handles h1..h6, p, table/tr/th/td, img, li; scripts and
+    * styles are dropped. */
+  object HtmlParser extends FormatParser {
+    private val TagOrText = "(?s)<[^>]*>|[^<]+".r
+
+    def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] = {
+      val raw = text(bytes)
+      val noComments = "(?s)<!--.*?-->".r.replaceAllIn(raw, "")
+      val noScripts = "(?is)<(script|style)[^>]*>.*?</\\1>".r.replaceAllIn(noComments, "")
+
+      val items = ArrayBuffer[Element]()
+      var headingLevel = 0
+      val textBuf = new StringBuilder
+      var inTable = false
+      var tableRows = ArrayBuffer[ArrayBuffer[String]]()
+      var cellBuf = new StringBuilder
+      var inCell = false
+
+      def flushText(): Unit = {
+        val t = normalize(textBuf.toString)
+        textBuf.clear()
+        if (t.nonEmpty)
+          items += (if (headingLevel > 0) HeadingElement(t, headingLevel) else TextElement(t))
+      }
+      def flushCell(): Unit = {
+        if (inCell) { tableRows.last += normalize(cellBuf.toString); cellBuf.clear(); inCell = false }
+      }
+      def flushTable(): Unit = {
+        flushCell()
+        val rows = tableRows.filter(_.nonEmpty)
+        if (rows.nonEmpty) {
+          val nCols = rows.map(_.length).max
+          val cells = rows.zipWithIndex.flatMap { case (r, ri) =>
+            r.toSeq.padTo(nCols, "").zipWithIndex.map { case (c, ci) =>
+              TableCellSpec(ri, ri + 1, ci, ci + 1, c, columnHeader = ri == 0)
+            }
+          }
+          items += TableElement(cells.toSeq, rows.length, nCols)
+        }
+        tableRows = ArrayBuffer(); inTable = false
+      }
+
+      TagOrText.findAllIn(noScripts).foreach { tok =>
+        if (tok.startsWith("<")) {
+          val tag = tok.stripPrefix("<").stripPrefix("/").takeWhile(c => c.isLetterOrDigit).toLowerCase
+          val isClose = tok.startsWith("</")
+          tag match {
+            case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+              flushText()
+              headingLevel = if (isClose) 0 else tag.drop(1).toInt
+            case "p" | "div" | "br" | "li" => flushText()
+            case "img" =>
+              flushText(); items += PictureElement(None)
+            case "table" =>
+              if (isClose) flushTable()
+              else { flushText(); inTable = true; tableRows = ArrayBuffer() }
+            case "tr" =>
+              if (inTable) { flushCell(); if (!isClose) tableRows += ArrayBuffer() }
+            case "td" | "th" =>
+              if (inTable) { if (isClose) flushCell() else { flushCell(); inCell = true } }
+            case _ => ()
+          }
+        } else {
+          if (inCell) cellBuf ++= tok
+          else if (!inTable) textBuf ++= tok
+        }
+      }
+      flushText()
+      if (inTable) flushTable()
+      Right(DocTree(name, items.toSeq))
+    }
+
+    private def normalize(s: String): String =
+      unescape(s).replaceAll("\\s+", " ").trim
+
+    private def unescape(s: String): String = s
+      .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
+  }
+
+  /** AsciiDoc (minimal): `= Title` / `== Section` headings, image::
+    * macros, paragraphs. */
+  object AsciiDocParser extends FormatParser {
+    def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] = {
+      val blocks = text(bytes).split("\n{2,}").map(_.trim).filter(_.nonEmpty)
+      val items = blocks.map { b =>
+        if (b.startsWith("=")) {
+          val level = b.takeWhile(_ == '=').length
+          HeadingElement(b.dropWhile(_ == '=').trim, level)
+        } else if (b.startsWith("image::")) PictureElement(None)
+        else TextElement(b)
+      }
+      Right(DocTree(name, items.toSeq))
+    }
+  }
+
+  /** ML-parse formats: honestly unsupported in a pure-JVM zero-egress build
+    * (reference needs Docling's layout/OCR models, Dockerfile:45-51). */
+  final class UnsupportedParser(format: String) extends FormatParser {
+    def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] =
+      Left(s"Format '$format' requires ML parsing models not available in this build")
+  }
+
+  /** Parser registry keyed by detected InputFormat. */
+  val byFormat: Map[String, FormatParser] = Map(
+    "md" -> MarkdownParser,
+    "csv" -> CsvParser,
+    "html" -> HtmlParser,
+    "asciidoc" -> AsciiDocParser,
+    "pdf" -> new UnsupportedParser("pdf"),
+    "docx" -> new UnsupportedParser("docx"),
+    "pptx" -> new UnsupportedParser("pptx"),
+    "image" -> new UnsupportedParser("image"))
+}

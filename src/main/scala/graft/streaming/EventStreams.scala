@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import graft.kernel.ConvertKernel
+import graft.kernel.ConvertKernel.{ConversionConfig, UploadRow}
+
+/** Structured Streaming plane (SURVEY.md §2.2 streaming row, §3.2 Spark
+  * mapping): the reference's Celery queue is a stream of job requests; here
+  * both the jobs plane and event-time analytics are readStream →
+  * transform → writeStream with watermarks.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window aggregate with watermark — the streaming
+    * twin of batch q20 (same grouping semantics, plus late-data bound).
+    * Works on any DataFrame with (ts: timestamp, event_type, value). */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows via the built-in session_window (gap-close semantics
+    * matching batch q19's 30-minute gap rule). */
+  def sessionRollup(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Streaming jobs plane: watch an inbox directory of binary documents and
+    * convert each micro-batch through the mapPartitions kernel — the
+    * readStream→foreachBatch analog of the Celery worker loop (§3.2).
+    * Returns the running query; results append as JSON under `outDir`. */
+  def conversionStream(spark: SparkSession, inboxDir: String, outDir: String,
+                       checkpointDir: String,
+                       config: ConversionConfig = ConversionConfig()): StreamingQuery = {
+    import spark.implicits._
+    val stream = spark.readStream
+      .format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(inboxDir)
+      .select(col("path"), regexp_extract(col("path"), "([^/]+)$", 1).as("filename"),
+        col("content"), col("length"))
+
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.as[UploadRow]
+        ConvertKernel.convert(rows, config).toDF()
+          .write.mode("append").json(outDir)
+        ()
+      }
+      .start()
+  }
+}
