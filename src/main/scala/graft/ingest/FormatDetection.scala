@@ -61,7 +61,14 @@ object FormatDetection {
 
   /** Magic-byte MIME sniff (public magic numbers; the reference delegates
     * this step to the `filetype` package). Zip containers are classified
-    * docx/pptx by scanning the archive prefix for their part paths. */
+    * docx/pptx by scanning the archive prefix for their part paths.
+    *
+    * Includes a recognized-but-UNSUPPORTED tier (mp3/wav/ogg/flac/webp/
+    * mp4/exe/elf/gzip/7z/rar): the reference's `filetype.guess_mime`
+    * (utils.py:97) knows these magics, and a positive sniff PREEMPTS the
+    * extension fallback — so an MP3 named `notes.md` is rejected, not
+    * parsed as markdown. The returned MIME has no InputFormat mapping,
+    * which is exactly the rejection path. */
   def sniffMime(content: Array[Byte]): Option[String] = {
     if (content.isEmpty) return None
     if (startsWith(content, "%PDF".getBytes)) return Some("application/pdf")
@@ -84,6 +91,33 @@ object FormatDetection {
         return Some("application/vnd.openxmlformats-officedocument.presentationml.presentation")
       return Some("application/zip") // unclassified zip → unsupported
     }
+    // Recognized-but-unsupported tier: sniff hit preempts extension fallback.
+    // mp3: ID3 tag or bare FF FB frame sync (the `filetype` check — kept
+    // narrow so a UTF-16 BOM (FF FE) never classifies as audio)
+    if (startsWith(content, "ID3".getBytes) ||
+      startsWith(content, Array(0xFF.toByte, 0xFB.toByte)))
+      return Some("audio/mpeg")
+    if (startsWith(content, "RIFF".getBytes)) {
+      if (content.length >= 12) {
+        val kind = new String(content, 8, 4, StandardCharsets.US_ASCII)
+        if (kind == "WAVE") return Some("audio/x-wav")
+        if (kind == "WEBP") return Some("image/webp")
+      }
+      return Some("application/x-riff")
+    }
+    if (startsWith(content, "OggS".getBytes)) return Some("audio/ogg")
+    if (startsWith(content, "fLaC".getBytes)) return Some("audio/x-flac")
+    if (content.length >= 12 &&
+      new String(content, 4, 4, StandardCharsets.US_ASCII) == "ftyp")
+      return Some("video/mp4")
+    if (startsWith(content, "MZ".getBytes)) return Some("application/x-msdownload")
+    if (startsWith(content, Array(0x7F.toByte, 'E', 'L', 'F')))
+      return Some("application/x-executable")
+    if (startsWith(content, Array(0x1F.toByte, 0x8B.toByte)))
+      return Some("application/gzip")
+    if (startsWith(content, Array[Byte]('7', 'z', 0xBC.toByte, 0xAF.toByte)))
+      return Some("application/x-7z-compressed")
+    if (startsWith(content, "Rar!".getBytes)) return Some("application/vnd.rar")
     None
   }
 
@@ -158,12 +192,26 @@ object FormatDetection {
       .when(hexPrefix(contentCol, 3) === "FFD8FF", "image") // JPEG
       .when(hexPrefix(contentCol, 4).isin("47494638"), "image") // GIF8
       .when(hexPrefix(contentCol, 4).isin("49492A00", "4D4D002A"), "image") // TIFF
-      .when(hexPrefix(contentCol, 2) === "424D", "image") // BMP
+      .when(hexPrefix(contentCol, 2) === "424D" &&
+        length(contentCol) > 14, "image") // BMP (length guard = kernel path)
       .when(hexPrefix(contentCol, 4) === "504B0304" &&
         instr(prefixStr, "word/") > 0, "docx")
       .when(hexPrefix(contentCol, 4) === "504B0304" &&
         instr(prefixStr, "ppt/") > 0, "pptx")
       .when(hexPrefix(contentCol, 4) === "504B0304", lit(null).cast("string"))
+      // recognized-but-unsupported magics: sniff preempts extension fallback
+      .when(hexPrefix(contentCol, 3) === "494433", lit(null).cast("string")) // ID3
+      .when(hexPrefix(contentCol, 2) === "FFFB", lit(null).cast("string")) // mp3 sync
+      .when(hexPrefix(contentCol, 4) === "52494646", lit(null).cast("string")) // RIFF
+      .when(hexPrefix(contentCol, 4) === "4F676753", lit(null).cast("string")) // OggS
+      .when(hexPrefix(contentCol, 4) === "664C6143", lit(null).cast("string")) // fLaC
+      .when(length(contentCol) >= 12 &&
+        hex(substring(contentCol, 5, 4)) === "66747970", lit(null).cast("string")) // ftyp
+      .when(hexPrefix(contentCol, 2) === "4D5A", lit(null).cast("string")) // MZ
+      .when(hexPrefix(contentCol, 4) === "7F454C46", lit(null).cast("string")) // ELF
+      .when(hexPrefix(contentCol, 2) === "1F8B", lit(null).cast("string")) // gzip
+      .when(hexPrefix(contentCol, 4) === "377ABCAF", lit(null).cast("string")) // 7z
+      .when(hexPrefix(contentCol, 4) === "52617221", lit(null).cast("string")) // Rar!
       .when(ext.isin(FormatToExtensions("asciidoc"): _*), "asciidoc")
       .when(ext.isin(FormatToExtensions("html"): _*), "html")
       .when(ext === "md", "md")

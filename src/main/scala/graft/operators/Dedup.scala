@@ -8,13 +8,17 @@ import org.apache.spark.sql.functions._
   * MinHash+LSH (banded, via Spark ML — see [[graft.operators.MinHashDedup]]).
   *
   * Scale design: exact dedup is one shuffle on the content hash. Shingle
-  * Jaccard shuffles on the shingle (the classic inverted-index join) — at
-  * 100 TB the hot shingles are the skew risk, so the pair-generation stage
-  * would be salted / frequency-capped; the fixture-scale plan keeps the same
-  * shape. SimHash reduces each doc to one signature row, then bands group
-  * O(n) rows, never O(n²).
+  * Jaccard shuffles on the shingle (the classic inverted-index join); hot
+  * shingles are the skew risk, so d2 drops shingles whose document
+  * frequency exceeds [[MaxShingleDf]] before the self-join — boilerplate
+  * phrases never generate O(df²) pairs on one key. SimHash reduces each doc
+  * to one signature row, then bands group O(n) rows, never O(n²).
   */
 object Dedup {
+
+  /** Document-frequency cap on shingles for the d2 inverted-index join
+    * (mirrored in the DuckDB oracle, so correctness compares identically). */
+  val MaxShingleDf = 50
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -41,12 +45,24 @@ object Dedup {
       "d2_ngram_jaccard_pairs",
       (s, dir) => {
         import s.implicits._
-        val sh = Tables(s, dir, "documents")
+        // Docs with <3 tokens produce no shingles: the guard matters under
+        // ANSI mode, where the unguarded sequence(0, size-3) form would
+        // index toks[-1] and fail the whole query (explode drops the null).
+        val sh0 = Tables(s, dir, "documents")
           .withColumn("toks", split(trim($"text"), "\\s+"))
-          .withColumn("shingle", explode(array_distinct(expr(
-            "transform(sequence(0, greatest(size(toks) - 3, -1)), " +
-              "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))))
+          .withColumn("shingle", explode(when(size($"toks") >= 3, array_distinct(expr(
+            "transform(sequence(0, size(toks) - 3), " +
+              "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))))
           .select($"doc_id", $"shingle")
+        // 100 TB skew fix: a shingle present in > MaxShingleDf documents is
+        // boilerplate; on the self-join it would emit O(df²) pairs on one
+        // hot key (the classic inverted-index skew). Drop hot shingles from
+        // the representation before joining — the hot list is tiny, so the
+        // anti-join broadcasts.
+        val hot = sh0.groupBy($"shingle").agg(count(lit(1)).as("df"))
+          .filter($"df" > MaxShingleDf).select($"shingle")
+        val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+          .persist() // reused 3×: per-doc sizes + both self-join sides
         val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val a = sh.as("a"); val b = sh.as("b")
         val common = a.join(b, $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
@@ -62,7 +78,7 @@ object Dedup {
           .limit(200)
       },
       Some("""
-        WITH sh AS (
+        WITH sh0 AS (
           SELECT DISTINCT doc_id, shingle FROM (
             SELECT doc_id,
                    unnest(list_transform(
@@ -71,6 +87,8 @@ object Dedup {
                           regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
                           regexp_split_to_array(trim(text), '\s+')[i+2])) AS shingle
             FROM documents)),
+        hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 50),
+        sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         pairs AS (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS common

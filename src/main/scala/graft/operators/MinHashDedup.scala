@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * candidate generation is O(n·bands), never the O(n²) cross join. Seeded,
   * so the output is deterministic; verified rows-only by the driver (no
   * ANSI-SQL oracle can express MinHash) and recall-checked against the
-  * exact d2 Jaccard pairs in ScalaTest.
+  * exact d2 Jaccard pairs in MinHashRecallSpec.
   */
 object MinHashDedup {
 
@@ -28,16 +28,19 @@ object MinHashDedup {
     * shingles are what make Jaccard discriminative. */
   def minhashPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     import s.implicits._
+    // <3-token docs shingle to null (guard needed under ANSI mode, where
+    // sequence(0, size-3) would index w[-1]) and are filtered out.
     val docs = Tables(s, dir, "documents")
       .withColumn("w", split(trim($"text"), "\\s+"))
-      .withColumn("toks", array_distinct(expr(
-        "transform(sequence(0, greatest(size(w) - 3, -1)), " +
-          "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+      .withColumn("toks", when(size($"w") >= 3, array_distinct(expr(
+        "transform(sequence(0, size(w) - 3), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))))
       .filter(size($"toks") > 0)
 
     val tf = new HashingTF()
       .setInputCol("toks").setOutputCol("features").setNumFeatures(1 << 18)
     val featured = tf.transform(docs).select($"doc_id", $"features")
+      .persist() // feeds fit() AND both approxSimilarityJoin sides
 
     val lsh = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")

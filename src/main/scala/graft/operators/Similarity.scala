@@ -68,7 +68,7 @@ object Similarity {
     // IVF-style ANN: per-label centroids (exact decimal elementwise means →
     // deterministic doubles), assign queries to the nearest 2 cells, exact
     // rerank only within those cells. Rows-only check (the end-to-end recall
-    // vs s1 is asserted in ScalaTest instead).
+    // vs s1 is asserted in SimilarityRecallSpec instead).
     QuerySpec(
       "s2_ivf_ann_topk",
       (s, dir) => ivfTopK(s, dir, nQueries = 10, nProbe = 2, k = 5),
