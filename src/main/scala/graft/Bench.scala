@@ -1,24 +1,56 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Methodology (VERDICT r1 #6-8 fixes):
+  *  - every query materializes through the noop DSv2 sink, so final
+  *    projections are actually computed — `.count()` lets Spark prune them;
+  *  - queries run in sorted name order after an untimed warmup pass, so
+  *    first-query JVM/codegen warmup doesn't land on an arbitrary query;
+  *  - the metric JSON goes to stdout AND to a file (SPARK_GRAFT_BENCH_OUT,
+  *    default ./bench_out.json) so the driver's parser never depends on
+  *    stripping sbt log prefixes.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir).write
+        .format("noop").mode("overwrite").save()
+
+    // Warmup: touch the big fact table + a shuffle + the documents corpus
+    // once, untimed (JIT + codegen + parquet footer caches).
+    try {
+      Tables(spark, sfDir, "lineitem")
+        .groupBy("l_returnflag").count()
+        .write.format("noop").mode("overwrite").save()
+      Tables(spark, sfDir, "documents")
+        .selectExpr("doc_id", "length(text) AS n")
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get(outFile), json)
     spark.stop()
   }
 }
