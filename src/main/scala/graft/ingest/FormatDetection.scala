@@ -154,9 +154,12 @@ object FormatDetection {
     if (isCsvFile(filename)) return Some("csv")
     val sniffed = sniffMime(content)
     val mime = sniffed.orElse {
+      // rsplit('.', 1) semantics (utils.py:97): case-SENSITIVE ext, no
+      // dotfiles, trailing dot → empty ext. (Only the .csv shortcut above
+      // lowercases — reference quirk preserved.)
       val ext =
         if (filename != null && filename.contains(".") && !filename.startsWith("."))
-          filename.split("\\.").last
+          filename.substring(filename.lastIndexOf('.') + 1)
         else ""
       mimeFromExtension(ext)
     }.orElse(detectHtmlXhtml(content)).getOrElse("text/plain")
@@ -174,11 +177,11 @@ object FormatDetection {
   private def hexPrefix(contentCol: Column, bytes: Int): Column =
     hex(substring(contentCol, 1, bytes))
 
-  private def extCol(filenameCol: Column): Column = {
-    val f = lower(filenameCol)
-    when(f.rlike("^[^.].*\\.[^.]+$") || f.rlike("^\\..+\\..+$"),
-      regexp_extract(f, "\\.([^.]+)$", 1)).otherwise(lit(""))
-  }
+  /** rsplit('.', 1) extension, matching the scalar path exactly: no
+    * dotfiles, case-sensitive, trailing dot → empty ext. */
+  private def extCol(filenameCol: Column): Column =
+    when(filenameCol.rlike("^[^.].*\\."),
+      regexp_extract(filenameCol, "\\.([^.]*)$", 1)).otherwise(lit(""))
 
   /** Column-level format detection; html content sniff is approximated by
     * a decoded-prefix rlike (no comment stripping at column level — the

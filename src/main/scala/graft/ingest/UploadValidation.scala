@@ -29,6 +29,18 @@ object UploadValidation {
 
   def mbToBytes(mb: Int): Long = mb.toLong * 1024 * 1024
 
+  /** Driver-side upload surface — the reference's UploadFile: a bounded
+    * read plus an optional client-declared size (upload_validation.py:42). */
+  trait Upload {
+    def filename: String
+    def declaredSize: Option[Long]
+    /** Read at most n bytes. */
+    def read(n: Long): Array[Byte]
+  }
+
+  /** 413/400-shaped validation error (error-as-value at the driver edge). */
+  final case class ValidationError(status: Int, detail: String)
+
   def fileTooLargeError(maxFileMb: Int): String =
     s"File size exceeds the maximum allowed size of $maxFileMb MB"
 
@@ -37,6 +49,85 @@ object UploadValidation {
 
   def unsupportedFormatError(filename: String): String =
     s"Unsupported file format: $filename"
+
+  // ------------------------------------------------------------------
+  // Driver-edge imperative reader — the reference's exact byte accounting
+  // (upload_validation.py:42-98), used when the engine ingests uploads
+  // before parallelizing. `toBytes` is pluggable for the same reason the
+  // reference's tests patch mb_to_bytes: unit tests pin the accounting
+  // with byte-sized limits.
+  // ------------------------------------------------------------------
+
+  /** Bounded read (py:42-64): reads at most limit+1 bytes — never buffers
+    * an unbounded stream; +1 is the over-limit detection byte. */
+  def readDocumentWithLimit(doc: Upload,
+                            maxFileMb: Int = DefaultMaxFileMb,
+                            maxBatchMb: Int = DefaultMaxBatchMb,
+                            remainingBatchBytes: Option[Long] = None,
+                            toBytes: Int => Long = mbToBytes): Either[ValidationError, Array[Byte]] = {
+    val maxFileBytes = toBytes(maxFileMb)
+    doc.declaredSize match {
+      case Some(size) if size > maxFileBytes =>
+        return Left(ValidationError(413, fileTooLargeError(maxFileMb)))
+      case Some(size) if remainingBatchBytes.exists(size > _) =>
+        return Left(ValidationError(413, batchTooLargeError(maxBatchMb)))
+      case _ => ()
+    }
+    val readLimit = remainingBatchBytes.fold(maxFileBytes)(math.min(maxFileBytes, _))
+    val bytes = doc.read(readLimit + 1)
+    if (bytes.length > maxFileBytes)
+      Left(ValidationError(413, fileTooLargeError(maxFileMb)))
+    else if (remainingBatchBytes.exists(bytes.length > _))
+      Left(ValidationError(413, batchTooLargeError(maxBatchMb)))
+    else Right(bytes)
+  }
+
+  /** Single-document read + format validation (py:67-74). */
+  def readAndValidateDocument(doc: Upload,
+                              maxFileMb: Int = DefaultMaxFileMb,
+                              toBytes: Int => Long = mbToBytes,
+                              formatSupported: (Array[Byte], String) => Boolean =
+                                FormatDetection.isSupported): Either[ValidationError, (String, Array[Byte])] =
+    readDocumentWithLimit(doc, maxFileMb, toBytes = toBytes).flatMap { bytes =>
+      val name = Option(doc.filename).getOrElse("unnamed")
+      if (!formatSupported(bytes, name))
+        Left(ValidationError(400, unsupportedFormatError(name)))
+      else Right((name, bytes))
+    }
+
+  /** Batch read (py:77-98): declared-size fail-fast before ANY read, then
+    * sequential bounded reads decrementing the batch budget, then
+    * all-or-nothing format validation over the whole batch. */
+  def readAndValidateBatch(docs: Seq[Upload],
+                           maxFileMb: Int = DefaultMaxFileMb,
+                           maxBatchMb: Int = DefaultMaxBatchMb,
+                           toBytes: Int => Long = mbToBytes,
+                           formatSupported: (Array[Byte], String) => Boolean =
+                             FormatDetection.isSupported): Either[ValidationError, Seq[(String, Array[Byte])]] = {
+    val maxFileBytes = toBytes(maxFileMb)
+    var remaining = toBytes(maxBatchMb)
+    val known = docs.map(_.declaredSize)
+    if (known.exists(_.exists(_ > maxFileBytes)))
+      return Left(ValidationError(413, fileTooLargeError(maxFileMb)))
+    if (known.forall(_.isDefined) && known.flatten.sum > remaining)
+      return Left(ValidationError(413, batchTooLargeError(maxBatchMb)))
+
+    val data = Seq.newBuilder[(String, Array[Byte])]
+    docs.foreach { doc =>
+      readDocumentWithLimit(doc, maxFileMb, maxBatchMb, Some(remaining), toBytes) match {
+        case Left(e) => return Left(e)
+        case Right(bytes) =>
+          data += ((Option(doc.filename).getOrElse("unnamed"), bytes))
+          remaining -= bytes.length
+      }
+    }
+    val read = data.result()
+    read.foreach { case (name, bytes) =>
+      if (!formatSupported(bytes, name))
+        return Left(ValidationError(400, unsupportedFormatError(name)))
+    }
+    Right(read)
+  }
 
   /** Per-file limit as an error-column: rows keep flowing, over-limit rows
     * carry the 413 message (error-as-column, SURVEY.md O16). */
