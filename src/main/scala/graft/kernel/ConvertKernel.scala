@@ -13,7 +13,11 @@ import graft.ingest.{FormatDetection, Transcode}
   * reference's per-build model preload, Dockerfile:45-51), NEVER a per-row
   * udf. Where the reference's `convert_all` loops documents sequentially in
   * one worker (service.py:171-186), partitions here convert in parallel —
-  * a strict improvement with identical per-row semantics.
+  * a strict improvement with identical per-row semantics. One deliberate
+  * deviation: CSV charset transcode runs in batch mode too (the reference
+  * only calls handle_csv_file on the single path, service.py:145-150, so
+  * its batch path would feed raw cp1252 bytes to the parser) — documented
+  * as an improvement, like the stem/full-filename asymmetry below.
   *
   * Error handling is error-as-column: a failed parse is a result row with
   * `error` set (service.py:153-155, :180-183), executors never throw on
@@ -86,8 +90,22 @@ object ConvertKernel {
           ParserPool.parsers(format).parse(filename, bytes) match {
             case Left(err) => ConversionResult(errorName, null, Seq.empty, err)
             case Right(tree) =>
-              val md = DocModel.renderMarkdown(tree)
-              val (content_md, images) = ImageSplicer.splice(md, tree.items)
+              // Attach rendered images per request config, mirroring the
+              // reference's pipeline options: pictures always
+              // (generate_picture_images=True, service.py:67), tables only
+              // when extract_tables_as_images (service.py:61), dimensions
+              // scaled by images_scale (service.py:60).
+              val items = tree.items.map {
+                case p: DocModel.PictureElement if p.imagePng.isEmpty =>
+                  p.copy(imagePng =
+                    Some(ImageRenderer.renderPicture(config.imageResolutionScale)))
+                case t: DocModel.TableElement if config.extractTablesAsImages && t.imagePng.isEmpty =>
+                  t.copy(imagePng = Some(ImageRenderer.renderTable(
+                    t.numRows, t.numCols, config.imageResolutionScale)))
+                case e => e
+              }
+              val md = DocModel.renderMarkdown(DocModel.DocTree(tree.name, items))
+              val (content_md, images) = ImageSplicer.splice(md, items)
               ConversionResult(stem(filename), content_md,
                 images.map(i => ImageData(i.imageType, i.filename, i.base64Png)), null)
           }

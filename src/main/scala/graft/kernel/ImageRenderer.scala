@@ -1,0 +1,67 @@
+package graft.kernel
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+/** Deterministic placeholder PNG rendering for picture/table elements.
+  *
+  * The reference renders real page crops via Docling's layout models and
+  * PIL (service.py:106-128, `generate_picture_images=True` default at
+  * service.py:67, `generate_table_images=extract_tables` at :61,
+  * `images_scale=image_resolution_scale` at :60). This zero-egress JVM
+  * build has no layout models, so the pixel content is an honest
+  * placeholder — but the full image pipeline around it (per-request
+  * config, scale-dependent dimensions, per-type counters, markdown splice,
+  * PNG encode, base64) is real and pinned by ConvertKernelSpec.
+  *
+  * Pixel content is pure setRGB arithmetic (no fonts/antialiasing), so the
+  * PNG bytes are identical across JVMs for a given (dims, grid) input.
+  */
+object ImageRenderer {
+
+  /** Base picture dimensions at scale 1; the reference's images_scale
+    * multiplies rendered resolution the same way. */
+  val PictureBaseW = 64
+  val PictureBaseH = 48
+
+  /** Cell size for table renders at scale 1. */
+  val CellW = 24
+  val CellH = 12
+
+  private val MaxDim = 4096 // cap adversarial row/col counts
+
+  def renderPicture(scale: Int): Array[Byte] =
+    encode(fill(PictureBaseW * scale, PictureBaseH * scale, border = true, grid = None))
+
+  def renderTable(numRows: Int, numCols: Int, scale: Int): Array[Byte] = {
+    val w = math.min(MaxDim, math.max(1, numCols) * CellW * scale)
+    val h = math.min(MaxDim, (math.max(1, numRows) + 1) * CellH * scale)
+    encode(fill(w, h, border = true, grid = Some((CellW * scale, CellH * scale))))
+  }
+
+  private def fill(w: Int, h: Int, border: Boolean, grid: Option[(Int, Int)]): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val white = 0xFFFFFF
+    val gray = 0x808080
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val onBorder = border && (x == 0 || y == 0 || x == w - 1 || y == h - 1)
+        val onGrid = grid.exists { case (cw, ch) => x % cw == 0 || y % ch == 0 }
+        img.setRGB(x, y, if (onBorder || onGrid) gray else white)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encode(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+}

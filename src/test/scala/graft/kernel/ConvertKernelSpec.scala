@@ -1,0 +1,140 @@
+package graft.kernel
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.{Charset, StandardCharsets}
+import java.util.Base64
+
+import javax.imageio.ImageIO
+
+import graft.SparkTestBase
+import graft.kernel.ConvertKernel._
+
+/** Golden e2e for the conversion kernel (O8-O17): fixture bytes in, exact
+  * ConversionResult out — the e2e coverage the reference itself lacks
+  * (SURVEY §5.1 "untested in the reference").
+  */
+class ConvertKernelSpec extends SparkTestBase {
+
+  private def b(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+
+  private def pngDims(base64Png: String): (Int, Int) = {
+    val img = ImageIO.read(new ByteArrayInputStream(Base64.getDecoder.decode(base64Png)))
+    (img.getWidth, img.getHeight)
+  }
+
+  test("markdown document round-trips: headings, paragraphs, pipe tables") {
+    val src = "# Title\n\nSome paragraph text.\n\n| a | b |\n|---|---|\n| 1 | 2 |"
+    val r = convertOne("notes.md", b(src))
+    assert(r.error == null)
+    assert(r.filename == "notes")
+    assert(r.markdown == src)
+    assert(r.images.isEmpty) // tables render only with extractTablesAsImages
+  }
+
+  test("markdown image placeholder is spliced with a rendered picture (O12/O13/O15)") {
+    val src = "# Doc\n\n![figure](fig.png)\n\nAfter."
+    val r = convertOne("doc.md", b(src))
+    assert(r.error == null)
+    assert(r.markdown == "# Doc\n\npicture-1.png\n\nAfter.")
+    assert(r.images.map(i => (i.`type`, i.filename)) == Seq(("picture", "picture-1.png")))
+    // default scale 4 (service.py:19-21)
+    assert(pngDims(r.images.head.image) ==
+      (ImageRenderer.PictureBaseW * 4, ImageRenderer.PictureBaseH * 4))
+  }
+
+  test("image_resolution_scale changes rendered dimensions; [1,4] clamp is upstream") {
+    val src = "![x](x.png)"
+    val r1 = convertOne("a.md", b(src), ConversionConfig(imageResolutionScale = 1))
+    val r4 = convertOne("a.md", b(src), ConversionConfig(imageResolutionScale = 4))
+    assert(pngDims(r1.images.head.image) ==
+      (ImageRenderer.PictureBaseW, ImageRenderer.PictureBaseH))
+    assert(pngDims(r4.images.head.image) ==
+      (ImageRenderer.PictureBaseW * 4, ImageRenderer.PictureBaseH * 4))
+  }
+
+  test("extract_tables_as_images appends table-N.png after the table snippet") {
+    val src = "| h1 | h2 |\n|---|---|\n| x | y |"
+    val off = convertOne("t.md", b(src), ConversionConfig(extractTablesAsImages = false))
+    assert(off.images.isEmpty)
+    assert(off.markdown == src)
+
+    val on = convertOne("t.md", b(src),
+      ConversionConfig(extractTablesAsImages = true, imageResolutionScale = 2))
+    assert(on.images.map(i => (i.`type`, i.filename)) == Seq(("table", "table-1.png")))
+    assert(on.markdown == src + "\n\ntable-1.png")
+    // 2 cols x (2 rows + header strip), scale 2
+    assert(pngDims(on.images.head.image) ==
+      (2 * ImageRenderer.CellW * 2, 3 * ImageRenderer.CellH * 2))
+  }
+
+  test("csv with cp1252 content transcodes then renders one markdown table (O7)") {
+    val src = "name,quote\nalice,“hi”\n"
+    val r = convertOne("data.csv", src.getBytes(Charset.forName("windows-1252")))
+    assert(r.error == null)
+    assert(r.filename == "data")
+    assert(r.markdown == "| name | quote |\n|---|---|\n| alice | “hi” |")
+  }
+
+  test("undecodable-in-utf8 csv still converts via the fallback chain; quoted fields survive") {
+    val src = "a,b\n\"x,y\",\"with \"\"quotes\"\"\"\n"
+    val r = convertOne("q.csv", b(src))
+    assert(r.error == null)
+    assert(r.markdown == "| a | b |\n|---|---|\n| x,y | with \"quotes\" |")
+  }
+
+  test("html converts headings, text, images and tables in document order") {
+    val src = "<html><body><h1>Head</h1><p>para</p><img src='x.png'>" +
+      "<table><tr><th>A</th><th>B</th></tr><tr><td>1</td><td>2</td></tr></table>" +
+      "</body></html>"
+    val r = convertOne("page.html", b(src))
+    assert(r.error == null)
+    assert(r.markdown ==
+      "# Head\n\npara\n\npicture-1.png\n\n| A | B |\n|---|---|\n| 1 | 2 |")
+    assert(r.images.map(_.filename) == Seq("picture-1.png"))
+  }
+
+  test("asciidoc headings and image macros convert") {
+    val src = "= Title\n\nBody text.\n\nimage::diagram.png[]\n\nMore."
+    val r = convertOne("guide.adoc", b(src))
+    assert(r.error == null)
+    assert(r.markdown == "# Title\n\nBody text.\n\npicture-1.png\n\nMore.")
+  }
+
+  test("ML formats produce the reference's error-row shape (O16), never a throw") {
+    val pdf = b("%PDF-1.7 fake")
+    val single = convertOne("report.pdf", pdf)
+    assert(single.markdown == null)
+    assert(single.filename == "report") // stem in single mode (service.py:155)
+    assert(single.error != null && single.error.contains("pdf"))
+
+    val batch = convertOne("report.pdf", pdf, batchMode = true)
+    assert(batch.filename == "report.pdf") // full name in batch mode (service.py:182)
+    assert(batch.error == single.error)
+  }
+
+  test("unsupported format error carries the full filename") {
+    val r = convertOne("blob.xyz", b("unrecognizable"))
+    assert(r.error == s"Unsupported file format: blob.xyz")
+  }
+
+  test("convertDocumentOrThrow escalates errors like the sync endpoint (O17)") {
+    val ok = convertDocumentOrThrow("fine.md", b("# ok"))
+    assert(ok.markdown == "# ok")
+    val e = intercept[RuntimeException](convertDocumentOrThrow("blob.xyz", b("junk")))
+    assert(e.getMessage.contains("Unsupported file format"))
+  }
+
+  test("distributed convert matches per-row convertOne and isolates errors (O9/O10)") {
+    import spark.implicits._
+    val rows = Seq(
+      UploadRow("/in/a.md", "a.md", b("# A"), 3),
+      UploadRow("/in/bad.pdf", "bad.pdf", b("%PDF-junk"), 9),
+      UploadRow("/in/c.csv", "c.csv", b("x,y\n1,2\n"), 8))
+    val got = ConvertKernel.convert(spark.createDataset(rows), batchMode = true)
+      .collect().sortBy(_.filename)
+    val want = rows.map(r => convertOne(r.filename, r.content, batchMode = true))
+      .sortBy(_.filename)
+    assert(got.toSeq == want)
+    assert(got.count(_.error != null) == 1) // one failure never poisons the batch
+  }
+}
