@@ -1,0 +1,239 @@
+package graft.kernel
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.kernel.DocModel._
+
+/** Pure-JVM DOCX/PPTX parsers — zip container + StAX over the OOXML parts
+  * (ECMA-376 part names: `word/document.xml`, `ppt/slides/slideN.xml`).
+  *
+  * The reference treats docx/pptx as first-class Docling inputs
+  * (document_converter/utils.py:27-47); this build extracts the text
+  * skeleton — headings (w:pStyle Heading*), paragraphs, tables
+  * (w:tbl/a:tbl grids), pictures (w:drawing / w:pict / p:pic) — without
+  * layout models. Cell spans (w:gridSpan) are flattened to single cells.
+  * Everything emits into the same DocTree the md/html/csv parsers use, so
+  * splice/counters/serialization downstream are shared.
+  */
+object OoxmlParsers {
+
+  private val MaxEntryBytes = 64 << 20 // zip-bomb guard per part
+
+  /** Read selected entries of a zip (by predicate on the entry name). */
+  private[kernel] def zipEntries(bytes: Array[Byte],
+                                 want: String => Boolean): Map[String, Array[Byte]] = {
+    val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = Map.newBuilder[String, Array[Byte]]
+    try {
+      var e = zis.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory && want(e.getName)) {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = zis.read(chunk)
+          while (n >= 0 && buf.size <= MaxEntryBytes) {
+            buf.write(chunk, 0, n); n = zis.read(chunk)
+          }
+          if (buf.size <= MaxEntryBytes) out += e.getName -> buf.toByteArray
+        }
+        e = zis.getNextEntry
+      }
+    } finally zis.close()
+    out.result()
+  }
+
+  private def newReader(bytes: Array[Byte]): XMLStreamReader = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(new ByteArrayInputStream(bytes))
+  }
+
+  private def attr(r: XMLStreamReader, local: String): Option[String] =
+    (0 until r.getAttributeCount)
+      .find(i => r.getAttributeLocalName(i) == local)
+      .map(r.getAttributeValue)
+
+  private def tableFrom(rows: Seq[Seq[String]]): Option[TableElement] = {
+    val nonEmpty = rows.filter(_.nonEmpty)
+    if (nonEmpty.isEmpty) None
+    else {
+      val nCols = nonEmpty.map(_.length).max
+      val cells = nonEmpty.zipWithIndex.flatMap { case (row, ri) =>
+        row.padTo(nCols, "").zipWithIndex.map { case (c, ci) =>
+          TableCellSpec(ri, ri + 1, ci, ci + 1, c, columnHeader = ri == 0)
+        }
+      }
+      Some(TableElement(cells, nonEmpty.length, nCols))
+    }
+  }
+
+  private val HeadingStyle = "Heading(\\d)".r
+
+  /** DOCX: StAX walk of word/document.xml. Headings via w:pStyle
+    * (Heading1..9 or Title), body paragraphs, depth-1 tables, pictures
+    * (emitted after their paragraph's text, in document order). */
+  object DocxParser extends FormatParser {
+    def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] = {
+      val doc = zipEntries(bytes, _ == "word/document.xml").get("word/document.xml")
+      doc match {
+        case None => Left("Invalid DOCX: missing word/document.xml")
+        case Some(xml) =>
+          try Right(DocTree(name, parseDocumentXml(xml)))
+          catch { case e: Exception => Left(s"Invalid DOCX: ${e.getMessage}") }
+      }
+    }
+
+    private def parseDocumentXml(xml: Array[Byte]): Seq[Element] = {
+      val r = newReader(xml)
+      val items = ArrayBuffer[Element]()
+
+      var tblDepth = 0
+      val tableRows = ArrayBuffer[ArrayBuffer[String]]()
+      val cellBuf = new StringBuilder
+
+      val paraBuf = new StringBuilder
+      var paraStyle: Option[String] = None
+      var paraPictures = 0
+
+      def endParagraph(): Unit = {
+        val text = paraBuf.toString.trim
+        paraBuf.clear()
+        if (text.nonEmpty) {
+          val el = paraStyle match {
+            case Some("Title") => HeadingElement(text, 1)
+            case Some(HeadingStyle(lvl)) => HeadingElement(text, lvl.toInt)
+            case _ => TextElement(text)
+          }
+          items += el
+        }
+        (0 until paraPictures).foreach(_ => items += PictureElement(None))
+        paraPictures = 0
+        paraStyle = None
+      }
+
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "tbl" => tblDepth += 1
+              case "tr" if tblDepth == 1 => tableRows += ArrayBuffer[String]()
+              case "tc" if tblDepth == 1 => cellBuf.clear()
+              case "pStyle" if tblDepth == 0 =>
+                paraStyle = attr(r, "val")
+              case "drawing" | "pict" if tblDepth == 0 =>
+                paraPictures += 1
+              case "t" =>
+                val text = r.getElementText
+                if (tblDepth >= 1) cellBuf ++= text else paraBuf ++= text
+              case "tab" if tblDepth == 0 => paraBuf += ' '
+              case "br" if tblDepth == 0 => paraBuf += ' '
+              case _ => ()
+            }
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "p" if tblDepth == 0 => endParagraph()
+              case "p" if tblDepth >= 1 => // paragraph break inside a cell
+                if (cellBuf.nonEmpty && !cellBuf.endsWith(" ")) cellBuf += ' '
+              case "tc" if tblDepth == 1 =>
+                if (tableRows.nonEmpty) tableRows.last += cellBuf.toString.trim
+              case "tbl" =>
+                tblDepth -= 1
+                if (tblDepth == 0) {
+                  tableFrom(tableRows.map(_.toSeq).toSeq).foreach(items += _)
+                  tableRows.clear()
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+      r.close()
+      items.toSeq
+    }
+  }
+
+  /** PPTX: slides in ppt/slides/slideN.xml, N ascending. Title-placeholder
+    * shapes become level-1 headings, body paragraphs text, a:tbl grids
+    * tables, p:pic pictures. */
+  object PptxParser extends FormatParser {
+    private val SlideName = "ppt/slides/slide(\\d+)\\.xml".r
+
+    def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] = {
+      val slides = zipEntries(bytes, n => SlideName.pattern.matcher(n).matches())
+      if (slides.isEmpty) return Left("Invalid PPTX: no ppt/slides/*.xml parts")
+      val ordered = slides.toSeq
+        .map { case (n, b) => val SlideName(i) = n: @unchecked; (i.toInt, b) }
+        .sortBy(_._1)
+      try Right(DocTree(name, ordered.flatMap { case (_, xml) => parseSlideXml(xml) }))
+      catch { case e: Exception => Left(s"Invalid PPTX: ${e.getMessage}") }
+    }
+
+    private def parseSlideXml(xml: Array[Byte]): Seq[Element] = {
+      val r = newReader(xml)
+      val items = ArrayBuffer[Element]()
+
+      var inTable = false
+      val tableRows = ArrayBuffer[ArrayBuffer[String]]()
+      val cellBuf = new StringBuilder
+
+      var shapeIsTitle = false
+      val paraBuf = new StringBuilder
+      val shapeParas = ArrayBuffer[String]()
+
+      def endShape(): Unit = {
+        shapeParas.filter(_.nonEmpty).foreach { text =>
+          items += (if (shapeIsTitle) HeadingElement(text, 1) else TextElement(text))
+        }
+        shapeParas.clear()
+        shapeIsTitle = false
+      }
+
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "ph" =>
+                if (attr(r, "type").exists(t => t == "title" || t == "ctrTitle"))
+                  shapeIsTitle = true
+              case "tbl" => inTable = true
+              case "tr" if inTable => tableRows += ArrayBuffer[String]()
+              case "tc" if inTable => cellBuf.clear()
+              case "pic" => items += PictureElement(None)
+              case "t" =>
+                val text = r.getElementText
+                if (inTable) cellBuf ++= text else paraBuf ++= text
+              case _ => ()
+            }
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "p" =>
+                if (inTable) {
+                  if (cellBuf.nonEmpty && !cellBuf.endsWith(" ")) cellBuf += ' '
+                } else {
+                  shapeParas += paraBuf.toString.trim
+                  paraBuf.clear()
+                }
+              case "tc" if inTable =>
+                if (tableRows.nonEmpty) tableRows.last += cellBuf.toString.trim
+              case "tbl" =>
+                inTable = false
+                tableFrom(tableRows.map(_.toSeq).toSeq).foreach(items += _)
+                tableRows.clear()
+              case "sp" => endShape()
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+      r.close()
+      endShape() // stray paragraphs outside any sp
+      items.toSeq
+    }
+  }
+}

@@ -9,11 +9,12 @@ import graft.kernel.DocModel._
 /** Pure-JVM format parsers (the parse kernel, SURVEY.md O9/§7.4.1).
   *
   * The reference delegates parsing to Docling (Python + PyTorch models);
-  * there is no JVM Docling and this build is zero-egress, so the ML formats
-  * (pdf/docx/pptx/image — layout models, OCR, table-structure nets per
-  * reference Dockerfile:45-51) are honestly scoped out: they return the
-  * reference's own error-row shape. The text formats (md, csv, html,
-  * asciidoc) get exact parsers.
+  * there is no JVM Docling and this build is zero-egress. The text formats
+  * (md, csv, html, asciidoc) get exact parsers here; docx/pptx get
+  * zip+StAX structural parsers (OoxmlParsers); only the genuinely-ML
+  * formats (pdf — layout models, image — OCR, per reference
+  * Dockerfile:45-51) are honestly scoped out with the reference's own
+  * error-row shape.
   */
 trait FormatParser {
   def parse(name: String, bytes: Array[Byte]): Either[String, DocTree]
@@ -213,14 +214,16 @@ object Parsers {
       Left(s"Format '$format' requires ML parsing models not available in this build")
   }
 
-  /** Parser registry keyed by detected InputFormat. */
+  /** Parser registry keyed by detected InputFormat. docx/pptx are pure-JVM
+    * zip+StAX walks (OoxmlParsers); only the genuinely-ML formats
+    * (pdf layout models, image OCR) remain honestly unsupported. */
   val byFormat: Map[String, FormatParser] = Map(
     "md" -> MarkdownParser,
     "csv" -> CsvParser,
     "html" -> HtmlParser,
     "asciidoc" -> AsciiDocParser,
+    "docx" -> OoxmlParsers.DocxParser,
+    "pptx" -> OoxmlParsers.PptxParser,
     "pdf" -> new UnsupportedParser("pdf"),
-    "docx" -> new UnsupportedParser("docx"),
-    "pptx" -> new UnsupportedParser("pptx"),
     "image" -> new UnsupportedParser("image"))
 }
