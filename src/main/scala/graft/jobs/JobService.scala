@@ -1,24 +1,31 @@
 package graft.jobs
 
+import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardOpenOption}
-import java.util.UUID
+import java.util.{Base64, UUID}
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 
 import graft.kernel.ConvertKernel
-import graft.kernel.ConvertKernel.{ConversionConfig, ConversionResult, UploadRow}
+import graft.kernel.ConvertKernel.{ConversionConfig, ConversionResult}
 
 /** Async job orchestration (SURVEY.md O18-O22) — the reference's
   * Celery/Redis plane (worker/tasks.py, service.py:204-273) re-expressed as
   * a filesystem jobs ledger + Spark execution:
   *
-  *   submit  → request rows persisted under `<ledger>/requests/<job_id>/`
-  *             (the Redis broker boundary), status IN_PROGRESS;
-  *   process → a worker drain converts pending jobs with the mapPartitions
-  *             kernel and writes `<ledger>/results/<job_id>/` (the result
-  *             backend boundary);
+  *   submit  → payload bytes persisted as `<idx>.bin` under
+  *             `<ledger>/requests/<job_id>/` with client filenames in a
+  *             base64 `_MANIFEST` sidecar (the Redis broker boundary) —
+  *             filenames never become paths, so traversal is impossible;
+  *   process → a worker drain reads the job through the distributed
+  *             `binaryFile` source (content bytes never materialize on the
+  *             driver), converts with the mapPartitions kernel, and writes
+  *             `<ledger>/results/<job_id>/` (the result backend boundary)
+  *             carrying the submit index, so results read back in
+  *             submission order like the reference's convert_all
+  *             (service.py:171-186);
   *   status  → read-side state machine, reproducing the reference exactly:
   *             * unknown job_id ⇒ IN_PROGRESS (Celery PENDING means
   *               "unknown", service.py:230-231 — deliberately NOT "fixed"),
@@ -52,19 +59,33 @@ object JobService {
     private def failFile(id: String) = Paths.get(root, "results", id, "_TASK_FAILED")
     private def doneFile(id: String) = Paths.get(root, "results", id, "_DONE")
     private def batchFlag(id: String) = Paths.get(root, "requests", id, "_BATCH")
+    private def manifestFile(id: String) = Paths.get(root, "requests", id, "_MANIFEST")
 
-    /** Enqueue: persist (filename, bytes) rows; returns the job id. */
+    /** Enqueue: persist payload rows as index-named files plus a filename
+      * manifest; returns the job id. Client filenames go through base64 —
+      * never interpreted as paths (no traversal, no name mangling). */
     def submit(docs: Seq[(String, Array[Byte])], batch: Boolean,
                config: ConversionConfig = ConversionConfig()): String = {
       val id = UUID.randomUUID().toString
       val dir = reqDir(id)
       Files.createDirectories(dir)
-      docs.zipWithIndex.foreach { case ((name, bytes), i) =>
-        Files.write(dir.resolve(f"$i%05d__$name"), bytes)
+      val manifest = docs.map { case (name, _) =>
+        Base64.getEncoder.encodeToString(
+          Option(name).getOrElse("unnamed").getBytes(StandardCharsets.UTF_8))
+      }.mkString("\n")
+      Files.write(manifestFile(id), manifest.getBytes(StandardCharsets.UTF_8))
+      docs.zipWithIndex.foreach { case ((_, bytes), i) =>
+        Files.write(dir.resolve(f"$i%05d.bin"), bytes)
       }
       if (batch) Files.write(batchFlag(id), Array.emptyByteArray)
       id
     }
+
+    private def readManifest(id: String): IndexedSeq[String] =
+      Files.readAllLines(manifestFile(id), StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty)
+        .map(l => new String(Base64.getDecoder.decode(l), StandardCharsets.UTF_8))
+        .toIndexedSeq
 
     def pendingJobs(): Seq[String] = {
       val req = Paths.get(root, "requests")
@@ -76,7 +97,10 @@ object JobService {
 
     def isBatch(id: String): Boolean = Files.exists(batchFlag(id))
 
-    /** Worker drain: convert one pending job through the Spark kernel. */
+    /** Worker drain: convert one pending job through the Spark kernel.
+      * Content bytes flow source→executors only (binaryFile scan); the
+      * driver touches just the manifest. The submit index rides along so
+      * results are order-preserving. */
     def process(spark: SparkSession, id: String,
                 config: ConversionConfig = ConversionConfig()): Unit = {
       import spark.implicits._
@@ -84,21 +108,25 @@ object JobService {
         val dir = reqDir(id)
         if (!Files.isDirectory(dir))
           throw new IllegalStateException(s"no such job: $id")
-        val files = Files.list(dir).iterator().asScala
-          .filterNot(_.getFileName.toString.startsWith("_"))
-          .toSeq.sortBy(_.getFileName.toString)
-        val rows = files.map { p =>
-          val name = p.getFileName.toString.split("__", 2).last
-          val bytes = Files.readAllBytes(p)
-          UploadRow(p.toString, name, bytes, bytes.length.toLong)
-        }
+        val names = readManifest(id)
+        val bnames = spark.sparkContext.broadcast(names)
         val batch = isBatch(id)
-        // partition parallelism where the reference converts sequentially
-        val ds = spark.createDataset(rows)
-          .repartition(math.max(1, math.min(rows.size, spark.sparkContext.defaultParallelism)))
-        val results = ConvertKernel.convert(ds, config, batchMode = batch)
+        val parallelism = math.max(1, math.min(names.size, spark.sparkContext.defaultParallelism))
+        val files = spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.bin")
+          .load(dir.toString)
+          .select($"path", $"content")
+          .as[(String, Array[Byte])]
+          .repartition(parallelism) // small files pack into one scan partition otherwise
+        val results = files.mapPartitions { it =>
+          val nm = bnames.value
+          it.map { case (path, content) =>
+            val idx = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".bin").toInt
+            (idx, ConvertKernel.convertOne(nm(idx), content, config, batchMode = batch))
+          }
+        }.toDF("idx", "r").select($"idx", $"r.*")
         Files.createDirectories(resDir(id))
-        results.toDF().coalesce(1).write.mode("overwrite")
+        results.write.mode("overwrite")
           .json(resDir(id).resolve("rows").toString)
         Files.write(doneFile(id), Array.emptyByteArray)
       } catch {
@@ -113,15 +141,21 @@ object JobService {
                           config: ConversionConfig = ConversionConfig()): Unit =
       pendingJobs().foreach(process(spark, _, config))
 
+    /** Results in submission order (reference convert_all returns input
+      * order; the idx column restores it after the distributed write). */
     private def readResults(spark: SparkSession, id: String): Seq[ConversionResult] = {
       import spark.implicits._
-      val df = spark.read
-        .schema("filename STRING, markdown STRING, images ARRAY<STRUCT<type: STRING, filename: STRING, image: STRING>>, error STRING")
+      spark.read
+        .schema("idx INT, filename STRING, markdown STRING, " +
+          "images ARRAY<STRUCT<type: STRING, filename: STRING, image: STRING>>, error STRING")
         .json(resDir(id).resolve("rows").toString)
-      df.as[ConversionResult].collect().toSeq
+        .orderBy($"idx")
+        .drop("idx")
+        .as[ConversionResult].collect().toSeq
     }
 
-    /** Single-job status (service.py:220-242). */
+    /** Single-job status (service.py:220-242). `head` is deterministic:
+      * the first-submitted document. */
     def singleStatus(spark: SparkSession, id: String): JobResult = {
       if (Files.exists(failFile(id)))
         JobResult(id, None, Some(new String(Files.readAllBytes(failFile(id)), "UTF-8")), Failure)
@@ -132,7 +166,8 @@ object JobService {
       } else JobResult(id, None, None, InProgress) // unknown ⇒ IN_PROGRESS quirk
     }
 
-    /** Batch-job status (service.py:244-273). */
+    /** Batch-job status (service.py:244-273), per-document results in
+      * submission order. */
     def batchStatus(spark: SparkSession, id: String): BatchJobResult = {
       if (Files.exists(failFile(id)))
         BatchJobResult(id, Seq.empty,

@@ -1,0 +1,111 @@
+package graft.jobs
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkTestBase
+import graft.jobs.JobService._
+
+/** O18-O21 state machine (reference service.py:204-273 + worker/tasks.py),
+  * previously implemented-but-unverified (VERDICT r1 top gap).
+  */
+class JobServiceSpec extends SparkTestBase {
+
+  private def newLedger(): Ledger =
+    new Ledger(Files.createTempDirectory("graft-jobs").toString)
+
+  private def b(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+
+  test("submit returns a job id that reports IN_PROGRESS before processing (O18)") {
+    val ledger = newLedger()
+    val id = ledger.submit(Seq(("a.md", b("# A"))), batch = false)
+    assert(ledger.singleStatus(spark, id) == JobResult(id, None, None, InProgress))
+  }
+
+  test("unknown job ids report IN_PROGRESS, not an error (service.py:230-231 quirk)") {
+    val ledger = newLedger()
+    assert(ledger.singleStatus(spark, "no-such-id").status == InProgress)
+    assert(ledger.batchStatus(spark, "no-such-id").status == InProgress)
+  }
+
+  test("single job: success path returns the conversion result (O19)") {
+    val ledger = newLedger()
+    val id = ledger.submit(Seq(("notes.md", b("# Hello\n\nWorld."))), batch = false)
+    ledger.process(spark, id)
+    val s = ledger.singleStatus(spark, id)
+    assert(s.status == Success)
+    assert(s.error.isEmpty)
+    assert(s.result.map(_.filename) == Some("notes"))
+    assert(s.result.map(_.markdown) == Some("# Hello\n\nWorld."))
+  }
+
+  test("single job: a conversion error makes the JOB a FAILURE (service.py:233-237)") {
+    val ledger = newLedger()
+    val id = ledger.submit(Seq(("scan.pdf", b("%PDF-fake"))), batch = false)
+    ledger.process(spark, id)
+    val s = ledger.singleStatus(spark, id)
+    assert(s.status == Failure)
+    assert(s.result.isEmpty)
+    assert(s.error.exists(_.contains("pdf")))
+  }
+
+  test("batch job: SUCCESS despite per-document failures, in submission order (O20)") {
+    val ledger = newLedger()
+    val docs = Seq(
+      ("zulu.md", b("# Z doc")),
+      ("bad.pdf", b("%PDF-fake")),
+      ("alpha.csv", b("h1,h2\n1,2\n")))
+    val id = ledger.submit(docs, batch = true)
+    ledger.process(spark, id)
+    val s = ledger.batchStatus(spark, id)
+    assert(s.status == Success) // batch succeeds even with failed documents
+    assert(s.error.isEmpty)
+    assert(s.conversionResults.map(_.status) == Seq(Success, Failure, Success))
+    // submission order, NOT alphabetical/arbitrary shuffle order
+    assert(s.conversionResults.flatMap(_.result).map(_.filename) == Seq("zulu", "alpha"))
+    // batch mode reports the FULL filename in errors (service.py:182)
+    assert(s.conversionResults(1).error.exists(_.contains("pdf")))
+  }
+
+  test("task-level exception makes the whole job FAILURE with the message (O19/O20)") {
+    val ledger = newLedger()
+    // a job id with no request dir: process records a task failure
+    ledger.process(spark, "vanished-job")
+    val single = ledger.singleStatus(spark, "vanished-job")
+    assert(single.status == Failure)
+    assert(single.error.exists(_.contains("no such job")))
+    val batch = ledger.batchStatus(spark, "vanished-job")
+    assert(batch.status == Failure)
+    assert(batch.conversionResults.isEmpty)
+  }
+
+  test("processAllPending drains every submitted job exactly once (O18)") {
+    val ledger = newLedger()
+    val id1 = ledger.submit(Seq(("a.md", b("# A"))), batch = false)
+    val id2 = ledger.submit(Seq(("b.md", b("# B"))), batch = true)
+    assert(ledger.pendingJobs().toSet == Set(id1, id2))
+    ledger.processAllPending(spark)
+    assert(ledger.pendingJobs().isEmpty)
+    assert(ledger.singleStatus(spark, id1).status == Success)
+    assert(ledger.batchStatus(spark, id2).status == Success)
+  }
+
+  test("adversarial filenames cannot escape the ledger (path traversal)") {
+    val ledger = newLedger()
+    // starts with a segment (not "."), so format detection still accepts it
+    val evil = "a/../../../../tmp/evil.md"
+    val id = ledger.submit(Seq((evil, b("# owned"))), batch = false)
+    // every written file stays under <ledger>/requests/<id>/
+    val reqDir = Paths.get(ledger.root, "requests", id)
+    val files = Files.walk(Paths.get(ledger.root)).iterator().asScala
+      .filter(Files.isRegularFile(_)).toSeq
+    assert(files.nonEmpty && files.forall(_.startsWith(reqDir)))
+    // and the client-visible filename survives conversion untouched
+    ledger.process(spark, id)
+    val s = ledger.singleStatus(spark, id)
+    assert(s.status == Success)
+    assert(s.result.map(_.markdown) == Some("# owned"))
+  }
+}
