@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** The recall/correctness check Similarity's scaladoc promises for s2.
+  *
+  * Note on this corpus: the fixture embeddings are isotropic-random (no
+  * cluster structure — measured top-5 same-label fraction ≈ 0.08, intra-
+  * label mean cosine ≈ 0), which is the worst case for ANY coarse
+  * quantizer: expected recall with nProbe of C cells is ≈ nProbe/C plus
+  * the own-cell bonus. So the strong pin here is EXACTNESS of the
+  * probe-restricted search against an independent driver-side
+  * reimplementation; the recall floor is calibrated to the corpus, and
+  * probing all cells must reproduce brute force exactly.
+  */
+class SimilarityRecallSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.select("query_id", "rank", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+  test("s2 exactly equals exact search restricted to the probed cells") {
+    // Independent reimplementation on the driver: per-label mean centroids,
+    // L2-nearest nProbe cells (ties by label), exact cosine rerank inside,
+    // cosine rounded to 6dp with cand_id tiebreak — the same contract s2
+    // declares, computed a completely different way.
+    val rows = graft.Tables(spark, dir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val nProbe = 2; val k = 5
+
+    val centroids = rows.groupBy(_._2).view.mapValues { members =>
+      val dim = members.head._3.length
+      val c = new Array[Double](dim)
+      members.foreach(m => (0 until dim).foreach(i => c(i) += m._3(i)))
+      (0 until dim).foreach(i => c(i) /= members.size)
+      c
+    }.toMap
+
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+    val expected = rows.filter(_._1 < 10).map { case (qid, _, qv) =>
+      val probed = centroids.toSeq
+        .map { case (cell, c) => (l2(qv, c), cell) }
+        .sortBy(identity).take(nProbe).map(_._2).toSet
+      val cands = rows.filter(r => probed.contains(r._2) && r._1 != qid)
+        .map(r => (cosine(qv, r._3), r._1))
+        .sortBy { case (cos, id) => (-cos, id) }
+        .take(k).map(_._2).toSeq
+      qid -> cands
+    }.toMap
+
+    val got = topk(Similarity.ivfTopK(spark, dir, nQueries = 10, nProbe = nProbe, k = k))
+    assert(got == expected)
+  }
+
+  test("s2 recall@5 vs exact s1 clears the corpus-calibrated floor") {
+    val exact = topk(Similarity.specs.find(_.name == "s1_cosine_topk").get.fn(spark, dir))
+    val ivf = topk(Similarity.ivfTopK(spark, dir, nQueries = 10, nProbe = 2, k = 5))
+    assert(exact.size == 10 && ivf.size == 10)
+    val recalls = exact.map { case (q, truth) =>
+      ivf.getOrElse(q, Seq.empty).toSet.intersect(truth.toSet).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // measured 0.32 on this structure-free corpus with nProbe 2/10 — the
+    // floor catches regressions (e.g. probing the wrong cells → ~0.1)
+    // without asserting structure the data doesn't have.
+    assert(mean >= 0.2, s"mean recall@5 = $mean (per-query: $recalls)")
+  }
+
+  test("raising nProbe to the full cell count makes IVF exact (sanity)") {
+    val cells = graft.Tables(spark, dir, "embeddings")
+      .select("label").distinct().count().toInt
+    val exact = topk(Similarity.specs.find(_.name == "s1_cosine_topk").get.fn(spark, dir))
+    val full = topk(Similarity.ivfTopK(spark, dir, nQueries = 10, nProbe = cells, k = 5))
+    assert(full == exact) // probing every cell IS brute force
+  }
+}
