@@ -48,12 +48,11 @@ object Dedup {
         // Docs with <3 tokens produce no shingles: the guard matters under
         // ANSI mode, where the unguarded sequence(0, size-3) form would
         // index toks[-1] and fail the whole query (explode drops the null).
-        val sh0 = Tables(s, dir, "documents")
-          .withColumn("toks", split(trim($"text"), "\\s+"))
-          .withColumn("shingle", explode(when(size($"toks") >= 3, array_distinct(expr(
-            "transform(sequence(0, size(toks) - 3), " +
-              "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))))
-          .select($"doc_id", $"shingle")
+        // The shingle lineage is the expensive part — persist it ONCE;
+        // everything downstream (hot-shingle agg, sizes, both self-join
+        // sides) reads the cache. Shingling itself is the shared typed
+        // flatMap (see Shingles for why not HOF columns).
+        val sh0 = Shingles.pairs(s, Tables(s, dir, "documents")).persist()
         // 100 TB skew fix: a shingle present in > MaxShingleDf documents is
         // boilerplate; on the self-join it would emit O(df²) pairs on one
         // hot key (the classic inverted-index skew). Drop hot shingles from
@@ -62,7 +61,6 @@ object Dedup {
         val hot = sh0.groupBy($"shingle").agg(count(lit(1)).as("df"))
           .filter($"df" > MaxShingleDf).select($"shingle")
         val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
-          .persist() // reused 3×: per-doc sizes + both self-join sides
         val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val a = sh.as("a"); val b = sh.as("b")
         val common = a.join(b, $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Word-3-gram shingling shared by d2 and d4.
+  *
+  * Deliberately a typed flatMap, not HOF column expressions: Spark's
+  * higher-order functions (transform/aggregate) are CodegenFallback —
+  * interpreted per row — and their cold-start (Janino + JIT of the
+  * interpreter paths) dominated the dedup bench (~8.5 s cold vs ~1 s for
+  * this monomorphic JVM loop on the same data). Semantics are pinned by
+  * the d2 DuckDB oracle: tokens = trim(text) split on \s+, consecutive
+  * 3-grams joined by single spaces, distinct within a document (insertion
+  * order preserved), docs with <3 tokens contribute nothing.
+  */
+object Shingles {
+
+  private def shingleSet(text: String): java.util.LinkedHashSet[String] = {
+    val seen = new java.util.LinkedHashSet[String]()
+    val toks = text.trim.split("\\s+")
+    var i = 0
+    while (i + 2 < toks.length) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    seen
+  }
+
+  /** Exploded inverted-index form: (doc_id, shingle), distinct per doc. */
+  def pairs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(shingleSet(text).iterator())
+          .asScala.map(s => (id, s))
+      }.toDF("doc_id", "shingle")
+  }
+
+  /** Set-per-doc form: (doc_id, toks array), empty-shingle docs dropped. */
+  def sets(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) => (id, shingleSet(text).toArray(Array.empty[String])) }
+      .filter(_._2.nonEmpty)
+      .toDF("doc_id", "toks")
+  }
+}
