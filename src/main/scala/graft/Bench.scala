@@ -28,14 +28,15 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir).write
         .format("noop").mode("overwrite").save()
 
-    // Warmup: touch the big fact table + a shuffle + the documents corpus
-    // once, untimed (JIT + codegen + parquet footer caches).
+    // Warmup, untimed: one scan of every fixture table (parquet footers +
+    // scan codegen) plus a shuffle on the big fact table (JIT + shuffle
+    // machinery).
     try {
+      Tables.names.foreach { t =>
+        Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+      }
       Tables(spark, sfDir, "lineitem")
         .groupBy("l_returnflag").count()
-        .write.format("noop").mode("overwrite").save()
-      Tables(spark, sfDir, "documents")
-        .selectExpr("doc_id", "length(text) AS n")
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 

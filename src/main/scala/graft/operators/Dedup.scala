@@ -62,9 +62,20 @@ object Dedup {
           .filter($"df" > MaxShingleDf).select($"shingle")
         val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
         val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val a = sh.as("a"); val b = sh.as("b")
-        val common = a.join(b, $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+        // Pair generation: group the (capped) posting list per shingle and
+        // emit doc pairs with a typed flatMap — one groupBy shuffle + one
+        // count shuffle, instead of the 3-shuffle sort-merge self-join on
+        // the string key. The df cap above bounds every posting list at
+        // MaxShingleDf, so pair fan-out per shingle is bounded too.
+        val postings = sh.groupBy($"shingle").agg(collect_list($"doc_id").as("ids"))
+        val common = postings.select($"ids").as[Seq[Long]]
+          .flatMap { ids =>
+            val sorted = ids.sorted
+            for (i <- sorted.indices.iterator; j <- (i + 1 until sorted.length).iterator)
+              yield (sorted(i), sorted(j))
+          }
+          .toDF("a_id", "b_id")
+          .groupBy($"a_id", $"b_id")
           .agg(count(lit(1)).as("common"))
         common
           .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
@@ -104,26 +115,33 @@ object Dedup {
     // SimHash (16-bit) signatures + bucket assignment. Each distinct token
     // hashes to 31 bits (polynomial hash, same fold as t5); bit i of the
     // signature is the sign of Σ(±1) over tokens. Banding on the high byte
-    // gives the LSH-style candidate bucket.
+    // gives the LSH-style candidate bucket. Computed per document in a
+    // typed map — zero shuffles (the previous relational form exploded
+    // tokens×16 bit rows through two aggregations; per-doc state is 16
+    // counters, so in-row computation is strictly better at any scale) —
+    // with the DuckDB oracle pinning value equality.
     QuerySpec(
       "d3_simhash_signatures",
       (s, dir) => {
         import s.implicits._
-        val toks = Tables(s, dir, "documents")
-          .select($"doc_id", explode(array_distinct(split(trim($"text"), "\\s+"))).as("tok"))
-          .withColumn("h", expr(
-            "aggregate(transform(sequence(1, length(tok)), i -> cast(ascii(substring(tok, i, 1)) as bigint)), " +
-              "cast(0 as bigint), (acc, x) -> (acc * 31 + x) % 2147483647)"))
-        val bits = toks
-          .withColumn("b", expr(
-            "explode(transform(sequence(0, 15), i -> struct(i as bit, cast(pow(2, i) as bigint) as pw)))"))
-          .select($"doc_id", $"b.bit".as("bit"), $"b.pw".as("pw"),
-            when(expr("(h div pw) % 2 = 1"), 1L).otherwise(-1L).as("sign"))
-        bits.groupBy($"doc_id", $"bit", $"pw")
-          .agg(sum($"sign").as("s"))
-          .groupBy($"doc_id")
-          .agg(sum(when($"s" > 0, $"pw").otherwise(0L)).as("simhash16"))
-          .withColumn("band_hi", ($"simhash16" / 256).cast("long"))
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"text").as[(Long, String)]
+          .map { case (id, text) =>
+            val counts = new Array[Long](16)
+            text.trim.split("\\s+").distinct.foreach { tok =>
+              val h = TextAnalysis.polyHashJvm(tok)
+              var b = 0
+              while (b < 16) {
+                if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+                b += 1
+              }
+            }
+            var sig = 0L
+            var b = 0
+            while (b < 16) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+            (id, sig, sig / 256)
+          }
+          .toDF("doc_id", "simhash16", "band_hi")
           .orderBy($"doc_id")
       },
       Some("""

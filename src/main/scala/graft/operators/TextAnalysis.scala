@@ -11,18 +11,25 @@ import org.apache.spark.sql.functions._
   *
   * Everything here is a single scan + hash aggregate (or scan + explode +
   * aggregate): at 100 TB these parallelize per-split with map-side partial
-  * aggregation, no cross-partition state. The per-character fold in the
-  * fingerprint is expressed with higher-order functions so it stays inside
-  * codegen rather than a UDF.
+  * aggregation, no cross-partition state. The per-character fingerprint
+  * fold runs as a typed map (HOF aggregate/transform are CodegenFallback —
+  * interpreted per element — which benchmarked ~4x slower; same rationale
+  * as [[Shingles]]), with the DuckDB oracle pinning value equality.
   */
 object TextAnalysis {
 
-  /** Deterministic 31-base polynomial rolling hash mod 2^31-1 of a string
-    * column, expressed with HOFs (identical SQL shape in the DuckDB oracle).
-    */
-  private def polyHash(col: String): String =
-    s"aggregate(transform(sequence(1, length($col)), i -> cast(ascii(substring($col, i, 1)) as bigint)), " +
-      s"cast(0 as bigint), (acc, x) -> (acc * 31 + x) % 2147483647)"
+  /** Deterministic 31-base polynomial rolling hash mod 2^31-1 — the JVM
+    * twin of the oracle's char fold; the corpus is ASCII so charAt equals
+    * the oracle's ascii(substring(col,i,1)) codepoint. */
+  private[operators] def polyHashJvm(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * 31 + s.charAt(i).toLong) % 2147483647L
+      i += 1
+    }
+    acc
+  }
 
   /** DuckDB rendering of the same fold. */
   private def polyHashSql(col: String): String =
@@ -162,10 +169,12 @@ object TextAnalysis {
       (s, dir) => {
         import s.implicits._
         Tables(s, dir, "documents")
-          .withColumn("fingerprint", expr(polyHash("text")))
-          .withColumn("prefix32", substring($"text", 1, 32))
-          .withColumn("prefix_fp", expr(polyHash("prefix32")))
-          .select($"doc_id", $"fingerprint", $"prefix_fp")
+          .select($"doc_id", $"text").as[(Long, String)]
+          .map { case (id, text) =>
+            val prefix32 = text.substring(0, math.min(32, text.length))
+            (id, polyHashJvm(text), polyHashJvm(prefix32))
+          }
+          .toDF("doc_id", "fingerprint", "prefix_fp")
           .orderBy($"doc_id")
       },
       Some(s"""
