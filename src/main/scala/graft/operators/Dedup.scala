@@ -3,9 +3,10 @@ package graft.operators
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.functions._
 
-/** Deduplication operators over the `documents` corpus: exact (hash groupBy),
-  * n-gram Jaccard near-dup (shingle self-join), 16-bit SimHash bucketing, and
-  * MinHash+LSH (banded, via Spark ML — see [[graft.operators.MinHashDedup]]).
+/** Deduplication operators: exact (hash groupBy), n-gram Jaccard near-dup
+  * (capped inverted-index join), 16-bit SimHash bucketing, MinHash+LSH
+  * (banded — see [[graft.operators.MinHashDedup]]), and embedding-cosine
+  * near-dup (block-local exact baseline).
   *
   * Scale design: exact dedup is one shuffle on the content hash. Shingle
   * Jaccard shuffles on the shingle (the classic inverted-index join); hot
@@ -165,6 +166,67 @@ object Dedup {
         SELECT doc_id,
                CAST(SUM(CASE WHEN s > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash16,
                CAST(CAST(SUM(CASE WHEN s > 0 THEN pw ELSE 0 END) AS BIGINT) // 256 AS BIGINT) AS band_hi
-        FROM sums GROUP BY doc_id ORDER BY doc_id"""))
+        FROM sums GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------- d5
+    // Embedding-cosine near-dup pairs: the EXACT block-local baseline
+    // (all pairs >= threshold), the embedding-space sibling of d1..d4.
+    // The corpus block broadcasts (compact float vectors) and each task
+    // scans its row-range against it — O(n²/p) flops in tight JVM loops,
+    // no shuffle at all. At 100 TB the block is a bucket from a coarse
+    // quantizer / LSH (the s2/d4 pattern) and THIS operator is the exact
+    // verifier inside each bucket; quadratic-on-the-whole-corpus is
+    // explicitly not the scale path. Dot/norm accumulate in index order,
+    // so doubles match the DuckDB oracle bit-for-bit before rounding.
+    QuerySpec(
+      "d5_embedding_cosine_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val threshold = 0.4
+        val all = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+          .collect().sortBy(_._1)
+          .map { case (id, v) =>
+            val d = v.map(_.toDouble)
+            var sq = 0.0
+            var i = 0
+            while (i < d.length) { sq += d(i) * d(i); i += 1 }
+            (id, d, math.sqrt(sq))
+          }
+        val bcast = s.sparkContext.broadcast(all)
+        val n = all.length
+        s.range(0, n.toLong, 1, math.min(math.max(n, 1), 64))
+          .as[Long]
+          .flatMap { i =>
+            val arr = bcast.value
+            val (aId, av, aNorm) = arr(i.toInt)
+            Iterator.range(i.toInt + 1, arr.length).flatMap { j =>
+              val (bId, bv, bNorm) = arr(j)
+              var dot = 0.0
+              var k = 0
+              while (k < av.length) { dot += av(k) * bv(k); k += 1 }
+              val cos = BigDecimal(dot / (aNorm * bNorm))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (cos >= threshold) Iterator.single((aId, bId, cos)) else Iterator.empty
+            }
+          }
+          .toDF("a_id", "b_id", "cosine")
+          .orderBy($"cosine".desc, $"a_id", $"b_id")
+          .limit(200)
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(a.embedding)),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.4
+        ORDER BY cosine DESC, a_id, b_id LIMIT 200"""))
   )
 }
