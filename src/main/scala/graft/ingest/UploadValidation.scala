@@ -158,6 +158,10 @@ object UploadValidation {
   def withBatchAccounting(df: DataFrame,
                           maxFileMb: Int = DefaultMaxFileMb,
                           maxBatchMb: Int = DefaultMaxBatchMb): DataFrame = {
+    // Global (no-partition) running-sum window = one task, which is safe
+    // ONLY because a batch is capped at maxBatchMb (500 MB reference
+    // semantics, ≤ thousands of rows). A multi-batch frame at scale must
+    // partition this window by its batch/job id column.
     val w = Window.orderBy(col("idx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("running_total", sum(col("length")).over(w))
