@@ -2,8 +2,7 @@ package graft.ingest
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.scalatest.funsuite.AnyFunSuite
-
+import graft.SparkTestBase
 import graft.ingest.UploadValidation._
 
 /** Port of the reference's tests/test_upload_limits.py:22-102 — same cases,
@@ -11,7 +10,7 @@ import graft.ingest.UploadValidation._
   * mb_to_bytes to the identity so limits are byte-sized; here `toBytes`
   * is a parameter for the same reason.
   */
-class UploadValidationSpec extends AnyFunSuite {
+class UploadValidationSpec extends SparkTestBase {
 
   private val identityMb: Int => Long = _.toLong
 
@@ -71,6 +70,48 @@ class UploadValidationSpec extends AnyFunSuite {
     val r = readDocumentWithLimit(doc, maxFileMb = 4, toBytes = identityMb)
     assert(r == Left(ValidationError(413, fileTooLargeError(4))))
     assert(doc.readSizes.isEmpty)
+  }
+
+  // Relational-plane analogs (the forms used over binaryFile listings).
+
+  test("withFileLimit marks over-limit rows as 413 error rows, keeps the rest flowing") {
+    import spark.implicits._
+    val df = Seq(("a.md", mbToBytes(1)), ("big.md", mbToBytes(101)))
+      .toDF("filename", "length")
+    val out = withFileLimit(df, maxFileMb = 100)
+      .select("filename", "error").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(out("a.md").isEmpty)
+    assert(out("big.md").contains(fileTooLargeError(100)))
+  }
+
+  test("withBatchAccounting 413s the first row past the running budget and all after it") {
+    import spark.implicits._
+    val df = Seq((0, "a", mbToBytes(200)), (1, "b", mbToBytes(200)),
+      (2, "c", mbToBytes(200)), (3, "d", mbToBytes(1)))
+      .toDF("idx", "filename", "length")
+    val out = withBatchAccounting(df, maxFileMb = 300, maxBatchMb = 500)
+      .select("idx", "running_total", "error").collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getLong(1), Option(r.getString(2))))
+    assert(out.map(_._1).toSeq ==
+      Seq(mbToBytes(200), mbToBytes(400), mbToBytes(600), mbToBytes(601)))
+    assert(out(0)._2.isEmpty && out(1)._2.isEmpty)
+    assert(out(2)._2.contains(batchTooLargeError(500)))
+    assert(out(3)._2.contains(batchTooLargeError(500))) // everything after, too
+  }
+
+  test("validateBatch is all-or-nothing and reports the FIRST error in idx order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when}
+    val df = Seq((0, "ok.md", 10L), (1, "bad.xyz", 10L), (2, "huge.md", mbToBytes(999)))
+      .toDF("idx", "filename", "length")
+    val fmt = when(col("filename").endsWith(".md"), "md")
+    val r = validateBatch(df, fmt)
+    // idx 1 (unsupported) precedes idx 2 (oversize): first error wins
+    assert(r == Left("Unsupported file format: bad.xyz"))
+    val ok = validateBatch(df.filter(col("idx") === 0), fmt)
+    assert(ok.isRight)
   }
 
   test("failFast mirrors the declared-size pre-checks") {
