@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{FormatDetection, UploadValidation}
+import graft.kernel.ConvertKernel
+import graft.kernel.ConvertKernel.{ConversionConfig, UploadRow}
+
+/** The composed ingest→convert pipeline (SURVEY §3.1 trace as a library
+  * entry point): binary source → size-limit predicate → columnar format
+  * detection → mapPartitions kernel → error-as-column results.
+  *
+  * A user of the reference's batch-convert endpoint points this at a
+  * directory instead. Declarative pre-pass rules:
+  *  - over-limit and unsupported-format rows become error rows WITHOUT
+  *    their content ever entering the kernel (the columnar `when` cascade
+  *    runs inside the scan stage; Catalyst prunes `content` from the
+  *    error branch);
+  *  - everything else converts in partition parallelism with per-row
+  *    error capture, exactly like ConvertKernel.convertOne;
+  *  - error messages match the reference's (413 size text, unsupported
+  *    format text), and batchMode controls the stem/full-filename
+  *    asymmetry the same way.
+  */
+object Pipeline {
+
+  def convertDirectory(spark: SparkSession, dir: String,
+                       config: ConversionConfig = ConversionConfig(),
+                       maxFileMb: Int = UploadValidation.DefaultMaxFileMb,
+                       batchMode: Boolean = true): DataFrame = {
+    import spark.implicits._
+
+    val files = spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract($"path", "([^/]+)$", 1).as("filename"),
+        $"content", $"length")
+
+    val checked = files.withColumn("pre_error",
+      when($"length" > UploadValidation.mbToBytes(maxFileMb),
+        UploadValidation.fileTooLargeError(maxFileMb))
+        .when(FormatDetection.detectFormatCol($"content", $"filename").isNull,
+          concat(lit("Unsupported file format: "), $"filename")))
+
+    // single-mode reports the stem; the (.) guard keeps dotfiles whole,
+    // matching ConvertKernel.stem
+    val errorName =
+      if (batchMode) $"filename"
+      else regexp_replace($"filename", "(.)\\.[^.]*$", "$1")
+    val errors = checked.filter($"pre_error".isNotNull)
+      .select(errorName.as("filename"),
+        lit(null).cast("string").as("markdown"),
+        typedLit(Seq.empty[ConvertKernel.ImageData]).as("images"),
+        $"pre_error".as("error"))
+
+    val converted = ConvertKernel.convert(
+      checked.filter($"pre_error".isNull)
+        .select(lit("").as("path"), $"filename", $"content", $"length")
+        .as[UploadRow],
+      config, batchMode).toDF()
+
+    converted.unionByName(errors)
+  }
+}

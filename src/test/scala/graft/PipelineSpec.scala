@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import graft.SparkTestBase
+
+/** End-to-end library surface: a directory of mixed real files through
+  * source → validate → detect → kernel → results (SURVEY §3.1), the flow a
+  * reference batch-convert user would switch to.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private def write(dir: Path, name: String, bytes: Array[Byte]): Unit =
+    Files.write(dir.resolve(name), bytes)
+
+  test("convertDirectory: converts, rejects and 413s per file, error-as-column") {
+    val dir = Files.createTempDirectory("graft-pipeline")
+    write(dir, "notes.md", "# Hello\n\nBody.".getBytes(StandardCharsets.UTF_8))
+    write(dir, "data.csv", "a,b\n1,2\n".getBytes(StandardCharsets.UTF_8))
+    // an MP3 mislabeled as markdown: magic sniff must reject it
+    write(dir, "song.md", "ID3".getBytes ++ Array[Byte](4, 0) ++ Array.fill[Byte](64)(7))
+    // over the (test-sized) 1 MB cap
+    write(dir, "big.md", ("# big\n\n" + "x" * (1100 * 1024)).getBytes(StandardCharsets.UTF_8))
+
+    val out = Pipeline.convertDirectory(spark, dir.toString, maxFileMb = 1)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), Option(r.getString(3)))).toMap
+
+    assert(out.size == 4)
+    // converted rows report the stem (kernel success naming)
+    assert(out("notes")._1 == Some("# Hello\n\nBody."))
+    assert(out("notes")._2.isEmpty)
+    assert(out("data")._1 == Some("| a | b |\n|---|---|\n| 1 | 2 |"))
+    // pre-pass error rows report the full filename (batch mode)
+    assert(out("song.md")._1.isEmpty)
+    assert(out("song.md")._2 == Some("Unsupported file format: song.md"))
+    assert(out("big.md")._2 ==
+      Some(ingest.UploadValidation.fileTooLargeError(1)))
+  }
+
+  test("convertDirectory single mode reports stems in error rows") {
+    val dir = Files.createTempDirectory("graft-pipeline-single")
+    write(dir, "song.md", "ID3".getBytes ++ Array[Byte](4, 0) ++ Array.fill[Byte](64)(7))
+    val out = Pipeline.convertDirectory(spark, dir.toString, batchMode = false)
+      .collect().map(r => (r.getString(0), r.getString(3)))
+    assert(out.toSeq == Seq(("song", "Unsupported file format: song.md")))
+  }
+}
