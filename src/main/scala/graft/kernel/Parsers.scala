@@ -224,6 +224,6 @@ object Parsers {
     "asciidoc" -> AsciiDocParser,
     "docx" -> OoxmlParsers.DocxParser,
     "pptx" -> OoxmlParsers.PptxParser,
-    "pdf" -> new UnsupportedParser("pdf"),
+    "pdf" -> PdfParser,
     "image" -> new UnsupportedParser("image"))
 }

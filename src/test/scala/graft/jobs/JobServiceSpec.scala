@@ -48,7 +48,7 @@ class JobServiceSpec extends SparkTestBase {
     val s = ledger.singleStatus(spark, id)
     assert(s.status == Failure)
     assert(s.result.isEmpty)
-    assert(s.error.exists(_.contains("pdf")))
+    assert(s.error.exists(_.toLowerCase.contains("pdf")))
   }
 
   test("batch job: SUCCESS despite per-document failures, in submission order (O20)") {
@@ -66,7 +66,7 @@ class JobServiceSpec extends SparkTestBase {
     // submission order, NOT alphabetical/arbitrary shuffle order
     assert(s.conversionResults.flatMap(_.result).map(_.filename) == Seq("zulu", "alpha"))
     // batch mode reports the FULL filename in errors (service.py:182)
-    assert(s.conversionResults(1).error.exists(_.contains("pdf")))
+    assert(s.conversionResults(1).error.exists(_.toLowerCase.contains("pdf")))
   }
 
   test("task-level exception makes the whole job FAILURE with the message (O19/O20)") {

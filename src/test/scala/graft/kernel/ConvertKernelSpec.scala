@@ -101,15 +101,20 @@ class ConvertKernelSpec extends SparkTestBase {
   }
 
   test("ML formats produce the reference's error-row shape (O16), never a throw") {
-    val pdf = b("%PDF-1.7 fake")
-    val single = convertOne("report.pdf", pdf)
+    // image needs OCR/layout models; pdf without text streams errors too
+    val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0D.toByte, 0x0A.toByte, 0x1A.toByte, 0x0A.toByte) ++ b("fake")
+    val single = convertOne("scan.png", png)
     assert(single.markdown == null)
-    assert(single.filename == "report") // stem in single mode (service.py:155)
-    assert(single.error != null && single.error.contains("pdf"))
+    assert(single.filename == "scan") // stem in single mode (service.py:155)
+    assert(single.error != null && single.error.contains("image"))
 
-    val batch = convertOne("report.pdf", pdf, batchMode = true)
-    assert(batch.filename == "report.pdf") // full name in batch mode (service.py:182)
+    val batch = convertOne("scan.png", png, batchMode = true)
+    assert(batch.filename == "scan.png") // full name in batch mode (service.py:182)
     assert(batch.error == single.error)
+
+    val noTextPdf = convertOne("report.pdf", b("%PDF-1.7 no streams"))
+    assert(noTextPdf.markdown == null && noTextPdf.error != null)
   }
 
   test("unsupported format error carries the full filename") {
