@@ -21,6 +21,11 @@ import javax.imageio.ImageIO
   */
 object ImageRenderer {
 
+  // In-memory streams only: the default ImageIO disk cache writes a temp
+  // file per encode/decode, which serializes executor-parallel image work
+  // on filesystem churn.
+  ImageIO.setUseCache(false)
+
   /** Base picture dimensions at scale 1; the reference's images_scale
     * multiplies rendered resolution the same way. */
   val PictureBaseW = 64
@@ -45,15 +50,18 @@ object ImageRenderer {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val white = 0xFFFFFF
     val gray = 0x808080
+    val row = new Array[Int](w)
+    val (cw, ch) = grid.getOrElse((0, 0))
     var y = 0
     while (y < h) {
+      val rowLine = (border && (y == 0 || y == h - 1)) || (ch > 0 && y % ch == 0)
       var x = 0
       while (x < w) {
-        val onBorder = border && (x == 0 || y == 0 || x == w - 1 || y == h - 1)
-        val onGrid = grid.exists { case (cw, ch) => x % cw == 0 || y % ch == 0 }
-        img.setRGB(x, y, if (onBorder || onGrid) gray else white)
+        val line = rowLine || (border && (x == 0 || x == w - 1)) || (cw > 0 && x % cw == 0)
+        row(x) = if (line) gray else white
         x += 1
       }
+      img.setRGB(0, y, w, 1, row, 0, w) // bulk raster write, not per-pixel
       y += 1
     }
     img

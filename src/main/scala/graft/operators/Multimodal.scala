@@ -56,9 +56,14 @@ object Multimodal {
         import s.implicits._
         Tables(s, dir, "documents").select($"doc_id").as[Long]
           .mapPartitions { it =>
+            // payload render memoized per partition (4 distinct scales);
+            // the decode/resize below still runs per row — that's the
+            // operator under test
+            val rendered = scala.collection.mutable.Map.empty[Int, Array[Byte]]
             it.map { id =>
               val scale = (id % 4 + 1).toInt
-              val png = graft.kernel.ImageRenderer.renderPicture(scale)
+              val png = rendered.getOrElseUpdate(scale,
+                graft.kernel.ImageRenderer.renderPicture(scale))
               val isPng = png.length > 8 &&
                 png(0) == 0x89.toByte && png(1) == 'P' && png(2) == 'N' && png(3) == 'G'
               val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
