@@ -1,29 +1,40 @@
 package graft.operators
 
+import scala.util.hashing.MurmurHash3
+
 import graft.{QuerySpec, Tables}
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** MinHash + LSH near-duplicate detection: shingle → hashed term vector →
-  * seeded MinHash signatures (Spark ML) → hand-rolled band-bucket
-  * self-join → exact Jaccard rerank on the true shingle sets.
+/** MinHash + LSH near-duplicate detection: shingle → seeded MinHash
+  * signatures → band-bucket self-join → exact Jaccard rerank on the true
+  * shingle sets (as xxhash64 fingerprints).
   *
-  * Scale design: candidate generation shuffles on (band, minhash value) —
-  * O(n·bands) rows, never the O(n²) cross join; docs only pair up when a
-  * band collides, and the exact rerank touches candidate pairs only. The
-  * band join replaces ML's approxSimilarityJoin (same banding scheme the
-  * model uses internally) because the hand-rolled plan keeps the signature
-  * explode one-sided-cached and computes Jaccard with codegen'd
-  * array_intersect/array_union on the real shingles instead of a UDT
-  * distance on 2^18-dim sparse vectors — ~3× faster at sf0.1, identical
-  * banding recall (P[miss] = (1-s)^bands). Seeded, so output is
-  * deterministic; verified rows-only by the driver (no ANSI-SQL oracle can
+  * Signatures come from a textbook universal-hash family
+  * h_i(x) = (a_i·x + b_i) mod p (p = 2³¹−1, coefficients from a fixed
+  * seed), computed per document inside the same typed map that already
+  * holds the shingle set — one scan, zero shuffles for signature build,
+  * no ML vector UDTs in the plan. Candidate generation shuffles on
+  * (band, minhash value): O(n·bands) rows, never the O(n²) cross join,
+  * with the standard OR-construction recall P[candidate] = 1−(1−s)^bands.
+  * The exact rerank touches candidate pairs only; its fingerprint
+  * projection is compact (8 B/shingle), so it auto-broadcasts at fixture
+  * scale and degrades to a doc_id shuffle join at 100 TB. Deterministic
+  * end to end; verified rows-only by the driver (no ANSI-SQL oracle can
   * express MinHash) and recall-checked against the exact d2 Jaccard pairs
   * in MinHashRecallSpec.
   */
 object MinHashDedup {
+
+  val NumBands = 8
+  private val P = 2147483647L // 2^31 - 1, prime
+  // fixed-seed affine coefficients: a in [1, p-1], b in [0, p-1]
+  private val (coefA, coefB) = {
+    val rng = new java.util.Random(42L)
+    val a = Array.fill(NumBands)(1 + math.floorMod(rng.nextLong(), P - 1))
+    val b = Array.fill(NumBands)(math.floorMod(rng.nextLong(), P))
+    (a, b)
+  }
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
@@ -37,25 +48,25 @@ object MinHashDedup {
     * shingles are what make Jaccard discriminative. */
   def minhashPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     import s.implicits._
-    // Shared typed-flatMap shingling (see Shingles for why not HOF
-    // columns); <3-token docs are dropped there.
+    // Shared typed-flatMap shingling (see Shingles); <3-token docs drop.
     val docs = Shingles.sets(s, Tables(s, dir, "documents"))
       .persist() // reused: signature build + both sides of the pair rerank
 
-    val tf = new HashingTF()
-      .setInputCol("toks").setOutputCol("features").setNumFeatures(1 << 18)
-    val featured = tf.transform(docs).select($"doc_id", $"features")
-
-    val lsh = new MinHashLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(8).setSeed(42L)
-    val model = lsh.fit(featured)
-
-    // One minhash value per band (b=8, r=1 — the OR-construction the model
-    // applies inside approxSimilarityJoin). Bucket key = (band, value).
-    val bands = model.transform(featured)
-      .select($"doc_id", posexplode($"hashes").as(Seq("band", "h")))
-      .select($"doc_id", $"band", vector_to_array($"h").getItem(0).as("hv"))
+    val bands = docs.as[(Long, Seq[String])]
+      .flatMap { case (id, toks) =>
+        val mins = Array.fill(NumBands)(Long.MaxValue)
+        toks.foreach { t =>
+          val x = MurmurHash3.stringHash(t, 0x9747b28c).toLong & 0x7FFFFFFFL
+          var i = 0
+          while (i < NumBands) {
+            val h = (coefA(i) * x + coefB(i)) % P
+            if (h < mins(i)) mins(i) = h
+            i += 1
+          }
+        }
+        Iterator.range(0, NumBands).map(i => (id, i, mins(i)))
+      }
+      .toDF("doc_id", "band", "hv")
       .persist()
 
     val candidates = bands.as("x").join(bands.as("y"),
@@ -65,11 +76,7 @@ object MinHashDedup {
       .distinct()
 
     // Exact rerank on candidate pairs only, over a compact fingerprint
-    // projection: xxhash64 per shingle (sorted long arrays). ~8 bytes per
-    // shingle means the projection auto-broadcasts at fixture scale (no
-    // forced hint — at 100 TB the same join degrades gracefully to a
-    // shuffle on doc_id instead of OOMing a mandated broadcast), and
-    // array_intersect/union compare longs, not strings.
+    // projection: xxhash64 per shingle (sorted long arrays).
     val hashed = docs.select($"doc_id",
       array_sort(expr("transform(toks, t -> xxhash64(t))")).as("hs"))
     val ta = hashed.select($"doc_id".as("a_id"), $"hs".as("ta"))
