@@ -579,6 +579,83 @@ object Relational {
                o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
                  OVER (PARTITION BY o_custkey) AS DOUBLE) AS share
         FROM orders WHERE o_custkey < 50
-        ORDER BY o_custkey, o_orderkey"""))
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ---------------------------------------------------------------- q26
+    // Range join, bucketed: events followed by another same-user event
+    // within 10 minutes. The naive formulation is a full range self-join
+    // (unbounded key fan-out); the scale-correct plan buckets time into
+    // the range width, joins on (user, bucket ∈ {b, b+1}) — each row
+    // meets only its own and the next bucket, so the shuffle is equi-key
+    // and fan-out is bounded by per-bucket density — then applies the
+    // exact range predicate.
+    QuerySpec(
+      "q26_followup_events_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "events")
+          .select($"event_id", $"user_id", $"ts",
+            (unix_timestamp($"ts") / 600).cast("long").as("b"))
+        val left = e.withColumn("jb", explode(array($"b", $"b" + 1)))
+          .select($"event_id".as("a_id"), $"user_id", $"ts".as("a_ts"), $"jb")
+        val right = e.select($"event_id".as("b_id"), $"user_id",
+          $"ts".as("b_ts"), $"b".as("jb"))
+        left.join(right, Seq("user_id", "jb"))
+          .filter($"b_ts" > $"a_ts" &&
+            $"b_ts" <= $"a_ts" + expr("INTERVAL 10 MINUTES"))
+          .groupBy($"a_id".as("event_id"))
+          .agg(count(lit(1)).as("n_followups"))
+          .orderBy($"event_id")
+      },
+      Some("""
+        SELECT a.event_id, COUNT(*) AS n_followups
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        GROUP BY a.event_id ORDER BY a.event_id""")),
+
+    // ---------------------------------------------------------------- q27
+    // As-of join via union + ordered window (the scale-correct plan: ONE
+    // shuffle on the key, no per-row lookup/subquery): for every event,
+    // the user's most recent order on or before the event's date. Orders
+    // sort before events on date ties (tag), so same-day orders match;
+    // among same-day orders the highest orderkey wins (explicit total
+    // order = oracle-deterministic).
+    QuerySpec(
+      "q27_asof_last_order_before_event",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables(s, dir, "orders").select(
+          $"o_custkey".as("k"), $"o_orderdate".as("d"),
+          lit(0).as("tag"), $"o_orderkey".as("v"),
+          lit(null).cast("long").as("event_id"))
+        val e = Tables(s, dir, "events").select(
+          $"user_id".as("k"), to_date($"ts").as("d"),
+          lit(1).as("tag"), lit(null).cast("long").as("v"),
+          $"event_id")
+        val w = Window.partitionBy($"k").orderBy($"d", $"tag", $"v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.unionByName(e)
+          .withColumn("asof_order", last($"v", ignoreNulls = true).over(w))
+          .filter($"tag" === 1)
+          .select($"event_id", $"k".as("user_id"), $"asof_order")
+          .orderBy($"event_id")
+      },
+      Some("""
+        WITH u AS (
+          SELECT o_custkey AS k, o_orderdate AS d, 0 AS tag,
+                 o_orderkey AS v, CAST(NULL AS BIGINT) AS event_id
+          FROM orders
+          UNION ALL
+          SELECT user_id, CAST(ts AS DATE), 1, CAST(NULL AS BIGINT), event_id
+          FROM events),
+        w AS (
+          SELECT event_id, k, tag,
+                 last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY d, tag, v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_order
+          FROM u)
+        SELECT event_id, k AS user_id, asof_order
+        FROM w WHERE tag = 1 ORDER BY event_id"""))
   )
 }
