@@ -101,6 +101,44 @@ class EventStreamsSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState sessionizer matches the batch gap rule AND session_window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val q = StatefulSessions.statefulSessionize(spark, ms.toDF())
+      .writeStream.format("memory").queryName("customsess").outputMode("append").start()
+    try {
+      ms.addData(data)
+      q.processAllAvailable()
+      ms.addData(Seq(sentinel(100)))
+      q.processAllAvailable()
+      ms.addData(Seq(sentinel(200)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("customsess")
+      .select($"user_id", $"session_start", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .filter(_._1 != -1L)
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2.getTime).map(_._3).toSeq).toMap
+
+    // identical driver-side ground truth as the session_window test
+    val batch = data.groupBy(_.user_id).view.mapValues { evs =>
+      val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+      val counts = scala.collection.mutable.ArrayBuffer[Long]()
+      var prev: Option[Long] = None
+      sorted.foreach { e =>
+        if (prev.forall(p => e.ts.getTime - p > 1800L * 1000)) counts += 1L
+        else counts(counts.size - 1) += 1L
+        prev = Some(e.ts.getTime)
+      }
+      counts.toSeq
+    }.toMap
+
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("conversionStream drains an inbox directory through the kernel") {
     val inbox = Files.createTempDirectory("graft-inbox")
     val out = Files.createTempDirectory("graft-out")
