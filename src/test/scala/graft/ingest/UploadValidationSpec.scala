@@ -74,6 +74,20 @@ class UploadValidationSpec extends SparkTestBase {
 
   // Relational-plane analogs (the forms used over binaryFile listings).
 
+  test("binaryFile source pushes the length predicate down to the scan (O2 claim)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-pushdown")
+    java.nio.file.Files.write(dir.resolve("small.bin"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("large.bin"), Array.fill[Byte](64)(1))
+    val df = spark.read.format("binaryFile").load(dir.toString)
+      .filter(col("length") <= 3)
+    val plan = df.queryExecution.executedPlan.toString
+    // the over-limit file is excluded by the scan, not by a post-read filter
+    assert(plan.contains("PushedFilters") && plan.contains("length"),
+      s"no length pushdown in plan:\n$plan")
+    assert(df.count() == 1)
+  }
+
   test("withFileLimit marks over-limit rows as 413 error rows, keeps the rest flowing") {
     import spark.implicits._
     val df = Seq(("a.md", mbToBytes(1)), ("big.md", mbToBytes(101)))
