@@ -118,6 +118,43 @@ class FormatDetectionSpec extends SparkTestBase {
   // ---- scalar vs Column agreement (detectFormatCol is the relational
   // ingest path; the kernel path is guessFormat — they must agree) ----
 
+  test("detectFormatCol agrees with guessFormat on 300 seeded-random inputs") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    val magics: Seq[Array[Byte]] = Seq(
+      "%PDF".getBytes, "PK".getBytes(StandardCharsets.ISO_8859_1),
+      "ID3".getBytes, "RIFF".getBytes, "OggS".getBytes, "fLaC".getBytes,
+      "MZ".getBytes, "BM".getBytes, "GIF8".getBytes,
+      Array(0x1F.toByte, 0x8B.toByte), Array(0xFF.toByte, 0xFB.toByte),
+      Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte), Array.emptyByteArray)
+    val exts = Seq(".csv", ".CSV", ".md", ".MD", ".adoc", ".html", ".pdf",
+      ".bin", "", ".", ".unknown")
+    val cases: Seq[(Array[Byte], String)] = (0 until 300).map { i =>
+      val body = Array.fill[Byte](rnd.nextInt(32))((rnd.nextInt(256) - 128).toByte)
+      // no "<!--" prefixes are generated: comment-stripping before the
+      // html sniff is the one documented scalar/Column divergence
+      val content = magics(rnd.nextInt(magics.length)) ++ body
+      val name = "f" + i + exts(rnd.nextInt(exts.length))
+      (content, name)
+    }
+    val expected = cases.map { case (c, n) => guessFormat(c, n) }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.zipWithIndex.map { case ((c, n), i) =>
+        org.apache.spark.sql.Row(i, c, n)
+      }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("filename", org.apache.spark.sql.types.StringType))))
+    val got = df.select(col("i"), detectFormatCol(col("content"), col("filename")).as("fmt"))
+      .collect().sortBy(_.getInt(0)).map(r => Option(r.getString(1)))
+    cases.indices.foreach { i =>
+      assert(got(i) == expected(i),
+        s"case $i (${cases(i)._2}, ${cases(i)._1.take(6).mkString(",")}): " +
+          s"column=${got(i)} scalar=${expected(i)}")
+    }
+  }
+
   test("detectFormatCol agrees with guessFormat on a branch-covering corpus") {
     import org.apache.spark.sql.functions.col
     val pngMagic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
