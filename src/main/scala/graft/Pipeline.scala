@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ingest.{FormatDetection, UploadValidation}
 import graft.kernel.ConvertKernel
-import graft.kernel.ConvertKernel.{ConversionConfig, UploadRow}
+import graft.kernel.ConvertKernel.ConversionConfig
 
 /** The composed ingest→convert pipeline (SURVEY §3.1 trace as a library
   * entry point): binary source → size-limit predicate → columnar format
@@ -42,23 +42,20 @@ object Pipeline {
         .when(FormatDetection.detectFormatCol($"content", $"filename").isNull,
           concat(lit("Unsupported file format: "), $"filename")))
 
-    // single-mode reports the stem; the (.) guard keeps dotfiles whole,
-    // matching ConvertKernel.stem
-    val errorName =
-      if (batchMode) $"filename"
-      else regexp_replace($"filename", "(.)\\.[^.]*$", "$1")
-    val errors = checked.filter($"pre_error".isNotNull)
-      .select(errorName.as("filename"),
-        lit(null).cast("string").as("markdown"),
-        typedLit(Seq.empty[ConvertKernel.ImageData]).as("images"),
-        $"pre_error".as("error"))
-
-    val converted = ConvertKernel.convert(
-      checked.filter($"pre_error".isNull)
-        .select(lit("").as("path"), $"filename", $"content", $"length")
-        .as[UploadRow],
-      config, batchMode).toDF()
-
-    converted.unionByName(errors)
+    // One pass over one scan: rows with a pre-pass error short-circuit to
+    // the reference's error-row shape (stem in single mode, full filename
+    // in batch — ConvertKernel.stem), everything else goes through the
+    // kernel. Two filtered branches would re-read every file's bytes.
+    checked.select($"filename", $"content", $"pre_error")
+      .as[(String, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (name, content, preError) =>
+          if (preError != null) {
+            val errorName =
+              if (batchMode) name else ConvertKernel.stemOf(name)
+            ConvertKernel.ConversionResult(errorName, null, Seq.empty, preError)
+          } else ConvertKernel.convertOne(name, content, config, batchMode)
+        }
+      }.toDF()
   }
 }

@@ -189,6 +189,9 @@ object FormatDetection {
   def detectFormatCol(contentCol: Column, filenameCol: Column): Column = {
     val ext = extCol(filenameCol)
     val prefixStr = lower(decode(substring(contentCol, 1, 1024), "ISO-8859-1"))
+    // zip classification scans the same 4096-byte window as the scalar
+    // path — real OOXML containers put word/ or ppt/ entries past 1 KB
+    val zipHead = decode(substring(contentCol, 1, 4096), "ISO-8859-1")
     when(lower(filenameCol).endsWith(".csv"), "csv")
       .when(hexPrefix(contentCol, 4) === "25504446", "pdf") // %PDF
       .when(hexPrefix(contentCol, 8) === "89504E470D0A1A0A", "image") // PNG
@@ -198,9 +201,9 @@ object FormatDetection {
       .when(hexPrefix(contentCol, 2) === "424D" &&
         length(contentCol) > 14, "image") // BMP (length guard = kernel path)
       .when(hexPrefix(contentCol, 4) === "504B0304" &&
-        instr(prefixStr, "word/") > 0, "docx")
+        instr(zipHead, "word/") > 0, "docx")
       .when(hexPrefix(contentCol, 4) === "504B0304" &&
-        instr(prefixStr, "ppt/") > 0, "pptx")
+        instr(zipHead, "ppt/") > 0, "pptx")
       .when(hexPrefix(contentCol, 4) === "504B0304", lit(null).cast("string"))
       // recognized-but-unsupported magics: sniff preempts extension fallback
       .when(hexPrefix(contentCol, 3) === "494433", lit(null).cast("string")) // ID3

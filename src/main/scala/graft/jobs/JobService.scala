@@ -69,9 +69,13 @@ object JobService {
       val id = UUID.randomUUID().toString
       val dir = reqDir(id)
       Files.createDirectories(dir)
+      // empty → "unnamed" like the reference's `filename or "unnamed"`
+      // (Python-falsy ""), and so no manifest line is ever empty (an empty
+      // line would shift the idx→name mapping on read)
       val manifest = docs.map { case (name, _) =>
         Base64.getEncoder.encodeToString(
-          Option(name).getOrElse("unnamed").getBytes(StandardCharsets.UTF_8))
+          Option(name).filter(_.nonEmpty).getOrElse("unnamed")
+            .getBytes(StandardCharsets.UTF_8))
       }.mkString("\n")
       Files.write(manifestFile(id), manifest.getBytes(StandardCharsets.UTF_8))
       docs.zipWithIndex.foreach { case ((_, bytes), i) =>
@@ -160,9 +164,13 @@ object JobService {
       if (Files.exists(failFile(id)))
         JobResult(id, None, Some(new String(Files.readAllBytes(failFile(id)), "UTF-8")), Failure)
       else if (Files.exists(doneFile(id))) {
-        val r = readResults(spark, id).head
-        if (r.error != null) JobResult(id, None, Some(r.error), Failure)
-        else JobResult(id, Some(r), None, Success)
+        readResults(spark, id).headOption match {
+          case None =>
+            JobResult(id, None, Some("job produced no results"), Failure)
+          case Some(r) if r.error != null =>
+            JobResult(id, None, Some(r.error), Failure)
+          case Some(r) => JobResult(id, Some(r), None, Success)
+        }
       } else JobResult(id, None, None, InProgress) // unknown ⇒ IN_PROGRESS quirk
     }
 

@@ -64,6 +64,9 @@ object ConvertKernel {
     if (dot > 0) base.substring(0, dot) else base
   }
 
+  /** Public stem accessor for composed pipelines (same semantics). */
+  def stemOf(filename: String): String = stem(filename)
+
   /** Convert one document. `batchMode` reproduces the reference's (sic)
     * asymmetry: parse errors report the full filename in batch mode
     * (service.py:182) but the stem in single mode (service.py:155). */

@@ -37,8 +37,13 @@ object ImageRenderer {
 
   private val MaxDim = 4096 // cap adversarial row/col counts
 
+  // Picture bytes are a pure function of scale (4 legal values) — memoize
+  // so kernel rows with many pictures don't re-encode identical PNGs.
+  private val pictureCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
+
   def renderPicture(scale: Int): Array[Byte] =
-    encode(fill(PictureBaseW * scale, PictureBaseH * scale, border = true, grid = None))
+    pictureCache.computeIfAbsent(scale, s =>
+      encode(fill(PictureBaseW * s, PictureBaseH * s, border = true, grid = None)))
 
   def renderTable(numRows: Int, numCols: Int, scale: Int): Array[Byte] = {
     val w = math.min(MaxDim, math.max(1, numCols) * CellW * scale)

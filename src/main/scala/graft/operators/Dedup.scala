@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   * frequency exceeds [[MaxShingleDf]] before the self-join — boilerplate
   * phrases never generate O(df²) pairs on one key. SimHash reduces each doc
   * to one signature row, then bands group O(n) rows, never O(n²).
+  *
+  * Persist note: per-query persists here (and in MinHashDedup) are small
+  * (shingle pairs / band rows) and released by LRU eviction within the
+  * bench/verify session; a long-lived service embedding these plans should
+  * unpersist after materializing results.
   */
 object Dedup {
 
@@ -87,7 +92,7 @@ object Dedup {
           .orderBy($"jaccard".desc, $"a_id", $"b_id")
           .limit(200)
       },
-      Some("""
+      Some(raw"""
         WITH sh0 AS (
           SELECT DISTINCT doc_id, shingle FROM (
             SELECT doc_id,
@@ -97,7 +102,7 @@ object Dedup {
                           regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
                           regexp_split_to_array(trim(text), '\s+')[i+2])) AS shingle
             FROM documents)),
-        hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 50),
+        hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > $MaxShingleDf),
         sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         pairs AS (
@@ -127,6 +132,9 @@ object Dedup {
         import s.implicits._
         Tables(s, dir, "documents")
           .select($"doc_id", $"text").as[(Long, String)]
+          // null text: the oracle's unnest(NULL) emits no token rows, so
+          // the doc has no signature row — flatMap drops it the same way
+          .flatMap { case (id, text) => Option(text).map((id, _)) }
           .map { case (id, text) =>
             val counts = new Array[Long](16)
             text.trim.split("\\s+").distinct.foreach { tok =>

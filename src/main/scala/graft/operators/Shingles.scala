@@ -17,6 +17,9 @@ object Shingles {
 
   private def shingleSet(text: String): java.util.LinkedHashSet[String] = {
     val seen = new java.util.LinkedHashSet[String]()
+    // null text contributes no shingles — the oracle's unnest(NULL) yields
+    // no rows, and the old column form dropped the row the same way
+    if (text == null) return seen
     val toks = text.trim.split("\\s+")
     var i = 0
     while (i + 2 < toks.length) {

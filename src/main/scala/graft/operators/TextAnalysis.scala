@@ -171,8 +171,12 @@ object TextAnalysis {
         Tables(s, dir, "documents")
           .select($"doc_id", $"text").as[(Long, String)]
           .map { case (id, text) =>
-            val prefix32 = text.substring(0, math.min(32, text.length))
-            (id, polyHashJvm(text), polyHashJvm(prefix32))
+            // null text → null fingerprints, like the oracle's fold over NULL
+            if (text == null) (id, None, None)
+            else {
+              val prefix32 = text.substring(0, math.min(32, text.length))
+              (id, Some(polyHashJvm(text)), Some(polyHashJvm(prefix32)))
+            }
           }
           .toDF("doc_id", "fingerprint", "prefix_fp")
           .orderBy($"doc_id")

@@ -10,14 +10,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Arbitrary-state sessionization via flatMapGroupsWithState — the custom
   * twin of [[EventStreams.sessionRollup]]'s built-in session_window.
   *
-  * State per user = the one open session; a new event either extends it
-  * (gap ≤ limit) or closes it (emitted) and opens a fresh one; the event-
-  * time timeout closes the final session once the watermark passes
-  * lastTs+gap. This is the canonical GroupState pattern for state the
-  * built-ins can't express (the gap rule here CAN be — session_window is
-  * the production path — which makes the two implementations mutually
-  * checkable in EventStreamsSpec). Scale shape: one shuffle on user_id,
-  * state size O(1) per key, timeouts bound state lifetime.
+  * State per user = the one open session. An event within
+  * [start−gap, last+gap] merges (extending either end — handles
+  * out-of-order arrivals above the watermark); an event past last+gap
+  * closes the session and opens a fresh one; an above-watermark event
+  * older than start−gap emits as its own immediate session (single-open-
+  * session state cannot grow a second earlier session — a documented
+  * trade-off; session_window's full interval-merge is the production
+  * path). The event-time timeout closes the final session once the
+  * watermark passes lastTs+gap. Boundary contract: an exactly-gap-apart
+  * pair MERGES, matching batch q19's strict > rule (session_window's
+  * half-open intervals split there instead). Scale shape: one shuffle on
+  * user_id, O(1) state per key, timeouts bound state lifetime.
   */
 object StatefulSessions {
 
@@ -53,12 +57,15 @@ object StatefulSessions {
             var open = state.getOption
             times.foreach { t =>
               open = open match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
-                case Some(s) =>
+                case Some(s) if t >= s.startMs - gapMs && t <= s.lastMs + gapMs =>
+                  Some(Open(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
+                case Some(s) if t > s.lastMs + gapMs =>
                   closed += SessionOut(user,
                     new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
                   Some(Open(t, t, 1))
+                case Some(s) => // late event earlier than start-gap: own session
+                  closed += SessionOut(user, new Timestamp(t), new Timestamp(t), 1)
+                  Some(s)
                 case None => Some(Open(t, t, 1))
               }
             }

@@ -101,6 +101,22 @@ class FormatDetectionSpec extends SparkTestBase {
     assert(guessFormat(zipWith("META-INF/container.xml"), "f.md").isEmpty)
   }
 
+  test("zip classification scans 4 KB in BOTH paths (real OOXML puts word/ past 1 KB)") {
+    import org.apache.spark.sql.functions.col
+    // [Content_Types].xml-style 2 KB preamble before the word/ entry name
+    val content = Array[Byte]('P', 'K', 3, 4, 0, 0) ++
+      Array.fill[Byte](2048)('x') ++ b("word/document.xml rest")
+    assert(guessFormat(content, "f.bin") == Some("docx"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(content, "f.bin"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("filename", org.apache.spark.sql.types.StringType))))
+    val got = df.select(detectFormatCol(col("content"), col("filename")).as("fmt"))
+      .collect().head.getString(0)
+    assert(got == "docx")
+  }
+
   test("extension fallback is case-sensitive, skips dotfiles and trailing dots (reference rsplit)") {
     assert(guessFormat(b("text"), "README.MD").isEmpty) // only .csv lowercases
     assert(guessFormat(b("text"), ".hidden.md").isEmpty)

@@ -92,6 +92,22 @@ class JobServiceSpec extends SparkTestBase {
     assert(ledger.batchStatus(spark, id2).status == Success)
   }
 
+  test("empty filename becomes 'unnamed' without shifting the manifest mapping") {
+    val ledger = newLedger()
+    val id = ledger.submit(Seq(("", b("# anon")), ("b.md", b("# B"))), batch = true)
+    ledger.process(spark, id)
+    val s = ledger.batchStatus(spark, id)
+    assert(s.status == Success)
+    // reference semantics: `filename or "unnamed"` (Python-falsy "") — and
+    // "unnamed" has no extension, so it converts to an unsupported-format
+    // error row; the second doc must still map to ITS name and bytes
+    // (an empty manifest line used to shift the idx→name mapping)
+    assert(s.conversionResults.map(_.status) == Seq(Failure, Success))
+    assert(s.conversionResults.head.error.exists(_.contains("unnamed")))
+    assert(s.conversionResults.flatMap(_.result).map(_.filename) == Seq("b"))
+    assert(s.conversionResults.flatMap(_.result).map(_.markdown) == Seq("# B"))
+  }
+
   test("adversarial filenames cannot escape the ledger (path traversal)") {
     val ledger = newLedger()
     // starts with a segment (not "."), so format detection still accepts it

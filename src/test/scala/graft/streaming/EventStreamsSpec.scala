@@ -139,6 +139,32 @@ class EventStreamsSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("stateful sessionizer merges above-watermark out-of-order events across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = maxTs.getTime + 1000L * 3600 * 1000 // far from fixture data
+    def ev(offsetMin: Long) = EventRow(
+      new Timestamp(base + offsetMin * 60000), "d", 1.0, 7L, offsetMin)
+    val ms = MemoryStream[EventRow]
+    val q = StatefulSessions.statefulSessionize(spark, ms.toDF())
+      .writeStream.format("memory").queryName("oo_sess").outputMode("append").start()
+    try {
+      ms.addData(Seq(ev(60), ev(65))) // open session [60, 65]
+      q.processAllAvailable()
+      // late but within watermark AND within start-gap: must merge,
+      // extending session_start back to minute 40
+      ms.addData(Seq(ev(40)))
+      q.processAllAvailable()
+      ms.addData(Seq(sentinel(2000))) // advance watermark, close
+      q.processAllAvailable()
+      ms.addData(Seq(sentinel(3000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("oo_sess").filter($"user_id" === 7L)
+      .select($"session_start", $"session_end", $"n_events")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime, r.getLong(2)))
+    assert(rows.toSeq == Seq((base + 40 * 60000, base + 65 * 60000, 3L)))
+  }
+
   test("conversionStream drains an inbox directory through the kernel") {
     val inbox = Files.createTempDirectory("graft-inbox")
     val out = Files.createTempDirectory("graft-out")
