@@ -43,8 +43,12 @@ object Relational {
           .agg(
             dsum($"l_quantity").as("sum_qty"),
             dsum($"l_extendedprice").as("sum_base_price"),
-            sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
-              .cast("double").as("sum_disc_price"),
+            // rounded to the cents-ish grid: the exact decimal sum is
+            // engine-identical, but its double image can differ by 1 ulp
+            // at sf0.1 magnitudes (~5e9); 4dp is exactly representable
+            // there, so rounding removes the ulp sensitivity
+            round(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
+              .cast("double"), 4).as("sum_disc_price"),
             (sum(dec($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
             (sum(dec($"l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
             count(lit(1)).as("count_order"))
@@ -54,7 +58,7 @@ object Relational {
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS sum_disc_price,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
                CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
                COUNT(*) AS count_order
