@@ -21,6 +21,7 @@ object DocModel {
   sealed trait Element
   final case class HeadingElement(text: String, level: Int) extends Element
   final case class TextElement(text: String) extends Element
+  final case class ListElement(items: Seq[String], ordered: Boolean = false) extends Element
   final case class TableElement(
       cells: Seq[TableCellSpec], numRows: Int, numCols: Int,
       imagePng: Option[Array[Byte]] = None) extends Element
@@ -60,6 +61,10 @@ object DocModel {
   def renderElement(e: Element): String = e match {
     case HeadingElement(text, level) => ("#" * math.max(1, level)) + " " + text
     case TextElement(text)           => text
+    case ListElement(items, ordered) =>
+      items.zipWithIndex.map { case (it, i) =>
+        if (ordered) s"${i + 1}. $it" else s"- $it"
+      }.mkString("\n")
     case t: TableElement             => renderTable(t)
     case _: PictureElement           => ImagePlaceholder
   }

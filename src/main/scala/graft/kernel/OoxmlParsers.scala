@@ -100,32 +100,51 @@ object OoxmlParsers {
       val paraBuf = new StringBuilder
       var paraStyle: Option[String] = None
       var paraPictures = 0
+      var paraIsListItem = false
+      val pendingList = ArrayBuffer[String]()
+
+      def flushPendingList(): Unit = {
+        // numbering format needs numbering.xml resolution; all numPr
+        // paragraphs render as bullets (documented approximation)
+        if (pendingList.nonEmpty) items += ListElement(pendingList.toSeq)
+        pendingList.clear()
+      }
 
       def endParagraph(): Unit = {
         val text = paraBuf.toString.trim
         paraBuf.clear()
         if (text.nonEmpty) {
-          val el = paraStyle match {
-            case Some("Title") => HeadingElement(text, 1)
-            case Some(HeadingStyle(lvl)) => HeadingElement(text, lvl.toInt)
-            case _ => TextElement(text)
+          if (paraIsListItem) pendingList += text
+          else {
+            flushPendingList()
+            val el = paraStyle match {
+              case Some("Title") => HeadingElement(text, 1)
+              case Some(HeadingStyle(lvl)) => HeadingElement(text, lvl.toInt)
+              case _ => TextElement(text)
+            }
+            items += el
           }
-          items += el
         }
+        if (paraPictures > 0) flushPendingList()
         (0 until paraPictures).foreach(_ => items += PictureElement(None))
         paraPictures = 0
         paraStyle = None
+        paraIsListItem = false
       }
 
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
-              case "tbl" => tblDepth += 1
+              case "tbl" =>
+                if (tblDepth == 0) flushPendingList()
+                tblDepth += 1
               case "tr" if tblDepth == 1 => tableRows += ArrayBuffer[String]()
               case "tc" if tblDepth == 1 => cellBuf.clear()
               case "pStyle" if tblDepth == 0 =>
                 paraStyle = attr(r, "val")
+              case "numPr" if tblDepth == 0 =>
+                paraIsListItem = true
               case "drawing" | "pict" if tblDepth == 0 =>
                 paraPictures += 1
               case "t" =>
@@ -154,6 +173,7 @@ object OoxmlParsers {
         }
       }
       r.close()
+      flushPendingList()
       items.toSeq
     }
   }

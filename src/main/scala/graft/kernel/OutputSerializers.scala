@@ -28,6 +28,7 @@ object OutputSerializers {
       doc.items.map {
         case HeadingElement(t, _) => t
         case TextElement(t) => t
+        case ListElement(items, _) => items.mkString("\n")
         case t: TableElement =>
           val grid = Array.fill(t.numRows, t.numCols)("")
           t.cells.foreach { c =>
@@ -62,6 +63,8 @@ object OutputSerializers {
           s"""{"kind":"heading","level":$l,"text":${q(t)}}"""
         case TextElement(t) =>
           s"""{"kind":"text","text":${q(t)}}"""
+        case ListElement(items, ordered) =>
+          s"""{"kind":"list","ordered":$ordered,"items":[${items.map(q).mkString(",")}]}"""
         case t: TableElement =>
           val cells = t.cells.map(c =>
             s"""{"row":${c.startRow},"col":${c.startCol},"text":${q(c.text)},"header":${c.columnHeader}}""")
@@ -85,6 +88,9 @@ object OutputSerializers {
       doc.items.map {
         case HeadingElement(t, l) => s"<section_header_level_$l>${esc(t)}</section_header_level_$l>"
         case TextElement(t) => s"<text>${esc(t)}</text>"
+        case ListElement(items, ordered) =>
+          val tag = if (ordered) "ordered_list" else "unordered_list"
+          s"<$tag>${items.map(i => s"<list_item>${esc(i)}</list_item>").mkString}</$tag>"
         case t: TableElement =>
           val rows = (0 until t.numRows).map { r =>
             val cells = t.cells.filter(c => c.startRow <= r && r < c.endRow)

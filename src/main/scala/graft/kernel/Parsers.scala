@@ -128,12 +128,26 @@ object Parsers {
       var tableRows = ArrayBuffer[ArrayBuffer[String]]()
       var cellBuf = new StringBuilder
       var inCell = false
+      var listDepth = 0
+      var listOrdered = false
+      val listItems = ArrayBuffer[String]()
+      val liBuf = new StringBuilder
 
       def flushText(): Unit = {
         val t = normalize(textBuf.toString)
         textBuf.clear()
         if (t.nonEmpty)
           items += (if (headingLevel > 0) HeadingElement(t, headingLevel) else TextElement(t))
+      }
+      def flushLi(): Unit = {
+        val t = normalize(liBuf.toString)
+        liBuf.clear()
+        if (t.nonEmpty) listItems += t
+      }
+      def flushList(): Unit = {
+        flushLi()
+        if (listItems.nonEmpty) items += ListElement(listItems.toSeq, listOrdered)
+        listItems.clear()
       }
       def flushCell(): Unit = {
         if (inCell) { tableRows.last += normalize(cellBuf.toString); cellBuf.clear(); inCell = false }
@@ -161,7 +175,17 @@ object Parsers {
             case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
               flushText()
               headingLevel = if (isClose) 0 else tag.drop(1).toInt
-            case "p" | "div" | "br" | "li" => flushText()
+            case "ul" | "ol" =>
+              if (isClose) {
+                listDepth = math.max(0, listDepth - 1)
+                if (listDepth == 0) flushList()
+              } else {
+                if (listDepth == 0) { flushText(); listOrdered = tag == "ol" }
+                listDepth += 1 // nested lists flatten into the outer items
+              }
+            case "li" =>
+              if (listDepth > 0) flushLi() else flushText()
+            case "p" | "div" | "br" => flushText()
             case "img" =>
               flushText(); items += PictureElement(None)
             case "table" =>
@@ -175,11 +199,14 @@ object Parsers {
           }
         } else {
           if (inCell) cellBuf ++= tok
-          else if (!inTable) textBuf ++= tok
+          else if (inTable) ()
+          else if (listDepth > 0) liBuf ++= tok
+          else textBuf ++= tok
         }
       }
       flushText()
       if (inTable) flushTable()
+      if (listDepth > 0 || listItems.nonEmpty) flushList()
       Right(DocTree(name, items.toSeq))
     }
 

@@ -93,6 +93,15 @@ class ConvertKernelSpec extends SparkTestBase {
     assert(r.images.map(_.filename) == Seq("picture-1.png"))
   }
 
+  test("html lists convert to markdown bullets / numbered items") {
+    val src = "<p>Before.</p><ul><li>alpha</li><li>beta</li></ul>" +
+      "<ol><li>first</li><li>second</li></ol><p>After.</p>"
+    val r = convertOne("lists.html", b(src))
+    assert(r.error == null)
+    assert(r.markdown ==
+      "Before.\n\n- alpha\n- beta\n\n1. first\n2. second\n\nAfter.")
+  }
+
   test("asciidoc headings and image macros convert") {
     val src = "= Title\n\nBody text.\n\nimage::diagram.png[]\n\nMore."
     val r = convertOne("guide.adoc", b(src))

@@ -73,6 +73,19 @@ class OoxmlParsersSpec extends AnyFunSuite {
     assert(r.markdown == "Hello world")
   }
 
+  test("docx: consecutive numPr paragraphs group into one bullet list") {
+    val body =
+      wp("Steps", Some("Heading1")) +
+        """<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/></w:numPr></w:pPr>
+          |<w:r><w:t>do this</w:t></w:r></w:p>""".stripMargin +
+        """<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/></w:numPr></w:pPr>
+          |<w:r><w:t>then that</w:t></w:r></w:p>""".stripMargin +
+        wp("Done.")
+    val r = convertOne("steps.docx", docx(body))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "# Steps\n\n- do this\n- then that\n\nDone.")
+  }
+
   test("docx: nested table content flattens into the outer cell") {
     val body =
       """<w:tbl>
