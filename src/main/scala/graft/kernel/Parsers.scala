@@ -132,6 +132,7 @@ object Parsers {
       var listOrdered = false
       val listItems = ArrayBuffer[String]()
       val liBuf = new StringBuilder
+      var linkHref: Option[String] = None
 
       def flushText(): Unit = {
         val t = normalize(textBuf.toString)
@@ -186,6 +187,17 @@ object Parsers {
             case "li" =>
               if (listDepth > 0) flushLi() else flushText()
             case "p" | "div" | "br" => flushText()
+            case "a" =>
+              // hyperlinks become markdown [text](href); targets the
+              // active buffer (list item or paragraph)
+              val buf = if (listDepth > 0) liBuf else textBuf
+              if (isClose) {
+                if (linkHref.nonEmpty) { buf ++= s"](${linkHref.get})"; linkHref = None }
+              } else {
+                linkHref = "(?i)href\\s*=\\s*[\"']([^\"']*)[\"']".r
+                  .findFirstMatchIn(tok).map(_.group(1))
+                if (linkHref.nonEmpty) buf += '['
+              }
             case "img" =>
               flushText(); items += PictureElement(None)
             case "table" =>
@@ -219,15 +231,20 @@ object Parsers {
   }
 
   /** AsciiDoc (minimal): `= Title` / `== Section` headings, image::
-    * macros, paragraphs. */
+    * macros, `*` bullet / `.` ordered list blocks, paragraphs. */
   object AsciiDocParser extends FormatParser {
     def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] = {
       val blocks = text(bytes).split("\n{2,}").map(_.trim).filter(_.nonEmpty)
       val items = blocks.map { b =>
+        val lines = b.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
         if (b.startsWith("=")) {
           val level = b.takeWhile(_ == '=').length
           HeadingElement(b.dropWhile(_ == '=').trim, level)
         } else if (b.startsWith("image::")) PictureElement(None)
+        else if (lines.nonEmpty && lines.forall(l => l.startsWith("* ")))
+          ListElement(lines.map(_.stripPrefix("* ").trim))
+        else if (lines.nonEmpty && lines.forall(l => l.startsWith(". ")))
+          ListElement(lines.map(_.stripPrefix(". ").trim), ordered = true)
         else TextElement(b)
       }
       Right(DocTree(name, items.toSeq))

@@ -109,6 +109,24 @@ class ConvertKernelSpec extends SparkTestBase {
     assert(r.markdown == "# Title\n\nBody text.\n\npicture-1.png\n\nMore.")
   }
 
+  test("asciidoc bullet and ordered list blocks convert") {
+    val src = "== Lists\n\n* one\n* two\n\n. first\n. second"
+    val r = convertOne("l.adoc", b(src))
+    assert(r.error == null)
+    assert(r.markdown == "## Lists\n\n- one\n- two\n\n1. first\n2. second")
+  }
+
+  test("html hyperlinks become markdown links, inside and outside lists") {
+    val src = """<p>See <a href="https://example.com/d">the docs</a> now.</p>""" +
+      """<ul><li><a href='/a'>alpha</a></li><li>plain</li></ul>""" +
+      """<p><a name="anchor-no-href">not a link</a></p>"""
+    val r = convertOne("links.html", b(src))
+    assert(r.error == null)
+    assert(r.markdown ==
+      "See [the docs](https://example.com/d) now.\n\n" +
+        "- [alpha](/a)\n- plain\n\nnot a link")
+  }
+
   test("ML formats produce the reference's error-row shape (O16), never a throw") {
     // image needs OCR/layout models; pdf without text streams errors too
     val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
