@@ -26,10 +26,33 @@ object Parsers {
     new String(bytes, StandardCharsets.UTF_8)
 
   /** Markdown: headings / pipe-tables / image placeholders / paragraphs.
-    * Block-structured: blocks separated by blank lines. */
+    * Block-structured: blocks separated by blank lines, except inside
+    * ``` fences — a code block with internal blank lines stays one
+    * verbatim block. */
   object MarkdownParser extends FormatParser {
+
+    private[kernel] def splitBlocks(src: String): Seq[String] = {
+      val blocks = ArrayBuffer[String]()
+      val cur = new StringBuilder
+      var inFence = false
+      def flush(): Unit = {
+        val b = cur.toString.trim
+        cur.clear()
+        if (b.nonEmpty) blocks += b
+      }
+      src.linesIterator.foreach { line =>
+        if (line.trim.startsWith("```")) {
+          inFence = !inFence
+          cur ++= line; cur += '\n'
+        } else if (line.trim.isEmpty && !inFence) flush()
+        else { cur ++= line; cur += '\n' }
+      }
+      flush()
+      blocks.toSeq
+    }
+
     def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] = {
-      val blocks = text(bytes).split("\n{2,}").map(_.trim).filter(_.nonEmpty)
+      val blocks = splitBlocks(text(bytes))
       val items = blocks.map { b =>
         if (b.startsWith("#")) {
           val level = b.takeWhile(_ == '#').length

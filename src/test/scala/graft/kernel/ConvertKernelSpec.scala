@@ -102,6 +102,13 @@ class ConvertKernelSpec extends SparkTestBase {
       "Before.\n\n- alpha\n- beta\n\n1. first\n2. second\n\nAfter.")
   }
 
+  test("markdown fenced code with internal blank lines survives as one block") {
+    val src = "# Doc\n\n```scala\nval a = 1\n\nval b = 2\n```\n\nAfter."
+    val r = convertOne("code.md", b(src))
+    assert(r.error == null)
+    assert(r.markdown == "# Doc\n\n```scala\nval a = 1\n\nval b = 2\n```\n\nAfter.")
+  }
+
   test("asciidoc headings and image macros convert") {
     val src = "= Title\n\nBody text.\n\nimage::diagram.png[]\n\nMore."
     val r = convertOne("guide.adoc", b(src))
