@@ -97,11 +97,44 @@ object OoxmlParsers {
       val tableRows = ArrayBuffer[ArrayBuffer[String]]()
       val cellBuf = new StringBuilder
 
-      val paraBuf = new StringBuilder
+      // paragraph content as (text, bold, italic) run segments — rendered
+      // to markdown emphasis at paragraph end (adjacent same-format
+      // segments merge first, so Word's arbitrary run splits don't leak
+      // as `**bo****ld**`)
+      val paraSegs = ArrayBuffer[(String, Boolean, Boolean)]()
+      var runBold = false
+      var runItalic = false
+      var insideRun = false
       var paraStyle: Option[String] = None
       var paraPictures = 0
       var paraIsListItem = false
       val pendingList = ArrayBuffer[String]()
+
+      def renderSegs(): String = {
+        val merged = ArrayBuffer[(StringBuilder, Boolean, Boolean)]()
+        paraSegs.foreach { case (t, b, i) =>
+          merged.lastOption match {
+            case Some((sb, lb, li)) if lb == b && li == i => sb ++= t
+            case _ => merged += ((new StringBuilder(t), b, i))
+          }
+        }
+        paraSegs.clear()
+        merged.map { case (sb, b, i) =>
+          val t = sb.toString
+          val marker = (b, i) match {
+            case (true, true) => "***"
+            case (true, false) => "**"
+            case (false, true) => "*"
+            case _ => ""
+          }
+          if (marker.isEmpty || t.trim.isEmpty) t
+          else {
+            val lead = t.takeWhile(_.isWhitespace)
+            val trail = t.reverse.takeWhile(_.isWhitespace).reverse
+            lead + marker + t.trim + marker + trail
+          }
+        }.mkString
+      }
 
       def flushPendingList(): Unit = {
         // numbering format needs numbering.xml resolution; all numPr
@@ -111,8 +144,7 @@ object OoxmlParsers {
       }
 
       def endParagraph(): Unit = {
-        val text = paraBuf.toString.trim
-        paraBuf.clear()
+        val text = renderSegs().trim
         if (text.nonEmpty) {
           if (paraIsListItem) pendingList += text
           else {
@@ -147,15 +179,24 @@ object OoxmlParsers {
                 paraIsListItem = true
               case "drawing" | "pict" if tblDepth == 0 =>
                 paraPictures += 1
+              case "r" if tblDepth == 0 =>
+                insideRun = true; runBold = false; runItalic = false
+              // OOXML boolean props: absent val = on, "0"/"false" = off
+              case "b" if insideRun =>
+                runBold = !attr(r, "val").exists(v => v == "0" || v == "false")
+              case "i" if insideRun =>
+                runItalic = !attr(r, "val").exists(v => v == "0" || v == "false")
               case "t" =>
                 val text = r.getElementText
-                if (tblDepth >= 1) cellBuf ++= text else paraBuf ++= text
-              case "tab" if tblDepth == 0 => paraBuf += ' '
-              case "br" if tblDepth == 0 => paraBuf += ' '
+                if (tblDepth >= 1) cellBuf ++= text
+                else paraSegs += ((text, runBold, runItalic))
+              case "tab" if tblDepth == 0 => paraSegs += ((" ", false, false))
+              case "br" if tblDepth == 0 => paraSegs += ((" ", false, false))
               case _ => ()
             }
           case XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
+              case "r" => insideRun = false
               case "p" if tblDepth == 0 => endParagraph()
               case "p" if tblDepth >= 1 => // paragraph break inside a cell
                 if (cellBuf.nonEmpty && !cellBuf.endsWith(" ")) cellBuf += ' '

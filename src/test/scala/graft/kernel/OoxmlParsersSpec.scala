@@ -66,6 +66,22 @@ class OoxmlParsersSpec extends AnyFunSuite {
     assert(r.images.map(i => (i.`type`, i.filename)) == Seq(("picture", "picture-1.png")))
   }
 
+  test("docx: bold/italic runs render as markdown emphasis, split runs merge") {
+    val body =
+      "<w:p>" +
+        "<w:r><w:t>plain </w:t></w:r>" +
+        "<w:r><w:rPr><w:b/></w:rPr><w:t>bo</w:t></w:r>" +
+        "<w:r><w:rPr><w:b/></w:rPr><w:t>ld</w:t></w:r>" + // Word-style split run
+        "<w:r><w:t> mid </w:t></w:r>" +
+        "<w:r><w:rPr><w:i/></w:rPr><w:t>it</w:t></w:r>" +
+        "<w:r><w:rPr><w:b/><w:i/></w:rPr><w:t>both</w:t></w:r>" +
+        "<w:r><w:rPr><w:b w:val=\"false\"/></w:rPr><w:t> off</w:t></w:r>" +
+        "</w:p>"
+    val r = convertOne("fmt.docx", docx(body))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "plain **bold** mid *it****both*** off")
+  }
+
   test("docx: multi-run paragraphs concatenate; tabs/brs become spaces") {
     val body =
       "<w:p><w:r><w:t>Hello</w:t></w:r><w:r><w:tab/><w:t>world</w:t></w:r></w:p>"
