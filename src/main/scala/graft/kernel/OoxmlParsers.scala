@@ -79,17 +79,38 @@ object OoxmlParsers {
     * (Heading1..9 or Title), body paragraphs, depth-1 tables, pictures
     * (emitted after their paragraph's text, in document order). */
   object DocxParser extends FormatParser {
+    private val RelsPart = "word/_rels/document.xml.rels"
+
     def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] = {
-      val doc = zipEntries(bytes, _ == "word/document.xml").get("word/document.xml")
-      doc match {
+      val parts = zipEntries(bytes,
+        n => n == "word/document.xml" || n == RelsPart)
+      parts.get("word/document.xml") match {
         case None => Left("Invalid DOCX: missing word/document.xml")
         case Some(xml) =>
-          try Right(DocTree(name, parseDocumentXml(xml)))
-          catch { case e: Exception => Left(s"Invalid DOCX: ${e.getMessage}") }
+          try {
+            val rels = parts.get(RelsPart).map(parseRels).getOrElse(Map.empty)
+            Right(DocTree(name, parseDocumentXml(xml, rels)))
+          } catch { case e: Exception => Left(s"Invalid DOCX: ${e.getMessage}") }
       }
     }
 
-    private def parseDocumentXml(xml: Array[Byte]): Seq[Element] = {
+    /** relationship id → target URL (for w:hyperlink resolution). */
+    private def parseRels(xml: Array[Byte]): Map[String, String] = {
+      val r = newReader(xml)
+      val out = Map.newBuilder[String, String]
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "Relationship") {
+          for (id <- attr(r, "Id"); target <- attr(r, "Target"))
+            out += id -> target
+        }
+      }
+      r.close()
+      out.result()
+    }
+
+    private def parseDocumentXml(xml: Array[Byte],
+                                 rels: Map[String, String]): Seq[Element] = {
       val r = newReader(xml)
       val items = ArrayBuffer[Element]()
 
@@ -105,6 +126,8 @@ object OoxmlParsers {
       var runBold = false
       var runItalic = false
       var insideRun = false
+      var hyperStart = 0
+      var hyperHref: Option[String] = None
       var paraStyle: Option[String] = None
       var paraPictures = 0
       var paraIsListItem = false
@@ -179,6 +202,9 @@ object OoxmlParsers {
                 paraIsListItem = true
               case "drawing" | "pict" if tblDepth == 0 =>
                 paraPictures += 1
+              case "hyperlink" if tblDepth == 0 =>
+                hyperStart = paraSegs.length
+                hyperHref = attr(r, "id").flatMap(rels.get)
               case "r" if tblDepth == 0 =>
                 insideRun = true; runBold = false; runItalic = false
               // OOXML boolean props: absent val = on, "0"/"false" = off
@@ -197,6 +223,13 @@ object OoxmlParsers {
           case XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
               case "r" => insideRun = false
+              case "hyperlink" if tblDepth == 0 =>
+                hyperHref.foreach { url =>
+                  val text = paraSegs.drop(hyperStart).map(_._1).mkString.trim
+                  paraSegs.remove(hyperStart, paraSegs.length - hyperStart)
+                  if (text.nonEmpty) paraSegs += ((s"[$text]($url)", false, false))
+                }
+                hyperHref = None
               case "p" if tblDepth == 0 => endParagraph()
               case "p" if tblDepth >= 1 => // paragraph break inside a cell
                 if (cellBuf.nonEmpty && !cellBuf.endsWith(" ")) cellBuf += ' '
@@ -246,12 +279,18 @@ object OoxmlParsers {
       var shapeIsTitle = false
       val paraBuf = new StringBuilder
       val shapeParas = ArrayBuffer[String]()
+      var runBold = false
+      var runItalic = false
 
       def endShape(): Unit = {
-        shapeParas.filter(_.nonEmpty).foreach { text =>
-          items += (if (shapeIsTitle) HeadingElement(text, 1) else TextElement(text))
-        }
+        val paras = shapeParas.filter(_.nonEmpty).toSeq
         shapeParas.clear()
+        if (shapeIsTitle) paras.foreach(items += HeadingElement(_, 1))
+        // PowerPoint body placeholders are bulleted by default: multi-
+        // paragraph body shapes render as a bullet list, single
+        // paragraphs as plain text
+        else if (paras.size > 1) items += ListElement(paras)
+        else paras.foreach(items += TextElement(_))
         shapeIsTitle = false
       }
 
@@ -266,9 +305,24 @@ object OoxmlParsers {
               case "tr" if inTable => tableRows += ArrayBuffer[String]()
               case "tc" if inTable => cellBuf.clear()
               case "pic" => items += PictureElement(None)
+              case "rPr" => // DrawingML run props are ATTRIBUTES: b="1" i="1"
+                runBold = attr(r, "b").exists(v => v == "1" || v == "true")
+                runItalic = attr(r, "i").exists(v => v == "1" || v == "true")
               case "t" =>
                 val text = r.getElementText
-                if (inTable) cellBuf ++= text else paraBuf ++= text
+                if (inTable) cellBuf ++= text
+                else {
+                  val marker = (runBold, runItalic) match {
+                    case (true, true) => "***"
+                    case (true, false) => "**"
+                    case (false, true) => "*"
+                    case _ => ""
+                  }
+                  if (marker.nonEmpty && text.trim.nonEmpty)
+                    paraBuf ++= s"$marker${text.trim}$marker"
+                  else paraBuf ++= text
+                  runBold = false; runItalic = false
+                }
               case _ => ()
             }
           case XMLStreamConstants.END_ELEMENT =>

@@ -161,6 +161,44 @@ class OoxmlParsersSpec extends AnyFunSuite {
     assert(r.images.map(_.filename) == Seq("picture-1.png"))
   }
 
+  test("docx: hyperlinks resolve through the rels part to markdown links") {
+    val body =
+      """<w:p><w:r><w:t>Visit </w:t></w:r>""" +
+        """<w:hyperlink r:id="rId7" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<w:r><w:t>our site</w:t></w:r></w:hyperlink>""" +
+        """<w:r><w:t> today.</w:t></w:r></w:p>"""
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "word/document.xml" ->
+        s"""<?xml version="1.0"?><w:document xmlns:w="$W"><w:body>$body</w:body></w:document>""",
+      "word/_rels/document.xml.rels" ->
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId7" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/hyperlink" Target="https://example.com/" TargetMode="External"/>
+          |</Relationships>""".stripMargin)
+    val r = convertOne("link.docx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "Visit [our site](https://example.com/) today.")
+  }
+
+  test("pptx: multi-paragraph body shapes render as bullet lists with run emphasis") {
+    val bodySp =
+      s"""<p:sp><p:nvSpPr><p:nvPr><p:ph type="body"/></p:nvPr></p:nvSpPr>
+         |<p:txBody>
+         |<a:p><a:r><a:t>First point</a:t></a:r></a:p>
+         |<a:p><a:r><a:rPr b="1"/><a:t>Bold point</a:t></a:r></a:p>
+         |<a:p><a:r><a:rPr i="1"/><a:t>Italic point</a:t></a:r></a:p>
+         |</p:txBody></p:sp>""".stripMargin
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "ppt/presentation.xml" -> "<p/>",
+      "ppt/slides/slide1.xml" -> slide(sp("Deck", title = true) + bodySp))
+    val r = convertOne("bullets.pptx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown ==
+      "# Deck\n\n- First point\n- **Bold point**\n- *Italic point*")
+  }
+
   test("pptx: zip without slide parts is an error row") {
     val bytes = zip("ppt/presentation.xml" -> "<p/>")
     val r = convertOne("empty.pptx", bytes)
