@@ -51,6 +51,9 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    // stderr too: sbt [info] prefixes stdout, which broke the driver's
+    // parse in r1/r2 — stderr lines pass through clean
+    System.err.println(json)
     Files.writeString(Paths.get(outFile), json)
     spark.stop()
   }

@@ -183,12 +183,18 @@ object FormatDetection {
     when(filenameCol.rlike("^[^.].*\\."),
       regexp_extract(filenameCol, "\\.([^.]*)$", 1)).otherwise(lit(""))
 
-  /** Column-level format detection; html content sniff is approximated by
-    * a decoded-prefix rlike (no comment stripping at column level — the
-    * kernel path handles adversarial inputs). */
+  /** Column-level format detection. The html content sniff mirrors the
+    * scalar path's comment handling: XML comments are stripped from the
+    * decoded prefix before the doctype match, so `<!-- c --><html>` agrees
+    * between `Pipeline.convertDirectory`'s pre-pass and `convertOne`
+    * (remaining approximation vs the scalar path: the 1024-byte window and
+    * no non-ASCII byte filtering — both property-tested to agree on
+    * random corpora). */
   def detectFormatCol(contentCol: Column, filenameCol: Column): Column = {
     val ext = extCol(filenameCol)
-    val prefixStr = lower(decode(substring(contentCol, 1, 1024), "ISO-8859-1"))
+    val prefixStr = regexp_replace(
+      lower(decode(substring(contentCol, 1, 1024), "ISO-8859-1")),
+      "(?s)<!--.*?-->", "")
     // zip classification scans the same 4096-byte window as the scalar
     // path — real OOXML containers put word/ or ppt/ entries past 1 KB
     val zipHead = decode(substring(contentCol, 1, 4096), "ISO-8859-1")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators: exact (hash groupBy), n-gram Jaccard near-dup
   * (capped inverted-index join), 16-bit SimHash bucketing, MinHash+LSH
   * (banded — see [[graft.operators.MinHashDedup]]), and embedding-cosine
-  * near-dup (block-local exact baseline).
+  * near-dup (distributed block-pair exact baseline).
   *
   * Scale design: exact dedup is one shuffle on the content hash. Shingle
   * Jaccard shuffles on the shingle (the classic inverted-index join); hot
@@ -25,6 +25,11 @@ object Dedup {
   /** Document-frequency cap on shingles for the d2 inverted-index join
     * (mirrored in the DuckDB oracle, so correctness compares identically). */
   val MaxShingleDf = 50
+
+  /** Target rows per block for the d5 block-pair cosine join: bounds each
+    * task's memory at O(2·block·dim) doubles and each collect_list row at
+    * one block — never the corpus. */
+  val MaxCosineBlock = 512
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -177,46 +182,69 @@ object Dedup {
         FROM sums GROUP BY doc_id ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------- d5
-    // Embedding-cosine near-dup pairs: the EXACT block-local baseline
-    // (all pairs >= threshold), the embedding-space sibling of d1..d4.
-    // The corpus block broadcasts (compact float vectors) and each task
-    // scans its row-range against it — O(n²/p) flops in tight JVM loops,
-    // no shuffle at all. At 100 TB the block is a bucket from a coarse
-    // quantizer / LSH (the s2/d4 pattern) and THIS operator is the exact
-    // verifier inside each bucket; quadratic-on-the-whole-corpus is
-    // explicitly not the scale path. Dot/norm accumulate in index order,
-    // so doubles match the DuckDB oracle bit-for-bit before rounding.
+    // Embedding-cosine near-dup pairs: the EXACT baseline (all pairs >=
+    // threshold), the embedding-space sibling of d1..d4, as a DISTRIBUTED
+    // block-pair join — no driver-side collect anywhere:
+    //  * vectors hash into blocks of ~MaxCosineBlock rows (one metadata
+    //    count on the parquet picks the block count);
+    //  * collect_list gathers each block into one array row ON THE
+    //    EXECUTORS — per-row size is bounded by the block cap, never the
+    //    corpus;
+    //  * the tiny block table self-joins on blk_a <= blk_b (B² /2 rows for
+    //    B blocks — broadcastable), and each task computes one block pair
+    //    in tight JVM loops: O(n²) total flops spread over B²/2 tasks,
+    //    O(block²) memory per task.
+    // Every unordered {x,y} pair lands in exactly one (sorted) block pair,
+    // so results match the all-pairs oracle exactly. At 100 TB the blocks
+    // are buckets from a coarse quantizer / LSH (the s2/d4 pattern) and
+    // the same block-pair kernel is the exact verifier inside each bucket;
+    // quadratic-over-the-whole-corpus stays explicitly not the scale path.
+    // Dot/norm accumulate in embedding-index order, so doubles match the
+    // DuckDB oracle bit-for-bit before rounding.
     QuerySpec(
       "d5_embedding_cosine_pairs",
       (s, dir) => {
         import s.implicits._
         val threshold = 0.4
-        val all = Tables(s, dir, "embeddings")
-          .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-          .collect().sortBy(_._1)
-          .map { case (id, v) =>
-            val d = v.map(_.toDouble)
-            var sq = 0.0
-            var i = 0
-            while (i < d.length) { sq += d(i) * d(i); i += 1 }
-            (id, d, math.sqrt(sq))
-          }
-        val bcast = s.sparkContext.broadcast(all)
-        val n = all.length
-        s.range(0, n.toLong, 1, math.min(math.max(n, 1), 64))
-          .as[Long]
-          .flatMap { i =>
-            val arr = bcast.value
-            val (aId, av, aNorm) = arr(i.toInt)
-            Iterator.range(i.toInt + 1, arr.length).flatMap { j =>
-              val (bId, bv, bNorm) = arr(j)
-              var dot = 0.0
-              var k = 0
-              while (k < av.length) { dot += av(k) * bv(k); k += 1 }
-              val cos = BigDecimal(dot / (aNorm * bNorm))
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-              if (cos >= threshold) Iterator.single((aId, bId, cos)) else Iterator.empty
-            }
+        val src = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+        // parquet count(*) is metadata-only; B blocks of <= ~MaxCosineBlock
+        val nRows = src.count()
+        val nBlocks = math.max(1L, (nRows + MaxCosineBlock - 1) / MaxCosineBlock).toInt
+        val blocks = src
+          .withColumn("blk", pmod(xxhash64($"vec_id"), lit(nBlocks)).cast("int"))
+          .groupBy($"blk")
+          .agg(sort_array(collect_list(struct($"vec_id", $"embedding"))).as("rows"))
+          .as[(Int, Seq[(Long, Seq[Float])])]
+        val a = blocks.toDF("blk_a", "rows_a")
+        val b = blocks.toDF("blk_b", "rows_b")
+        a.join(b, $"blk_a" <= $"blk_b")
+          .as[(Int, Seq[(Long, Seq[Float])], Int, Seq[(Long, Seq[Float])])]
+          .flatMap { case (ba, rowsA, bb, rowsB) =>
+            def prep(rs: Seq[(Long, Seq[Float])]): Array[(Long, Array[Double], Double)] =
+              rs.iterator.map { case (id, v) =>
+                val d = new Array[Double](v.length)
+                var sq = 0.0
+                var i = 0
+                while (i < d.length) { d(i) = v(i).toDouble; sq += d(i) * d(i); i += 1 }
+                (id, d, math.sqrt(sq))
+              }.toArray
+            val left = prep(rowsA)
+            val right = if (ba == bb) left else prep(rowsB)
+            val sameBlock = ba == bb
+            for {
+              i <- left.indices.iterator
+              j <- (if (sameBlock) i + 1 else 0).until(right.length).iterator
+              (aId, av, aNorm) = left(i)
+              (bId, bv, bNorm) = right(j)
+              cos = {
+                var dot = 0.0
+                var k = 0
+                while (k < av.length) { dot += av(k) * bv(k); k += 1 }
+                BigDecimal(dot / (aNorm * bNorm))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              }
+              if cos >= threshold
+            } yield (math.min(aId, bId), math.max(aId, bId), cos)
           }
           .toDF("a_id", "b_id", "cosine")
           .orderBy($"cosine".desc, $"a_id", $"b_id")

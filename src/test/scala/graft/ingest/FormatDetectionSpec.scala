@@ -218,6 +218,12 @@ class FormatDetectionSpec extends SparkTestBase {
       (b("<body>x</body>"), "f.unknown"),
       (b("""<?xml version="1.0"?><html xmlns="http://www.w3.org/1999/xhtml">"""), "f.unknown"),
       (b("""<?xml version="1.0"?><note></note>"""), "f.unknown"),
+      // comment-prefixed HTML: the r2 divergence case — the scalar path
+      // strips XML comments before the sniff and the Column path must too
+      (b("<!-- c --><html>"), "f.unknown"),
+      (b("<!-- a --><!-- b -->  <!doctype html>"), "f.unknown"),
+      (b("<!-- multi\nline\ncomment --><body>x</body>"), "f.unknown"),
+      (b("<!-- unterminated comment <html>"), "f.unknown"),
       (b("just some words"), "f.unknown"),
       (Array.emptyByteArray, "empty.md"),
       (Array.emptyByteArray, "empty.unknown"))
