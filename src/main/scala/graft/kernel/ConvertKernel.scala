@@ -97,11 +97,17 @@ object ConvertKernel {
               // reference's pipeline options: pictures always
               // (generate_picture_images=True, service.py:67), tables only
               // when extract_tables_as_images (service.py:61), dimensions
-              // scaled by images_scale (service.py:60).
+              // scaled by images_scale (service.py:60). Pictures whose
+              // container carried real embedded bytes (word/media/…,
+              // ppt/media/…) ship the document's actual pixels, scaled and
+              // re-encoded PNG (service.py:106-128); only undecodable or
+              // absent media falls back to the placeholder render.
               val items = tree.items.map {
                 case p: DocModel.PictureElement if p.imagePng.isEmpty =>
-                  p.copy(imagePng =
-                    Some(ImageRenderer.renderPicture(config.imageResolutionScale)))
+                  val png = p.rawMedia
+                    .flatMap(ImageRenderer.renderEmbedded(_, config.imageResolutionScale))
+                    .getOrElse(ImageRenderer.renderPicture(config.imageResolutionScale))
+                  p.copy(imagePng = Some(png))
                 case t: DocModel.TableElement if config.extractTablesAsImages && t.imagePng.isEmpty =>
                   t.copy(imagePng = Some(ImageRenderer.renderTable(
                     t.numRows, t.numCols, config.imageResolutionScale)))

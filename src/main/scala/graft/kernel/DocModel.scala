@@ -25,7 +25,13 @@ object DocModel {
   final case class TableElement(
       cells: Seq[TableCellSpec], numRows: Int, numCols: Int,
       imagePng: Option[Array[Byte]] = None) extends Element
-  final case class PictureElement(imagePng: Option[Array[Byte]] = None) extends Element
+  /** `imagePng` is the final attached render (set by the kernel per request
+    * config); `rawMedia` carries the document's embedded image bytes as
+    * extracted from the container (e.g. `word/media/…`, `ppt/media/…`) in
+    * whatever codec the document used — the kernel decodes/scales/re-encodes
+    * them to PNG, falling back to a placeholder when absent or undecodable. */
+  final case class PictureElement(imagePng: Option[Array[Byte]] = None,
+                                  rawMedia: Option[Array[Byte]] = None) extends Element
 
   final case class DocTree(name: String, items: Seq[Element])
 

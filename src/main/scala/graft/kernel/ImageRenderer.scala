@@ -45,6 +45,28 @@ object ImageRenderer {
     pictureCache.computeIfAbsent(scale, s =>
       encode(fill(PictureBaseW * s, PictureBaseH * s, border = true, grid = None)))
 
+  /** Decode a document-embedded image (any JVM ImageIO codec — png, jpeg,
+    * gif, bmp, wbmp), scale its native dimensions by the request's
+    * images_scale (the reference multiplies rendered resolution the same
+    * way, service.py:60), and re-encode as PNG — the reference ships
+    * document pictures as PNG base64 (service.py:106-128). Returns None
+    * when the bytes aren't a decodable raster (e.g. wmf/emf vector parts,
+    * which need codecs outside the base JVM) — callers fall back to the
+    * placeholder. Alpha is preserved (ARGB) so transparent PNGs round-trip. */
+  def renderEmbedded(raw: Array[Byte], scale: Int): Option[Array[Byte]] =
+    try {
+      val src = ImageIO.read(new java.io.ByteArrayInputStream(raw))
+      if (src == null) None
+      else {
+        val w = math.min(MaxDim, math.max(1, src.getWidth * scale))
+        val h = math.min(MaxDim, math.max(1, src.getHeight * scale))
+        val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+        val g = out.createGraphics()
+        try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
+        Some(encode(out))
+      }
+    } catch { case _: Exception => None }
+
   def renderTable(numRows: Int, numCols: Int, scale: Int): Array[Byte] = {
     val w = math.min(MaxDim, math.max(1, numCols) * CellW * scale)
     val h = math.min(MaxDim, (math.max(1, numRows) + 1) * CellH * scale)

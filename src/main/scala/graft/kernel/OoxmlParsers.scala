@@ -14,11 +14,18 @@ import graft.kernel.DocModel._
   *
   * The reference treats docx/pptx as first-class Docling inputs
   * (document_converter/utils.py:27-47); this build extracts the text
-  * skeleton — headings (w:pStyle Heading*), paragraphs, tables
-  * (w:tbl/a:tbl grids), pictures (w:drawing / w:pict / p:pic) — without
-  * layout models. Cell spans (w:gridSpan) are flattened to single cells.
-  * Everything emits into the same DocTree the md/html/csv parsers use, so
-  * splice/counters/serialization downstream are shared.
+  * skeleton — headings (w:pStyle Heading*), paragraphs, numbered/bulleted
+  * lists (w:numPr resolved through word/numbering.xml numFmt), tables
+  * (w:tbl/a:tbl grids), pictures (w:drawing / w:pict / p:pic, including
+  * pictures inside table cells) — without layout models. Embedded picture
+  * bytes are resolved through the part's relationships (a:blip r:embed /
+  * v:imagedata r:id → word/media/… or ppt/media/…) and carried on
+  * [[DocModel.PictureElement.rawMedia]]; the reference ships these same
+  * pixels base64-encoded (document_converter/service.py:106-128). PPTX
+  * speaker notes (ppt/notesSlides/…, associated via each slide's rels)
+  * append as text after their slide. Cell spans (w:gridSpan) are flattened
+  * to single cells. Everything emits into the same DocTree the md/html/csv
+  * parsers use, so splice/counters/serialization downstream are shared.
   */
 object OoxmlParsers {
 
@@ -59,6 +66,37 @@ object OoxmlParsers {
       .find(i => r.getAttributeLocalName(i) == local)
       .map(r.getAttributeValue)
 
+  /** One relationship from a `_rels/….rels` part. */
+  private[kernel] final case class Rel(id: String, relType: String, target: String)
+
+  /** All relationships of a rels part (Id, Type, Target). */
+  private[kernel] def parseRels(xml: Array[Byte]): Seq[Rel] = {
+    val r = newReader(xml)
+    val out = ArrayBuffer[Rel]()
+    while (r.hasNext) {
+      if (r.next() == XMLStreamConstants.START_ELEMENT &&
+        r.getLocalName == "Relationship") {
+        for (id <- attr(r, "Id"); target <- attr(r, "Target"))
+          out += Rel(id, attr(r, "Type").getOrElse(""), target)
+      }
+    }
+    r.close()
+    out.toSeq
+  }
+
+  /** Resolve a rels Target (relative to `baseDir`, e.g. "media/image1.png"
+    * from word/, "../media/image1.png" from ppt/slides/) to a part name. */
+  private[kernel] def resolveTarget(baseDir: String, target: String): String = {
+    if (target.startsWith("/")) return target.drop(1)
+    val stack = ArrayBuffer(baseDir.split("/").filter(_.nonEmpty): _*)
+    target.split("/").foreach {
+      case ".." => if (stack.nonEmpty) stack.remove(stack.length - 1)
+      case "." | "" => ()
+      case seg => stack += seg
+    }
+    stack.mkString("/")
+  }
+
   private def tableFrom(rows: Seq[Seq[String]]): Option[TableElement] = {
     val nonEmpty = rows.filter(_.nonEmpty)
     if (nonEmpty.isEmpty) None
@@ -75,42 +113,85 @@ object OoxmlParsers {
 
   private val HeadingStyle = "Heading(\\d)".r
 
+  /** w:numFmt values that render as ordered (`1. 2. 3.`) markdown lists;
+    * everything else (bullet, none, unknown) stays a bullet list. */
+  private val OrderedNumFmts = Set(
+    "decimal", "decimalZero", "lowerLetter", "upperLetter",
+    "lowerRoman", "upperRoman", "ordinal", "cardinalText", "ordinalText")
+
   /** DOCX: StAX walk of word/document.xml. Headings via w:pStyle
     * (Heading1..9 or Title), body paragraphs, depth-1 tables, pictures
-    * (emitted after their paragraph's text, in document order). */
+    * (emitted after their paragraph's text — or after their table, for
+    * pictures inside cells — in document order, with embedded media bytes
+    * resolved through document.xml.rels). */
   object DocxParser extends FormatParser {
     private val RelsPart = "word/_rels/document.xml.rels"
+    private val NumberingPart = "word/numbering.xml"
 
     def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] = {
       val parts = zipEntries(bytes,
-        n => n == "word/document.xml" || n == RelsPart)
+        n => n == "word/document.xml" || n == RelsPart || n == NumberingPart ||
+          n.startsWith("word/media/"))
       parts.get("word/document.xml") match {
         case None => Left("Invalid DOCX: missing word/document.xml")
         case Some(xml) =>
           try {
-            val rels = parts.get(RelsPart).map(parseRels).getOrElse(Map.empty)
-            Right(DocTree(name, parseDocumentXml(xml, rels)))
+            val rels = parts.get(RelsPart).map(parseRels).getOrElse(Seq.empty)
+            val relTarget = rels.map(r => r.id -> r.target).toMap
+            val numbering =
+              parts.get(NumberingPart).map(parseNumbering).getOrElse(Map.empty)
+            val media: String => Option[Array[Byte]] =
+              id => relTarget.get(id).flatMap(t => parts.get(resolveTarget("word", t)))
+            Right(DocTree(name, parseDocumentXml(xml, relTarget, numbering, media)))
           } catch { case e: Exception => Left(s"Invalid DOCX: ${e.getMessage}") }
       }
     }
 
-    /** relationship id → target URL (for w:hyperlink resolution). */
-    private def parseRels(xml: Array[Byte]): Map[String, String] = {
+    /** word/numbering.xml → ((numId, ilvl) → numFmt), via the two-level
+      * w:num → w:abstractNum indirection (ECMA-376 §17.9). */
+    private[kernel] def parseNumbering(xml: Array[Byte]): Map[(String, String), String] = {
       val r = newReader(xml)
-      val out = Map.newBuilder[String, String]
+      val lvlFmt = Map.newBuilder[(String, String), String] // (abstractId, ilvl) -> fmt
+      val numToAbs = Map.newBuilder[String, String]
+      var curAbstract: Option[String] = None
+      var curLvl: Option[String] = None
+      var curNum: Option[String] = None
       while (r.hasNext) {
-        if (r.next() == XMLStreamConstants.START_ELEMENT &&
-          r.getLocalName == "Relationship") {
-          for (id <- attr(r, "Id"); target <- attr(r, "Target"))
-            out += id -> target
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "abstractNum" => curAbstract = attr(r, "abstractNumId")
+              case "lvl" if curAbstract.isDefined => curLvl = attr(r, "ilvl")
+              case "numFmt" =>
+                for (a <- curAbstract; l <- curLvl; f <- attr(r, "val"))
+                  lvlFmt += (a, l) -> f
+              case "num" => curNum = attr(r, "numId")
+              case "abstractNumId" =>
+                for (n <- curNum; a <- attr(r, "val")) numToAbs += n -> a
+              case _ => ()
+            }
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "abstractNum" => curAbstract = None
+              case "lvl" => curLvl = None
+              case "num" => curNum = None
+              case _ => ()
+            }
+          case _ => ()
         }
       }
       r.close()
-      out.result()
+      val fmts = lvlFmt.result()
+      val n2a = numToAbs.result()
+      n2a.flatMap { case (numId, absId) =>
+        fmts.collect { case ((a, ilvl), fmt) if a == absId => (numId, ilvl) -> fmt }
+      }
     }
 
     private def parseDocumentXml(xml: Array[Byte],
-                                 rels: Map[String, String]): Seq[Element] = {
+                                 rels: Map[String, String],
+                                 numbering: Map[(String, String), String],
+                                 media: String => Option[Array[Byte]]): Seq[Element] = {
       val r = newReader(xml)
       val items = ArrayBuffer[Element]()
 
@@ -129,9 +210,19 @@ object OoxmlParsers {
       var hyperStart = 0
       var hyperHref: Option[String] = None
       var paraStyle: Option[String] = None
-      var paraPictures = 0
+      // pictures seen in the current paragraph (slot per drawing; media
+      // bytes filled in when the nested a:blip/v:imagedata resolves)
+      val paraPics = ArrayBuffer[Option[Array[Byte]]]()
+      // pictures seen inside the current depth-1 table's cells — the cell
+      // grid is text-only, so these emit right after the TableElement
+      val tblPics = ArrayBuffer[Option[Array[Byte]]]()
       var paraIsListItem = false
+      var inNumPr = false
+      var paraNumId: Option[String] = None
+      var paraIlvl: Option[String] = None
+      var paraOrdered = false
       val pendingList = ArrayBuffer[String]()
+      var pendingOrdered = false
 
       def renderSegs(): String = {
         val merged = ArrayBuffer[(StringBuilder, Boolean, Boolean)]()
@@ -160,17 +251,23 @@ object OoxmlParsers {
       }
 
       def flushPendingList(): Unit = {
-        // numbering format needs numbering.xml resolution; all numPr
-        // paragraphs render as bullets (documented approximation)
-        if (pendingList.nonEmpty) items += ListElement(pendingList.toSeq)
+        if (pendingList.nonEmpty)
+          items += ListElement(pendingList.toSeq, ordered = pendingOrdered)
         pendingList.clear()
       }
 
       def endParagraph(): Unit = {
         val text = renderSegs().trim
         if (text.nonEmpty) {
-          if (paraIsListItem) pendingList += text
-          else {
+          if (paraIsListItem) {
+            // ilvl defaults to 0 when the numPr omits it (ECMA-376)
+            val fmt = paraNumId.flatMap(n =>
+              numbering.get((n, paraIlvl.getOrElse("0"))))
+            val ordered = fmt.exists(OrderedNumFmts)
+            if (pendingList.nonEmpty && pendingOrdered != ordered) flushPendingList()
+            pendingOrdered = ordered
+            pendingList += text
+          } else {
             flushPendingList()
             val el = paraStyle match {
               case Some("Title") => HeadingElement(text, 1)
@@ -180,11 +277,13 @@ object OoxmlParsers {
             items += el
           }
         }
-        if (paraPictures > 0) flushPendingList()
-        (0 until paraPictures).foreach(_ => items += PictureElement(None))
-        paraPictures = 0
+        if (paraPics.nonEmpty) flushPendingList()
+        paraPics.foreach(m => items += PictureElement(rawMedia = m))
+        paraPics.clear()
         paraStyle = None
         paraIsListItem = false
+        paraNumId = None
+        paraIlvl = None
       }
 
       while (r.hasNext) {
@@ -199,9 +298,23 @@ object OoxmlParsers {
               case "pStyle" if tblDepth == 0 =>
                 paraStyle = attr(r, "val")
               case "numPr" if tblDepth == 0 =>
-                paraIsListItem = true
-              case "drawing" | "pict" if tblDepth == 0 =>
-                paraPictures += 1
+                paraIsListItem = true; inNumPr = true
+              case "ilvl" if inNumPr => paraIlvl = attr(r, "val")
+              case "numId" if inNumPr => paraNumId = attr(r, "val")
+              case "drawing" | "pict" =>
+                if (tblDepth == 0) paraPics += None else tblPics += None
+              // embedded media references inside the current drawing/pict:
+              // DrawingML a:blip r:embed, legacy VML v:imagedata r:id
+              case "blip" =>
+                for (id <- attr(r, "embed"); m <- media(id)) {
+                  val buf = if (tblDepth == 0) paraPics else tblPics
+                  if (buf.nonEmpty) buf(buf.length - 1) = Some(m)
+                }
+              case "imagedata" =>
+                for (id <- attr(r, "id"); m <- media(id)) {
+                  val buf = if (tblDepth == 0) paraPics else tblPics
+                  if (buf.nonEmpty) buf(buf.length - 1) = Some(m)
+                }
               case "hyperlink" if tblDepth == 0 =>
                 hyperStart = paraSegs.length
                 hyperHref = attr(r, "id").flatMap(rels.get)
@@ -223,6 +336,7 @@ object OoxmlParsers {
           case XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
               case "r" => insideRun = false
+              case "numPr" => inNumPr = false
               case "hyperlink" if tblDepth == 0 =>
                 hyperHref.foreach { url =>
                   val text = paraSegs.drop(hyperStart).map(_._1).mkString.trim
@@ -240,6 +354,9 @@ object OoxmlParsers {
                 if (tblDepth == 0) {
                   tableFrom(tableRows.map(_.toSeq).toSeq).foreach(items += _)
                   tableRows.clear()
+                  // cell pictures follow their table in document order
+                  tblPics.foreach(m => items += PictureElement(rawMedia = m))
+                  tblPics.clear()
                 }
               case _ => ()
             }
@@ -253,22 +370,76 @@ object OoxmlParsers {
   }
 
   /** PPTX: slides in ppt/slides/slideN.xml, N ascending. Title-placeholder
-    * shapes become level-1 headings, body paragraphs text, a:tbl grids
-    * tables, p:pic pictures. */
+    * shapes (ph type title/ctrTitle, or an untagged shape whose cNvPr name
+    * starts with "Title") become level-1 headings, body paragraphs text,
+    * a:tbl grids tables, p:pic pictures with embedded media resolved via
+    * the slide's rels. Speaker notes (the slide's notesSlide rel) append
+    * as text after the slide's own content. */
   object PptxParser extends FormatParser {
     private val SlideName = "ppt/slides/slide(\\d+)\\.xml".r
+    private val SlideRels = "ppt/slides/_rels/slide(\\d+)\\.xml\\.rels".r
 
     def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] = {
-      val slides = zipEntries(bytes, n => SlideName.pattern.matcher(n).matches())
+      val parts = zipEntries(bytes, n =>
+        SlideName.pattern.matcher(n).matches() ||
+          SlideRels.pattern.matcher(n).matches() ||
+          n.startsWith("ppt/media/") || n.startsWith("ppt/notesSlides/"))
+      val slides = parts.filter { case (n, _) => SlideName.pattern.matcher(n).matches() }
       if (slides.isEmpty) return Left("Invalid PPTX: no ppt/slides/*.xml parts")
       val ordered = slides.toSeq
         .map { case (n, b) => val SlideName(i) = n: @unchecked; (i.toInt, b) }
         .sortBy(_._1)
-      try Right(DocTree(name, ordered.flatMap { case (_, xml) => parseSlideXml(xml) }))
+      try Right(DocTree(name, ordered.flatMap { case (i, xml) =>
+        val rels = parts.get(s"ppt/slides/_rels/slide$i.xml.rels")
+          .map(parseRels).getOrElse(Seq.empty)
+        val relTarget = rels.map(rel => rel.id -> rel.target).toMap
+        val media: String => Option[Array[Byte]] =
+          id => relTarget.get(id).flatMap(t => parts.get(resolveTarget("ppt/slides", t)))
+        val notes = rels.filter(_.relType.endsWith("/notesSlide"))
+          .flatMap(rel => parts.get(resolveTarget("ppt/slides", rel.target)))
+          .flatMap(parseNotesXml)
+        parseSlideXml(xml, media) ++ notes
+      }))
       catch { case e: Exception => Left(s"Invalid PPTX: ${e.getMessage}") }
     }
 
-    private def parseSlideXml(xml: Array[Byte]): Seq[Element] = {
+    /** Speaker-notes part: text of body-placeholder shapes only (the other
+      * shapes are the slide-image and slide-number placeholders). */
+    private[kernel] def parseNotesXml(xml: Array[Byte]): Seq[Element] = {
+      val r = newReader(xml)
+      val out = ArrayBuffer[Element]()
+      var shapeIsBody = false
+      val paraBuf = new StringBuilder
+      val shapeParas = ArrayBuffer[String]()
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "ph" if attr(r, "type").contains("body") => shapeIsBody = true
+              case "t" => paraBuf ++= r.getElementText
+              case _ => ()
+            }
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "p" =>
+                shapeParas += paraBuf.toString.trim
+                paraBuf.clear()
+              case "sp" =>
+                if (shapeIsBody)
+                  shapeParas.filter(_.nonEmpty).foreach(out += TextElement(_))
+                shapeParas.clear()
+                shapeIsBody = false
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+      r.close()
+      out.toSeq
+    }
+
+    private def parseSlideXml(xml: Array[Byte],
+                              media: String => Option[Array[Byte]]): Seq[Element] = {
       val r = newReader(xml)
       val items = ArrayBuffer[Element]()
 
@@ -277,6 +448,8 @@ object OoxmlParsers {
       val cellBuf = new StringBuilder
 
       var shapeIsTitle = false
+      var inPic = false
+      var picIdx = -1
       val paraBuf = new StringBuilder
       val shapeParas = ArrayBuffer[String]()
       var runBold = false
@@ -301,10 +474,22 @@ object OoxmlParsers {
               case "ph" =>
                 if (attr(r, "type").exists(t => t == "title" || t == "ctrTitle"))
                   shapeIsTitle = true
+              // untagged title shapes: no ph type, but PowerPoint names the
+              // layout shape "Title N" (p:cNvPr) — common in hand-built decks
+              case "cNvPr" if !inPic && !inTable =>
+                if (attr(r, "name").exists(_.startsWith("Title")))
+                  shapeIsTitle = true
               case "tbl" => inTable = true
               case "tr" if inTable => tableRows += ArrayBuffer[String]()
               case "tc" if inTable => cellBuf.clear()
-              case "pic" => items += PictureElement(None)
+              case "pic" =>
+                inPic = true
+                picIdx = items.length
+                items += PictureElement()
+              case "blip" if inPic =>
+                for (id <- attr(r, "embed"); m <- media(id))
+                  if (picIdx >= 0 && picIdx < items.length)
+                    items(picIdx) = PictureElement(rawMedia = Some(m))
               case "rPr" => // DrawingML run props are ATTRIBUTES: b="1" i="1"
                 runBold = attr(r, "b").exists(v => v == "1" || v == "true")
                 runItalic = attr(r, "i").exists(v => v == "1" || v == "true")
@@ -330,7 +515,7 @@ object OoxmlParsers {
               case "p" =>
                 if (inTable) {
                   if (cellBuf.nonEmpty && !cellBuf.endsWith(" ")) cellBuf += ' '
-                } else {
+                } else if (!inPic) {
                   shapeParas += paraBuf.toString.trim
                   paraBuf.clear()
                 }
@@ -340,6 +525,7 @@ object OoxmlParsers {
                 inTable = false
                 tableFrom(tableRows.map(_.toSeq).toSeq).foreach(items += _)
                 tableRows.clear()
+              case "pic" => inPic = false; picIdx = -1
               case "sp" => endShape()
               case _ => ()
             }

@@ -15,17 +15,33 @@ import graft.kernel.ConvertKernel.convertOne
   */
 class OoxmlParsersSpec extends AnyFunSuite {
 
-  private def zip(entries: (String, String)*): Array[Byte] = {
+  private def zipB(entries: (String, Array[Byte])*): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val zos = new ZipOutputStream(bos)
     entries.foreach { case (name, content) =>
       zos.putNextEntry(new ZipEntry(name))
-      zos.write(content.getBytes(StandardCharsets.UTF_8))
+      zos.write(content)
       zos.closeEntry()
     }
     zos.close()
     bos.toByteArray
   }
+
+  private def zip(entries: (String, String)*): Array[Byte] =
+    zipB(entries.map { case (n, c) => n -> c.getBytes(StandardCharsets.UTF_8) }: _*)
+
+  /** A real wxh PNG with every pixel the given RGB color. */
+  private def pngOf(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def decodePng(b64: String): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      java.util.Base64.getDecoder.decode(b64)))
 
   private val W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
   private val A = "http://schemas.openxmlformats.org/drawingml/2006/main"
@@ -203,5 +219,163 @@ class OoxmlParsersSpec extends AnyFunSuite {
     val bytes = zip("ppt/presentation.xml" -> "<p/>")
     val r = convertOne("empty.pptx", bytes)
     assert(r.error != null && r.error.contains("PPTX"))
+  }
+
+  private val R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+  test("docx: embedded picture ships the document's real pixels, scaled") {
+    // 10x8 solid red source in word/media, referenced via a:blip r:embed
+    val src = pngOf(10, 8, 0xCC0000)
+    val body =
+      wp("Before.") +
+        s"""<w:p><w:r><w:drawing><wp:inline xmlns:wp="x">
+           |<a:blip xmlns:a="$A" r:embed="rId9" xmlns:r="$R"/>
+           |</wp:inline></w:drawing></w:r></w:p>""".stripMargin +
+        wp("After.")
+    val bytes = zipB(
+      "[Content_Types].xml" -> "<Types/>".getBytes(StandardCharsets.UTF_8),
+      "word/document.xml" ->
+        s"""<?xml version="1.0"?><w:document xmlns:w="$W"><w:body>$body</w:body></w:document>"""
+          .getBytes(StandardCharsets.UTF_8),
+      "word/_rels/document.xml.rels" ->
+        s"""<?xml version="1.0"?>
+           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+           |<Relationship Id="rId9" Type="$R/image" Target="media/image1.png"/>
+           |</Relationships>""".stripMargin.getBytes(StandardCharsets.UTF_8),
+      "word/media/image1.png" -> src)
+    val r = convertOne("photo.docx", bytes) // default scale = 4
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "Before.\n\npicture-1.png\n\nAfter.")
+    assert(r.images.map(_.filename) == Seq("picture-1.png"))
+    val img = decodePng(r.images.head.image)
+    assert((img.getWidth, img.getHeight) == (40, 32)) // native 10x8 × scale 4
+    // pixel content is the document's, not a placeholder: solid red center
+    assert((img.getRGB(20, 16) & 0xFFFFFF) == 0xCC0000)
+  }
+
+  test("docx: unresolvable blip rel falls back to the placeholder render") {
+    val body =
+      s"""<w:p><w:r><w:drawing><wp:inline xmlns:wp="x">
+         |<a:blip xmlns:a="$A" r:embed="rIdMissing" xmlns:r="$R"/>
+         |</wp:inline></w:drawing></w:r></w:p>""".stripMargin
+    val r = convertOne("noimg.docx", docx(body))
+    assert(r.error == null, String.valueOf(r.error))
+    val img = decodePng(r.images.head.image)
+    // placeholder dims: 64x48 × scale 4
+    assert((img.getWidth, img.getHeight) == (256, 192))
+  }
+
+  test("docx: numbering.xml decimal format renders an ordered list") {
+    val numbering =
+      s"""<?xml version="1.0"?><w:numbering xmlns:w="$W">
+         |<w:abstractNum w:abstractNumId="0">
+         |  <w:lvl w:ilvl="0"><w:numFmt w:val="decimal"/></w:lvl>
+         |</w:abstractNum>
+         |<w:abstractNum w:abstractNumId="1">
+         |  <w:lvl w:ilvl="0"><w:numFmt w:val="bullet"/></w:lvl>
+         |</w:abstractNum>
+         |<w:num w:numId="5"><w:abstractNumId w:val="0"/></w:num>
+         |<w:num w:numId="6"><w:abstractNumId w:val="1"/></w:num>
+         |</w:numbering>""".stripMargin
+    def li(text: String, numId: String): String =
+      s"""<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/><w:numId w:val="$numId"/></w:numPr></w:pPr>
+         |<w:r><w:t>$text</w:t></w:r></w:p>""".stripMargin
+    val body =
+      wp("Steps", Some("Heading1")) +
+        li("first", "5") + li("second", "5") + li("third", "5") +
+        li("loose", "6") + li("leaf", "6") +
+        wp("Done.")
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "word/document.xml" ->
+        s"""<?xml version="1.0"?><w:document xmlns:w="$W"><w:body>$body</w:body></w:document>""",
+      "word/numbering.xml" -> numbering)
+    val r = convertOne("steps.docx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    // adjacent ordered and bullet runs split into two lists at the format change
+    assert(r.markdown ==
+      "# Steps\n\n1. first\n2. second\n3. third\n\n- loose\n- leaf\n\nDone.")
+  }
+
+  test("docx: picture inside a table cell lands in the images array after the table") {
+    val body =
+      """<w:tbl>
+        |<w:tr><w:tc><w:p><w:r><w:t>cell</w:t></w:r></w:p></w:tc>
+        |       <w:tc><w:p><w:r><w:drawing><wp:inline xmlns:wp="x"/></w:drawing></w:r></w:p></w:tc></w:tr>
+        |</w:tbl>""".stripMargin +
+        wp("Afterwards.")
+    val r = convertOne("tblpic.docx", docx(body))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.images.map(_.filename) == Seq("picture-1.png"))
+    // picture splices after the table render, before the following text
+    assert(r.markdown ==
+      "| cell |  |\n|---|---|\n\npicture-1.png\n\nAfterwards.")
+  }
+
+  test("pptx: embedded slide picture resolves through the slide's rels part") {
+    val src = pngOf(6, 4, 0x0066CC)
+    val slideXml = slide(
+      sp("Pics", title = true) +
+        s"""<p:pic><p:blipFill><a:blip r:embed="rId2" xmlns:r="$R"/></p:blipFill></p:pic>""")
+    val bytes = zipB(
+      "[Content_Types].xml" -> "<Types/>".getBytes(StandardCharsets.UTF_8),
+      "ppt/presentation.xml" -> "<p/>".getBytes(StandardCharsets.UTF_8),
+      "ppt/slides/slide1.xml" -> slideXml.getBytes(StandardCharsets.UTF_8),
+      "ppt/slides/_rels/slide1.xml.rels" ->
+        s"""<?xml version="1.0"?>
+           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+           |<Relationship Id="rId2" Type="$R/image" Target="../media/image1.png"/>
+           |</Relationships>""".stripMargin.getBytes(StandardCharsets.UTF_8),
+      "ppt/media/image1.png" -> src)
+    val r = convertOne("pics.pptx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.images.map(_.filename) == Seq("picture-1.png"))
+    val img = decodePng(r.images.head.image)
+    assert((img.getWidth, img.getHeight) == (24, 16)) // 6x4 × scale 4
+    assert((img.getRGB(12, 8) & 0xFFFFFF) == 0x0066CC)
+  }
+
+  test("pptx: speaker notes append after their slide's content") {
+    val notes =
+      s"""<?xml version="1.0"?><p:notes xmlns:p="$P" xmlns:a="$A">
+         |<p:cSld><p:spTree>
+         |<p:sp><p:nvSpPr><p:nvPr><p:ph type="sldImg"/></p:nvPr></p:nvSpPr>
+         |  <p:txBody><a:p><a:r><a:t>IGNORED placeholder</a:t></a:r></a:p></p:txBody></p:sp>
+         |<p:sp><p:nvSpPr><p:nvPr><p:ph type="body"/></p:nvPr></p:nvSpPr>
+         |  <p:txBody><a:p><a:r><a:t>Remember to demo the fallback.</a:t></a:r></a:p></p:txBody></p:sp>
+         |</p:spTree></p:cSld></p:notes>""".stripMargin
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "ppt/presentation.xml" -> "<p/>",
+      "ppt/slides/slide1.xml" -> slide(sp("Demo", title = true) + sp("Main point.")),
+      "ppt/slides/_rels/slide1.xml.rels" ->
+        s"""<?xml version="1.0"?>
+           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+           |<Relationship Id="rId3" Type="$R/notesSlide" Target="../notesSlides/notesSlide1.xml"/>
+           |</Relationships>""".stripMargin,
+      "ppt/notesSlides/notesSlide1.xml" -> notes)
+    val r = convertOne("demo.pptx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown ==
+      "# Demo\n\nMain point.\n\nRemember to demo the fallback.")
+  }
+
+  test("pptx: untagged title shape detects via its cNvPr name") {
+    val untaggedTitle =
+      s"""<p:sp><p:nvSpPr><p:cNvPr id="4" name="Title 1"/><p:nvPr/></p:nvSpPr>
+         |<p:txBody><a:p><a:r><a:t>Untagged Heading</a:t></a:r></a:p></p:txBody></p:sp>""".stripMargin
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "ppt/presentation.xml" -> "<p/>",
+      "ppt/slides/slide1.xml" -> slide(untaggedTitle + sp("Body text.")))
+    val r = convertOne("untagged.pptx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "# Untagged Heading\n\nBody text.")
+  }
+
+  test("resolveTarget normalizes relative rels targets") {
+    assert(OoxmlParsers.resolveTarget("word", "media/image1.png") == "word/media/image1.png")
+    assert(OoxmlParsers.resolveTarget("ppt/slides", "../media/i.png") == "ppt/media/i.png")
+    assert(OoxmlParsers.resolveTarget("ppt/slides", "/ppt/media/i.png") == "ppt/media/i.png")
   }
 }
