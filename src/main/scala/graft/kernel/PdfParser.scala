@@ -1,9 +1,10 @@
 package graft.kernel
 
 import java.io.ByteArrayOutputStream
-import java.nio.charset.StandardCharsets
+import java.nio.charset.{Charset, StandardCharsets}
 import java.util.zip.Inflater
 
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
 import graft.kernel.DocModel._
@@ -13,18 +14,46 @@ import graft.kernel.DocModel._
   * Honest scope: extracts text runs from uncompressed or FlateDecode
   * content streams (the common case for text-based PDFs) — `BT..ET` blocks
   * with `Tj` / `TJ` / `'` string operators, PDF string escapes, and
-  * `Td`/`TD`/`T*` line breaks. No layout model, no font/CMap decoding
-  * beyond Latin-1, no OCR: an image-only (scanned) PDF yields no text and
-  * reports the reference's error-row shape, pointing at the missing ML
-  * models (Docling's layout/OCR stack, reference Dockerfile:45-51).
+  * `Td`/`TD`/`T*` line breaks. Fonts are resolved through the object
+  * index: a font with a `/ToUnicode` CMap decodes through its
+  * `bfchar`/`bfrange` mappings (so subset-embedded Type0/Identity-H fonts
+  * — the typical LaTeX/Word output — extract real text);
+  * `/WinAnsiEncoding` and `/MacRomanEncoding` decode through the matching
+  * JVM charsets; an un-mapped non-identity encoding (Identity-H with no
+  * ToUnicode, an indirect /Encoding object, a /Differences array) is
+  * UNDECODABLE and fails the whole document with an honest error row
+  * instead of emitting silently garbled text (the error-as-column
+  * contract, reference service.py:141-150 handles these via Docling's
+  * font stack). No layout model, no OCR: an image-only (scanned) PDF
+  * yields no text and reports the reference's error-row shape, pointing
+  * at the missing ML models (Docling's layout/OCR stack, reference
+  * Dockerfile:45-51).
+  *
+  * Approximations, documented: font resource names (`/F1`) are resolved
+  * in one global namespace across all pages (per-page /Resources scoping
+  * would need full page-tree traversal); object scanning is sequential
+  * and assumes `endobj`/`endstream` keywords do not appear inside binary
+  * stream payloads.
   */
 object PdfParser extends FormatParser {
 
   def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] = {
     try {
-      val streams = contentStreams(bytes)
-      val blocks = streams.flatMap(extractTextBlocks)
-      if (blocks.isEmpty)
+      val objs = parseObjects(bytes)
+      val (fonts, toUnicodeNums) = buildFonts(objs)
+      val streams =
+        if (objs.exists(_.data.isDefined))
+          objs.filter(o => o.data.isDefined && !toUnicodeNums(o.num) &&
+            ImageSubtype.findFirstIn(o.body).isEmpty &&
+            FontType.findFirstIn(o.body).isEmpty)
+            .flatMap(_.data)
+        else contentStreams(bytes) // streams outside any obj wrapper
+      val undecodable = mutable.SortedSet[String]()
+      val blocks = streams.flatMap(extractTextBlocks(_, fonts, undecodable))
+      if (undecodable.nonEmpty)
+        Left(s"PDF text uses font(s) ${undecodable.mkString(", ")} with a " +
+          "non-identity encoding and no /ToUnicode CMap; cannot decode text reliably")
+      else if (blocks.isEmpty)
         Left("PDF has no extractable text (image-only PDFs need OCR models not available in this build)")
       else
         Right(DocTree(name, blocks.map(TextElement(_))))
@@ -33,9 +62,54 @@ object PdfParser extends FormatParser {
     }
   }
 
-  /** All stream payloads in file order, inflated when FlateDecode (or raw
-    * when the preceding dict names no filter). Non-Flate filters are
-    * skipped. */
+  // ---------------------------------------------------------------- objects
+
+  /** One indirect object: number, body text (ISO-8859-1 view), and the
+    * decoded stream payload when the object carries a Flate/plain stream. */
+  private[kernel] final case class PdfObject(num: Int, body: String,
+                                             data: Option[Array[Byte]])
+
+  private val ObjStart = """(\d+)\s+\d+\s+obj\b""".r
+  private val FontType = """/Type\s*/Font""".r
+  private val Type0Subtype = """/Subtype\s*/Type0""".r
+  private val ImageSubtype = """/Subtype\s*/Image""".r
+
+  /** Sequential scan of `N G obj .. endobj` wrappers. Matches that fall
+    * inside a previous object's span (i.e. inside binary stream bytes that
+    * happen to spell "obj") are skipped via the advancing cursor. */
+  private[kernel] def parseObjects(bytes: Array[Byte]): Seq[PdfObject] = {
+    val raw = new String(bytes, StandardCharsets.ISO_8859_1)
+    val out = ArrayBuffer[PdfObject]()
+    var cursor = 0
+    for (m <- ObjStart.findAllMatchIn(raw) if m.start >= cursor) {
+      val endObj = raw.indexOf("endobj", m.end)
+      val bodyEnd = if (endObj < 0) raw.length else endObj
+      val body = raw.substring(m.end, bodyEnd)
+      val s = body.indexOf("stream")
+      val data =
+        if (s < 0) None
+        else {
+          var p = m.end + s + "stream".length
+          if (p < raw.length && raw.charAt(p) == '\r') p += 1
+          if (p < raw.length && raw.charAt(p) == '\n') p += 1
+          val e = raw.indexOf("endstream", p)
+          if (e < 0) None
+          else {
+            val payload = bytes.slice(p, e)
+            val dict = body.substring(0, s)
+            val isFlate = dict.contains("/FlateDecode")
+            if (dict.contains("/Filter") && !isFlate) None
+            else if (isFlate) inflate(payload) else Some(trimEol(payload))
+          }
+        }
+      out += PdfObject(m.group(1).toInt, body, data)
+      cursor = math.max(bodyEnd + "endobj".length, m.end)
+    }
+    out.toSeq
+  }
+
+  /** All stream payloads in file order — fallback for PDFs whose streams
+    * are not wrapped in obj/endobj (synthetic/minimal files). */
   private[kernel] def contentStreams(bytes: Array[Byte]): Seq[Array[Byte]] = {
     val raw = new String(bytes, StandardCharsets.ISO_8859_1)
     val out = ArrayBuffer[Array[Byte]]()
@@ -44,10 +118,8 @@ object PdfParser extends FormatParser {
       val s = raw.indexOf("stream", from)
       if (s < 0) { from = raw.length }
       else {
-        // dict immediately before the stream keyword
         val dictStart = raw.lastIndexOf("<<", s)
         val dict = if (dictStart >= 0) raw.substring(dictStart, s) else ""
-        // payload starts after "stream" + EOL
         var p = s + "stream".length
         if (p < raw.length && raw.charAt(p) == '\r') p += 1
         if (p < raw.length && raw.charAt(p) == '\n') p += 1
@@ -90,9 +162,178 @@ object PdfParser extends FormatParser {
     } catch { case _: Exception => None }
   }
 
+  // ------------------------------------------------------------------ fonts
+
+  /** How to turn a raw byte string shown under a font into text. */
+  private sealed trait Dec
+  private case object Latin1 extends Dec
+  private final case class ByteCharset(cs: Charset) extends Dec
+  private final case class CMapDec(cmap: CMap) extends Dec
+  private case object Undecodable extends Dec
+
+  private final case class FontInfo(baseName: String, dec: Dec)
+
+  private val ToUniRef = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
+  private val NamedEnc = """/Encoding\s*/([A-Za-z0-9\-]+)""".r
+  private val EncRef = """/Encoding\s+(\d+)\s+\d+\s+R""".r
+  private val BaseFontRe = """/BaseFont\s*/([^\s/<>\[\]()]+)""".r
+  private val FontDictRe = """/Font\s*<<([^>]*)>>""".r
+  private val FontRefRe = """/([A-Za-z0-9._]+)\s+(\d+)\s+\d+\s+R""".r
+
+  private def charsetOrLatin1(name: String): Dec =
+    try ByteCharset(Charset.forName(name)) catch { case _: Exception => Latin1 }
+
+  /** Font objects + the resource-name map (`/F1` → font), and the object
+    * numbers of ToUnicode CMap streams (excluded from content scanning). */
+  private def buildFonts(objs: Seq[PdfObject]): (Map[String, FontInfo], Set[Int]) = {
+    val byNum = objs.map(o => o.num -> o).toMap
+    val toUnicodeNums = mutable.Set[Int]()
+    val fontByNum = objs.flatMap { o =>
+      if (FontType.findFirstIn(o.body).isEmpty) None
+      else {
+        val base = BaseFontRe.findFirstMatchIn(o.body).map(_.group(1)).getOrElse("?")
+        val cmap = ToUniRef.findFirstMatchIn(o.body).flatMap { m =>
+          val n = m.group(1).toInt
+          toUnicodeNums += n
+          byNum.get(n).flatMap(_.data).flatMap(parseCMap)
+        }
+        val dec = cmap match {
+          case Some(c) => CMapDec(c)
+          case None =>
+            val named = NamedEnc.findFirstMatchIn(o.body).map(_.group(1))
+            val isType0 = Type0Subtype.findFirstIn(o.body).isDefined
+            val hasEncRef = EncRef.findFirstIn(o.body).isDefined
+            val hasDiff = o.body.contains("/Differences")
+            named match {
+              case Some("WinAnsiEncoding") if !hasDiff => charsetOrLatin1("windows-1252")
+              case Some("MacRomanEncoding") if !hasDiff => charsetOrLatin1("x-MacRoman")
+              case Some("StandardEncoding" | "PDFDocEncoding") if !hasDiff => Latin1
+              case None if !isType0 && !hasEncRef && !hasDiff => Latin1 // builtin font encoding ≈ latin
+              case _ => Undecodable // Identity-H/V, custom CMap ref, Differences
+            }
+        }
+        Some(o.num -> FontInfo(base, dec))
+      }
+    }.toMap
+    // resource name -> font, one global namespace (documented approximation)
+    val byName = Map.newBuilder[String, FontInfo]
+    for {
+      o <- objs
+      d <- FontDictRe.findAllMatchIn(o.body)
+      r <- FontRefRe.findAllMatchIn(d.group(1))
+      f <- fontByNum.get(r.group(2).toInt)
+    } byName += r.group(1) -> f
+    (byName.result(), toUnicodeNums.toSet)
+  }
+
+  // ------------------------------------------------------------------- cmap
+
+  /** A /ToUnicode CMap: fixed code width in bytes plus the bfchar/bfrange
+    * mappings (ToUnicode destinations are UTF-16BE). */
+  private[kernel] final case class CMap(codeBytes: Int, single: Map[Int, String],
+                                        ranges: Seq[BfRange]) {
+    def lookup(code: Int): Option[String] =
+      single.get(code).orElse(ranges.iterator.flatMap(_.apply(code)).nextOption())
+  }
+
+  private[kernel] final case class BfRange(lo: Int, hi: Int,
+                                           dst: Either[String, IndexedSeq[String]]) {
+    def apply(code: Int): Option[String] =
+      if (code < lo || code > hi) None
+      else dst match {
+        // continuous form increments the last UTF-16 unit (PDF 32000 §9.10.3)
+        case Left(s) if s.nonEmpty => Some(s.init + (s.last + (code - lo)).toChar)
+        case Right(arr) => arr.lift(code - lo)
+        case _ => None
+      }
+  }
+
+  private val HexTok = """<([0-9A-Fa-f]+)>""".r
+
+  private def utf16Of(hex: String): String = {
+    val unit = if (hex.length % 4 == 0) 4 else 2
+    hex.grouped(unit).map(h => Integer.parseInt(h, 16).toChar).mkString
+  }
+
+  private def sections(src: String, begin: String, end: String): Iterator[String] = {
+    Iterator.unfold(0) { from =>
+      val b = src.indexOf(begin, from)
+      if (b < 0) None
+      else {
+        val e = src.indexOf(end, b)
+        val stop = if (e < 0) src.length else e
+        Some((src.substring(b + begin.length, stop), stop + end.length))
+      }
+    }
+  }
+
+  private[kernel] def parseCMap(data: Array[Byte]): Option[CMap] = {
+    try {
+      val src = new String(data, StandardCharsets.ISO_8859_1)
+      var codeBytes = 0
+      for (sec <- sections(src, "begincodespacerange", "endcodespacerange");
+           m <- HexTok.findFirstMatchIn(sec) if codeBytes == 0)
+        codeBytes = (m.group(1).length + 1) / 2
+      val single = Map.newBuilder[Int, String]
+      for (sec <- sections(src, "beginbfchar", "endbfchar")) {
+        val toks = HexTok.findAllMatchIn(sec).map(_.group(1)).toSeq
+        toks.grouped(2).foreach {
+          case Seq(s, d) =>
+            if (codeBytes == 0) codeBytes = (s.length + 1) / 2
+            single += Integer.parseInt(s, 16) -> utf16Of(d)
+          case _ => ()
+        }
+      }
+      val ranges = ArrayBuffer[BfRange]()
+      for (sec <- sections(src, "beginbfrange", "endbfrange")) {
+        // token scan: <lo> <hi> then either <dstStart> or [ <dst> <dst> ... ]
+        var i = 0
+        def nextHex(): Option[String] =
+          HexTok.findFirstMatchIn(sec.substring(i)).map { m =>
+            i += m.end
+            m.group(1)
+          }
+        var done = false
+        while (!done) {
+          (nextHex(), nextHex()) match {
+            case (Some(lo), Some(hi)) =>
+              var j = i
+              while (j < sec.length && sec.charAt(j).isWhitespace) j += 1
+              val dst =
+                if (j < sec.length && sec.charAt(j) == '[') {
+                  val close = sec.indexOf(']', j)
+                  val stop = if (close < 0) sec.length else close
+                  val arr = HexTok.findAllMatchIn(sec.substring(j, stop))
+                    .map(m => utf16Of(m.group(1))).toIndexedSeq
+                  i = stop + 1
+                  Some(Right(arr): Either[String, IndexedSeq[String]])
+                } else nextHex().map(d => Left(utf16Of(d)))
+              dst match {
+                case Some(d) =>
+                  if (codeBytes == 0) codeBytes = (lo.length + 1) / 2
+                  ranges += BfRange(Integer.parseInt(lo, 16), Integer.parseInt(hi, 16), d)
+                case None => done = true
+              }
+            case _ => done = true
+          }
+        }
+      }
+      val s = single.result()
+      if (s.isEmpty && ranges.isEmpty) None
+      else Some(CMap(if (codeBytes == 0) 1 else codeBytes, s, ranges.toSeq))
+    } catch { case _: Exception => None }
+  }
+
+  // ------------------------------------------------------------------- text
+
   /** Text blocks from one content stream: each BT..ET block becomes one
-    * block string; `Td`/`TD`/`T*` between shows break lines with \n. */
-  private[kernel] def extractTextBlocks(stream: Array[Byte]): Seq[String] = {
+    * block string; `Td`/`TD`/`T*` between shows break lines with \n.
+    * Fonts selected by `Tf` drive string decoding; a font marked
+    * Undecodable records its name in `undecodable` (the caller fails the
+    * whole document). */
+  private[kernel] def extractTextBlocks(stream: Array[Byte],
+                                        fonts: Map[String, FontInfo],
+                                        undecodable: mutable.Set[String]): Seq[String] = {
     val src = new String(stream, StandardCharsets.ISO_8859_1)
     val blocks = ArrayBuffer[String]()
     var i = 0
@@ -102,7 +343,7 @@ object PdfParser extends FormatParser {
       else {
         val et = indexOfToken(src, "ET", bt + 2)
         val end = if (et < 0) src.length else et
-        val text = extractFromBlock(src.substring(bt + 2, end))
+        val text = extractFromBlock(src.substring(bt + 2, end), fonts, undecodable)
         if (text.trim.nonEmpty) blocks += text.trim
         i = end + 2
       }
@@ -121,29 +362,60 @@ object PdfParser extends FormatParser {
     -1
   }
 
-  /** Walk one BT block: collect literal strings fed to Tj/TJ/' and insert
-    * newlines at Td/TD/T* operators that follow emitted text. */
-  private def extractFromBlock(block: String): String = {
+  /** Walk one BT block: collect literal strings fed to Tj/TJ/', decode
+    * them through the current `Tf` font, and insert newlines at
+    * Td/TD/T* operators that follow emitted text. */
+  private def extractFromBlock(block: String,
+                               fonts: Map[String, FontInfo],
+                               undecodable: mutable.Set[String]): String = {
     val sb = new StringBuilder
     var i = 0
     var emitted = false
+    var lastName = ""
+    var curFontName = ""
+    var curFont: Option[FontInfo] = None
     def newline(): Unit = {
       if (emitted && sb.nonEmpty && !sb.endsWith("\n")) sb += '\n'
+    }
+    def emit(rawChars: String): Unit = {
+      curFont.map(_.dec).getOrElse(Latin1) match {
+        case Latin1 => sb ++= rawChars
+        case ByteCharset(cs) =>
+          sb ++= new String(rawChars.map(_.toByte).toArray, cs)
+        case CMapDec(c) =>
+          rawChars.grouped(c.codeBytes).foreach { grp =>
+            val code = grp.foldLeft(0)((acc, ch) => (acc << 8) | (ch & 0xFF))
+            sb ++= c.lookup(code).getOrElse("�")
+          }
+        case Undecodable =>
+          undecodable += curFont.map(f => s"/$curFontName (${f.baseName})").getOrElse(curFontName)
+      }
+      emitted = true
     }
     while (i < block.length) {
       block.charAt(i) match {
         case '(' =>
           val (s, next) = readLiteralString(block, i)
-          sb ++= s
-          emitted = true
+          emit(s)
           i = next
         case '<' if i + 1 < block.length && block.charAt(i + 1) != '<' =>
           val end = block.indexOf('>', i)
           if (end > 0) {
-            sb ++= decodeHexString(block.substring(i + 1, end))
-            emitted = true
+            emit(decodeHexBytes(block.substring(i + 1, end)))
             i = end + 1
           } else i += 1
+        case '/' =>
+          val start = i + 1
+          var j = start
+          while (j < block.length && (block.charAt(j).isLetterOrDigit ||
+            block.charAt(j) == '_' || block.charAt(j) == '.' ||
+            block.charAt(j) == '+' || block.charAt(j) == '-')) j += 1
+          lastName = block.substring(start, j)
+          i = j
+        case 'T' if i + 1 < block.length && block.charAt(i + 1) == 'f' =>
+          curFontName = lastName
+          curFont = fonts.get(lastName)
+          i += 2
         case 'T' if i + 1 < block.length &&
           (block.charAt(i + 1) == 'd' || block.charAt(i + 1) == 'D' || block.charAt(i + 1) == '*') =>
           newline(); i += 2
@@ -191,7 +463,9 @@ object PdfParser extends FormatParser {
     (sb.toString, i)
   }
 
-  private def decodeHexString(hex: String): String = {
+  /** Hex string → raw byte chars (0-255); decoding through the font's
+    * charset/CMap happens in `emit`. */
+  private def decodeHexBytes(hex: String): String = {
     val clean = hex.filterNot(_.isWhitespace)
     val padded = if (clean.length % 2 == 1) clean + "0" else clean
     padded.grouped(2).flatMap { h =>

@@ -87,4 +87,114 @@ class PdfParserSpec extends AnyFunSuite {
     assert(r.error == null)
     assert(r.markdown == "A)B (nested) A")
   }
+
+  // ---- font/CMap fixtures: objects assembled as (num, body) with optional
+  //      stream payloads, mirroring real PDF producer layout ----
+
+  private def pdfObjs(objs: Seq[(Int, String, Option[String])]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write("%PDF-1.4\n".getBytes(StandardCharsets.ISO_8859_1))
+    objs.foreach { case (num, dict, stream) =>
+      stream match {
+        case None =>
+          bos.write(s"$num 0 obj\n$dict\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+        case Some(s) =>
+          val payload = s.getBytes(StandardCharsets.ISO_8859_1)
+          bos.write(s"$num 0 obj\n<< /Length ${payload.length}$dict >>\nstream\n"
+            .getBytes(StandardCharsets.ISO_8859_1))
+          bos.write(payload)
+          bos.write("\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+      }
+    }
+    bos.write("%%EOF\n".getBytes(StandardCharsets.ISO_8859_1))
+    bos.toByteArray
+  }
+
+  private val helloCMap =
+    """/CIDInit /ProcSet findresource begin begincmap
+      |1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |2 beginbfchar
+      |<0003> <0048>
+      |<0015> <0021>
+      |endbfchar
+      |1 beginbfrange
+      |<0020> <0039> <0061>
+      |endbfrange
+      |endcmap end""".stripMargin
+
+  test("Type0 font with ToUnicode CMap decodes 2-byte codes to real text") {
+    // codes: 0003=H (bfchar), 0024='e', 002B='l', 002E='o' (bfrange), 0015='!'
+    val bytes = pdfObjs(Seq(
+      (1, "<< /Type /Page /Resources << /Font << /F1 5 0 R >> >> /Contents 7 0 R >>", None),
+      (5, "<< /Type /Font /Subtype /Type0 /BaseFont /ABCDE+TestSans /Encoding /Identity-H /ToUnicode 6 0 R >>", None),
+      (6, "", Some(helloCMap)),
+      (7, "", Some("BT /F1 12 Tf <0003 0024 002B 002B 002E 0015> Tj ET"))))
+    val r = convertOne("subset.pdf", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "Hello!")
+  }
+
+  test("bfrange array form maps each code to its listed replacement") {
+    val cmap =
+      """begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |1 beginbfrange
+        |<0001> <0003> [<0066006C> <00660066> <0041>]
+        |endbfrange
+        |endcmap""".stripMargin
+    val bytes = pdfObjs(Seq(
+      (1, "<< /Type /Page /Resources << /Font << /F9 2 0 R >> >> >>", None),
+      (2, "<< /Type /Font /Subtype /Type0 /BaseFont /Lig /ToUnicode 3 0 R >>", None),
+      (3, "", Some(cmap)),
+      (4, "", Some("BT /F9 8 Tf <000100020003> Tj ET"))))
+    val r = convertOne("lig.pdf", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "flffA")
+  }
+
+  test("Identity-H font with no ToUnicode fails honestly instead of garbling") {
+    val bytes = pdfObjs(Seq(
+      (1, "<< /Type /Page /Resources << /Font << /F1 2 0 R >> >> >>", None),
+      (2, "<< /Type /Font /Subtype /Type0 /BaseFont /XYZZY+Mystery /Encoding /Identity-H >>", None),
+      (3, "", Some("BT /F1 12 Tf <00440045> Tj ET"))))
+    val r = convertOne("glyphs.pdf", bytes)
+    assert(r.markdown == null)
+    assert(r.error != null && r.error.contains("ToUnicode") &&
+      r.error.contains("XYZZY+Mystery"))
+  }
+
+  test("WinAnsiEncoding decodes cp1252 bytes (curly quotes) correctly") {
+    // octal \223 \224 are cp1252 left/right double quotes, NOT latin-1
+    val bytes = pdfObjs(Seq(
+      (1, "<< /Type /Page /Resources << /Font << /F2 2 0 R >> >> >>", None),
+      (2, "<< /Type /Font /Subtype /TrueType /BaseFont /Helv /Encoding /WinAnsiEncoding >>", None),
+      (3, "", Some("BT /F2 10 Tf (\\223Hi\\224) Tj ET"))))
+    val r = convertOne("quotes.pdf", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "“Hi”")
+  }
+
+  test("undeclared font name falls back to latin-1 passthrough (legacy behavior)") {
+    val bytes = pdfObjs(Seq(
+      (4, "", Some("BT /F1 12 Tf (Plain text.) Tj ET"))))
+    val r = convertOne("plain.pdf", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "Plain text.")
+  }
+
+  test("ToUnicode CMap stream itself is not scanned as page content") {
+    // a CMap containing the letters B and T must not be mistaken for text ops
+    val bytes = pdfObjs(Seq(
+      (1, "<< /Type /Page /Resources << /Font << /F1 5 0 R >> >> >>", None),
+      (5, "<< /Type /Font /Subtype /Type0 /BaseFont /S /ToUnicode 6 0 R >>", None),
+      (6, "", Some(helloCMap)),
+      (7, "", Some("BT /F1 1 Tf <0003> Tj ET"))))
+    val r = convertOne("one.pdf", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "H")
+  }
 }
