@@ -39,12 +39,20 @@ object ConvertKernel {
   /** Immutable per-request options (reference `_build_pipeline_options`,
     * service.py:57-61 — the deep-copy isolation the reference regression-
     * tests is impossible-by-construction here). Scale clamp [1,4] mirrors
-    * route.py:46-51. */
+    * route.py:46-51. `outputFormat` selects the serializer for the result's
+    * content column — the reference declares the same enum (md, json, text,
+    * doctags; utils.py:20-24) but wires only markdown; markdown stays the
+    * default here for wire parity. Anchor splicing of image filenames only
+    * rewrites markdown output (the anchors are markdown constructs); other
+    * formats still carry the full images array with identical counters. */
   final case class ConversionConfig(
       extractTablesAsImages: Boolean = false,
-      imageResolutionScale: Int = 4) {
+      imageResolutionScale: Int = 4,
+      outputFormat: String = "md") {
     require(imageResolutionScale >= 1 && imageResolutionScale <= 4,
       "image_resolution_scale must be in [1,4]")
+    require(OutputSerializers.byFormat.contains(outputFormat),
+      s"output_format must be one of ${OutputSerializers.byFormat.keys.toSeq.sorted.mkString(", ")}")
     /** The reference's per-request copy-with-overrides, as a pure copy. */
     def withOverrides(extractTables: Boolean, scale: Int): ConversionConfig =
       copy(extractTablesAsImages = extractTables, imageResolutionScale = scale)
@@ -113,9 +121,13 @@ object ConvertKernel {
                     t.numRows, t.numCols, config.imageResolutionScale)))
                 case e => e
               }
-              val md = DocModel.renderMarkdown(DocModel.DocTree(tree.name, items))
-              val (content_md, images) = ImageSplicer.splice(md, items)
-              ConversionResult(stem(filename), content_md,
+              val rendered = OutputSerializers.byFormat(config.outputFormat)
+                .serialize(DocModel.DocTree(tree.name, items))
+              // splice rewrites markdown anchors only; in other formats the
+              // anchors never match, so content passes through and the
+              // images array still accumulates with the same counters
+              val (content_out, images) = ImageSplicer.splice(rendered, items)
+              ConversionResult(stem(filename), content_out,
                 images.map(i => ImageData(i.imageType, i.filename, i.base64Png)), null)
           }
       }

@@ -5,12 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata.
   *
-  * m1: the fixture corpus has no real image/audio bytes, so the payload is
-  * the UTF-8 encoding of `documents.text` and the "decode" a deterministic
-  * fake — what's verified is the BinaryType flow and metadata extraction.
-  * m2 goes further: javax.imageio IS a real JVM codec, so deterministic
-  * PNGs are decoded, measured and resized for real inside mapPartitions,
-  * with the oracle recomputing the expected measurements independently.
+  * m1: header-only metadata extraction over REAL binary payloads —
+  * deterministic PNGs (same per-doc dimension contract m2 decodes) whose
+  * magic bytes and IHDR width/height are read with PURE relational
+  * functions (substring/hex/conv on the BinaryType column). This is the
+  * 100 TB fast path: classifying/validating a binary corpus from fixed
+  * header offsets stays whole-stage-codegen'd, touches no codec, and never
+  * decompresses pixel data. The oracle recomputes the expected fields from
+  * the renderer's dimension contract (a pure function of doc_id).
+  * m2 goes further: javax.imageio IS a real JVM codec, so the same PNGs
+  * are decoded, measured and resized for real inside mapPartitions.
   * Audio/video frame-sampling would slot into the same batch shape.
   */
 object Multimodal {
@@ -20,25 +24,37 @@ object Multimodal {
       "m1_binary_metadata",
       (s, dir) => {
         import s.implicits._
-        Tables(s, dir, "documents")
-          .withColumn("payload", encode($"text", "UTF-8"))
-          .select(
-            $"doc_id",
-            octet_length($"payload").cast("long").as("n_bytes"),
-            ascii(substring($"text", 1, 1)).cast("long").as("magic_byte"),
-            // deterministic fake "decode": pretend dimensions from size
-            (octet_length($"payload") % 640).cast("long").as("fake_width"),
-            (octet_length($"payload") % 480).cast("long").as("fake_height"),
-            (octet_length($"payload") / 100 + 1).cast("long").as("fake_frames"))
+        // real binary payloads (one rendered PNG per scale, memoized per
+        // partition); extraction below is relational, not per-row JVM code
+        val payloads = Tables(s, dir, "documents").select($"doc_id").as[Long]
+          .mapPartitions { it =>
+            val rendered = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+            it.map { id =>
+              val scale = (id % 4 + 1).toInt
+              (id, rendered.getOrElseUpdate(scale,
+                graft.kernel.ImageRenderer.renderPicture(scale)))
+            }
+          }.toDF("doc_id", "payload")
+        // PNG layout: bytes 1-8 signature, 13-16 "IHDR", 17-20 width (BE),
+        // 21-24 height (BE) — all at fixed offsets, so substring/hex/conv
+        // extract them codegen'd without any image decode
+        payloads.select(
+          $"doc_id",
+          hex(substring($"payload", 1, 4)).as("magic_hex"),
+          (substring($"payload", 13, 4) === lit("IHDR").cast("binary")).as("has_ihdr"),
+          conv(hex(substring($"payload", 17, 4)), 16, 10).cast("long").as("width"),
+          conv(hex(substring($"payload", 21, 4)), 16, 10).cast("long").as("height"))
           .orderBy($"doc_id")
       },
+      // total byte count is encoder-dependent and not recomputable in SQL,
+      // so the oracle pins header presence (has_ihdr) plus the exact magic
+      // and IHDR dimensions from the renderer's doc_id contract.
       Some("""
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS magic_byte,
-               CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
-               CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height,
-               CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS fake_frames
+               '89504E47' AS magic_hex,
+               TRUE AS has_ihdr,
+               CAST(64 * (doc_id % 4 + 1) AS BIGINT) AS width,
+               CAST(48 * (doc_id % 4 + 1) AS BIGINT) AS height
         FROM documents ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------- m2

@@ -39,6 +39,16 @@ class PipelineSpec extends SparkTestBase {
       Some(ingest.UploadValidation.fileTooLargeError(1)))
   }
 
+  test("convertDirectory honors the requested output format end-to-end") {
+    val dir = Files.createTempDirectory("graft-pipeline-json")
+    write(dir, "notes.md", "# Hello\n\nBody.".getBytes(StandardCharsets.UTF_8))
+    val config = kernel.ConvertKernel.ConversionConfig(outputFormat = "json")
+    val out = Pipeline.convertDirectory(spark, dir.toString, config = config)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("notes") ==
+      """{"name":"notes.md","items":[{"kind":"heading","level":1,"text":"Hello"},{"kind":"text","text":"Body."}]}""")
+  }
+
   test("convertDirectory single mode reports stems in error rows") {
     val dir = Files.createTempDirectory("graft-pipeline-single")
     write(dir, "song.md", "ID3".getBytes ++ Array[Byte](4, 0) ++ Array.fill[Byte](64)(7))

@@ -67,6 +67,22 @@ class ConvertKernelSpec extends SparkTestBase {
       (2 * ImageRenderer.CellW * 2, 3 * ImageRenderer.CellH * 2))
   }
 
+  test("output_format selects the serializer; non-md formats keep the images array") {
+    val src = "# Doc\n\n![figure](fig.png)\n\nAfter."
+    val text = convertOne("doc.md", b(src), ConversionConfig(outputFormat = "text"))
+    assert(text.error == null)
+    // text serialization, no markdown anchor splice, images still emitted
+    assert(text.markdown == "Doc\n\n[image]\n\nAfter.")
+    assert(text.images.map(_.filename) == Seq("picture-1.png"))
+
+    val tags = convertOne("doc.md", b(src), ConversionConfig(outputFormat = "doctags"))
+    assert(tags.markdown ==
+      "<section_header_level_1>Doc</section_header_level_1>\n<picture/>\n<text>After.</text>")
+    assert(tags.images.map(_.filename) == Seq("picture-1.png"))
+
+    intercept[IllegalArgumentException](ConversionConfig(outputFormat = "yaml"))
+  }
+
   test("csv with cp1252 content transcodes then renders one markdown table (O7)") {
     val src = "name,quote\nalice,“hi”\n"
     val r = convertOne("data.csv", src.getBytes(Charset.forName("windows-1252")))
