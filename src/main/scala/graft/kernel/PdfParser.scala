@@ -24,10 +24,16 @@ import graft.kernel.DocModel._
   * UNDECODABLE and fails the whole document with an honest error row
   * instead of emitting silently garbled text (the error-as-column
   * contract, reference service.py:141-150 handles these via Docling's
-  * font stack). No layout model, no OCR: an image-only (scanned) PDF
-  * yields no text and reports the reference's error-row shape, pointing
-  * at the missing ML models (Docling's layout/OCR stack, reference
-  * Dockerfile:45-51).
+  * font stack). Embedded image XObjects referenced by `Do` operators are
+  * extracted in stream order — /DCTDecode payloads ship as the embedded
+  * JPEG, 8-bit Flate RGB/gray rasters (incl. the PNG row predictor) are
+  * reconstructed — and splice into the images array like DOCX/PPTX media
+  * (reference ships document pictures the same way, service.py:106-128);
+  * codecs outside the JVM's reach (CCITT, JBIG2, JPX) omit the picture
+  * rather than faking a placeholder. No layout model, no OCR: an
+  * image-only (scanned) PDF yields no text and reports the reference's
+  * error-row shape, pointing at the missing ML models (Docling's
+  * layout/OCR stack, reference Dockerfile:45-51).
   *
   * Approximations, documented: font resource names (`/F1`) are resolved
   * in one global namespace across all pages (per-page /Resources scoping
@@ -41,22 +47,26 @@ object PdfParser extends FormatParser {
     try {
       val objs = parseObjects(bytes)
       val (fonts, toUnicodeNums) = buildFonts(objs)
-      val streams =
+      val imagesByName = buildImages(objs)
+      val streams = pageOrderedStreams(objs).getOrElse {
+        // no page tree: every stream in FILE order (minimal/linearized
+        // files, or producers without a parsable catalog)
         if (objs.exists(_.data.isDefined))
           objs.filter(o => o.data.isDefined && !toUnicodeNums(o.num) &&
             ImageSubtype.findFirstIn(o.body).isEmpty &&
             FontType.findFirstIn(o.body).isEmpty)
             .flatMap(_.data)
         else contentStreams(bytes) // streams outside any obj wrapper
+      }
       val undecodable = mutable.SortedSet[String]()
-      val blocks = streams.flatMap(extractTextBlocks(_, fonts, undecodable))
+      val elements = streams.flatMap(extractElements(_, fonts, undecodable, imagesByName))
       if (undecodable.nonEmpty)
         Left(s"PDF text uses font(s) ${undecodable.mkString(", ")} with a " +
           "non-identity encoding and no /ToUnicode CMap; cannot decode text reliably")
-      else if (blocks.isEmpty)
+      else if (!elements.exists(_.isInstanceOf[TextElement]))
         Left("PDF has no extractable text (image-only PDFs need OCR models not available in this build)")
       else
-        Right(DocTree(name, blocks.map(TextElement(_))))
+        Right(DocTree(name, elements))
     } catch {
       case e: Exception => Left(s"Invalid PDF: ${e.getMessage}")
     }
@@ -64,10 +74,13 @@ object PdfParser extends FormatParser {
 
   // ---------------------------------------------------------------- objects
 
-  /** One indirect object: number, body text (ISO-8859-1 view), and the
-    * decoded stream payload when the object carries a Flate/plain stream. */
+  /** One indirect object: number, body text (ISO-8859-1 view), the decoded
+    * stream payload when the object carries a Flate/plain stream, and the
+    * raw (undecoded) payload for other filters — e.g. /DCTDecode image
+    * data, which IS the embedded JPEG byte-for-byte. */
   private[kernel] final case class PdfObject(num: Int, body: String,
-                                             data: Option[Array[Byte]])
+                                             data: Option[Array[Byte]],
+                                             raw: Option[Array[Byte]] = None)
 
   private val ObjStart = """(\d+)\s+\d+\s+obj\b""".r
   private val FontType = """/Type\s*/Font""".r
@@ -86,23 +99,25 @@ object PdfParser extends FormatParser {
       val bodyEnd = if (endObj < 0) raw.length else endObj
       val body = raw.substring(m.end, bodyEnd)
       val s = body.indexOf("stream")
-      val data =
-        if (s < 0) None
+      val (data, rawPayload) =
+        if (s < 0) (None, None)
         else {
           var p = m.end + s + "stream".length
           if (p < raw.length && raw.charAt(p) == '\r') p += 1
           if (p < raw.length && raw.charAt(p) == '\n') p += 1
           val e = raw.indexOf("endstream", p)
-          if (e < 0) None
+          if (e < 0) (None, None)
           else {
             val payload = bytes.slice(p, e)
             val dict = body.substring(0, s)
             val isFlate = dict.contains("/FlateDecode")
-            if (dict.contains("/Filter") && !isFlate) None
-            else if (isFlate) inflate(payload) else Some(trimEol(payload))
+            val decoded =
+              if (dict.contains("/Filter") && !isFlate) None
+              else if (isFlate) inflate(payload) else Some(trimEol(payload))
+            (decoded, Some(payload))
           }
         }
-      out += PdfObject(m.group(1).toInt, body, data)
+      out += PdfObject(m.group(1).toInt, body, data, rawPayload)
       cursor = math.max(bodyEnd + "endobj".length, m.end)
     }
     out.toSeq
@@ -226,6 +241,168 @@ object PdfParser extends FormatParser {
     (byName.result(), toUnicodeNums.toSet)
   }
 
+  // ------------------------------------------------------------- page order
+
+  private val PagesRef = """/Pages\s+(\d+)\s+\d+\s+R""".r
+  private val KidsRe = """/Kids\s*\[([^\]]*)\]""".r
+  private val RefRe = """(\d+)\s+\d+\s+R""".r
+  private val ContentsArr = """/Contents\s*\[([^\]]*)\]""".r
+  private val ContentsRef = """/Contents\s+(\d+)\s+\d+\s+R""".r
+  private val PageType = """/Type\s*/Page(?![a-zA-Z])""".r
+
+  /** Content streams in PAGE order via the document catalog: /Root (or any
+    * /Type /Pages root) → /Kids recursion → each page's /Contents (single
+    * ref or array). Real producers frequently write objects out of page
+    * order (incremental updates, linearization), so file order is only the
+    * fallback. Returns None when no page tree resolves. */
+  private def pageOrderedStreams(objs: Seq[PdfObject]): Option[Seq[Array[Byte]]] = {
+    val byNum = objs.map(o => o.num -> o).toMap
+    def pagesOf(num: Int, depth: Int): Seq[PdfObject] =
+      if (depth > 32) Seq.empty // cycle guard
+      else byNum.get(num).toSeq.flatMap { o =>
+        if (PageType.findFirstIn(o.body).isDefined) Seq(o)
+        else KidsRe.findFirstMatchIn(o.body).toSeq.flatMap(k =>
+          RefRe.findAllMatchIn(k.group(1)).map(_.group(1).toInt).toSeq
+            .flatMap(pagesOf(_, depth + 1)))
+      }
+    val rootPagesNum = objs.iterator
+      .filter(o => o.body.contains("/Type /Catalog") || o.body.contains("/Type/Catalog"))
+      .flatMap(o => PagesRef.findFirstMatchIn(o.body).map(_.group(1).toInt))
+      .nextOption()
+      .orElse(objs.find(o => o.body.contains("/Type /Pages") || o.body.contains("/Type/Pages"))
+        .map(_.num))
+    val pages = rootPagesNum.map(pagesOf(_, 0)).getOrElse(Seq.empty)
+    if (pages.isEmpty) None
+    else {
+      val streams = pages.flatMap { p =>
+        val refs = ContentsArr.findFirstMatchIn(p.body)
+          .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq)
+          .orElse(ContentsRef.findFirstMatchIn(p.body).map(m => Seq(m.group(1).toInt)))
+          .getOrElse(Seq.empty)
+        refs.flatMap(byNum.get).flatMap(_.data)
+      }
+      if (streams.isEmpty) None else Some(streams)
+    }
+  }
+
+  // ----------------------------------------------------------------- images
+
+  private val WidthRe = """/Width\s+(\d+)""".r
+  private val HeightRe = """/Height\s+(\d+)""".r
+  private val BpcRe = """/BitsPerComponent\s+(\d+)""".r
+  private val PredictorRe = """/Predictor\s+(\d+)""".r
+  private val XObjDictRe = """/XObject\s*<<([^>]*)>>""".r
+  private val DoRe = """/([A-Za-z0-9._]+)\s+Do(?![A-Za-z0-9])""".r
+
+  /** Decodable embedded images, keyed by their content-stream resource name
+    * (`/Im1` → PNG/JPEG bytes the kernel can hand to ImageIO):
+    *  - /DCTDecode payloads ARE the embedded JPEG, shipped raw;
+    *  - /FlateDecode 8-bit DeviceRGB/DeviceGray rasters (with or without
+    *    the PNG row predictor, /Predictor >= 10) are reconstructed and
+    *    re-encoded as PNG.
+    * Everything else (CCITT, JBIG2, JPX, palette/CMYK rasters) is left out
+    * — the picture is simply not emitted rather than shipping a synthetic
+    * placeholder as if it were document content. */
+  private def buildImages(objs: Seq[PdfObject]): Map[String, Array[Byte]] = {
+    val byNum: Map[Int, Array[Byte]] = objs.flatMap { o =>
+      if (ImageSubtype.findFirstIn(o.body).isEmpty) None
+      else if (o.body.contains("/DCTDecode")) o.raw.map(o.num -> _)
+      else if (o.body.contains("/FlateDecode")) {
+        for {
+          w <- WidthRe.findFirstMatchIn(o.body).map(_.group(1).toInt)
+          h <- HeightRe.findFirstMatchIn(o.body).map(_.group(1).toInt)
+          bpc <- BpcRe.findFirstMatchIn(o.body).map(_.group(1).toInt)
+          if bpc == 8
+          colors <- if (o.body.contains("/DeviceRGB")) Some(3)
+                    else if (o.body.contains("/DeviceGray")) Some(1) else None
+          data <- o.data
+          samples = PredictorRe.findFirstMatchIn(o.body).map(_.group(1).toInt) match {
+            case Some(p) if p >= 10 => unPredictPng(data, w, colors)
+            case _ => data
+          }
+          png <- rasterToPng(samples, w, h, colors)
+        } yield o.num -> png
+      } else None
+    }.toMap
+    // resource name -> image bytes, via /XObject dicts (same one-global-
+    // namespace approximation as fonts)
+    val byName = Map.newBuilder[String, Array[Byte]]
+    for {
+      o <- objs
+      d <- XObjDictRe.findAllMatchIn(o.body)
+      r <- FontRefRe.findAllMatchIn(d.group(1))
+      img <- byNum.get(r.group(2).toInt)
+    } byName += r.group(1) -> img
+    byName.result()
+  }
+
+  /** Reverse the PNG row predictor (filters 0-4 per row, PDF 32000 §7.4.4.4
+    * delegating to the PNG spec): `data` is rows of (1 filter byte +
+    * columns*colors sample bytes). */
+  private[kernel] def unPredictPng(data: Array[Byte], columns: Int, colors: Int): Array[Byte] = {
+    val rowBytes = columns * colors
+    val rows = data.length / (rowBytes + 1)
+    val out = new Array[Byte](rows * rowBytes)
+    var r = 0
+    while (r < rows) {
+      val filter = data(r * (rowBytes + 1)) & 0xFF
+      val src = r * (rowBytes + 1) + 1
+      val dst = r * rowBytes
+      var i = 0
+      while (i < rowBytes) {
+        val rawB = data(src + i) & 0xFF
+        val left = if (i >= colors) out(dst + i - colors) & 0xFF else 0
+        val up = if (r > 0) out(dst - rowBytes + i) & 0xFF else 0
+        val upLeft = if (r > 0 && i >= colors) out(dst - rowBytes + i - colors) & 0xFF else 0
+        val v = filter match {
+          case 0 => rawB
+          case 1 => rawB + left
+          case 2 => rawB + up
+          case 3 => rawB + (left + up) / 2
+          case 4 =>
+            val p = left + up - upLeft
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - upLeft)
+            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
+            rawB + pred
+          case _ => rawB
+        }
+        out(dst + i) = (v & 0xFF).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** 8-bit RGB/gray samples → PNG bytes (row-major, no alpha). */
+  private def rasterToPng(samples: Array[Byte], w: Int, h: Int, colors: Int): Option[Array[Byte]] = {
+    if (w <= 0 || h <= 0 || samples.length < w * h * colors) return None
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    var idx = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb =
+          if (colors == 3)
+            ((samples(idx) & 0xFF) << 16) | ((samples(idx + 1) & 0xFF) << 8) | (samples(idx + 2) & 0xFF)
+          else {
+            val g = samples(idx) & 0xFF
+            (g << 16) | (g << 8) | g
+          }
+        img.setRGB(x, y, rgb)
+        idx += colors
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    Some(bos.toByteArray)
+  }
+
   // ------------------------------------------------------------------- cmap
 
   /** A /ToUnicode CMap: fixed code width in bytes plus the bfchar/bfrange
@@ -326,29 +503,37 @@ object PdfParser extends FormatParser {
 
   // ------------------------------------------------------------------- text
 
-  /** Text blocks from one content stream: each BT..ET block becomes one
-    * block string; `Td`/`TD`/`T*` between shows break lines with \n.
-    * Fonts selected by `Tf` drive string decoding; a font marked
-    * Undecodable records its name in `undecodable` (the caller fails the
-    * whole document). */
-  private[kernel] def extractTextBlocks(stream: Array[Byte],
-                                        fonts: Map[String, FontInfo],
-                                        undecodable: mutable.Set[String]): Seq[String] = {
+  /** Elements from one content stream, in stream order: each BT..ET block
+    * becomes one TextElement (with `Td`/`TD`/`T*` line breaks inside);
+    * `/Name Do` invocations of decodable image XObjects between text blocks
+    * become PictureElements carrying the embedded bytes. Fonts selected by
+    * `Tf` drive string decoding; a font marked Undecodable records its name
+    * in `undecodable` (the caller fails the whole document). */
+  private[kernel] def extractElements(stream: Array[Byte],
+                                      fonts: Map[String, FontInfo],
+                                      undecodable: mutable.Set[String],
+                                      images: Map[String, Array[Byte]]): Seq[Element] = {
     val src = new String(stream, StandardCharsets.ISO_8859_1)
-    val blocks = ArrayBuffer[String]()
+    val out = ArrayBuffer[Element]()
+    def scanPictures(from: Int, until: Int): Unit =
+      if (images.nonEmpty && until > from)
+        for (m <- DoRe.findAllMatchIn(src.substring(from, until));
+             img <- images.get(m.group(1)))
+          out += PictureElement(rawMedia = Some(img))
     var i = 0
     while (i < src.length) {
       val bt = indexOfToken(src, "BT", i)
-      if (bt < 0) { i = src.length }
+      if (bt < 0) { scanPictures(i, src.length); i = src.length }
       else {
+        scanPictures(i, bt)
         val et = indexOfToken(src, "ET", bt + 2)
         val end = if (et < 0) src.length else et
         val text = extractFromBlock(src.substring(bt + 2, end), fonts, undecodable)
-        if (text.trim.nonEmpty) blocks += text.trim
+        if (text.trim.nonEmpty) out += TextElement(text.trim)
         i = end + 2
       }
     }
-    blocks.toSeq
+    out.toSeq
   }
 
   private def indexOfToken(s: String, tok: String, from: Int): Int = {

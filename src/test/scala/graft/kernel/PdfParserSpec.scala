@@ -186,6 +186,115 @@ class PdfParserSpec extends AnyFunSuite {
     assert(r.markdown == "Plain text.")
   }
 
+  test("DCTDecode image XObject ships the embedded JPEG, spliced in stream order") {
+    // a real 8x6 JPEG via ImageIO
+    val img = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 6).foreach(y => (0 until 8).foreach(x => img.setRGB(x, y, 0x3366CC)))
+    val jbos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbos)
+    val jpeg = new String(jbos.toByteArray, StandardCharsets.ISO_8859_1)
+
+    val bos = new ByteArrayOutputStream()
+    bos.write("%PDF-1.4\n".getBytes(StandardCharsets.ISO_8859_1))
+    bos.write(("1 0 obj\n<< /Type /Page /Resources << /XObject << /Im1 2 0 R >> >> >>\nendobj\n" +
+      s"2 0 obj\n<< /Subtype /Image /Width 8 /Height 6 /Filter /DCTDecode /Length ${jpeg.length} >>\nstream\n")
+      .getBytes(StandardCharsets.ISO_8859_1))
+    bos.write(jbos.toByteArray)
+    val content = "BT (Before.) Tj ET q 8 0 0 6 0 0 cm /Im1 Do Q BT (After.) Tj ET"
+    bos.write(("\nendstream\nendobj\n" +
+      s"3 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n%%EOF\n")
+      .getBytes(StandardCharsets.ISO_8859_1))
+
+    val r = convertOne("fig.pdf", bos.toByteArray)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "Before.\n\npicture-1.png\n\nAfter.")
+    assert(r.images.map(_.filename) == Seq("picture-1.png"))
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      java.util.Base64.getDecoder.decode(r.images.head.image)))
+    // native 8x6 scaled by default images_scale 4
+    assert((decoded.getWidth, decoded.getHeight) == (32, 24))
+  }
+
+  test("FlateDecode RGB raster with PNG predictor reconstructs exact pixels") {
+    // 3x2 RGB: red green blue / white black gray, rows filtered with Sub(1)
+    val pixels: Array[Array[Int]] = Array(
+      Array(0xFF0000, 0x00FF00, 0x0000FF),
+      Array(0xFFFFFF, 0x000000, 0x808080))
+    val rowBytes = 3 * 3
+    val filtered = new ByteArrayOutputStream()
+    pixels.foreach { row =>
+      filtered.write(1) // Sub filter
+      val rawRow = row.flatMap(p =>
+        Seq(((p >> 16) & 0xFF).toByte, ((p >> 8) & 0xFF).toByte, (p & 0xFF).toByte))
+      var i = 0
+      while (i < rowBytes) {
+        val left = if (i >= 3) rawRow(i - 3) & 0xFF else 0
+        filtered.write(((rawRow(i) & 0xFF) - left) & 0xFF)
+        i += 1
+      }
+    }
+    val d = new Deflater()
+    d.setInput(filtered.toByteArray)
+    d.finish()
+    val dz = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) dz.write(buf, 0, d.deflate(buf))
+    d.end()
+
+    val bos = new ByteArrayOutputStream()
+    bos.write("%PDF-1.4\n".getBytes(StandardCharsets.ISO_8859_1))
+    bos.write(("1 0 obj\n<< /Type /Page /Resources << /XObject << /Px 2 0 R >> >> >>\nendobj\n" +
+      "2 0 obj\n<< /Subtype /Image /Width 3 /Height 2 /BitsPerComponent 8 /ColorSpace /DeviceRGB " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 15 /Colors 3 /Columns 3 >> /Length ${dz.size} >>\nstream\n")
+      .getBytes(StandardCharsets.ISO_8859_1))
+    bos.write(dz.toByteArray)
+    val content = "BT (Chart:) Tj ET /Px Do"
+    bos.write(("\nendstream\nendobj\n" +
+      s"3 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n%%EOF\n")
+      .getBytes(StandardCharsets.ISO_8859_1))
+
+    val r = convertOne("chart.pdf", bos.toByteArray,
+      ConvertKernel.ConversionConfig(imageResolutionScale = 1))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.images.map(_.filename) == Seq("picture-1.png"))
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      java.util.Base64.getDecoder.decode(r.images.head.image)))
+    assert((decoded.getWidth, decoded.getHeight) == (3, 2))
+    assert((decoded.getRGB(0, 0) & 0xFFFFFF) == 0xFF0000)
+    assert((decoded.getRGB(1, 0) & 0xFFFFFF) == 0x00FF00)
+    assert((decoded.getRGB(2, 0) & 0xFFFFFF) == 0x0000FF)
+    assert((decoded.getRGB(2, 1) & 0xFFFFFF) == 0x808080)
+  }
+
+  test("undecodable image codecs are omitted, not faked as placeholders") {
+    val content = "BT (Text only.) Tj ET /Im9 Do"
+    val bos = new ByteArrayOutputStream()
+    bos.write("%PDF-1.4\n".getBytes(StandardCharsets.ISO_8859_1))
+    bos.write(("1 0 obj\n<< /Type /Page /Resources << /XObject << /Im9 2 0 R >> >> >>\nendobj\n" +
+      "2 0 obj\n<< /Subtype /Image /Width 4 /Height 4 /Filter /JPXDecode /Length 4 >>\nstream\nXXXX\nendstream\nendobj\n" +
+      s"3 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n%%EOF\n")
+      .getBytes(StandardCharsets.ISO_8859_1))
+    val r = convertOne("jpx.pdf", bos.toByteArray)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "Text only.")
+    assert(r.images.isEmpty)
+  }
+
+  test("page tree drives extraction order even when file order differs") {
+    // catalog -> pages(Kids=[4,3]): page 4 comes FIRST though its content
+    // stream (obj 6) is written LAST in the file
+    val bytes = pdfObjs(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [4 0 R 3 0 R] /Count 2 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>", None),
+      (4, "<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>", None),
+      (5, "", Some("BT (Second page.) Tj ET")),
+      (6, "", Some("BT (First page.) Tj ET"))))
+    val r = convertOne("ordered.pdf", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "First page.\n\nSecond page.")
+  }
+
   test("ToUnicode CMap stream itself is not scanned as page content") {
     // a CMap containing the letters B and T must not be mistaken for text ops
     val bytes = pdfObjs(Seq(
