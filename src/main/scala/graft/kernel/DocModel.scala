@@ -21,7 +21,12 @@ object DocModel {
   sealed trait Element
   final case class HeadingElement(text: String, level: Int) extends Element
   final case class TextElement(text: String) extends Element
-  final case class ListElement(items: Seq[String], ordered: Boolean = false) extends Element
+  /** `levels` (parallel to `items`, empty = all level 0) carries nesting
+    * depth — DOCX `w:ilvl`, etc. Markdown indents nested items two spaces
+    * per level with per-level counters for ordered lists; the flat
+    * serializers (text/json/doctags) ignore depth. */
+  final case class ListElement(items: Seq[String], ordered: Boolean = false,
+                               levels: Seq[Int] = Seq.empty) extends Element
   final case class TableElement(
       cells: Seq[TableCellSpec], numRows: Int, numCols: Int,
       imagePng: Option[Array[Byte]] = None) extends Element
@@ -67,9 +72,17 @@ object DocModel {
   def renderElement(e: Element): String = e match {
     case HeadingElement(text, level) => ("#" * math.max(1, level)) + " " + text
     case TextElement(text)           => text
-    case ListElement(items, ordered) =>
-      items.zipWithIndex.map { case (it, i) =>
-        if (ordered) s"${i + 1}. $it" else s"- $it"
+    case ListElement(items, ordered, levels) =>
+      val lvls = if (levels.size == items.size) levels else items.map(_ => 0)
+      val counters = scala.collection.mutable.Map.empty[Int, Int]
+      items.lazyZip(lvls).map { (it, lvl) =>
+        val indent = "  " * math.max(0, lvl)
+        if (ordered) {
+          val n = counters.getOrElse(lvl, 0) + 1
+          counters(lvl) = n
+          counters.keys.filter(_ > lvl).toSeq.foreach(counters -= _) // deeper runs restart
+          s"$indent$n. $it"
+        } else s"$indent- $it"
       }.mkString("\n")
     case t: TableElement             => renderTable(t)
     case _: PictureElement           => ImagePlaceholder

@@ -221,7 +221,7 @@ object OoxmlParsers {
       var paraNumId: Option[String] = None
       var paraIlvl: Option[String] = None
       var paraOrdered = false
-      val pendingList = ArrayBuffer[String]()
+      val pendingList = ArrayBuffer[(String, Int)]() // (text, ilvl)
       var pendingOrdered = false
 
       def renderSegs(): String = {
@@ -252,7 +252,8 @@ object OoxmlParsers {
 
       def flushPendingList(): Unit = {
         if (pendingList.nonEmpty)
-          items += ListElement(pendingList.toSeq, ordered = pendingOrdered)
+          items += ListElement(pendingList.map(_._1).toSeq,
+            ordered = pendingOrdered, levels = pendingList.map(_._2).toSeq)
         pendingList.clear()
       }
 
@@ -264,9 +265,14 @@ object OoxmlParsers {
             val fmt = paraNumId.flatMap(n =>
               numbering.get((n, paraIlvl.getOrElse("0"))))
             val ordered = fmt.exists(OrderedNumFmts)
-            if (pendingList.nonEmpty && pendingOrdered != ordered) flushPendingList()
-            pendingOrdered = ordered
-            pendingList += text
+            val level = paraIlvl.flatMap(_.toIntOption).getOrElse(0)
+            // a format change at the top level splits the list; nested
+            // items stay inside it (their depth renders as indentation,
+            // marker style follows the list's top-level format)
+            if (pendingList.nonEmpty && level == 0 && pendingOrdered != ordered)
+              flushPendingList()
+            if (pendingList.isEmpty) pendingOrdered = ordered
+            pendingList += ((text, level))
           } else {
             flushPendingList()
             val el = paraStyle match {

@@ -28,7 +28,7 @@ object OutputSerializers {
       doc.items.map {
         case HeadingElement(t, _) => t
         case TextElement(t) => t
-        case ListElement(items, _) => items.mkString("\n")
+        case ListElement(items, _, _) => items.mkString("\n")
         case t: TableElement =>
           val grid = Array.fill(t.numRows, t.numCols)("")
           t.cells.foreach { c =>
@@ -63,7 +63,7 @@ object OutputSerializers {
           s"""{"kind":"heading","level":$l,"text":${q(t)}}"""
         case TextElement(t) =>
           s"""{"kind":"text","text":${q(t)}}"""
-        case ListElement(items, ordered) =>
+        case ListElement(items, ordered, _) =>
           s"""{"kind":"list","ordered":$ordered,"items":[${items.map(q).mkString(",")}]}"""
         case t: TableElement =>
           val cells = t.cells.map(c =>
@@ -88,7 +88,7 @@ object OutputSerializers {
       doc.items.map {
         case HeadingElement(t, l) => s"<section_header_level_$l>${esc(t)}</section_header_level_$l>"
         case TextElement(t) => s"<text>${esc(t)}</text>"
-        case ListElement(items, ordered) =>
+        case ListElement(items, ordered, _) =>
           val tag = if (ordered) "ordered_list" else "unordered_list"
           s"<$tag>${items.map(i => s"<list_item>${esc(i)}</list_item>").mkString}</$tag>"
         case t: TableElement =>

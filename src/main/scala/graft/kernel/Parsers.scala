@@ -153,7 +153,7 @@ object Parsers {
       var inCell = false
       var listDepth = 0
       var listOrdered = false
-      val listItems = ArrayBuffer[String]()
+      val listItems = ArrayBuffer[(String, Int)]() // (text, nesting level)
       val liBuf = new StringBuilder
       var linkHref: Option[String] = None
 
@@ -166,11 +166,13 @@ object Parsers {
       def flushLi(): Unit = {
         val t = normalize(liBuf.toString)
         liBuf.clear()
-        if (t.nonEmpty) listItems += t
+        if (t.nonEmpty) listItems += ((t, math.max(0, listDepth - 1)))
       }
       def flushList(): Unit = {
         flushLi()
-        if (listItems.nonEmpty) items += ListElement(listItems.toSeq, listOrdered)
+        if (listItems.nonEmpty)
+          items += ListElement(listItems.map(_._1).toSeq, listOrdered,
+            levels = listItems.map(_._2).toSeq)
         listItems.clear()
       }
       def flushCell(): Unit = {
@@ -201,11 +203,13 @@ object Parsers {
               headingLevel = if (isClose) 0 else tag.drop(1).toInt
             case "ul" | "ol" =>
               if (isClose) {
+                flushLi() // pending item text belongs to the closing depth
                 listDepth = math.max(0, listDepth - 1)
                 if (listDepth == 0) flushList()
               } else {
                 if (listDepth == 0) { flushText(); listOrdered = tag == "ol" }
-                listDepth += 1 // nested lists flatten into the outer items
+                else flushLi() // text before a nested list stays at the outer level
+                listDepth += 1 // nested items keep their depth via levels
               }
             case "li" =>
               if (listDepth > 0) flushLi() else flushText()

@@ -139,6 +139,13 @@ class ConvertKernelSpec extends SparkTestBase {
     assert(r.markdown == "## Lists\n\n- one\n- two\n\n1. first\n2. second")
   }
 
+  test("html nested lists keep their depth as markdown indentation") {
+    val src = "<ul><li>a<ul><li>a1</li><li>a2</li></ul></li><li>b</li></ul>"
+    val r = convertOne("nest.html", b(src))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "- a\n  - a1\n  - a2\n- b")
+  }
+
   test("html hyperlinks become markdown links, inside and outside lists") {
     val src = """<p>See <a href="https://example.com/d">the docs</a> now.</p>""" +
       """<ul><li><a href='/a'>alpha</a></li><li>plain</li></ul>""" +

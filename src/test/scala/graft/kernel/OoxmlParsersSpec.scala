@@ -297,6 +297,32 @@ class OoxmlParsersSpec extends AnyFunSuite {
       "# Steps\n\n1. first\n2. second\n3. third\n\n- loose\n- leaf\n\nDone.")
   }
 
+  test("docx: nested ilvl items indent with per-level ordered counters") {
+    val numbering =
+      s"""<?xml version="1.0"?><w:numbering xmlns:w="$W">
+         |<w:abstractNum w:abstractNumId="0">
+         |  <w:lvl w:ilvl="0"><w:numFmt w:val="decimal"/></w:lvl>
+         |  <w:lvl w:ilvl="1"><w:numFmt w:val="lowerLetter"/></w:lvl>
+         |</w:abstractNum>
+         |<w:num w:numId="7"><w:abstractNumId w:val="0"/></w:num>
+         |</w:numbering>""".stripMargin
+    def li(text: String, ilvl: String): String =
+      s"""<w:p><w:pPr><w:numPr><w:ilvl w:val="$ilvl"/><w:numId w:val="7"/></w:numPr></w:pPr>
+         |<w:r><w:t>$text</w:t></w:r></w:p>""".stripMargin
+    val body = li("alpha", "0") + li("sub-one", "1") + li("sub-two", "1") +
+      li("beta", "0") + li("sub-three", "1")
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "word/document.xml" ->
+        s"""<?xml version="1.0"?><w:document xmlns:w="$W"><w:body>$body</w:body></w:document>""",
+      "word/numbering.xml" -> numbering)
+    val r = convertOne("nested.docx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    // nested counters restart after returning to the top level
+    assert(r.markdown ==
+      "1. alpha\n  1. sub-one\n  2. sub-two\n2. beta\n  1. sub-three")
+  }
+
   test("docx: picture inside a table cell lands in the images array after the table") {
     val body =
       """<w:tbl>
