@@ -457,19 +457,21 @@ object OoxmlParsers {
       var inPic = false
       var picIdx = -1
       val paraBuf = new StringBuilder
-      val shapeParas = ArrayBuffer[String]()
+      val shapeParas = ArrayBuffer[(String, Int)]() // (text, a:pPr lvl)
+      var paraLvl = 0
       var runBold = false
       var runItalic = false
 
       def endShape(): Unit = {
-        val paras = shapeParas.filter(_.nonEmpty).toSeq
+        val paras = shapeParas.filter(_._1.nonEmpty).toSeq
         shapeParas.clear()
-        if (shapeIsTitle) paras.foreach(items += HeadingElement(_, 1))
+        if (shapeIsTitle) paras.foreach(p => items += HeadingElement(p._1, 1))
         // PowerPoint body placeholders are bulleted by default: multi-
-        // paragraph body shapes render as a bullet list, single
-        // paragraphs as plain text
-        else if (paras.size > 1) items += ListElement(paras)
-        else paras.foreach(items += TextElement(_))
+        // paragraph body shapes render as a bullet list (indent levels
+        // from a:pPr lvl), single paragraphs as plain text
+        else if (paras.size > 1)
+          items += ListElement(paras.map(_._1), levels = paras.map(_._2))
+        else paras.foreach(p => items += TextElement(p._1))
         shapeIsTitle = false
       }
 
@@ -496,6 +498,8 @@ object OoxmlParsers {
                 for (id <- attr(r, "embed"); m <- media(id))
                   if (picIdx >= 0 && picIdx < items.length)
                     items(picIdx) = PictureElement(rawMedia = Some(m))
+              case "pPr" if !inTable && !inPic =>
+                paraLvl = attr(r, "lvl").flatMap(_.toIntOption).getOrElse(0)
               case "rPr" => // DrawingML run props are ATTRIBUTES: b="1" i="1"
                 runBold = attr(r, "b").exists(v => v == "1" || v == "true")
                 runItalic = attr(r, "i").exists(v => v == "1" || v == "true")
@@ -522,8 +526,9 @@ object OoxmlParsers {
                 if (inTable) {
                   if (cellBuf.nonEmpty && !cellBuf.endsWith(" ")) cellBuf += ' '
                 } else if (!inPic) {
-                  shapeParas += paraBuf.toString.trim
+                  shapeParas += ((paraBuf.toString.trim, paraLvl))
                   paraBuf.clear()
+                  paraLvl = 0
                 }
               case "tc" if inTable =>
                 if (tableRows.nonEmpty) tableRows.last += cellBuf.toString.trim

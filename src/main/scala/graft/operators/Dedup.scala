@@ -122,6 +122,56 @@ object Dedup {
         ORDER BY jaccard DESC, a_id, b_id
         LIMIT 200""")),
 
+    // ----------------------------------------------------------------- d6
+    // Benchmark decontamination (the Dolma/GPT-3 appendix-C pattern): flag
+    // training documents sharing any exact word-8-gram with the eval set.
+    // The eval slice here is doc_id % 7 == 0, modeling the real-world
+    // shape: benchmark suites are SMALL and FIXED, so their distinct-gram
+    // set broadcasts to every executor and the only shuffle is the
+    // train-side per-doc hit count — the corpus-size inverted index is
+    // never self-joined. Zero-hit docs are kept (left join) so the output
+    // is the full per-document contamination report.
+    QuerySpec(
+      "d6_decontamination",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val grams = Shingles.pairsN(s, docs, 8).persist()
+        val evalGrams = grams.filter($"doc_id" % 7 === 0).select($"shingle").distinct()
+        val hits = grams.filter($"doc_id" % 7 =!= 0)
+          .join(broadcast(evalGrams), Seq("shingle"), "left_semi")
+          .groupBy($"doc_id").agg(count(lit(1)).as("hits"))
+        docs.filter($"doc_id" % 7 =!= 0).select($"doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select(
+            $"doc_id",
+            coalesce($"hits", lit(0L)).as("n_shared_grams"),
+            (coalesce($"hits", lit(0L)) > 0).as("contaminated"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, greatest(len(tk) - 7, 0)),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+                          tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS shingle
+            FROM t)),
+        ev AS (SELECT DISTINCT shingle FROM g WHERE doc_id % 7 = 0),
+        hits AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+          FROM g WHERE doc_id % 7 <> 0 AND shingle IN (SELECT shingle FROM ev)
+          GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) AS n_shared_grams,
+               COALESCE(h.hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % 7 <> 0
+        ORDER BY d.doc_id""")),
+
     // ----------------------------------------------------------------- d3
     // SimHash (16-bit) signatures + bucket assignment. Each distinct token
     // hashes to 31 bits (polynomial hash, same fold as t5); bit i of the

@@ -15,26 +15,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Shingles {
 
-  private def shingleSet(text: String): java.util.LinkedHashSet[String] = {
+  private def shingleSet(text: String, n: Int): java.util.LinkedHashSet[String] = {
     val seen = new java.util.LinkedHashSet[String]()
     // null text contributes no shingles — the oracle's unnest(NULL) yields
     // no rows, and the old column form dropped the row the same way
     if (text == null) return seen
     val toks = text.trim.split("\\s+")
     var i = 0
-    while (i + 2 < toks.length) {
-      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+    while (i + n - 1 < toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
       i += 1
     }
     seen
   }
 
   /** Exploded inverted-index form: (doc_id, shingle), distinct per doc. */
-  def pairs(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def pairs(spark: SparkSession, docs: DataFrame): DataFrame =
+    pairsN(spark, docs, 3)
+
+  /** Same, with an arbitrary n-gram width (d6 decontamination uses 8). */
+  def pairsN(spark: SparkSession, docs: DataFrame, n: Int): DataFrame = {
     import spark.implicits._
     docs.select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, text) =>
-        scala.jdk.CollectionConverters.IteratorHasAsScala(shingleSet(text).iterator())
+        scala.jdk.CollectionConverters.IteratorHasAsScala(shingleSet(text, n).iterator())
           .asScala.map(s => (id, s))
       }.toDF("doc_id", "shingle")
   }
@@ -43,7 +50,7 @@ object Shingles {
   def sets(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, text) => (id, shingleSet(text).toArray(Array.empty[String])) }
+      .map { case (id, text) => (id, shingleSet(text, 3).toArray(Array.empty[String])) }
       .filter(_._2.nonEmpty)
       .toDF("doc_id", "toks")
   }

@@ -134,6 +134,55 @@ object TextAnalysis {
                     ELSE 'ok' END AS quality_bucket
         FROM m ORDER BY doc_id""")),
 
+    // ----------------------------------------------------------------- t6
+    // Gopher-style heuristic quality flags (Rae et al. 2021 §A1.1 /
+    // Dolma's rule filters): mean word length, numeric-token fraction,
+    // short-token fraction, and the composite keep/drop decision. Single
+    // scan, fully columnar; at 100 TB this is the map-side filter that
+    // runs BEFORE any shuffle-heavy dedup.
+    QuerySpec(
+      "t6_gopher_quality_flags",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .withColumn("toks", split(trim($"text"), "\\s+"))
+          .withColumn("n_tok", size($"toks").cast("long"))
+          .withColumn("n_nonspace", length(regexp_replace($"text", "\\s", "")).cast("long"))
+          .withColumn("n_num",
+            size(expr("filter(toks, t -> t RLIKE '^[0-9]+$')")).cast("long"))
+          .withColumn("n_short",
+            size(expr("filter(toks, t -> length(t) <= 2)")).cast("long"))
+          .withColumn("mean_word_len", $"n_nonspace".cast("double") / $"n_tok")
+          .withColumn("frac_numeric", $"n_num".cast("double") / $"n_tok")
+          .withColumn("frac_short", $"n_short".cast("double") / $"n_tok")
+          .select(
+            $"doc_id", $"mean_word_len", $"frac_numeric", $"frac_short",
+            ($"n_tok" >= 50 && $"n_tok" <= 100000 &&
+              $"mean_word_len" >= 3 && $"mean_word_len" <= 10 &&
+              $"frac_numeric" < 0.2).as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH t AS (
+          SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tok,
+                 CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace,
+                 CAST(len(list_filter(toks, tok -> regexp_full_match(tok, '[0-9]+'))) AS BIGINT) AS n_num,
+                 CAST(len(list_filter(toks, tok -> length(tok) <= 2)) AS BIGINT) AS n_short
+          FROM t)
+        SELECT doc_id,
+               CAST(n_nonspace AS DOUBLE) / n_tok AS mean_word_len,
+               CAST(n_num AS DOUBLE) / n_tok AS frac_numeric,
+               CAST(n_short AS DOUBLE) / n_tok AS frac_short,
+               (n_tok >= 50 AND n_tok <= 100000
+                AND CAST(n_nonspace AS DOUBLE) / n_tok >= 3
+                AND CAST(n_nonspace AS DOUBLE) / n_tok <= 10
+                AND CAST(n_num AS DOUBLE) / n_tok < 0.2) AS keep
+        FROM m ORDER BY doc_id""")),
+
     // ----------------------------------------------------------------- t4
     // Language token profile: top-3 most frequent tokens per language —
     // the profile-building half of an n-gram language-ID model.

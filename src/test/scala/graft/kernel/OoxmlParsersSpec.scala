@@ -386,6 +386,24 @@ class OoxmlParsersSpec extends AnyFunSuite {
       "# Demo\n\nMain point.\n\nRemember to demo the fallback.")
   }
 
+  test("pptx: a:pPr lvl indents render as nested bullets") {
+    val body =
+      s"""<p:sp><p:nvSpPr><p:nvPr><p:ph type="body"/></p:nvPr></p:nvSpPr><p:txBody>
+         |<a:p><a:r><a:t>top one</a:t></a:r></a:p>
+         |<a:p><a:pPr lvl="1"/><a:r><a:t>detail a</a:t></a:r></a:p>
+         |<a:p><a:pPr lvl="1"/><a:r><a:t>detail b</a:t></a:r></a:p>
+         |<a:p><a:r><a:t>top two</a:t></a:r></a:p>
+         |</p:txBody></p:sp>""".stripMargin
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "ppt/presentation.xml" -> "<p/>",
+      "ppt/slides/slide1.xml" -> slide(sp("Plan", title = true) + body))
+    val r = convertOne("indent.pptx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown ==
+      "# Plan\n\n- top one\n  - detail a\n  - detail b\n- top two")
+  }
+
   test("pptx: untagged title shape detects via its cNvPr name") {
     val untaggedTitle =
       s"""<p:sp><p:nvSpPr><p:cNvPr id="4" name="Title 1"/><p:nvPr/></p:nvSpPr>

@@ -178,6 +178,17 @@ class PdfParserSpec extends AnyFunSuite {
     assert(r.markdown == "“Hi”")
   }
 
+  test("MacRomanEncoding decodes through the JVM x-MacRoman charset") {
+    // 0xA5 is BULLET (U+2022) in MacRoman, yen sign in latin-1
+    val bytes = pdfObjs(Seq(
+      (1, "<< /Type /Page /Resources << /Font << /F3 2 0 R >> >> >>", None),
+      (2, "<< /Type /Font /Subtype /TrueType /BaseFont /Mac /Encoding /MacRomanEncoding >>", None),
+      (3, "", Some("BT /F3 10 Tf (\\245 item) Tj ET"))))
+    val r = convertOne("mac.pdf", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "• item")
+  }
+
   test("undeclared font name falls back to latin-1 passthrough (legacy behavior)") {
     val bytes = pdfObjs(Seq(
       (4, "", Some("BT /F1 12 Tf (Plain text.) Tj ET"))))
