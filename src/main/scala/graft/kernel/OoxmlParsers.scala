@@ -404,7 +404,7 @@ object OoxmlParsers {
         val notes = rels.filter(_.relType.endsWith("/notesSlide"))
           .flatMap(rel => parts.get(resolveTarget("ppt/slides", rel.target)))
           .flatMap(parseNotesXml)
-        parseSlideXml(xml, media) ++ notes
+        parseSlideXml(xml, media, relTarget.get) ++ notes
       }))
       catch { case e: Exception => Left(s"Invalid PPTX: ${e.getMessage}") }
     }
@@ -445,7 +445,8 @@ object OoxmlParsers {
     }
 
     private def parseSlideXml(xml: Array[Byte],
-                              media: String => Option[Array[Byte]]): Seq[Element] = {
+                              media: String => Option[Array[Byte]],
+                              linkTarget: String => Option[String]): Seq[Element] = {
       val r = newReader(xml)
       val items = ArrayBuffer[Element]()
 
@@ -461,6 +462,7 @@ object OoxmlParsers {
       var paraLvl = 0
       var runBold = false
       var runItalic = false
+      var runLink: Option[String] = None
 
       def endShape(): Unit = {
         val paras = shapeParas.filter(_._1.nonEmpty).toSeq
@@ -503,6 +505,10 @@ object OoxmlParsers {
               case "rPr" => // DrawingML run props are ATTRIBUTES: b="1" i="1"
                 runBold = attr(r, "b").exists(v => v == "1" || v == "true")
                 runItalic = attr(r, "i").exists(v => v == "1" || v == "true")
+              // run hyperlink: a:hlinkClick r:id inside the run's rPr,
+              // resolved to the external URL via the slide's rels
+              case "hlinkClick" =>
+                runLink = attr(r, "id").flatMap(linkTarget)
               case "t" =>
                 val text = r.getElementText
                 if (inTable) cellBuf ++= text
@@ -513,10 +519,15 @@ object OoxmlParsers {
                     case (false, true) => "*"
                     case _ => ""
                   }
-                  if (marker.nonEmpty && text.trim.nonEmpty)
-                    paraBuf ++= s"$marker${text.trim}$marker"
-                  else paraBuf ++= text
-                  runBold = false; runItalic = false
+                  val styled =
+                    if (marker.nonEmpty && text.trim.nonEmpty) s"$marker${text.trim}$marker"
+                    else text
+                  runLink match {
+                    case Some(url) if styled.trim.nonEmpty =>
+                      paraBuf ++= s"[${styled.trim}]($url)"
+                    case _ => paraBuf ++= styled
+                  }
+                  runBold = false; runItalic = false; runLink = None
                 }
               case _ => ()
             }

@@ -210,6 +210,34 @@ object TextAnalysis {
         SELECT lang, rnk, token, n FROM rnk WHERE rnk <= 3
         ORDER BY lang, rnk""")),
 
+    // ----------------------------------------------------------------- t7
+    // Blocklist scrubbing (the PII/term-redaction shape used by CCNet/
+    // Dolma rule filters): replace blocklisted terms with a redaction
+    // marker, count the hits, ship the scrubbed text. Pure regexp_replace/
+    // regexp_count — codegen'd, single scan, embarrassingly parallel; the
+    // same plan carries a real PII lexicon at 100 TB (the corpus here has
+    // no emails/URLs, so the blocklist models the lexicon).
+    QuerySpec(
+      "t7_blocklist_scrub",
+      (s, dir) => {
+        import s.implicits._
+        val pat = "\\b(customer|supplier|orders?)\\b"
+        Tables(s, dir, "documents")
+          .select(
+            $"doc_id",
+            regexp_count($"text", lit(pat)).cast("long").as("n_redacted"),
+            regexp_replace($"text", pat, "[REDACTED]").as("scrubbed"))
+          .filter($"n_redacted" > 0)
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\b(customer|supplier|orders?)\b')) AS BIGINT) AS n_redacted,
+               regexp_replace(text, '\b(customer|supplier|orders?)\b', '[REDACTED]', 'g') AS scrubbed
+        FROM documents
+        WHERE len(regexp_extract_all(text, '\b(customer|supplier|orders?)\b')) > 0
+        ORDER BY doc_id""")),
+
     // ----------------------------------------------------------------- t5
     // Document fingerprint: rolling polynomial hash over the text, plus a
     // prefix fingerprint (first 32 chars) — the cheap shard-level dedup key.

@@ -35,6 +35,20 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact dedup — the ingest-time twin of batch d1: documents
+    * arriving on a stream keep only the FIRST occurrence of each content
+    * hash. dropDuplicatesWithinWatermark scopes the dedup state to the
+    * event-time watermark, so state size is bounded by the dedup horizon
+    * instead of growing with the corpus (at 100 TB/day the horizon is the
+    * streaming window; cross-horizon dedup remains the batch d1 job over
+    * the accumulated lake). Works on any stream with (ts: timestamp,
+    * text: string) plus passthrough columns. */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Streaming jobs plane: watch an inbox directory of binary documents and
     * convert each micro-batch through the mapPartitions kernel — the
     * readStream→foreachBatch analog of the Celery worker loop (§3.2).

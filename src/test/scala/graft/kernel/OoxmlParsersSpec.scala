@@ -386,6 +386,28 @@ class OoxmlParsersSpec extends AnyFunSuite {
       "# Demo\n\nMain point.\n\nRemember to demo the fallback.")
   }
 
+  test("pptx: run hyperlinks resolve through the slide rels to markdown links") {
+    val linked =
+      s"""<p:sp><p:nvSpPr><p:nvPr/></p:nvSpPr><p:txBody>
+         |<a:p><a:r><a:t>See </a:t></a:r>
+         |<a:r><a:rPr><a:hlinkClick r:id="rId4" xmlns:r="$R"/></a:rPr>
+         |<a:t>the docs</a:t></a:r>
+         |<a:r><a:t> for details.</a:t></a:r></a:p>
+         |</p:txBody></p:sp>""".stripMargin
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "ppt/presentation.xml" -> "<p/>",
+      "ppt/slides/slide1.xml" -> slide(linked),
+      "ppt/slides/_rels/slide1.xml.rels" ->
+        s"""<?xml version="1.0"?>
+           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+           |<Relationship Id="rId4" Type="$R/hyperlink" Target="https://example.com/docs" TargetMode="External"/>
+           |</Relationships>""".stripMargin)
+    val r = convertOne("links.pptx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "See [the docs](https://example.com/docs) for details.")
+  }
+
   test("pptx: a:pPr lvl indents render as nested bullets") {
     val body =
       s"""<p:sp><p:nvSpPr><p:nvPr><p:ph type="body"/></p:nvPr></p:nvSpPr><p:txBody>
