@@ -57,6 +57,58 @@ object Multimodal {
                CAST(48 * (doc_id % 4 + 1) AS BIGINT) AS height
         FROM documents ORDER BY doc_id""")),
 
+    // ----------------------------------------------------------------- m3
+    // Frame sampling over an opaque "video" binary column. The container/
+    // codec layer is STUBBED deterministically (a real build would call
+    // ffmpeg/jcodec here, not in this JVM): each doc's payload is
+    // doc_id%5+2 concatenated PNG frames. The Spark-side plumbing is real
+    // and is what's under test: one binary payload per row flowing through
+    // mapPartitions, frame boundaries located by magic-byte scan, every
+    // 2nd frame sampled, per-frame width read from the IHDR header at a
+    // fixed offset — the exact batch shape a video frame-sampler has at
+    // 100 TB (binary in, per-frame metadata out, no shuffle). The oracle
+    // recomputes everything from the frame-dimension contract.
+    QuerySpec(
+      "m3_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents").select($"doc_id").as[Long]
+          .mapPartitions { it =>
+            val pngCache = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+            def frame(scale: Int): Array[Byte] = pngCache.getOrElseUpdate(scale,
+              graft.kernel.ImageRenderer.renderPicture(scale))
+            it.map { id =>
+              val nFrames = (id % 5 + 2).toInt
+              val payload = (0 until nFrames).map(f => frame(f % 4 + 1))
+                .reduce(_ ++ _)
+              // frame index: scan for the PNG signature (the stub's
+              // stand-in for a container's frame index)
+              val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+              val offsets = payload.indices.filter(i =>
+                i + 4 <= payload.length && payload(i) == sig(0) &&
+                  payload(i + 1) == sig(1) && payload(i + 2) == sig(2) &&
+                  payload(i + 3) == sig(3))
+              val sampled = offsets.indices.filter(_ % 2 == 0).map(offsets)
+              // width = IHDR bytes 16..19 big-endian from each frame start
+              def widthAt(off: Int): Long =
+                ((payload(off + 16) & 0xFF) << 24 | (payload(off + 17) & 0xFF) << 16 |
+                  (payload(off + 18) & 0xFF) << 8 | (payload(off + 19) & 0xFF)).toLong
+              (id, offsets.length.toLong, sampled.length.toLong,
+                sampled.map(widthAt).sum)
+            }
+          }
+          .toDF("doc_id", "n_frames", "n_sampled", "sum_sampled_width")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(doc_id % 5 + 2 AS BIGINT) AS n_frames,
+               CAST((doc_id % 5 + 2 + 1) // 2 AS BIGINT) AS n_sampled,
+               CAST(list_sum(list_transform(
+                 list_filter(range(0, doc_id % 5 + 2), f -> f % 2 = 0),
+                 f -> 64 * (f % 4 + 1))) AS BIGINT) AS sum_sampled_width
+        FROM documents ORDER BY doc_id""")),
+
     // ----------------------------------------------------------------- m2
     // REAL image decode/feature-extract/resize: per doc, a deterministic
     // PNG payload (ImageRenderer, scale = doc_id%4+1) flows through an
