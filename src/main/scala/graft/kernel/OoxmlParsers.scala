@@ -23,9 +23,11 @@ import graft.kernel.DocModel._
   * [[DocModel.PictureElement.rawMedia]]; the reference ships these same
   * pixels base64-encoded (document_converter/service.py:106-128). PPTX
   * speaker notes (ppt/notesSlides/…, associated via each slide's rels)
-  * append as text after their slide. Cell spans (w:gridSpan) are flattened
-  * to single cells. Everything emits into the same DocTree the md/html/csv
-  * parsers use, so splice/counters/serialization downstream are shared.
+  * append as text after their slide. DOCX cell spans (w:gridSpan +
+  * w:vMerge) produce real spanned [[DocModel.TableCellSpec]]s; PPTX table
+  * cells stay 1×1 (documented approximation). Everything emits into the
+  * same DocTree the md/html/csv parsers use, so splice/counters/
+  * serialization downstream are shared.
   */
 object OoxmlParsers {
 
@@ -95,6 +97,44 @@ object OoxmlParsers {
       case seg => stack += seg
     }
     stack.mkString("/")
+  }
+
+  /** Span-aware table build (DOCX): each cell carries its w:gridSpan width
+    * and w:vMerge state. A vMerge restart opens a vertical cell; continues
+    * extend it (their empty text drops, per Word semantics); everything
+    * else is a (possibly column-spanned) single-row cell. The markdown
+    * renderer repeats spanned text into every covered grid position. */
+  private[kernel] def tableFromSpanned(
+      rows: Seq[Seq[(String, Int, Option[String])]]): Option[TableElement] = {
+    val nonEmpty = rows.filter(_.nonEmpty)
+    if (nonEmpty.isEmpty) return None
+    val specs = ArrayBuffer[TableCellSpec]()
+    val openByCol = scala.collection.mutable.Map.empty[Int, Int] // startCol -> specs idx
+    var maxCol = 0
+    nonEmpty.zipWithIndex.foreach { case (row, ri) =>
+      var col = 0
+      row.foreach { case (text, span, vm) =>
+        vm match {
+          case Some("continue") =>
+            openByCol.get(col) match {
+              case Some(idx) =>
+                val c = specs(idx)
+                specs(idx) = c.copy(endRow = ri + 1)
+                col += c.endCol - c.startCol
+              case None => // dangling continue: degrade to a normal cell
+                specs += TableCellSpec(ri, ri + 1, col, col + span, text, columnHeader = ri == 0)
+                col += span
+            }
+          case other =>
+            val idx = specs.length
+            specs += TableCellSpec(ri, ri + 1, col, col + span, text, columnHeader = ri == 0)
+            if (other.contains("restart")) openByCol(col) = idx else openByCol.remove(col)
+            col += span
+        }
+      }
+      maxCol = math.max(maxCol, col)
+    }
+    Some(TableElement(specs.toSeq, nonEmpty.length, maxCol))
   }
 
   private def tableFrom(rows: Seq[Seq[String]]): Option[TableElement] = {
@@ -196,8 +236,11 @@ object OoxmlParsers {
       val items = ArrayBuffer[Element]()
 
       var tblDepth = 0
-      val tableRows = ArrayBuffer[ArrayBuffer[String]]()
+      // per cell: (text, gridSpan width, vMerge state)
+      val tableRows = ArrayBuffer[ArrayBuffer[(String, Int, Option[String])]]()
       val cellBuf = new StringBuilder
+      var cellSpan = 1
+      var cellVMerge: Option[String] = None
 
       // paragraph content as (text, bold, italic) run segments — rendered
       // to markdown emphasis at paragraph end (adjacent same-format
@@ -299,8 +342,15 @@ object OoxmlParsers {
               case "tbl" =>
                 if (tblDepth == 0) flushPendingList()
                 tblDepth += 1
-              case "tr" if tblDepth == 1 => tableRows += ArrayBuffer[String]()
-              case "tc" if tblDepth == 1 => cellBuf.clear()
+              case "tr" if tblDepth == 1 =>
+                tableRows += ArrayBuffer[(String, Int, Option[String])]()
+              case "tc" if tblDepth == 1 =>
+                cellBuf.clear(); cellSpan = 1; cellVMerge = None
+              case "gridSpan" if tblDepth == 1 =>
+                cellSpan = attr(r, "val").flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+              case "vMerge" if tblDepth == 1 =>
+                // absent w:val means continue (ECMA-376 §17.4.84)
+                cellVMerge = Some(attr(r, "val").getOrElse("continue"))
               case "pStyle" if tblDepth == 0 =>
                 paraStyle = attr(r, "val")
               case "numPr" if tblDepth == 0 =>
@@ -354,11 +404,12 @@ object OoxmlParsers {
               case "p" if tblDepth >= 1 => // paragraph break inside a cell
                 if (cellBuf.nonEmpty && !cellBuf.endsWith(" ")) cellBuf += ' '
               case "tc" if tblDepth == 1 =>
-                if (tableRows.nonEmpty) tableRows.last += cellBuf.toString.trim
+                if (tableRows.nonEmpty)
+                  tableRows.last += ((cellBuf.toString.trim, cellSpan, cellVMerge))
               case "tbl" =>
                 tblDepth -= 1
                 if (tblDepth == 0) {
-                  tableFrom(tableRows.map(_.toSeq).toSeq).foreach(items += _)
+                  tableFromSpanned(tableRows.map(_.toSeq).toSeq).foreach(items += _)
                   tableRows.clear()
                   // cell pictures follow their table in document order
                   tblPics.foreach(m => items += PictureElement(rawMedia = m))

@@ -323,6 +323,26 @@ class OoxmlParsersSpec extends AnyFunSuite {
       "1. alpha\n  1. sub-one\n  2. sub-two\n2. beta\n  1. sub-three")
   }
 
+  test("docx: gridSpan and vMerge produce real spanned cells") {
+    val body =
+      """<w:tbl>
+        |<w:tr><w:tc><w:tcPr><w:gridSpan w:val="2"/></w:tcPr><w:p><w:r><w:t>A</w:t></w:r></w:p></w:tc>
+        |       <w:tc><w:p><w:r><w:t>B</w:t></w:r></w:p></w:tc></w:tr>
+        |<w:tr><w:tc><w:tcPr><w:vMerge w:val="restart"/></w:tcPr><w:p><w:r><w:t>C</w:t></w:r></w:p></w:tc>
+        |       <w:tc><w:p><w:r><w:t>D</w:t></w:r></w:p></w:tc>
+        |       <w:tc><w:p><w:r><w:t>E</w:t></w:r></w:p></w:tc></w:tr>
+        |<w:tr><w:tc><w:tcPr><w:vMerge/></w:tcPr><w:p/></w:tc>
+        |       <w:tc><w:p><w:r><w:t>G</w:t></w:r></w:p></w:tc>
+        |       <w:tc><w:p><w:r><w:t>H</w:t></w:r></w:p></w:tc></w:tr>
+        |</w:tbl>""".stripMargin
+    val r = convertOne("spans.docx", docx(body))
+    assert(r.error == null, String.valueOf(r.error))
+    // spanned text repeats into every covered grid position: A spans two
+    // header columns, C spans rows 2-3 of column 1
+    assert(r.markdown ==
+      "| A | A | B |\n|---|---|---|\n| C | D | E |\n| C | G | H |")
+  }
+
   test("docx: picture inside a table cell lands in the images array after the table") {
     val body =
       """<w:tbl>
