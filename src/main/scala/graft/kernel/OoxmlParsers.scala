@@ -23,11 +23,12 @@ import graft.kernel.DocModel._
   * [[DocModel.PictureElement.rawMedia]]; the reference ships these same
   * pixels base64-encoded (document_converter/service.py:106-128). PPTX
   * speaker notes (ppt/notesSlides/…, associated via each slide's rels)
-  * append as text after their slide. DOCX cell spans (w:gridSpan +
-  * w:vMerge) produce real spanned [[DocModel.TableCellSpec]]s; PPTX table
-  * cells stay 1×1 (documented approximation). Everything emits into the
-  * same DocTree the md/html/csv parsers use, so splice/counters/
-  * serialization downstream are shared.
+  * append as text after their slide. Cell merges produce real spanned
+  * [[DocModel.TableCellSpec]]s in both formats: DOCX via w:gridSpan +
+  * w:vMerge restart/continue, PPTX via a:tc gridSpan/rowSpan attributes
+  * with hMerge/vMerge continuation slots. Everything emits into the same
+  * DocTree the md/html/csv parsers use, so splice/counters/serialization
+  * downstream are shared.
   */
 object OoxmlParsers {
 
@@ -137,18 +138,26 @@ object OoxmlParsers {
     Some(TableElement(specs.toSeq, nonEmpty.length, maxCol))
   }
 
-  private def tableFrom(rows: Seq[Seq[String]]): Option[TableElement] = {
+  /** Span-aware table build (PPTX): DrawingML writes an explicit a:tc for
+    * EVERY grid slot — covered slots carry hMerge/vMerge="1" — so each tc
+    * advances the column cursor by exactly one; an origin cell's
+    * gridSpan/rowSpan only widen its spec over the following continuation
+    * slots (ECMA-376 §21.1.3.16). */
+  private[kernel] def tableFromPptx(
+      rows: Seq[Seq[(String, Int, Int, Boolean)]]): Option[TableElement] = {
     val nonEmpty = rows.filter(_.nonEmpty)
-    if (nonEmpty.isEmpty) None
-    else {
-      val nCols = nonEmpty.map(_.length).max
-      val cells = nonEmpty.zipWithIndex.flatMap { case (row, ri) =>
-        row.padTo(nCols, "").zipWithIndex.map { case (c, ci) =>
-          TableCellSpec(ri, ri + 1, ci, ci + 1, c, columnHeader = ri == 0)
-        }
+    if (nonEmpty.isEmpty) return None
+    val specs = ArrayBuffer[TableCellSpec]()
+    var maxCol = 0
+    nonEmpty.zipWithIndex.foreach { case (row, ri) =>
+      row.zipWithIndex.foreach { case ((text, gs, rs, merged), col) =>
+        if (!merged)
+          specs += TableCellSpec(ri, math.min(ri + rs, nonEmpty.length),
+            col, col + gs, text, columnHeader = ri == 0)
       }
-      Some(TableElement(cells, nonEmpty.length, nCols))
+      maxCol = math.max(maxCol, row.length)
     }
+    Some(TableElement(specs.toSeq, nonEmpty.length, maxCol))
   }
 
   private val HeadingStyle = "Heading(\\d)".r
@@ -502,8 +511,12 @@ object OoxmlParsers {
       val items = ArrayBuffer[Element]()
 
       var inTable = false
-      val tableRows = ArrayBuffer[ArrayBuffer[String]]()
+      // per cell: (text, gridSpan, rowSpan, merge-continuation?)
+      val tableRows = ArrayBuffer[ArrayBuffer[(String, Int, Int, Boolean)]]()
       val cellBuf = new StringBuilder
+      var tcSpan = 1
+      var tcRowSpan = 1
+      var tcMerged = false
 
       var shapeIsTitle = false
       var inPic = false
@@ -541,8 +554,14 @@ object OoxmlParsers {
                 if (attr(r, "name").exists(_.startsWith("Title")))
                   shapeIsTitle = true
               case "tbl" => inTable = true
-              case "tr" if inTable => tableRows += ArrayBuffer[String]()
-              case "tc" if inTable => cellBuf.clear()
+              case "tr" if inTable =>
+                tableRows += ArrayBuffer[(String, Int, Int, Boolean)]()
+              case "tc" if inTable =>
+                cellBuf.clear()
+                tcSpan = attr(r, "gridSpan").flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+                tcRowSpan = attr(r, "rowSpan").flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+                tcMerged = (attr(r, "hMerge").toSeq ++ attr(r, "vMerge"))
+                  .exists(v => v == "1" || v == "true")
               case "pic" =>
                 inPic = true
                 picIdx = items.length
@@ -593,10 +612,11 @@ object OoxmlParsers {
                   paraLvl = 0
                 }
               case "tc" if inTable =>
-                if (tableRows.nonEmpty) tableRows.last += cellBuf.toString.trim
+                if (tableRows.nonEmpty)
+                  tableRows.last += ((cellBuf.toString.trim, tcSpan, tcRowSpan, tcMerged))
               case "tbl" =>
                 inTable = false
-                tableFrom(tableRows.map(_.toSeq).toSeq).foreach(items += _)
+                tableFromPptx(tableRows.map(_.toSeq).toSeq).foreach(items += _)
                 tableRows.clear()
               case "pic" => inPic = false; picIdx = -1
               case "sp" => endShape()

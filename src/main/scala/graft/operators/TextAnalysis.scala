@@ -210,6 +210,61 @@ object TextAnalysis {
         SELECT lang, rnk, token, n FROM rnk WHERE rnk <= 3
         ORDER BY lang, rnk""")),
 
+    // ----------------------------------------------------------------- t8
+    // Language identification (the n-gram-heuristic classifier t4 builds
+    // profiles for): score each document's DISTINCT tokens against the
+    // top-20-token profile of every language and take the argmax with a
+    // deterministic tie-break. The profile table is tiny (langs × 20) and
+    // broadcasts; at 100 TB the per-doc scoring is one explode + broadcast
+    // join + partial-aggregated groupBy — no corpus-size shuffle beyond
+    // the per-doc score rows. `correct` compares against the ground-truth
+    // lang column; docs hitting no profile token drop from both sides.
+    QuerySpec(
+      "t8_lang_id",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val allToks = docs.select($"lang",
+          explode(split(trim($"text"), "\\s+")).as("token"))
+        val wProf = Window.partitionBy($"lang").orderBy($"n".desc, $"token")
+        val profile = allToks.groupBy($"lang", $"token").agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(wProf)).filter($"rnk" <= 20)
+          .select($"lang".as("cand_lang"), $"token")
+        val docToks = docs.select($"doc_id", $"lang",
+          explode(array_distinct(split(trim($"text"), "\\s+"))).as("token"))
+        val scores = docToks.join(broadcast(profile), "token")
+          .groupBy($"doc_id", $"lang", $"cand_lang").agg(count(lit(1)).as("score"))
+        val wBest = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand_lang")
+        scores.withColumn("rk", row_number().over(wBest)).filter($"rk" === 1)
+          .select($"doc_id", $"cand_lang".as("predicted_lang"), $"score",
+            ($"cand_lang" === $"lang").as("correct"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH tok AS (
+          SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents),
+        cnt AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token),
+        prof AS (
+          SELECT lang AS cand_lang, token FROM (
+            SELECT lang, token,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+            FROM cnt) WHERE rnk <= 20),
+        dtok AS (
+          SELECT doc_id, lang,
+                 unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS token
+          FROM documents),
+        sc AS (
+          SELECT d.doc_id, d.lang, p.cand_lang, CAST(COUNT(*) AS BIGINT) AS score
+          FROM dtok d JOIN prof p ON d.token = p.token
+          GROUP BY d.doc_id, d.lang, p.cand_lang),
+        best AS (
+          SELECT doc_id, lang, cand_lang, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rk
+          FROM sc)
+        SELECT doc_id, cand_lang AS predicted_lang, score, cand_lang = lang AS correct
+        FROM best WHERE rk = 1 ORDER BY doc_id""")),
+
     // ----------------------------------------------------------------- t7
     // Blocklist scrubbing (the PII/term-redaction shape used by CCNet/
     // Dolma rule filters): replace blocklisted terms with a redaction

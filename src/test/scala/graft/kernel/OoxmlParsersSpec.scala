@@ -446,6 +446,26 @@ class OoxmlParsersSpec extends AnyFunSuite {
       "# Plan\n\n- top one\n  - detail a\n  - detail b\n- top two")
   }
 
+  test("pptx: gridSpan/rowSpan with merge continuation cells span the grid") {
+    val tbl =
+      """<p:graphicFrame><a:tbl>
+        |<a:tr><a:tc gridSpan="2"><a:txBody><a:p><a:r><a:t>Wide</a:t></a:r></a:p></a:txBody></a:tc>
+        |       <a:tc hMerge="1"><a:txBody><a:p/></a:txBody></a:tc>
+        |       <a:tc rowSpan="2"><a:txBody><a:p><a:r><a:t>Tall</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+        |<a:tr><a:tc><a:txBody><a:p><a:r><a:t>x</a:t></a:r></a:p></a:txBody></a:tc>
+        |       <a:tc><a:txBody><a:p><a:r><a:t>y</a:t></a:r></a:p></a:txBody></a:tc>
+        |       <a:tc vMerge="1"><a:txBody><a:p/></a:txBody></a:tc></a:tr>
+        |</a:tbl></p:graphicFrame>""".stripMargin
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "ppt/presentation.xml" -> "<p/>",
+      "ppt/slides/slide1.xml" -> slide(tbl))
+    val r = convertOne("merged.pptx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown ==
+      "| Wide | Wide | Tall |\n|---|---|---|\n| x | y | Tall |")
+  }
+
   test("pptx: untagged title shape detects via its cNvPr name") {
     val untaggedTitle =
       s"""<p:sp><p:nvSpPr><p:cNvPr id="4" name="Title 1"/><p:nvPr/></p:nvSpPr>
