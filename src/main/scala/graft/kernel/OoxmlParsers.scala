@@ -176,11 +176,12 @@ object OoxmlParsers {
   object DocxParser extends FormatParser {
     private val RelsPart = "word/_rels/document.xml.rels"
     private val NumberingPart = "word/numbering.xml"
+    private val FootnotesPart = "word/footnotes.xml"
 
     def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] = {
       val parts = zipEntries(bytes,
         n => n == "word/document.xml" || n == RelsPart || n == NumberingPart ||
-          n.startsWith("word/media/"))
+          n == FootnotesPart || n.startsWith("word/media/"))
       parts.get("word/document.xml") match {
         case None => Left("Invalid DOCX: missing word/document.xml")
         case Some(xml) =>
@@ -189,11 +190,47 @@ object OoxmlParsers {
             val relTarget = rels.map(r => r.id -> r.target).toMap
             val numbering =
               parts.get(NumberingPart).map(parseNumbering).getOrElse(Map.empty)
+            val footnotes =
+              parts.get(FootnotesPart).map(parseFootnotes).getOrElse(Map.empty)
             val media: String => Option[Array[Byte]] =
               id => relTarget.get(id).flatMap(t => parts.get(resolveTarget("word", t)))
-            Right(DocTree(name, parseDocumentXml(xml, relTarget, numbering, media)))
+            Right(DocTree(name,
+              parseDocumentXml(xml, relTarget, numbering, media, footnotes)))
           } catch { case e: Exception => Left(s"Invalid DOCX: ${e.getMessage}") }
       }
+    }
+
+    /** word/footnotes.xml → (footnote id → text). Separator/continuation
+      * stubs (w:type present) are skipped; paragraphs join with a space. */
+    private[kernel] def parseFootnotes(xml: Array[Byte]): Map[String, String] = {
+      val r = newReader(xml)
+      val out = Map.newBuilder[String, String]
+      var curId: Option[String] = None
+      val buf = new StringBuilder
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "footnote" =>
+                curId = if (attr(r, "type").isDefined) None else attr(r, "id")
+                buf.clear()
+              case "t" if curId.isDefined => buf ++= r.getElementText
+              case _ => ()
+            }
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "p" if curId.isDefined =>
+                if (buf.nonEmpty && !buf.endsWith(" ")) buf += ' '
+              case "footnote" =>
+                curId.foreach(id => out += id -> buf.toString.trim)
+                curId = None
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+      r.close()
+      out.result()
     }
 
     /** word/numbering.xml → ((numId, ilvl) → numFmt), via the two-level
@@ -240,9 +277,13 @@ object OoxmlParsers {
     private def parseDocumentXml(xml: Array[Byte],
                                  rels: Map[String, String],
                                  numbering: Map[(String, String), String],
-                                 media: String => Option[Array[Byte]]): Seq[Element] = {
+                                 media: String => Option[Array[Byte]],
+                                 footnotes: Map[String, String]): Seq[Element] = {
       val r = newReader(xml)
       val items = ArrayBuffer[Element]()
+      // footnote id → 1-based number, in first-reference order (Word
+      // renumbers the same way regardless of the file's internal ids)
+      val footnoteOrder = scala.collection.mutable.LinkedHashMap.empty[String, Int]
 
       var tblDepth = 0
       // per cell: (text, gridSpan width, vMerge state)
@@ -394,6 +435,11 @@ object OoxmlParsers {
                 val text = r.getElementText
                 if (tblDepth >= 1) cellBuf ++= text
                 else paraSegs += ((text, runBold, runItalic))
+              case "footnoteReference" if tblDepth == 0 =>
+                for (id <- attr(r, "id") if footnotes.contains(id)) {
+                  val n = footnoteOrder.getOrElseUpdate(id, footnoteOrder.size + 1)
+                  paraSegs += ((s"[^$n]", false, false))
+                }
               case "tab" if tblDepth == 0 => paraSegs += ((" ", false, false))
               case "br" if tblDepth == 0 => paraSegs += ((" ", false, false))
               case _ => ()
@@ -431,6 +477,12 @@ object OoxmlParsers {
       }
       r.close()
       flushPendingList()
+      // footnote definitions append at document end, numbered in
+      // first-reference order
+      footnoteOrder.foreach { case (id, n) =>
+        footnotes.get(id).filter(_.nonEmpty)
+          .foreach(t => items += TextElement(s"[^$n]: $t"))
+      }
       items.toSeq
     }
   }

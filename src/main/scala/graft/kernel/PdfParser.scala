@@ -559,22 +559,33 @@ object PdfParser extends FormatParser {
     var lastName = ""
     var curFontName = ""
     var curFont: Option[FontInfo] = None
+    var tjDepth = 0
+    // a TJ kern gap wide enough to be an inter-word space (thousandths of
+    // a text-space unit; typical space widths are 200-300). LaTeX often
+    // encodes word gaps as kerning instead of space characters.
+    var pendingKern = false
     def newline(): Unit = {
       if (emitted && sb.nonEmpty && !sb.endsWith("\n")) sb += '\n'
+      pendingKern = false
     }
     def emit(rawChars: String): Unit = {
-      curFont.map(_.dec).getOrElse(Latin1) match {
-        case Latin1 => sb ++= rawChars
+      val decoded = curFont.map(_.dec).getOrElse(Latin1) match {
+        case Latin1 => rawChars
         case ByteCharset(cs) =>
-          sb ++= new String(rawChars.map(_.toByte).toArray, cs)
+          new String(rawChars.map(_.toByte).toArray, cs)
         case CMapDec(c) =>
-          rawChars.grouped(c.codeBytes).foreach { grp =>
+          rawChars.grouped(c.codeBytes).map { grp =>
             val code = grp.foldLeft(0)((acc, ch) => (acc << 8) | (ch & 0xFF))
-            sb ++= c.lookup(code).getOrElse("�")
-          }
+            c.lookup(code).getOrElse("�")
+          }.mkString
         case Undecodable =>
           undecodable += curFont.map(f => s"/$curFontName (${f.baseName})").getOrElse(curFontName)
+          ""
       }
+      if (pendingKern && decoded.nonEmpty && !decoded.startsWith(" ") &&
+        sb.nonEmpty && !sb.endsWith(" ") && !sb.endsWith("\n")) sb += ' '
+      pendingKern = false
+      sb ++= decoded
       emitted = true
     }
     while (i < block.length) {
@@ -597,6 +608,15 @@ object PdfParser extends FormatParser {
             block.charAt(j) == '+' || block.charAt(j) == '-')) j += 1
           lastName = block.substring(start, j)
           i = j
+        case '[' => tjDepth += 1; i += 1
+        case ']' => tjDepth = math.max(0, tjDepth - 1); i += 1
+        case c if tjDepth > 0 && (c == '-' || c.isDigit) =>
+          val start = i
+          i += 1
+          while (i < block.length &&
+            (block.charAt(i).isDigit || block.charAt(i) == '.')) i += 1
+          val v = block.substring(start, i).toDoubleOption.getOrElse(0.0)
+          if (v <= -180) pendingKern = true
         case 'T' if i + 1 < block.length && block.charAt(i + 1) == 'f' =>
           curFontName = lastName
           curFont = fonts.get(lastName)

@@ -323,6 +323,32 @@ class OoxmlParsersSpec extends AnyFunSuite {
       "1. alpha\n  1. sub-one\n  2. sub-two\n2. beta\n  1. sub-three")
   }
 
+  test("docx: footnotes render inline markers and definitions at document end") {
+    val footnotes =
+      s"""<?xml version="1.0"?><w:footnotes xmlns:w="$W">
+         |<w:footnote w:type="separator" w:id="-1"><w:p><w:r><w:t>sep</w:t></w:r></w:p></w:footnote>
+         |<w:footnote w:id="2"><w:p><w:r><w:t>First note.</w:t></w:r></w:p></w:footnote>
+         |<w:footnote w:id="5"><w:p><w:r><w:t>Second note,</w:t></w:r></w:p>
+         |  <w:p><w:r><w:t>two paragraphs.</w:t></w:r></w:p></w:footnote>
+         |</w:footnotes>""".stripMargin
+    // id 5 is referenced FIRST, so it renumbers to [^1]
+    val body =
+      s"""<w:p><w:r><w:t>Claim A</w:t></w:r>
+         |<w:r><w:footnoteReference w:id="5"/></w:r>
+         |<w:r><w:t> and claim B</w:t></w:r>
+         |<w:r><w:footnoteReference w:id="2"/></w:r>
+         |<w:r><w:t>.</w:t></w:r></w:p>""".stripMargin
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "word/document.xml" ->
+        s"""<?xml version="1.0"?><w:document xmlns:w="$W"><w:body>$body</w:body></w:document>""",
+      "word/footnotes.xml" -> footnotes)
+    val r = convertOne("notes.docx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown ==
+      "Claim A[^1] and claim B[^2].\n\n[^1]: Second note, two paragraphs.\n\n[^2]: First note.")
+  }
+
   test("docx: gridSpan and vMerge produce real spanned cells") {
     val body =
       """<w:tbl>

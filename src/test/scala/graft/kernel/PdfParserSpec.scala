@@ -81,6 +81,16 @@ class PdfParserSpec extends AnyFunSuite {
     assert(r.error != null)
   }
 
+  test("TJ kern gaps wide enough to be word breaks insert a space") {
+    // LaTeX-style: inter-word space encoded as kerning, not a space char;
+    // small kerns (-20) stay glued, wide ones (-250) become spaces, and a
+    // string already starting with a space is not doubled
+    val content = "BT [(Hel) -20 (lo) -250 (world) -250 ( again)] TJ ET"
+    val r = convertOne("kern.pdf", pdf(Seq(content -> false)))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "Hello world again")
+  }
+
   test("octal escapes and nested parens in literal strings") {
     val content = "BT (A\\051B (nested) \\101) Tj ET"
     val r = convertOne("esc.pdf", pdf(Seq(content -> false)))
