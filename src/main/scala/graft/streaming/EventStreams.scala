@@ -35,6 +35,26 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Stream-stream interval self-join — the streaming twin of batch q26:
+    * emit (trigger event, follow-up event) pairs where the same user acts
+    * again within `window`. Both join inputs carry event-time watermarks
+    * and the join condition bounds b_ts on BOTH ends relative to a_ts, so
+    * Spark can evict join state as the watermark advances — the required
+    * shape for unbounded stream-stream joins (state is O(events within
+    * the watermark horizon), never the full stream). */
+  def followupPairsStream(events: DataFrame, window: String = "10 minutes",
+                          watermark: String = "2 hours"): DataFrame = {
+    val a = events.withWatermark("ts", watermark)
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("ts").as("a_ts"))
+    val b = events.withWatermark("ts", watermark)
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"))
+    a.join(b, expr(
+      s"a_user = b_user AND b_ts > a_ts AND b_ts <= a_ts + INTERVAL $window"))
+      .select(col("a_id"), col("b_id"), col("a_user").as("user_id"))
+  }
+
   /** Streaming exact dedup — the ingest-time twin of batch d1: documents
     * arriving on a stream keep only the FIRST occurrence of each content
     * hash. dropDuplicatesWithinWatermark scopes the dedup state to the
