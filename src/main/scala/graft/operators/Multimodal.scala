@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   * the renderer's dimension contract (a pure function of doc_id).
   * m2 goes further: javax.imageio IS a real JVM codec, so the same PNGs
   * are decoded, measured and resized for real inside mapPartitions.
-  * Audio/video frame-sampling would slot into the same batch shape.
+  * m3 covers video-shaped payloads (frame index + every-k sampling over
+  * concatenated frames; codec layer stubbed deterministically) and m4
+  * audio (real RIFF/WAVE header parse + peak/RMS over PCM16 samples —
+  * WAV needs no codec). All four share the same batch shape: binary
+  * column in, typed features out, zero shuffles before the final sort.
   */
 object Multimodal {
 
@@ -108,6 +112,74 @@ object Multimodal {
                  list_filter(range(0, doc_id % 5 + 2), f -> f % 2 = 0),
                  f -> 64 * (f % 4 + 1))) AS BIGINT) AS sum_sampled_width
         FROM documents ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------- m4
+    // REAL audio feature extraction: WAV is headered raw PCM, so no codec
+    // is needed — the synthesized payload (deterministic PCM16 from
+    // doc_id) is a real RIFF/WAVE container, and the operator under test
+    // reads ONLY the bytes: sample rate and data size from the header
+    // (little-endian at fixed offsets), then peak amplitude and RMS over
+    // the PCM samples in one tight loop. Same mapPartitions batch shape
+    // as m2/m3 — binary in, features out, no shuffle; a compressed-codec
+    // corpus would swap the header/sample reads for a decoder call. The
+    // oracle recomputes everything from the synthesis formula.
+    QuerySpec(
+      "m4_audio_features",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents").select($"doc_id").as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val n = ((id % 3) + 1).toInt * 100
+              val sr = 8000
+              val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              bb.put("RIFF".getBytes); bb.putInt(36 + n * 2); bb.put("WAVE".getBytes)
+              bb.put("fmt ".getBytes); bb.putInt(16)
+              bb.putShort(1); bb.putShort(1) // PCM, mono
+              bb.putInt(sr); bb.putInt(sr * 2); bb.putShort(2); bb.putShort(16)
+              bb.put("data".getBytes); bb.putInt(n * 2)
+              var i = 0
+              while (i < n) {
+                bb.putShort((((id * 31 + i * 7) % 2003) - 1001).toShort)
+                i += 1
+              }
+              val wav = bb.array()
+              // ---- feature extraction (reads only the container bytes)
+              val rb = java.nio.ByteBuffer.wrap(wav)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              val sampleRate = rb.getInt(24).toLong
+              val nSamples = rb.getInt(40) / 2
+              var peak = 0L
+              var sumSq = 0L
+              var j = 0
+              while (j < nSamples) {
+                val v = rb.getShort(44 + j * 2).toLong
+                if (math.abs(v) > peak) peak = math.abs(v)
+                sumSq += v * v
+                j += 1
+              }
+              val rms = BigDecimal(math.sqrt(sumSq.toDouble / nSamples))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              (id, sampleRate, nSamples.toLong, peak, sumSq, rms)
+            }
+          }
+          .toDF("doc_id", "sample_rate", "n_samples", "peak", "sum_sq", "rms")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT doc_id, (doc_id % 3 + 1) * 100 AS n,
+                 list_transform(range(0, (doc_id % 3 + 1) * 100),
+                   i -> (doc_id * 31 + i * 7) % 2003 - 1001) AS samples
+          FROM documents)
+        SELECT doc_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(list_max(list_transform(samples, x -> abs(x))) AS BIGINT) AS peak,
+               CAST(list_sum(list_transform(samples, x -> x * x)) AS BIGINT) AS sum_sq,
+               ROUND(sqrt(CAST(list_sum(list_transform(samples, x -> x * x)) AS DOUBLE) / n), 6) AS rms
+        FROM v ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------- m2
     // REAL image decode/feature-extract/resize: per doc, a deterministic
