@@ -23,8 +23,8 @@ object DocModel {
   final case class TextElement(text: String) extends Element
   /** `levels` (parallel to `items`, empty = all level 0) carries nesting
     * depth — DOCX `w:ilvl`, etc. Markdown indents nested items two spaces
-    * per level with per-level counters for ordered lists; the flat
-    * serializers (text/json/doctags) ignore depth. */
+    * per level with per-level counters for ordered lists; json exports the
+    * levels array; text/doctags flatten. */
   final case class ListElement(items: Seq[String], ordered: Boolean = false,
                                levels: Seq[Int] = Seq.empty) extends Element
   final case class TableElement(

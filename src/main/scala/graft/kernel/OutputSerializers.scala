@@ -63,8 +63,10 @@ object OutputSerializers {
           s"""{"kind":"heading","level":$l,"text":${q(t)}}"""
         case TextElement(t) =>
           s"""{"kind":"text","text":${q(t)}}"""
-        case ListElement(items, ordered, _) =>
-          s"""{"kind":"list","ordered":$ordered,"items":[${items.map(q).mkString(",")}]}"""
+        case ListElement(items, ordered, levels) =>
+          val lvls = if (levels.size == items.size) levels else items.map(_ => 0)
+          s"""{"kind":"list","ordered":$ordered,"items":[${items.map(q).mkString(",")}],""" +
+            s""""levels":[${lvls.mkString(",")}]}"""
         case t: TableElement =>
           val cells = t.cells.map(c =>
             s"""{"row":${c.startRow},"col":${c.startCol},"text":${q(c.text)},"header":${c.columnHeader}}""")

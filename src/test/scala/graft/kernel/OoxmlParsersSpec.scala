@@ -505,6 +505,87 @@ class OoxmlParsersSpec extends AnyFunSuite {
     assert(r.markdown == "# Untagged Heading\n\nBody text.")
   }
 
+  test("docx golden: headings, emphasis, footnote, link, nested list, spanned table, cell + embedded pictures") {
+    val src = pngOf(4, 4, 0xAA0000)
+    val numbering =
+      s"""<?xml version="1.0"?><w:numbering xmlns:w="$W">
+         |<w:abstractNum w:abstractNumId="0">
+         |  <w:lvl w:ilvl="0"><w:numFmt w:val="decimal"/></w:lvl>
+         |  <w:lvl w:ilvl="1"><w:numFmt w:val="lowerLetter"/></w:lvl>
+         |</w:abstractNum>
+         |<w:num w:numId="5"><w:abstractNumId w:val="0"/></w:num>
+         |</w:numbering>""".stripMargin
+    val footnotes =
+      s"""<?xml version="1.0"?><w:footnotes xmlns:w="$W">
+         |<w:footnote w:id="3"><w:p><w:r><w:t>See appendix.</w:t></w:r></w:p></w:footnote>
+         |</w:footnotes>""".stripMargin
+    def li(text: String, ilvl: String): String =
+      s"""<w:p><w:pPr><w:numPr><w:ilvl w:val="$ilvl"/><w:numId w:val="5"/></w:numPr></w:pPr>
+         |<w:r><w:t>$text</w:t></w:r></w:p>""".stripMargin
+    val body =
+      wp("Report", Some("Heading1")) +
+        s"""<w:p><w:r><w:t>A </w:t></w:r>
+           |<w:r><w:rPr><w:b/></w:rPr><w:t>bold</w:t></w:r>
+           |<w:r><w:t> claim</w:t></w:r>
+           |<w:r><w:footnoteReference w:id="3"/></w:r>
+           |<w:r><w:t> with </w:t></w:r>
+           |<w:hyperlink r:id="rL" xmlns:r="$R"><w:r><w:t>a link</w:t></w:r></w:hyperlink>
+           |<w:r><w:t>.</w:t></w:r></w:p>""".stripMargin +
+        li("first", "0") + li("detail", "1") + li("second", "0") +
+        """<w:tbl>
+          |<w:tr><w:tc><w:tcPr><w:gridSpan w:val="2"/></w:tcPr><w:p><w:r><w:t>Metric</w:t></w:r></w:p></w:tc></w:tr>
+          |<w:tr><w:tc><w:p><w:r><w:t>a</w:t></w:r></w:p></w:tc>
+          |       <w:tc><w:p><w:r><w:t>b</w:t></w:r><w:r><w:drawing><wp:inline xmlns:wp="x"/></w:drawing></w:r></w:p></w:tc></w:tr>
+          |</w:tbl>""".stripMargin +
+        s"""<w:p><w:r><w:drawing><wp:inline xmlns:wp="x">
+           |<a:blip xmlns:a="$A" r:embed="rImg" xmlns:r="$R"/>
+           |</wp:inline></w:drawing></w:r></w:p>""".stripMargin +
+        wp("Done.")
+    val bytes = zipB(
+      "[Content_Types].xml" -> "<Types/>".getBytes(StandardCharsets.UTF_8),
+      "word/document.xml" ->
+        s"""<?xml version="1.0"?><w:document xmlns:w="$W"><w:body>$body</w:body></w:document>"""
+          .getBytes(StandardCharsets.UTF_8),
+      "word/numbering.xml" -> numbering.getBytes(StandardCharsets.UTF_8),
+      "word/footnotes.xml" -> footnotes.getBytes(StandardCharsets.UTF_8),
+      "word/_rels/document.xml.rels" ->
+        s"""<?xml version="1.0"?>
+           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+           |<Relationship Id="rL" Type="$R/hyperlink" Target="https://x.test" TargetMode="External"/>
+           |<Relationship Id="rImg" Type="$R/image" Target="media/image1.png"/>
+           |</Relationships>""".stripMargin.getBytes(StandardCharsets.UTF_8),
+      "word/media/image1.png" -> src)
+    val r = convertOne("report.docx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown ==
+      """# Report
+        |
+        |A **bold** claim[^1] with [a link](https://x.test).
+        |
+        |1. first
+        |  1. detail
+        |2. second
+        |
+        || Metric | Metric |
+        ||---|---|
+        || a | b |
+        |
+        |picture-1.png
+        |
+        |picture-2.png
+        |
+        |Done.
+        |
+        |[^1]: See appendix.""".stripMargin)
+    assert(r.images.map(_.filename) == Seq("picture-1.png", "picture-2.png"))
+    // picture-1: imageless cell drawing -> placeholder render (256x192 @ scale 4)
+    assert((decodePng(r.images(0).image).getWidth, decodePng(r.images(0).image).getHeight) == (256, 192))
+    // picture-2: the document's real 4x4 pixels scaled by 4
+    val img2 = decodePng(r.images(1).image)
+    assert((img2.getWidth, img2.getHeight) == (16, 16))
+    assert((img2.getRGB(8, 8) & 0xFFFFFF) == 0xAA0000)
+  }
+
   test("resolveTarget normalizes relative rels targets") {
     assert(OoxmlParsers.resolveTarget("word", "media/image1.png") == "word/media/image1.png")
     assert(OoxmlParsers.resolveTarget("ppt/slides", "../media/i.png") == "ppt/media/i.png")

@@ -40,6 +40,13 @@ class OutputSerializersSpec extends AnyFunSuite {
     assert(kinds.toSeq == Seq("heading", "text", "table", "picture"))
   }
 
+  test("json serializer carries list nesting levels") {
+    val listDoc = DocTree("l", Seq(
+      ListElement(Seq("a", "a1", "b"), ordered = true, levels = Seq(0, 1, 0))))
+    assert(OutputSerializers.Json.serialize(listDoc) ==
+      """{"name":"l","items":[{"kind":"list","ordered":true,"items":["a","a1","b"],"levels":[0,1,0]}]}""")
+  }
+
   test("doctags serializer emits escaped element tags") {
     val tags = OutputSerializers.DocTags.serialize(doc)
     assert(tags.contains("<section_header_level_1>Title</section_header_level_1>"))
