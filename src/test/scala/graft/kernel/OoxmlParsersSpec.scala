@@ -586,6 +586,60 @@ class OoxmlParsersSpec extends AnyFunSuite {
     assert((img2.getRGB(8, 8) & 0xFFFFFF) == 0xAA0000)
   }
 
+  test("pptx golden: title, indented bullets, link, merged table, embedded picture, notes") {
+    val src = pngOf(5, 3, 0x00AA66)
+    val slideXml = slide(
+      sp("Quarterly", title = true) +
+        s"""<p:sp><p:nvSpPr><p:nvPr><p:ph type="body"/></p:nvPr></p:nvSpPr><p:txBody>
+           |<a:p><a:r><a:t>Revenue up</a:t></a:r></a:p>
+           |<a:p><a:pPr lvl="1"/><a:r><a:rPr><a:hlinkClick r:id="rL" xmlns:r="$R"/></a:rPr>
+           |<a:t>details</a:t></a:r></a:p>
+           |</p:txBody></p:sp>""".stripMargin +
+        """<p:graphicFrame><a:tbl>
+          |<a:tr><a:tc gridSpan="2"><a:txBody><a:p><a:r><a:t>KPI</a:t></a:r></a:p></a:txBody></a:tc>
+          |       <a:tc hMerge="1"><a:txBody><a:p/></a:txBody></a:tc></a:tr>
+          |<a:tr><a:tc><a:txBody><a:p><a:r><a:t>q1</a:t></a:r></a:p></a:txBody></a:tc>
+          |       <a:tc><a:txBody><a:p><a:r><a:t>q2</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+          |</a:tbl></p:graphicFrame>""".stripMargin +
+        s"""<p:pic><p:blipFill><a:blip r:embed="rP" xmlns:r="$R"/></p:blipFill></p:pic>""")
+    val notes =
+      s"""<?xml version="1.0"?><p:notes xmlns:p="$P" xmlns:a="$A">
+         |<p:cSld><p:spTree>
+         |<p:sp><p:nvSpPr><p:nvPr><p:ph type="body"/></p:nvPr></p:nvSpPr>
+         |  <p:txBody><a:p><a:r><a:t>Mention churn.</a:t></a:r></a:p></p:txBody></p:sp>
+         |</p:spTree></p:cSld></p:notes>""".stripMargin
+    val bytes = zipB(
+      "[Content_Types].xml" -> "<Types/>".getBytes(StandardCharsets.UTF_8),
+      "ppt/presentation.xml" -> "<p/>".getBytes(StandardCharsets.UTF_8),
+      "ppt/slides/slide1.xml" -> slideXml.getBytes(StandardCharsets.UTF_8),
+      "ppt/slides/_rels/slide1.xml.rels" ->
+        s"""<?xml version="1.0"?>
+           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+           |<Relationship Id="rL" Type="$R/hyperlink" Target="https://kpi.test" TargetMode="External"/>
+           |<Relationship Id="rP" Type="$R/image" Target="../media/image1.png"/>
+           |<Relationship Id="rN" Type="$R/notesSlide" Target="../notesSlides/notesSlide1.xml"/>
+           |</Relationships>""".stripMargin.getBytes(StandardCharsets.UTF_8),
+      "ppt/media/image1.png" -> src,
+      "ppt/notesSlides/notesSlide1.xml" -> notes.getBytes(StandardCharsets.UTF_8))
+    val r = convertOne("quarterly.pptx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown ==
+      """# Quarterly
+        |
+        |- Revenue up
+        |  - [details](https://kpi.test)
+        |
+        || KPI | KPI |
+        ||---|---|
+        || q1 | q2 |
+        |
+        |picture-1.png
+        |
+        |Mention churn.""".stripMargin)
+    val img = decodePng(r.images.head.image)
+    assert((img.getWidth, img.getHeight) == (20, 12)) // 5x3 × scale 4
+  }
+
   test("resolveTarget normalizes relative rels targets") {
     assert(OoxmlParsers.resolveTarget("word", "media/image1.png") == "word/media/image1.png")
     assert(OoxmlParsers.resolveTarget("ppt/slides", "../media/i.png") == "ppt/media/i.png")

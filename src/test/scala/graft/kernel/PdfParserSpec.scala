@@ -316,6 +316,44 @@ class PdfParserSpec extends AnyFunSuite {
     assert(r.markdown == "First page.\n\nSecond page.")
   }
 
+  test("pdf golden: page tree + CMap font + WinAnsi font + embedded JPEG across pages") {
+    val img = new java.awt.image.BufferedImage(6, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 6).foreach(y => (0 until 6).foreach(x => img.setRGB(x, y, 0x112233)))
+    val jbos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbos)
+    val jpeg = new String(jbos.toByteArray, StandardCharsets.ISO_8859_1)
+
+    // page 1: Type0+CMap "Hello!" then the image; page 2: WinAnsi quotes +
+    // a kern-gap word break. Objects deliberately out of page order.
+    val bytes = pdfObjs(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>", None),
+      (4, "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F2 8 0 R >> >> /Contents 10 0 R >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> /XObject << /Im1 9 0 R >> >> /Contents 11 0 R >>", None),
+      (5, "<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Serif /Encoding /Identity-H /ToUnicode 6 0 R >>", None),
+      (6, "", Some(helloCMap)),
+      (8, "<< /Type /Font /Subtype /TrueType /BaseFont /Helv /Encoding /WinAnsiEncoding >>", None),
+      (10, "", Some("BT /F2 10 Tf [(\\223Great\\224) -250 (quarter)] TJ ET")),
+      (11, "", Some("BT /F1 12 Tf <0003 0024 002B 002B 002E 0015> Tj ET q /Im1 Do Q"))))
+    // append the JPEG image object manually (binary payload)
+    val bos = new ByteArrayOutputStream()
+    bos.write(bytes, 0, bytes.length - "%%EOF\n".length)
+    bos.write(s"9 0 obj\n<< /Subtype /Image /Width 6 /Height 6 /Filter /DCTDecode /Length ${jpeg.length} >>\nstream\n"
+      .getBytes(StandardCharsets.ISO_8859_1))
+    bos.write(jbos.toByteArray)
+    bos.write("\nendstream\nendobj\n%%EOF\n".getBytes(StandardCharsets.ISO_8859_1))
+
+    val r = convertOne("golden.pdf", bos.toByteArray)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "Hello!\n\npicture-1.png\n\n“Great” quarter")
+    val decoded = decodeJpegOrPng(r.images.head.image)
+    assert((decoded.getWidth, decoded.getHeight) == (24, 24)) // 6x6 × scale 4
+  }
+
+  private def decodeJpegOrPng(b64: String): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      java.util.Base64.getDecoder.decode(b64)))
+
   test("ToUnicode CMap stream itself is not scanned as page content") {
     // a CMap containing the letters B and T must not be mistaken for text ops
     val bytes = pdfObjs(Seq(
