@@ -31,6 +31,61 @@ object Dedup {
     * one block — never the corpus. */
   val MaxCosineBlock = 512
 
+  /** d2's near-dup pair computation (df-capped inverted index → pair
+    * intersection counts → Jaccard >= `threshold`), shared with d7's
+    * cluster step. Returns (a_id, b_id, common, jaccard), unordered and
+    * unlimited — d2 applies its own orderBy/limit presentation. */
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String,
+                           threshold: Double = 0.05): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val sh0 = Shingles.pairs(s, graft.Tables(s, dir, "documents")).persist()
+    val hot = sh0.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" > MaxShingleDf).select($"shingle")
+    val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val postings = sh.groupBy($"shingle").agg(collect_list($"doc_id").as("ids"))
+    val common = postings.select($"ids").as[Seq[Long]]
+      .flatMap { ids =>
+        val sorted = ids.sorted
+        for (i <- sorted.indices.iterator; j <- (i + 1 until sorted.length).iterator)
+          yield (sorted(i), sorted(j))
+      }
+      .toDF("a_id", "b_id")
+      .groupBy($"a_id", $"b_id")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("jaccard", $"common".cast("double") / ($"na" + $"nb" - $"common"))
+      .filter($"jaccard" >= threshold)
+      .select($"a_id", $"b_id", $"common", $"jaccard")
+  }
+
+  /** The d2 oracle's CTE chain up to threshold pairs, shared with d7. */
+  private val JaccardPairsSql: String = raw"""
+        sh0 AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
+                     i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                          regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                          regexp_split_to_array(trim(text), '\s+')[i+2])) AS shingle
+            FROM documents)),
+        hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > $MaxShingleDf),
+        sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        rawpairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        tpairs AS (
+          SELECT a_id, b_id, common,
+                 CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+          FROM rawpairs JOIN sizes sa ON a_id = sa.doc_id
+                        JOIN sizes sb ON b_id = sb.doc_id
+          WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.05)"""
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----------------------------------------------------------------- d1
@@ -56,71 +111,81 @@ object Dedup {
       "d2_ngram_jaccard_pairs",
       (s, dir) => {
         import s.implicits._
-        // Docs with <3 tokens produce no shingles: the guard matters under
-        // ANSI mode, where the unguarded sequence(0, size-3) form would
-        // index toks[-1] and fail the whole query (explode drops the null).
-        // The shingle lineage is the expensive part — persist it ONCE;
-        // everything downstream (hot-shingle agg, sizes, both self-join
-        // sides) reads the cache. Shingling itself is the shared typed
-        // flatMap (see Shingles for why not HOF columns).
-        val sh0 = Shingles.pairs(s, Tables(s, dir, "documents")).persist()
-        // 100 TB skew fix: a shingle present in > MaxShingleDf documents is
-        // boilerplate; on the self-join it would emit O(df²) pairs on one
-        // hot key (the classic inverted-index skew). Drop hot shingles from
-        // the representation before joining — the hot list is tiny, so the
-        // anti-join broadcasts.
-        val hot = sh0.groupBy($"shingle").agg(count(lit(1)).as("df"))
-          .filter($"df" > MaxShingleDf).select($"shingle")
-        val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
-        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        // Pair generation: group the (capped) posting list per shingle and
-        // emit doc pairs with a typed flatMap — one groupBy shuffle + one
-        // count shuffle, instead of the 3-shuffle sort-merge self-join on
-        // the string key. The df cap above bounds every posting list at
-        // MaxShingleDf, so pair fan-out per shingle is bounded too.
-        val postings = sh.groupBy($"shingle").agg(collect_list($"doc_id").as("ids"))
-        val common = postings.select($"ids").as[Seq[Long]]
-          .flatMap { ids =>
-            val sorted = ids.sorted
-            for (i <- sorted.indices.iterator; j <- (i + 1 until sorted.length).iterator)
-              yield (sorted(i), sorted(j))
-          }
-          .toDF("a_id", "b_id")
-          .groupBy($"a_id", $"b_id")
-          .agg(count(lit(1)).as("common"))
-        common
-          .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
-          .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
-          .withColumn("jaccard", $"common".cast("double") / ($"na" + $"nb" - $"common"))
-          .filter($"jaccard" >= 0.05)
-          .select($"a_id", $"b_id", $"common", $"jaccard")
+        // Full pipeline in jaccardPairs (shared with d7's cluster step):
+        // persist-once shingle lineage; df cap drops boilerplate shingles
+        // BEFORE the join (the 100 TB inverted-index skew fix — hot keys
+        // would emit O(df²) pairs); posting-list groupBy + typed flatMap
+        // pair gen with bounded fan-out; docs with <3 tokens shingle to
+        // nothing (the ANSI-mode guard lives in Shingles).
+        jaccardPairs(s, dir)
           .orderBy($"jaccard".desc, $"a_id", $"b_id")
           .limit(200)
       },
       Some(raw"""
-        WITH sh0 AS (
-          SELECT DISTINCT doc_id, shingle FROM (
-            SELECT doc_id,
-                   unnest(list_transform(
-                     generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
-                     i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
-                          regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
-                          regexp_split_to_array(trim(text), '\s+')[i+2])) AS shingle
-            FROM documents)),
-        hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > $MaxShingleDf),
-        sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        pairs AS (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS common
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id)
-        SELECT a_id, b_id, common,
-               CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
-        FROM pairs JOIN sizes sa ON a_id = sa.doc_id
-                   JOIN sizes sb ON b_id = sb.doc_id
-        WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.05
+        WITH $JaccardPairsSql
+        SELECT a_id, b_id, common, jaccard FROM tpairs
         ORDER BY jaccard DESC, a_id, b_id
         LIMIT 200""")),
+
+    // ----------------------------------------------------------------- d7
+    // Dedup clusters: connected components over the d2 near-dup pair
+    // graph — the step every real dedup pipeline ends with (pairs alone
+    // don't say which docs to drop; transitive closure does, with
+    // cluster_id = min doc_id as the canonical keeper). Iterative
+    // min-label propagation WITH pointer jumping (label := label(label)
+    // each round), so chains contract exponentially: O(log diameter)
+    // rounds, each round two joins on the vertex set. Every round ends in
+    // an EAGER localCheckpoint: the round's self-join references its input
+    // twice, so without lineage truncation the logical plan doubles per
+    // round (exponential analysis cost, then stack overflow) — the
+    // checkpoint keeps plans constant-size, which is the required shape
+    // for ANY iterative DataFrame algorithm. Convergence is a monotone
+    // label-sum check (labels only decrease; equal sums ⇔ fixpoint) — one
+    // scalar per round to the driver, never data.
+    QuerySpec(
+      "d7_dedup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = jaccardPairs(s, dir).select($"a_id", $"b_id")
+        val edges = pairs
+          .union(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+          .localCheckpoint(true) // truncate the jaccardPairs lineage once
+        var labels = edges.select($"a_id".as("id")).distinct()
+          .withColumn("label", $"id").localCheckpoint(true)
+        var prevSum = -1L
+        var curSum = labels.agg(sum($"label")).as[Long].head()
+        var rounds = 0
+        while (curSum != prevSum && rounds < 25) {
+          val nmin = edges.join(labels, edges("b_id") === labels("id"))
+            .groupBy(edges("a_id").as("nid")).agg(min($"label").as("nmin"))
+          val propagated = labels.join(nmin, labels("id") === $"nid", "left")
+            .select(labels("id").as("id"),
+              least(labels("label"), coalesce($"nmin", labels("label"))).as("label"))
+          val next = propagated.as("x")
+            .join(propagated.select($"id".as("pid"), $"label".as("plabel")),
+              col("x.label") === $"pid", "left")
+            .select(col("x.id").as("id"),
+              coalesce($"plabel", col("x.label")).as("label"))
+            .localCheckpoint(true)
+          prevSum = curSum
+          curSum = next.agg(sum($"label")).as[Long].head()
+          labels = next
+          rounds += 1
+        }
+        labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH RECURSIVE $JaccardPairsSql,
+        edges AS (
+          SELECT a_id AS s, b_id AS d FROM tpairs
+          UNION ALL SELECT b_id, a_id FROM tpairs),
+        reach AS (
+          SELECT DISTINCT s AS id, s AS r FROM edges
+          UNION
+          SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id)
+        SELECT id AS doc_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY id ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------- d6
     // Benchmark decontamination (the Dolma/GPT-3 appendix-C pattern): flag

@@ -210,6 +210,65 @@ object TextAnalysis {
         SELECT lang, rnk, token, n FROM rnk WHERE rnk <= 3
         ORDER BY lang, rnk""")),
 
+    // ----------------------------------------------------------------- t9
+    // Repetition signals (the other half of Gopher's rule filters, §A1.1:
+    // "fraction of characters in the most common n-gram"): per document,
+    // the most frequent word-2-gram (deterministic tie-break), the
+    // fraction of all 2-gram slots it covers, and the distinct-2-gram
+    // ratio. Duplicate-preserving bigrams come from a typed flatMap (the
+    // Shingles rationale — HOFs are CodegenFallback), then one
+    // groupBy(doc, bigram) + per-doc window argmax. Docs with <2 tokens
+    // have no bigrams and drop from both sides.
+    QuerySpec(
+      "t9_repetition_signals",
+      (s, dir) => {
+        import s.implicits._
+        val bigrams = Tables(s, dir, "documents")
+          .select($"doc_id", $"text").as[(Long, String)]
+          .flatMap { case (id, text) =>
+            if (text == null) Iterator.empty
+            else {
+              val toks = text.trim.split("\\s+")
+              (0 until toks.length - 1).iterator.map(i =>
+                (id, toks(i) + " " + toks(i + 1)))
+            }
+          }.toDF("doc_id", "bigram")
+        val counts = bigrams.groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("n"))
+        val totals = counts.groupBy($"doc_id").agg(
+          sum($"n").as("total"), count(lit(1)).as("n_distinct"))
+        val w = Window.partitionBy($"doc_id").orderBy($"n".desc, $"bigram")
+        counts.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+          .join(totals, "doc_id")
+          .select(
+            $"doc_id",
+            $"bigram".as("top_bigram"),
+            $"n".as("top_n"),
+            ($"n".cast("double") / $"total").as("top_frac"),
+            ($"n_distinct".cast("double") / $"total").as("distinct_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH b AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 0)),
+                   i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                        regexp_split_to_array(trim(text), '\s+')[i+1])) AS bigram
+          FROM documents),
+        cnt AS (SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS n
+                FROM b GROUP BY doc_id, bigram),
+        tot AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct
+                FROM cnt GROUP BY doc_id),
+        top AS (SELECT doc_id, bigram, n,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, bigram) AS rk
+                FROM cnt)
+        SELECT t.doc_id, t.bigram AS top_bigram, t.n AS top_n,
+               CAST(t.n AS DOUBLE) / tt.total AS top_frac,
+               CAST(tt.n_distinct AS DOUBLE) / tt.total AS distinct_ratio
+        FROM top t JOIN tot tt ON t.doc_id = tt.doc_id
+        WHERE t.rk = 1 ORDER BY t.doc_id""")),
+
     // ----------------------------------------------------------------- t8
     // Language identification (the n-gram-heuristic classifier t4 builds
     // profiles for): score each document's DISTINCT tokens against the
