@@ -147,9 +147,17 @@ object Dedup {
       (s, dir) => {
         import s.implicits._
         val pairs = jaccardPairs(s, dir).select($"a_id", $"b_id")
-        val edges = pairs
+        val edges0 = pairs
           .union(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
           .localCheckpoint(true) // truncate the jaccardPairs lineage once
+        // size the iteration's parallelism to the GRAPH, not the session
+        // default: a near-dup edge set is orders of magnitude smaller than
+        // the corpus, and per-round shuffle overhead scales with partition
+        // count (~100k edges per partition, capped at the session setting)
+        val defaultPar = s.sparkContext.defaultParallelism
+        val parts = math.max(1,
+          math.min(defaultPar, (edges0.count() / 100000L).toInt + 1))
+        val edges = edges0.repartition(parts, $"b_id").localCheckpoint(true)
         var labels = edges.select($"a_id".as("id")).distinct()
           .withColumn("label", $"id").localCheckpoint(true)
         var prevSum = -1L
