@@ -260,6 +260,21 @@ object Parsers {
   /** AsciiDoc (minimal): `= Title` / `== Section` headings, image::
     * macros, `*` bullet / `.` ordered list blocks, paragraphs. */
   object AsciiDocParser extends FormatParser {
+    private def asciidocTable(rows: Seq[String]): Option[TableElement] = {
+      val grid = rows.map(r =>
+        r.stripPrefix("|").split("\\|").map(_.trim).toSeq)
+      if (grid.isEmpty) None
+      else {
+        val nCols = grid.map(_.length).max
+        val cells = grid.zipWithIndex.flatMap { case (row, ri) =>
+          row.padTo(nCols, "").zipWithIndex.map { case (c, ci) =>
+            TableCellSpec(ri, ri + 1, ci, ci + 1, c, columnHeader = ri == 0)
+          }
+        }
+        Some(TableElement(cells, grid.length, nCols))
+      }
+    }
+
     def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] = {
       val blocks = text(bytes).split("\n{2,}").map(_.trim).filter(_.nonEmpty)
       val items = blocks.map { b =>
@@ -272,6 +287,11 @@ object Parsers {
           ListElement(lines.map(_.stripPrefix("* ").trim))
         else if (lines.nonEmpty && lines.forall(l => l.startsWith(". ")))
           ListElement(lines.map(_.stripPrefix(". ").trim), ordered = true)
+        else if (lines.length >= 3 && lines.head == "|===" && lines.last == "|===")
+          // |=== table block: each interior line is |cell|cell…; first row
+          // is the header (AsciiDoc's default with a blank-line-free block)
+          asciidocTable(lines.slice(1, lines.length - 1))
+            .getOrElse(TextElement(b))
         else TextElement(b)
       }
       Right(DocTree(name, items.toSeq))

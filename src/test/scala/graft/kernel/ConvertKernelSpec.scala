@@ -132,6 +132,14 @@ class ConvertKernelSpec extends SparkTestBase {
     assert(r.markdown == "# Title\n\nBody text.\n\npicture-1.png\n\nMore.")
   }
 
+  test("asciidoc |=== table blocks convert to markdown pipe tables") {
+    val src = "== Data\n\n|===\n|name |size\n|alpha |10\n|beta |20\n|===\n\nAfter."
+    val r = convertOne("t.adoc", b(src))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown ==
+      "## Data\n\n| name | size |\n|---|---|\n| alpha | 10 |\n| beta | 20 |\n\nAfter.")
+  }
+
   test("asciidoc bullet and ordered list blocks convert") {
     val src = "== Lists\n\n* one\n* two\n\n. first\n. second"
     val r = convertOne("l.adoc", b(src))
