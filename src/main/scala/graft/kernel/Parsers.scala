@@ -62,9 +62,30 @@ object Parsers {
         } else if (b.linesIterator.forall(l => l.trim.startsWith("|")) &&
           b.linesIterator.size >= 2) {
           parsePipeTable(b)
-        } else TextElement(b)
+        } else parseListBlock(b).getOrElse(TextElement(b))
       }
       Right(DocTree(name, items.toSeq))
+    }
+
+    private val Bullet = """( *)[-*] (.*)""".r
+    private val Numbered = """( *)\d+\. (.*)""".r
+
+    /** A block whose every line is a bullet (`- `/`* `) or every line a
+      * number (`1. `) marker becomes a structural ListElement; leading
+      * indentation maps to nesting levels at two spaces per level (the
+      * same contract renderMarkdown emits, so lists round-trip). Mixed
+      * blocks stay text. */
+    private def parseListBlock(b: String): Option[Element] = {
+      val lines = b.linesIterator.toSeq
+      val bullets = lines.map { case Bullet(ind, t) => Some((t.trim, ind.length / 2)); case _ => None }
+      if (bullets.forall(_.isDefined))
+        return Some(ListElement(bullets.flatten.map(_._1), ordered = false,
+          levels = bullets.flatten.map(_._2)))
+      val numbered = lines.map { case Numbered(ind, t) => Some((t.trim, ind.length / 2)); case _ => None }
+      if (numbered.forall(_.isDefined))
+        return Some(ListElement(numbered.flatten.map(_._1), ordered = true,
+          levels = numbered.flatten.map(_._2)))
+      None
     }
 
     private def parsePipeTable(block: String): Element = {

@@ -132,6 +132,18 @@ class ConvertKernelSpec extends SparkTestBase {
     assert(r.markdown == "# Title\n\nBody text.\n\npicture-1.png\n\nMore.")
   }
 
+  test("markdown list blocks parse structurally and round-trip, incl. nesting") {
+    val src = "# L\n\n- a\n  - a1\n- b\n\n1. x\n  1. x1\n2. y\n\nTail."
+    val r = convertOne("lists.md", b(src))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == src) // round-trip through structural ListElements
+    // structure is real: json export carries items + levels
+    val cfg = ConversionConfig(outputFormat = "json")
+    val j = convertOne("lists.md", b(src), cfg).markdown
+    assert(j.contains("""{"kind":"list","ordered":false,"items":["a","a1","b"],"levels":[0,1,0]}"""))
+    assert(j.contains("""{"kind":"list","ordered":true,"items":["x","x1","y"],"levels":[0,1,0]}"""))
+  }
+
   test("asciidoc |=== table blocks convert to markdown pipe tables") {
     val src = "== Data\n\n|===\n|name |size\n|alpha |10\n|beta |20\n|===\n\nAfter."
     val r = convertOne("t.adoc", b(src))
