@@ -176,6 +176,8 @@ object Parsers {
       var listOrdered = false
       val listItems = ArrayBuffer[(String, Int)]() // (text, nesting level)
       val liBuf = new StringBuilder
+      var inPre = false
+      val preBuf = new StringBuilder
       var linkHref: Option[String] = None
 
       def flushText(): Unit = {
@@ -234,7 +236,15 @@ object Parsers {
               }
             case "li" =>
               if (listDepth > 0) flushLi() else flushText()
-            case "p" | "div" | "br" => flushText()
+            case "p" | "div" | "br" => if (!inPre) flushText()
+            case "pre" =>
+              // verbatim block: whitespace preserved, emitted as a fenced
+              // code block (the markdown parser's fence round-trips it)
+              if (isClose) {
+                val code = unescape(preBuf.toString).stripPrefix("\n").stripSuffix("\n")
+                preBuf.clear(); inPre = false
+                if (code.nonEmpty) items += TextElement(s"```\n$code\n```")
+              } else { flushText(); inPre = true }
             case "a" =>
               // hyperlinks become markdown [text](href); targets the
               // active buffer (list item or paragraph)
@@ -258,7 +268,8 @@ object Parsers {
             case _ => ()
           }
         } else {
-          if (inCell) cellBuf ++= tok
+          if (inPre) preBuf ++= tok
+          else if (inCell) cellBuf ++= tok
           else if (inTable) ()
           else if (listDepth > 0) liBuf ++= tok
           else textBuf ++= tok

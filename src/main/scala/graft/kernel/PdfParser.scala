@@ -564,6 +564,13 @@ object PdfParser extends FormatParser {
     // a text-space unit; typical space widths are 200-300). LaTeX often
     // encodes word gaps as kerning instead of space characters.
     var pendingKern = false
+    // last two numeric operands seen (for Tm: operands a b c d e f, so the
+    // LAST number before the operator is f = the baseline y). pdftex-style
+    // producers position each line with Tm inside one BT block, so a Tm
+    // whose y differs from the previous Tm's is a line break; same-y Tm
+    // (horizontal repositioning, e.g. inline spans) is not.
+    var lastNum = 0.0
+    var lastTmY = Double.NaN
     def newline(): Unit = {
       if (emitted && sb.nonEmpty && !sb.endsWith("\n")) sb += '\n'
       pendingKern = false
@@ -610,16 +617,21 @@ object PdfParser extends FormatParser {
           i = j
         case '[' => tjDepth += 1; i += 1
         case ']' => tjDepth = math.max(0, tjDepth - 1); i += 1
-        case c if tjDepth > 0 && (c == '-' || c.isDigit) =>
+        case c if c == '-' || c.isDigit =>
           val start = i
           i += 1
           while (i < block.length &&
             (block.charAt(i).isDigit || block.charAt(i) == '.')) i += 1
           val v = block.substring(start, i).toDoubleOption.getOrElse(0.0)
-          if (v <= -180) pendingKern = true
+          if (tjDepth > 0 && v <= -180) pendingKern = true
+          lastNum = v
         case 'T' if i + 1 < block.length && block.charAt(i + 1) == 'f' =>
           curFontName = lastName
           curFont = fonts.get(lastName)
+          i += 2
+        case 'T' if i + 1 < block.length && block.charAt(i + 1) == 'm' =>
+          if (!lastTmY.isNaN && lastNum != lastTmY) newline()
+          lastTmY = lastNum
           i += 2
         case 'T' if i + 1 < block.length &&
           (block.charAt(i + 1) == 'd' || block.charAt(i + 1) == 'D' || block.charAt(i + 1) == '*') =>

@@ -159,6 +159,14 @@ class ConvertKernelSpec extends SparkTestBase {
     assert(r.markdown == "## Lists\n\n- one\n- two\n\n1. first\n2. second")
   }
 
+  test("html pre blocks preserve whitespace as fenced code") {
+    val src = "<p>Before</p><pre><code>def f(x):\n    return x &amp; 1\n</code></pre><p>After</p>"
+    val r = convertOne("code.html", b(src))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown ==
+      "Before\n\n```\ndef f(x):\n    return x & 1\n```\n\nAfter")
+  }
+
   test("html nested lists keep their depth as markdown indentation") {
     val src = "<ul><li>a<ul><li>a1</li><li>a2</li></ul></li><li>b</li></ul>"
     val r = convertOne("nest.html", b(src))

@@ -81,6 +81,16 @@ class PdfParserSpec extends AnyFunSuite {
     assert(r.error != null)
   }
 
+  test("Tm repositioning to a new baseline breaks lines; same-y Tm does not") {
+    // pdftex-style: one BT block, each line positioned with Tm
+    val content = "BT 1 0 0 1 72 700 Tm (Line one) Tj " +
+      "1 0 0 1 200 700 Tm ( cont) Tj " + // same y: horizontal move, no break
+      "1 0 0 1 72 686 Tm (Line two) Tj ET"
+    val r = convertOne("tm.pdf", pdf(Seq(content -> false)))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "Line one cont\nLine two")
+  }
+
   test("TJ kern gaps wide enough to be word breaks insert a space") {
     // LaTeX-style: inter-word space encoded as kerning, not a space char;
     // small kerns (-20) stay glued, wide ones (-250) become spaces, and a
