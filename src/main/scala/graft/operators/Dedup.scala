@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * to one signature row, then bands group O(n) rows, never O(n²).
   *
   * Persist note: per-query persists here (and in MinHashDedup) are small
-  * (shingle pairs / band rows) and released by LRU eviction within the
-  * bench/verify session; a long-lived service embedding these plans should
-  * unpersist after materializing results.
+  * (shingle pairs / band rows); Verify and Bench release them explicitly
+  * with `spark.catalog.clearCache()` after each query materializes, so no
+  * cached RDD outlives its query. A long-lived service embedding these
+  * plans should do the same after materializing results.
   */
 object Dedup {
 
