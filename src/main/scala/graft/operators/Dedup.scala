@@ -37,9 +37,17 @@ object Dedup {
     * cluster step. Returns (a_id, b_id, common, jaccard), unordered and
     * unlimited — d2 applies its own orderBy/limit presentation. */
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String,
-                           threshold: Double = 0.05): org.apache.spark.sql.DataFrame = {
+                           threshold: Double = 0.05): org.apache.spark.sql.DataFrame =
+    jaccardPairsOn(s, graft.Tables(s, dir, "documents"), threshold)
+
+  /** [[jaccardPairs]] over an arbitrary `(doc_id, text)` frame — public so
+    * specs can stress the [[MaxShingleDf]] skew defense on synthetic
+    * corpora (e.g. one boilerplate shingle in 90% of docs). */
+  def jaccardPairsOn(s: org.apache.spark.sql.SparkSession,
+                     docs: org.apache.spark.sql.DataFrame,
+                     threshold: Double = 0.05): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val sh0 = Shingles.pairs(s, graft.Tables(s, dir, "documents")).persist()
+    val sh0 = Shingles.pairs(s, docs).persist()
     val hot = sh0.groupBy($"shingle").agg(count(lit(1)).as("df"))
       .filter($"df" > MaxShingleDf).select($"shingle")
     val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
@@ -60,6 +68,70 @@ object Dedup {
       .withColumn("jaccard", $"common".cast("double") / ($"na" + $"nb" - $"common"))
       .filter($"jaccard" >= threshold)
       .select($"a_id", $"b_id", $"common", $"jaccard")
+  }
+
+  /** d7's iteration, factored out so specs can drive it with synthetic
+    * graphs (e.g. a pathological chain): min-label propagation WITH
+    * pointer jumping (label := label(label) each round), so chains
+    * contract exponentially — O(log diameter) rounds, each round two
+    * joins on the vertex set. Every round ends in an EAGER
+    * localCheckpoint: the round's self-join references its input twice,
+    * so without lineage truncation the logical plan doubles per round
+    * (exponential analysis cost, then stack overflow) — the checkpoint
+    * keeps plans constant-size, the required shape for ANY iterative
+    * DataFrame algorithm. Convergence is a monotone label-sum check
+    * (labels only decrease; equal sums ⇔ fixpoint) — one scalar per
+    * round to the driver, never data.
+    *
+    * `pairs` is an undirected edge list `(a_id, b_id)`; returns
+    * `(doc_id, cluster_id)` with cluster_id = min id in the component,
+    * unordered, plus the round count. With pointer jumping `maxRounds`
+    * = 25 covers diameter 2^25, so hitting the cap without a fixpoint
+    * means something is structurally wrong (e.g. a non-monotone label
+    * update) — we fail loudly rather than return silently-partial
+    * labels. */
+  def connectedComponents(s: org.apache.spark.sql.SparkSession,
+                          pairs: org.apache.spark.sql.DataFrame,
+                          maxRounds: Int = 25): (org.apache.spark.sql.DataFrame, Int) = {
+    import s.implicits._
+    val edges0 = pairs.select($"a_id", $"b_id")
+      .union(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+      .localCheckpoint(true) // truncate the upstream (e.g. jaccardPairs) lineage once
+    // size the iteration's parallelism to the GRAPH, not the session
+    // default: a near-dup edge set is orders of magnitude smaller than
+    // the corpus, and per-round shuffle overhead scales with partition
+    // count (~100k edges per partition, capped at the session setting)
+    val defaultPar = s.sparkContext.defaultParallelism
+    val parts = math.max(1,
+      math.min(defaultPar, (edges0.count() / 100000L).toInt + 1))
+    val edges = edges0.repartition(parts, $"b_id").localCheckpoint(true)
+    var labels = edges.select($"a_id".as("id")).distinct()
+      .withColumn("label", $"id").localCheckpoint(true)
+    var prevSum = -1L
+    var curSum = labels.agg(sum($"label")).as[Long].head()
+    var rounds = 0
+    while (curSum != prevSum && rounds < maxRounds) {
+      val nmin = edges.join(labels, edges("b_id") === labels("id"))
+        .groupBy(edges("a_id").as("nid")).agg(min($"label").as("nmin"))
+      val propagated = labels.join(nmin, labels("id") === $"nid", "left")
+        .select(labels("id").as("id"),
+          least(labels("label"), coalesce($"nmin", labels("label"))).as("label"))
+      val next = propagated.as("x")
+        .join(propagated.select($"id".as("pid"), $"label".as("plabel")),
+          col("x.label") === $"pid", "left")
+        .select(col("x.id").as("id"),
+          coalesce($"plabel", col("x.label")).as("label"))
+        .localCheckpoint(true)
+      prevSum = curSum
+      curSum = next.agg(sum($"label")).as[Long].head()
+      labels = next
+      rounds += 1
+    }
+    if (curSum != prevSum)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxRounds rounds " +
+          s"(label sum still changing: $prevSum -> $curSum)")
+    (labels.select($"id".as("doc_id"), $"label".as("cluster_id")), rounds)
   }
 
   /** The d2 oracle's CTE chain up to threshold pairs, shared with d7. */
@@ -132,57 +204,17 @@ object Dedup {
     // Dedup clusters: connected components over the d2 near-dup pair
     // graph — the step every real dedup pipeline ends with (pairs alone
     // don't say which docs to drop; transitive closure does, with
-    // cluster_id = min doc_id as the canonical keeper). Iterative
-    // min-label propagation WITH pointer jumping (label := label(label)
-    // each round), so chains contract exponentially: O(log diameter)
-    // rounds, each round two joins on the vertex set. Every round ends in
-    // an EAGER localCheckpoint: the round's self-join references its input
-    // twice, so without lineage truncation the logical plan doubles per
-    // round (exponential analysis cost, then stack overflow) — the
-    // checkpoint keeps plans constant-size, which is the required shape
-    // for ANY iterative DataFrame algorithm. Convergence is a monotone
-    // label-sum check (labels only decrease; equal sums ⇔ fixpoint) — one
-    // scalar per round to the driver, never data.
+    // cluster_id = min doc_id as the canonical keeper). The iteration
+    // lives in [[connectedComponents]] (pointer-jumping min-label
+    // propagation with per-round eager localCheckpoint) so specs can
+    // stress it on synthetic graphs; see its scaladoc for the scale
+    // rationale and the loud non-convergence guard.
     QuerySpec(
       "d7_dedup_clusters",
       (s, dir) => {
         import s.implicits._
         val pairs = jaccardPairs(s, dir).select($"a_id", $"b_id")
-        val edges0 = pairs
-          .union(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
-          .localCheckpoint(true) // truncate the jaccardPairs lineage once
-        // size the iteration's parallelism to the GRAPH, not the session
-        // default: a near-dup edge set is orders of magnitude smaller than
-        // the corpus, and per-round shuffle overhead scales with partition
-        // count (~100k edges per partition, capped at the session setting)
-        val defaultPar = s.sparkContext.defaultParallelism
-        val parts = math.max(1,
-          math.min(defaultPar, (edges0.count() / 100000L).toInt + 1))
-        val edges = edges0.repartition(parts, $"b_id").localCheckpoint(true)
-        var labels = edges.select($"a_id".as("id")).distinct()
-          .withColumn("label", $"id").localCheckpoint(true)
-        var prevSum = -1L
-        var curSum = labels.agg(sum($"label")).as[Long].head()
-        var rounds = 0
-        while (curSum != prevSum && rounds < 25) {
-          val nmin = edges.join(labels, edges("b_id") === labels("id"))
-            .groupBy(edges("a_id").as("nid")).agg(min($"label").as("nmin"))
-          val propagated = labels.join(nmin, labels("id") === $"nid", "left")
-            .select(labels("id").as("id"),
-              least(labels("label"), coalesce($"nmin", labels("label"))).as("label"))
-          val next = propagated.as("x")
-            .join(propagated.select($"id".as("pid"), $"label".as("plabel")),
-              col("x.label") === $"pid", "left")
-            .select(col("x.id").as("id"),
-              coalesce($"plabel", col("x.label")).as("label"))
-            .localCheckpoint(true)
-          prevSum = curSum
-          curSum = next.agg(sum($"label")).as[Long].head()
-          labels = next
-          rounds += 1
-        }
-        labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
-          .orderBy($"doc_id")
+        connectedComponents(s, pairs)._1.orderBy($"doc_id")
       },
       Some(raw"""
         WITH RECURSIVE $JaccardPairsSql,

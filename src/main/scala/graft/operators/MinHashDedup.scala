@@ -46,10 +46,15 @@ object MinHashDedup {
     * Features are word-3-gram shingles (same shingling as d2): on this
     * corpus unigram token sets are near-identical across documents, so
     * shingles are what make Jaccard discriminative. */
-  def minhashPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+  def minhashPairs(s: SparkSession, dir: String, threshold: Double): DataFrame =
+    minhashPairsOn(s, Tables(s, dir, "documents"), threshold)
+
+  /** [[minhashPairs]] over an arbitrary `(doc_id, text)` frame — public so
+    * specs can stress band-bucket fan-out on synthetic skewed corpora. */
+  def minhashPairsOn(s: SparkSession, rawDocs: DataFrame, threshold: Double): DataFrame = {
     import s.implicits._
     // Shared typed-flatMap shingling (see Shingles); <3-token docs drop.
-    val docs = Shingles.sets(s, Tables(s, dir, "documents"))
+    val docs = Shingles.sets(s, rawDocs)
       .persist() // reused: signature build + both sides of the pair rerank
 
     val bands = docs.as[(Long, Seq[String])]

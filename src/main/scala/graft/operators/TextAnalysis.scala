@@ -218,7 +218,11 @@ object TextAnalysis {
     // ratio. Duplicate-preserving bigrams come from a typed flatMap (the
     // Shingles rationale — HOFs are CodegenFallback), then one
     // groupBy(doc, bigram) + per-doc window argmax. Docs with <2 tokens
-    // have no bigrams and drop from both sides.
+    // have no bigrams and drop from both sides. `counts` feeds BOTH the
+    // argmax window and the per-doc totals, so it is persisted once —
+    // without it the dominant scan→flatMap→exchange subtree computes
+    // twice (Bench/Verify clearCache between queries, so the persist
+    // never outlives the query).
     QuerySpec(
       "t9_repetition_signals",
       (s, dir) => {
@@ -234,6 +238,7 @@ object TextAnalysis {
             }
           }.toDF("doc_id", "bigram")
         val counts = bigrams.groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("n"))
+          .persist()
         val totals = counts.groupBy($"doc_id").agg(
           sum($"n").as("total"), count(lit(1)).as("n_distinct"))
         val w = Window.partitionBy($"doc_id").orderBy($"n".desc, $"bigram")

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Stress tests for the dedup plane's two scale defenses:
+  *
+  *  1. d7's connected-components iteration on a pathological chain graph —
+  *     pointer jumping must converge in O(log diameter) rounds (a plain
+  *     min-label propagation would need one round per hop), and the
+  *     non-convergence guard must fail loudly when the round cap is too
+  *     small instead of returning silently-partial labels.
+  *
+  *  2. d2/d4 on a skewed corpus where one boilerplate phrase appears in
+  *     90% of documents. The MaxShingleDf cap must drop the hot shingles
+  *     BEFORE the inverted-index self-join, so boilerplate-only overlap
+  *     produces zero pairs (the unguarded join would emit O(df²) pairs on
+  *     the hot keys — ~16k here, ~10¹⁵ at 100 TB), while genuine
+  *     near-dups still surface. MinHash+LSH must likewise return only the
+  *     true pairs: hot-shingle band collisions inflate candidates, but
+  *     the exact rerank kills them.
+  */
+class DedupStressSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------- d7 chain
+
+  test("connected components converges on a 300-node chain in O(log d) rounds") {
+    val chain = spark.range(0, 299)
+      .select($"id".as("a_id"), ($"id" + 1).as("b_id"))
+    val (labels, rounds) = Dedup.connectedComponents(spark, chain)
+    val rows = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 300)
+    assert(rows.forall(_._2 == 0L), "every chain node must label to min id 0")
+    // diameter 299; plain propagation would need ~299 rounds. Pointer
+    // jumping contracts exponentially — well under the 25-round cap.
+    assert(rounds <= 15, s"pointer jumping took $rounds rounds on a 300-chain")
+  }
+
+  test("non-convergence guard fails loudly when the cap is too small") {
+    val chain = spark.range(0, 299)
+      .select($"id".as("a_id"), ($"id" + 1).as("b_id"))
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(spark, chain, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  // --------------------------------------------------------- d2/d4 skew
+
+  /** 200 docs: 90% share a 5-token boilerplate prefix (hot 3-gram shingles
+    * with df = 180 >> MaxShingleDf = 50) followed by per-doc unique
+    * filler; 10% are fully unique; plus three planted identical-text pairs
+    * (ids 1000..1005) that are the only genuine near-dups. */
+  private lazy val skewedDocs = {
+    val boiler = (0 until 200).map { i =>
+      val uniq = (0 until 8).map(j => s"u${i}x$j").mkString(" ")
+      val text =
+        if (i % 10 != 0) s"the quick brown fox jumps $uniq"
+        else s"v${i}a v${i}b v${i}c v${i}d v${i}e v${i}f v${i}g v${i}h"
+      (i.toLong, text)
+    }
+    val dups = (0 until 3).flatMap { p =>
+      val text = s"alpha$p beta$p gamma$p delta$p epsilon$p zeta$p"
+      Seq((1000L + 2 * p, text), (1001L + 2 * p, text))
+    }
+    (boiler ++ dups).toDF("doc_id", "text")
+  }
+
+  private val expectedPairs = Set((1000L, 1001L), (1002L, 1003L), (1004L, 1005L))
+
+  test("d2 df cap drops the hot boilerplate shingles before the self-join") {
+    // The hot shingles really are above the cap...
+    val df = Shingles.pairs(spark, skewedDocs)
+      .groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val hot = df.filter($"df" > Dedup.MaxShingleDf).collect()
+    assert(hot.nonEmpty && hot.forall(_.getLong(1) == 180L),
+      "boilerplate shingles must exceed MaxShingleDf")
+    // ...and the pair output contains ONLY the planted near-dups: zero
+    // boilerplate-driven pairs out of a worst-case 180*179/2 = 16110.
+    val pairs = Dedup.jaccardPairsOn(spark, skewedDocs)
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == expectedPairs,
+      s"expected exactly the planted pairs, got ${pairs.size} pairs")
+  }
+
+  test("d4 minhash returns only true near-dups on the skewed corpus") {
+    val pairs = MinHashDedup.minhashPairsOn(spark, skewedDocs, threshold = 0.5)
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == expectedPairs,
+      s"rerank must kill hot-band false candidates, got ${pairs.size} pairs")
+  }
+}
