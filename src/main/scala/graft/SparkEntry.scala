@@ -16,7 +16,8 @@ object SparkEntry {
       operators.Dedup.specs ++
       operators.MinHashDedup.specs ++
       operators.Similarity.specs ++
-      operators.Multimodal.specs
+      operators.Multimodal.specs ++
+      operators.KernelQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Conversion-shaped relational pass over the documents corpus

@@ -1,0 +1,108 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import graft.{Pipeline, QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The conversion-kernel plane (SURVEY §2.1 O1/O5/O6/O9/O13/O15/O16) as an
+  * oracle-checked query, so the kernel gets a CORRECTNESS row like every
+  * operator plane (reference trace: §3.1 / route.py:38-59 batch convert).
+  *
+  * The staging corpus is synthesized deterministically from the
+  * `documents` table — filename and bytes are a pure function of
+  * `(doc_id, length(text))`, cycling the three exactly-parsed text formats
+  * (md / csv / html-with-image) plus an unsupported-extension slice that
+  * must surface through the error channel. Because the construction is
+  * pure, the DuckDB oracle recomputes the EXPECTED conversion output
+  * (markdown length, spliced image count, error text) from the same
+  * `documents` rows without running any converter — the same fixture
+  * pattern m1–m4 use for binary payloads.
+  *
+  * Scale shape: the corpus write is a `foreachPartition` (each executor
+  * writes its own partition's files — on a cluster this is a shared
+  * filesystem, here java.io.tmpdir), and the read side is the real
+  * [[Pipeline.convertDirectory]] plan: one binaryFile scan → columnar
+  * pre-checks → mapPartitions kernel, no shuffle before the final sort.
+  */
+object KernelQueries {
+
+  /** Deterministic staging file for doc `id` whose text has `len` chars.
+    * doc_id%10==7 → unsupported plain-text `.xyz` (error channel);
+    * otherwise doc_id%3 cycles md / csv / html-with-one-image. */
+  def fileFor(id: Long, len: Long): (String, Array[Byte]) = {
+    val (name, text) =
+      if (id % 10 == 7) (s"doc$id.xyz", s"opaque payload $id")
+      else (id % 3) match {
+        case 0 => (s"doc$id.md",
+          s"# Doc $id\n\nThis document has $len characters of source text.\n")
+        case 1 => (s"doc$id.csv", s"doc_id,chars\n$id,$len\n")
+        case _ => (s"doc$id.html",
+          s"""<html><body><h1>Doc $id</h1><p>Contains $len characters.</p>""" +
+            s"""<img src="fig.png"/><p>End of $id.</p></body></html>""")
+      }
+    (name, text.getBytes(StandardCharsets.UTF_8))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "k1_convert_directory",
+      (s, dir) => {
+        import s.implicits._
+        // staging dir keyed by the sf dir so scale factors don't collide;
+        // cleared first so stale files from an older corpus never leak in
+        val staging = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_k1_" + java.lang.Integer.toHexString(dir.hashCode))
+        if (staging.isDirectory)
+          staging.listFiles().foreach(f => { f.delete(); () })
+        staging.mkdirs()
+        val stagingPath = staging.getAbsolutePath
+        Tables(s, dir, "documents")
+          .select($"doc_id",
+            length(coalesce($"text", lit(""))).cast("long").as("len"))
+          .as[(Long, Long)]
+          .foreachPartition { (it: Iterator[(Long, Long)]) =>
+            it.foreach { case (id, len) =>
+              val (name, bytes) = fileFor(id, len)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(stagingPath, name), bytes)
+              ()
+            }
+          }
+        Pipeline.convertDirectory(s, stagingPath)
+          .select(
+            regexp_extract($"filename", "(\\d+)", 1).cast("long").as("doc_id"),
+            $"filename",
+            length($"markdown").cast("long").as("md_len"),
+            size($"images").cast("long").as("n_images"),
+            $"error")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) AS len
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 7 THEN 'doc' || CAST(doc_id AS VARCHAR) || '.xyz'
+               ELSE 'doc' || CAST(doc_id AS VARCHAR) END AS filename,
+          CASE WHEN doc_id % 10 = 7 THEN NULL
+               WHEN doc_id % 3 = 0 THEN CAST(length(
+                 '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+                 'This document has ' || CAST(len AS VARCHAR) ||
+                 ' characters of source text.') AS BIGINT)
+               WHEN doc_id % 3 = 1 THEN CAST(length(
+                 '| doc_id | chars |' || chr(10) || '|---|---|' || chr(10) ||
+                 '| ' || CAST(doc_id AS VARCHAR) || ' | ' || CAST(len AS VARCHAR) || ' |') AS BIGINT)
+               ELSE CAST(length(
+                 '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+                 'Contains ' || CAST(len AS VARCHAR) || ' characters.' ||
+                 chr(10) || chr(10) || 'picture-1.png' || chr(10) || chr(10) ||
+                 'End of ' || CAST(doc_id AS VARCHAR) || '.') AS BIGINT)
+          END AS md_len,
+          CAST(CASE WHEN doc_id % 10 <> 7 AND doc_id % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_images,
+          CASE WHEN doc_id % 10 = 7
+               THEN 'Unsupported file format: doc' || CAST(doc_id AS VARCHAR) || '.xyz'
+          END AS error
+        FROM d ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.kernel.ConvertKernel
+
+/** Pins the k1 fixture contract locally (without DuckDB): the deterministic
+  * staging constructions must convert to exactly the strings the oracle SQL
+  * recomputes, and the registered query must run end-to-end on the fixture
+  * corpus with the expected error slice.
+  */
+class KernelQueriesSpec extends SparkTestBase {
+
+  test("md construction converts to the oracle's exact markdown") {
+    val (name, bytes) = KernelQueries.fileFor(42L, 123L) // 42 % 3 == 0 -> md
+    assert(name == "doc42.md")
+    val r = ConvertKernel.convertOne(name, bytes, batchMode = true)
+    assert(r.error == null)
+    assert(r.markdown ==
+      "# Doc 42\n\nThis document has 123 characters of source text.")
+    assert(r.images.isEmpty)
+  }
+
+  test("csv construction converts to the oracle's exact pipe table") {
+    val (name, bytes) = KernelQueries.fileFor(43L, 7L) // 43 % 3 == 1 -> csv
+    assert(name == "doc43.csv")
+    val r = ConvertKernel.convertOne(name, bytes, batchMode = true)
+    assert(r.error == null)
+    assert(r.markdown == "| doc_id | chars |\n|---|---|\n| 43 | 7 |")
+    assert(r.images.isEmpty)
+  }
+
+  test("html construction converts with one spliced picture") {
+    val (name, bytes) = KernelQueries.fileFor(44L, 9L) // 44 % 3 == 2 -> html
+    assert(name == "doc44.html")
+    val r = ConvertKernel.convertOne(name, bytes, batchMode = true)
+    assert(r.error == null)
+    assert(r.markdown ==
+      "# Doc 44\n\nContains 9 characters.\n\npicture-1.png\n\nEnd of 44.")
+    assert(r.images.map(i => (i.`type`, i.filename)) == Seq(("picture", "picture-1.png")))
+  }
+
+  test("unsupported-extension slice surfaces through the error channel") {
+    val (name, bytes) = KernelQueries.fileFor(7L, 5L)
+    assert(name == "doc7.xyz")
+    val r = ConvertKernel.convertOne(name, bytes, batchMode = true)
+    assert(r.markdown == null)
+    assert(r.error == "Unsupported file format: doc7.xyz")
+  }
+
+  test("k1 runs end-to-end on the fixture corpus") {
+    val df = KernelQueries.specs.head.fn(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(df.columns.toSeq == Seq("doc_id", "filename", "md_len", "n_images", "error"))
+    val errs = rows.filter(r => !r.isNullAt(4))
+    assert(errs.nonEmpty, "the doc_id%10==7 slice must produce error rows")
+    assert(errs.forall(r => r.getString(4).startsWith("Unsupported file format: doc")))
+    val imgs = rows.filter(r => r.getLong(3) == 1L)
+    assert(imgs.nonEmpty, "html docs must carry one spliced image")
+  }
+}
