@@ -35,11 +35,18 @@ import graft.kernel.DocModel._
   * error-row shape, pointing at the missing ML models (Docling's
   * layout/OCR stack, reference Dockerfile:45-51).
   *
+  * Tables: runs positioned by `Tm`/`Td` within one BT block that form an
+  * unambiguous grid (aligned x columns across ≥2 line bands, ≥2 columns,
+  * ≥60% filled) reconstruct as TableElements — the no-ML answer to the
+  * reference's headline table-extraction comparison (README.md:6-18);
+  * see [[detectTable]] for the exact evidence bar.
+  *
   * Approximations, documented: font resource names (`/F1`) are resolved
   * in one global namespace across all pages (per-page /Resources scoping
-  * would need full page-tree traversal); object scanning is sequential
-  * and assumes `endobj`/`endstream` keywords do not appear inside binary
-  * stream payloads.
+  * would need full page-tree traversal); object scanning is sequential —
+  * stream payloads are sliced by the dict's direct-integer /Length when
+  * present and verified, so only length-less or lying dicts fall back to
+  * the `endstream` keyword scan that binary payloads could fake.
   */
 object PdfParser extends FormatParser {
 
@@ -63,7 +70,7 @@ object PdfParser extends FormatParser {
       if (undecodable.nonEmpty)
         Left(s"PDF text uses font(s) ${undecodable.mkString(", ")} with a " +
           "non-identity encoding and no /ToUnicode CMap; cannot decode text reliably")
-      else if (!elements.exists(_.isInstanceOf[TextElement]))
+      else if (!elements.exists(e => e.isInstanceOf[TextElement] || e.isInstanceOf[TableElement]))
         Left("PDF has no extractable text (image-only PDFs need OCR models not available in this build)")
       else
         Right(DocTree(name, elements))
@@ -86,39 +93,69 @@ object PdfParser extends FormatParser {
   private val FontType = """/Type\s*/Font""".r
   private val Type0Subtype = """/Subtype\s*/Type0""".r
   private val ImageSubtype = """/Subtype\s*/Image""".r
+  // direct-integer /Length only — "/Length 5 0 R" (indirect) is excluded,
+  // and "/Length1" (embedded-font dicts) cannot match because \s+ follows
+  private val DirectLen = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
 
-  /** Sequential scan of `N G obj .. endobj` wrappers. Matches that fall
-    * inside a previous object's span (i.e. inside binary stream bytes that
-    * happen to spell "obj") are skipped via the advancing cursor. */
+  /** When the stream dict declares a direct-integer /Length, the payload
+    * ends exactly `len` bytes after the data start — trust it when the
+    * bytes there really are (whitespace +) `endstream`, so compressed
+    * payloads that happen to contain the keyword bytes are not truncated.
+    * Otherwise fall back to the first-keyword scan. Returns the payload
+    * end offset, or -1 when no endstream can be found at all. */
+  private def streamEnd(raw: String, p: Int, dict: String): Int = {
+    DirectLen.findFirstMatchIn(dict).map(_.group(1).toInt) match {
+      case Some(len) if p + len <= raw.length =>
+        var q = p + len
+        while (q < raw.length &&
+          (raw.charAt(q) == '\r' || raw.charAt(q) == '\n' ||
+            raw.charAt(q) == ' ' || raw.charAt(q) == '\t')) q += 1
+        if (raw.startsWith("endstream", q)) p + len
+        else raw.indexOf("endstream", p)
+      case _ => raw.indexOf("endstream", p)
+    }
+  }
+
+  /** Sequential scan of `N G obj .. endobj` wrappers. Stream payloads are
+    * sliced by the dict's direct /Length when it checks out (see
+    * [[streamEnd]]) — binary payloads containing 'endstream'/'endobj'
+    * byte sequences no longer truncate, and the cursor advances past the
+    * verified payload so phantom `N G obj` matches inside it are skipped.
+    * For stream objects the recorded body is the dict alone (everything
+    * the font/image/page regexes need precedes `stream`). */
   private[kernel] def parseObjects(bytes: Array[Byte]): Seq[PdfObject] = {
     val raw = new String(bytes, StandardCharsets.ISO_8859_1)
     val out = ArrayBuffer[PdfObject]()
     var cursor = 0
     for (m <- ObjStart.findAllMatchIn(raw) if m.start >= cursor) {
-      val endObj = raw.indexOf("endobj", m.end)
-      val bodyEnd = if (endObj < 0) raw.length else endObj
-      val body = raw.substring(m.end, bodyEnd)
-      val s = body.indexOf("stream")
-      val (data, rawPayload) =
-        if (s < 0) (None, None)
-        else {
-          var p = m.end + s + "stream".length
-          if (p < raw.length && raw.charAt(p) == '\r') p += 1
-          if (p < raw.length && raw.charAt(p) == '\n') p += 1
-          val e = raw.indexOf("endstream", p)
-          if (e < 0) (None, None)
-          else {
-            val payload = bytes.slice(p, e)
-            val dict = body.substring(0, s)
-            val isFlate = dict.contains("/FlateDecode")
-            val decoded =
-              if (dict.contains("/Filter") && !isFlate) None
-              else if (isFlate) inflate(payload) else Some(trimEol(payload))
-            (decoded, Some(payload))
-          }
+      val endObjNaive = raw.indexOf("endobj", m.end)
+      val streamKw = raw.indexOf("stream", m.end)
+      val hasStream = streamKw >= 0 && (endObjNaive < 0 || streamKw < endObjNaive)
+      if (hasStream) {
+        val dict = raw.substring(m.end, streamKw)
+        var p = streamKw + "stream".length
+        if (p < raw.length && raw.charAt(p) == '\r') p += 1
+        if (p < raw.length && raw.charAt(p) == '\n') p += 1
+        val e = streamEnd(raw, p, dict)
+        if (e < 0) {
+          out += PdfObject(m.group(1).toInt, dict, None, None)
+          cursor = math.max(if (endObjNaive < 0) raw.length else endObjNaive + "endobj".length, m.end)
+        } else {
+          val payload = bytes.slice(p, e)
+          val isFlate = dict.contains("/FlateDecode")
+          val decoded =
+            if (dict.contains("/Filter") && !isFlate) None
+            else if (isFlate) inflate(payload) else Some(trimEol(payload))
+          out += PdfObject(m.group(1).toInt, dict, decoded, Some(payload))
+          val endObjReal = raw.indexOf("endobj", e)
+          cursor = math.max(if (endObjReal < 0) e + "endstream".length
+            else endObjReal + "endobj".length, m.end)
         }
-      out += PdfObject(m.group(1).toInt, body, data, rawPayload)
-      cursor = math.max(bodyEnd + "endobj".length, m.end)
+      } else {
+        val bodyEnd = if (endObjNaive < 0) raw.length else endObjNaive
+        out += PdfObject(m.group(1).toInt, raw.substring(m.end, bodyEnd), None, None)
+        cursor = math.max(bodyEnd + "endobj".length, m.end)
+      }
     }
     out.toSeq
   }
@@ -138,7 +175,7 @@ object PdfParser extends FormatParser {
         var p = s + "stream".length
         if (p < raw.length && raw.charAt(p) == '\r') p += 1
         if (p < raw.length && raw.charAt(p) == '\n') p += 1
-        val e = raw.indexOf("endstream", p)
+        val e = streamEnd(raw, p, dict)
         if (e < 0) { from = raw.length }
         else {
           val payload = bytes.slice(p, e)
@@ -503,12 +540,18 @@ object PdfParser extends FormatParser {
 
   // ------------------------------------------------------------------- text
 
+  /** One positioned text run: the text shown from one line-matrix position
+    * (`Tm`/`Td` set it; consecutive shows without repositioning merge). */
+  private[kernel] final case class Run(x: Double, y: Double, text: String)
+
   /** Elements from one content stream, in stream order: each BT..ET block
-    * becomes one TextElement (with `Td`/`TD`/`T*` line breaks inside);
-    * `/Name Do` invocations of decodable image XObjects between text blocks
-    * become PictureElements carrying the embedded bytes. Fonts selected by
-    * `Tf` drive string decoding; a font marked Undecodable records its name
-    * in `undecodable` (the caller fails the whole document). */
+    * becomes one TextElement (with `Td`/`TD`/`T*` line breaks inside) — or,
+    * when the block's positioned runs form a clear grid, a TableElement
+    * (see [[detectTable]]); `/Name Do` invocations of decodable image
+    * XObjects between text blocks become PictureElements carrying the
+    * embedded bytes. Fonts selected by `Tf` drive string decoding; a font
+    * marked Undecodable records its name in `undecodable` (the caller
+    * fails the whole document). */
   private[kernel] def extractElements(stream: Array[Byte],
                                       fonts: Map[String, FontInfo],
                                       undecodable: mutable.Set[String],
@@ -528,12 +571,77 @@ object PdfParser extends FormatParser {
         scanPictures(i, bt)
         val et = indexOfToken(src, "ET", bt + 2)
         val end = if (et < 0) src.length else et
-        val text = extractFromBlock(src.substring(bt + 2, end), fonts, undecodable)
-        if (text.trim.nonEmpty) out += TextElement(text.trim)
+        val (text, runs) = extractFromBlock(src.substring(bt + 2, end), fonts, undecodable)
+        detectTable(runs) match {
+          case Some(t) => out += t
+          case None => if (text.trim.nonEmpty) out += TextElement(text.trim)
+        }
         i = end + 2
       }
     }
     out.toSeq
+  }
+
+  private val BandTolY = 2.0 // same visual line when |Δy| ≤ this
+  private val ColTolX = 3.0  // same column when |Δx| ≤ this
+
+  /** Heuristic grid reconstruction from one BT block's positioned runs —
+    * the no-ML path to the reference's headline capability (its README
+    * benchmarks table extraction quality vs Marker/PyPDF/PyMuPDF4LLM,
+    * README.md:6-18; Docling gets this from the TableFormer model stack,
+    * unavailable in a pure-JVM build).
+    *
+    * Shape: band runs by baseline y (descending = visual top-down), then
+    * cluster run x-origins into column centers. The block is a table only
+    * when the evidence is unambiguous, so normal prose NEVER reclassifies:
+    *  - ≥ 2 bands and ≥ 2 columns, every run snapping to a column center
+    *    within tolerance (one stray run vetoes the whole block);
+    *  - ≥ 2 bands showing ≥ 2 filled columns (a two-column LAYOUT — one
+    *    run per line at alternating x — never qualifies);
+    *  - ≥ 60% of grid cells filled.
+    * Multiple runs landing in one cell join with spaces in stream order;
+    * the first band is the header row (the markdown pipe-grid contract,
+    * DocModel.renderTable). Covers ruled/grid tables whose producers
+    * position each cell with its own Tm/Td — the common pdftex/word
+    * export shape; staircase layouts and row-spanning cells stay text. */
+  private[kernel] def detectTable(runs: Seq[Run]): Option[TableElement] = {
+    val rs = runs.filter(r => r.text.trim.nonEmpty && !r.x.isNaN && !r.y.isNaN)
+    if (rs.size < 4) return None
+    // band by y, top-down
+    val bands = ArrayBuffer[ArrayBuffer[Run]]()
+    for (r <- rs.sortBy(-_.y)) {
+      if (bands.nonEmpty && math.abs(bands.last.head.y - r.y) <= BandTolY) bands.last += r
+      else bands += ArrayBuffer(r)
+    }
+    if (bands.size < 2) return None
+    // column centers from clustered x-origins across all bands
+    val cols = ArrayBuffer[ArrayBuffer[Double]]()
+    for (x <- rs.map(_.x).sorted) {
+      if (cols.nonEmpty && x - cols.last.last <= ColTolX) cols.last += x
+      else cols += ArrayBuffer(x)
+    }
+    val centers = cols.map(c => c.sum / c.size).toIndexedSeq
+    if (centers.size < 2) return None
+    def colOf(x: Double): Int = {
+      val i = centers.indices.minBy(i => math.abs(centers(i) - x))
+      if (math.abs(centers(i) - x) <= ColTolX) i else -1
+    }
+    val grid = Array.fill(bands.size, centers.size)("")
+    for ((band, ri) <- bands.zipWithIndex; r <- band.sortBy(_.x)) {
+      val ci = colOf(r.x)
+      if (ci < 0) return None // stray run: not a grid, keep the text form
+      grid(ri)(ci) =
+        if (grid(ri)(ci).isEmpty) r.text.trim else grid(ri)(ci) + " " + r.text.trim
+    }
+    val filled = grid.iterator.map(_.count(_.nonEmpty)).sum
+    val rowsWithTwo = grid.count(_.count(_.nonEmpty) >= 2)
+    if (rowsWithTwo < 2 || filled.toDouble < bands.size * centers.size * 0.6) return None
+    val cells = for {
+      ri <- 0 until bands.size
+      ci <- 0 until centers.size
+      if grid(ri)(ci).nonEmpty
+    } yield TableCellSpec(ri, ri + 1, ci, ci + 1, grid(ri)(ci), columnHeader = ri == 0)
+    Some(TableElement(cells, bands.size, centers.size))
   }
 
   private def indexOfToken(s: String, tok: String, from: Int): Int = {
@@ -549,11 +657,17 @@ object PdfParser extends FormatParser {
 
   /** Walk one BT block: collect literal strings fed to Tj/TJ/', decode
     * them through the current `Tf` font, and insert newlines at
-    * Td/TD/T* operators that follow emitted text. */
+    * Td/TD/T* operators that follow emitted text. Also returns the
+    * positioned [[Run]]s (line-matrix origin per show) for
+    * [[detectTable]]. Inline `<<..>>` dicts and `BI..ID..EI` inline
+    * images are skipped whole — a hex-string scanner entering either
+    * would emit junk bytes as text through the current font. */
   private def extractFromBlock(block: String,
                                fonts: Map[String, FontInfo],
-                               undecodable: mutable.Set[String]): String = {
+                               undecodable: mutable.Set[String]): (String, Seq[Run]) = {
     val sb = new StringBuilder
+    val runs = ArrayBuffer[(Double, Double, StringBuilder)]()
+    var runStale = true // next show starts a new run
     var i = 0
     var emitted = false
     var lastName = ""
@@ -564,13 +678,17 @@ object PdfParser extends FormatParser {
     // a text-space unit; typical space widths are 200-300). LaTeX often
     // encodes word gaps as kerning instead of space characters.
     var pendingKern = false
-    // last two numeric operands seen (for Tm: operands a b c d e f, so the
-    // LAST number before the operator is f = the baseline y). pdftex-style
-    // producers position each line with Tm inside one BT block, so a Tm
-    // whose y differs from the previous Tm's is a line break; same-y Tm
-    // (horizontal repositioning, e.g. inline spans) is not.
+    // last two numeric operands seen: for Tm (a b c d e f) they are the
+    // origin e=x, f=y; for Td/TD they are tx, ty. pdftex-style producers
+    // position each line with Tm inside one BT block, so a Tm whose y
+    // differs from the previous Tm's is a line break; same-y Tm
+    // (horizontal repositioning — an inline span, or a table CELL) is not
+    // a line break but does start a new positioned run.
     var lastNum = 0.0
+    var prevNum = 0.0
     var lastTmY = Double.NaN
+    var lineX = 0.0
+    var lineY = 0.0
     def newline(): Unit = {
       if (emitted && sb.nonEmpty && !sb.endsWith("\n")) sb += '\n'
       pendingKern = false
@@ -589,10 +707,17 @@ object PdfParser extends FormatParser {
           undecodable += curFont.map(f => s"/$curFontName (${f.baseName})").getOrElse(curFontName)
           ""
       }
-      if (pendingKern && decoded.nonEmpty && !decoded.startsWith(" ") &&
-        sb.nonEmpty && !sb.endsWith(" ") && !sb.endsWith("\n")) sb += ' '
+      val kernSpace = pendingKern && decoded.nonEmpty && !decoded.startsWith(" ") &&
+        sb.nonEmpty && !sb.endsWith(" ") && !sb.endsWith("\n")
+      if (kernSpace) sb += ' '
       pendingKern = false
       sb ++= decoded
+      if (decoded.nonEmpty) {
+        if (runStale || runs.isEmpty) { runs += ((lineX, lineY, new StringBuilder)); runStale = false }
+        val rb = runs.last._3
+        if (kernSpace && rb.nonEmpty) rb += ' '
+        rb ++= decoded
+      }
       emitted = true
     }
     while (i < block.length) {
@@ -601,12 +726,36 @@ object PdfParser extends FormatParser {
           val (s, next) = readLiteralString(block, i)
           emit(s)
           i = next
-        case '<' if i + 1 < block.length && block.charAt(i + 1) != '<' =>
+        case '<' if i + 1 < block.length && block.charAt(i + 1) == '<' =>
+          // balanced <<..>> dict span (e.g. a BDC property list): skip whole
+          var depth = 0
+          var j = i
+          while (j + 1 < block.length && (depth > 0 || j == i)) {
+            if (block.charAt(j) == '<' && block.charAt(j + 1) == '<') { depth += 1; j += 2 }
+            else if (block.charAt(j) == '>' && block.charAt(j + 1) == '>') { depth -= 1; j += 2 }
+            else j += 1
+          }
+          i = j
+        case '<' =>
           val end = block.indexOf('>', i)
           if (end > 0) {
             emit(decodeHexBytes(block.substring(i + 1, end)))
             i = end + 1
           } else i += 1
+        case 'B' if indexOfToken(block, "BI", i) == i =>
+          // inline image BI..ID..EI: raw binary follows ID — skip to the
+          // first EI token delimited by whitespace (the standard heuristic)
+          val id = indexOfToken(block, "ID", i + 2)
+          var j = if (id < 0) i + 2 else id + 2
+          var ei = -1
+          while (ei < 0 && j < block.length - 1) {
+            val k = block.indexOf("EI", j)
+            if (k < 0) j = block.length
+            else if ((k == 0 || block.charAt(k - 1).isWhitespace) &&
+              (k + 2 >= block.length || block.charAt(k + 2).isWhitespace)) ei = k + 2
+            else j = k + 1
+          }
+          i = if (ei < 0) block.length else ei
         case '/' =>
           val start = i + 1
           var j = start
@@ -624,6 +773,7 @@ object PdfParser extends FormatParser {
             (block.charAt(i).isDigit || block.charAt(i) == '.')) i += 1
           val v = block.substring(start, i).toDoubleOption.getOrElse(0.0)
           if (tjDepth > 0 && v <= -180) pendingKern = true
+          prevNum = lastNum
           lastNum = v
         case 'T' if i + 1 < block.length && block.charAt(i + 1) == 'f' =>
           curFontName = lastName
@@ -632,15 +782,25 @@ object PdfParser extends FormatParser {
         case 'T' if i + 1 < block.length && block.charAt(i + 1) == 'm' =>
           if (!lastTmY.isNaN && lastNum != lastTmY) newline()
           lastTmY = lastNum
+          lineX = prevNum; lineY = lastNum; runStale = true
           i += 2
         case 'T' if i + 1 < block.length &&
-          (block.charAt(i + 1) == 'd' || block.charAt(i + 1) == 'D' || block.charAt(i + 1) == '*') =>
-          newline(); i += 2
-        case '\'' => newline(); i += 1
+          (block.charAt(i + 1) == 'd' || block.charAt(i + 1) == 'D') =>
+          newline()
+          lineX += prevNum; lineY += lastNum; runStale = true
+          i += 2
+        case 'T' if i + 1 < block.length && block.charAt(i + 1) == '*' =>
+          newline()
+          lineY -= 12.0; runStale = true // nominal leading; bands only need separation
+          i += 2
+        case '\'' =>
+          newline()
+          lineY -= 12.0; runStale = true
+          i += 1
         case _ => i += 1
       }
     }
-    sb.toString
+    (sb.toString, runs.map(t => Run(t._1, t._2, t._3.toString)).toSeq)
   }
 
   private def readLiteralString(s: String, start: Int): (String, Int) = {

@@ -364,6 +364,88 @@ class PdfParserSpec extends AnyFunSuite {
     javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
       java.util.Base64.getDecoder.decode(b64)))
 
+  // ---- table reconstruction: Tm-positioned grids become TableElements ----
+
+  private val gridContent =
+    "BT " +
+      "1 0 0 1 72 700 Tm (Name) Tj 1 0 0 1 200 700 Tm (Qty) Tj 1 0 0 1 300 700 Tm (Price) Tj " +
+      "1 0 0 1 72 686 Tm (Apple) Tj 1 0 0 1 200 686 Tm (3) Tj 1 0 0 1 300 686 Tm (1.50) Tj " +
+      "1 0 0 1 72 672 Tm (Pear) Tj 1 0 0 1 200 672 Tm (12) Tj 1 0 0 1 300 672 Tm (0.75) Tj " +
+      "ET"
+
+  test("Tm-positioned grid reconstructs as a markdown table") {
+    val r = convertOne("table.pdf", pdf(Seq(gridContent -> false)))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown ==
+      "| Name | Qty | Price |\n|---|---|---|\n| Apple | 3 | 1.50 |\n| Pear | 12 | 0.75 |")
+  }
+
+  test("reconstructed table renders as an image under extractTablesAsImages") {
+    val r = convertOne("table.pdf", pdf(Seq(gridContent -> false)),
+      ConvertKernel.ConversionConfig(extractTablesAsImages = true))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.images.map(i => (i.`type`, i.filename)) == Seq(("table", "table-1.png")))
+    assert(r.markdown.endsWith("| Pear | 12 | 0.75 |\n\ntable-1.png"))
+  }
+
+  test("text before a grid in a separate block stays prose") {
+    val r = convertOne("mix.pdf", pdf(Seq(
+      "BT 1 0 0 1 72 720 Tm (Inventory report) Tj ET" -> false,
+      gridContent -> false)))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown.startsWith("Inventory report\n\n| Name | Qty | Price |"))
+  }
+
+  test("a ragged staircase of positions does NOT reclassify as a table") {
+    // 3 lines, one run each at drifting x: 1 column of evidence only
+    val content = "BT 1 0 0 1 72 700 Tm (alpha) Tj " +
+      "1 0 0 1 90 686 Tm (beta) Tj 1 0 0 1 110 672 Tm (gamma) Tj ET"
+    val r = convertOne("stair.pdf", pdf(Seq(content -> false)))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "alpha\nbeta\ngamma")
+  }
+
+  test("a stray unaligned run vetoes table reclassification") {
+    // grid plus one run between columns: evidence is ambiguous, keep text
+    val content = "BT " +
+      "1 0 0 1 72 700 Tm (A) Tj 1 0 0 1 200 700 Tm (B) Tj " +
+      "1 0 0 1 72 686 Tm (C) Tj 1 0 0 1 200 686 Tm (D) Tj " +
+      "1 0 0 1 136 672 Tm (footnote) Tj ET"
+    val r = convertOne("stray.pdf", pdf(Seq(content -> false)))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(!r.markdown.contains("|"))
+  }
+
+  test("Td-positioned grid (relative moves) also reconstructs") {
+    // row cells via Td x-offsets, rows via negative-y Td back to x=0 origin
+    val content = "BT 72 700 Td (H1) Tj 128 0 Td (H2) Tj " +
+      "-128 -14 Td (a) Tj 128 0 Td (b) Tj " +
+      "-128 -14 Td (c) Tj 128 0 Td (d) Tj ET"
+    val r = convertOne("tdgrid.pdf", pdf(Seq(content -> false)))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "| H1 | H2 |\n|---|---|\n| a | b |\n| c | d |")
+  }
+
+  // ---- content-stream robustness: dicts and inline images inside BT ----
+
+  test("inline <<..>> dicts and BI..ID..EI inline images do not emit junk text") {
+    val content = "BT /Span << /ActualText <FEFF0041> >> BDC (Real text.) Tj EMC " +
+      "BI /W 2 /H 2 /BPC 8 /CS /G ID ÿ <A>þ EI (More.) Tj ET"
+    val r = convertOne("marked.pdf", pdf(Seq(content -> false)))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "Real text.More.")
+  }
+
+  test("stream payload containing 'endstream' bytes survives via /Length slicing") {
+    // the payload spells endstream mid-way; the declared /Length must win
+    val payload = "BT (Tricky) Tj ET % endstream fake\nBT ( done) Tj ET"
+    val body = s"4 0 obj\n<< /Length ${payload.length} >>\nstream\n$payload\nendstream\nendobj\n"
+    val bytes = ("%PDF-1.4\n" + body + "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val r = convertOne("len.pdf", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "Tricky\n\ndone")
+  }
+
   test("ToUnicode CMap stream itself is not scanned as page content") {
     // a CMap containing the letters B and T must not be mistaken for text ops
     val bytes = pdfObjs(Seq(
