@@ -571,6 +571,7 @@ object OoxmlParsers {
       var tcMerged = false
 
       var shapeIsTitle = false
+      var inNvSpPr = false // inside p:sp/p:nvSpPr (NOT nvGraphicFramePr/nvGrpSpPr)
       var inPic = false
       var picIdx = -1
       val paraBuf = new StringBuilder
@@ -601,8 +602,13 @@ object OoxmlParsers {
                 if (attr(r, "type").exists(t => t == "title" || t == "ctrTitle"))
                   shapeIsTitle = true
               // untagged title shapes: no ph type, but PowerPoint names the
-              // layout shape "Title N" (p:cNvPr) — common in hand-built decks
-              case "cNvPr" if !inPic && !inTable =>
+              // layout shape "Title N" (p:cNvPr) — common in hand-built decks.
+              // Only honored under p:sp/p:nvSpPr: cNvPr also appears under
+              // p:graphicFrame/p:grpSp (nvGraphicFramePr/nvGrpSpPr), and a
+              // "Title..."-named frame there must not promote the NEXT
+              // shape's paragraphs to headings
+              case "nvSpPr" => inNvSpPr = true
+              case "cNvPr" if inNvSpPr && !inPic && !inTable =>
                 if (attr(r, "name").exists(_.startsWith("Title")))
                   shapeIsTitle = true
               case "tbl" => inTable = true
@@ -671,6 +677,7 @@ object OoxmlParsers {
                 tableFromPptx(tableRows.map(_.toSeq).toSeq).foreach(items += _)
                 tableRows.clear()
               case "pic" => inPic = false; picIdx = -1
+              case "nvSpPr" => inNvSpPr = false
               case "sp" => endShape()
               case _ => ()
             }

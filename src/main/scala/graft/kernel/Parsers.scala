@@ -239,12 +239,21 @@ object Parsers {
             case "p" | "div" | "br" => if (!inPre) flushText()
             case "pre" =>
               // verbatim block: whitespace preserved, emitted as a fenced
-              // code block (the markdown parser's fence round-trips it)
+              // code block (the markdown parser's fence round-trips it).
+              // Inside a table cell or list item the enclosing buffer owns
+              // the content — a standalone fenced element would split the
+              // cell/item out of order, so the code joins inline instead
+              // (and the later normalize() collapses its whitespace like
+              // any other inline cell/item text).
               if (isClose) {
                 val code = unescape(preBuf.toString).stripPrefix("\n").stripSuffix("\n")
                 preBuf.clear(); inPre = false
-                if (code.nonEmpty) items += TextElement(s"```\n$code\n```")
-              } else { flushText(); inPre = true }
+                if (code.nonEmpty) {
+                  if (inCell) cellBuf ++= code
+                  else if (listDepth > 0) liBuf ++= code
+                  else items += TextElement(s"```\n$code\n```")
+                }
+              } else { if (!inCell && listDepth == 0) flushText(); inPre = true }
             case "a" =>
               // hyperlinks become markdown [text](href); targets the
               // active buffer (list item or paragraph)

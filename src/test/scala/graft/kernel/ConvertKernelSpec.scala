@@ -167,6 +167,17 @@ class ConvertKernelSpec extends SparkTestBase {
       "Before\n\n```\ndef f(x):\n    return x & 1\n```\n\nAfter")
   }
 
+  test("html pre inside a table cell or list item stays inline, not a split block") {
+    val src = "<table><tr><td>start <pre>a  b</pre> end</td><td>x</td></tr>" +
+      "<tr><td>1</td><td>2</td></tr></table>" +
+      "<ul><li>item <pre>code here</pre> tail</li><li>two</li></ul>"
+    val r = convertOne("precell.html", b(src))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown ==
+      "| start a b end | x |\n|---|---|\n| 1 | 2 |\n\n" +
+        "- item code here tail\n- two")
+  }
+
   test("html nested lists keep their depth as markdown indentation") {
     val src = "<ul><li>a<ul><li>a1</li><li>a2</li></ul></li><li>b</li></ul>"
     val r = convertOne("nest.html", b(src))

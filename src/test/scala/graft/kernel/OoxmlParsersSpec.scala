@@ -177,6 +177,37 @@ class OoxmlParsersSpec extends AnyFunSuite {
     assert(r.images.map(_.filename) == Seq("picture-1.png"))
   }
 
+  test("pptx: a Title-named graphicFrame does not promote the next shape to a heading") {
+    // cNvPr also lives under nvGraphicFramePr; only p:sp/p:nvSpPr names count
+    val frame =
+      """<p:graphicFrame><p:nvGraphicFramePr><p:cNvPr id="4" name="Title table"/></p:nvGraphicFramePr>
+        |<a:tbl><a:tr><a:tc><a:txBody><a:p><a:r><a:t>A</a:t></a:r></a:p></a:txBody></a:tc>
+        |<a:tc><a:txBody><a:p><a:r><a:t>B</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+        |<a:tr><a:tc><a:txBody><a:p><a:r><a:t>1</a:t></a:r></a:p></a:txBody></a:tc>
+        |<a:tc><a:txBody><a:p><a:r><a:t>2</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+        |</a:tbl></p:graphicFrame>""".stripMargin
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "ppt/presentation.xml" -> "<p/>",
+      "ppt/slides/slide1.xml" -> slide(frame + sp("Plain body text.")))
+    val r = convertOne("frame.pptx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "| A | B |\n|---|---|\n| 1 | 2 |\n\nPlain body text.")
+  }
+
+  test("pptx: an untagged shape NAMED Title still promotes (nvSpPr path)") {
+    val namedTitle =
+      s"""<p:sp><p:nvSpPr><p:cNvPr id="2" name="Title 1"/><p:nvPr/></p:nvSpPr>
+         |<p:txBody><a:p><a:r><a:t>Hand-built heading</a:t></a:r></a:p></p:txBody></p:sp>""".stripMargin
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "ppt/presentation.xml" -> "<p/>",
+      "ppt/slides/slide1.xml" -> slide(namedTitle + sp("Body.")))
+    val r = convertOne("named.pptx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "# Hand-built heading\n\nBody.")
+  }
+
   test("docx: hyperlinks resolve through the rels part to markdown links") {
     val body =
       """<w:p><w:r><w:t>Visit </w:t></w:r>""" +
