@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata.
@@ -15,6 +16,9 @@ import org.apache.spark.sql.functions._
   * the renderer's dimension contract (a pure function of doc_id).
   * m2 goes further: javax.imageio IS a real JVM codec, so the same PNGs
   * are decoded, measured and resized for real inside mapPartitions.
+  * Both scan their payloads from a real BinaryType parquet column (see
+  * [[mediaTable]]) — the fixture is written once, so the operators
+  * exercise scan-side binary handling, not in-flight synthesis.
   * m3 covers video-shaped payloads (frame index + every-k sampling over
   * concatenated frames; codec layer stubbed deterministically) and m4
   * audio (real RIFF/WAVE header parse + peak/RMS over PCM16 samples —
@@ -23,26 +27,49 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** The binary fixture table `(doc_id, payload)`: one deterministic PNG
+    * per `documents` row (ImageRenderer contract, scale = doc_id%4+1),
+    * written ONCE as parquet under the repo's `data/` dir (FIXTURES.md §C)
+    * and scanned from disk thereafter. Scanning a real BinaryType column
+    * (instead of rendering payloads in-flight) makes m1/m2 exercise
+    * parquet binary IO, and column pruning provably keeps the payload
+    * bytes out of any stage that doesn't read them (a doc_id-only
+    * projection's ReadSchema drops `payload` — pinned by
+    * MediaFixtureSpec). Keyed by sf dir so scale factors don't collide;
+    * the oracle needs no fixture because payload features remain a pure
+    * function of doc_id. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val path = new java.io.File(root,
+      "media_" + java.lang.Integer.toHexString(dir.hashCode))
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      import s.implicits._
+      Tables(s, dir, "documents").select($"doc_id").as[Long]
+        .mapPartitions { it =>
+          val rendered = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+          it.map { id =>
+            val scale = (id % 4 + 1).toInt
+            (id, rendered.getOrElseUpdate(scale,
+              graft.kernel.ImageRenderer.renderPicture(scale)))
+          }
+        }.toDF("doc_id", "payload")
+        .write.mode("overwrite").parquet(path.getAbsolutePath)
+    }
+    s.read.parquet(path.getAbsolutePath)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "m1_binary_metadata",
       (s, dir) => {
         import s.implicits._
-        // real binary payloads (one rendered PNG per scale, memoized per
-        // partition); extraction below is relational, not per-row JVM code
-        val payloads = Tables(s, dir, "documents").select($"doc_id").as[Long]
-          .mapPartitions { it =>
-            val rendered = scala.collection.mutable.Map.empty[Int, Array[Byte]]
-            it.map { id =>
-              val scale = (id % 4 + 1).toInt
-              (id, rendered.getOrElseUpdate(scale,
-                graft.kernel.ImageRenderer.renderPicture(scale)))
-            }
-          }.toDF("doc_id", "payload")
+        // real binary payloads scanned from the parquet fixture;
+        // extraction below is relational, not per-row JVM code
         // PNG layout: bytes 1-8 signature, 13-16 "IHDR", 17-20 width (BE),
         // 21-24 height (BE) — all at fixed offsets, so substring/hex/conv
         // extract them codegen'd without any image decode
-        payloads.select(
+        mediaTable(s, dir).select(
           $"doc_id",
           hex(substring($"payload", 1, 4)).as("magic_hex"),
           (substring($"payload", 13, 4) === lit("IHDR").cast("binary")).as("has_ihdr"),
@@ -182,11 +209,12 @@ object Multimodal {
         FROM v ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------- m2
-    // REAL image decode/feature-extract/resize: per doc, a deterministic
-    // PNG payload (ImageRenderer, scale = doc_id%4+1) flows through an
-    // actual JVM codec — ImageIO decode, Graphics2D half-resize, magic
-    // check — inside mapPartitions (per-partition batch, binary in/out;
-    // the exact shape a libjpeg/ffmpeg decoder slots into at 100 TB).
+    // REAL image decode/feature-extract/resize: per doc, the fixture's
+    // PNG payload (mediaTable parquet scan, scale = doc_id%4+1) flows
+    // through an actual JVM codec — ImageIO decode, Graphics2D
+    // half-resize, magic check — inside mapPartitions (per-partition
+    // batch, binary in/out; the shape a libjpeg decoder slots into at
+    // 100 TB).
     // The oracle verifies the DECODED measurements independently: the
     // renderer's dimension contract is a pure function of doc_id, so
     // DuckDB recomputes what ImageIO must observe.
@@ -194,16 +222,11 @@ object Multimodal {
       "m2_image_decode_meta",
       (s, dir) => {
         import s.implicits._
-        Tables(s, dir, "documents").select($"doc_id").as[Long]
+        mediaTable(s, dir).select($"doc_id", $"payload").as[(Long, Array[Byte])]
           .mapPartitions { it =>
-            // payload render memoized per partition (4 distinct scales);
-            // the decode/resize below still runs per row — that's the
-            // operator under test
-            val rendered = scala.collection.mutable.Map.empty[Int, Array[Byte]]
-            it.map { id =>
-              val scale = (id % 4 + 1).toInt
-              val png = rendered.getOrElseUpdate(scale,
-                graft.kernel.ImageRenderer.renderPicture(scale))
+            // payloads come off the parquet scan; the decode/resize below
+            // runs per row — that's the operator under test
+            it.map { case (id, png) =>
               val isPng = png.length > 8 &&
                 png(0) == 0x89.toByte && png(1) == 'P' && png(2) == 'N' && png(3) == 'G'
               val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))

@@ -660,6 +660,33 @@ object Relational {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_order
           FROM u)
         SELECT event_id, k AS user_id, asof_order
-        FROM w WHERE tag = 1 ORDER BY event_id"""))
+        FROM w WHERE tag = 1 ORDER BY event_id""")),
+
+    // ---------------------------------------------------------------- q28
+    // Salted two-phase aggregation under the oracle (Salting.saltedCountSum
+    // end-to-end, not just spec parity): l_returnflag has 3 values, so the
+    // direct groupBy concentrates the whole fact table in 3 final-agg
+    // tasks — the by-construction skew case. Salting spreads the partial
+    // aggregation over (key, salt) subkeys (balanced shuffle #1), then the
+    // final merge shuffles only |keys|×salts tiny partial rows. Values sum
+    // through decimal in BOTH phases, so the two-phase result is
+    // bit-identical to the oracle's direct decimal sum (decimal addition
+    // is associative; double addition is not).
+    QuerySpec(
+      "q28_salted_skew_agg",
+      (s, dir) => {
+        import s.implicits._
+        Salting.saltedCountSum(
+            Tables(s, dir, "lineitem"), $"l_returnflag", dec($"l_extendedprice"))
+          .select($"k".as("l_returnflag"), $"n".as("n_items"),
+            $"total".cast("double").as("total_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

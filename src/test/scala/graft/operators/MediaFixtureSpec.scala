@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The m1/m2 binary fixture contract: written once, scanned thereafter,
+  * and column pruning keeps the payload bytes out of plans that don't
+  * read them.
+  */
+class MediaFixtureSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("fixture is written once and reused on subsequent reads") {
+    Multimodal.mediaTable(spark, sfDir).count() // builds if missing
+    val root = new java.io.File(sys.props("user.dir") + "/data",
+      "media_" + java.lang.Integer.toHexString(sfDir.hashCode))
+    val success = new java.io.File(root, "_SUCCESS")
+    assert(success.exists())
+    val mtime = success.lastModified()
+    val n = Multimodal.mediaTable(spark, sfDir).count()
+    assert(n > 0)
+    assert(success.lastModified() == mtime, "second read must not rewrite")
+  }
+
+  test("doc_id-only projection prunes the payload column at the scan") {
+    val plan = Multimodal.mediaTable(spark, sfDir).select($"doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"payload must be pruned from the scan:\n$plan")
+    assert(!plan.contains("payload"), "payload bytes must not be read at all")
+  }
+
+  test("payloads scanned from parquet carry the renderer's dimension contract") {
+    val rows = Multimodal.mediaTable(spark, sfDir)
+      .select($"doc_id",
+        conv(hex(substring($"payload", 17, 4)), 16, 10).cast("long").as("width"))
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) == 64L * (r.getLong(0) % 4 + 1)))
+  }
+}
