@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the corpus write is a `foreachPartition` (each executor
   * writes its own partition's files — on a cluster this is a shared
-  * filesystem, here java.io.tmpdir), and the read side is the real
-  * [[Pipeline.convertDirectory]] plan: one binaryFile scan → columnar
-  * pre-checks → mapPartitions kernel, no shuffle before the final sort.
+  * filesystem, here java.io.tmpdir), staged write-once per sf dir, and
+  * the read side is the real [[Pipeline.convertDirectory]] plan: one
+  * binaryFile scan → columnar pre-checks → mapPartitions kernel, no
+  * shuffle before the final sort. Measured cost note (sf0.1, 5000 docs):
+  * the warm binaryFile scan alone is ~3 s — per-file Hadoop open
+  * overhead on thousands of KB-sized files — while the conversion kernel
+  * adds only ~0.3 s on top; this is the classic small-files shape, and
+  * at real corpus scale (MB-sized documents) the per-open cost amortizes
+  * per byte. The kernel itself is not the bottleneck.
   */
 object KernelQueries {
 
@@ -49,26 +55,37 @@ object KernelQueries {
       "k1_convert_directory",
       (s, dir) => {
         import s.implicits._
-        // staging dir keyed by the sf dir so scale factors don't collide;
-        // cleared first so stale files from an older corpus never leak in
+        // staging dir keyed by the sf dir so scale factors don't collide.
+        // The corpus is a pure function of the documents table, so it is
+        // staged ONCE per sf dir (a sibling marker records the doc count;
+        // count drift rebuilds from scratch) — re-running the query then
+        // only pays the convert plan, not thousands of file creates.
         val staging = new java.io.File(System.getProperty("java.io.tmpdir"),
           "graft_k1_" + java.lang.Integer.toHexString(dir.hashCode))
-        if (staging.isDirectory)
-          staging.listFiles().foreach(f => { f.delete(); () })
-        staging.mkdirs()
         val stagingPath = staging.getAbsolutePath
-        Tables(s, dir, "documents")
+        val docs = Tables(s, dir, "documents")
           .select($"doc_id",
             length(coalesce($"text", lit(""))).cast("long").as("len"))
-          .as[(Long, Long)]
-          .foreachPartition { (it: Iterator[(Long, Long)]) =>
-            it.foreach { case (id, len) =>
-              val (name, bytes) = fileFor(id, len)
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(stagingPath, name), bytes)
-              ()
+        val nDocs = docs.count()
+        val marker = new java.io.File(stagingPath + ".staged")
+        val upToDate = staging.isDirectory && marker.isFile &&
+          new String(java.nio.file.Files.readAllBytes(marker.toPath)) == nDocs.toString
+        if (!upToDate) {
+          if (staging.isDirectory)
+            staging.listFiles().foreach(f => { f.delete(); () })
+          staging.mkdirs()
+          docs.as[(Long, Long)]
+            .foreachPartition { (it: Iterator[(Long, Long)]) =>
+              it.foreach { case (id, len) =>
+                val (name, bytes) = fileFor(id, len)
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(stagingPath, name), bytes)
+                ()
+              }
             }
-          }
+          java.nio.file.Files.write(marker.toPath, nDocs.toString.getBytes)
+          ()
+        }
         Pipeline.convertDirectory(s, stagingPath)
           .select(
             regexp_extract($"filename", "(\\d+)", 1).cast("long").as("doc_id"),

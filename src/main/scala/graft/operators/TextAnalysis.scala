@@ -218,11 +218,13 @@ object TextAnalysis {
     // ratio. Duplicate-preserving bigrams come from a typed flatMap (the
     // Shingles rationale — HOFs are CodegenFallback), then one
     // groupBy(doc, bigram) + per-doc window argmax. Docs with <2 tokens
-    // have no bigrams and drop from both sides. `counts` feeds BOTH the
-    // argmax window and the per-doc totals, so it is persisted once —
-    // without it the dominant scan→flatMap→exchange subtree computes
-    // twice (Bench/Verify clearCache between queries, so the persist
-    // never outlives the query).
+    // have no bigrams and drop from both sides. The totals (sum/count of
+    // bigrams per doc) come from WINDOW aggregates over the same counts
+    // frame, not a second aggregation + self-join: both window specs
+    // share the doc_id partitioning, so the whole query is ONE
+    // scan→flatMap→exchange chain — no double compute (the r4 defect)
+    // and no persist (measured slower here: materializing millions of
+    // (doc,bigram,n) rows costs more than the recompute it saves).
     QuerySpec(
       "t9_repetition_signals",
       (s, dir) => {
@@ -238,12 +240,13 @@ object TextAnalysis {
             }
           }.toDF("doc_id", "bigram")
         val counts = bigrams.groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("n"))
-          .persist()
-        val totals = counts.groupBy($"doc_id").agg(
-          sum($"n").as("total"), count(lit(1)).as("n_distinct"))
-        val w = Window.partitionBy($"doc_id").orderBy($"n".desc, $"bigram")
-        counts.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
-          .join(totals, "doc_id")
+        val wDoc = Window.partitionBy($"doc_id")
+        val wOrd = Window.partitionBy($"doc_id").orderBy($"n".desc, $"bigram")
+        counts
+          .withColumn("total", sum($"n").over(wDoc))
+          .withColumn("n_distinct", count(lit(1)).over(wDoc))
+          .withColumn("rk", row_number().over(wOrd))
+          .filter($"rk" === 1)
           .select(
             $"doc_id",
             $"bigram".as("top_bigram"),
