@@ -17,7 +17,8 @@ object SparkEntry {
       operators.MinHashDedup.specs ++
       operators.Similarity.specs ++
       operators.Multimodal.specs ++
-      operators.KernelQueries.specs
+      operators.KernelQueries.specs ++
+      operators.Mixing.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Conversion-shaped relational pass over the documents corpus

@@ -359,10 +359,51 @@ object Dedup {
     // DuckDB oracle bit-for-bit before rounding.
     QuerySpec(
       "d5_embedding_cosine_pairs",
+      (s, dir) =>
+        cosinePairs(s, dir, 0.4)
+          .orderBy(col("cosine").desc, col("a_id"), col("b_id"))
+          .limit(200),
+      Some(CosinePairsOracle(0.4) + """
+        SELECT a_id, b_id, cosine FROM cpairs
+        ORDER BY cosine DESC, a_id, b_id LIMIT 200""")),
+
+    // ----------------------------------------------------------------- d8
+    // Semantic dedup clusters: the d7 step over the EMBEDDING-space pair
+    // graph (d5 edges) instead of the lexical one — the SemDeDup shape
+    // (cluster by embedding similarity, keep one doc per cluster). Pure
+    // operator reuse: cosinePairs feeds the same pointer-jumping
+    // connectedComponents; cluster_id = min vec_id is the canonical
+    // keeper. Scale path unchanged: at 100 TB the edges come from the
+    // bucketed d4/s2 candidate generation, not the exact block-pair join.
+    QuerySpec(
+      "d8_semantic_clusters",
       (s, dir) => {
         import s.implicits._
-        val threshold = 0.4
-        val src = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val pairs = cosinePairs(s, dir, 0.4).select($"a_id", $"b_id")
+        connectedComponents(s, pairs)._1
+          .withColumnRenamed("doc_id", "vec_id")
+          .orderBy($"vec_id")
+      },
+      Some("WITH RECURSIVE " + CosinePairsOracle(0.4).trim.stripPrefix("WITH") + """,
+        edges AS (
+          SELECT a_id AS s, b_id AS d FROM cpairs
+          UNION ALL SELECT b_id, a_id FROM cpairs),
+        reach AS (
+          SELECT DISTINCT s AS id, s AS r FROM edges
+          UNION
+          SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id)
+        SELECT id AS vec_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY id ORDER BY vec_id"""))
+  )
+
+  /** d5's pair computation (distributed block-pair exact cosine, see the
+    * d5 scaladoc above), shared with d8's cluster step: returns
+    * (a_id, b_id, cosine) for all unordered pairs with cosine >=
+    * `threshold`, unordered and unlimited. */
+  def cosinePairs(s: org.apache.spark.sql.SparkSession, dir: String,
+                  threshold: Double): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val src = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
         // parquet count(*) is metadata-only; B blocks of <= ~MaxCosineBlock
         val nRows = src.count()
         val nBlocks = math.max(1L, (nRows + MaxCosineBlock - 1) / MaxCosineBlock).toInt
@@ -403,10 +444,11 @@ object Dedup {
             } yield (math.min(aId, bId), math.max(aId, bId), cos)
           }
           .toDF("a_id", "b_id", "cosine")
-          .orderBy($"cosine".desc, $"a_id", $"b_id")
-          .limit(200)
-      },
-      Some("""
+  }
+
+  /** The d5 oracle's CTE chain up to threshold pairs (`cpairs`), shared
+    * with d8. */
+  private def CosinePairsOracle(threshold: Double): String = s"""
         WITH e AS (SELECT vec_id, embedding FROM embeddings),
         p AS (
           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -417,8 +459,6 @@ object Dedup {
                         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
                       * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
                           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
-          FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.4
-        ORDER BY cosine DESC, a_id, b_id LIMIT 200"""))
-  )
+          FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        cpairs AS (SELECT a_id, b_id, cosine FROM p WHERE cosine >= $threshold)"""
 }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-mixing operators — the steps between a filtered corpus and a
+  * training run: source-weighted upsampling (domain mixing ratios) and
+  * deterministic train/val/test splitting. Both are pure relational
+  * plans whose sampling/replication keys are engine-portable builtins
+  * (md5, sequence/generate_series), so the DuckDB oracle checks exact
+  * row-level results.
+  *
+  * Scale notes: p1's replication is `explode(sequence(1, w))` — a
+  * narrow transformation, no shuffle; row count multiplies by the mix
+  * weight exactly as a real mixer's does. p2's split is a stateless
+  * hash route (one md5 per row, no shuffle before the final rollup);
+  * at 100 TB both stay single-scan map-side plans.
+  */
+object Mixing {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ----------------------------------------------------------------- p1
+    // Source-weighted upsampling: each source's documents repeat
+    // weight(source) times (weight = length(source) % 3 + 1 — a stand-in
+    // for a configured mixing ratio, chosen so the oracle can recompute
+    // it). copy_idx distinguishes replicas, as a downstream shuffler
+    // needs. Bounded projection (doc_id < 120) keeps the oracle result
+    // row-level but small.
+    QuerySpec(
+      "p1_source_weighted_mix",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"source",
+            (length($"source") % 3 + 1).cast("long").as("weight"))
+          .filter($"doc_id" < 120)
+          .withColumn("copy_idx", explode(sequence(lit(1L), $"weight")))
+          .select($"doc_id", $"source", $"weight", $"copy_idx")
+          .orderBy($"doc_id", $"copy_idx")
+      },
+      Some("""
+        SELECT doc_id, source,
+               CAST(length(source) % 3 + 1 AS BIGINT) AS weight,
+               CAST(unnest(generate_series(1, length(source) % 3 + 1)) AS BIGINT) AS copy_idx
+        FROM documents WHERE doc_id < 120
+        ORDER BY doc_id, copy_idx""")),
+
+    // ----------------------------------------------------------------- p2
+    // Deterministic train/val/test split: route each doc by the first hex
+    // digit of md5(doc_id || salt) — 12/16 train, 2/16 val, 2/16 test —
+    // and roll up counts per (lang, split). Same md5 in both engines ⇒
+    // the assignment (not just the proportions) is oracle-pinned; any
+    // doc's split is reproducible from its id alone, the property a
+    // pipeline needs to keep eval sets stable across reshards.
+    QuerySpec(
+      "p2_train_val_split",
+      (s, dir) => {
+        import s.implicits._
+        val digit = substring(md5(concat($"doc_id".cast("string"), lit(":split"))), 1, 1)
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            when(digit.isin("c", "d"), "val")
+              .when(digit.isin("e", "f"), "test")
+              .otherwise("train").as("split"))
+          .groupBy($"lang", $"split")
+          .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc_id"))
+          .orderBy($"lang", $"split")
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id, lang,
+                 CASE
+                   WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1) IN ('c','d') THEN 'val'
+                   WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1) IN ('e','f') THEN 'test'
+                   ELSE 'train' END AS split
+          FROM documents)
+        SELECT lang, split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+        FROM a GROUP BY lang, split ORDER BY lang, split""")),
+
+    // ----------------------------------------------------------------- p3
+    // Shard packing: documents sequenced into fixed-token-budget training
+    // shards. Docs hash-route to 16 independent packer workers (first hex
+    // digit of the stable-shuffle key), each worker runs its own running
+    // token cumsum (window PARTITIONED by worker — never a global sort)
+    // and cuts a shard every 4096 tokens; the shard label is
+    // (worker, local shard index). This is exactly how a distributed
+    // packer scales: worker count = partition count, per-worker state is
+    // one running sum, and the oracle recomputes the exact assignment.
+    QuerySpec(
+      "p3_shard_packing",
+      (s, dir) => {
+        import s.implicits._
+        val toks = size(split(trim($"text"), "\\s+")).cast("long")
+        val w = Window.partitionBy($"worker").orderBy($"h", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "documents")
+          .filter($"text".isNotNull)
+          .select($"doc_id",
+            md5(concat($"doc_id".cast("string"), lit(":pack"))).as("h"),
+            toks.as("n_tokens"))
+          .withColumn("worker", substring($"h", 1, 1))
+          .withColumn("cum_tokens", sum($"n_tokens").over(w))
+          .withColumn("shard",
+            concat($"worker", lit("-"),
+              floor(($"cum_tokens" - 1) / 4096.0).cast("long")))
+          .select($"doc_id", $"worker", $"n_tokens", $"cum_tokens", $"shard")
+          .orderBy($"worker", $"cum_tokens", $"doc_id")
+      },
+      Some(raw"""
+        WITH t AS (
+          SELECT doc_id,
+                 md5(CAST(doc_id AS VARCHAR) || ':pack') AS h,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents WHERE text IS NOT NULL),
+        c AS (
+          SELECT doc_id, substring(h, 1, 1) AS worker, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY substring(h, 1, 1)
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+          FROM t)
+        SELECT doc_id, worker, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+               worker || '-' || CAST(FLOOR((cum_tokens - 1) / 4096.0) AS BIGINT) AS shard
+        FROM c ORDER BY worker, cum_tokens, doc_id"""))
+  )
+}

@@ -385,6 +385,39 @@ object TextAnalysis {
         SELECT doc_id,
                ${polyHashSql("text")} AS fingerprint,
                ${polyHashSql("prefix32")} AS prefix_fp
-        FROM p ORDER BY doc_id"""))
+        FROM p ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t10
+    // Deterministic stratified sampling — every training-data pipeline's
+    // "take k docs per stratum, reproducibly" step. The sampling key is
+    // md5(doc_id || salt): identical builtin in Spark and DuckDB, so the
+    // oracle checks the EXACT sample, not just counts. One shuffle on the
+    // stratum (the window partition); rank <= k prunes before any
+    // downstream work. At 100 TB the same plan holds — the window sorts
+    // within strata only, and k rows per stratum leave the stage.
+    QuerySpec(
+      "t10_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            md5(concat($"doc_id".cast("string"), lit(":graft5"))).as("h"))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 5)
+          .select($"lang", $"rk".cast("long").as("rk"), $"doc_id", $"h")
+          .orderBy($"lang", $"rk")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id, lang,
+                 md5(CAST(doc_id AS VARCHAR) || ':graft5') AS h
+          FROM documents),
+        r AS (
+          SELECT lang, doc_id, h,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+          FROM h)
+        SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h
+        FROM r WHERE rk <= 5 ORDER BY lang, rk"""))
   )
 }
