@@ -546,23 +546,29 @@ object PdfParser extends FormatParser {
 
   /** Elements from one content stream, in stream order: each BT..ET block
     * becomes one TextElement (with `Td`/`TD`/`T*` line breaks inside) — or,
-    * when the block's positioned runs form a clear grid, a TableElement
-    * (see [[detectTable]]); `/Name Do` invocations of decodable image
-    * XObjects between text blocks become PictureElements carrying the
-    * embedded bytes. Fonts selected by `Tf` drive string decoding; a font
-    * marked Undecodable records its name in `undecodable` (the caller
-    * fails the whole document). */
+    * when positioned runs form a clear grid, a TableElement. Two grid
+    * shapes are covered (see [[detectTable]] / [[flushTextBuffer]]):
+    * a whole table inside ONE block (pdftex-style), and one-BT-per-cell
+    * producers where consecutive single-show blocks align into a grid.
+    * `/Name Do` invocations of decodable image XObjects between text
+    * blocks become PictureElements carrying the embedded bytes (and
+    * break table continuity, as they must). Fonts selected by `Tf` drive
+    * string decoding; a font marked Undecodable records its name in
+    * `undecodable` (the caller fails the whole document). */
   private[kernel] def extractElements(stream: Array[Byte],
                                       fonts: Map[String, FontInfo],
                                       undecodable: mutable.Set[String],
                                       images: Map[String, Array[Byte]]): Seq[Element] = {
     val src = new String(stream, StandardCharsets.ISO_8859_1)
     val out = ArrayBuffer[Element]()
+    val textBuf = ArrayBuffer[(String, Seq[Run])]() // consecutive text blocks
     def scanPictures(from: Int, until: Int): Unit =
       if (images.nonEmpty && until > from)
         for (m <- DoRe.findAllMatchIn(src.substring(from, until));
-             img <- images.get(m.group(1)))
+             img <- images.get(m.group(1))) {
+          flushTextBuffer(textBuf, out)
           out += PictureElement(rawMedia = Some(img))
+        }
     var i = 0
     while (i < src.length) {
       val bt = indexOfToken(src, "BT", i)
@@ -573,13 +579,57 @@ object PdfParser extends FormatParser {
         val end = if (et < 0) src.length else et
         val (text, runs) = extractFromBlock(src.substring(bt + 2, end), fonts, undecodable)
         detectTable(runs) match {
-          case Some(t) => out += t
-          case None => if (text.trim.nonEmpty) out += TextElement(text.trim)
+          case Some(t) => flushTextBuffer(textBuf, out); out += t
+          case None => if (text.trim.nonEmpty) textBuf += ((text.trim, runs))
         }
         i = end + 2
       }
     }
+    flushTextBuffer(textBuf, out)
     out.toSeq
+  }
+
+  /** Flush buffered consecutive text blocks, reconstructing a cross-block
+    * grid when the evidence is unambiguous — the one-BT-per-cell producer
+    * shape (each cell its own BT block with one positioned show). Rules on
+    * top of [[detectTable]]'s: every buffered block must carry exactly one
+    * run; the multi-run line bands must form ONE contiguous band range
+    * (the table), and the blocks feeding that range must be contiguous in
+    * stream order; leading/trailing single-run bands (title above, note
+    * below) stay prose around the table. Anything else — default-position
+    * runs (all one band), two separated grids, ragged evidence — falls
+    * back to the per-block text form. */
+  private def flushTextBuffer(buf: ArrayBuffer[(String, Seq[Run])],
+                              out: ArrayBuffer[Element]): Unit = {
+    if (buf.isEmpty) return
+    if (buf.size >= 4 && buf.forall(_._2.size == 1)) {
+      val runs = buf.map(_._2.head)
+      val bands = ArrayBuffer[ArrayBuffer[Run]]()
+      for (r <- runs.sortBy(-_.y)) {
+        if (bands.nonEmpty && math.abs(bands.last.head.y - r.y) <= BandTolY) bands.last += r
+        else bands += ArrayBuffer(r)
+      }
+      val multiIdx = bands.indices.filter(bands(_).size >= 2)
+      if (multiIdx.size >= 2 && multiIdx.last - multiIdx.head == multiIdx.size - 1) {
+        val tableRuns = multiIdx.flatMap(bands(_))
+        detectTable(tableRuns.toSeq) match {
+          case Some(t) =>
+            val inTable = buf.map(b => tableRuns.exists(_ eq b._2.head))
+            val first = inTable.indexOf(true)
+            val last = inTable.lastIndexOf(true)
+            if (first >= 0 && (first to last).forall(inTable)) {
+              buf.take(first).foreach(b => out += TextElement(b._1))
+              out += t
+              buf.drop(last + 1).foreach(b => out += TextElement(b._1))
+              buf.clear()
+              return
+            }
+          case None => ()
+        }
+      }
+    }
+    buf.foreach(b => out += TextElement(b._1))
+    buf.clear()
   }
 
   private val BandTolY = 2.0 // same visual line when |Δy| ≤ this

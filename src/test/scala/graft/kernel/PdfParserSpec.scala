@@ -426,6 +426,30 @@ class PdfParserSpec extends AnyFunSuite {
     assert(r.markdown == "| H1 | H2 |\n|---|---|\n| a | b |\n| c | d |")
   }
 
+  test("one-BT-per-cell grid reconstructs across blocks, prose stays around it") {
+    // word-export shape: every cell its own BT block; title above and a
+    // note below land in single-run bands and must stay prose
+    val content = Seq(
+      "BT 1 0 0 1 72 720 Tm (Inventory) Tj ET",
+      "BT 1 0 0 1 72 700 Tm (Name) Tj ET",
+      "BT 1 0 0 1 200 700 Tm (Qty) Tj ET",
+      "BT 1 0 0 1 72 686 Tm (Apple) Tj ET",
+      "BT 1 0 0 1 200 686 Tm (3) Tj ET",
+      "BT 1 0 0 1 72 650 Tm (Footer note) Tj ET").mkString(" ")
+    val r = convertOne("cells.pdf", pdf(Seq(content -> false)))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown ==
+      "Inventory\n\n| Name | Qty |\n|---|---|\n| Apple | 3 |\n\nFooter note")
+  }
+
+  test("unpositioned single-run blocks never merge into a table") {
+    // no Tm/Td: all runs at the default origin -> one band -> prose
+    val content = "BT (One.) Tj ET BT (Two.) Tj ET BT (Three.) Tj ET BT (Four.) Tj ET"
+    val r = convertOne("plainblocks.pdf", pdf(Seq(content -> false)))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "One.\n\nTwo.\n\nThree.\n\nFour.")
+  }
+
   // ---- content-stream robustness: dicts and inline images inside BT ----
 
   test("inline <<..>> dicts and BI..ID..EI inline images do not emit junk text") {
