@@ -181,7 +181,9 @@ object OoxmlParsers {
     def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] = {
       val parts = zipEntries(bytes,
         n => n == "word/document.xml" || n == RelsPart || n == NumberingPart ||
-          n == FootnotesPart || n.startsWith("word/media/"))
+          n == FootnotesPart || n.startsWith("word/media/") ||
+          n.startsWith("word/header") || n.startsWith("word/footer") ||
+          n.startsWith("word/_rels/header") || n.startsWith("word/_rels/footer"))
       parts.get("word/document.xml") match {
         case None => Left("Invalid DOCX: missing word/document.xml")
         case Some(xml) =>
@@ -194,10 +196,53 @@ object OoxmlParsers {
               parts.get(FootnotesPart).map(parseFootnotes).getOrElse(Map.empty)
             val media: String => Option[Array[Byte]] =
               id => relTarget.get(id).flatMap(t => parts.get(resolveTarget("word", t)))
-            Right(DocTree(name,
-              parseDocumentXml(xml, relTarget, numbering, media, footnotes)))
+            val body = parseDocumentXml(xml, relTarget, numbering, media, footnotes)
+            // default header paragraphs lead the document, default footer
+            // paragraphs trail it (Word renders them on every page; a
+            // linear markdown export keeps one copy each, like a text
+            // export does). Each part resolves media through its OWN rels.
+            val (hdrIds, ftrIds) = sectionRefs(xml)
+            def partItems(rid: String): Seq[Element] =
+              relTarget.get(rid).toSeq.flatMap { t =>
+                val partName = resolveTarget("word", t)
+                parts.get(partName).toSeq.flatMap { pxml =>
+                  val prels = parts
+                    .get("word/_rels/" + partName.stripPrefix("word/") + ".rels")
+                    .map(parseRels).getOrElse(Seq.empty)
+                  val prelTarget = prels.map(r => r.id -> r.target).toMap
+                  val pmedia: String => Option[Array[Byte]] =
+                    id => prelTarget.get(id).flatMap(t2 => parts.get(resolveTarget("word", t2)))
+                  parseDocumentXml(pxml, prelTarget, numbering, pmedia, Map.empty)
+                }
+              }
+            val header = hdrIds.flatMap(partItems)
+            val footer = ftrIds.flatMap(partItems)
+            Right(DocTree(name, header ++ body ++ footer))
           } catch { case e: Exception => Left(s"Invalid DOCX: ${e.getMessage}") }
       }
+    }
+
+    /** The body sectPr's default header/footer references: r:ids of
+      * w:headerReference / w:footerReference with w:type="default" (the
+      * variant Word uses on every ordinary page; first/even variants are
+      * page-layout detail a linear export skips). */
+    private[kernel] def sectionRefs(xml: Array[Byte]): (Seq[String], Seq[String]) = {
+      val r = newReader(xml)
+      val hdr = ArrayBuffer[String]()
+      val ftr = ArrayBuffer[String]()
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT) {
+          r.getLocalName match {
+            case "headerReference" if attr(r, "type").contains("default") =>
+              attr(r, "id").foreach(hdr += _)
+            case "footerReference" if attr(r, "type").contains("default") =>
+              attr(r, "id").foreach(ftr += _)
+            case _ => ()
+          }
+        }
+      }
+      r.close()
+      (hdr.toSeq, ftr.toSeq)
     }
 
     /** word/footnotes.xml → (footnote id → text). Separator/continuation

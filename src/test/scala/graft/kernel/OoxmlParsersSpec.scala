@@ -82,6 +82,37 @@ class OoxmlParsersSpec extends AnyFunSuite {
     assert(r.images.map(i => (i.`type`, i.filename)) == Seq(("picture", "picture-1.png")))
   }
 
+  test("docx: default header leads and default footer trails the document") {
+    val body = wp("Body text.") +
+      s"""<w:sectPr>
+         |<w:headerReference w:type="default" r:id="rH" xmlns:r="x"/>
+         |<w:headerReference w:type="first" r:id="rHF" xmlns:r="x"/>
+         |<w:footerReference w:type="default" r:id="rF" xmlns:r="x"/>
+         |</w:sectPr>""".stripMargin
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "word/document.xml" ->
+        s"""<?xml version="1.0"?><w:document xmlns:w="$W"><w:body>$body</w:body></w:document>""",
+      "word/_rels/document.xml.rels" ->
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rH" Type="t" Target="header1.xml"/>
+          |<Relationship Id="rHF" Type="t" Target="header2.xml"/>
+          |<Relationship Id="rF" Type="t" Target="footer1.xml"/>
+          |</Relationships>""".stripMargin,
+      "word/header1.xml" ->
+        s"""<?xml version="1.0"?><w:hdr xmlns:w="$W">${wp("Acme Corp")}</w:hdr>""",
+      "word/header2.xml" ->
+        s"""<?xml version="1.0"?><w:hdr xmlns:w="$W">${wp("First-page only")}</w:hdr>""",
+      "word/footer1.xml" ->
+        s"""<?xml version="1.0"?><w:ftr xmlns:w="$W">${wp("Confidential")}</w:ftr>""")
+    val r = convertOne("hdrftr.docx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    // default header first, body, default footer last; the first-page
+    // header variant is page-layout detail and is skipped
+    assert(r.markdown == "Acme Corp\n\nBody text.\n\nConfidential")
+  }
+
   test("docx: bold/italic runs render as markdown emphasis, split runs merge") {
     val body =
       "<w:p>" +
