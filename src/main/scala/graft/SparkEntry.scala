@@ -21,15 +21,12 @@ object SparkEntry {
       operators.Mixing.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Conversion-shaped relational pass over the documents corpus
-    * (SURVEY.md §7.3). */
-  def entry(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Tables(spark, "/root/testdata/sf0.001", "documents")
-      .filter(length($"text") > 0)
-      .withColumn("markdown", concat(lit("# "), $"source", lit("\n\n"), $"text"))
-      .select($"doc_id", $"markdown", lit(null).cast("string").as("error"))
-  }
+    * The REAL ingest→convert pipeline (k1): deterministic staging corpus
+    * from the documents table through Pipeline.convertDirectory —
+    * binaryFile scan → columnar pre-checks → mapPartitions kernel
+    * (SURVEY.md §3.1 / §7.3). */
+  def entry(spark: SparkSession): DataFrame =
+    queries("k1_convert_directory")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -418,6 +418,98 @@ object TextAnalysis {
                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
           FROM h)
         SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h
-        FROM r WHERE rk <= 5 ORDER BY lang, rk"""))
+        FROM r WHERE rk <= 5 ORDER BY lang, rk""")),
+
+    // ---------------------------------------------------------------- t11
+    // Exact per-stratum length quantiles — where a pipeline's length-filter
+    // thresholds come from. Deliberately EXACT discrete quantiles (value at
+    // row ceil(q·n) of the stratum's sorted order), not percentile_approx:
+    // approx sketches differ across engines, exact selection is
+    // oracle-deterministic. One shuffle on the stratum; the window sorts
+    // within strata only.
+    QuerySpec(
+      "t11_length_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        val toks = size(split(trim($"text"), "\\s+")).cast("long")
+        val w = Window.partitionBy($"lang").orderBy($"n_tokens", $"doc_id")
+        val ranked = Tables(s, dir, "documents")
+          .filter($"text".isNotNull)
+          .select($"doc_id", $"lang", toks.as("n_tokens"))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy($"lang")))
+        ranked
+          .groupBy($"lang").agg(
+            max($"n").as("n_docs"),
+            max(when($"rk" === ceil($"n" * 0.5), $"n_tokens")).as("p50_tokens"),
+            max(when($"rk" === ceil($"n" * 0.9), $"n_tokens")).as("p90_tokens"),
+            min($"n_tokens").as("min_tokens"),
+            max($"n_tokens").as("max_tokens"))
+          .orderBy($"lang")
+      },
+      Some(raw"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents WHERE text IS NOT NULL),
+        r AS (
+          SELECT lang, doc_id, n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM t)
+        SELECT lang,
+               CAST(MAX(n) AS BIGINT) AS n_docs,
+               MAX(CASE WHEN rk = CAST(CEIL(n * 0.5) AS BIGINT) THEN n_tokens END) AS p50_tokens,
+               MAX(CASE WHEN rk = CAST(CEIL(n * 0.9) AS BIGINT) THEN n_tokens END) AS p90_tokens,
+               MIN(n_tokens) AS min_tokens,
+               MAX(n_tokens) AS max_tokens
+        FROM r GROUP BY lang ORDER BY lang""")),
+
+    // ---------------------------------------------------------------- t12
+    // TF-IDF-style salient terms, log-free: score = tf · N / df uses one
+    // integer multiply and one divide, so the double is bit-identical in
+    // both engines (log-based idf would accumulate ulp differences).
+    // Relational shape: token explode → per-(doc,term) tf → per-term df
+    // (broadcast-sized at any corpus: |vocab| ≪ |corpus|) → per-doc window
+    // top-3. The df frame is the classic map-side-join dimension.
+    QuerySpec(
+      "t12_salient_terms",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents").filter($"text".isNotNull)
+        val n = docs.count()
+        val tokens = docs
+          .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
+        val tf = tokens.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val df = tokens.select($"doc_id", $"term").distinct()
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy($"doc_id")
+          .orderBy(($"tf" * lit(n) / $"df").desc, $"term")
+        tf.join(broadcast(df), "term")
+          .withColumn("score", $"tf" * lit(n) / $"df")
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3 && $"doc_id" < 100)
+          .select($"doc_id", $"rk".cast("long").as("rk"), $"term", $"tf", $"df",
+            round($"score", 6).as("score"))
+          .orderBy($"doc_id", $"rk")
+      },
+      Some(raw"""
+        WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        n AS (SELECT COUNT(*) AS n FROM docs),
+        tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+          FROM docs),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+        df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term),
+        sc AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 tf.tf * (SELECT n FROM n) / CAST(df.df AS DOUBLE) AS score
+          FROM tf JOIN df USING (term)),
+        r AS (
+          SELECT doc_id, term, tf, df, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+          FROM sc)
+        SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, ROUND(score, 6) AS score
+        FROM r WHERE rk <= 3 AND doc_id < 100 ORDER BY doc_id, rk"""))
   )
 }
