@@ -480,7 +480,11 @@ object TextAnalysis {
         val n = docs.count()
         val tokens = docs
           .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
-        val tf = tokens.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        // tf only for the projected doc slice (the filter pushes below the
+        // aggregation and window); df must stay corpus-wide — that's the
+        // statistic — and broadcasts at vocab size
+        val tf = tokens.filter($"doc_id" < 100)
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
         val df = tokens.select($"doc_id", $"term").distinct()
           .groupBy($"term").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy($"doc_id")
@@ -488,7 +492,7 @@ object TextAnalysis {
         tf.join(broadcast(df), "term")
           .withColumn("score", $"tf" * lit(n) / $"df")
           .withColumn("rk", row_number().over(w))
-          .filter($"rk" <= 3 && $"doc_id" < 100)
+          .filter($"rk" <= 3)
           .select($"doc_id", $"rk".cast("long").as("rk"), $"term", $"tf", $"df",
             round($"score", 6).as("score"))
           .orderBy($"doc_id", $"rk")
