@@ -7,23 +7,17 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
-  * s1 is the exact baseline: brute-force cosine top-k, O(|Q|·N) — the dot
-  * product stays in codegen via zip_with/aggregate (no UDF). At 100 TB the
+  * s1 is the exact baseline: brute-force cosine top-k, O(|Q|·N) — the
+  * cosine is the native [[graft.functions.CosineSimilarity]] Catalyst
+  * expression (whole-stage codegen, one fused loop; the zip_with/aggregate
+  * HOF form it replaced is CodegenFallback — interpreted per row — and
+  * produces bit-identical values, see CosineExpressionSpec). At 100 TB the
   * scale path is s2: an IVF-style coarse quantizer (here: per-label
   * centroids) prunes the candidate set to the nearest cells before the
   * exact rerank, turning O(Q·N) into O(Q·N/cells·probes). The centroid
   * table is tiny → broadcast; only the assignment scan touches the corpus.
   */
 object Similarity {
-
-  /** Sum of elementwise products as double, sequential fold (codegen HOFs). */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-      "cast(0 as double), (acc, v) -> acc + v)"
-
-  private def norm(a: String): String =
-    s"sqrt(aggregate(transform($a, x -> cast(x as double) * cast(x as double)), " +
-      "cast(0 as double), (acc, v) -> acc + v))"
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -39,7 +33,7 @@ object Similarity {
         val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")
         broadcast(q).join(c, $"query_id" =!= $"cand_id")
           .withColumn("cosine",
-            round(expr(dot("qv", "cv")) / (expr(norm("qv")) * expr(norm("cv"))), 6))
+            round(graft.functions.GraftFunctions.cosineSim($"qv", $"cv"), 6))
           .withColumn("rank", row_number().over(w))
           .filter($"rank" <= 5)
           .select($"query_id", $"rank", $"cand_id", $"cosine")
@@ -111,7 +105,7 @@ object Similarity {
     probed.join(cands, Seq("cell"))
       .filter($"query_id" =!= $"cand_id")
       .withColumn("cosine",
-        round(expr(dot("qv", "cv")) / (expr(norm("qv")) * expr(norm("cv"))), 6))
+        round(graft.functions.GraftFunctions.cosineSim($"qv", $"cv"), 6))
       .withColumn("rank", row_number().over(wTop))
       .filter($"rank" <= k)
       .select($"query_id", $"rank", $"cand_id", $"cosine")

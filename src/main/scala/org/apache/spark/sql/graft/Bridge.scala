@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` Column↔Expression surface,
+  * placed in a subpackage of `org.apache.spark.sql` for access — the
+  * standard pattern for libraries shipping native Catalyst expressions
+  * (the public Column API intentionally hides Expression in Spark 4).
+  * Keep this file to conversions only; all expression logic lives in
+  * `graft.functions`.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions' injected functions to a registry —
+    * what the session builder does at build time; exposed so specs can
+    * verify injection without constructing a new SparkContext. */
+  def registerFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
+                        registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(registry)
+}
