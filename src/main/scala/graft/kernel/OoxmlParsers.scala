@@ -160,6 +160,76 @@ object OoxmlParsers {
     Some(TableElement(specs.toSeq, nonEmpty.length, maxCol))
   }
 
+  /** DrawingML chart part (`word/charts/chartN.xml` / `ppt/charts/…`) →
+    * its cached DATA as a table: header row = series names, first column =
+    * categories, body = the c:numCache values. Charts are the one OOXML
+    * embed whose content is fully recoverable without rendering — the
+    * XML carries the plotted numbers — so a data table preserves what the
+    * reference's image render only pictures. Series names come from the
+    * first c:v under c:ser/c:tx (the strCache, not the c:f formula);
+    * categories from the first series carrying a c:cat cache, index
+    * labels otherwise. Returns None for chartless/empty parts. */
+  private[kernel] def parseChart(xml: Array[Byte]): Option[TableElement] = {
+    final class Ser {
+      var name: String = ""
+      val cats = ArrayBuffer[String]()
+      val vals = ArrayBuffer[String]()
+    }
+    val r = newReader(xml)
+    val series = ArrayBuffer[Ser]()
+    var inSer = false
+    var inTx = false
+    var inCat = false
+    var inVal = false
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "ser" => series += new Ser; inSer = true
+            case "tx" if inSer => inTx = true
+            case "cat" if inSer => inCat = true
+            case "val" if inSer => inVal = true
+            case "v" if inSer =>
+              val t = r.getElementText
+              val s = series.last
+              if (inTx) { if (s.name.isEmpty) s.name = t }
+              else if (inCat) s.cats += t
+              else if (inVal) s.vals += t
+            case _ => ()
+          }
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "ser" => inSer = false
+            case "tx" => inTx = false
+            case "cat" => inCat = false
+            case "val" => inVal = false
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    r.close()
+    if (series.isEmpty || series.forall(_.vals.isEmpty)) None
+    else {
+      val cats = series.find(_.cats.nonEmpty).map(_.cats.toSeq)
+        .getOrElse((1 to series.map(_.vals.size).max).map(_.toString))
+      val cells = ArrayBuffer[TableCellSpec]()
+      cells += TableCellSpec(0, 1, 0, 1, "", columnHeader = true)
+      series.zipWithIndex.foreach { case (s, ci) =>
+        cells += TableCellSpec(0, 1, ci + 1, ci + 2,
+          if (s.name.nonEmpty) s.name else s"Series ${ci + 1}", columnHeader = true)
+      }
+      cats.zipWithIndex.foreach { case (c, ri) =>
+        cells += TableCellSpec(ri + 1, ri + 2, 0, 1, c)
+        series.zipWithIndex.foreach { case (s, ci) =>
+          cells += TableCellSpec(ri + 1, ri + 2, ci + 1, ci + 2,
+            s.vals.lift(ri).getOrElse(""))
+        }
+      }
+      Some(TableElement(cells.toSeq, cats.size + 1, series.size + 1))
+    }
+  }
+
   private val HeadingStyle = "Heading(\\d)".r
 
   /** w:numFmt values that render as ordered (`1. 2. 3.`) markdown lists;
@@ -182,6 +252,7 @@ object OoxmlParsers {
       val parts = zipEntries(bytes,
         n => n == "word/document.xml" || n == RelsPart || n == NumberingPart ||
           n == FootnotesPart || n.startsWith("word/media/") ||
+          n.startsWith("word/charts/") ||
           n.startsWith("word/header") || n.startsWith("word/footer") ||
           n.startsWith("word/_rels/header") || n.startsWith("word/_rels/footer"))
       parts.get("word/document.xml") match {
@@ -196,7 +267,10 @@ object OoxmlParsers {
               parts.get(FootnotesPart).map(parseFootnotes).getOrElse(Map.empty)
             val media: String => Option[Array[Byte]] =
               id => relTarget.get(id).flatMap(t => parts.get(resolveTarget("word", t)))
-            val body = parseDocumentXml(xml, relTarget, numbering, media, footnotes)
+            val charts: String => Option[TableElement] =
+              id => relTarget.get(id).flatMap(t => parts.get(resolveTarget("word", t)))
+                .flatMap(parseChart)
+            val body = parseDocumentXml(xml, relTarget, numbering, media, footnotes, charts)
             // default header paragraphs lead the document, default footer
             // paragraphs trail it (Word renders them on every page; a
             // linear markdown export keeps one copy each, like a text
@@ -212,7 +286,10 @@ object OoxmlParsers {
                   val prelTarget = prels.map(r => r.id -> r.target).toMap
                   val pmedia: String => Option[Array[Byte]] =
                     id => prelTarget.get(id).flatMap(t2 => parts.get(resolveTarget("word", t2)))
-                  parseDocumentXml(pxml, prelTarget, numbering, pmedia, Map.empty)
+                  val pcharts: String => Option[TableElement] =
+                    id => prelTarget.get(id).flatMap(t2 => parts.get(resolveTarget("word", t2)))
+                      .flatMap(parseChart)
+                  parseDocumentXml(pxml, prelTarget, numbering, pmedia, Map.empty, pcharts)
                 }
               }
             val header = hdrIds.flatMap(partItems)
@@ -323,7 +400,8 @@ object OoxmlParsers {
                                  rels: Map[String, String],
                                  numbering: Map[(String, String), String],
                                  media: String => Option[Array[Byte]],
-                                 footnotes: Map[String, String]): Seq[Element] = {
+                                 footnotes: Map[String, String],
+                                 charts: String => Option[TableElement] = _ => None): Seq[Element] = {
       val r = newReader(xml)
       val items = ArrayBuffer[Element]()
       // footnote id → 1-based number, in first-reference order (Word
@@ -354,6 +432,11 @@ object OoxmlParsers {
       // pictures seen inside the current depth-1 table's cells — the cell
       // grid is text-only, so these emit right after the TableElement
       val tblPics = ArrayBuffer[Option[Array[Byte]]]()
+      // chart drawings resolve to DATA tables (parseChart); a chart
+      // consumes its drawing's picture slot and emits after the
+      // paragraph's text (or after the enclosing table, like cell pics)
+      val paraCharts = ArrayBuffer[TableElement]()
+      val tblCharts = ArrayBuffer[TableElement]()
       var paraIsListItem = false
       var inNumPr = false
       var paraNumId: Option[String] = None
@@ -421,9 +504,11 @@ object OoxmlParsers {
             items += el
           }
         }
-        if (paraPics.nonEmpty) flushPendingList()
+        if (paraPics.nonEmpty || paraCharts.nonEmpty) flushPendingList()
         paraPics.foreach(m => items += PictureElement(rawMedia = m))
         paraPics.clear()
+        paraCharts.foreach(items += _)
+        paraCharts.clear()
         paraStyle = None
         paraIsListItem = false
         paraNumId = None
@@ -465,6 +550,21 @@ object OoxmlParsers {
                 for (id <- attr(r, "id"); m <- media(id)) {
                   val buf = if (tblDepth == 0) paraPics else tblPics
                   if (buf.nonEmpty) buf(buf.length - 1) = Some(m)
+                }
+              // a chart graphic inside the current drawing: resolve the
+              // chart part and replace the drawing's picture slot with
+              // its data table
+              case "chart" =>
+                for (id <- attr(r, "id"); tbl <- charts(id)) {
+                  if (tblDepth == 0) {
+                    if (paraPics.nonEmpty && paraPics.last.isEmpty)
+                      paraPics.remove(paraPics.length - 1)
+                    paraCharts += tbl
+                  } else {
+                    if (tblPics.nonEmpty && tblPics.last.isEmpty)
+                      tblPics.remove(tblPics.length - 1)
+                    tblCharts += tbl
+                  }
                 }
               case "hyperlink" if tblDepth == 0 =>
                 hyperStart = paraSegs.length
@@ -511,9 +611,11 @@ object OoxmlParsers {
                 if (tblDepth == 0) {
                   tableFromSpanned(tableRows.map(_.toSeq).toSeq).foreach(items += _)
                   tableRows.clear()
-                  // cell pictures follow their table in document order
+                  // cell pictures/charts follow their table in document order
                   tblPics.foreach(m => items += PictureElement(rawMedia = m))
                   tblPics.clear()
+                  tblCharts.foreach(items += _)
+                  tblCharts.clear()
                 }
               case _ => ()
             }
@@ -546,7 +648,8 @@ object OoxmlParsers {
       val parts = zipEntries(bytes, n =>
         SlideName.pattern.matcher(n).matches() ||
           SlideRels.pattern.matcher(n).matches() ||
-          n.startsWith("ppt/media/") || n.startsWith("ppt/notesSlides/"))
+          n.startsWith("ppt/media/") || n.startsWith("ppt/notesSlides/") ||
+          n.startsWith("ppt/charts/"))
       val slides = parts.filter { case (n, _) => SlideName.pattern.matcher(n).matches() }
       if (slides.isEmpty) return Left("Invalid PPTX: no ppt/slides/*.xml parts")
       val ordered = slides.toSeq
@@ -561,7 +664,10 @@ object OoxmlParsers {
         val notes = rels.filter(_.relType.endsWith("/notesSlide"))
           .flatMap(rel => parts.get(resolveTarget("ppt/slides", rel.target)))
           .flatMap(parseNotesXml)
-        parseSlideXml(xml, media, relTarget.get) ++ notes
+        val charts: String => Option[TableElement] =
+          id => relTarget.get(id).flatMap(t => parts.get(resolveTarget("ppt/slides", t)))
+            .flatMap(parseChart)
+        parseSlideXml(xml, media, relTarget.get, charts) ++ notes
       }))
       catch { case e: Exception => Left(s"Invalid PPTX: ${e.getMessage}") }
     }
@@ -603,7 +709,8 @@ object OoxmlParsers {
 
     private def parseSlideXml(xml: Array[Byte],
                               media: String => Option[Array[Byte]],
-                              linkTarget: String => Option[String]): Seq[Element] = {
+                              linkTarget: String => Option[String],
+                              charts: String => Option[TableElement] = _ => None): Seq[Element] = {
       val r = newReader(xml)
       val items = ArrayBuffer[Element]()
 
@@ -669,6 +776,11 @@ object OoxmlParsers {
                 inPic = true
                 picIdx = items.length
                 items += PictureElement()
+              // a chart graphicFrame: the chart part's cached data emits
+              // as a table in slide order
+              case "chart" =>
+                for (id <- attr(r, "id"); tbl <- charts(id))
+                  items += tbl
               case "blip" if inPic =>
                 for (id <- attr(r, "embed"); m <- media(id))
                   if (picIdx >= 0 && picIdx < items.length)

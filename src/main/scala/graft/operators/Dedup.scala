@@ -42,12 +42,22 @@ object Dedup {
 
   /** [[jaccardPairs]] over an arbitrary `(doc_id, text)` frame — public so
     * specs can stress the [[MaxShingleDf]] skew defense on synthetic
-    * corpora (e.g. one boilerplate shingle in 90% of docs). */
+    * corpora (e.g. one boilerplate shingle in 90% of docs).
+    *
+    * Shingles are xxhash64'd to longs right after generation (codegen'd
+    * projection), so every downstream shuffle — hot-key df count, the
+    * inverted-index groupBy, postings — moves 8-byte keys instead of
+    * ~20-40-byte strings. Jaccard only needs set cardinalities, so the
+    * result is identical absent a 64-bit collision (birthday bound at
+    * even 10^12 distinct shingles perturbs counts by ~1e-8 relative —
+    * the standard large-scale dedup tradeoff). */
   def jaccardPairsOn(s: org.apache.spark.sql.SparkSession,
                      docs: org.apache.spark.sql.DataFrame,
                      threshold: Double = 0.05): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val sh0 = Shingles.pairs(s, docs).persist()
+    val sh0 = Shingles.pairs(s, docs)
+      .select($"doc_id", xxhash64($"shingle").as("shingle"))
+      .persist()
     val hot = sh0.groupBy($"shingle").agg(count(lit(1)).as("df"))
       .filter($"df" > MaxShingleDf).select($"shingle")
     val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
@@ -242,7 +252,12 @@ object Dedup {
       (s, dir) => {
         import s.implicits._
         val docs = Tables(s, dir, "documents")
-        val grams = Shingles.pairsN(s, docs, 8).persist()
+        // 8-gram strings are ~50+ bytes; hash to longs before any shuffle
+        // or broadcast (same collision rationale as jaccardPairsOn — the
+        // contamination count only needs set membership)
+        val grams = Shingles.pairsN(s, docs, 8)
+          .select($"doc_id", xxhash64($"shingle").as("shingle"))
+          .persist()
         val evalGrams = grams.filter($"doc_id" % 7 === 0).select($"shingle").distinct()
         val hits = grams.filter($"doc_id" % 7 =!= 0)
           .join(broadcast(evalGrams), Seq("shingle"), "left_semi")

@@ -239,6 +239,64 @@ class OoxmlParsersSpec extends AnyFunSuite {
     assert(r.markdown == "# Hand-built heading\n\nBody.")
   }
 
+  private val C = "http://schemas.openxmlformats.org/drawingml/2006/chart"
+
+  private def chartXml(series: Seq[(String, Seq[String], Seq[String])]): String = {
+    val sers = series.map { case (name, cats, vals) =>
+      s"""<c:ser>
+         |<c:tx><c:strRef><c:f>Sheet1!B1</c:f><c:strCache><c:pt idx="0"><c:v>$name</c:v></c:pt></c:strCache></c:strRef></c:tx>
+         |<c:cat><c:strRef><c:f>Sheet1!A2:A9</c:f><c:strCache>${cats.zipWithIndex.map { case (c, i) => s"""<c:pt idx="$i"><c:v>$c</c:v></c:pt>""" }.mkString}</c:strCache></c:strRef></c:cat>
+         |<c:val><c:numRef><c:f>Sheet1!B2:B9</c:f><c:numCache>${vals.zipWithIndex.map { case (v, i) => s"""<c:pt idx="$i"><c:v>$v</c:v></c:pt>""" }.mkString}</c:numCache></c:numRef></c:val>
+         |</c:ser>""".stripMargin
+    }.mkString
+    s"""<?xml version="1.0"?><c:chartSpace xmlns:c="$C"><c:chart><c:plotArea>
+       |<c:barChart>$sers</c:barChart></c:plotArea></c:chart></c:chartSpace>""".stripMargin
+  }
+
+  test("docx: an embedded chart emits its cached data as a table, not a picture") {
+    val body = wp("Results:") +
+      """<w:p><w:r><w:drawing><a:graphicData uri="chart" xmlns:a="y">""" +
+      """<c:chart r:id="rC" xmlns:c="z" xmlns:r="x"/></a:graphicData></w:drawing></w:r></w:p>""" +
+      wp("Done.")
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "word/document.xml" ->
+        s"""<?xml version="1.0"?><w:document xmlns:w="$W"><w:body>$body</w:body></w:document>""",
+      "word/_rels/document.xml.rels" ->
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rC" Type="t" Target="charts/chart1.xml"/>
+          |</Relationships>""".stripMargin,
+      "word/charts/chart1.xml" -> chartXml(Seq(
+        ("Revenue", Seq("Q1", "Q2"), Seq("10", "20")),
+        ("Cost", Seq("Q1", "Q2"), Seq("4", "6")))))
+    val r = convertOne("chart.docx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown ==
+      "Results:\n\n|  | Revenue | Cost |\n|---|---|---|\n| Q1 | 10 | 4 |\n| Q2 | 20 | 6 |\n\nDone.")
+    assert(r.images.isEmpty, "the chart drawing must not fall back to a placeholder picture")
+  }
+
+  test("pptx: a chart graphicFrame emits its data table in slide order") {
+    val frame =
+      """<p:graphicFrame><a:graphic><a:graphicData uri="chart">""" +
+        """<c:chart r:id="rC" xmlns:c="z" xmlns:r="x"/></a:graphicData></a:graphic></p:graphicFrame>"""
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "ppt/presentation.xml" -> "<p/>",
+      "ppt/slides/slide1.xml" -> slide(sp("Numbers", title = true) + frame),
+      "ppt/slides/_rels/slide1.xml.rels" ->
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rC" Type="t" Target="../charts/chart1.xml"/>
+          |</Relationships>""".stripMargin,
+      "ppt/charts/chart1.xml" -> chartXml(Seq(("Units", Seq("A", "B"), Seq("7", "9")))))
+    val r = convertOne("chartdeck.pptx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown ==
+      "# Numbers\n\n|  | Units |\n|---|---|\n| A | 7 |\n| B | 9 |")
+  }
+
   test("docx: hyperlinks resolve through the rels part to markdown links") {
     val body =
       """<w:p><w:r><w:t>Visit </w:t></w:r>""" +
