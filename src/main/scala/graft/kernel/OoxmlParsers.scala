@@ -230,6 +230,39 @@ object OoxmlParsers {
     }
   }
 
+  /** SmartArt diagram data part (`word/diagrams/dataN.xml` /
+    * `ppt/diagrams/…`) → its node texts as a bullet list. The data model
+    * (`dgm:dataModel/dgm:ptLst`) carries every node's text inline — like
+    * charts, SmartArt is fully recoverable without rendering. Each
+    * `dgm:t` block (one per diagram node) concatenates its `a:t` runs
+    * into one list item, in ptLst document order; transition points
+    * (`parTrans`/`sibTrans`) have empty text and drop out with the
+    * nonEmpty filter. Both `dgm:t` and `a:t` have localName "t", so the
+    * two are split by namespace URI. Returns None for textless parts. */
+  private val DgmNs = "http://schemas.openxmlformats.org/drawingml/2006/diagram"
+
+  private[kernel] def parseDiagram(xml: Array[Byte]): Option[ListElement] = {
+    val r = newReader(xml)
+    val items = ArrayBuffer[String]()
+    var inDgmT = false
+    val buf = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "t" =>
+          if (r.getNamespaceURI == DgmNs) { inDgmT = true; buf.clear() }
+          else if (inDgmT) buf ++= r.getElementText
+        case XMLStreamConstants.END_ELEMENT
+          if r.getLocalName == "t" && r.getNamespaceURI == DgmNs =>
+          val t = buf.toString.trim
+          if (t.nonEmpty) items += t
+          inDgmT = false
+        case _ => ()
+      }
+    }
+    r.close()
+    if (items.isEmpty) None else Some(ListElement(items.toSeq))
+  }
+
   private val HeadingStyle = "Heading(\\d)".r
 
   /** w:numFmt values that render as ordered (`1. 2. 3.`) markdown lists;
@@ -252,7 +285,7 @@ object OoxmlParsers {
       val parts = zipEntries(bytes,
         n => n == "word/document.xml" || n == RelsPart || n == NumberingPart ||
           n == FootnotesPart || n.startsWith("word/media/") ||
-          n.startsWith("word/charts/") ||
+          n.startsWith("word/charts/") || n.startsWith("word/diagrams/") ||
           n.startsWith("word/header") || n.startsWith("word/footer") ||
           n.startsWith("word/_rels/header") || n.startsWith("word/_rels/footer"))
       parts.get("word/document.xml") match {
@@ -270,7 +303,11 @@ object OoxmlParsers {
             val charts: String => Option[TableElement] =
               id => relTarget.get(id).flatMap(t => parts.get(resolveTarget("word", t)))
                 .flatMap(parseChart)
-            val body = parseDocumentXml(xml, relTarget, numbering, media, footnotes, charts)
+            val diagrams: String => Option[ListElement] =
+              id => relTarget.get(id).flatMap(t => parts.get(resolveTarget("word", t)))
+                .flatMap(parseDiagram)
+            val body = parseDocumentXml(xml, relTarget, numbering, media, footnotes,
+              charts, diagrams)
             // default header paragraphs lead the document, default footer
             // paragraphs trail it (Word renders them on every page; a
             // linear markdown export keeps one copy each, like a text
@@ -289,7 +326,11 @@ object OoxmlParsers {
                   val pcharts: String => Option[TableElement] =
                     id => prelTarget.get(id).flatMap(t2 => parts.get(resolveTarget("word", t2)))
                       .flatMap(parseChart)
-                  parseDocumentXml(pxml, prelTarget, numbering, pmedia, Map.empty, pcharts)
+                  val pdiagrams: String => Option[ListElement] =
+                    id => prelTarget.get(id).flatMap(t2 => parts.get(resolveTarget("word", t2)))
+                      .flatMap(parseDiagram)
+                  parseDocumentXml(pxml, prelTarget, numbering, pmedia, Map.empty,
+                    pcharts, pdiagrams)
                 }
               }
             val header = hdrIds.flatMap(partItems)
@@ -401,7 +442,8 @@ object OoxmlParsers {
                                  numbering: Map[(String, String), String],
                                  media: String => Option[Array[Byte]],
                                  footnotes: Map[String, String],
-                                 charts: String => Option[TableElement] = _ => None): Seq[Element] = {
+                                 charts: String => Option[TableElement] = _ => None,
+                                 diagrams: String => Option[ListElement] = _ => None): Seq[Element] = {
       val r = newReader(xml)
       val items = ArrayBuffer[Element]()
       // footnote id → 1-based number, in first-reference order (Word
@@ -432,11 +474,12 @@ object OoxmlParsers {
       // pictures seen inside the current depth-1 table's cells — the cell
       // grid is text-only, so these emit right after the TableElement
       val tblPics = ArrayBuffer[Option[Array[Byte]]]()
-      // chart drawings resolve to DATA tables (parseChart); a chart
-      // consumes its drawing's picture slot and emits after the
-      // paragraph's text (or after the enclosing table, like cell pics)
-      val paraCharts = ArrayBuffer[TableElement]()
-      val tblCharts = ArrayBuffer[TableElement]()
+      // chart drawings resolve to DATA tables (parseChart) and SmartArt
+      // drawings to node-text lists (parseDiagram); both consume their
+      // drawing's picture slot and emit after the paragraph's text (or
+      // after the enclosing table, like cell pics)
+      val paraCharts = ArrayBuffer[Element]()
+      val tblCharts = ArrayBuffer[Element]()
       var paraIsListItem = false
       var inNumPr = false
       var paraNumId: Option[String] = None
@@ -566,6 +609,21 @@ object OoxmlParsers {
                     tblCharts += tbl
                   }
                 }
+              // a SmartArt graphic inside the current drawing: dgm:relIds
+              // r:dm names the diagram DATA part; its node texts replace
+              // the drawing's picture slot as a bullet list
+              case "relIds" =>
+                for (id <- attr(r, "dm"); lst <- diagrams(id)) {
+                  if (tblDepth == 0) {
+                    if (paraPics.nonEmpty && paraPics.last.isEmpty)
+                      paraPics.remove(paraPics.length - 1)
+                    paraCharts += lst
+                  } else {
+                    if (tblPics.nonEmpty && tblPics.last.isEmpty)
+                      tblPics.remove(tblPics.length - 1)
+                    tblCharts += lst
+                  }
+                }
               case "hyperlink" if tblDepth == 0 =>
                 hyperStart = paraSegs.length
                 hyperHref = attr(r, "id").flatMap(rels.get)
@@ -649,7 +707,7 @@ object OoxmlParsers {
         SlideName.pattern.matcher(n).matches() ||
           SlideRels.pattern.matcher(n).matches() ||
           n.startsWith("ppt/media/") || n.startsWith("ppt/notesSlides/") ||
-          n.startsWith("ppt/charts/"))
+          n.startsWith("ppt/charts/") || n.startsWith("ppt/diagrams/"))
       val slides = parts.filter { case (n, _) => SlideName.pattern.matcher(n).matches() }
       if (slides.isEmpty) return Left("Invalid PPTX: no ppt/slides/*.xml parts")
       val ordered = slides.toSeq
@@ -667,7 +725,10 @@ object OoxmlParsers {
         val charts: String => Option[TableElement] =
           id => relTarget.get(id).flatMap(t => parts.get(resolveTarget("ppt/slides", t)))
             .flatMap(parseChart)
-        parseSlideXml(xml, media, relTarget.get, charts) ++ notes
+        val diagrams: String => Option[ListElement] =
+          id => relTarget.get(id).flatMap(t => parts.get(resolveTarget("ppt/slides", t)))
+            .flatMap(parseDiagram)
+        parseSlideXml(xml, media, relTarget.get, charts, diagrams) ++ notes
       }))
       catch { case e: Exception => Left(s"Invalid PPTX: ${e.getMessage}") }
     }
@@ -710,7 +771,8 @@ object OoxmlParsers {
     private def parseSlideXml(xml: Array[Byte],
                               media: String => Option[Array[Byte]],
                               linkTarget: String => Option[String],
-                              charts: String => Option[TableElement] = _ => None): Seq[Element] = {
+                              charts: String => Option[TableElement] = _ => None,
+                              diagrams: String => Option[ListElement] = _ => None): Seq[Element] = {
       val r = newReader(xml)
       val items = ArrayBuffer[Element]()
 
@@ -781,6 +843,11 @@ object OoxmlParsers {
               case "chart" =>
                 for (id <- attr(r, "id"); tbl <- charts(id))
                   items += tbl
+              // a SmartArt graphicFrame: the diagram part's node texts
+              // emit as a bullet list in slide order
+              case "relIds" =>
+                for (id <- attr(r, "dm"); lst <- diagrams(id))
+                  items += lst
               case "blip" if inPic =>
                 for (id <- attr(r, "embed"); m <- media(id))
                   if (picIdx >= 0 && picIdx < items.length)

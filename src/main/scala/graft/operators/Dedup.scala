@@ -408,8 +408,60 @@ object Dedup {
           UNION
           SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id)
         SELECT id AS vec_id, MIN(r) AS cluster_id
-        FROM reach GROUP BY id ORDER BY vec_id"""))
+        FROM reach GROUP BY id ORDER BY vec_id""")),
+
+    // ----------------------------------------------------------------- d9
+    // Passage-level exact dedup (the "repeated substring" pass real
+    // pipelines run between doc-level d1 and fuzzy d2/d4: find verbatim
+    // k-word runs shared across documents — boilerplate, license blocks,
+    // templated headers). Docs chunk into consecutive 10-word passages
+    // (narrow transform, no shuffle); the ONLY shuffle key is the
+    // fixed-width md5 digest of the passage, never the passage text, so
+    // shuffle bytes stay constant as passages grow. Map-side partial
+    // aggregation collapses within-partition repeats before the exchange;
+    // the n_docs>1 filter runs post-agg (it is the HAVING statistic).
+    // At 100 TB this is the standard first stage of substring dedup —
+    // linear scan, one digest-keyed exchange, output ≪ input.
+    QuerySpec(
+      "d9_passage_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val words = Tables(s, dir, "documents")
+          .filter($"text".isNotNull)
+          .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
+          .filter(size($"ws") >= PassageLen)
+        val passages = words.select($"doc_id", explode(expr(
+          s"transform(sequence(0, size(ws) div $PassageLen - 1), " +
+            s"i -> array_join(slice(ws, i * $PassageLen + 1, $PassageLen), ' '))"))
+          .as("passage"))
+        passages
+          .groupBy(md5($"passage").as("passage_hash"))
+          .agg(
+            countDistinct($"doc_id").as("n_docs"),
+            count(lit(1)).as("n_occurrences"),
+            min($"doc_id").as("first_doc"))
+          .filter($"n_docs" > 1)
+          .orderBy($"passage_hash")
+      },
+      Some(raw"""
+        WITH w AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 10),
+        p AS (
+          SELECT doc_id, array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS passage
+          FROM f, UNNEST(generate_series(0, CAST(len(ws)//10 AS INT) - 1)) AS t(i))
+        SELECT md5(passage) AS passage_hash,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occurrences,
+               MIN(doc_id) AS first_doc
+        FROM p GROUP BY passage HAVING COUNT(DISTINCT doc_id) > 1
+        ORDER BY passage_hash"""))
   )
+
+  /** d9's passage width (words per chunk). 10 words ≈ the shortest run a
+    * substring-dedup pass treats as meaningful boilerplate. */
+  private val PassageLen = 10
 
   /** d5's pair computation (distributed block-pair exact cosine, see the
     * d5 scaladoc above), shared with d8's cluster step: returns

@@ -3,10 +3,13 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 
 import graft.{Pipeline, QuerySpec, Tables}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** The conversion-kernel plane (SURVEY §2.1 O1/O5/O6/O9/O13/O15/O16) as an
-  * oracle-checked query, so the kernel gets a CORRECTNESS row like every
+import graft.kernel.ConvertKernel.ConversionConfig
+
+/** The conversion-kernel plane (SURVEY §2.1 O1/O5/O6/O9/O13/O15/O16) as
+  * oracle-checked queries, so the kernel gets CORRECTNESS rows like every
   * operator plane (reference trace: §3.1 / route.py:38-59 batch convert).
   *
   * The staging corpus is synthesized deterministically from the
@@ -15,9 +18,9 @@ import org.apache.spark.sql.functions._
   * (md / csv / html-with-image) plus an unsupported-extension slice that
   * must surface through the error channel. Because the construction is
   * pure, the DuckDB oracle recomputes the EXPECTED conversion output
-  * (markdown length, spliced image count, error text) from the same
-  * `documents` rows without running any converter — the same fixture
-  * pattern m1–m4 use for binary payloads.
+  * (markdown length, spliced image count, element-kind counts, error
+  * text) from the same `documents` rows without running any converter —
+  * the same fixture pattern m1–m4 use for binary payloads.
   *
   * Scale shape: the corpus write is a `foreachPartition` (each executor
   * writes its own partition's files — on a cluster this is a shared
@@ -50,43 +53,48 @@ object KernelQueries {
     (name, text.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Stage the deterministic corpus for `dir` (write-once per sf dir: a
+    * sibling marker records the doc count; count drift rebuilds from
+    * scratch), shared by k1/k2 — re-running a kernel query then only pays
+    * the convert plan, not thousands of file creates. Returns the staging
+    * directory path. */
+  private def stagedCorpus(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val staging = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_k1_" + java.lang.Integer.toHexString(dir.hashCode))
+    val stagingPath = staging.getAbsolutePath
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id",
+        length(coalesce($"text", lit(""))).cast("long").as("len"))
+    val nDocs = docs.count()
+    val marker = new java.io.File(stagingPath + ".staged")
+    val upToDate = staging.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == nDocs.toString
+    if (!upToDate) {
+      if (staging.isDirectory)
+        staging.listFiles().foreach(f => { f.delete(); () })
+      staging.mkdirs()
+      docs.as[(Long, Long)]
+        .foreachPartition { (it: Iterator[(Long, Long)]) =>
+          it.foreach { case (id, len) =>
+            val (name, bytes) = fileFor(id, len)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(stagingPath, name), bytes)
+            ()
+          }
+        }
+      java.nio.file.Files.write(marker.toPath, nDocs.toString.getBytes)
+      ()
+    }
+    stagingPath
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "k1_convert_directory",
       (s, dir) => {
         import s.implicits._
-        // staging dir keyed by the sf dir so scale factors don't collide.
-        // The corpus is a pure function of the documents table, so it is
-        // staged ONCE per sf dir (a sibling marker records the doc count;
-        // count drift rebuilds from scratch) — re-running the query then
-        // only pays the convert plan, not thousands of file creates.
-        val staging = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_k1_" + java.lang.Integer.toHexString(dir.hashCode))
-        val stagingPath = staging.getAbsolutePath
-        val docs = Tables(s, dir, "documents")
-          .select($"doc_id",
-            length(coalesce($"text", lit(""))).cast("long").as("len"))
-        val nDocs = docs.count()
-        val marker = new java.io.File(stagingPath + ".staged")
-        val upToDate = staging.isDirectory && marker.isFile &&
-          new String(java.nio.file.Files.readAllBytes(marker.toPath)) == nDocs.toString
-        if (!upToDate) {
-          if (staging.isDirectory)
-            staging.listFiles().foreach(f => { f.delete(); () })
-          staging.mkdirs()
-          docs.as[(Long, Long)]
-            .foreachPartition { (it: Iterator[(Long, Long)]) =>
-              it.foreach { case (id, len) =>
-                val (name, bytes) = fileFor(id, len)
-                java.nio.file.Files.write(
-                  java.nio.file.Paths.get(stagingPath, name), bytes)
-                ()
-              }
-            }
-          java.nio.file.Files.write(marker.toPath, nDocs.toString.getBytes)
-          ()
-        }
-        Pipeline.convertDirectory(s, stagingPath)
+        Pipeline.convertDirectory(s, stagedCorpus(s, dir))
           .select(
             regexp_extract($"filename", "(\\d+)", 1).cast("long").as("doc_id"),
             $"filename",
@@ -120,6 +128,63 @@ object KernelQueries {
           CASE WHEN doc_id % 10 = 7
                THEN 'Unsupported file format: doc' || CAST(doc_id AS VARCHAR) || '.xyz'
           END AS error
-        FROM d ORDER BY doc_id"""))
+        FROM d ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------ k2
+    // The OutputFormat surface (O14) under the oracle: convert the same
+    // staged corpus with the structural-JSON serializer, then RE-INGEST
+    // the kernel's output with a declared schema (`from_json` +
+    // ArrayType(StructType)) and count elements per kind — the downstream
+    // half of a document pipeline (kernel emits structure, engine queries
+    // it relationally). Error rows carry NULL counts: from_json(NULL) is
+    // NULL and the counts inherit it, mirroring the oracle's CASE. Same
+    // scan/kernel plan as k1 — zero shuffles before the final sort; the
+    // per-kind counts are per-row HOF filters over a ≤4-element array.
+    QuerySpec(
+      "k2_json_elements",
+      (s, dir) => {
+        import s.implicits._
+        val kinds = from_json($"markdown",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("name",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("items",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("kind",
+                    org.apache.spark.sql.types.StringType)))))))
+        ).getField("items").getField("kind")
+        def n(kind: String) =
+          size(filter(col("kinds"), k => k === kind)).cast("long")
+        Pipeline.convertDirectory(s, stagedCorpus(s, dir),
+            ConversionConfig(outputFormat = "json"))
+          .withColumn("kinds", kinds)
+          .select(
+            regexp_extract($"filename", "(\\d+)", 1).cast("long").as("doc_id"),
+            $"filename",
+            n("heading").as("n_heading"),
+            n("text").as("n_text"),
+            n("table").as("n_table"),
+            n("picture").as("n_picture"),
+            $"error")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 7 THEN 'doc' || CAST(doc_id AS VARCHAR) || '.xyz'
+               ELSE 'doc' || CAST(doc_id AS VARCHAR) END AS filename,
+          CAST(CASE WHEN doc_id % 10 = 7 THEN NULL
+               WHEN doc_id % 3 = 1 THEN 0 ELSE 1 END AS BIGINT) AS n_heading,
+          CAST(CASE WHEN doc_id % 10 = 7 THEN NULL
+               WHEN doc_id % 3 = 0 THEN 1
+               WHEN doc_id % 3 = 1 THEN 0 ELSE 2 END AS BIGINT) AS n_text,
+          CAST(CASE WHEN doc_id % 10 = 7 THEN NULL
+               WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_table,
+          CAST(CASE WHEN doc_id % 10 = 7 THEN NULL
+               WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_picture,
+          CASE WHEN doc_id % 10 = 7
+               THEN 'Unsupported file format: doc' || CAST(doc_id AS VARCHAR) || '.xyz'
+          END AS error
+        FROM documents ORDER BY doc_id"""))
   )
 }

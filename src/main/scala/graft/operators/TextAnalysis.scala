@@ -514,6 +514,72 @@ object TextAnalysis {
                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
           FROM sc)
         SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, ROUND(score, 6) AS score
-        FROM r WHERE rk <= 3 AND doc_id < 100 ORDER BY doc_id, rk"""))
+        FROM r WHERE rk <= 3 AND doc_id < 100 ORDER BY doc_id, rk""")),
+
+    // ---------------------------------------------------------------- t13
+    // PII detection + redaction (the Dolma/CCNet pre-training scrub:
+    // emails, IPv4 addresses, phone numbers → typed markers, with per-doc
+    // hit counts kept for filtering stats). The corpus has no PII, so the
+    // raw column is augmented deterministically from doc_id — the same
+    // synthesized-fixture pattern m1–m4/k1 use — and the DuckDB oracle
+    // recomputes the identical augmentation, counts, and scrubbed
+    // fingerprint. Patterns stay in the RE2∩java.util.regex common
+    // dialect (character classes, bounded repeats, \b) so both engines
+    // agree byte-for-byte. Pure regexp_count/regexp_replace: codegen'd
+    // single scan, zero shuffles before the final sort — the 100 TB scrub
+    // is embarrassingly parallel and this plan already is.
+    QuerySpec(
+      "t13_pii_scrub",
+      (s, dir) => {
+        import s.implicits._
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phoneRe = "\\+\\d-\\d{3}-\\d{4}"
+        val raw = concat(
+          coalesce($"text", lit("")), lit(" contact user"),
+          $"doc_id".cast("string"), lit("@mail"),
+          ($"doc_id" % 7).cast("string"), lit(".example.com from 10."),
+          ($"doc_id" % 200).cast("string"), lit(".0."),
+          ($"doc_id" % 250).cast("string"), lit(" call +1-555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+        Tables(s, dir, "documents")
+          .select($"doc_id", raw.as("raw"))
+          .withColumn("scrubbed",
+            regexp_replace(regexp_replace(regexp_replace($"raw",
+              lit(emailRe), lit("<EMAIL>")),
+              lit(ipRe), lit("<IP>")),
+              lit(phoneRe), lit("<PHONE>")))
+          .select(
+            $"doc_id",
+            regexp_count($"raw", lit(emailRe)).cast("long").as("n_emails"),
+            regexp_count($"raw", lit(ipRe)).cast("long").as("n_ips"),
+            regexp_count($"raw", lit(phoneRe)).cast("long").as("n_phones"),
+            length($"scrubbed").cast("long").as("scrub_len"),
+            md5($"scrubbed").as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH aug AS (
+          SELECT doc_id,
+            coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR) ||
+            '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com from 10.' ||
+            CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ||
+            ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+          FROM documents),
+        s AS (
+          SELECT doc_id, raw,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+              '\+\d-\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed
+          FROM aug)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+          CAST(len(regexp_extract_all(raw, '\+\d-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+          CAST(length(scrubbed) AS BIGINT) AS scrub_len,
+          md5(scrubbed) AS fp
+        FROM s ORDER BY doc_id"""))
   )
 }

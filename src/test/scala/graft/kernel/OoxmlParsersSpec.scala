@@ -297,6 +297,69 @@ class OoxmlParsersSpec extends AnyFunSuite {
       "# Numbers\n\n|  | Units |\n|---|---|\n| A | 7 |\n| B | 9 |")
   }
 
+  private val Dgm = "http://schemas.openxmlformats.org/drawingml/2006/diagram"
+
+  private def diagramXml(nodes: Seq[String]): String = {
+    val pts = nodes.zipWithIndex.map { case (t, i) =>
+      s"""<dgm:pt modelId="n$i"><dgm:t><a:bodyPr/><a:p><a:r><a:t>$t</a:t></a:r></a:p></dgm:t></dgm:pt>"""
+    }.mkString
+    s"""<?xml version="1.0"?><dgm:dataModel xmlns:dgm="$Dgm" xmlns:a="$A">
+       |<dgm:ptLst><dgm:pt modelId="doc" type="doc"/>$pts
+       |<dgm:pt modelId="tr" type="parTrans"><dgm:t><a:p><a:r><a:t> </a:t></a:r></a:p></dgm:t></dgm:pt>
+       |</dgm:ptLst></dgm:dataModel>""".stripMargin
+  }
+
+  test("docx: a SmartArt drawing emits its node texts as a bullet list") {
+    val body = wp("Process:") +
+      """<w:p><w:r><w:drawing><a:graphicData uri="diagram" xmlns:a="y">""" +
+      """<dgm:relIds r:dm="rD" xmlns:dgm="z" xmlns:r="x"/></a:graphicData></w:drawing></w:r></w:p>""" +
+      wp("Done.")
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "word/document.xml" ->
+        s"""<?xml version="1.0"?><w:document xmlns:w="$W"><w:body>$body</w:body></w:document>""",
+      "word/_rels/document.xml.rels" ->
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rD" Type="t" Target="diagrams/data1.xml"/>
+          |</Relationships>""".stripMargin,
+      "word/diagrams/data1.xml" -> diagramXml(Seq("Plan", "Build", "Ship")))
+    val r = convertOne("smartart.docx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "Process:\n\n- Plan\n- Build\n- Ship\n\nDone.")
+    assert(r.images.isEmpty, "the SmartArt drawing must not fall back to a placeholder picture")
+  }
+
+  test("pptx: a SmartArt graphicFrame emits its node texts in slide order") {
+    val frame =
+      """<p:graphicFrame><a:graphic><a:graphicData uri="diagram">""" +
+        """<dgm:relIds r:dm="rD" xmlns:dgm="z" xmlns:r="x"/></a:graphicData></a:graphic></p:graphicFrame>"""
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "ppt/presentation.xml" -> "<p/>",
+      "ppt/slides/slide1.xml" -> slide(sp("Roadmap", title = true) + frame),
+      "ppt/slides/_rels/slide1.xml.rels" ->
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rD" Type="t" Target="../diagrams/data1.xml"/>
+          |</Relationships>""".stripMargin,
+      "ppt/diagrams/data1.xml" -> diagramXml(Seq("Now", "Next")))
+    val r = convertOne("smartdeck.pptx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "# Roadmap\n\n- Now\n- Next")
+  }
+
+  test("diagram node text concatenates split runs and skips textless points") {
+    val xml = (s"""<?xml version="1.0"?><dgm:dataModel xmlns:dgm="$Dgm" xmlns:a="$A">""" +
+      """<dgm:ptLst><dgm:pt modelId="doc" type="doc"/>""" +
+      """<dgm:pt modelId="1"><dgm:t><a:p><a:r><a:t>Two </a:t></a:r><a:r><a:t>runs</a:t></a:r></a:p></dgm:t></dgm:pt>""" +
+      """<dgm:pt modelId="2"><dgm:t><a:bodyPr/></dgm:t></dgm:pt>""" +
+      """</dgm:ptLst></dgm:dataModel>""").getBytes(StandardCharsets.UTF_8)
+    assert(OoxmlParsers.parseDiagram(xml).map(_.items) == Some(Seq("Two runs")))
+    assert(OoxmlParsers.parseDiagram(
+      """<dgm:dataModel xmlns:dgm="z"/>""".replace("z", Dgm).getBytes(StandardCharsets.UTF_8)).isEmpty)
+  }
+
   test("docx: hyperlinks resolve through the rels part to markdown links") {
     val body =
       """<w:p><w:r><w:t>Visit </w:t></w:r>""" +

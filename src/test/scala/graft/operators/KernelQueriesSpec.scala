@@ -47,6 +47,48 @@ class KernelQueriesSpec extends SparkTestBase {
     assert(r.error == "Unsupported file format: doc7.xyz")
   }
 
+  test("k2 element-kind counts match the oracle's CASE table per construction") {
+    import graft.kernel.ConvertKernel.ConversionConfig
+    val cfg = ConversionConfig(outputFormat = "json")
+    // (id, expected (heading, text, table, picture)) per doc_id%3 slice
+    val expect = Seq(42L -> (1, 1, 0, 0), 43L -> (0, 0, 1, 0), 44L -> (1, 2, 0, 1))
+    expect.foreach { case (id, (h, t, tb, p)) =>
+      val (name, bytes) = KernelQueries.fileFor(id, 99L)
+      val r = ConvertKernel.convertOne(name, bytes, cfg, batchMode = true)
+      assert(r.error == null)
+      val kinds = "\"kind\":\"([a-z]+)\"".r
+        .findAllMatchIn(r.markdown).map(_.group(1)).toSeq
+      assert(kinds.count(_ == "heading") == h, s"doc$id headings in ${r.markdown}")
+      assert(kinds.count(_ == "text") == t, s"doc$id texts in ${r.markdown}")
+      assert(kinds.count(_ == "table") == tb, s"doc$id tables in ${r.markdown}")
+      assert(kinds.count(_ == "picture") == p, s"doc$id pictures in ${r.markdown}")
+    }
+  }
+
+  test("k2 runs end-to-end: from_json re-ingestion yields the per-slice counts") {
+    val df = graft.SparkEntry.queries("k2_json_elements")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(df.columns.toSeq == Seq(
+      "doc_id", "filename", "n_heading", "n_text", "n_table", "n_picture", "error"))
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 10 == 7) {
+        assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5),
+          s"error row $id must carry NULL counts")
+        assert(!r.isNullAt(6))
+      } else {
+        val expected = (id % 3) match {
+          case 0 => (1L, 1L, 0L, 0L)
+          case 1 => (0L, 0L, 1L, 0L)
+          case _ => (1L, 2L, 0L, 1L)
+        }
+        assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) == expected,
+          s"doc $id counts")
+      }
+    }
+  }
+
   test("k1 runs end-to-end on the fixture corpus") {
     val df = KernelQueries.specs.head.fn(spark, sfDir)
     val rows = df.collect()
