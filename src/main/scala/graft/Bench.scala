@@ -38,6 +38,15 @@ object Bench {
       Tables(spark, sfDir, "lineitem")
         .groupBy("l_returnflag").count()
         .write.format("noop").mode("overwrite").save()
+      // one tiny iterative connected-components pass (3 edges) warms the
+      // join/aggregate/localCheckpoint machinery the cluster queries
+      // (sorted first: d7/d8) otherwise JIT on their own clock — their
+      // measured time should be the algorithm, not first-use warmup
+      import spark.implicits._
+      val warmPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+      operators.Dedup.connectedComponents(spark, warmPairs)._1
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>

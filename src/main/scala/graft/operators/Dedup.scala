@@ -104,17 +104,22 @@ object Dedup {
                           pairs: org.apache.spark.sql.DataFrame,
                           maxRounds: Int = 25): (org.apache.spark.sql.DataFrame, Int) = {
     import s.implicits._
-    val edges0 = pairs.select($"a_id", $"b_id")
-      .union(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
-      .localCheckpoint(true) // truncate the upstream (e.g. jaccardPairs) lineage once
+    // materialize the (possibly expensive) pair computation ONCE before
+    // mirroring: a union of two projections of `pairs` would carry the
+    // full upstream plan in BOTH branches, and exchange reuse does not
+    // cover the stages above the last shuffle (e.g. d2's typed pair-gen
+    // flatMap, d5's block-cosine flatMap) — those would execute twice
+    val p0 = pairs.select($"a_id", $"b_id").localCheckpoint(true)
     // size the iteration's parallelism to the GRAPH, not the session
     // default: a near-dup edge set is orders of magnitude smaller than
     // the corpus, and per-round shuffle overhead scales with partition
     // count (~100k edges per partition, capped at the session setting)
     val defaultPar = s.sparkContext.defaultParallelism
     val parts = math.max(1,
-      math.min(defaultPar, (edges0.count() / 100000L).toInt + 1))
-    val edges = edges0.repartition(parts, $"b_id").localCheckpoint(true)
+      math.min(defaultPar, (p0.count() * 2 / 100000L).toInt + 1))
+    val edges = p0
+      .union(p0.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+      .repartition(parts, $"b_id").localCheckpoint(true)
     var labels = edges.select($"a_id".as("id")).distinct()
       .withColumn("label", $"id").localCheckpoint(true)
     var prevSum = -1L
@@ -456,8 +461,92 @@ object Dedup {
                COUNT(*) AS n_occurrences,
                MIN(doc_id) AS first_doc
         FROM p GROUP BY passage HAVING COUNT(DISTINCT doc_id) > 1
-        ORDER BY passage_hash"""))
+        ORDER BY passage_hash""")),
+
+    // ---------------------------------------------------------------- d10
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    // selection rule): hash every 3-word shingle, then keep only each
+    // sliding window's MINIMUM hash — density 2/(w+1) of all shingles,
+    // with the guarantee that any shared run of >= w+k-1 words shares a
+    // fingerprint. The sub-document dup detector that d9's fixed chunking
+    // misses when duplicates are phase-shifted. Shape: winnow selection
+    // is doc-LOCAL, so hashing AND min-selection both run inside one
+    // typed flatMap — per-position hashes never cross the wire (a window
+    // formulation would shuffle the whole hash stream just to partition
+    // by doc); the only exchange carries each doc's distinct fingerprint
+    // longs, already density-reduced to 2/(w+1). The same polyHash as t5
+    // keeps the oracle bit-identical (31-base fold mod 2^31-1 over ASCII).
+    QuerySpec(
+      "d10_winnowed_dups",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"text".isNotNull)
+          .select($"doc_id", $"text").as[(Long, String)]
+          .flatMap { case (id, text) =>
+            val ws = text.trim.split("\\s+")
+            val nSh = ws.length - 2
+            if (nSh < WinnowWindow) Iterator.empty
+            else {
+              val hs = new Array[Long](nSh)
+              var i = 0
+              while (i < nSh) {
+                hs(i) = TextAnalysis.polyHashJvm(
+                  ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
+                i += 1
+              }
+              val fps = scala.collection.mutable.LinkedHashSet.empty[Long]
+              var j = 0
+              while (j + WinnowWindow <= nSh) {
+                var m = hs(j)
+                var k = j + 1
+                while (k < j + WinnowWindow) {
+                  if (hs(k) < m) m = hs(k); k += 1
+                }
+                fps += m
+                j += 1
+              }
+              fps.iterator.map(fp => (id, fp))
+            }
+          }.toDF("doc_id", "fp")
+          .groupBy($"fp".as("fingerprint"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            min($"doc_id").as("first_doc"))
+          .filter($"n_docs" > 1)
+          .orderBy($"fingerprint")
+      },
+      Some(raw"""
+        WITH w AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        sh AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+          FROM w, UNNEST(generate_series(1, len(ws)-2)) t(i)
+          WHERE len(ws) >= 3),
+        h AS (
+          SELECT doc_id, pos,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(shingle)),
+                     i -> CAST(ascii(substring(shingle, i, 1)) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) AS h
+          FROM sh),
+        f0 AS (
+          SELECT doc_id, pos,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                 MAX(pos) OVER (PARTITION BY doc_id) AS np
+          FROM h),
+        d AS (SELECT DISTINCT doc_id, fp FROM f0 WHERE pos <= np - 3)
+        SELECT fp AS fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS first_doc
+        FROM d GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fingerprint"""))
   )
+
+  /** d10's winnow window (consecutive shingle hashes per min-selection).
+    * w=4 ⇒ fingerprint density 2/(w+1) = 40% of shingles, shared-run
+    * guarantee at w+k-1 = 6 words for 3-word shingles. */
+  private val WinnowWindow = 4
 
   /** d9's passage width (words per chunk). 10 words ≈ the shortest run a
     * substring-dedup pass treats as meaningful boilerplate. */

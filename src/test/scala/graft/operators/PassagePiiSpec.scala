@@ -36,6 +36,33 @@ class PassagePiiSpec extends SparkTestBase {
     assert(expected.nonEmpty, "fixture should contain duplicated passages")
   }
 
+  test("d10 winnowing matches a brute-force local recomputation") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+
+    // local winnowing: 3-word shingle polyhash, min per 4-hash window
+    val fps = docs.flatMap { case (id, text) =>
+      val ws = text.trim.split("\\s+")
+      val hs = (0 until ws.length - 2).map(i =>
+        TextAnalysis.polyHashJvm(ws(i) + " " + ws(i + 1) + " " + ws(i + 2)))
+      hs.sliding(4).filter(_.size == 4).map(w => (id, w.min)).toSeq.distinct
+    }
+    val expected = fps.groupBy(_._2).collect {
+      case (fp, occ) if occ.map(_._1).distinct.size > 1 =>
+        (fp, occ.map(_._1).distinct.size.toLong, occ.map(_._1).min)
+    }.toSeq.sorted
+
+    val got = graft.SparkEntry.queries("d10_winnowed_dups")(spark, sfDir)
+      .collect().map { case Row(fp: Long, nDocs: Long, first: Long) =>
+        (fp, nDocs, first)
+      }.toSeq.sorted
+
+    assert(got == expected, s"got ${got.size} rows, expected ${expected.size}")
+    assert(expected.nonEmpty, "fixture should contain shared winnowed fingerprints")
+  }
+
   test("t13 PII scrub redacts every planted email/ip/phone exactly once") {
     val rows = graft.SparkEntry.queries("t13_pii_scrub")(spark, sfDir).collect()
     assert(rows.nonEmpty)
