@@ -580,7 +580,10 @@ object OoxmlParsers {
                 paraIsListItem = true; inNumPr = true
               case "ilvl" if inNumPr => paraIlvl = attr(r, "val")
               case "numId" if inNumPr => paraNumId = attr(r, "val")
-              case "drawing" | "pict" =>
+              // w:object is the embedded-OLE container (spreadsheet,
+              // equation, …): its v:imagedata preview renders like a
+              // picture, exactly how Word's own export shows the object
+              case "drawing" | "pict" | "object" =>
                 if (tblDepth == 0) paraPics += None else tblPics += None
               // embedded media references inside the current drawing/pict:
               // DrawingML a:blip r:embed, legacy VML v:imagedata r:id

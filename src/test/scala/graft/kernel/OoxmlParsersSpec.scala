@@ -360,6 +360,32 @@ class OoxmlParsersSpec extends AnyFunSuite {
       """<dgm:dataModel xmlns:dgm="z"/>""".replace("z", Dgm).getBytes(StandardCharsets.UTF_8)).isEmpty)
   }
 
+  test("docx: an embedded OLE object emits its preview image as a picture") {
+    val body = wp("Sheet:") +
+      """<w:p><w:r><w:object><v:shape xmlns:v="urn:vml">""" +
+      """<v:imagedata r:id="rI" xmlns:r="x"/></v:shape>""" +
+      """<o:OLEObject Type="Embed" ProgID="Excel.Sheet.12" xmlns:o="urn:o"/>""" +
+      """</w:object></w:r></w:p>"""
+    val png = pngOf(3, 2, 0x336699)
+    val bytes = zipB(
+      "[Content_Types].xml" -> "<Types/>".getBytes(StandardCharsets.UTF_8),
+      "word/document.xml" ->
+        s"""<?xml version="1.0"?><w:document xmlns:w="$W"><w:body>$body</w:body></w:document>"""
+          .getBytes(StandardCharsets.UTF_8),
+      "word/_rels/document.xml.rels" ->
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rI" Type="t" Target="media/image1.png"/>
+          |</Relationships>""".stripMargin.getBytes(StandardCharsets.UTF_8),
+      "word/media/image1.png" -> png)
+    val r = convertOne("ole.docx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "Sheet:\n\npicture-1.png")
+    assert(r.images.map(_.filename) == Seq("picture-1.png"))
+    val img = decodePng(r.images.head.image)
+    assert((img.getWidth, img.getHeight) == (3 * 4, 2 * 4)) // default scale 4
+  }
+
   test("docx: hyperlinks resolve through the rels part to markdown links") {
     val body =
       """<w:p><w:r><w:t>Visit </w:t></w:r>""" +
