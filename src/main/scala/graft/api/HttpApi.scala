@@ -354,6 +354,10 @@ object HttpApi {
             }
             if (batch)
               respond(ex, 200, results.map(conversionResultJson).mkString("[", ",", "]"))
+            else if (results.head.error != null)
+              // O17 sync error escalation (service.py:196-199): a single
+              // sync conversion error is a 500, not an error row
+              detail(ex, 500, results.head.error)
             else respond(ex, 200, conversionResultJson(results.head))
           }
       }

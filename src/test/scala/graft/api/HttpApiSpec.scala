@@ -116,6 +116,23 @@ class HttpApiSpec extends SparkTestBase {
     assert(missing.body().contains("Field 'document' is required"))
   }
 
+  test("sync single escalates conversion errors to 500; batch keeps error rows") {
+    // passes the zip sniff as docx, fails structural parsing
+    val broken = "PKword/document.xml but not a real zip"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val single = post("/documents/convert",
+      multipart(("document", "broken.docx", broken)))
+    assert(single.statusCode() == 500, single.body()) // service.py:196-199
+    assert(single.body().contains("detail"), single.body())
+
+    val batch = post("/documents/batch-convert", multipart(
+      ("documents", "ok.md", "# Fine".getBytes(StandardCharsets.UTF_8)),
+      ("documents", "broken.docx", broken)))
+    assert(batch.statusCode() == 200, batch.body()) // batch: error-as-row
+    assert(batch.body().contains(""""error":"""), batch.body())
+    assert(batch.body().contains(""""markdown":"# Fine""""), batch.body())
+  }
+
   test("async job lifecycle: submit IN_PROGRESS, poll to SUCCESS; unknown id quirk") {
     val sub = post("/conversion-jobs",
       multipart(("document", "job.md", "# Job\n\nAsync.".getBytes(StandardCharsets.UTF_8))))
