@@ -687,6 +687,38 @@ object Relational {
                COUNT(*) AS n_items,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
         FROM lineitem
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- q29
+    // Pivot (long → wide): per-source document counts with one column per
+    // language. The EXPLICIT value list is the point — with declared pivot
+    // values Spark skips the extra values-discovery job and the output
+    // schema is static (the only scalable way to pivot: discovery on a
+    // 100 TB corpus is a full extra aggregation). One hash aggregate,
+    // map-side partials, no shuffle beyond the groupBy.
+    QuerySpec(
+      "q29_lang_pivot",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .groupBy($"source")
+          .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+          .agg(count(lit(1)))
+          .select($"source",
+            coalesce($"de", lit(0L)).as("n_de"),
+            coalesce($"en", lit(0L)).as("n_en"),
+            coalesce($"es", lit(0L)).as("n_es"),
+            coalesce($"fr", lit(0L)).as("n_fr"),
+            coalesce($"zh", lit(0L)).as("n_zh"))
+          .orderBy($"source")
+      },
+      Some("""
+        SELECT source,
+               COUNT(CASE WHEN lang = 'de' THEN 1 END) AS n_de,
+               COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+               COUNT(CASE WHEN lang = 'es' THEN 1 END) AS n_es,
+               COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS n_fr,
+               COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS n_zh
+        FROM documents GROUP BY source ORDER BY source"""))
   )
 }
