@@ -185,6 +185,49 @@ object KernelQueries {
           CASE WHEN doc_id % 10 = 7
                THEN 'Unsupported file format: doc' || CAST(doc_id AS VARCHAR) || '.xyz'
           END AS error
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------ k3
+    // The plain-TEXT serializer under the oracle (k1 covers md, k2 json):
+    // same staged corpus, OutputFormat=text — headings lose their markup,
+    // tables render tab-separated, pictures as "[image]" — and the oracle
+    // recomputes each construction's exact rendered length. With k1/k2
+    // this closes the serializer loop; doctags stays spec-pinned
+    // (OutputSerializersSpec) as the fourth format.
+    QuerySpec(
+      "k3_text_lengths",
+      (s, dir) => {
+        import s.implicits._
+        Pipeline.convertDirectory(s, stagedCorpus(s, dir),
+            ConversionConfig(outputFormat = "text"))
+          .select(
+            regexp_extract($"filename", "(\\d+)", 1).cast("long").as("doc_id"),
+            length($"markdown").cast("long").as("text_len"),
+            $"error")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) AS len
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 7 THEN NULL
+               WHEN doc_id % 3 = 0 THEN CAST(length(
+                 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+                 'This document has ' || CAST(len AS VARCHAR) ||
+                 ' characters of source text.') AS BIGINT)
+               WHEN doc_id % 3 = 1 THEN CAST(length(
+                 'doc_id' || chr(9) || 'chars' || chr(10) ||
+                 CAST(doc_id AS VARCHAR) || chr(9) || CAST(len AS VARCHAR)) AS BIGINT)
+               ELSE CAST(length(
+                 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+                 'Contains ' || CAST(len AS VARCHAR) || ' characters.' ||
+                 chr(10) || chr(10) || '[image]' || chr(10) || chr(10) ||
+                 'End of ' || CAST(doc_id AS VARCHAR) || '.') AS BIGINT)
+          END AS text_len,
+          CASE WHEN doc_id % 10 = 7
+               THEN 'Unsupported file format: doc' || CAST(doc_id AS VARCHAR) || '.xyz'
+          END AS error
+        FROM d ORDER BY doc_id"""))
   )
 }

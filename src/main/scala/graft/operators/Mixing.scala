@@ -19,6 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
+  /** The pipeline's last mile: write a sharded frame as parquet
+    * PARTITIONED by the shard label, with per-file row caps so no shard
+    * degenerates into one giant file. `partitionBy` gives the layout a
+    * trainer's data loader expects (one directory per shard, shard
+    * assignment re-derivable from the path); `maxRecordsPerFile` bounds
+    * file sizes without an extra repartition — together these are the
+    * two knobs that keep a 100 TB write from producing either millions
+    * of tiny files (pure partitionBy on a wide shuffle) or
+    * multi-gigabyte monoliths. A `repartition(shardCol)` before the
+    * write coalesces each shard's rows into one task, so file count =
+    * shards × ceil(rows/maxRecords), not × input partitions. */
+  def writePackedShards(df: org.apache.spark.sql.DataFrame, shardCol: String,
+                        outDir: String, maxRecordsPerFile: Long = 100000L): Unit =
+    df.repartition(col(shardCol))
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(shardCol)
+      .mode("overwrite")
+      .parquet(outDir)
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----------------------------------------------------------------- p1
