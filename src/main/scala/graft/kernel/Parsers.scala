@@ -169,9 +169,12 @@ object Parsers {
       var headingLevel = 0
       val textBuf = new StringBuilder
       var inTable = false
-      var tableRows = ArrayBuffer[ArrayBuffer[String]]()
+      // per cell: (text, colspan, rowspan) — spans parsed off the open tag
+      var tableRows = ArrayBuffer[ArrayBuffer[(String, Int, Int)]]()
       var cellBuf = new StringBuilder
       var inCell = false
+      var cellColspan = 1
+      var cellRowspan = 1
       var listDepth = 0
       var listOrdered = false
       val listItems = ArrayBuffer[(String, Int)]() // (text, nesting level)
@@ -199,19 +202,33 @@ object Parsers {
         listItems.clear()
       }
       def flushCell(): Unit = {
-        if (inCell) { tableRows.last += normalize(cellBuf.toString); cellBuf.clear(); inCell = false }
+        if (inCell) {
+          tableRows.last += ((normalize(cellBuf.toString), cellColspan, cellRowspan))
+          cellBuf.clear(); inCell = false
+        }
       }
+      // HTML grid semantics: each row's cells fill the next free columns,
+      // skipping slots covered by rowspans from rows above — the same
+      // spanned TableCellSpec shape the DOCX/PPTX parsers emit
       def flushTable(): Unit = {
         flushCell()
         val rows = tableRows.filter(_.nonEmpty)
         if (rows.nonEmpty) {
-          val nCols = rows.map(_.length).max
-          val cells = rows.zipWithIndex.flatMap { case (r, ri) =>
-            r.toSeq.padTo(nCols, "").zipWithIndex.map { case (c, ci) =>
-              TableCellSpec(ri, ri + 1, ci, ci + 1, c, columnHeader = ri == 0)
+          val occupied = scala.collection.mutable.Set.empty[(Int, Int)]
+          val specs = ArrayBuffer[TableCellSpec]()
+          var nCols = 0
+          rows.zipWithIndex.foreach { case (r, ri) =>
+            var c = 0
+            r.foreach { case (text, cs, rs) =>
+              while (occupied((ri, c))) c += 1
+              val endRow = math.min(ri + rs, rows.length)
+              for (rr <- ri until endRow; cc <- c until c + cs) occupied += ((rr, cc))
+              specs += TableCellSpec(ri, endRow, c, c + cs, text, columnHeader = ri == 0)
+              c += cs
+              nCols = math.max(nCols, c)
             }
           }
-          items += TableElement(cells.toSeq, rows.length, nCols)
+          items += TableElement(specs.toSeq, rows.length, nCols)
         }
         tableRows = ArrayBuffer(); inTable = false
       }
@@ -273,7 +290,18 @@ object Parsers {
             case "tr" =>
               if (inTable) { flushCell(); if (!isClose) tableRows += ArrayBuffer() }
             case "td" | "th" =>
-              if (inTable) { if (isClose) flushCell() else { flushCell(); inCell = true } }
+              if (inTable) {
+                if (isClose) flushCell()
+                else {
+                  flushCell(); inCell = true
+                  def span(attr: String): Int =
+                    s"""(?i)$attr\\s*=\\s*["']?(\\d+)""".r
+                      .findFirstMatchIn(tok).map(_.group(1).toInt)
+                      .filter(_ >= 1).getOrElse(1)
+                  cellColspan = span("colspan")
+                  cellRowspan = span("rowspan")
+                }
+              }
             case _ => ()
           }
         } else {

@@ -109,6 +109,20 @@ class ConvertKernelSpec extends SparkTestBase {
     assert(r.images.map(_.filename) == Seq("picture-1.png"))
   }
 
+  test("html colspan/rowspan produce spanned cells like the DOCX/PPTX grids") {
+    // B spans two columns; L spans two rows, so row 2's first free slot
+    // shifts right — HTML grid semantics
+    val src = "<table>" +
+      "<tr><th>A</th><th colspan=\"2\">B</th></tr>" +
+      "<tr><td rowspan=\"2\">L</td><td>1</td><td>2</td></tr>" +
+      "<tr><td>3</td><td>4</td></tr></table>"
+    val r = convertOne("spans.html", b(src))
+    assert(r.error == null, String.valueOf(r.error))
+    // markdown projection repeats the spanning text across its slots
+    assert(r.markdown ==
+      "| A | B | B |\n|---|---|---|\n| L | 1 | 2 |\n| L | 3 | 4 |", r.markdown)
+  }
+
   test("html lists convert to markdown bullets / numbered items") {
     val src = "<p>Before.</p><ul><li>alpha</li><li>beta</li></ul>" +
       "<ol><li>first</li><li>second</li></ol><p>After.</p>"
