@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Pins the scale-critical physical-plan properties PLANS.md documents,
+  * so a refactor that silently degrades a plan fails in `sbt test`
+  * instead of surfacing as a bench regression:
+  *  - no CartesianProduct anywhere;
+  *  - BroadcastNestedLoopJoin only in the three deliberate bounded ones
+  *    (d5 block pairs, s1 exact baseline, s2 centroid cross);
+  *  - column pruning reaches the scan for narrow projections;
+  *  - binary payload columns never cross an exchange (m1).
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def planOf(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  private val DeliberateNestedLoops = Set(
+    "d5_embedding_cosine_pairs", "s1_cosine_topk", "s2_ivf_ann_topk",
+    // d8 reuses d5's block-pair join as its edge source
+    "d8_semantic_clusters")
+
+  // join-heavy / scan-heavy representatives; auditing all 64 would add
+  // minutes of planning time for little extra signal
+  private val Audited = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q4_nation_revenue",
+    "q17_top_orders_global", "q18_suppliers_in_big_nations",
+    "q26_followup_events_range_join", "q27_asof_last_order_before_event",
+    "q28_salted_skew_agg", "q29_lang_pivot",
+    "d1_exact_dedup", "d2_ngram_jaccard_pairs", "d4_minhash_lsh_pairs",
+    "d5_embedding_cosine_pairs", "d6_decontamination", "d9_passage_dedup",
+    "d10_winnowed_dups", "s1_cosine_topk", "s2_ivf_ann_topk",
+    "t2_token_counts", "t12_salient_terms", "t13_pii_scrub",
+    "m1_binary_metadata", "p3_shard_packing")
+
+  test("no cartesian products; nested-loop joins only where deliberate") {
+    Audited.foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
+      if (!DeliberateNestedLoops(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name grew an unplanned nested-loop join:\n${plan.take(800)}")
+    }
+  }
+
+  test("narrow projections prune the parquet scan") {
+    // t2 projects (doc_id, text): the documents scan must not read
+    // lang/source/n_chars
+    val t2 = planOf("t2_token_counts")
+    val readSchema = "ReadSchema: ([^\\n]+)".r
+      .findAllMatchIn(t2).map(_.group(1)).mkString(" ")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), t2.take(400))
+    assert(!readSchema.contains("n_chars"),
+      s"t2 reads columns it never uses: $readSchema")
+
+    // q17's orders scan: top-k over (o_orderkey, o_totalprice [, custkey])
+    val q17 = planOf("q17_top_orders_global")
+    assert(!q17.contains("o_comment"), "q17 drags o_comment through the scan")
+  }
+
+  test("binary payloads stay below any exchange (m1)") {
+    // m1 computes header metadata relationally; the payload column must
+    // be consumed scan-side, with only derived narrow columns shuffled
+    val plan = planOf("m1_binary_metadata")
+    val exchangeIdx = plan.indexOf("Exchange")
+    assert(exchangeIdx >= 0, "m1 should end in a sort exchange")
+    val aboveExchange = plan.substring(0, exchangeIdx)
+    assert(!aboveExchange.contains("payload#"),
+      s"m1 shuffles the raw binary payload:\n${plan.take(800)}")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(planOf("q17_top_orders_global").contains("TakeOrderedAndProject"))
+    assert(planOf("q3_shipping_priority").contains("TakeOrderedAndProject"))
+  }
+}
