@@ -277,16 +277,41 @@ object HttpApi {
         yield ConversionConfig(extractTablesAsImages = e, imageResolutionScale = sc)
     }
 
-    private def uploadsOf(ex: HttpExchange, field: String): Seq[Upload] = {
+    /** Bounded body read — the server-edge twin of UploadValidation's
+      * bounded reads: never buffer more than the batch budget (+ 1 MiB of
+      * multipart framing slack). Returns None when the stream overruns the
+      * cap; the caller answers 413 without reading the rest (an over-cap
+      * body is over the batch budget by construction, so no valid request
+      * is ever truncated). */
+    private def readBodyBounded(ex: HttpExchange): Option[Array[Byte]] = {
+      val cap = UploadValidation.mbToBytes(maxBatchMb) + (1L << 20)
+      val in = ex.getRequestBody
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0 && out.size <= cap) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      if (out.size > cap) None else Some(out.toByteArray)
+    }
+
+    /** None ⇒ the body overran the cap and a 413 was already sent. */
+    private def uploadsOf(ex: HttpExchange, field: String): Option[Seq[Upload]] = {
       val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
-      val body = ex.getRequestBody.readAllBytes()
-      parseMultipart(ct, body).filter(_.name == field).map { p =>
-        new Upload {
-          val filename: String = p.filename.getOrElse("unnamed")
-          val declaredSize: Option[Long] = Some(p.data.length.toLong)
-          def read(n: Long): Array[Byte] =
-            p.data.take(math.min(n, p.data.length.toLong).toInt)
-        }
+      readBodyBounded(ex) match {
+        case None =>
+          detail(ex, 413, UploadValidation.batchTooLargeError(maxBatchMb))
+          None
+        case Some(body) =>
+          Some(parseMultipart(ct, body).filter(_.name == field).map { p =>
+            new Upload {
+              val filename: String = p.filename.getOrElse("unnamed")
+              val declaredSize: Option[Long] = Some(p.data.length.toLong)
+              def read(n: Long): Array[Byte] =
+                p.data.take(math.min(n, p.data.length.toLong).toInt)
+            }
+          })
       }
     }
 
@@ -330,7 +355,10 @@ object HttpApi {
 
     private def validated(ex: HttpExchange, batch: Boolean): Either[Unit, Seq[(String, Array[Byte])]] = {
       val field = if (batch) "documents" else "document"
-      val uploads = uploadsOf(ex, field)
+      val uploads = uploadsOf(ex, field) match {
+        case None => return Left(()) // body overran the cap; 413 already sent
+        case Some(ups) => ups
+      }
       if (uploads.isEmpty) {
         detail(ex, 400, s"Field '$field' is required")
         return Left(())

@@ -116,6 +116,22 @@ class HttpApiSpec extends SparkTestBase {
     assert(missing.body().contains("Field 'document' is required"))
   }
 
+  test("over-cap request body stops reading at the bound and answers 413") {
+    // batch cap 1 MB ⇒ edge read cap 2 MB (budget + framing slack); a 3 MB
+    // body must 413 with the batch text, never 400 from a truncated parse
+    val small = new HttpApi.Server(spark, 0, ledgerDir, maxFileMb = 1, maxBatchMb = 1).start()
+    try {
+      val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${small.boundPort}/documents/batch-convert"))
+        .header("Content-Type", s"multipart/form-data; boundary=$Boundary")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(
+          multipart(("documents", "huge.md", new Array[Byte](3 * 1024 * 1024))))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 413, r.body())
+      assert(r.body().contains("Batch size exceeds the maximum allowed total size of 1 MB"), r.body())
+    } finally small.stop()
+  }
+
   test("sync single escalates conversion errors to 500; batch keeps error rows") {
     // passes the zip sniff as docx, fails structural parsing
     val broken = "PKword/document.xml but not a real zip"
