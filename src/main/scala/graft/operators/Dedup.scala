@@ -431,15 +431,7 @@ object Dedup {
       "d9_passage_dedup",
       (s, dir) => {
         import s.implicits._
-        val words = Tables(s, dir, "documents")
-          .filter($"text".isNotNull)
-          .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
-          .filter(size($"ws") >= PassageLen)
-        val passages = words.select($"doc_id", explode(expr(
-          s"transform(sequence(0, size(ws) div $PassageLen - 1), " +
-            s"i -> array_join(slice(ws, i * $PassageLen + 1, $PassageLen), ' '))"))
-          .as("passage"))
-        passages
+        passageFrame(s, dir)
           .groupBy(md5($"passage").as("passage_hash"))
           .agg(
             countDistinct($"doc_id").as("n_docs"),
@@ -540,7 +532,55 @@ object Dedup {
         d AS (SELECT DISTINCT doc_id, fp FROM f0 WHERE pos <= np - 3)
         SELECT fp AS fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs,
                MIN(doc_id) AS first_doc
-        FROM d GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fingerprint"""))
+        FROM d GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fingerprint""")),
+
+    // ---------------------------------------------------------------- d11
+    // Incremental dedup: a NEW batch (doc_id%10==0, "today's crawl")
+    // checked against the EXISTING corpus (the other 90%) at passage
+    // granularity, with a broadcast Bloom prefilter. This is the pattern
+    // that matters at 100 TB: dedup of new data against an existing
+    // corpus must NOT shuffle the corpus. The Bloom filter is built over
+    // the SMALL side's passage hashes (distributed treeAggregate, ~1.2 KB
+    // per 1k keys at 1% fpp — broadcastable even for a multi-GB batch),
+    // then applied as a MAP-SIDE filter on the corpus scan: only
+    // true matches + ~1% false positives ever reach the confirm join, so
+    // shuffle volume is O(|matches|), not O(|corpus|). The confirm join
+    // re-checks the passage STRING, so Bloom false positives are
+    // eliminated and the result is exact — byte-identical to the plain
+    // batch⋈corpus oracle (no false negatives by Bloom's contract).
+    // The Bloom membership probe runs in a typed filter (mightContainLong
+    // on the already-codegen'd xxhash64 column) — same measured
+    // typed-over-HOF rationale as Shingles.
+    QuerySpec(
+      "d11_bloom_incremental_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val p = passageFrame(s, dir)
+        val (batch, candidates) =
+          bloomCandidatesOn(s, p, $"doc_id" % 10 === 0)
+        batch
+          .join(broadcast(candidates), Seq("passage"))
+          .groupBy($"doc_id")
+          .agg(
+            countDistinct($"passage").as("n_shared_passages"),
+            min($"corpus_id").as("dup_of"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH w AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 10),
+        p AS (
+          SELECT doc_id, array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS passage
+          FROM f, UNNEST(generate_series(0, CAST(len(ws)//10 AS INT) - 1)) AS t(i)),
+        b AS (SELECT * FROM p WHERE doc_id % 10 = 0),
+        c AS (SELECT * FROM p WHERE doc_id % 10 <> 0)
+        SELECT b.doc_id,
+               CAST(COUNT(DISTINCT b.passage) AS BIGINT) AS n_shared_passages,
+               MIN(c.doc_id) AS dup_of
+        FROM b JOIN c ON b.passage = c.passage
+        GROUP BY b.doc_id ORDER BY b.doc_id"""))
   )
 
   /** d10's winnow window (consecutive shingle hashes per min-selection).
@@ -551,6 +591,53 @@ object Dedup {
   /** d9's passage width (words per chunk). 10 words ≈ the shortest run a
     * substring-dedup pass treats as meaningful boilerplate. */
   private val PassageLen = 10
+
+  /** d11's Bloom-prefilter step over an arbitrary (doc_id, passage) frame —
+    * public so specs can measure the candidate reduction on synthetic
+    * corpora. Splits rows by `isBatch` into the small "new batch" side and
+    * the large "existing corpus" side, builds a Bloom filter over the
+    * batch passage hashes (distributed treeAggregate; the driver holds
+    * only the ~KB bitset, like any broadcast build side), and applies it
+    * as a map-side filter on the corpus rows. Returns
+    * (batch(doc_id, passage, h) — persisted, candidates(corpus_id,
+    * passage, h)); callers release the persist via clearCache per the
+    * object-level persist note. No false negatives by Bloom's contract,
+    * so a string-equality confirm join over the candidates is exact. */
+  def bloomCandidatesOn(s: org.apache.spark.sql.SparkSession,
+                        passages: org.apache.spark.sql.DataFrame,
+                        isBatch: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val batch = passages.filter(isBatch)
+      .select($"doc_id", $"passage", xxhash64($"passage").as("h"))
+      .persist()
+    val nKeys = math.max(batch.count(), 1L)
+    val bloom = batch.stat.bloomFilter("h", nKeys, 0.01)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val candidates = passages.filter(!isBatch)
+      .select($"doc_id".as("corpus_id"), $"passage",
+        xxhash64($"passage").as("h"))
+      .as[(Long, String, Long)]
+      .filter(t => bloomB.value.mightContainLong(t._3))
+      .toDF("corpus_id", "passage", "h")
+    (batch, candidates)
+  }
+
+  /** d9/d11's passage chunking: each doc's consecutive [[PassageLen]]-word
+    * chunks — a narrow transform (split + HOF slice, no shuffle). Returns
+    * (doc_id, passage). */
+  private def passageFrame(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter($"text".isNotNull)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
+      .filter(size($"ws") >= PassageLen)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(0, size(ws) div $PassageLen - 1), " +
+          s"i -> array_join(slice(ws, i * $PassageLen + 1, $PassageLen), ' '))"))
+        .as("passage"))
+  }
 
   /** d5's pair computation (distributed block-pair exact cosine, see the
     * d5 scaladoc above), shared with d8's cluster step: returns

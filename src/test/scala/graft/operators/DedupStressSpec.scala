@@ -94,4 +94,42 @@ class DedupStressSpec extends SparkTestBase {
     assert(pairs == expectedPairs,
       s"rerank must kill hot-band false candidates, got ${pairs.size} pairs")
   }
+
+  // --------------------------------------------------------- d11 bloom
+
+  test("d11 bloom prefilter prunes the corpus to ~matches and stays exact") {
+    // batch: 10 docs (2 passages each); corpus: 500 docs, of which 5
+    // share one passage with the batch and 495 are pure noise. The Bloom
+    // prefilter must cut the 1000 corpus passages down to the 5 true
+    // matches (+ ~1% fp), and the confirm join must agree exactly with
+    // the unfiltered batch⋈corpus join.
+    val batchDocs = (0 until 10).map { i =>
+      (i.toLong, s"b${i}p0", s"b${i}p1")
+    }.flatMap { case (id, p0, p1) => Seq((id, p0), (id, p1)) }
+    val corpusDocs = (0 until 500).flatMap { i =>
+      val id = 1000L + i
+      val shared = if (i < 5) Seq((id, s"b${i}p1")) else Nil
+      shared ++ Seq((id, s"n${i}a"), (id, s"n${i}b"))
+    }
+    val passages = (batchDocs ++ corpusDocs).toDF("doc_id", "passage")
+    val (batch, candidates) =
+      Dedup.bloomCandidatesOn(spark, passages, $"doc_id" < 1000L)
+    try {
+      val nCorpus = corpusDocs.size.toLong
+      val nCand = candidates.count()
+      assert(nCand >= 5, "bloom must never drop a true match")
+      assert(nCand <= 5 + nCorpus / 20,
+        s"bloom pruned to $nCand of $nCorpus corpus passages — too many fps")
+      val confirmed = batch.join(broadcast(candidates), Seq("passage"))
+        .select($"doc_id", $"corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = passages.filter($"doc_id" < 1000L).as("b")
+        .join(passages.filter($"doc_id" >= 1000L).as("c"), Seq("passage"))
+        .select($"b.doc_id", $"c.doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(confirmed == exact,
+        s"confirm join must equal the plain join: $confirmed vs $exact")
+      assert(exact == (0 until 5).map(i => (i.toLong, 1000L + i)).toSet)
+    } finally spark.catalog.clearCache()
+  }
 }
