@@ -558,10 +558,28 @@ object OoxmlParsers {
         paraIlvl = None
       }
 
+      // >0 ⇒ inside an mc:Fallback subtree being skipped wholesale: Word
+      // writes drawings/textboxes as mc:AlternateContent with an mc:Choice
+      // (DrawingML, e.g. wps:txbx) AND an mc:Fallback (legacy VML) carrying
+      // the SAME w:txbxContent — processing both would emit every
+      // textbox's text twice and open two picture slots
+      var skipDepth = 0
       while (r.hasNext) {
         r.next() match {
+          case XMLStreamConstants.START_ELEMENT if skipDepth > 0 =>
+            skipDepth += 1
+          case XMLStreamConstants.END_ELEMENT if skipDepth > 0 =>
+            skipDepth -= 1
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
+              case "Fallback" => skipDepth = 1
+              // w:txbxContent marks the enclosing drawing as a TEXT
+              // container (Word text box): its w:p/w:t flow through the
+              // normal paragraph cases below; the drawing's pending
+              // picture slot is dropped — a text box is not a picture
+              case "txbxContent" =>
+                val buf = if (tblDepth == 0) paraPics else tblPics
+                if (buf.nonEmpty && buf.last.isEmpty) buf.remove(buf.length - 1)
               case "tbl" =>
                 if (tblDepth == 0) flushPendingList()
                 tblDepth += 1
@@ -811,10 +829,20 @@ object OoxmlParsers {
         shapeIsTitle = false
       }
 
+      // same mc:AlternateContent rule as the DOCX body loop: process only
+      // the mc:Choice branch, skip mc:Fallback wholesale (slides wrap
+      // SmartArt/modern frames in AlternateContent with a picture or
+      // VML fallback carrying duplicate content)
+      var skipDepth = 0
       while (r.hasNext) {
         r.next() match {
+          case XMLStreamConstants.START_ELEMENT if skipDepth > 0 =>
+            skipDepth += 1
+          case XMLStreamConstants.END_ELEMENT if skipDepth > 0 =>
+            skipDepth -= 1
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
+              case "Fallback" => skipDepth = 1
               case "ph" =>
                 if (attr(r, "type").exists(t => t == "title" || t == "ctrTitle"))
                   shapeIsTitle = true

@@ -161,6 +161,37 @@ class OoxmlParsersSpec extends AnyFunSuite {
     assert(r.markdown.contains("outer inner"))
   }
 
+  test("docx: AlternateContent textbox emits its text ONCE, no phantom picture") {
+    // Word writes text boxes as mc:AlternateContent carrying the SAME
+    // w:txbxContent twice: mc:Choice (DrawingML wps:txbx) + mc:Fallback
+    // (legacy VML). The parser must take only the Choice branch, flow the
+    // textbox paragraphs as text, and not leave a placeholder picture
+    // slot for the text-container drawing.
+    val boxPara =
+      """<w:p><w:r>
+        |<mc:AlternateContent xmlns:mc="http://schemas.openxmlformats.org/markup-compatibility/2006">
+        |<mc:Choice Requires="wps">
+        |<w:drawing xmlns:wps="http://schemas.microsoft.com/office/word/2010/wordprocessingShape">
+        |<wps:wsp><wps:txbx><w:txbxContent>
+        |<w:p><w:r><w:t>Boxed note</w:t></w:r></w:p>
+        |</w:txbxContent></wps:txbx></wps:wsp>
+        |</w:drawing>
+        |</mc:Choice>
+        |<mc:Fallback>
+        |<w:pict xmlns:v="urn:schemas-microsoft-com:vml">
+        |<v:shape><v:textbox><w:txbxContent>
+        |<w:p><w:r><w:t>Boxed note</w:t></w:r></w:p>
+        |</w:txbxContent></v:textbox></v:shape>
+        |</w:pict>
+        |</mc:Fallback>
+        |</mc:AlternateContent>
+        |</w:r></w:p>""".stripMargin
+    val r = convertOne("box.docx", docx(wp("Before box.") + boxPara + wp("After box.")))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "Before box.\n\nBoxed note\n\nAfter box.")
+    assert(r.images.isEmpty, "a text box must not emit a placeholder picture")
+  }
+
   test("docx: missing document.xml part is an error row, not a throw") {
     val broken = zip("word/other.xml" -> "<x/>")
     val r = convertOne("broken.docx", broken)
