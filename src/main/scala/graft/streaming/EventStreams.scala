@@ -69,6 +69,21 @@ object EventStreams {
       .withColumn("content_hash", sha2(col("text"), 256))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-static enrichment join — the streaming dimension lookup (the
+    * q4 join shape applied to a live stream): each micro-batch of events
+    * left-joins the STATIC dimension frame with the dimension broadcast,
+    * so enrichment is map-side and completely STATELESS — stream-static
+    * joins keep no watermark-scoped join state, unlike stream-stream
+    * (followupPairsStream). At 100 TB/day of events the dimension
+    * broadcast is the same broadcast the batch plan uses; a dimension too
+    * big to broadcast shuffles each micro-batch instead, still stateless.
+    * Left outer keeps events with no dimension row (the enrichment
+    * contract: never drop facts because a dimension is late). */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   eventKey: String = "user_id",
+                   dimKey: String = "c_custkey"): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left_outer")
+
   /** Streaming jobs plane: watch an inbox directory of binary documents and
     * convert each micro-batch through the mapPartitions kernel — the
     * readStream→foreachBatch analog of the Celery worker loop (§3.2).

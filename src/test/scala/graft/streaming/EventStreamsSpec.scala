@@ -72,6 +72,29 @@ class EventStreamsSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment join matches the batch dimension lookup, stateless") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = graft.Tables(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+    val ms = MemoryStream[EventRow]
+    val q = EventStreams.enrichStream(ms.toDF(), dim)
+      .select($"event_id", $"user_id", $"c_name", $"c_nationkey")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    val got = try {
+      ms.addData(data)
+      q.processAllAvailable()
+      // stateless: no sentinel/watermark rounds needed — every row emits
+      // in the micro-batch it arrives in
+      spark.table("enriched").collect().map(_.toSeq).toSet
+    } finally q.stop()
+    val expected = data.toDF()
+      .join(dim, $"user_id" === $"c_custkey", "left_outer")
+      .select($"event_id", $"user_id", $"c_name", $"c_nationkey")
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.size == data.size, "left outer must keep every event exactly once")
+  }
+
   test("streaming exact dedup keeps first-seen content within the watermark (d1 twin)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
