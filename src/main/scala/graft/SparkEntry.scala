@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Similarity.specs ++
       operators.Multimodal.specs ++
       operators.KernelQueries.specs ++
-      operators.Mixing.specs
+      operators.Mixing.specs ++
+      operators.Sketches.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The REAL ingest→convert pipeline (k1): deterministic staging corpus
