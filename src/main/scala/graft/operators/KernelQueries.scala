@@ -228,6 +228,52 @@ object KernelQueries {
           CASE WHEN doc_id % 10 = 7
                THEN 'Unsupported file format: doc' || CAST(doc_id AS VARCHAR) || '.xyz'
           END AS error
+        FROM d ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------ k4
+    // The DocTags serializer under the oracle — with k1 (markdown), k2
+    // (json) and k3 (text) this puts ALL FOUR declared OutputFormats
+    // (utils.py:20-24) under CORRECTNESS rows: heading/text/picture tags
+    // and nested table cell tags render deterministically from the same
+    // staged corpus, and the oracle recomputes each construction's exact
+    // tagged length.
+    QuerySpec(
+      "k4_doctags_lengths",
+      (s, dir) => {
+        import s.implicits._
+        Pipeline.convertDirectory(s, stagedCorpus(s, dir),
+            ConversionConfig(outputFormat = "doctags"))
+          .select(
+            regexp_extract($"filename", "(\\d+)", 1).cast("long").as("doc_id"),
+            length($"markdown").cast("long").as("doctags_len"),
+            $"error")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) AS len
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 7 THEN NULL
+               WHEN doc_id % 3 = 0 THEN CAST(length(
+                 '<section_header_level_1>Doc ' || CAST(doc_id AS VARCHAR) ||
+                 '</section_header_level_1>' || chr(10) ||
+                 '<text>This document has ' || CAST(len AS VARCHAR) ||
+                 ' characters of source text.</text>') AS BIGINT)
+               WHEN doc_id % 3 = 1 THEN CAST(length(
+                 '<table><row><cell>doc_id</cell><cell>chars</cell></row>' ||
+                 '<row><cell>' || CAST(doc_id AS VARCHAR) || '</cell><cell>' ||
+                 CAST(len AS VARCHAR) || '</cell></row></table>') AS BIGINT)
+               ELSE CAST(length(
+                 '<section_header_level_1>Doc ' || CAST(doc_id AS VARCHAR) ||
+                 '</section_header_level_1>' || chr(10) ||
+                 '<text>Contains ' || CAST(len AS VARCHAR) ||
+                 ' characters.</text>' || chr(10) || '<picture/>' || chr(10) ||
+                 '<text>End of ' || CAST(doc_id AS VARCHAR) || '.</text>') AS BIGINT)
+          END AS doctags_len,
+          CASE WHEN doc_id % 10 = 7
+               THEN 'Unsupported file format: doc' || CAST(doc_id AS VARCHAR) || '.xyz'
+          END AS error
         FROM d ORDER BY doc_id"""))
   )
 }

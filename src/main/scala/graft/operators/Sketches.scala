@@ -48,6 +48,39 @@ object Sketches {
             hll_sketch_estimate($"sk").cast("long").as("approx_users"))
           .orderBy($"event_type")
       },
+      None),
+
+    // ----------------------------------------------------------------- x2
+    // Approximate per-language token-length quantiles — the sketch twin
+    // of t11's exact row_number formulation. t11 is the calibration path:
+    // its window sorts EVERY row within each language (a per-group total
+    // sort — fine at audit scale, the bottleneck at 100 TB). The
+    // Greenwald-Khanna summary behind percentile_approx keeps O(accuracy)
+    // state per group and merges across partitions, so the plan is one
+    // hash aggregate with constant-size partials, no sort anywhere.
+    // Guarantee: rank error <= n/accuracy (1% here) — SketchesSpec pins
+    // it against t11's exact quantiles. Rows-only (summary internals are
+    // implementation-specific).
+    QuerySpec(
+      "x2_approx_length_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"text".isNotNull)
+          .select($"lang",
+            size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            percentile_approx($"n_tokens", array(lit(0.5), lit(0.9)),
+              lit(QuantileAccuracy)).as("qs"))
+          .select($"lang", $"n_docs",
+            $"qs" (0).as("p50_approx"), $"qs" (1).as("p90_approx"))
+          .orderBy($"lang")
+      },
       None)
   )
+
+  /** x2's GK-summary accuracy: rank error <= n/accuracy = 1%. */
+  val QuantileAccuracy = 100
 }

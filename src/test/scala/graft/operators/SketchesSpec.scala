@@ -41,4 +41,31 @@ class SketchesSpec extends SparkTestBase {
         s"$k: approx $a vs exact $n drifts beyond the HLL envelope")
     }
   }
+
+  test("approx quantiles land within the GK rank-error bound of exact") {
+    val approx = graft.SparkEntry.queries("x2_approx_length_quantiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val byLang = graft.Tables(spark, sfDir, "documents")
+      .filter($"text".isNotNull)
+      .select($"lang", size(split(trim($"text"), "\\s+")).cast("long").as("n"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(approx.keySet == byLang.keySet)
+    // GK guarantee: the returned value's RANK is within n/accuracy of the
+    // target rank (plus 1 for discreteness at tiny n)
+    def rankOk(sorted: Array[Long], v: Long, q: Double): Boolean = {
+      val n = sorted.length
+      val lo = sorted.count(_ < v)      // ranks v could occupy: [lo+1, hi]
+      val hi = sorted.count(_ <= v)
+      val target = math.ceil(q * n)
+      val tol = n.toDouble / Sketches.QuantileAccuracy + 1
+      assert(hi > lo, s"approx value $v does not occur in the data")
+      target >= lo + 1 - tol && target <= hi + tol
+    }
+    byLang.foreach { case (lang, sorted) =>
+      val (p50, p90) = approx(lang)
+      assert(rankOk(sorted, p50, 0.5), s"$lang p50=$p50 outside rank bound")
+      assert(rankOk(sorted, p90, 0.9), s"$lang p90=$p90 outside rank bound")
+    }
+  }
 }
