@@ -142,6 +142,53 @@ object Mixing {
           FROM t)
         SELECT doc_id, worker, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
                worker || '-' || CAST(FLOOR((cum_tokens - 1) / 4096.0) AS BIGINT) AS shard
-        FROM c ORDER BY worker, cum_tokens, doc_id"""))
+        FROM c ORDER BY worker, cum_tokens, doc_id""")),
+
+    // ----------------------------------------------------------------- p4
+    // Quality-weighted sampling: keep each doc with probability equal to
+    // its quality score — here the well-formed-token fraction (tokens of
+    // 3..12 chars, the Gopher length band), so low-quality docs downsample
+    // proportionally instead of being hard-cut at a threshold (the
+    // curriculum/mixing knob between t6's binary keep flag and p1's
+    // per-source weights). Determinism: the Bernoulli draw is two hex
+    // digits of md5(doc_id||salt) mapped to [0,256), kept iff
+    // v * n_tok < 256 * n_good — INTEGER cross-multiplication, so both
+    // engines evaluate the inequality exactly and the oracle pins the
+    // exact surviving row set, not just the rate. Single scan, map-side
+    // only; the sampling decision needs no shuffle at any scale.
+    QuerySpec(
+      "p4_quality_weighted_sample",
+      (s, dir) => {
+        import s.implicits._
+        val hexVal = (c: org.apache.spark.sql.Column) =>
+          instr(lit("0123456789abcdef"), c) - 1
+        val toks = split(trim($"text"), "\\s+")
+        val h2 = substring(md5(concat($"doc_id".cast("string"), lit(":qs"))), 1, 2)
+        Tables(s, dir, "documents")
+          .filter($"text".isNotNull && trim($"text") =!= "")
+          .select($"doc_id",
+            size(toks).cast("long").as("n_tok"),
+            size(filter(toks, t => length(t).between(3, 12))).cast("long").as("n_good"),
+            (hexVal(substring(h2, 1, 1)) * 16 + hexVal(substring(h2, 2, 1)))
+              .cast("long").as("v"))
+          .filter($"v" * $"n_tok" < $"n_good" * 256L)
+          .select($"doc_id", $"n_tok", $"n_good")
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+                 substring(md5(CAST(doc_id AS VARCHAR) || ':qs'), 1, 2) AS h2
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        sc AS (
+          SELECT doc_id,
+                 CAST(len(ws) AS BIGINT) AS n_tok,
+                 CAST(len(list_filter(ws, w -> length(w) BETWEEN 3 AND 12)) AS BIGINT) AS n_good,
+                 CAST((strpos('0123456789abcdef', substring(h2, 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substring(h2, 2, 1)) - 1) AS BIGINT) AS v
+          FROM t)
+        SELECT doc_id, n_tok, n_good
+        FROM sc WHERE v * n_tok < n_good * 256
+        ORDER BY doc_id"""))
   )
 }
