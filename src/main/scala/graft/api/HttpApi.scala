@@ -278,15 +278,23 @@ object HttpApi {
     }
 
     /** Bounded body read — the server-edge twin of UploadValidation's
-      * bounded reads: never buffer more than the batch budget (+ 1 MiB of
-      * multipart framing slack). Returns None when the stream overruns the
-      * cap; the caller answers 413 without reading the rest (an over-cap
-      * body is over the batch budget by construction, so no valid request
-      * is ever truncated). */
-    private def readBodyBounded(ex: HttpExchange): Option[Array[Byte]] = {
-      val cap = UploadValidation.mbToBytes(maxBatchMb) + (1L << 20)
+      * bounded reads: never buffer more than the endpoint's payload budget
+      * plus multipart framing slack (25% + 1 MiB — per-part framing is
+      * ~200 bytes, so the slack covers any batch whose average part is a
+      * kilobyte or more; beyond that the cap's memory bound deliberately
+      * wins over 413-text fidelity). A Content-Length above the cap is
+      * refused before reading a byte; otherwise the buffer is pre-sized
+      * to the declared length. Returns None when the body overruns the
+      * cap; an over-cap body is over the payload budget by construction,
+      * so no such valid request is ever truncated. */
+    private def readBodyBounded(ex: HttpExchange, budgetBytes: Long): Option[Array[Byte]] = {
+      val cap = budgetBytes + math.max(1L << 20, budgetBytes / 4)
+      val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
+        .flatMap(_.toLongOption)
+      if (declared.exists(_ > cap)) return None
       val in = ex.getRequestBody
-      val out = new java.io.ByteArrayOutputStream()
+      val out = new java.io.ByteArrayOutputStream(
+        declared.filter(d => d > 0 && d <= cap).map(_.toInt).getOrElse(8192))
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
       while (n >= 0 && out.size <= cap) {
@@ -296,12 +304,22 @@ object HttpApi {
       if (out.size > cap) None else Some(out.toByteArray)
     }
 
-    /** None ⇒ the body overran the cap and a 413 was already sent. */
-    private def uploadsOf(ex: HttpExchange, field: String): Option[Seq[Upload]] = {
+    /** None ⇒ the body overran the endpoint's cap and a 413 was already
+      * sent — the single-doc endpoint caps at the FILE budget with the
+      * file error text, the batch endpoint at the BATCH budget with the
+      * batch text (mirroring which limit readAndValidate* would have
+      * reported for an over-budget payload). */
+    private def uploadsOf(ex: HttpExchange, field: String,
+                          batch: Boolean): Option[Seq[Upload]] = {
       val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
-      readBodyBounded(ex) match {
+      val budget =
+        if (batch) UploadValidation.mbToBytes(maxBatchMb)
+        else UploadValidation.mbToBytes(maxFileMb)
+      readBodyBounded(ex, budget) match {
         case None =>
-          detail(ex, 413, UploadValidation.batchTooLargeError(maxBatchMb))
+          detail(ex, 413,
+            if (batch) UploadValidation.batchTooLargeError(maxBatchMb)
+            else UploadValidation.fileTooLargeError(maxFileMb))
           None
         case Some(body) =>
           Some(parseMultipart(ct, body).filter(_.name == field).map { p =>
@@ -355,7 +373,7 @@ object HttpApi {
 
     private def validated(ex: HttpExchange, batch: Boolean): Either[Unit, Seq[(String, Array[Byte])]] = {
       val field = if (batch) "documents" else "document"
-      val uploads = uploadsOf(ex, field) match {
+      val uploads = uploadsOf(ex, field, batch) match {
         case None => return Left(()) // body overran the cap; 413 already sent
         case Some(ups) => ups
       }

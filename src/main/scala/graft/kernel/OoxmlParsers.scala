@@ -370,10 +370,18 @@ object OoxmlParsers {
       val out = Map.newBuilder[String, String]
       var curId: Option[String] = None
       val buf = new StringBuilder
+      // text-only collector: any mc:AlternateContent here duplicates its
+      // w:t runs across Choice/Fallback, so Fallback skips unconditionally
+      var skipDepth = 0
       while (r.hasNext) {
         r.next() match {
+          case XMLStreamConstants.START_ELEMENT if skipDepth > 0 =>
+            skipDepth += 1
+          case XMLStreamConstants.END_ELEMENT if skipDepth > 0 =>
+            skipDepth -= 1
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
+              case "Fallback" => skipDepth = 1
               case "footnote" =>
                 curId = if (attr(r, "type").isDefined) None else attr(r, "id")
                 buf.clear()
@@ -562,8 +570,14 @@ object OoxmlParsers {
       // writes drawings/textboxes as mc:AlternateContent with an mc:Choice
       // (DrawingML, e.g. wps:txbx) AND an mc:Fallback (legacy VML) carrying
       // the SAME w:txbxContent — processing both would emit every
-      // textbox's text twice and open two picture slots
+      // textbox's text twice and open two picture slots. The skip is
+      // CONDITIONAL on the Choice branch having yielded something this
+      // parser extracts (acYielded, reset at each AlternateContent): when
+      // the Choice holds a format we cannot read (e.g. a chartex chart),
+      // the Fallback — often a cached image — is the only recoverable
+      // representation and must still be processed.
       var skipDepth = 0
+      var acYielded = false
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT if skipDepth > 0 =>
@@ -572,12 +586,22 @@ object OoxmlParsers {
             skipDepth -= 1
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
-              case "Fallback" => skipDepth = 1
+              case "AlternateContent" => acYielded = false
+              case "Fallback" =>
+                if (acYielded) skipDepth = 1
+                else {
+                  // the Choice's unresolved drawing left an empty picture
+                  // slot; the Fallback re-renders the same drawing, so
+                  // its slot supersedes rather than adds
+                  val buf = if (tblDepth == 0) paraPics else tblPics
+                  if (buf.nonEmpty && buf.last.isEmpty) buf.remove(buf.length - 1)
+                }
               // w:txbxContent marks the enclosing drawing as a TEXT
               // container (Word text box): its w:p/w:t flow through the
               // normal paragraph cases below; the drawing's pending
               // picture slot is dropped — a text box is not a picture
               case "txbxContent" =>
+                acYielded = true
                 val buf = if (tblDepth == 0) paraPics else tblPics
                 if (buf.nonEmpty && buf.last.isEmpty) buf.remove(buf.length - 1)
               case "tbl" =>
@@ -607,11 +631,13 @@ object OoxmlParsers {
               // DrawingML a:blip r:embed, legacy VML v:imagedata r:id
               case "blip" =>
                 for (id <- attr(r, "embed"); m <- media(id)) {
+                  acYielded = true
                   val buf = if (tblDepth == 0) paraPics else tblPics
                   if (buf.nonEmpty) buf(buf.length - 1) = Some(m)
                 }
               case "imagedata" =>
                 for (id <- attr(r, "id"); m <- media(id)) {
+                  acYielded = true
                   val buf = if (tblDepth == 0) paraPics else tblPics
                   if (buf.nonEmpty) buf(buf.length - 1) = Some(m)
                 }
@@ -620,6 +646,7 @@ object OoxmlParsers {
               // its data table
               case "chart" =>
                 for (id <- attr(r, "id"); tbl <- charts(id)) {
+                  acYielded = true
                   if (tblDepth == 0) {
                     if (paraPics.nonEmpty && paraPics.last.isEmpty)
                       paraPics.remove(paraPics.length - 1)
@@ -635,6 +662,7 @@ object OoxmlParsers {
               // the drawing's picture slot as a bullet list
               case "relIds" =>
                 for (id <- attr(r, "dm"); lst <- diagrams(id)) {
+                  acYielded = true
                   if (tblDepth == 0) {
                     if (paraPics.nonEmpty && paraPics.last.isEmpty)
                       paraPics.remove(paraPics.length - 1)
@@ -657,6 +685,7 @@ object OoxmlParsers {
                 runItalic = !attr(r, "val").exists(v => v == "0" || v == "false")
               case "t" =>
                 val text = r.getElementText
+                if (text.nonEmpty) acYielded = true
                 if (tblDepth >= 1) cellBuf ++= text
                 else paraSegs += ((text, runBold, runItalic))
               case "footnoteReference" if tblDepth == 0 =>
@@ -762,10 +791,18 @@ object OoxmlParsers {
       var shapeIsBody = false
       val paraBuf = new StringBuilder
       val shapeParas = ArrayBuffer[String]()
+      // text-only collector: skip mc:Fallback unconditionally (its a:t
+      // runs duplicate the Choice branch's)
+      var skipDepth = 0
       while (r.hasNext) {
         r.next() match {
+          case XMLStreamConstants.START_ELEMENT if skipDepth > 0 =>
+            skipDepth += 1
+          case XMLStreamConstants.END_ELEMENT if skipDepth > 0 =>
+            skipDepth -= 1
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
+              case "Fallback" => skipDepth = 1
               case "ph" if attr(r, "type").contains("body") => shapeIsBody = true
               case "t" => paraBuf ++= r.getElementText
               case _ => ()
@@ -829,11 +866,13 @@ object OoxmlParsers {
         shapeIsTitle = false
       }
 
-      // same mc:AlternateContent rule as the DOCX body loop: process only
-      // the mc:Choice branch, skip mc:Fallback wholesale (slides wrap
-      // SmartArt/modern frames in AlternateContent with a picture or
-      // VML fallback carrying duplicate content)
+      // same mc:AlternateContent rule as the DOCX body loop: skip the
+      // mc:Fallback ONLY when the mc:Choice yielded extractable content
+      // (slides wrap SmartArt/modern frames in AlternateContent with a
+      // cached-picture fallback: duplicate content when the Choice
+      // parses, the sole recoverable representation when it does not)
       var skipDepth = 0
+      var acYielded = false
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT if skipDepth > 0 =>
@@ -842,7 +881,8 @@ object OoxmlParsers {
             skipDepth -= 1
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
-              case "Fallback" => skipDepth = 1
+              case "AlternateContent" => acYielded = false
+              case "Fallback" => if (acYielded) skipDepth = 1
               case "ph" =>
                 if (attr(r, "type").exists(t => t == "title" || t == "ctrTitle"))
                   shapeIsTitle = true
@@ -866,19 +906,24 @@ object OoxmlParsers {
                 tcMerged = (attr(r, "hMerge").toSeq ++ attr(r, "vMerge"))
                   .exists(v => v == "1" || v == "true")
               case "pic" =>
+                acYielded = true
                 inPic = true
                 picIdx = items.length
                 items += PictureElement()
               // a chart graphicFrame: the chart part's cached data emits
               // as a table in slide order
               case "chart" =>
-                for (id <- attr(r, "id"); tbl <- charts(id))
+                for (id <- attr(r, "id"); tbl <- charts(id)) {
+                  acYielded = true
                   items += tbl
+                }
               // a SmartArt graphicFrame: the diagram part's node texts
               // emit as a bullet list in slide order
               case "relIds" =>
-                for (id <- attr(r, "dm"); lst <- diagrams(id))
+                for (id <- attr(r, "dm"); lst <- diagrams(id)) {
+                  acYielded = true
                   items += lst
+                }
               case "blip" if inPic =>
                 for (id <- attr(r, "embed"); m <- media(id))
                   if (picIdx >= 0 && picIdx < items.length)
@@ -894,6 +939,7 @@ object OoxmlParsers {
                 runLink = attr(r, "id").flatMap(linkTarget)
               case "t" =>
                 val text = r.getElementText
+                if (text.nonEmpty) acYielded = true
                 if (inTable) cellBuf ++= text
                 else {
                   val marker = (runBold, runItalic) match {

@@ -558,8 +558,14 @@ object Dedup {
         val p = passageFrame(s, dir)
         val (batch, candidates) =
           bloomCandidatesOn(s, p, $"doc_id" % 10 === 0)
+        // no broadcast hint: the candidate set is usually tiny (AQE will
+        // broadcast it from runtime stats), but when the batch genuinely
+        // duplicates a large corpus slice — the motivating scenario —
+        // forcing a broadcast would funnel every match through the
+        // driver; un-hinted, the join degrades gracefully to a shuffle
+        // of O(|batch| + |matches|) rows
         batch
-          .join(broadcast(candidates), Seq("passage"))
+          .join(candidates, Seq("passage"))
           .groupBy($"doc_id")
           .agg(
             countDistinct($"passage").as("n_shared_passages"),

@@ -82,7 +82,10 @@ object EventStreams {
   def enrichStream(events: DataFrame, dim: DataFrame,
                    eventKey: String = "user_id",
                    dimKey: String = "c_custkey"): DataFrame =
-    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left_outer")
+    // keys resolve against their own frame, so a stream already carrying
+    // a column named like the dim key (e.g. a second enrichment pass)
+    // never trips an ambiguous-reference analysis error
+    events.join(broadcast(dim), events.col(eventKey) === dim.col(dimKey), "left_outer")
 
   /** Streaming jobs plane: watch an inbox directory of binary documents and
     * convert each micro-batch through the mapPartitions kernel — the

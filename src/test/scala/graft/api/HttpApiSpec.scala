@@ -117,18 +117,24 @@ class HttpApiSpec extends SparkTestBase {
   }
 
   test("over-cap request body stops reading at the bound and answers 413") {
-    // batch cap 1 MB ⇒ edge read cap 2 MB (budget + framing slack); a 3 MB
-    // body must 413 with the batch text, never 400 from a truncated parse
+    // caps of 1 MB ⇒ edge read cap 2 MB (budget + framing slack); a 3 MB
+    // body must 413 with the ENDPOINT's limit text — the batch text on
+    // batch-convert, the file text on single convert — never a 400 from
+    // a truncated multipart parse
     val small = new HttpApi.Server(spark, 0, ledgerDir, maxFileMb = 1, maxBatchMb = 1).start()
     try {
-      val r = client.send(HttpRequest.newBuilder(
-        URI.create(s"http://127.0.0.1:${small.boundPort}/documents/batch-convert"))
+      def post(path: String, field: String) = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${small.boundPort}$path"))
         .header("Content-Type", s"multipart/form-data; boundary=$Boundary")
         .POST(HttpRequest.BodyPublishers.ofByteArray(
-          multipart(("documents", "huge.md", new Array[Byte](3 * 1024 * 1024))))).build(),
+          multipart((field, "huge.md", new Array[Byte](3 * 1024 * 1024))))).build(),
         HttpResponse.BodyHandlers.ofString())
-      assert(r.statusCode() == 413, r.body())
-      assert(r.body().contains("Batch size exceeds the maximum allowed total size of 1 MB"), r.body())
+      val b = post("/documents/batch-convert", "documents")
+      assert(b.statusCode() == 413, b.body())
+      assert(b.body().contains("Batch size exceeds the maximum allowed total size of 1 MB"), b.body())
+      val s1 = post("/documents/convert", "document")
+      assert(s1.statusCode() == 413, s1.body())
+      assert(s1.body().contains("File size exceeds the maximum allowed size of 1 MB"), s1.body())
     } finally small.stop()
   }
 

@@ -192,6 +192,52 @@ class OoxmlParsersSpec extends AnyFunSuite {
     assert(r.images.isEmpty, "a text box must not emit a placeholder picture")
   }
 
+  test("pptx: Fallback picture survives when the Choice branch is unextractable") {
+    // the Choice wraps a chart whose r:id has no rels entry (e.g. a
+    // modern chartex part this parser cannot read) — the cached picture
+    // in the Fallback is the only recoverable representation and must
+    // still emit; with a RESOLVABLE Choice the Fallback is skipped
+    // (pinned by the textbox test)
+    val ac =
+      """<mc:AlternateContent xmlns:mc="http://schemas.openxmlformats.org/markup-compatibility/2006">
+        |<mc:Choice Requires="cx">
+        |<p:graphicFrame><a:graphic><a:graphicData uri="chartex">
+        |<c:chart r:id="rMissing" xmlns:c="z" xmlns:r="x"/></a:graphicData></a:graphic></p:graphicFrame>
+        |</mc:Choice>
+        |<mc:Fallback><p:pic><p:blipFill/></p:pic></mc:Fallback>
+        |</mc:AlternateContent>""".stripMargin
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "ppt/presentation.xml" -> "<p/>",
+      "ppt/slides/slide1.xml" -> slide(sp("Modern chart", title = true) + ac))
+    val r = convertOne("cx.pptx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "# Modern chart\n\npicture-1.png")
+    assert(r.images.map(_.filename) == Seq("picture-1.png"))
+  }
+
+  test("docx: footnote AlternateContent text renders once, not per branch") {
+    val footnotes =
+      s"""<?xml version="1.0"?><w:footnotes xmlns:w="$W">
+         |<w:footnote w:id="2"><w:p><w:r>
+         |<mc:AlternateContent xmlns:mc="http://schemas.openxmlformats.org/markup-compatibility/2006">
+         |<mc:Choice Requires="wps"><w:r><w:t>Boxed footnote.</w:t></w:r></mc:Choice>
+         |<mc:Fallback><w:r><w:t>Boxed footnote.</w:t></w:r></mc:Fallback>
+         |</mc:AlternateContent>
+         |</w:r></w:p></w:footnote>
+         |</w:footnotes>""".stripMargin
+    val body =
+      s"""<w:p><w:r><w:t>Claim</w:t></w:r><w:r><w:footnoteReference w:id="2"/></w:r></w:p>"""
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "word/document.xml" ->
+        s"""<?xml version="1.0"?><w:document xmlns:w="$W"><w:body>$body</w:body></w:document>""",
+      "word/footnotes.xml" -> footnotes)
+    val r = convertOne("acnote.docx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "Claim[^1]\n\n[^1]: Boxed footnote.")
+  }
+
   test("docx: missing document.xml part is an error row, not a throw") {
     val broken = zip("word/other.xml" -> "<x/>")
     val r = convertOne("broken.docx", broken)

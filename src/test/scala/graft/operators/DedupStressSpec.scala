@@ -120,7 +120,7 @@ class DedupStressSpec extends SparkTestBase {
       assert(nCand >= 5, "bloom must never drop a true match")
       assert(nCand <= 5 + nCorpus / 20,
         s"bloom pruned to $nCand of $nCorpus corpus passages — too many fps")
-      val confirmed = batch.join(broadcast(candidates), Seq("passage"))
+      val confirmed = batch.join(candidates, Seq("passage"))
         .select($"doc_id", $"corpus_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val exact = passages.filter($"doc_id" < 1000L).as("b")
