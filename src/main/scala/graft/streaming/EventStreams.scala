@@ -24,6 +24,21 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding event-time windows — each event contributes to
+    * window/slide overlapping windows (4 here), the shape behind
+    * "last hour, refreshed every 15 minutes" dashboards. Same watermark
+    * eviction as tumbling: state is bounded by (horizon / slide) open
+    * windows per key, independent of stream length. */
+  def slidingRollup(events: DataFrame, win: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Session windows via the built-in session_window (gap-close semantics
     * matching batch q19's 30-minute gap rule). */
   def sessionRollup(events: DataFrame, gap: String = "30 minutes",

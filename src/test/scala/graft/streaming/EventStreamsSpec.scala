@@ -135,6 +135,29 @@ class EventStreamsSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming slidingRollup matches the batch sliding-window aggregate") {
+    val streamed = runStream("slide", df => EventStreams.slidingRollup(df))
+      .select($"win_start", $"event_type", $"n", $"sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+
+    // batch twin: the same built-in window() explodes each event into its
+    // 4 overlapping (1h, 15m-slide) windows
+    val batch = data.toDF()
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .select($"w.start", $"event_type", $"n", $"sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+
+    assert(streamed.nonEmpty)
+    // each event lands in exactly 4 sliding windows
+    assert(streamed.toSeq.map(_._3).sum == 4L * data.size)
+    assert(streamed == batch)
+  }
+
   test("streaming sessionRollup matches the batch lag-based sessionization (q19 twin)") {
     val streamed = runStream("sess", df =>
       EventStreams.sessionRollup(df).withColumn("event_type", lit("data")))
