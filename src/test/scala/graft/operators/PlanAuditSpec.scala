@@ -33,7 +33,9 @@ class PlanAuditSpec extends SparkTestBase {
     "d5_embedding_cosine_pairs", "d6_decontamination", "d9_passage_dedup",
     "d10_winnowed_dups", "s1_cosine_topk", "s2_ivf_ann_topk",
     "t2_token_counts", "t12_salient_terms", "t13_pii_scrub",
-    "m1_binary_metadata", "p3_shard_packing")
+    "m1_binary_metadata", "p3_shard_packing",
+    "d11_bloom_incremental_dedup", "p4_quality_weighted_sample",
+    "x1_hll_distinct_users")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
