@@ -40,6 +40,29 @@ object MinHashDedup {
     QuerySpec(
       "d4_minhash_lsh_pairs",
       (s, dir) => minhashPairs(s, dir, threshold = 0.5),
+      None),
+
+    // ---------------------------------------------------------------- d12
+    // Incremental FUZZY dedup — the daily production twin of d4 (and the
+    // near-dup sibling of d11's exact pass): near-duplicates of a NEW
+    // batch (doc_id%10==0) against the EXISTING corpus. The corpus's
+    // band/fingerprint tables are exactly what a 100 TB pipeline
+    // PERSISTS as its standing dedup index — computed once, then every
+    // day's batch joins against them: the band equi-join touches
+    // O(|batch|·bands) probe rows (AQE broadcasts the small batch side;
+    // a shuffle join if a batch ever outgrows that), never re-shingling
+    // or self-joining the corpus. Exact Jaccard rerank on the candidate
+    // (batch, corpus) pairs only. Rows-only like d4 (no ANSI-SQL oracle
+    // can express MinHash); recall pinned in DedupStressSpec against the
+    // planted cross-side near-dups.
+    QuerySpec(
+      "d12_minhash_incremental",
+      (s, dir) => {
+        import s.implicits._
+        minhashIncrementalOn(s, Tables(s, dir, "documents"),
+          col("doc_id") % 10 === 0, threshold = 0.5)
+          .orderBy($"jaccard_dist", $"a_id", $"b_id")
+      },
       None))
 
   /** Candidate near-dup pairs with Jaccard distance ≤ threshold.
@@ -49,13 +72,18 @@ object MinHashDedup {
   def minhashPairs(s: SparkSession, dir: String, threshold: Double): DataFrame =
     minhashPairsOn(s, Tables(s, dir, "documents"), threshold)
 
-  /** [[minhashPairs]] over an arbitrary `(doc_id, text)` frame — public so
-    * specs can stress band-bucket fan-out on synthetic skewed corpora. */
-  def minhashPairsOn(s: SparkSession, rawDocs: DataFrame, threshold: Double): DataFrame = {
+  /** The LSH index tables for a `(doc_id, text)` frame: band rows
+    * `(doc_id, band, hv)` and fingerprint rows `(doc_id, hs)` (sorted
+    * xxhash64 shingle arrays). At 100 TB these are the tables a pipeline
+    * persists as its standing dedup index — computed once per corpus,
+    * probed by every incremental batch (d12). Both returned frames are
+    * persisted (signature build + rerank reuse); callers release via
+    * clearCache per the Dedup-object persist note. */
+  def lshIndex(s: SparkSession, rawDocs: DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
     // Shared typed-flatMap shingling (see Shingles); <3-token docs drop.
     val docs = Shingles.sets(s, rawDocs)
-      .persist() // reused: signature build + both sides of the pair rerank
+      .persist() // reused: signature build + the fingerprint projection
 
     val bands = docs.as[(Long, Seq[String])]
       .flatMap { case (id, toks) =>
@@ -74,24 +102,54 @@ object MinHashDedup {
       .toDF("doc_id", "band", "hv")
       .persist()
 
+    val fingerprints = docs.select($"doc_id",
+      array_sort(expr("transform(toks, t -> xxhash64(t))")).as("hs"))
+    (bands, fingerprints)
+  }
+
+  /** Exact-Jaccard rerank of candidate `(a_id, b_id)` pairs over the
+    * fingerprint table; keeps pairs with distance <= `threshold`. */
+  private def rerank(candidates: DataFrame, fingerprints: DataFrame,
+                     threshold: Double): DataFrame = {
+    val ta = fingerprints.select(col("doc_id").as("a_id"), col("hs").as("ta"))
+    val tb = fingerprints.select(col("doc_id").as("b_id"), col("hs").as("tb"))
+    candidates.join(ta, "a_id").join(tb, "b_id")
+      .withColumn("jaccard_dist", round(
+        lit(1.0) - size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double"), 6))
+      .filter(col("jaccard_dist") <= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard_dist"))
+  }
+
+  /** [[minhashPairs]] over an arbitrary `(doc_id, text)` frame — public so
+    * specs can stress band-bucket fan-out on synthetic skewed corpora. */
+  def minhashPairsOn(s: SparkSession, rawDocs: DataFrame, threshold: Double): DataFrame = {
+    import s.implicits._
+    val (bands, fingerprints) = lshIndex(s, rawDocs)
     val candidates = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.hv" === $"y.hv" &&
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
       .distinct()
-
-    // Exact rerank on candidate pairs only, over a compact fingerprint
-    // projection: xxhash64 per shingle (sorted long arrays).
-    val hashed = docs.select($"doc_id",
-      array_sort(expr("transform(toks, t -> xxhash64(t))")).as("hs"))
-    val ta = hashed.select($"doc_id".as("a_id"), $"hs".as("ta"))
-    val tb = hashed.select($"doc_id".as("b_id"), $"hs".as("tb"))
-    candidates.join(ta, "a_id").join(tb, "b_id")
-      .withColumn("jaccard_dist", round(
-        lit(1.0) - size(array_intersect($"ta", $"tb")).cast("double") /
-          size(array_union($"ta", $"tb")).cast("double"), 6))
-      .filter($"jaccard_dist" <= threshold)
-      .select($"a_id", $"b_id", $"jaccard_dist")
+    rerank(candidates, fingerprints, threshold)
       .orderBy($"jaccard_dist", $"a_id", $"b_id")
+  }
+
+  /** d12's batch-vs-corpus candidate generation + rerank over an arbitrary
+    * `(doc_id, text)` frame: `isBatch` rows probe the other rows' band
+    * index; a_id is always the batch doc. Public for DedupStressSpec. */
+  def minhashIncrementalOn(s: SparkSession, rawDocs: DataFrame,
+                           isBatch: org.apache.spark.sql.Column,
+                           threshold: Double): DataFrame = {
+    import s.implicits._
+    val (bands, fingerprints) = lshIndex(s, rawDocs)
+    val bBands = bands.filter(isBatch)
+      .select($"doc_id".as("a_id"), $"band", $"hv")
+    val cBands = bands.filter(!isBatch)
+      .select($"doc_id".as("b_id"), $"band", $"hv")
+    val candidates = bBands.join(cBands, Seq("band", "hv"))
+      .select($"a_id", $"b_id")
+      .distinct()
+    rerank(candidates, fingerprints, threshold)
   }
 }

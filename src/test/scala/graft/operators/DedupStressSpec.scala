@@ -95,6 +95,20 @@ class DedupStressSpec extends SparkTestBase {
       s"rerank must kill hot-band false candidates, got ${pairs.size} pairs")
   }
 
+  test("d12 incremental minhash finds exactly the planted batch-vs-corpus near-dups") {
+    // batch = the odd planted ids; their identical-text partners (even
+    // ids) and all 200 boilerplate docs are the corpus. The batch band
+    // probe must surface exactly the three cross-side pairs — no
+    // boilerplate-driven candidates survive the exact rerank, and
+    // corpus-internal duplicates are not the incremental query's output.
+    val pairs = MinHashDedup.minhashIncrementalOn(spark, skewedDocs,
+        $"doc_id" >= 1000L && $"doc_id" % 2 === 1, threshold = 0.5)
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1001L, 1000L), (1003L, 1002L), (1005L, 1004L)),
+      s"expected the three planted cross pairs, got $pairs")
+  }
+
   // --------------------------------------------------------- d11 bloom
 
   test("d11 bloom prefilter prunes the corpus to ~matches and stays exact") {
