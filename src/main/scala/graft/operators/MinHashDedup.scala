@@ -104,6 +104,7 @@ object MinHashDedup {
 
     val fingerprints = docs.select($"doc_id",
       array_sort(expr("transform(toks, t -> xxhash64(t))")).as("hs"))
+      .persist() // rerank reads it twice (ta and tb sides)
     (bands, fingerprints)
   }
 

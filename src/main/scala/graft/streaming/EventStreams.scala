@@ -18,11 +18,9 @@ object EventStreams {
     * twin of batch q20 (same grouping semantics, plus late-data bound).
     * Works on any DataFrame with (ts: timestamp, event_type, value). */
   def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+    // tumbling = the slide == window special case of slidingRollup
+    slidingRollup(events, win = "1 hour", slide = "1 hour", watermark = watermark)
+      .withColumnRenamed("win_start", "hour")
 
   /** Sliding event-time windows — each event contributes to
     * window/slide overlapping windows (4 here), the shape behind

@@ -101,10 +101,12 @@ class DedupStressSpec extends SparkTestBase {
     // probe must surface exactly the three cross-side pairs — no
     // boilerplate-driven candidates survive the exact rerank, and
     // corpus-internal duplicates are not the incremental query's output.
-    val pairs = MinHashDedup.minhashIncrementalOn(spark, skewedDocs,
-        $"doc_id" >= 1000L && $"doc_id" % 2 === 1, threshold = 0.5)
-      .select($"a_id", $"b_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = try {
+      MinHashDedup.minhashIncrementalOn(spark, skewedDocs,
+          $"doc_id" >= 1000L && $"doc_id" % 2 === 1, threshold = 0.5)
+        .select($"a_id", $"b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    } finally spark.catalog.clearCache()
     assert(pairs == Set((1001L, 1000L), (1003L, 1002L), (1005L, 1004L)),
       s"expected the three planted cross pairs, got $pairs")
   }

@@ -22,7 +22,7 @@ class PlanAuditSpec extends SparkTestBase {
     // d8 reuses d5's block-pair join as its edge source
     "d8_semantic_clusters")
 
-  // join-heavy / scan-heavy representatives; auditing all 64 would add
+  // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
   private val Audited = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q4_nation_revenue",
@@ -35,7 +35,7 @@ class PlanAuditSpec extends SparkTestBase {
     "t2_token_counts", "t12_salient_terms", "t13_pii_scrub",
     "m1_binary_metadata", "p3_shard_packing",
     "d11_bloom_incremental_dedup", "p4_quality_weighted_sample",
-    "x1_hll_distinct_users")
+    "x1_hll_distinct_users", "d12_minhash_incremental")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
