@@ -189,6 +189,80 @@ object Mixing {
           FROM t)
         SELECT doc_id, n_tok, n_good
         FROM sc WHERE v * n_tok < n_good * 256
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------- e1
+    // The composed training-data pipeline — the stages a real user chains
+    // before a training run, as ONE declarative plan: Gopher-lite quality
+    // gate (t6's mean-word-length band + minimum length) → p4's
+    // quality-weighted Bernoulli sample (integer cross-multiplication) →
+    // p2's md5 split route → per-(split, lang) corpus accounting. The
+    // point is composition: every stage is a narrow map-side transform,
+    // so the whole pipeline is ONE scan and its only shuffle is the final
+    // rollup — exactly what chaining the individual operators should
+    // collapse to under Catalyst, and the plan shape a 100 TB curation
+    // run needs (filters and sampling run before anything wide).
+    QuerySpec(
+      "e1_training_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val hexVal = (c: org.apache.spark.sql.Column) =>
+          instr(lit("0123456789abcdef"), c) - 1
+        val toks = split(trim($"text"), "\\s+")
+        val h2 = substring(md5(concat($"doc_id".cast("string"), lit(":qs"))), 1, 2)
+        val digit = substring(md5(concat($"doc_id".cast("string"), lit(":split"))), 1, 1)
+        Tables(s, dir, "documents")
+          .filter($"text".isNotNull && trim($"text") =!= "")
+          .select($"doc_id", $"lang",
+            size(toks).cast("long").as("n_tok"),
+            size(filter(toks, t => length(t).between(3, 12))).cast("long").as("n_good"),
+            length(regexp_replace(trim($"text"), "\\s+", ""))
+              .cast("long").as("n_chars"),
+            (hexVal(substring(h2, 1, 1)) * 16 + hexVal(substring(h2, 2, 1)))
+              .cast("long").as("v"),
+            when(digit.isin("c", "d"), "val")
+              .when(digit.isin("e", "f"), "test")
+              .otherwise("train").as("split"))
+          // quality gate: >=10 tokens AND mean word length in [3, 10]
+          // (integer cross-multiplied: whitespace-stripped chars vs n_tok)
+          .filter($"n_tok" >= 10 &&
+            $"n_chars" >= $"n_tok" * 3L &&
+            $"n_chars" <= $"n_tok" * 10L)
+          // quality-weighted Bernoulli sample (p4 rule)
+          .filter($"v" * $"n_tok" < $"n_good" * 256L)
+          .groupBy($"split", $"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tok").as("sum_tokens"),
+            min($"doc_id").as("min_doc_id"))
+          .orderBy($"split", $"lang")
+      },
+      Some(raw"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 regexp_split_to_array(trim(text), '\s+') AS ws,
+                 length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_chars,
+                 substring(md5(CAST(doc_id AS VARCHAR) || ':qs'), 1, 2) AS h2,
+                 substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1) AS d
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        sc AS (
+          SELECT doc_id, lang,
+                 CAST(len(ws) AS BIGINT) AS n_tok,
+                 CAST(len(list_filter(ws, w -> length(w) BETWEEN 3 AND 12)) AS BIGINT) AS n_good,
+                 CAST(n_chars AS BIGINT) AS n_chars,
+                 CAST((strpos('0123456789abcdef', substring(h2, 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substring(h2, 2, 1)) - 1) AS BIGINT) AS v,
+                 CASE WHEN d IN ('c','d') THEN 'val'
+                      WHEN d IN ('e','f') THEN 'test'
+                      ELSE 'train' END AS split
+          FROM t),
+        kept AS (
+          SELECT * FROM sc
+          WHERE n_tok >= 10
+            AND n_chars >= n_tok * 3
+            AND n_chars <= n_tok * 10
+            AND v * n_tok < n_good * 256)
+        SELECT split, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tokens, MIN(doc_id) AS min_doc_id
+        FROM kept GROUP BY split, lang ORDER BY split, lang"""))
   )
 }

@@ -35,7 +35,8 @@ class PlanAuditSpec extends SparkTestBase {
     "t2_token_counts", "t12_salient_terms", "t13_pii_scrub",
     "m1_binary_metadata", "p3_shard_packing",
     "d11_bloom_incremental_dedup", "p4_quality_weighted_sample",
-    "x1_hll_distinct_users", "d12_minhash_incremental")
+    "x1_hll_distinct_users", "d12_minhash_incremental",
+    "e1_training_pipeline")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
