@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
+import graft.functions.SketchFunctions
 import org.apache.spark.sql.functions._
 
 /** Sketch plane: mergeable approximate aggregates — the 100 TB answer to
@@ -78,9 +79,86 @@ object Sketches {
             $"qs" (0).as("p50_approx"), $"qs" (1).as("p90_approx"))
           .orderBy($"lang")
       },
+      None),
+
+    // ----------------------------------------------------------------- x3
+    // Heavy-hitter tokens per language via a mergeable Misra-Gries
+    // frequent-items sketch (graft.functions.FrequentItemsAgg, a custom
+    // TypedImperativeAggregate — Spark 4's built-in sketches stop at
+    // HLL). Exact top-k by count must shuffle the full (lang, token)
+    // key stream and fully aggregate before any ranking; the sketch's
+    // partials are maxMapSize-bounded maps that merge associatively, so
+    // the exchange moves constant-size buffers per (partition, lang) and
+    // the same partials could be stored per shard/day and re-merged.
+    // Guarantee (pinned in SketchesSpec): every token with true count
+    // > maxError survives, est is within [true - maxError, true].
+    // Rows-only by design (estimates are merge-order-dependent once the
+    // sketch purges); output rows are fixed at topK per language with a
+    // deterministic (est desc, token asc) order.
+    QuerySpec(
+      "x3_frequent_tokens",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"text".isNotNull)
+          .select($"lang",
+            explode(split(lower(trim($"text")), "\\s+")).as("token"))
+          .filter(length($"token") >= 3)
+          .groupBy($"lang")
+          .agg(SketchFunctions.freqItems($"token", FreqMapSize, FreqTopK).as("items"))
+          .select($"lang", posexplode($"items").as(Seq("pos", "it")))
+          .select($"lang", ($"pos" + 1).as("rank"),
+            $"it.token".as("token"), $"it.est".as("est"),
+            $"it.lb".as("lb"), $"it.ub".as("ub"))
+          .orderBy($"lang", $"rank")
+      },
+      None),
+
+    // ----------------------------------------------------------------- x4
+    // Audience-overlap matrix between event types via theta sketches
+    // (graft.functions.ThetaSketchAgg) — the question HLL cannot answer:
+    // "how many distinct users did BOTH a AND b". Exact computation is a
+    // per-pair self-join of the distinct (event_type, user_id) stream —
+    // T^2/2 shuffles of the user universe; the sketch path aggregates
+    // the stream ONCE into T fixed-size (2^lgK) sketches, and every
+    // pairwise intersection is then arithmetic over kilobytes. The pair
+    // join below is a deliberate bounded nested-loop over the T-row
+    // aggregate (T = event-type count), the same dimension-sized
+    // exception PLANS.md documents for d5/s1/s2. Under 2^lgK distinct
+    // users per type the sketches are in exact mode (estimates == true
+    // counts — SketchesSpec pins it); beyond, RSE ~ 1/sqrt(2^lgK).
+    QuerySpec(
+      "x4_theta_user_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val sk = Tables(s, dir, "events")
+          .groupBy($"event_type")
+          .agg(SketchFunctions.thetaSketch($"user_id", ThetaLgK).as("sk"))
+        val a = sk.select($"event_type".as("type_a"), $"sk".as("sk_a"))
+        val b = sk.select($"event_type".as("type_b"), $"sk".as("sk_b"))
+        a.join(broadcast(b), $"type_a" < $"type_b")
+          .select($"type_a", $"type_b",
+            SketchFunctions.thetaEstimate($"sk_a").cast("long").as("users_a"),
+            SketchFunctions.thetaEstimate($"sk_b").cast("long").as("users_b"),
+            SketchFunctions.thetaIntersect($"sk_a", $"sk_b").cast("long")
+              .as("users_both"))
+          .orderBy($"type_a", $"type_b")
+      },
       None)
   )
 
   /** x2's GK-summary accuracy: rank error <= n/accuracy = 1%. */
   val QuantileAccuracy = 100
+
+  /** x3's sketch map size (power of 2). At audit SFs the per-language
+    * vocab fits, so estimates are exact; at 100 TB the map purges and
+    * the NO_FALSE_NEGATIVES guarantee takes over. */
+  val FreqMapSize = 1024
+
+  /** x3's emitted rows per language. */
+  val FreqTopK = 10
+
+  /** x4's theta lgK: 4096 nominal entries — exact below that many
+    * distinct users per event type, ~1.6% RSE above. */
+  val ThetaLgK = 12
 }

@@ -20,7 +20,10 @@ class PlanAuditSpec extends SparkTestBase {
   private val DeliberateNestedLoops = Set(
     "d5_embedding_cosine_pairs", "s1_cosine_topk", "s2_ivf_ann_topk",
     // d8 reuses d5's block-pair join as its edge source
-    "d8_semantic_clusters")
+    "d8_semantic_clusters",
+    // x4's pair join is over the T-row per-event-type sketch aggregate
+    // (T = dimension cardinality), bounded by construction
+    "x4_theta_user_overlap")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -36,7 +39,7 @@ class PlanAuditSpec extends SparkTestBase {
     "m1_binary_metadata", "p3_shard_packing",
     "d11_bloom_incremental_dedup", "p4_quality_weighted_sample",
     "x1_hll_distinct_users", "d12_minhash_incremental",
-    "e1_training_pipeline")
+    "e1_training_pipeline", "x3_frequent_tokens", "x4_theta_user_overlap")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>

@@ -68,4 +68,94 @@ class SketchesSpec extends SparkTestBase {
       assert(rankOk(sorted, p90, 0.9), s"$lang p90=$p90 outside rank bound")
     }
   }
+
+  // ------------------------------------------------------- x3 freq items
+
+  test("frequent-items sketch is exact (lb==est==ub) when the map never purges") {
+    import graft.functions.SketchFunctions
+    // planted counts: tok01 x 60, tok02 x 55, ..., tok20 x 60-5*19; map 256
+    // holds all 20 actives, so maxError stays 0 and every estimate is exact
+    val rows = (1 to 20).flatMap { i =>
+      Seq.fill(65 - 5 * ((i - 1) % 12))(f"tok$i%02d")
+    }
+    val df = spark.createDataset(rows).toDF("token").repartition(4)
+    val out = df.agg(SketchFunctions.freqItems($"token", 256, 5).as("items"))
+      .select(posexplode($"items").as(Seq("pos", "it")))
+      .select($"it.token", $"it.est", $"it.lb", $"it.ub")
+      .collect()
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expectTop = exact.toSeq.sortBy { case (t, n) => (-n, t) }.take(5)
+    assert(out.length == 5)
+    out.zip(expectTop).foreach { case (r, (tok, n)) =>
+      assert(r.getString(0) == tok, s"rank order: got ${r.getString(0)}, want $tok")
+      assert(r.getLong(1) == n && r.getLong(2) == n && r.getLong(3) == n,
+        s"$tok: est/lb/ub ${(r.getLong(1), r.getLong(2), r.getLong(3))} != exact $n")
+    }
+  }
+
+  test("frequent-items NO_FALSE_NEGATIVES guarantee survives purges") {
+    import graft.functions.SketchFunctions
+    // 20k one-off tokens force purges in a 64-entry map; the planted heavy
+    // hitter (1500 occurrences >> maxError <= 3.5*n/64) must survive with
+    // lb <= true <= ub and an error envelope within the published bound
+    val n = 20000
+    val hot = 1500
+    val rows = (0 until n).map(i => f"noise$i%06d") ++ Seq.fill(hot)("heavyhitter")
+    val df = spark.createDataset(scala.util.Random.shuffle(rows.toVector))
+      .toDF("token").repartition(4)
+    val out = df.agg(SketchFunctions.freqItems($"token", 64, 10).as("items"))
+      .select(posexplode($"items").as(Seq("pos", "it")))
+      .select($"it.token", $"it.est", $"it.lb", $"it.ub")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.contains("heavyhitter"),
+      s"heavy hitter purged — NO_FALSE_NEGATIVES violated (got ${out.keys})")
+    val (est, lb, ub) = out("heavyhitter")
+    assert(lb <= hot && hot <= ub, s"true count $hot outside [$lb, $ub]")
+    val bound = (3.5 * (n + hot) / 64).toLong
+    assert(est - hot <= bound && est >= hot,
+      s"est $est vs true $hot exceeds the published MG overestimate bound $bound")
+  }
+
+  test("x3 emits topK rows per language in deterministic order") {
+    val out = graft.SparkEntry.queries("x3_frequent_tokens")(spark, sfDir).collect()
+    val langs = graft.Tables(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select($"lang").distinct().count()
+    assert(out.length == langs * Sketches.FreqTopK)
+    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      assert(rows.map(_.getInt(1)).toSeq == (1 to Sketches.FreqTopK),
+        s"$lang ranks not 1..${Sketches.FreqTopK}")
+      val ests = rows.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(ests.sameElements(ests.sorted.reverse), s"$lang not sorted by est desc")
+    }
+  }
+
+  // ----------------------------------------------------- x4 theta overlap
+
+  test("x4 theta overlap equals exact counts while sketches are in exact mode") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("x4_theta_user_overlap")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val perType = events.select($"event_type", $"user_id").distinct()
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = perType.keys.toSeq.sorted
+    val expectPairs = for {
+      i <- types.indices; j <- (i + 1) until types.size
+    } yield (types(i), types(j))
+    assert(out.keySet == expectPairs.toSet,
+      s"pair set mismatch: ${out.keySet} vs ${expectPairs.toSet}")
+    expectPairs.foreach { case (a, b) =>
+      val (ua, ub2, both) = out((a, b))
+      // under 2^lgK=4096 distinct users per type the theta sketch is a
+      // complete hash set: estimates are EXACT, not approximate
+      assert(perType(a).size < (1 << Sketches.ThetaLgK), "test premise: exact mode")
+      assert(ua == perType(a).size, s"$a: $ua != ${perType(a).size}")
+      assert(ub2 == perType(b).size, s"$b: $ub2 != ${perType(b).size}")
+      assert(both == (perType(a) & perType(b)).size,
+        s"($a,$b): intersection $both != ${(perType(a) & perType(b)).size}")
+    }
+  }
 }
