@@ -100,6 +100,33 @@ object EventStreams {
     // never trips an ambiguous-reference analysis error
     events.join(broadcast(dim), events.col(eventKey) === dim.col(dimKey), "left_outer")
 
+  /** Streaming distinct-users rollup — the streaming twin of batch x1
+    * (Sketches.scala): per-window HLL sketches of the user id, built
+    * incrementally as micro-batches arrive. Two scale properties make
+    * this THE shape for streaming distinct counts:
+    *
+    *  - state per (window, event_type) group is one constant-size HLL
+    *    buffer, not the set of user ids seen — a `countDistinct` over a
+    *    stream would grow state with the key universe;
+    *  - the emitted row carries the serialized SKETCH beside the
+    *    estimate, so a downstream store can union-merge closed windows
+    *    into any coarser rollup (day/week/source) without replaying the
+    *    stream — the streaming half of the store-partials-merge-later
+    *    warehouse pattern x1 demonstrates in batch.
+    *
+    * HLL register updates are idempotent maxes, so the estimate is
+    * independent of arrival order and micro-batch boundaries — the spec
+    * pins streamed == batch equality, not an envelope. */
+  def distinctUsersRollup(events: DataFrame, win: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win).as("w"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        hll_sketch_estimate(col("sk")).cast("long").as("approx_users"),
+        col("sk"))
+
   /** Streaming jobs plane: watch an inbox directory of binary documents and
     * convert each micro-batch through the mapPartitions kernel — the
     * readStream→foreachBatch analog of the Celery worker loop (§3.2).

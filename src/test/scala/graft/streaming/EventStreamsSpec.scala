@@ -158,6 +158,36 @@ class EventStreamsSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming HLL rollup matches batch sketches and re-merges to coarser rollups (x1 twin)") {
+    val streamedDf = runStream("hllroll", df => EventStreams.distinctUsersRollup(df))
+    val streamed = streamedDf
+      .select($"win_start", $"event_type", $"approx_users")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    // HLL register updates are idempotent maxes → estimates are arrival-
+    // order- and micro-batch-independent: exact equality with batch
+    val batch = data.toDF()
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).cast("long").as("n"))
+      .select($"w.start", $"event_type", $"n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+
+    // the emitted sketches must union-merge into the per-type totals a
+    // sketch store would serve — without replaying the stream
+    val remerged = streamedDf
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).cast("long").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wholeStream = data.toDF()
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).cast("long").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(remerged == wholeStream,
+      s"re-merged window sketches drift from one-pass: $remerged vs $wholeStream")
+  }
+
   test("streaming sessionRollup matches the batch lag-based sessionization (q19 twin)") {
     val streamed = runStream("sess", df =>
       EventStreams.sessionRollup(df).withColumn("event_type", lit("data")))
