@@ -719,6 +719,39 @@ object Relational {
                COUNT(CASE WHEN lang = 'es' THEN 1 END) AS n_es,
                COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS n_fr,
                COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS n_zh
-        FROM documents GROUP BY source ORDER BY source"""))
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ---------------------------------------------------------------- q30
+    // Correlated scalar subqueries — parts priced above their brand's
+    // average. The surface is the classic SQL shape users write; the
+    // plan is what matters: Catalyst DECORRELATES each subquery into a
+    // per-brand aggregate joined back on the correlation key (visible as
+    // two equi-joins over a 25-row aggregate — no per-row re-execution,
+    // no nested loop), so the shape scales like any dim-side aggregate
+    // join. Arithmetic stays exact: comparing price * COUNT > SUM in
+    // DECIMAL avoids AVG, whose result type differs between engines
+    // (Spark widens the decimal, DuckDB returns DOUBLE) and would put a
+    // float rounding at the keep/drop boundary. The Spark side runs the
+    // SAME SQL text as the oracle — one source of truth for semantics.
+    QuerySpec(
+      "q30_above_brand_avg",
+      (s, dir) => {
+        Tables(s, dir, "part").createOrReplaceTempView("part")
+        s.sql(Q30Sql)
+      },
+      Some(Q30Sql))
   )
+
+  /** q30 runs identical SQL in Spark and DuckDB (both support correlated
+    * scalar subqueries; both decorrelate to aggregate joins). A `def`,
+    * not a `val`: `specs` above initializes first and captures this at
+    * object-construction time. */
+  private def Q30Sql = """
+    SELECT p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,4)) AS price
+    FROM part p
+    WHERE CAST(p_retailprice AS DECIMAL(18,4)) *
+          (SELECT COUNT(*) FROM part p2 WHERE p2.p_brand = p.p_brand) >
+          (SELECT SUM(CAST(p3.p_retailprice AS DECIMAL(18,4)))
+           FROM part p3 WHERE p3.p_brand = p.p_brand)
+    ORDER BY p_partkey"""
 }

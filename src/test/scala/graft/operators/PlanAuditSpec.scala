@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkTestBase {
     "m1_binary_metadata", "p3_shard_packing",
     "d11_bloom_incremental_dedup", "p4_quality_weighted_sample",
     "x1_hll_distinct_users", "d12_minhash_incremental",
-    "e1_training_pipeline", "x3_frequent_tokens", "x4_theta_user_overlap")
+    "e1_training_pipeline", "x3_frequent_tokens", "x4_theta_user_overlap",
+    "q30_above_brand_avg")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
