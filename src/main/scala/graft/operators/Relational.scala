@@ -739,8 +739,42 @@ object Relational {
         Tables(s, dir, "part").createOrReplaceTempView("part")
         s.sql(Q30Sql)
       },
-      Some(Q30Sql))
+      Some(Q30Sql)),
+
+    variantSpec
   )
+
+  /** q31, built by a `def` for the same init-order reason as [[Q30Sql]]. */
+  private def variantSpec = {
+    // -------------------------------------------------------------- q31
+    // Semi-structured extraction via Spark 4's VARIANT type: parse_json
+    // shreds the JSON text ONCE into a binary variant, and every
+    // variant_get is a typed path read over that encoding — unlike
+    // chained get_json_object calls (q13's classic path), which re-parse
+    // the string per extraction. On a 100 TB event stream with many
+    // extracted paths, that is the difference between one parse and P
+    // parses per row. Results are engine-exact (long extraction, BIGINT
+    // sums), so the DuckDB oracle checks values, not just rows.
+    QuerySpec(
+      "q31_variant_props",
+      (s, dir) => {
+        import s.implicits._
+        val v = parse_json($"props")
+        Tables(s, dir, "events")
+          .select($"event_type", try_variant_get(v, "$.k", "long").as("k"))
+          .groupBy($"event_type")
+          .agg(count($"k").as("n_with_k"), min($"k").as("k_min"),
+            max($"k").as("k_max"), sum($"k").as("k_sum"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type,
+               COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        FROM events GROUP BY event_type ORDER BY event_type"""))
+  }
 
   /** q30 runs identical SQL in Spark and DuckDB (both support correlated
     * scalar subqueries; both decorrelate to aggregate joins). A `def`,

@@ -40,7 +40,7 @@ class PlanAuditSpec extends SparkTestBase {
     "d11_bloom_incremental_dedup", "p4_quality_weighted_sample",
     "x1_hll_distinct_users", "d12_minhash_incremental",
     "e1_training_pipeline", "x3_frequent_tokens", "x4_theta_user_overlap",
-    "q30_above_brand_avg")
+    "q30_above_brand_avg", "q31_variant_props")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
