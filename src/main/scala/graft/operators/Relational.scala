@@ -741,6 +741,158 @@ object Relational {
       },
       Some(Q30Sql)),
 
+    // ---------------------------------------------------------------- q32
+    // UNPIVOT (wide → long) — the inverse of q29's pivot, closing the
+    // reshape pair. Spark's Dataset.unpivot compiles to an Expand node:
+    // a NARROW projection that emits one row per measure column with no
+    // shuffle and no values-discovery pass, so at 100 TB the cost is the
+    // upstream 3-row aggregate, not the reshape. The oracle spells the
+    // same semantics as the portable UNION ALL form.
+    QuerySpec(
+      "q32_measure_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            dsum($"l_quantity").as("qty"),
+            dsum($"l_extendedprice").as("price"),
+            dsum($"l_discount").as("disc"))
+          .unpivot(Array($"l_returnflag"), Array($"qty", $"price", $"disc"),
+            "measure", "value")
+          .orderBy($"l_returnflag", $"measure")
+      },
+      Some("""
+        WITH wide AS (
+          SELECT l_returnflag,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS price,
+                 CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS disc
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide
+        UNION ALL SELECT l_returnflag, 'price' AS measure, price FROM wide
+        UNION ALL SELECT l_returnflag, 'disc' AS measure, disc FROM wide
+        ORDER BY l_returnflag, measure""")),
+
+    // ---------------------------------------------------------------- q33
+    // Value-based RANGE window frame — rolling 30-day spend per customer.
+    // The frame is defined on the ORDER BY *value* (epoch-day), so absent
+    // days fall out of the window correctly where a ROWS frame (q6's
+    // running-total shape) would silently include arbitrarily old orders.
+    // This is the one-shuffle answer to "rolling aggregate over event
+    // time": partition by key, sort once, slide the frame — never the
+    // O(n·w) self-join a naive day-range join would cost at 100 TB.
+    // Sums stay in DECIMAL through the frame; the double cast happens
+    // after, so both engines convert the same exact value.
+    QuerySpec(
+      "q33_rolling_month_spend",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables(s, dir, "orders")
+          .withColumn("day_idx",
+            datediff(to_date($"o_orderdate"), lit("1992-01-01").cast("date")).cast("long"))
+          .groupBy($"o_custkey", $"day_idx")
+          .agg(sum(dec($"o_totalprice")).as("d"))
+        val w = Window.partitionBy($"o_custkey").orderBy($"day_idx").rangeBetween(-29, 0)
+        daily
+          .select($"o_custkey", $"day_idx",
+            sum($"d").over(w).cast("double").as("spend_30d"))
+          .orderBy($"o_custkey", $"day_idx")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT o_custkey,
+                 datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS d
+          FROM orders GROUP BY 1, 2)
+        SELECT o_custkey, day_idx,
+               CAST(SUM(d) OVER (PARTITION BY o_custkey ORDER BY day_idx
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        FROM daily ORDER BY o_custkey, day_idx""")),
+
+    // ---------------------------------------------------------------- q34
+    // Statistical aggregates — stddev and correlation — computed from
+    // DECIMAL power sums (Σx, Σx², Σxy), not the built-in stddev/corr:
+    // the builtins accumulate doubles, so their result depends on
+    // partition merge order and can differ between engines (and between
+    // runs!) at the last ulp. Power sums are exact in decimal — one
+    // map-side-combined pass, 6 numbers per group regardless of input
+    // size — and the closed-form double arithmetic after is identical in
+    // both engines, rounded at 6dp to absorb the final sqrt's ulp.
+    QuerySpec(
+      "q34_exact_moments",
+      (s, dir) => {
+        import s.implicits._
+        val q = dec($"l_quantity")
+        val p = dec($"l_extendedprice")
+        Tables(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(q).as("sq"), sum(q * q).as("sqq"),
+            sum(p).as("sp"), sum(p * p).as("spp"),
+            sum(q * p).as("sqp"))
+          .select(
+            $"l_returnflag", $"n",
+            round($"sq".cast("double") / $"n", 6).as("avg_qty"),
+            round(sqrt(($"n" * $"sqq".cast("double") - $"sq".cast("double") * $"sq".cast("double")) /
+              ($"n" * ($"n" - lit(1)))), 6).as("std_qty"),
+            round(($"n" * $"sqp".cast("double") - $"sq".cast("double") * $"sp".cast("double")) /
+              (sqrt($"n" * $"sqq".cast("double") - $"sq".cast("double") * $"sq".cast("double")) *
+               sqrt($"n" * $"spp".cast("double") - $"sp".cast("double") * $"sp".cast("double"))), 6)
+              .as("corr_qty_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        WITH sums AS (
+          -- DECIMAL(19,4) operands force DuckDB's INT128 multiply path
+          -- ((18,4)·(18,4) would try INT64 and overflow); the (38,8)
+          -- product is exact, matching Spark's (37,8)
+          SELECT l_returnflag, COUNT(*) AS n,
+                 SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq,
+                 SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sqq,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sp,
+                 SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS spp,
+                 SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sqp
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               ROUND(CAST(sq AS DOUBLE) / n, 6) AS avg_qty,
+               ROUND(sqrt((n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) /
+                 (n * (n - 1))), 6) AS std_qty,
+               ROUND((n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
+                 (sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+                  sqrt(n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6)
+                 AS corr_qty_price
+        FROM sums ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- q35
+    // NTILE — equal-frequency bucketing, the one ranking window shape the
+    // suite lacked. The ORDER BY carries a unique tiebreak (c_custkey) so
+    // bucket membership is total-order deterministic; both engines use
+    // the standard rule (first n MOD k buckets get the extra row).
+    // Scale note: a GLOBAL ntile needs a total sort (range exchange) —
+    // fine for dimension-sized inputs like customers; for a 100 TB fact
+    // column the right tool is the mergeable quantile sketch (x2), with
+    // width_bucket against its cutpoints replacing the sort entirely.
+    QuerySpec(
+      "q35_balance_deciles",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.orderBy($"c_acctbal", $"c_custkey")
+        Tables(s, dir, "customer")
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("bal_sum"))
+          .orderBy($"decile")
+      },
+      Some("""
+        WITH d AS (
+          SELECT c_acctbal, NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+          FROM customer)
+        SELECT decile, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_sum
+        FROM d GROUP BY decile ORDER BY decile""")),
+
     variantSpec
   )
 

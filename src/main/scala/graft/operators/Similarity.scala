@@ -66,7 +66,55 @@ object Similarity {
     QuerySpec(
       "s2_ivf_ann_topk",
       (s, dir) => ivfTopK(s, dir, nQueries = 10, nProbe = 2, k = 5),
-      None)
+      None),
+
+    // ----------------------------------------------------------------- s3
+    // Int8 symmetric quantization — the compression step a 100 TB vector
+    // store runs before ANN serving (4× memory vs float32, 8× vs float64):
+    // per-vector scale = max|x|/127, q_i = clamp(floor(x_i·127/max|x|)).
+    // Entirely per-row narrow HOF work — zero shuffles, and the binary
+    // vector column never moves; only the compact summary is projected.
+    // floor (not round) keeps the keep/drop boundary bitwise-deterministic:
+    // both engines evaluate the identical double expression tree, so the
+    // oracle checks exact values, including the saturation count.
+    QuerySpec(
+      "s3_int8_quantize",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "embeddings")
+          .withColumn("maxabs",
+            array_max(transform($"embedding", x => abs(x.cast("double")))))
+          .withColumn("qv", expr(
+            """transform(embedding, x -> CASE WHEN maxabs = 0D THEN CAST(0 AS BIGINT)
+              |  ELSE CAST(greatest(-127.0D, least(127.0D,
+              |         floor((CAST(x AS DOUBLE) * 127.0D) / maxabs))) AS BIGINT) END)""".stripMargin))
+          .select(
+            $"vec_id",
+            size($"embedding").cast("long").as("n_dims"),
+            ($"maxabs" / 127.0).as("scale"),
+            expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
+            array_min($"qv").as("q_min"),
+            array_max($"qv").as("q_max"),
+            expr("CAST(size(filter(qv, x -> abs(x) = 127)) AS BIGINT)").as("n_sat"))
+          .orderBy($"vec_id")
+      },
+      Some("""
+        WITH m AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+          FROM embeddings),
+        q AS (
+          SELECT vec_id, maxabs, CAST(len(embedding) AS BIGINT) AS n_dims,
+                 list_transform(embedding, x -> CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(greatest(-127.0, least(127.0,
+                          floor((CAST(x AS DOUBLE) * 127.0) / maxabs))) AS BIGINT) END) AS qv
+          FROM m)
+        SELECT vec_id, n_dims, maxabs / 127.0 AS scale,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               list_min(qv) AS q_min,
+               list_max(qv) AS q_max,
+               CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+        FROM q ORDER BY vec_id"""))
   )
 
   /** IVF search: coarse cells = `label`, probe the `nProbe` nearest

@@ -580,6 +580,45 @@ object TextAnalysis {
           CAST(len(regexp_extract_all(raw, '\+\d-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
           CAST(length(scrubbed) AS BIGINT) AS scrub_len,
           md5(scrubbed) AS fp
-        FROM s ORDER BY doc_id"""))
+        FROM s ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t14
+    // De-stutter scrub — collapse CONSECUTIVE duplicate tokens, the
+    // intra-document repetition REMOVAL step (t9 only measures it): the
+    // standard cleanup for ASR/OCR-derived text and boilerplate stutter
+    // ("the the", repeated watermarks). Pure per-row HOF work — narrow,
+    // zero shuffles, embarrassingly parallel at 100 TB. Each token
+    // compares to its predecessor in the ORIGINAL sequence, so a run of
+    // k equal tokens keeps exactly its first. The corpus demonstrably
+    // exercises it: 914 collapses at sf0.01. The oracle re-derives the
+    // cleaned text independently (DuckDB lambda indexes are 1-based,
+    // Spark's 0-based — both read "previous element") and pins the md5.
+    QuerySpec(
+      "t14_destutter",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .withColumn("ws", split($"text", " "))
+          .withColumn("kept", expr(
+            "filter(ws, (w, i) -> i = 0 OR w != element_at(ws, i))"))
+          .select(
+            $"doc_id",
+            size($"ws").cast("long").as("n_tokens"),
+            (size($"ws") - size($"kept")).cast("long").as("n_collapsed"),
+            md5(array_join($"kept", " ")).as("clean_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        k AS (
+          SELECT doc_id, ws,
+                 list_filter(ws, (x, i) -> i = 1 OR x != ws[i - 1]) AS kept
+          FROM w)
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_tokens,
+               CAST(len(ws) - len(kept) AS BIGINT) AS n_collapsed,
+               md5(array_to_string(kept, ' ')) AS clean_fp
+        FROM k ORDER BY doc_id"""))
   )
 }

@@ -40,7 +40,9 @@ class PlanAuditSpec extends SparkTestBase {
     "d11_bloom_incremental_dedup", "p4_quality_weighted_sample",
     "x1_hll_distinct_users", "d12_minhash_incremental",
     "e1_training_pipeline", "x3_frequent_tokens", "x4_theta_user_overlap",
-    "q30_above_brand_avg", "q31_variant_props")
+    "q30_above_brand_avg", "q31_variant_props",
+    "q32_measure_unpivot", "q33_rolling_month_spend", "q34_exact_moments",
+    "q35_balance_deciles", "s3_int8_quantize")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
@@ -81,5 +83,23 @@ class PlanAuditSpec extends SparkTestBase {
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     assert(planOf("q17_top_orders_global").contains("TakeOrderedAndProject"))
     assert(planOf("q3_shipping_priority").contains("TakeOrderedAndProject"))
+  }
+
+  test("q32 unpivot compiles to Expand — a narrow projection, no join/generator") {
+    val p = planOf("q32_measure_unpivot")
+    assert(p.contains("Expand"), s"q32 lost its Expand node:\n${p.take(600)}")
+    assert(!p.contains("Join"), s"q32 grew a join:\n${p.take(600)}")
+  }
+
+  test("s3 quantization is narrow: no shuffle before the sort, pruned scan") {
+    val p = planOf("s3_int8_quantize")
+    // the only exchange is the presentation sort's range partitioning —
+    // quantization itself must never move data
+    assert(!p.contains("hashpartitioning"),
+      s"s3 grew a hash shuffle:\n${p.take(800)}")
+    val readSchema = "ReadSchema: ([^\\n]+)".r
+      .findAllMatchIn(p).map(_.group(1)).mkString(" ")
+    assert(!readSchema.contains("label"),
+      s"s3 reads the unused label column: $readSchema")
   }
 }
