@@ -46,6 +46,20 @@ object Bench {
       val warmPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
       operators.Dedup.connectedComponents(spark, warmPairs)._1
         .write.format("noop").mode("overwrite").save()
+      // same principle for the kernel plane: a 3-doc synthetic corpus
+      // through the real binaryFile→mapPartitions pipeline warms source
+      // listing, parser class-load and serializer codegen (k1-k4
+      // otherwise pay it on their own clock), and one placeholder-PNG
+      // decode warms the ImageIO codec registry (m2's first-use cost).
+      // Tiny inputs: this warms CODE PATHS, never the measured data.
+      val warmDir = Files.createTempDirectory("graft_bench_warm")
+      Files.write(warmDir.resolve("a.md"), "# t\n\nbody".getBytes("UTF-8"))
+      Files.write(warmDir.resolve("b.csv"), "a,b\n1,2".getBytes("UTF-8"))
+      Files.write(warmDir.resolve("c.html"), "<p>x <a href=\"u\">l</a></p>".getBytes("UTF-8"))
+      Pipeline.convertDirectory(spark, warmDir.toString)
+        .write.format("noop").mode("overwrite").save()
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        kernel.ImageRenderer.renderPicture(1)))
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 
