@@ -893,8 +893,39 @@ object Relational {
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_sum
         FROM d GROUP BY decile ORDER BY decile""")),
 
+    // ---------------------------------------------------------------- q36
+    // NOT IN — the null-aware anti join. Distinct from q10's NOT EXISTS
+    // (plain left-anti): SQL's NOT IN must return ZERO rows if the
+    // subquery yields any NULL, so Spark plans a special null-aware
+    // variant (BroadcastHashJoin LeftAnti with isNullAwareAntiJoin, which
+    // degenerates to "emit nothing" the moment a null build-side key is
+    // seen) rather than a plain anti join. Both engines implement the
+    // three-valued-logic semantics; the subquery here is null-free, so
+    // the result is the set difference — but the PLAN is the null-aware
+    // operator, pinning that the engine handles the trap correctly.
+    // Scale: build side is the filtered key set of a fact slice —
+    // broadcastable once aggregated; never a per-row re-execution.
+    QuerySpec(
+      "q36_not_in_big_spenders",
+      (s, dir) => {
+        Tables(s, dir, "customer").createOrReplaceTempView("customer")
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(Q36Sql)
+      },
+      Some(Q36Sql)),
+
     variantSpec
   )
+
+  /** q36 runs identical SQL in Spark and DuckDB (same NOT IN
+    * three-valued-logic semantics). A `def` for the same init-order
+    * reason as [[Q30Sql]]. */
+  private def Q36Sql = """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+    ORDER BY c_custkey"""
 
   /** q31, built by a `def` for the same init-order reason as [[Q30Sql]]. */
   private def variantSpec = {

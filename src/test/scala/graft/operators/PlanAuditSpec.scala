@@ -42,7 +42,7 @@ class PlanAuditSpec extends SparkTestBase {
     "e1_training_pipeline", "x3_frequent_tokens", "x4_theta_user_overlap",
     "q30_above_brand_avg", "q31_variant_props",
     "q32_measure_unpivot", "q33_rolling_month_spend", "q34_exact_moments",
-    "q35_balance_deciles", "s3_int8_quantize")
+    "q35_balance_deciles", "s3_int8_quantize", "q36_not_in_big_spenders")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
@@ -83,6 +83,15 @@ class PlanAuditSpec extends SparkTestBase {
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     assert(planOf("q17_top_orders_global").contains("TakeOrderedAndProject"))
     assert(planOf("q3_shipping_priority").contains("TakeOrderedAndProject"))
+  }
+
+  test("q36 NOT IN plans the null-aware anti join, broadcast build side") {
+    val p = planOf("q36_not_in_big_spenders")
+    // BroadcastHashJoin ..., LeftAnti, BuildRight, true — the trailing
+    // flag is isNullAwareAntiJoin: NOT IN's three-valued logic, not a
+    // plain anti join
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"q36 lost the null-aware anti join:\n${p.take(800)}")
   }
 
   test("q32 unpivot compiles to Expand — a narrow projection, no join/generator") {
