@@ -68,6 +68,30 @@ object EventStreams {
       .select(col("a_id"), col("b_id"), col("a_user").as("user_id"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[followupPairsStream]]'s
+    * outer variant, the hard streaming case: a trigger with NO follow-up
+    * within `window` must still emit (b_id NULL), and the engine can only
+    * prove the negative once the watermark passes a_ts + window — so the
+    * outer row is emitted exactly when the trigger's join state is
+    * evicted. Same two-sided time bounds ⇒ same bounded state as the
+    * inner form; the negative answer costs nothing extra. This is the
+    * "did the user act again, or churn?" shape: the batch alternative is
+    * an anti-join re-scanning the lake per horizon, while here both the
+    * positive and negative results stream out of O(horizon) state. */
+  def followupPairsStreamOuter(events: DataFrame, window: String = "10 minutes",
+                               watermark: String = "2 hours"): DataFrame = {
+    val a = events.withWatermark("ts", watermark)
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("ts").as("a_ts"))
+    val b = events.withWatermark("ts", watermark)
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"))
+    a.join(b, expr(
+      s"a_user = b_user AND b_ts > a_ts AND b_ts <= a_ts + INTERVAL $window"),
+      "leftOuter")
+      .select(col("a_id"), col("b_id"), col("a_user").as("user_id"))
+  }
+
   /** Streaming exact dedup — the ingest-time twin of batch d1: documents
     * arriving on a stream keep only the FIRST occurrence of each content
     * hash. dropDuplicatesWithinWatermark scopes the dedup state to the

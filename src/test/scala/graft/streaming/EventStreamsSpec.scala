@@ -72,6 +72,25 @@ class EventStreamsSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("left-outer interval join emits unmatched triggers at state eviction (outer q26 twin)") {
+    // the sentinel rows are themselves unmatched triggers in an OUTER
+    // join (user -1 never recurs), so filter them by id, not event_type
+    val streamed = runStream("followup_outer_out",
+      df => EventStreams.followupPairsStreamOuter(df).select(
+        $"a_id", $"b_id", lit(null).cast("string").as("event_type")))
+      .filter($"a_id" =!= -1L)
+      .select($"a_id", $"b_id").as[(Long, Option[Long])].collect().toSet
+    val df = data.toDF()
+    val batch = df.as("a").join(df.as("b"), expr(
+      "a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTES"),
+      "left_outer")
+      .select($"a.event_id", $"b.event_id").as[(Long, Option[Long])].collect().toSet
+    // fixture must exercise BOTH outcomes: matched pairs and
+    // no-follow-up triggers (the null-extended rows the outer form adds)
+    assert(batch.exists(_._2.isEmpty) && batch.exists(_._2.nonEmpty))
+    assert(streamed == batch)
+  }
+
   test("stream-static enrichment join matches the batch dimension lookup, stateless") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dim = graft.Tables(spark, sfDir, "customer")
