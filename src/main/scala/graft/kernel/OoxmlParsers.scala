@@ -280,11 +280,12 @@ object OoxmlParsers {
     private val RelsPart = "word/_rels/document.xml.rels"
     private val NumberingPart = "word/numbering.xml"
     private val FootnotesPart = "word/footnotes.xml"
+    private val EndnotesPart = "word/endnotes.xml"
 
     def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] = {
       val parts = zipEntries(bytes,
         n => n == "word/document.xml" || n == RelsPart || n == NumberingPart ||
-          n == FootnotesPart || n.startsWith("word/media/") ||
+          n == FootnotesPart || n == EndnotesPart || n.startsWith("word/media/") ||
           n.startsWith("word/charts/") || n.startsWith("word/diagrams/") ||
           n.startsWith("word/header") || n.startsWith("word/footer") ||
           n.startsWith("word/_rels/header") || n.startsWith("word/_rels/footer"))
@@ -296,8 +297,15 @@ object OoxmlParsers {
             val relTarget = rels.map(r => r.id -> r.target).toMap
             val numbering =
               parts.get(NumberingPart).map(parseNumbering).getOrElse(Map.empty)
+            // footnote/endnote ids live in separate parts and can collide,
+            // so each id is namespaced ("f2" / "e2"); the reference sites
+            // look up with the matching prefix. One shared [^n] sequence
+            // keeps markers unique in the linear export.
             val footnotes =
-              parts.get(FootnotesPart).map(parseFootnotes).getOrElse(Map.empty)
+              parts.get(FootnotesPart).map(x => parseNotes(x, "footnote"))
+                .getOrElse(Map.empty).map { case (k, v) => ("f" + k) -> v } ++
+              parts.get(EndnotesPart).map(x => parseNotes(x, "endnote"))
+                .getOrElse(Map.empty).map { case (k, v) => ("e" + k) -> v }
             val media: String => Option[Array[Byte]] =
               id => relTarget.get(id).flatMap(t => parts.get(resolveTarget("word", t)))
             val charts: String => Option[TableElement] =
@@ -363,9 +371,11 @@ object OoxmlParsers {
       (hdr.toSeq, ftr.toSeq)
     }
 
-    /** word/footnotes.xml → (footnote id → text). Separator/continuation
-      * stubs (w:type present) are skipped; paragraphs join with a space. */
-    private[kernel] def parseFootnotes(xml: Array[Byte]): Map[String, String] = {
+    /** word/footnotes.xml or word/endnotes.xml → (id → text); `element`
+      * is "footnote" or "endnote" (the parts share their schema shape).
+      * Separator/continuation stubs (w:type present) are skipped;
+      * paragraphs join with a space. */
+    private[kernel] def parseNotes(xml: Array[Byte], element: String): Map[String, String] = {
       val r = newReader(xml)
       val out = Map.newBuilder[String, String]
       var curId: Option[String] = None
@@ -382,7 +392,7 @@ object OoxmlParsers {
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
               case "Fallback" => skipDepth = 1
-              case "footnote" =>
+              case `element` =>
                 curId = if (attr(r, "type").isDefined) None else attr(r, "id")
                 buf.clear()
               case "t" if curId.isDefined => buf ++= r.getElementText
@@ -392,7 +402,7 @@ object OoxmlParsers {
             r.getLocalName match {
               case "p" if curId.isDefined =>
                 if (buf.nonEmpty && !buf.endsWith(" ")) buf += ' '
-              case "footnote" =>
+              case `element` =>
                 curId.foreach(id => out += id -> buf.toString.trim)
                 curId = None
               case _ => ()
@@ -689,8 +699,13 @@ object OoxmlParsers {
                 if (tblDepth >= 1) cellBuf ++= text
                 else paraSegs += ((text, runBold, runItalic))
               case "footnoteReference" if tblDepth == 0 =>
-                for (id <- attr(r, "id") if footnotes.contains(id)) {
-                  val n = footnoteOrder.getOrElseUpdate(id, footnoteOrder.size + 1)
+                for (id <- attr(r, "id"); k = "f" + id if footnotes.contains(k)) {
+                  val n = footnoteOrder.getOrElseUpdate(k, footnoteOrder.size + 1)
+                  paraSegs += ((s"[^$n]", false, false))
+                }
+              case "endnoteReference" if tblDepth == 0 =>
+                for (id <- attr(r, "id"); k = "e" + id if footnotes.contains(k)) {
+                  val n = footnoteOrder.getOrElseUpdate(k, footnoteOrder.size + 1)
                   paraSegs += ((s"[^$n]", false, false))
                 }
               case "tab" if tblDepth == 0 => paraSegs += ((" ", false, false))

@@ -238,6 +238,33 @@ class OoxmlParsersSpec extends AnyFunSuite {
     assert(r.markdown == "Claim[^1]\n\n[^1]: Boxed footnote.")
   }
 
+  test("docx: endnotes share the marker sequence; colliding ids stay distinct") {
+    // endnote id 2 COLLIDES with footnote id 2 — the namespaced lookup
+    // must keep them distinct, one [^n] sequence across both parts
+    val footnotes =
+      s"""<?xml version="1.0"?><w:footnotes xmlns:w="$W">
+         |<w:footnote w:id="2"><w:p><w:r><w:t>Foot text.</w:t></w:r></w:p></w:footnote>
+         |</w:footnotes>""".stripMargin
+    val endnotes =
+      s"""<?xml version="1.0"?><w:endnotes xmlns:w="$W">
+         |<w:endnote w:id="-1" w:type="separator"><w:p><w:r><w:t>sep</w:t></w:r></w:p></w:endnote>
+         |<w:endnote w:id="2"><w:p><w:r><w:t>End text.</w:t></w:r></w:p></w:endnote>
+         |</w:endnotes>""".stripMargin
+    val body =
+      s"""<w:p><w:r><w:t>Claim</w:t></w:r><w:r><w:footnoteReference w:id="2"/></w:r>
+         |<w:r><w:t> and more</w:t></w:r><w:r><w:endnoteReference w:id="2"/></w:r></w:p>""".stripMargin
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "word/document.xml" ->
+        s"""<?xml version="1.0"?><w:document xmlns:w="$W"><w:body>$body</w:body></w:document>""",
+      "word/footnotes.xml" -> footnotes,
+      "word/endnotes.xml" -> endnotes)
+    val r = convertOne("endnote.docx", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown ==
+      "Claim[^1] and more[^2]\n\n[^1]: Foot text.\n\n[^2]: End text.")
+  }
+
   test("docx: missing document.xml part is an error row, not a throw") {
     val broken = zip("word/other.xml" -> "<x/>")
     val r = convertOne("broken.docx", broken)
