@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.{FormatDetection, UploadValidation}
@@ -57,5 +57,26 @@ object Pipeline {
           } else ConvertKernel.convertOne(name, content, config, batchMode)
         }
       }.toDF()
+  }
+
+  /** [[convertDirectory]] with run metrics attached via Spark's
+    * Observation API — the engine analog of the reference's per-job
+    * result stats (service.py:244-273 aggregates success/failure counts
+    * per batch). The metrics ride the SAME action as accumulators:
+    * no second pass over the data, where a bookkeeping `.count()` at
+    * 100 TB would re-run the kernel. After any action on the returned
+    * frame, `observation.get` yields n_docs / n_errors / markdown_chars. */
+  def convertDirectoryObserved(spark: SparkSession, dir: String,
+                               config: ConversionConfig = ConversionConfig(),
+                               maxFileMb: Int = UploadValidation.DefaultMaxFileMb,
+                               batchMode: Boolean = true): (DataFrame, Observation) = {
+    val obs = Observation()
+    val out = convertDirectory(spark, dir, config, maxFileMb, batchMode)
+      .observe(obs,
+        count(lit(1)).as("n_docs"),
+        count(col("error")).as("n_errors"),
+        sum(length(coalesce(col("markdown"), lit("")))).cast("long")
+          .as("markdown_chars"))
+    (out, obs)
   }
 }

@@ -39,6 +39,22 @@ class PipelineSpec extends SparkTestBase {
       Some(ingest.UploadValidation.fileTooLargeError(1)))
   }
 
+  test("convertDirectoryObserved reports run metrics from the conversion action itself") {
+    val dir = Files.createTempDirectory("graft-pipeline-obs")
+    write(dir, "a.md", "# A\n\nOne.".getBytes(StandardCharsets.UTF_8))
+    write(dir, "b.csv", "x,y\n1,2\n".getBytes(StandardCharsets.UTF_8))
+    write(dir, "bad.md", "ID3".getBytes ++ Array[Byte](4, 0) ++ Array.fill[Byte](16)(9))
+
+    val (out, obs) = Pipeline.convertDirectoryObserved(spark, dir.toString)
+    val rows = out.collect() // one action; metrics ride it as accumulators
+    val m = obs.get
+
+    assert(m("n_docs") == 3L)
+    assert(m("n_errors") == 1L)
+    val expectedChars = rows.map(r => Option(r.getString(1)).map(_.length.toLong).getOrElse(0L)).sum
+    assert(m("markdown_chars") == expectedChars && expectedChars > 0)
+  }
+
   test("convertDirectory honors the requested output format end-to-end") {
     val dir = Files.createTempDirectory("graft-pipeline-json")
     write(dir, "notes.md", "# Hello\n\nBody.".getBytes(StandardCharsets.UTF_8))

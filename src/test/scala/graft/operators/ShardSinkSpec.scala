@@ -34,5 +34,21 @@ class ShardSinkSpec extends SparkTestBase {
     val b = back.select(packed.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
       .orderBy($"doc_id").collect().map(_.toSeq.toVector).toVector
     assert(a == b)
+
+    // partition PRUNING: a filter on the partition column must reach the
+    // scan as a PartitionFilter and cut the file listing to one shard's
+    // directory — the property that lets a 100 TB loader read one shard
+    // without listing-and-skipping the other thousands
+    val oneShard = expectedShards.head
+    val pruned = back.filter($"shard" === oneShard)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(shard"),
+      s"shard filter did not reach PartitionFilters:\n${plan.take(600)}")
+    val scannedFiles = pruned
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().as[String].collect()
+    assert(scannedFiles.nonEmpty &&
+      scannedFiles.forall(_.contains(s"shard=$oneShard")),
+      s"pruned scan still read other shards: ${scannedFiles.take(3).mkString(",")}")
   }
 }
