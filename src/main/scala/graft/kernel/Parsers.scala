@@ -374,9 +374,35 @@ object Parsers {
       Left(s"Format '$format' requires ML parsing models not available in this build")
   }
 
+  /** Image inputs (PNG/JPEG/GIF/BMP/TIFF — `image` is a first-class
+    * InputFormat, reference utils.py:9-17): the reference renders the
+    * image to a page and runs Docling layout+OCR over it
+    * (Dockerfile:45-51). In a pure-JVM zero-egress build the structural
+    * subset is the document that pipeline produces BEFORE the text models
+    * run — a single-page doc holding the picture itself, which the kernel
+    * then decodes/scales/re-encodes per request config exactly like
+    * embedded DOCX/PPTX media (so the ImageData array and counters come
+    * out right). OCR TEXT extraction stays scoped out, and stays HONEST:
+    * the markdown is the image placeholder (never silently-empty "text"),
+    * and an undecodable payload is an error row, not a blank picture. */
+  object ImageParser extends FormatParser {
+    def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] = {
+      val decoded =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None }
+      decoded match {
+        case Some(_) =>
+          Right(DocTree(name, Seq(PictureElement(None, rawMedia = Some(bytes)))))
+        case None =>
+          Left(s"Could not decode image '$name' (OCR text extraction additionally " +
+            "requires ML models not available in this build)")
+      }
+    }
+  }
+
   /** Parser registry keyed by detected InputFormat. docx/pptx are pure-JVM
-    * zip+StAX walks (OoxmlParsers); only the genuinely-ML formats
-    * (pdf layout models, image OCR) remain honestly unsupported. */
+    * zip+StAX walks (OoxmlParsers); pdf is the positioned-text parser;
+    * image inputs convert structurally (picture document, no OCR text). */
   val byFormat: Map[String, FormatParser] = Map(
     "md" -> MarkdownParser,
     "csv" -> CsvParser,
@@ -385,5 +411,5 @@ object Parsers {
     "docx" -> OoxmlParsers.DocxParser,
     "pptx" -> OoxmlParsers.PptxParser,
     "pdf" -> PdfParser,
-    "image" -> new UnsupportedParser("image"))
+    "image" -> ImageParser)
 }

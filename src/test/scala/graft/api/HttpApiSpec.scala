@@ -155,6 +155,14 @@ class HttpApiSpec extends SparkTestBase {
     assert(batch.body().contains(""""markdown":"# Fine""""), batch.body())
   }
 
+  test("image upload converts to a picture document over HTTP (no 500)") {
+    val png = graft.kernel.ImageRenderer.renderPicture(1)
+    val r = post("/documents/convert", multipart(("document", "photo.png", png)))
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains(""""markdown":"picture-1.png""""), r.body())
+    assert(r.body().contains(""""filename":"picture-1.png""""), r.body())
+  }
+
   test("async job lifecycle: submit IN_PROGRESS, poll to SUCCESS; unknown id quirk") {
     val sub = post("/conversion-jobs",
       multipart(("document", "job.md", "# Job\n\nAsync.".getBytes(StandardCharsets.UTF_8))))

@@ -210,8 +210,21 @@ class ConvertKernelSpec extends SparkTestBase {
         "- [alpha](/a)\n- plain\n\nnot a link")
   }
 
+  test("image input converts to a one-picture document (structural, no OCR text)") {
+    val png = graft.kernel.ImageRenderer.renderPicture(1)
+    val r = convertOne("photo.png", png)
+    assert(r.error == null, String.valueOf(r.error))
+    // the picture splices like any other document's: placeholder becomes
+    // the counter-named image, carried with its base64 PNG payload
+    assert(r.markdown == "picture-1.png")
+    assert(r.images.map(_.filename) == Seq("picture-1.png"))
+    assert(r.images.head.image.nonEmpty)
+  }
+
   test("ML formats produce the reference's error-row shape (O16), never a throw") {
-    // image needs OCR/layout models; pdf without text streams errors too
+    // an UNDECODABLE image stays an error row (OCR text is scoped out;
+    // a blank picture here would be dishonest); pdf without text streams
+    // errors too
     val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
       0x0D.toByte, 0x0A.toByte, 0x1A.toByte, 0x0A.toByte) ++ b("fake")
     val single = convertOne("scan.png", png)
