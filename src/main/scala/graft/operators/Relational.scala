@@ -914,6 +914,51 @@ object Relational {
       },
       Some(Q36Sql)),
 
+    // ---------------------------------------------------------------- q37
+    // Calendar gap-fill (densification): build the complete day spine
+    // with sequence()+explode, left-join the sparse daily aggregate, and
+    // zero-fill the holes — the standard prep before any time-series
+    // model or window that assumes contiguous days. The spine derives
+    // from a 1-row min/max aggregate (broadcast cross of a scalar), so
+    // its cost is |days in span|, independent of fact volume; the only
+    // data shuffle is the daily aggregate's. The >490k slice keeps the
+    // series genuinely sparse at every sf (696 empty days at sf0.1) so
+    // the fill demonstrably fires.
+    QuerySpec(
+      "q37_daily_gapfill",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables(s, dir, "orders")
+          .filter($"o_totalprice" > 490000.0)
+          .withColumn("d", to_date($"o_orderdate"))
+        val span = o.agg(min($"d").as("d0"), max($"d").as("d1"))
+        val days = span.select(
+          explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+        val daily = o.groupBy($"d")
+          .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("spend"))
+        days.join(daily, days("day") === daily("d"), "left_outer")
+          .select($"day",
+            coalesce($"n_orders", lit(0L)).as("n_orders"),
+            coalesce($"spend", lit(0.0)).as("spend"))
+          .orderBy($"day")
+      },
+      Some("""
+        WITH o AS (
+          SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice
+          FROM orders WHERE o_totalprice > 490000.0),
+        span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM o),
+        days AS (
+          SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM span),
+        daily AS (
+          SELECT d, COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+          FROM o GROUP BY d)
+        SELECT day, COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(spend, 0.0) AS spend
+        FROM days LEFT JOIN daily ON day = d
+        ORDER BY day""")),
+
     variantSpec
   )
 

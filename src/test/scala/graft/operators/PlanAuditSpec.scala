@@ -42,7 +42,8 @@ class PlanAuditSpec extends SparkTestBase {
     "e1_training_pipeline", "x3_frequent_tokens", "x4_theta_user_overlap",
     "q30_above_brand_avg", "q31_variant_props",
     "q32_measure_unpivot", "q33_rolling_month_spend", "q34_exact_moments",
-    "q35_balance_deciles", "s3_int8_quantize", "q36_not_in_big_spenders")
+    "q35_balance_deciles", "s3_int8_quantize", "q36_not_in_big_spenders",
+    "q37_daily_gapfill")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
