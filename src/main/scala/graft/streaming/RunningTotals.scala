@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.functions.unix_millis
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-user running totals via Spark 4's `transformWithState` — the
   * arbitrary-state API that supersedes `flatMapGroupsWithState`
@@ -54,5 +55,59 @@ object RunningTotals {
       .as[(Long, Long)]
       .groupByKey(_._1)
       .transformWithState(new Processor, TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class QuietAlert(user_id: Long, last_seen_ms: Long, fired_at_ms: Long)
+
+  /** Inactivity alerts via EVENT-TIME TIMERS — the other half of the
+    * transformWithState surface ([[Processor]] covers declared state;
+    * this covers `registerTimer`/`handleExpiredTimer`): each event
+    * re-arms the user's timer at last_seen + gap, and when the WATERMARK
+    * crosses an armed timer the expiry callback emits a "user went
+    * quiet" row and clears the key's state. This is the push-based churn
+    * trigger: no per-interval rescans of the user table — silence itself
+    * produces the row, from O(active users) state, each key carrying one
+    * long and one armed timer. */
+  class QuietProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, Long), QuietAlert] {
+    @transient private var lastSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long]("last_seen",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 timerValues: TimerValues): Iterator[QuietAlert] = {
+      val newest = rows.map(_._2).max
+      val prev = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      if (newest > prev) {
+        // re-arm: one live timer per key (delete the stale one if armed)
+        if (prev != Long.MinValue) getHandle.deleteTimer(prev + gapMs)
+        lastSeen.update(newest)
+        getHandle.registerTimer(newest + gapMs)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[QuietAlert] = {
+      val last = lastSeen.get()
+      lastSeen.clear()
+      Iterator.single(QuietAlert(key, last, expiredTimerInfo.getExpiryTimeInMs))
+    }
+  }
+
+  /** Events `(ts, user_id)` with a watermark → one QuietAlert per user
+    * whose silence exceeds `gapMs` (event time). */
+  def inactivityAlerts(spark: SparkSession, events: DataFrame,
+                       gapMs: Long, watermark: String = "10 minutes"): Dataset[QuietAlert] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select($"user_id", unix_millis($"ts").as("event_ms"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new QuietProcessor(gapMs), TimeMode.EventTime(),
+        OutputMode.Append())
   }
 }

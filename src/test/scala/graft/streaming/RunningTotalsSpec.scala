@@ -66,4 +66,44 @@ class RunningTotalsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("event-time timers fire inactivity alerts exactly for users who go quiet") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-03-01 09:00:00")
+    def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    def ev(min: Int, user: Long, id: Long) = EventRow(at(min), "e", 1.0, user, id)
+
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[EventRow]
+      // 5-minute gap, 1-minute watermark delay
+      val q = RunningTotals.inactivityAlerts(spark, ms.toDF(),
+        gapMs = 5 * 60000L, watermark = "1 minute")
+        .toDF()
+        .writeStream.format("memory").queryName("quiet_alerts")
+        .outputMode("append").start()
+      try {
+        // user 1: events at t+0, t+2, then silence → alert at t+7
+        // user 2: keeps active every 3 min through t+12 → no alert yet
+        ms.addData(Seq(ev(0, 1, 10), ev(2, 1, 11), ev(0, 2, 20), ev(3, 2, 21)))
+        q.processAllAvailable()
+        ms.addData(Seq(ev(6, 2, 22), ev(9, 2, 23), ev(12, 2, 24)))
+        q.processAllAvailable()
+        // watermark now 12-1=11 min > user 1's expiry at 2+5=7 min →
+        // the alert fired with user 1's true last-seen; user 2's timer
+        // (12+5=17) is still armed
+        val got = spark.table("quiet_alerts")
+          .as[(Long, Long, Long)].collect().toSet
+        assert(got == Set((1L, at(2).getTime, at(7).getTime)))
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
