@@ -16,7 +16,9 @@ import graft.kernel.ConvertKernel.ConversionConfig
   * `documents` table — filename and bytes are a pure function of
   * `(doc_id, length(text))`, cycling the three exactly-parsed text formats
   * (md / csv / html-with-image) plus an unsupported-extension slice that
-  * must surface through the error channel. Because the construction is
+  * must surface through the error channel and a real-PNG slice that must
+  * convert through the image InputFormat's structural path (one picture,
+  * no OCR text). Because the construction is
   * pure, the DuckDB oracle recomputes the EXPECTED conversion output
   * (markdown length, spliced image count, element-kind counts, error
   * text) from the same `documents` rows without running any converter —
@@ -38,8 +40,12 @@ object KernelQueries {
 
   /** Deterministic staging file for doc `id` whose text has `len` chars.
     * doc_id%10==7 → unsupported plain-text `.xyz` (error channel);
+    * doc_id%10==4 → a real PNG (the image InputFormat's structural
+    * conversion path: one picture, no OCR text);
     * otherwise doc_id%3 cycles md / csv / html-with-one-image. */
   def fileFor(id: Long, len: Long): (String, Array[Byte]) = {
+    if (id % 10 == 4)
+      return (s"doc$id.png", graft.kernel.ImageRenderer.renderPicture(1))
     val (name, text) =
       if (id % 10 == 7) (s"doc$id.xyz", s"opaque payload $id")
       else (id % 3) match {
@@ -67,9 +73,12 @@ object KernelQueries {
       .select($"doc_id",
         length(coalesce($"text", lit(""))).cast("long").as("len"))
     val nDocs = docs.count()
+    // corpus construction version: bump when fileFor's slicing changes,
+    // so an existing staging dir from an older construction rebuilds
+    val stamp = s"v2:$nDocs"
     val marker = new java.io.File(stagingPath + ".staged")
     val upToDate = staging.isDirectory && marker.isFile &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == nDocs.toString
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
     if (!upToDate) {
       if (staging.isDirectory)
         staging.listFiles().foreach(f => { f.delete(); () })
@@ -83,7 +92,7 @@ object KernelQueries {
             ()
           }
         }
-      java.nio.file.Files.write(marker.toPath, nDocs.toString.getBytes)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
       ()
     }
     stagingPath
@@ -111,6 +120,7 @@ object KernelQueries {
           CASE WHEN doc_id % 10 = 7 THEN 'doc' || CAST(doc_id AS VARCHAR) || '.xyz'
                ELSE 'doc' || CAST(doc_id AS VARCHAR) END AS filename,
           CASE WHEN doc_id % 10 = 7 THEN NULL
+               WHEN doc_id % 10 = 4 THEN CAST(length('picture-1.png') AS BIGINT)
                WHEN doc_id % 3 = 0 THEN CAST(length(
                  '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
                  'This document has ' || CAST(len AS VARCHAR) ||
@@ -124,7 +134,9 @@ object KernelQueries {
                  chr(10) || chr(10) || 'picture-1.png' || chr(10) || chr(10) ||
                  'End of ' || CAST(doc_id AS VARCHAR) || '.') AS BIGINT)
           END AS md_len,
-          CAST(CASE WHEN doc_id % 10 <> 7 AND doc_id % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_images,
+          CAST(CASE WHEN doc_id % 10 = 4 THEN 1
+                    WHEN doc_id % 10 <> 7 AND doc_id % 3 = 2 THEN 1
+                    ELSE 0 END AS BIGINT) AS n_images,
           CASE WHEN doc_id % 10 = 7
                THEN 'Unsupported file format: doc' || CAST(doc_id AS VARCHAR) || '.xyz'
           END AS error
@@ -174,13 +186,17 @@ object KernelQueries {
           CASE WHEN doc_id % 10 = 7 THEN 'doc' || CAST(doc_id AS VARCHAR) || '.xyz'
                ELSE 'doc' || CAST(doc_id AS VARCHAR) END AS filename,
           CAST(CASE WHEN doc_id % 10 = 7 THEN NULL
+               WHEN doc_id % 10 = 4 THEN 0
                WHEN doc_id % 3 = 1 THEN 0 ELSE 1 END AS BIGINT) AS n_heading,
           CAST(CASE WHEN doc_id % 10 = 7 THEN NULL
+               WHEN doc_id % 10 = 4 THEN 0
                WHEN doc_id % 3 = 0 THEN 1
                WHEN doc_id % 3 = 1 THEN 0 ELSE 2 END AS BIGINT) AS n_text,
           CAST(CASE WHEN doc_id % 10 = 7 THEN NULL
+               WHEN doc_id % 10 = 4 THEN 0
                WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_table,
           CAST(CASE WHEN doc_id % 10 = 7 THEN NULL
+               WHEN doc_id % 10 = 4 THEN 1
                WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_picture,
           CASE WHEN doc_id % 10 = 7
                THEN 'Unsupported file format: doc' || CAST(doc_id AS VARCHAR) || '.xyz'
@@ -212,6 +228,7 @@ object KernelQueries {
           FROM documents)
         SELECT doc_id,
           CASE WHEN doc_id % 10 = 7 THEN NULL
+               WHEN doc_id % 10 = 4 THEN CAST(length('[image]') AS BIGINT)
                WHEN doc_id % 3 = 0 THEN CAST(length(
                  'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
                  'This document has ' || CAST(len AS VARCHAR) ||
@@ -255,6 +272,7 @@ object KernelQueries {
           FROM documents)
         SELECT doc_id,
           CASE WHEN doc_id % 10 = 7 THEN NULL
+               WHEN doc_id % 10 = 4 THEN CAST(length('<picture/>') AS BIGINT)
                WHEN doc_id % 3 = 0 THEN CAST(length(
                  '<section_header_level_1>Doc ' || CAST(doc_id AS VARCHAR) ||
                  '</section_header_level_1>' || chr(10) ||
