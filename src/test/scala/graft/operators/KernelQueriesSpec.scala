@@ -30,12 +30,12 @@ class KernelQueriesSpec extends SparkTestBase {
   }
 
   test("html construction converts with one spliced picture") {
-    val (name, bytes) = KernelQueries.fileFor(44L, 9L) // 44 % 3 == 2 -> html
-    assert(name == "doc44.html")
+    val (name, bytes) = KernelQueries.fileFor(41L, 9L) // 41 % 3 == 2 -> html
+    assert(name == "doc41.html")
     val r = ConvertKernel.convertOne(name, bytes, batchMode = true)
     assert(r.error == null)
     assert(r.markdown ==
-      "# Doc 44\n\nContains 9 characters.\n\npicture-1.png\n\nEnd of 44.")
+      "# Doc 41\n\nContains 9 characters.\n\npicture-1.png\n\nEnd of 41.")
     assert(r.images.map(i => (i.`type`, i.filename)) == Seq(("picture", "picture-1.png")))
   }
 
@@ -51,7 +51,8 @@ class KernelQueriesSpec extends SparkTestBase {
     import graft.kernel.ConvertKernel.ConversionConfig
     val cfg = ConversionConfig(outputFormat = "json")
     // (id, expected (heading, text, table, picture)) per doc_id%3 slice
-    val expect = Seq(42L -> (1, 1, 0, 0), 43L -> (0, 0, 1, 0), 44L -> (1, 2, 0, 1))
+    val expect = Seq(42L -> (1, 1, 0, 0), 43L -> (0, 0, 1, 0), 41L -> (1, 2, 0, 1),
+      34L -> (0, 0, 0, 1)) // 34 % 10 == 4 -> png (picture-only)
     expect.foreach { case (id, (h, t, tb, p)) =>
       val (name, bytes) = KernelQueries.fileFor(id, 99L)
       val r = ConvertKernel.convertOne(name, bytes, cfg, batchMode = true)
@@ -78,11 +79,13 @@ class KernelQueriesSpec extends SparkTestBase {
           s"error row $id must carry NULL counts")
         assert(!r.isNullAt(6))
       } else {
-        val expected = (id % 3) match {
-          case 0 => (1L, 1L, 0L, 0L)
-          case 1 => (0L, 0L, 1L, 0L)
-          case _ => (1L, 2L, 0L, 1L)
-        }
+        val expected =
+          if (id % 10 == 4) (0L, 0L, 0L, 1L) // png slice: picture only
+          else (id % 3) match {
+            case 0 => (1L, 1L, 0L, 0L)
+            case 1 => (0L, 0L, 1L, 0L)
+            case _ => (1L, 2L, 0L, 1L)
+          }
         assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) == expected,
           s"doc $id counts")
       }
