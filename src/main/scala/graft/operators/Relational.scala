@@ -959,6 +959,64 @@ object Relational {
         FROM days LEFT JOIN daily ON day = d
         ORDER BY day""")),
 
+    // ---------------------------------------------------------------- q38
+    // NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM): the NULL group on
+    // both sides must MATCH, where ordinary `=` silently drops it — the
+    // semantic that bites every "join on a derived, sometimes-NULL key"
+    // pipeline (here: priority with the most common value NULLed out, so
+    // the NULL bucket demonstrably joins). Spark still plans a hash join
+    // — EqualNullSafe is a sargable equi-key, not a fallback nested loop.
+    QuerySpec(
+      "q38_nullsafe_join",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables(s, dir, "orders")
+          .withColumn("k", nullif($"o_orderpriority", lit("1-URGENT")))
+        val a = o.groupBy($"k").agg(count(lit(1)).as("n_all"))
+        val b = o.filter($"o_totalprice" > 200000.0)
+          .groupBy($"k").agg(count(lit(1)).as("n_big"))
+        a.join(b, a("k") <=> b("k"))
+          .select(a("k").as("priority_key"), $"n_all", $"n_big")
+          .orderBy($"priority_key".asc_nulls_first)
+      },
+      Some("""
+        WITH o AS (
+          SELECT nullif(o_orderpriority, '1-URGENT') AS k, o_totalprice
+          FROM orders),
+        a AS (SELECT k, COUNT(*) AS n_all FROM o GROUP BY k),
+        b AS (SELECT k, COUNT(*) AS n_big FROM o
+              WHERE o_totalprice > 200000.0 GROUP BY k)
+        SELECT a.k AS priority_key, n_all, n_big
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        ORDER BY priority_key NULLS FIRST""")),
+
+    // ---------------------------------------------------------------- q39
+    // Ordered string aggregation — the LISTAGG/string_agg family, written
+    // as array_join(array_sort(collect_list())) so ordering is total and
+    // engine-portable (an unordered string_agg is nondeterministic under
+    // partition merge — the same trap as q34's double accumulators).
+    // Scale: collect_list is safe ONLY for bounded groups (suppliers per
+    // nation is dimension-sized); an unbounded group would OOM the
+    // executor and belongs in x3's frequent-items sketch instead.
+    QuerySpec(
+      "q39_supplier_roster",
+      (s, dir) => {
+        import s.implicits._
+        val sup = Tables(s, dir, "supplier")
+        val nat = Tables(s, dir, "nation")
+        sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+          .groupBy($"n_name")
+          .agg(
+            count(lit(1)).as("n_suppliers"),
+            array_join(array_sort(collect_list($"s_name")), ",").as("roster"))
+          .orderBy($"n_name")
+      },
+      Some("""
+        SELECT n_name, COUNT(*) AS n_suppliers,
+               string_agg(s_name, ',' ORDER BY s_name) AS roster
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
     variantSpec
   )
 

@@ -43,7 +43,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q30_above_brand_avg", "q31_variant_props",
     "q32_measure_unpivot", "q33_rolling_month_spend", "q34_exact_moments",
     "q35_balance_deciles", "s3_int8_quantize", "q36_not_in_big_spenders",
-    "q37_daily_gapfill")
+    "q37_daily_gapfill", "q38_nullsafe_join", "q39_supplier_roster")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
@@ -84,6 +84,13 @@ class PlanAuditSpec extends SparkTestBase {
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     assert(planOf("q17_top_orders_global").contains("TakeOrderedAndProject"))
     assert(planOf("q3_shipping_priority").contains("TakeOrderedAndProject"))
+  }
+
+  test("q38 null-safe join stays a hash join, not a nested loop") {
+    // EqualNullSafe is a sargable equi-key: the planner must keep a hash
+    // join (coalesced key), never degrade to BroadcastNestedLoopJoin
+    val p = planOf("q38_nullsafe_join")
+    assert(p.contains("HashJoin"), s"q38 lost its hash join:\n${p.take(600)}")
   }
 
   test("q36 NOT IN plans the null-aware anti join, broadcast build side") {
