@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions.unix_millis
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-user running totals via Spark 4's `transformWithState` — the
   * arbitrary-state API that supersedes `flatMapGroupsWithState`
@@ -109,5 +109,44 @@ object RunningTotals {
       .groupByKey(_._1)
       .transformWithState(new QuietProcessor(gapMs), TimeMode.EventTime(),
         OutputMode.Append())
+  }
+
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user per-event-type counts via MAP STATE — the third state
+    * primitive (ValueState: [[Processor]]; timers: [[QuietProcessor]]).
+    * MapState stores each (type → count) entry as its OWN store key, so
+    * updating one event type never rewrites the user's whole profile —
+    * the point at 100 TB: a ValueState holding a Map would serialize the
+    * full map per update, O(|types|) write amplification per event. */
+  class TypeCountProcessor extends StatefulProcessor[Long, (Long, String), TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+                                 timerValues: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { case (_, t) =>
+        val cur = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, cur + 1)
+        touched += t
+      }
+      touched.iterator.map(t => TypeCount(key, t, counts.getValue(t)))
+    }
+  }
+
+  /** Events `(user_id, event_type)` → running per-(user, type) counts,
+    * emitting only the types touched in each micro-batch. */
+  def typeCounts(spark: SparkSession, events: DataFrame): Dataset[TypeCount] = {
+    import spark.implicits._
+    events
+      .select($"user_id", $"event_type")
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeCountProcessor, TimeMode.None(),
+        OutputMode.Update())
   }
 }

@@ -67,6 +67,51 @@ class RunningTotalsSpec extends SparkTestBase {
     }
   }
 
+  test("MapState per-type counts match the batch (user, type) aggregate") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.Tables(spark, sfDir, "events")
+      .select($"ts", $"event_type", $"value", $"user_id", $"event_id")
+      .limit(300)
+      .as[(Timestamp, String, Double, Long, Long)]
+      .collect().map(EventRow.tupled).toSeq
+    val (batch1, batch2) = rows.splitAt(rows.size / 2)
+
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[EventRow]
+      val q = RunningTotals.typeCounts(spark, ms.toDF())
+        .toDF()
+        .writeStream.format("memory").queryName("type_counts")
+        .outputMode("update").start()
+      try {
+        ms.addData(batch1); q.processAllAvailable()
+        ms.addData(batch2); q.processAllAvailable()
+      } finally q.stop()
+
+      // final snapshot per (user, type) = the max running count emitted
+      val got = spark.table("type_counts")
+        .as[(Long, String, Long)].collect()
+        .groupBy(r => (r._1, r._2)).map { case (k, rs) => k -> rs.map(_._3).max }
+        .toSet
+      val expected = rows.toDF()
+        .groupBy($"user_id", $"event_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .as[(Long, String, Long)].collect()
+        .map(r => ((r._1, r._2), r._3)).toSet
+      assert(expected.nonEmpty)
+      assert(got == expected)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("event-time timers fire inactivity alerts exactly for users who go quiet") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t0 = Timestamp.valueOf("2024-03-01 09:00:00")
