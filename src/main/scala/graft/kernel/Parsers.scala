@@ -169,6 +169,7 @@ object Parsers {
       var headingLevel = 0
       val textBuf = new StringBuilder
       var inTable = false
+      var tableDepth = 0
       // per cell: (text, colspan, rowspan) — spans parsed off the open tag
       var tableRows = ArrayBuffer[ArrayBuffer[(String, Int, Int)]]()
       var cellBuf = new StringBuilder
@@ -285,12 +286,24 @@ object Parsers {
             case "img" =>
               flushText(); items += PictureElement(None)
             case "table" =>
-              if (isClose) flushTable()
-              else { flushText(); inTable = true; tableRows = ArrayBuffer() }
+              // nested tables (layout HTML) flatten into the enclosing
+              // cell's text: only the OUTERMOST table builds a grid —
+              // without depth tracking an inner <table> would reset the
+              // outer capture and lose its rows entirely
+              if (isClose) {
+                if (tableDepth == 1) flushTable()
+                tableDepth = math.max(0, tableDepth - 1)
+              } else {
+                tableDepth += 1
+                if (tableDepth == 1) { flushText(); inTable = true; tableRows = ArrayBuffer() }
+              }
             case "tr" =>
-              if (inTable) { flushCell(); if (!isClose) tableRows += ArrayBuffer() }
+              if (inTable && tableDepth == 1) {
+                flushCell(); if (!isClose) tableRows += ArrayBuffer()
+              } else if (tableDepth > 1 && inCell && cellBuf.nonEmpty)
+                cellBuf += ' ' // inner-table row break → word gap in the cell
             case "td" | "th" =>
-              if (inTable) {
+              if (inTable && tableDepth == 1) {
                 if (isClose) flushCell()
                 else {
                   flushCell(); inCell = true
@@ -301,7 +314,8 @@ object Parsers {
                   cellColspan = span("colspan")
                   cellRowspan = span("rowspan")
                 }
-              }
+              } else if (tableDepth > 1 && inCell && cellBuf.nonEmpty)
+                cellBuf += ' ' // inner-table cell boundary → word gap
             case _ => ()
           }
         } else {
@@ -344,6 +358,17 @@ object Parsers {
       }
     }
 
+    /** `link:URL[text]` and bare `http(s)://URL[text]` macros become
+      * markdown links; an empty `[]` falls back to the URL as its own
+      * text (AsciiDoc renders the bare location the same way). */
+    private val LinkMacro = """(?:link:|(?=https?://))(\S+?)\[([^\]]*)\]""".r
+    private[kernel] def rewriteLinks(s: String): String =
+      LinkMacro.replaceAllIn(s, m => {
+        val url = m.group(1)
+        val label = if (m.group(2).isEmpty) url else m.group(2)
+        java.util.regex.Matcher.quoteReplacement(s"[$label]($url)")
+      })
+
     def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] = {
       val blocks = text(bytes).split("\n{2,}").map(_.trim).filter(_.nonEmpty)
       val items = blocks.map { b =>
@@ -353,15 +378,15 @@ object Parsers {
           HeadingElement(b.dropWhile(_ == '=').trim, level)
         } else if (b.startsWith("image::")) PictureElement(None)
         else if (lines.nonEmpty && lines.forall(l => l.startsWith("* ")))
-          ListElement(lines.map(_.stripPrefix("* ").trim))
+          ListElement(lines.map(l => rewriteLinks(l.stripPrefix("* ").trim)))
         else if (lines.nonEmpty && lines.forall(l => l.startsWith(". ")))
-          ListElement(lines.map(_.stripPrefix(". ").trim), ordered = true)
+          ListElement(lines.map(l => rewriteLinks(l.stripPrefix(". ").trim)), ordered = true)
         else if (lines.length >= 3 && lines.head == "|===" && lines.last == "|===")
           // |=== table block: each interior line is |cell|cell…; first row
           // is the header (AsciiDoc's default with a blank-line-free block)
           asciidocTable(lines.slice(1, lines.length - 1))
-            .getOrElse(TextElement(b))
-        else TextElement(b)
+            .getOrElse(TextElement(rewriteLinks(b)))
+        else TextElement(rewriteLinks(b))
       }
       Right(DocTree(name, items.toSeq))
     }

@@ -123,6 +123,30 @@ class ConvertKernelSpec extends SparkTestBase {
       "| A | B | B |\n|---|---|---|\n| L | 1 | 2 |\n| L | 3 | 4 |", r.markdown)
   }
 
+  test("html nested tables flatten into the enclosing cell, outer grid intact") {
+    // layout-HTML shape: an inner table inside a cell must not reset the
+    // outer capture — its text joins the cell with word gaps
+    val src = "<table>" +
+      "<tr><th>K</th><th>V</th></tr>" +
+      "<tr><td>row</td><td><table><tr><td>in1</td><td>in2</td></tr>" +
+      "<tr><td>in3</td></tr></table></td></tr></table>"
+    val r = convertOne("nested.html", b(src))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown ==
+      "| K | V |\n|---|---|\n| row | in1 in2 in3 |", r.markdown)
+  }
+
+  test("asciidoc link macros become markdown links") {
+    val src = "= T\n\nSee link:https://example.com/d[the docs] and " +
+      "https://example.com/x[] inline.\n\n* link:/rel[rel item]\n* plain"
+    val r = convertOne("links.adoc", b(src))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown ==
+      "# T\n\nSee [the docs](https://example.com/d) and " +
+        "[https://example.com/x](https://example.com/x) inline.\n\n" +
+        "- [rel item](/rel)\n- plain", r.markdown)
+  }
+
   test("html lists convert to markdown bullets / numbered items") {
     val src = "<p>Before.</p><ul><li>alpha</li><li>beta</li></ul>" +
       "<ol><li>first</li><li>second</li></ol><p>After.</p>"
