@@ -120,7 +120,25 @@ object Parsers {
       Right(DocTree(name, Seq(TableElement(cells, rows.length, nCols))))
     }
 
+    /** Delimiter sniff over the first line, counted OUTSIDE quotes —
+      * the reference's Docling CSV backend runs csv.Sniffer over the
+      * same candidate set (comma / semicolon / tab / pipe); ties and
+      * zero-hits fall back to comma. */
+    private[kernel] def sniffDelimiter(s: String): Char = {
+      val firstLine = s.takeWhile(c => c != '\n' && c != '\r')
+      val counts = Array(',', ';', '\t', '|').map { d =>
+        var n = 0; var q = false
+        firstLine.foreach { c =>
+          if (c == '"') q = !q else if (c == d && !q) n += 1
+        }
+        d -> n
+      }
+      val (best, n) = counts.maxBy(_._2)
+      if (n > 0) best else ','
+    }
+
     private[kernel] def parseCsv(s: String): Seq[Seq[String]] = {
+      val delim = sniffDelimiter(s)
       val rows = ArrayBuffer[Seq[String]]()
       val field = new StringBuilder
       val row = ArrayBuffer[String]()
@@ -141,7 +159,7 @@ object Parsers {
           } else field += c
         } else c match {
           case '"' => inQuotes = true
-          case ',' => endField()
+          case d if d == delim => endField()
           case '\r' => if (i + 1 >= s.length || s.charAt(i + 1) != '\n') endRow()
           case '\n' => endRow()
           case other => field += other

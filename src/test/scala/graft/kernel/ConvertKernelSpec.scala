@@ -98,6 +98,18 @@ class ConvertKernelSpec extends SparkTestBase {
     assert(r.markdown == "| a | b |\n|---|---|\n| x,y | with \"quotes\" |")
   }
 
+  test("csv delimiter sniffing handles semicolon, tab, and quoted decoys") {
+    // the reference's Docling CSV backend sniffs , ; tab | — same set
+    val semi = convertOne("semi.csv", b("a;b\n1;2\n"))
+    assert(semi.error == null)
+    assert(semi.markdown == "| a | b |\n|---|---|\n| 1 | 2 |")
+    val tabbed = convertOne("tabbed.csv", b("x\ty\n3\t4\n"))
+    assert(tabbed.markdown == "| x | y |\n|---|---|\n| 3 | 4 |")
+    // a comma inside quotes must not outvote the true delimiter
+    val tricky = convertOne("tricky.csv", b("\"a,a\";b\n1;2\n"))
+    assert(tricky.markdown == "| a,a | b |\n|---|---|\n| 1 | 2 |")
+  }
+
   test("html converts headings, text, images and tables in document order") {
     val src = "<html><body><h1>Head</h1><p>para</p><img src='x.png'>" +
       "<table><tr><th>A</th><th>B</th></tr><tr><td>1</td><td>2</td></tr></table>" +
