@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions.unix_millis
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-user running totals via Spark 4's `transformWithState` — the
   * arbitrary-state API that supersedes `flatMapGroupsWithState`
@@ -147,6 +147,41 @@ object RunningTotals {
       .as[(Long, String)]
       .groupByKey(_._1)
       .transformWithState(new TypeCountProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  final case class TopIds(user_id: Long, top_ids: Seq[Long])
+
+  /** Bounded top-k event ids per user via LIST STATE — the fourth and
+    * last state primitive. The list is re-put truncated to k every
+    * update, so state stays O(k) per user forever — the always-on
+    * "retain the N best/latest per key" shape (dedup candidates, recent
+    * history for features) that an unbounded collect_list would OOM.
+    * Top-BY-ID (not arrival order) keeps the result deterministic under
+    * shuffled within-batch arrival. */
+  class TopIdsProcessor(k: Int) extends StatefulProcessor[Long, (Long, Long), TopIds] {
+    @transient private var ids: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ids = getHandle.getListState[Long]("ids", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 timerValues: TimerValues): Iterator[TopIds] = {
+      val merged = (ids.get().toSeq ++ rows.map(_._2))
+        .sorted(Ordering[Long].reverse).take(k)
+      ids.put(merged.toArray)
+      Iterator.single(TopIds(key, merged))
+    }
+  }
+
+  /** Events `(user_id, event_id)` → running top-k event ids per user. */
+  def topEventIds(spark: SparkSession, events: DataFrame, k: Int = 3): Dataset[TopIds] = {
+    import spark.implicits._
+    events
+      .select($"user_id", $"event_id")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TopIdsProcessor(k), TimeMode.None(),
         OutputMode.Update())
   }
 }

@@ -112,6 +112,50 @@ class RunningTotalsSpec extends SparkTestBase {
     }
   }
 
+  test("ListState top-k ids stay bounded and match the batch top-k per user") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.Tables(spark, sfDir, "events")
+      .select($"ts", $"event_type", $"value", $"user_id", $"event_id")
+      .limit(300)
+      .as[(Timestamp, String, Double, Long, Long)]
+      .collect().map(EventRow.tupled).toSeq
+    val (batch1, batch2) = rows.splitAt(rows.size / 2)
+
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[EventRow]
+      val q = RunningTotals.topEventIds(spark, ms.toDF(), k = 3)
+        .toDF()
+        .writeStream.format("memory").queryName("top_ids")
+        .outputMode("update").start()
+      try {
+        ms.addData(batch1); q.processAllAvailable()
+        ms.addData(batch2); q.processAllAvailable()
+      } finally q.stop()
+
+      // final snapshot per user = the longest/greatest emitted list
+      // (per-user lists only ever grow toward the true top-3)
+      val got = spark.table("top_ids")
+        .as[(Long, Seq[Long])].collect()
+        .groupBy(_._1).map { case (u, rs) =>
+          u -> rs.map(_._2).maxBy(l => (l.length, l.sum)) }
+        .toMap
+      val expected = rows.groupBy(_.user_id).map { case (u, es) =>
+        u -> es.map(_.event_id).sorted(Ordering[Long].reverse).take(3)
+      }
+      assert(expected.nonEmpty)
+      assert(got == expected)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("event-time timers fire inactivity alerts exactly for users who go quiet") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t0 = Timestamp.valueOf("2024-03-01 09:00:00")
