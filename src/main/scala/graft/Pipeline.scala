@@ -36,16 +36,69 @@ object Pipeline {
         regexp_extract($"path", "([^/]+)$", 1).as("filename"),
         $"content", $"length")
 
+    // One pass over one scan: rows with a pre-pass error short-circuit to
+    // the reference's error-row shape (stem in single mode, full filename
+    // in batch — ConvertKernel.stem), everything else goes through the
+    // kernel. Two filtered branches would re-read every file's bytes.
+    convertRows(files, config, maxFileMb, batchMode)
+  }
+
+  /** INCREMENTAL [[convertDirectory]]: convert only files not yet
+    * recorded in the `ledgerDir` parquet of done paths, then append the
+    * newly-done paths to the ledger — the daily-drop ingest shape (the
+    * orchestration-plane analog of d11's incremental dedup: never
+    * re-convert the corpus to ingest a batch). The pending set is a
+    * LISTING-level left-anti join — only `(path, length)` rows reach the
+    * join, the binary `content` column is pruned until after the
+    * pending filter, so the join cost is O(listing), not O(bytes). A
+    * file whose length changed re-converts (path+length is the change
+    * key; a real deployment would use modificationTime too).
+    * Returns (results for the NEW files only, n_previously_done). */
+  def convertDirectoryIncremental(spark: SparkSession, dir: String,
+                                  ledgerDir: String,
+                                  config: ConversionConfig = ConversionConfig(),
+                                  maxFileMb: Int = UploadValidation.DefaultMaxFileMb,
+                                  batchMode: Boolean = true): (DataFrame, Long) = {
+    import spark.implicits._
+
+    val listing = spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract($"path", "([^/]+)$", 1).as("filename"),
+        $"content", $"length")
+
+    val ledgerExists = new java.io.File(ledgerDir).isDirectory &&
+      new java.io.File(ledgerDir).listFiles().exists(_.getName.endsWith(".parquet"))
+    val done =
+      if (ledgerExists) spark.read.parquet(ledgerDir)
+      else Seq.empty[(String, Long)].toDF("filename", "length")
+
+    val nDone = done.count()
+    // a file is done iff the ledger holds exactly its (filename, length)
+    // — a changed file's new length isn't there, so it re-converts, and
+    // its stale ledger row is harmless. Left-anti on the narrow listing
+    // columns; content stays pruned below the pending filter.
+    val pending = listing.join(done, Seq("filename", "length"), "left_anti")
+      .select($"filename", $"content", $"length")
+
+    val results = convertRows(pending, config, maxFileMb, batchMode)
+
+    // record the newly-converted paths (append-only ledger)
+    pending.select($"filename", $"length")
+      .write.mode("append").parquet(ledgerDir)
+
+    (results, nDone)
+  }
+
+  /** The shared pre-check → kernel tail of [[convertDirectory]], over an
+    * arbitrary `(filename, content, length)` frame. */
+  private def convertRows(files: DataFrame, config: ConversionConfig,
+                          maxFileMb: Int, batchMode: Boolean): DataFrame = {
+    import files.sparkSession.implicits._
     val checked = files.withColumn("pre_error",
       when($"length" > UploadValidation.mbToBytes(maxFileMb),
         UploadValidation.fileTooLargeError(maxFileMb))
         .when(FormatDetection.detectFormatCol($"content", $"filename").isNull,
           concat(lit("Unsupported file format: "), $"filename")))
-
-    // One pass over one scan: rows with a pre-pass error short-circuit to
-    // the reference's error-row shape (stem in single mode, full filename
-    // in batch — ConvertKernel.stem), everything else goes through the
-    // kernel. Two filtered branches would re-read every file's bytes.
     checked.select($"filename", $"content", $"pre_error")
       .as[(String, Array[Byte], String)]
       .mapPartitions { it =>

@@ -55,6 +55,32 @@ class PipelineSpec extends SparkTestBase {
     assert(m("markdown_chars") == expectedChars && expectedChars > 0)
   }
 
+  test("convertDirectoryIncremental converts only new files across runs") {
+    val dir = Files.createTempDirectory("graft-pipeline-inc")
+    val ledger = Files.createTempDirectory("graft-pipeline-ledger").toString + "/ledger"
+    write(dir, "one.md", "# One".getBytes(StandardCharsets.UTF_8))
+    write(dir, "two.md", "# Two".getBytes(StandardCharsets.UTF_8))
+
+    val (r1, done1) = Pipeline.convertDirectoryIncremental(spark, dir.toString, ledger)
+    val names1 = r1.collect().map(_.getString(0)).toSet
+    assert(done1 == 0L)
+    assert(names1 == Set("one", "two"))
+
+    // second run: one new file, one grown file (re-converts), one unchanged
+    write(dir, "three.md", "# Three".getBytes(StandardCharsets.UTF_8))
+    write(dir, "two.md", "# Two grew".getBytes(StandardCharsets.UTF_8))
+    val (r2, done2) = Pipeline.convertDirectoryIncremental(spark, dir.toString, ledger)
+    val out2 = r2.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(done2 == 2L, s"ledger should know 2 done files, knew $done2")
+    assert(out2.keySet == Set("three", "two"), out2.keySet.toString)
+    assert(out2("two") == "# Two grew")
+
+    // third run: nothing new
+    val (r3, done3) = Pipeline.convertDirectoryIncremental(spark, dir.toString, ledger)
+    assert(r3.collect().isEmpty)
+    assert(done3 >= 3L)
+  }
+
   test("convertDirectory honors the requested output format end-to-end") {
     val dir = Files.createTempDirectory("graft-pipeline-json")
     write(dir, "notes.md", "# Hello\n\nBody.".getBytes(StandardCharsets.UTF_8))
