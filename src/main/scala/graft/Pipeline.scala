@@ -53,6 +53,13 @@ object Pipeline {
     * pending filter, so the join cost is O(listing), not O(bytes). A
     * file whose length changed re-converts (path+length is the change
     * key; a real deployment would use modificationTime too).
+    *
+    * Commit-order contract: the ledger append runs at CALL time, before
+    * the caller materializes the returned results — at-most-once
+    * semantics (a crash between ledger append and result consumption
+    * skips those files on retry). A production deployment flips the
+    * order — write results, then the ledger — or commits both behind a
+    * transactional table format; the join shape stays identical.
     * Returns (results for the NEW files only, n_previously_done). */
   def convertDirectoryIncremental(spark: SparkSession, dir: String,
                                   ledgerDir: String,
