@@ -123,12 +123,19 @@ class HttpApiSpec extends SparkTestBase {
     // a truncated multipart parse
     val small = new HttpApi.Server(spark, 0, ledgerDir, maxFileMb = 1, maxBatchMb = 1).start()
     try {
-      def post(path: String, field: String) = client.send(HttpRequest.newBuilder(
-        URI.create(s"http://127.0.0.1:${small.boundPort}$path"))
-        .header("Content-Type", s"multipart/form-data; boundary=$Boundary")
-        .POST(HttpRequest.BodyPublishers.ofByteArray(
-          multipart((field, "huge.md", new Array[Byte](3 * 1024 * 1024))))).build(),
-        HttpResponse.BodyHandlers.ofString())
+      // the server legitimately answers before the client finishes
+      // streaming 3 MB; under heavy load the client can observe the
+      // early close as an IOException instead of the response — retry
+      // the transport race (the assertion itself never retries)
+      def post(path: String, field: String): HttpResponse[String] = {
+        def once() = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${small.boundPort}$path"))
+          .header("Content-Type", s"multipart/form-data; boundary=$Boundary")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(
+            multipart((field, "huge.md", new Array[Byte](3 * 1024 * 1024))))).build(),
+          HttpResponse.BodyHandlers.ofString())
+        try once() catch { case _: java.io.IOException => once() }
+      }
       val b = post("/documents/batch-convert", "documents")
       assert(b.statusCode() == 413, b.body())
       assert(b.body().contains("Batch size exceeds the maximum allowed total size of 1 MB"), b.body())
