@@ -57,16 +57,21 @@ object PdfParser extends FormatParser {
       val imagesByName = buildImages(objs)
       val streams = pageOrderedStreams(objs).getOrElse {
         // no page tree: every stream in FILE order (minimal/linearized
-        // files, or producers without a parsable catalog)
-        if (objs.exists(_.data.isDefined))
-          objs.filter(o => o.data.isDefined && !toUnicodeNums(o.num) &&
-            ImageSubtype.findFirstIn(o.body).isEmpty &&
-            FontType.findFirstIn(o.body).isEmpty)
-            .flatMap(_.data)
-        else contentStreams(bytes) // streams outside any obj wrapper
+        // files, or producers without a parsable catalog); link
+        // annotations need the page association, so none attach here
+        val raw =
+          if (objs.exists(_.data.isDefined))
+            objs.filter(o => o.data.isDefined && !toUnicodeNums(o.num) &&
+              ImageSubtype.findFirstIn(o.body).isEmpty &&
+              FontType.findFirstIn(o.body).isEmpty)
+              .flatMap(_.data)
+          else contentStreams(bytes) // streams outside any obj wrapper
+        raw.map(d => (d, Seq.empty[LinkRect]))
       }
       val undecodable = mutable.SortedSet[String]()
-      val elements = streams.flatMap(extractElements(_, fonts, undecodable, imagesByName))
+      val elements = streams.flatMap { case (s, links) =>
+        extractElements(s, fonts, undecodable, imagesByName, links)
+      }
       if (undecodable.nonEmpty)
         Left(s"PDF text uses font(s) ${undecodable.mkString(", ")} with a " +
           "non-identity encoding and no /ToUnicode CMap; cannot decode text reliably")
@@ -292,7 +297,46 @@ object PdfParser extends FormatParser {
     * ref or array). Real producers frequently write objects out of page
     * order (incremental updates, linearization), so file order is only the
     * fallback. Returns None when no page tree resolves. */
-  private def pageOrderedStreams(objs: Seq[PdfObject]): Option[Seq[Array[Byte]]] = {
+  /** One /Subtype /Link annotation with a /URI action, rect normalized.
+    * Rect coordinates are default-user-space; runs carry Tm/Td text-space
+    * origins, which coincide for producers that don't transform the CTM
+    * (the overwhelmingly common simple-document case this parser serves —
+    * a transformed page silently skips link attachment, never mis-texts). */
+  private[kernel] final case class LinkRect(x0: Double, y0: Double,
+                                            x1: Double, y1: Double, uri: String)
+
+  private val AnnotsArrRe = """/Annots\s*\[([^\]]*)\]""".r
+  private val AnnotsRefRe = """/Annots\s+(\d+)\s+\d+\s+R""".r
+  private val RectRe = """/Rect\s*\[\s*([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)""".r
+  private val UriRe = """/URI\s*\(([^)]*)\)""".r
+  private val ActionRefRe = """/A\s+(\d+)\s+\d+\s+R""".r
+
+  /** Link annotations of one page: /Annots (inline array or indirect) →
+    * /Subtype /Link objects → /Rect + /A /S /URI action (inline or
+    * indirect). Non-URI actions (GoTo, named) are skipped. */
+  private def pageLinks(p: PdfObject, byNum: Map[Int, PdfObject]): Seq[LinkRect] = {
+    val annotRefs = AnnotsArrRe.findFirstMatchIn(p.body)
+      .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq)
+      .orElse(AnnotsRefRe.findFirstMatchIn(p.body)
+        .flatMap(m => byNum.get(m.group(1).toInt))
+        .map(o => RefRe.findAllMatchIn(o.body).map(_.group(1).toInt).toSeq))
+      .getOrElse(Seq.empty)
+    annotRefs.flatMap(byNum.get)
+      .filter(a => a.body.contains("/Subtype /Link") || a.body.contains("/Subtype/Link"))
+      .flatMap { a =>
+        val uri = UriRe.findFirstMatchIn(a.body).map(_.group(1))
+          .orElse(ActionRefRe.findFirstMatchIn(a.body)
+            .flatMap(m => byNum.get(m.group(1).toInt))
+            .flatMap(o => UriRe.findFirstMatchIn(o.body).map(_.group(1))))
+        for (u <- uri; r <- RectRe.findFirstMatchIn(a.body)) yield {
+          val Seq(ax, ay, bx, by) = (1 to 4).map(i => r.group(i).toDouble)
+          LinkRect(math.min(ax, bx), math.min(ay, by),
+            math.max(ax, bx), math.max(ay, by), u)
+        }
+      }
+  }
+
+  private def pageOrderedStreams(objs: Seq[PdfObject]): Option[Seq[(Array[Byte], Seq[LinkRect])]] = {
     val byNum = objs.map(o => o.num -> o).toMap
     def pagesOf(num: Int, depth: Int): Seq[PdfObject] =
       if (depth > 32) Seq.empty // cycle guard
@@ -316,7 +360,8 @@ object PdfParser extends FormatParser {
           .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq)
           .orElse(ContentsRef.findFirstMatchIn(p.body).map(m => Seq(m.group(1).toInt)))
           .getOrElse(Seq.empty)
-        refs.flatMap(byNum.get).flatMap(_.data)
+        val links = pageLinks(p, byNum)
+        refs.flatMap(byNum.get).flatMap(_.data).map(d => (d, links))
       }
       if (streams.isEmpty) None else Some(streams)
     }
@@ -555,10 +600,34 @@ object PdfParser extends FormatParser {
     * break table continuity, as they must). Fonts selected by `Tf` drive
     * string decoding; a font marked Undecodable records its name in
     * `undecodable` (the caller fails the whole document). */
+  /** Wrap the first run whose origin falls inside a link annotation's
+    * rect (±2pt tolerance) as a markdown link — once per annotation,
+    * scanning forward so two links never rewrap the same span. A rect
+    * that matches no run attaches nothing (never mis-texts). */
+  private def applyLinks(text: String, runs: Seq[Run], links: Seq[LinkRect]): String = {
+    if (links.isEmpty || runs.isEmpty) return text
+    var out = text
+    var searchFrom = 0
+    links.foreach { l =>
+      runs.find(r => r.text.trim.nonEmpty &&
+          r.x >= l.x0 - 2 && r.x <= l.x1 + 2 &&
+          r.y >= l.y0 - 2 && r.y <= l.y1 + 2).foreach { r =>
+        val t = r.text.trim
+        val idx = out.indexOf(t, searchFrom)
+        if (idx >= 0) {
+          out = out.substring(0, idx) + s"[$t](${l.uri})" + out.substring(idx + t.length)
+          searchFrom = idx + t.length + l.uri.length + 4
+        }
+      }
+    }
+    out
+  }
+
   private[kernel] def extractElements(stream: Array[Byte],
                                       fonts: Map[String, FontInfo],
                                       undecodable: mutable.Set[String],
-                                      images: Map[String, Array[Byte]]): Seq[Element] = {
+                                      images: Map[String, Array[Byte]],
+                                      links: Seq[LinkRect] = Seq.empty): Seq[Element] = {
     val src = new String(stream, StandardCharsets.ISO_8859_1)
     val out = ArrayBuffer[Element]()
     val textBuf = ArrayBuffer[(String, Seq[Run])]() // consecutive text blocks
@@ -577,10 +646,12 @@ object PdfParser extends FormatParser {
         scanPictures(i, bt)
         val et = indexOfToken(src, "ET", bt + 2)
         val end = if (et < 0) src.length else et
-        val (text, runs) = extractFromBlock(src.substring(bt + 2, end), fonts, undecodable)
+        val (text0, runs) = extractFromBlock(src.substring(bt + 2, end), fonts, undecodable)
         detectTable(runs) match {
           case Some(t) => flushTextBuffer(textBuf, out); out += t
-          case None => if (text.trim.nonEmpty) textBuf += ((text.trim, runs))
+          case None =>
+            val text = applyLinks(text0, runs, links)
+            if (text.trim.nonEmpty) textBuf += ((text.trim, runs))
         }
         i = end + 2
       }

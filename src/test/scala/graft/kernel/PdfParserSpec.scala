@@ -326,6 +326,32 @@ class PdfParserSpec extends AnyFunSuite {
     assert(r.markdown == "First page.\n\nSecond page.")
   }
 
+  test("link annotations wrap the run inside their rect as markdown links") {
+    // page 3: inline /Annots + inline /A action over the run at (100, 700);
+    // the second run (same line band, x=300) sits OUTSIDE the rect and
+    // stays plain. Page-scoped: page 4's identical-position run must NOT
+    // inherit page 3's link. Annot 7 carries an INDIRECT /A action.
+    val bytes = pdfObjs(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 5 0 R /Annots [6 0 R 7 0 R] >>", None),
+      (4, "<< /Type /Page /Parent 2 0 R /Contents 8 0 R >>", None),
+      (5, "", Some("BT 1 0 0 1 100 700 Tm (the docs) Tj 1 0 0 1 300 700 Tm (plain tail) Tj " +
+        "1 0 0 1 100 650 Tm (also linked) Tj ET")),
+      (6, "<< /Type /Annot /Subtype /Link /Rect [95 690 220 710] " +
+        "/A << /S /URI /URI (https://example.com/d) >> >>", None),
+      (7, "<< /Type /Annot /Subtype /Link /Rect [95 640 220 660] /A 9 0 R >>", None),
+      (9, "<< /S /URI /URI (https://example.com/i) >>", None),
+      (8, "", Some("BT 1 0 0 1 100 700 Tm (unlinked page) Tj ET"))))
+    val r = convertOne("links.pdf", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    // same-y Tm repositioning joins runs without a space (the pinned
+    // line-joining rule) — the link wrap still lands on its exact run
+    assert(r.markdown ==
+      "[the docs](https://example.com/d)plain tail\n[also linked](https://example.com/i)" +
+        "\n\nunlinked page", r.markdown)
+  }
+
   test("pdf golden: page tree + CMap font + WinAnsi font + embedded JPEG across pages") {
     val img = new java.awt.image.BufferedImage(6, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
     (0 until 6).foreach(y => (0 until 6).foreach(x => img.setRGB(x, y, 0x112233)))
