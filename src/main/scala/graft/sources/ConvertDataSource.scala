@@ -1,0 +1,207 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.kernel.ConvertKernel
+import graft.kernel.ConvertKernel.{ConversionConfig, ConversionResult}
+
+/** The conversion kernel as a native DataSource V2 table:
+  *
+  * {{{
+  *   spark.read.format("graft.sources.ConvertDataSource").load(dir)
+  *   -- or, after META-INF/services registration --
+  *   spark.read.format("docling").load(dir)
+  * }}}
+  *
+  * yields `(filename, markdown, images, error)` rows — the same result
+  * frame as [[graft.Pipeline.convertDirectory]], but as a TABLE the
+  * planner owns end-to-end. What the connector tier buys over the
+  * mapPartitions pipeline:
+  *
+  *  - COLUMN PRUNING reaches the kernel: a `SELECT filename` (or a
+  *    count(*)) prunes the schema to metadata-only columns, and the
+  *    reader never parses a byte — at 100 TB, listing-level queries cost
+  *    listing-level work. The pipeline form must at least thread the
+  *    content column into its mapPartitions.
+  *  - per-FILE input partitions: Spark schedules conversion at file
+  *    granularity with locality-free splits, so one giant PDF cannot
+  *    straggle a whole multi-file partition.
+  *
+  * Options: `extractTablesAsImages` (bool), `imageResolutionScale`
+  * (int 1-4), `maxFileMb` (int), `batchMode` (bool) — mirroring the
+  * reference's query parameters (route.py:46-51).
+  *
+  * The reader itself is the SAME [[ConvertKernel.convertOne]] every other
+  * plane uses; this file is only the planner plumbing.
+  */
+class ConvertDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "docling"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ConvertDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ConvertTable(properties.asScala.toMap)
+}
+
+object ConvertDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("filename", StringType),
+    StructField("markdown", StringType),
+    StructField("images", ArrayType(StructType(Seq(
+      StructField("type", StringType),
+      StructField("filename", StringType),
+      StructField("image", StringType))))),
+    StructField("error", StringType)))
+
+  /** Kernel invocations observed by readers in this JVM — lets specs
+    * prove that a pruned scan never converted anything. Test-observable
+    * in local mode only (executors share the JVM). */
+  val kernelCalls = new AtomicLong(0)
+}
+
+final class ConvertTable(properties: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"docling(${properties.getOrElse("path", "?")})"
+  override def schema(): StructType = ConvertDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ConvertScanBuilder(
+      options.asScala.toMap ++ properties)
+}
+
+final class ConvertScanBuilder(options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = ConvertDataSource.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new ConvertScan(options, required)
+}
+
+final class ConvertScan(options: Map[String, String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = options.getOrElse("path",
+      throw new IllegalArgumentException("docling source requires a path"))
+    val hconf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(dir)
+    val fs = p.getFileSystem(hconf)
+    val files: Array[FileStatus] =
+      if (fs.isDirectory(p)) fs.listStatus(p).filter(_.isFile)
+      else Array(fs.getFileStatus(p))
+    // one partition per file: conversion cost is per-document and wildly
+    // variable, so the finest split granularity minimizes stragglers
+    files.sortBy(_.getPath.getName)
+      .map(f => ConvertInputPartition(f.getPath.toString, f.getLen): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ConvertReaderFactory(required, options)
+}
+
+final case class ConvertInputPartition(path: String, length: Long) extends InputPartition
+
+final class ConvertReaderFactory(required: StructType, options: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ConvertReader(partition.asInstanceOf[ConvertInputPartition], required, options)
+}
+
+final class ConvertReader(part: ConvertInputPartition, required: StructType,
+                          options: Map[String, String])
+    extends PartitionReader[InternalRow] {
+
+  private var done = false
+  private var current: InternalRow = _
+
+  // conversion only runs when a converted column is actually required —
+  // the pruning contract this connector exists for
+  private val needsConversion =
+    required.fieldNames.exists(f => f == "markdown" || f == "images" || f == "error")
+
+  private lazy val fullSerializer =
+    ExpressionEncoder[ConversionResult]().createSerializer()
+
+  override def next(): Boolean = {
+    if (done) return false
+    done = true
+    val name = new Path(part.path).getName
+    current =
+      if (!needsConversion) projectMetadataOnly(name)
+      else {
+        val fs = new Path(part.path).getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(new Path(part.path))
+        val bytes =
+          try {
+            val buf = new Array[Byte](part.length.toInt)
+            in.readFully(0, buf)
+            buf
+          } finally in.close()
+        ConvertDataSource.kernelCalls.incrementAndGet()
+        val config = ConversionConfig(
+          extractTablesAsImages = options.get("extracttablesasimages").exists(_.toBoolean),
+          imageResolutionScale = options.get("imageresolutionscale").map(_.toInt).getOrElse(4))
+        val maxFileMb = options.get("maxfilemb").map(_.toInt)
+          .getOrElse(graft.ingest.UploadValidation.DefaultMaxFileMb)
+        val batchMode = options.get("batchmode").forall(_.toBoolean)
+        val result =
+          if (part.length > graft.ingest.UploadValidation.mbToBytes(maxFileMb)) {
+            val errorName = if (batchMode) name else ConvertKernel.stemOf(name)
+            ConversionResult(errorName, null, Seq.empty,
+              graft.ingest.UploadValidation.fileTooLargeError(maxFileMb))
+          } else ConvertKernel.convertOne(name, bytes, config, batchMode)
+        project(fullSerializer(result))
+      }
+    true
+  }
+
+  /** Metadata-only projection: filename (and nothing else is derivable
+    * without conversion — pruned schemas asking only for it skip I/O). */
+  private def projectMetadataOnly(name: String): InternalRow = {
+    val values = required.fieldNames.map {
+      case "filename" => UTF8String.fromString(name)
+      case other => throw new IllegalStateException(
+        s"column $other requires conversion but needsConversion=false")
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  /** Prune the full serialized row down to the required columns. */
+  private def project(full: InternalRow): InternalRow = {
+    val fullSchema = ConvertDataSource.schema
+    val values = required.fieldNames.map { f =>
+      val i = fullSchema.fieldIndex(f)
+      full.get(i, fullSchema(i).dataType) match {
+        case u: UTF8String => u.copy()
+        case other => other
+      }
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

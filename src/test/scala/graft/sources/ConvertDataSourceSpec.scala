@@ -1,0 +1,64 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+/** The DSv2 conversion table: same results as Pipeline.convertDirectory,
+  * registered under the `docling` short name, and — the point of the
+  * connector tier — column pruning that reaches the kernel: a scan that
+  * needs no converted column must never parse a byte. */
+class ConvertDataSourceSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def stage(): String = {
+    val dir = Files.createTempDirectory("graft-dsv2")
+    Files.write(dir.resolve("a.md"), "# A\n\nAlpha.".getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("b.csv"), "x,y\n1,2\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("weird.xyz"), "???".getBytes(StandardCharsets.UTF_8))
+    dir.toString
+  }
+
+  test("docling short name reads a directory with pipeline-identical results") {
+    val dir = stage()
+    val viaSource = spark.read.format("docling").load(dir)
+      .select($"filename", $"markdown", $"error")
+      .collect().map(_.toSeq).toSet
+    val viaPipeline = graft.Pipeline.convertDirectory(spark, dir)
+      .select($"filename", $"markdown", $"error")
+      .collect().map(_.toSeq).toSet
+    assert(viaSource.nonEmpty)
+    assert(viaSource == viaPipeline)
+  }
+
+  test("pruned scans never invoke the kernel; full scans do") {
+    val dir = stage()
+    val before = ConvertDataSource.kernelCalls.get()
+    // filename-only projection: conversion must be skipped entirely
+    val names = spark.read.format("docling").load(dir)
+      .select($"filename").as[String].collect().toSet
+    assert(names == Set("a.md", "b.csv", "weird.xyz"))
+    assert(ConvertDataSource.kernelCalls.get() == before,
+      "a filename-only scan ran the conversion kernel")
+
+    // asking for markdown converts exactly once per file (collect, not
+    // count: count prunes every column away and would skip the kernel)
+    val md = spark.read.format("docling").load(dir)
+      .select($"markdown").collect()
+    assert(md.length == 3)
+    assert(ConvertDataSource.kernelCalls.get() == before + 3,
+      s"expected +3 kernel calls, got +${ConvertDataSource.kernelCalls.get() - before}")
+  }
+
+  test("options thread through: maxFileMb 413s oversized files in-scan") {
+    val dir = Files.createTempDirectory("graft-dsv2-big")
+    Files.write(dir.resolve("big.md"),
+      ("# big\n\n" + "x" * (1100 * 1024)).getBytes(StandardCharsets.UTF_8))
+    val r = spark.read.format("docling").option("maxFileMb", 1).load(dir.toString)
+      .select($"filename", $"error").collect()
+    assert(r.length == 1)
+    assert(r.head.getString(1) == graft.ingest.UploadValidation.fileTooLargeError(1))
+  }
+}
