@@ -151,28 +151,33 @@ final class ConvertReader(part: ConvertInputPartition, required: StructType,
     current =
       if (!needsConversion) projectMetadataOnly(name)
       else {
-        val fs = new Path(part.path).getFileSystem(
-          new org.apache.hadoop.conf.Configuration())
-        val in = fs.open(new Path(part.path))
-        val bytes =
-          try {
-            val buf = new Array[Byte](part.length.toInt)
-            in.readFully(0, buf)
-            buf
-          } finally in.close()
-        ConvertDataSource.kernelCalls.incrementAndGet()
-        val config = ConversionConfig(
-          extractTablesAsImages = options.get("extracttablesasimages").exists(_.toBoolean),
-          imageResolutionScale = options.get("imageresolutionscale").map(_.toInt).getOrElse(4))
         val maxFileMb = options.get("maxfilemb").map(_.toInt)
           .getOrElse(graft.ingest.UploadValidation.DefaultMaxFileMb)
         val batchMode = options.get("batchmode").forall(_.toBoolean)
+        // size check BEFORE any read (the reference's bounded-read rule,
+        // O2): an over-limit multi-GB file must 413 without buffering —
+        // reading it first would also overflow the Int array size
         val result =
           if (part.length > graft.ingest.UploadValidation.mbToBytes(maxFileMb)) {
             val errorName = if (batchMode) name else ConvertKernel.stemOf(name)
             ConversionResult(errorName, null, Seq.empty,
               graft.ingest.UploadValidation.fileTooLargeError(maxFileMb))
-          } else ConvertKernel.convertOne(name, bytes, config, batchMode)
+          } else {
+            val fs = new Path(part.path).getFileSystem(
+              new org.apache.hadoop.conf.Configuration())
+            val in = fs.open(new Path(part.path))
+            val bytes =
+              try {
+                val buf = new Array[Byte](part.length.toInt)
+                in.readFully(0, buf)
+                buf
+              } finally in.close()
+            ConvertDataSource.kernelCalls.incrementAndGet()
+            val config = ConversionConfig(
+              extractTablesAsImages = options.get("extracttablesasimages").exists(_.toBoolean),
+              imageResolutionScale = options.get("imageresolutionscale").map(_.toInt).getOrElse(4))
+            ConvertKernel.convertOne(name, bytes, config, batchMode)
+          }
         project(fullSerializer(result))
       }
     true
