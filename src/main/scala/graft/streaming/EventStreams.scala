@@ -151,6 +151,29 @@ object EventStreams {
         hll_sketch_estimate(col("sk")).cast("long").as("approx_users"),
         col("sk"))
 
+  /** The composed streaming curation path — e1's streaming sibling,
+    * proving the streaming operators CHAIN in one query the way the
+    * batch planes compose: at-least-once delivery dedup
+    * (dropDuplicatesWithinWatermark on the event id — redelivered events
+    * collapse), stream-static broadcast enrichment (stateless), then the
+    * tumbling event-time rollup per (hour, customer segment). Two
+    * stateful operators in one query — Spark 3.4+ chains them with a
+    * single watermark — and everything between them is map-side. Values
+    * aggregate in integer cents so stream == batch holds EXACTLY. */
+  def curatedSegmentRollup(events: DataFrame, dim: DataFrame,
+                           watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .withColumn("cents", (col("value") * 100).cast("long"))
+      .join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"), "left_outer")
+      .groupBy(window(col("ts"), "1 hour").as("w"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents_sum"))
+      .select(col("w.start").as("hour"), col("segment"),
+        col("n_events"), col("cents_sum"))
+
   /** Streaming jobs plane: watch an inbox directory of binary documents and
     * convert each micro-batch through the mapPartitions kernel — the
     * readStream→foreachBatch analog of the Celery worker loop (§3.2).

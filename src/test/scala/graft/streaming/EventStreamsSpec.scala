@@ -91,6 +91,49 @@ class EventStreamsSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("composed curation chain (dedup → enrich → rollup) matches its batch twin") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = graft.Tables(spark, sfDir, "customer")
+    // plant at-least-once redelivery: 50 events appear in BOTH batches
+    val (batch1, batch2) = data.splitAt(data.size / 2)
+    val redelivered = batch1.takeRight(50)
+
+    val ms = MemoryStream[EventRow]
+    val q = EventStreams.curatedSegmentRollup(ms.toDF(), dim)
+      .writeStream.format("memory").queryName("curated_rollup")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch1)
+      q.processAllAvailable()
+      ms.addData(redelivered ++ batch2)
+      q.processAllAvailable()
+      ms.addData(Seq(sentinel(100)))
+      q.processAllAvailable()
+      ms.addData(Seq(sentinel(200)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // exclude the sentinel rows' own far-future windows
+    val horizon = new Timestamp(maxTs.getTime + 3600L * 1000)
+    val got = spark.table("curated_rollup")
+      .filter($"hour" <= horizon)
+      .as[(Timestamp, String, Long, Long)].collect().toSet
+
+    val expected = data.toDF()
+      .dropDuplicates("event_id")
+      .withColumn("cents", ($"value" * 100).cast("long"))
+      .join(dim.select($"c_custkey", $"c_mktsegment"),
+        $"user_id" === $"c_custkey", "left_outer")
+      .groupBy(window($"ts", "1 hour").as("w"),
+        coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("cents_sum"))
+      .select($"w.start", $"segment", $"n_events", $"cents_sum")
+      .as[(Timestamp, String, Long, Long)].collect().toSet
+
+    assert(expected.nonEmpty)
+    assert(got == expected)
+  }
+
   test("stream-static enrichment join matches the batch dimension lookup, stateless") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dim = graft.Tables(spark, sfDir, "customer")
