@@ -619,6 +619,47 @@ object TextAnalysis {
                CAST(len(ws) AS BIGINT) AS n_tokens,
                CAST(len(ws) - len(kept) AS BIGINT) AS n_collapsed,
                md5(array_to_string(kept, ' ')) AS clean_fp
-        FROM k ORDER BY doc_id"""))
+        FROM k ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t15
+    // Context-window chunking — split every document into 64-token
+    // chunks at stride 48 (16-token overlap), the step between cleaning
+    // and shard packing (p3) that turns long documents into
+    // training-window-sized pieces without losing cross-boundary
+    // context. Pure per-row HOF fan-out: sequence→transform→slice runs
+    // narrow (each doc emits ceil(n/48) rows, no shuffle before the
+    // presentation sort), so at 100 TB chunking rides the same scan as
+    // the quality filters. The oracle re-derives every chunk's exact
+    // fingerprint via DuckDB list slicing.
+    QuerySpec(
+      "t15_sliding_chunks",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .withColumn("ws", split($"text", " "))
+          .withColumn("n", size($"ws"))
+          .select($"doc_id", posexplode(expr(
+            "transform(sequence(0, (n - 1) div 48), i -> slice(ws, i * 48 + 1, 64))"))
+            .as(Seq("chunk_idx", "chunk")))
+          .select(
+            $"doc_id",
+            $"chunk_idx".cast("long").as("chunk_idx"),
+            size($"chunk").cast("long").as("n_tokens"),
+            md5(array_join($"chunk", " ")).as("chunk_fp"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+        c AS (
+          SELECT doc_id, i AS chunk_idx,
+                 ws[(i*48+1) : least(i*48+64, n)] AS chunk
+          FROM w, UNNEST(range(0, ((n - 1) // 48) + 1)) AS t(i))
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(len(chunk) AS BIGINT) AS n_tokens,
+               md5(array_to_string(chunk, ' ')) AS chunk_fp
+        FROM c ORDER BY doc_id, chunk_idx"""))
   )
 }
