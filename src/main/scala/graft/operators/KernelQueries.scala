@@ -112,35 +112,7 @@ object KernelQueries {
             $"error")
           .orderBy($"doc_id")
       },
-      Some("""
-        WITH d AS (
-          SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) AS len
-          FROM documents)
-        SELECT doc_id,
-          CASE WHEN doc_id % 10 = 7 THEN 'doc' || CAST(doc_id AS VARCHAR) || '.xyz'
-               ELSE 'doc' || CAST(doc_id AS VARCHAR) END AS filename,
-          CASE WHEN doc_id % 10 = 7 THEN NULL
-               WHEN doc_id % 10 = 4 THEN CAST(length('picture-1.png') AS BIGINT)
-               WHEN doc_id % 3 = 0 THEN CAST(length(
-                 '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
-                 'This document has ' || CAST(len AS VARCHAR) ||
-                 ' characters of source text.') AS BIGINT)
-               WHEN doc_id % 3 = 1 THEN CAST(length(
-                 '| doc_id | chars |' || chr(10) || '|---|---|' || chr(10) ||
-                 '| ' || CAST(doc_id AS VARCHAR) || ' | ' || CAST(len AS VARCHAR) || ' |') AS BIGINT)
-               ELSE CAST(length(
-                 '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
-                 'Contains ' || CAST(len AS VARCHAR) || ' characters.' ||
-                 chr(10) || chr(10) || 'picture-1.png' || chr(10) || chr(10) ||
-                 'End of ' || CAST(doc_id AS VARCHAR) || '.') AS BIGINT)
-          END AS md_len,
-          CAST(CASE WHEN doc_id % 10 = 4 THEN 1
-                    WHEN doc_id % 10 <> 7 AND doc_id % 3 = 2 THEN 1
-                    ELSE 0 END AS BIGINT) AS n_images,
-          CASE WHEN doc_id % 10 = 7
-               THEN 'Unsupported file format: doc' || CAST(doc_id AS VARCHAR) || '.xyz'
-          END AS error
-        FROM d ORDER BY doc_id""")),
+      Some(K1OracleSql)),
 
     // ------------------------------------------------------------------ k2
     // The OutputFormat surface (O14) under the oracle: convert the same
@@ -292,6 +264,60 @@ object KernelQueries {
           CASE WHEN doc_id % 10 = 7
                THEN 'Unsupported file format: doc' || CAST(doc_id AS VARCHAR) || '.xyz'
           END AS error
-        FROM d ORDER BY doc_id"""))
+        FROM d ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------ k5
+    // The DSv2 CONNECTOR under the oracle: the same staged corpus read
+    // through `spark.read.format("docling")` must produce byte-identical
+    // results to k1's Pipeline.convertDirectory — same kernel, different
+    // planner integration (per-file input partitions, prunable scan).
+    // Shares k1's oracle SQL verbatim.
+    QuerySpec(
+      "k5_dsv2_convert",
+      (s, dir) => {
+        import s.implicits._
+        s.read.format("docling").load(stagedCorpus(s, dir))
+          .select(
+            regexp_extract($"filename", "(\\d+)", 1).cast("long").as("doc_id"),
+            $"filename",
+            length($"markdown").cast("long").as("md_len"),
+            size($"images").cast("long").as("n_images"),
+            $"error")
+          .orderBy($"doc_id")
+      },
+      Some(K1OracleSql))
   )
+
+  /** k1's oracle, shared verbatim by k5 (the DSv2 connector must produce
+    * byte-identical results to the pipeline over the same staged corpus).
+    * A `def` for the same init-order reason as Relational.Q30Sql. */
+  private def K1OracleSql = """
+        WITH d AS (
+          SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) AS len
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 7 THEN 'doc' || CAST(doc_id AS VARCHAR) || '.xyz'
+               ELSE 'doc' || CAST(doc_id AS VARCHAR) END AS filename,
+          CASE WHEN doc_id % 10 = 7 THEN NULL
+               WHEN doc_id % 10 = 4 THEN CAST(length('picture-1.png') AS BIGINT)
+               WHEN doc_id % 3 = 0 THEN CAST(length(
+                 '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+                 'This document has ' || CAST(len AS VARCHAR) ||
+                 ' characters of source text.') AS BIGINT)
+               WHEN doc_id % 3 = 1 THEN CAST(length(
+                 '| doc_id | chars |' || chr(10) || '|---|---|' || chr(10) ||
+                 '| ' || CAST(doc_id AS VARCHAR) || ' | ' || CAST(len AS VARCHAR) || ' |') AS BIGINT)
+               ELSE CAST(length(
+                 '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+                 'Contains ' || CAST(len AS VARCHAR) || ' characters.' ||
+                 chr(10) || chr(10) || 'picture-1.png' || chr(10) || chr(10) ||
+                 'End of ' || CAST(doc_id AS VARCHAR) || '.') AS BIGINT)
+          END AS md_len,
+          CAST(CASE WHEN doc_id % 10 = 4 THEN 1
+                    WHEN doc_id % 10 <> 7 AND doc_id % 3 = 2 THEN 1
+                    ELSE 0 END AS BIGINT) AS n_images,
+          CASE WHEN doc_id % 10 = 7
+               THEN 'Unsupported file format: doc' || CAST(doc_id AS VARCHAR) || '.xyz'
+          END AS error
+        FROM d ORDER BY doc_id"""
 }
