@@ -1017,8 +1017,41 @@ object Relational {
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name""")),
 
+    // ---------------------------------------------------------------- q40
+    // Explicit GROUPING SETS with GROUPING() — q15 covers ROLLUP's
+    // prefix-hierarchy; this is the general form (two 1-D margins, the
+    // full cross, and the grand total in ONE pass) plus the GROUPING()
+    // flags that distinguish a subtotal's NULL from a data NULL — the
+    // semantic every reporting layer needs the moment a grouping column
+    // is nullable. Physically one Expand + one hash aggregate: each
+    // input row replicates once per set, partial aggregation combines
+    // map-side, so the shuffle carries |sets|·|groups| rows at any
+    // input scale. Identical SQL runs in both engines; GROUPING() casts
+    // to INT (Spark returns TINYINT, DuckDB BIGINT).
+    QuerySpec(
+      "q40_grouping_sets",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(Q40Sql)
+      },
+      Some(Q40Sql)),
+
     variantSpec
   )
+
+  /** q40 runs identical SQL in Spark and DuckDB. A `def` for the same
+    * init-order reason as [[Q30Sql]]. */
+  private def Q40Sql = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority), ())
+    ORDER BY g_status, g_prio,
+             o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
 
   /** q36 runs identical SQL in Spark and DuckDB (same NOT IN
     * three-valued-logic semantics). A `def` for the same init-order
