@@ -52,6 +52,24 @@ class ConvertDataSourceSpec extends SparkTestBase {
       s"expected +3 kernel calls, got +${ConvertDataSource.kernelCalls.get() - before}")
   }
 
+  test("input partitions bin-pack by file count and isolate oversized files") {
+    val dir = Files.createTempDirectory("graft-dsv2-pack")
+    (1 to 10).foreach(i =>
+      Files.write(dir.resolve(f"d$i%02d.md"), s"# $i".getBytes(StandardCharsets.UTF_8)))
+    val packed = spark.read.format("docling")
+      .option("maxFilesPerPartition", 3).load(dir.toString)
+      .rdd.getNumPartitions
+    assert(packed == 4, s"ceil(10/3) partitions expected, got $packed")
+
+    // a file above the byte target (4 MB default) gets its own partition
+    Files.write(dir.resolve("zz_big.md"),
+      ("# b\n\n" + "x" * (5 * 1024 * 1024)).getBytes(StandardCharsets.UTF_8))
+    val isolated = spark.read.format("docling")
+      .option("maxFilesPerPartition", 100).load(dir.toString)
+      .rdd.getNumPartitions
+    assert(isolated == 2, s"tiny pack + isolated big expected, got $isolated")
+  }
+
   test("options thread through: maxFileMb 413s oversized files in-scan") {
     val dir = Files.createTempDirectory("graft-dsv2-big")
     Files.write(dir.resolve("big.md"),
