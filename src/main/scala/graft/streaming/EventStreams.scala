@@ -174,13 +174,31 @@ object EventStreams {
       .select(col("w.start").as("hour"), col("segment"),
         col("n_events"), col("cents_sum"))
 
+  /** [[conversionStream]] in CATCH-UP mode: Trigger.AvailableNow drains
+    * everything currently in the inbox in rate-limited micro-batches and
+    * then STOPS — the cron-batch shape (process the overnight drop, exit)
+    * that the always-on ProcessingTime trigger can't express. Same
+    * checkpoint contract: a restart resumes from the last committed
+    * offset, so repeated catch-up runs never re-convert a file. */
+  def conversionCatchUp(spark: SparkSession, inboxDir: String, outDir: String,
+                        checkpointDir: String,
+                        config: ConversionConfig = ConversionConfig()): StreamingQuery =
+    conversionStreamWith(spark, inboxDir, outDir, checkpointDir, config,
+      Trigger.AvailableNow())
+
   /** Streaming jobs plane: watch an inbox directory of binary documents and
     * convert each micro-batch through the mapPartitions kernel — the
     * readStream→foreachBatch analog of the Celery worker loop (§3.2).
     * Returns the running query; results append as JSON under `outDir`. */
   def conversionStream(spark: SparkSession, inboxDir: String, outDir: String,
                        checkpointDir: String,
-                       config: ConversionConfig = ConversionConfig()): StreamingQuery = {
+                       config: ConversionConfig = ConversionConfig()): StreamingQuery =
+    conversionStreamWith(spark, inboxDir, outDir, checkpointDir, config,
+      Trigger.ProcessingTime("1 second"))
+
+  private def conversionStreamWith(spark: SparkSession, inboxDir: String, outDir: String,
+                                   checkpointDir: String, config: ConversionConfig,
+                                   trigger: Trigger): StreamingQuery = {
     import spark.implicits._
     val stream = spark.readStream
       .format("binaryFile")
@@ -192,7 +210,7 @@ object EventStreams {
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime("1 second"))
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val rows = batch.as[UploadRow]
         ConvertKernel.convert(rows, config).toDF()

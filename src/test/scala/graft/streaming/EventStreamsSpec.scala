@@ -359,4 +359,30 @@ class EventStreamsSpec extends SparkTestBase {
     assert(results(0)._2 == "# Streamed\n\nDoc A.")
     assert(results(1)._2 == "| h1 | h2 |\n|---|---|\n| 1 | 2 |")
   }
+
+  test("conversionCatchUp drains, terminates itself, and never re-converts on rerun") {
+    val inbox = Files.createTempDirectory("graft-inbox-cu")
+    val out = Files.createTempDirectory("graft-out-cu")
+    val ckpt = Files.createTempDirectory("graft-ckpt-cu")
+    Files.write(inbox.resolve("one.md"), "# One".getBytes(StandardCharsets.UTF_8))
+
+    // run 1: AvailableNow self-terminates after draining the inbox
+    val q1 = EventStreams.conversionCatchUp(
+      spark, inbox.toString, out.toString, ckpt.toString)
+    assert(q1.awaitTermination(60000), "catch-up query did not self-terminate")
+
+    def converted(): Seq[String] = spark.read
+      .schema("filename STRING, markdown STRING, error STRING")
+      .json(out.toString)
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(converted() == Seq("one"))
+
+    // run 2 with a NEW file: the checkpoint skips the already-converted
+    // one — only the new file converts, exactly once
+    Files.write(inbox.resolve("two.md"), "# Two".getBytes(StandardCharsets.UTF_8))
+    val q2 = EventStreams.conversionCatchUp(
+      spark, inbox.toString, out.toString, ckpt.toString)
+    assert(q2.awaitTermination(60000), "second catch-up did not self-terminate")
+    assert(converted() == Seq("one", "two"), "rerun must add exactly the new file")
+  }
 }
