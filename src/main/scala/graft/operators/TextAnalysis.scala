@@ -660,6 +660,50 @@ object TextAnalysis {
         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
                CAST(len(chunk) AS BIGINT) AS n_tokens,
                md5(array_to_string(chunk, ' ')) AS chunk_fp
-        FROM c ORDER BY doc_id, chunk_idx"""))
+        FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // ---------------------------------------------------------------- t16
+    // Unigram surprisal — the CCNet/KenLM-style perplexity quality
+    // filter, self-trained: score every document by its average
+    // -ln p(token) under the CORPUS unigram distribution. t6's flags are
+    // hard gates; this is the soft score real pipelines threshold or
+    // sample against (high surprisal ⇒ gibberish/rare-token soup, low ⇒
+    // boilerplate). Shape at 100 TB: the vocabulary aggregate is the only
+    // corpus-wide shuffle and is BOUNDED (natural-language vocab, not
+    // corpus size), so it broadcasts back onto the token stream —
+    // scoring is then map-side. The token frame persists across its two
+    // consumers (vocab build + scoring), the d2 lineage rule. ln differs
+    // by ≤2 ulp between libms, so the average rounds at 6dp — far above
+    // the ~1e-14 accumulated error, far below any data distinction.
+    QuerySpec(
+      "t16_unigram_surprisal",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables(s, dir, "documents")
+          .select($"doc_id", explode(split($"text", " ")).as("tok"))
+          .persist()
+        val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+        val tot = vocab.agg(sum($"n").as("total"))
+        toks.join(broadcast(vocab), "tok")
+          .crossJoin(broadcast(tot))
+          .select($"doc_id",
+            (-log($"n".cast("double") / $"total".cast("double"))).as("s"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            round(avg($"s"), 6).as("avg_surprisal"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        vocab AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+        tot AS (SELECT SUM(n) AS total FROM vocab),
+        scored AS (
+          SELECT t.doc_id,
+                 -ln(CAST(v.n AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE)) AS s
+          FROM toks t JOIN vocab v USING (tok))
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(s), 6) AS avg_surprisal
+        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
