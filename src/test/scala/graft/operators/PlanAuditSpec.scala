@@ -23,7 +23,10 @@ class PlanAuditSpec extends SparkTestBase {
     "d8_semantic_clusters",
     // x4's pair join is over the T-row per-event-type sketch aggregate
     // (T = dimension cardinality), bounded by construction
-    "x4_theta_user_overlap")
+    "x4_theta_user_overlap",
+    // t16 crosses the 1-ROW vocabulary-total scalar onto the token
+    // stream (broadcast) — O(n·1) by construction
+    "t16_unigram_surprisal")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
