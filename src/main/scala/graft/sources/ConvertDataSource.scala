@@ -77,6 +77,27 @@ object ConvertDataSource {
     * prove that a pruned scan never converted anything. Test-observable
     * in local mode only (executors share the JVM). */
   val kernelCalls = new AtomicLong(0)
+
+  /** Greedy bin packing preserving input order: a partition closes when
+    * adding the next file would cross `targetBytes` OR it already holds
+    * `maxFiles`. A file larger than the target therefore lands ALONE in
+    * its partition (the no-straggler isolation rule). Pure and
+    * property-tested (ConvertDataSourceSpec). */
+  private[sources] def pack(files: Seq[(String, Long)], targetBytes: Long,
+                            maxFiles: Int): Seq[Vector[(String, Long)]] = {
+    val parts = scala.collection.mutable.ArrayBuffer[Vector[(String, Long)]]()
+    var cur = Vector.empty[(String, Long)]
+    var curBytes = 0L
+    files.foreach { f =>
+      if (cur.nonEmpty && (curBytes + f._2 > targetBytes || cur.length >= maxFiles)) {
+        parts += cur; cur = Vector.empty; curBytes = 0L
+      }
+      cur :+= f
+      curBytes += f._2
+    }
+    if (cur.nonEmpty) parts += cur
+    parts.toSeq
+  }
 }
 
 final class ConvertTable(properties: Map[String, String]) extends Table with SupportsRead {
@@ -128,18 +149,10 @@ final class ConvertScan(options: Map[String, String], required: StructType)
         val slots = math.max(1, SparkSession.active.sparkContext.defaultParallelism)
         math.max(1, math.min(512, (files.length + 4 * slots - 1) / (4 * slots)))
       }
-    val parts = scala.collection.mutable.ArrayBuffer[Vector[(String, Long)]]()
-    var cur = Vector.empty[(String, Long)]
-    var curBytes = 0L
-    files.sortBy(_.getPath.getName).foreach { f =>
-      if (cur.nonEmpty && (curBytes + f.getLen > targetBytes || cur.length >= maxFiles)) {
-        parts += cur; cur = Vector.empty; curBytes = 0L
-      }
-      cur :+= (f.getPath.toString, f.getLen)
-      curBytes += f.getLen
-    }
-    if (cur.nonEmpty) parts += cur
-    parts.map(fs => ConvertInputPartition(fs): InputPartition).toArray
+    ConvertDataSource.pack(
+      files.sortBy(_.getPath.getName).map(f => (f.getPath.toString, f.getLen)).toSeq,
+      targetBytes, maxFiles)
+      .map(fs => ConvertInputPartition(fs): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -70,6 +70,28 @@ class ConvertDataSourceSpec extends SparkTestBase {
     assert(isolated == 2, s"tiny pack + isolated big expected, got $isolated")
   }
 
+  test("packing invariants hold on random size lists (property)") {
+    val gen = new scala.util.Random(42)
+    (1 to 300).foreach { _ =>
+      val n = gen.nextInt(40)
+      val files = (0 until n).map(i => (s"f$i", gen.nextInt(1000).toLong))
+      val target = 1 + gen.nextInt(2000)
+      val maxFiles = 1 + gen.nextInt(8)
+      val parts = ConvertDataSource.pack(files, target.toLong, maxFiles)
+      // every file exactly once, input order preserved
+      assert(parts.flatten == files, s"coverage/order broke: $files -> $parts")
+      parts.foreach { p =>
+        assert(p.nonEmpty && p.length <= maxFiles)
+        // byte bound applies to multi-file partitions (each append
+        // checked the running total); an oversized file is allowed only
+        // as a singleton
+        if (p.length > 1)
+          assert(p.map(_._2).sum <= target,
+            s"multi-file partition over byte target: $p target=$target")
+      }
+    }
+  }
+
   test("options thread through: maxFileMb 413s oversized files in-scan") {
     val dir = Files.createTempDirectory("graft-dsv2-big")
     Files.write(dir.resolve("big.md"),
