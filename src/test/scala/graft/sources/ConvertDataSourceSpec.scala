@@ -70,6 +70,16 @@ class ConvertDataSourceSpec extends SparkTestBase {
     assert(isolated == 2, s"tiny pack + isolated big expected, got $isolated")
   }
 
+  test("SQL DDL reaches the connector: CREATE TEMP VIEW ... USING docling") {
+    val dir = stage()
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW inbox USING docling OPTIONS (path '$dir')")
+    val got = spark.sql(
+      "SELECT filename, error IS NULL AS ok FROM inbox ORDER BY filename")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(got == Seq(("a", true), ("b", true), ("weird.xyz", false)))
+  }
+
   test("packing invariants hold on random size lists (property)") {
     val gen = new scala.util.Random(42)
     (1 to 300).foreach { _ =>
