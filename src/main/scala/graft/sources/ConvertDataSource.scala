@@ -43,9 +43,12 @@ import graft.kernel.ConvertKernel.{ConversionConfig, ConversionResult}
   *    straggle a multi-file split, and 5000 tiny docs don't become
   *    5000 tasks. `maxBytesPerPartition` tunes the target (default 4 MB).
   *
-  * Options: `extractTablesAsImages` (bool), `imageResolutionScale`
-  * (int 1-4), `maxFileMb` (int), `batchMode` (bool) — mirroring the
-  * reference's query parameters (route.py:46-51).
+  * Options: `extractTablesAsImages` (bool, default false),
+  * `imageResolutionScale` (int 1-4, default 4), `maxFileMb` (int),
+  * `batchMode` (bool, DEFAULT TRUE — a directory is the batch-convert
+  * surface, matching Pipeline.convertDirectory so k5 == k1; pass false
+  * for the single-document stem naming) — mirroring the reference's
+  * query parameters (route.py:46-51).
   *
   * The reader itself is the SAME [[ConvertKernel.convertOne]] every other
   * plane uses; this file is only the planner plumbing.
