@@ -601,26 +601,39 @@ object PdfParser extends FormatParser {
     * string decoding; a font marked Undecodable records its name in
     * `undecodable` (the caller fails the whole document). */
   /** Wrap the first run whose origin falls inside a link annotation's
-    * rect (±2pt tolerance) as a markdown link — once per annotation,
-    * scanning forward so two links never rewrap the same span. A rect
-    * that matches no run attaches nothing (never mis-texts). */
-  private def applyLinks(text: String, runs: Seq[Run], links: Seq[LinkRect]): String = {
+    * rect (±2pt tolerance) as a markdown link — once per annotation
+    * across the WHOLE stream (`consumed` threads through the blocks, so
+    * a rect spanning runs in two text blocks wraps only its first).
+    * Matches resolve against the ORIGINAL text and apply in ascending
+    * position, so out-of-order /Annots arrays (common after incremental
+    * updates) still attach to the right occurrence; two annotations
+    * resolving to overlapping spans keep the first. A rect that matches
+    * no run attaches nothing (never mis-texts). */
+  private def applyLinks(text: String, runs: Seq[Run], links: Seq[LinkRect],
+                         consumed: mutable.Set[LinkRect]): String = {
     if (links.isEmpty || runs.isEmpty) return text
-    var out = text
-    var searchFrom = 0
-    links.foreach { l =>
+    val matches = links.filterNot(consumed).flatMap { l =>
       runs.find(r => r.text.trim.nonEmpty &&
           r.x >= l.x0 - 2 && r.x <= l.x1 + 2 &&
-          r.y >= l.y0 - 2 && r.y <= l.y1 + 2).foreach { r =>
+          r.y >= l.y0 - 2 && r.y <= l.y1 + 2).flatMap { r =>
         val t = r.text.trim
-        val idx = out.indexOf(t, searchFrom)
-        if (idx >= 0) {
-          out = out.substring(0, idx) + s"[$t](${l.uri})" + out.substring(idx + t.length)
-          searchFrom = idx + t.length + l.uri.length + 4
-        }
+        val idx = text.indexOf(t)
+        if (idx < 0) None else Some((idx, t, l))
+      }
+    }.sortBy(_._1)
+    if (matches.isEmpty) return text
+    val out = new StringBuilder
+    var pos = 0
+    matches.foreach { case (idx, t, l) =>
+      if (idx >= pos) {
+        consumed += l
+        out.append(text.substring(pos, idx)).append('[').append(t).append("](")
+          .append(l.uri).append(')')
+        pos = idx + t.length
       }
     }
-    out
+    out.append(text.substring(pos))
+    out.toString
   }
 
   private[kernel] def extractElements(stream: Array[Byte],
@@ -630,6 +643,7 @@ object PdfParser extends FormatParser {
                                       links: Seq[LinkRect] = Seq.empty): Seq[Element] = {
     val src = new String(stream, StandardCharsets.ISO_8859_1)
     val out = ArrayBuffer[Element]()
+    val linksConsumed = mutable.Set.empty[LinkRect]
     val textBuf = ArrayBuffer[(String, Seq[Run])]() // consecutive text blocks
     def scanPictures(from: Int, until: Int): Unit =
       if (images.nonEmpty && until > from)
@@ -650,7 +664,7 @@ object PdfParser extends FormatParser {
         detectTable(runs) match {
           case Some(t) => flushTextBuffer(textBuf, out); out += t
           case None =>
-            val text = applyLinks(text0, runs, links)
+            val text = applyLinks(text0, runs, links, linksConsumed)
             if (text.trim.nonEmpty) textBuf += ((text.trim, runs))
         }
         i = end + 2

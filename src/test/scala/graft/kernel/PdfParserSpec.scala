@@ -352,6 +352,26 @@ class PdfParserSpec extends AnyFunSuite {
         "\n\nunlinked page", r.markdown)
   }
 
+  test("out-of-order /Annots still attach each link to its own text") {
+    // the annots array lists the LOWER line's link first — position-order
+    // application must still wrap both correctly (incremental-update PDFs
+    // commonly append annots out of reading order)
+    val bytes = pdfObjs(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 5 0 R /Annots [7 0 R 6 0 R] >>", None),
+      (5, "", Some("BT 1 0 0 1 100 700 Tm (first line) Tj " +
+        "1 0 0 1 100 650 Tm (second line) Tj ET")),
+      (6, "<< /Type /Annot /Subtype /Link /Rect [95 690 220 710] " +
+        "/A << /S /URI /URI (https://a.example) >> >>", None),
+      (7, "<< /Type /Annot /Subtype /Link /Rect [95 640 220 660] " +
+        "/A << /S /URI /URI (https://b.example) >> >>", None)))
+    val r = convertOne("unordered.pdf", bytes)
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown ==
+      "[first line](https://a.example)\n[second line](https://b.example)", r.markdown)
+  }
+
   test("pdf golden: page tree + CMap font + WinAnsi font + embedded JPEG across pages") {
     val img = new java.awt.image.BufferedImage(6, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
     (0 until 6).foreach(y => (0 until 6).foreach(x => img.setRGB(x, y, 0x112233)))
