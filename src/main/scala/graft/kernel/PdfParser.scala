@@ -53,6 +53,18 @@ object PdfParser extends FormatParser {
   def parse(name: String, bytes: Array[Byte]): Either[String, DocTree] = {
     try {
       val objs = parseObjects(bytes)
+      // encrypted files reference /Encrypt from the trailer dict (or an
+      // xref-stream object body); their strings and streams are
+      // ciphertext, so fail with the honest cause instead of a confusing
+      // no-text/garble error. Object BODIES and the trailer tail only —
+      // decoded stream payloads can legitimately contain the bytes.
+      val trailerTail = {
+        val raw = new String(bytes, StandardCharsets.ISO_8859_1)
+        val t = raw.lastIndexOf("trailer")
+        if (t < 0) "" else raw.substring(t)
+      }
+      if (trailerTail.contains("/Encrypt") || objs.exists(_.body.contains("/Encrypt")))
+        return Left("PDF is encrypted; decryption is not supported in this build")
       val (fonts, toUnicodeNums) = buildFonts(objs)
       val imagesByName = buildImages(objs)
       val streams = pageOrderedStreams(objs).getOrElse {

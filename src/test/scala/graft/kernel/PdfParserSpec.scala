@@ -352,6 +352,19 @@ class PdfParserSpec extends AnyFunSuite {
         "\n\nunlinked page", r.markdown)
   }
 
+  test("encrypted pdf reports the honest cause, not a garble/no-text error") {
+    val bytes = pdfObjs(Seq(
+      (1, "<< /Type /Page /Contents 5 0 R >>", None),
+      (5, "", Some("BT (ciphertext here) Tj ET")),
+      (9, "<< /Filter /Standard /V 2 /R 3 /O (x) /U (y) /P -44 >>", None)))
+    val withTrailer = bytes ++
+      "trailer\n<< /Size 10 /Root 1 0 R /Encrypt 9 0 R >>\n%%EOF\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val r = convertOne("locked.pdf", withTrailer)
+    assert(r.markdown == null)
+    assert(r.error != null && r.error.contains("encrypted"), String.valueOf(r.error))
+  }
+
   test("out-of-order /Annots still attach each link to its own text") {
     // the annots array lists the LOWER line's link first — position-order
     // application must still wrap both correctly (incremental-update PDFs
