@@ -60,6 +60,14 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
         kernel.ImageRenderer.renderPicture(1)))
+      // also drive ONE decode through the staged media fixture itself:
+      // m2's measured time should be the operator, not fixture staging
+      // (first run writes the parquet) or parquet-binary-scan first-use
+      operators.Multimodal.mediaTable(spark, sfDir).limit(1)
+        .as[(Long, Array[Byte])]
+        .collect().foreach { case (_, png) =>
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        }
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 

@@ -73,8 +73,17 @@ object Pipeline {
         regexp_extract($"path", "([^/]+)$", 1).as("filename"),
         $"content", $"length")
 
-    val ledgerExists = new java.io.File(ledgerDir).isDirectory &&
-      new java.io.File(ledgerDir).listFiles().exists(_.getName.endsWith(".parquet"))
+    // probe through the Hadoop FileSystem API, not java.io.File: the
+    // ledger lives wherever the deployment points it (HDFS/object
+    // store), and a local-only probe would read "absent" there — every
+    // run re-converting the whole directory while appending duplicate
+    // ledger rows, silently defeating the incremental contract
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
+    val ledgerFs = ledgerPath.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val ledgerExists = ledgerFs.exists(ledgerPath) &&
+      ledgerFs.listStatus(ledgerPath)
+        .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val done =
       if (ledgerExists) spark.read.parquet(ledgerDir)
       else Seq.empty[(String, Long)].toDF("filename", "length")

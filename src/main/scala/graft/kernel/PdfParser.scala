@@ -599,7 +599,8 @@ object PdfParser extends FormatParser {
 
   /** One positioned text run: the text shown from one line-matrix position
     * (`Tm`/`Td` set it; consecutive shows without repositioning merge). */
-  private[kernel] final case class Run(x: Double, y: Double, text: String)
+  private[kernel] final case class Run(x: Double, y: Double, text: String,
+                                       off: Int = -1)
 
   /** Elements from one content stream, in stream order: each BT..ET block
     * becomes one TextElement (with `Td`/`TD`/`T*` line breaks inside) — or,
@@ -629,8 +630,17 @@ object PdfParser extends FormatParser {
           r.x >= l.x0 - 2 && r.x <= l.x1 + 2 &&
           r.y >= l.y0 - 2 && r.y <= l.y1 + 2).flatMap { r =>
         val t = r.text.trim
-        val idx = text.indexOf(t)
-        if (idx < 0) None else Some((idx, t, l))
+        // wrap at the MATCHED run's own recorded offset (extractFromBlock
+        // tracks where each run begins in the block text), so a repeated
+        // word earlier in the block is never the one that gets linked;
+        // runs carry the offset of their untrimmed text — step past any
+        // leading whitespace to the trimmed span
+        val idx =
+          if (r.off >= 0) r.off + r.text.indexOf(t)
+          else text.indexOf(t)
+        if (idx < 0 || idx + t.length > text.length ||
+            text.substring(idx, idx + t.length) != t) None
+        else Some((idx, t, l))
       }
     }.sortBy(_._1)
     if (matches.isEmpty) return text
@@ -813,7 +823,7 @@ object PdfParser extends FormatParser {
                                fonts: Map[String, FontInfo],
                                undecodable: mutable.Set[String]): (String, Seq[Run]) = {
     val sb = new StringBuilder
-    val runs = ArrayBuffer[(Double, Double, StringBuilder)]()
+    val runs = ArrayBuffer[(Double, Double, StringBuilder, Int)]()
     var runStale = true // next show starts a new run
     var i = 0
     var emitted = false
@@ -860,7 +870,13 @@ object PdfParser extends FormatParser {
       pendingKern = false
       sb ++= decoded
       if (decoded.nonEmpty) {
-        if (runStale || runs.isEmpty) { runs += ((lineX, lineY, new StringBuilder)); runStale = false }
+        if (runStale || runs.isEmpty) {
+          // record where this run's text begins in the block text, so a
+          // link annotation wraps THIS occurrence even when the same
+          // words appear earlier in the block (offset, not indexOf)
+          runs += ((lineX, lineY, new StringBuilder, sb.length - decoded.length))
+          runStale = false
+        }
         val rb = runs.last._3
         if (kernSpace && rb.nonEmpty) rb += ' '
         rb ++= decoded
@@ -947,7 +963,7 @@ object PdfParser extends FormatParser {
         case _ => i += 1
       }
     }
-    (sb.toString, runs.map(t => Run(t._1, t._2, t._3.toString)).toSeq)
+    (sb.toString, runs.map(t => Run(t._1, t._2, t._3.toString, t._4)).toSeq)
   }
 
   private def readLiteralString(s: String, start: Int): (String, Int) = {

@@ -35,17 +35,29 @@ object Multimodal {
     * parquet binary IO, and column pruning provably keeps the payload
     * bytes out of any stage that doesn't read them (a doc_id-only
     * projection's ReadSchema drops `payload` — pinned by
-    * MediaFixtureSpec). Keyed by sf dir so scale factors don't collide;
-    * the oracle needs no fixture because payload features remain a pure
-    * function of doc_id. */
+    * MediaFixtureSpec). Staged per sf dir under a SELF-DESCRIBING key —
+    * the dir basename, with a sibling marker recording construction
+    * version + row count (the k-corpus convention, KernelQueries
+    * .stagedCorpus) — so a moved testdata root or changed scale rebuilds
+    * instead of silently reusing wrong-scale payloads. The oracle needs
+    * no fixture because payload features remain a pure function of
+    * doc_id. */
   def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
       sys.props("user.dir") + "/data"))
-    val path = new java.io.File(root,
-      "media_" + java.lang.Integer.toHexString(dir.hashCode))
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
-      import s.implicits._
-      Tables(s, dir, "documents").select($"doc_id").as[Long]
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "media_" + base)
+    val docIds = Tables(s, dir, "documents").select($"doc_id")
+    val nDocs = docIds.count()
+    // fixture construction version: bump when the payload contract
+    // (renderPicture, scale = doc_id%4+1) changes
+    val stamp = s"v2:$nDocs"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      docIds.as[Long]
         .mapPartitions { it =>
           val rendered = scala.collection.mutable.Map.empty[Int, Array[Byte]]
           it.map { id =>
@@ -55,6 +67,8 @@ object Multimodal {
           }
         }.toDF("doc_id", "payload")
         .write.mode("overwrite").parquet(path.getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
     }
     s.read.parquet(path.getAbsolutePath)
   }
@@ -222,8 +236,19 @@ object Multimodal {
       "m2_image_decode_meta",
       (s, dir) => {
         import s.implicits._
+        // The staged fixture can be a single small parquet file, which
+        // would put every heavy decode on ONE input partition while the
+        // other cores idle — the textbook straggler once the codec is
+        // the cost. Round-robin to the cluster's parallelism first: the
+        // exchange moves cheap (id, payload) rows; the codec work after
+        // it is what must spread.
         mediaTable(s, dir).select($"doc_id", $"payload").as[(Long, Array[Byte])]
+          .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions { it =>
+            // ImageIO's default disk cache writes a temp file per decode
+            // (measured 1.65× slower); disable it HERE, not in a class
+            // whose load order this path can't rely on.
+            javax.imageio.ImageIO.setUseCache(false)
             // payloads come off the parquet scan; the decode/resize below
             // runs per row — that's the operator under test
             it.map { case (id, png) =>

@@ -1100,7 +1100,7 @@ object Relational {
     * not a `val`: `specs` above initializes first and captures this at
     * object-construction time. */
   private def Q30Sql = """
-    SELECT p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,4)) AS price
+    SELECT p_partkey, p_brand, CAST(CAST(p_retailprice AS DECIMAL(18,4)) AS DOUBLE) AS price
     FROM part p
     WHERE CAST(p_retailprice AS DECIMAL(18,4)) *
           (SELECT COUNT(*) FROM part p2 WHERE p2.p_brand = p.p_brand) >

@@ -159,19 +159,29 @@ final class ConvertScan(options: Map[String, String], required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ConvertReaderFactory(required, options)
+    // capture the SESSION Hadoop conf driver-side (spark.hadoop.*
+    // credentials, object-store endpoints, filesystem impls) — executors
+    // have no session, and a bare `new Configuration()` there would read
+    // local files fine but break against any configured remote store
+    new ConvertReaderFactory(required, options,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
 }
 
 final case class ConvertInputPartition(files: Vector[(String, Long)]) extends InputPartition
 
-final class ConvertReaderFactory(required: StructType, options: Map[String, String])
+final class ConvertReaderFactory(
+    required: StructType, options: Map[String, String],
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ConvertReader(partition.asInstanceOf[ConvertInputPartition], required, options)
+    new ConvertReader(partition.asInstanceOf[ConvertInputPartition], required, options,
+      hadoopConf.value)
 }
 
 final class ConvertReader(part: ConvertInputPartition, required: StructType,
-                          options: Map[String, String])
+                          options: Map[String, String],
+                          hadoopConf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
   private val it = part.files.iterator
@@ -184,8 +194,6 @@ final class ConvertReader(part: ConvertInputPartition, required: StructType,
 
   private lazy val fullSerializer =
     ExpressionEncoder[ConversionResult]().createSerializer()
-  // one FS handle per reader, not per file
-  private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
 
   override def next(): Boolean = {
     if (!it.hasNext) return false
@@ -237,15 +245,18 @@ final class ConvertReader(part: ConvertInputPartition, required: StructType,
     InternalRow.fromSeq(values.toIndexedSeq)
   }
 
-  /** Prune the full serialized row down to the required columns. */
-  private def project(full: InternalRow): InternalRow = {
+  /** Prune the full serialized row down to the required columns. The
+    * serializer REUSES its output buffer across calls, so every value —
+    * strings AND the images array with its nested strings — must be
+    * detached before the next file overwrites it; one whole-row copy
+    * covers all columns at once (copying field-by-field missed the
+    * ArrayData case and handed out views into the shared buffer). */
+  private def project(reused: InternalRow): InternalRow = {
+    val full = reused.copy()
     val fullSchema = ConvertDataSource.schema
     val values = required.fieldNames.map { f =>
       val i = fullSchema.fieldIndex(f)
-      full.get(i, fullSchema(i).dataType) match {
-        case u: UTF8String => u.copy()
-        case other => other
-      }
+      full.get(i, fullSchema(i).dataType)
     }
     InternalRow.fromSeq(values.toIndexedSeq)
   }

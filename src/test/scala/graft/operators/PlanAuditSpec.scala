@@ -113,6 +113,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"q32 grew a join:\n${p.take(600)}")
   }
 
+  test("m2's heavy decode runs on >1 partition (round-robin before the codec)") {
+    // the staged fixture can be one small parquet file; without the
+    // explicit repartition the whole ImageIO decode would inherit ONE
+    // input partition and serialize on a single core (VERDICT r5 #2)
+    val p = planOf("m2_image_decode_meta")
+    // user-specified repartition(n): AQE never coalesces it, so the
+    // decode stage holds defaultParallelism partitions at any fixture
+    // file count
+    assert(p.contains("RoundRobinPartitioning"),
+      s"m2 lost its pre-decode repartition:\n${p.take(800)}")
+  }
+
   test("s3 quantization is narrow: no shuffle before the sort, pruned scan") {
     val p = planOf("s3_int8_quantize")
     // the only exchange is the presentation sort's range partitioning —
