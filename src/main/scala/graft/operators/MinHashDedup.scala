@@ -63,7 +63,102 @@ object MinHashDedup {
           col("doc_id") % 10 === 0, threshold = 0.5)
           .orderBy($"jaccard_dist", $"a_id", $"b_id")
       },
-      None))
+      None),
+
+    // ---------------------------------------------------------------- d13
+    // The MinHash pipeline under the DuckDB oracle — the verification
+    // twin of d4/d12 (VERDICT r5 #3). Production MinHash (d4) keys
+    // shingles by murmur3, which no ANSI engine reproduces, so it
+    // registers rows-only; this twin runs the SAME algorithm — shingle →
+    // per-band universal-hash minimum → band-bucket candidates → exact
+    // Jaccard rerank — with the one cross-engine-reproducible hash both
+    // engines share (a 28-bit md5 prefix), and the oracle replays every
+    // stage including the banded candidate generation. One green hash
+    // row pins the family's end-to-end math (band math, bucket join,
+    // rerank); d4/d12 keep the faster hash and their recall specs.
+    QuerySpec(
+      "d13_minhash_oracle_twin",
+      (s, dir) => minhashOracleTwin(s, dir),
+      Some(MinhashOracleSql)))
+
+  /** d13's Spark side: md5-keyed MinHash + LSH + exact string-shingle
+    * rerank. Deliberately expression-only (no typed flatMap) so the plan
+    * stays whole-stage-codegen'd and every intermediate is replayable in
+    * ANSI SQL. Threshold fixed at 0.5 like d4. */
+  private def minhashOracleTwin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Shingles.pairs(s, Tables(s, dir, "documents")).persist()
+    val aList = coefA.mkString("L,") + "L"
+    val bList = coefB.mkString("L,") + "L"
+    val bands = sh
+      .withColumn("x", conv(substring(md5($"shingle"), 1, 7), 16, 10).cast("long"))
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, ${NumBands - 1}), i -> " +
+          s"(element_at(array($aList), i + 1) * x + element_at(array($bList), i + 1)) % ${P}L)"))
+        .as(Seq("band", "hv")))
+      .groupBy($"doc_id", $"band").agg(min($"hv").as("hv"))
+    val cands = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.hv" === $"y.hv" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id")).distinct()
+    val shA = sh.select($"doc_id".as("a_id"), $"shingle")
+    val shB = sh.select($"doc_id".as("b_id"), $"shingle")
+    val common = cands.join(shA, "a_id").join(shB, Seq("b_id", "shingle"))
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("common"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    common
+      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+      .withColumn("jaccard_dist",
+        lit(1.0) - $"common".cast("double") / ($"na" + $"nb" - $"common"))
+      .filter($"jaccard_dist" <= 0.5)
+      .select($"a_id", $"b_id", $"common", $"jaccard_dist")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** d13's oracle: the identical pipeline in DuckDB SQL (shingling shared
+    * with d2's oracle; band coefficients interpolated from the same
+    * fixed-seed arrays the Spark side uses). */
+  private def MinhashOracleSql: String = {
+    val aList = coefA.mkString(", ")
+    val bList = coefB.mkString(", ")
+    raw"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
+                 i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+2])) AS shingle
+        FROM documents)),
+    shx AS (
+      SELECT doc_id, shingle,
+             CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS x
+      FROM sh),
+    coef AS (
+      SELECT unnest(range(0, $NumBands)) AS band,
+             unnest([$aList]) AS a, unnest([$bList]) AS b),
+    mh AS (
+      SELECT s.doc_id, c.band, MIN((c.a * s.x + c.b) % $P) AS hv
+      FROM shx s CROSS JOIN coef c GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM mh x JOIN mh y
+        ON x.band = y.band AND x.hv = y.hv AND x.doc_id < y.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    com AS (
+      SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.a_id
+      JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT a_id, b_id, common,
+           1.0 - CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard_dist
+    FROM com JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+    WHERE 1.0 - CAST(common AS DOUBLE) / (sa.n + sb.n - common) <= 0.5
+    ORDER BY a_id, b_id"""
+  }
 
   /** Candidate near-dup pairs with Jaccard distance ≤ threshold.
     * Features are word-3-gram shingles (same shingling as d2): on this

@@ -61,12 +61,60 @@ object Similarity {
     // ----------------------------------------------------------------- s2
     // IVF-style ANN: per-label centroids (exact decimal elementwise means →
     // deterministic doubles), assign queries to the nearest 2 cells, exact
-    // rerank only within those cells. Rows-only check (the end-to-end recall
-    // vs s1 is asserted in SimilarityRecallSpec instead).
+    // rerank only within those cells. Every stage is deterministic —
+    // decimal centroid sums are partition-order independent, probe and
+    // rerank are pure double arithmetic — so the WHOLE approximate index
+    // replays under the DuckDB oracle (same centroid math, same probe
+    // ranking, same cosine); end-to-end recall vs exact s1 is asserted in
+    // SimilarityRecallSpec on top.
     QuerySpec(
       "s2_ivf_ann_topk",
       (s, dir) => ivfTopK(s, dir, nQueries = 10, nProbe = 2, k = 5),
-      None),
+      Some("""
+        WITH e AS (
+          SELECT label, vec_id, embedding,
+                 UNNEST(embedding) AS v,
+                 UNNEST(range(len(embedding))) AS dim
+          FROM embeddings),
+        cent AS (
+          SELECT label AS cell, dim,
+                 CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+          FROM e GROUP BY label, dim),
+        centl AS (
+          SELECT cell, list(c ORDER BY dim) AS centroid FROM cent GROUP BY cell),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 10),
+        probe AS (
+          SELECT query_id, qv, cell,
+                 list_sum(list_transform(generate_series(1, len(qv)),
+                   i -> (CAST(qv[i] AS DOUBLE) - centroid[i]) *
+                        (CAST(qv[i] AS DOUBLE) - centroid[i]))) AS cdist
+          FROM q CROSS JOIN centl),
+        pr AS (
+          SELECT query_id, qv, cell,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cdist ASC, cell) AS probe_rank
+          FROM probe),
+        probed AS (SELECT query_id, qv, cell FROM pr WHERE probe_rank <= 2),
+        cand AS (SELECT vec_id AS cand_id, embedding AS cv, label AS cell
+                 FROM embeddings),
+        p AS (
+          SELECT query_id, cand_id,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(qv)),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(cv)),
+                          i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 6) AS cosine
+          FROM probed JOIN cand USING (cell)
+          WHERE query_id != cand_id),
+        r AS (SELECT query_id, cand_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, cand_id) AS rank
+              FROM p)
+        SELECT query_id, rank, cand_id, cosine FROM r WHERE rank <= 5
+        ORDER BY query_id, rank""")),
 
     // ----------------------------------------------------------------- s3
     // Int8 symmetric quantization — the compression step a 100 TB vector

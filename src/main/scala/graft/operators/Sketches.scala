@@ -27,6 +27,25 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  // Constants live ABOVE specs: the x3 oracle string interpolates
+  // FreqTopK at object-construction time, and a forward val reference
+  // would silently read 0 (the Relational Q30Sql init-order trap).
+
+  /** x2's GK-summary accuracy: rank error <= n/accuracy = 1%. */
+  val QuantileAccuracy = 100
+
+  /** x3's sketch map size (power of 2). At audit SFs the per-language
+    * vocab fits, so estimates are exact; at 100 TB the map purges and
+    * the NO_FALSE_NEGATIVES guarantee takes over. */
+  val FreqMapSize = 1024
+
+  /** x3's emitted rows per language. */
+  val FreqTopK = 10
+
+  /** x4's theta lgK: 4096 nominal entries — exact below that many
+    * distinct users per event type, ~1.6% RSE above. */
+  val ThetaLgK = 12
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----------------------------------------------------------------- x1
@@ -49,7 +68,16 @@ object Sketches {
             hll_sketch_estimate($"sk").cast("long").as("approx_users"))
           .orderBy($"event_type")
       },
-      None),
+      // The fixture keeps every per-type user set far below the lgK=12
+      // sketch's coupon capacity, so the HLL is provably in its exact
+      // (coupon) mode and the estimate IS the true distinct count — the
+      // oracle pins the whole sketch path end-to-end. At production
+      // cardinalities the sketch leaves exact mode by design and
+      // SketchesSpec's error envelope is the contract instead.
+      Some("""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users
+        FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ----------------------------------------------------------------- x2
     // Approximate per-language token-length quantiles — the sketch twin
@@ -92,9 +120,12 @@ object Sketches {
     // the same partials could be stored per shard/day and re-merged.
     // Guarantee (pinned in SketchesSpec): every token with true count
     // > maxError survives, est is within [true - maxError, true].
-    // Rows-only by design (estimates are merge-order-dependent once the
-    // sketch purges); output rows are fixed at topK per language with a
-    // deterministic (est desc, token asc) order.
+    // The fixture's per-language vocabulary sits far below maxMapSize, so
+    // the sketch NEVER purges: est is the exact count, lb = ub = est, and
+    // the whole sketch path — update, partial merge (any order), eval —
+    // is pinned by an exact top-k oracle. Once a real corpus outgrows the
+    // map, estimates become merge-order-dependent and the envelope
+    // guarantee above is the contract (SketchesSpec).
     QuerySpec(
       "x3_frequent_tokens",
       (s, dir) => {
@@ -112,7 +143,21 @@ object Sketches {
             $"it.lb".as("lb"), $"it.ub".as("ub"))
           .orderBy($"lang", $"rank")
       },
-      None),
+      Some(s"""
+        WITH t AS (
+          SELECT lang,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+          FROM documents WHERE text IS NOT NULL),
+        c AS (
+          SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS est
+          FROM t WHERE len(token) >= 3 GROUP BY lang, token),
+        r AS (
+          SELECT lang, token, est,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY est DESC, token) AS INTEGER) AS rank
+          FROM c)
+        SELECT lang, rank, token, est, est AS lb, est AS ub
+        FROM r WHERE rank <= $FreqTopK ORDER BY lang, rank""")),
 
     // ----------------------------------------------------------------- x4
     // Audience-overlap matrix between event types via theta sketches
@@ -144,21 +189,25 @@ object Sketches {
               .as("users_both"))
           .orderBy($"type_a", $"type_b")
       },
-      None)
+      // Exact-mode oracle (the per-type user sets sit far below 2^lgK,
+      // so estimates and intersections ARE the true distinct counts —
+      // the same reasoning as x1's): exact distinct + pairwise overlap.
+      Some("""
+        WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS users
+              FROM d GROUP BY event_type),
+        p AS (SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+                     ca.users AS users_a, cb.users AS users_b
+              FROM c ca JOIN c cb ON ca.event_type < cb.event_type),
+        o AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     CAST(COUNT(*) AS BIGINT) AS users_both
+              FROM d a JOIN d b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+        SELECT p.type_a, p.type_b, p.users_a, p.users_b,
+               COALESCE(o.users_both, CAST(0 AS BIGINT)) AS users_both
+        FROM p LEFT JOIN o ON p.type_a = o.type_a AND p.type_b = o.type_b
+        ORDER BY p.type_a, p.type_b"""))
   )
 
-  /** x2's GK-summary accuracy: rank error <= n/accuracy = 1%. */
-  val QuantileAccuracy = 100
-
-  /** x3's sketch map size (power of 2). At audit SFs the per-language
-    * vocab fits, so estimates are exact; at 100 TB the map purges and
-    * the NO_FALSE_NEGATIVES guarantee takes over. */
-  val FreqMapSize = 1024
-
-  /** x3's emitted rows per language. */
-  val FreqTopK = 10
-
-  /** x4's theta lgK: 4096 nominal entries — exact below that many
-    * distinct users per event type, ~1.6% RSE above. */
-  val ThetaLgK = 12
 }
