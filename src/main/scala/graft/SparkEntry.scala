@@ -19,7 +19,8 @@ object SparkEntry {
       operators.Multimodal.specs ++
       operators.KernelQueries.specs ++
       operators.Mixing.specs ++
-      operators.Sketches.specs
+      operators.Sketches.specs ++
+      streaming.StreamQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The REAL ingest→convert pipeline (k1): deterministic staging corpus
