@@ -777,27 +777,103 @@ object PdfParser extends FormatParser {
       if (cols.nonEmpty && x - cols.last.last <= ColTolX) cols.last += x
       else cols += ArrayBuffer(x)
     }
-    val centers = cols.map(c => c.sum / c.size).toIndexedSeq
+    def nearest(cs: IndexedSeq[Double], x: Double): Int =
+      if (cs.isEmpty) -1
+      else {
+        val i = cs.indices.minBy(i => math.abs(cs(i) - x))
+        if (math.abs(cs(i) - x) <= ColTolX) i else -1
+      }
+
+    // Column-SPANNING cells — the spanning-header shape (text centered
+    // across several columns; the reference's TableFormer benchmark set
+    // is full of them). True grid columns repeat their x across bands,
+    // so STRONG centers (clusters with >= 2 members) define the grid; a
+    // run at a one-off x is span evidence when (a) its band-neighbour
+    // bracket over the strong columns covers >= 2 of them, (b) its
+    // origin falls inside that bracket, and (c) it sits where headers
+    // sit — beside snapped cells or in the top band. A one-off run
+    // WITHOUT span evidence keeps its own column (the sparse-column
+    // legacy shape) and the fill gate still arbitrates.
+    val strongCenters = cols.filter(_.size >= 2).map(c => c.sum / c.size).toIndexedSeq
+    val spanRuns =
+      if (strongCenters.size < 2) Set.empty[Run]
+      else bands.zipWithIndex.iterator.flatMap { case (band, ri) =>
+        val snapped = band.filter(o => nearest(strongCenters, o.x) >= 0)
+        band.filter { r =>
+          nearest(strongCenters, r.x) < 0 && {
+            val prevCol = snapped.filter(_.x < r.x)
+              .map(o => nearest(strongCenters, o.x)).maxOption.getOrElse(-1)
+            val nextCol = snapped.filter(_.x > r.x)
+              .map(o => nearest(strongCenters, o.x))
+              .minOption.getOrElse(strongCenters.size)
+            val c0 = prevCol + 1
+            nextCol - c0 >= 2 &&
+              r.x >= strongCenters(c0) - ColTolX &&
+              r.x <= strongCenters(nextCol - 1) + ColTolX &&
+              (snapped.nonEmpty || ri == 0)
+          }
+        }
+      }.toSet
+
+    // final centers: clusters of the NON-span runs (strong columns plus
+    // any legacy sparse singletons)
+    val cols2 = ArrayBuffer[ArrayBuffer[Double]]()
+    for (x <- rs.filterNot(spanRuns).map(_.x).sorted) {
+      if (cols2.nonEmpty && x - cols2.last.last <= ColTolX) cols2.last += x
+      else cols2 += ArrayBuffer(x)
+    }
+    val centers = cols2.map(c => c.sum / c.size).toIndexedSeq
     if (centers.size < 2) return None
-    def colOf(x: Double): Int = {
-      val i = centers.indices.minBy(i => math.abs(centers(i) - x))
-      if (math.abs(centers(i) - x) <= ColTolX) i else -1
-    }
+    def colOf(x: Double): Int = nearest(centers, x)
+
     val grid = Array.fill(bands.size, centers.size)("")
-    for ((band, ri) <- bands.zipWithIndex; r <- band.sortBy(_.x)) {
-      val ci = colOf(r.x)
-      if (ci < 0) return None // stray run: not a grid, keep the text form
-      grid(ri)(ci) =
-        if (grid(ri)(ci).isEmpty) r.text.trim else grid(ri)(ci) + " " + r.text.trim
+    val spans = ArrayBuffer[(Int, Int, Int, String)]()
+    for ((band, ri) <- bands.zipWithIndex) {
+      val sorted = band.sortBy(_.x)
+      for (r <- sorted) {
+        if (spanRuns(r)) {
+          // re-bracket against the FINAL centers (a kept singleton column
+          // inside the original bracket narrows the span)
+          val prevCol = sorted.filterNot(spanRuns).filter(_.x < r.x)
+            .map(o => colOf(o.x)).filter(_ >= 0).maxOption.getOrElse(-1)
+          val nextCol = sorted.filterNot(spanRuns).filter(_.x > r.x)
+            .map(o => colOf(o.x)).filter(_ >= 0).minOption.getOrElse(centers.size)
+          val c0 = prevCol + 1
+          val c1 = nextCol
+          val originInside = c1 - c0 >= 2 &&
+            r.x >= centers(c0) - ColTolX && r.x <= centers(c1 - 1) + ColTolX
+          val overlapping = spans.exists(s => s._1 == ri && s._2 < c1 && c0 < s._3)
+          if (!originInside || overlapping)
+            return None // evidence fell apart: keep the text form
+          spans += ((ri, c0, c1, r.text.trim))
+        } else {
+          val ci = colOf(r.x)
+          if (ci < 0) return None // stray run: not a grid, keep the text form
+          grid(ri)(ci) =
+            if (grid(ri)(ci).isEmpty) r.text.trim else grid(ri)(ci) + " " + r.text.trim
+        }
+      }
     }
-    val filled = grid.iterator.map(_.count(_.nonEmpty)).sum
+    // a span must not cover columns its own row also fills directly
+    if (spans.exists { case (ri, c0, c1, _) =>
+          (c0 until c1).exists(grid(ri)(_).nonEmpty) }) return None
+    // grid gates: the SNAPPED runs alone must still look like a table
+    // (>= 2 rows with >= 2 direct cells), so spans only ever ride on top
+    // of real grid evidence and prose never reclassifies; fill counts
+    // spanned slots as occupied.
+    val filled = grid.iterator.map(_.count(_.nonEmpty)).sum +
+      spans.iterator.map(s => s._3 - s._2).sum
     val rowsWithTwo = grid.count(_.count(_.nonEmpty) >= 2)
     if (rowsWithTwo < 2 || filled.toDouble < bands.size * centers.size * 0.6) return None
-    val cells = for {
+    val direct = for {
       ri <- 0 until bands.size
       ci <- 0 until centers.size
       if grid(ri)(ci).nonEmpty
     } yield TableCellSpec(ri, ri + 1, ci, ci + 1, grid(ri)(ci), columnHeader = ri == 0)
+    val spanCells = spans.map { case (ri, c0, c1, text) =>
+      TableCellSpec(ri, ri + 1, c0, c1, text, columnHeader = ri == 0)
+    }
+    val cells = (direct ++ spanCells).sortBy(c => (c.startRow, c.startCol))
     Some(TableElement(cells, bands.size, centers.size))
   }
 

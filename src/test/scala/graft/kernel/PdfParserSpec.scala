@@ -475,6 +475,52 @@ class PdfParserSpec extends AnyFunSuite {
     assert(!r.markdown.contains("|"))
   }
 
+  test("a spanning header cell covers the columns between its neighbours") {
+    // row 0: a snapped label column plus (Sales H1) centered across the
+    // Qty/Price columns — origin at x=240 snaps to no center, but the
+    // bracket [after Region, end of row] covers cols 1-2 and the origin
+    // falls inside it: colspan evidence, not a stray veto
+    val content = "BT " +
+      "1 0 0 1 72 700 Tm (Region) Tj 1 0 0 1 240 700 Tm (Sales H1) Tj " +
+      "1 0 0 1 72 686 Tm (North) Tj 1 0 0 1 200 686 Tm (10) Tj 1 0 0 1 300 686 Tm (20) Tj " +
+      "1 0 0 1 72 672 Tm (South) Tj 1 0 0 1 200 672 Tm (30) Tj 1 0 0 1 300 672 Tm (40) Tj " +
+      "ET"
+    val r = convertOne("span.pdf", pdf(Seq(content -> false)))
+    assert(r.error == null, String.valueOf(r.error))
+    // markdown fills every covered slot with the cell text (the same
+    // convention the DOCX gridSpan path renders through renderTable)
+    assert(r.markdown ==
+      "| Region | Sales H1 | Sales H1 |\n|---|---|---|\n" +
+        "| North | 10 | 20 |\n| South | 30 | 40 |")
+  }
+
+  test("detectTable emits the span as ONE cell with startCol/endCol") {
+    import PdfParser.Run
+    val runs = Seq(
+      Run(72, 700, "Region"), Run(240, 700, "Sales H1"),
+      Run(72, 686, "North"), Run(200, 686, "10"), Run(300, 686, "20"),
+      Run(72, 672, "South"), Run(200, 672, "30"), Run(300, 672, "40"))
+    val t = PdfParser.detectTable(runs).get
+    val span = t.cells.find(_.text == "Sales H1").get
+    assert((span.startRow, span.endRow, span.startCol, span.endCol) == (0, 1, 1, 3))
+    assert(span.columnHeader)
+    assert(t.cells.count(c => c.endCol - c.startCol > 1) == 1)
+  }
+
+  test("a full-width top title inside the grid block becomes a header span") {
+    // title centered over the whole grid in the SAME block: top band, no
+    // snapped neighbour — allowed by the header-position gate
+    val content = "BT " +
+      "1 0 0 1 130 714 Tm (Quarterly) Tj " +
+      "1 0 0 1 72 700 Tm (A) Tj 1 0 0 1 200 700 Tm (B) Tj " +
+      "1 0 0 1 72 686 Tm (C) Tj 1 0 0 1 200 686 Tm (D) Tj " +
+      "1 0 0 1 72 672 Tm (E) Tj 1 0 0 1 200 672 Tm (F) Tj ET"
+    val r = convertOne("title.pdf", pdf(Seq(content -> false)))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown ==
+      "| Quarterly | Quarterly |\n|---|---|\n| A | B |\n| C | D |\n| E | F |")
+  }
+
   test("Td-positioned grid (relative moves) also reconstructs") {
     // row cells via Td x-offsets, rows via negative-y Td back to x=0 origin
     val content = "BT 72 700 Td (H1) Tj 128 0 Td (H2) Tj " +
