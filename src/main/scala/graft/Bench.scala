@@ -68,6 +68,9 @@ object Bench {
         .collect().foreach { case (_, png) =>
           javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
         }
+      // stage st1's event inbox here (write-once fixture construction,
+      // not the operator under measurement)
+      streaming.StreamQueries.stagedInbox(spark, sfDir)
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 

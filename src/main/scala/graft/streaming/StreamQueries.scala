@@ -29,8 +29,10 @@ object StreamQueries {
 
   /** Stage the events table as a multi-file parquet inbox (write-once per
     * sf dir, marker-versioned like the media fixture) so the stream
-    * source has real files to rate-limit over. */
-  private def stagedInbox(s: SparkSession, dir: String): String = {
+    * source has real files to rate-limit over. Public so Bench's untimed
+    * warmup can pay the one-time staging write there, keeping st1's
+    * measured time on the streaming query. */
+  def stagedInbox(s: SparkSession, dir: String): String = {
     val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
       sys.props("user.dir") + "/data"))
     val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")

@@ -14,13 +14,19 @@ class MediaFixtureSpec extends SparkTestBase {
 
   test("fixture is written once and reused on subsequent reads") {
     Multimodal.mediaTable(spark, sfDir).count() // builds if missing
-    val root = new java.io.File(sys.props("user.dir") + "/data",
-      "media_" + java.lang.Integer.toHexString(sfDir.hashCode))
+    val base = new java.io.File(sfDir).getName
+    val root = new java.io.File(sys.props("user.dir") + "/data", "media_" + base)
     val success = new java.io.File(root, "_SUCCESS")
     assert(success.exists())
+    // self-describing staging marker: construction version + row count
+    val marker = new java.io.File(root.getAbsolutePath + ".staged")
+    assert(marker.isFile)
+    val stamp = new String(java.nio.file.Files.readAllBytes(marker.toPath))
+    assert(stamp.matches("v\\d+:\\d+"), stamp)
     val mtime = success.lastModified()
     val n = Multimodal.mediaTable(spark, sfDir).count()
     assert(n > 0)
+    assert(stamp.endsWith(":" + n), s"marker $stamp vs row count $n")
     assert(success.lastModified() == mtime, "second read must not rewrite")
   }
 

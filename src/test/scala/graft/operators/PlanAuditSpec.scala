@@ -48,7 +48,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q35_balance_deciles", "s3_int8_quantize", "q36_not_in_big_spenders",
     "q37_daily_gapfill", "q38_nullsafe_join", "q39_supplier_roster",
     "t15_sliding_chunks", "q40_grouping_sets", "k5_dsv2_convert",
-    "t16_unigram_surprisal")
+    "t16_unigram_surprisal", "d13_minhash_oracle_twin")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
