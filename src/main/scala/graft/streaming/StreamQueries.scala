@@ -68,21 +68,21 @@ object StreamQueries {
     path.getAbsolutePath
   }
 
-  /** Run the catch-up stream to completion and return the finalized
-    * windows as a batch frame (read back from the file sink). */
-  def hourlyRollupCatchUp(s: SparkSession, dir: String): DataFrame = {
+  /** Run `transform` over the staged inbox as a rate-limited AvailableNow
+    * catch-up stream to completion, and return the finalized rows read
+    * back from the parquet sink — the shared runner behind every st*
+    * CORRECTNESS row. */
+  private def runCatchUp(s: SparkSession, dir: String,
+                         transform: DataFrame => DataFrame): DataFrame = {
     val inbox = stagedInbox(s, dir)
-    val runDir = java.nio.file.Files.createTempDirectory("graft_st1").toString
+    val runDir = java.nio.file.Files.createTempDirectory("graft_st").toString
     val outDir = s"$runDir/out"
     val schema = s.read.parquet(inbox).schema
     val stream = s.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 2)
       .parquet(inbox)
-      // decimal BEFORE the aggregation: exact sums regardless of which
-      // micro-batch each row lands in
-      .withColumn("value", col("value").cast("decimal(18,4)"))
-    val q = EventStreams.hourlyRollup(stream)
+    val q = transform(stream)
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", s"$runDir/chk")
@@ -92,10 +92,33 @@ object StreamQueries {
       .start()
     q.awaitTermination()
     s.read.parquet(outDir)
+  }
+
+  /** st1: the watermark-finalized hourly rollup as a batch frame. */
+  def hourlyRollupCatchUp(s: SparkSession, dir: String): DataFrame =
+    runCatchUp(s, dir, ev => EventStreams.hourlyRollup(
+      // decimal BEFORE the aggregation: exact sums regardless of which
+      // micro-batch each row lands in
+      ev.withColumn("value", col("value").cast("decimal(18,4)"))))
       .select(col("hour").as("win_start"), col("event_type"),
         col("n"), col("sum_value").cast("double").as("sum_value"))
       .orderBy(col("win_start"), col("event_type"))
+
+  /** st2: the composed dedup → broadcast-enrich → rollup chain
+    * ([[EventStreams.curatedSegmentRollup]]) run to termination. */
+  def curatedRollupCatchUp(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables(s, dir, "customer")
+    runCatchUp(s, dir, ev => EventStreams.curatedSegmentRollup(ev, dim))
+      .orderBy(col("hour"), col("segment"))
   }
+
+  /** st3: watermark-finalized session windows
+    * ([[EventStreams.sessionRollup]]) run to termination. */
+  def sessionRollupCatchUp(s: SparkSession, dir: String): DataFrame =
+    runCatchUp(s, dir, ev => EventStreams.sessionRollup(ev))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
@@ -111,5 +134,60 @@ object StreamQueries {
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events, wm
         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
-        GROUP BY 1, 2 ORDER BY win_start, event_type""")))
+        GROUP BY 1, 2 ORDER BY win_start, event_type""")),
+
+    // ----------------------------------------------------------------- st2
+    // The COMPOSED chain — at-least-once dedup, stream-static broadcast
+    // enrichment, tumbling rollup — under the same finalization oracle.
+    // Deterministic because: event_id is unique in the fixture (the spec
+    // plane plants the redeliveries; here dedup must be an exact
+    // pass-through), the dimension join is stateless, and cents
+    // accumulate as longs. TRUNC mirrors Spark's double→long cast (both
+    // truncate toward zero; DuckDB's bare CAST rounds).
+    QuerySpec(
+      "st2_curated_rollup_stream",
+      (s, dir) => curatedRollupCatchUp(s, dir),
+      Some("""
+        WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events),
+        e AS (
+          SELECT date_trunc('hour', ts) AS hour,
+                 COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+                 CAST(TRUNC(value * 100) AS BIGINT) AS cents
+          FROM events LEFT JOIN customer c ON user_id = c.c_custkey, wm
+          WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w)
+        SELECT hour, segment, COUNT(*) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS cents_sum
+        FROM e GROUP BY 1, 2 ORDER BY hour, segment""")),
+
+    // ----------------------------------------------------------------- st3
+    // Session windows under the oracle: the emitted set is every session
+    // CLOSED by the final watermark (session end = last event + gap;
+    // emitted iff end <= max(ts) − 2h), and the oracle rebuilds the
+    // sessions with the islands technique — a gap of >= 30 minutes opens
+    // a new session, matching session_window's half-open [ts, ts+gap)
+    // merge rule exactly.
+    QuerySpec(
+      "st3_session_rollup_stream",
+      (s, dir) => sessionRollupCatchUp(s, dir),
+      Some("""
+        WITH f AS (
+          SELECT user_id, ts,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        g AS (
+          SELECT user_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS grp
+          FROM f),
+        sess AS (
+          SELECT user_id, MIN(ts) AS session_start,
+                 MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM g GROUP BY user_id, grp),
+        wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events)
+        SELECT user_id, session_start, session_end, n_events
+        FROM sess, wm WHERE session_end <= wm.w
+        ORDER BY user_id, session_start""")))
 }
