@@ -783,6 +783,26 @@ object PdfParser extends FormatParser {
         val i = cs.indices.minBy(i => math.abs(cs(i) - x))
         if (math.abs(cs(i) - x) <= ColTolX) i else -1
       }
+    // Best spanned sub-range [a, b) inside the neighbour bracket [c0, c1)
+    // for a run whose origin is `x`: spanning text is CENTERED over its
+    // columns, so pick the >= 2-wide range whose center midpoint sits
+    // closest to the origin (ties prefer the wider range) — the raw
+    // bracket alone over-extends when the span's own row leaves a column
+    // empty just inside the bracket (e.g. a [2,4) span under an empty
+    // col 1 must not become [1,4)). The origin must still fall within
+    // the chosen range's center extent.
+    def bestSpan(cs: IndexedSeq[Double], c0: Int, c1: Int,
+                 x: Double): Option[(Int, Int)] = {
+      val cands = for {
+        a <- c0 until c1
+        b <- (a + 2) to c1
+        if x >= cs(a) - ColTolX && x <= cs(b - 1) + ColTolX
+      } yield (a, b)
+      if (cands.isEmpty) None
+      else Some(cands.minBy { case (a, b) =>
+        (math.abs(x - (cs(a) + cs(b - 1)) / 2), -(b - a))
+      })
+    }
 
     // Column-SPANNING cells — the spanning-header shape (text centered
     // across several columns; the reference's TableFormer benchmark set
@@ -806,10 +826,7 @@ object PdfParser extends FormatParser {
             val nextCol = snapped.filter(_.x > r.x)
               .map(o => nearest(strongCenters, o.x))
               .minOption.getOrElse(strongCenters.size)
-            val c0 = prevCol + 1
-            nextCol - c0 >= 2 &&
-              r.x >= strongCenters(c0) - ColTolX &&
-              r.x <= strongCenters(nextCol - 1) + ColTolX &&
+            bestSpan(strongCenters, prevCol + 1, nextCol, r.x).isDefined &&
               (snapped.nonEmpty || ri == 0)
           }
         }
@@ -838,14 +855,13 @@ object PdfParser extends FormatParser {
             .map(o => colOf(o.x)).filter(_ >= 0).maxOption.getOrElse(-1)
           val nextCol = sorted.filterNot(spanRuns).filter(_.x > r.x)
             .map(o => colOf(o.x)).filter(_ >= 0).minOption.getOrElse(centers.size)
-          val c0 = prevCol + 1
-          val c1 = nextCol
-          val originInside = c1 - c0 >= 2 &&
-            r.x >= centers(c0) - ColTolX && r.x <= centers(c1 - 1) + ColTolX
-          val overlapping = spans.exists(s => s._1 == ri && s._2 < c1 && c0 < s._3)
-          if (!originInside || overlapping)
-            return None // evidence fell apart: keep the text form
-          spans += ((ri, c0, c1, r.text.trim))
+          bestSpan(centers, prevCol + 1, nextCol, r.x) match {
+            case Some((c0, c1))
+                if !spans.exists(s => s._1 == ri && s._2 < c1 && c0 < s._3) =>
+              spans += ((ri, c0, c1, r.text.trim))
+            case _ =>
+              return None // evidence fell apart: keep the text form
+          }
         } else {
           val ci = colOf(r.x)
           if (ci < 0) return None // stray run: not a grid, keep the text form

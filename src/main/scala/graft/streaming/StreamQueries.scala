@@ -80,7 +80,12 @@ object StreamQueries {
     val schema = s.read.parquet(inbox).schema
     val stream = s.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", 2)
+      // 8 ranged files / 4 per trigger = 2 real data batches plus the
+      // final no-data flush batch: still exercises cross-batch state and
+      // the incremental watermark advance, at half the per-batch
+      // state-store/sink-commit overhead of smaller triggers (each extra
+      // micro-batch costs a checkpoint + sink commit, ~1 s on tmpfs)
+      .option("maxFilesPerTrigger", 4)
       .parquet(inbox)
     val q = transform(stream)
       .writeStream
