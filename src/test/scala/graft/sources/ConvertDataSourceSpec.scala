@@ -111,4 +111,35 @@ class ConvertDataSourceSpec extends SparkTestBase {
     assert(r.length == 1)
     assert(r.head.getString(1) == graft.ingest.UploadValidation.fileTooLargeError(1))
   }
+
+  test("rows buffered across next() calls keep their own images (no buffer aliasing)") {
+    // the serializer reuses its output buffer between files, so a reader
+    // that hands out views would let file 2 overwrite file 1's images for
+    // any consumer that buffers rows — drive the PartitionReader directly
+    // and hold the first row across the second next()
+    val dir = Files.createTempDirectory("graft-dsv2-imgs")
+    Files.write(dir.resolve("p1.png"), graft.kernel.ImageRenderer.renderPicture(1))
+    Files.write(dir.resolve("p2.png"), graft.kernel.ImageRenderer.renderPicture(2))
+    val files = dir.toFile.listFiles().sortBy(_.getName)
+      .map(f => (f.getAbsolutePath, f.length())).toVector
+    val reader = new ConvertReader(ConvertInputPartition(files),
+      ConvertDataSource.schema, Map.empty,
+      spark.sessionState.newHadoopConf())
+    val schema = ConvertDataSource.schema
+    def imageB64(row: org.apache.spark.sql.catalyst.InternalRow): String = {
+      val images = row.getArray(schema.fieldIndex("images"))
+      images.getStruct(0, 3).getString(2) // the base64 payload field
+    }
+    assert(reader.next())
+    val first = reader.get()
+    val firstImage = imageB64(first)
+    assert(reader.next())
+    val secondImage = imageB64(reader.get())
+    assert(!reader.next())
+    reader.close()
+    // re-reading the BUFFERED first row must still yield file 1's image,
+    // byte-for-byte different from file 2's
+    assert(imageB64(first) == firstImage)
+    assert(firstImage != secondImage)
+  }
 }
