@@ -88,15 +88,18 @@ object MinHashDedup {
   private def minhashOracleTwin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = Shingles.pairs(s, Tables(s, dir, "documents")).persist()
-    val aList = coefA.mkString("L,") + "L"
-    val bList = coefB.mkString("L,") + "L"
+    // per-band minima as EIGHT aggregate columns over the shingle rows —
+    // map-side partials compact each partition to one row per doc before
+    // the shuffle; exploding 8 band rows per shingle first (the obvious
+    // form) would move 8x the data to do the same minimum
+    val minCols = (0 until NumBands).map(i =>
+      min((lit(coefA(i)) * $"x" + lit(coefB(i))) % P).as(s"hv$i"))
     val bands = sh
       .withColumn("x", conv(substring(md5($"shingle"), 1, 7), 16, 10).cast("long"))
-      .select($"doc_id", posexplode(expr(
-        s"transform(sequence(0, ${NumBands - 1}), i -> " +
-          s"(element_at(array($aList), i + 1) * x + element_at(array($bList), i + 1)) % ${P}L)"))
+      .groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+      .select($"doc_id", posexplode(
+        array((0 until NumBands).map(i => col(s"hv$i")): _*))
         .as(Seq("band", "hv")))
-      .groupBy($"doc_id", $"band").agg(min($"hv").as("hv"))
     val cands = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.hv" === $"y.hv" &&
           $"x.doc_id" < $"y.doc_id")
