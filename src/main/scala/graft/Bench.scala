@@ -74,13 +74,27 @@ object Bench {
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
-      // release per-query persists (d2 shingle lineage, d4 signatures)
-      // deterministically instead of relying on LRU eviction; untimed
+      // belt-and-braces: queries release their own persists via
+      // Materialize.thenRelease; this keeps stray test caches out of the
+      // next query's measurement. Untimed.
       spark.catalog.clearCache()
+      dt
+    }
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      // Median-of-3 for sub-5s queries (VERDICT r6 #3): this box's
+      // single-run spread is ±20%, which made r6's sub-second x-family
+      // look 2-3x "regressed" — undiagnosable from one sample. Repeats
+      // are bounded to cheap queries so total wall-clock stays sane; a
+      // >=5s query's signal already dominates the noise floor.
+      val first = once(name)
+      val dt =
+        if (first >= 5.0) first
+        else Seq(first, once(name), once(name)).sorted.apply(1)
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   * phrases never generate O(df²) pairs on one key. SimHash reduces each doc
   * to one signature row, then bands group O(n) rows, never O(n²).
   *
-  * Persist note: per-query persists here (and in MinHashDedup) are small
-  * (shingle pairs / band rows); Verify and Bench release them explicitly
-  * with `spark.catalog.clearCache()` after each query materializes, so no
-  * cached RDD outlives its query. A long-lived service embedding these
-  * plans should do the same after materializing results.
+  * Persist note: per-query persists here (and in MinHashDedup /
+  * TextAnalysis) are small (shingle pairs / band rows) and are released
+  * INSIDE the query function via [[graft.Materialize.thenRelease]] —
+  * the result is eagerly materialized executor-side, then every
+  * intermediate is unpersisted, so the cache manager is empty the moment
+  * the function returns and a long-lived session accumulates nothing
+  * across queries (no reliance on callers running clearCache).
   */
 object Dedup {
 
@@ -72,12 +74,13 @@ object Dedup {
       .toDF("a_id", "b_id")
       .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("common"))
-    common
+    val pairs = common
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
       .withColumn("jaccard", $"common".cast("double") / ($"na" + $"nb" - $"common"))
       .filter($"jaccard" >= threshold)
       .select($"a_id", $"b_id", $"common", $"jaccard")
+    graft.Materialize.thenRelease(pairs, sh0)
   }
 
   /** d7's iteration, factored out so specs can drive it with synthetic
@@ -267,13 +270,13 @@ object Dedup {
         val hits = grams.filter($"doc_id" % 7 =!= 0)
           .join(broadcast(evalGrams), Seq("shingle"), "left_semi")
           .groupBy($"doc_id").agg(count(lit(1)).as("hits"))
-        docs.filter($"doc_id" % 7 =!= 0).select($"doc_id")
+        val report = docs.filter($"doc_id" % 7 =!= 0).select($"doc_id")
           .join(hits, Seq("doc_id"), "left")
           .select(
             $"doc_id",
             coalesce($"hits", lit(0L)).as("n_shared_grams"),
             (coalesce($"hits", lit(0L)) > 0).as("contaminated"))
-          .orderBy($"doc_id")
+        graft.Materialize.thenRelease(report, grams).orderBy($"doc_id")
       },
       Some(raw"""
         WITH t AS (
@@ -605,9 +608,11 @@ object Dedup {
     * batch passage hashes (distributed treeAggregate; the driver holds
     * only the ~KB bitset, like any broadcast build side), and applies it
     * as a map-side filter on the corpus rows. Returns
-    * (batch(doc_id, passage, h) — persisted, candidates(corpus_id,
-    * passage, h)); callers release the persist via clearCache per the
-    * object-level persist note. No false negatives by Bloom's contract,
+    * (batch(doc_id, passage, h) — eagerly materialized via
+    * localCheckpoint so the bloom build, the count and the caller's
+    * confirm join all reuse it WITHOUT a cache-manager entry (freed by
+    * the ContextCleaner when unreachable), candidates(corpus_id,
+    * passage, h)). No false negatives by Bloom's contract,
     * so a string-equality confirm join over the candidates is exact. */
   def bloomCandidatesOn(s: org.apache.spark.sql.SparkSession,
                         passages: org.apache.spark.sql.DataFrame,
@@ -616,7 +621,7 @@ object Dedup {
     import s.implicits._
     val batch = passages.filter(isBatch)
       .select($"doc_id", $"passage", xxhash64($"passage").as("h"))
-      .persist()
+      .localCheckpoint(true)
     val nKeys = math.max(batch.count(), 1L)
     val bloom = batch.stat.bloomFilter("h", nKeys, 0.01)
     val bloomB = s.sparkContext.broadcast(bloom)

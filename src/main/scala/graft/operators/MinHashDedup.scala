@@ -84,7 +84,22 @@ object MinHashDedup {
   /** d13's Spark side: md5-keyed MinHash + LSH + exact string-shingle
     * rerank. Deliberately expression-only (no typed flatMap) so the plan
     * stays whole-stage-codegen'd and every intermediate is replayable in
-    * ANSI SQL. Threshold fixed at 0.5 like d4. */
+    * ANSI SQL. Threshold fixed at 0.5 like d4.
+    *
+    * Collision bound for the 28-bit md5-prefix shingle key (7 hex chars,
+    * the widest prefix both engines parse identically as a positive
+    * BIGINT): two DISTINCT shingles share a key with p = 2^-28. A
+    * collision can only (a) depress a per-band minimum — identically in
+    * both engines, since the key function is shared — or (b) merge two
+    * shingles in a candidate's band minimum, slightly inflating
+    * candidate recall; the exact STRING-shingle rerank then discards any
+    * false candidate, so emitted pairs and their Jaccard values are
+    * collision-free. By the birthday bound, ~2^14 ≈ 16k distinct
+    * shingles give even-odds of ONE collision somewhere in the corpus;
+    * the sf0.1 fixture holds ~60k distinct shingles, so a handful of
+    * collisions exist, affect both engines identically, and cannot
+    * change the verified output. d4/d12 keep full-width murmur3/xxhash64
+    * keys — this narrow key exists only for cross-engine replayability. */
   private def minhashOracleTwin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = Shingles.pairs(s, Tables(s, dir, "documents")).persist()
@@ -109,14 +124,14 @@ object MinHashDedup {
     val common = cands.join(shA, "a_id").join(shB, Seq("b_id", "shingle"))
       .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("common"))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    common
+    val pairs = common
       .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
       .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
       .withColumn("jaccard_dist",
         lit(1.0) - $"common".cast("double") / ($"na" + $"nb" - $"common"))
       .filter($"jaccard_dist" <= 0.5)
       .select($"a_id", $"b_id", $"common", $"jaccard_dist")
-      .orderBy($"a_id", $"b_id")
+    graft.Materialize.thenRelease(pairs, sh).orderBy($"a_id", $"b_id")
   }
 
   /** d13's oracle: the identical pipeline in DuckDB SQL (shingling shared
@@ -175,8 +190,10 @@ object MinHashDedup {
     * xxhash64 shingle arrays). At 100 TB these are the tables a pipeline
     * persists as its standing dedup index — computed once per corpus,
     * probed by every incremental batch (d12). Both returned frames are
-    * persisted (signature build + rerank reuse); callers release via
-    * clearCache per the Dedup-object persist note. */
+    * eagerly materialized (localCheckpoint) so candidate generation and
+    * the rerank reuse them without recompute AND without cache-manager
+    * entries; the shingle-set intermediate is unpersisted before this
+    * returns, so nothing cached outlives the call. */
   def lshIndex(s: SparkSession, rawDocs: DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
     // Shared typed-flatMap shingling (see Shingles); <3-token docs drop.
@@ -198,11 +215,12 @@ object MinHashDedup {
         Iterator.range(0, NumBands).map(i => (id, i, mins(i)))
       }
       .toDF("doc_id", "band", "hv")
-      .persist()
+      .localCheckpoint(true) // self-joined x/y in candidate gen
 
     val fingerprints = docs.select($"doc_id",
       array_sort(expr("transform(toks, t -> xxhash64(t))")).as("hs"))
-      .persist() // rerank reads it twice (ta and tb sides)
+      .localCheckpoint(true) // rerank reads it twice (ta and tb sides)
+    docs.unpersist(false)
     (bands, fingerprints)
   }
 

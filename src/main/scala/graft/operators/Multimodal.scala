@@ -42,32 +42,45 @@ object Multimodal {
     * instead of silently reusing wrong-scale payloads. The oracle needs
     * no fixture because payload features remain a pure function of
     * doc_id. */
+  /** Once a fixture dir has been verified/staged in this process, repeat
+    * calls must touch no Spark job (the row-count stamp check runs a
+    * count()): m2's MEASURED bench path calls mediaTable again after the
+    * untimed warmup staged it, and that call should go straight to the
+    * parquet scan. Keyed by fixture path (which encodes the sf-dir
+    * basename), so distinct scales never alias. */
+  private val verifiedFixtures =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def mediaTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
       sys.props("user.dir") + "/data"))
     val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = new java.io.File(root, "media_" + base)
-    val docIds = Tables(s, dir, "documents").select($"doc_id")
-    val nDocs = docIds.count()
-    // fixture construction version: bump when the payload contract
-    // (renderPicture, scale = doc_id%4+1) changes
-    val stamp = s"v2:$nDocs"
-    val marker = new java.io.File(path.getAbsolutePath + ".staged")
-    val upToDate = path.isDirectory && marker.isFile &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
-    if (!upToDate) {
-      docIds.as[Long]
-        .mapPartitions { it =>
-          val rendered = scala.collection.mutable.Map.empty[Int, Array[Byte]]
-          it.map { id =>
-            val scale = (id % 4 + 1).toInt
-            (id, rendered.getOrElseUpdate(scale,
-              graft.kernel.ImageRenderer.renderPicture(scale)))
-          }
-        }.toDF("doc_id", "payload")
-        .write.mode("overwrite").parquet(path.getAbsolutePath)
-      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+    if (!verifiedFixtures.contains(path.getAbsolutePath)) {
+      val docIds = Tables(s, dir, "documents").select($"doc_id")
+      val nDocs = docIds.count()
+      // fixture construction version: bump when the payload contract
+      // (renderPicture, scale = doc_id%4+1) changes
+      val stamp = s"v2:$nDocs"
+      val marker = new java.io.File(path.getAbsolutePath + ".staged")
+      val upToDate = path.isDirectory && marker.isFile &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+      if (!upToDate) {
+        docIds.as[Long]
+          .mapPartitions { it =>
+            val rendered = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+            it.map { id =>
+              val scale = (id % 4 + 1).toInt
+              (id, rendered.getOrElseUpdate(scale,
+                graft.kernel.ImageRenderer.renderPicture(scale)))
+            }
+          }.toDF("doc_id", "payload")
+          .write.mode("overwrite").parquet(path.getAbsolutePath)
+        java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+        ()
+      }
+      verifiedFixtures.add(path.getAbsolutePath)
       ()
     }
     s.read.parquet(path.getAbsolutePath)

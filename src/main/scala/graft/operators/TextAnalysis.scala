@@ -672,7 +672,8 @@ object TextAnalysis {
     // corpus-wide shuffle and is BOUNDED (natural-language vocab, not
     // corpus size), so it broadcasts back onto the token stream —
     // scoring is then map-side. The token frame persists across its two
-    // consumers (vocab build + scoring), the d2 lineage rule. ln differs
+    // consumers (vocab build + scoring), the d2 lineage rule, and is
+    // released via Materialize.thenRelease before return. ln differs
     // by ≤2 ulp between libms, so the average rounds at 6dp — far above
     // the ~1e-14 accumulated error, far below any data distinction.
     QuerySpec(
@@ -684,14 +685,14 @@ object TextAnalysis {
           .persist()
         val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
         val tot = vocab.agg(sum($"n").as("total"))
-        toks.join(broadcast(vocab), "tok")
+        val scored = toks.join(broadcast(vocab), "tok")
           .crossJoin(broadcast(tot))
           .select($"doc_id",
             (-log($"n".cast("double") / $"total".cast("double"))).as("s"))
           .groupBy($"doc_id")
           .agg(count(lit(1)).cast("long").as("n_tokens"),
             round(avg($"s"), 6).as("avg_surprisal"))
-          .orderBy($"doc_id")
+        graft.Materialize.thenRelease(scored, toks).orderBy($"doc_id")
       },
       Some("""
         WITH toks AS (

@@ -37,36 +37,55 @@ object StreamQueries {
       sys.props("user.dir") + "/data"))
     val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = new java.io.File(root, "events_inbox_" + base)
+    // same once-per-process fast path as Multimodal.mediaTable: after the
+    // first verification the measured st* calls skip the count() job
+    if (verifiedInboxes.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
     val events = Tables(s, dir, "events")
     val n = events.count()
-    val stamp = s"v3:$n"
+    val stamp = s"v4:$n"
     val marker = new java.io.File(path.getAbsolutePath + ".staged")
     val upToDate = path.isDirectory && marker.isFile &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
     if (!upToDate) {
       // 8 TIME-RANGED files (a real inbox arrives in rough event-time
-      // order): with maxFilesPerTrigger=2 the run exercises 4 real
-      // micro-batches with the watermark advancing between them, and no
-      // row is ever later than the watermark its batch runs under. A
-      // randomly-shuffled staging (the first attempt) drives the
-      // watermark to max−2h in batch 1 and correctly LATE-DROPS most of
-      // the remaining inbox — valid semantics, but then the row tests
-      // the staging artifact, not the rollup.
+      // order); runCatchUp's maxFilesPerTrigger (see there for the
+      // batching rationale) slices them into micro-batches with the
+      // watermark advancing between them, and no row is ever later than
+      // the watermark its batch runs under. A randomly-shuffled staging
+      // (the first attempt) drives the watermark to max−2h in batch 1 and
+      // correctly LATE-DROPS most of the remaining inbox — valid
+      // semantics, but then the row tests the staging artifact, not the
+      // rollup.
       events.repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
         .write.mode("overwrite").parquet(path.getAbsolutePath)
       // The file source replays in MODIFICATION-TIME order, and the 8
-      // parallel write tasks finish in arbitrary order — pin each part
-      // file's mtime to its (range-ordered) name so a re-staging can
-      // never present day 26 before day 1.
+      // parallel write tasks finish in arbitrary order — pin the part
+      // files' mtimes to a strictly increasing sequence in (range-ordered)
+      // NAME order, anchored to one shared base (max of the actual
+      // mtimes), so a re-staging can never present day 26 before day 1.
+      // Anchoring to each file's OWN mtime would only preserve name order
+      // when no later-range task finished well before an earlier one —
+      // not guaranteed with 8 parallel writers. HARNESS-ONLY DEVICE:
+      // local-FS mtimes are writable; on an object store (S3/GCS) this
+      // staging trick is meaningless and a real deployment orders its
+      // inbox by arrival instead.
       val parts = path.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val mtimeBase = parts.map(_.lastModified()).max
       parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(f.lastModified() - (parts.length - i) * 2000L); ()
+        require(f.setLastModified(mtimeBase + i * 2000L),
+          s"stagedInbox: setLastModified failed for ${f.getName} — " +
+            "file-source replay order would be undefined")
       }
       java.nio.file.Files.write(marker.toPath, stamp.getBytes)
       ()
     }
+    verifiedInboxes.add(path.getAbsolutePath)
     path.getAbsolutePath
   }
+
+  private val verifiedInboxes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Run `transform` over the staged inbox as a rate-limited AvailableNow
     * catch-up stream to completion, and return the finalized rows read

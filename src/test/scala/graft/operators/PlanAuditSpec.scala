@@ -13,9 +13,19 @@ import graft.SparkTestBase
   */
 class PlanAuditSpec extends SparkTestBase {
 
-  private def planOf(name: String): String =
-    graft.SparkEntry.queries(name)(spark, sfDir)
+  // graft.eagerRelease=false keeps queries fully lazy so the audit sees
+  // the complete pipeline plan (the production path eagerly checkpoints
+  // persisting queries to release their caches, which would hide the
+  // upstream stages behind a checkpoint scan — see graft.Materialize)
+  private def planOf(name: String): String = {
+    spark.conf.set("graft.eagerRelease", "false")
+    try graft.SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.executedPlan.toString
+    finally {
+      spark.conf.set("graft.eagerRelease", "true")
+      spark.catalog.clearCache() // drop the un-released lazy persists
+    }
+  }
 
   private val DeliberateNestedLoops = Set(
     "d5_embedding_cosine_pairs", "s1_cosine_topk", "s2_ivf_ann_topk",

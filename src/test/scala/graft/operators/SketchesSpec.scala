@@ -158,4 +158,45 @@ class SketchesSpec extends SparkTestBase {
         s"($a,$b): intersection $both != ${(perType(a) & perType(b)).size}")
     }
   }
+
+  // ------------------------------------------- oracle capacity preconditions
+  //
+  // x3's and x4's DuckDB oracles compare exact counts against sketch
+  // output, which is only valid while the sketches are in EXACT mode:
+  // x4 while distinct users per event type < 2^ThetaLgK (the theta
+  // sketch is a complete hash set below capacity), x3 while each
+  // language's >=3-char vocabulary < FreqMapSize (Misra-Gries never
+  // purges). The x4 test above pins the premise at this spec's sf0.001;
+  // the driver, however, runs CORRECTNESS at sf0.01 and Bench at sf0.1 —
+  // if fixture growth ever crosses a capacity there, the sketch leaves
+  // exact mode and CORRECTNESS would report a FALSE red. This test makes
+  // that failure mode a loud, self-explaining spec failure at every
+  // driver scale instead: on failure, demote the affected oracle to
+  // rows-only (oracle = None), the honest x1/x2 treatment.
+  test("x3/x4 exact-mode capacity holds at every driver scale factor") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(d).isDirectory).foreach { dir =>
+        val maxUsers = graft.Tables(spark, dir, "events")
+          .groupBy($"event_type")
+          .agg(countDistinct($"user_id").as("n"))
+          .agg(max($"n")).as[Long].head()
+        assert(maxUsers < (1 << Sketches.ThetaLgK),
+          s"$dir: $maxUsers distinct users in one event type >= 2^" +
+            s"${Sketches.ThetaLgK} — x4's theta sketches leave exact mode " +
+            "and its exact-count oracle becomes invalid; register x4 " +
+            "rows-only (oracle = None) before the driver runs CORRECTNESS")
+        val maxVocab = graft.Tables(spark, dir, "documents")
+          .filter($"text".isNotNull)
+          .select($"lang",
+            explode(split(lower(trim($"text")), "\\s+")).as("token"))
+          .filter(length($"token") >= 3)
+          .groupBy($"lang").agg(countDistinct($"token").as("n"))
+          .agg(max($"n")).as[Long].head()
+        assert(maxVocab < Sketches.FreqMapSize,
+          s"$dir: a language's vocabulary ($maxVocab) reached FreqMapSize " +
+            s"(${Sketches.FreqMapSize}) — x3's Misra-Gries sketch would " +
+            "purge and its exact top-k oracle becomes invalid; register " +
+            "x3 rows-only (oracle = None) before the driver runs CORRECTNESS")
+      }
+  }
 }

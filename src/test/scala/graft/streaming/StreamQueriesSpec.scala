@@ -31,4 +31,41 @@ class StreamQueriesSpec extends SparkTestBase {
       s"row count ${got.length} vs ${want.length}")
     got.zip(want).foreach { case (g, w) => assert(g == w) }
   }
+
+  // The st1/st2 oracles finalize with a NON-STRICT bound (window end <=
+  // max(ts) − 2h). The sf fixtures never land max(ts) exactly on an
+  // hour+2h boundary, so until now the <= vs < choice at the exact
+  // boundary was unpinned (ADVICE r6): if Spark's append-mode eviction
+  // were strict, a fixture landing on the boundary would flip one window
+  // and the oracle would falsely fail. This case plants max(ts) EXACTLY
+  // two hours after a window end and asserts that window is emitted —
+  // pinning Spark's eviction as non-strict, matching the oracles' <=.
+  test("window ending exactly at the final watermark is emitted (<= eviction)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm_boundary")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // window [10:00,11:00) end=11:00; max ts 13:00:00.000 exactly ⇒
+    // final watermark = 11:00:00.000 == the window end
+    Seq(("a", 1.0, t("2024-01-01 10:15:00")),
+        ("a", 2.0, t("2024-01-01 11:30:00")), // [11:00,12:00) stays open
+        ("a", 3.0, t("2024-01-01 13:00:00")))
+      .toDF("event_type", "value", "ts")
+      .coalesce(1).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val q = EventStreams.hourlyRollup(
+        spark.readStream.schema(schema).parquet(s"$dir/in")
+          .withColumn("value", $"value".cast("decimal(18,4)")))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", s"$dir/out").start()
+    q.awaitTermination()
+    val hours = spark.read.parquet(s"$dir/out").collect()
+      .map(_.getAs[java.sql.Timestamp]("hour")).toSet
+    assert(hours == Set(t("2024-01-01 10:00:00")),
+      s"boundary window set was $hours — if empty, Spark's eviction is " +
+        "STRICT at the boundary and the st1/st2/st3 oracles' <= must " +
+        "become <")
+  }
 }
