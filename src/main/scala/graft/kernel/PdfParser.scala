@@ -700,12 +700,14 @@ object PdfParser extends FormatParser {
     * grid when the evidence is unambiguous — the one-BT-per-cell producer
     * shape (each cell its own BT block with one positioned show). Rules on
     * top of [[detectTable]]'s: every buffered block must carry exactly one
-    * run; the multi-run line bands must form ONE contiguous band range
-    * (the table), and the blocks feeding that range must be contiguous in
-    * stream order; leading/trailing single-run bands (title above, note
-    * below) stay prose around the table. Anything else — default-position
-    * runs (all one band), two separated grids, ragged evidence — falls
-    * back to the per-block text form. */
+    * run; the band range from the first multi-run band to the last is the
+    * table candidate (interior singleton bands ride along as potential
+    * row-spanning cells — [[detectTable]] arbitrates), and the blocks
+    * feeding that range must be contiguous in stream order;
+    * leading/trailing single-run bands (title above, note below) stay
+    * prose around the table. Anything else — default-position runs (all
+    * one band), two separated grids, ragged evidence — falls back to the
+    * per-block text form. */
   private def flushTextBuffer(buf: ArrayBuffer[(String, Seq[Run])],
                               out: ArrayBuffer[Element]): Unit = {
     if (buf.isEmpty) return
@@ -717,8 +719,21 @@ object PdfParser extends FormatParser {
         else bands += ArrayBuffer(r)
       }
       val multiIdx = bands.indices.filter(bands(_).size >= 2)
-      if (multiIdx.size >= 2 && multiIdx.last - multiIdx.head == multiIdx.size - 1) {
-        val tableRuns = multiIdx.flatMap(bands(_))
+      // Interior SINGLETON bands may be row-spanning cells (vertically
+      // centered between the rows they cover) — but only when their x
+      // snaps to an x the multi-run bands repeat; an off-column interior
+      // line (prose between two separated grids) vetoes the candidate as
+      // the old contiguity rule did, keeping the per-block text form.
+      // Snapped singletons ride along to detectTable, which arbitrates
+      // centered (spanning cell) vs uncentered (sparse legacy row).
+      val gridXs = multiIdx.flatMap(bands(_)).map(_.x)
+      val rangeOk = multiIdx.size >= 2 &&
+        (multiIdx.head to multiIdx.last).forall { i =>
+          bands(i).size >= 2 ||
+            bands(i).forall(r => gridXs.exists(x => math.abs(x - r.x) <= ColTolX))
+        }
+      if (rangeOk) {
+        val tableRuns = (multiIdx.head to multiIdx.last).flatMap(bands(_))
         detectTable(tableRuns.toSeq) match {
           case Some(t) =>
             val inTable = buf.map(b => tableRuns.exists(_ eq b._2.head))
@@ -760,7 +775,9 @@ object PdfParser extends FormatParser {
     * the first band is the header row (the markdown pipe-grid contract,
     * DocModel.renderTable). Covers ruled/grid tables whose producers
     * position each cell with its own Tm/Td — the common pdftex/word
-    * export shape; staircase layouts and row-spanning cells stay text. */
+    * export shape. Even row spans (2, 4 rows — text vertically centered
+    * between the bands it covers) reconstruct as spanning cells; odd
+    * spans and staircase layouts stay text. */
   private[kernel] def detectTable(runs: Seq[Run]): Option[TableElement] = {
     val rs = runs.filter(r => r.text.trim.nonEmpty && !r.x.isNaN && !r.y.isNaN)
     if (rs.size < 4) return None
@@ -792,11 +809,11 @@ object PdfParser extends FormatParser {
     // col 1 must not become [1,4)). The origin must still fall within
     // the chosen range's center extent.
     def bestSpan(cs: IndexedSeq[Double], c0: Int, c1: Int,
-                 x: Double): Option[(Int, Int)] = {
+                 x: Double, tol: Double = ColTolX): Option[(Int, Int)] = {
       val cands = for {
         a <- c0 until c1
         b <- (a + 2) to c1
-        if x >= cs(a) - ColTolX && x <= cs(b - 1) + ColTolX
+        if x >= cs(a) - tol && x <= cs(b - 1) + tol
       } yield (a, b)
       if (cands.isEmpty) None
       else Some(cands.minBy { case (a, b) =>
@@ -804,20 +821,61 @@ object PdfParser extends FormatParser {
       })
     }
 
+    // True grid columns repeat their x across bands, so STRONG centers
+    // (x-clusters with >= 2 members) define the grid for both span kinds.
+    val strongCenters = cols.filter(_.size >= 2).map(c => c.sum / c.size).toIndexedSeq
+
+    // Row-SPANNING cells — the symmetric signal to column spans: a cell
+    // whose text is vertically CENTERED across >= 2 row bands lands
+    // BETWEEN them, forming its own singleton y-band at an x the grid
+    // already repeats. STRONG bands (>= 2 runs) are the row skeleton; an
+    // interior singleton band's run is rowspan evidence when (a) its x
+    // snaps to a strong column, (b) bestSpan over the strong-band y
+    // centers (negated — bestSpan wants ascending coordinates) finds a
+    // >= 2-row range bracketing its y, and (c) its y sits within BandTolY
+    // of that range's midpoint — the column path's centering rule,
+    // tightened to the midpoint because a rowspan run has no
+    // band-neighbour corroboration. Covers the EVEN span shape (2, 4
+    // rows); an odd span's center line coincides with the middle band and
+    // merges into it at banding time, staying the sparse-row legacy shape.
+    val strongBandIdxs = bands.indices.filter(bands(_).size >= 2)
+    val strongNegYs = strongBandIdxs
+      .map(i => -bands(i).map(_.y).sum / bands(i).size).toIndexedSeq
+    val rowSpanPicks = mutable.Map[Int, (Run, Int, Int)]()
+    if (strongBandIdxs.size >= 2 && strongCenters.size >= 2)
+      for (bi <- bands.indices
+           if bands(bi).size == 1 &&
+             bi > strongBandIdxs.head && bi < strongBandIdxs.last) {
+        val r = bands(bi).head
+        if (nearest(strongCenters, r.x) >= 0)
+          bestSpan(strongNegYs, 0, strongNegYs.size, -r.y, BandTolY).foreach {
+            case (a, b) =>
+              if (math.abs(-r.y - (strongNegYs(a) + strongNegYs(b - 1)) / 2) <= BandTolY)
+                rowSpanPicks(bi) = (r, a, b)
+          }
+      }
+    // rows = bands minus the rowspan singletons; span row ranges
+    // re-indexed from strong-band positions to final row indices
+    val keepIdx = bands.indices.filterNot(rowSpanPicks.contains)
+    val rowIdxOf = keepIdx.zipWithIndex.toMap
+    val rows = keepIdx.map(bands(_))
+    val rowSpanRuns = rowSpanPicks.values.map(_._1).toSet
+    val rowSpans = rowSpanPicks.values.toSeq.map { case (r, a, b) =>
+      (rowIdxOf(strongBandIdxs(a)), rowIdxOf(strongBandIdxs(b - 1)) + 1, r)
+    }
+    if (rows.size < 2) return None
+
     // Column-SPANNING cells — the spanning-header shape (text centered
     // across several columns; the reference's TableFormer benchmark set
-    // is full of them). True grid columns repeat their x across bands,
-    // so STRONG centers (clusters with >= 2 members) define the grid; a
-    // run at a one-off x is span evidence when (a) its band-neighbour
-    // bracket over the strong columns covers >= 2 of them, (b) its
-    // origin falls inside that bracket, and (c) it sits where headers
-    // sit — beside snapped cells or in the top band. A one-off run
-    // WITHOUT span evidence keeps its own column (the sparse-column
-    // legacy shape) and the fill gate still arbitrates.
-    val strongCenters = cols.filter(_.size >= 2).map(c => c.sum / c.size).toIndexedSeq
+    // is full of them). A run at a one-off x is span evidence when (a)
+    // its band-neighbour bracket over the strong columns covers >= 2 of
+    // them, (b) its origin falls inside that bracket, and (c) it sits
+    // where headers sit — beside snapped cells or in the top band. A
+    // one-off run WITHOUT span evidence keeps its own column (the
+    // sparse-column legacy shape) and the fill gate still arbitrates.
     val spanRuns =
       if (strongCenters.size < 2) Set.empty[Run]
-      else bands.zipWithIndex.iterator.flatMap { case (band, ri) =>
+      else rows.zipWithIndex.iterator.flatMap { case (band, ri) =>
         val snapped = band.filter(o => nearest(strongCenters, o.x) >= 0)
         band.filter { r =>
           nearest(strongCenters, r.x) < 0 && {
@@ -835,7 +893,7 @@ object PdfParser extends FormatParser {
     // final centers: clusters of the NON-span runs (strong columns plus
     // any legacy sparse singletons)
     val cols2 = ArrayBuffer[ArrayBuffer[Double]]()
-    for (x <- rs.filterNot(spanRuns).map(_.x).sorted) {
+    for (x <- rs.filterNot(r => spanRuns(r) || rowSpanRuns(r)).map(_.x).sorted) {
       if (cols2.nonEmpty && x - cols2.last.last <= ColTolX) cols2.last += x
       else cols2 += ArrayBuffer(x)
     }
@@ -843,9 +901,9 @@ object PdfParser extends FormatParser {
     if (centers.size < 2) return None
     def colOf(x: Double): Int = nearest(centers, x)
 
-    val grid = Array.fill(bands.size, centers.size)("")
+    val grid = Array.fill(rows.size, centers.size)("")
     val spans = ArrayBuffer[(Int, Int, Int, String)]()
-    for ((band, ri) <- bands.zipWithIndex) {
+    for ((band, ri) <- rows.zipWithIndex) {
       val sorted = band.sortBy(_.x)
       for (r <- sorted) {
         if (spanRuns(r)) {
@@ -873,24 +931,43 @@ object PdfParser extends FormatParser {
     // a span must not cover columns its own row also fills directly
     if (spans.exists { case (ri, c0, c1, _) =>
           (c0 until c1).exists(grid(ri)(_).nonEmpty) }) return None
+    // a rowspan must land in a real final column, must not cover slots
+    // its column fills directly or via a column span, and two rowspans
+    // must not overlap — any violation means the evidence was not a
+    // spanning cell after all: keep the text form
+    val rowSpanCells = rowSpans.map { case (r0, r1, r) =>
+      (r0, r1, colOf(r.x), r.text.trim)
+    }
+    if (rowSpanCells.exists { case (r0, r1, ci, _) =>
+          ci < 0 || (r0 until r1).exists(grid(_)(ci).nonEmpty) ||
+            spans.exists(s => r0 <= s._1 && s._1 < r1 && s._2 <= ci && ci < s._3) })
+      return None
+    if (rowSpanCells.combinations(2).exists { case Seq(u, v) =>
+          u._3 == v._3 && u._1 < v._2 && v._1 < u._2
+        case _ => false }) return None
     // grid gates: the SNAPPED runs alone must still look like a table
     // (>= 2 rows with >= 2 direct cells), so spans only ever ride on top
     // of real grid evidence and prose never reclassifies; fill counts
-    // spanned slots as occupied.
+    // spanned slots (both kinds) as occupied.
     val filled = grid.iterator.map(_.count(_.nonEmpty)).sum +
-      spans.iterator.map(s => s._3 - s._2).sum
+      spans.iterator.map(s => s._3 - s._2).sum +
+      rowSpanCells.iterator.map(c => c._2 - c._1).sum
     val rowsWithTwo = grid.count(_.count(_.nonEmpty) >= 2)
-    if (rowsWithTwo < 2 || filled.toDouble < bands.size * centers.size * 0.6) return None
+    if (rowsWithTwo < 2 || filled.toDouble < rows.size * centers.size * 0.6) return None
     val direct = for {
-      ri <- 0 until bands.size
+      ri <- 0 until rows.size
       ci <- 0 until centers.size
       if grid(ri)(ci).nonEmpty
     } yield TableCellSpec(ri, ri + 1, ci, ci + 1, grid(ri)(ci), columnHeader = ri == 0)
     val spanCells = spans.map { case (ri, c0, c1, text) =>
       TableCellSpec(ri, ri + 1, c0, c1, text, columnHeader = ri == 0)
     }
-    val cells = (direct ++ spanCells).sortBy(c => (c.startRow, c.startCol))
-    Some(TableElement(cells, bands.size, centers.size))
+    val rowSpanSpecs = rowSpanCells.map { case (r0, r1, ci, text) =>
+      TableCellSpec(r0, r1, ci, ci + 1, text, columnHeader = r0 == 0)
+    }
+    val cells = (direct ++ spanCells ++ rowSpanSpecs)
+      .sortBy(c => (c.startRow, c.startCol))
+    Some(TableElement(cells, rows.size, centers.size))
   }
 
   private def indexOfToken(s: String, tok: String, from: Int): Int = {
