@@ -39,6 +39,45 @@ class DedupStressSpec extends SparkTestBase {
     assert(rounds <= 15, s"pointer jumping took $rounds rounds on a 300-chain")
   }
 
+  test("connected components handles a 100k-edge graph with planted clusters") {
+    // ~100k edges, three planted shapes stressing different contraction
+    // behavior (VERDICT r6 next-round #6): a 30k-node CHAIN (diameter
+    // 30000 — the pointer-jumping worst case), a 25k-leaf STAR (max
+    // fan-in on one label), and 15k independent 4-node PATHS (the
+    // realistic many-small-clusters dedup shape). All generated
+    // distributed via spark.range; all assertions are DataFrame-side
+    // aggregates — the only collects are the tiny summaries.
+    val chain = spark.range(0, 30000)
+      .select($"id".as("a_id"), ($"id" + 1).as("b_id"))
+    val star = spark.range(100001, 125001)
+      .select(lit(100000L).as("a_id"), $"id".as("b_id"))
+    // NB $"id" / 3 is DOUBLE division in Spark — floor+cast keeps the
+    // ids BIGINT (connectedComponents' label-sum fixpoint needs it)
+    val quadBase = lit(200000L) + floor($"id" / 3).cast("long") * 4 + ($"id" % 3)
+    val quads = spark.range(0, 45000).select(
+      quadBase.as("a_id"), (quadBase + 1).as("b_id"))
+    val edges = chain.union(star).union(quads)
+    assert(edges.count() == 100000L)
+
+    val (labels, rounds) = Dedup.connectedComponents(spark, edges)
+    // O(log d): diameter 30000 ⇒ ~15 doubling rounds; 20 leaves slack
+    // without ever letting a linear regression (30000 rounds) sneak by
+    assert(rounds <= 20, s"took $rounds rounds on a diameter-30000 graph")
+
+    // every component labels to its min id, sizes exactly as planted
+    val sizes = labels.groupBy($"cluster_id").agg(count(lit(1)).as("n"))
+    val byN = sizes.groupBy($"n").agg(count(lit(1)).as("clusters"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byN == Map(30001L -> 1L, 25001L -> 1L, 4L -> 15000L),
+      s"cluster size histogram was $byN")
+    val big = sizes.filter($"n" > 4).select($"cluster_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(big == Set(0L, 100000L), "chain and star must label to min ids")
+    // the 4-node paths each label to their own base id
+    assert(sizes.filter($"n" === 4 &&
+      ($"cluster_id" - 200000L) % 4 === 0).count() == 15000L)
+  }
+
   test("non-convergence guard fails loudly when the cap is too small") {
     val chain = spark.range(0, 299)
       .select($"id".as("a_id"), ($"id" + 1).as("b_id"))
