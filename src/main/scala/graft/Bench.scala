@@ -85,7 +85,14 @@ object Bench {
       dt
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // Optional comma-separated query filter (SPARK_GRAFT_QUERIES): the
+    // scaling harness (SCALING.md) times the top-N queries at two scale
+    // factors without paying the full 93-query sweep. Absent = all
+    // queries, the driver's configuration.
+    val filter = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => filter.forall(_.contains(n))).map { name =>
       // Median-of-3 for sub-5s queries (VERDICT r6 #3): this box's
       // single-run spread is ±20%, which made r6's sub-second x-family
       // look 2-3x "regressed" — undiagnosable from one sample. Repeats
