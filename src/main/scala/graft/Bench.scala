@@ -68,9 +68,11 @@ object Bench {
         .collect().foreach { case (_, png) =>
           javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
         }
-      // stage st1's event inbox here (write-once fixture construction,
-      // not the operator under measurement)
+      // stage st1's event inbox and the k-corpus here (write-once fixture
+      // construction, not the operators under measurement — the corpus is
+      // one file create per document row, 50k at sf1)
       streaming.StreamQueries.stagedInbox(spark, sfDir)
+      operators.KernelQueries.stageCorpus(spark, sfDir)
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 

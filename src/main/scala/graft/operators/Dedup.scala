@@ -682,20 +682,37 @@ object Dedup {
             val left = prep(rowsA)
             val right = if (ba == bb) left else prep(rowsB)
             val sameBlock = ba == bb
-            for {
-              i <- left.indices.iterator
-              j <- (if (sameBlock) i + 1 else 0).until(right.length).iterator
-              (aId, av, aNorm) = left(i)
-              (bId, bv, bNorm) = right(j)
-              cos = {
+            // Tight pair loop (SCALING.md r7): the sf1 run showed ~40 s
+            // here, dominated not by the dot products but by per-pair
+            // iterator/closure overhead and a BigDecimal round allocated
+            // for EVERY pair before thresholding. The oracle's semantics
+            // are round-to-6dp THEN filter, and rounding moves a value by
+            // at most 5e-7 — so a raw-cosine gate at threshold-1e-6 is
+            // output-identical while the (rare) BigDecimal path runs only
+            // for near/above-threshold pairs.
+            val rawGate = threshold - 1e-6
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+            var i = 0
+            while (i < left.length) {
+              val (aId, av, aNorm) = left(i)
+              var j = if (sameBlock) i + 1 else 0
+              while (j < right.length) {
+                val (bId, bv, bNorm) = right(j)
                 var dot = 0.0
                 var k = 0
                 while (k < av.length) { dot += av(k) * bv(k); k += 1 }
-                BigDecimal(dot / (aNorm * bNorm))
-                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                val raw = dot / (aNorm * bNorm)
+                if (raw >= rawGate) {
+                  val cos = BigDecimal(raw)
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  if (cos >= threshold)
+                    out += ((math.min(aId, bId), math.max(aId, bId), cos))
+                }
+                j += 1
               }
-              if cos >= threshold
-            } yield (math.min(aId, bId), math.max(aId, bId), cos)
+              i += 1
+            }
+            out
           }
           .toDF("a_id", "b_id", "cosine")
   }
