@@ -10,6 +10,10 @@ object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // audit the FULL pipeline plan, not the checkpoint-scan tail the
+      // eager persist-release path exposes (see Materialize scaladoc —
+      // same escape hatch PlanAuditSpec uses)
+      .config("graft.eagerRelease", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
