@@ -107,6 +107,53 @@ class PdfRowSpanSpec extends AnyFunSuite {
     assert(tags.split("<cell>Fruit</cell>", -1).length == 3)
   }
 
+  test("a 4-row even span centered over the middle band gap reconstructs") {
+    // header + 4 data rows; the col-0 cell spans all 4, its run centered
+    // between rows 2 and 3 (y=665, midpoint of 672 and 658) — bestSpan
+    // must pick the full (1,5) range by the ties-prefer-wider rule
+    val runs = Seq(
+      Run(72, 700, "Group"), Run(200, 700, "Qty"), Run(300, 700, "Price"),
+      Run(200, 686, "1"), Run(300, 686, "1.10"),
+      Run(200, 672, "2"), Run(300, 672, "2.20"),
+      Run(72, 665, "All"),
+      Run(200, 658, "3"), Run(300, 658, "3.30"),
+      Run(200, 644, "4"), Run(300, 644, "4.40"))
+    val t = PdfParser.detectTable(runs).get
+    assert(t.numRows == 5 && t.numCols == 3)
+    val span = t.cells.find(c => c.endRow > c.startRow + 1).get
+    assert(span == TableCellSpec(1, 5, 0, 1, "All"))
+  }
+
+  test("a rowspan in a MIDDLE column reconstructs with neighbours intact") {
+    val runs = Seq(
+      Run(72, 700, "A"), Run(200, 700, "B"), Run(300, 700, "C"),
+      Run(72, 686, "a1"), Run(300, 686, "c1"),
+      Run(200, 679, "mid"),
+      Run(72, 672, "a2"), Run(300, 672, "c2"))
+    val t = PdfParser.detectTable(runs).get
+    assert(t.numRows == 3 && t.numCols == 3)
+    val span = t.cells.find(c => c.endRow > c.startRow + 1).get
+    assert(span == TableCellSpec(1, 3, 1, 2, "mid"))
+    assert(DocModel.renderTable(t) ==
+      "| A | B | C |\n|---|---|---|\n| a1 | mid | c1 |\n| a2 | mid | c2 |")
+  }
+
+  test("a column span and a row span coexist in one grid") {
+    // top band: a one-off-x header centered over cols 1-2 (colspan);
+    // data rows: col-0 cell vertically centered over both rows (rowspan)
+    val runs = Seq(
+      Run(72, 700, "Key"), Run(250, 700, "Both"), // 250 = center of 200/300
+      Run(200, 686, "b1"), Run(300, 686, "c1"),
+      Run(72, 679, "k"),
+      Run(200, 672, "b2"), Run(300, 672, "c2"))
+    val t = PdfParser.detectTable(runs).get
+    assert(t.numRows == 3 && t.numCols == 3)
+    val colSpan = t.cells.find(c => c.endCol > c.startCol + 1).get
+    assert(colSpan == TableCellSpec(0, 1, 1, 3, "Both", columnHeader = true))
+    val rowSpan = t.cells.find(c => c.endRow > c.startRow + 1).get
+    assert(rowSpan == TableCellSpec(1, 3, 0, 1, "k"))
+  }
+
   test("an UNCENTERED interior singleton stays the sparse-row legacy shape") {
     // same grid but the col-0 run at y=682: 4pt from the midpoint (679),
     // beyond BandTolY — no span; it keeps its own row, and the 8/12-filled
