@@ -28,6 +28,15 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir).write
         .format("noop").mode("overwrite").save()
 
+    // Optional comma-separated query filter (SPARK_GRAFT_QUERIES): the
+    // scaling harness (SCALING.md) times query subsets at several scale
+    // factors without paying the full 93-query sweep. Absent = all
+    // queries, the driver's configuration.
+    val filter = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(prefix: String): Boolean =
+      filter.forall(_.exists(_.startsWith(prefix)))
+
     // Warmup, untimed: one scan of every fixture table (parquet footers +
     // scan codegen) plus a shuffle on the big fact table (JIT + shuffle
     // machinery).
@@ -62,17 +71,23 @@ object Bench {
         kernel.ImageRenderer.renderPicture(1)))
       // also drive ONE decode through the staged media fixture itself:
       // m2's measured time should be the operator, not fixture staging
-      // (first run writes the parquet) or parquet-binary-scan first-use
-      operators.Multimodal.mediaTable(spark, sfDir).limit(1)
-        .as[(Long, Array[Byte])]
-        .collect().foreach { case (_, png) =>
-          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-        }
+      // (first run writes the parquet) or parquet-binary-scan first-use.
+      // Per-family fixture staging is skipped when the query filter
+      // selects none of that family — a d-family-only subset run at a
+      // big SF must not pay 150k corpus file creates it never reads.
+      if (selected("m"))
+        operators.Multimodal.mediaTable(spark, sfDir).limit(1)
+          .as[(Long, Array[Byte])]
+          .collect().foreach { case (_, png) =>
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          }
       // stage st1's event inbox and the k-corpus here (write-once fixture
       // construction, not the operators under measurement — the corpus is
       // one file create per document row, 50k at sf1)
-      streaming.StreamQueries.stagedInbox(spark, sfDir)
-      operators.KernelQueries.stageCorpus(spark, sfDir)
+      if (selected("st"))
+        streaming.StreamQueries.stagedInbox(spark, sfDir)
+      if (selected("k"))
+        operators.KernelQueries.stageCorpus(spark, sfDir)
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 
@@ -87,12 +102,6 @@ object Bench {
       dt
     }
 
-    // Optional comma-separated query filter (SPARK_GRAFT_QUERIES): the
-    // scaling harness (SCALING.md) times the top-N queries at two scale
-    // factors without paying the full 93-query sweep. Absent = all
-    // queries, the driver's configuration.
-    val filter = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => filter.forall(_.contains(n))).map { name =>
       // Median-of-3 for sub-5s queries (VERDICT r6 #3): this box's

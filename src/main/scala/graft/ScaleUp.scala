@@ -90,17 +90,26 @@ object ScaleUp {
     // ts stays a raw nanos long (see scaladoc)
     write(copies(raw("events"), Seq("event_id", "user_id")), "events", 8)
 
-    // documents: per-copy alphabet rotation (translate needs literal
-    // match/replace strings, so this is a k-branch union — the source is
-    // small and scanned once per branch)
+    // documents: per-copy 1:1 letter substitution (translate needs
+    // literal match/replace strings, so this is a k-branch union — the
+    // source is small and scanned once per branch). The substitution is
+    // an AFFINE permutation j -> (a*j + b) mod 26 with a coprime to 26
+    // and (a, b) distinct per copy — 12*26 = 312 distinct permutations,
+    // so copies share no vocabulary up to k = 312. (A plain rotation has
+    // period 26/gcd — the first sf3 attempt used step-2 rotations,
+    // period 13, and copies 13.. silently shared vocabulary with copies
+    // 0.., inflating cross-copy near-dup pairs superlinearly.) Copy 0 is
+    // (a=1, b=0): the identity.
+    require(k <= 312, s"only 312 distinct letter permutations (k=$k)")
     val alphabet = "etaoinshrdlucmfwypvbgkjqxz"
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     val docs = raw("documents")
     val docCopies = (0 until k).map { i =>
-      val rot = alphabet.drop(2 * i % alphabet.length) +
-        alphabet.take(2 * i % alphabet.length)
+      val (a, b) = (coprimes(i % coprimes.length), i / coprimes.length)
+      val subst = alphabet.indices.map(j => alphabet((a * j + b) % 26)).mkString
       docs.select(
         ($"doc_id" + i * KeyStride).as("doc_id"),
-        translate($"text", alphabet, rot).as("text"),
+        translate($"text", alphabet, subst).as("text"),
         $"lang", $"source", $"n_chars")
     }.reduce(_ union _)
     write(docCopies, "documents", 8)
@@ -108,6 +117,9 @@ object ScaleUp {
     // embeddings: circular rotation by copy*dim/k positions
     val emb = raw("embeddings")
     val dim = emb.select(size($"embedding")).head.getInt(0)
+    require(k <= dim,
+      s"k=$k > dim=$dim: circular shifts would repeat and copies would " +
+        "collapse into near-duplicate directions")
     val embCopies = (0 until k).map { i =>
       val shift = i * dim / k
       val rotated =
