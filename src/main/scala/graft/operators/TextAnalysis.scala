@@ -705,6 +705,67 @@ object TextAnalysis {
           FROM toks t JOIN vocab v USING (tok))
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
                ROUND(AVG(s), 6) AS avg_surprisal
-        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t17
+    // BM25 retrieval (k1=1.2, b=0.75): the query-driven scorer a curation
+    // pipeline runs for decontamination candidate mining and targeted
+    // sampling. Relational shape at 100 TB: ONE corpus scan; dl comes
+    // map-side from the token array (no corpus-wide length shuffle); the
+    // explode filters to the query terms BEFORE any aggregation, so the
+    // wide stages only carry docs-containing-query-terms; per-term df and
+    // the (N, avgdl) scalars are broadcast-sized. Determinism: ln follows
+    // the t16 argument (<= 2 ulp between libms, rounded at 6dp far above
+    // the accumulated error), and every float constant is written as the
+    // SAME literal in both engines (2.2, 1.2, 0.25, 0.75) rather than
+    // derived (k1+1 etc.), so no representation drift enters the score.
+    QuerySpec(
+      "t17_bm25_retrieval",
+      (s, dir) => {
+        import s.implicits._
+        val terms = Seq("join", "vector", "window")
+        val docs = Tables(s, dir, "documents").filter($"text".isNotNull)
+          .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+          .select($"doc_id", $"toks", size($"toks").cast("long").as("dl"))
+        val stats = docs.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+        val tf = docs
+          .select($"doc_id", $"dl", explode($"toks").as("term"))
+          .filter($"term".isin(terms: _*))
+          .groupBy($"doc_id", $"term")
+          .agg(count(lit(1)).as("tf"), min($"dl").as("dl"))
+        val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(df), "term")
+          .crossJoin(broadcast(stats))
+          .withColumn("w",
+            log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)) *
+              ($"tf" * lit(2.2)) /
+              ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+          .groupBy($"doc_id")
+          .agg(round(sum($"w"), 6).as("bm25"),
+            count(lit(1)).cast("long").as("n_terms_hit"))
+          .orderBy($"bm25".desc, $"doc_id")
+          .limit(20)
+      },
+      Some(raw"""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        dl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        tfq AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+          WHERE term IN ('join', 'vector', 'window')
+          GROUP BY doc_id, term),
+        dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY term),
+        sc AS (
+          SELECT t.doc_id,
+                 ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl)) AS w
+          FROM tfq t JOIN dfq f USING (term), stats s)
+        SELECT doc_id, ROUND(SUM(w), 6) AS bm25,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""))
   )
 }

@@ -36,7 +36,10 @@ class PlanAuditSpec extends SparkTestBase {
     "x4_theta_user_overlap",
     // t16 crosses the 1-ROW vocabulary-total scalar onto the token
     // stream (broadcast) — O(n·1) by construction
-    "t16_unigram_surprisal")
+    "t16_unigram_surprisal",
+    // t17 crosses the 1-ROW (N, avgdl) scalar onto the per-(doc,term)
+    // tf rows (broadcast) — same shape as t16's scalar cross
+    "t17_bm25_retrieval")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -58,7 +61,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q35_balance_deciles", "s3_int8_quantize", "q36_not_in_big_spenders",
     "q37_daily_gapfill", "q38_nullsafe_join", "q39_supplier_roster",
     "t15_sliding_chunks", "q40_grouping_sets", "k5_dsv2_convert",
-    "t16_unigram_surprisal", "d13_minhash_oracle_twin")
+    "t16_unigram_surprisal", "d13_minhash_oracle_twin",
+    "t17_bm25_retrieval")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
@@ -99,6 +103,16 @@ class PlanAuditSpec extends SparkTestBase {
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     assert(planOf("q17_top_orders_global").contains("TakeOrderedAndProject"))
     assert(planOf("q3_shipping_priority").contains("TakeOrderedAndProject"))
+  }
+
+  test("t17 top-k compiles to TakeOrderedAndProject and prunes the scan") {
+    val p = planOf("t17_bm25_retrieval")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"t17's limit(20) degraded to a global sort:\n${p.take(600)}")
+    val readSchema = "ReadSchema: ([^\\n]+)".r
+      .findAllMatchIn(p).map(_.group(1)).mkString(" ")
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"t17 reads columns it never uses: $readSchema")
   }
 
   test("q38 null-safe join stays a hash join, not a nested loop") {
