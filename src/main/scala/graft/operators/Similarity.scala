@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * expression (whole-stage codegen, one fused loop; the zip_with/aggregate
   * HOF form it replaced is CodegenFallback — interpreted per row — and
   * produces bit-identical values, see CosineExpressionSpec). At 100 TB the
-  * scale path is s2: an IVF-style coarse quantizer (here: per-label
-  * centroids) prunes the candidate set to the nearest cells before the
-  * exact rerank, turning O(Q·N) into O(Q·N/cells·probes). The centroid
-  * table is tiny → broadcast; only the assignment scan touches the corpus.
+  * scale paths are s2 and s4 — the two candidate-pruning families the
+  * builder prompt names: s2 is an IVF-style coarse quantizer (per-label
+  * centroids) probing the nearest cells, s4 a sign-LSH bucketer (anchor
+  * hyperplanes) joining bucket mates; both rerank exactly only inside the
+  * pruned candidate set, turning O(Q·N) into O(Q·N/cells·probes) /
+  * O(Σ bucket²). Centroid and anchor tables are tiny → broadcast; only
+  * the assignment scan touches the corpus.
   */
 object Similarity {
 
@@ -162,7 +165,65 @@ object Similarity {
                list_min(qv) AS q_min,
                list_max(qv) AS q_max,
                CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
-        FROM q ORDER BY vec_id"""))
+        FROM q ORDER BY vec_id""")),
+
+    // ----------------------------------------------------------------- s4
+    // Sign-LSH bucketed ANN — the second scale path the builder prompt
+    // names beside IVF ("an IVF or LSH-bucketed variant"): random-
+    // hyperplane signatures, except the hyperplanes are the corpus's own
+    // first `nPlanes` vectors, which keeps the whole index RELATIONAL in
+    // both engines (an anchor join, no literal plane tables) and fully
+    // deterministic. bit_p(v) = [dot(v, anchor_p) >= 0]; bucket = Σ 2^p;
+    // candidates = same-bucket pairs; exact graft_cosine rerank inside
+    // the bucket only. Determinism of the SIGN (the one place 6dp
+    // rounding cannot save a boundary): both engines fold the product
+    // list SEQUENTIALLY in index order — Spark's aggregate() is a left
+    // fold, and the oracle uses list_reduce (not list_sum, whose internal
+    // summation order is unspecified) — so the dot doubles are
+    // bit-identical and the sign can never diverge. At 100 TB: the
+    // anchor set broadcasts (nPlanes rows), bucket build is one narrow
+    // scan + a 16-row-per-vector aggregate, and the only wide stage is
+    // the bucket-keyed self-join — O(Σ bucket²), the d4-band shape,
+    // never all-pairs.
+    QuerySpec(
+      "s4_lsh_ann_topk",
+      (s, dir) => lshTopK(s, dir, nPlanes = 6, nQueries = 10, k = 5),
+      Some("""
+        WITH a AS (SELECT vec_id AS plane, embedding AS av
+                   FROM embeddings WHERE vec_id < 6),
+        dots AS (
+          SELECT e.vec_id, a.plane,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.av[i] AS DOUBLE))),
+                   (acc, x) -> acc + x) AS dot
+          FROM embeddings e CROSS JOIN a),
+        b AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN dot >= 0
+                               THEN CAST(pow(2, plane) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id),
+        q AS (SELECT b.vec_id AS query_id, b.bucket, e.embedding AS qv
+              FROM b JOIN embeddings e USING (vec_id) WHERE b.vec_id < 10),
+        c AS (SELECT b.vec_id AS cand_id, b.bucket, e.embedding AS cv
+              FROM b JOIN embeddings e USING (vec_id)),
+        p AS (
+          SELECT query_id, cand_id,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(qv)),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(cv)),
+                          i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 6) AS cosine
+          FROM q JOIN c USING (bucket) WHERE query_id != cand_id),
+        r AS (SELECT query_id, cand_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, cand_id) AS rank
+              FROM p)
+        SELECT query_id, rank, cand_id, cosine FROM r WHERE rank <= 5
+        ORDER BY query_id, rank"""))
   )
 
   /** IVF search: coarse cells = `label`, probe the `nProbe` nearest
@@ -199,6 +260,44 @@ object Similarity {
     val cands = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"), $"label".as("cell"))
     val wTop = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")
     probed.join(cands, Seq("cell"))
+      .filter($"query_id" =!= $"cand_id")
+      .withColumn("cosine",
+        round(graft.functions.GraftFunctions.cosineSim($"qv", $"cv"), 6))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"cand_id", $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Sign-LSH ANN (s4): anchor-hyperplane sign signatures → bucket-keyed
+    * candidate join → exact cosine rerank. The anchor dot products fold
+    * SEQUENTIALLY in index order (aggregate over zip_with is a left
+    * fold), matching the oracle's list_reduce — bit-identical doubles, so
+    * bucket assignment never diverges between engines (see the s4
+    * QuerySpec scaladoc). */
+  def lshTopK(s: SparkSession, dir: String, nPlanes: Int, nQueries: Int,
+              k: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val anchors = emb.filter($"vec_id" < nPlanes)
+      .select($"vec_id".as("plane"), $"embedding".as("av"))
+    val buckets = emb.select($"vec_id", $"embedding")
+      .crossJoin(broadcast(anchors))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(embedding, av, (x, y) -> cast(x as double) * cast(y as double)), " +
+          "cast(0 as double), (acc, p) -> acc + p)"))
+      .groupBy($"vec_id")
+      .agg(sum(when($"dot" >= 0,
+          pow(lit(2.0), $"plane".cast("double")).cast("long"))
+        .otherwise(0L)).as("bucket"))
+    val q = buckets.filter($"vec_id" < nQueries)
+      .join(emb.select($"vec_id", $"embedding"), "vec_id")
+      .select($"vec_id".as("query_id"), $"bucket", $"embedding".as("qv"))
+    val c = buckets
+      .join(emb.select($"vec_id", $"embedding"), "vec_id")
+      .select($"vec_id".as("cand_id"), $"bucket", $"embedding".as("cv"))
+    val wTop = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")
+    q.join(c, Seq("bucket"))
       .filter($"query_id" =!= $"cand_id")
       .withColumn("cosine",
         round(graft.functions.GraftFunctions.cosineSim($"qv", $"cv"), 6))

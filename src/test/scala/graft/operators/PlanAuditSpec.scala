@@ -39,7 +39,11 @@ class PlanAuditSpec extends SparkTestBase {
     "t16_unigram_surprisal",
     // t17 crosses the 1-ROW (N, avgdl) scalar onto the per-(doc,term)
     // tf rows (broadcast) — same shape as t16's scalar cross
-    "t17_bm25_retrieval")
+    "t17_bm25_retrieval",
+    // s4's anchor cross is nPlanes (6) broadcast rows against the corpus
+    // — O(n·planes) by construction; the candidate join itself is
+    // bucket-keyed (hash join), never all-pairs
+    "s4_lsh_ann_topk")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -62,7 +66,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q37_daily_gapfill", "q38_nullsafe_join", "q39_supplier_roster",
     "t15_sliding_chunks", "q40_grouping_sets", "k5_dsv2_convert",
     "t16_unigram_surprisal", "d13_minhash_oracle_twin",
-    "t17_bm25_retrieval")
+    "t17_bm25_retrieval", "s4_lsh_ann_topk")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>

@@ -79,6 +79,44 @@ class SimilarityRecallSpec extends SparkTestBase {
     assert(mean >= 0.2, s"mean recall@5 = $mean (per-query: $recalls)")
   }
 
+  test("s4 exactly equals exact search restricted to sign-LSH bucket mates") {
+    // Independent driver-side reimplementation of the s4 contract:
+    // anchors = first 6 vectors, bit_p = [dot(v, anchor_p) >= 0] with the
+    // dot folded LEFT in index order (the engine contract that keeps the
+    // sign deterministic), bucket = sum of 2^p, candidates = same-bucket,
+    // exact cosine rerank with 6dp round and cand_id tiebreak.
+    val rows = graft.Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dotLeftFold(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val dot = dotLeftFold(a, b)
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val anchors = rows.filter(_._1 < 6).sortBy(_._1).map(_._2)
+    val bucketOf = rows.map { case (id, v) =>
+      id -> anchors.zipWithIndex.map { case (a, p) =>
+        if (dotLeftFold(v, a) >= 0) 1L << p else 0L
+      }.sum
+    }.toMap
+    val expected = rows.filter(_._1 < 10).map { case (qid, qv) =>
+      val cands = rows
+        .filter(r => r._1 != qid && bucketOf(r._1) == bucketOf(qid))
+        .map(r => (cosine(qv, r._2), r._1))
+        .sortBy { case (cos, id) => (-cos, id) }
+        .take(5).map(_._2).toSeq
+      qid -> cands
+    }.toMap
+    val got = topk(Similarity.lshTopK(spark, dir, nPlanes = 6, nQueries = 10, k = 5))
+    assert(got == expected)
+  }
+
   test("raising nProbe to the full cell count makes IVF exact (sanity)") {
     val cells = graft.Tables(spark, dir, "embeddings")
       .select("label").distinct().count().toInt
