@@ -191,6 +191,85 @@ object Mixing {
         FROM sc WHERE v * n_tok < n_good * 256
         ORDER BY doc_id""")),
 
+    // ----------------------------------------------------------------- p5
+    // Concat-and-chunk sequence packing — the GPT-style pretraining
+    // tokenization layout: the corpus is one virtual token stream in
+    // doc_id order, cut into fixed 2048-token context windows; each doc
+    // reports its global start offset and the window range it lands in
+    // (n_chunks > 1 = the doc straddles window boundaries). The point of
+    // the Spark form is the SCALABLE GLOBAL PREFIX SUM: a naive
+    // `sum().over(Window.orderBy(doc_id))` funnels the corpus through ONE
+    // partition; here the stream is range-partitioned on doc_id,
+    // partial prefix sums run per partition (parallel), and only the
+    // ≤#partitions per-partition totals cross a single-partition window
+    // (metadata-sized at any corpus) before broadcasting back — the
+    // classic two-phase scan, correct for ANY range boundaries because
+    // the offset depends only on the global doc_id order. All integer
+    // arithmetic: the oracle pins exact offsets.
+    QuerySpec(
+      "p5_sequence_packing",
+      (s, dir) => {
+        import s.implicits._
+        val ctx = 2048L
+        val docs = Tables(s, dir, "documents")
+          .filter($"text".isNotNull)
+          .select($"doc_id",
+            size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+        // phase 1: range-partition on doc_id, then ONE pass per partition
+        // for the intra-partition exclusive prefix (mapPartitions, not a
+        // Window.partitionBy(pid) — that would force a SECOND full-data
+        // exchange on pid after the range exchange; this is the sanctioned
+        // genuine per-partition imperative case)
+        // persisted: referenced twice (totals + join left side) — without
+        // the persist each branch would re-run the full scan + range
+        // exchange + prefix pass, doubling the corpus reads AND betting
+        // cross-branch row placement on range-sampler determinism
+        val intra = docs.repartitionByRange(col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            var acc = 0L
+            it.map { case (id, n) =>
+              val start = acc; acc += n; (pid, id, n, start)
+            }
+          }
+          .toDF("pid", "doc_id", "n_tokens", "intra")
+          .persist()
+        // phase 2: per-partition totals (<= #partitions rows after
+        // map-side combine) cumsum into partition offsets
+        val wPart = Window.orderBy($"pid")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = intra.groupBy($"pid")
+          .agg(sum($"n_tokens").as("ptotal"))
+          .withColumn("poffset", coalesce(sum($"ptotal").over(wPart), lit(0L)))
+          .select($"pid", $"poffset")
+        val packed = intra.join(broadcast(offsets), "pid")
+          .withColumn("start_tok", $"poffset" + $"intra")
+          .withColumn("first_chunk", expr(s"start_tok div $ctx"))
+          .withColumn("last_chunk",
+            expr(s"(start_tok + n_tokens - 1) div $ctx"))
+          .select($"doc_id", $"n_tokens", $"start_tok", $"first_chunk",
+            $"last_chunk", ($"last_chunk" - $"first_chunk" + 1L).as("n_chunks"))
+        graft.Materialize.thenRelease(packed, intra).orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents WHERE text IS NOT NULL),
+        o AS (
+          SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+          FROM d)
+        SELECT doc_id, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+               CAST(start_tok // 2048 AS BIGINT) AS first_chunk,
+               CAST((start_tok + n_tokens - 1) // 2048 AS BIGINT) AS last_chunk,
+               CAST((start_tok + n_tokens - 1) // 2048
+                    - start_tok // 2048 + 1 AS BIGINT) AS n_chunks
+        FROM o ORDER BY doc_id""")),
+
     // ----------------------------------------------------------------- e1
     // The composed training-data pipeline — the stages a real user chains
     // before a training run, as ONE declarative plan: Gopher-lite quality

@@ -119,6 +119,29 @@ class PlanAuditSpec extends SparkTestBase {
       s"t17 reads columns it never uses: $readSchema")
   }
 
+  test("p5's global prefix sum is range-distributed, not a global window") {
+    // ONE full-data range exchange (rangepartitioning on doc_id) feeding
+    // the persisted intra frame; the intra-partition cumsum is a
+    // mapPartitions pass over it (no Window.partitionBy(pid) second
+    // exchange); the <=#partitions offsets broadcast back. Both
+    // references to intra (totals agg + join left) must read the SAME
+    // cached plan — distinct plan_ids among the REPARTITION_BY_COL range
+    // exchanges == 1 — and go through InMemoryTableScan, so the corpus
+    // is scanned and range-shuffled exactly once. The remaining
+    // ENSURE_REQUIREMENTS range exchange is the final presentation sort.
+    val p = planOf("p5_sequence_packing")
+    assert(p.contains("rangepartitioning(doc_id"),
+      s"p5 lost its range distribution:\n${p.take(600)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"p5's partition offsets should broadcast back:\n${p.take(600)}")
+    val fullDataIds = raw"rangepartitioning\(doc_id[^\n]*REPARTITION_BY_COL, \[plan_id=(\d+)\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(fullDataIds.size == 1,
+      s"p5's full-data range exchange should be one shared cached plan, got ids $fullDataIds")
+    assert("InMemoryTableScan".r.findAllIn(p).size == 2,
+      "p5's intra frame should be read from cache by BOTH branches")
+  }
+
   test("q38 null-safe join stays a hash join, not a nested loop") {
     // EqualNullSafe is a sargable equi-key: the planner must keep a hash
     // join (coalesced key), never degrade to BroadcastNestedLoopJoin
