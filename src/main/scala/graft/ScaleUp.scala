@@ -37,9 +37,14 @@ import org.apache.spark.sql.functions._
   *    bucket occupancies scale ~10× rather than collapsing every copy
   *    into one near-duplicate ball.
   *
-  * Usage: `sbt "runMain graft.ScaleUp <srcDir> <dstDir> [k]"`. Output is
-  * written once; re-running overwrites deterministically (same values,
-  * file-internal row order may differ).
+  * Usage: `sbt "runMain graft.ScaleUp <srcDir> <dstDir> [k] [tables]"`
+  * where `tables` is an optional comma list restricting which tables are
+  * generated (dimensions region/nation are always written). Needed past
+  * k=64: the embeddings rotation runs out of distinct circular shifts at
+  * k=dim, so an sf10 (k=100) dir is generated WITHOUT embeddings and the
+  * embedding-family queries keep sf1 as their largest measured point.
+  * Output is written once; re-running overwrites deterministically (same
+  * values, file-internal row order may differ).
   */
 object ScaleUp {
   val KeyStride = 1000000L
@@ -71,11 +76,15 @@ object ScaleUp {
       }.drop("copy").select(df.columns.map(col).toIndexedSeq: _*)
     }
 
-    def write(df: DataFrame, name: String, files: Int): Unit = {
-      df.repartition(files)
-        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
-      System.err.println(s"[scaleup] $name written ($files files)")
-    }
+    val wanted: String => Boolean =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else _ => true
+
+    def write(df: => DataFrame, name: String, files: Int): Unit =
+      if (wanted(name) || name == "region" || name == "nation") {
+        df.repartition(files)
+          .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+        System.err.println(s"[scaleup] $name written ($files files)")
+      } else System.err.println(s"[scaleup] $name skipped (not in table list)")
 
     // SF-invariant dimensions: verbatim
     write(raw("region"), "region", 1)
@@ -115,24 +124,26 @@ object ScaleUp {
     write(docCopies, "documents", 8)
 
     // embeddings: circular rotation by copy*dim/k positions
-    val emb = raw("embeddings")
-    val dim = emb.select(size($"embedding")).head.getInt(0)
-    require(k <= dim,
-      s"k=$k > dim=$dim: circular shifts would repeat and copies would " +
-        "collapse into near-duplicate directions")
-    val embCopies = (0 until k).map { i =>
-      val shift = i * dim / k
-      val rotated =
-        if (shift == 0) $"embedding"
-        else concat(
-          slice($"embedding", shift + 1, dim - shift),
-          slice($"embedding", 1, shift))
-      emb.select(
-        ($"vec_id" + i * KeyStride).as("vec_id"),
-        rotated.as("embedding"),
-        $"label")
-    }.reduce(_ union _)
-    write(embCopies, "embeddings", 4)
+    if (wanted("embeddings")) {
+      val emb = raw("embeddings")
+      val dim = emb.select(size($"embedding")).head.getInt(0)
+      require(k <= dim,
+        s"k=$k > dim=$dim: circular shifts would repeat and copies would " +
+          "collapse into near-duplicate directions")
+      val embCopies = (0 until k).map { i =>
+        val shift = i * dim / k
+        val rotated =
+          if (shift == 0) $"embedding"
+          else concat(
+            slice($"embedding", shift + 1, dim - shift),
+            slice($"embedding", 1, shift))
+        emb.select(
+          ($"vec_id" + i * KeyStride).as("vec_id"),
+          rotated.as("embedding"),
+          $"label")
+      }.reduce(_ union _)
+      write(embCopies, "embeddings", 4)
+    } else System.err.println("[scaleup] embeddings skipped (not in table list)")
 
     System.err.println(s"[scaleup] done: $src x$k -> $dst")
     spark.stop()

@@ -124,10 +124,14 @@ object GraftFunctions {
 
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.GraftExtensions`
   * (or `SparkSession.builder.withExtensions(new GraftExtensions)`) registers
-  * `graft_cosine(a, b)` for SQL users. The Column API (GraftFunctions.cosineSim)
-  * needs no registration. */
+  * `graft_cosine(a, b)` for SQL users and the GroupTopK planner strategy
+  * (graft.plans.GroupTopK — the Column API also self-registers the
+  * strategy per session, so the extension is the deployment-config path).
+  * The Column API (GraftFunctions.cosineSim) needs no registration. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
+    ext.injectPlannerStrategy(_ => new graft.plans.GroupTopKStrategy)
+  }
 }

@@ -1036,6 +1036,38 @@ object Relational {
       },
       Some(Q40Sql)),
 
+    // ---------------------------------------------------------------- q41
+    // q5's per-group top-k, re-planned through the CUSTOM WHOLE-OPERATOR
+    // path (graft.plans.GroupTopK: LogicalPlan + SparkStrategy +
+    // two-phase bounded-heap SparkPlan). The window form sorts every
+    // group in full before filtering to k; this keeps k-row heaps,
+    // cuts each map partition to ≤ k rows per group BEFORE the shuffle,
+    // and never sorts the input — O(n log k) vs O(n log n), shuffle
+    // bytes bounded by survivors, not the corpus. The sort order
+    // carries the o_orderkey tiebreaker, so the row SET equals the
+    // window form's and the oracle is the SAME row_number SQL as q5's
+    // (modulo the rn column, which a heap operator has no business
+    // emitting). Plan pinned in PlanAuditSpec: GroupTopKPartial →
+    // exchange → GroupTopKFinal, zero WindowExec, zero full-data Sort.
+    QuerySpec(
+      "q41_grouptopk_orders",
+      (s, dir) => {
+        import s.implicits._
+        val orders = Tables(s, dir, "orders")
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        graft.plans.GroupTopK.topK(orders, Seq("o_custkey"),
+            Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
+          .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+        WHERE rn <= 3
+        ORDER BY o_custkey, o_totalprice DESC, o_orderkey""")),
+
     variantSpec
   )
 

@@ -1,0 +1,167 @@
+package graft.plans
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  BaseOrdering, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graft.Bridge
+
+/** Whole-operator custom plan: top-k rows PER GROUP by a sort order —
+  * the one operator shape in the suite where Spark's built-ins genuinely
+  * can't express the efficient plan (SURVEY §7.5 preference order (c)).
+  *
+  * What Spark plans for the declarative form
+  * (`row_number().over(Window.partitionBy(g).orderBy(o)) <= k`):
+  * exchange on g, then WindowExec — a FULL SORT of every partition's
+  * rows on (g, o) just to keep k of each group, with the filter applied
+  * AFTER the sort. At 100 TB the sort dominates: O(n log n) comparisons
+  * and the whole input spills through the sorter's memory budget. (Spark
+  * has no per-group analog of TakeOrderedAndProject, which q17 pins for
+  * the global case.)
+  *
+  * This operator keeps a BOUNDED HEAP of k rows per group and never
+  * sorts the input: O(n log k) comparisons, memory O(groups × k) rows
+  * per task, no spill pressure from the data itself. It runs TWO-PHASE
+  * like hash aggregation: a partial pass on the map side cuts each
+  * partition to ≤ k rows per group BEFORE the exchange (the shuffle then
+  * carries at most partitions × groups × k rows, not the corpus), and a
+  * final pass after a ClusteredDistribution-induced exchange merges the
+  * survivors. EnsureRequirements inserts the hash exchange; AQE coalesces
+  * it like any aggregation shuffle.
+  *
+  * Semantics: with a TOTAL sort order (callers must include a unique
+  * tiebreaker, the suite-wide oracle convention) the emitted row SET is
+  * exactly the window-form's `rn <= k` set; per-group emission order is
+  * heap order, so callers apply presentation ordering downstream —
+  * queries here end in a total-order orderBy anyway. Nulls order per
+  * SortOrder defaults (NULLS FIRST for ASC, LAST for DESC), matching the
+  * oracle dialect.
+  *
+  * Scale honesty: the partial phase's state is bounded by (distinct
+  * groups in the partition × k) rows — the same worst case as hash
+  * aggregation's partial map, but WITHOUT spill support; a corpus whose
+  * group count per partition is pathological (every row its own group)
+  * gains nothing from the partial pass yet still pays its map. That is
+  * the documented trade: like `spark.sql.aggregate.partialAggregate`
+  * skipping, a production planner would bypass the partial when group
+  * cardinality approaches row count. The final phase's state is bounded
+  * by the OUTPUT size (groups-in-partition × k), the operator's floor.
+  */
+case class GroupTopKPlan(groupExprs: Seq[Expression], order: Seq[SortOrder],
+                         k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"GroupTopK needs k > 0, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupTopKPlan =
+    copy(child = newChild)
+}
+
+/** Plans [[GroupTopKPlan]] as partial-exchange-final [[GroupTopKExec]].
+  * Registered per-session (see [[GroupTopK.topK]]) or at build time via
+  * [[graft.functions.GraftExtensions]]. */
+class GroupTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupTopKPlan(g, o, k, child) =>
+      val partial = GroupTopKExec(g, o, k, planLater(child), partial = true)
+      GroupTopKExec(g, o, k, partial, partial = false) :: Nil
+    case _ => Nil
+  }
+}
+
+/** One phase of per-group bounded-heap top-k. `partial = true` runs on
+  * whatever distribution the child has (map side); `partial = false`
+  * requires clustering on the group keys, so EnsureRequirements inserts
+  * the one hash exchange between the phases. */
+case class GroupTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
+                         k: Int, child: SparkPlan, partial: Boolean)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def nodeName: String =
+    if (partial) "GroupTopKPartial" else "GroupTopKFinal"
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(groupExprs))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val schema = output
+    val (g, ord, kk) = (groupExprs, order, k)
+    val perPartition = (iter: Iterator[InternalRow]) => {
+      val keyProj = UnsafeProjection.create(g, schema)
+      val cmp: BaseOrdering = GenerateOrdering.generate(ord, schema)
+      // heap head = the WORST kept row (max w.r.t. the sort order), so
+      // a candidate replaces it iff the candidate sorts strictly before
+      val worstFirst = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int =
+          cmp.compare(b, a)
+      }
+      val heaps =
+        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row) // reused buffer: copy only on first sight
+        var q = heaps.get(key)
+        if (q == null) {
+          q = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
+          heaps.put(key.copy(), q)
+        }
+        if (q.size() < kk) q.add(row.copy())
+        else if (cmp.compare(row, q.peek()) < 0) {
+          q.poll()
+          q.add(row.copy())
+        }
+      }
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+    child.execute().mapPartitions(perPartition, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupTopKExec =
+    copy(child = newChild)
+}
+
+/** DataFrame-facing surface. Columns are named (resolved against the
+  * input's analyzed output), each order column paired with its
+  * ascending flag; include a unique tiebreaker for a deterministic row
+  * set. Prune/filter BEFORE calling: the logical node is opaque to
+  * ColumnPruning, so upstream narrowing is the caller's contract (every
+  * queries() use sites selects its columns first). */
+object GroupTopK {
+  private val lock = new Object
+
+  /** Idempotently ensure the session can plan [[GroupTopKPlan]]. The
+    * extraStrategies registration is the runtime path for sessions not
+    * built with GraftExtensions (Verify/Bench/driver sessions); a
+    * duplicate alongside an extensions-injected copy is harmless — the
+    * planner uses the first strategy that yields a plan. */
+  private def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    lock.synchronized {
+      val em = Bridge.experimental(spark)
+      if (!em.extraStrategies.exists(_.isInstanceOf[GroupTopKStrategy]))
+        em.extraStrategies = em.extraStrategies :+ new GroupTopKStrategy
+    }
+
+  def topK(df: DataFrame, groupCols: Seq[String],
+           orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    ensureStrategy(df.sparkSession)
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String): Attribute = analyzed.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"GroupTopK: no column '$n' in ${analyzed.output.map(_.name).mkString(", ")}"))
+    val order = orderBy.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    Bridge.ofRows(df.sparkSession,
+      GroupTopKPlan(groupCols.map(attr), order, k, analyzed))
+  }
+}

@@ -142,6 +142,28 @@ class PlanAuditSpec extends SparkTestBase {
       "p5's intra frame should be read from cache by BOTH branches")
   }
 
+  test("q41's custom top-k plan is two-phase with no window and no input sort") {
+    // GroupTopKPartial must sit BELOW the hash exchange (map-side cut to
+    // k rows per group before any shuffle), GroupTopKFinal above it; the
+    // window operator must be absent, and the only Sort is the
+    // presentation sort over the survivors (above GroupTopKFinal).
+    val p = planOf("q41_grouptopk_orders")
+    val iPartial = p.indexOf("GroupTopKPartial")
+    val iExchange = p.indexOf("Exchange hashpartitioning(o_custkey")
+    val iFinal = p.indexOf("GroupTopKFinal")
+    assert(iPartial >= 0 && iExchange >= 0 && iFinal >= 0,
+      s"two-phase custom plan missing:\n${p.take(800)}")
+    // plan text is top-down: final < exchange < partial
+    assert(iFinal < iExchange && iExchange < iPartial,
+      "partial phase must run below the exchange, final above it")
+    assert(!p.contains("Window ["), "custom plan must not fall back to a window")
+    val iSort = p.indexOf("Sort [")
+    assert(iSort >= 0 && iSort < iFinal,
+      "the only Sort must be the presentation sort over the k-per-group survivors")
+    assert("Sort \\[".r.findAllIn(p).size == 1,
+      "no input-side sort: the heap operator replaces it")
+  }
+
   test("q38 null-safe join stays a hash join, not a nested loop") {
     // EqualNullSafe is a sargable equi-key: the planner must keep a hash
     // join (coalesced key), never degrade to BroadcastNestedLoopJoin
