@@ -132,6 +132,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"),
+      NfcNormalize.info, NfcNormalize.builder))
     ext.injectPlannerStrategy(_ => new graft.plans.GroupTopKStrategy)
   }
 }

@@ -766,6 +766,49 @@ object TextAnalysis {
           FROM tfq t JOIN dfq f USING (term), stats s)
         SELECT doc_id, ROUND(SUM(w), 6) AS bm25,
                CAST(COUNT(*) AS BIGINT) AS n_terms_hit
-        FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""))
+        FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+
+    // ----------------------------------------------------------------- t18
+    // Unicode NFC canonicalization via the native graft_nfc expression
+    // (functions/StringExpressions.scala) — the pass every byte-keyed
+    // stage (d1 sha2, d2/d4 shingles, d9 passages, p2 md5 routing) needs
+    // FIRST on a corpus mixing composed/decomposed forms, or visually
+    // identical documents dedup apart. The fixture text is pure ASCII
+    // (already NFC), so each doc plants a decomposed sequence
+    // deterministically: doc_id%3+1 COMBINING ACUTE ACCENTs (U+0301)
+    // after a final 'e' — exercising plain composition (1 mark → é),
+    // compose-with-leftover (2-3 marks → é + trailing marks), and the
+    // all-ASCII tail's zero-alloc fast path. The oracle replays it with
+    // DuckDB's nfc_normalize, so the char-count contraction AND the
+    // exact normalized bytes (md5) are engine-cross-checked. One scan,
+    // map-side only, whole-stage codegen end to end.
+    QuerySpec(
+      "t18_nfc_normalize",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.GraftStringFunctions.nfc
+        val combining = "\u0301" // COMBINING ACUTE ACCENT
+        val aug = concat(lit("Cafe"),
+          expr(s"repeat('$combining', CAST(doc_id % 3 + 1 AS INT))"),
+          lit(" "), $"text")
+        Tables(s, dir, "documents").filter($"text".isNotNull)
+          .select($"doc_id", aug.as("aug"))
+          .select($"doc_id",
+            length($"aug").cast("long").as("len_raw"),
+            length(nfc($"aug")).cast("long").as("len_nfc"),
+            md5(nfc($"aug")).as("nfc_hash"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH a AS (
+          SELECT doc_id,
+                 'Cafe' || repeat(chr(769), CAST(doc_id % 3 + 1 AS INTEGER)) ||
+                 ' ' || text AS aug
+          FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id,
+               CAST(length(aug) AS BIGINT) AS len_raw,
+               CAST(length(nfc_normalize(aug)) AS BIGINT) AS len_nfc,
+               md5(nfc_normalize(aug)) AS nfc_hash
+        FROM a ORDER BY doc_id"""))
   )
 }

@@ -142,6 +142,20 @@ class PlanAuditSpec extends SparkTestBase {
       "p5's intra frame should be read from cache by BOTH branches")
   }
 
+  test("t18's nfc expression runs inside whole-stage codegen") {
+    // graft_nfc uses defineCodeGen — it must appear in a codegen'd
+    // (*-marked) Project, not fall back to an interpreted projection.
+    // Codegen stars only materialize in the FINAL adaptive plan, so run
+    // the query (sf0.001) before reading it.
+    val df = graft.SparkEntry.queries("t18_nfc_normalize")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_nfc"), s"t18 lost the native expression:\n${p.take(400)}")
+    assert(p.linesIterator.exists(l =>
+      l.contains("graft_nfc") && raw"\*\(\d+\) Project".r.findFirstIn(l).isDefined),
+      s"graft_nfc fell out of whole-stage codegen:\n${p.take(800)}")
+  }
+
   test("q41's custom top-k plan is two-phase with no window and no input sort") {
     // GroupTopKPartial must sit BELOW the hash exchange (map-side cut to
     // k rows per group before any shuffle), GroupTopKFinal above it; the
