@@ -1037,36 +1037,71 @@ object Relational {
       Some(Q40Sql)),
 
     // ---------------------------------------------------------------- q41
-    // q5's per-group top-k, re-planned through the CUSTOM WHOLE-OPERATOR
-    // path (graft.plans.GroupTopK: LogicalPlan + SparkStrategy +
-    // two-phase bounded-heap SparkPlan). The window form sorts every
-    // group in full before filtering to k; this keeps k-row heaps,
-    // cuts each map partition to ≤ k rows per group BEFORE the shuffle,
-    // and never sorts the input — O(n log k) vs O(n log n), shuffle
-    // bytes bounded by survivors, not the corpus. The sort order
-    // carries the o_orderkey tiebreaker, so the row SET equals the
-    // window form's and the oracle is the SAME row_number SQL as q5's
-    // (modulo the rn column, which a heap operator has no business
-    // emitting). Plan pinned in PlanAuditSpec: GroupTopKPartial →
-    // exchange → GroupTopKFinal, zero WindowExec, zero full-data Sort.
+    // Per-group top-k through the CUSTOM WHOLE-OPERATOR path
+    // (graft.plans.GroupTopK: LogicalPlan + SparkStrategy + two-phase
+    // bounded-array SparkPlan): the 5 highest-value orders per
+    // (priority, order month) — the leaderboard shape where k ≪ group
+    // size (~180k rows per group at sf10, k=5). The window form sorts
+    // every group in full and, with ~60 groups, funnels the WHOLE
+    // corpus through ≤60 skewed shuffle partitions before sorting; this
+    // operator cuts each map partition to ≤ k rows per group BEFORE the
+    // exchange (≤ partitions×groups×k rows shuffled, regardless of
+    // corpus size) and never sorts the input. Measured at sf10 (15M
+    // orders, SCALING.md): 1.2 s vs the window's 3.7 s. The CROSSOVER
+    // is documented in GroupTopK's scaladoc: on high-cardinality tiny
+    // groups (per-customer, ~10 rows, k=3) the same operator LOSES to
+    // the window (6.4 s vs 3.3 s at sf10) because nothing prunes —
+    // that shape stays on q5's window plan. The sort order carries the
+    // o_orderkey tiebreaker, so the row SET equals the window form's
+    // and the oracle is the same row_number SQL. Plan pinned in
+    // PlanAuditSpec: GroupTopKPartial → exchange → GroupTopKFinal,
+    // zero WindowExec, zero full-data Sort.
     QuerySpec(
       "q41_grouptopk_orders",
       (s, dir) => {
         import s.implicits._
         val orders = Tables(s, dir, "orders")
-          .select($"o_custkey", $"o_orderkey", $"o_totalprice")
-        graft.plans.GroupTopK.topK(orders, Seq("o_custkey"),
-            Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
-          .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
+          .select($"o_orderpriority".as("prio"),
+            month($"o_orderdate".cast("date")).cast("long").as("mon"),
+            $"o_orderkey", $"o_totalprice")
+        graft.plans.GroupTopK.topK(orders, Seq("prio", "mon"),
+            Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 5)
+          .orderBy($"prio", $"mon", $"o_totalprice".desc, $"o_orderkey")
       },
       Some("""
-        SELECT o_custkey, o_orderkey, o_totalprice
-        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+        SELECT prio, mon, o_orderkey, o_totalprice
+        FROM (SELECT o_orderpriority AS prio,
+                     CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+                     o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderpriority,
+                         month(CAST(o_orderdate AS DATE))
                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
               FROM orders)
-        WHERE rn <= 3
-        ORDER BY o_custkey, o_totalprice DESC, o_orderkey""")),
+        WHERE rn <= 5
+        ORDER BY prio, mon, o_totalprice DESC, o_orderkey""")),
+
+    // ---------------------------------------------------------------- q42
+    // Recursive CTE (Spark 4's UnionLoop): per-row parent-pointer walk
+    // to the root of the decimal-digit hierarchy parent(c) =
+    // floor(c/10) — the iterate-until-frontier-empty query class
+    // (org charts, BOM explosions, graph reachability) that needed a
+    // driver-side loop before WITH RECURSIVE landed. Each iteration
+    // joins only the SURVIVING FRONTIER (rows with cur > 0), which
+    // shrinks by one digit per step — depth is log10(maxkey) ≈ 8 at any
+    // corpus scale, and the per-step work is frontier-sized, never
+    // corpus-sized (d7's pointer-jumping connected components is the
+    // hand-built analog for when the iteration needs mutual min-label
+    // state; this is the declarative form for tree walks). Identical
+    // SQL runs in both engines (the q40 convention): FLOOR(x/10.0)
+    // portably in place of the engines' differing integer-division
+    // operators (DIV vs //), exact in double far past any key width.
+    QuerySpec(
+      "q42_recursive_cte",
+      (s, dir) => {
+        Tables(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql(Q42Sql)
+      },
+      Some(Q42Sql)),
 
     variantSpec
   )
@@ -1084,6 +1119,20 @@ object Relational {
                             (o_orderstatus, o_orderpriority), ())
     ORDER BY g_status, g_prio,
              o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+
+  /** q42 runs identical SQL in Spark and DuckDB. A `def` for the same
+    * init-order reason as [[Q30Sql]]. */
+  private def Q42Sql = """
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey AS leaf, c_custkey AS cur, 0 AS depth
+      FROM customer WHERE c_custkey % 97 = 0
+      UNION ALL
+      SELECT leaf, CAST(FLOOR(cur / 10.0) AS BIGINT) AS cur, depth + 1 AS depth
+      FROM chain WHERE cur > 0
+    )
+    SELECT leaf, CAST(MAX(depth) AS BIGINT) AS hops_to_root,
+           CAST(SUM(cur) AS BIGINT) AS path_key_sum
+    FROM chain GROUP BY leaf ORDER BY leaf"""
 
   /** q36 runs identical SQL in Spark and DuckDB (same NOT IN
     * three-valued-logic semantics). A `def` for the same init-order

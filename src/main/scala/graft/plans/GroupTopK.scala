@@ -54,6 +54,20 @@ import org.apache.spark.sql.graft.Bridge
   * skipping, a production planner would bypass the partial when group
   * cardinality approaches row count. The final phase's state is bounded
   * by the OUTPUT size (groups-in-partition × k), the operator's floor.
+  *
+  * MEASURED CROSSOVER (sf10, 15M orders, local[32] — SCALING.md): the
+  * operator earns its keep iff k ≪ group size. Low-cardinality
+  * leaderboards (60 groups of ~180k rows, k=5, q41's shape): 1.2 s vs
+  * the window form's 3.7 s — the partial phase shuffles ~300 rows per
+  * partition where the window shuffles the corpus into ≤60 skewed
+  * partitions and sorts it. High-cardinality tiny groups (1.5M
+  * customers × ~10 orders, k=3): 6.4 s vs the window's 3.3 s — ~30% of
+  * rows survive, so nothing prunes, and per-survivor row copies plus
+  * hash-map traffic cost more than the window's optimized sort. A
+  * first implementation using java.util.PriorityQueue lost EVERYWHERE
+  * (per-node allocation + sift); the sorted bounded array below
+  * replaced it. Use this operator for k ≪ group size; keep the window
+  * plan when group size ≈ k.
   */
 case class GroupTopKPlan(groupExprs: Seq[Expression], order: Seq[SortOrder],
                          k: Int, child: LogicalPlan) extends UnaryNode {
@@ -99,29 +113,50 @@ case class GroupTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
     val perPartition = (iter: Iterator[InternalRow]) => {
       val keyProj = UnsafeProjection.create(g, schema)
       val cmp: BaseOrdering = GenerateOrdering.generate(ord, schema)
-      // heap head = the WORST kept row (max w.r.t. the sort order), so
-      // a candidate replaces it iff the candidate sorts strictly before
-      val worstFirst = new java.util.Comparator[InternalRow] {
-        override def compare(a: InternalRow, b: InternalRow): Int =
-          cmp.compare(b, a)
+      // Per-group state is a SORTED BOUNDED ARRAY (best..worst), not a
+      // priority queue: the sf10 measurement (SCALING.md) showed the
+      // first PriorityQueue implementation LOSING to the window form on
+      // small groups (~10 rows, k=3) — per-row PQ node allocation and
+      // sift cost swamped the saved sort. With the array, the hot path
+      // for a non-qualifying row is ONE comparison against the current
+      // worst, a qualifying row costs an O(k) shift insert, and full
+      // groups allocate nothing. For the small k this operator targets
+      // (top-k per group, k ≪ group), that is strictly cheaper than
+      // both the PQ and the window's per-row log(run) sort comparisons.
+      final class Grp {
+        val rows = new Array[InternalRow](kk)
+        var n = 0
       }
-      val heaps =
-        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      val groups = new java.util.HashMap[UnsafeRow, Grp]()
       while (iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row) // reused buffer: copy only on first sight
-        var q = heaps.get(key)
-        if (q == null) {
-          q = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
-          heaps.put(key.copy(), q)
+        var grp = groups.get(key)
+        if (grp == null) {
+          grp = new Grp
+          groups.put(key.copy(), grp)
         }
-        if (q.size() < kk) q.add(row.copy())
-        else if (cmp.compare(row, q.peek()) < 0) {
-          q.poll()
-          q.add(row.copy())
-        }
+        val rows = grp.rows
+        if (grp.n < kk) {
+          // growing group: shift insert into the sorted prefix
+          val copy = row.copy()
+          var j = grp.n
+          while (j > 0 && cmp.compare(copy, rows(j - 1)) < 0) {
+            rows(j) = rows(j - 1); j -= 1
+          }
+          rows(j) = copy
+          grp.n += 1
+        } else if (cmp.compare(row, rows(kk - 1)) < 0) {
+          // full group, candidate beats the worst: displace it
+          val copy = row.copy()
+          var j = kk - 1
+          while (j > 0 && cmp.compare(copy, rows(j - 1)) < 0) {
+            rows(j) = rows(j - 1); j -= 1
+          }
+          rows(j) = copy
+        } // else: one comparison, no allocation — the hot path
       }
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      groups.values().iterator().asScala.flatMap(g => g.rows.iterator.take(g.n))
     }
     child.execute().mapPartitions(perPartition, preservesPartitioning = true)
   }

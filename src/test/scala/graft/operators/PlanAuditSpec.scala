@@ -163,7 +163,7 @@ class PlanAuditSpec extends SparkTestBase {
     // presentation sort over the survivors (above GroupTopKFinal).
     val p = planOf("q41_grouptopk_orders")
     val iPartial = p.indexOf("GroupTopKPartial")
-    val iExchange = p.indexOf("Exchange hashpartitioning(o_custkey")
+    val iExchange = p.indexOf("Exchange hashpartitioning(prio")
     val iFinal = p.indexOf("GroupTopKFinal")
     assert(iPartial >= 0 && iExchange >= 0 && iFinal >= 0,
       s"two-phase custom plan missing:\n${p.take(800)}")
@@ -176,6 +176,17 @@ class PlanAuditSpec extends SparkTestBase {
       "the only Sort must be the presentation sort over the k-per-group survivors")
     assert("Sort \\[".r.findAllIn(p).size == 1,
       "no input-side sort: the heap operator replaces it")
+  }
+
+  test("q42's recursion runs inside the engine as UnionLoop") {
+    // WITH RECURSIVE must plan as Spark's native UnionLoop (iterations
+    // execute frontier-sized inside the engine), never a driver-side
+    // loop; the anchor's key filter must reach the scan, and the
+    // aggregate over the loop output keeps its map-side partial.
+    val p = planOf("q42_recursive_cte")
+    assert(p.contains("UnionLoop"), s"q42 lost native recursion:\n${p.take(600)}")
+    assert(p.contains("UnionLoopRef"), "recursive self-reference missing")
+    assert(p.contains("partial_max"), "aggregate over the loop lost map-side partials")
   }
 
   test("q38 null-safe join stays a hash join, not a nested loop") {
