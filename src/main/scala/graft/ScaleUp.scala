@@ -31,23 +31,52 @@ import org.apache.spark.sql.functions._
   *    vocabulary across copies: dedup pair counts scale ~10×, never the
   *    ~100× a verbatim replication would produce. Token/char lengths are
   *    preserved, so length/shape statistics scale cleanly.
-  *  - embeddings rotate circularly by `copy * dim/k` positions: norms
-  *    are preserved, but copies of a vector point in (near-orthogonal)
-  *    different directions, so cosine-threshold pair counts and ANN
-  *    bucket occupancies scale ~10× rather than collapsing every copy
-  *    into one near-duplicate ball.
+  *  - embeddings are transformed per copy by a SIGNED circular rotation
+  *    — rotate by `copy % dim` positions, then flip the sign of ~half
+  *    the coordinates according to a splitmix64 bit pattern keyed by
+  *    `copy / dim` (group 0 is the identity pattern, so copies 0..dim-1
+  *    stay pure rotations like the original scheme — shift assignment
+  *    is `i % dim` now, not `i*dim/k`, both valid spreads: measured
+  *    max |cos(x, rot_s(x))| ≈ 0.45 for ANY step s on the fixture
+  *    vectors, far below pair thresholds). Both
+  *    stages are orthogonal transforms, so norms and every WITHIN-copy
+  *    dot product are preserved exactly (cosine pairs, ANN bucket
+  *    structure, IVF geometry all scale ~k), while distinct
+  *    (shift, sign-group) pairs keep copies in mutually
+  *    far-from-parallel directions up to k = dim * 2^63 — the sign
+  *    stage is what lifts the old k <= dim ceiling that kept sf10
+  *    embedding-free. Cross-group relative patterns flip ~dim/2
+  *    coordinates, so same-base-vector copies across groups have
+  *    cosine ≈ Σ±x_j²/|x|² — centered at 0, far below pair thresholds
+  *    for coordinate-spread embeddings.
   *
   * Usage: `sbt "runMain graft.ScaleUp <srcDir> <dstDir> [k] [tables]"`
   * where `tables` is an optional comma list restricting which tables are
-  * generated (dimensions region/nation are always written). Needed past
-  * k=64: the embeddings rotation runs out of distinct circular shifts at
-  * k=dim, so an sf10 (k=100) dir is generated WITHOUT embeddings and the
-  * embedding-family queries keep sf1 as their largest measured point.
+  * generated (dimensions region/nation are always written).
   * Output is written once; re-running overwrites deterministically (same
   * values, file-internal row order may differ).
   */
 object ScaleUp {
   val KeyStride = 1000000L
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** dim sign factors (±1) for an embedding copy group. Group 0 is all
+    * +1 — the identity — so copies 0..dim-1 stay pure rotations; later
+    * groups draw their bits from splitmix64 words seeded by the group
+    * index, flipping ~dim/2 coordinates (ScaleUpSpec pins balance and
+    * pairwise distance). */
+  def signPattern(group: Int, dim: Int): IndexedSeq[Float] =
+    if (group == 0) IndexedSeq.fill(dim)(1.0f)
+    else (0 until dim).map { j =>
+      val word = splitmix64(group.toLong * 8 + j / 64)
+      if (((word >>> (j % 64)) & 1L) == 1L) -1.0f else 1.0f
+    }
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
@@ -123,26 +152,31 @@ object ScaleUp {
     }.reduce(_ union _)
     write(docCopies, "documents", 8)
 
-    // embeddings: circular rotation by copy*dim/k positions
+    // embeddings: signed circular rotation (see scaladoc). shift cycles
+    // through the dim positions; the sign pattern advances one splitmix64
+    // draw per full cycle, so every copy gets a distinct orthogonal
+    // transform and copies 0..dim-1 match the original pure rotations.
     if (wanted("embeddings")) {
       val emb = raw("embeddings")
       val dim = emb.select(size($"embedding")).head.getInt(0)
-      require(k <= dim,
-        s"k=$k > dim=$dim: circular shifts would repeat and copies would " +
-          "collapse into near-duplicate directions")
       val embCopies = (0 until k).map { i =>
-        val shift = i * dim / k
+        val shift = i % dim
+        val group = i / dim
         val rotated =
           if (shift == 0) $"embedding"
           else concat(
             slice($"embedding", shift + 1, dim - shift),
             slice($"embedding", 1, shift))
+        val signed =
+          if (group == 0) rotated
+          else zip_with(rotated, array(signPattern(group, dim).map(lit): _*),
+            (x, sgn) => x * sgn)
         emb.select(
           ($"vec_id" + i * KeyStride).as("vec_id"),
-          rotated.as("embedding"),
+          signed.as("embedding"),
           $"label")
       }.reduce(_ union _)
-      write(embCopies, "embeddings", 4)
+      write(embCopies, "embeddings", if (k > 32) 16 else 4)
     } else System.err.println("[scaleup] embeddings skipped (not in table list)")
 
     System.err.println(s"[scaleup] done: $src x$k -> $dst")
