@@ -144,6 +144,12 @@ object StreamQueries {
         col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** st4: the LEFT OUTER stream-stream interval join
+    * ([[EventStreams.followupPairsStreamOuter]]) run to termination. */
+  def followupOuterCatchUp(s: SparkSession, dir: String): DataFrame =
+    runCatchUp(s, dir, ev => EventStreams.followupPairsStreamOuter(ev))
+      .orderBy(col("a_id"), col("b_id"))
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "st1_hourly_rollup_stream",
@@ -213,5 +219,40 @@ object StreamQueries {
         wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events)
         SELECT user_id, session_start, session_end, n_events
         FROM sess, wm WHERE session_end <= wm.w
-        ORDER BY user_id, session_start""")))
+        ORDER BY user_id, session_start""")),
+
+    // ----------------------------------------------------------------- st4
+    // The LEFT OUTER stream-stream interval join under the oracle — the
+    // one streaming shape whose OUTPUT is eviction-driven: a matched pair
+    // emits when the match arrives, but a null-padded row emits only when
+    // the watermark passes the trigger's join horizon (a_ts + 10 min) and
+    // the engine can prove no follow-up will come. The oracle replays
+    // both halves: the match set is the plain interval join (every match
+    // emits — with a time-ordered inbox and a 2 h watermark against a
+    // 10 min window, no trigger's state is evicted before its candidate
+    // follow-ups arrive), and the negative half is triggers with no
+    // follow-up whose horizon is STRICTLY below the final watermark
+    // (max ts − 2 h) — pinned strict: state evicts when the watermark
+    // passes the horizon, and a horizon exactly AT the watermark is not
+    // yet proven matchless. Triggers in the final 2h10m emit nothing —
+    // in an unbounded deployment their verdict is simply still pending.
+    QuerySpec(
+      "st4_followup_outer_stream",
+      (s, dir) => followupOuterCatchUp(s, dir),
+      Some("""
+        WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events),
+        m AS (
+          SELECT a.event_id AS a_id, b.event_id AS b_id,
+                 a.user_id
+          FROM events a JOIN events b ON a.user_id = b.user_id
+            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE),
+        neg AS (
+          SELECT a.event_id AS a_id, NULL AS b_id, a.user_id
+          FROM events a, wm
+          WHERE a.ts + INTERVAL 10 MINUTE < wm.w
+            AND NOT EXISTS (SELECT 1 FROM m WHERE m.a_id = a.event_id))
+        SELECT a_id, CAST(b_id AS BIGINT) AS b_id, user_id FROM m
+        UNION ALL
+        SELECT a_id, CAST(b_id AS BIGINT) AS b_id, user_id FROM neg
+        ORDER BY a_id, b_id NULLS FIRST""")))
 }
