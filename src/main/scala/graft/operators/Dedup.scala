@@ -34,6 +34,11 @@ object Dedup {
     * one block — never the corpus. */
   val MaxCosineBlock = 512
 
+  /** d14's duplicated-span gram width (words). 8 matches d6's
+    * decontamination grams — the published exact-substring dedup setting
+    * where a shared 8-word run is considered memorization-relevant. */
+  val SpanGram = 8
+
   /** d2's near-dup pair computation (df-capped inverted index → pair
     * intersection counts → Jaccard >= `threshold`), shared with d7's
     * cluster step. Returns (a_id, b_id, common, jaccard), unordered and
@@ -81,6 +86,72 @@ object Dedup {
       .filter($"jaccard" >= threshold)
       .select($"a_id", $"b_id", $"common", $"jaccard")
     graft.Materialize.thenRelease(pairs, sh0)
+  }
+
+  /** d14's span extraction over an arbitrary `(doc_id, text)` frame —
+    * public so specs can pin the merge semantics on synthetic corpora.
+    *
+    * Exact-substring duplicate SPANS (the suffix-array dedup output
+    * shape, re-expressed relationally): a position is duplicated when
+    * its `k`-word gram occurs >= 2 times anywhere in the corpus
+    * (including twice in the same document); overlapping-or-adjacent
+    * duplicated positions (gap <= k) merge into one maximal span per
+    * document. Unlike d9's fixed chunking this catches phase-shifted
+    * duplicates, and unlike d10's winnowing it reports exact token
+    * extents — the actionable "cut this range" output a training
+    * pipeline feeds to span removal.
+    *
+    * Scale shape: gram generation is a doc-local typed flatMap (same
+    * measured typed-over-HOF rationale as [[Shingles]]); grams are
+    * xxhash64'd to longs IMMEDIATELY, so the occurrence-count exchange
+    * and the mark join both move 8-byte keys, never ~50-byte strings
+    * (identical result absent a 64-bit collision — the d2 tradeoff; the
+    * oracle groups raw gram strings). Duplicated grams CANNOT be
+    * df-capped like d2's hot shingles — boilerplate is precisely what
+    * must be marked — but the hot-key cost here is a count aggregate
+    * (map-side partials), never a pair join, so no O(df²) term exists.
+    * The island merge is a per-document lag/cumsum window over marked
+    * positions only (output ≪ corpus). */
+  def duplicateSpansOn(s: org.apache.spark.sql.SparkSession,
+                       docs: org.apache.spark.sql.DataFrame,
+                       k: Int = SpanGram): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val grams = docs
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.trim.split("\\s+")
+        val n = ws.length - (k - 1)
+        (0 until n).iterator.map { i =>
+          val sb = new java.lang.StringBuilder(ws(i))
+          var j = 1
+          while (j < k) { sb.append(' ').append(ws(i + j)); j += 1 }
+          (id, (i + 1).toLong, sb.toString)
+        }
+      }
+      .toDF("doc_id", "pos", "gram")
+      .select($"doc_id", $"pos", xxhash64($"gram").as("gh"))
+      .persist()
+    val dup = grams.groupBy($"gh")
+      .agg(count(lit(1)).as("occ"))
+      .filter($"occ" >= 2)
+      .select($"gh")
+    val marked = grams.join(dup, Seq("gh")).select($"doc_id", $"pos")
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    val spans = marked
+      // span starts p,q (p<q) overlap or touch iff q-p <= k; a larger
+      // gap means undisputed tokens sit between the two extents
+      .withColumn("brk",
+        when($"pos" - lag($"pos", 1).over(byPos) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("grp", sum($"brk").over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").as("span_start"),
+        (max($"pos") + (k - 1)).as("span_end"))
+      .select($"doc_id", $"span_start", $"span_end",
+        ($"span_end" - $"span_start" + 1).as("span_tokens"))
+    graft.Materialize.thenRelease(spans, grams)
   }
 
   /** d7's iteration, factored out so specs can drive it with synthetic
@@ -536,6 +607,46 @@ object Dedup {
         SELECT fp AS fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs,
                MIN(doc_id) AS first_doc
         FROM d GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fingerprint""")),
+
+    // ---------------------------------------------------------------- d14
+    // Exact duplicated SPANS (the suffix-array substring-dedup output,
+    // relationally): positions whose word-8-gram repeats anywhere in the
+    // corpus, merged per document into maximal token extents. See
+    // [[duplicateSpansOn]] for the semantics and the 100 TB shape.
+    QuerySpec(
+      "d14_duplicate_spans",
+      (s, dir) => {
+        import s.implicits._
+        duplicateSpansOn(s, Tables(s, dir, "documents"))
+          .orderBy($"doc_id", $"span_start")
+      },
+      Some(raw"""
+        WITH w AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        g AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 array_to_string(ws[i:i+7], ' ') AS gram
+          FROM w, UNNEST(generate_series(1, len(ws) - 7)) t(i)
+          WHERE len(ws) >= 8),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        m AS (
+          SELECT doc_id, pos FROM g
+          WHERE gram IN (SELECT gram FROM dup)),
+        fl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos) <= 8
+                      THEN 0 ELSE 1 END AS brk
+          FROM m),
+        gr AS (
+          SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS grp
+          FROM fl)
+        SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+               MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens
+        FROM gr GROUP BY doc_id, grp ORDER BY doc_id, span_start""")),
 
     // ---------------------------------------------------------------- d11
     // Incremental dedup: a NEW batch (doc_id%10==0, "today's crawl")
