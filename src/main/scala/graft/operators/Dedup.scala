@@ -648,6 +648,98 @@ object Dedup {
                MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens
         FROM gr GROUP BY doc_id, grp ORDER BY doc_id, span_start""")),
 
+    // ---------------------------------------------------------------- d15
+    // Span REMOVAL — the consumer of d14's extents (the second half of
+    // exact-substring dedup: detect, then cut): every token inside a
+    // duplicated span is excised, the survivors re-join into the cleaned
+    // text, and the removal count is reported per document. Scale shape:
+    // the span list aggregates to one small row per affected doc
+    // (collect_list bounded by spans-per-doc, never corpus-sized), the
+    // join back to documents is left un-hinted so AQE broadcasts the
+    // span side from runtime stats and the TEXT column never shuffles;
+    // the excision itself is a doc-local merge-walk over the sorted
+    // disjoint spans (d14's merge rule guarantees disjointness).
+    QuerySpec(
+      "d15_span_scrub",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val spans = duplicateSpansOn(s, docs)
+          .groupBy($"doc_id")
+          .agg(collect_list(
+            struct($"span_start".as("_1"), $"span_end".as("_2"))).as("spans"))
+        docs.filter($"text".isNotNull)
+          .select($"doc_id", $"text")
+          .join(spans, Seq("doc_id"), "left")
+          .as[(Long, String, Seq[(Long, Long)])]
+          .map { case (id, text, spansOrNull) =>
+            val ws = text.trim.split("\\s+")
+            val sorted =
+              if (spansOrNull == null) IndexedSeq.empty
+              else spansOrNull.sortBy(_._1).toIndexedSeq
+            val keep = new java.lang.StringBuilder
+            var removed = 0L
+            var si = 0
+            var i = 1
+            while (i <= ws.length) {
+              while (si < sorted.length && sorted(si)._2 < i) si += 1
+              if (si < sorted.length && sorted(si)._1 <= i && i <= sorted(si)._2)
+                removed += 1
+              else {
+                if (keep.length() > 0) keep.append(' ')
+                keep.append(ws(i - 1))
+              }
+              i += 1
+            }
+            (id, keep.toString, removed)
+          }
+          .toDF("doc_id", "clean_text", "n_removed")
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH w AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        g AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 array_to_string(ws[i:i+7], ' ') AS gram
+          FROM w, UNNEST(generate_series(1, len(ws) - 7)) t(i)
+          WHERE len(ws) >= 8),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        m AS (
+          SELECT doc_id, pos FROM g
+          WHERE gram IN (SELECT gram FROM dup)),
+        fl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos) <= 8
+                      THEN 0 ELSE 1 END AS brk
+          FROM m),
+        gr AS (
+          SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS grp
+          FROM fl),
+        sp AS (
+          SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+          FROM gr GROUP BY doc_id, grp),
+        tok AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS tk
+          FROM w, UNNEST(generate_series(1, len(ws))) t(i)),
+        sc AS (
+          SELECT t.doc_id, t.pos, t.tk,
+                 EXISTS (SELECT 1 FROM sp
+                         WHERE sp.doc_id = t.doc_id
+                           AND t.pos BETWEEN sp.span_start AND sp.span_end)
+                   AS cut
+          FROM tok t)
+        SELECT doc_id,
+               coalesce(string_agg(tk, ' ' ORDER BY pos)
+                          FILTER (WHERE NOT cut), '') AS clean_text,
+               CAST(coalesce(COUNT(*) FILTER (WHERE cut), 0) AS BIGINT)
+                 AS n_removed
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- d11
     // Incremental dedup: a NEW batch (doc_id%10==0, "today's crawl")
     // checked against the EXISTING corpus (the other 90%) at passage

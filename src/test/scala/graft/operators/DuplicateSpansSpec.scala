@@ -49,6 +49,29 @@ class DuplicateSpansSpec extends SparkTestBase {
     assert(spansOf(Seq(5L -> "a b", 6L -> "c d")).isEmpty)
   }
 
+  test("d15 excises exactly the d14 extents and keeps everything else") {
+    import spark.implicits._
+    // fixture-shaped micro-check at the real gram width k=8: two docs
+    // share a 9-word run; each must lose exactly those 9 tokens
+    val docs = Seq(
+      10L -> "p1 p2 s1 s2 s3 s4 s5 s6 s7 s8 s9 p3 p4",
+      11L -> "r1 s1 s2 s3 s4 s5 s6 s7 s8 s9 r2 r3 r4 r5").toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpansOn(spark, docs)
+      .orderBy($"doc_id").collect().toSeq
+    assert(spans === Seq(Row(10L, 3L, 11L, 9L), Row(11L, 2L, 10L, 9L)))
+    // d15's scrub path over the same frame, via the same join+merge-walk
+    // the registered query uses (the query itself is pinned by the
+    // DuckDB oracle at every fixture scale)
+    val out = graft.SparkEntry.queries("d15_span_scrub")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val clean = r.getString(1)
+      assert(!clean.startsWith(" ") && !clean.endsWith(" ") &&
+        !clean.contains("  "), s"malformed rejoin for doc ${r.getLong(0)}")
+    }
+  }
+
   test("d14 on the fixture corpus emits well-formed, doc-sorted spans") {
     val rows = graft.SparkEntry.queries("d14_duplicate_spans")(spark, sfDir)
       .collect()
