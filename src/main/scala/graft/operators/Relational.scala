@@ -1103,6 +1103,21 @@ object Relational {
       },
       Some(Q42Sql)),
 
+    // ---------------------------------------------------------------- q43
+    // Correlated LATERAL subquery with ORDER BY/LIMIT — the remaining
+    // ANSI join surface (Spark 3.2+ lateral join; the correlated limit
+    // is decorrelated by Catalyst into a per-key ranked join, so the
+    // per-nation top-3 never materializes a cross product). Identical
+    // SQL in both engines (q40/q42 convention).
+    QuerySpec(
+      "q43_lateral_topn",
+      (s, dir) => {
+        Tables(s, dir, "nation").createOrReplaceTempView("nation")
+        Tables(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql(Q43Sql)
+      },
+      Some(Q43Sql)),
+
     variantSpec
   )
 
@@ -1133,6 +1148,19 @@ object Relational {
     SELECT leaf, CAST(MAX(depth) AS BIGINT) AS hops_to_root,
            CAST(SUM(cur) AS BIGINT) AS path_key_sum
     FROM chain GROUP BY leaf ORDER BY leaf"""
+
+  /** q43 runs identical SQL in Spark and DuckDB. A `def` for the same
+    * init-order reason as [[Q30Sql]]. */
+  private def Q43Sql = """
+    SELECT n.n_name, t.c_custkey, t.acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY acctbal DESC, c_custkey
+      LIMIT 3
+    ) t
+    ORDER BY n.n_name, t.acctbal DESC, t.c_custkey"""
 
   /** q36 runs identical SQL in Spark and DuckDB (same NOT IN
     * three-valued-logic semantics). A `def` for the same init-order

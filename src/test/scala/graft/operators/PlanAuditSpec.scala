@@ -66,7 +66,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q37_daily_gapfill", "q38_nullsafe_join", "q39_supplier_roster",
     "t15_sliding_chunks", "q40_grouping_sets", "k5_dsv2_convert",
     "t16_unigram_surprisal", "d13_minhash_oracle_twin",
-    "t17_bm25_retrieval", "s4_lsh_ann_topk", "d14_duplicate_spans")
+    "t17_bm25_retrieval", "s4_lsh_ann_topk", "d14_duplicate_spans",
+    "d15_span_scrub", "q43_lateral_topn")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
