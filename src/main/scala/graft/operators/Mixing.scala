@@ -343,5 +343,45 @@ object Mixing {
         SELECT split, lang, COUNT(*) AS n_docs,
                CAST(SUM(n_tok) AS BIGINT) AS sum_tokens, MIN(doc_id) AS min_doc_id
         FROM kept GROUP BY split, lang ORDER BY split, lang"""))
+  ,
+
+    // ----------------------------------------------------------------- p6
+    // Seeded deterministic global shuffle — the reshuffle that precedes
+    // shard writing in a pretraining layout: every run with the same seed
+    // yields the same training order, independent of input partitioning,
+    // cluster size, or scan order (md5 over seed:doc_id is the order key,
+    // never a Spark-internal nondeterministic function). Shape: shard =
+    // leading hex nibble of the hash (uniform by construction — no skew
+    // salting needed), position-in-shard = rank by (hash, doc_id) inside
+    // the shard. One hash exchange on the shard key + an in-shard sort;
+    // there is NO global order exchange. At 100 TB the shard width is the
+    // scaling knob (4 hex chars = 65,536 shards keeps each in-shard sort
+    // at file-sized data — exactly the granularity the p3 shard sink
+    // wants); if positions must span oversized shards, the p5 two-phase
+    // prefix sum replaces the window without changing the order key.
+    QuerySpec(
+      "p6_seeded_shuffle",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val seeded = Tables(s, dir, "documents")
+          .select($"doc_id",
+            md5(concat(lit("graft:42:"), $"doc_id".cast("string"))).as("h"))
+          .withColumn("shard", substring($"h", 1, 1))
+        val byShard = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
+        seeded
+          .withColumn("pos", row_number().over(byShard).cast("long"))
+          .select($"doc_id", $"shard", $"pos")
+          .orderBy($"shard", $"pos")
+      },
+      Some(raw"""
+        WITH h AS (
+          SELECT doc_id,
+                 md5('graft:42:' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents)
+        SELECT doc_id, substr(h, 1, 1) AS shard,
+               ROW_NUMBER() OVER (PARTITION BY substr(h, 1, 1)
+                                  ORDER BY h, doc_id) AS pos
+        FROM h ORDER BY shard, pos"""))
   )
 }
