@@ -383,5 +383,86 @@ object Mixing {
                ROW_NUMBER() OVER (PARTITION BY substr(h, 1, 1)
                                   ORDER BY h, doc_id) AS pos
         FROM h ORDER BY shard, pos"""))
+  ,
+
+    // ----------------------------------------------------------------- e2
+    // The dedup-led pipeline composition (e1 is the quality-led one):
+    // d14's duplicated extents → per-doc removal accounting (token
+    // counts suffice — the cut is sum(span_tokens), no text rebuild) →
+    // fully-scrubbed docs drop → p6's seeded shard assignment → per-shard
+    // packed context-window accounting at 2048 tokens. One corpus scan;
+    // the span stats reduce to ≤1 small row per affected doc before the
+    // un-hinted join (AQE broadcasts them), the shard rollup is the only
+    // wide stage after it — the plan a 100 TB dedup-then-pack curation
+    // run wants, produced by just CHAINING the registered operators.
+    QuerySpec(
+      "e2_dedup_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val cut = Dedup.duplicateSpansOn(s, docs)
+          .groupBy($"doc_id").agg(sum($"span_tokens").as("cut_tokens"))
+        docs.filter($"text".isNotNull)
+          .select($"doc_id",
+            size(split(trim($"text"), "\\s+")).cast("long").as("n_tok"))
+          .join(cut, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_tok",
+            coalesce($"cut_tokens", lit(0L)).as("cut_tokens"))
+          .withColumn("clean_tok", $"n_tok" - $"cut_tokens")
+          .filter($"clean_tok" > 0)
+          .withColumn("shard", substring(
+            md5(concat(lit("graft:42:"), $"doc_id".cast("string"))), 1, 1))
+          .groupBy($"shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"clean_tok").as("sum_tokens"),
+            sum($"cut_tokens").as("removed_tokens"))
+          .withColumn("n_chunks",
+            expr("CAST((sum_tokens - 1) DIV 2048 + 1 AS BIGINT)"))
+          .orderBy($"shard")
+      },
+      Some(raw"""
+        WITH w AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        g AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 array_to_string(ws[i:i+7], ' ') AS gram
+          FROM w, UNNEST(generate_series(1, len(ws) - 7)) t(i)
+          WHERE len(ws) >= 8),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        m AS (
+          SELECT doc_id, pos FROM g
+          WHERE gram IN (SELECT gram FROM dup)),
+        fl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos) <= 8
+                      THEN 0 ELSE 1 END AS brk
+          FROM m),
+        gr AS (
+          SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS grp
+          FROM fl),
+        sp AS (
+          SELECT doc_id, MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens
+          FROM gr GROUP BY doc_id, grp),
+        cut AS (
+          SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS cut_tokens
+          FROM sp GROUP BY doc_id),
+        dtok AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok FROM w),
+        c AS (
+          SELECT d.doc_id, d.n_tok,
+                 COALESCE(cut.cut_tokens, 0) AS cut_tokens,
+                 d.n_tok - COALESCE(cut.cut_tokens, 0) AS clean_tok,
+                 substr(md5('graft:42:' || CAST(d.doc_id AS VARCHAR)), 1, 1)
+                   AS shard
+          FROM dtok d LEFT JOIN cut ON d.doc_id = cut.doc_id
+          WHERE d.n_tok - COALESCE(cut.cut_tokens, 0) > 0)
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(SUM(clean_tok) AS BIGINT) AS sum_tokens,
+               CAST(SUM(cut_tokens) AS BIGINT) AS removed_tokens,
+               CAST((SUM(clean_tok) - 1) // 2048 + 1 AS BIGINT) AS n_chunks
+        FROM c GROUP BY shard ORDER BY shard"""))
   )
 }

@@ -67,7 +67,8 @@ class PlanAuditSpec extends SparkTestBase {
     "t15_sliding_chunks", "q40_grouping_sets", "k5_dsv2_convert",
     "t16_unigram_surprisal", "d13_minhash_oracle_twin",
     "t17_bm25_retrieval", "s4_lsh_ann_topk", "d14_duplicate_spans",
-    "d15_span_scrub", "q43_lateral_topn", "p6_seeded_shuffle")
+    "d15_span_scrub", "q43_lateral_topn", "p6_seeded_shuffle",
+    "e2_dedup_pipeline")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
