@@ -20,7 +20,8 @@ class CacheHygieneSpec extends SparkTestBase {
   private val PersistingQueries = Seq(
     "d2_ngram_jaccard_pairs", "d6_decontamination", "t16_unigram_surprisal",
     "d13_minhash_oracle_twin", "d4_minhash_lsh_pairs",
-    "d12_minhash_incremental", "d7_dedup_clusters", "p5_sequence_packing")
+    "d12_minhash_incremental", "d7_dedup_clusters", "p5_sequence_packing",
+    "d14_duplicate_spans", "d15_span_scrub", "e2_dedup_pipeline")
 
   test("cache manager is empty after running every persisting query") {
     PersistingQueries.foreach { name =>
