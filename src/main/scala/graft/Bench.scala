@@ -84,8 +84,10 @@ object Bench {
       // stage st1's event inbox and the k-corpus here (write-once fixture
       // construction, not the operators under measurement — the corpus is
       // one file create per document row, 50k at sf1)
-      if (selected("st"))
+      if (selected("st")) {
         streaming.StreamQueries.stagedInbox(spark, sfDir)
+        streaming.StreamQueries.stagedDocInbox(spark, sfDir)
+      }
       if (selected("k"))
         operators.KernelQueries.stageCorpus(spark, sfDir)
       spark.catalog.clearCache()

@@ -824,15 +824,26 @@ object Dedup {
   def bloomCandidatesOn(s: org.apache.spark.sql.SparkSession,
                         passages: org.apache.spark.sql.DataFrame,
                         isBatch: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    bloomCandidatesFor(s, passages.filter(isBatch), passages.filter(!isBatch))
+
+  /** Two-frame form of [[bloomCandidatesOn]] — the batch and corpus
+    * passage frames come from different sources (st5 feeds a streaming
+    * micro-batch as `batchPassages` against a static corpus). Same
+    * contract: returns (batch with hashes, Bloom-prefiltered corpus
+    * candidates); the caller runs the exact confirm join. */
+  def bloomCandidatesFor(s: org.apache.spark.sql.SparkSession,
+                         batchPassages: org.apache.spark.sql.DataFrame,
+                         corpusPassages: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import s.implicits._
-    val batch = passages.filter(isBatch)
+    val batch = batchPassages
       .select($"doc_id", $"passage", xxhash64($"passage").as("h"))
       .localCheckpoint(true)
     val nKeys = math.max(batch.count(), 1L)
     val bloom = batch.stat.bloomFilter("h", nKeys, 0.01)
     val bloomB = s.sparkContext.broadcast(bloom)
-    val candidates = passages.filter(!isBatch)
+    val candidates = corpusPassages
       .select($"doc_id".as("corpus_id"), $"passage",
         xxhash64($"passage").as("h"))
       .as[(Long, String, Long)]
@@ -845,9 +856,15 @@ object Dedup {
     * chunks — a narrow transform (split + HOF slice, no shuffle). Returns
     * (doc_id, passage). */
   private def passageFrame(s: org.apache.spark.sql.SparkSession,
-                           dir: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    Tables(s, dir, "documents")
+                           dir: String): org.apache.spark.sql.DataFrame =
+    passagesOn(Tables(s, dir, "documents"))
+
+  /** [[passageFrame]] over an arbitrary `(doc_id, text)` frame — public
+    * (and stateless, so streaming-safe) for st5's per-micro-batch use. */
+  def passagesOn(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .filter($"text".isNotNull)
       .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
       .filter(size($"ws") >= PassageLen)

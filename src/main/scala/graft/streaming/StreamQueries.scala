@@ -87,6 +87,39 @@ object StreamQueries {
   private val verifiedInboxes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Stage the "daily crawl" slice (doc_id % 10 == 0 — d11's batch
+    * convention) of the documents table as a 4-file doc_id-ranged
+    * parquet inbox for st5. Same write-once marker pattern as
+    * [[stagedInbox]], but NO mtime pinning: st5's per-batch pipeline is
+    * stateless (no watermark, no cross-batch state), and its per-doc
+    * output is independent of which micro-batch a document lands in, so
+    * replay order genuinely does not matter here. */
+  def stagedDocInbox(s: SparkSession, dir: String): String = {
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "docs_inbox_" + base)
+    if (verifiedInboxes.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    import s.implicits._
+    val crawl = Tables(s, dir, "documents")
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", $"text")
+    val n = crawl.count()
+    val stamp = s"v1:$n"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      crawl.repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(path.getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedInboxes.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
   /** Run `transform` over the staged inbox as a rate-limited AvailableNow
     * catch-up stream to completion, and return the finalized rows read
     * back from the parquet sink — the shared runner behind every st*
@@ -254,5 +287,76 @@ object StreamQueries {
         SELECT a_id, CAST(b_id AS BIGINT) AS b_id, user_id FROM m
         UNION ALL
         SELECT a_id, CAST(b_id AS BIGINT) AS b_id, user_id FROM neg
-        ORDER BY a_id, b_id NULLS FIRST""")))
+        ORDER BY a_id, b_id NULLS FIRST""")),
+
+    // ----------------------------------------------------------------- st5
+    // d11's incremental daily-run shape actually RUN incrementally: the
+    // new-crawl slice arrives as a file-source stream, and foreachBatch
+    // executes the full Bloom pipeline per micro-batch — build the filter
+    // over the BATCH's passage hashes, prefilter the static corpus
+    // map-side, exact confirm join, append matches to the sink. The
+    // static corpus passages materialize ONCE before the stream starts
+    // (persisted, released after) — no per-batch corpus shuffle. Output
+    // is per-doc aggregation of the appended matches; every document
+    // lands in exactly one micro-batch and the pipeline is stateless (no
+    // watermark), so the result is independent of batch slicing and the
+    // oracle is d11's verbatim. This is the one streaming primitive the
+    // plane lacked under the oracle: foreachBatch as the incremental
+    // orchestrator (the shape a 100 TB daily ingest runs, where each
+    // day's batch Blooms against yesterday's corpus).
+    QuerySpec(
+      "st5_incremental_dedup_stream",
+      (s, dir) => {
+        import s.implicits._
+        val inbox = stagedDocInbox(s, dir)
+        val corpus = graft.operators.Dedup.passagesOn(
+            Tables(s, dir, "documents").filter($"doc_id" % 10 =!= 0))
+          .persist()
+        corpus.count()
+        val runDir =
+          java.nio.file.Files.createTempDirectory("graft_st5").toString
+        val outDir = s"$runDir/out"
+        // seed the sink with the (empty) match schema so a no-match run
+        // still reads back as a valid empty frame
+        Seq.empty[(Long, String, Long)].toDF("doc_id", "passage", "corpus_id")
+          .write.mode("overwrite").parquet(outDir)
+        val schema = s.read.parquet(inbox).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 2).parquet(inbox)
+        val step: (org.apache.spark.sql.DataFrame, Long) => Unit = {
+          (batchDocs, _) =>
+            val (batch, candidates) = graft.operators.Dedup
+              .bloomCandidatesFor(
+                s, graft.operators.Dedup.passagesOn(batchDocs), corpus)
+            batch.join(candidates, Seq("passage"))
+              .select($"doc_id", $"passage", $"corpus_id")
+              .write.mode("append").parquet(outDir)
+        }
+        val q = stream.writeStream
+          .foreachBatch(step)
+          .option("checkpointLocation", s"$runDir/chk")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val out = s.read.parquet(outDir)
+          .groupBy($"doc_id")
+          .agg(countDistinct($"passage").as("n_shared_passages"),
+            min($"corpus_id").as("dup_of"))
+        graft.Materialize.thenRelease(out, corpus).orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH w AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 10),
+        p AS (
+          SELECT doc_id, array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS passage
+          FROM f, UNNEST(generate_series(0, CAST(len(ws)//10 AS INT) - 1)) AS t(i)),
+        b AS (SELECT * FROM p WHERE doc_id % 10 = 0),
+        c AS (SELECT * FROM p WHERE doc_id % 10 <> 0)
+        SELECT b.doc_id,
+               CAST(COUNT(DISTINCT b.passage) AS BIGINT) AS n_shared_passages,
+               MIN(c.doc_id) AS dup_of
+        FROM b JOIN c ON b.passage = c.passage
+        GROUP BY b.doc_id ORDER BY b.doc_id""")))
 }

@@ -68,4 +68,33 @@ class StreamQueriesSpec extends SparkTestBase {
         "STRICT at the boundary and the st1/st2/st3 oracles' <= must " +
         "become <")
   }
+
+  test("st5's inbox really streams in multiple micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the oracle pins st5's VALUES; this pins its INCREMENTALITY — the
+    // 4-file inbox at maxFilesPerTrigger=2 must yield 2 data batches
+    // (the registered query uses the same staging + trigger config)
+    val inbox = StreamQueries.stagedDocInbox(spark, sfDir)
+    assert(new java.io.File(inbox).listFiles()
+      .count(_.getName.startsWith("part-")) == 4,
+      "doc inbox should stage as 4 ranged part files")
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val schema = spark.read.parquet(inbox).schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_st5_spec")
+    val step: (org.apache.spark.sql.DataFrame, Long) => Unit = { (b, _) =>
+      if (b.count() > 0) { seen.incrementAndGet(); rows.addAndGet(b.count()) }
+      ()
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(inbox)
+      .writeStream.foreachBatch(step)
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val expected = spark.read.parquet(inbox).count()
+    assert(seen.get() == 2, s"expected 2 data micro-batches, saw ${seen.get()}")
+    assert(rows.get() == expected,
+      s"micro-batches covered ${rows.get()} of $expected inbox rows")
+  }
 }
