@@ -130,24 +130,37 @@ object StreamQueries {
     val runDir = java.nio.file.Files.createTempDirectory("graft_st").toString
     val outDir = s"$runDir/out"
     val schema = s.read.parquet(inbox).schema
-    val stream = s.readStream
-      .schema(schema)
-      // 8 ranged files / 4 per trigger = 2 real data batches plus the
-      // final no-data flush batch: still exercises cross-batch state and
-      // the incremental watermark advance, at half the per-batch
-      // state-store/sink-commit overhead of smaller triggers (each extra
-      // micro-batch costs a checkpoint + sink commit, ~1 s on tmpfs)
-      .option("maxFilesPerTrigger", 4)
-      .parquet(inbox)
-    val q = transform(stream)
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", s"$runDir/chk")
-      .trigger(Trigger.AvailableNow())
-      .format("parquet")
-      .option("path", outDir)
-      .start()
-    q.awaitTermination()
+    // Size stateful parallelism to the STREAM, not the session: every
+    // micro-batch commits one state store per shuffle partition (per
+    // stateful operator — st4's outer join keeps FOUR), so a session
+    // setting of 32 pays 32·stores·batches commit round-trips for
+    // micro-batch-sized data. 8 partitions is right-sized for the
+    // catch-up volume; a real deployment tunes this to stream rate at
+    // FIRST start (the checkpoint pins it afterwards). Scoped here —
+    // each st* run uses a fresh checkpoint, and the session value is
+    // restored for the read-back and every batch query.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = s.readStream
+        .schema(schema)
+        // 8 ranged files / 4 per trigger = 2 real data batches plus the
+        // final no-data flush batch: still exercises cross-batch state and
+        // the incremental watermark advance, at half the per-batch
+        // state-store/sink-commit overhead of smaller triggers (each extra
+        // micro-batch costs a checkpoint + sink commit, ~1 s on tmpfs)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(inbox)
+      val q = transform(stream)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$runDir/chk")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outDir)
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.read.parquet(outDir)
   }
 
