@@ -223,6 +223,74 @@ object Similarity {
                                         ORDER BY cosine DESC, cand_id) AS rank
               FROM p)
         SELECT query_id, rank, cand_id, cosine FROM r WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // ----------------------------------------------------------------- s5
+    // Product quantization + ADC — the third standard ANN family beside
+    // IVF (s2) and LSH (s4), and the one that buys MEMORY: 64-dim float
+    // vectors compress to M=8 sub-space codes (here one per 8-dim slice,
+    // K=16 codes from the corpus's own first 16 vectors as the
+    // deterministic codebook — the s2/s4 anchor convention that keeps the
+    // whole index relational and replayable in both engines). Encode is
+    // one scan against the broadcast codebook, O(N·K·M); the asymmetric-
+    // distance (ADC) scan ranks candidates by table lookups over CODES
+    // (M longs) instead of raw vectors — the 8× memory-bandwidth
+    // compression PQ serving exists for — then the top-k winners alone
+    // are refined with the exact cosine. At 100 TB, PQ composes with
+    // s2's IVF cells (IVF-PQ): cells prune candidates, codes compress
+    // the scan; here the families are demonstrated separately so each
+    // is oracle-checked in isolation. Determinism: sub-distances fold
+    // sequentially in index order (bit-identical to the oracle's
+    // list_reduce), argmin tie-breaks on the lowest code via
+    // min(struct(d, m)) ≡ the oracle's ROW_NUMBER ordering, and ADC
+    // sums round to 6dp before ranking (the s1 precedent).
+    QuerySpec(
+      "s5_pq_adc_topk",
+      (s, dir) => pqTopK(s, dir),
+      Some("""
+        WITH a AS (SELECT vec_id AS m, embedding AS av
+                   FROM embeddings WHERE vec_id < 16),
+        sub AS (
+          SELECT e.vec_id, a.m, j,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(generate_series(1, 8),
+                     i -> (CAST(e.embedding[j*8+i] AS DOUBLE)
+                           - CAST(a.av[j*8+i] AS DOUBLE))
+                        * (CAST(e.embedding[j*8+i] AS DOUBLE)
+                           - CAST(a.av[j*8+i] AS DOUBLE)))),
+                   (acc, x) -> acc + x) AS d
+          FROM embeddings e, a, UNNEST(generate_series(0, 7)) AS t(j)),
+        codes AS (
+          SELECT vec_id AS cand_id, j, m AS code FROM (
+            SELECT vec_id, j, m,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d ASC, m ASC) AS rn
+            FROM sub) WHERE rn = 1),
+        qd AS (SELECT vec_id AS query_id, m, j AS qj, d
+               FROM sub WHERE vec_id < 10),
+        adc AS (
+          SELECT query_id, cand_id, ROUND(SUM(d), 6) AS adc_dist
+          FROM codes JOIN qd ON qj = j AND m = code
+          WHERE cand_id != query_id
+          GROUP BY query_id, cand_id),
+        r AS (SELECT query_id, cand_id, adc_dist,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY adc_dist ASC, cand_id) AS rank
+              FROM adc),
+        top AS (SELECT * FROM r WHERE rank <= 5),
+        ref AS (
+          SELECT t.query_id, t.rank, t.cand_id, t.adc_dist,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(q.embedding)),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)),
+                          i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))), 6)
+                   AS cosine
+          FROM top t JOIN embeddings q ON q.vec_id = t.query_id
+                     JOIN embeddings c ON c.vec_id = t.cand_id)
+        SELECT query_id, rank, cand_id, adc_dist, cosine FROM ref
         ORDER BY query_id, rank"""))
   )
 
@@ -267,6 +335,63 @@ object Similarity {
       .filter($"rank" <= k)
       .select($"query_id", $"rank", $"cand_id", $"cosine")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** PQ + ADC search (s5): deterministic anchor codebook → per-subspace
+    * argmin encode → asymmetric-distance candidate ranking over codes →
+    * exact cosine refine of the winners. See the s5 QuerySpec scaladoc
+    * for the determinism and 100 TB rationale. */
+  def pqTopK(s: SparkSession, dir: String, nAnchors: Int = 16, nSub: Int = 8,
+             subDim: Int = 8, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val sub = pqSubDistances(s, dir, nAnchors, nSub, subDim)
+    // argmin with lowest-code tie-break: struct ordering is (d, m) lex
+    val codes = sub.groupBy($"vec_id", $"j")
+      .agg(min(struct($"d", $"m")).getField("m").as("code"))
+      .select($"vec_id".as("cand_id"), $"j", $"code")
+    // the queries' distance table is tiny (Q·K·M rows) — broadcast it so
+    // the ADC join never shuffles the corpus-sized code table
+    val qd = sub.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"m", $"j".as("qj"), $"d")
+    val wTop = Window.partitionBy($"query_id").orderBy($"adc_dist".asc, $"cand_id")
+    val top = codes.join(broadcast(qd), $"qj" === $"j" && $"m" === $"code")
+      .filter($"cand_id" =!= $"query_id")
+      .groupBy($"query_id", $"cand_id")
+      .agg(round(sum($"d"), 6).as("adc_dist"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= k)
+    // exact refine on the k winners only
+    val qv = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val cv = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+    top.join(broadcast(qv), "query_id").join(cv, "cand_id")
+      .withColumn("cosine",
+        round(graft.functions.GraftFunctions.cosineSim($"qv", $"cv"), 6))
+      .select($"query_id", $"rank", $"cand_id", $"adc_dist", $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** s5's per-(vector, anchor, subspace) squared distances — public so
+    * the spec can pin encode properties (anchors code to themselves).
+    * Sequential left fold in index order, bit-identical to the oracle's
+    * list_reduce. */
+  def pqSubDistances(s: SparkSession, dir: String, nAnchors: Int,
+                     nSub: Int, subDim: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val anchors = emb.filter($"vec_id" < nAnchors)
+      .select($"vec_id".as("m"), $"embedding".as("av"))
+    emb.select($"vec_id", $"embedding")
+      .crossJoin(broadcast(anchors))
+      .select($"vec_id", $"m", posexplode(expr(
+        s"""transform(sequence(0, ${nSub - 1}), j ->
+           |  aggregate(zip_with(slice(embedding, j * $subDim + 1, $subDim),
+           |                     slice(av, j * $subDim + 1, $subDim),
+           |      (x, y) -> (cast(x as double) - cast(y as double))
+           |              * (cast(x as double) - cast(y as double))),
+           |    cast(0 as double), (acc, v) -> acc + v))""".stripMargin))
+        .as(Seq("j", "d")))
   }
 
   /** Sign-LSH ANN (s4): anchor-hyperplane sign signatures → bucket-keyed

@@ -43,7 +43,11 @@ class PlanAuditSpec extends SparkTestBase {
     // s4's anchor cross is nPlanes (6) broadcast rows against the corpus
     // — O(n·planes) by construction; the candidate join itself is
     // bucket-keyed (hash join), never all-pairs
-    "s4_lsh_ann_topk")
+    "s4_lsh_ann_topk",
+    // s5's codebook cross is nAnchors (16) broadcast rows against the
+    // corpus — the O(N·K·M) PQ encode; the ADC join is equi-keyed on
+    // (subspace, code) with the tiny query table broadcast
+    "s5_pq_adc_topk")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -68,7 +72,7 @@ class PlanAuditSpec extends SparkTestBase {
     "t16_unigram_surprisal", "d13_minhash_oracle_twin",
     "t17_bm25_retrieval", "s4_lsh_ann_topk", "d14_duplicate_spans",
     "d15_span_scrub", "q43_lateral_topn", "p6_seeded_shuffle",
-    "e2_dedup_pipeline")
+    "e2_dedup_pipeline", "s5_pq_adc_topk")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>

@@ -79,6 +79,38 @@ class SimilarityRecallSpec extends SparkTestBase {
     assert(mean >= 0.2, s"mean recall@5 = $mean (per-query: $recalls)")
   }
 
+  test("s5 PQ codes map each codebook anchor to itself") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // an anchor's distance to its own subvector is exactly 0 in every
+    // subspace, so its code must be its own id (ties impossible on this
+    // duplicate-free corpus) — the cheapest end-to-end pin that encode's
+    // argmin and slicing are wired right
+    val codes = Similarity
+      .pqSubDistances(spark, dir, nAnchors = 16, nSub = 8, subDim = 8)
+      .groupBy($"vec_id", $"j")
+      .agg(min(struct($"d", $"m")).getField("m").as("code"))
+      .filter($"vec_id" < 16)
+      .collect()
+    assert(codes.length == 16 * 8)
+    codes.foreach { r =>
+      assert(r.getAs[Long]("code") == r.getAs[Long]("vec_id"),
+        s"anchor ${r.getAs[Long]("vec_id")} subspace ${r.get(1)} " +
+          s"coded to ${r.getAs[Long]("code")}")
+    }
+  }
+
+  test("s5 PQ+refine recall@5 vs exact s1 clears the corpus floor") {
+    val exact = topk(Similarity.specs.find(_.name == "s1_cosine_topk").get.fn(spark, dir))
+    val pq = topk(Similarity.pqTopK(spark, dir))
+    assert(exact.size == 10 && pq.size == 10)
+    val recalls = exact.map { case (q, truth) =>
+      pq.getOrElse(q, Seq.empty).toSet.intersect(truth.toSet).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.15, s"mean recall@5 = $mean (per-query: $recalls)")
+  }
+
   test("s4 exactly equals exact search restricted to sign-LSH bucket mates") {
     // Independent driver-side reimplementation of the s4 contract:
     // anchors = first 6 vectors, bit_p = [dot(v, anchor_p) >= 0] with the
