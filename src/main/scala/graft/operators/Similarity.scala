@@ -291,6 +291,100 @@ object Similarity {
           FROM top t JOIN embeddings q ON q.vec_id = t.query_id
                      JOIN embeddings c ON c.vec_id = t.cand_id)
         SELECT query_id, rank, cand_id, adc_dist, cosine FROM ref
+        ORDER BY query_id, rank""")),
+
+    // ----------------------------------------------------------------- s6
+    // IVF-PQ — the PRODUCTION composition of s2 and s5, the index layout
+    // large-scale vector serving actually deploys: IVF cells prune the
+    // candidate set (only nProbe cells per query are touched), PQ codes
+    // rank the survivors by table lookup (the corpus's raw vectors never
+    // enter the scan), and only the top-k winners load exact vectors for
+    // the refine. Every stage reuses the oracle-verified machinery of
+    // its parent operator — s2's decimal centroids + probe ranking, s5's
+    // anchor codebook + argmin encode + 6dp ADC — so the composed index
+    // replays end-to-end in DuckDB like both parents do. At 100 TB the
+    // cost is O(Q·cells) probe + O(Q·(N/cells)·nProbe·M) code lookups +
+    // O(Q·k) exact loads, with the codebook and the query distance
+    // table broadcast.
+    QuerySpec(
+      "s6_ivfpq_topk",
+      (s, dir) => ivfPqTopK(s, dir),
+      Some("""
+        WITH e AS (
+          SELECT label, vec_id, embedding,
+                 UNNEST(embedding) AS v,
+                 UNNEST(range(len(embedding))) AS dim
+          FROM embeddings),
+        cent AS (
+          SELECT label AS cell, dim,
+                 CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+          FROM e GROUP BY label, dim),
+        centl AS (
+          SELECT cell, list(c ORDER BY dim) AS centroid FROM cent GROUP BY cell),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 10),
+        probe AS (
+          SELECT query_id, qv, cell,
+                 list_sum(list_transform(generate_series(1, len(qv)),
+                   i -> (CAST(qv[i] AS DOUBLE) - centroid[i]) *
+                        (CAST(qv[i] AS DOUBLE) - centroid[i]))) AS cdist
+          FROM q CROSS JOIN centl),
+        pr AS (
+          SELECT query_id, qv, cell,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cdist ASC, cell) AS probe_rank
+          FROM probe),
+        probed AS (SELECT query_id, cell FROM pr WHERE probe_rank <= 2),
+        a AS (SELECT vec_id AS m, embedding AS av
+              FROM embeddings WHERE vec_id < 16),
+        sub AS (
+          SELECT e2.vec_id, a.m, j,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(generate_series(1, 8),
+                     i -> (CAST(e2.embedding[j*8+i] AS DOUBLE)
+                           - CAST(a.av[j*8+i] AS DOUBLE))
+                        * (CAST(e2.embedding[j*8+i] AS DOUBLE)
+                           - CAST(a.av[j*8+i] AS DOUBLE)))),
+                   (acc, x) -> acc + x) AS d
+          FROM embeddings e2, a, UNNEST(generate_series(0, 7)) AS t(j)),
+        codes AS (
+          SELECT vec_id AS cand_id, j, m AS code FROM (
+            SELECT vec_id, j, m,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d ASC, m ASC) AS rn
+            FROM sub) WHERE rn = 1),
+        qd AS (SELECT vec_id AS query_id, m, j AS qj, d
+               FROM sub WHERE vec_id < 10),
+        cand AS (
+          SELECT p.query_id, c.vec_id AS cand_id
+          FROM probed p JOIN embeddings c ON c.label = p.cell
+          WHERE c.vec_id != p.query_id),
+        adc AS (
+          SELECT cand.query_id, cand.cand_id,
+                 ROUND(SUM(qd.d), 6) AS adc_dist
+          FROM cand
+          JOIN codes ON codes.cand_id = cand.cand_id
+          JOIN qd ON qd.query_id = cand.query_id
+                 AND qd.qj = codes.j AND qd.m = codes.code
+          GROUP BY cand.query_id, cand.cand_id),
+        r AS (SELECT query_id, cand_id, adc_dist,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY adc_dist ASC, cand_id) AS rank
+              FROM adc),
+        top AS (SELECT * FROM r WHERE rank <= 5),
+        ref AS (
+          SELECT t.query_id, t.rank, t.cand_id, t.adc_dist,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(q2.embedding)),
+                     i -> CAST(q2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(q2.embedding)),
+                        i -> CAST(q2.embedding[i] AS DOUBLE) * CAST(q2.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(c2.embedding)),
+                          i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE))))), 6)
+                   AS cosine
+          FROM top t JOIN embeddings q2 ON q2.vec_id = t.query_id
+                     JOIN embeddings c2 ON c2.vec_id = t.cand_id)
+        SELECT query_id, rank, cand_id, adc_dist, cosine FROM ref
         ORDER BY query_id, rank"""))
   )
 
@@ -299,31 +393,7 @@ object Similarity {
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int, nProbe: Int, k: Int): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
-
-    // Centroids: elementwise mean per label. Decimal sums make the centroid
-    // exactly reproducible regardless of partition/merge order.
-    val centroids = emb
-      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
-      .groupBy($"label", $"dim")
-      .agg((sum($"v".cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
-      .groupBy($"label")
-      .agg(array_sort(collect_list(struct($"dim", $"c"))).as("pairs"))
-      .select($"label".as("cell"), expr("transform(pairs, p -> p.c)").as("centroid"))
-
-    val queries = emb.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
-
-    // Probe assignment: nearest nProbe centroids per query (centroid table
-    // is tiny — broadcast; cost O(Q·cells)).
-    val wProbe = Window.partitionBy($"query_id").orderBy($"cdist".asc, $"cell")
-    val probed = queries.crossJoin(broadcast(centroids))
-      .withColumn("cdist", expr(
-        "aggregate(zip_with(qv, centroid, (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), " +
-          "cast(0 as double), (acc, v) -> acc + v)"))
-      .withColumn("probe_rank", row_number().over(wProbe))
-      .filter($"probe_rank" <= nProbe)
-      .select($"query_id", $"qv", $"cell")
-
+    val probed = ivfProbe(s, dir, nQueries, nProbe)
     // Exact rerank within probed cells only.
     val cands = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"), $"label".as("cell"))
     val wTop = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")
@@ -370,6 +440,78 @@ object Similarity {
         round(graft.functions.GraftFunctions.cosineSim($"qv", $"cv"), 6))
       .select($"query_id", $"rank", $"cand_id", $"adc_dist", $"cosine")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** IVF-PQ (s6): s2's cell probe prunes candidates, s5's codes rank
+    * them, exact cosine refines the winners. See the s6 QuerySpec
+    * scaladoc. */
+  def ivfPqTopK(s: SparkSession, dir: String, nQueries: Int = 10,
+                nProbe: Int = 2, nAnchors: Int = 16, nSub: Int = 8,
+                subDim: Int = 8, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val probed = ivfProbe(s, dir, nQueries, nProbe).select($"query_id", $"cell")
+    val sub = pqSubDistances(s, dir, nAnchors, nSub, subDim)
+    val codes = sub.groupBy($"vec_id", $"j")
+      .agg(min(struct($"d", $"m")).getField("m").as("code"))
+      .select($"vec_id".as("cand_id"), $"j", $"code")
+    val qd = sub.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"m", $"j".as("qj"), $"d")
+    val cand = probed
+      .join(emb.select($"vec_id".as("cand_id"), $"label".as("cell")), Seq("cell"))
+      .filter($"cand_id" =!= $"query_id")
+      .select($"query_id", $"cand_id")
+    val wTop = Window.partitionBy($"query_id").orderBy($"adc_dist".asc, $"cand_id")
+    val top = cand
+      .join(codes, Seq("cand_id"))
+      .join(broadcast(qd),
+        qd("query_id") === cand("query_id") &&
+          $"qj" === $"j" && $"m" === $"code")
+      .groupBy(cand("query_id").as("query_id"), $"cand_id")
+      .agg(round(sum($"d"), 6).as("adc_dist"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= k)
+    val qv = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val cv = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+    top.join(broadcast(qv), "query_id").join(cv, "cand_id")
+      .withColumn("cosine",
+        round(graft.functions.GraftFunctions.cosineSim($"qv", $"cv"), 6))
+      .select($"query_id", $"rank", $"cand_id", $"adc_dist", $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** s2's cell-probe stage, factored out so s6 can reuse it: decimal
+    * elementwise-mean centroids (partition-order independent), nearest
+    * `nProbe` cells per query by squared distance (broadcast centroid
+    * table, O(Q·cells)). Returns (query_id, qv, cell). */
+  def ivfProbe(s: SparkSession, dir: String, nQueries: Int,
+               nProbe: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    // Centroids: elementwise mean per label. Decimal sums make the centroid
+    // exactly reproducible regardless of partition/merge order.
+    val centroids = emb
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg((sum($"v".cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim", $"c"))).as("pairs"))
+      .select($"label".as("cell"), expr("transform(pairs, p -> p.c)").as("centroid"))
+
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+
+    // Probe assignment: nearest nProbe centroids per query (centroid table
+    // is tiny — broadcast; cost O(Q·cells)).
+    val wProbe = Window.partitionBy($"query_id").orderBy($"cdist".asc, $"cell")
+    queries.crossJoin(broadcast(centroids))
+      .withColumn("cdist", expr(
+        "aggregate(zip_with(qv, centroid, (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), " +
+          "cast(0 as double), (acc, v) -> acc + v)"))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter($"probe_rank" <= nProbe)
+      .select($"query_id", $"qv", $"cell")
   }
 
   /** s5's per-(vector, anchor, subspace) squared distances — public so

@@ -47,7 +47,10 @@ class PlanAuditSpec extends SparkTestBase {
     // s5's codebook cross is nAnchors (16) broadcast rows against the
     // corpus — the O(N·K·M) PQ encode; the ADC join is equi-keyed on
     // (subspace, code) with the tiny query table broadcast
-    "s5_pq_adc_topk")
+    "s5_pq_adc_topk",
+    // s6 composes s2's centroid cross and s5's codebook cross — both
+    // tiny broadcast sides by construction
+    "s6_ivfpq_topk")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -72,7 +75,7 @@ class PlanAuditSpec extends SparkTestBase {
     "t16_unigram_surprisal", "d13_minhash_oracle_twin",
     "t17_bm25_retrieval", "s4_lsh_ann_topk", "d14_duplicate_spans",
     "d15_span_scrub", "q43_lateral_topn", "p6_seeded_shuffle",
-    "e2_dedup_pipeline", "s5_pq_adc_topk")
+    "e2_dedup_pipeline", "s5_pq_adc_topk", "s6_ivfpq_topk")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
