@@ -39,6 +39,38 @@ object Mixing {
       .mode("overwrite")
       .parquet(outDir)
 
+  /** Bits interleaved per key by [[zorderKey]]. 21+21 = 42 result bits
+    * covers TPC-H partkey at sf1000 (200M keys) with headroom while
+    * staying far inside a signed long. */
+  val ZBits: Int = 21
+
+  /** Morton/Z-order interleave of the low `bits` bits of two non-negative
+    * long keys: bit i of x lands at result bit 2i, bit i of y at 2i+1.
+    * Built as a sum of 2×`bits` disjoint-bit shift/mask terms — plain
+    * integer arithmetic Catalyst folds into whole-stage codegen (no UDF).
+    * [[zorderSqlExpr]] machine-generates the identical arithmetic as ANSI
+    * SQL so the oracle replays the exact bijection. */
+  def zorderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+                bits: Int): org.apache.spark.sql.Column = {
+    val mx = x.bitwiseAND(lit((1L << bits) - 1))
+    val my = y.bitwiseAND(lit((1L << bits) - 1))
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc + shiftright(mx, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(my, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }
+  }
+
+  /** The [[zorderKey]] arithmetic as an ANSI SQL expression string (same
+    * shift/mask/sum terms), for the DuckDB oracle. */
+  def zorderSqlExpr(x: String, y: String, bits: Int): String = {
+    val mask = (1L << bits) - 1
+    val terms = (0 until bits).flatMap { i =>
+      Seq(s"((($x & $mask) >> $i) & 1) * ${1L << (2 * i)}",
+          s"((($y & $mask) >> $i) & 1) * ${1L << (2 * i + 1)}")
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----------------------------------------------------------------- p1
@@ -384,6 +416,41 @@ object Mixing {
                                   ORDER BY h, doc_id) AS pos
         FROM h ORDER BY shard, pos"""))
   ,
+
+    // ----------------------------------------------------------------- p7
+    // Z-order layout key — the space-filling-curve clustering a lake
+    // OPTIMIZE/CLUSTER BY pass computes before writing 100 TB of
+    // parquet: interleaving the low 21 bits of the two join keys gives a
+    // single sort key under which a file span is a near-square box in
+    // (partkey, suppkey) space, so min/max footer stats prune scans
+    // constrained on EITHER key (a linear concat key only ever prunes
+    // the leading column). Pure codegen'd integer arithmetic — 42
+    // shift/mask terms with disjoint bits summed — no UDF, no shuffle
+    // beyond the aggregate and presentation sort; at scale the zkey
+    // feeds repartitionByRange + sortWithinPartitions in the p3 shard
+    // sink. Oracle runs the machine-generated identical expression in
+    // DuckDB (ZOrderSpec pins the bijection + the locality win the
+    // layout exists for).
+    QuerySpec(
+      "p7_zorder_key",
+      (s, dir) => {
+        import s.implicits._
+        val zkey = zorderKey($"l_partkey".cast("long"), $"l_suppkey".cast("long"), ZBits)
+        Tables(s, dir, "lineitem")
+          .groupBy($"l_partkey", $"l_suppkey")
+          .agg(count(lit(1)).as("n_rows"))
+          .withColumn("zkey", zkey)
+          .withColumn("zbucket", shiftright($"zkey", 2 * ZBits - 6))
+          .select($"l_partkey", $"l_suppkey", $"n_rows", $"zkey", $"zbucket")
+          .orderBy($"zkey", $"l_partkey", $"l_suppkey")
+      },
+      Some(s"""
+        SELECT l_partkey, l_suppkey, COUNT(*) AS n_rows,
+               ${zorderSqlExpr("l_partkey", "l_suppkey", ZBits)} AS zkey,
+               ${zorderSqlExpr("l_partkey", "l_suppkey", ZBits)} >> ${2 * ZBits - 6} AS zbucket
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+        ORDER BY zkey, l_partkey, l_suppkey""")),
 
     // ----------------------------------------------------------------- e2
     // The dedup-led pipeline composition (e1 is the quality-led one):

@@ -1118,6 +1118,134 @@ object Relational {
       },
       Some(Q43Sql)),
 
+    // ---------------------------------------------------------------- q44
+    // SCD2 merge — the shape `MERGE INTO dim USING changes` compiles to
+    // in a warehouse without in-place update: matched rows CLOSE
+    // (valid_to = batch epoch, is_current = false) and re-insert as the
+    // new current version; never-seen keys insert; untouched rows pass
+    // through. The change batch here is derived deterministically from
+    // the snapshot (every 11th key re-priced, every 97th key re-keyed as
+    // a brand-new insert) so both engines build the identical batch. At
+    // 100 TB the dimension never shuffles: the change-key set is orders
+    // of magnitude smaller, so the matched/unmatched split is two joins
+    // against a broadcast key set over ONE dimension scan, and the three
+    // slices union as narrow maps. Version stamps are integer batch
+    // epochs (0 = snapshot, 1 = this batch), not wall clock, so the
+    // result is reproducible.
+    QuerySpec(
+      "q44_scd2_merge",
+      (s, dir) => {
+        import s.implicits._
+        val dim = Tables(s, dir, "customer")
+          .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+        val updates = dim.filter($"c_custkey" % 11 === 0)
+          .select($"c_custkey", ($"c_acctbal" + 100.0).as("c_acctbal"),
+            $"c_mktsegment")
+        val inserts = dim.filter($"c_custkey" % 97 === 0)
+          .select(($"c_custkey" + 10000000L).as("c_custkey"),
+            lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment"))
+        val changes = updates.unionByName(inserts)
+        val changeKeys = broadcast(changes.select($"c_custkey"))
+        val closed = dim
+          .join(changeKeys, Seq("c_custkey"), "left_semi")
+          .select($"c_custkey", $"c_acctbal", $"c_mktsegment",
+            lit(0L).as("valid_from"), lit(1L).as("valid_to"),
+            lit(false).as("is_current"))
+        val unchanged = dim
+          .join(changeKeys, Seq("c_custkey"), "left_anti")
+          .select($"c_custkey", $"c_acctbal", $"c_mktsegment",
+            lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+            lit(true).as("is_current"))
+        val inserted = changes
+          .select($"c_custkey", $"c_acctbal", $"c_mktsegment",
+            lit(1L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+            lit(true).as("is_current"))
+        closed.unionByName(unchanged).unionByName(inserted)
+          .orderBy($"c_custkey", $"valid_from")
+      },
+      Some("""
+        WITH dim AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        updates AS (
+          SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+          FROM dim WHERE c_custkey % 11 = 0),
+        inserts AS (
+          SELECT c_custkey + 10000000 AS c_custkey, 0.0 AS c_acctbal,
+                 'NEW' AS c_mktsegment
+          FROM dim WHERE c_custkey % 97 = 0),
+        changes AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+        closed AS (
+          SELECT c_custkey, c_acctbal, c_mktsegment,
+                 CAST(0 AS BIGINT) AS valid_from, CAST(1 AS BIGINT) AS valid_to,
+                 FALSE AS is_current
+          FROM dim WHERE c_custkey IN (SELECT c_custkey FROM changes)),
+        unchanged AS (
+          SELECT c_custkey, c_acctbal, c_mktsegment,
+                 CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+                 TRUE AS is_current
+          FROM dim WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)),
+        inserted AS (
+          SELECT c_custkey, c_acctbal, c_mktsegment,
+                 CAST(1 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+                 TRUE AS is_current
+          FROM changes)
+        SELECT * FROM (
+          SELECT * FROM closed UNION ALL
+          SELECT * FROM unchanged UNION ALL
+          SELECT * FROM inserted)
+        ORDER BY c_custkey, valid_from""")),
+
+    // ---------------------------------------------------------------- q45
+    // Ordered funnel (view → click → purchase) — the product-analytics
+    // sequence-match shape: a user advances to stage n only via an event
+    // STRICTLY AFTER their stage-(n-1) entry time, so out-of-order
+    // histories don't count (a purchase before the first view is not a
+    // conversion). Each stage is a pre-aggregated min-timestamp per user
+    // BEFORE its join — at 100 TB the joins carry one row per user per
+    // stage (monotonically shrinking), never raw events, and AQE
+    // broadcasts the funnel side when users ≪ events. Timestamps compare
+    // as exact epoch micros (unix_micros ≡ DuckDB epoch_us on the
+    // µs-aligned fixtures).
+    QuerySpec(
+      "q45_funnel_stages",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "events")
+          .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+        val v = e.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"us").as("t_view"))
+        val c = e.filter($"event_type" === "click")
+          .join(v, "user_id").filter($"us" > $"t_view")
+          .groupBy($"user_id").agg(min($"us").as("t_click"))
+        val p = e.filter($"event_type" === "purchase")
+          .join(c, "user_id").filter($"us" > $"t_click")
+          .groupBy($"user_id").agg(min($"us").as("t_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select($"user_id",
+            (lit(1) + when($"t_click".isNotNull, 1).otherwise(0)
+              + when($"t_purchase".isNotNull, 1).otherwise(0))
+              .cast("int").as("reached_stage"),
+            $"t_view", $"t_click", $"t_purchase")
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        v AS (SELECT user_id, MIN(us) AS t_view FROM e
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(us) AS t_click
+              FROM e JOIN v ON e.user_id = v.user_id
+              WHERE event_type = 'click' AND us > t_view GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(us) AS t_purchase
+              FROM e JOIN c ON e.user_id = c.user_id
+              WHERE event_type = 'purchase' AND us > t_click GROUP BY e.user_id)
+        SELECT v.user_id,
+               CAST(1 + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END
+                    AS INTEGER) AS reached_stage,
+               t_view, t_click, t_purchase
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON v.user_id = p.user_id
+        ORDER BY v.user_id""")),
+
     variantSpec
   )
 

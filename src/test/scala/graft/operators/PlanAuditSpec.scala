@@ -75,7 +75,8 @@ class PlanAuditSpec extends SparkTestBase {
     "t16_unigram_surprisal", "d13_minhash_oracle_twin",
     "t17_bm25_retrieval", "s4_lsh_ann_topk", "d14_duplicate_spans",
     "d15_span_scrub", "q43_lateral_topn", "p6_seeded_shuffle",
-    "e2_dedup_pipeline", "s5_pq_adc_topk", "s6_ivfpq_topk")
+    "e2_dedup_pipeline", "s5_pq_adc_topk", "s6_ivfpq_topk",
+    "q44_scd2_merge", "q45_funnel_stages", "p7_zorder_key")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
@@ -242,5 +243,40 @@ class PlanAuditSpec extends SparkTestBase {
       .findAllMatchIn(p).map(_.group(1)).mkString(" ")
     assert(!readSchema.contains("label"),
       s"s3 reads the unused label column: $readSchema")
+  }
+
+  test("q44 merge broadcasts the change keys; the dimension never hash-shuffles") {
+    // SCD2's matched/unmatched split must be two BroadcastHashJoins
+    // (LeftSemi + LeftAnti) against the small change-key set — at 100 TB
+    // a hash exchange of the dimension here would dwarf the merge itself.
+    // The only exchange beyond the broadcasts is the presentation sort.
+    val p = planOf("q44_scd2_merge")
+    assert(p.contains("LeftSemi, BuildRight"),
+      s"q44 lost the broadcast semi join:\n${p.take(800)}")
+    assert(p.contains("LeftAnti, BuildRight"),
+      s"q44 lost the broadcast anti join:\n${p.take(800)}")
+    assert(!p.contains("hashpartitioning"),
+      s"q44 hash-shuffles the dimension:\n${p.take(800)}")
+  }
+
+  test("q45 funnel joins carry per-user aggregates, never raw events") {
+    // each stage pre-aggregates min(ts) per user BEFORE joining — the
+    // join inputs are HashAggregate outputs, so the shuffled volume is
+    // O(users), not O(events)
+    val p = planOf("q45_funnel_stages")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"q45 degraded to a non-broadcast join at fixture scale:\n${p.take(800)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 3,
+      s"q45 lost its per-stage pre-aggregation:\n${p.take(800)}")
+  }
+
+  test("p7 z-order key stays in whole-stage codegen: one agg exchange + sort") {
+    val p = planOf("p7_zorder_key")
+    // the interleave is plain integer arithmetic over the aggregate's
+    // output — no UDF/BatchEvalPython-style break, no extra exchange
+    assert(!p.contains("BatchEval") && !p.contains("Invoke"),
+      s"p7's zkey left codegen:\n${p.take(800)}")
+    val hashEx = "hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"p7 should have exactly one agg exchange, saw $hashEx:\n${p.take(800)}")
   }
 }
