@@ -93,15 +93,23 @@ object Bench {
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 
-    def once(name: String): Double = {
+    // Either a measured time or the failure message. A query that dies
+    // (analysis or runtime) must read as RED in the bench file, not as a
+    // suspiciously fast entry silently flattering the total (VERDICT r7
+    // "what's wrong" #2: 15 analysis-failed queries recorded ~0.05s each
+    // and the 64.7s headline was not comparable round-over-round).
+    def once(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val out =
+        try { run(name); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+        }
       // belt-and-braces: queries release their own persists via
       // Materialize.thenRelease; this keeps stray test caches out of the
       // next query's measurement. Untimed.
       spark.catalog.clearCache()
-      dt
+      out
     }
 
     val results = SparkEntry.queries.keys.toSeq.sorted
@@ -110,18 +118,38 @@ object Bench {
       // single-run spread is ±20%, which made r6's sub-second x-family
       // look 2-3x "regressed" — undiagnosable from one sample. Repeats
       // are bounded to cheap queries so total wall-clock stays sane; a
-      // >=5s query's signal already dominates the noise floor.
-      val first = once(name)
-      val dt =
-        if (first >= 5.0) first
-        else Seq(first, once(name), once(name)).sorted.apply(1)
+      // >=5s query's signal already dominates the noise floor. A failed
+      // first run is terminal — no point re-running a broken plan.
+      val dt = once(name) match {
+        case Left(err) => Left(err)
+        case Right(first) if first >= 5.0 => Right(first)
+        case Right(first) =>
+          // re-runs of a query that just succeeded; treat a rare repeat
+          // failure as that repeat's time being unusable, keep the firsts
+          val reps = Seq(once(name), once(name)).collect { case Right(t) => t }
+          Right(((first +: reps).sorted).apply(reps.size / 2))
+      }
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map {
+      case (k, Right(v))  => "\"" + k + "\":" + v
+      case (k, Left(err)) => "\"" + k + "\":{\"err\":" + jsonStr(err) + "}"
+    }.mkString("{", ",", "}")
+    // failed queries are EXCLUDED from the total; errors field names them
+    // so the headline number is never silently corrupted
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    val errNames = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
+    val errField =
+      if (errNames.isEmpty) "" else s""","errors":[${errNames.mkString(",")}]"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}"""
     println(json)
     // stderr too: sbt [info] prefixes stdout, which broke the driver's
     // parse in r1/r2 — stderr lines pass through clean

@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   *  - Timestamps stay in the source range: 10× event/order density in
   *    the same window — so streaming watermarks and windowed aggregates
   *    see 10× rows per window, which is how ingest actually grows.
-  *    events.ts is kept as raw INT64 nanos (read with nanosAsLong,
-  *    written back as a plain long) so [[Tables]]' µs rebuild applies to
-  *    the output identically.
+  *    events.ts is copied verbatim in its on-disk representation
+  *    (nanosAsLong set for the legacy INT64-nanos vintage; the current
+  *    timestamp[us] NTZ vintage round-trips as NTZ) so [[Tables]]'
+  *    dtype-branched normalization applies to the output identically.
   *  - documents.text is remapped per copy with a 1:1 letter translation
   *    (rotations of a 26-letter alphabet; copy 0 is the identity), so
   *    each copy keeps its internal near-dup structure (shingle/minhash/
@@ -125,7 +126,7 @@ object ScaleUp {
     write(copies(raw("orders"), Seq("o_orderkey", "o_custkey")), "orders", 8)
     write(copies(raw("lineitem"),
       Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem", 16)
-    // ts stays a raw nanos long (see scaladoc)
+    // ts copied in its on-disk representation (see scaladoc)
     write(copies(raw("events"), Seq("event_id", "user_id")), "events", 8)
 
     // documents: per-copy 1:1 letter substitution (translate needs

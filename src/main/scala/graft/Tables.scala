@@ -14,15 +14,24 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is INT64 TIMESTAMP(NANOS) on disk, which Spark's parquet
-    // reader rejects outright; read the raw nanos and rebuild a (µs)
-    // timestamp. All fixture values are µs-aligned, so `div 1000` is exact.
+    // events.ts has shipped in two fixture generations: INT64
+    // TIMESTAMP(NANOS) (which Spark's reader rejects outright — read the
+    // raw nanos and rebuild; values are µs-aligned so `div 1000` is
+    // exact) and plain timestamp[us] with no UTC adjustment (arrives as
+    // TIMESTAMP_NTZ; session TZ is pinned UTC everywhere, so a cast to
+    // the session-TZ timestamp type is an identity relabel). Branch on
+    // the dtype the scan actually produced so either vintage loads.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => df
+        case _             => df.withColumn("ts", col("ts").cast("timestamp"))
+      }
+    } else df
   }
 }
 

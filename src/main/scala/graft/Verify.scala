@@ -23,11 +23,19 @@ object Verify {
       case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
       case None    => SparkEntry.queries
     }
+    // Failures must leave a visible verdict, not a silent absence: a
+    // broken query previously had no parquet and no CORRECTNESS row, so
+    // 13 formerly-green rows VANISHED in r7 instead of turning red
+    // (VERDICT r7 "what's wrong" #3). errors.json sits beside
+    // oracle_sql.json so every registered query accounts for itself.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors += name -> msg.take(500)
+        System.err.println(s"[verify] $name failed: $msg")
       }
       // release per-query persists so no cached RDDs outlive their query
       spark.catalog.clearCache()
@@ -51,6 +59,12 @@ object Verify {
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
+    }
     spark.stop()
   }
 }
