@@ -60,10 +60,10 @@ object KernelQueries {
   }
 
   /** Stage the deterministic corpus for `dir` (write-once per sf dir: a
-    * sibling marker records the doc count; count drift rebuilds from
-    * scratch), shared by k1/k2 — re-running a kernel query then only pays
-    * the convert plan, not thousands of file creates. Returns the staging
-    * directory path. */
+    * sibling marker records a source-parquet fingerprint; source drift
+    * rebuilds from scratch), shared by k1/k2 — re-running a kernel query
+    * then only pays the convert plan, not thousands of file creates.
+    * Returns the staging directory path. */
   private def stagedCorpus(s: SparkSession, dir: String): String = {
     import s.implicits._
     val staging = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -76,10 +76,13 @@ object KernelQueries {
     val docs = Tables(s, dir, "documents")
       .select($"doc_id",
         length(coalesce($"text", lit(""))).cast("long").as("len"))
-    val nDocs = docs.count()
     // corpus construction version: bump when fileFor's slicing changes,
-    // so an existing staging dir from an older construction rebuilds
-    val stamp = s"v2:$nDocs"
+    // so an existing staging dir from an older construction rebuilds.
+    // Staleness keys on the SOURCE parquet's size/mtime fingerprint
+    // (Multimodal.sourceFingerprint) — no Spark count() job just to
+    // decide the staging dir is already current.
+    val stamp = s"v3:${Multimodal.sourceFingerprint(
+      new java.io.File(dir, "documents.parquet"))}"
     val marker = new java.io.File(stagingPath + ".staged")
     val upToDate = staging.isDirectory && marker.isFile &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp

@@ -37,19 +37,37 @@ object Multimodal {
     * projection's ReadSchema drops `payload` — pinned by
     * MediaFixtureSpec). Staged per sf dir under a SELF-DESCRIBING key —
     * the dir basename, with a sibling marker recording construction
-    * version + row count (the k-corpus convention, KernelQueries
-    * .stagedCorpus) — so a moved testdata root or changed scale rebuilds
+    * version + a size/mtime fingerprint of the source parquet (the
+    * k-corpus convention, KernelQueries.stagedCorpus) — so a moved
+    * testdata root, regenerated fixtures, or changed scale rebuilds
     * instead of silently reusing wrong-scale payloads. The oracle needs
     * no fixture because payload features remain a pure function of
     * doc_id. */
   /** Once a fixture dir has been verified/staged in this process, repeat
-    * calls must touch no Spark job (the row-count stamp check runs a
-    * count()): m2's MEASURED bench path calls mediaTable again after the
-    * untimed warmup staged it, and that call should go straight to the
-    * parquet scan. Keyed by fixture path (which encodes the sf-dir
-    * basename), so distinct scales never alias. */
+    * calls must touch no Spark job: m2's MEASURED bench path calls
+    * mediaTable again after the untimed warmup staged it, and that call
+    * should go straight to the parquet scan. Keyed by fixture path (which
+    * encodes the sf-dir basename), so distinct scales never alias. */
   private val verifiedFixtures =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Cheap source-drift fingerprint: total bytes + newest mtime of the
+    * source parquet (file or directory of part files). Staleness must be
+    * detectable WITHOUT a Spark job — the previous stamp counted
+    * `documents` rows, paying one full scan per process even when the
+    * marker was already up to date (ADVICE r6 low item). Size+mtime
+    * catches both fixture regeneration (driver rewrites change mtime)
+    * and scale drift (row count moves size). */
+  private[operators] def sourceFingerprint(f: java.io.File): String = {
+    def walk(x: java.io.File): (Long, Long) =
+      if (x.isDirectory)
+        x.listFiles().foldLeft((0L, 0L)) { case ((sz, mt), c) =>
+          val (csz, cmt) = walk(c); (sz + csz, math.max(mt, cmt))
+        }
+      else (x.length(), x.lastModified())
+    val (size, mtime) = walk(f)
+    s"$size:$mtime"
+  }
 
   def mediaTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -58,16 +76,15 @@ object Multimodal {
     val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = new java.io.File(root, "media_" + base)
     if (!verifiedFixtures.contains(path.getAbsolutePath)) {
-      val docIds = Tables(s, dir, "documents").select($"doc_id")
-      val nDocs = docIds.count()
       // fixture construction version: bump when the payload contract
       // (renderPicture, scale = doc_id%4+1) changes
-      val stamp = s"v2:$nDocs"
+      val stamp =
+        s"v3:${sourceFingerprint(new java.io.File(dir, "documents.parquet"))}"
       val marker = new java.io.File(path.getAbsolutePath + ".staged")
       val upToDate = path.isDirectory && marker.isFile &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
       if (!upToDate) {
-        docIds.as[Long]
+        Tables(s, dir, "documents").select($"doc_id").as[Long]
           .mapPartitions { it =>
             val rendered = scala.collection.mutable.Map.empty[Int, Array[Byte]]
             it.map { id =>

@@ -18,15 +18,18 @@ class MediaFixtureSpec extends SparkTestBase {
     val root = new java.io.File(sys.props("user.dir") + "/data", "media_" + base)
     val success = new java.io.File(root, "_SUCCESS")
     assert(success.exists())
-    // self-describing staging marker: construction version + row count
+    // self-describing staging marker: construction version + source
+    // parquet size/mtime fingerprint (no Spark job to validate it)
     val marker = new java.io.File(root.getAbsolutePath + ".staged")
     assert(marker.isFile)
     val stamp = new String(java.nio.file.Files.readAllBytes(marker.toPath))
-    assert(stamp.matches("v\\d+:\\d+"), stamp)
+    assert(stamp.matches("v\\d+:\\d+:\\d+"), stamp)
+    assert(stamp == "v3:" + Multimodal.sourceFingerprint(
+      new java.io.File(sfDir, "documents.parquet")),
+      s"marker $stamp must equal the recomputed source fingerprint")
     val mtime = success.lastModified()
     val n = Multimodal.mediaTable(spark, sfDir).count()
     assert(n > 0)
-    assert(stamp.endsWith(":" + n), s"marker $stamp vs row count $n")
     assert(success.lastModified() == mtime, "second read must not rewrite")
   }
 
