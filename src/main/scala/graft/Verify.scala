@@ -4,30 +4,23 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** Dump `queries` (optionally filtered) for `sfDir` into `outDir`,
+    * writing `oracle_sql.json` and `errors.json` beside the per-query
+    * parquet dirs, and return the error map. Failures must leave a
+    * visible verdict, not a silent absence: a broken query previously had
+    * no parquet and no CORRECTNESS row, so 13 formerly-green rows
+    * VANISHED in r7 instead of turning red (VERDICT r7 "what's wrong"
+    * #3). Factored out of [[main]] (which owns the session lifecycle) so
+    * VerifyErrorsSpec can drive the failure path against the shared test
+    * session without stopping it. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          filter: Option[Set[String]]): Map[String, String] = {
     new java.io.File(outDir).mkdirs()
-    // Optional comma-separated query filter (SPARK_GRAFT_QUERIES), same
-    // contract as Bench — dev-loop only; the driver sets no filter.
-    val filter = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = filter match {
       case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
       case None    => SparkEntry.queries
     }
-    // Failures must leave a visible verdict, not a silent absence: a
-    // broken query previously had no parquet and no CORRECTNESS row, so
-    // 13 formerly-green rows VANISHED in r7 instead of turning red
-    // (VERDICT r7 "what's wrong" #3). errors.json sits beside
-    // oracle_sql.json so every registered query accounts for itself.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -65,6 +58,24 @@ object Verify {
     if (errors.nonEmpty) {
       System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
     }
+    errors.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Optional comma-separated query filter (SPARK_GRAFT_QUERIES), same
+    // contract as Bench — dev-loop only; the driver sets no filter.
+    val filter = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    run(spark, sfDir, outDir, filter)
     spark.stop()
   }
 }
