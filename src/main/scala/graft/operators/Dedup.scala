@@ -436,9 +436,11 @@ object Dedup {
         FROM sums GROUP BY doc_id ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------- d5
-    // Embedding-cosine near-dup pairs: the EXACT baseline (all pairs >=
-    // threshold), the embedding-space sibling of d1..d4, as a DISTRIBUTED
-    // block-pair join — no driver-side collect anywhere:
+    // Embedding-cosine near-dup pairs: ORACLE-BASELINE-ONLY — the EXACT
+    // all-pairs verifier (all pairs >= threshold) whose roster role is to
+    // oracle-pin d4/s4/s5/s6, the actual 100 TB paths; it is never the
+    // production plan itself. Embedding-space sibling of d1..d4, as a
+    // DISTRIBUTED block-pair join — no driver-side collect anywhere:
     //  * vectors hash into blocks of ~MaxCosineBlock rows (one metadata
     //    count on the parquet picks the block count);
     //  * collect_list gathers each block into one array row ON THE

@@ -1246,6 +1246,39 @@ object Relational {
                LEFT JOIN p ON v.user_id = p.user_id
         ORDER BY v.user_id""")),
 
+    // ---------------------------------------------------------------- q46
+    // Native EXACT interpolated percentiles (percentile / median
+    // aggregates — the PERCENTILE_CONT surface), per return flag. Both
+    // engines compute the same continuous-interpolation formula
+    // (lower + (p·(n−1) − ⌊·⌋)·(upper − lower)); 4-dp rounding absorbs
+    // the ≤2-ulp libm spread. ORACLE-BASELINE-ONLY at scale: Spark's
+    // exact percentile buffers every group value in the aggregation
+    // state, so its memory is O(rows-per-group) — the 100 TB path is
+    // x2's Greenwald-Khanna percentile_approx (constant-size mergeable
+    // partials), and this query exists to oracle-pin it (SketchesSpec
+    // compares the two). Plan: one hash aggregate, 3 groups, no sort.
+    QuerySpec(
+      "q46_exact_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            round(expr("percentile(l_extendedprice, 0.25D)"), 4).as("p25"),
+            round(expr("median(l_extendedprice)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.75D)"), 4).as("p75"),
+            round(expr("percentile(l_extendedprice, 0.99D)"), 4).as("p99"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     variantSpec
   )
 

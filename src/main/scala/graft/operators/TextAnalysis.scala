@@ -809,6 +809,78 @@ object TextAnalysis {
                CAST(length(aug) AS BIGINT) AS len_raw,
                CAST(length(nfc_normalize(aug)) AS BIGINT) AS len_nfc,
                md5(nfc_normalize(aug)) AS nfc_hash
-        FROM a ORDER BY doc_id"""))
+        FROM a ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t19
+    // Bigram-LM perplexity scoring — t16's unigram surprisal upgraded to
+    // a conditional model: train a corpus-wide MLE bigram model
+    // P(w2|w1) = c(w1,w2)/c(w1,·) and score each document by the mean
+    // negative log-probability of its bigram OCCURRENCES (the quality
+    // signal CCNet/KenLM-style filters rank on; every observed bigram has
+    // nonzero MLE probability, so no smoothing constant enters the
+    // oracle). Relational shape at 100 TB: the bigram lineage is computed
+    // ONCE (persisted, released after); the model is a groupBy over
+    // (w1,w2) with map-side partial counts, the context marginal c(w1,·)
+    // is a second partial-agg over the SAME frame; scoring pre-aggregates
+    // per-(doc,bigram) counts BEFORE the model join, so the shuffle keyed
+    // on the bigram carries |distinct doc-bigrams|, not token positions,
+    // and the final per-doc rollup is one doc_id-keyed exchange. No
+    // broadcast assumption: a web-scale bigram vocabulary outgrows any
+    // driver, so the model join is a plain hash-partitioned equi-join.
+    // Determinism: counts are exact longs; ln ratios match ≤2 ulp across
+    // libms and 6-dp rounding absorbs it (the t16/t17 argument).
+    QuerySpec(
+      "t19_bigram_lm_perplexity",
+      (s, dir) => {
+        import s.implicits._
+        val bigrams = Tables(s, dir, "documents")
+          .select($"doc_id", $"text").as[(Long, String)]
+          .flatMap { case (id, text) =>
+            if (text == null) Iterator.empty
+            else {
+              val toks = text.trim.split("\\s+")
+              (0 until toks.length - 1).iterator.map(i =>
+                (id, toks(i), toks(i + 1)))
+            }
+          }.toDF("doc_id", "w1", "w2")
+          .persist()
+        val model = bigrams.groupBy($"w1", $"w2")
+          .agg(count(lit(1)).as("c12"))
+        val context = bigrams.groupBy($"w1")
+          .agg(count(lit(1)).as("c1"))
+        val docBigrams = bigrams.groupBy($"doc_id", $"w1", $"w2")
+          .agg(count(lit(1)).as("occ"))
+        val scored = docBigrams
+          .join(model, Seq("w1", "w2"))
+          .join(context, Seq("w1"))
+          .groupBy($"doc_id")
+          .agg(
+            sum($"occ").cast("long").as("n_bigrams"),
+            round(
+              sum(-log($"c12".cast("double") / $"c1".cast("double")) * $"occ")
+                / sum($"occ"), 6).as("avg_nll"))
+        graft.Materialize.thenRelease(scored, bigrams).orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH b AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 0)),
+                   i -> struct_pack(
+                     w1 := regexp_split_to_array(trim(text), '\s+')[i],
+                     w2 := regexp_split_to_array(trim(text), '\s+')[i+1]))) AS bg
+          FROM documents WHERE text IS NOT NULL),
+        bb AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+        model AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                  FROM bb GROUP BY w1, w2),
+        ctx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bb GROUP BY w1),
+        db AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS occ
+               FROM bb GROUP BY doc_id, w1, w2)
+        SELECT db.doc_id,
+               CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+               ROUND(SUM(-ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) * occ)
+                     / SUM(occ), 6) AS avg_nll
+        FROM db JOIN model USING (w1, w2) JOIN ctx USING (w1)
+        GROUP BY db.doc_id ORDER BY db.doc_id"""))
   )
 }

@@ -16,9 +16,11 @@ class CacheHygieneSpec extends SparkTestBase {
 
   // every query whose plan persists an intermediate: d2/d7 (shingle
   // lineage), d6 (gram frame), d13 (md5 shingle rows), d4/d12 (LSH
-  // index build), t16 (token frame), p5 (range-partitioned prefix frame)
+  // index build), t16 (token frame), t19 (bigram frame), p5
+  // (range-partitioned prefix frame)
   private val PersistingQueries = Seq(
     "d2_ngram_jaccard_pairs", "d6_decontamination", "t16_unigram_surprisal",
+    "t19_bigram_lm_perplexity",
     "d13_minhash_oracle_twin", "d4_minhash_lsh_pairs",
     "d12_minhash_incremental", "d7_dedup_clusters", "p5_sequence_packing",
     "d14_duplicate_spans", "d15_span_scrub", "e2_dedup_pipeline")

@@ -76,7 +76,8 @@ class PlanAuditSpec extends SparkTestBase {
     "t17_bm25_retrieval", "s4_lsh_ann_topk", "d14_duplicate_spans",
     "d15_span_scrub", "q43_lateral_topn", "p6_seeded_shuffle",
     "e2_dedup_pipeline", "s5_pq_adc_topk", "s6_ivfpq_topk",
-    "q44_scd2_merge", "q45_funnel_stages", "p7_zorder_key")
+    "q44_scd2_merge", "q45_funnel_stages", "p7_zorder_key",
+    "q46_exact_percentiles", "t19_bigram_lm_perplexity")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
