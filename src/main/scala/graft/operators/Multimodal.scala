@@ -58,7 +58,7 @@ object Multimodal {
     * marker was already up to date (ADVICE r6 low item). Size+mtime
     * catches both fixture regeneration (driver rewrites change mtime)
     * and scale drift (row count moves size). */
-  private[operators] def sourceFingerprint(f: java.io.File): String = {
+  private[graft] def sourceFingerprint(f: java.io.File): String = {
     def walk(x: java.io.File): (Long, Long) =
       if (x.isDirectory)
         x.listFiles().foldLeft((0L, 0L)) { case ((sz, mt), c) =>

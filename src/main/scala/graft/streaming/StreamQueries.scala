@@ -42,8 +42,12 @@ object StreamQueries {
     if (verifiedInboxes.contains(path.getAbsolutePath))
       return path.getAbsolutePath
     val events = Tables(s, dir, "events")
-    val n = events.count()
-    val stamp = s"v4:$n"
+    // staleness keys on the SOURCE parquet's size/mtime fingerprint (the
+    // mediaTable/stagedCorpus convention): no Spark count() job to decide
+    // the inbox is current, and a driver-side fixture regeneration that
+    // keeps the row count but changes values still rebuilds
+    val stamp = s"v5:${graft.operators.Multimodal.sourceFingerprint(
+      new java.io.File(dir, "events.parquet"))}"
     val marker = new java.io.File(path.getAbsolutePath + ".staged")
     val upToDate = path.isDirectory && marker.isFile &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
@@ -105,8 +109,9 @@ object StreamQueries {
     val crawl = Tables(s, dir, "documents")
       .filter($"doc_id" % 10 === 0)
       .select($"doc_id", $"text")
-    val n = crawl.count()
-    val stamp = s"v1:$n"
+    // source-fingerprint staleness, same rationale as stagedInbox above
+    val stamp = s"v2:${graft.operators.Multimodal.sourceFingerprint(
+      new java.io.File(dir, "documents.parquet"))}"
     val marker = new java.io.File(path.getAbsolutePath + ".staged")
     val upToDate = path.isDirectory && marker.isFile &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
