@@ -72,6 +72,29 @@ class FixtureSchemaSpec extends SparkTestBase {
     }
   }
 
+  test("legacy INT64-nanos events vintage still loads through the rebuild branch") {
+    import org.apache.spark.sql.functions._
+    // stage a tiny legacy-shaped events.parquet (ts as raw nanos LONG —
+    // how the pre-r8 fixtures arrived under nanosAsLong) and prove the
+    // LongType branch still rebuilds instants identical to the current
+    // vintage loaded through the NTZ branch. Keeps the dual-vintage
+    // claim in Tables.apply executable, not archaeological.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_legacy_events")
+    val current = Tables(spark, sfDir, "events").limit(50)
+      .select(col("event_id"), col("ts"))
+    current.select(col("event_id"),
+        (unix_micros(col("ts")) * 1000L).as("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val legacy = Tables(spark, tmp.toString, "events")
+    assert(legacy.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val mismatches = legacy.alias("l")
+      .join(current.alias("c"), "event_id")
+      .filter(col("l.ts") =!= col("c.ts")).count()
+    assert(mismatches == 0,
+      "legacy nanos rebuild disagrees with the NTZ-cast path")
+  }
+
   test("events.ts normalization yields µs-exact session-TZ timestamps") {
     import org.apache.spark.sql.functions._
     // both on-disk vintages (INT64 nanos, timestamp[us] NTZ) must land on
