@@ -798,7 +798,79 @@ object Dedup {
                CAST(COUNT(DISTINCT b.passage) AS BIGINT) AS n_shared_passages,
                MIN(c.doc_id) AS dup_of
         FROM b JOIN c ON b.passage = c.passage
-        GROUP BY b.doc_id ORDER BY b.doc_id"""))
+        GROUP BY b.doc_id ORDER BY b.doc_id""")),
+
+    // ---------------------------------------------------------------- d16
+    // Contamination SCORE: d6's binary verdict upgraded to the fractional
+    // per-document report real curation pipelines threshold on — what
+    // share of a train doc's distinct 8-grams also appear in the eval
+    // set (the Lee et al. / GPT-3 "13-gram overlap" shape at n=8, the
+    // width d6 established for this corpus). Same 100 TB plan as d6: the
+    // small distinct eval-gram set broadcasts, the corpus-side gram
+    // stream LEFT-joins against it map-side with a hit marker, and ONE
+    // doc_id hash aggregate produces both the denominator (distinct
+    // grams) and the numerator (shared grams) — no second shuffle, no
+    // inverted-index self-join. Docs shorter than the gram width have no
+    // grams and report 0/0 → overlap 0, kept via the docs-side left
+    // join. The flag threshold (>25%) compares 4·shared > total in exact
+    // integer arithmetic so no float boundary can disagree with the
+    // oracle; overlap_frac itself is ROUND(·,6) display only.
+    QuerySpec(
+      "d16_contamination_score",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val grams = Shingles.pairsN(s, docs, 8)
+          .select($"doc_id", xxhash64($"shingle").as("shingle"))
+          .persist()
+        val evalGrams = grams.filter($"doc_id" % 7 === 0)
+          .select($"shingle").distinct().withColumn("hit", lit(1L))
+        val scored = grams.filter($"doc_id" % 7 =!= 0)
+          .join(broadcast(evalGrams), Seq("shingle"), "left")
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_grams"),
+            coalesce(sum($"hit"), lit(0L)).as("n_shared"))
+        val report = docs.filter($"doc_id" % 7 =!= 0).select($"doc_id")
+          .join(scored, Seq("doc_id"), "left")
+          .select(
+            $"doc_id",
+            coalesce($"n_grams", lit(0L)).as("n_grams"),
+            coalesce($"n_shared", lit(0L)).as("n_shared"),
+            when($"n_grams".isNull || $"n_grams" === 0, lit(0.0))
+              .otherwise(round($"n_shared".cast("double") / $"n_grams", 6))
+              .as("overlap_frac"),
+            (coalesce($"n_shared", lit(0L)) * 4 > coalesce($"n_grams", lit(0L)))
+              .as("flagged"))
+        graft.Materialize.thenRelease(report, grams).orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, greatest(len(tk) - 7, 0)),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+                          tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS shingle
+            FROM t)),
+        ev AS (SELECT DISTINCT shingle FROM g WHERE doc_id % 7 = 0),
+        agg AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN shingle IN (SELECT shingle FROM ev)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+          FROM g WHERE doc_id % 7 <> 0 GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(a.n_grams, 0) AS n_grams,
+               COALESCE(a.n_shared, 0) AS n_shared,
+               CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0.0
+                    ELSE ROUND(CAST(a.n_shared AS DOUBLE) / a.n_grams, 6)
+               END AS overlap_frac,
+               COALESCE(a.n_shared, 0) * 4 > COALESCE(a.n_grams, 0) AS flagged
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        WHERE d.doc_id % 7 <> 0 ORDER BY d.doc_id"""))
   )
 
   /** d10's winnow window (consecutive shingle hashes per min-selection).

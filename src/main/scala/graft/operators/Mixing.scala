@@ -530,6 +530,66 @@ object Mixing {
                CAST(SUM(clean_tok) AS BIGINT) AS sum_tokens,
                CAST(SUM(cut_tokens) AS BIGINT) AS removed_tokens,
                CAST((SUM(clean_tok) - 1) // 2048 + 1 AS BIGINT) AS n_chunks
-        FROM c GROUP BY shard ORDER BY shard"""))
+        FROM c GROUP BY shard ORDER BY shard""")),
+
+    // ----------------------------------------------------------------- p8
+    // Temperature-scaled source mixing (the multilingual-sampling shape:
+    // p_i ∝ n_i^α with α = 0.5): up-weights small sources against the
+    // head without flattening entirely, then fills a fixed 200-doc
+    // budget with per-source quotas round(p_i · B) and picks each
+    // source's docs deterministically by md5 order. α = ½ keeps the
+    // power exactly IEEE-sqrt on both engines. 100 TB shape: the source
+    // histogram is one map-side-partial aggregate (cardinality-sized,
+    // persisted so its two consumers don't rescan the corpus),
+    // quotas are arithmetic on that tiny frame (broadcast back), and
+    // selection is a per-source window rank over the hash — one shuffle
+    // on source, skew-bounded by the quota cut; at real scale the same
+    // selection runs as a hash-threshold filter (p4's pattern) when
+    // exact quota counts aren't required.
+    QuerySpec(
+      "p8_temperature_mix",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+          .persist()
+        val tot = counts.agg(sum(sqrt($"n_docs")).as("z"))
+        val quotas = counts.crossJoin(broadcast(tot))
+          .select($"source", $"n_docs",
+            round(sqrt($"n_docs") / $"z", 6).as("weight"),
+            round(sqrt($"n_docs") / $"z" * 200, 0).cast("long").as("quota"))
+        val ranked = docs
+          .select($"doc_id", $"source",
+            md5(concat($"doc_id".cast("string"), lit(":mix"))).as("h"))
+          .withColumn("pick_rank",
+            row_number().over(Window.partitionBy($"source").orderBy($"h")))
+        val picked = ranked.join(broadcast(quotas), Seq("source"))
+          .filter($"pick_rank" <= $"quota")
+          .select($"doc_id", $"source", $"n_docs", $"weight", $"quota",
+            $"pick_rank".cast("long").as("pick_rank"))
+        graft.Materialize.thenRelease(picked, counts)
+          .orderBy($"source", $"pick_rank")
+      },
+      Some("""
+        WITH counts AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source),
+        tot AS (SELECT SUM(sqrt(n_docs)) AS z FROM counts),
+        quotas AS (
+          SELECT source, n_docs,
+                 ROUND(sqrt(n_docs) / (SELECT z FROM tot), 6) AS weight,
+                 CAST(ROUND(sqrt(n_docs) / (SELECT z FROM tot) * 200, 0) AS BIGINT) AS quota
+          FROM counts),
+        ranked AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix')) AS pick_rank
+          FROM documents)
+        SELECT r.doc_id, r.source, q.n_docs, q.weight, q.quota,
+               CAST(r.pick_rank AS BIGINT) AS pick_rank
+        FROM ranked r JOIN quotas q USING (source)
+        WHERE r.pick_rank <= q.quota
+        ORDER BY r.source, r.pick_rank"""))
   )
 }

@@ -1284,6 +1284,52 @@ object Relational {
                ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---------------------------------------------------------------- q47
+    // Running DISTINCT count over an event stream — per user, how many
+    // distinct event types have been seen up to each event. A naive
+    // distinct-in-window buffers the whole preceding set per row; this
+    // plan decomposes it into two windows over ONE user_id exchange:
+    // sort type-major within the user partition and mark each type's
+    // first occurrence with a lag comparison (a (user, type)-partitioned
+    // row_number would force a SECOND shuffle — hash(user, type) does
+    // not co-locate hash(user)), then re-sort time-major in place and
+    // running-SUM the 0/1 marker. Per-row state is one counter, never a
+    // set — the shape that holds when one user has 10^6 events. Fully
+    // order-deterministic via the (ts, event_id) tiebreak, so the
+    // oracle checks exact rows.
+    QuerySpec(
+      "q47_running_distinct_types",
+      (s, dir) => {
+        import s.implicits._
+        val typeMajor = Window.partitionBy($"user_id")
+          .orderBy($"event_type", $"ts", $"event_id")
+        val running = Window.partitionBy($"user_id")
+          .orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prevType = lag($"event_type", 1).over(typeMajor)
+        Tables(s, dir, "events")
+          .select($"event_id", $"user_id", $"ts", $"event_type")
+          .withColumn("is_first",
+            when(prevType.isNull || prevType =!= $"event_type", 1L).otherwise(0L))
+          .withColumn("n_types_so_far", sum($"is_first").over(running))
+          .select($"event_id", $"user_id", $"event_type", $"n_types_so_far")
+          .orderBy($"user_id", $"ts", $"event_id")
+      },
+      Some("""
+        WITH marked AS (
+          SELECT event_id, user_id, ts, event_type,
+                 CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                      THEN 1 ELSE 0 END AS is_first
+          FROM events)
+        SELECT event_id, user_id, event_type,
+               CAST(SUM(is_first) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS n_types_so_far
+        FROM marked ORDER BY user_id, ts, event_id""")),
+
     variantSpec
   )
 

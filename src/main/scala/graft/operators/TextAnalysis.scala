@@ -881,6 +881,124 @@ object TextAnalysis {
                ROUND(SUM(-ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) * occ)
                      / SUM(occ), 6) AS avg_nll
         FROM db JOIN model USING (w1, w2) JOIN ctx USING (w1)
-        GROUP BY db.doc_id ORDER BY db.doc_id"""))
+        GROUP BY db.doc_id ORDER BY db.doc_id""")),
+
+    // ---------------------------------------------------------------- t20
+    // Zipf's-law slope per language: OLS regression of ln(frequency) on
+    // ln(rank) over each language's top-100 token ranks — the standard
+    // corpus-health diagnostic (natural language tracks slope ≈ −1;
+    // boilerplate-heavy or synthetic text drifts shallow/steep). 100 TB
+    // shape: ONE token-explode scan into a (lang, tok) hash aggregate
+    // with map-side partials — the shuffled frame is VOCABULARY-sized,
+    // not corpus-sized — then a per-lang window over that compact vocab
+    // frame picks ranks, and regr_slope/regr_intercept reduce 100 rows
+    // per lang. Ranks tie-break by token so the top-100 frontier set is
+    // identical on both engines; ln accumulates ≤2 ulp apart between
+    // libms, far under the 6 dp round.
+    QuerySpec(
+      "t20_zipf_slope",
+      (s, dir) => {
+        import s.implicits._
+        val freq = Tables(s, dir, "documents")
+          .select($"lang", explode(split($"text", " ")).as("tok"))
+          .groupBy($"lang", $"tok").agg(count(lit(1)).as("n"))
+        val ranked = freq
+          .withColumn("rank",
+            row_number().over(Window.partitionBy($"lang").orderBy($"n".desc, $"tok")))
+          .filter($"rank" <= 100)
+        ranked.groupBy($"lang")
+          .agg(
+            count(lit(1)).cast("long").as("n_ranks"),
+            round(regr_slope(log($"n".cast("double")), log($"rank".cast("double"))), 6)
+              .as("zipf_slope"),
+            round(regr_intercept(log($"n".cast("double")), log($"rank".cast("double"))), 6)
+              .as("zipf_intercept"))
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        freq AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM toks GROUP BY lang, tok),
+        ranked AS (
+          SELECT lang, n,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rank
+          FROM freq)
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_ranks,
+               ROUND(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+                 AS zipf_slope,
+               ROUND(regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+                 AS zipf_intercept
+        FROM ranked WHERE rank <= 100
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---------------------------------------------------------------- t21
+    // Chi-squared source×lang association — the corpus-bias audit a
+    // multilingual pipeline runs before fixing sampling weights: are
+    // languages distributed independently of source, or does some source
+    // over-contribute a language? Full Pearson χ² over the COMPLETE
+    // contingency grid (zero-observed cells included — they still carry
+    // expected mass), plus Cramér's V for a size-normalized effect. The
+    // plan is a single corpus scan into a (source, lang) hash aggregate
+    // (persisted — its four consumers would otherwise each rescan the
+    // corpus); everything after is arithmetic over the CARDINALITY-sized
+    // grid (sources × langs, broadcast cross of two tiny marginal
+    // frames) — at 100 TB the corpus is touched once and the χ² itself
+    // costs nothing. Marginals and observed counts stay exact BIGINTs;
+    // only the final χ²/V are doubles, ROUND(·,6) against ~1e-12
+    // sum-order noise.
+    QuerySpec(
+      "t21_chi2_source_lang",
+      (s, dir) => {
+        import s.implicits._
+        val cells = Tables(s, dir, "documents")
+          .groupBy($"source", $"lang").agg(count(lit(1)).as("o"))
+          .persist()
+        val srcTot = cells.groupBy($"source").agg(sum($"o").as("rt"))
+        val langTot = cells.groupBy($"lang").agg(sum($"o").as("ct"))
+        val tot = cells.agg(sum($"o").as("n"))
+        val grid = broadcast(srcTot).crossJoin(broadcast(langTot))
+          .crossJoin(broadcast(tot))
+        val full = grid.join(cells, Seq("source", "lang"), "left")
+          .select(
+            $"source", $"lang", $"n",
+            coalesce($"o", lit(0L)).as("o"),
+            ($"rt".cast("double") * $"ct" / $"n").as("e"))
+        val out = full.agg(
+            countDistinct($"source").as("n_sources"),
+            countDistinct($"lang").as("n_langs"),
+            ((countDistinct($"source") - 1) * (countDistinct($"lang") - 1))
+              .cast("long").as("dof"),
+            round(sum(($"o" - $"e") * ($"o" - $"e") / $"e"), 6).as("chi2"),
+            round(sqrt(
+              sum(($"o" - $"e") * ($"o" - $"e") / $"e") /
+                (max($"n") * least(countDistinct($"source") - 1,
+                                   countDistinct($"lang") - 1))), 6)
+              .as("cramers_v"))
+        graft.Materialize.thenRelease(out, cells)
+      },
+      Some("""
+        WITH cells AS (
+          SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+          FROM documents GROUP BY source, lang),
+        src AS (SELECT source, SUM(o) AS rt FROM cells GROUP BY source),
+        lng AS (SELECT lang, SUM(o) AS ct FROM cells GROUP BY lang),
+        tot AS (SELECT SUM(o) AS n FROM cells),
+        grid AS (
+          SELECT s.source, l.lang, s.rt, l.ct, (SELECT n FROM tot) AS n
+          FROM src s CROSS JOIN lng l),
+        fullg AS (
+          SELECT g.source, g.lang, g.n, COALESCE(c.o, 0) AS o,
+                 CAST(g.rt AS DOUBLE) * g.ct / g.n AS e
+          FROM grid g LEFT JOIN cells c ON g.source = c.source AND g.lang = c.lang)
+        SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST((COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1) AS BIGINT) AS dof,
+               ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+               ROUND(sqrt(SUM((o - e) * (o - e) / e) /
+                          (MAX(n) * least(COUNT(DISTINCT source) - 1,
+                                          COUNT(DISTINCT lang) - 1))), 6) AS cramers_v
+        FROM fullg"""))
   )
 }

@@ -23,7 +23,10 @@ class CacheHygieneSpec extends SparkTestBase {
     "t19_bigram_lm_perplexity",
     "d13_minhash_oracle_twin", "d4_minhash_lsh_pairs",
     "d12_minhash_incremental", "d7_dedup_clusters", "p5_sequence_packing",
-    "d14_duplicate_spans", "d15_span_scrub", "e2_dedup_pipeline")
+    "d14_duplicate_spans", "d15_span_scrub", "e2_dedup_pipeline",
+    // r8 additions: d16 (gram frame), t21 (contingency cells), p8
+    // (source histogram)
+    "d16_contamination_score", "t21_chi2_source_lang", "p8_temperature_mix")
 
   test("cache manager is empty after running every persisting query") {
     PersistingQueries.foreach { name =>

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Invariant pins for the round-8 corpus-analytics additions (the DuckDB
+  * oracle checks exact values; these pin the SEMANTIC contracts a value
+  * hash can't express — cross-query consistency, monotonicity, bounds).
+  */
+class CorpusAnalyticsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("d16 scores agree with d6's counts and flag exactly the >25% docs") {
+    val d16 = graft.SparkEntry.queries("d16_contamination_score")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d6 = graft.SparkEntry.queries("d6_decontamination")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d16.keySet == d6.keySet, "d16 and d6 must report the same train docs")
+    d16.foreach { case (id, r) =>
+      val (nGrams, nShared, frac, flagged) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      assert(nShared == d6(id), s"doc $id: d16 n_shared $nShared != d6 ${d6(id)}")
+      assert(nShared <= nGrams, s"doc $id: shared exceeds total")
+      assert(frac >= 0.0 && frac <= 1.0, s"doc $id: overlap_frac $frac out of [0,1]")
+      assert(flagged == (nShared * 4 > nGrams), s"doc $id: flag disagrees with 25% rule")
+    }
+    // eval docs must be excluded from the train-side report
+    assert(d16.keys.forall(_ % 7 != 0), "eval docs leaked into the report")
+  }
+
+  test("t20 fits a negative Zipf slope per language over tie-broken ranks") {
+    val rows = graft.SparkEntry.queries("t20_zipf_slope")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lang, nRanks, slope) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      assert(nRanks >= 2 && nRanks <= 100, s"$lang: n_ranks $nRanks out of range")
+      assert(slope < 0.0, s"$lang: frequency must fall with rank, slope was $slope")
+    }
+  }
+
+  test("t21 chi-squared is non-negative with V in [0,1] and consistent dof") {
+    val r = graft.SparkEntry.queries("t21_chi2_source_lang")(spark, sfDir)
+      .collect().head
+    val (nSrc, nLang, dof, chi2, v) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    assert(dof == (nSrc - 1) * (nLang - 1))
+    assert(chi2 >= 0.0)
+    assert(v >= 0.0 && v <= 1.0, s"Cramér's V $v out of [0,1]")
+  }
+
+  test("p8 fills every source's quota exactly and weights sum to 1") {
+    val out = graft.SparkEntry.queries("p8_temperature_mix")(spark, sfDir)
+    val bySource = out.groupBy($"source")
+      .agg(count(lit(1)).as("picked"), first($"quota").as("quota"),
+        first($"weight").as("weight"), first($"n_docs").as("n_docs"))
+      .collect()
+    bySource.foreach { r =>
+      val (picked, quota, nDocs) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(picked == math.min(quota, nDocs),
+        s"${r.getString(0)}: picked $picked != min(quota $quota, n_docs $nDocs)")
+    }
+    val wsum = bySource.map(_.getDouble(3)).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum, not ~1")
+    // temperature property: weight per doc decreases with source size —
+    // sqrt dampening means smaller sources get MORE than proportional share
+    val props = bySource.map(r => (r.getLong(4), r.getDouble(3) / r.getLong(4)))
+    props.sortBy(_._1).sliding(2).foreach {
+      case Array((nA, shareA), (nB, shareB)) =>
+        if (nA < nB)
+          assert(shareA >= shareB,
+            s"per-doc share must not grow with source size: $nA->$shareA, $nB->$shareB")
+      case _ =>
+    }
+  }
+
+  test("q47 running distinct count is per-user monotone and lands on the exact distinct total") {
+    val out = graft.SparkEntry.queries("q47_running_distinct_types")(spark, sfDir)
+    // monotone non-decreasing along each user's timeline (output is
+    // already ordered user-major, time-minor)
+    val perUser = out.collect().groupBy(_.getLong(1))
+    perUser.foreach { case (u, rows) =>
+      val counts = rows.map(_.getLong(3))
+      assert(counts.zip(counts.tail).forall { case (a, b) => b >= a },
+        s"user $u: running count decreased")
+      val distinctTypes = rows.map(_.getString(2)).distinct.length
+      assert(counts.last == distinctTypes,
+        s"user $u: final count ${counts.last} != distinct types $distinctTypes")
+      assert(counts.head == 1L, s"user $u: first event must count 1 type")
+    }
+  }
+}

@@ -50,7 +50,14 @@ class PlanAuditSpec extends SparkTestBase {
     "s5_pq_adc_topk",
     // s6 composes s2's centroid cross and s5's codebook cross — both
     // tiny broadcast sides by construction
-    "s6_ivfpq_topk")
+    "s6_ivfpq_topk",
+    // t21 crosses the CARDINALITY-sized source/lang marginal frames
+    // (plus the 1-row total) to build the full contingency grid —
+    // O(sources·langs) by construction
+    "t21_chi2_source_lang",
+    // p8 crosses the 1-ROW sqrt-mass total onto the cardinality-sized
+    // source histogram — same shape as t16's scalar cross
+    "p8_temperature_mix")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -77,7 +84,9 @@ class PlanAuditSpec extends SparkTestBase {
     "d15_span_scrub", "q43_lateral_topn", "p6_seeded_shuffle",
     "e2_dedup_pipeline", "s5_pq_adc_topk", "s6_ivfpq_topk",
     "q44_scd2_merge", "q45_funnel_stages", "p7_zorder_key",
-    "q46_exact_percentiles", "t19_bigram_lm_perplexity")
+    "q46_exact_percentiles", "t19_bigram_lm_perplexity",
+    "d16_contamination_score", "t20_zipf_slope", "t21_chi2_source_lang",
+    "p8_temperature_mix", "q47_running_distinct_types")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
