@@ -590,6 +590,67 @@ object Mixing {
                CAST(r.pick_rank AS BIGINT) AS pick_rank
         FROM ranked r JOIN quotas q USING (source)
         WHERE r.pick_rank <= q.quota
-        ORDER BY r.source, r.pick_rank"""))
+        ORDER BY r.source, r.pick_rank""")),
+
+    // ----------------------------------------------------------------- p9
+    // Partition-pruned read over a lang-partitioned corpus layout: the
+    // read half of [[writePackedShards]]'s contract. The staged write
+    // (once per sf dir, fingerprint-markered like the media fixture)
+    // lays documents out as lang=<v>/ directories; the query then
+    // filters one language and aggregates — and the WHOLE POINT is the
+    // plan: `PartitionFilters: [lang = en]` at the scan, so the other
+    // four language directories are never opened (PartitionedLayoutSpec
+    // pins this plus the text-column prune). At 100 TB, partition
+    // pruning is THE dominant scan optimization — a per-language
+    // curation pass over a lang-partitioned lake touches 1/K of the
+    // bytes — and this query keeps that property on the scoreboard. The
+    // oracle replays the aggregate from the unpartitioned table: layout
+    // must never change results.
+    QuerySpec(
+      "p9_partition_pruned_read",
+      (s, dir) => {
+        import s.implicits._
+        s.read.parquet(partitionedCorpus(s, dir))
+          .filter($"lang" === "en")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+          .orderBy($"source")
+      },
+      Some("""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE lang = 'en'
+        GROUP BY source ORDER BY source"""))
   )
+
+  /** Write-once lang-partitioned copy of the documents table (the
+    * [[writePackedShards]] layout with lang as the partition label),
+    * staged under the fixture root with the source-parquet-fingerprint
+    * marker convention (see Multimodal.mediaTable): the up-to-date path
+    * launches no Spark job. Feeds p9's partition-pruning query. */
+  private[graft] def partitionedCorpus(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "corpus_bylang_" + base)
+    if (verifiedLayouts.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(dir, "documents.parquet"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      writePackedShards(graft.Tables(s, dir, "documents"), "lang",
+        path.getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedLayouts.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
+  private val verifiedLayouts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

@@ -1330,6 +1330,59 @@ object Relational {
                  AS n_types_so_far
         FROM marked ORDER BY user_id, ts, event_id""")),
 
+    // ---------------------------------------------------------------- q48
+    // Role-playing dimension join (the TPC-H Q7 volume-shipping shape):
+    // nation joins TWICE under different roles — supplier nation and
+    // customer nation — onto the same fact spine, grouped by the nation
+    // pair and ship year. Supplier side restricted to three nations (the
+    // Q7 pattern) so the pair grid stays reportable; the filter lands on
+    // the BROADCAST side pre-join, so the fact stream thins before the
+    // aggregate. Scale: all four dimensions broadcast (including both
+    // nation aliases — a role-playing dim is two cheap broadcasts, never
+    // a reason to shuffle the fact table twice); lineitem ⋈ orders is
+    // the only shuffle edge. Revenue accumulates in DECIMAL(18,4)
+    // exactly, so the oracle hash-matches.
+    QuerySpec(
+      "q48_nation_trade_flows",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables(s, dir, "lineitem")
+        val ord = Tables(s, dir, "orders")
+        val cust = Tables(s, dir, "customer")
+        val sup = Tables(s, dir, "supplier")
+        val n1 = Tables(s, dir, "nation")
+          .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+          .filter($"supp_nation".isin("NATION_1", "NATION_2", "NATION_3"))
+        val n2 = Tables(s, dir, "nation")
+          .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .join(broadcast(n1), sup("s_nationkey") === $"s_nk")
+          .join(broadcast(n2), cust("c_nationkey") === $"c_nk")
+          .groupBy($"supp_nation", $"cust_nation",
+            year($"l_shipdate").as("l_year"))
+          .agg(
+            sum(dec($"l_extendedprice") *
+              (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"supp_nation", $"cust_nation", $"l_year")
+      },
+      Some("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+                      JOIN supplier ON l_suppkey  = s_suppkey
+                      JOIN customer ON o_custkey  = c_custkey
+                      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        GROUP BY 1, 2, 3
+        ORDER BY supp_nation, cust_nation, l_year""")),
+
     variantSpec
   )
 

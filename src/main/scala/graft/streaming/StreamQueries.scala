@@ -376,5 +376,69 @@ object StreamQueries {
                CAST(COUNT(DISTINCT b.passage) AS BIGINT) AS n_shared_passages,
                MIN(c.doc_id) AS dup_of
         FROM b JOIN c ON b.passage = c.passage
-        GROUP BY b.doc_id ORDER BY b.doc_id""")))
+        GROUP BY b.doc_id ORDER BY b.doc_id""")),
+
+    // ----------------------------------------------------------------- st6
+    // transformWithState under the oracle: per-(user, type) running
+    // counts via [[RunningTotals.TypeCountProcessor]]'s MapState run to
+    // termination over the staged inbox. Update-mode emissions land in a
+    // parquet sink through foreachBatch (the file sink is append-only);
+    // because each count is MONOTONE, max(n) over all emissions per
+    // (user, type) is exactly the final state — independent of how
+    // AvailableNow slices the inbox — so the DuckDB oracle is the plain
+    // batch aggregate. This puts the arbitrary-state plane (previously
+    // spec-only: RunningTotalsSpec) on the CORRECTNESS scoreboard. State
+    // story at 100 TB: MapState keys each (user, type) entry separately
+    // — one store write per touched type per batch, never a whole-
+    // profile rewrite — and the RocksDB provider (required by
+    // transformWithState, scoped here like runCatchUp's parallelism)
+    // checkpoints changelogs, not snapshots.
+    QuerySpec(
+      "st6_type_counts_stream",
+      (s, dir) => {
+        import s.implicits._
+        val inbox = stagedInbox(s, dir)
+        val runDir =
+          java.nio.file.Files.createTempDirectory("graft_st6").toString
+        val outDir = s"$runDir/out"
+        Seq.empty[(Long, String, Long)].toDF("user_id", "event_type", "n")
+          .write.mode("overwrite").parquet(outDir)
+        val schema = s.read.parquet(inbox).schema
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        val prevProvider =
+          s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 4).parquet(inbox)
+          val updates = RunningTotals.typeCounts(s, stream).toDF()
+          val q = updates.writeStream
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("append").parquet(outDir)
+            }
+            .outputMode(OutputMode.Update)
+            .option("checkpointLocation", s"$runDir/chk")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          prevProvider match {
+            case Some(p) =>
+              s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None =>
+              s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+        s.read.parquet(outDir)
+          .groupBy($"user_id", $"event_type")
+          .agg(max($"n").as("n_events"))
+          .orderBy($"user_id", $"event_type")
+      },
+      Some("""
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id, event_type
+        ORDER BY user_id, event_type""")))
 }

@@ -86,7 +86,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q44_scd2_merge", "q45_funnel_stages", "p7_zorder_key",
     "q46_exact_percentiles", "t19_bigram_lm_perplexity",
     "d16_contamination_score", "t20_zipf_slope", "t21_chi2_source_lang",
-    "p8_temperature_mix", "q47_running_distinct_types")
+    "p8_temperature_mix", "q47_running_distinct_types",
+    "q48_nation_trade_flows", "p9_partition_pruned_read")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
