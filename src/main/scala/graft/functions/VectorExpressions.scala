@@ -135,5 +135,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_nfc"),
       NfcNormalize.info, NfcNormalize.builder))
     ext.injectPlannerStrategy(_ => new graft.plans.GroupTopKStrategy)
+    // inert until graft.topk.rewrite=true (see GroupTopKRewrite scaladoc)
+    ext.injectOptimizerRule(s => graft.plans.GroupTopKRewrite(s))
   }
 }

@@ -1383,6 +1383,60 @@ object Relational {
         GROUP BY 1, 2, 3
         ORDER BY supp_nation, cust_nation, l_year""")),
 
+    // ---------------------------------------------------------------- q49
+    // The DECLARATIVE window top-k idiom rewritten by the opt-in
+    // optimizer rule (graft.plans.GroupTopKRewrite, conf
+    // graft.topk.rewrite): the user writes the textbook
+    // row_number-over-window + filter + drop, and the rule swaps in the
+    // bounded-heap GroupTopK operator — q41's explicit-API twin, proving
+    // the Rule[LogicalPlan] path end-to-end under the same oracle. The
+    // computation executes INSIDE the flag scope (eager localCheckpoint,
+    // the Materialize convention), so downstream re-plans by
+    // Verify/Bench scan the checkpointed result instead of silently
+    // re-planning the window form after the flag is restored; the flag
+    // never leaks to other queries (q5's per-customer shape must stay
+    // on its window plan — the measured crossover in GroupTopK's
+    // scaladoc). GroupTopKRewriteSpec pins both plans (flag on →
+    // GroupTopKExec, flag off → WindowExec) and their equality.
+    QuerySpec(
+      "q49_window_topk_rewrite",
+      (s, dir) => {
+        import s.implicits._
+        graft.plans.GroupTopK.ensureRewrite(s)
+        val orders = Tables(s, dir, "orders")
+          .select($"o_orderpriority".as("prio"),
+            month($"o_orderdate".cast("date")).cast("long").as("mon"),
+            $"o_orderkey", $"o_totalprice")
+        val w = Window.partitionBy($"prio", $"mon")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        val prev = s.conf.getOption("graft.topk.rewrite")
+        s.conf.set("graft.topk.rewrite", "true")
+        try {
+          val out = orders
+            .withColumn("rn", row_number().over(w))
+            .filter($"rn" <= 3).drop("rn")
+          val eager = s.conf.getOption("graft.eagerRelease").forall(_.toBoolean)
+          val pinned =
+            if (eager) out.localCheckpoint(true)
+            else { out.queryExecution.executedPlan; out }
+          pinned.orderBy($"prio", $"mon", $"o_totalprice".desc, $"o_orderkey")
+        } finally prev match {
+          case Some(v) => s.conf.set("graft.topk.rewrite", v)
+          case None    => s.conf.unset("graft.topk.rewrite")
+        }
+      },
+      Some("""
+        SELECT prio, mon, o_orderkey, o_totalprice
+        FROM (SELECT o_orderpriority AS prio,
+                     CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+                     o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderpriority,
+                         month(CAST(o_orderdate AS DATE))
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+        WHERE rn <= 3
+        ORDER BY prio, mon, o_totalprice DESC, o_orderkey""")),
+
     variantSpec
   )
 

@@ -19,13 +19,14 @@ import org.apache.spark.sql.graft.Bridge
   * can't express the efficient plan (SURVEY §7.5 preference order (c)).
   *
   * What Spark plans for the declarative form
-  * (`row_number().over(Window.partitionBy(g).orderBy(o)) <= k`):
-  * exchange on g, then WindowExec — a FULL SORT of every partition's
-  * rows on (g, o) just to keep k of each group, with the filter applied
-  * AFTER the sort. At 100 TB the sort dominates: O(n log n) comparisons
-  * and the whole input spills through the sorter's memory budget. (Spark
-  * has no per-group analog of TakeOrderedAndProject, which q17 pins for
-  * the global case.)
+  * (`row_number().over(Window.partitionBy(g).orderBy(o)) <= k`), as of
+  * 3.5+: InferWindowGroupLimit inserts WindowGroupLimit(Partial) below
+  * the map-side, so the SHUFFLE is already cut to ≤ groups×k rows per
+  * partition — but each WindowGroupLimit phase still FULLY SORTS its
+  * input on (g, o) before truncating (sort-then-take, O(n log n)
+  * comparisons with the whole input through the sorter's memory
+  * budget), and WindowExec still runs above the final phase to compute
+  * the rn the filter consumes.
   *
   * This operator keeps a BOUNDED HEAP of k rows per group and never
   * sorts the input: O(n log k) comparisons, memory O(groups × k) rows
@@ -171,6 +172,77 @@ case class GroupTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
   * set. Prune/filter BEFORE calling: the logical node is opaque to
   * ColumnPruning, so upstream narrowing is the caller's contract (every
   * queries() use sites selects its columns first). */
+/** OPT-IN optimizer rule (`graft.topk.rewrite=true`): rewrites the
+  * declarative per-group top-k idiom —
+  * `Project(Filter(row_number <= k, Window(row_number over (g, o))))`
+  * where the filtered row-number column is projected away — into
+  * [[GroupTopKPlan]], so a user who writes the textbook window form gets
+  * the bounded-heap two-phase operator without knowing it exists. This
+  * is the missing half of the custom-operator story: q41 exercises the
+  * EXPLICIT API; this rule turns the idiom Spark users actually write
+  * into the same plan.
+  *
+  * Deliberately conf-gated OFF by default: the crossover measured at
+  * sf10 (GroupTopK scaladoc above) shows the rewrite LOSES on
+  * high-cardinality tiny groups (per-customer ~10 rows: 6.4 s vs the
+  * window's 3.3 s), and group cardinality is unknowable from the logical
+  * plan without stats — exactly the class of rewrite that must be an
+  * explicit knob, not a default (Spark's own topKSortFallbackThreshold
+  * is the same spirit for the global case). With the flag on, the
+  * rewrite fires only on the exact shape whose semantics it preserves:
+  * one row_number window expression (ties are already nondeterministic
+  * in the window form unless the order is total — the suite convention
+  * is a unique tiebreaker, under which the row SET is identical), a
+  * plain `rn <= k` / `rn < k` / `rn = 1` filter, and no downstream
+  * reference to rn.
+  */
+case class GroupTopKRewrite(spark: org.apache.spark.sql.SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, CurrentRow,
+    EqualTo, IntegerLiteral, LessThan, LessThanOrEqual, RowFrame, RowNumber,
+    SpecifiedWindowFrame, UnboundedPreceding, WindowExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window,
+    WindowGroupLimit}
+
+  private def kOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.exprId == rn.exprId => Some(k)
+    case LessThan(a: Attribute, IntegerLiteral(k)) if a.exprId == rn.exprId => Some(k - 1)
+    case EqualTo(a: Attribute, IntegerLiteral(1)) if a.exprId == rn.exprId => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!spark.conf.get("graft.topk.rewrite", "false").toBoolean) plan
+    else plan.transformUp {
+      case p @ Project(projList, Filter(cond, w: Window))
+          if w.windowExpressions.size == 1 && w.orderSpec.nonEmpty =>
+        w.windowExpressions.head match {
+          case al @ Alias(WindowExpression(_: RowNumber,
+              spec) , _) if spec.frameSpecification ==
+                SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) =>
+            val rn = al.toAttribute
+            kOf(cond, rn) match {
+              case Some(k) if k > 0 &&
+                  !projList.exists(_.references.contains(rn)) =>
+                // Spark's own InferWindowGroupLimit (an earlier optimizer
+                // batch) will already have planted a WindowGroupLimit
+                // below the Window — the built-in SORT-based per-group
+                // rank limit. Strip it: GroupTopK subsumes it (heap
+                // O(n log k) vs sort O(n log n)); leaving it would run
+                // both, with the sort dominating.
+                val base = w.child match {
+                  case wgl: WindowGroupLimit => wgl.child
+                  case c => c
+                }
+                Project(projList,
+                  GroupTopKPlan(w.partitionSpec, w.orderSpec, k, base))
+              case _ => p
+            }
+          case _ => p
+        }
+    }
+}
+
 object GroupTopK {
   private val lock = new Object
 
@@ -184,6 +256,19 @@ object GroupTopK {
       val em = Bridge.experimental(spark)
       if (!em.extraStrategies.exists(_.isInstanceOf[GroupTopKStrategy]))
         em.extraStrategies = em.extraStrategies :+ new GroupTopKStrategy
+    }
+
+  /** Idempotently register [[GroupTopKRewrite]] (plus the strategy it
+    * plans through) on a running session — the runtime analog of
+    * GraftExtensions' injectOptimizerRule for sessions built without
+    * extensions. The rule itself stays inert until
+    * `graft.topk.rewrite=true`, so registration is always safe. */
+  def ensureRewrite(spark: org.apache.spark.sql.SparkSession): Unit =
+    lock.synchronized {
+      ensureStrategy(spark)
+      val em = Bridge.experimental(spark)
+      if (!em.extraOptimizations.exists(_.isInstanceOf[GroupTopKRewrite]))
+        em.extraOptimizations = em.extraOptimizations :+ GroupTopKRewrite(spark)
     }
 
   def topK(df: DataFrame, groupCols: Seq[String],

@@ -87,7 +87,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q46_exact_percentiles", "t19_bigram_lm_perplexity",
     "d16_contamination_score", "t20_zipf_slope", "t21_chi2_source_lang",
     "p8_temperature_mix", "q47_running_distinct_types",
-    "q48_nation_trade_flows", "p9_partition_pruned_read")
+    "q48_nation_trade_flows", "p9_partition_pruned_read",
+    "q49_window_topk_rewrite")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
