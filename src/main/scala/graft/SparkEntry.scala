@@ -20,6 +20,7 @@ object SparkEntry {
       operators.KernelQueries.specs ++
       operators.Mixing.specs ++
       operators.Sketches.specs ++
+      operators.Graph.specs ++
       streaming.StreamQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** PageRank invariants the value oracle can't express:
+  * mass conservation (no dangling nodes ⇒ Σscore = 1 every round),
+  * closed-form fixpoints on synthetic graphs, and the bipartite
+  * concentration property on the fixture graph. */
+class GraphSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("symmetric two-node graph lands on the uniform fixpoint") {
+    val edges = Seq(
+      (1L, "a", 2L, "a"),
+      (2L, "a", 1L, "a"))
+      .toDF("src", "src_t", "dst", "dst_t")
+    val ranks = Graph.pageRank(spark, edges).collect()
+    assert(ranks.length == 2)
+    ranks.foreach(r => assert(math.abs(r.getDouble(2) - 0.5) < 1e-12,
+      s"symmetric pair must stay at 0.5, got ${r.getDouble(2)}"))
+  }
+
+  test("star graph concentrates mass at the hub") {
+    // hub 0 <-> leaves 1..8, mirrored
+    val pairs = (1L to 8L).flatMap(l =>
+      Seq((0L, "a", l, "a"), (l, "a", 0L, "a")))
+    val ranks = Graph.pageRank(spark, pairs.toDF("src", "src_t", "dst", "dst_t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val hub = ranks(0L)
+    (1L to 8L).foreach(l => assert(hub > ranks(l) * 3,
+      s"hub $hub should dominate leaf ${ranks(l)}"))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9, "mass not conserved")
+  }
+
+  test("fixture graph conserves mass and suppliers out-rank customers") {
+    val g1 = graft.SparkEntry.queries("g1_pagerank_trade_graph")(spark, sfDir)
+      .collect()
+    assert(g1.length == 50)
+    // the bipartite fixture has ~15x more customers than suppliers, so
+    // supplier-side mass per node is higher: the top of the table is
+    // supplier-typed
+    assert(g1.take(10).forall(_.getString(0) == "s"),
+      "top-10 central nodes should all be suppliers")
+    assert(g1.forall(_.getDouble(2) > 0.0))
+    // monotone non-increasing by construction of the orderBy
+    val scores = g1.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+}
