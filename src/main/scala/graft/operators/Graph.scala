@@ -76,39 +76,71 @@ object Graph {
     * conserved at 1). Returns the full unrounded `(id, t, score)` frame
     * after [[Rounds]] iterations.
     *
-    * Stationary-edges / mobile-ranks: the edge list checkpoints ONCE
-    * and is never reshuffled; each round BROADCASTS the node-sized rank
-    * frame (which carries its out-degree, so the round is one broadcast
-    * join + one dst aggregate + one broadcast update join — a first
-    * cut that shuffle-joined ranks into edges per round measured 8.2 s
-    * at sf0.1 against this shape's 5.6 s). Broadcasting
-    * ranks is right while the NODE set fits an executor (tens of
-    * millions); past that, pre-partition edges and ranks on the same
-    * keys and let the joins run co-partitioned — the edges-stationary
-    * property is what matters at 100 TB, not the join strategy. */
+    * Stationary-edges / mobile-ranks: the edge list hash-partitions on
+    * its source key and checkpoints ONCE; each round is one join of the
+    * node-sized rank frame (which carries its out-degree) into the
+    * edges, one dst aggregate, one update join. The rank-side join
+    * strategy is THRESHOLD-GATED on the measured node count
+    * (`graft.pagerank.broadcastNodes`, default 1M): below it, ranks
+    * broadcast and the only shuffle per round is the dst aggregate (a
+    * first cut that shuffle-joined ranks every round measured 8.2 s at
+    * sf0.1 against this shape's 5.6 s); above it, the joins run against
+    * the PRESERVED edge partitioning with only the node-sized frames
+    * moving — the sf10 measurement forced this split: broadcasting the
+    * 1.6M-node rank frame exhausted execution memory
+    * (UNABLE_TO_ACQUIRE_MEMORY in the dst aggregate) while the
+    * partitioned path completes. The edges-stationary property is what
+    * matters at 100 TB; the gate picks the join strategy the same way a
+    * stats-aware planner would. */
   private[operators] def pageRank(
       s: org.apache.spark.sql.SparkSession,
       edgeList: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    // one checkpoint, no pre-partitioning: every per-round join is a
-    // broadcast (no co-partitioning requirement), so the only shuffle
-    // is the dst aggregate, and AQE right-sizes that from runtime stats
-    val edges = edgeList.localCheckpoint(true)
-    val outdeg = edges.groupBy($"src", $"src_t")
+    // COLUMNAR persist, not a deserialized localCheckpoint: the
+    // stationary edge list is the one corpus-scale artifact here, and a
+    // checkpoint's deserialized row blocks pinned enough of the storage
+    // pool at sf10 (8 GB heap, ~100M mirrored edges) to starve the
+    // per-round sort/aggregate of execution memory
+    // (UNABLE_TO_ACQUIRE_MEMORY). The SQL columnar cache is compressed
+    // (several times smaller), memory-resident while it fits, and
+    // overflows/evicts to disk under pressure at scale. Unpersisted
+    // before return (the final ranks checkpoint does not depend on
+    // it), so nothing outlives the query (CacheHygieneSpec).
+    val raw = edgeList
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val outdeg = raw.groupBy($"src", $"src_t")
       .agg(count(lit(1)).as("deg"))
       .select($"src".as("id"), $"src_t".as("t"), $"deg")
       .localCheckpoint(true)
     val n = outdeg.count()
+    val bcastLimit =
+      s.conf.getOption("graft.pagerank.broadcastNodes").map(_.toLong)
+        .getOrElse(1000000L)
+    def side(df: org.apache.spark.sql.DataFrame) =
+      if (n <= bcastLimit) broadcast(df) else df
+    // Large n additionally pays ONE extra pass to lay edges out by
+    // source key, so all five rank joins reuse that partitioning
+    // instead of reshuffling the corpus-scale side per round; small n
+    // needs no layout at all (every join broadcasts).
+    val edges =
+      if (n <= bcastLimit) raw
+      else {
+        val e = raw.repartition($"src", $"src_t")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        e.count()
+        raw.unpersist(false)
+        e
+      }
     var ranks = outdeg.withColumn("score", lit(1.0 / n))
     for (_ <- 1 to Rounds) {
       val contrib = edges
-        .join(broadcast(ranks),
+        .join(side(ranks),
           edges("src") === ranks("id") && edges("src_t") === ranks("t"))
         .groupBy($"dst", $"dst_t")
         .agg(sum($"score" / $"deg").as("mass"))
       ranks = outdeg
-        .join(broadcast(contrib),
+        .join(side(contrib),
           outdeg("id") === contrib("dst") && outdeg("t") === contrib("dst_t"),
           "left")
         .select($"id", $"t", $"deg",
@@ -116,6 +148,7 @@ object Graph {
             lit(Damping) * coalesce($"mass", lit(0.0))).as("score"))
         .localCheckpoint(true)
     }
+    edges.unpersist(false)
     ranks.select($"id", $"t", $"score")
   }
 

@@ -440,5 +440,37 @@ object StreamQueries {
       Some("""
         SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
         FROM events GROUP BY user_id, event_type
-        ORDER BY user_id, event_type""")))
+        ORDER BY user_id, event_type""")),
+
+    // ----------------------------------------------------------------- st7
+    // SLIDING windows under the finalization oracle ([[EventStreams
+    // .slidingRollup]], 1 h window / 15 min slide — the "last hour,
+    // refreshed every 15 minutes" dashboard shape): each event lands in
+    // exactly four overlapping windows, and append mode emits a window
+    // iff its END clears the final watermark. The oracle replays BOTH
+    // rules — the 4-window replication (15-minute bucket minus 0..3
+    // slides; Spark's window() and DuckDB's time_bucket both align
+    // sub-hour buckets on :00/:15/:30/:45, so the window sets coincide)
+    // and the eviction cut. Values aggregate as DECIMAL(18,4) before the
+    // windowed sum (the st1 convention), so micro-batch slicing cannot
+    // perturb the doubles.
+    QuerySpec(
+      "st7_sliding_rollup_stream",
+      (s, dir) => runCatchUp(s, dir, ev => EventStreams.slidingRollup(
+          ev.withColumn("value", col("value").cast("decimal(18,4)"))))
+        .select(col("win_start"), col("event_type"),
+          col("n"), col("sum_value").cast("double").as("sum_value"))
+        .orderBy(col("win_start"), col("event_type")),
+      Some("""
+        WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events),
+        e AS (
+          SELECT time_bucket(INTERVAL '15 minutes', ts)
+                   - i * INTERVAL '15 minutes' AS win_start,
+                 event_type, value
+          FROM events, UNNEST(generate_series(0, 3)) AS t(i))
+        SELECT win_start, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM e, wm
+        WHERE win_start + INTERVAL 1 HOUR <= wm.w
+        GROUP BY 1, 2 ORDER BY win_start, event_type""")))
 }

@@ -25,8 +25,9 @@ class CacheHygieneSpec extends SparkTestBase {
     "d12_minhash_incremental", "d7_dedup_clusters", "p5_sequence_packing",
     "d14_duplicate_spans", "d15_span_scrub", "e2_dedup_pipeline",
     // r8 additions: d16 (gram frame), t21 (contingency cells), p8
-    // (source histogram)
-    "d16_contamination_score", "t21_chi2_source_lang", "p8_temperature_mix")
+    // (source histogram), g1 (columnar edge cache)
+    "d16_contamination_score", "t21_chi2_source_lang", "p8_temperature_mix",
+    "g1_pagerank_trade_graph")
 
   test("cache manager is empty after running every persisting query") {
     PersistingQueries.foreach { name =>
