@@ -620,7 +620,112 @@ object Mixing {
         SELECT source, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents WHERE lang = 'en'
-        GROUP BY source ORDER BY source"""))
+        GROUP BY source ORDER BY source""")),
+
+    // ----------------------------------------------------------------- e3
+    // The round-8 capstone composition — the full curation chain a
+    // pretraining run actually executes, as ONE query with ONE exact
+    // oracle: exact dedup (d1's sha2 keepers) → decontamination (d6's
+    // broadcast eval-gram semi join, drop any train doc sharing an
+    // 8-gram with the eval slice) → temperature-scaled source quotas
+    // over the SURVIVORS (p8's α=½ weights, 150-doc budget) →
+    // deterministic md5 pick → per-source rollup with token counts.
+    // Every stage reuses the proven single-op plan shape (the corpus is
+    // scanned once for hashing, once for grams; everything downstream
+    // joins node/cardinality-sized frames, with the gram frame persisted
+    // and released). The oracle replays the entire chain in one CTE
+    // pipeline — results are exact BIGINTs except the sqrt-quota
+    // boundary, which is the same measured-safe arithmetic as p8.
+    QuerySpec(
+      "e3_curation_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val keepers = docs
+          .groupBy(sha2($"text", 256).as("h"))
+          .agg(min($"doc_id").as("doc_id"))
+          .select($"doc_id")
+        val grams = Shingles.pairsN(s, docs, 8)
+          .select($"doc_id", xxhash64($"shingle").as("shingle"))
+          .persist()
+        val evalGrams = grams.filter($"doc_id" % 7 === 0)
+          .select($"shingle").distinct()
+        val contaminated = grams.filter($"doc_id" % 7 =!= 0)
+          .join(broadcast(evalGrams), Seq("shingle"), "left_semi")
+          .select($"doc_id").distinct()
+        val clean = docs
+          .join(keepers, Seq("doc_id"), "left_semi")
+          .filter($"doc_id" % 7 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"source", $"text")
+        val counts = clean.groupBy($"source").agg(count(lit(1)).as("n_clean"))
+        val tot = counts.agg(sum(sqrt($"n_clean")).as("z"))
+        val quotas = counts.crossJoin(broadcast(tot))
+          .select($"source", $"n_clean",
+            round(sqrt($"n_clean") / $"z" * 150, 0).cast("long").as("quota"))
+        val picked = clean
+          .withColumn("pick_rank", row_number().over(
+            Window.partitionBy($"source")
+              .orderBy(md5(concat($"doc_id".cast("string"), lit(":e3"))))))
+          .join(broadcast(quotas), Seq("source"))
+          .filter($"pick_rank" <= $"quota")
+        val out = picked.groupBy($"source")
+          .agg(
+            first($"n_clean").as("n_clean"),
+            first($"quota").as("quota"),
+            count(lit(1)).as("n_picked"),
+            sum(size(split(trim($"text"), "\\s+")).cast("long"))
+              .as("picked_tokens"))
+          .orderBy($"source")
+        graft.Materialize.thenRelease(out, grams)
+      },
+      Some(raw"""
+        WITH keepers AS (
+          SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+        t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, greatest(len(tk) - 7, 0)),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+                          tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS shingle
+            FROM t)),
+        ev AS (SELECT DISTINCT shingle FROM g WHERE doc_id % 7 = 0),
+        contaminated AS (
+          SELECT DISTINCT doc_id FROM g
+          WHERE doc_id % 7 <> 0 AND shingle IN (SELECT shingle FROM ev)),
+        clean AS (
+          SELECT d.doc_id, d.source, d.text FROM documents d
+          WHERE d.doc_id IN (SELECT doc_id FROM keepers)
+            AND d.doc_id % 7 <> 0
+            AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        counts AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clean
+          FROM clean GROUP BY source),
+        tot AS (SELECT SUM(sqrt(n_clean)) AS z FROM counts),
+        quotas AS (
+          SELECT source, n_clean,
+                 CAST(ROUND(sqrt(n_clean) / (SELECT z FROM tot) * 150, 0) AS BIGINT) AS quota
+          FROM counts),
+        ranked AS (
+          SELECT doc_id, source, text,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':e3')) AS pick_rank
+          FROM clean),
+        picked AS (
+          SELECT r.source, q.n_clean, q.quota, r.text
+          FROM ranked r JOIN quotas q USING (source)
+          WHERE r.pick_rank <= q.quota)
+        SELECT source,
+               CAST(MIN(n_clean) AS BIGINT) AS n_clean,
+               CAST(MIN(quota) AS BIGINT) AS quota,
+               CAST(COUNT(*) AS BIGINT) AS n_picked,
+               CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+                 AS picked_tokens
+        FROM picked GROUP BY source ORDER BY source"""))
   )
 
   /** Write-once lang-partitioned copy of the documents table (the

@@ -27,7 +27,7 @@ class CacheHygieneSpec extends SparkTestBase {
     // r8 additions: d16 (gram frame), t21 (contingency cells), p8
     // (source histogram), g1 (columnar edge cache)
     "d16_contamination_score", "t21_chi2_source_lang", "p8_temperature_mix",
-    "g1_pagerank_trade_graph")
+    "g1_pagerank_trade_graph", "e3_curation_pipeline")
 
   test("cache manager is empty after running every persisting query") {
     PersistingQueries.foreach { name =>

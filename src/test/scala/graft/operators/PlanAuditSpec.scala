@@ -55,9 +55,9 @@ class PlanAuditSpec extends SparkTestBase {
     // (plus the 1-row total) to build the full contingency grid —
     // O(sources·langs) by construction
     "t21_chi2_source_lang",
-    // p8 crosses the 1-ROW sqrt-mass total onto the cardinality-sized
+    // p8/e3 cross the 1-ROW sqrt-mass total onto the cardinality-sized
     // source histogram — same shape as t16's scalar cross
-    "p8_temperature_mix")
+    "p8_temperature_mix", "e3_curation_pipeline")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -88,7 +88,7 @@ class PlanAuditSpec extends SparkTestBase {
     "d16_contamination_score", "t20_zipf_slope", "t21_chi2_source_lang",
     "p8_temperature_mix", "q47_running_distinct_types",
     "q48_nation_trade_flows", "p9_partition_pruned_read",
-    "q49_window_topk_rewrite")
+    "q49_window_topk_rewrite", "e3_curation_pipeline")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
