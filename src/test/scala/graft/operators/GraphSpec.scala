@@ -35,6 +35,26 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(ranks.values.sum - 1.0) < 1e-9, "mass not conserved")
   }
 
+  test("the partitioned large-n path emits exactly the broadcast path's scores") {
+    // force the shuffle-join/columnar-layout path (the sf10 shape) on
+    // the small fixture by dropping the broadcast threshold to 1, and
+    // pin it row-identical to the default broadcast path — the gate
+    // must change the PLAN, never the numbers
+    val prev = spark.conf.getOption("graft.pagerank.broadcastNodes")
+    val viaBroadcast = graft.SparkEntry
+      .queries("g1_pagerank_trade_graph")(spark, sfDir).collect().map(_.toSeq)
+    spark.conf.set("graft.pagerank.broadcastNodes", "1")
+    try {
+      val viaShuffle = graft.SparkEntry
+        .queries("g1_pagerank_trade_graph")(spark, sfDir).collect().map(_.toSeq)
+      assert(viaShuffle.sameElements(viaBroadcast),
+        "join-strategy gate changed the result")
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.pagerank.broadcastNodes", v)
+      case None    => spark.conf.unset("graft.pagerank.broadcastNodes")
+    }
+  }
+
   test("fixture graph conserves mass and suppliers out-rank customers") {
     val g1 = graft.SparkEntry.queries("g1_pagerank_trade_graph")(spark, sfDir)
       .collect()

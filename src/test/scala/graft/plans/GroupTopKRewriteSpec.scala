@@ -85,6 +85,23 @@ class GroupTopKRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("rank() is left on its window plan — only row_number rewrites") {
+    // rank() <= k can emit MORE than k rows on ties; the operator's
+    // bounded heap cannot express that, so the rule must not touch it
+    withFlag(true) {
+      val orders = graft.Tables(spark, sfDir, "orders")
+        .select($"o_orderpriority".as("prio"), $"o_orderkey", $"o_totalprice")
+      val w = Window.partitionBy($"prio")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      val df = orders.withColumn("rn", rank().over(w))
+        .filter($"rn" <= 3).drop("rn")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("GroupTopK"),
+        s"rewrite fired on rank():\n${plan.take(800)}")
+      assert(plan.contains("Window"))
+    }
+  }
+
   test("rn = 1 (top-1 idiom) rewrites with k = 1") {
     withFlag(true) {
       val orders = graft.Tables(spark, sfDir, "orders")
