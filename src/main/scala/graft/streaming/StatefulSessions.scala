@@ -30,13 +30,26 @@ object StatefulSessions {
 
   /** Per-key state (not private: the state encoder's codegen needs
     * public accessors). */
-  final case class Open(startMs: Long, lastMs: Long, n: Long)
+  final case class Open(startUs: Long, lastUs: Long, n: Long)
+
+  /** Timestamp ↔ microseconds, preserving the full µs precision the
+    * fixtures carry — `Timestamp.getTime` alone is millisecond-truncated
+    * and silently shifted every emitted boundary until the st8 oracle
+    * caught it. */
+  private def toMicros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
 
   def statefulSessionize(spark: SparkSession, events: DataFrame,
                          gapMinutes: Int = 30,
                          watermark: String = "2 hours"): Dataset[SessionOut] = {
     import spark.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMinutes * 60L * 1000000L
 
     events
       .withWatermark("ts", watermark)
@@ -50,28 +63,30 @@ object StatefulSessions {
             val s = state.get
             state.remove()
             Iterator.single(SessionOut(user,
-              new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n))
+              toTs(s.startUs), toTs(s.lastUs), s.n))
           } else {
-            val times = rows.map(_._2.getTime).toArray.sorted
+            val times = rows.map(r => toMicros(r._2)).toArray.sorted
             val closed = ArrayBuffer[SessionOut]()
             var open = state.getOption
             times.foreach { t =>
               open = open match {
-                case Some(s) if t >= s.startMs - gapMs && t <= s.lastMs + gapMs =>
-                  Some(Open(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
-                case Some(s) if t > s.lastMs + gapMs =>
+                case Some(s) if t >= s.startUs - gapUs && t <= s.lastUs + gapUs =>
+                  Some(Open(math.min(s.startUs, t), math.max(s.lastUs, t), s.n + 1))
+                case Some(s) if t > s.lastUs + gapUs =>
                   closed += SessionOut(user,
-                    new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
+                    toTs(s.startUs), toTs(s.lastUs), s.n)
                   Some(Open(t, t, 1))
                 case Some(s) => // late event earlier than start-gap: own session
-                  closed += SessionOut(user, new Timestamp(t), new Timestamp(t), 1)
+                  closed += SessionOut(user, toTs(t), toTs(t), 1)
                   Some(s)
                 case None => Some(Open(t, t, 1))
               }
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
+              // timer API is millisecond-granular: round the expiry UP so
+              // it never fires before last + gap has fully passed
+              state.setTimeoutTimestamp((s.lastUs + gapUs + 999) / 1000)
             }
             closed.iterator
           }

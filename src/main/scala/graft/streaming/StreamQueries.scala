@@ -472,5 +472,51 @@ object StreamQueries {
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM e, wm
         WHERE win_start + INTERVAL 1 HOUR <= wm.w
-        GROUP BY 1, 2 ORDER BY win_start, event_type""")))
+        GROUP BY 1, 2 ORDER BY win_start, event_type""")),
+
+    // ----------------------------------------------------------------- st8
+    // flatMapGroupsWithState sessionization under the oracle
+    // ([[StatefulSessions.statefulSessionize]] — the hand-rolled
+    // arbitrary-state twin of st3's built-in session_window, previously
+    // spec-only). Its emission contract is batching-independent by
+    // construction, which is what makes an oracle possible: a session
+    // CLOSED by a later event (> gap after it) emits regardless of the
+    // watermark — whether closer and closee share a micro-batch or not,
+    // the same row comes out — while each user's final open session
+    // emits only when the event-time timeout fires, i.e. when the final
+    // watermark passes STRICTLY beyond last_ts + gap
+    // (FlatMapGroupsWithStateExec times out on timestamp < watermark).
+    // The oracle rebuilds the islands (STRICT > gap split — the
+    // merge-on-equal boundary this sessionizer shares with batch q19,
+    // vs session_window's half-open split) and applies exactly that
+    // rule: every non-final session, plus final sessions with
+    // end + gap < wm. Unlike st3, session_end here is the LAST EVENT's
+    // timestamp, not last + gap.
+    QuerySpec(
+      "st8_stateful_sessions_stream",
+      (s, dir) => runCatchUp(s, dir, ev =>
+          StatefulSessions.statefulSessionize(s, ev).toDF())
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""
+        WITH f AS (
+          SELECT user_id, ts,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        g AS (
+          SELECT user_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS grp
+          FROM f),
+        sess AS (
+          SELECT user_id, grp, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM g GROUP BY user_id, grp),
+        lastg AS (SELECT user_id, MAX(grp) AS maxgrp FROM sess GROUP BY user_id),
+        wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events)
+        SELECT s.user_id, s.session_start, s.session_end, s.n_events
+        FROM sess s JOIN lastg l USING (user_id), wm
+        WHERE s.grp < l.maxgrp OR s.session_end + INTERVAL 30 MINUTE < wm.w
+        ORDER BY s.user_id, s.session_start""")))
 }

@@ -85,6 +85,32 @@ class GroupTopKRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("randomized tie-heavy frames: rewritten row set equals the window form (seeded)") {
+    // heavy ties + a unique tiebreaker: the suite's total-order
+    // convention, under which row_number's set is well-defined and the
+    // heap must reproduce it exactly — 5 seeded shapes × 3 k values
+    val rnd = new scala.util.Random(0x5eed8)
+    (1 to 5).foreach { _ =>
+      val nGroups = 1 + rnd.nextInt(6)
+      val rows = (0 until 200 + rnd.nextInt(300)).map { i =>
+        (rnd.nextInt(nGroups).toLong, rnd.nextInt(7).toDouble, i.toLong)
+      }
+      val df = rows.toDF("g", "v", "id")
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+      Seq(1, 3, 7).foreach { k =>
+        val build = () => df.withColumn("rn", row_number().over(w))
+          .filter($"rn" <= k).drop("rn")
+        val expected = withFlag(false) { build().collect().map(_.toSeq).toSet }
+        val got = withFlag(true) {
+          val d = build()
+          assert(d.queryExecution.executedPlan.toString.contains("GroupTopK"))
+          d.collect().map(_.toSeq).toSet
+        }
+        assert(got == expected, s"mismatch at k=$k over $nGroups groups")
+      }
+    }
+  }
+
   test("rank() is left on its window plan — only row_number rewrites") {
     // rank() <= k can emit MORE than k rows on ties; the operator's
     // bounded heap cannot express that, so the rule must not touch it
