@@ -65,8 +65,113 @@ object Graph {
           .orderBy($"score".desc, $"node_type", $"node_id")
           .limit(50)
       },
-      Some(PageRankOracle))
+      Some(PageRankOracle)),
+
+    // ----------------------------------------------------------------- g2
+    // Degree-oriented triangle counting over the weekly co-purchase
+    // graph: customers are connected when they bought the same part in
+    // the same ship week (the bounded-fan-out projection — customers per
+    // (part, week) is a scale-constant, so edge generation is an
+    // equi-key join that never goes quadratic; the unwindowed co-part
+    // graph is near-complete already at sf0.001 and would be a dense-
+    // graph landmine). Triangles are the community-structure primitive
+    // (clustering coefficient, cohesion scoring); the output is each
+    // customer's triangle participation count.
+    //
+    // The Spark plan is the MapReduce-classic orientation scheme: orient
+    // every undirected edge from its lower-(degree, id) endpoint to the
+    // higher, so each wedge {v—u—w} is generated exactly once at its
+    // lowest-order apex and out-degrees are bounded by O(sqrt(m)) —
+    // the wedge self-join's fan-out cap and the reason this shape
+    // survives power-law graphs at 100 TB where a naive shared-neighbor
+    // join explodes on hubs. One wedge join + one closing semi-ish join,
+    // all equi-key shuffles; the DuckDB oracle needs no orientation
+    // (a<b<c enumeration lands on the identical triangle set).
+    QuerySpec(
+      "g2_triangle_copurchase",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_partkey", $"l_shipdate")
+        val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        val cp = li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("c"), $"l_partkey".as("p"),
+            date_trunc("week", $"l_shipdate").as("w"))
+          .distinct()
+        val edges = cp.select($"c".as("x"), $"p", $"w")
+          .join(cp.select($"c".as("y"), $"p", $"w"), Seq("p", "w"))
+          .filter($"x" < $"y")
+          .select($"x", $"y")
+          .distinct()
+        triangleCounts(s, edges)
+          .select($"node".as("custkey"), $"triangles")
+          .orderBy($"triangles".desc, $"custkey")
+      },
+      Some(raw"""
+        WITH cp AS (
+          SELECT DISTINCT o_custkey AS c, l_partkey AS p,
+                 date_trunc('week', l_shipdate) AS w
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        e AS (
+          SELECT DISTINCT a.c AS x, b.c AS y
+          FROM cp a JOIN cp b ON a.p = b.p AND a.w = b.w AND a.c < b.c),
+        tri AS (
+          SELECT e1.x AS a, e1.y AS b, e2.y AS c
+          FROM e e1
+          JOIN e e2 ON e2.x = e1.y
+          JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        nodes AS (
+          SELECT a AS custkey FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        SELECT custkey, CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM nodes GROUP BY custkey
+        ORDER BY triangles DESC, custkey"""))
   )
+
+  /** Per-node triangle participation counts for an undirected simple
+    * graph given as a distinct edge list `(x, y)` with `x < y` (callers
+    * guarantee dedup + canonical order; nodes in no triangle are absent
+    * from the output — the caller decides whether zero rows matter).
+    *
+    * Orientation: each edge points from its lower-(deg, id) endpoint to
+    * the higher. Every triangle {a,b,c} then appears EXACTLY once — as
+    * the wedge at its minimum-order vertex closed by the oriented edge
+    * between the other two — so no post-hoc dedup or /3 correction is
+    * needed, and the wedge join's per-key fan-out is the oriented
+    * out-degree, O(sqrt(m)) even on hub nodes. Degrees are node-sized
+    * (left un-hinted: AQE broadcasts while they fit, degrades to a
+    * shuffle join beyond); the wedge and closing joins are equi-key
+    * shuffles on node pairs. */
+  private[operators] def triangleCounts(
+      s: org.apache.spark.sql.SparkSession,
+      edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val deg = edges.select($"x".as("n")).union(edges.select($"y".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select($"n".as("x"), $"deg".as("dx")), "x")
+      .join(deg.select($"n".as("y"), $"deg".as("dy")), "y")
+    val xFirst = $"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y")
+    val oriented = withDeg.select(
+      when(xFirst, $"x").otherwise($"y").as("src"),
+      when(xFirst, $"y").otherwise($"x").as("dst"),
+      when(xFirst, $"dy").otherwise($"dx").as("ddst"))
+    // wedges at apex u: pairs of out-neighbours (v, w) with v before w
+    // in the SAME (deg, id) total order the orientation used, so the
+    // candidate (v, w) matches the oriented closing edge's direction
+    val o1 = oriented.select($"src", $"dst".as("v"), $"ddst".as("dv"))
+    val o2 = oriented.select($"src", $"dst".as("w"), $"ddst".as("dw"))
+    val wedges = o1.join(o2, "src")
+      .filter($"dv" < $"dw" || ($"dv" === $"dw" && $"v" < $"w"))
+      .select($"src".as("u"), $"v", $"w")
+    val closed = wedges.join(
+      oriented.select($"src".as("v"), $"dst".as("w")), Seq("v", "w"),
+      "left_semi")
+    closed.select(explode(array($"u", $"v", $"w")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("triangles"))
+  }
 
   /** The iteration, factored out so specs can drive it with synthetic
     * graphs (closed-form two-node and star cases). `edges` is a

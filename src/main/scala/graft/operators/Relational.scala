@@ -1437,6 +1437,148 @@ object Relational {
         WHERE rn <= 3
         ORDER BY prio, mon, o_totalprice DESC, o_orderkey""")),
 
+    // ---------------------------------------------------------------- q50
+    // Event-sequence pattern matching — the CEP / MATCH_RECOGNIZE shape
+    // (Flink CEP, Trino/Oracle MATCH_RECOGNIZE) expressed Spark-first:
+    // collapse each user's ordered event history into ONE ordered
+    // type-sequence string (array_sort over (ts, event_id, type) structs
+    // makes the order total and engine-identical), then evaluate the
+    // patterns as anchored regexes over that string — codegen'd rlike,
+    // no state machine, no per-row UDF. One user_id shuffle builds the
+    // sequence; everything after is map-side. Per-user state is the
+    // user's own history — the same O(events-per-user) bound
+    // sessionization (q19/st8) already carries, constant in corpus scale
+    // since users scale with events. The token alphabet (click, error,
+    // purchase, signup, view) is prefix-free, so plain substring regexes
+    // can't false-match across a comma boundary.
+    QuerySpec(
+      "q50_event_pattern_match",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .select($"user_id",
+            struct($"ts", $"event_id", $"event_type").as("e"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            array_sort(collect_list($"e")).as("es"))
+          .select($"user_id", $"n_events",
+            array_join(transform($"es", e => e("event_type")), ",").as("seq"))
+          .select($"user_id", $"n_events",
+            $"seq".rlike("view.*purchase").as("has_conversion"),
+            $"seq".rlike("error,error,error").as("has_error_burst"),
+            $"seq".rlike("signup,purchase").as("has_quick_buy"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH seqs AS (
+          SELECT user_id, COUNT(*) AS n_events,
+                 string_agg(event_type, ',' ORDER BY ts, event_id, event_type)
+                   AS seq
+          FROM events GROUP BY user_id)
+        SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+               regexp_matches(seq, 'view.*purchase') AS has_conversion,
+               regexp_matches(seq, 'error,error,error') AS has_error_burst,
+               regexp_matches(seq, 'signup,purchase') AS has_quick_buy
+        FROM seqs ORDER BY user_id""")),
+
+    // ---------------------------------------------------------------- q51
+    // Interval concurrency sweep — "how many sessions were live at once,
+    // per day": sessionize (q19's 30-min gap rule), unroll each session
+    // interval to a +1 delta at its start and a -1 at its end (+1 sorts
+    // before -1 at the same instant, so a session touching a timestamp
+    // counts as live there), and running-sum the deltas over GLOBAL time
+    // order. The running sum is the p5 two-phase distributed prefix sum
+    // — range-partition by the sort key, one imperative pass per
+    // partition for the intra-partition prefix, then partition-total
+    // offsets (≤ #partitions rows) broadcast back — NOT a
+    // Window.orderBy(), whose single global sort partition is exactly
+    // what dies first at 100 TB. Concurrency is sampled at delta
+    // instants (a day whose sessions all span it without an endpoint
+    // inside it reports no row), which keeps the measure well-defined
+    // and engine-identical. Per-day peak is deterministic even though
+    // same-instant delta ordering is not total: within a tie group all
+    // +1s precede all -1s and permuting equal deltas never changes the
+    // group's running peak.
+    QuerySpec(
+      "q51_session_concurrency",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "events")
+          .select($"user_id", $"event_id", date_trunc("second", $"ts").as("ts"))
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val cum = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sessions = e
+          .withColumn("prev_ts", lag($"ts", 1).over(w))
+          .withColumn("new_sess",
+            when($"prev_ts".isNull ||
+              unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L)
+              .otherwise(0L))
+          .withColumn("session_seq", sum($"new_sess").over(cum))
+          .groupBy($"user_id", $"session_seq")
+          .agg(unix_timestamp(min($"ts")).as("start_s"),
+            unix_timestamp(max($"ts")).as("end_s"))
+        val deltas = sessions.select($"start_s".as("at_s"), lit(1L).as("d"))
+          .unionAll(sessions.select($"end_s".as("at_s"), lit(-1L).as("d")))
+        // two-phase prefix sum over (at_s ASC, d DESC): phase 1 range-lays
+        // the deltas out in global order and accumulates within each
+        // partition (keeping d so phase 2 can rebuild partition totals);
+        // phase 2 is the exclusive cumsum of those totals — ≤ #partitions
+        // rows — broadcast back as offsets. Equal sort keys may straddle
+        // a range boundary; any arrangement consistent with the partial
+        // order yields the same per-day peak (see above).
+        val intra = deltas
+          .repartitionByRange($"at_s".asc, $"d".desc)
+          .sortWithinPartitions($"at_s".asc, $"d".desc)
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            var acc = 0L
+            it.map { case (at, d) => acc += d; (pid, at, d, acc) }
+          }
+          .toDF("pid", "at_s", "d", "running")
+          .persist()
+        val wPart = Window.orderBy($"pid")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = intra.groupBy($"pid")
+          .agg(sum($"d").as("ptotal"))
+          .withColumn("poffset", coalesce(sum($"ptotal").over(wPart), lit(0L)))
+          .select($"pid", $"poffset")
+        val out = intra.join(broadcast(offsets), "pid")
+          .groupBy(to_date(timestamp_seconds($"at_s")).as("day"))
+          .agg(max($"running" + $"poffset").as("peak_concurrency"))
+        graft.Materialize.thenRelease(out, intra).orderBy($"day")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts
+                   FROM events),
+        f AS (SELECT user_id, event_id, ts,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        g AS (SELECT user_id, ts,
+                     SUM(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+              FROM f),
+        sess AS (SELECT user_id, session_seq,
+                        CAST(epoch(MIN(ts)) AS BIGINT) AS start_s,
+                        CAST(epoch(MAX(ts)) AS BIGINT) AS end_s
+                 FROM g GROUP BY user_id, session_seq),
+        deltas AS (
+          SELECT start_s AS at_s, 1 AS d FROM sess
+          UNION ALL
+          SELECT end_s AS at_s, -1 AS d FROM sess),
+        run AS (
+          SELECT at_s, SUM(d) OVER (ORDER BY at_s, d DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+          FROM deltas)
+        SELECT CAST(make_timestamp(at_s * 1000000) AS DATE) AS day,
+               CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+        FROM run GROUP BY 1 ORDER BY day""")),
+
     variantSpec
   )
 

@@ -69,4 +69,49 @@ class GraphSpec extends SparkTestBase {
     val scores = g1.map(_.getDouble(2))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
+
+  // ------------------------------------------------------- g2 triangles
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(spark, edges.toDF("x", "y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("K4 gives every node three triangles") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val got = tri(k4)
+    assert(got == (1L to 4L).map(_ -> 3L).toMap)
+  }
+
+  test("a 4-cycle has no triangles and a pendant node never appears") {
+    // square 1-2-3-4 plus pendant 5 off node 1
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 5L))).isEmpty)
+    // add one diagonal: two triangles, shared edge endpoints get 2
+    val got = tri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 5L), (1L, 3L)))
+    assert(got == Map(1L -> 2L, 3L -> 2L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("orientation scheme matches naive enumeration on a pseudorandom graph") {
+    // deterministic 30-node graph: edge (a,b) iff hash lands under 0.25
+    val rnd = new scala.util.Random(42)
+    val edges = for {
+      a <- 1L to 30L; b <- (a + 1) to 30L if rnd.nextDouble() < 0.25
+    } yield (a, b)
+    val eset = edges.toSet
+    val naive = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      (a, b) <- edges; c <- (b + 1) to 30L
+      if eset.contains((a, c)) && eset.contains((b, c))
+    } Seq(a, b, c).foreach(n => naive(n) = naive.getOrElse(n, 0L) + 1L)
+    assert(tri(edges) == naive.toMap)
+  }
+
+  test("g2 fixture output is positive-count, node-distinct and ordered") {
+    val rows = graft.SparkEntry
+      .queries("g2_triangle_copurchase")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "fixture co-purchase graph should close triangles")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.forall(_.getLong(1) > 0))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
 }
