@@ -237,6 +237,37 @@ case class ThetaIntersectEstimate(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Point-count estimate of a serialized count-min sketch (the binary
+  * Spark's built-in `count_min_sketch` aggregate emits) for a string
+  * key. Probed with the key's UTF-8 BYTES — the exact representation
+  * the aggregate fed `addBinary`, so probe and build hash identically.
+  * Same cold-path CodegenFallback rationale as [[ThetaEstimate]]: this
+  * evaluates once per PROBE row (a handful of keys), never per input
+  * row. */
+case class CountMinEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_cms_estimate"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary count-min sketch, string key), got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def nullSafeEval(sk: Any, item: Any): Any = {
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sk.asInstanceOf[Array[Byte]]))
+    cms.estimateCount(item.asInstanceOf[UTF8String].getBytes)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API surface for the sketch aggregates. */
 object SketchFunctions {
 
@@ -258,4 +289,8 @@ object SketchFunctions {
   /** Estimated |A ∩ B| of two serialized theta sketches. */
   def thetaIntersect(a: Column, b: Column): Column =
     Bridge.column(ThetaIntersectEstimate(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Point-count estimate of a serialized count-min sketch for a key. */
+  def cmsEstimate(sketch: Column, key: Column): Column =
+    Bridge.column(CountMinEstimate(Bridge.expression(sketch), Bridge.expression(key)))
 }

@@ -622,6 +622,88 @@ object Mixing {
         FROM documents WHERE lang = 'en'
         GROUP BY source ORDER BY source""")),
 
+    // ---------------------------------------------------------------- p10
+    // Curriculum interleave — the deterministic training-order pass:
+    // rank documents by a quality proxy (n_chars, doc_id tiebreak)
+    // WITHIN each source, then interleave sources round-robin so the
+    // emitted order pages through every source's best docs before any
+    // source's worse ones and no batch window clumps on one source
+    // (curriculum + anti-clustering in a single arithmetic position:
+    // pos = (rank_in_source − 1)·n_sources + source_idx − 1).
+    //
+    // The scale problem is the per-source ranking: a
+    // Window.partitionBy(source) funnels each source through ONE
+    // reducer — with 20 sources over 100 TB that is 20 partitions doing
+    // all the work. This plan ranks WITHOUT per-group reducers by
+    // generalizing p5's two-phase prefix sum to grouped prefix COUNTS:
+    // range-partition on (source, quality, id) — which splits a big
+    // source across MANY partitions while keeping each partition's rows
+    // contiguous per source — count per-source rows locally, then
+    // offset each partition's local ranks by the exclusive cumsum of
+    // earlier partitions' (pid, source) counts (a #partitions-sized
+    // frame, broadcast back). The source index/count sides are
+    // 20-row frames (broadcast scalar-cross, the p8 convention).
+    QuerySpec(
+      "p10_curriculum_interleave",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"source", $"n_chars")
+        // phase 1: global (source, quality-desc, id) layout; local rank
+        // within (partition, source) runs — contiguous after the sort
+        val local = docs
+          .repartitionByRange($"source".asc, $"n_chars".desc, $"doc_id".asc)
+          .sortWithinPartitions($"source".asc, $"n_chars".desc, $"doc_id".asc)
+          .as[(Long, String, Long)]
+          .mapPartitions { it =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            var cur: String = null
+            var n = 0L
+            it.map { case (id, src, nc) =>
+              if (src != cur) { cur = src; n = 0L }
+              n += 1
+              (pid, id, src, nc, n)
+            }
+          }
+          .toDF("pid", "doc_id", "source", "n_chars", "local_rank")
+          .persist()
+        // phase 2: exclusive per-source cumsum of earlier partitions'
+        // counts — one row per (pid, source) pair present
+        val wPrev = Window.partitionBy($"source").orderBy($"pid")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = local.groupBy($"pid", $"source")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("offset", coalesce(sum($"n").over(wPrev), lit(0L)))
+          .select($"pid", $"source", $"offset")
+        // source index + count: a sources-sized frame (tiny by contract)
+        val srcIdx = docs.select($"source").distinct()
+          .withColumn("source_idx",
+            row_number().over(Window.orderBy($"source")).cast("long"))
+        val nSrc = srcIdx.agg(count(lit(1)).as("n_sources"))
+        val out = local
+          .join(broadcast(offsets), Seq("pid", "source"))
+          .join(broadcast(srcIdx), Seq("source"))
+          .crossJoin(broadcast(nSrc))
+          .select($"doc_id", $"source",
+            ($"local_rank" + $"offset").as("rank_in_source"),
+            (($"local_rank" + $"offset" - 1L) * $"n_sources"
+              + $"source_idx" - 1L).as("curriculum_pos"))
+        graft.Materialize.thenRelease(out, local).orderBy($"curriculum_pos")
+      },
+      Some("""
+        WITH r AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS rank_in_source,
+                 DENSE_RANK() OVER (ORDER BY source) AS source_idx
+          FROM documents),
+        s AS (SELECT COUNT(DISTINCT source) AS ns FROM documents)
+        SELECT doc_id, source,
+               CAST(rank_in_source AS BIGINT) AS rank_in_source,
+               CAST((rank_in_source - 1) * (SELECT ns FROM s)
+                    + source_idx - 1 AS BIGINT) AS curriculum_pos
+        FROM r ORDER BY curriculum_pos""")),
+
     // ----------------------------------------------------------------- e3
     // The round-8 capstone composition — the full curation chain a
     // pretraining run actually executes, as ONE query with ONE exact

@@ -46,6 +46,15 @@ object Sketches {
     * distinct users per event type, ~1.6% RSE above. */
   val ThetaLgK = 12
 
+  /** x5's count-min grid: eps = 2/width ⇒ 2000 counters per row;
+    * confidence 0.99 ⇒ 5 hash rows. ~80 KB total, constant in SF. */
+  val CmsWidth = 2000
+
+  /** x5's depth (ceil(ln(1/(1-0.99)))) — documented for the collision
+    * analysis in the x5 scaladoc; the builder derives it from the
+    * confidence argument. */
+  val CmsDepth = 5
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----------------------------------------------------------------- x1
@@ -207,7 +216,47 @@ object Sketches {
         SELECT p.type_a, p.type_b, p.users_a, p.users_b,
                COALESCE(o.users_both, CAST(0 AS BIGINT)) AS users_both
         FROM p LEFT JOIN o ON p.type_a = o.type_a AND p.type_b = o.type_b
-        ORDER BY p.type_a, p.type_b"""))
+        ORDER BY p.type_a, p.type_b""")),
+
+    // ----------------------------------------------------------------- x5
+    // Count-min sketch point counts — the frequency twin of x1's
+    // distinct counts: ONE constant-size (depth × width counters)
+    // mergeable summary of the whole event stream answers "how many
+    // events of type T" for any later probe without a re-scan. Built
+    // with Spark's own codegen'd count_min_sketch aggregate (partials
+    // are fixed-size counter grids merged across partitions — kilobytes
+    // through the exchange regardless of row count); probed by the
+    // cold-path graft_cms_estimate expression over the distinct-key
+    // frame (5 rows).
+    //
+    // Oracle capacity precondition (the x3/x4 convention, but STRONGER:
+    // the bound is schema-, not scale-, dependent): a CMS estimate is
+    // exact for a key unless it collides with another key in EVERY one
+    // of the [[CmsDepth]] hash rows. The event_type alphabet is 5
+    // values — fixed by the generator's schema at every SF — against a
+    // width-[[CmsWidth]] grid under seed 42, where a single all-rows
+    // collision has probability ~(4/2000)^5 ≈ 3e-14 and, the seed being
+    // fixed, is a deterministic property of the alphabet verified at
+    // every audit SF. Fixture growth changes COUNTS, never the
+    // alphabet, so unlike x3/x4 no scale bump can push this sketch out
+    // of exact mode.
+    QuerySpec(
+      "x5_cms_type_counts",
+      (s, dir) => {
+        import s.implicits._
+        val events = Tables(s, dir, "events")
+        val sk = events.agg(
+          expr(s"count_min_sketch(event_type, ${2.0 / CmsWidth}d, 0.99d, 42)")
+            .as("sk"))
+        events.select($"event_type").distinct()
+          .crossJoin(broadcast(sk))
+          .select($"event_type",
+            SketchFunctions.cmsEstimate($"sk", $"event_type").as("est_events"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_events
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 
 }

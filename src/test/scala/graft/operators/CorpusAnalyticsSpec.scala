@@ -90,4 +90,47 @@ class CorpusAnalyticsSpec extends SparkTestBase {
       assert(counts.head == 1L, s"user $u: first event must count 1 type")
     }
   }
+
+  test("p10 interleaves sources round-robin with quality-descending ranks") {
+    val rows = graft.SparkEntry.queries("p10_curriculum_interleave")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // the fixture's 20 equal-sized sources make positions a permutation
+    val pos = rows.map(_._4).sorted
+    assert(pos.sameElements(rows.indices.map(_.toLong)),
+      "equal-sized sources must fill every curriculum position")
+    // the first n_sources positions are each source's rank-1 doc, one per
+    // source in source order
+    val nSrc = rows.map(_._2).distinct.length
+    val head = rows.sortBy(_._4).take(nSrc)
+    assert(head.map(_._2).distinct.length == nSrc,
+      "leading block must visit every source once")
+    assert(head.forall(_._3 == 1L), "leading block must be the rank-1 docs")
+    // within a source, rank order follows quality (n_chars desc, doc_id)
+    val quality = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val byRank = rs.sortBy(_._3).map(t => (quality(t._1), t._1))
+      byRank.sliding(2).foreach {
+        case Array((qa, ia), (qb, ib)) =>
+          assert(qa > qb || (qa == qb && ia < ib),
+            s"$src: rank order violates (n_chars desc, doc_id): " +
+              s"($qa,$ia) before ($qb,$ib)")
+        case _ =>
+      }
+    }
+  }
+
+  test("p10 grouped prefix ranking is partition-count invariant") {
+    val q = graft.SparkEntry.queries("p10_curriculum_interleave")
+    val default = q(spark, sfDir).collect().map(_.toSeq)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val single = q(spark, sfDir).collect().map(_.toSeq)
+      assert(single.sameElements(default),
+        "partitioning changed the curriculum order")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

@@ -199,4 +199,40 @@ class SketchesSpec extends SparkTestBase {
             "x3 rows-only (oracle = None) before the driver runs CORRECTNESS")
       }
   }
+
+  // ------------------------------------------------------------------- x5
+
+  test("x5 CMS estimates equal exact counts and the alphabet never collides") {
+    val got = graft.SparkEntry.queries("x5_cms_type_counts")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables(spark, sfDir, "events")
+      .groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, s"CMS left exact mode: $got vs $exact")
+    // the precondition is the ALPHABET, not the row count: pin it
+    assert(exact.size == 5, s"event_type alphabet changed: ${exact.keySet}")
+  }
+
+  test("overloaded CMS keeps the one-sided guarantee: estimate >= exact") {
+    // force collisions: 512 distinct keys into an eps=0.25 (width 8) grid
+    val keys = spark.range(0, 2000)
+      .selectExpr("concat('k', id % 512) AS k")
+    val sk = keys.agg(expr("count_min_sketch(k, 0.25d, 0.9d, 7)").as("sk"))
+    val probed = keys.distinct()
+      .crossJoin(broadcast(sk))
+      .select($"k",
+        graft.functions.SketchFunctions.cmsEstimate($"sk", $"k").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = keys.groupBy($"k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(probed.keySet == exact.keySet)
+    // count-min never underestimates…
+    exact.foreach { case (k, n) =>
+      assert(probed(k) >= n, s"$k: CMS underestimated ($n -> ${probed(k)})")
+    }
+    // …and this grid is genuinely overloaded, so SOME estimate is inflated
+    // (otherwise the test proves nothing)
+    assert(exact.exists { case (k, n) => probed(k) > n },
+      "premise: width-8 grid with 512 keys must collide somewhere")
+  }
 }
