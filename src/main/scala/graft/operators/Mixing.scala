@@ -675,8 +675,10 @@ object Mixing {
           .agg(count(lit(1)).as("n"))
           .withColumn("offset", coalesce(sum($"n").over(wPrev), lit(0L)))
           .select($"pid", $"source", $"offset")
-        // source index + count: a sources-sized frame (tiny by contract)
-        val srcIdx = docs.select($"source").distinct()
+        // source index + count: sources-sized frames (tiny by contract),
+        // derived from the PERSISTED phase-1 frame — deriving them from
+        // `docs` would cost two more corpus-column scans at lake scale
+        val srcIdx = local.select($"source").distinct()
           .withColumn("source_idx",
             row_number().over(Window.orderBy($"source")).cast("long"))
         val nSrc = srcIdx.agg(count(lit(1)).as("n_sources"))

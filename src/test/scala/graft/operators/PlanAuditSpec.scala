@@ -57,7 +57,11 @@ class PlanAuditSpec extends SparkTestBase {
     "t21_chi2_source_lang",
     // p8/e3 cross the 1-ROW sqrt-mass total onto the cardinality-sized
     // source histogram — same shape as t16's scalar cross
-    "p8_temperature_mix", "e3_curation_pipeline")
+    "p8_temperature_mix", "e3_curation_pipeline",
+    // p10 crosses the 1-ROW n_sources scalar onto the doc frame; x5
+    // crosses the 1-ROW global sketch onto the 5-row probe frame —
+    // both the t16 scalar-cross shape
+    "p10_curriculum_interleave", "x5_cms_type_counts")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -88,7 +92,10 @@ class PlanAuditSpec extends SparkTestBase {
     "d16_contamination_score", "t20_zipf_slope", "t21_chi2_source_lang",
     "p8_temperature_mix", "q47_running_distinct_types",
     "q48_nation_trade_flows", "p9_partition_pruned_read",
-    "q49_window_topk_rewrite", "e3_curation_pipeline")
+    "q49_window_topk_rewrite", "e3_curation_pipeline",
+    "g2_triangle_copurchase", "q50_event_pattern_match",
+    "q51_session_concurrency", "p10_curriculum_interleave",
+    "x5_cms_type_counts")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
