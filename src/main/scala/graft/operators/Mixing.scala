@@ -706,6 +706,50 @@ object Mixing {
                     + source_idx - 1 AS BIGINT) AS curriculum_pos
         FROM r ORDER BY curriculum_pos""")),
 
+    // ---------------------------------------------------------------- p11
+    // Multi-epoch training schedule — p6's seed-reproducible shuffle run
+    // once PER EPOCH with epoch-salted hashes, so every epoch visits the
+    // corpus in a fresh deterministic order (the "reshuffle each epoch"
+    // contract a dataloader needs, reproducible from (seed, epoch)
+    // alone). The epoch replication is a narrow explode (no join, no
+    // shuffle — each doc row fans out to E rows in place); order is the
+    // md5 over seed:epoch:doc_id with the shard nibble keeping ranking
+    // shard-local exactly as p6 (4 nibbles = 65,536 file-sized shards at
+    // 100 TB; p5's prefix sum swaps in beyond the window). One hash
+    // exchange on (epoch, shard) total for all epochs.
+    QuerySpec(
+      "p11_epoch_schedule",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val epochs = 3
+        val seeded = Tables(s, dir, "documents")
+          .select($"doc_id",
+            explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+          .withColumn("h", md5(concat(lit("graft:42:"), $"epoch",
+            lit(":"), $"doc_id".cast("string"))))
+          .withColumn("shard", substring($"h", 1, 1))
+        val byShard = Window.partitionBy($"epoch", $"shard")
+          .orderBy($"h", $"doc_id")
+        seeded
+          .withColumn("pos", row_number().over(byShard).cast("long"))
+          .select($"epoch", $"doc_id", $"shard", $"pos")
+          .orderBy($"epoch", $"shard", $"pos")
+      },
+      Some(raw"""
+        WITH e AS (
+          SELECT doc_id, UNNEST(range(3)) AS epoch FROM documents),
+        h AS (
+          SELECT doc_id, epoch,
+                 md5('graft:42:' || CAST(epoch AS VARCHAR) || ':' ||
+                     CAST(doc_id AS VARCHAR)) AS h
+          FROM e)
+        SELECT CAST(epoch AS INTEGER) AS epoch, doc_id,
+               substr(h, 1, 1) AS shard,
+               ROW_NUMBER() OVER (PARTITION BY epoch, substr(h, 1, 1)
+                                  ORDER BY h, doc_id) AS pos
+        FROM h ORDER BY epoch, shard, pos""")),
+
     // ----------------------------------------------------------------- e3
     // The round-8 capstone composition — the full curation chain a
     // pretraining run actually executes, as ONE query with ONE exact

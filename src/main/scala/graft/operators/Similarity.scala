@@ -385,6 +385,56 @@ object Similarity {
           FROM top t JOIN embeddings q2 ON q2.vec_id = t.query_id
                      JOIN embeddings c2 ON c2.vec_id = t.cand_id)
         SELECT query_id, rank, cand_id, adc_dist, cosine FROM ref
+        ORDER BY query_id, rank""")),
+
+    // ----------------------------------------------------------------- s7
+    // Truncated-dimension (Matryoshka-style) two-stage retrieval — see
+    // [[matryoshkaTopK]]. The fifth ANN family: prune by DIMENSIONS
+    // where s2 prunes by cells, s4 by hyperplane buckets, s5/s6 by
+    // codes. Fully deterministic (prefix dots round to 6 dp before the
+    // cut, cand_id tiebreaks), so the two-stage index replays exactly
+    // under the oracle.
+    QuerySpec(
+      "s7_matryoshka_topk",
+      (s, dir) => matryoshkaTopK(s, dir),
+      Some("""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv,
+                 list_slice(embedding, 1, 8) AS qp
+          FROM embeddings WHERE vec_id < 10),
+        c AS (
+          SELECT vec_id AS cand_id, list_slice(embedding, 1, 8) AS cp
+          FROM embeddings),
+        coarse AS (
+          SELECT query_id, cand_id,
+                 ROUND(list_sum(list_transform(generate_series(1, 8),
+                   i -> CAST(qp[i] AS DOUBLE) * CAST(cp[i] AS DOUBLE))), 6)
+                   AS cdot
+          FROM q JOIN c ON query_id != cand_id),
+        cutq AS (
+          SELECT query_id, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cdot DESC, cand_id) AS crank
+          FROM coarse),
+        ref AS (
+          SELECT t.query_id, t.cand_id,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(q2.embedding)),
+                     i -> CAST(q2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(q2.embedding)),
+                        i -> CAST(q2.embedding[i] AS DOUBLE) * CAST(q2.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(c2.embedding)),
+                          i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE))))), 6)
+                   AS cosine
+          FROM cutq t JOIN embeddings q2 ON q2.vec_id = t.query_id
+                      JOIN embeddings c2 ON c2.vec_id = t.cand_id
+          WHERE t.crank <= 50),
+        top AS (
+          SELECT query_id, cand_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, cand_id) AS rank
+          FROM ref)
+        SELECT query_id, rank, cand_id, cosine FROM top WHERE rank <= 5
         ORDER BY query_id, rank"""))
   )
 
@@ -566,6 +616,48 @@ object Similarity {
     val wTop = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")
     q.join(c, Seq("bucket"))
       .filter($"query_id" =!= $"cand_id")
+      .withColumn("cosine",
+        round(graft.functions.GraftFunctions.cosineSim($"qv", $"cv"), 6))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"cand_id", $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** s7: truncated-dimension (Matryoshka-style) two-stage retrieval —
+    * the dimension-pruning ANN family beside cell-pruning (s2), plane-
+    * bucketing (s4) and code-compression (s5/s6). The coarse pass ranks
+    * by dot product over only the first [[nDims]] of 64 dimensions and
+    * carries ONLY (cand_id, prefix) — at lake scale that is the stage's
+    * whole point: the one all-pairs scan touches 1/8 of the vector
+    * bytes, and full vectors are fetched (equi-join by id) for the
+    * [[cut]]-sized finalist set alone, never the corpus. Exact cosine
+    * re-ranks the finalists. Coarse scores round to 6 dp before the cut
+    * (the s2 probe convention) so both engines slice the identical
+    * frontier; recall vs exact s1 is pinned in SimilarityRecallSpec. */
+  def matryoshkaTopK(s: SparkSession, dir: String, nDims: Int = 8,
+                     nQueries: Int = 10, cut: Int = 50, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val qFull = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"),
+        slice($"embedding", 1, nDims).as("qp"))
+    val cPrefix = emb
+      .select($"vec_id".as("cand_id"), slice($"embedding", 1, nDims).as("cp"))
+    val wCut = Window.partitionBy($"query_id").orderBy($"cdot".desc, $"cand_id")
+    val finalists = cPrefix
+      .crossJoin(broadcast(qFull.select($"query_id", $"qp")))
+      .filter($"query_id" =!= $"cand_id")
+      .withColumn("cdot", round(expr(
+        "aggregate(zip_with(qp, cp, (x, y) -> cast(x as double) * cast(y as double)), " +
+          "cast(0 as double), (acc, p) -> acc + p)"), 6))
+      .withColumn("crank", row_number().over(wCut))
+      .filter($"crank" <= cut)
+      .select($"query_id", $"cand_id")
+    val wTop = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")
+    finalists
+      .join(emb.select($"vec_id".as("cand_id"), $"embedding".as("cv")), "cand_id")
+      .join(broadcast(qFull.select($"query_id", $"qv")), "query_id")
       .withColumn("cosine",
         round(graft.functions.GraftFunctions.cosineSim($"qv", $"cv"), 6))
       .withColumn("rank", row_number().over(wTop))

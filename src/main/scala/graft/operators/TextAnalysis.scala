@@ -999,6 +999,50 @@ object TextAnalysis {
                ROUND(sqrt(SUM((o - e) * (o - e) / e) /
                           (MAX(n) * least(COUNT(DISTINCT source) - 1,
                                           COUNT(DISTINCT lang) - 1))), 6) AS cramers_v
-        FROM fullg"""))
+        FROM fullg""")),
+
+    // ---------------------------------------------------------------- t22
+    // Per-document character-distribution Shannon entropy — the
+    // compression-adjacent quality signal (binary junk and repeated
+    // boilerplate sit at the entropy extremes; filters band on it the
+    // way t3/t6 band on ratios). Computed as H = log2(N) − Σc·log2(c)/N
+    // so each engine sums ONE term per distinct character. The explode
+    // is a narrow codegen'd generator and the (doc, char) aggregate's
+    // map-side partials bound the exchange at alphabet-size rows per
+    // doc per partition — the shuffle carries character HISTOGRAMS, not
+    // character positions, which is what keeps a corpus-scale run
+    // bandwidth-bound on the text scan rather than on a trillions-of-
+    // rows exchange. ≤ ~80 double terms per doc ⇒ the 6 dp round
+    // absorbs summation-order spread.
+    QuerySpec(
+      "t22_char_entropy",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"text".isNotNull)
+          .select($"doc_id", explode(split($"text", "")).as("ch"))
+          .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(
+            sum($"c").as("n_chars"),
+            count(lit(1)).as("n_distinct_chars"),
+            round(
+              log2(sum($"c")) -
+                sum($"c" * log2($"c")) / sum($"c"), 6).as("entropy_bits"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH ch AS (
+          SELECT doc_id, UNNEST(regexp_split_to_array(text, '')) AS ch
+          FROM documents WHERE text IS NOT NULL),
+        hist AS (
+          SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+          FROM ch GROUP BY doc_id, ch)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_chars,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+               ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6)
+                 AS entropy_bits
+        FROM hist GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

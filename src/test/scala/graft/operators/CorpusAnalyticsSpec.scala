@@ -122,6 +122,57 @@ class CorpusAnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("t22 entropy respects its bounds and matches a driver-side recompute") {
+    val rows = graft.SparkEntry.queries("t22_char_entropy")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, distinct, h) =>
+      assert(n >= distinct && distinct >= 1, s"doc $id: counts inconsistent")
+      assert(h >= 0.0, s"doc $id: negative entropy $h")
+      val cap = math.log(distinct.toDouble) / math.log(2.0)
+      assert(h <= cap + 1e-6,
+        s"doc $id: entropy $h exceeds log2(distinct)=$cap")
+    }
+    // independent recompute for the first 20 docs
+    val texts = graft.Tables(spark, sfDir, "documents")
+      .filter($"doc_id" < 20 && $"text".isNotNull)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = rows.filter(_._1 < 20).map(t => t._1 -> t._4).toMap
+    texts.foreach { case (id, text) =>
+      val counts = text.groupBy(identity).values.map(_.length.toDouble)
+      val n = text.length.toDouble
+      val expect = counts.map(c => -(c / n) * (math.log(c / n) / math.log(2.0))).sum
+      assert(math.abs(got(id) - expect) < 1e-5,
+        s"doc $id: entropy ${got(id)} != recomputed $expect")
+    }
+  }
+
+  test("p11 epochs are distinct deterministic permutations of the corpus") {
+    val rows = graft.SparkEntry.queries("p11_epoch_schedule")(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val nDocs = graft.Tables(spark, sfDir, "documents").count()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0, 1, 2))
+    byEpoch.foreach { case (e, rs) =>
+      // every doc appears exactly once per epoch
+      assert(rs.map(_._2).distinct.length == nDocs.toInt,
+        s"epoch $e is not a permutation")
+      // positions are contiguous 1..n within each shard
+      rs.groupBy(_._3).foreach { case (sh, srows) =>
+        val ps = srows.map(_._4).sorted
+        assert(ps.sameElements((1L to ps.length.toLong)),
+          s"epoch $e shard $sh: positions not contiguous")
+      }
+    }
+    // epoch orders genuinely differ: some doc lands in different shards
+    val shardsOf = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct.size)
+    assert(shardsOf.values.exists(_ > 1),
+      "epoch salting changed no doc's shard — orders are identical")
+  }
+
   test("p10 grouped prefix ranking is partition-count invariant") {
     val q = graft.SparkEntry.queries("p10_curriculum_interleave")
     val default = q(spark, sfDir).collect().map(_.toSeq)

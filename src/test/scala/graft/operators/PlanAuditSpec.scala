@@ -61,7 +61,11 @@ class PlanAuditSpec extends SparkTestBase {
     // p10 crosses the 1-ROW n_sources scalar onto the doc frame; x5
     // crosses the 1-ROW global sketch onto the 5-row probe frame —
     // both the t16 scalar-cross shape
-    "p10_curriculum_interleave", "x5_cms_type_counts")
+    "p10_curriculum_interleave", "x5_cms_type_counts",
+    // s7's coarse pass crosses the nQueries (10) broadcast PREFIX rows
+    // against the corpus — the s1 all-pairs shape deliberately run on
+    // 1/8 of the vector bytes; the refine joins are equi-keyed
+    "s7_matryoshka_topk")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -95,7 +99,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q49_window_topk_rewrite", "e3_curation_pipeline",
     "g2_triangle_copurchase", "q50_event_pattern_match",
     "q51_session_concurrency", "p10_curriculum_interleave",
-    "x5_cms_type_counts")
+    "x5_cms_type_counts", "t22_char_entropy", "p11_epoch_schedule",
+    "s7_matryoshka_topk")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>

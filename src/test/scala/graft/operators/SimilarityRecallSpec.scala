@@ -156,4 +156,27 @@ class SimilarityRecallSpec extends SparkTestBase {
     val full = topk(Similarity.ivfTopK(spark, dir, nQueries = 10, nProbe = cells, k = 5))
     assert(full == exact) // probing every cell IS brute force
   }
+
+  test("s7 matryoshka recall@5 vs exact s1 clears the corpus floor") {
+    val exact = topk(Similarity.specs.find(_.name == "s1_cosine_topk").get.fn(spark, dir))
+    val mrl = topk(Similarity.matryoshkaTopK(spark, dir))
+    assert(exact.size == 10 && mrl.size == 10)
+    val recalls = exact.map { case (q, truth) =>
+      mrl.getOrElse(q, Seq.empty).toSet.intersect(truth.toSet).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // structure-free corpus: an 8-of-64-dim prefix carries 1/8 of the
+    // (iid) signal, so the 50-of-500 cut retains a modest but clearly
+    // non-random share of the true top-5 (random 50-cut would land
+    // recall ≈ 0.1); the floor catches wiring regressions (wrong slice,
+    // wrong cut side) without asserting structure the data doesn't have
+    assert(mean >= 0.15, s"mean recall@5 = $mean (per-query: $recalls)")
+  }
+
+  test("widening the s7 cut to the corpus makes it exact (sanity)") {
+    val exact = topk(Similarity.specs.find(_.name == "s1_cosine_topk").get.fn(spark, dir))
+    val n = graft.Tables(spark, dir, "embeddings").count().toInt
+    val full = topk(Similarity.matryoshkaTopK(spark, dir, cut = n))
+    assert(full == exact) // a corpus-wide cut IS brute force
+  }
 }
