@@ -237,6 +237,36 @@ case class ThetaIntersectEstimate(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Estimated |A \ B| of two serialized theta sketches — the third theta
+  * set operation beside estimate and intersection: "distinct users who
+  * did A but never B" (churn/exclusivity questions) straight from
+  * stored sketches, no raw-data rescan. Same cold-path CodegenFallback
+  * rationale as [[ThetaEstimate]]. */
+case class ThetaDiffEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_theta_diff"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two binary theta sketches, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = ThetaSketches.heapifySketch(Memory.wrap(a.asInstanceOf[Array[Byte]]))
+    val sb = ThetaSketches.heapifySketch(Memory.wrap(b.asInstanceOf[Array[Byte]]))
+    ThetaSketches.setOperationBuilder().buildANotB()
+      .aNotB(sa, sb).getEstimate
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Point-count estimate of a serialized count-min sketch (the binary
   * Spark's built-in `count_min_sketch` aggregate emits) for a string
   * key. Probed with the key's UTF-8 BYTES — the exact representation
@@ -293,4 +323,8 @@ object SketchFunctions {
   /** Point-count estimate of a serialized count-min sketch for a key. */
   def cmsEstimate(sketch: Column, key: Column): Column =
     Bridge.column(CountMinEstimate(Bridge.expression(sketch), Bridge.expression(key)))
+
+  /** Estimated |A \ B| of two serialized theta sketches. */
+  def thetaDiff(a: Column, b: Column): Column =
+    Bridge.column(ThetaDiffEstimate(Bridge.expression(a), Bridge.expression(b)))
 }

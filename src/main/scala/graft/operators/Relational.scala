@@ -1579,6 +1579,35 @@ object Relational {
                CAST(MAX(conc) AS BIGINT) AS peak_concurrency
         FROM run GROUP BY 1 ORDER BY day""")),
 
+    // ---------------------------------------------------------------- q52
+    // Distribution-position windows — PERCENT_RANK and CUME_DIST (the
+    // two relative-position functions the window surface still lacked
+    // beside ntile/row_number/rank): each customer's balance position
+    // within their market segment. Both are tie-aware by the SQL
+    // standard (equal balances share a value), so the output is
+    // deterministic without a tie-break in the window order itself; the
+    // per-segment partitions carry the q35 caveat (dimension-sized
+    // partitions — at lake scale a two-phase rank decomposition like
+    // p10's takes over).
+    QuerySpec(
+      "q52_balance_distribution",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal")
+        Tables(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+          .withColumn("pct_rank", round(percent_rank().over(w), 6))
+          .withColumn("cume", round(cume_dist().over(w), 6))
+          .orderBy($"c_mktsegment", $"c_acctbal", $"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+        ORDER BY c_mktsegment, c_acctbal, c_custkey""")),
+
     variantSpec
   )
 

@@ -435,6 +435,66 @@ object Similarity {
                                     ORDER BY cosine DESC, cand_id) AS rank
           FROM ref)
         SELECT query_id, rank, cand_id, cosine FROM top WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // ----------------------------------------------------------------- s8
+    // Bulk KNN-join (knn-graph construction) — EVERY vector retrieves
+    // its top-3 neighbours through the IVF index, not a 10-query probe
+    // set: the all-corpus self-retrieval that semantic-dedup and
+    // clustering pipelines (d8's edge generation, SemDeDup) actually run
+    // at scale. The exact formulation is the O(n²) d5 kernel; this is
+    // its production shape: the centroid table broadcasts (cells ≪ n),
+    // probe assignment is a narrow O(n·cells) pass, and the ONLY wide
+    // stage is the cell-keyed equi-join whose per-query fan-out is the
+    // probed cells' population (nProbe/cells of the corpus), never n².
+    // Deterministic end-to-end (decimal centroids, 6-dp rounds, id
+    // tiebreaks), so the full graph replays under the oracle.
+    QuerySpec(
+      "s8_knn_join",
+      (s, dir) => knnJoin(s, dir),
+      Some("""
+        WITH e AS (
+          SELECT label, vec_id, embedding,
+                 UNNEST(embedding) AS v,
+                 UNNEST(range(len(embedding))) AS dim
+          FROM embeddings),
+        cent AS (
+          SELECT label AS cell, dim,
+                 CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+          FROM e GROUP BY label, dim),
+        centl AS (
+          SELECT cell, list(c ORDER BY dim) AS centroid FROM cent GROUP BY cell),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
+        probe AS (
+          SELECT query_id, qv, cell,
+                 list_sum(list_transform(generate_series(1, len(qv)),
+                   i -> (CAST(qv[i] AS DOUBLE) - centroid[i]) *
+                        (CAST(qv[i] AS DOUBLE) - centroid[i]))) AS cdist
+          FROM q CROSS JOIN centl),
+        pr AS (
+          SELECT query_id, qv, cell,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cdist ASC, cell) AS probe_rank
+          FROM probe),
+        probed AS (SELECT query_id, qv, cell FROM pr WHERE probe_rank <= 2),
+        cand AS (SELECT vec_id AS cand_id, embedding AS cv, label AS cell
+                 FROM embeddings),
+        p AS (
+          SELECT query_id, cand_id,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(qv)),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(cv)),
+                          i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 6) AS cosine
+          FROM probed JOIN cand USING (cell)
+          WHERE query_id != cand_id),
+        r AS (SELECT query_id, cand_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, cand_id) AS rank
+              FROM p)
+        SELECT query_id, rank, cand_id, cosine FROM r WHERE rank <= 3
         ORDER BY query_id, rank"""))
   )
 
@@ -528,6 +588,29 @@ object Similarity {
       .withColumn("cosine",
         round(graft.functions.GraftFunctions.cosineSim($"qv", $"cv"), 6))
       .select($"query_id", $"rank", $"cand_id", $"adc_dist", $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** s8: bulk KNN-join — every vector probes its [[ivfProbe]] cells and
+    * exact-reranks the cell populations to its top-`k` neighbours. The
+    * probe side is the WHOLE corpus (Int.MaxValue sentinel = no query
+    * filter); the cell equi-join is the only wide stage, with per-query
+    * fan-out bounded by the probed cells' population. */
+  def knnJoin(s: SparkSession, dir: String, nProbe: Int = 2,
+              k: Int = 3): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val probed = ivfProbe(s, dir, Int.MaxValue, nProbe)
+    val cand = emb.select($"vec_id".as("cand_id"), $"label".as("cell"),
+      $"embedding".as("cv"))
+    val wTop = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")
+    probed.join(cand, Seq("cell"))
+      .filter($"cand_id" =!= $"query_id")
+      .withColumn("cosine",
+        round(graft.functions.GraftFunctions.cosineSim($"qv", $"cv"), 6))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"cand_id", $"cosine")
       .orderBy($"query_id", $"rank")
   }
 

@@ -256,7 +256,54 @@ object Sketches {
       },
       Some("""
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_events
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ----------------------------------------------------------------- x6
+    // Theta set-DIFFERENCE — the third set operation (x4 covered
+    // estimate + intersection): distinct users who did type A but NEVER
+    // type B, per ordered pair, straight from the same stored per-type
+    // sketches. The exclusivity/churn question ("converted but never
+    // errored") that HLL structurally cannot answer and exact counting
+    // answers only by re-shuffling the raw key stream per pair. Same
+    // exact-mode capacity precondition as x4 (distinct users per type ≪
+    // 2^lgK — pinned for every driver SF by SketchesSpec), so the
+    // oracle checks exact difference counts.
+    QuerySpec(
+      "x6_theta_exclusive_users",
+      (s, dir) => {
+        import s.implicits._
+        val sk = Tables(s, dir, "events")
+          .groupBy($"event_type")
+          .agg(SketchFunctions.thetaSketch($"user_id", ThetaLgK).as("sk"))
+        val a = sk.select($"event_type".as("type_a"), $"sk".as("sk_a"))
+        val b = sk.select($"event_type".as("type_b"), $"sk".as("sk_b"))
+        a.join(broadcast(b), $"type_a" =!= $"type_b")
+          .select($"type_a", $"type_b",
+            SketchFunctions.thetaDiff($"sk_a", $"sk_b").cast("long")
+              .as("users_a_not_b"))
+          .orderBy($"type_a", $"type_b")
+      },
+      Some("""
+        WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b
+          FROM (SELECT DISTINCT event_type FROM events) a
+          JOIN (SELECT DISTINCT event_type FROM events) b
+            ON a.event_type != b.event_type),
+        diff AS (
+          SELECT da.event_type AS type_a, p.type_b,
+                 CAST(COUNT(DISTINCT da.user_id) AS BIGINT) AS users_a_not_b
+          FROM d da
+          JOIN pairs p ON da.event_type = p.type_a
+          WHERE NOT EXISTS (
+            SELECT 1 FROM d db
+            WHERE db.event_type = p.type_b AND db.user_id = da.user_id)
+          GROUP BY da.event_type, p.type_b)
+        SELECT p.type_a, p.type_b,
+               COALESCE(f.users_a_not_b, CAST(0 AS BIGINT)) AS users_a_not_b
+        FROM pairs p LEFT JOIN diff f
+          ON p.type_a = f.type_a AND p.type_b = f.type_b
+        ORDER BY p.type_a, p.type_b"""))
   )
 
 }

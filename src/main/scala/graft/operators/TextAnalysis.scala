@@ -1043,6 +1043,52 @@ object TextAnalysis {
                CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
                ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6)
                  AS entropy_bits
-        FROM hist GROUP BY doc_id ORDER BY doc_id"""))
+        FROM hist GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t23
+    // Flesch-style readability — the classic quality-filter heuristic
+    // (reading-ease = 206.835 − 1.015·words/sentences −
+    // 84.6·syllables/words) computed entirely from three regex-split
+    // counts: whitespace words, [.!?]+ sentence breaks, [aeiouy]+ vowel
+    // groups as the syllable proxy. Java and RE2-style split semantics
+    // agree on leading/trailing empties with limit −1, so group counts
+    // are size(split)−1 in BOTH engines and the score is the identical
+    // double expression tree — exact to the 4-dp round. One codegen'd
+    // narrow scan, zero shuffles before the presentation sort.
+    QuerySpec(
+      "t23_readability",
+      (s, dir) => {
+        import s.implicits._
+        val words = size(split(trim($"text"), "\\s+")).cast("long")
+        val sents = greatest(
+          size(split($"text", "[.!?]+")) - 1, lit(1)).cast("long")
+        val sylls = greatest(
+          size(split(lower($"text"), "[aeiouy]+")) - 1, lit(1)).cast("long")
+        Tables(s, dir, "documents")
+          .filter($"text".isNotNull)
+          .select($"doc_id", words.as("n_words"), sents.as("n_sentences"),
+            sylls.as("n_syllables"))
+          .withColumn("flesch", round(
+            lit(206.835)
+              - lit(1.015) * ($"n_words".cast("double") / $"n_sentences")
+              - lit(84.6) * ($"n_syllables".cast("double") / $"n_words"), 4))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_words,
+                 CAST(greatest(len(regexp_split_to_array(text, '[.!?]+')) - 1,
+                               1) AS BIGINT) AS n_sentences,
+                 CAST(greatest(len(regexp_split_to_array(lower(text),
+                               '[aeiouy]+')) - 1, 1) AS BIGINT) AS n_syllables
+          FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               ROUND(206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+                 AS flesch
+        FROM c ORDER BY doc_id"""))
   )
 }

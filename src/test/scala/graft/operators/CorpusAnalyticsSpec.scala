@@ -173,6 +173,46 @@ class CorpusAnalyticsSpec extends SparkTestBase {
       "epoch salting changed no doc's shard — orders are identical")
   }
 
+  test("t23 readability matches a driver-side recompute") {
+    val got = graft.SparkEntry.queries("t23_readability")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val texts = graft.Tables(spark, sfDir, "documents")
+      .filter($"doc_id" < 25 && $"text".isNotNull)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, text) =>
+      val words = text.trim.split("\\s+", -1).length.toLong
+      val sents = math.max(text.split("[.!?]+", -1).length - 1, 1).toLong
+      val sylls = math.max(
+        text.toLowerCase.split("[aeiouy]+", -1).length - 1, 1).toLong
+      val flesch = BigDecimal(
+        206.835 - 1.015 * (words.toDouble / sents)
+          - 84.6 * (sylls.toDouble / words))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gw, gs, gy, gf) = got(id)
+      assert((gw, gs, gy) == ((words, sents, sylls)),
+        s"doc $id: counts ($gw,$gs,$gy) != ($words,$sents,$sylls)")
+      assert(math.abs(gf - flesch) < 1e-9,
+        s"doc $id: flesch $gf != $flesch")
+    }
+  }
+
+  test("q52 tied balances share their distribution position") {
+    val rows = graft.SparkEntry.queries("q52_balance_distribution")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((seg, bal), ties) =>
+      assert(ties.map(_._3).distinct.length == 1 &&
+        ties.map(_._4).distinct.length == 1,
+        s"$seg/$bal: tied balances disagree on pct_rank/cume_dist")
+    }
+    // bounds: pct_rank in [0,1] starting at 0; cume_dist in (0,1]
+    assert(rows.forall(t => t._3 >= 0.0 && t._3 <= 1.0))
+    assert(rows.forall(t => t._4 > 0.0 && t._4 <= 1.0))
+  }
+
   test("p10 grouped prefix ranking is partition-count invariant") {
     val q = graft.SparkEntry.queries("p10_curriculum_interleave")
     val default = q(spark, sfDir).collect().map(_.toSeq)

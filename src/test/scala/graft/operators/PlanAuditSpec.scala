@@ -65,7 +65,15 @@ class PlanAuditSpec extends SparkTestBase {
     // s7's coarse pass crosses the nQueries (10) broadcast PREFIX rows
     // against the corpus — the s1 all-pairs shape deliberately run on
     // 1/8 of the vector bytes; the refine joins are equi-keyed
-    "s7_matryoshka_topk")
+    "s7_matryoshka_topk",
+    // s8 reuses s2's centroid cross (cells=10 broadcast rows against
+    // the corpus — O(n·cells) probe assignment by construction); the
+    // candidate join itself is cell-equi-keyed
+    "s8_knn_join",
+    // x6's pair join is x4's shape: the T-row per-event-type sketch
+    // frame joined to itself under a non-equi type predicate — bounded
+    // by dimension cardinality
+    "x6_theta_exclusive_users")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -100,7 +108,8 @@ class PlanAuditSpec extends SparkTestBase {
     "g2_triangle_copurchase", "q50_event_pattern_match",
     "q51_session_concurrency", "p10_curriculum_interleave",
     "x5_cms_type_counts", "t22_char_entropy", "p11_epoch_schedule",
-    "s7_matryoshka_topk")
+    "s7_matryoshka_topk", "s8_knn_join", "x6_theta_exclusive_users",
+    "q52_balance_distribution", "t23_readability")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>

@@ -179,4 +179,26 @@ class SimilarityRecallSpec extends SparkTestBase {
     val full = topk(Similarity.matryoshkaTopK(spark, dir, cut = n))
     assert(full == exact) // a corpus-wide cut IS brute force
   }
+
+  test("s8 knn-join restricted to the s2 query set is s2's head") {
+    // the bulk join runs the SAME index (nProbe=2, identical centroid
+    // math), so for vec_id < 10 its top-3 must equal s2's first 3 rows
+    val s2 = topk(Similarity.ivfTopK(spark, dir, nQueries = 10, nProbe = 2, k = 5))
+      .view.mapValues(_.take(3)).toMap
+    val s8 = topk(Similarity.knnJoin(spark, dir))
+      .filter { case (q, _) => q < 10 }
+    assert(s8 == s2, "bulk knn-join disagrees with the per-query index")
+  }
+
+  test("s8 gives every corpus vector exactly k neighbours, none itself") {
+    val rows = Similarity.knnJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = graft.Tables(spark, dir, "embeddings").count()
+    val perQuery = rows.groupBy(_._1)
+    assert(perQuery.size == n, s"${perQuery.size} queries, expected $n")
+    perQuery.foreach { case (q, rs) =>
+      assert(rs.length == 3, s"query $q has ${rs.length} neighbours")
+      assert(rs.forall(_._3 != q), s"query $q retrieved itself")
+    }
+  }
 }

@@ -213,6 +213,26 @@ class SketchesSpec extends SparkTestBase {
     assert(exact.size == 5, s"event_type alphabet changed: ${exact.keySet}")
   }
 
+  test("x6 theta difference satisfies |A\\B| == |A| - |A∩B| against x4") {
+    // in exact mode the three set operations must be mutually consistent:
+    // x4 reports |A|, |B|, |A∩B| per unordered pair; x6's |A\B| and
+    // |B\A| must close the identity exactly
+    val x4 = graft.SparkEntry.queries("x4_theta_user_overlap")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val x6 = graft.SparkEntry.queries("x6_theta_exclusive_users")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(x4.nonEmpty && x6.size == x4.size * 2)
+    x4.foreach { case ((a, b), (na, nb, both)) =>
+      assert(x6((a, b)) == na - both,
+        s"|$a\\$b| = ${x6((a, b))} != $na - $both")
+      assert(x6((b, a)) == nb - both,
+        s"|$b\\$a| = ${x6((b, a))} != $nb - $both")
+    }
+  }
+
   test("overloaded CMS keeps the one-sided guarantee: estimate >= exact") {
     // force collisions: 512 distinct keys into an eps=0.25 (width 8) grid
     val keys = spark.range(0, 2000)
