@@ -1608,6 +1608,98 @@ object Relational {
         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
         ORDER BY c_mktsegment, c_acctbal, c_custkey""")),
 
+    // ---------------------------------------------------------------- q53
+    // MULTISET set operations — EXCEPT ALL / INTERSECT ALL, the
+    // bag-semantics variants q8/q9's DISTINCT forms don't exercise:
+    // duplicates carry multiplicity (a nation appearing 3× among
+    // high-balance customers and 1× among big spenders survives EXCEPT
+    // ALL twice). Spark plans both as count-bookkeeping aggregates
+    // (Generate over per-key min/diff counts), never a join explosion;
+    // one exchange per input on the compared columns.
+    QuerySpec(
+      "q53_multiset_ops",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables(s, dir, "customer")
+        val rich = cust.filter($"c_acctbal" > 1000.0)
+          .select($"c_nationkey".as("nk"))
+        val spenders = Tables(s, dir, "orders")
+          .filter($"o_totalprice" > 200000.0)
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .select($"c_nationkey".as("nk"))
+        val ex = rich.exceptAll(spenders)
+          .groupBy($"nk").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all"))
+        val in = rich.intersectAll(spenders)
+          .groupBy($"nk").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("intersect_all"))
+        ex.unionAll(in)
+          .select($"op", $"nk".cast("long").as("nationkey"), $"n")
+          .orderBy($"op", $"nationkey")
+      },
+      Some("""
+        WITH rich AS (
+          SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 1000.0),
+        spenders AS (
+          SELECT c_nationkey AS nk
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE o_totalprice > 200000.0),
+        ex AS (
+          SELECT 'except_all' AS op, nk, COUNT(*) AS n
+          FROM (SELECT nk FROM rich EXCEPT ALL SELECT nk FROM spenders)
+          GROUP BY nk),
+        inx AS (
+          SELECT 'intersect_all' AS op, nk, COUNT(*) AS n
+          FROM (SELECT nk FROM rich INTERSECT ALL SELECT nk FROM spenders)
+          GROUP BY nk)
+        SELECT op, CAST(nk AS BIGINT) AS nationkey, n
+        FROM (SELECT * FROM ex UNION ALL SELECT * FROM inx)
+        ORDER BY op, nationkey""")),
+
+    // ---------------------------------------------------------------- q54
+    // Incremental aggregate maintenance — the materialized-view delta
+    // shape: a standing (hour, type) rollup is brought up to date by
+    // merging ONLY the late slice's partial aggregate (full outer join
+    // on the touched keys, coalesced sums) instead of re-scanning
+    // history. At 100 TB the base rollup is a stored table and the
+    // delta is the last partition — the merge's cost tracks the DELTA,
+    // which is the entire reason warehouses maintain views this way.
+    // The oracle recomputes the rollup from scratch: the merged result
+    // must be indistinguishable from a full recompute (counts as
+    // BIGINTs, sums in DECIMAL before the double cast, the q20
+    // convention).
+    QuerySpec(
+      "q54_incremental_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "events")
+          .select(date_trunc("hour", $"ts").as("hour"), $"event_type",
+            $"value".cast("decimal(18,4)").as("v"), $"ts")
+        // split point: everything in the final 24h is "the new delta"
+        val split = e.agg((max($"ts") - expr("INTERVAL 24 HOURS")).as("cut"))
+        val tagged = e.crossJoin(broadcast(split))
+        val base = tagged.filter($"ts" <= $"cut")
+          .groupBy($"hour", $"event_type")
+          .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        val delta = tagged.filter($"ts" > $"cut")
+          .groupBy($"hour", $"event_type")
+          .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        base.join(delta, Seq("hour", "event_type"), "full_outer")
+          .select($"hour", $"event_type",
+            (coalesce(base("n"), lit(0L)) + coalesce(delta("n"), lit(0L)))
+              .as("n"),
+            (coalesce(base("sv"), lit(java.math.BigDecimal.ZERO)
+              .cast("decimal(18,4)"))
+              + coalesce(delta("sv"), lit(java.math.BigDecimal.ZERO)
+                .cast("decimal(18,4)")))
+              .cast("double").as("sum_value"))
+          .orderBy($"hour", $"event_type")
+      },
+      Some("""
+        SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
     variantSpec
   )
 

@@ -213,6 +213,17 @@ class CorpusAnalyticsSpec extends SparkTestBase {
     assert(rows.forall(t => t._4 > 0.0 && t._4 <= 1.0))
   }
 
+  test("q54 delta-merge is indistinguishable from q20's direct rollup") {
+    // the whole point of incremental maintenance: base+delta merge must
+    // equal the full recompute, row for row
+    val merged = graft.SparkEntry.queries("q54_incremental_rollup")(spark, sfDir)
+      .collect().map(_.toSeq)
+    val direct = graft.SparkEntry.queries("q20_hourly_event_rollup")(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(merged.sameElements(direct),
+      "incremental merge diverged from the direct rollup")
+  }
+
   test("p10 grouped prefix ranking is partition-count invariant") {
     val q = graft.SparkEntry.queries("p10_curriculum_interleave")
     val default = q(spark, sfDir).collect().map(_.toSeq)

@@ -73,7 +73,10 @@ class PlanAuditSpec extends SparkTestBase {
     // x6's pair join is x4's shape: the T-row per-event-type sketch
     // frame joined to itself under a non-equi type predicate — bounded
     // by dimension cardinality
-    "x6_theta_exclusive_users")
+    "x6_theta_exclusive_users",
+    // q54 crosses the 1-ROW max-ts split point onto the event scan —
+    // the t16 scalar-cross shape
+    "q54_incremental_rollup")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -109,7 +112,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q51_session_concurrency", "p10_curriculum_interleave",
     "x5_cms_type_counts", "t22_char_entropy", "p11_epoch_schedule",
     "s7_matryoshka_topk", "s8_knn_join", "x6_theta_exclusive_users",
-    "q52_balance_distribution", "t23_readability")
+    "q52_balance_distribution", "t23_readability", "q53_multiset_ops",
+    "q54_incremental_rollup")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
