@@ -439,46 +439,41 @@ object Similarity {
 
     // ----------------------------------------------------------------- s8
     // Bulk KNN-join (knn-graph construction) — EVERY vector retrieves
-    // its top-3 neighbours through the IVF index, not a 10-query probe
-    // set: the all-corpus self-retrieval that semantic-dedup and
-    // clustering pipelines (d8's edge generation, SemDeDup) actually run
-    // at scale. The exact formulation is the O(n²) d5 kernel; this is
-    // its production shape: the centroid table broadcasts (cells ≪ n),
-    // probe assignment is a narrow O(n·cells) pass, and the ONLY wide
-    // stage is the cell-keyed equi-join whose per-query fan-out is the
-    // probed cells' population (nProbe/cells of the corpus), never n².
-    // Deterministic end-to-end (decimal centroids, 6-dp rounds, id
-    // tiebreaks), so the full graph replays under the oracle.
+    // its top-3 neighbours, not a 10-query probe set: the all-corpus
+    // self-retrieval semantic-dedup and clustering pipelines (d8's edge
+    // generation, SemDeDup) actually run at scale. Candidates are BLOCK
+    // mates under the composite (IVF cell × sign-LSH bucket) key — see
+    // [[knnJoin]] for why composite blocking (pair volume n·blocksize,
+    // planes the log-n knob) replaced the first-cut cell probing whose
+    // candidate set stayed a constant fraction of the corpus and
+    // measured quadratic. Deterministic end-to-end (anchor-dot signs,
+    // 6-dp rounds, id tiebreaks), so the full graph replays under the
+    // oracle.
     QuerySpec(
       "s8_knn_join",
       (s, dir) => knnJoin(s, dir),
       Some("""
-        WITH e AS (
-          SELECT label, vec_id, embedding,
-                 UNNEST(embedding) AS v,
-                 UNNEST(range(len(embedding))) AS dim
-          FROM embeddings),
-        cent AS (
-          SELECT label AS cell, dim,
-                 CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
-          FROM e GROUP BY label, dim),
-        centl AS (
-          SELECT cell, list(c ORDER BY dim) AS centroid FROM cent GROUP BY cell),
-        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
-        probe AS (
-          SELECT query_id, qv, cell,
-                 list_sum(list_transform(generate_series(1, len(qv)),
-                   i -> (CAST(qv[i] AS DOUBLE) - centroid[i]) *
-                        (CAST(qv[i] AS DOUBLE) - centroid[i]))) AS cdist
-          FROM q CROSS JOIN centl),
-        pr AS (
-          SELECT query_id, qv, cell,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY cdist ASC, cell) AS probe_rank
-          FROM probe),
-        probed AS (SELECT query_id, qv, cell FROM pr WHERE probe_rank <= 2),
-        cand AS (SELECT vec_id AS cand_id, embedding AS cv, label AS cell
-                 FROM embeddings),
+        WITH a AS (SELECT vec_id AS plane, embedding AS av
+                   FROM embeddings WHERE vec_id < 6),
+        dots AS (
+          SELECT e.vec_id, a.plane,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.av[i] AS DOUBLE))),
+                   (acc, x) -> acc + x) AS dot
+          FROM embeddings e CROSS JOIN a),
+        b AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN dot >= 0
+                               THEN CAST(pow(2, plane) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id),
+        q AS (SELECT b.vec_id AS query_id, e.label, b.bucket,
+                     e.embedding AS qv
+              FROM b JOIN embeddings e USING (vec_id)),
+        c AS (SELECT b.vec_id AS cand_id, e.label, b.bucket,
+                     e.embedding AS cv
+              FROM b JOIN embeddings e USING (vec_id)),
         p AS (
           SELECT query_id, cand_id,
                  ROUND(
@@ -488,7 +483,7 @@ object Similarity {
                         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
                       * sqrt(list_sum(list_transform(generate_series(1, len(cv)),
                           i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 6) AS cosine
-          FROM probed JOIN cand USING (cell)
+          FROM q JOIN c USING (label, bucket)
           WHERE query_id != cand_id),
         r AS (SELECT query_id, cand_id, cosine,
                      ROW_NUMBER() OVER (PARTITION BY query_id
@@ -591,21 +586,44 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
-  /** s8: bulk KNN-join — every vector probes its [[ivfProbe]] cells and
-    * exact-reranks the cell populations to its top-`k` neighbours. The
-    * probe side is the WHOLE corpus (Int.MaxValue sentinel = no query
-    * filter); the cell equi-join is the only wide stage, with per-query
-    * fan-out bounded by the probed cells' population. */
-  def knnJoin(s: SparkSession, dir: String, nProbe: Int = 2,
+  /** s8: bulk KNN-join (knn-graph construction) — every vector finds
+    * its top-`k` neighbours among its BLOCK mates, where the block key
+    * composes the IVF cell (label) with the [[lshTopK]] sign-bucket:
+    * cells × 2^nPlanes blocks, so block population — and with it the
+    * per-vector candidate count — is n/(cells·2^nPlanes). That makes
+    * the self-join's pair volume n·blocksize with nPlanes as the knob
+    * that grows with log n at scale, the same banding argument d4 makes
+    * for MinHash. A first cut that probed nProbe IVF cells per vector
+    * kept the candidate set a CONSTANT FRACTION of the corpus
+    * (n²·nProbe/cells pairs — measured 24× wall for 10× vectors, the
+    * d5 signature); composite blocking replaced it and the measured
+    * slope dropped to ~2× (SCALING.md). Vectors alone in their block
+    * emit no rows — the recall/coverage tradeoff every blocked
+    * knn-graph build makes, pinned by spec. */
+  def knnJoin(s: SparkSession, dir: String, nPlanes: Int = 6,
               k: Int = 3): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
-    val probed = ivfProbe(s, dir, Int.MaxValue, nProbe)
-    val cand = emb.select($"vec_id".as("cand_id"), $"label".as("cell"),
+    val anchors = emb.filter($"vec_id" < nPlanes)
+      .select($"vec_id".as("plane"), $"embedding".as("av"))
+    val buckets = emb.select($"vec_id", $"embedding")
+      .crossJoin(broadcast(anchors))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(embedding, av, (x, y) -> cast(x as double) * cast(y as double)), " +
+          "cast(0 as double), (acc, p) -> acc + p)"))
+      .groupBy($"vec_id")
+      .agg(sum(when($"dot" >= 0,
+          pow(lit(2.0), $"plane".cast("double")).cast("long"))
+        .otherwise(0L)).as("bucket"))
+    val blocked = buckets
+      .join(emb.select($"vec_id", $"label", $"embedding"), "vec_id")
+    val q = blocked.select($"vec_id".as("query_id"), $"label", $"bucket",
+      $"embedding".as("qv"))
+    val c = blocked.select($"vec_id".as("cand_id"), $"label", $"bucket",
       $"embedding".as("cv"))
     val wTop = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")
-    probed.join(cand, Seq("cell"))
-      .filter($"cand_id" =!= $"query_id")
+    q.join(c, Seq("label", "bucket"))
+      .filter($"query_id" =!= $"cand_id")
       .withColumn("cosine",
         round(graft.functions.GraftFunctions.cosineSim($"qv", $"cv"), 6))
       .withColumn("rank", row_number().over(wTop))

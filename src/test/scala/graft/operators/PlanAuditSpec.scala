@@ -66,9 +66,9 @@ class PlanAuditSpec extends SparkTestBase {
     // against the corpus — the s1 all-pairs shape deliberately run on
     // 1/8 of the vector bytes; the refine joins are equi-keyed
     "s7_matryoshka_topk",
-    // s8 reuses s2's centroid cross (cells=10 broadcast rows against
-    // the corpus — O(n·cells) probe assignment by construction); the
-    // candidate join itself is cell-equi-keyed
+    // s8 reuses s4's anchor cross (nPlanes=6 broadcast rows against the
+    // corpus — O(n·planes) bucket assignment by construction); the
+    // candidate join itself is (label, bucket)-equi-keyed
     "s8_knn_join",
     // x6's pair join is x4's shape: the T-row per-event-type sketch
     // frame joined to itself under a non-equi type predicate — bounded

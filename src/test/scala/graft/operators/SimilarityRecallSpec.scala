@@ -180,24 +180,48 @@ class SimilarityRecallSpec extends SparkTestBase {
     assert(full == exact) // a corpus-wide cut IS brute force
   }
 
-  test("s8 knn-join restricted to the s2 query set is s2's head") {
-    // the bulk join runs the SAME index (nProbe=2, identical centroid
-    // math), so for vec_id < 10 its top-3 must equal s2's first 3 rows
-    val s2 = topk(Similarity.ivfTopK(spark, dir, nQueries = 10, nProbe = 2, k = 5))
-      .view.mapValues(_.take(3)).toMap
-    val s8 = topk(Similarity.knnJoin(spark, dir))
-      .filter { case (q, _) => q < 10 }
-    assert(s8 == s2, "bulk knn-join disagrees with the per-query index")
+  test("s8 knn-join equals a driver-side block-and-rerank reimplementation") {
+    // independent rebuild of the whole contract: anchor-dot sign buckets,
+    // (label, bucket) blocking, exact cosine rerank, 6-dp round with
+    // cand_id tiebreak, top-3 — computed with plain Scala collections
+    val rows = graft.Tables(spark, dir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val anchors = rows.filter(_._1 < 6).sortBy(_._1).map(_._3)
+    def bucket(v: Array[Double]): Long =
+      anchors.zipWithIndex.map { case (a, p) =>
+        if (v.zip(a).map { case (x, y) => x * y }.sum >= 0) 1L << p else 0L
+      }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val blocks = rows.groupBy(v => (v._2, bucket(v._3)))
+    val expect = blocks.values.toSeq.flatMap { mates =>
+      mates.toSeq.flatMap { case (q, _, qv) =>
+        mates.filter(_._1 != q)
+          .map { case (c, _, cv) => (q, c, cos(qv, cv)) }
+          .sortBy { case (_, c, s) => (-s, c) }
+          .take(3).zipWithIndex
+          .map { case ((_, c, s), i) => (q, i + 1, c, s) }
+      }
+    }.toSet
+    val got = Similarity.knnJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expect, "bulk knn-join disagrees with the driver rebuild")
   }
 
-  test("s8 gives every corpus vector exactly k neighbours, none itself") {
+  test("s8 neighbours are symmetric-blocked: at most k, never self") {
     val rows = Similarity.knnJoin(spark, dir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-    val n = graft.Tables(spark, dir, "embeddings").count()
-    val perQuery = rows.groupBy(_._1)
-    assert(perQuery.size == n, s"${perQuery.size} queries, expected $n")
-    perQuery.foreach { case (q, rs) =>
-      assert(rs.length == 3, s"query $q has ${rs.length} neighbours")
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length <= 3, s"query $q has ${rs.length} neighbours")
+      assert(rs.map(_._2).sorted.sameElements(1 to rs.length),
+        s"query $q ranks not contiguous")
       assert(rs.forall(_._3 != q), s"query $q retrieved itself")
     }
   }
