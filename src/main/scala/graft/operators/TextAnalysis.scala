@@ -1089,6 +1089,73 @@ object TextAnalysis {
                      - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
                      - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
                  AS flesch
-        FROM c ORDER BY doc_id"""))
+        FROM c ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t24
+    // Per-source distribution drift — KL(source ∥ corpus) over unigram
+    // token distributions, the monitoring statistic a production
+    // pipeline alerts on when one ingestion source shifts domain
+    // (t21's χ² asks "are source and language independent"; this asks
+    // "how far is THIS source's token mix from the corpus"). Every
+    // source token is by construction in the corpus vocabulary, so the
+    // divergence has no zero-denominator terms. One (source, token)
+    // aggregate with map-side partials — the shuffle carries the
+    // per-source vocabulary, not token positions — then a vocab-keyed
+    // join against the corpus marginal and a per-source sum; marginal
+    // frames are vocabulary-sized. 6-dp round absorbs the summation-
+    // order spread of the ~vocab-size double sum (the t20/t21 budget).
+    QuerySpec(
+      "t24_source_drift",
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables(s, dir, "documents")
+          .filter($"text".isNotNull)
+          .select($"source",
+            explode(split(lower(trim($"text")), "\\s+")).as("token"))
+          .filter(length($"token") >= 1)
+        val bySrc = tok.groupBy($"source", $"token")
+          .agg(count(lit(1)).as("c")).persist()
+        val srcTot = bySrc.groupBy($"source").agg(sum($"c").as("n_src"))
+        val corpus = bySrc.groupBy($"token").agg(sum($"c").as("cc"))
+        val corpusTot = corpus.agg(sum($"cc").as("n_corpus"))
+        val out = bySrc
+          .join(srcTot, "source")
+          .join(corpus, "token")
+          .crossJoin(broadcast(corpusTot))
+          .groupBy($"source")
+          .agg(
+            max($"n_src").as("n_tokens"),
+            round(sum(
+              ($"c".cast("double") / $"n_src") *
+                log2(($"c".cast("double") / $"n_src") /
+                  ($"cc".cast("double") / $"n_corpus"))), 6).as("kl_bits"))
+        graft.Materialize.thenRelease(out, bySrc).orderBy($"source")
+      },
+      Some(raw"""
+        WITH tok AS (
+          SELECT source,
+                 UNNEST(regexp_split_to_array(lower(trim(text)), '\s+'))
+                   AS token
+          FROM documents WHERE text IS NOT NULL),
+        t AS (SELECT source, token FROM tok WHERE len(token) >= 1),
+        by_src AS (
+          SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+          FROM t GROUP BY source, token),
+        src_tot AS (
+          SELECT source, SUM(c) AS n_src FROM by_src GROUP BY source),
+        corpus AS (
+          SELECT token, SUM(c) AS cc FROM by_src GROUP BY token),
+        corpus_tot AS (SELECT SUM(cc) AS n_corpus FROM corpus)
+        SELECT b.source,
+               CAST(MAX(s.n_src) AS BIGINT) AS n_tokens,
+               ROUND(SUM(
+                 (CAST(b.c AS DOUBLE) / s.n_src) *
+                 log2((CAST(b.c AS DOUBLE) / s.n_src) /
+                      (CAST(co.cc AS DOUBLE) / (SELECT n_corpus FROM corpus_tot)))),
+                 6) AS kl_bits
+        FROM by_src b
+        JOIN src_tot s ON b.source = s.source
+        JOIN corpus co ON b.token = co.token
+        GROUP BY b.source ORDER BY b.source"""))
   )
 }

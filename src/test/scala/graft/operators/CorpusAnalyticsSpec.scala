@@ -213,6 +213,25 @@ class CorpusAnalyticsSpec extends SparkTestBase {
     assert(rows.forall(t => t._4 > 0.0 && t._4 <= 1.0))
   }
 
+  test("t24 KL drift is non-negative (Gibbs) and tokens reconcile") {
+    val rows = graft.SparkEntry.queries("t24_source_drift")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, kl) =>
+      assert(n > 0, s"$src: no tokens")
+      // Gibbs' inequality: KL(P||Q) >= 0, zero only if P == Q
+      assert(kl >= 0.0 && !kl.isNaN && !kl.isInfinite,
+        s"$src: invalid divergence $kl")
+    }
+    // per-source token totals must sum to the corpus total
+    val corpusTokens = graft.Tables(spark, sfDir, "documents")
+      .filter($"text".isNotNull)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("t"))
+      .filter(length($"t") >= 1).count()
+    assert(rows.map(_._2).sum == corpusTokens,
+      s"source totals ${rows.map(_._2).sum} != corpus $corpusTokens")
+  }
+
   test("q54 delta-merge is indistinguishable from q20's direct rollup") {
     // the whole point of incremental maintenance: base+delta merge must
     // equal the full recompute, row for row

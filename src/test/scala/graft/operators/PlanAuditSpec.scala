@@ -76,7 +76,10 @@ class PlanAuditSpec extends SparkTestBase {
     "x6_theta_exclusive_users",
     // q54 crosses the 1-ROW max-ts split point onto the event scan —
     // the t16 scalar-cross shape
-    "q54_incremental_rollup")
+    "q54_incremental_rollup",
+    // t24 crosses the 1-ROW corpus-total scalar onto the vocab-sized
+    // per-source counts — the t16 scalar-cross shape
+    "t24_source_drift")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -113,7 +116,7 @@ class PlanAuditSpec extends SparkTestBase {
     "x5_cms_type_counts", "t22_char_entropy", "p11_epoch_schedule",
     "s7_matryoshka_topk", "s8_knn_join", "x6_theta_exclusive_users",
     "q52_balance_distribution", "t23_readability", "q53_multiset_ops",
-    "q54_incremental_rollup")
+    "q54_incremental_rollup", "t24_source_drift")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
