@@ -608,9 +608,8 @@ object Similarity {
       .select($"vec_id".as("plane"), $"embedding".as("av"))
     val buckets = emb.select($"vec_id", $"embedding")
       .crossJoin(broadcast(anchors))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(embedding, av, (x, y) -> cast(x as double) * cast(y as double)), " +
-          "cast(0 as double), (acc, p) -> acc + p)"))
+      .withColumn("dot",
+        graft.functions.GraftFunctions.dot($"embedding", $"av"))
       .groupBy($"vec_id")
       .agg(sum(when($"dot" >= 0,
           pow(lit(2.0), $"plane".cast("double")).cast("long"))
@@ -657,9 +656,8 @@ object Similarity {
     // is tiny — broadcast; cost O(Q·cells)).
     val wProbe = Window.partitionBy($"query_id").orderBy($"cdist".asc, $"cell")
     queries.crossJoin(broadcast(centroids))
-      .withColumn("cdist", expr(
-        "aggregate(zip_with(qv, centroid, (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), " +
-          "cast(0 as double), (acc, v) -> acc + v)"))
+      .withColumn("cdist",
+        graft.functions.GraftFunctions.l2sq($"qv", $"centroid"))
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter($"probe_rank" <= nProbe)
       .select($"query_id", $"qv", $"cell")
@@ -701,9 +699,8 @@ object Similarity {
       .select($"vec_id".as("plane"), $"embedding".as("av"))
     val buckets = emb.select($"vec_id", $"embedding")
       .crossJoin(broadcast(anchors))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(embedding, av, (x, y) -> cast(x as double) * cast(y as double)), " +
-          "cast(0 as double), (acc, p) -> acc + p)"))
+      .withColumn("dot",
+        graft.functions.GraftFunctions.dot($"embedding", $"av"))
       .groupBy($"vec_id")
       .agg(sum(when($"dot" >= 0,
           pow(lit(2.0), $"plane".cast("double")).cast("long"))
@@ -749,9 +746,8 @@ object Similarity {
     val finalists = cPrefix
       .crossJoin(broadcast(qFull.select($"query_id", $"qp")))
       .filter($"query_id" =!= $"cand_id")
-      .withColumn("cdot", round(expr(
-        "aggregate(zip_with(qp, cp, (x, y) -> cast(x as double) * cast(y as double)), " +
-          "cast(0 as double), (acc, p) -> acc + p)"), 6))
+      .withColumn("cdot",
+        round(graft.functions.GraftFunctions.dot($"qp", $"cp"), 6))
       .withColumn("crank", row_number().over(wCut))
       .filter($"crank" <= cut)
       .select($"query_id", $"cand_id")
