@@ -64,7 +64,7 @@ object KernelQueries {
     * rebuilds from scratch), shared by k1/k2 — re-running a kernel query
     * then only pays the convert plan, not thousands of file creates.
     * Returns the staging directory path. */
-  private def stagedCorpus(s: SparkSession, dir: String): String = {
+  private[graft] def stagedCorpus(s: SparkSession, dir: String): String = {
     import s.implicits._
     val staging = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_k1_" + java.lang.Integer.toHexString(dir.hashCode))
@@ -310,7 +310,7 @@ object KernelQueries {
   /** k1's oracle, shared verbatim by k5 (the DSv2 connector must produce
     * byte-identical results to the pipeline over the same staged corpus).
     * A `def` for the same init-order reason as Relational.Q30Sql. */
-  private def K1OracleSql = """
+  private[graft] def K1OracleSql = """
         WITH d AS (
           SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) AS len
           FROM documents)

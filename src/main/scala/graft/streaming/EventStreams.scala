@@ -182,9 +182,10 @@ object EventStreams {
     * offset, so repeated catch-up runs never re-convert a file. */
   def conversionCatchUp(spark: SparkSession, inboxDir: String, outDir: String,
                         checkpointDir: String,
-                        config: ConversionConfig = ConversionConfig()): StreamingQuery =
+                        config: ConversionConfig = ConversionConfig(),
+                        batchMode: Boolean = false): StreamingQuery =
     conversionStreamWith(spark, inboxDir, outDir, checkpointDir, config,
-      Trigger.AvailableNow())
+      Trigger.AvailableNow(), batchMode)
 
   /** Streaming jobs plane: watch an inbox directory of binary documents and
     * convert each micro-batch through the mapPartitions kernel — the
@@ -194,11 +195,12 @@ object EventStreams {
                        checkpointDir: String,
                        config: ConversionConfig = ConversionConfig()): StreamingQuery =
     conversionStreamWith(spark, inboxDir, outDir, checkpointDir, config,
-      Trigger.ProcessingTime("1 second"))
+      Trigger.ProcessingTime("1 second"), batchMode = false)
 
   private def conversionStreamWith(spark: SparkSession, inboxDir: String, outDir: String,
                                    checkpointDir: String, config: ConversionConfig,
-                                   trigger: Trigger): StreamingQuery = {
+                                   trigger: Trigger,
+                                   batchMode: Boolean): StreamingQuery = {
     import spark.implicits._
     val stream = spark.readStream
       .format("binaryFile")
@@ -213,7 +215,7 @@ object EventStreams {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val rows = batch.as[UploadRow]
-        ConvertKernel.convert(rows, config).toDF()
+        ConvertKernel.convert(rows, config, batchMode).toDF()
           .write.mode("append").json(outDir)
         ()
       }

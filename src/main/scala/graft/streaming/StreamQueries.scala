@@ -518,5 +518,45 @@ object StreamQueries {
         SELECT s.user_id, s.session_start, s.session_end, s.n_events
         FROM sess s JOIN lastg l USING (user_id), wm
         WHERE s.grp < l.maxgrp OR s.session_end + INTERVAL 30 MINUTE < wm.w
-        ORDER BY s.user_id, s.session_start""")))
+        ORDER BY s.user_id, s.session_start""")),
+
+    // ----------------------------------------------------------------- st9
+    // The KERNEL plane's streaming half under the oracle: the same
+    // staged corpus k1 converts in batch drains through
+    // [[graft.streaming.EventStreams.conversionCatchUp]] — readStream
+    // binaryFile inbox → foreachBatch mapPartitions kernel → append
+    // JSON sink, checkpointed — and the read-back result must match
+    // k1's DuckDB oracle byte-for-byte. This puts the §3.2 worker-loop
+    // analog (the reference's Celery consumer) on the CORRECTNESS
+    // scoreboard, not just under EventStreamsSpec's exactly-once pins;
+    // a declared read-back schema keeps error rows (null markdown)
+    // loss-free through the JSON sink.
+    QuerySpec(
+      "st9_convert_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val corpus = graft.operators.KernelQueries.stagedCorpus(s, dir)
+        val runDir = java.nio.file.Files.createTempDirectory("graft_st9").toString
+        // batchMode mirrors k1's batch-conversion plane (error rows
+        // carry the FULL filename; single mode stems them — the
+        // reference's §3.2/§3.3 asymmetry), so k1's oracle applies
+        // verbatim
+        val q = EventStreams.conversionCatchUp(
+          s, corpus, s"$runDir/out", s"$runDir/chk",
+          graft.kernel.ConvertKernel.ConversionConfig(), batchMode = true)
+        q.awaitTermination()
+        s.read.schema(
+            "filename STRING, markdown STRING, " +
+              "images ARRAY<STRUCT<type: STRING, filename: STRING, image: STRING>>, " +
+              "error STRING")
+          .json(s"$runDir/out")
+          .select(
+            regexp_extract(col("filename"), "(\\d+)", 1).cast("long").as("doc_id"),
+            col("filename"),
+            length(col("markdown")).cast("long").as("md_len"),
+            size(col("images")).cast("long").as("n_images"),
+            col("error"))
+          .orderBy(col("doc_id"))
+      },
+      Some(graft.operators.KernelQueries.K1OracleSql)))
 }
