@@ -276,19 +276,30 @@ object GraftFunctions {
   def l2sq(a: Column, b: Column): Column =
     Bridge.column(L2SquaredDistance(Bridge.expression(a), Bridge.expression(b)))
 
-  private[functions] val cosineBuilder: Seq[Expression] => Expression = {
-    case Seq(a, b) => CosineSimilarity(a, b)
+  private[functions] def builder2(name: String,
+      mk: (Expression, Expression) => Expression): Seq[Expression] => Expression = {
+    case Seq(a, b) => mk(a, b)
     case other => throw new IllegalArgumentException(
-      s"graft_cosine expects 2 arguments, got ${other.size}")
+      s"$name expects 2 arguments, got ${other.size}")
   }
 
+  private[functions] val cosineBuilder = builder2("graft_cosine", CosineSimilarity)
   private[functions] val cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getCanonicalName, null, "graft_cosine")
+  private[functions] val dotInfo = new ExpressionInfo(
+    classOf[DotProduct].getCanonicalName, null, "graft_dot")
+  private[functions] val l2sqInfo = new ExpressionInfo(
+    classOf[L2SquaredDistance].getCanonicalName, null, "graft_l2sq")
+  private[functions] val cmsInfo = new ExpressionInfo(
+    classOf[CountMinEstimate].getCanonicalName, null, "graft_cms_estimate")
+  private[functions] val thetaDiffInfo = new ExpressionInfo(
+    classOf[ThetaDiffEstimate].getCanonicalName, null, "graft_theta_diff")
 }
 
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.GraftExtensions`
   * (or `SparkSession.builder.withExtensions(new GraftExtensions)`) registers
-  * `graft_cosine(a, b)` for SQL users and the GroupTopK planner strategy
+  * the full `graft_*` function family (cosine, dot, l2sq, nfc,
+  * cms_estimate, theta_diff) for SQL users and the GroupTopK planner strategy
   * (graft.plans.GroupTopK — the Column API also self-registers the
   * strategy per session, so the extension is the deployment-config path).
   * The Column API (GraftFunctions.cosineSim) needs no registration. */
@@ -298,6 +309,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
     ext.injectFunction((FunctionIdentifier("graft_nfc"),
       NfcNormalize.info, NfcNormalize.builder))
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      GraftFunctions.dotInfo, GraftFunctions.builder2("graft_dot", DotProduct)))
+    ext.injectFunction((FunctionIdentifier("graft_l2sq"),
+      GraftFunctions.l2sqInfo,
+      GraftFunctions.builder2("graft_l2sq", L2SquaredDistance)))
+    ext.injectFunction((FunctionIdentifier("graft_cms_estimate"),
+      GraftFunctions.cmsInfo,
+      GraftFunctions.builder2("graft_cms_estimate", CountMinEstimate)))
+    ext.injectFunction((FunctionIdentifier("graft_theta_diff"),
+      GraftFunctions.thetaDiffInfo,
+      GraftFunctions.builder2("graft_theta_diff", ThetaDiffEstimate)))
     ext.injectPlannerStrategy(_ => new graft.plans.GroupTopKStrategy)
     // inert until graft.topk.rewrite=true (see GroupTopKRewrite scaladoc)
     ext.injectOptimizerRule(s => graft.plans.GroupTopKRewrite(s))

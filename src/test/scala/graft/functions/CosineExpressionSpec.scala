@@ -88,5 +88,15 @@ class CosineExpressionSpec extends SparkTestBase {
     val e = registry.lookupFunction(FunctionIdentifier("graft_cosine"), Seq(vec, vec))
     assert(e.isInstanceOf[CosineSimilarity])
     assert(math.abs(e.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
+    // the whole graft_* family resolves for SQL users
+    val dot = registry.lookupFunction(FunctionIdentifier("graft_dot"), Seq(vec, vec))
+    assert(dot.isInstanceOf[DotProduct])
+    assert(math.abs(dot.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
+    val l2 = registry.lookupFunction(FunctionIdentifier("graft_l2sq"), Seq(vec, vec))
+    assert(l2.isInstanceOf[L2SquaredDistance])
+    assert(l2.eval(null).asInstanceOf[Double] == 0.0)
+    assert(registry.functionExists(FunctionIdentifier("graft_cms_estimate")))
+    assert(registry.functionExists(FunctionIdentifier("graft_theta_diff")))
+    assert(registry.functionExists(FunctionIdentifier("graft_nfc")))
   }
 }
