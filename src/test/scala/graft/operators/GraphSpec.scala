@@ -90,19 +90,24 @@ class GraphSpec extends SparkTestBase {
     assert(got == Map(1L -> 2L, 3L -> 2L, 2L -> 1L, 4L -> 1L))
   }
 
-  test("orientation scheme matches naive enumeration on a pseudorandom graph") {
-    // deterministic 30-node graph: edge (a,b) iff hash lands under 0.25
-    val rnd = new scala.util.Random(42)
-    val edges = for {
-      a <- 1L to 30L; b <- (a + 1) to 30L if rnd.nextDouble() < 0.25
-    } yield (a, b)
-    val eset = edges.toSet
-    val naive = scala.collection.mutable.Map.empty[Long, Long]
-    for {
-      (a, b) <- edges; c <- (b + 1) to 30L
-      if eset.contains((a, c)) && eset.contains((b, c))
-    } Seq(a, b, c).foreach(n => naive(n) = naive.getOrElse(n, 0L) + 1L)
-    assert(tri(edges) == naive.toMap)
+  test("orientation scheme matches naive enumeration across seeds and densities") {
+    // deterministic pseudorandom graphs spanning sparse to near-dense,
+    // including skewed-degree shapes (p=0.55 on 20 nodes ⇒ hub-heavy):
+    // the orientation must agree with brute force on every one
+    for ((seed, n, p) <- Seq((42, 30, 0.25), (7, 20, 0.55), (13, 40, 0.1),
+      (99, 25, 0.4), (5, 15, 0.8))) {
+      val rnd = new scala.util.Random(seed)
+      val edges = for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong if rnd.nextDouble() < p
+      } yield (a, b)
+      val eset = edges.toSet
+      val naive = scala.collection.mutable.Map.empty[Long, Long]
+      for {
+        (a, b) <- edges; c <- (b + 1) to n.toLong
+        if eset.contains((a, c)) && eset.contains((b, c))
+      } Seq(a, b, c).foreach(x => naive(x) = naive.getOrElse(x, 0L) + 1L)
+      assert(tri(edges) == naive.toMap, s"mismatch at (seed=$seed, n=$n, p=$p)")
+    }
   }
 
   test("g2 fixture output is positive-count, node-distinct and ordered") {

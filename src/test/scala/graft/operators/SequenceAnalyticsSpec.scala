@@ -82,6 +82,55 @@ class SequenceAnalyticsSpec extends SparkTestBase {
     assert(got == peaks.toMap, s"sweep mismatch: got $got want $peaks")
   }
 
+  test("q51 sweep matches the driver oracle on synthetic event histories") {
+    // the query only reads events.parquet, so point it at generated
+    // fixtures: seeded random histories with heavy timestamp ties and
+    // users whose sessions interleave across day boundaries — shapes the
+    // driver fixture doesn't stress
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val base = 1700000000L
+      val rows = (0 until 2000).map { i =>
+        val u = rnd.nextInt(12).toLong
+        // cluster timestamps so gaps >30min and exact ties both occur
+        val t = base + rnd.nextInt(4) * 86400L +
+          rnd.nextInt(40) * 2400L + (if (rnd.nextBoolean()) 0 else rnd.nextInt(90))
+        (i.toLong, new java.sql.Timestamp(t * 1000L), u, "view", 1.0, "{}")
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_q51p_$seed")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = graft.SparkEntry.queries("q51_session_concurrency")(
+          spark, dir.toString)
+        .collect()
+        .map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1).toInt)
+        .toMap
+      // driver-side oracle: same sessionize + sweep as the fixture test
+      val sessions = rows.groupBy(_._3).toSeq.flatMap { case (_, es) =>
+        val sorted = es.sortBy(e => (e._2.getTime, e._1)).map(_._2.getTime / 1000L)
+        val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var start = sorted.head; var prev = sorted.head
+        sorted.tail.foreach { t =>
+          if (t - prev > 1800) { bounds += ((start, prev)); start = t }
+          prev = t
+        }
+        bounds += ((start, prev))
+        bounds
+      }
+      val deltas = sessions.flatMap { case (a, b) => Seq((a, 1), (b, -1)) }
+        .sortBy { case (t, d) => (t, -d) }
+      var acc = 0
+      val peaks = scala.collection.mutable.Map.empty[Long, Int]
+      deltas.foreach { case (t, d) =>
+        acc += d
+        val day = java.time.Instant.ofEpochSecond(t)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay
+        peaks(day) = math.max(peaks.getOrElse(day, Int.MinValue), acc)
+      }
+      assert(got == peaks.toMap, s"seed $seed: sweep mismatch")
+    }
+  }
+
   test("q51 two-phase prefix sum is partition-count invariant") {
     // the distributed sweep must not depend on how the range partitioner
     // splits the timeline: 1 partition vs the default must agree
