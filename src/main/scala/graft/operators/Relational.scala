@@ -1608,6 +1608,26 @@ object Relational {
         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
         ORDER BY c_mktsegment, c_acctbal, c_custkey""")),
 
+    // ---------------------------------------------------------------- q55
+    // Order-statistics windows — FIRST_VALUE / NTH_VALUE over explicit
+    // full-partition frames plus a CUME_DIST-derived discrete median:
+    // the value-position window functions q52's rank-position pair
+    // doesn't reach (and the one place the default running frame is a
+    // trap: FIRST_VALUE/NTH_VALUE need ROWS BETWEEN UNBOUNDED PRECEDING
+    // AND UNBOUNDED FOLLOWING to see the whole partition — the identical
+    // SQL runs in both engines, the q40 convention, so the frame
+    // semantics are pinned cross-engine by construction). The discrete
+    // median is defined directly (smallest value with cume_dist ≥ 0.5)
+    // rather than via an engine-specific quantile_disc whose tie rules
+    // could differ.
+    QuerySpec(
+      "q55_segment_order_stats",
+      (s, dir) => {
+        Tables(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql(Q55Sql)
+      },
+      Some(Q55Sql)),
+
     // ---------------------------------------------------------------- q53
     // MULTISET set operations — EXCEPT ALL / INTERSECT ALL, the
     // bag-semantics variants q8/q9's DISTINCT forms don't exercise:
@@ -1716,6 +1736,33 @@ object Relational {
                             (o_orderstatus, o_orderpriority), ())
     ORDER BY g_status, g_prio,
              o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+
+  /** q55 runs identical SQL in Spark and DuckDB. A `def` for the same
+    * init-order reason as [[Q30Sql]]. */
+  private def Q55Sql = """
+    WITH ranked AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             FIRST_VALUE(c_custkey) OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal ASC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS poorest_key,
+             NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_richest_key,
+             CUME_DIST() OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal) AS cd
+      FROM customer),
+    med AS (
+      SELECT c_mktsegment, MIN(c_acctbal) AS median_disc
+      FROM ranked WHERE cd >= 0.5 GROUP BY c_mktsegment)
+    SELECT r.c_mktsegment, COUNT(*) AS n,
+           MIN(r.poorest_key) AS poorest_key,
+           MIN(r.second_richest_key) AS second_richest_key,
+           MIN(m.median_disc) AS median_disc
+    FROM ranked r JOIN med m ON r.c_mktsegment = m.c_mktsegment
+    GROUP BY r.c_mktsegment
+    ORDER BY r.c_mktsegment"""
 
   /** q42 runs identical SQL in Spark and DuckDB. A `def` for the same
     * init-order reason as [[Q30Sql]]. */

@@ -116,7 +116,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x5_cms_type_counts", "t22_char_entropy", "p11_epoch_schedule",
     "s7_matryoshka_topk", "s8_knn_join", "x6_theta_exclusive_users",
     "q52_balance_distribution", "t23_readability", "q53_multiset_ops",
-    "q54_incremental_rollup", "t24_source_drift")
+    "q54_incremental_rollup", "t24_source_drift",
+    "q55_segment_order_stats")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
