@@ -304,7 +304,43 @@ object KernelQueries {
             $"error")
           .orderBy($"doc_id")
       },
-      Some(K1OracleSql))
+      Some(K1OracleSql)),
+
+    // ------------------------------------------------------------------ k6
+    // The V2 SINK under the oracle: every document's text delivered as
+    // one artifact file through `doclingsink`'s two-phase write protocol
+    // (graft.sources.DocSink — parallel task writers, staged publish,
+    // driver commit), then the DELIVERED DIRECTORY read back with
+    // binaryFile and measured. The oracle recomputes the expected byte
+    // sizes from the documents table, so a lost row, truncated file or
+    // staging leak shows up as a value mismatch — the sink's protocol
+    // specs (DocSinkSpec) cover abort/overwrite; this row proves the
+    // happy path end-to-end at every SF.
+    QuerySpec(
+      "k6_dsv2_sink_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val out = java.nio.file.Files.createTempDirectory("graft_k6").toString
+        // spread the delivery across writer tasks: the parquet scan of a
+        // small table is ONE input partition, and a single task writing
+        // every artifact serially measured 24 s at sf0.1 vs 4 s
+        // repartitioned — at lake scale the upstream is already
+        // many-partitioned and this exchange disappears
+        Tables(s, dir, "documents").filter($"text".isNotNull)
+          .repartition(32)
+          .select(
+            concat(lit("doc"), $"doc_id".cast("string"), lit(".md")).as("filename"),
+            $"text".as("content"))
+          .write.format("doclingsink").mode("append").save(out)
+        s.read.format("binaryFile").load(out)
+          .select(
+            regexp_extract($"path", "doc(\\d+)\\.md", 1).cast("long").as("doc_id"),
+            $"length".as("n_bytes"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""))
   )
 
   /** k1's oracle, shared verbatim by k5 (the DSv2 connector must produce
