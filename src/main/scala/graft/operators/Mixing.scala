@@ -713,10 +713,15 @@ object Mixing {
     // contract a dataloader needs, reproducible from (seed, epoch)
     // alone). The epoch replication is a narrow explode (no join, no
     // shuffle — each doc row fans out to E rows in place); order is the
-    // md5 over seed:epoch:doc_id with the shard nibble keeping ranking
-    // shard-local exactly as p6 (4 nibbles = 65,536 file-sized shards at
-    // 100 TB; p5's prefix sum swaps in beyond the window). One hash
-    // exchange on (epoch, shard) total for all epochs.
+    // md5 over seed:epoch:doc_id with ONE shard nibble keeping ranking
+    // shard-local exactly as p6 — 16 shards, sized for fixture scale so
+    // every shard carries enough rows to exercise the window. At lake
+    // scale one nibble's (epoch, shard) partitions would each hold 1/16
+    // of the corpus — the fat-reducer funnel — so the prefix widens with
+    // the data (4 nibbles = 65,536 file-sized shards at 100 TB), and
+    // beyond any single-window comfort p5's grouped two-phase prefix sum
+    // replaces the window outright. One hash exchange on (epoch, shard)
+    // total for all epochs.
     QuerySpec(
       "p11_epoch_schedule",
       (s, dir) => {

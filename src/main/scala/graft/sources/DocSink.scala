@@ -28,14 +28,21 @@ import org.apache.spark.util.SerializableConfiguration
   *
   *  - executors write IN PARALLEL, each task streaming its rows straight
   *    to the filesystem — no collect, no single-writer funnel;
-  *  - staged two-phase delivery with TASK-SIDE publish: every task
-  *    writes under a hidden per-job staging dir and publishes its own
+  *  - staged two-phase delivery with TASK-SIDE publish: every ATTEMPT
+  *    writes under its own hidden staging subdir
+  *    (`_staging_<jobId>/<partitionId>-<taskId>`) and publishes its own
   *    files (delete-then-rename, so re-delivery of a filename
   *    overwrites cleanly) in its commit() — which Spark's output-commit
   *    coordinator invokes for AT MOST ONE attempt per task, so retries
-  *    and speculation cannot double-publish. A task that fails or
-  *    aborts before commit leaves only staged files, removed by task
-  *    abort and the driver-side job abort backstop. This is the
+  *    and speculation cannot double-publish. The per-attempt subdir is
+  *    what makes that safe under speculation: two live attempts of the
+  *    same task never share a staging path, so a losing attempt's
+  *    abort() (which removes only ITS subdir) cannot delete files a
+  *    sibling winning attempt staged but has not yet renamed, and two
+  *    attempts never race a create(overwrite) on the same staged file.
+  *    A task that fails or aborts before commit leaves only its own
+  *    staged subdir, removed by task abort and the driver-side job
+  *    abort backstop. This is the
   *    FileOutputCommitter-v2 shape: the first cut published from the
   *    DRIVER's job commit (v1, strictly atomic-ish) and its serial
   *    per-file renames measured 21 s for 5 000 artifacts — task-side
@@ -132,15 +139,19 @@ final class DocSinkWriterFactory(dir: String, jobId: String,
                                  conf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DocSinkWriter(dir, jobId, filenameIdx, contentIdx, conf)
+    new DocSinkWriter(dir, jobId, partitionId, taskId, filenameIdx, contentIdx, conf)
 }
 
 final class DocSinkWriter(dir: String, jobId: String,
+                          partitionId: Int, taskId: Long,
                           filenameIdx: Int, contentIdx: Int,
                           conf: SerializableConfiguration)
     extends DataWriter[InternalRow] {
 
-  private val staging = new Path(dir, s"_staging_$jobId")
+  // per-ATTEMPT staging subdir: taskId is unique per attempt, so
+  // speculative twins of the same partition never share a path
+  private val staging =
+    new Path(new Path(dir, s"_staging_$jobId"), s"$partitionId-$taskId")
   private lazy val fs = {
     val f = staging.getFileSystem(conf.value)
     // local ChecksumFileSystem would shadow every artifact with a .crc
@@ -151,11 +162,16 @@ final class DocSinkWriter(dir: String, jobId: String,
   private val written = scala.collection.mutable.ArrayBuffer.empty[String]
 
   override def write(row: InternalRow): Unit = {
-    // basename only: a filename carrying separators cannot escape dir
-    val name = row.getUTF8String(filenameIdx).toString
-      .split('/').last.split('\\').last
+    // basename only: a filename carrying separators cannot escape dir.
+    // Take the substring after the last separator explicitly so that
+    // separator-only ("/") and trailing-separator ("a/") names fall
+    // into the require below with its clear diagnostic instead of an
+    // opaque empty.last or a silent collapse to the parent segment.
+    val raw = row.getUTF8String(filenameIdx).toString
+    val cut = math.max(raw.lastIndexOf('/'), raw.lastIndexOf('\\'))
+    val name = raw.substring(cut + 1)
     require(name.nonEmpty && name != "." && name != "..",
-      s"doclingsink: unusable filename '$name'")
+      s"doclingsink: unusable filename '$raw'")
     val out = fs.create(new Path(staging, name), true)
     try out.write(row.getUTF8String(contentIdx).getBytes)
     finally out.close()
@@ -180,9 +196,12 @@ final class DocSinkWriter(dir: String, jobId: String,
   }
 
   override def abort(): Unit = {
-    // task-level abort: drop this task's staged files; the job-level
-    // abort removes the whole staging dir as the backstop
-    written.foreach(n => fs.delete(new Path(staging, n), false))
+    // attempt-level abort: drop ONLY this attempt's staging subdir —
+    // a sibling attempt's staged files live under their own subdir and
+    // are untouched; the job-level abort removes the whole per-job
+    // staging tree as the backstop
+    fs.delete(staging, true)
+    ()
   }
 
   override def close(): Unit = ()

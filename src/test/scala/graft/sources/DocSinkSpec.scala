@@ -70,6 +70,42 @@ class DocSinkSpec extends SparkTestBase {
     assert(listVisible(dir).isEmpty, "rejected write left artifacts")
   }
 
+  test("a losing speculative attempt's abort cannot unstage its twin's files") {
+    // two live attempts of the same partition (speculation): each stages
+    // under its own attempt subdir, so the loser's abort() removes only
+    // its own files and the winner still publishes
+    val dir = tmp()
+    val bw = new DocSinkBatchWrite(dir, 0, 1)
+    val factory = bw.createBatchWriterFactory(null)
+    val winner = factory.createWriter(0, 1L)
+    val loser = factory.createWriter(0, 2L)
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("spec.txt"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("winner bytes"))
+    winner.write(row)
+    loser.write(row)
+    loser.abort()                    // loses the commit-coordinator race
+    winner.commit()                  // must still find its staged file
+    bw.commit(Array.empty)
+    assert(new String(Files.readAllBytes(Paths.get(dir, "spec.txt"))) == "winner bytes")
+    assert(new java.io.File(dir).listFiles().forall(!_.getName.startsWith("_staging_")))
+  }
+
+  test("separator-only and trailing-separator filenames get the clear diagnostic") {
+    val dir = tmp()
+    val bw = new DocSinkBatchWrite(dir, 0, 1)
+    Seq("/", "\\", "a/", "dir/..").foreach { bad =>
+      val w = bw.createBatchWriterFactory(null).createWriter(0, 9L)
+      val row = org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(bad),
+        org.apache.spark.unsafe.types.UTF8String.fromString("x"))
+      val e = intercept[IllegalArgumentException](w.write(row))
+      assert(e.getMessage.contains("unusable filename"), s"'$bad' → ${e.getMessage}")
+      w.abort()
+    }
+    bw.abort(Array.empty)
+  }
+
   test("task abort leaves nothing visible; job abort clears staging") {
     // drive the writer API directly to exercise the failure path the
     // engine takes on task retry/job failure
