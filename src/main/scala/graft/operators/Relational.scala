@@ -27,6 +27,38 @@ object Relational {
   /** Exact sum of a double column via decimal, surfaced as double. */
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** q56's exact-mode accuracy: while n < this, the GK summary never
+    * compacts (rank error n/accuracy < 1), so cutpoints are exact order
+    * statistics. Lake deployments drop to a sketch accuracy (x2's 100)
+    * and inherit the rank-error envelope instead. */
+  private[graft] val SketchExactAccuracy = 1000000
+
+  /** Per-customer decile assignment via GK cutpoints — q56's body,
+    * shared with SketchesSpec's accuracy-envelope measurement. Returns
+    * one row per customer: (c_custkey, c_acctbal, decile). The ranked
+    * key is integer cents · 100000 + custkey: unique, and
+    * order-isomorphic to (c_acctbal, c_custkey) while custkey < 100000
+    * (spec-pinned at fixture scales; a lake build widens the radix). */
+  private[graft] def sketchDeciles(s: SparkSession, dir: String,
+                                   accuracy: Int): DataFrame = {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer")
+      .select($"c_custkey", $"c_acctbal",
+        (round($"c_acctbal" * 100).cast("long") * 100000L
+          + $"c_custkey".cast("long")).as("v"))
+    val cuts = cust
+      .agg(percentile_approx($"v",
+        array((1 to 9).map(i => lit(i / 10.0)): _*), lit(accuracy)).as("qs"))
+      .select((0 until 9).map(i => $"qs" (i).as(s"cut$i")): _*)
+    // 1-row broadcast cross (the t16 scalar-cross shape); the comparison
+    // chain is plain integer arithmetic inside whole-stage codegen
+    cust.crossJoin(broadcast(cuts))
+      .withColumn("decile",
+        (0 until 9).map(i => when($"v" > col(s"cut$i"), 1).otherwise(0))
+          .reduce(_ + _) + lit(1))
+      .select($"c_custkey", $"c_acctbal", $"decile")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----------------------------------------------------------------- q1
@@ -1627,6 +1659,52 @@ object Relational {
         s.sql(Q55Sql)
       },
       Some(Q55Sql)),
+
+    // ---------------------------------------------------------------- q56
+    // The lake-scale decile path every q35/q52/q55 scaladoc promises,
+    // shipped as its own oracle row (the d13-twin pattern): equal-
+    // frequency bucketing WITHOUT the global sort. q35's NTILE needs a
+    // total order — a range exchange into effectively one reducer chain —
+    // which is fine for a dimension and a wall at 100 TB. Here the
+    // boundaries come from the mergeable GK quantile summary instead
+    // (one hash aggregate, constant-size partials, no sort anywhere),
+    // the 9 cutpoints broadcast back as a 1-row frame, and bucket
+    // assignment is a map-side comparison chain inside whole-stage
+    // codegen — scan, bucket, partial-agg, 10-row exchange. Plan shape:
+    // O(n) map work + two constant-size exchanges, at ANY corpus size.
+    //
+    // Exactness contract (why a hash oracle can pin a sketch path): the
+    // ranked key packs integer cents with the c_custkey tiebreak
+    // (v = cents·100000 + custkey), making it UNIQUE and exactly
+    // order-isomorphic to q35's ORDER BY (c_acctbal, c_custkey). Below
+    // the summary's compression threshold (n < accuracy = 1e6) GK keeps
+    // every sample, so query(i/10) returns the value at rank
+    // ceil(i·n/10); with the fixture tables' n ≡ 0 (mod 10) that rank IS
+    // NTILE's bucket-i boundary row, and `decile = 1 + Σ(v > cut_i)`
+    // reproduces NTILE membership row-for-row. Both preconditions
+    // (divisibility, exact-mode capacity, custkey < tiebreak radix) are
+    // spec-pinned; beyond exact mode the GK guarantee (rank error
+    // ≤ n/accuracy) bounds every row's decile to ±1 of truth with at
+    // most 18n/accuracy rows off — SketchesSpec measures that envelope
+    // at sketch accuracy on the same helper. Oracle: q35's exact NTILE
+    // aggregate verbatim — indistinguishable output from a plan that
+    // never sorts.
+    QuerySpec(
+      "q56_sketch_decile_cutpoints",
+      (s, dir) => {
+        import s.implicits._
+        sketchDeciles(s, dir, SketchExactAccuracy)
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("bal_sum"))
+          .orderBy($"decile")
+      },
+      Some("""
+        WITH d AS (
+          SELECT c_acctbal, NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+          FROM customer)
+        SELECT decile, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_sum
+        FROM d GROUP BY decile ORDER BY decile""")),
 
     // ---------------------------------------------------------------- q53
     // MULTISET set operations — EXCEPT ALL / INTERSECT ALL, the

@@ -79,7 +79,11 @@ class PlanAuditSpec extends SparkTestBase {
     "q54_incremental_rollup",
     // t24 crosses the 1-ROW corpus-total scalar onto the vocab-sized
     // per-source counts — the t16 scalar-cross shape
-    "t24_source_drift")
+    "t24_source_drift",
+    // q56 crosses the 1-ROW GK-cutpoint frame onto the customer scan —
+    // the t16 scalar-cross shape (that broadcast replacing the global
+    // sort is the query's entire point)
+    "q56_sketch_decile_cutpoints")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -117,7 +121,7 @@ class PlanAuditSpec extends SparkTestBase {
     "s7_matryoshka_topk", "s8_knn_join", "x6_theta_exclusive_users",
     "q52_balance_distribution", "t23_readability", "q53_multiset_ops",
     "q54_incremental_rollup", "t24_source_drift",
-    "q55_segment_order_stats")
+    "q55_segment_order_stats", "q56_sketch_decile_cutpoints")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
@@ -309,6 +313,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"q45 degraded to a non-broadcast join at fixture scale:\n${p.take(800)}")
     assert("HashAggregate".r.findAllIn(p).size >= 3,
       s"q45 lost its per-stage pre-aggregation:\n${p.take(800)}")
+  }
+
+  test("q56 buckets without sorting: no window, no data-order range exchange") {
+    // the sketch-cutpoint path must never plan q35's shape — the only
+    // range exchange allowed is the 10-row presentation sort on decile
+    val p = planOf("q56_sketch_decile_cutpoints")
+    assert(!p.contains("Window ["), s"q56 fell back to a window:\n${p.take(600)}")
+    assert(!p.contains("rangepartitioning(v") && !p.contains("rangepartitioning(c_acctbal"),
+      s"q56 range-exchanges the data order it exists to avoid:\n${p.take(800)}")
+    assert(p.contains("rangepartitioning(decile"),
+      s"q56 lost its presentation sort:\n${p.take(600)}")
   }
 
   test("p7 z-order key stays in whole-stage codegen: one agg exchange + sort") {

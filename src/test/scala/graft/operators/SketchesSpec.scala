@@ -255,4 +255,67 @@ class SketchesSpec extends SparkTestBase {
     assert(exact.exists { case (k, n) => probed(k) > n },
       "premise: width-8 grid with 512 keys must collide somewhere")
   }
+
+  test("q56 preconditions hold at every driver scale factor") {
+    // the exact-NTILE oracle is valid because (a) n ≡ 0 (mod 10): the GK
+    // rank ceil(i·n/10) IS NTILE's bucket-i boundary; (b) n below the
+    // exact-mode accuracy: the summary never compacts; (c) custkey under
+    // the tiebreak radix: the packed key stays order-isomorphic to
+    // (c_acctbal, c_custkey)
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val dir = s"/root/testdata/$sf"
+      val cust = graft.Tables(spark, dir, "customer")
+      val (n, maxKey) = cust
+        .agg(count(lit(1)), max($"c_custkey".cast("long")))
+        .as[(Long, Long)].head()
+      assert(n % 10 == 0, s"$sf: NTILE/cutpoint rank identity needs 10 | n, got $n")
+      assert(n < Relational.SketchExactAccuracy,
+        s"$sf: exact-mode capacity exceeded ($n)")
+      assert(maxKey < 100000L, s"$sf: custkey $maxKey overflows the tiebreak radix")
+    }
+  }
+
+  test("q56's exact-mode cutpoints reproduce q35's NTILE deciles row-for-row") {
+    // the per-ROW claim behind the aggregate oracle: at exact accuracy,
+    // every single customer lands in the same decile the global sort
+    // would assign
+    val viaSort = graft.Tables(spark, sfDir, "customer")
+      .select($"c_custkey", ntile(10).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"c_acctbal", $"c_custkey")).as("decile"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaCuts = Relational
+      .sketchDeciles(spark, sfDir, Relational.SketchExactAccuracy)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(viaCuts == viaSort, {
+      val diff = viaCuts.collect {
+        case (k, d) if viaSort(k) != d => s"$k: cut=$d sort=${viaSort(k)}"
+      }
+      s"${diff.size} rows disagree: ${diff.take(5).mkString(", ")}"
+    })
+  }
+
+  test("q56 at sketch accuracy keeps the GK decile envelope: ±1, few rows off") {
+    // the beyond-exact-mode contract a lake deployment relies on: with
+    // rank error ≤ n/accuracy per cutpoint, a row can only cross the ONE
+    // boundary it sits within error of (bucket width n/10 >> n/accuracy),
+    // and at most 9 boundaries × 2·n/accuracy rows can flip at all
+    val accuracy = 100 // x2's sketch-mode setting: 1% rank error
+    val exact = graft.Tables(spark, sfDir, "customer")
+      .select($"c_custkey", ntile(10).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"c_acctbal", $"c_custkey")).as("decile"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val approx = Relational.sketchDeciles(spark, sfDir, accuracy)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(approx.keySet == exact.keySet)
+    val n = exact.size
+    val flipped = exact.count { case (k, d) => approx(k) != d }
+    exact.foreach { case (k, d) =>
+      assert(math.abs(approx(k) - d) <= 1,
+        s"customer $k drifted >1 decile: exact $d vs sketch ${approx(k)}")
+    }
+    assert(flipped <= 18 * n / accuracy,
+      s"$flipped of $n rows flipped — beyond the 18n/accuracy envelope")
+  }
 }
