@@ -118,6 +118,56 @@ object Sketches {
       },
       None),
 
+    // ----------------------------------------------------------------- x7
+    // x2's ORACLE TWIN — the same GK quantile plan run in exact mode,
+    // under a hash oracle (the x3/x4 capacity argument, landed for GK):
+    // while a group's n stays below the summary's accuracy, rank error
+    // n/accuracy < 1 means the summary never compacts and query(q)
+    // returns EXACTLY the value at 1-based rank ceil(q·n) of the group's
+    // sorted order (convention probed empirically across n ∈ {7..997},
+    // q ∈ {0.1..0.9} — 24/24 match ceil(q·n) and no other formula). That
+    // is precisely t11's oracle-deterministic discrete quantile, so the
+    // whole sketch path — per-partition updates, partial merges in any
+    // order, final query — is pinned by DuckDB row-for-row, while the
+    // PLAN stays the scale shape (hash aggregate with mergeable
+    // constant-size partials, no window, no per-group sort). x2 keeps
+    // the production accuracy and its envelope spec; SketchesSpec pins
+    // the capacity precondition per driver SF, the x1 lesson (HLL's
+    // coupon range ended an order of magnitude before the fixture) made
+    // explicit for GK.
+    QuerySpec(
+      "x7_gk_exact_mode_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"text".isNotNull)
+          .select($"lang",
+            size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            percentile_approx($"n_tokens", array(lit(0.5), lit(0.9)),
+              lit(Relational.SketchExactAccuracy)).as("qs"))
+          .select($"lang", $"n_docs",
+            $"qs" (0).as("p50_tokens"), $"qs" (1).as("p90_tokens"))
+          .orderBy($"lang")
+      },
+      Some(raw"""
+        WITH t AS (
+          SELECT lang,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents WHERE text IS NOT NULL),
+        r AS (
+          SELECT lang, n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens) AS rk,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM t)
+        SELECT lang,
+               CAST(MAX(n) AS BIGINT) AS n_docs,
+               MAX(CASE WHEN rk = CAST(CEIL(n * 0.5) AS BIGINT) THEN n_tokens END) AS p50_tokens,
+               MAX(CASE WHEN rk = CAST(CEIL(n * 0.9) AS BIGINT) THEN n_tokens END) AS p90_tokens
+        FROM r GROUP BY lang ORDER BY lang""")),
+
     // ----------------------------------------------------------------- x3
     // Heavy-hitter tokens per language via a mergeable Misra-Gries
     // frequent-items sketch (graft.functions.FrequentItemsAgg, a custom

@@ -121,7 +121,8 @@ class PlanAuditSpec extends SparkTestBase {
     "s7_matryoshka_topk", "s8_knn_join", "x6_theta_exclusive_users",
     "q52_balance_distribution", "t23_readability", "q53_multiset_ops",
     "q54_incremental_rollup", "t24_source_drift",
-    "q55_segment_order_stats", "q56_sketch_decile_cutpoints")
+    "q55_segment_order_stats", "q56_sketch_decile_cutpoints",
+    "x7_gk_exact_mode_quantiles")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>

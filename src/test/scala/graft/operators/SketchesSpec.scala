@@ -197,7 +197,31 @@ class SketchesSpec extends SparkTestBase {
             s"(${Sketches.FreqMapSize}) — x3's Misra-Gries sketch would " +
             "purge and its exact top-k oracle becomes invalid; register " +
             "x3 rows-only (oracle = None) before the driver runs CORRECTNESS")
+        // x7's GK precondition: every language group must stay below the
+        // exact-mode accuracy, or the summary compacts and the rank-
+        // identity oracle (value at ceil(q·n)) becomes invalid
+        val maxLangDocs = graft.Tables(spark, dir, "documents")
+          .filter($"text".isNotNull)
+          .groupBy($"lang").agg(count(lit(1)).as("n"))
+          .agg(max($"n")).as[Long].head()
+        assert(maxLangDocs < Relational.SketchExactAccuracy,
+          s"$dir: a language holds $maxLangDocs docs >= exact-mode " +
+            s"accuracy (${Relational.SketchExactAccuracy}) — x7's GK " +
+            "summary would compact and its rank-identity oracle becomes " +
+            "invalid; register x7 rows-only before the driver runs " +
+            "CORRECTNESS")
       }
+  }
+
+  test("x7 exact-mode quantiles equal t11's exact window quantiles") {
+    // the twin claim made inside Spark (the oracle makes it cross-engine):
+    // the sketch plan and the sort plan answer identically below capacity
+    val viaSketch = graft.SparkEntry.queries("x7_gk_exact_mode_quantiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val viaSort = graft.SparkEntry.queries("t11_length_quantiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(viaSketch == viaSort,
+      s"sketch vs sort quantiles disagree: $viaSketch vs $viaSort")
   }
 
   // ------------------------------------------------------------------- x5
