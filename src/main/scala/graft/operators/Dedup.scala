@@ -870,7 +870,136 @@ object Dedup {
                END AS overlap_frac,
                COALESCE(a.n_shared, 0) * 4 > COALESCE(a.n_grams, 0) AS flagged
         FROM documents d LEFT JOIN agg a USING (doc_id)
-        WHERE d.doc_id % 7 <> 0 ORDER BY d.doc_id"""))
+        WHERE d.doc_id % 7 <> 0 ORDER BY d.doc_id""")),
+
+    // ---------------------------------------------------------------- d17
+    // Domain/URL-level dedup — the CommonCrawl FIRST pass that runs
+    // before any content hashing: canonicalize the crawl URL (lowercase
+    // scheme+host, strip "www.", strip scheme-default ports, drop the
+    // fragment, remove tracking parameters, sort the survivors), collapse
+    // to one page per canonical URL, roll up per-domain page counts, and
+    // anti-join a domain blocklist. The fixtures carry no URL column, so
+    // the crawl frontier is SYNTHESIZED deterministically from doc_id —
+    // every consecutive triple shares one true page but each member wears
+    // different junk (mixed case, WWW., :80/:443, utm_*/ref= params,
+    // #fragment, shuffled param order), plus an every-11th :8080 row
+    // whose NON-default port must survive as a genuinely distinct URL.
+    // The oracle replays the identical synthesis and canonicalization, so
+    // every normalization rule is hash-pinned: a canonicalizer that
+    // misses one rule (or strips a real port) splits or merges pages and
+    // changes the counts.
+    // Scale: canonicalization is a single map-side pass (regexp + a
+    // ≤4-element param sort — a lake build would fuse it into a codegen
+    // Expression like graft_nfc); page collapse is ONE shuffle on the
+    // canonical URL; the domain rollup moves |domains| rows; the
+    // blocklist is a broadcast anti-join. Nothing global, nothing sorted.
+    QuerySpec(
+      "d17_url_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val g = expr("doc_id DIV 3")
+        val schemeTrue = when(g % 2 === 0, "http").otherwise("https")
+        val hostTrue = concat(lit("d"), (g % 40).cast("string"), lit(".example.com"))
+        val page = (g % 7).cast("string")
+        val url = concat(
+          when($"doc_id" % 2 === 0, upper(schemeTrue)).otherwise(schemeTrue),
+          lit("://"),
+          when($"doc_id" % 4 === 0, "WWW.").otherwise(""),
+          when($"doc_id" % 3 === 0, upper(hostTrue)).otherwise(hostTrue),
+          when($"doc_id" % 11 === 0, ":8080")
+            .when($"doc_id" % 5 === 0, when(g % 2 === 0, ":80").otherwise(":443"))
+            .otherwise(""),
+          lit("/docs/"), g.cast("string"),
+          when($"doc_id" % 2 === 0,
+            concat(lit("?page="), page, lit("&utm_source=feed&a=1&ref=tw")))
+            .otherwise(concat(lit("?utm_campaign=c"), $"doc_id".cast("string"),
+              lit("&a=1&ref=tw&page="), page)),
+          when($"doc_id" % 6 === 0, "#sec").otherwise(""))
+        val withUrl = Tables(s, dir, "documents").select($"doc_id", url.as("url"))
+        // canonicalize from the URL STRING alone — generic, no peeking at
+        // the synthesis variables
+        val sch = lower(regexp_extract($"url", "^([A-Za-z]+)://", 1))
+        val hp = lower(regexp_extract($"url", "^[A-Za-z]+://([^/?#]*)", 1))
+        val host = regexp_replace(regexp_replace(hp, ":\\d+$", ""), "^www\\.", "")
+        val prt = regexp_extract(hp, ":(\\d+)$", 1)
+        val rawPath = regexp_extract($"url", "^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
+        val kept = array_join(sort_array(filter(split(regexp_extract($"url", "\\?([^#]*)", 1), "&"),
+          p => !(p.startsWith("utm_") || p.startsWith("ref=") ||
+            p.startsWith("fbclid=") || p.startsWith("gclid=")))), "&")
+        val canon = concat(sch, lit("://"), host,
+          when(prt === "" || (sch === "http" && prt === "80") ||
+            (sch === "https" && prt === "443"), "").otherwise(concat(lit(":"), prt)),
+          when(rawPath === "", "/").otherwise(rawPath),
+          when(kept === "", "").otherwise(concat(lit("?"), kept)))
+        val pages = withUrl
+          .select($"doc_id", host.as("domain"), canon.as("canon"))
+          .groupBy($"domain", $"canon")
+          .agg(min($"doc_id").as("first_doc"), count(lit(1)).as("n_docs"))
+        val blocklist = Seq("d3.example.com", "d7.example.com", "d13.example.com")
+          .toDF("domain")
+        pages.join(broadcast(blocklist), Seq("domain"), "left_anti")
+          .groupBy($"domain")
+          .agg(count(lit(1)).as("n_pages"), sum($"n_docs").as("n_docs"),
+            min($"first_doc").as("first_doc"))
+          .orderBy($"domain")
+      },
+      Some(raw"""
+        WITH u AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0
+                  THEN upper(CASE WHEN (doc_id // 3) % 2 = 0 THEN 'http' ELSE 'https' END)
+                  ELSE (CASE WHEN (doc_id // 3) % 2 = 0 THEN 'http' ELSE 'https' END) END) ||
+            '://' ||
+            (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END) ||
+            (CASE WHEN doc_id % 3 = 0
+                  THEN upper('d' || CAST((doc_id // 3) % 40 AS VARCHAR) || '.example.com')
+                  ELSE 'd' || CAST((doc_id // 3) % 40 AS VARCHAR) || '.example.com' END) ||
+            (CASE WHEN doc_id % 11 = 0 THEN ':8080'
+                  WHEN doc_id % 5 = 0
+                  THEN (CASE WHEN (doc_id // 3) % 2 = 0 THEN ':80' ELSE ':443' END)
+                  ELSE '' END) ||
+            '/docs/' || CAST(doc_id // 3 AS VARCHAR) ||
+            (CASE WHEN doc_id % 2 = 0
+                  THEN '?page=' || CAST((doc_id // 3) % 7 AS VARCHAR) || '&utm_source=feed&a=1&ref=tw'
+                  ELSE '?utm_campaign=c' || CAST(doc_id AS VARCHAR) ||
+                       '&a=1&ref=tw&page=' || CAST((doc_id // 3) % 7 AS VARCHAR) END) ||
+            (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS sch,
+                 lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)) AS hp,
+                 regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path,
+                 regexp_extract(url, '\?([^#]*)', 1) AS q
+          FROM u),
+        c2 AS (
+          SELECT doc_id, sch,
+                 regexp_replace(regexp_replace(hp, ':\d+$$', ''), '^www\.', '') AS host,
+                 regexp_extract(hp, ':(\d+)$$', 1) AS prt,
+                 CASE WHEN path = '' THEN '/' ELSE path END AS path,
+                 array_to_string(list_sort(list_filter(string_split(q, '&'),
+                   p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=')
+                             OR starts_with(p, 'fbclid=') OR starts_with(p, 'gclid=')))), '&') AS kept
+          FROM c),
+        canon AS (
+          SELECT doc_id, host AS domain,
+                 sch || '://' || host ||
+                 (CASE WHEN prt = '' OR (sch = 'http' AND prt = '80')
+                       OR (sch = 'https' AND prt = '443')
+                       THEN '' ELSE ':' || prt END) ||
+                 path ||
+                 (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canon
+          FROM c2),
+        pages AS (
+          SELECT domain, canon, MIN(doc_id) AS first_doc, COUNT(*) AS n_docs
+          FROM canon GROUP BY domain, canon)
+        SELECT domain,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               MIN(first_doc) AS first_doc
+        FROM pages
+        WHERE domain NOT IN ('d3.example.com', 'd7.example.com', 'd13.example.com')
+        GROUP BY domain ORDER BY domain"""))
   )
 
   /** d10's winnow window (consecutive shingle hashes per min-selection).

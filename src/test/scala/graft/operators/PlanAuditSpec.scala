@@ -122,7 +122,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q52_balance_distribution", "t23_readability", "q53_multiset_ops",
     "q54_incremental_rollup", "t24_source_drift",
     "q55_segment_order_stats", "q56_sketch_decile_cutpoints",
-    "x7_gk_exact_mode_quantiles")
+    "x7_gk_exact_mode_quantiles", "d17_url_dedup")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
