@@ -1156,6 +1156,87 @@ object TextAnalysis {
         FROM by_src b
         JOIN src_tot s ON b.source = s.source
         JOIN corpus co ON b.token = co.token
-        GROUP BY b.source ORDER BY b.source"""))
+        GROUP BY b.source ORDER BY b.source""")),
+
+    // ---------------------------------------------------------------- t25
+    // Linear-model quality classifier — the fastText-style learned
+    // keep/drop gate that sits between t6's hard rules and t16/t19's LM
+    // scores in a real curation stack (CCNet/Dolma train a linear
+    // classifier on curated-vs-crawl labels and threshold the score).
+    // The model here is naive-Bayes log-odds — a CLOSED-FORM linear
+    // classifier, so "training" is two aggregates and the oracle can
+    // replay it exactly: label = curated sources (src0/src1) vs the
+    // rest, per-token weight w_t = ln((np+1)/(P+V)) − ln((nn+1)/(N+V))
+    // (Laplace-smoothed class-conditional log-odds), bias = class prior
+    // log-ratio, and a doc scores bias + Σ w_t over its tokens,
+    // length-normalized. keep is cut on the ROUNDED score (the t11
+    // round-before-rank rule, so the boundary is engine-stable); ln
+    // parity follows the t16 argument (≤2 ulp, rounded at 6dp far above
+    // accumulated error).
+    // Scale: exactly t8's broadcast-profile shape — the weight table is
+    // VOCAB-sized (what a shipped fastText model is), built by one
+    // token-level aggregate, broadcast back onto the token stream; the
+    // scoring pass is map-side + one per-doc aggregate. Re-scoring a new
+    // crawl with frozen weights is the same plan minus the training
+    // aggregates.
+    QuerySpec(
+      "t25_quality_classifier",
+      (s, dir) => {
+        import s.implicits._
+        val curated = Seq("src0", "src1")
+        val docs = Tables(s, dir, "documents").filter($"text".isNotNull)
+        val toks = docs
+          .select($"doc_id", $"source", explode(split($"text", " ")).as("tok"))
+          .persist()
+        val counts = toks
+          .withColumn("pos", when($"source".isin(curated: _*), 1L).otherwise(0L))
+          .groupBy($"tok")
+          .agg(sum($"pos").as("np"), sum(lit(1L) - $"pos").as("nn"))
+        val totals = counts
+          .agg(sum($"np").as("ptot"), sum($"nn").as("ntot"), count(lit(1)).as("v"))
+        val weights = counts.crossJoin(broadcast(totals))
+          .select($"tok",
+            (log(($"np" + 1L).cast("double") / ($"ptot" + $"v").cast("double")) -
+              log(($"nn" + 1L).cast("double") / ($"ntot" + $"v").cast("double"))).as("w"))
+        val bias = docs.agg(
+          log(sum(when($"source".isin(curated: _*), 1L).otherwise(0L)).cast("double") /
+            sum(when($"source".isin(curated: _*), 0L).otherwise(1L)).cast("double"))
+            .as("bias"))
+        val score = round(($"bias" + $"sw") / $"n_tokens".cast("double"), 6)
+        val scored = toks.join(broadcast(weights), "tok")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum($"w").as("sw"))
+          .crossJoin(broadcast(bias))
+          .select($"doc_id", $"n_tokens", score.as("score"), (score > 0.0).as("keep"))
+        graft.Materialize.thenRelease(scored, toks).orderBy($"doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+        toks AS (
+          SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM d),
+        counts AS (
+          SELECT tok,
+                 SUM(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS np,
+                 SUM(CASE WHEN source IN ('src0', 'src1') THEN 0 ELSE 1 END) AS nn
+          FROM toks GROUP BY tok),
+        tot AS (SELECT SUM(np) AS ptot, SUM(nn) AS ntot, COUNT(*) AS v FROM counts),
+        w AS (
+          SELECT tok,
+                 ln(CAST(np + 1 AS DOUBLE) / CAST((SELECT ptot + v FROM tot) AS DOUBLE)) -
+                 ln(CAST(nn + 1 AS DOUBLE) / CAST((SELECT ntot + v FROM tot) AS DOUBLE)) AS w
+          FROM counts),
+        b AS (
+          SELECT ln(CAST(SUM(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS DOUBLE) /
+                    CAST(SUM(CASE WHEN source IN ('src0', 'src1') THEN 0 ELSE 1 END) AS DOUBLE)) AS bias
+          FROM d),
+        sc AS (
+          SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 (SELECT bias FROM b) + SUM(w.w) AS raw
+          FROM toks t JOIN w USING (tok) GROUP BY t.doc_id)
+        SELECT doc_id, n_tokens,
+               ROUND(raw / n_tokens, 6) AS score,
+               ROUND(raw / n_tokens, 6) > 0 AS keep
+        FROM sc ORDER BY doc_id"""))
   )
 }

@@ -254,4 +254,29 @@ class CorpusAnalyticsSpec extends SparkTestBase {
         "partitioning changed the curriculum order")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("t25 classifier separates its training classes (and is a real model)") {
+    // the closed-form NB log-odds model must actually LEARN the
+    // curated-vs-crawl separation it was trained on: curated sources
+    // score higher on average and pass the keep gate more often. (Not a
+    // tautology — a broken weight formula, a dropped bias, or a
+    // mis-joined weight table all collapse the separation.)
+    val scores = graft.SparkEntry.queries("t25_quality_classifier")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    val srcOf = graft.Tables(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select($"doc_id", $"source")
+      .as[(Long, String)].collect().toMap
+    val (curated, crawl) = scores.partition { case (id, _) =>
+      Set("src0", "src1")(srcOf(id))
+    }
+    assert(curated.nonEmpty && crawl.nonEmpty)
+    val meanCur = curated.values.map(_._1).sum / curated.size
+    val meanCrawl = crawl.values.map(_._1).sum / crawl.size
+    assert(meanCur > meanCrawl,
+      s"model failed to separate: curated mean $meanCur <= crawl mean $meanCrawl")
+    val keepCur = curated.values.count(_._2).toDouble / curated.size
+    val keepCrawl = crawl.values.count(_._2).toDouble / crawl.size
+    assert(keepCur > keepCrawl,
+      s"keep gate inverted: curated $keepCur <= crawl $keepCrawl")
+  }
 }

@@ -83,7 +83,11 @@ class PlanAuditSpec extends SparkTestBase {
     // q56 crosses the 1-ROW GK-cutpoint frame onto the customer scan —
     // the t16 scalar-cross shape (that broadcast replacing the global
     // sort is the query's entire point)
-    "q56_sketch_decile_cutpoints")
+    "q56_sketch_decile_cutpoints",
+    // t25 crosses two 1-ROW scalars (training totals onto the vocab-
+    // sized count frame; the bias onto the per-doc aggregate) — both the
+    // t16 scalar-cross shape
+    "t25_quality_classifier")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -122,7 +126,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q52_balance_distribution", "t23_readability", "q53_multiset_ops",
     "q54_incremental_rollup", "t24_source_drift",
     "q55_segment_order_stats", "q56_sketch_decile_cutpoints",
-    "x7_gk_exact_mode_quantiles", "d17_url_dedup")
+    "x7_gk_exact_mode_quantiles", "d17_url_dedup",
+    "t25_quality_classifier")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
