@@ -340,6 +340,52 @@ object KernelQueries {
       },
       Some("""
         SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents WHERE text IS NOT NULL ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------ k7
+    // BUNDLED delivery under the oracle — the 100 TB answer to k6's
+    // one-file-per-document (measured 8.8× wall at 10× data, file-count-
+    // linear by construction): `option("bundleDocs", 20)` packs 20
+    // documents per artifact shard with a sidecar byte-offset index
+    // (sources/DocSink.scala). The proof is EXACT accounting: the query
+    // reads the delivered directory back, joins every index entry to its
+    // shard's raw bytes, slices each document out by (offset, len) with
+    // substring-on-binary, and emits the slice's md5 — compared against
+    // md5(text) recomputed by DuckDB from the source table. A wrong
+    // offset, a swapped length, a torn shard or a lost trailing bundle
+    // cannot hash-match. Shard membership/order is left to the engine
+    // (it is not part of the contract); the content hash is.
+    // Scale: file count drops n/20-fold (tunable to file-system-sized
+    // shards); writers stream concatenated bytes with no extra copy; the
+    // read-back join is (bundle-name)-equi-keyed.
+    QuerySpec(
+      "k7_bundled_sink_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val out = java.nio.file.Files.createTempDirectory("graft_k7").toString
+        Tables(s, dir, "documents").filter($"text".isNotNull)
+          .repartition(32)
+          .select(
+            concat(lit("doc"), $"doc_id".cast("string"), lit(".md")).as("filename"),
+            $"text".as("content"))
+          .write.format("doclingsink").option("bundleDocs", 20)
+          .mode("append").save(out)
+        val bundles = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.bin").load(out)
+          .select(regexp_extract($"path", "([^/]+)$", 1).as("bundle"), $"content")
+        val idx = s.read
+          .schema("bundle STRING, name STRING, offset LONG, len LONG")
+          .json(out + "/*.idx")
+        idx.join(bundles, "bundle")
+          .select(
+            regexp_extract($"name", "doc(\\d+)\\.md", 1).cast("long").as("doc_id"),
+            $"len".as("n_bytes"),
+            md5(expr("substring(content, offset + 1, len)")).as("content_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5
         FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""))
   )
 

@@ -22,6 +22,23 @@ import org.apache.spark.util.SerializableConfiguration
   *   df.write.format("doclingsink").mode("append").save(outDir)
   * }}}
   *
+  * **Bundled delivery** (`option("bundleDocs", n)`, n > 0): instead of
+  * one file per row — correct as a connector proof, but at 100 TB
+  * one-file-per-document IS the small-files anti-pattern the shard sink
+  * (p3) exists to avoid — each task packs up to n documents per
+  * artifact shard: `bundle-<partition>-<task>-<seq>.bin` holds the
+  * concatenated UTF-8 payloads, and a sidecar
+  * `bundle-….bin.idx` carries one JSON line per document
+  * `{"bundle":…,"name":…,"offset":…,"len":…}` — exact byte/offset
+  * accounting a reader uses to slice any document back out without
+  * parsing the payload (the reference's batch endpoints likewise return
+  * N results in one payload; route.py:123-146). Bundles ride the same
+  * per-attempt staging + task-side publish protocol, so speculation/
+  * retry safety is identical to per-row mode. k7's oracle row slices
+  * every document back out of the delivered bundles by (offset, len)
+  * and md5-matches the source text — a wrong offset, a swapped length
+  * or a torn bundle cannot hash-match.
+  *
   * This is the delivery shape the reference's consumers end with (a
   * directory of per-document markdown/text artifacts) expressed through
   * the full V2 write protocol rather than a driver-side loop:
@@ -95,15 +112,18 @@ final class DocSinkTable(properties: Map[String, String])
       s"doclingsink expects (filename STRING, content STRING), got ${s.simpleString}")
     val fi = s.fieldIndex("filename")
     val ci = s.fieldIndex("content")
+    val bundle = info.options().getInt("bundleDocs", 0)
+    require(bundle >= 0, s"doclingsink: bundleDocs must be >= 0, got $bundle")
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new DocSinkBatchWrite(dir, fi, ci)
+        override def toBatch: BatchWrite = new DocSinkBatchWrite(dir, fi, ci, bundle)
       }
     }
   }
 }
 
-final class DocSinkBatchWrite(dir: String, filenameIdx: Int, contentIdx: Int)
+final class DocSinkBatchWrite(dir: String, filenameIdx: Int, contentIdx: Int,
+                              bundleDocs: Int = 0)
     extends BatchWrite {
 
   private val jobId = UUID.randomUUID().toString
@@ -115,7 +135,7 @@ final class DocSinkBatchWrite(dir: String, filenameIdx: Int, contentIdx: Int)
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new DocSinkWriterFactory(dir, jobId, filenameIdx, contentIdx, conf)
+    new DocSinkWriterFactory(dir, jobId, filenameIdx, contentIdx, bundleDocs, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // tasks already published their files in their own commit();
@@ -136,15 +156,18 @@ final case class DocSinkCommit(files: Seq[String]) extends WriterCommitMessage
 
 final class DocSinkWriterFactory(dir: String, jobId: String,
                                  filenameIdx: Int, contentIdx: Int,
+                                 bundleDocs: Int,
                                  conf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DocSinkWriter(dir, jobId, partitionId, taskId, filenameIdx, contentIdx, conf)
+    new DocSinkWriter(dir, jobId, partitionId, taskId, filenameIdx, contentIdx,
+      bundleDocs, conf)
 }
 
 final class DocSinkWriter(dir: String, jobId: String,
                           partitionId: Int, taskId: Long,
                           filenameIdx: Int, contentIdx: Int,
+                          bundleDocs: Int,
                           conf: SerializableConfiguration)
     extends DataWriter[InternalRow] {
 
@@ -161,6 +184,37 @@ final class DocSinkWriter(dir: String, jobId: String,
   }
   private val written = scala.collection.mutable.ArrayBuffer.empty[String]
 
+  // bundled-mode state: the open shard stream plus its offset index
+  private var bundleSeq = 0
+  private var bundleOut: org.apache.hadoop.fs.FSDataOutputStream = null
+  private var bundleOffset = 0L
+  private val bundleIndex =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+  private def bundleName = s"bundle-$partitionId-$taskId-$bundleSeq.bin"
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Seal the open shard: close the payload stream, write the sidecar
+    * index (one JSON line per document: bundle, name, offset, len), and
+    * queue both for this attempt's publish. */
+  private def closeBundle(): Unit = {
+    if (bundleOut != null) {
+      bundleOut.close()
+      val idx = fs.create(new Path(staging, bundleName + ".idx"), true)
+      try bundleIndex.foreach { case (name, off, len) =>
+        idx.write((s"""{"bundle":${jsonStr(bundleName)},"name":${jsonStr(name)}""" +
+          s""","offset":$off,"len":$len}""" + "\n").getBytes("UTF-8"))
+      } finally idx.close()
+      written += bundleName
+      written += bundleName + ".idx"
+      bundleOut = null
+      bundleOffset = 0L
+      bundleIndex.clear()
+      bundleSeq += 1
+    }
+  }
+
   override def write(row: InternalRow): Unit = {
     // basename only: a filename carrying separators cannot escape dir.
     // Take the substring after the last separator explicitly so that
@@ -172,14 +226,25 @@ final class DocSinkWriter(dir: String, jobId: String,
     val name = raw.substring(cut + 1)
     require(name.nonEmpty && name != "." && name != "..",
       s"doclingsink: unusable filename '$raw'")
-    val out = fs.create(new Path(staging, name), true)
-    try out.write(row.getUTF8String(contentIdx).getBytes)
-    finally out.close()
-    written += name
+    val bytes = row.getUTF8String(contentIdx).getBytes
+    if (bundleDocs > 0) {
+      if (bundleOut == null)
+        bundleOut = fs.create(new Path(staging, bundleName), true)
+      bundleOut.write(bytes)
+      bundleIndex += ((name, bundleOffset, bytes.length.toLong))
+      bundleOffset += bytes.length
+      if (bundleIndex.size >= bundleDocs) closeBundle()
+    } else {
+      val out = fs.create(new Path(staging, name), true)
+      try out.write(bytes)
+      finally out.close()
+      written += name
+    }
     ()
   }
 
   override def commit(): WriterCommitMessage = {
+    closeBundle() // seal a partially-filled trailing shard, if any
     // task-side publish (invoked for at most one attempt per task by
     // the output-commit coordinator): move this task's staged files
     // into place in parallel with every other committing task
@@ -196,6 +261,7 @@ final class DocSinkWriter(dir: String, jobId: String,
   }
 
   override def abort(): Unit = {
+    if (bundleOut != null) { bundleOut.close(); bundleOut = null }
     // attempt-level abort: drop ONLY this attempt's staging subdir —
     // a sibling attempt's staged files live under their own subdir and
     // are untouched; the job-level abort removes the whole per-job

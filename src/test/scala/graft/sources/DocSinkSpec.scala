@@ -70,6 +70,51 @@ class DocSinkSpec extends SparkTestBase {
     assert(listVisible(dir).isEmpty, "rejected write left artifacts")
   }
 
+  test("bundled mode packs <=N docs per shard and the index slices every doc back") {
+    val dir = tmp()
+    val docs = (0 until 40)
+      .map(i => (s"doc$i.md", s"# doc $i\ncontent-$i"))
+    docs.toDF("filename", "content").repartition(4)
+      .write.format("doclingsink").option("bundleDocs", 8)
+      .mode("append").save(dir)
+    val files = listVisible(dir)
+    val bins = files.filter(_.endsWith(".bin"))
+    val idxs = files.filter(_.endsWith(".idx"))
+    assert(bins.nonEmpty && idxs == bins.map(_ + ".idx"),
+      s"every shard needs exactly one sidecar index: $files")
+    assert(files == bins ++ idxs, s"stray per-doc files in bundled mode: $files")
+    // parse the index sidecars and slice every doc back out by offset/len
+    val entryRe =
+      """\{"bundle":"([^"]+)","name":"([^"]+)","offset":(\d+),"len":(\d+)\}""".r
+    val entries = idxs.toSeq.flatMap { idx =>
+      new String(Files.readAllBytes(Paths.get(dir, idx)), "UTF-8")
+        .linesIterator.map {
+          case entryRe(b, n, off, len) => (b, n, off.toLong, len.toInt)
+          case l => fail(s"unparseable index line: $l")
+        }
+    }
+    assert(entries.map(_._2).toSet == docs.map(_._1).toSet, "index lost docs")
+    entries.groupBy(_._1).foreach { case (b, es) =>
+      assert(es.size <= 8, s"$b holds ${es.size} docs > bundleDocs")
+      // offsets are contiguous from 0 and sum to the shard's byte size
+      val sorted = es.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"$b does not start at offset 0")
+      sorted.sliding(2).foreach {
+        case Seq((_, _, o1, l1), (_, _, o2, _)) =>
+          assert(o1 + l1 == o2, s"$b has a gap/overlap at offset $o2")
+        case _ =>
+      }
+      assert(sorted.last._3 + sorted.last._4 ==
+        Files.size(Paths.get(dir, b)), s"$b trailing bytes unaccounted")
+    }
+    val byName = docs.toMap
+    entries.foreach { case (b, n, off, len) =>
+      val bytes = Files.readAllBytes(Paths.get(dir, b))
+        .slice(off.toInt, off.toInt + len)
+      assert(new String(bytes, "UTF-8") == byName(n), s"$n reconstructed wrong")
+    }
+  }
+
   test("a losing speculative attempt's abort cannot unstage its twin's files") {
     // two live attempts of the same partition (speculation): each stages
     // under its own attempt subdir, so the loser's abort() removes only
