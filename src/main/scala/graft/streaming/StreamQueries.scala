@@ -125,6 +125,14 @@ object StreamQueries {
     path.getAbsolutePath
   }
 
+  /** Per-batch progress of the most recent catch-up run (runCatchUp or
+    * st6's inline runner) — read by StreamQueriesSpec's state-size pins,
+    * which turn "state is bounded by the watermark horizon / active
+    * keys" from scaladoc prose into a regression gate on
+    * `stateOperators.numRowsTotal`. */
+  @volatile private[graft] var lastRunProgress:
+      Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = Array.empty
+
   /** Run `transform` over the staged inbox as a rate-limited AvailableNow
     * catch-up stream to completion, and return the finalized rows read
     * back from the parquet sink — the shared runner behind every st*
@@ -165,6 +173,7 @@ object StreamQueries {
         .option("path", outDir)
         .start()
       q.awaitTermination()
+      lastRunProgress = q.recentProgress
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.read.parquet(outDir)
   }
@@ -423,6 +432,7 @@ object StreamQueries {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          lastRunProgress = q.recentProgress
         } finally {
           s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
           prevProvider match {
