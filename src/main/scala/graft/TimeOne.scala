@@ -5,7 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: time ONE registered query (same noop-sink methodology as
   * [[Bench]]) without paying the full 61-query sweep — for plan/perf
   * iteration on a single operator. Usage:
-  * `sbt "runMain graft.TimeOne <query> [sfDir] [iters]"`. */
+  * `sbt "runMain graft.TimeOne <query> [sfDir] [iters]"`.
+  *
+  * With `SPARK_GRAFT_MEMPROBE=1` a sampler thread additionally records,
+  * at 100 ms resolution: peak cached-RDD storage (mem + disk bytes and
+  * block-owner count — for the iterative families this IS the per-round
+  * localCheckpoint footprint) and peak JVM heap. The storage peak is the
+  * number SCALING.md's memory-telemetry rows cite: for pointer-jumping
+  * CC it answers "do the per-round checkpoints accumulate, or stay
+  * bounded at ~active-round size?" with a measurement. */
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -23,13 +31,39 @@ object TimeOne {
     Tables.names.foreach { t =>
       Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
     }
+    val probe = sys.env.get("SPARK_GRAFT_MEMPROBE").exists(_.nonEmpty)
     (1 to iters).foreach { i =>
+      @volatile var sampling = true
+      @volatile var peakStorage = 0L
+      @volatile var peakRdds = 0
+      @volatile var peakHeap = 0L
+      val sampler = if (probe) {
+        val t = new Thread(() => {
+          val rt = Runtime.getRuntime
+          while (sampling) {
+            val info = spark.sparkContext.getRDDStorageInfo
+            val bytes = info.map(x => x.memSize + x.diskSize).sum
+            if (bytes > peakStorage) peakStorage = bytes
+            if (info.length > peakRdds) peakRdds = info.length
+            val heap = rt.totalMemory() - rt.freeMemory()
+            if (heap > peakHeap) peakHeap = heap
+            Thread.sleep(100)
+          }
+        }, "graft-memprobe")
+        t.setDaemon(true); t.start(); Some(t)
+      } else None
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write
         .format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
+      sampling = false
+      sampler.foreach(_.join())
       spark.catalog.clearCache()
       System.err.println(f"[timeone] $name iter $i: $dt%.2f s")
+      if (probe) System.err.println(
+        f"[timeone] $name iter $i mem: peak cached storage " +
+          f"${peakStorage / 1048576.0}%.1f MiB across $peakRdds%d RDDs, " +
+          f"peak heap ${peakHeap / 1073741824.0}%.2f GiB")
     }
     spark.stop()
   }
