@@ -29,6 +29,12 @@ object Graph {
     * is past the point where scores move at 6 dp. */
   private val Rounds = 5
 
+  /** g3's hop cap — four levels covers the trade graph's diameter at
+    * every fixture scale (spec-pinned: the last frontier adds nothing),
+    * and a FIXED cap is what keeps the DuckDB oracle an exact unrolled
+    * replay rather than a convergence race. */
+  private val BfsHops = 4
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----------------------------------------------------------------- g1
@@ -136,7 +142,62 @@ object Graph {
           UNION ALL SELECT c FROM tri)
         SELECT custkey, CAST(COUNT(*) AS BIGINT) AS triangles
         FROM nodes GROUP BY custkey
-        ORDER BY triangles DESC, custkey"""))
+        ORDER BY triangles DESC, custkey""")),
+
+    // ----------------------------------------------------------------- g3
+    // Multi-source BFS hop distances — the third iterative-graph
+    // primitive beside d7's components and g1's PageRank: from a seed
+    // set (nation-0 customers), how many hops through the trade graph
+    // to every reachable counterparty? This is the reachability/
+    // blast-radius query (supply-chain exposure, fraud-ring proximity,
+    // k-hop feature generation). FRONTIER-based: each round joins only
+    // the newly-discovered frontier against the stationary edge list,
+    // anti-joins the visited set, and checkpoints (the d7/g1 plan-
+    // truncation convention) — per-round work tracks the frontier's
+    // incident edges, never re-scans the visited set, which is why BFS
+    // over a 100 TB edge list is rounds × (frontier-sized join + anti
+    // join) with the edges laid out once. A fixed 4-round cap keeps the
+    // oracle replayable: DuckDB unrolls four min-relaxation levels as
+    // chained re-aggregating CTEs (each level one row per node — no
+    // path explosion) and must land on the identical hop set; frontier
+    // BFS and level-wise relaxation provably compute the same min-hop
+    // function.
+    QuerySpec(
+      "g3_bfs_hops",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        val pairs = li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("c"), $"l_suppkey".as("p"))
+          .distinct()
+        val edges = pairs
+          .select($"c".as("src"), lit("c").as("src_t"),
+            $"p".as("dst"), lit("s").as("dst_t"))
+          .union(pairs.select($"p".as("src"), lit("s").as("src_t"),
+            $"c".as("dst"), lit("c").as("dst_t")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        val seeds = Tables(s, dir, "customer")
+          .filter($"c_nationkey" === 0)
+          .select(lit("c").as("t"), $"c_custkey".as("id"), lit(0L).as("hop"))
+        var dist = seeds.localCheckpoint(true)
+        var frontier = dist
+        for (i <- 1 to BfsHops) {
+          val next = edges
+            .join(frontier,
+              edges("src") === frontier("id") && edges("src_t") === frontier("t"))
+            .select($"dst_t".as("t"), $"dst".as("id")).distinct()
+            .join(dist, Seq("t", "id"), "left_anti")
+            .withColumn("hop", lit(i.toLong))
+            .localCheckpoint(true)
+          dist = dist.union(next).localCheckpoint(true)
+          frontier = next
+        }
+        edges.unpersist(false)
+        dist.select($"t".as("node_type"), $"id".as("node_id"), $"hop")
+          .orderBy($"hop", $"node_type", $"node_id")
+      },
+      Some(BfsOracle)),
   )
 
   /** Per-node triangle participation counts for an undirected simple
@@ -305,5 +366,38 @@ object Graph {
       SELECT t AS node_type, id AS node_id, ROUND(score, 6) AS score
       FROM pr$Rounds
       ORDER BY score DESC, node_type, node_id LIMIT 50"""
+  }
+
+  /** g3's oracle: the same mirrored edge list, then [[BfsHops]] unrolled
+    * min-relaxation levels — each level re-aggregates to ONE row per
+    * node (seed set ∪ neighbors-of-previous-level, min hop), so the
+    * chained CTEs stay node-sized and provably compute the same min-hop
+    * function as the engine's frontier BFS. */
+  private def BfsOracle: String = {
+    val base = raw"""
+      WITH pairs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT c AS src, 'c' AS src_t, p AS dst, 's' AS dst_t FROM pairs
+        UNION ALL
+        SELECT p AS src, 's' AS src_t, c AS dst, 'c' AS dst_t FROM pairs),
+      d0 AS (
+        SELECT 'c' AS t, c_custkey AS id, 0 AS hop
+        FROM customer WHERE c_nationkey = 0)"""
+    val levels = (1 to BfsHops).map { i =>
+      raw"""
+      d$i AS (
+        SELECT t, id, MIN(hop) AS hop FROM (
+          SELECT t, id, hop FROM d${i - 1}
+          UNION ALL
+          SELECT e.dst_t AS t, e.dst AS id, p.hop + 1 AS hop
+          FROM d${i - 1} p JOIN edges e ON p.id = e.src AND p.t = e.src_t
+        ) GROUP BY t, id)"""
+    }.mkString(",")
+    base + "," + levels + raw"""
+      SELECT t AS node_type, id AS node_id, CAST(hop AS BIGINT) AS hop
+      FROM d$BfsHops
+      ORDER BY hop, node_type, node_id"""
   }
 }

@@ -755,6 +755,51 @@ object Mixing {
                                   ORDER BY h, doc_id) AS pos
         FROM h ORDER BY epoch, shard, pos""")),
 
+    // ---------------------------------------------------------------- p12
+    // Bottom-k hash sampling — THE distributed uniform sampler: taking
+    // the k smallest md5(seed:doc_id) per stratum is an exact uniform
+    // k-subset (any fixed hash order is exchangeable over the stratum),
+    // fully deterministic from the seed, mergeable across shards
+    // (bottom-k of a union = bottom-k of per-shard bottom-ks — the
+    // KMV-sketch property), and therefore exactly replayable by the
+    // oracle — unlike rand()-based sampling, which no two engines agree
+    // on. This is how you hold out a reproducible eval slice per source
+    // at 100 TB: every daily shard keeps its own bottom-k, the merge
+    // re-truncates, nothing global ever sorts.
+    // Plan: the row_number-≤-k window form compiles to Spark's NATIVE
+    // two-phase WindowGroupLimit — a Partial group-limit BELOW the
+    // stratum exchange cuts every map partition to k rows before any
+    // data moves, the Final pass re-truncates after the shuffle — so
+    // the exchange carries ≤ k·partitions·|sources| rows, not the
+    // corpus (plan-pinned in PlanAuditSpec; this is the engine doing
+    // for rank-filters what q41's custom GroupTopK does for shapes the
+    // builtin doesn't reach). The mergeability above is exactly why the
+    // partial cut is lossless.
+    QuerySpec(
+      "p12_bottomk_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val hashed = Tables(s, dir, "documents")
+          .select($"doc_id", $"source",
+            md5(concat(lit("graft:7:"), $"doc_id".cast("string"))).as("h"))
+        val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+        hashed
+          .withColumn("pos", row_number().over(w))
+          .filter($"pos" <= 10)
+          .select($"source", $"pos".cast("long").as("pos"), $"doc_id")
+          .orderBy($"source", $"pos")
+      },
+      Some("""
+        SELECT source, CAST(pos AS BIGINT) AS pos, doc_id
+        FROM (SELECT source, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5('graft:7:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS pos
+              FROM documents)
+        WHERE pos <= 10
+        ORDER BY source, pos""")),
+
     // ----------------------------------------------------------------- e3
     // The round-8 capstone composition — the full curation chain a
     // pretraining run actually executes, as ONE query with ONE exact

@@ -1706,6 +1706,88 @@ object Relational {
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_sum
         FROM d GROUP BY decile ORDER BY decile""")),
 
+    // ---------------------------------------------------------------- q57
+    // Time-series resampling with LINEAR INTERPOLATION — the numeric
+    // densification q37's zero-fill deliberately is not: a sparse daily
+    // signal (high-value events, ~5% of rows) is completed to a
+    // contiguous per-type day spine, and every hole takes the value
+    // interpolated between its last and next OBSERVATIONS
+    // (prev + (next−prev)·Δdays/span — the standard resample/align prep
+    // before any model that assumes an evenly-spaced series). The
+    // neighbor scan is the ignore-nulls window pair (LAST_VALUE back /
+    // FIRST_VALUE forward over the spine), q25's ignore-nulls semantics
+    // put to work on both directions at once; per-type spines make the
+    // edges observed by construction, so interior gaps always hold both
+    // neighbors. Identical SQL semantics replay in DuckDB (same frames,
+    // same IGNORE NULLS), day arithmetic stays integral (date − date),
+    // and the value lands through ROUND(·,6) per the t11 rule.
+    // Scale: the spine is |types|·|days| — TIME-bounded, independent of
+    // fact volume; the facts contribute one (type, day) pre-aggregate
+    // (map-side partials) and the windows run per type over spine-sized
+    // partitions. The fact stream is never windowed.
+    QuerySpec(
+      "q57_interpolated_series",
+      (s, dir) => {
+        import s.implicits._
+        val obs = Tables(s, dir, "events")
+          .filter($"value" > 150.0)
+          .groupBy($"event_type", to_date($"ts").as("day"))
+          .agg((dsum($"value") / count(lit(1))).as("v"))
+        val spine = obs.groupBy($"event_type")
+          .agg(min($"day").as("d0"), max($"day").as("d1"))
+          .select($"event_type",
+            explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+        val joined = spine.join(obs, Seq("event_type", "day"), "left_outer")
+        val wBack = Window.partitionBy($"event_type").orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wFwd = Window.partitionBy($"event_type").orderBy($"day")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val interp = $"pv" + ($"nv" - $"pv") *
+          datediff($"day", $"pd").cast("double") /
+          datediff($"nd", $"pd").cast("double")
+        joined
+          .withColumn("pv", last($"v", ignoreNulls = true).over(wBack))
+          .withColumn("pd",
+            last(when($"v".isNotNull, $"day"), ignoreNulls = true).over(wBack))
+          .withColumn("nv", first($"v", ignoreNulls = true).over(wFwd))
+          .withColumn("nd",
+            first(when($"v".isNotNull, $"day"), ignoreNulls = true).over(wFwd))
+          .select($"event_type", $"day",
+            round(when($"v".isNotNull, $"v").otherwise(interp), 6).as("value"),
+            $"v".isNotNull.as("observed"))
+          .orderBy($"event_type", $"day")
+      },
+      Some("""
+        WITH obs AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v
+          FROM events WHERE value > 150.0
+          GROUP BY event_type, CAST(ts AS DATE)),
+        spine AS (
+          SELECT event_type,
+                 CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+                FROM obs GROUP BY event_type)),
+        j AS (
+          SELECT s.event_type, s.day, o.v,
+                 LAST_VALUE(o.v IGNORE NULLS) OVER wb AS pv,
+                 LAST_VALUE(CASE WHEN o.v IS NOT NULL THEN s.day END IGNORE NULLS)
+                   OVER wb AS pd,
+                 FIRST_VALUE(o.v IGNORE NULLS) OVER wf AS nv,
+                 FIRST_VALUE(CASE WHEN o.v IS NOT NULL THEN s.day END IGNORE NULLS)
+                   OVER wf AS nd
+          FROM spine s LEFT JOIN obs o USING (event_type, day)
+          WINDOW wb AS (PARTITION BY s.event_type ORDER BY s.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY s.event_type ORDER BY s.day
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT event_type, day,
+               ROUND(CASE WHEN v IS NOT NULL THEN v
+                          ELSE pv + (nv - pv) * (day - pd) / (nd - pd) END,
+                     6) AS value,
+               v IS NOT NULL AS observed
+        FROM j ORDER BY event_type, day""")),
+
     // ---------------------------------------------------------------- q53
     // MULTISET set operations — EXCEPT ALL / INTERSECT ALL, the
     // bag-semantics variants q8/q9's DISTINCT forms don't exercise:

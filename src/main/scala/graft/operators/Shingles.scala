@@ -46,6 +46,27 @@ object Shingles {
       }.toDF("doc_id", "shingle")
   }
 
+  /** Multiset form: every n-gram OCCURRENCE as (doc_id, shingle), with
+    * duplicates kept — t26's repetition signal needs multiplicity, which
+    * the distinct [[pairsN]] deliberately erases. Same monomorphic JVM
+    * loop rationale as above. */
+  def occurrencesN(spark: SparkSession, docs: DataFrame, n: Int): DataFrame = {
+    import spark.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val toks = text.trim.split("\\s+")
+          (0 to toks.length - n).iterator.map { i =>
+            val sb = new java.lang.StringBuilder(toks(i))
+            var j = 1
+            while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+            (id, sb.toString)
+          }
+        }
+      }.toDF("doc_id", "shingle")
+  }
+
   /** Set-per-doc form: (doc_id, toks array), empty-shingle docs dropped. */
   def sets(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

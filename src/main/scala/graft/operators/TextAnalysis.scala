@@ -1237,6 +1237,67 @@ object TextAnalysis {
         SELECT doc_id, n_tokens,
                ROUND(raw / n_tokens, 6) AS score,
                ROUND(raw / n_tokens, 6) > 0 AS keep
-        FROM sc ORDER BY doc_id"""))
+        FROM sc ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t26
+    // Within-document repetition ratio — the Gopher/MassiveText
+    // repetition rule family (Rae et al. 2021 §A1.1: drop docs whose
+    // duplicate n-gram fraction exceeds a threshold), the strongest
+    // cheap signal for boilerplate/SEO spam/generation loops. Per doc:
+    // all word-trigram OCCURRENCES (multiplicity kept — the distinct
+    // shingle forms d2/d4 use deliberately erase it, so Shingles grew a
+    // multiset variant), the fraction of occurrences belonging to a
+    // trigram seen more than once in that doc, and the keep/drop flag
+    // cut on the ROUNDED fraction (the t11 round-before-rank rule).
+    // Scale: gram generation is a doc-local flatMap; the ONE exchange
+    // carries (doc_id, trigram) for in-group counting, partial-
+    // aggregated map-side; the per-doc rollup rides the same doc_id
+    // key. No corpus-wide state — this is the d9/d14 exchange shape at
+    // trigram granularity.
+    QuerySpec(
+      "t26_repetition_ratio",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents").filter($"text".isNotNull)
+        val occ = Shingles.occurrencesN(s, docs, 3)
+        val frac = round($"n_dup".cast("double") / $"n_grams".cast("double"), 6)
+        val agg = occ
+          .groupBy($"doc_id", $"shingle").agg(count(lit(1)).as("cnt"))
+          .groupBy($"doc_id")
+          .agg(sum($"cnt").as("n_grams"),
+            sum(when($"cnt" > 1, $"cnt").otherwise(0L)).as("n_dup"))
+        docs.select($"doc_id").join(agg, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n_grams", lit(0L)).as("n_grams"),
+            coalesce($"n_dup", lit(0L)).as("n_dup"))
+          .withColumn("dup_frac",
+            when($"n_grams" === 0L, 0.0).otherwise(frac))
+          .withColumn("flagged", $"dup_frac" > 0.5)
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+          FROM documents WHERE text IS NOT NULL),
+        g AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(generate_series(1, len(tk) - 2),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+          FROM t),
+        c AS (SELECT doc_id, shingle, COUNT(*) AS cnt
+              FROM g GROUP BY doc_id, shingle),
+        agg AS (
+          SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup
+          FROM c GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(a.n_grams, 0) AS n_grams,
+               COALESCE(a.n_dup, 0) AS n_dup,
+               CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0.0
+                    ELSE ROUND(CAST(a.n_dup AS DOUBLE) / a.n_grams, 6) END AS dup_frac,
+               CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN FALSE
+                    ELSE ROUND(CAST(a.n_dup AS DOUBLE) / a.n_grams, 6) > 0.5 END AS flagged
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        WHERE d.text IS NOT NULL ORDER BY d.doc_id"""))
   )
 }

@@ -255,6 +255,80 @@ class CorpusAnalyticsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("t26 repetition ratio matches a driver-side recompute") {
+    val got = graft.SparkEntry.queries("t26_repetition_ratio")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    assert(got.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (id, text) =>
+      val toks = text.trim.split("\\s+")
+      val grams = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      val nDup = counts.values.filter(_ > 1).sum
+      val frac =
+        if (grams.isEmpty) 0.0
+        else BigDecimal(nDup.toDouble / grams.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) == ((grams.size.toLong, nDup.toLong, frac)),
+        s"doc $id: got ${got(id)}, recomputed ($grams.size, $nDup, $frac)")
+    }
+    // premise: the synthetic corpus genuinely contains repetitive docs,
+    // so the signal discriminates
+    assert(got.values.exists(_._3 > 0.0) && got.values.exists(_._3 < 0.2))
+  }
+
+  test("q57 passes observations through and interpolates strictly between neighbors") {
+    val rows = graft.SparkEntry.queries("q57_interpolated_series")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getDouble(2), r.getBoolean(3)))
+    // the fill must actually fire at fixture scale
+    assert(rows.exists(!_._4), "no gaps — interpolation untested")
+    rows.groupBy(_._1).foreach { case (tpe, series) =>
+      val sorted = series.sortBy(_._2.toEpochDay)
+      // spine is contiguous and edge days are observed by construction
+      assert(sorted.head._4 && sorted.last._4, s"$tpe spine edge unobserved")
+      sorted.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1)._2.toEpochDay == w(0)._2.toEpochDay + 1,
+          s"$tpe spine has a hole")
+      }
+      // every interpolated value lies within [prev obs, next obs]
+      sorted.zipWithIndex.filter(!_._1._4).foreach { case ((_, _, v, _), i) =>
+        val prev = sorted.take(i).reverse.find(_._4).get._3
+        val next = sorted.drop(i + 1).find(_._4).get._3
+        val (lo, hi) = (math.min(prev, next), math.max(prev, next))
+        assert(v >= lo - 1e-6 && v <= hi + 1e-6,
+          s"$tpe interpolated $v outside [$lo, $hi]")
+      }
+    }
+  }
+
+  test("p12 bottom-k sample is mergeable: shard-wise bottom-k re-truncates exactly") {
+    // the KMV property the scale story rests on: bottom-k of the union
+    // equals the re-truncated union of per-shard bottom-ks
+    val full = graft.SparkEntry.queries("p12_bottomk_sample")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def md5Of(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft:7:$id".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val merged = docs
+      .groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+        // two hash-disjoint shards, bottom-10 each, merged, re-cut to 10
+        val (s1, s2) = ds.map(_._1).partition(_ % 2 == 0)
+        val b1 = s1.sortBy(id => (md5Of(id), id)).take(10)
+        val b2 = s2.sortBy(id => (md5Of(id), id)).take(10)
+        (b1 ++ b2).sortBy(id => (md5Of(id), id)).take(10)
+          .zipWithIndex.map { case (id, i) => (src, (i + 1).toLong, id) }
+      }
+    assert(full.toSet == merged.toSet,
+      "shard-wise bottom-k merge diverged from the global sample")
+  }
+
   test("t25 classifier separates its training classes (and is a real model)") {
     // the closed-form NB log-odds model must actually LEARN the
     // curated-vs-crawl separation it was trained on: curated sources

@@ -119,4 +119,42 @@ class GraphSpec extends SparkTestBase {
     val counts = rows.map(_.getLong(1))
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
+
+  test("g3 BFS hops satisfy the shortest-path invariants on the fixture graph") {
+    import spark.implicits._
+    val dist = graft.SparkEntry.queries("g3_bfs_hops")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // seeds are exactly the hop-0 set
+    val seeds = graft.Tables(spark, sfDir, "customer")
+      .filter($"c_nationkey" === 0).select($"c_custkey").as[Long]
+      .collect().map(id => ("c", id)).toSet
+    assert(dist.filter(_._2 == 0L).keySet == seeds)
+    // rebuild the undirected adjacency driver-side (fixture-sized)
+    val li = graft.Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey")
+    val ord = graft.Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val pairs = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey", $"l_suppkey").distinct()
+      .as[(Long, Long)].collect()
+    val adj = (pairs.map { case (c, p) => (("c", c), ("s", p)) } ++
+      pairs.map { case (c, p) => (("s", p), ("c", c)) })
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // triangle inequality both ways: every non-seed node's hop is
+    // exactly 1 + min over neighbors (BFS optimality, not just
+    // reachability)
+    dist.foreach { case (node, h) =>
+      if (h > 0) {
+        val minNbr = adj(node).flatMap(dist.get).min
+        assert(h == minNbr + 1,
+          s"$node at hop $h but its best neighbor is at $minNbr")
+      }
+    }
+    // the 4-round cap covers the diameter: no frontier remains (any
+    // unreached node adjacent to a reached one would violate this)
+    val reached = dist.keySet
+    val expandable = reached.exists(n =>
+      adj.getOrElse(n, Array.empty[(String, Long)]).exists(!reached(_)))
+    assert(!expandable, "cap truncated the BFS before the diameter")
+  }
 }

@@ -127,7 +127,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q54_incremental_rollup", "t24_source_drift",
     "q55_segment_order_stats", "q56_sketch_decile_cutpoints",
     "x7_gk_exact_mode_quantiles", "d17_url_dedup",
-    "t25_quality_classifier")
+    "t25_quality_classifier", "t26_repetition_ratio",
+    "q57_interpolated_series", "p12_bottomk_sample")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
@@ -330,6 +331,20 @@ class PlanAuditSpec extends SparkTestBase {
       s"q56 range-exchanges the data order it exists to avoid:\n${p.take(800)}")
     assert(p.contains("rangepartitioning(decile"),
       s"q56 lost its presentation sort:\n${p.take(600)}")
+  }
+
+  test("p12's sampling window gets the two-phase WindowGroupLimit cut") {
+    // the bottom-k sampler's scale claim IS the map-side cut: the
+    // Partial group-limit must sit below the stratum exchange, Final
+    // above it (plan text is top-down: Final < Exchange < Partial)
+    val p = planOf("p12_bottomk_sample")
+    val iFinal = p.indexOf("WindowGroupLimit")
+    val iExchange = p.indexOf("Exchange hashpartitioning(source")
+    val iPartial = p.lastIndexOf("WindowGroupLimit")
+    assert(iFinal >= 0 && iExchange >= 0 && iPartial > iFinal,
+      s"p12 lost the two-phase group limit:\n${p.take(800)}")
+    assert(iFinal < iExchange && iExchange < iPartial,
+      "the partial cut must run below the exchange, the final above it")
   }
 
   test("p7 z-order key stays in whole-stage codegen: one agg exchange + sort") {
