@@ -897,47 +897,7 @@ object Dedup {
       "d17_url_dedup",
       (s, dir) => {
         import s.implicits._
-        val g = expr("doc_id DIV 3")
-        val schemeTrue = when(g % 2 === 0, "http").otherwise("https")
-        val hostTrue = concat(lit("d"), (g % 40).cast("string"), lit(".example.com"))
-        val page = (g % 7).cast("string")
-        val url = concat(
-          when($"doc_id" % 2 === 0, upper(schemeTrue)).otherwise(schemeTrue),
-          lit("://"),
-          when($"doc_id" % 4 === 0, "WWW.").otherwise(""),
-          when($"doc_id" % 3 === 0, upper(hostTrue)).otherwise(hostTrue),
-          when($"doc_id" % 11 === 0, ":8080")
-            .when($"doc_id" % 5 === 0, when(g % 2 === 0, ":80").otherwise(":443"))
-            .otherwise(""),
-          lit("/docs/"), g.cast("string"),
-          when($"doc_id" % 2 === 0,
-            concat(lit("?page="), page, lit("&utm_source=feed&a=1&ref=tw")))
-            .otherwise(concat(lit("?utm_campaign=c"), $"doc_id".cast("string"),
-              lit("&a=1&ref=tw&page="), page)),
-          when($"doc_id" % 6 === 0, "#sec").otherwise(""))
-        val withUrl = Tables(s, dir, "documents").select($"doc_id", url.as("url"))
-        // canonicalize from the URL STRING alone — generic, no peeking at
-        // the synthesis variables
-        val sch = lower(regexp_extract($"url", "^([A-Za-z]+)://", 1))
-        val hp = lower(regexp_extract($"url", "^[A-Za-z]+://([^/?#]*)", 1))
-        val host = regexp_replace(regexp_replace(hp, ":\\d+$", ""), "^www\\.", "")
-        val prt = regexp_extract(hp, ":(\\d+)$", 1)
-        val rawPath = regexp_extract($"url", "^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
-        val kept = array_join(sort_array(filter(split(regexp_extract($"url", "\\?([^#]*)", 1), "&"),
-          p => !(p.startsWith("utm_") || p.startsWith("ref=") ||
-            p.startsWith("fbclid=") || p.startsWith("gclid=")))), "&")
-        val canon = concat(sch, lit("://"), host,
-          when(prt === "" || (sch === "http" && prt === "80") ||
-            (sch === "https" && prt === "443"), "").otherwise(concat(lit(":"), prt)),
-          when(rawPath === "", "/").otherwise(rawPath),
-          when(kept === "", "").otherwise(concat(lit("?"), kept)))
-        val pages = withUrl
-          .select($"doc_id", host.as("domain"), canon.as("canon"))
-          .groupBy($"domain", $"canon")
-          .agg(min($"doc_id").as("first_doc"), count(lit(1)).as("n_docs"))
-        val blocklist = Seq("d3.example.com", "d7.example.com", "d13.example.com")
-          .toDF("domain")
-        pages.join(broadcast(blocklist), Seq("domain"), "left_anti")
+        urlPages(s, dir)
           .groupBy($"domain")
           .agg(count(lit(1)).as("n_pages"), sum($"n_docs").as("n_docs"),
             min($"first_doc").as("first_doc"))
@@ -1142,6 +1102,62 @@ object Dedup {
             out
           }
           .toDF("a_id", "b_id", "cosine")
+  }
+
+  /** d17's blocked domains — broadcast anti-joined away before any
+    * rollup or downstream stage. */
+  private[operators] val UrlBlocklist =
+    Seq("d3.example.com", "d7.example.com", "d13.example.com")
+
+  /** d17's synthesis + canonicalization + page collapse, shared with
+    * e4's composed pipeline: one row per surviving canonical URL —
+    * `(domain, canon, first_doc, n_docs)` — with blocked domains already
+    * removed. See the d17 scaladoc for the rule inventory; the
+    * canonicalizer reads only the URL string. */
+  private[operators] def urlPages(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val g = expr("doc_id DIV 3")
+    val schemeTrue = when(g % 2 === 0, "http").otherwise("https")
+    val hostTrue = concat(lit("d"), (g % 40).cast("string"), lit(".example.com"))
+    val page = (g % 7).cast("string")
+    val url = concat(
+      when($"doc_id" % 2 === 0, upper(schemeTrue)).otherwise(schemeTrue),
+      lit("://"),
+      when($"doc_id" % 4 === 0, "WWW.").otherwise(""),
+      when($"doc_id" % 3 === 0, upper(hostTrue)).otherwise(hostTrue),
+      when($"doc_id" % 11 === 0, ":8080")
+        .when($"doc_id" % 5 === 0, when(g % 2 === 0, ":80").otherwise(":443"))
+        .otherwise(""),
+      lit("/docs/"), g.cast("string"),
+      when($"doc_id" % 2 === 0,
+        concat(lit("?page="), page, lit("&utm_source=feed&a=1&ref=tw")))
+        .otherwise(concat(lit("?utm_campaign=c"), $"doc_id".cast("string"),
+          lit("&a=1&ref=tw&page="), page)),
+      when($"doc_id" % 6 === 0, "#sec").otherwise(""))
+    val withUrl = Tables(s, dir, "documents").select($"doc_id", url.as("url"))
+    // canonicalize from the URL STRING alone — generic, no peeking at
+    // the synthesis variables
+    val sch = lower(regexp_extract($"url", "^([A-Za-z]+)://", 1))
+    val hp = lower(regexp_extract($"url", "^[A-Za-z]+://([^/?#]*)", 1))
+    val host = regexp_replace(regexp_replace(hp, ":\\d+$", ""), "^www\\.", "")
+    val prt = regexp_extract(hp, ":(\\d+)$", 1)
+    val rawPath = regexp_extract($"url", "^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
+    val kept = array_join(sort_array(
+      filter(split(regexp_extract($"url", "\\?([^#]*)", 1), "&"),
+        p => !(p.startsWith("utm_") || p.startsWith("ref=") ||
+          p.startsWith("fbclid=") || p.startsWith("gclid=")))), "&")
+    val canon = concat(sch, lit("://"), host,
+      when(prt === "" || (sch === "http" && prt === "80") ||
+        (sch === "https" && prt === "443"), "").otherwise(concat(lit(":"), prt)),
+      when(rawPath === "", "/").otherwise(rawPath),
+      when(kept === "", "").otherwise(concat(lit("?"), kept)))
+    withUrl
+      .select($"doc_id", host.as("domain"), canon.as("canon"))
+      .groupBy($"domain", $"canon")
+      .agg(min($"doc_id").as("first_doc"), count(lit(1)).as("n_docs"))
+      .join(broadcast(UrlBlocklist.toDF("domain")), Seq("domain"), "left_anti")
   }
 
   /** The d5 oracle's CTE chain up to threshold pairs (`cpairs`), shared

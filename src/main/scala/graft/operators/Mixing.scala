@@ -903,7 +903,157 @@ object Mixing {
                CAST(COUNT(*) AS BIGINT) AS n_picked,
                CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
                  AS picked_tokens
-        FROM picked GROUP BY source ORDER BY source"""))
+        FROM picked GROUP BY source ORDER BY source""")),
+
+    // ----------------------------------------------------------------- e4
+    // The round-9 capstone composition — the CRAWL-side curation chain
+    // upstream of e3's content chain, as ONE query with ONE exact
+    // oracle: URL-canonical dedup (d17's pages, blocked domains gone,
+    // min-doc keeper per canonical URL) → learned quality gate (t25's
+    // NB log-odds keep) → repetition gate (t26's duplicate-trigram
+    // fraction ≤ 0.5) → deterministic bottom-5-per-source hash sample
+    // of the survivors (p12's KMV rule at k=5). The Spark side composes
+    // the REGISTERED stage functions directly, so the capstone is
+    // provably the chain of the individually-oracle-proven operators;
+    // the DuckDB oracle replays all four stages in one prefixed CTE
+    // pipeline. Scale: each stage keeps its own proven plan (map-side
+    // canonicalization + one URL shuffle; broadcast weights; one
+    // trigram exchange; WindowGroupLimit sample), and the joins between
+    // stages are doc_id equi-joins over monotonically SHRINKING
+    // survivor sets.
+    QuerySpec(
+      "e4_crawl_pipeline",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val keepers = Dedup.urlPages(s, dir)
+          .select($"first_doc".as("doc_id"))
+        val quality = TextAnalysis.specs
+          .find(_.name == "t25_quality_classifier").get.fn(s, dir)
+          .filter($"keep").select($"doc_id", $"score")
+        val clean = TextAnalysis.specs
+          .find(_.name == "t26_repetition_ratio").get.fn(s, dir)
+          .filter(!$"flagged").select($"doc_id")
+        val srcOf = Tables(s, dir, "documents").select($"doc_id", $"source")
+        val surv = keepers
+          .join(quality, Seq("doc_id"))
+          .join(clean, Seq("doc_id"))
+          .join(srcOf, Seq("doc_id"))
+        val w = Window.partitionBy($"source")
+          .orderBy(md5(concat(lit("graft:7:"), $"doc_id".cast("string"))), $"doc_id")
+        surv
+          .withColumn("pos", row_number().over(w))
+          .filter($"pos" <= 5)
+          .select($"source", $"pos".cast("long").as("pos"), $"doc_id", $"score")
+          .orderBy($"source", $"pos")
+      },
+      Some(raw"""
+        WITH u AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0
+                  THEN upper(CASE WHEN (doc_id // 3) % 2 = 0 THEN 'http' ELSE 'https' END)
+                  ELSE (CASE WHEN (doc_id // 3) % 2 = 0 THEN 'http' ELSE 'https' END) END) ||
+            '://' ||
+            (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END) ||
+            (CASE WHEN doc_id % 3 = 0
+                  THEN upper('d' || CAST((doc_id // 3) % 40 AS VARCHAR) || '.example.com')
+                  ELSE 'd' || CAST((doc_id // 3) % 40 AS VARCHAR) || '.example.com' END) ||
+            (CASE WHEN doc_id % 11 = 0 THEN ':8080'
+                  WHEN doc_id % 5 = 0
+                  THEN (CASE WHEN (doc_id // 3) % 2 = 0 THEN ':80' ELSE ':443' END)
+                  ELSE '' END) ||
+            '/docs/' || CAST(doc_id // 3 AS VARCHAR) ||
+            (CASE WHEN doc_id % 2 = 0
+                  THEN '?page=' || CAST((doc_id // 3) % 7 AS VARCHAR) || '&utm_source=feed&a=1&ref=tw'
+                  ELSE '?utm_campaign=c' || CAST(doc_id AS VARCHAR) ||
+                       '&a=1&ref=tw&page=' || CAST((doc_id // 3) % 7 AS VARCHAR) END) ||
+            (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+          FROM documents),
+        uc AS (
+          SELECT doc_id,
+                 lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS sch,
+                 lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)) AS hp,
+                 regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path,
+                 regexp_extract(url, '\?([^#]*)', 1) AS q
+          FROM u),
+        uc2 AS (
+          SELECT doc_id, sch,
+                 regexp_replace(regexp_replace(hp, ':\d+$$', ''), '^www\.', '') AS host,
+                 regexp_extract(hp, ':(\d+)$$', 1) AS prt,
+                 CASE WHEN path = '' THEN '/' ELSE path END AS path,
+                 array_to_string(list_sort(list_filter(string_split(q, '&'),
+                   p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=')
+                             OR starts_with(p, 'fbclid=') OR starts_with(p, 'gclid=')))), '&') AS kept
+          FROM uc),
+        ucanon AS (
+          SELECT doc_id, host AS domain,
+                 sch || '://' || host ||
+                 (CASE WHEN prt = '' OR (sch = 'http' AND prt = '80')
+                       OR (sch = 'https' AND prt = '443')
+                       THEN '' ELSE ':' || prt END) ||
+                 path ||
+                 (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canon
+          FROM uc2),
+        keepers AS (
+          SELECT MIN(doc_id) AS doc_id FROM ucanon
+          WHERE domain NOT IN ('d3.example.com', 'd7.example.com', 'd13.example.com')
+          GROUP BY domain, canon),
+        qd AS (
+          SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+        qtoks AS (
+          SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM qd),
+        qcounts AS (
+          SELECT tok,
+                 SUM(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS np,
+                 SUM(CASE WHEN source IN ('src0', 'src1') THEN 0 ELSE 1 END) AS nn
+          FROM qtoks GROUP BY tok),
+        qtot AS (SELECT SUM(np) AS ptot, SUM(nn) AS ntot, COUNT(*) AS v FROM qcounts),
+        qw AS (
+          SELECT tok,
+                 ln(CAST(np + 1 AS DOUBLE) / CAST((SELECT ptot + v FROM qtot) AS DOUBLE)) -
+                 ln(CAST(nn + 1 AS DOUBLE) / CAST((SELECT ntot + v FROM qtot) AS DOUBLE)) AS w
+          FROM qcounts),
+        qsc AS (
+          SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 SUM(qw.w) AS raw
+          FROM qtoks t JOIN qw USING (tok) GROUP BY t.doc_id),
+        quality AS (
+          SELECT doc_id, ROUND(raw / n_tokens, 6) AS score FROM qsc
+          WHERE ROUND(raw / n_tokens, 6) > 0),
+        rt AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+          FROM documents WHERE text IS NOT NULL),
+        rg AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(generate_series(1, len(tk) - 2),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+          FROM rt),
+        rc AS (SELECT doc_id, shingle, COUNT(*) AS cnt
+               FROM rg GROUP BY doc_id, shingle),
+        ragg AS (
+          SELECT doc_id, SUM(cnt) AS n_grams,
+                 SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_dup
+          FROM rc GROUP BY doc_id),
+        clean AS (
+          SELECT d.doc_id FROM documents d LEFT JOIN ragg a USING (doc_id)
+          WHERE d.text IS NOT NULL
+            AND (COALESCE(a.n_grams, 0) = 0
+                 OR ROUND(CAST(a.n_dup AS DOUBLE) / a.n_grams, 6) <= 0.5)),
+        surv AS (
+          SELECT k.doc_id, d.source, q.score
+          FROM keepers k
+          JOIN quality q USING (doc_id)
+          JOIN clean c USING (doc_id)
+          JOIN documents d USING (doc_id)),
+        ranked AS (
+          SELECT source, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY md5('graft:7:' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS pos
+          FROM surv)
+        SELECT source, CAST(pos AS BIGINT) AS pos, doc_id, score
+        FROM ranked WHERE pos <= 5
+        ORDER BY source, pos"""))
   )
 
   /** Write-once lang-partitioned copy of the documents table (the

@@ -490,6 +490,70 @@ object Similarity {
                                         ORDER BY cosine DESC, cand_id) AS rank
               FROM p)
         SELECT query_id, rank, cand_id, cosine FROM r WHERE rank <= 3
+        ORDER BY query_id, rank""")),
+
+    // ----------------------------------------------------------------- s9
+    // FILTERED (hybrid) ANN — vector search under a metadata predicate,
+    // the vector-database shape every RAG/curation deployment actually
+    // runs ("nearest English documents over 200 chars", not nearest
+    // anything): candidates are PRE-FILTERED by a semi-join against the
+    // metadata table BEFORE any distance math, then exact cosine top-k
+    // runs over the survivors. Pre- vs post-filter is the classic
+    // hybrid-search tradeoff: post-filtering top-k' > k results breaks
+    // recall when the predicate is selective (a 28%-selective filter
+    // leaves k'·0.28 survivors), while the pre-filter semi-join is an
+    // equi-key hash join whose cost tracks the candidate stream and
+    // never touches vector arithmetic for excluded rows. The doc
+    // metadata joins on the shared id space (vec_id = doc_id).
+    // Scale: the semi-join composes unchanged with the bucketed
+    // generators — at 100 TB the same predicate joins s2's probed cells
+    // or s4's hash buckets instead of the full corpus; the filter is a
+    // property of the CANDIDATE STREAM, not of this brute-force
+    // baseline. Distances ride the codegen'd graft_cosine kernel.
+    QuerySpec(
+      "s9_filtered_ann",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+        val keep = Tables(s, dir, "documents")
+          .filter($"lang" === "en" && $"n_chars" >= 200L)
+          .select($"doc_id".as("cand_id"))
+        val q = emb.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+        val c = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+          .join(keep, Seq("cand_id"), "left_semi")
+        val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")
+        broadcast(q).join(c, $"query_id" =!= $"cand_id")
+          .withColumn("cosine",
+            round(graft.functions.GraftFunctions.cosineSim($"qv", $"cv"), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .select($"query_id", $"rank", $"cand_id", $"cosine")
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""
+        WITH keep AS (
+          SELECT doc_id AS cand_id FROM documents
+          WHERE lang = 'en' AND n_chars >= 200),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+              WHERE vec_id IN (SELECT cand_id FROM keep)),
+        p AS (
+          SELECT query_id, cand_id,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(qv)),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(cv)),
+                          i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 6) AS cosine
+          FROM q JOIN c ON query_id != cand_id),
+        r AS (SELECT query_id, cand_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, cand_id) AS rank
+              FROM p)
+        SELECT query_id, rank, cand_id, cosine FROM r WHERE rank <= 5
         ORDER BY query_id, rank"""))
   )
 

@@ -1167,12 +1167,16 @@ object TextAnalysis {
     // classifier, so "training" is two aggregates and the oracle can
     // replay it exactly: label = curated sources (src0/src1) vs the
     // rest, per-token weight w_t = ln((np+1)/(P+V)) − ln((nn+1)/(N+V))
-    // (Laplace-smoothed class-conditional log-odds), bias = class prior
-    // log-ratio, and a doc scores bias + Σ w_t over its tokens,
-    // length-normalized. keep is cut on the ROUNDED score (the t11
-    // round-before-rank rule, so the boundary is engine-stable); ln
-    // parity follows the t16 argument (≤2 ulp, rounded at 6dp far above
-    // accumulated error).
+    // (Laplace-smoothed class-conditional log-odds), and a doc scores
+    // the MEAN token log-odds. The class-prior bias term is deliberately
+    // left out of the score: with a 1:9 curated:crawl prior it shifts
+    // every doc by ln(1/9) ≈ −2.2 and a score>0 gate would keep nothing
+    // — a keep/drop gate operates on CONTENT evidence, with the prior a
+    // calibration constant the deployment threshold absorbs (exactly how
+    // fastText quality gates are thresholded in practice). keep is cut
+    // on the ROUNDED score (the t11 round-before-rank rule, so the
+    // boundary is engine-stable); ln parity follows the t16 argument
+    // (≤2 ulp, rounded at 6dp far above accumulated error).
     // Scale: exactly t8's broadcast-profile shape — the weight table is
     // VOCAB-sized (what a shipped fastText model is), built by one
     // token-level aggregate, broadcast back onto the token stream; the
@@ -1198,15 +1202,10 @@ object TextAnalysis {
           .select($"tok",
             (log(($"np" + 1L).cast("double") / ($"ptot" + $"v").cast("double")) -
               log(($"nn" + 1L).cast("double") / ($"ntot" + $"v").cast("double"))).as("w"))
-        val bias = docs.agg(
-          log(sum(when($"source".isin(curated: _*), 1L).otherwise(0L)).cast("double") /
-            sum(when($"source".isin(curated: _*), 0L).otherwise(1L)).cast("double"))
-            .as("bias"))
-        val score = round(($"bias" + $"sw") / $"n_tokens".cast("double"), 6)
+        val score = round($"sw" / $"n_tokens".cast("double"), 6)
         val scored = toks.join(broadcast(weights), "tok")
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_tokens"), sum($"w").as("sw"))
-          .crossJoin(broadcast(bias))
           .select($"doc_id", $"n_tokens", score.as("score"), (score > 0.0).as("keep"))
         graft.Materialize.thenRelease(scored, toks).orderBy($"doc_id")
       },
@@ -1226,13 +1225,9 @@ object TextAnalysis {
                  ln(CAST(np + 1 AS DOUBLE) / CAST((SELECT ptot + v FROM tot) AS DOUBLE)) -
                  ln(CAST(nn + 1 AS DOUBLE) / CAST((SELECT ntot + v FROM tot) AS DOUBLE)) AS w
           FROM counts),
-        b AS (
-          SELECT ln(CAST(SUM(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS DOUBLE) /
-                    CAST(SUM(CASE WHEN source IN ('src0', 'src1') THEN 0 ELSE 1 END) AS DOUBLE)) AS bias
-          FROM d),
         sc AS (
           SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                 (SELECT bias FROM b) + SUM(w.w) AS raw
+                 SUM(w.w) AS raw
           FROM toks t JOIN w USING (tok) GROUP BY t.doc_id)
         SELECT doc_id, n_tokens,
                ROUND(raw / n_tokens, 6) AS score,

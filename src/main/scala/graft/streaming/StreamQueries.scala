@@ -568,5 +568,93 @@ object StreamQueries {
             col("error"))
           .orderBy(col("doc_id"))
       },
-      Some(graft.operators.KernelQueries.K1OracleSql)))
+      Some(graft.operators.KernelQueries.K1OracleSql)),
+
+    // ---------------------------------------------------------------- st10
+    // Streaming bottom-k sampling — p12's streaming twin: per-event-type
+    // bottom-10 of md5(seed:event_id) maintained as
+    // flatMapGroupsWithState state while the inbox drains. The KMV merge
+    // property (bottom-k of a union = bottom-k of merged bottom-ks) is
+    // what makes an EXACT oracle possible for a stateful stream: the
+    // final state is provably independent of how AvailableNow slices or
+    // orders the inbox, so the DuckDB oracle is simply the BATCH
+    // bottom-k over the whole table — the same replayability argument
+    // as st6's monotone counters, here for a truncated-set state shape.
+    // Each touched group re-emits its current sample per batch (Update
+    // mode); the read-back keeps each type's LAST emission (max batch).
+    // State story at 100 TB: k (hash, id) pairs per stratum — constant
+    // per key, no watermark needed, and the same state merges across a
+    // restart because it IS the mergeable sketch.
+    QuerySpec(
+      "st10_bottomk_sample_stream",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.streaming.GroupStateTimeout
+        val inbox = stagedInbox(s, dir)
+        val runDir =
+          java.nio.file.Files.createTempDirectory("graft_st10").toString
+        val outDir = s"$runDir/out"
+        Seq.empty[(String, Long, Long, Long)]
+          .toDF("event_type", "pos", "event_id", "batch")
+          .write.mode("overwrite").parquet(outDir)
+        val schema = s.read.parquet(inbox).schema
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 4).parquet(inbox)
+          val updates = stream.select($"event_type", $"event_id")
+            .as[(String, Long)]
+            .groupByKey(_._1)
+            .flatMapGroupsWithState(
+              OutputMode.Update(), GroupStateTimeout.NoTimeout)(bottomKUpdate _)
+          val q = updates.toDF("event_type", "pos", "event_id").writeStream
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              b.withColumn("batch", lit(id)).write.mode("append").parquet(outDir)
+            }
+            .outputMode(OutputMode.Update)
+            .option("checkpointLocation", s"$runDir/chk")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          lastRunProgress = q.recentProgress
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        val raw = s.read.parquet(outDir)
+        val last = raw.groupBy($"event_type").agg(max($"batch").as("batch"))
+        raw.join(last, Seq("event_type", "batch"))
+          .select($"event_type", $"pos", $"event_id")
+          .orderBy($"event_type", $"pos")
+      },
+      Some("""
+        SELECT event_type, CAST(pos AS BIGINT) AS pos, event_id
+        FROM (SELECT event_type, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY md5('graft:7:' || CAST(event_id AS VARCHAR)),
+                                event_id) AS pos
+              FROM events)
+        WHERE pos <= 10
+        ORDER BY event_type, pos""")))
+
+  /** st10's state transition: merge the batch's (hash, id) pairs into
+    * the stratum's bottom-k and re-emit the current sample. Associative
+    * and commutative by construction (sorted-merge + truncate), which is
+    * the whole replayability argument. */
+  private[streaming] def bottomKUpdate(
+      key: String, rows: Iterator[(String, Long)],
+      state: org.apache.spark.sql.streaming.GroupState[Seq[(String, Long)]])
+      : Iterator[(String, Long, Long)] = {
+    def h(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft:7:$id".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val merged = (state.getOption.getOrElse(Seq.empty) ++
+      rows.map { case (_, id) => (h(id), id) })
+      .distinct.sorted.take(10)
+    state.update(merged)
+    merged.iterator.zipWithIndex.map { case ((_, id), i) =>
+      (key, (i + 1).toLong, id)
+    }
+  }
 }

@@ -84,10 +84,16 @@ class PlanAuditSpec extends SparkTestBase {
     // the t16 scalar-cross shape (that broadcast replacing the global
     // sort is the query's entire point)
     "q56_sketch_decile_cutpoints",
-    // t25 crosses two 1-ROW scalars (training totals onto the vocab-
-    // sized count frame; the bias onto the per-doc aggregate) — both the
-    // t16 scalar-cross shape
-    "t25_quality_classifier")
+    // t25 crosses the 1-ROW training-totals scalar onto the vocab-sized
+    // count frame — the t16 scalar-cross shape
+    "t25_quality_classifier",
+    // s9 is s1's deliberate bounded all-pairs baseline (10 broadcast
+    // queries against the FILTERED candidate stream) — the pre-filter
+    // semi-join is the query's point; the cross is the proof kernel
+    "s9_filtered_ann",
+    // e4 embeds t25's scalar cross (its quality stage runs the
+    // registered t25 function verbatim)
+    "e4_crawl_pipeline")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -128,7 +134,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q55_segment_order_stats", "q56_sketch_decile_cutpoints",
     "x7_gk_exact_mode_quantiles", "d17_url_dedup",
     "t25_quality_classifier", "t26_repetition_ratio",
-    "q57_interpolated_series", "p12_bottomk_sample")
+    "q57_interpolated_series", "p12_bottomk_sample",
+    "s9_filtered_ann", "e4_crawl_pipeline", "g3_bfs_hops")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
