@@ -103,6 +103,93 @@ object Multimodal {
     s.read.parquet(path.getAbsolutePath)
   }
 
+  /** m5's staged fixture: real PNGs with STRUCTURE, because perceptual
+    * hashing of the kernel's uniform placeholder is degenerate (every
+    * aHash lands at 0 — measured before this fixture existed). Each doc
+    * renders one of four 4×4 block patterns (16-bit masks, 8 white
+    * cells each, pairwise distinct) at one of three resolutions
+    * (32·(doc_id%3+1) square): same pattern at different sizes is the
+    * "resized duplicate" every image-dedup pipeline must catch;
+    * different patterns must separate. Cell-aligned blocks make the
+    * 8×8 downsample exact under any interpolation, so the aHash is a
+    * pure function of the pattern — which is what lets the DuckDB
+    * oracle predict the clusters without computing a hash. */
+  def phashTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "media_ahash_" + base)
+    if (!verifiedFixtures.contains(path.getAbsolutePath)) {
+      val stamp =
+        s"v1:${sourceFingerprint(new java.io.File(dir, "documents.parquet"))}"
+      val marker = new java.io.File(path.getAbsolutePath + ".staged")
+      val upToDate = path.isDirectory && marker.isFile &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+      if (!upToDate) {
+        Tables(s, dir, "documents").select($"doc_id").as[Long]
+          .mapPartitions { it =>
+            val cache = scala.collection.mutable.Map.empty[(Int, Int), Array[Byte]]
+            it.map { id =>
+              val pattern = (id % 4).toInt
+              val scale = (id % 3 + 1).toInt
+              (id, cache.getOrElseUpdate((pattern, scale),
+                renderPattern(pattern, scale)))
+            }
+          }.toDF("doc_id", "payload")
+          .write.mode("overwrite").parquet(path.getAbsolutePath)
+        java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+        ()
+      }
+      verifiedFixtures.add(path.getAbsolutePath)
+      ()
+    }
+    s.read.parquet(path.getAbsolutePath)
+  }
+
+  /** Four pairwise-distinct 4×4 cell masks, 8 white cells each. */
+  private val PatternMasks = Array(0x5A5A, 0x33CC, 0x0FF0, 0x9669)
+
+  private def renderPattern(pattern: Int, scale: Int): Array[Byte] = {
+    val size = 32 * scale
+    val cell = size / 4
+    val img = new java.awt.image.BufferedImage(
+      size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    for (cy <- 0 until 4; cx <- 0 until 4) {
+      val white = (PatternMasks(pattern) >> (cy * 4 + cx) & 1) == 1
+      g.setColor(if (white) java.awt.Color.WHITE else java.awt.Color.BLACK)
+      g.fillRect(cx * cell, cy * cell, cell, cell)
+    }
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit average hash of a decoded image: 8×8 grayscale downsample,
+    * bit i set iff pixel i is brighter than the mean — the classic
+    * resize-robust perceptual fingerprint. */
+  private[operators] def aHash64(png: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val small = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    g.drawImage(img, 0, 0, 8, 8, null)
+    g.dispose()
+    val grays = new Array[Int](64)
+    var i = 0
+    while (i < 64) {
+      val rgb = small.getRGB(i % 8, i / 8)
+      grays(i) = ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3
+      i += 1
+    }
+    val mean = grays.sum / 64
+    grays.zipWithIndex.foldLeft(0L) { case (acc, (v, idx)) =>
+      if (v > mean) acc | (1L << idx) else acc
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "m1_binary_metadata",
@@ -305,6 +392,45 @@ object Multimodal {
                CAST(48 * (doc_id % 4 + 1) AS BIGINT) AS height,
                CAST(32 * (doc_id % 4 + 1) AS BIGINT) AS half_width,
                CAST(24 * (doc_id % 4 + 1) AS BIGINT) AS half_height
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------- m5
+    // Perceptual image dedup — the visual twin of d1's content hashing:
+    // every image decodes to a 64-bit AVERAGE HASH (8×8 grayscale
+    // downsample, brighter-than-mean bits), and images collapse into
+    // clusters by hash. The fixture ([[phashTable]]) makes the claim
+    // testable: four distinct block patterns each rendered at THREE
+    // resolutions, so a correct perceptual hash must merge resized
+    // variants (byte-UNEQUAL payloads — exact d1 hashing would see 12
+    // distinct files) while keeping the four patterns apart. The oracle
+    // can predict the clusters without computing any hash because the
+    // pattern is a pure function of doc_id % 4 — which is exactly the
+    // falsifiable part: an aHash that fails resize-invariance yields up
+    // to 12 clusters, one that over-merges yields fewer than 4, and
+    // either shifts the hash. MultimodalSpec pins the scale-invariance
+    // premise directly (each cluster holds ≥2 distinct pixel sizes).
+    // Scale: decode+hash is embarrassingly parallel after the round-
+    // robin spread (the m2 lesson); the cluster collapse is ONE 8-byte
+    // hash exchange — the d1 plan at image granularity.
+    QuerySpec(
+      "m5_perceptual_dedup",
+      (s, dir) => {
+        import s.implicits._
+        phashTable(s, dir).select($"doc_id", $"payload")
+          .as[(Long, Array[Byte])]
+          .repartition(s.sparkContext.defaultParallelism)
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            it.map { case (id, png) => (id, aHash64(png)) }
+          }
+          .toDF("doc_id", "ahash")
+          .groupBy($"ahash")
+          .agg(min($"doc_id").as("rep_doc"), count(lit(1)).as("n_images"))
+          .select($"rep_doc", $"n_images")
+          .orderBy($"rep_doc")
+      },
+      Some("""
+        SELECT MIN(doc_id) AS rep_doc, CAST(COUNT(*) AS BIGINT) AS n_images
+        FROM documents GROUP BY doc_id % 4 ORDER BY rep_doc"""))
   )
 }

@@ -1788,6 +1788,74 @@ object Relational {
                v IS NOT NULL AS observed
         FROM j ORDER BY event_type, day""")),
 
+    // ---------------------------------------------------------------- q58
+    // CDC apply / merge-on-read snapshot — the Delta/Iceberg/Hudi read
+    // path q44's SCD2 history-keeping is not: a base table plus a
+    // change log of sequenced upserts and deletes resolves to the
+    // LATEST-WINS current snapshot. The change log is synthesized
+    // deterministically from orders (every 7th key upserted with a
+    // bumped price — twice for every 21st, pinning that later sequence
+    // numbers beat earlier ones — and every 13th deleted; 7·13 overlaps
+    // make delete-after-update ordering observable). Resolution is the
+    // standard shape: union base (seq 0) with the log, one row_number
+    // window per key ordered by seq DESC, keep rank 1, drop tombstones.
+    // Scale: ONE hash exchange on the key; at lake scale the window
+    // runs per key group (thousands of rows each at most — this is
+    // exactly how merge-on-read readers resolve), and the base side is
+    // the bucketed table so the exchange can disappear entirely.
+    // Output is a per-status rollup plus exact row accounting, so a
+    // resurrected tombstone or a stale version shifts the hash.
+    QuerySpec(
+      "q58_cdc_snapshot",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables(s, dir, "orders")
+          .select($"o_orderkey".as("k"), $"o_orderstatus".as("status"),
+            $"o_totalprice".as("price"), lit(0L).as("seq"), lit("U").as("op"))
+        val upd1 = Tables(s, dir, "orders").filter($"o_orderkey" % 7 === 0)
+          .select($"o_orderkey".as("k"), lit("P").as("status"),
+            ($"o_totalprice" + 1000.0).as("price"), lit(1L).as("seq"),
+            lit("U").as("op"))
+        val upd2 = Tables(s, dir, "orders").filter($"o_orderkey" % 21 === 0)
+          .select($"o_orderkey".as("k"), lit("P").as("status"),
+            ($"o_totalprice" + 2000.0).as("price"), lit(2L).as("seq"),
+            lit("U").as("op"))
+        val del = Tables(s, dir, "orders").filter($"o_orderkey" % 13 === 0)
+          .select($"o_orderkey".as("k"), lit(null).cast("string").as("status"),
+            lit(null).cast("double").as("price"), lit(3L).as("seq"),
+            lit("D").as("op"))
+        val w = Window.partitionBy($"k").orderBy($"seq".desc)
+        val snapshot = base.unionAll(upd1).unionAll(upd2).unionAll(del)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1 && $"op" =!= "D")
+        snapshot.groupBy($"status")
+          .agg(count(lit(1)).as("n"), dsum($"price").as("price_sum"),
+            min($"k").as("min_key"), max($"k").as("max_key"))
+          .orderBy($"status")
+      },
+      Some("""
+        WITH log AS (
+          SELECT o_orderkey AS k, o_orderstatus AS status,
+                 o_totalprice AS price, 0 AS seq, 'U' AS op FROM orders
+          UNION ALL
+          SELECT o_orderkey, 'P', o_totalprice + 1000.0, 1, 'U'
+          FROM orders WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT o_orderkey, 'P', o_totalprice + 2000.0, 2, 'U'
+          FROM orders WHERE o_orderkey % 21 = 0
+          UNION ALL
+          SELECT o_orderkey, NULL, NULL, 3, 'D'
+          FROM orders WHERE o_orderkey % 13 = 0),
+        resolved AS (
+          SELECT k, status, price, op,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+          FROM log)
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+               MIN(k) AS min_key, MAX(k) AS max_key
+        FROM resolved WHERE rn = 1 AND op <> 'D'
+        GROUP BY status ORDER BY status""")),
+
     // ---------------------------------------------------------------- q53
     // MULTISET set operations — EXCEPT ALL / INTERSECT ALL, the
     // bag-semantics variants q8/q9's DISTINCT forms don't exercise:

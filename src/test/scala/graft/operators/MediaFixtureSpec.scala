@@ -49,4 +49,27 @@ class MediaFixtureSpec extends SparkTestBase {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getLong(1) == 64L * (r.getLong(0) % 4 + 1)))
   }
+
+  test("m5's aHash merges resized variants that byte hashing would split") {
+    import org.apache.spark.sql.functions._
+    // the perceptual claim, pinned directly: each of the 4 clusters must
+    // contain the SAME pattern at >= 2 distinct pixel sizes (so exact
+    // content hashing — 12 distinct payload bytes — could never produce
+    // this grouping), and distinct patterns never share a hash
+    val t = Multimodal.phashTable(spark, sfDir)
+      .select($"doc_id", $"payload").as[(Long, Array[Byte])]
+      .collect()
+    val hashed = t.map { case (id, png) =>
+      (id % 4, png.length, Multimodal.aHash64(png)) }
+    val byHash = hashed.groupBy(_._3)
+    assert(byHash.size == 4, s"expected 4 perceptual clusters, got ${byHash.size}")
+    byHash.foreach { case (h, members) =>
+      assert(members.map(_._1).distinct.length == 1,
+        s"hash $h merged distinct patterns")
+      assert(members.map(_._2).distinct.length >= 2,
+        s"hash $h holds only one payload size — resize invariance untested")
+    }
+    // premise: the payload BYTES genuinely differ across scales
+    assert(t.map(_._2.length).distinct.length >= 3)
+  }
 }

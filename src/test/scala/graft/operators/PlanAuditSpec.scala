@@ -135,7 +135,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x7_gk_exact_mode_quantiles", "d17_url_dedup",
     "t25_quality_classifier", "t26_repetition_ratio",
     "q57_interpolated_series", "p12_bottomk_sample",
-    "s9_filtered_ann", "e4_crawl_pipeline", "g3_bfs_hops")
+    "s9_filtered_ann", "e4_crawl_pipeline", "g3_bfs_hops",
+    "q58_cdc_snapshot", "m5_perceptual_dedup")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
