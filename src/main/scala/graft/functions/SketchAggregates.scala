@@ -237,6 +237,40 @@ case class ThetaIntersectEstimate(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Estimated |A ∪ B| of two serialized theta sketches — the fourth
+  * theta set operation, via a REAL DataSketches Union (not the
+  * a+b−∩ arithmetic identity, which breaks down once either sketch
+  * estimates): union-of-sketches is the operation stored per-shard
+  * sketches are re-merged with, so x8's Jaccard reads
+  * intersect/union straight from the same stored artifacts. Same
+  * cold-path CodegenFallback rationale as [[ThetaEstimate]]. */
+case class ThetaUnionEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_theta_union"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two binary theta sketches, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = ThetaSketches.heapifySketch(Memory.wrap(a.asInstanceOf[Array[Byte]]))
+    val sb = ThetaSketches.heapifySketch(Memory.wrap(b.asInstanceOf[Array[Byte]]))
+    val u = ThetaSketches.setOperationBuilder().buildUnion()
+    u.union(sa)
+    u.union(sb)
+    u.getResult.getEstimate
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Estimated |A \ B| of two serialized theta sketches — the third theta
   * set operation beside estimate and intersection: "distinct users who
   * did A but never B" (churn/exclusivity questions) straight from
@@ -327,4 +361,8 @@ object SketchFunctions {
   /** Estimated |A \ B| of two serialized theta sketches. */
   def thetaDiff(a: Column, b: Column): Column =
     Bridge.column(ThetaDiffEstimate(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Estimated |A ∪ B| of two serialized theta sketches. */
+  def thetaUnion(a: Column, b: Column): Column =
+    Bridge.column(ThetaUnionEstimate(Bridge.expression(a), Bridge.expression(b)))
 }

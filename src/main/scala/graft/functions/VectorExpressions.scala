@@ -294,12 +294,14 @@ object GraftFunctions {
     classOf[CountMinEstimate].getCanonicalName, null, "graft_cms_estimate")
   private[functions] val thetaDiffInfo = new ExpressionInfo(
     classOf[ThetaDiffEstimate].getCanonicalName, null, "graft_theta_diff")
+  private[functions] val thetaUnionInfo = new ExpressionInfo(
+    classOf[ThetaUnionEstimate].getCanonicalName, null, "graft_theta_union")
 }
 
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.GraftExtensions`
   * (or `SparkSession.builder.withExtensions(new GraftExtensions)`) registers
   * the full `graft_*` function family (cosine, dot, l2sq, nfc,
-  * cms_estimate, theta_diff) for SQL users and the GroupTopK planner strategy
+  * cms_estimate, theta_diff, theta_union) for SQL users and the GroupTopK planner strategy
   * (graft.plans.GroupTopK — the Column API also self-registers the
   * strategy per session, so the extension is the deployment-config path).
   * The Column API (GraftFunctions.cosineSim) needs no registration. */
@@ -320,6 +322,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_theta_diff"),
       GraftFunctions.thetaDiffInfo,
       GraftFunctions.builder2("graft_theta_diff", ThetaDiffEstimate)))
+    ext.injectFunction((FunctionIdentifier("graft_theta_union"),
+      GraftFunctions.thetaUnionInfo,
+      GraftFunctions.builder2("graft_theta_union", ThetaUnionEstimate)))
     ext.injectPlannerStrategy(_ => new graft.plans.GroupTopKStrategy)
     // inert until graft.topk.rewrite=true (see GroupTopKRewrite scaladoc)
     ext.injectOptimizerRule(s => graft.plans.GroupTopKRewrite(s))

@@ -1856,6 +1856,51 @@ object Relational {
         FROM resolved WHERE rn = 1 AND op <> 'D'
         GROUP BY status ORDER BY status""")),
 
+    // ---------------------------------------------------------------- q59
+    // CONTINUOUS (interpolated) percentiles — the last rung of the
+    // quantile ladder: t11/q46 select exact DISCRETE order statistics,
+    // x2/x7 run the GK sketch, q56 buckets by sketch cutpoints; this is
+    // SQL-standard PERCENTILE_CONT semantics (rank 1 + q·(n−1), linear
+    // interpolation between the two straddling values — the convention
+    // Spark's exact `percentile` aggregate and DuckDB's quantile_cont
+    // share), which is what distribution REPORTING wants where
+    // thresholding wants discrete values. Per-segment account-balance
+    // quartiles + p90 + IQR; interpolation arithmetic is two exact
+    // doubles and a weight, landed through ROUND(·,6) per the t16 ulp
+    // argument.
+    // Scale: one hash aggregate; the exact percentile buffer holds the
+    // GROUP's values — right for dimension-sized groups (segments), and
+    // precisely the point where the ladder says "swap in x2's GK
+    // summary" when groups reach corpus scale. That tradeoff is now
+    // written across four oracle-pinned operators instead of prose.
+    QuerySpec(
+      "q59_interpolated_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "customer")
+          .groupBy($"c_mktsegment".as("segment"))
+          .agg(
+            count(lit(1)).as("n"),
+            percentile($"c_acctbal",
+              array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("qs"))
+          .select($"segment", $"n",
+            round($"qs" (0), 6).as("p25"),
+            round($"qs" (1), 6).as("p50"),
+            round($"qs" (2), 6).as("p75"),
+            round($"qs" (3), 6).as("p90"),
+            round($"qs" (2) - $"qs" (0), 6).as("iqr"))
+          .orderBy($"segment")
+      },
+      Some("""
+        SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+               ROUND(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+               ROUND(quantile_cont(c_acctbal, 0.75), 6) AS p75,
+               ROUND(quantile_cont(c_acctbal, 0.9), 6) AS p90,
+               ROUND(quantile_cont(c_acctbal, 0.75)
+                     - quantile_cont(c_acctbal, 0.25), 6) AS iqr
+        FROM customer GROUP BY c_mktsegment ORDER BY segment""")),
+
     // ---------------------------------------------------------------- q53
     // MULTISET set operations — EXCEPT ALL / INTERSECT ALL, the
     // bag-semantics variants q8/q9's DISTINCT forms don't exercise:

@@ -353,6 +353,60 @@ object Sketches {
                COALESCE(f.users_a_not_b, CAST(0 AS BIGINT)) AS users_a_not_b
         FROM pairs p LEFT JOIN diff f
           ON p.type_a = f.type_a AND p.type_b = f.type_b
+        ORDER BY p.type_a, p.type_b""")),
+
+    // ----------------------------------------------------------------- x8
+    // Theta-sketch JACCARD similarity matrix — the set-algebra family's
+    // capstone: per audience pair, |A∩B| / |A∪B| read straight from the
+    // stored per-type sketches, completing ∩ (x4), \ (x6) with ∪ via a
+    // REAL DataSketches Union (the new graft_theta_union expression —
+    // not the a+b−∩ arithmetic identity, which stops being valid the
+    // moment either sketch estimates, and union-of-sketches is exactly
+    // the operation per-shard/per-day stored sketches re-merge with).
+    // Audience-overlap Jaccard is how segment similarity / campaign
+    // cannibalization is actually scored at warehouse scale: T²/2
+    // constant-size sketch pairs, never a user-level self-join.
+    // Exact-mode oracle (the x4 capacity argument, spec-pinned): below
+    // 2^lgK both operands are exact sets, so intersect/union ARE the
+    // true counts and the Jaccard is exact arithmetic; the ratio lands
+    // through ROUND(·,6) on exact longs in both engines.
+    QuerySpec(
+      "x8_theta_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val sk = Tables(s, dir, "events")
+          .groupBy($"event_type")
+          .agg(SketchFunctions.thetaSketch($"user_id", ThetaLgK).as("sk"))
+        val a = sk.select($"event_type".as("type_a"), $"sk".as("sk_a"))
+        val b = sk.select($"event_type".as("type_b"), $"sk".as("sk_b"))
+        a.join(broadcast(b), $"type_a" < $"type_b")
+          .select($"type_a", $"type_b",
+            SketchFunctions.thetaIntersect($"sk_a", $"sk_b").cast("long")
+              .as("users_both"),
+            SketchFunctions.thetaUnion($"sk_a", $"sk_b").cast("long")
+              .as("users_any"))
+          .withColumn("jaccard",
+            round($"users_both".cast("double") / $"users_any".cast("double"), 6))
+          .orderBy($"type_a", $"type_b")
+      },
+      Some("""
+        WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS users
+              FROM d GROUP BY event_type),
+        o AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     CAST(COUNT(*) AS BIGINT) AS users_both
+              FROM d a JOIN d b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY 1, 2),
+        p AS (SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+                     ca.users + cb.users AS total
+              FROM c ca JOIN c cb ON ca.event_type < cb.event_type)
+        SELECT p.type_a, p.type_b,
+               COALESCE(o.users_both, CAST(0 AS BIGINT)) AS users_both,
+               p.total - COALESCE(o.users_both, 0) AS users_any,
+               ROUND(CAST(COALESCE(o.users_both, 0) AS DOUBLE) /
+                     (p.total - COALESCE(o.users_both, 0)), 6) AS jaccard
+        FROM p LEFT JOIN o ON p.type_a = o.type_a AND p.type_b = o.type_b
         ORDER BY p.type_a, p.type_b"""))
   )
 

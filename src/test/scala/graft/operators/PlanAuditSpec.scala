@@ -74,6 +74,8 @@ class PlanAuditSpec extends SparkTestBase {
     // frame joined to itself under a non-equi type predicate — bounded
     // by dimension cardinality
     "x6_theta_exclusive_users",
+    // x8 reuses the same T-row sketch pair join
+    "x8_theta_jaccard",
     // q54 crosses the 1-ROW max-ts split point onto the event scan —
     // the t16 scalar-cross shape
     "q54_incremental_rollup",
@@ -136,7 +138,8 @@ class PlanAuditSpec extends SparkTestBase {
     "t25_quality_classifier", "t26_repetition_ratio",
     "q57_interpolated_series", "p12_bottomk_sample",
     "s9_filtered_ann", "e4_crawl_pipeline", "g3_bfs_hops",
-    "q58_cdc_snapshot", "m5_perceptual_dedup")
+    "q58_cdc_snapshot", "m5_perceptual_dedup",
+    "x8_theta_jaccard", "q59_interpolated_percentiles")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>

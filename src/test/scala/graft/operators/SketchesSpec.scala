@@ -213,6 +213,28 @@ class SketchesSpec extends SparkTestBase {
       }
   }
 
+  test("x8's real union op equals the inclusion-exclusion identity in exact mode") {
+    // below capacity the union estimate must be EXACTLY a + b − ∩ (all
+    // exact counts); beyond capacity the arithmetic identity stops
+    // holding while the Union op stays valid — this pins that x8 uses a
+    // real set operation that agrees with ground truth where ground
+    // truth exists
+    val rows = graft.SparkEntry.queries("x8_theta_jaccard")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val exact = events.select($"event_type", $"user_id").distinct()
+      .groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val (both, any) = (r.getLong(2), r.getLong(3))
+      assert(any == exact(ta) + exact(tb) - both,
+        s"($ta,$tb): union $any != ${exact(ta)}+${exact(tb)}-$both")
+      val j = r.getDouble(4)
+      assert(j >= 0.0 && j <= 1.0, s"jaccard $j out of range")
+    }
+  }
+
   test("x7 exact-mode quantiles equal t11's exact window quantiles") {
     // the twin claim made inside Spark (the oracle makes it cross-engine):
     // the sketch plan and the sort plan answer identically below capacity
