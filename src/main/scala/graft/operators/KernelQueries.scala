@@ -64,6 +64,59 @@ object KernelQueries {
     * rebuilds from scratch), shared by k1/k2 — re-running a kernel query
     * then only pays the convert plan, not thousands of file creates.
     * Returns the staging directory path. */
+  /** k8's staged archive fixture: one ZIP per source under
+    * `data/archives_<sf>/src<k>.zip`, each holding that source's
+    * documents as `doc<id>.txt` entries (null text → empty entry) — the
+    * container shape every crawl pipeline ingests (CommonCrawl WARCs,
+    * upload bundles). Same write-once marker convention as mediaTable;
+    * construction is distributed (repartition by source, each partition
+    * streams its sources' zips). */
+  private[graft] def stagedArchives(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "archives_" + base)
+    val stagingPath = path.getAbsolutePath
+    if (verifiedCorpora.contains(stagingPath)) return stagingPath
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(dir, "documents.parquet"))}"
+    val marker = new java.io.File(stagingPath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      if (path.isDirectory) path.listFiles().foreach(f => { f.delete(); () })
+      path.mkdirs()
+      Tables(s, dir, "documents")
+        .select($"source", $"doc_id", coalesce($"text", lit("")).as("text"))
+        .repartition($"source")
+        .sortWithinPartitions($"source", $"doc_id")
+        .as[(String, Long, String)]
+        .foreachPartition { (it: Iterator[(String, Long, String)]) =>
+          var cur: String = null
+          var zos: java.util.zip.ZipOutputStream = null
+          def close(): Unit = if (zos != null) { zos.close(); zos = null }
+          it.foreach { case (src, id, text) =>
+            if (src != cur) {
+              close()
+              cur = src
+              zos = new java.util.zip.ZipOutputStream(
+                new java.io.FileOutputStream(
+                  new java.io.File(path, s"$src.zip")))
+            }
+            zos.putNextEntry(new java.util.zip.ZipEntry(s"doc$id.txt"))
+            zos.write(text.getBytes("UTF-8"))
+            zos.closeEntry()
+          }
+          close()
+        }
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedCorpora.add(stagingPath)
+    stagingPath
+  }
+
   private[graft] def stagedCorpus(s: SparkSession, dir: String): String = {
     import s.implicits._
     val staging = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -386,7 +439,62 @@ object KernelQueries {
       Some("""
         SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
                md5(text) AS content_md5
-        FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""))
+        FROM documents WHERE text IS NOT NULL ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------ k8
+    // ARCHIVE ingest — the container shape the per-file scans (k1/k5)
+    // don't cover: crawl corpora arrive as archives (CommonCrawl WARCs,
+    // zip upload bundles), and the ingest unit is the ARCHIVE, not the
+    // member. One staged ZIP per source ([[stagedArchives]]) is scanned
+    // with binaryFile, spread across executors, and expanded in-stream
+    // (ZipInputStream per archive — entries never touch disk); every
+    // entry emits exact byte accounting plus its content md5, which the
+    // oracle recomputes from the documents table — a lost entry, a
+    // truncated member or a mis-associated archive cannot hash-match.
+    // Scale: the archive is the parallelism unit, exactly how WARC
+    // pipelines shard (one .warc.gz per task); expansion is
+    // embarrassingly parallel after the round-robin spread (the m2
+    // lesson), the per-archive memory envelope is one archive's bytes,
+    // and nothing shuffles until the entry-level rows (id, 2 smalls,
+    // hash) — payloads die in the task that decoded them.
+    QuerySpec(
+      "k8_archive_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val archives = stagedArchives(s, dir)
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.zip").load(archives)
+          .select(regexp_extract($"path", "([^/]+)\\.zip$", 1).as("archive"),
+            $"content")
+          .as[(String, Array[Byte])]
+          .repartition(s.sparkContext.defaultParallelism)
+          .flatMap { case (archive, bytes) =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val zin = new java.util.zip.ZipInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(String, String, Long, String)]
+            var e = zin.getNextEntry
+            while (e != null) {
+              val content = zin.readAllBytes()
+              md.reset()
+              out += ((archive, e.getName, content.length.toLong,
+                md.digest(content).map("%02x".format(_)).mkString))
+              e = zin.getNextEntry
+            }
+            out
+          }
+          .toDF("archive", "entry", "n_bytes", "content_md5")
+          .select(
+            regexp_extract($"entry", "doc(\\d+)", 1).cast("long").as("doc_id"),
+            $"archive", $"n_bytes", $"content_md5")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, source AS archive,
+               CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+               md5(coalesce(text, '')) AS content_md5
+        FROM documents ORDER BY doc_id"""))
   )
 
   /** k1's oracle, shared verbatim by k5 (the DSv2 connector must produce
