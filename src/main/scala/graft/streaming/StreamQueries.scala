@@ -634,7 +634,87 @@ object StreamQueries {
                                 event_id) AS pos
               FROM events)
         WHERE pos <= 10
-        ORDER BY event_type, pos""")))
+        ORDER BY event_type, pos""")),
+
+    // ---------------------------------------------------------------- st11
+    // Streaming CDC latest-wins — q58's streaming twin and the THIRD
+    // state-replayability class on the scoreboard: beside st6's monotone
+    // counters and st10's mergeable KMV sets, per-key latest-wins is a
+    // COMMUTATIVE max-by-version merge (argmax over (ts, event_id) is
+    // associative, commutative, idempotent), so the final state is
+    // independent of micro-batch slicing and arrival order, and the
+    // batch argmax over the whole table is an exact oracle. The events
+    // stream is read as a changelog keyed by user_id (version =
+    // (event-time, event_id) — microsecond-exact per the st8 lesson;
+    // Timestamp.getTime alone would ms-truncate); ValueState holds one
+    // (version, value) per key — the materialized-view state a real CDC
+    // consumer keeps, constant per key, no watermark needed.
+    QuerySpec(
+      "st11_cdc_latest_stream",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.streaming.GroupStateTimeout
+        val inbox = stagedInbox(s, dir)
+        val runDir =
+          java.nio.file.Files.createTempDirectory("graft_st11").toString
+        val outDir = s"$runDir/out"
+        Seq.empty[(Long, Long, Double, Long)]
+          .toDF("user_id", "micros", "value", "batch")
+          .write.mode("overwrite").parquet(outDir)
+        val schema = s.read.parquet(inbox).schema
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 4).parquet(inbox)
+          val updates = stream
+            .select($"user_id", unix_micros($"ts").as("micros"),
+              $"event_id", $"value")
+            .as[(Long, Long, Long, Double)]
+            .groupByKey(_._1)
+            .flatMapGroupsWithState(
+              OutputMode.Update(), GroupStateTimeout.NoTimeout)(latestWins _)
+          val q = updates.toDF("user_id", "micros", "value").writeStream
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              b.withColumn("batch", lit(id)).write.mode("append").parquet(outDir)
+            }
+            .outputMode(OutputMode.Update)
+            .option("checkpointLocation", s"$runDir/chk")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          lastRunProgress = q.recentProgress
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        val raw = s.read.parquet(outDir)
+        val last = raw.groupBy($"user_id").agg(max($"batch").as("batch"))
+        raw.join(last, Seq("user_id", "batch"))
+          .select($"user_id", timestamp_micros($"micros").as("last_ts"),
+            $"value".as("last_value"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH r AS (
+          SELECT user_id, ts, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, ts AS last_ts, value AS last_value
+        FROM r WHERE rn = 1 ORDER BY user_id""")))
+
+  /** st11's state transition: per-key latest-wins under the
+    * (micros, event_id) version order — a commutative, associative,
+    * idempotent merge, which is the whole replayability argument. */
+  private[streaming] def latestWins(
+      key: Long, rows: Iterator[(Long, Long, Long, Double)],
+      state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Double)])
+      : Iterator[(Long, Long, Double)] = {
+    val best = (state.getOption.iterator ++
+      rows.map { case (_, m, id, v) => (m, id, v) })
+      .maxBy { case (m, id, _) => (m, id) }
+    state.update(best)
+    Iterator.single((key, best._1, best._3))
+  }
 
   /** st10's state transition: merge the batch's (hash, id) pairs into
     * the stratum's bottom-k and re-emit the current sample. Associative

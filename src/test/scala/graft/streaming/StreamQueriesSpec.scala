@@ -143,6 +143,19 @@ class StreamQueriesSpec extends SparkTestBase {
       s"final st6 state ${totals.last} != $pairs active keys")
   }
 
+  test("st11 CDC state holds exactly one version row per key") {
+    import spark.implicits._
+    graft.SparkEntry.queries("st11_cdc_latest_stream")(spark, sfDir).collect()
+    val totals = stateTotals()
+    assert(totals.nonEmpty, "st11 recorded no stateful progress")
+    val users = Tables(spark, sfDir, "events")
+      .select($"user_id").distinct().count()
+    assert(totals.max <= users,
+      s"st11 state ${totals.max} exceeds the $users keys")
+    assert(totals.last == users,
+      s"final st11 state ${totals.last} != $users keys")
+  }
+
   test("st8 sessionizer state is one row per still-open user session") {
     import spark.implicits._
     graft.SparkEntry.queries("st8_stateful_sessions_stream")(spark, sfDir).collect()
