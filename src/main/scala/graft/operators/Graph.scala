@@ -198,6 +198,56 @@ object Graph {
           .orderBy($"hop", $"node_type", $"node_id")
       },
       Some(BfsOracle)),
+
+    // ----------------------------------------------------------------- g4
+    // WEIGHTED shortest paths — g3's BFS generalized to Bellman-Ford:
+    // edges carry an integer cost (100 − min(order count, 99): heavily
+    // traded pairs are cheap to traverse — the "strength of
+    // relationship" routing every supply-chain/fraud-proximity analysis
+    // runs), and each round relaxes dist(v) = min(dist(v),
+    // dist(u) + w(u,v)) over the whole frontier. INTEGER costs keep
+    // every candidate sum exact, so cross-engine parity needs no
+    // rounding anywhere. Same scale shape as g3/g1: stationary weighted
+    // edge list, node-sized distance frame moving per round, per-round
+    // checkpoints; the fixed 4-round cap bounds path length (dist = the
+    // cheapest ≤4-hop route) and keeps the oracle an exact unrolled
+    // relaxation — each level re-aggregates to one row per node, so the
+    // chained CTEs never enumerate paths.
+    QuerySpec(
+      "g4_weighted_paths",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        val weighted = li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_custkey".as("c"), $"l_suppkey".as("p"))
+          .agg(count(lit(1)).as("n"))
+          .select($"c", $"p",
+            (lit(100L) - least($"n", lit(99L))).as("w"))
+        val edges = weighted
+          .select($"c".as("src"), lit("c").as("src_t"),
+            $"p".as("dst"), lit("s").as("dst_t"), $"w")
+          .union(weighted.select($"p".as("src"), lit("s").as("src_t"),
+            $"c".as("dst"), lit("c").as("dst_t"), $"w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        var dist = Tables(s, dir, "customer")
+          .filter($"c_nationkey" === 0)
+          .select(lit("c").as("t"), $"c_custkey".as("id"), lit(0L).as("cost"))
+          .localCheckpoint(true)
+        for (_ <- 1 to BfsHops) {
+          dist = dist.union(
+              edges.join(dist,
+                edges("src") === dist("id") && edges("src_t") === dist("t"))
+                .select($"dst_t".as("t"), $"dst".as("id"),
+                  ($"cost" + $"w").as("cost")))
+            .groupBy($"t", $"id").agg(min($"cost").as("cost"))
+            .localCheckpoint(true)
+        }
+        edges.unpersist(false)
+        dist.select($"t".as("node_type"), $"id".as("node_id"), $"cost")
+          .orderBy($"cost", $"node_type", $"node_id")
+      },
+      Some(WeightedPathsOracle)),
   )
 
   /** Per-node triangle participation counts for an undirected simple
@@ -399,5 +449,38 @@ object Graph {
       SELECT t AS node_type, id AS node_id, CAST(hop AS BIGINT) AS hop
       FROM d$BfsHops
       ORDER BY hop, node_type, node_id"""
+  }
+
+  /** g4's oracle: [[BfsHops]] unrolled Bellman-Ford relaxation levels
+    * over the integer-weighted mirrored edge list — the [[BfsOracle]]
+    * shape with min(cost) in place of min(hop). */
+  private def WeightedPathsOracle: String = {
+    val base = raw"""
+      WITH wpairs AS (
+        SELECT o_custkey AS c, l_suppkey AS p,
+               100 - LEAST(COUNT(*), 99) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, l_suppkey),
+      edges AS (
+        SELECT c AS src, 'c' AS src_t, p AS dst, 's' AS dst_t, w FROM wpairs
+        UNION ALL
+        SELECT p AS src, 's' AS src_t, c AS dst, 'c' AS dst_t, w FROM wpairs),
+      d0 AS (
+        SELECT 'c' AS t, c_custkey AS id, 0 AS cost
+        FROM customer WHERE c_nationkey = 0)"""
+    val levels = (1 to BfsHops).map { i =>
+      raw"""
+      d$i AS (
+        SELECT t, id, MIN(cost) AS cost FROM (
+          SELECT t, id, cost FROM d${i - 1}
+          UNION ALL
+          SELECT e.dst_t AS t, e.dst AS id, p.cost + e.w AS cost
+          FROM d${i - 1} p JOIN edges e ON p.id = e.src AND p.t = e.src_t
+        ) GROUP BY t, id)"""
+    }.mkString(",")
+    base + "," + levels + raw"""
+      SELECT t AS node_type, id AS node_id, CAST(cost AS BIGINT) AS cost
+      FROM d$BfsHops
+      ORDER BY cost, node_type, node_id"""
   }
 }

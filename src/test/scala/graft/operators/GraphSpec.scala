@@ -157,4 +157,39 @@ class GraphSpec extends SparkTestBase {
       adj.getOrElse(n, Array.empty[(String, Long)]).exists(!reached(_)))
     assert(!expandable, "cap truncated the BFS before the diameter")
   }
+
+  test("g4 equals a driver-side Bellman-Ford over the weighted fixture graph") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("g4_weighted_paths")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val li = graft.Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey")
+    val ord = graft.Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val weighted = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey", $"l_suppkey").count()
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, p, n) => (c, p, 100L - math.min(n, 99L)) }
+    val edges = weighted.flatMap { case (c, p, w) =>
+      Seq((("c", c), ("s", p), w), (("s", p), ("c", c), w))
+    }
+    val seeds = graft.Tables(spark, sfDir, "customer")
+      .filter($"c_nationkey" === 0).select($"c_custkey").as[Long]
+      .collect().map(id => ("c", id) -> 0L).toMap
+    var dist = seeds
+    (1 to 4).foreach { _ =>
+      val relaxed = edges.flatMap { case (u, v, w) =>
+        dist.get(u).map(du => v -> (du + w))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2).min
+      }
+    }
+    assert(got == dist, {
+      val diff = got.collect {
+        case (k, c) if dist.get(k) != Some(c) => s"$k: $c vs ${dist.get(k)}"
+      }
+      s"${diff.size} nodes disagree: ${diff.take(5).mkString(", ")}"
+    })
+  }
 }
