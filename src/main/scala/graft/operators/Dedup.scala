@@ -62,6 +62,52 @@ object Dedup {
                      docs: org.apache.spark.sql.DataFrame,
                      threshold: Double = 0.05): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    val (sized, sh0) = pairSizesOn(s, docs)
+    val pairs = sized
+      .withColumn("jaccard", $"common".cast("double") / ($"na" + $"nb" - $"common"))
+      .filter($"jaccard" >= threshold)
+      .select($"a_id", $"b_id", $"common", $"jaccard")
+    graft.Materialize.thenRelease(pairs, sh0)
+  }
+
+  /** d19's asymmetric variant of [[jaccardPairsOn]]: CONTAINMENT
+    * (|A∩B|/|A| and |A∩B|/|B|) instead of Jaccard. The distinction
+    * matters precisely when the two sizes diverge — a short document
+    * quoted verbatim inside a long one has containment ≈ 1 on the short
+    * side but Jaccard ≈ |A|/|B| ≈ 0, so a Jaccard threshold never sees
+    * it; containment is how real pipelines catch boilerplate inclusion
+    * and quote-embedding (the d6 decontamination overlap_frac is the
+    * same ratio, fixed to one reference side). Pairs are kept when the
+    * LARGER of the two containments clears `minContainment` — i.e. the
+    * smaller document's shingle set is mostly inside the other.
+    *
+    * Same scale shape as d2 (shared [[pairSizesOn]] core: df-capped
+    * inverted index, 8-byte hashed shingle keys, bounded pair fan-out);
+    * the only change is the post-aggregate filter, so nothing new
+    * shuffles. */
+  def containmentPairsOn(s: org.apache.spark.sql.SparkSession,
+                         docs: org.apache.spark.sql.DataFrame,
+                         minContainment: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val (sized, sh0) = pairSizesOn(s, docs)
+    val pairs = sized
+      .filter($"common".cast("double") / least($"na", $"nb") >= minContainment)
+      .select($"a_id", $"b_id", $"common", $"na", $"nb",
+        round($"common".cast("double") / $"na", 6).as("contain_a"),
+        round($"common".cast("double") / $"nb", 6).as("contain_b"))
+    graft.Materialize.thenRelease(pairs, sh0)
+  }
+
+  /** Shared pair-generation core for [[jaccardPairsOn]] /
+    * [[containmentPairsOn]]: df-capped inverted index → per-pair
+    * intersection counts joined with both set sizes. Returns the
+    * unfiltered `(a_id, b_id, common, na, nb)` frame plus the persisted
+    * shingle handle the caller must release (via Materialize.thenRelease)
+    * after applying its own similarity filter. */
+  private def pairSizesOn(s: org.apache.spark.sql.SparkSession,
+                          docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Dataset[_]) = {
+    import s.implicits._
     val sh0 = Shingles.pairs(s, docs)
       .select($"doc_id", xxhash64($"shingle").as("shingle"))
       .persist()
@@ -79,13 +125,10 @@ object Dedup {
       .toDF("a_id", "b_id")
       .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("common"))
-    val pairs = common
+    val sized = common
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
-      .withColumn("jaccard", $"common".cast("double") / ($"na" + $"nb" - $"common"))
-      .filter($"jaccard" >= threshold)
-      .select($"a_id", $"b_id", $"common", $"jaccard")
-    graft.Materialize.thenRelease(pairs, sh0)
+    (sized, sh0)
   }
 
   /** d14's span extraction over an arbitrary `(doc_id, text)` frame —
@@ -227,8 +270,10 @@ object Dedup {
     (labels.select($"id".as("doc_id"), $"label".as("cluster_id")), rounds)
   }
 
-  /** The d2 oracle's CTE chain up to threshold pairs, shared with d7. */
-  private val JaccardPairsSql: String = raw"""
+  /** The shared shingle→pair CTE core (through per-pair intersection
+    * counts + set sizes) — d2/d7/d18 extend it with the Jaccard filter
+    * ([[JaccardPairsSql]]), d19 with the containment filter. */
+  private val ShinglePairsSql: String = raw"""
         sh0 AS (
           SELECT DISTINCT doc_id, shingle FROM (
             SELECT doc_id,
@@ -244,7 +289,10 @@ object Dedup {
         rawpairs AS (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS common
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id),
+          GROUP BY a.doc_id, b.doc_id)"""
+
+  /** The d2 oracle's CTE chain up to threshold pairs, shared with d7/d18. */
+  private val JaccardPairsSql: String = raw"""$ShinglePairsSql,
         tpairs AS (
           SELECT a_id, b_id, common,
                  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
@@ -959,7 +1007,87 @@ object Dedup {
                MIN(first_doc) AS first_doc
         FROM pages
         WHERE domain NOT IN ('d3.example.com', 'd7.example.com', 'd13.example.com')
-        GROUP BY domain ORDER BY domain"""))
+        GROUP BY domain ORDER BY domain""")),
+
+    // ---------------------------------------------------------------- d18
+    // Quality-aware cluster representative selection — the step BETWEEN
+    // d7's transitive closure and the actual drop list every production
+    // dedup run executes: within each near-dup cluster keep the BEST
+    // document, not the arbitrary lowest id (FineWeb/Dolma keep longest /
+    // highest-quality per cluster; min-id keeps whatever crawled first).
+    // Quality here is the fixture's n_chars (longest survives) with
+    // doc_id as the deterministic tiebreak; singleton documents (no
+    // near-dup edge) are their own one-element cluster and always keep.
+    // Output is the per-document verdict frame downstream filters join
+    // against: (doc_id, cluster_id, n_chars, keep).
+    //
+    // Scale: the CC label frame is EDGE-VERTEX-sized (docs that appear
+    // in some near-dup pair — ≪ corpus for any real dedup rate), joined
+    // to the corpus on doc_id (left join, AQE broadcasts while the label
+    // side fits); the keeper window partitions by cluster_id, and
+    // cluster sizes are bounded by the same fan-out cap that bounds d2's
+    // pair generation — no fat reducer. One window over cluster-sized
+    // partitions + one join beyond what d7 already does.
+    QuerySpec(
+      "d18_cluster_keeper",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val docs = Tables(s, dir, "documents").select($"doc_id", $"n_chars")
+        val pairs = jaccardPairs(s, dir).select($"a_id", $"b_id")
+        val labels = connectedComponents(s, pairs)._1
+        val w = Window.partitionBy($"cluster_id")
+          .orderBy($"n_chars".desc, $"doc_id")
+        docs.join(labels, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+          .withColumn("keep", row_number().over(w) === 1)
+          .select($"doc_id", $"cluster_id", $"n_chars", $"keep")
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH RECURSIVE $JaccardPairsSql,
+        edges AS (
+          SELECT a_id AS s, b_id AS d FROM tpairs
+          UNION ALL SELECT b_id, a_id FROM tpairs),
+        reach AS (
+          SELECT DISTINCT s AS id, s AS r FROM edges
+          UNION
+          SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+        labels AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        cl AS (
+          SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+          FROM documents d LEFT JOIN labels l USING (doc_id))
+        SELECT doc_id, cluster_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) = 1 AS keep
+        FROM cl ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- d19
+    // Asymmetric containment pairs — see [[containmentPairsOn]]: the
+    // short-inside-long duplication a symmetric Jaccard threshold is
+    // structurally blind to. Presentation mirrors d2 (strongest pairs
+    // first, bounded), ordered by the larger containment.
+    QuerySpec(
+      "d19_containment_pairs",
+      (s, dir) => {
+        import s.implicits._
+        containmentPairsOn(s, Tables(s, dir, "documents"), 0.5)
+          .orderBy(greatest($"contain_a", $"contain_b").desc, $"a_id", $"b_id")
+          .limit(200)
+      },
+      Some(raw"""
+        WITH $ShinglePairsSql,
+        cpairs AS (
+          SELECT a_id, b_id, common, sa.n AS na, sb.n AS nb,
+                 ROUND(CAST(common AS DOUBLE) / sa.n, 6) AS contain_a,
+                 ROUND(CAST(common AS DOUBLE) / sb.n, 6) AS contain_b
+          FROM rawpairs JOIN sizes sa ON a_id = sa.doc_id
+                        JOIN sizes sb ON b_id = sb.doc_id
+          WHERE CAST(common AS DOUBLE) / least(sa.n, sb.n) >= 0.5)
+        SELECT a_id, b_id, common, na, nb, contain_a, contain_b
+        FROM cpairs
+        ORDER BY greatest(contain_a, contain_b) DESC, a_id, b_id
+        LIMIT 200"""))
   )
 
   /** d10's winnow window (consecutive shingle hashes per min-selection).

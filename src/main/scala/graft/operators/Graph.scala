@@ -35,6 +35,19 @@ object Graph {
     * replay rather than a convergence race. */
   private val BfsHops = 4
 
+  /** g5's core order: nodes with fewer than K surviving neighbors peel. */
+  private val KcoreK = 3
+
+  /** g5's fixed peel-wave count — like [[BfsHops]], a FIXED cap is what
+    * keeps the oracle an exact unrolled replay; the output's semantic is
+    * "peel wave index (1-4), 0 = still in the core after 4 waves". */
+  private val KcorePeels = 4
+
+  /** g6's fixed synchronous-LPA round count. Three rounds is where the
+    * fixture graph's label histogram is already community-shaped while
+    * the unrolled oracle stays three node-sized levels. */
+  private val LpaRounds = 3
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----------------------------------------------------------------- g1
@@ -248,6 +261,129 @@ object Graph {
           .orderBy($"cost", $"node_type", $"node_id")
       },
       Some(WeightedPathsOracle)),
+
+    // ----------------------------------------------------------------- g5
+    // k-core peeling over g2's weekly co-purchase graph — the
+    // Batagelj–Zavrsnik degeneracy decomposition every dense-subgraph /
+    // spam-farm / community-core analysis starts from: repeatedly remove
+    // nodes with degree < k, where each wave's removals can cascade the
+    // next (a node loses its last strong neighbors and peels later).
+    // The output classifies every node by its PEEL WAVE (1-4; 0 = still
+    // in the k-core after four waves) — the cascade depth is exactly
+    // what a single degree filter cannot compute, so the oracle
+    // falsifies any non-iterative shortcut.
+    //
+    // Scale shape: per wave ONE degree aggregate over the surviving
+    // (mirrored) edge list + two semi-joins filtering edges to surviving
+    // endpoints, with the d7/g3 eager-localCheckpoint convention keeping
+    // the plan constant-size; the edge list only SHRINKS, so wave cost
+    // is monotone non-increasing, and the alive/removed frames are
+    // node-sized. The fixed wave cap bounds the unrolled DuckDB replay
+    // (each level re-aggregates to one row per node — no recursion
+    // race); a to-fixpoint variant would swap the cap for d7's monotone
+    // convergence check unchanged.
+    QuerySpec(
+      "g5_kcore_peel",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_partkey", $"l_shipdate")
+        val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        val cp = li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("c"), $"l_partkey".as("p"),
+            date_trunc("week", $"l_shipdate").as("w"))
+        // g2's neighborhood-list pair emission (see its scaladoc)
+        val und = cp.groupBy($"p", $"w").agg(collect_set($"c").as("cs"))
+          .filter(size($"cs") >= 2)
+          .select(explode(expr(
+            "filter(flatten(transform(cs, a -> transform(cs, b -> " +
+              "named_struct('x', a, 'y', b)))), s -> s.x < s.y)")).as("e"))
+          .select($"e.x".as("x"), $"e.y".as("y"))
+          .distinct()
+        var edges = und.select($"x".as("s"), $"y".as("d"))
+          .union(und.select($"y".as("s"), $"x".as("d")))
+          .localCheckpoint(true)
+        var alive = edges.select($"s".as("v")).distinct().localCheckpoint(true)
+        var removed = Seq.empty[(Long, Long)].toDF("custkey", "removed_round")
+        for (r <- 1 to KcorePeels) {
+          val deg = edges.groupBy($"s".as("v")).agg(count(lit(1)).as("deg"))
+          // left join, not inner: a node whose edges ALL vanished last
+          // wave has no degree row at all — it peels as degree 0
+          val annotated = alive.join(deg, Seq("v"), "left")
+            .withColumn("deg", coalesce($"deg", lit(0L)))
+          removed = removed.union(
+              annotated.filter($"deg" < KcoreK)
+                .select($"v".as("custkey"), lit(r.toLong).as("removed_round")))
+            .localCheckpoint(true)
+          alive = annotated.filter($"deg" >= KcoreK)
+            .select($"v").localCheckpoint(true)
+          edges = edges
+            .join(alive.select($"v".as("s")), Seq("s"), "left_semi")
+            .join(alive.select($"v".as("d")), Seq("d"), "left_semi")
+            .select($"s", $"d")
+            .localCheckpoint(true)
+        }
+        removed
+          .union(alive.select($"v".as("custkey"), lit(0L).as("removed_round")))
+          .orderBy($"custkey")
+      },
+      Some(KcoreOracle)),
+
+    // ----------------------------------------------------------------- g6
+    // Synchronous label propagation (LPA) over the co-purchase graph —
+    // the community-detection primitive beside d7's connected components
+    // (min-label closure merges everything reachable; LPA's MODE vote
+    // finds densely-knit groups inside one component). Each round every
+    // node adopts the most frequent label among its NEIGHBORS, ties
+    // broken by the smallest label — integer counts and a total tie
+    // order make synchronous LPA fully deterministic, which is exactly
+    // why this variant (and not the async/random one the original paper
+    // uses) is the distributed-engine shape: it replays bit-identically
+    // under the unrolled oracle.
+    //
+    // Scale: per round ONE edge-to-labels equi-join (the stationary-
+    // edges / mobile-labels split g1 documents) + one (node, label)
+    // count aggregate + one per-node argmax window — label frames stay
+    // node-sized, the per-node window partitions are bounded by degree,
+    // and the eager localCheckpoint keeps plans constant-size. Fixed
+    // [[LpaRounds]] keeps the oracle an exact three-level replay.
+    QuerySpec(
+      "g6_label_propagation",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val li = Tables(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_partkey", $"l_shipdate")
+        val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        val cp = li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("c"), $"l_partkey".as("p"),
+            date_trunc("week", $"l_shipdate").as("w"))
+        val und = cp.groupBy($"p", $"w").agg(collect_set($"c").as("cs"))
+          .filter(size($"cs") >= 2)
+          .select(explode(expr(
+            "filter(flatten(transform(cs, a -> transform(cs, b -> " +
+              "named_struct('x', a, 'y', b)))), s -> s.x < s.y)")).as("e"))
+          .select($"e.x".as("x"), $"e.y".as("y"))
+          .distinct()
+        val edges = und.select($"x".as("s"), $"y".as("d"))
+          .union(und.select($"y".as("s"), $"x".as("d")))
+          .localCheckpoint(true)
+        var labels = edges.select($"s".as("v")).distinct()
+          .withColumn("label", $"v").localCheckpoint(true)
+        val byNode = Window.partitionBy($"v").orderBy($"cnt".desc, $"label")
+        for (_ <- 1 to LpaRounds) {
+          labels = edges.join(labels, edges("d") === labels("v"))
+            .groupBy(edges("s").as("v"), $"label")
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("rk", row_number().over(byNode))
+            .filter($"rk" === 1)
+            .select($"v", $"label")
+            .localCheckpoint(true)
+        }
+        labels.select($"v".as("custkey"), $"label".as("community"))
+          .orderBy($"custkey")
+      },
+      Some(LpaOracle)),
   )
 
   /** Per-node triangle participation counts for an undirected simple
@@ -381,6 +517,76 @@ object Graph {
   /** The oracle unrolls the identical five rounds as chained CTEs over
     * the same mirrored edge list; N and out-degrees are exact BIGINTs,
     * scores the same IEEE arithmetic. */
+  /** g5's oracle: the co-purchase edge CTE (g2's construction) + one
+    * unrolled peel wave per round — each wave re-aggregates degrees over
+    * the previous wave's surviving edges, classifies nodes, and filters
+    * the edge list; node-sized levels, no recursion. */
+  private def KcoreOracle: String = {
+    val base = raw"""
+      WITH cp AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p,
+               date_trunc('week', l_shipdate) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (
+        SELECT DISTINCT a.c AS x, b.c AS y
+        FROM cp a JOIN cp b ON a.p = b.p AND a.w = b.w AND a.c < b.c),
+      m0 AS (SELECT x AS s, y AS d FROM e UNION ALL SELECT y AS s, x AS d FROM e),
+      a0 AS (SELECT DISTINCT s AS v FROM m0)"""
+    val waves = (1 to KcorePeels).map { i =>
+      raw"""
+      deg$i AS (SELECT s AS v, COUNT(*) AS deg FROM m${i - 1} GROUP BY s),
+      ann$i AS (SELECT a${i - 1}.v, COALESCE(deg$i.deg, 0) AS deg
+                FROM a${i - 1} LEFT JOIN deg$i USING (v)),
+      rm$i AS (SELECT v FROM ann$i WHERE deg < $KcoreK),
+      a$i AS (SELECT v FROM ann$i WHERE deg >= $KcoreK),
+      m$i AS (SELECT s, d FROM m${i - 1}
+              WHERE s IN (SELECT v FROM a$i) AND d IN (SELECT v FROM a$i))"""
+    }.mkString(",")
+    val unioned = (1 to KcorePeels).map { i =>
+      raw"SELECT v AS custkey, CAST($i AS BIGINT) AS removed_round FROM rm$i"
+    }.mkString("\n        UNION ALL ")
+    base + "," + waves + raw"""
+      SELECT custkey, removed_round FROM (
+        $unioned
+        UNION ALL SELECT v AS custkey, CAST(0 AS BIGINT) AS removed_round
+                  FROM a$KcorePeels)
+      ORDER BY custkey"""
+  }
+
+  /** g6's oracle: the co-purchase edge CTE + one unrolled synchronous
+    * LPA round per level — each level joins the mirrored edges to the
+    * previous labels, counts (node, label) votes, and takes the
+    * (count DESC, label ASC) argmax; node-sized levels throughout. */
+  private def LpaOracle: String = {
+    val base = raw"""
+      WITH cp AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p,
+               date_trunc('week', l_shipdate) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (
+        SELECT DISTINCT a.c AS x, b.c AS y
+        FROM cp a JOIN cp b ON a.p = b.p AND a.w = b.w AND a.c < b.c),
+      m0 AS (SELECT x AS s, y AS d FROM e UNION ALL SELECT y AS s, x AS d FROM e),
+      l0 AS (SELECT DISTINCT s AS v, s AS label FROM m0)"""
+    val rounds = (1 to LpaRounds).map { i =>
+      raw"""
+      n$i AS (
+        SELECT m0.s AS v, l.label, COUNT(*) AS cnt
+        FROM m0 JOIN l${i - 1} l ON m0.d = l.v
+        GROUP BY m0.s, l.label),
+      l$i AS (
+        SELECT v, label FROM (
+          SELECT v, label,
+                 ROW_NUMBER() OVER (PARTITION BY v
+                                    ORDER BY cnt DESC, label) AS rk
+          FROM n$i)
+        WHERE rk = 1)"""
+    }.mkString(",")
+    base + "," + rounds + raw"""
+      SELECT v AS custkey, label AS community FROM l$LpaRounds
+      ORDER BY custkey"""
+  }
+
   private def PageRankOracle: String = {
     val base = raw"""
       WITH pairs AS (

@@ -1901,6 +1901,68 @@ object Relational {
                      - quantile_cont(c_acctbal, 0.25), 6) AS iqr
         FROM customer GROUP BY c_mktsegment ORDER BY segment""")),
 
+    // ---------------------------------------------------------------- q60
+    // Winsorized robust statistics — the outlier-clipping pass a
+    // training-data pipeline runs before any mean/variance-based feature
+    // or weighting: per group, clip the metric to its [p05, p95]
+    // percentile band and report how much was clipped and what the
+    // robust mean becomes vs the raw one. Two-stage shape: stage 1 is a
+    // per-group exact-percentile aggregate (q59's `percentile` ≡
+    // quantile_cont parity; DIMENSION-sized groups — at lake scale this
+    // stage swaps for x2/x7's mergeable GK cutpoints exactly as q56
+    // does, the rest of the plan unchanged), stage 2 broadcasts the
+    // cutpoint table back onto the scan and clips map-side.
+    // Determinism: cutpoints are rounded at 4dp and CAST to
+    // DECIMAL(18,4), the metric is decimal-exact by fixture
+    // construction, so clip comparisons and the winsorized SUM are
+    // exact integer-scaled arithmetic on both engines — the mean
+    // divides the exact decimal sum as double only at presentation.
+    QuerySpec(
+      "q60_winsorized_stats",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_extendedprice")
+        val cuts = li.groupBy($"l_returnflag")
+          .agg(percentile($"l_extendedprice",
+            array(lit(0.05), lit(0.95))).as("qs"))
+          .select($"l_returnflag",
+            round($"qs" (0), 4).cast("decimal(18,4)").as("lo"),
+            round($"qs" (1), 4).cast("decimal(18,4)").as("hi"))
+        li.join(broadcast(cuts), "l_returnflag")
+          .withColumn("p", $"l_extendedprice".cast("decimal(18,4)"))
+          .withColumn("clipped", least(greatest($"p", $"lo"), $"hi"))
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when($"p" < $"lo", 1L).otherwise(0L)).as("n_clip_lo"),
+            sum(when($"p" > $"hi", 1L).otherwise(0L)).as("n_clip_hi"),
+            round(sum($"clipped").cast("double") / count(lit(1)), 6)
+              .as("winsor_mean"),
+            round(sum($"p").cast("double") / count(lit(1)), 6).as("raw_mean"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        WITH cuts AS (
+          SELECT l_returnflag,
+                 CAST(ROUND(quantile_cont(l_extendedprice, 0.05), 4)
+                      AS DECIMAL(18,4)) AS lo,
+                 CAST(ROUND(quantile_cont(l_extendedprice, 0.95), 4)
+                      AS DECIMAL(18,4)) AS hi
+          FROM lineitem GROUP BY l_returnflag),
+        c AS (
+          SELECT l.l_returnflag,
+                 CAST(l.l_extendedprice AS DECIMAL(18,4)) AS p, lo, hi
+          FROM lineitem l JOIN cuts USING (l_returnflag))
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN p < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+               CAST(SUM(CASE WHEN p > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+               ROUND(CAST(SUM(least(greatest(p, lo), hi)) AS DOUBLE)
+                     / COUNT(*), 6) AS winsor_mean,
+               ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS raw_mean
+        FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---------------------------------------------------------------- q53
     // MULTISET set operations — EXCEPT ALL / INTERSECT ALL, the
     // bag-semantics variants q8/q9's DISTINCT forms don't exercise:

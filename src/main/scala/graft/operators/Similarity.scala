@@ -554,7 +554,96 @@ object Similarity {
                                         ORDER BY cosine DESC, cand_id) AS rank
               FROM p)
         SELECT query_id, rank, cand_id, cosine FROM r WHERE rank <= 5
-        ORDER BY query_id, rank"""))
+        ORDER BY query_id, rank""")),
+
+    // ---------------------------------------------------------------- s10
+    // Hybrid retrieval via Reciprocal Rank Fusion (k=60, the published
+    // constant): fuse t17's BM25 text ranking with a vector ranking for
+    // the same information need — the standard production shape where a
+    // lexical index and an ANN index answer in parallel and
+    // score = sum over lists of 1/(60 + rank). RRF needs only RANKS, so
+    // the two retrievers stay fully independent (no score calibration),
+    // which is exactly why it composes at 100 TB: each side runs its own
+    // scale path (t17's term-filtered scan; s2/s4's bucketed candidates)
+    // and the fusion join touches 2·k rows, driver-trivial but kept
+    // distributed here. Rank assignment happens AFTER each side's top-k
+    // cut (TakeOrderedAndProject), so the rank windows run over <= 20
+    // rows by construction — never a corpus-wide single-partition sort.
+    // Docs ranked by one list only still fuse (full outer, missing side
+    // contributes 0) — the RRF property that surfaces strong
+    // single-modality hits.
+    QuerySpec(
+      "s10_rrf_fusion",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+        val textTop = TextAnalysis.bm25Scores(s, dir, Seq("join", "vector", "window"))
+          .orderBy($"bm25".desc, $"doc_id").limit(20)
+          .withColumn("text_rank",
+            row_number().over(Window.orderBy($"bm25".desc, $"doc_id")))
+          .select($"doc_id", $"text_rank")
+        val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+        val vecTop = emb.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(q))
+          .select($"vec_id".as("doc_id"),
+            round(graft.functions.GraftFunctions.cosineSim($"qv", $"embedding"), 6)
+              .as("cosine"))
+          .orderBy($"cosine".desc, $"doc_id").limit(20)
+          .withColumn("vec_rank",
+            row_number().over(Window.orderBy($"cosine".desc, $"doc_id")))
+          .select($"doc_id", $"vec_rank")
+        textTop.join(vecTop, Seq("doc_id"), "full_outer")
+          .select($"doc_id", $"text_rank", $"vec_rank",
+            round(
+              coalesce(lit(1.0) / (lit(60) + $"text_rank"), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + $"vec_rank"), lit(0.0)), 6).as("rrf"))
+          .orderBy($"rrf".desc, $"doc_id")
+          .limit(20)
+      },
+      Some(raw"""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        dl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        tfq AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+          WHERE term IN ('join', 'vector', 'window')
+          GROUP BY doc_id, term),
+        dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY term),
+        sc AS (
+          SELECT t.doc_id,
+                 ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl)) AS w
+          FROM tfq t JOIN dfq f USING (term), stats s),
+        bm AS (SELECT doc_id, ROUND(SUM(w), 6) AS bm25 FROM sc GROUP BY doc_id),
+        ttop AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20),
+        tr AS (SELECT doc_id,
+                      ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS text_rank
+               FROM ttop),
+        qv0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        vs AS (
+          SELECT vec_id AS doc_id,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(qv)),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+                          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
+                   6) AS cosine
+          FROM embeddings, qv0 WHERE vec_id != 0),
+        vtop AS (SELECT doc_id, cosine FROM vs ORDER BY cosine DESC, doc_id LIMIT 20),
+        vr AS (SELECT doc_id,
+                      ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS vec_rank
+               FROM vtop)
+        SELECT doc_id, text_rank, vec_rank,
+               ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + text_rank), 0)
+                   + COALESCE(CAST(1 AS DOUBLE) / (60 + vec_rank), 0), 6) AS rrf
+        FROM tr FULL OUTER JOIN vr USING (doc_id)
+        ORDER BY rrf DESC, doc_id LIMIT 20"""))
   )
 
   /** IVF search: coarse cells = `label`, probe the `nProbe` nearest

@@ -40,6 +40,35 @@ object TextAnalysis {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
   private val stopwordsSqlList = stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** t17's BM25 scorer (k1=1.2, b=0.75), factored so s10's hybrid-fusion
+    * query can reuse the exact text-ranking stage: unordered
+    * `(doc_id, bm25 round6, n_terms_hit)` for documents hitting >= 1
+    * query term. Scale shape documented at the t17 spec (one corpus
+    * scan, term filter before aggregation, broadcast df/stats). */
+  def bm25Scores(s: org.apache.spark.sql.SparkSession, dir: String,
+                 terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").filter($"text".isNotNull)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+    val tf = docs
+      .select($"doc_id", $"dl", explode($"toks").as("term"))
+      .filter($"term".isin(terms: _*))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), min($"dl").as("dl"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)) *
+          ($"tf" * lit(2.2)) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+      .groupBy($"doc_id")
+      .agg(round(sum($"w"), 6).as("bm25"),
+        count(lit(1)).cast("long").as("n_terms_hit"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----------------------------------------------------------------- t1
@@ -723,26 +752,7 @@ object TextAnalysis {
       "t17_bm25_retrieval",
       (s, dir) => {
         import s.implicits._
-        val terms = Seq("join", "vector", "window")
-        val docs = Tables(s, dir, "documents").filter($"text".isNotNull)
-          .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
-          .select($"doc_id", $"toks", size($"toks").cast("long").as("dl"))
-        val stats = docs.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
-        val tf = docs
-          .select($"doc_id", $"dl", explode($"toks").as("term"))
-          .filter($"term".isin(terms: _*))
-          .groupBy($"doc_id", $"term")
-          .agg(count(lit(1)).as("tf"), min($"dl").as("dl"))
-        val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-        tf.join(broadcast(df), "term")
-          .crossJoin(broadcast(stats))
-          .withColumn("w",
-            log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)) *
-              ($"tf" * lit(2.2)) /
-              ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
-          .groupBy($"doc_id")
-          .agg(round(sum($"w"), 6).as("bm25"),
-            count(lit(1)).cast("long").as("n_terms_hit"))
+        bm25Scores(s, dir, Seq("join", "vector", "window"))
           .orderBy($"bm25".desc, $"doc_id")
           .limit(20)
       },
@@ -1293,6 +1303,78 @@ object TextAnalysis {
                CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN FALSE
                     ELSE ROUND(CAST(a.n_dup AS DOUBLE) / a.n_grams, 6) > 0.5 END AS flagged
         FROM documents d LEFT JOIN agg a USING (doc_id)
-        WHERE d.text IS NOT NULL ORDER BY d.doc_id"""))
+        WHERE d.text IS NOT NULL ORDER BY d.doc_id""")),
+
+    // ---------------------------------------------------------------- t27
+    // Encoding-artifact (mojibake) detection — the ftfy/CCNet cleaning
+    // gate that runs before any text analysis: count U+FFFD replacement
+    // characters (a decoder already gave up), C1 control characters
+    // (U+0080–U+009F — the signature of cp1252 bytes relabeled as
+    // latin-1), and UTF-8-read-as-latin1 digraphs (é mis-decoded to
+    // 'Ã©': lead byte 0xC3 surfaces as U+00C3 'Ã' followed by the
+    // continuation byte's latin-1 form). The fixture corpus is pure
+    // ASCII (the t18 premise, spec-pinned there), so each artifact class
+    // is PLANTED deterministically by doc_id%4 — one class per residue,
+    // residue 0 stays clean — making every counter hash-falsifiable: a
+    // detector that misses a class or miscounts flips flags and counts.
+    // All artifact characters are built with chr() codepoints on BOTH
+    // engines, so no non-ASCII byte ever sits in a source literal.
+    //
+    // Scale: one corpus scan, pure map-side string ops (length/replace —
+    // whole-stage codegen, no regex engine in the hot path), zero
+    // shuffles before the presentation sort. A lake build fuses the
+    // scrub itself the same way (nested replace), which is why the
+    // counters are computed from replace-deltas rather than a regex
+    // count: the scrub and the count share one expression family.
+    QuerySpec(
+      "t27_mojibake_detect",
+      (s, dir) => {
+        import s.implicits._
+        val moji = concat(chr(lit(195)), chr(lit(169)),
+          chr(lit(195)), chr(lit(168)))                 // A-tilde digraphs
+        val repl = concat(chr(lit(65533)), chr(lit(65533))) // U+FFFD twice
+        val c1 = concat(chr(lit(133)), chr(lit(146)))   // NEL + cp1252 apostrophe slot
+        val planted = when($"doc_id" % 4 === 1, concat($"text", lit(" "), moji))
+          .when($"doc_id" % 4 === 2, concat($"text", lit(" "), repl))
+          .when($"doc_id" % 4 === 3, concat($"text", lit(" "), c1))
+          .otherwise($"text")
+        val mojiPat = concat(chr(lit(195)), lit("["),
+          chr(lit(168)), chr(lit(169)), lit("]"))
+        Tables(s, dir, "documents").filter($"text".isNotNull)
+          .withColumn("t", planted)
+          .select($"doc_id",
+            ((length($"t") - length(regexp_replace($"t", mojiPat, lit(""))))
+              .cast("long") / 2L).cast("long").as("n_moji"),
+            (length($"t") - length(replace($"t", chr(lit(65533)), lit(""))))
+              .cast("long").as("n_repl"),
+            (length($"t") - length(replace(replace($"t",
+              chr(lit(133)), lit("")), chr(lit(146)), lit(""))))
+              .cast("long").as("n_c1"))
+          .withColumn("flagged", $"n_moji" + $"n_repl" + $"n_c1" > 0)
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH p AS (
+          SELECT doc_id,
+            CASE
+              WHEN doc_id % 4 = 1 THEN text || ' ' ||
+                chr(195) || chr(169) || chr(195) || chr(168)
+              WHEN doc_id % 4 = 2 THEN text || ' ' || chr(65533) || chr(65533)
+              WHEN doc_id % 4 = 3 THEN text || ' ' || chr(133) || chr(146)
+              ELSE text END AS t
+          FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id,
+               CAST((len(t) - len(regexp_replace(t,
+                 chr(195) || '[' || chr(168) || chr(169) || ']', '', 'g'))) // 2
+                 AS BIGINT) AS n_moji,
+               CAST(len(t) - len(replace(t, chr(65533), '')) AS BIGINT) AS n_repl,
+               CAST((len(t) - len(replace(replace(t, chr(133), ''), chr(146), '')))
+                 AS BIGINT) AS n_c1,
+               (len(t) - len(regexp_replace(t,
+                  chr(195) || '[' || chr(168) || chr(169) || ']', '', 'g'))) // 2
+                 + (len(t) - len(replace(t, chr(65533), '')))
+                 + (len(t) - len(replace(replace(t, chr(133), ''), chr(146), '')))
+                 > 0 AS flagged
+        FROM p ORDER BY doc_id"""))
   )
 }

@@ -353,4 +353,91 @@ class CorpusAnalyticsSpec extends SparkTestBase {
     assert(keepCur > keepCrawl,
       s"keep gate inverted: curated $keepCur <= crawl $keepCrawl")
   }
+
+  test("t27 premise: the fixture corpus is free of every artifact class it plants") {
+    import spark.implicits._
+    // the planting scheme is only sound if the raw text never contains
+    // the artifact codepoints natively (the t18 ASCII-premise pattern);
+    // if a fixture vintage ever ships non-ASCII text this must fail
+    // before the oracle silently absorbs the miscount
+    val bad = Seq(195, 65533, 133, 146, 168, 169)
+      .map(cp => s"position(chr($cp) in text) > 0").mkString(" OR ")
+    val n = graft.Tables(spark, sfDir, "documents")
+      .filter($"text".isNotNull).filter(expr(bad)).count()
+    assert(n == 0L, s"$n fixture docs already contain artifact codepoints")
+  }
+
+  test("t27 counters equal the planted counts per residue class") {
+    val rows = graft.SparkEntry.queries("t27_mojibake_detect")(spark, sfDir)
+      .collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (moji, repl, c1) = (id % 4) match {
+        case 1 => (2L, 0L, 0L)
+        case 2 => (0L, 2L, 0L)
+        case 3 => (0L, 0L, 2L)
+        case _ => (0L, 0L, 0L)
+      }
+      assert(r.getAs[Long]("n_moji") == moji
+        && r.getAs[Long]("n_repl") == repl
+        && r.getAs[Long]("n_c1") == c1,
+        s"doc $id counters off: $r")
+      assert(r.getAs[Boolean]("flagged") == (id % 4 != 0))
+    }
+  }
+
+  test("s10 RRF output fuses both modalities with the exact 1/(60+rank) arithmetic") {
+    val rows = graft.SparkEntry.queries("s10_rrf_fusion")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // descending fused score, each row from at least one component list
+    val scores = rows.map(_.getAs[Double]("rrf"))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    rows.foreach { r =>
+      val tr = Option(r.getAs[Integer]("text_rank")).map(_.toInt)
+      val vr = Option(r.getAs[Integer]("vec_rank")).map(_.toInt)
+      assert(tr.nonEmpty || vr.nonEmpty, s"row with no provenance: $r")
+      val expect = tr.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        vr.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") -
+        BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12,
+        s"rrf arithmetic drifted: $r vs $expect")
+    }
+    // fusion is real only if both retrievers contribute somewhere
+    assert(rows.exists(_.getAs[Integer]("text_rank") != null)
+      && rows.exists(_.getAs[Integer]("vec_rank") != null),
+      "one modality never reached the fused top-k")
+  }
+
+  test("q60 winsorization matches a driver-side recompute") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q60_winsorized_stats")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val raw = graft.Tables(spark, sfDir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice")
+      .as[(String, Double)].collect().groupBy(_._1)
+    def pct(sorted: Array[Double], q: Double): Double = {
+      val rank = q * (sorted.length - 1)
+      val lo = math.floor(rank).toInt
+      val hi = math.ceil(rank).toInt
+      sorted(lo) + (rank - lo) * (sorted(hi) - sorted(lo))
+    }
+    raw.foreach { case (flag, rows) =>
+      val vs = rows.map(_._2).sorted
+      val lo = BigDecimal(pct(vs, 0.05)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      val hi = BigDecimal(pct(vs, 0.95)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      val dec = vs.map(v => BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      val clipped = dec.map(v => v.max(lo).min(hi))
+      val r = got(flag)
+      assert(r.getAs[Long]("n") == vs.length)
+      assert(r.getAs[Long]("n_clip_lo") == dec.count(_ < lo).toLong, s"$flag clip_lo")
+      assert(r.getAs[Long]("n_clip_hi") == dec.count(_ > hi).toLong, s"$flag clip_hi")
+      val mean = BigDecimal(clipped.sum.toDouble / vs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("winsor_mean") - mean) < 1e-9,
+        s"$flag winsor mean ${r.getAs[Double]("winsor_mean")} vs $mean")
+      // the clip band is the 5% tails: each side clips ~5% of rows
+      val frac = r.getAs[Long]("n_clip_lo").toDouble / vs.length
+      assert(frac > 0.0 && frac <= 0.06, s"$flag lo clip fraction $frac")
+    }
+  }
 }

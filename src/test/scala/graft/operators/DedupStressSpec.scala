@@ -187,4 +187,43 @@ class DedupStressSpec extends SparkTestBase {
       assert(exact == (0 until 5).map(i => (i.toLong, 1000L + i)).toSet)
     } finally spark.catalog.clearCache()
   }
+
+  test("d19 containment catches short-inside-long pairs the Jaccard threshold is blind to") {
+    import spark.implicits._
+    // 12-token doc fully embedded at the head of a 312-token doc:
+    // common = 10 shingles, na = 10, nb = 310 → jaccard ~ 0.032 (below
+    // d2's 0.05 floor) but contain_a = 1.0 — the asymmetric case d19
+    // exists for
+    val small = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    val filler = (1 to 300).map(i => s"zz$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, small + " " + filler)).toDF("doc_id", "text")
+    val jac = Dedup.jaccardPairsOn(spark, docs).collect()
+    assert(jac.isEmpty,
+      s"jaccard >= 0.05 should not fire on the containment pair: ${jac.mkString(",")}")
+    val got = Dedup.containmentPairsOn(spark, docs, 0.5).collect()
+    assert(got.length == 1, s"expected exactly the planted pair, got ${got.length}")
+    val r = got.head
+    assert(r.getAs[Long]("a_id") == 1L && r.getAs[Long]("b_id") == 2L)
+    assert(r.getAs[Long]("common") == 10L && r.getAs[Long]("na") == 10L
+      && r.getAs[Long]("nb") == 310L)
+    assert(r.getAs[Double]("contain_a") == 1.0)
+    assert(r.getAs[Double]("contain_b") < 0.05)
+  }
+
+  test("d18 keeps exactly one doc per cluster — the longest, doc_id tiebreak") {
+    val rows = graft.SparkEntry.queries("d18_cluster_keeper")(spark, sfDir).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      val keeps = members.filter(_.getAs[Boolean]("keep"))
+      assert(keeps.length == 1, s"cluster $cid has ${keeps.length} keepers")
+      val best = members.minBy(m =>
+        (-m.getAs[Long]("n_chars"), m.getAs[Long]("doc_id")))
+      assert(keeps.head.getAs[Long]("doc_id") == best.getAs[Long]("doc_id"),
+        s"cluster $cid keeper is not the quality argmax")
+    }
+    // exhaustive single-verdict coverage of the corpus
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    assert(byCluster.exists(_._2.length > 1),
+      "no multi-doc near-dup cluster on the fixture — keeper choice untested")
+  }
 }

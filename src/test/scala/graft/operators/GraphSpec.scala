@@ -192,4 +192,92 @@ class GraphSpec extends SparkTestBase {
       s"${diff.size} nodes disagree: ${diff.take(5).mkString(", ")}"
     })
   }
+
+  test("g5 equals a driver-side k-core peel and the cascade is real") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("g5_kcore_peel")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild the co-purchase graph driver-side (fixture-sized)
+    val li = graft.Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_partkey",
+        date_trunc("week", $"l_shipdate").as("w"))
+    val ord = graft.Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val cp = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey", $"l_partkey", $"w").distinct()
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+    val edges = cp.groupBy(t => (t._2, t._3)).valuesIterator.flatMap { grp =>
+      val cs = grp.map(_._1).distinct.sorted
+      for (i <- cs.indices; j <- i + 1 until cs.length) yield (cs(i), cs(j))
+    }.toSet
+    val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+    edges.foreach { case (x, y) =>
+      adj.getOrElseUpdate(x, collection.mutable.Set.empty) += y
+      adj.getOrElseUpdate(y, collection.mutable.Set.empty) += x
+    }
+    // independent peel: each wave removes degree-<3 nodes, where degree
+    // counts only still-alive neighbors
+    var alive = adj.keySet.toSet
+    val expected = collection.mutable.Map.empty[Long, Long]
+    for (r <- 1 to 4) {
+      val rm = alive.filter(v => adj(v).count(alive) < 3)
+      rm.foreach(v => expected(v) = r.toLong)
+      alive = alive -- rm
+    }
+    alive.foreach(v => expected(v) = 0L)
+    assert(got == expected.toMap, {
+      val diff = got.collect {
+        case (k, w) if expected.get(k) != Some(w) => s"$k: $w vs ${expected.get(k)}"
+      }
+      s"${diff.size} nodes disagree: ${diff.take(5).mkString(", ")}"
+    })
+    // the cascade must actually cascade — at least two distinct nonzero
+    // waves, or a single degree filter would pass this test
+    assert(got.values.filter(_ > 0).toSet.size >= 2,
+      "no multi-wave cascade on the fixture graph")
+  }
+
+  test("g6 equals a driver-side synchronous LPA and finds real communities") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("g6_label_propagation")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = graft.Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_partkey",
+        date_trunc("week", $"l_shipdate").as("w"))
+    val ord = graft.Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val cp = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey", $"l_partkey", $"w").distinct()
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+    val edges = cp.groupBy(t => (t._2, t._3)).valuesIterator.flatMap { grp =>
+      val cs = grp.map(_._1).distinct.sorted
+      for (i <- cs.indices; j <- i + 1 until cs.length) yield (cs(i), cs(j))
+    }.toSet
+    val adj = collection.mutable.Map.empty[Long, collection.mutable.ArrayBuffer[Long]]
+    edges.foreach { case (x, y) =>
+      adj.getOrElseUpdate(x, collection.mutable.ArrayBuffer.empty) += y
+      adj.getOrElseUpdate(y, collection.mutable.ArrayBuffer.empty) += x
+    }
+    var labels = adj.keysIterator.map(v => v -> v).toMap
+    (1 to 3).foreach { _ =>
+      labels = adj.iterator.map { case (v, nbrs) =>
+        // mode of neighbor labels, ties to the smallest label — the
+        // deterministic synchronous vote the engine implements
+        val votes = nbrs.map(labels).groupBy(identity)
+          .map { case (l, vs) => (l, vs.size) }
+        v -> votes.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    assert(got == labels, {
+      val diff = got.collect {
+        case (k, c) if labels.get(k) != Some(c) => s"$k: $c vs ${labels.get(k)}"
+      }
+      s"${diff.size} nodes disagree: ${diff.take(5).mkString(", ")}"
+    })
+    // communities are real: fewer than nodes (labels propagated), more
+    // than one (the mode vote did not collapse the graph)
+    val nComm = got.values.toSet.size
+    assert(nComm > 1 && nComm < got.size,
+      s"$nComm communities over ${got.size} nodes is not community structure")
+  }
 }

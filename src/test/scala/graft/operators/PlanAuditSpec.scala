@@ -95,7 +95,12 @@ class PlanAuditSpec extends SparkTestBase {
     "s9_filtered_ann",
     // e4 embeds t25's scalar cross (its quality stage runs the
     // registered t25 function verbatim)
-    "e4_crawl_pipeline")
+    "e4_crawl_pipeline",
+    // s10's vector side crosses the 1-ROW query vector onto the corpus
+    // (broadcast — the t16 scalar-cross shape) and its text side embeds
+    // t17's (N, avgdl) scalar cross; the fusion join itself is an
+    // equi-keyed full outer over two <= 20-row rank lists
+    "s10_rrf_fusion")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -139,7 +144,10 @@ class PlanAuditSpec extends SparkTestBase {
     "q57_interpolated_series", "p12_bottomk_sample",
     "s9_filtered_ann", "e4_crawl_pipeline", "g3_bfs_hops",
     "q58_cdc_snapshot", "m5_perceptual_dedup",
-    "x8_theta_jaccard", "q59_interpolated_percentiles")
+    "x8_theta_jaccard", "q59_interpolated_percentiles",
+    "d18_cluster_keeper", "d19_containment_pairs",
+    "t27_mojibake_detect", "s10_rrf_fusion", "g5_kcore_peel",
+    "q60_winsorized_stats", "g6_label_propagation")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
