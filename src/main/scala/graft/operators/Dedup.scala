@@ -1087,7 +1087,59 @@ object Dedup {
         SELECT a_id, b_id, common, na, nb, contain_a, contain_b
         FROM cpairs
         ORDER BY greatest(contain_a, contain_b) DESC, a_id, b_id
-        LIMIT 200"""))
+        LIMIT 200""")),
+
+    // ---------------------------------------------------------------- d20
+    // Soft deduplication weights — the KEEP-EVERYTHING alternative to
+    // d18's hard keeper verdict (the SoftDeDup observation: dropping
+    // near-dups discards signal; downweighting each cluster member by
+    // 1/|cluster| preserves the corpus while every duplicated passage
+    // contributes exactly one document's worth of expected gradient
+    // mass). Output is the per-document sampling-weight frame a training
+    // dataloader joins against: (doc_id, cluster_id, cluster_size,
+    // weight). Singletons get weight 1; Σ weight = #clusters = the
+    // "effective corpus size" the mixing plane (p1/p4) would budget on.
+    //
+    // Scale: identical skeleton to d18 — the CC label frame is
+    // edge-vertex-sized, the corpus join is on doc_id (AQE broadcasts
+    // the label side while it fits), and the size aggregate + size join
+    // key on cluster_id, whose cardinality is ≤ corpus and whose
+    // per-key row counts are bounded by d2's pair fan-out cap. One
+    // aggregate + one join beyond d7.
+    QuerySpec(
+      "d20_soft_dedup_weights",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents").select($"doc_id")
+        val pairs = jaccardPairs(s, dir).select($"a_id", $"b_id")
+        val labels = connectedComponents(s, pairs)._1
+        val lab = docs.join(labels, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+        val sizes = lab.groupBy($"cluster_id")
+          .agg(count(lit(1)).as("cluster_size"))
+        lab.join(sizes, "cluster_id")
+          .select($"doc_id", $"cluster_id", $"cluster_size",
+            round(lit(1.0) / $"cluster_size", 6).as("weight"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH RECURSIVE $JaccardPairsSql,
+        edges AS (
+          SELECT a_id AS s, b_id AS d FROM tpairs
+          UNION ALL SELECT b_id, a_id FROM tpairs),
+        reach AS (
+          SELECT DISTINCT s AS id, s AS r FROM edges
+          UNION
+          SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+        labels AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        cl AS (
+          SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN labels l USING (doc_id)),
+        sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl GROUP BY cluster_id)
+        SELECT doc_id, cluster_id,
+               CAST(cluster_size AS BIGINT) AS cluster_size,
+               ROUND(CAST(1.0 AS DOUBLE) / cluster_size, 6) AS weight
+        FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id"""))
   )
 
   /** d10's winnow window (consecutive shingle hashes per min-selection).

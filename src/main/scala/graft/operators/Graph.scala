@@ -48,6 +48,15 @@ object Graph {
     * the unrolled oracle stays three node-sized levels. */
   private val LpaRounds = 3
 
+  /** g7's fixed HITS round count (one round = authority update then hub
+    * update). Two rounds of UNNORMALIZED integer iteration: scores stay
+    * exact BIGINTs (round-2 magnitudes are Σ over degrees³ — ~6e12 at
+    * sf10, nowhere near overflow), and since the classic per-round L2
+    * normalization is a positive scalar multiply it never changes the
+    * RANKING — so the top-k report is identical to normalized HITS while
+    * every arithmetic step is hash-exact on both engines. */
+  private val HitsRounds = 2
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----------------------------------------------------------------- g1
@@ -384,6 +393,60 @@ object Graph {
           .orderBy($"custkey")
       },
       Some(LpaOracle)),
+
+    // ----------------------------------------------------------------- g7
+    // HITS hubs & authorities over the DIRECTED customer→supplier trade
+    // graph — the bipartite-centrality complement to g1's PageRank
+    // (PageRank mixes both roles into one score on the mirrored graph;
+    // HITS keeps "broad buyers" and "widely-bought-from suppliers" as
+    // separate rankings, the reinforcing-pair semantics the original
+    // Kleinberg formulation is for). Each half-round is ONE join of the
+    // node-sized score frame into the stationary edge list + one
+    // destination aggregate — the g1 stationary-edges/mobile-scores
+    // split, two exchanges per round, with the per-round eager
+    // localCheckpoint keeping plans constant-size. Determinism: scores
+    // start at integer 1 and stay UNNORMALIZED exact BIGINTs (see
+    // [[HitsRounds]] — normalization is a rank-preserving positive
+    // scalar, so the top-50 cut is the same report normalized HITS
+    // yields), which makes the unrolled DuckDB replay hash-exact with
+    // no float rounding anywhere.
+    QuerySpec(
+      "g7_hits_trade_graph",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        val pairs = li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("c"), $"l_suppkey".as("p"))
+          .distinct()
+          .localCheckpoint(true)
+        // h0 = 1 for every customer; each round: a(s) = Σ h(c) over
+        // in-edges, then h(c) = Σ a(s) over out-edges. Every supplier
+        // has an in-edge and every customer an out-edge by construction
+        // (pairs come from actual order lines), so inner joins lose no
+        // node.
+        var hub = pairs.select($"c").distinct().withColumn("h", lit(1L))
+        var auth = pairs.select($"p").distinct().withColumn("a", lit(1L))
+        for (_ <- 1 to HitsRounds) {
+          auth = pairs.join(hub, "c")
+            .groupBy($"p").agg(sum($"h").as("a"))
+            .localCheckpoint(true)
+          hub = pairs.join(auth, "p")
+            .groupBy($"c").agg(sum($"a").as("h"))
+            .localCheckpoint(true)
+        }
+        val topHubs = hub
+          .select(lit("c").as("node_type"), $"c".as("node_id"),
+            $"h".as("score"))
+          .orderBy($"score".desc, $"node_id").limit(50)
+        val topAuths = auth
+          .select(lit("s").as("node_type"), $"p".as("node_id"),
+            $"a".as("score"))
+          .orderBy($"score".desc, $"node_id").limit(50)
+        topHubs.unionAll(topAuths)
+          .orderBy($"node_type", $"score".desc, $"node_id")
+      },
+      Some(HitsOracle)),
   )
 
   /** Per-node triangle participation counts for an undirected simple
@@ -655,6 +718,36 @@ object Graph {
       SELECT t AS node_type, id AS node_id, CAST(hop AS BIGINT) AS hop
       FROM d$BfsHops
       ORDER BY hop, node_type, node_id"""
+  }
+
+  /** g7's oracle: the distinct trading-pair edge list + [[HitsRounds]]
+    * unrolled authority/hub levels (a_i = Σ h_{i-1} over in-edges,
+    * h_i = Σ a_i over out-edges, h_0 = 1), all exact BIGINT sums — the
+    * top-50 cuts use the identical (score DESC, node_id) total order as
+    * the engine. */
+  private def HitsOracle: String = {
+    val base = raw"""
+      WITH pairs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      h0 AS (SELECT DISTINCT c, CAST(1 AS BIGINT) AS h FROM pairs)"""
+    val rounds = (1 to HitsRounds).map { i =>
+      raw"""
+      a$i AS (
+        SELECT p, CAST(SUM(h) AS BIGINT) AS a
+        FROM pairs JOIN h${i - 1} USING (c) GROUP BY p),
+      h$i AS (
+        SELECT c, CAST(SUM(a) AS BIGINT) AS h
+        FROM pairs JOIN a$i USING (p) GROUP BY c)"""
+    }.mkString(",")
+    base + "," + rounds + raw"""
+      SELECT node_type, node_id, score FROM (
+        (SELECT 'c' AS node_type, c AS node_id, h AS score FROM h$HitsRounds
+         ORDER BY score DESC, node_id LIMIT 50)
+        UNION ALL
+        (SELECT 's' AS node_type, p AS node_id, a AS score FROM a$HitsRounds
+         ORDER BY score DESC, node_id LIMIT 50))
+      ORDER BY node_type, score DESC, node_id"""
   }
 
   /** g4's oracle: [[BfsHops]] unrolled Bellman-Ford relaxation levels

@@ -1963,6 +1963,81 @@ object Relational {
                ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS raw_mean
         FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---------------------------------------------------------------- q61
+    // MAD robust outlier detection — the median-absolute-deviation
+    // screen (flag |x − median| > 3·MAD) that survives the heavy-tailed
+    // metrics where q60's percentile clipping and any mean/stddev z-score
+    // break down (both median and MAD have a 50% breakdown point; the
+    // mean's is 0). Run over the events value stream, the fixture's one
+    // genuinely heavy-tailed metric (~11% of values sit past 3·MAD —
+    // a mean/σ z-score would swallow its own threshold into the σ
+    // estimate; a uniform metric like acctbal flags NOTHING under 3·MAD,
+    // measured, which is why the screen belongs on telemetry values).
+    // Three stages, all group-keyed: per-type median, per-type MAD of
+    // the decimal deviations, then one counting pass — cutpoint frames
+    // are DIMENSION-sized and broadcast back onto the scan both times.
+    // Determinism follows q60 exactly: both medians are continuous
+    // percentiles rounded at 4dp and CAST to DECIMAL(18,4), deviations
+    // and the 3·MAD threshold are exact integer-scaled decimal
+    // arithmetic, so the outlier comparison can never split on an ulp.
+    // At lake scale both percentile stages swap for x2/x7's mergeable GK
+    // cutpoints (the q56 substitution), the counting pass unchanged.
+    QuerySpec(
+      "q61_mad_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+          .select($"event_type".as("etype"),
+            $"value".cast("decimal(18,4)").as("p"))
+        val med = ev.groupBy($"etype")
+          .agg(percentile($"p".cast("double"), lit(0.5)).as("m"))
+          .select($"etype", round($"m", 4).cast("decimal(18,4)").as("med"))
+        val dev = ev.join(broadcast(med), "etype")
+          .withColumn("dev", abs($"p" - $"med"))
+        val mad = dev.groupBy($"etype")
+          .agg(percentile($"dev".cast("double"), lit(0.5)).as("mm"))
+          .select($"etype", round($"mm", 4).cast("decimal(18,4)").as("mad"))
+        dev.join(broadcast(mad), "etype")
+          .groupBy($"etype")
+          .agg(
+            count(lit(1)).as("n"),
+            max($"med").cast("double").as("med"),
+            max($"mad").cast("double").as("mad"),
+            sum(when($"dev" > lit(3) * $"mad", 1L).otherwise(0L))
+              .as("n_outliers"))
+          .withColumn("outlier_frac",
+            round($"n_outliers".cast("double") / $"n", 6))
+          .orderBy($"etype")
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_type AS etype,
+                 CAST(value AS DECIMAL(18,4)) AS p
+          FROM events),
+        med AS (
+          SELECT etype,
+                 CAST(ROUND(quantile_cont(CAST(p AS DOUBLE), 0.5), 4)
+                      AS DECIMAL(18,4)) AS med
+          FROM c GROUP BY etype),
+        dev AS (
+          SELECT c.etype, c.p, med.med, abs(c.p - med.med) AS dev
+          FROM c JOIN med USING (etype)),
+        mad AS (
+          SELECT etype,
+                 CAST(ROUND(quantile_cont(CAST(dev AS DOUBLE), 0.5), 4)
+                      AS DECIMAL(18,4)) AS mad
+          FROM dev GROUP BY etype)
+        SELECT dev.etype,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(dev.med) AS DOUBLE) AS med,
+               CAST(MAX(mad.mad) AS DOUBLE) AS mad,
+               CAST(SUM(CASE WHEN dev.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               ROUND(CAST(SUM(CASE WHEN dev.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS outlier_frac
+        FROM dev JOIN mad USING (etype)
+        GROUP BY dev.etype ORDER BY etype""")),
+
     // ---------------------------------------------------------------- q53
     // MULTISET set operations — EXCEPT ALL / INTERSECT ALL, the
     // bag-semantics variants q8/q9's DISTINCT forms don't exercise:

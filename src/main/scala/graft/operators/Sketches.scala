@@ -407,7 +407,83 @@ object Sketches {
                ROUND(CAST(COALESCE(o.users_both, 0) AS DOUBLE) /
                      (p.total - COALESCE(o.users_both, 0)), 6) AS jaccard
         FROM p LEFT JOIN o ON p.type_a = o.type_a AND p.type_b = o.type_b
-        ORDER BY p.type_a, p.type_b"""))
+        ORDER BY p.type_a, p.type_b""")),
+
+    // ----------------------------------------------------------------- x9
+    // One-pass column profiler — the data-quality summary every ingest
+    // run computes before anything else touches a new table: per column,
+    // null count, exact distinct count, and rendered min/max. ONE
+    // relational aggregate produces all metrics (Spark plans the five
+    // COUNT(DISTINCT)s as a single scan with an Expand — 5× the rows
+    // through one exchange, never five scans), then a constant stack()
+    // reshapes the 1-row result to the long (col_name, metrics) report.
+    // At lake scale the exact COUNT(DISTINCT) expand is the one piece
+    // that doesn't survive 100 TB — the swap is x1's HLL partials
+    // (approx_count_distinct per column: constant-size mergeable state,
+    // no expand), which drops this from the oracle but keeps the report;
+    // the fixture-scale exact form is what pins the plumbing.
+    QuerySpec(
+      "x9_column_profile",
+      (s, dir) => {
+        import s.implicits._
+        def nulls(c: String) =
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")
+        def mm(c: String) = Seq(
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val aggs: Seq[org.apache.spark.sql.Column] =
+          cols.map(nulls) ++
+            cols.map(c => countDistinct(col(c)).as(s"nd_$c")) ++
+            cols.flatMap(mm)
+        val one = Tables(s, dir, "documents")
+          .agg(count(lit(1)).as("n_rows"), aggs: _*)
+        val stackArgs = cols.map(c =>
+          s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+        one.select($"n_rows", expr(
+          s"stack(${cols.length}, $stackArgs) AS " +
+            "(col_name, n_null, n_distinct, min_val, max_val)"))
+          .select($"col_name", $"n_rows", $"n_null", $"n_distinct",
+            $"min_val", $"max_val")
+          .orderBy($"col_name")
+      },
+      Some(raw"""
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents)
+        SELECT col_name, (SELECT n_rows FROM n) AS n_rows, n_null, n_distinct,
+               min_val, max_val
+        FROM (
+          SELECT 'doc_id' AS col_name,
+                 CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                 CAST(MIN(doc_id) AS VARCHAR) AS min_val,
+                 CAST(MAX(doc_id) AS VARCHAR) AS max_val
+          FROM documents
+          UNION ALL
+          SELECT 'text',
+                 CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(COUNT(DISTINCT text) AS BIGINT),
+                 MIN(text), MAX(text)
+          FROM documents
+          UNION ALL
+          SELECT 'lang',
+                 CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(COUNT(DISTINCT lang) AS BIGINT),
+                 MIN(lang), MAX(lang)
+          FROM documents
+          UNION ALL
+          SELECT 'source',
+                 CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(COUNT(DISTINCT source) AS BIGINT),
+                 MIN(source), MAX(source)
+          FROM documents
+          UNION ALL
+          SELECT 'n_chars',
+                 CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+                 CAST(MIN(n_chars) AS VARCHAR),
+                 CAST(MAX(n_chars) AS VARCHAR)
+          FROM documents)
+        ORDER BY col_name"""))
   )
 
 }

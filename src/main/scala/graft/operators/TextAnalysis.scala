@@ -1375,6 +1375,73 @@ object TextAnalysis {
                  + (len(t) - len(replace(t, chr(65533), '')))
                  + (len(t) - len(replace(replace(t, chr(133), ''), chr(146), '')))
                  > 0 AS flagged
-        FROM p ORDER BY doc_id"""))
+        FROM p ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t28
+    // Bigram PMI collocations — pointwise mutual information over
+    // adjacent word pairs, the corpus-statistics primitive behind
+    // phrase mining (word2vec's phrase pass, NPMI collocation
+    // extraction) and the association complement to t9/t26's repetition
+    // counts (those measure within-doc duplication; PMI measures
+    // corpus-wide ASSOCIATION — which pairs co-occur more than their
+    // unigram frequencies predict: pmi = ln(p(w1,w2)/(p(w1)·p(w2)))).
+    // Scale: gram generation is doc-local (the t26 flatMap); the two
+    // count aggregates key on the gram and are VOCAB-sized (natural-
+    // language vocab, not corpus size), so the unigram table broadcasts
+    // onto the bigram table and the corpus totals are 1-row broadcast
+    // crosses (the t16 scalar pattern). Counts are exact BIGINTs; the
+    // single ln rounds at 6dp (t16's ≤2-ulp libm argument) with a
+    // (w1, w2) tiebreak below the rounded score, so the top-30 cut is
+    // engine-stable.
+    QuerySpec(
+      "t28_pmi_bigrams",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents").filter($"text".isNotNull)
+        val uni = Shingles.occurrencesN(s, docs, 1)
+          .groupBy($"shingle".as("w")).agg(count(lit(1)).as("c1"))
+        val n1 = uni.agg(sum($"c1").cast("double").as("n1"))
+        val big = Shingles.occurrencesN(s, docs, 2)
+          .groupBy($"shingle").agg(count(lit(1)).as("c2"))
+        val n2 = big.agg(sum($"c2").cast("double").as("n2"))
+        big
+          .filter($"c2" >= 5)
+          .withColumn("w1", split($"shingle", " ")(0))
+          .withColumn("w2", split($"shingle", " ")(1))
+          .join(broadcast(uni.select($"w".as("w1"), $"c1".as("ca"))), "w1")
+          .join(broadcast(uni.select($"w".as("w2"), $"c1".as("cb"))), "w2")
+          .crossJoin(broadcast(n1))
+          .crossJoin(broadcast(n2))
+          .select($"w1", $"w2", $"c2".as("n_pair"),
+            round(log(($"c2".cast("double") / $"n2") /
+              (($"ca".cast("double") / $"n1") *
+                ($"cb".cast("double") / $"n1"))), 6).as("pmi"))
+          .orderBy($"pmi".desc, $"w1", $"w2")
+          .limit(30)
+      },
+      Some(raw"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+          FROM documents WHERE text IS NOT NULL),
+        uni AS (
+          SELECT w, COUNT(*) AS c1
+          FROM (SELECT UNNEST(tk) AS w FROM t) GROUP BY w),
+        n1 AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n FROM uni),
+        g AS (
+          SELECT UNNEST(list_transform(generate_series(1, len(tk) - 1),
+            i -> tk[i] || ' ' || tk[i+1])) AS shingle
+          FROM t),
+        big AS (SELECT shingle, COUNT(*) AS c2 FROM g GROUP BY shingle),
+        n2 AS (SELECT CAST(SUM(c2) AS DOUBLE) AS n FROM big),
+        j AS (
+          SELECT string_split(shingle, ' ')[1] AS w1,
+                 string_split(shingle, ' ')[2] AS w2, c2
+          FROM big WHERE c2 >= 5)
+        SELECT j.w1, j.w2, CAST(j.c2 AS BIGINT) AS n_pair,
+               ROUND(LN((CAST(j.c2 AS DOUBLE) / (SELECT n FROM n2)) /
+                     ((CAST(ua.c1 AS DOUBLE) / (SELECT n FROM n1)) *
+                      (CAST(ub.c1 AS DOUBLE) / (SELECT n FROM n1)))), 6) AS pmi
+        FROM j JOIN uni ua ON j.w1 = ua.w JOIN uni ub ON j.w2 = ub.w
+        ORDER BY pmi DESC, w1, w2 LIMIT 30"""))
   )
 }

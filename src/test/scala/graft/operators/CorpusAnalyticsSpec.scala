@@ -440,4 +440,101 @@ class CorpusAnalyticsSpec extends SparkTestBase {
       assert(frac > 0.0 && frac <= 0.06, s"$flag lo clip fraction $frac")
     }
   }
+
+  test("q61 MAD outliers match a driver-side recompute") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q61_mad_outliers")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("etype") -> r).toMap
+    val raw = graft.Tables(spark, sfDir, "events")
+      .select($"event_type", $"value")
+      .as[(String, Double)].collect().groupBy(_._1)
+    def pct(sorted: Array[Double], q: Double): Double = {
+      val rank = q * (sorted.length - 1)
+      val lo = math.floor(rank).toInt
+      val hi = math.ceil(rank).toInt
+      sorted(lo) + (rank - lo) * (sorted(hi) - sorted(lo))
+    }
+    def dec4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    assert(got.keySet == raw.keySet)
+    raw.foreach { case (seg, rows) =>
+      val ps = rows.map(t => dec4(t._2))
+      val med = dec4(pct(ps.map(_.toDouble).sorted, 0.5))
+      val devs = ps.map(p => (p - med).abs)
+      val mad = dec4(pct(devs.map(_.toDouble).sorted, 0.5))
+      val nOut = devs.count(_ > mad * 3).toLong
+      val r = got(seg)
+      assert(r.getAs[Long]("n") == ps.length.toLong, s"$seg n")
+      assert(math.abs(r.getAs[Double]("med") - med.toDouble) < 1e-9, s"$seg med")
+      assert(math.abs(r.getAs[Double]("mad") - mad.toDouble) < 1e-9, s"$seg mad")
+      assert(r.getAs[Long]("n_outliers") == nOut, s"$seg outliers")
+      // the screen is a robust TAIL cut: it must flag something at
+      // fixture scale but never a majority (3·MAD ≈ 2σ-equivalent)
+      assert(nOut < ps.length / 2, s"$seg flags a majority")
+    }
+    assert(got.values.map(_.getAs[Long]("n_outliers")).sum > 0,
+      "no segment flagged anything — the threshold is not a real screen")
+  }
+
+  test("t28 PMI matches a driver-side recompute and is the true top-30 cut") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("t28_pmi_bigrams")(spark, sfDir).collect()
+    assert(got.length == 30)
+    val texts = graft.Tables(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select($"text").as[String].collect()
+    val uni = collection.mutable.Map.empty[String, Long]
+    val big = collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val toks = t.trim.split("\\s+")
+      toks.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1L)
+      toks.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p(0), p(1)); big(k) = big.getOrElse(k, 0L) + 1L
+      }
+    }
+    val n1 = uni.values.sum.toDouble
+    val n2 = big.values.sum.toDouble
+    def pmi(w1: String, w2: String, c2: Long): Double = {
+      val v = math.log((c2 / n2) / ((uni(w1) / n1) * (uni(w2) / n1)))
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = big.iterator.filter(_._2 >= 5L)
+      .map { case ((w1, w2), c2) => (w1, w2, c2, pmi(w1, w2, c2)) }
+      .toSeq.sortBy { case (w1, w2, _, p) => (-p, w1, w2) }.take(30)
+    got.zip(expected).foreach { case (r, (w1, w2, c2, p)) =>
+      assert(r.getString(0) == w1 && r.getString(1) == w2,
+        s"pair mismatch: (${r.getString(0)},${r.getString(1)}) vs ($w1,$w2)")
+      assert(r.getLong(2) == c2, s"($w1,$w2) count")
+      assert(math.abs(r.getDouble(3) - p) < 1e-9, s"($w1,$w2) pmi")
+    }
+    // association is real: the top pair must beat independence (pmi > 0)
+    assert(got.head.getDouble(3) > 0.0, "top collocation is not associated")
+  }
+
+  test("x9 profile matches a driver-side recompute of every metric") {
+    val rows = graft.Tables(spark, sfDir, "documents").collect()
+    val got = graft.SparkEntry.queries("x9_column_profile")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    assert(got.keySet == cols.toSet)
+    cols.foreach { c =>
+      val vs = rows.map(_.getAs[Any](c))
+      val nonNull = vs.filter(_ != null)
+      val r = got(c)
+      assert(r.getAs[Long]("n_rows") == rows.length.toLong, s"$c n_rows")
+      assert(r.getAs[Long]("n_null") == (vs.length - nonNull.length).toLong,
+        s"$c n_null")
+      assert(r.getAs[Long]("n_distinct") == nonNull.distinct.length.toLong,
+        s"$c n_distinct")
+      // min/max are computed in the COLUMN's type, rendered as strings
+      val (mn, mx) = nonNull.head match {
+        case _: Long =>
+          val l = nonNull.map(_.asInstanceOf[Long])
+          (l.min.toString, l.max.toString)
+        case _: String =>
+          val s = nonNull.map(_.asInstanceOf[String])
+          (s.min, s.max)
+      }
+      assert(r.getAs[String]("min_val") == mn, s"$c min")
+      assert(r.getAs[String]("max_val") == mx, s"$c max")
+    }
+  }
 }

@@ -226,4 +226,33 @@ class DedupStressSpec extends SparkTestBase {
     assert(byCluster.exists(_._2.length > 1),
       "no multi-doc near-dup cluster on the fixture — keeper choice untested")
   }
+
+  test("d20 weights invert d18's cluster sizes and sum to the cluster count") {
+    val w = graft.SparkEntry.queries("d20_soft_dedup_weights")(spark, sfDir)
+      .collect()
+    val keeper = graft.SparkEntry.queries("d18_cluster_keeper")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    // same partition of the corpus as d18 (both hang off d7's closure)
+    assert(w.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap == keeper)
+    val sizes = keeper.groupBy(_._2).map { case (c, ms) => c -> ms.size }
+    w.foreach { r =>
+      val (cid, size, weight) = (r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Double]("weight"))
+      assert(size == sizes(cid).toLong, s"cluster $cid size")
+      val expect = BigDecimal(1.0 / size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(weight - expect) < 1e-12, s"cluster $cid weight")
+    }
+    // soft dedup's invariant: every cluster contributes one document's
+    // worth of total mass (up to the 6dp weight rounding), so Σ weight
+    // equals the effective corpus size = #clusters
+    val total = w.map(r =>
+      BigDecimal(r.getAs[Double]("weight"))).sum.toDouble
+    assert(math.abs(total - sizes.size) < 1e-3,
+      s"Σ weight $total vs ${sizes.size} clusters")
+    // and duplicates are really downweighted on the fixture
+    assert(w.exists(_.getAs[Long]("cluster_size") > 1L))
+  }
 }

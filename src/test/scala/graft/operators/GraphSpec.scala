@@ -280,4 +280,40 @@ class GraphSpec extends SparkTestBase {
     assert(nComm > 1 && nComm < got.size,
       s"$nComm communities over ${got.size} nodes is not community structure")
   }
+
+  test("g7 equals a driver-side two-round integer HITS with the same top-50 cuts") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("g7_hits_trade_graph")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val li = graft.Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey")
+    val ord = graft.Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val pairs = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey", $"l_suppkey").distinct()
+      .as[(Long, Long)].collect()
+    var hub = pairs.map(_._1).distinct.map(_ -> 1L).toMap
+    var auth = Map.empty[Long, Long]
+    (1 to 2).foreach { _ =>
+      auth = pairs.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(e => hub(e._1)).sum }
+      hub = pairs.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => auth(e._2)).sum }
+    }
+    def top50(m: Map[Long, Long], t: String) =
+      m.toSeq.sortBy { case (id, s) => (-s, id) }.take(50)
+        .map { case (id, s) => (t, id, s) }
+    val expected = {
+      val rows = top50(hub, "c") ++ top50(auth, "s")
+      rows.sortBy { case (t, id, s) => (t, -s, id) }
+    }
+    assert(got.toSeq == expected, {
+      val diff = got.zip(expected).filter { case (a, b) => a != b }
+      s"${diff.size} rows disagree, first: ${diff.headOption}"
+    })
+    // the bipartite roles are real: every hub row is a customer, every
+    // authority row a supplier, and all scores are positive
+    assert(got.forall(_._3 > 0L))
+    assert(got.count(_._1 == "c") == 50 && got.count(_._1 == "s") > 0)
+  }
 }

@@ -100,7 +100,11 @@ class PlanAuditSpec extends SparkTestBase {
     // (broadcast — the t16 scalar-cross shape) and its text side embeds
     // t17's (N, avgdl) scalar cross; the fusion join itself is an
     // equi-keyed full outer over two <= 20-row rank lists
-    "s10_rrf_fusion")
+    "s10_rrf_fusion",
+    // t28 crosses the 1-ROW unigram-total and bigram-total scalars onto
+    // the vocab-sized bigram counts — two t16 scalar crosses; the
+    // unigram joins themselves are equi-keyed broadcasts
+    "t28_pmi_bigrams")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -147,7 +151,9 @@ class PlanAuditSpec extends SparkTestBase {
     "x8_theta_jaccard", "q59_interpolated_percentiles",
     "d18_cluster_keeper", "d19_containment_pairs",
     "t27_mojibake_detect", "s10_rrf_fusion", "g5_kcore_peel",
-    "q60_winsorized_stats", "g6_label_propagation")
+    "q60_winsorized_stats", "g6_label_propagation",
+    "q61_mad_outliers", "t28_pmi_bigrams", "x9_column_profile",
+    "g7_hits_trade_graph", "d20_soft_dedup_weights")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
