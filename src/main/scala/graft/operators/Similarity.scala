@@ -132,22 +132,7 @@ object Similarity {
       "s3_int8_quantize",
       (s, dir) => {
         import s.implicits._
-        Tables(s, dir, "embeddings")
-          .withColumn("maxabs",
-            array_max(transform($"embedding", x => abs(x.cast("double")))))
-          .withColumn("qv", expr(
-            """transform(embedding, x -> CASE WHEN maxabs = 0D THEN CAST(0 AS BIGINT)
-              |  ELSE CAST(greatest(-127.0D, least(127.0D,
-              |         floor((CAST(x AS DOUBLE) * 127.0D) / maxabs))) AS BIGINT) END)""".stripMargin))
-          .select(
-            $"vec_id",
-            size($"embedding").cast("long").as("n_dims"),
-            ($"maxabs" / 127.0).as("scale"),
-            expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
-            array_min($"qv").as("q_min"),
-            array_max($"qv").as("q_max"),
-            expr("CAST(size(filter(qv, x -> abs(x) = 127)) AS BIGINT)").as("n_sat"))
-          .orderBy($"vec_id")
+        int8Quant(s, dir).orderBy($"vec_id")
       },
       Some("""
         WITH m AS (
@@ -643,8 +628,236 @@ object Similarity {
                ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + text_rank), 0)
                    + COALESCE(CAST(1 AS DOUBLE) / (60 + vec_rank), 0), 6) AS rrf
         FROM tr FULL OUTER JOIN vr USING (doc_id)
-        ORDER BY rrf DESC, doc_id LIMIT 20"""))
+        ORDER BY rrf DESC, doc_id LIMIT 20""")),
+
+    // ---------------------------------------------------------------- s11
+    // K-means training (Lloyd's algorithm, k=8, two iterations) — the
+    // step s2's IVF index TAKES AS GIVEN: s2 reads its coarse cells from
+    // the label column; a real 100 TB vector store has no labels, it
+    // TRAINS the cell centroids. Every iteration is the canonical
+    // broadcast-kmeans shape: the k-row centroid frame broadcasts onto
+    // the stationary vector scan (the s2 centroid-cross whitelist
+    // pattern), assignment is a per-vector argmin over k candidates
+    // (window over k rows), and the update is one (cid, dim) aggregate —
+    // nothing corpus-sized ever shuffles except that node-keyed update.
+    // Determinism — the reason this trains on an INTEGER GRID: float
+    // centroid means are partition-order-dependent, so coordinates are
+    // mapped once to exact BIGINT micro-units (floor(x·1e6); float→
+    // double cast is exact), distances are exact integer sums, ties
+    // break by lowest cid, and the centroid update floors the exact
+    // mean (sums ≪ 2^53, so the double division is exact before floor).
+    // The whole 2-round trainer therefore replays bit-identically under
+    // the unrolled DuckDB oracle — the d13/x7 move applied to clustering.
+    // Seeds are the k lowest vec_ids (a k-row window; kmeans|| sampling
+    // is the lake-scale seeding, same loop thereafter). Clusters that
+    // lose every member drop out (both engines identically).
+    QuerySpec(
+      "s11_kmeans_train",
+      (s, dir) => {
+        import s.implicits._
+        val (grid, cent, assigned) = kmeansCore(s, dir)
+        val sizes = assigned.groupBy($"cid").agg(count(lit(1)).as("n_members"))
+        val out = cent.join(sizes, "cid")
+          .select($"cid".as("cluster_id"), $"n_members",
+            md5(expr("array_join(transform(cg, x -> CAST(x AS STRING)), ',')"))
+              .as("centroid_fp"),
+            expr("aggregate(cg, CAST(0 AS BIGINT), (a, x) -> a + x)")
+              .as("centroid_sum"))
+          .orderBy($"cluster_id")
+        graft.Materialize.thenRelease(out, grid)
+      },
+      Some(KmeansCteSql + """
+        sz AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+               FROM a2 GROUP BY cid)
+        SELECT c2.cid AS cluster_id, sz.n_members,
+               md5(array_to_string(c2.cg, ',')) AS centroid_fp,
+               CAST(list_sum(c2.cg) AS BIGINT) AS centroid_sum
+        FROM c2 JOIN sz USING (cid) ORDER BY cluster_id""")),
+
+    // ---------------------------------------------------------------- e5
+    // ANN index build — the similarity plane's composed capstone (the
+    // e1/e4 move for vectors): s11's trained centroids + the FINAL
+    // posting-list assignment every vector gets in a real IVF index +
+    // s3's int8 compression stats, rolled up per cell. This is the
+    // artifact a 100 TB vector store persists — cell sizes (the probe
+    // cost model), total within-cell distance (the index quality
+    // metric), and the quantization saturation the serving tier needs to
+    // budget requantization. Same plan shapes as its parents: k-row
+    // centroid crosses, map-side quantization, one (vec → cell) keyed
+    // rollup. total_dist stays an exact BIGINT on the integer grid;
+    // avg_scale is the one double average, rounded 6dp (t16's rule).
+    QuerySpec(
+      "e5_index_build",
+      (s, dir) => {
+        import s.implicits._
+        val (grid, cent, _) = kmeansCore(s, dir)
+        val byVec = Window.partitionBy($"vec_id").orderBy($"dist", $"cid")
+        val a3 = grid.crossJoin(broadcast(cent))
+          .withColumn("dist", expr(KmeansDistExpr))
+          .withColumn("rk", row_number().over(byVec))
+          .filter($"rk" === 1)
+          .select($"vec_id", $"cid", $"dist")
+        val quant = int8Quant(s, dir).select($"vec_id", $"scale", $"n_sat")
+        val out = a3.join(quant, "vec_id")
+          .groupBy($"cid")
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            sum($"dist").as("total_dist"),
+            sum($"n_sat").as("n_saturated"),
+            round(avg($"scale"), 6).as("avg_scale"))
+          .select($"cid".as("cluster_id"), $"n_vecs", $"total_dist",
+            $"n_saturated", $"avg_scale")
+          .orderBy($"cluster_id")
+        graft.Materialize.thenRelease(out, grid)
+      },
+      Some(KmeansCteSql + """
+        a3 AS (
+          SELECT vec_id, cid, dist FROM (
+            SELECT grid.vec_id, c2.cid,
+                   list_sum(list_transform(generate_series(1, len(grid.g)),
+                     i -> (grid.g[i] - c2.cg[i]) * (grid.g[i] - c2.cg[i]))) AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY grid.vec_id ORDER BY
+                     list_sum(list_transform(generate_series(1, len(grid.g)),
+                       i -> (grid.g[i] - c2.cg[i]) * (grid.g[i] - c2.cg[i]))),
+                     c2.cid) AS rk
+            FROM grid CROSS JOIN c2) WHERE rk = 1),
+        qm AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+          FROM embeddings),
+        quant AS (
+          SELECT vec_id, maxabs / 127.0 AS scale,
+                 CAST(len(list_filter(
+                   list_transform(embedding,
+                     x -> CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT)
+                          ELSE CAST(greatest(-127.0, least(127.0,
+                                 floor((CAST(x AS DOUBLE) * 127.0) / maxabs)))
+                               AS BIGINT) END),
+                   q -> abs(q) = 127)) AS BIGINT) AS n_sat
+          FROM qm)
+        SELECT a3.cid AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(a3.dist) AS BIGINT) AS total_dist,
+               CAST(SUM(quant.n_sat) AS BIGINT) AS n_saturated,
+               ROUND(AVG(quant.scale), 6) AS avg_scale
+        FROM a3 JOIN quant USING (vec_id)
+        GROUP BY a3.cid ORDER BY cluster_id"""))
   )
+
+  /** s3's quantization frame, shared with e5: per vector the int8
+    * symmetric-quantization summary (scale = max|x|/127,
+    * q_i = clamp(floor(x_i·127/max|x|)) — floor, not round, keeps every
+    * boundary bitwise-deterministic). Pure narrow HOF work, zero
+    * shuffles; callers add their own ordering/rollup. */
+  private def int8Quant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .withColumn("maxabs",
+        array_max(transform($"embedding", x => abs(x.cast("double")))))
+      .withColumn("qv", expr(
+        """transform(embedding, x -> CASE WHEN maxabs = 0D THEN CAST(0 AS BIGINT)
+          |  ELSE CAST(greatest(-127.0D, least(127.0D,
+          |         floor((CAST(x AS DOUBLE) * 127.0D) / maxabs))) AS BIGINT) END)""".stripMargin))
+      .select(
+        $"vec_id",
+        size($"embedding").cast("long").as("n_dims"),
+        ($"maxabs" / 127.0).as("scale"),
+        expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
+        array_min($"qv").as("q_min"),
+        array_max($"qv").as("q_max"),
+        expr("CAST(size(filter(qv, x -> abs(x) = 127)) AS BIGINT)").as("n_sat"))
+  }
+
+  /** The exact integer squared distance between a vector's grid `g` and
+    * a candidate centroid `cg` — s11/e5's assignment metric. */
+  private def KmeansDistExpr: String =
+    "aggregate(zip_with(g, cg, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS BIGINT), (acc, e) -> acc + e)"
+
+  /** s11's trainer core, shared with e5: maps the embeddings onto the
+    * exact BIGINT micro-unit grid (floor(x·1e6)), seeds k=8 centroids
+    * from the lowest vec_ids, and runs two Lloyd rounds — per round one
+    * broadcast centroid cross + per-vector argmin window (k rows per
+    * vector) + one (cid, dim) update aggregate, each round eagerly
+    * checkpointed (the d7 constant-plan convention). Returns
+    * (grid [persisted — caller must release], final centroids
+    * (cid, cg), last assignment (vec_id, cid, g)). */
+  private def kmeansCore(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val k = 8
+    val grid = Tables(s, dir, "embeddings")
+      .select($"vec_id", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))")
+        .as("g"))
+      .persist()
+    val seedW = Window.orderBy($"vec_id") // k-row frame only
+    var cent = grid.orderBy($"vec_id").limit(k)
+      .withColumn("cid", row_number().over(seedW).cast("long") - 1L)
+      .select($"cid", $"g".as("cg"))
+    val byVec = Window.partitionBy($"vec_id").orderBy($"dist", $"cid")
+    var assigned = grid // placeholder; set in round 1
+    for (_ <- 1 to 2) {
+      assigned = grid.crossJoin(broadcast(cent))
+        .withColumn("dist", expr(KmeansDistExpr))
+        .withColumn("rk", row_number().over(byVec))
+        .filter($"rk" === 1)
+        .select($"vec_id", $"cid", $"g")
+        .localCheckpoint(true)
+      cent = assigned
+        .select($"cid", posexplode($"g").as(Seq("d", "v")))
+        .groupBy($"cid", $"d")
+        .agg(floor(sum($"v").cast("double") / count(lit(1)))
+          .cast("long").as("c"))
+        .groupBy($"cid")
+        .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)")
+          .as("cg"))
+        .localCheckpoint(true)
+    }
+    (grid, cent, assigned)
+  }
+
+  /** The shared oracle prefix for s11/e5: the grid mapping, the k=8
+    * lowest-vec_id seeds, and both unrolled Lloyd rounds (assignment
+    * argmin + floored-mean update), ending at `c2`/`a2` with a trailing
+    * comma so callers append their own final CTEs/select. */
+  private def KmeansCteSql: String = """
+        WITH grid AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS g
+          FROM embeddings),
+        c0 AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+                 g AS cg
+          FROM (SELECT vec_id, g FROM grid ORDER BY vec_id LIMIT 8)),
+        a1 AS (
+          SELECT vec_id, cid, g FROM (
+            SELECT grid.vec_id, c0.cid, grid.g,
+                   ROW_NUMBER() OVER (PARTITION BY grid.vec_id ORDER BY
+                     list_sum(list_transform(generate_series(1, len(grid.g)),
+                       i -> (grid.g[i] - c0.cg[i]) * (grid.g[i] - c0.cg[i]))),
+                     c0.cid) AS rk
+            FROM grid CROSS JOIN c0) WHERE rk = 1),
+        m1 AS (
+          SELECT cid, d, CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS c
+          FROM (SELECT cid, UNNEST(g) AS v, UNNEST(range(len(g))) AS d FROM a1)
+          GROUP BY cid, d),
+        c1 AS (SELECT cid, list(c ORDER BY d) AS cg FROM m1 GROUP BY cid),
+        a2 AS (
+          SELECT vec_id, cid, g FROM (
+            SELECT grid.vec_id, c1.cid, grid.g,
+                   ROW_NUMBER() OVER (PARTITION BY grid.vec_id ORDER BY
+                     list_sum(list_transform(generate_series(1, len(grid.g)),
+                       i -> (grid.g[i] - c1.cg[i]) * (grid.g[i] - c1.cg[i]))),
+                     c1.cid) AS rk
+            FROM grid CROSS JOIN c1) WHERE rk = 1),
+        m2 AS (
+          SELECT cid, d, CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS c
+          FROM (SELECT cid, UNNEST(g) AS v, UNNEST(range(len(g))) AS d FROM a2)
+          GROUP BY cid, d),
+        c2 AS (SELECT cid, list(c ORDER BY d) AS cg FROM m2 GROUP BY cid),"""
 
   /** IVF search: coarse cells = `label`, probe the `nProbe` nearest
     * centroids per query, exact cosine rerank within probed cells. */

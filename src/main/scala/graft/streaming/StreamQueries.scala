@@ -700,7 +700,70 @@ object StreamQueries {
                                     ORDER BY ts DESC, event_id DESC) AS rn
           FROM events)
         SELECT user_id, ts AS last_ts, value AS last_value
-        FROM r WHERE rn = 1 ORDER BY user_id""")))
+        FROM r WHERE rn = 1 ORDER BY user_id""")),
+
+    // ---------------------------------------------------------------- st12
+    // Streaming distinct-count via mergeable sketch state — the FOURTH
+    // state-replayability class beside st6's monotone counters, st10's
+    // KMV sets and st11's latest-wins registers: a theta-sketch UNION is
+    // commutative, associative and idempotent, so the final per-key
+    // sketch is independent of micro-batch slicing and arrival order —
+    // and below the 2^lgK exact-mode capacity its estimate IS the exact
+    // distinct count (x4's capacity argument, here as STREAMING STATE),
+    // which is what makes a COUNT(DISTINCT) oracle possible for a
+    // stateful stream. This is x1's nightly pre-aggregation turned
+    // continuous: per event type, ValueState holds one compact sketch
+    // (KBs, CONSTANT-size even past capacity — where an exact
+    // distinct-set state grows with the keyspace, the sketch degrades
+    // gracefully to the ~1/sqrt(2^lgK) envelope instead of OOMing),
+    // each batch unions its user_ids in, and every touched key re-emits
+    // its current estimate (Update mode; read-back keeps the last
+    // emission). No watermark: distinct-over-all-time has no horizon.
+    QuerySpec(
+      "st12_distinct_sketch_stream",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.streaming.GroupStateTimeout
+        val inbox = stagedInbox(s, dir)
+        val runDir =
+          java.nio.file.Files.createTempDirectory("graft_st12").toString
+        val outDir = s"$runDir/out"
+        Seq.empty[(String, Long, Long)]
+          .toDF("event_type", "approx_users", "batch")
+          .write.mode("overwrite").parquet(outDir)
+        val schema = s.read.parquet(inbox).schema
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 4).parquet(inbox)
+          val updates = stream.select($"event_type", $"user_id")
+            .as[(String, Long)]
+            .groupByKey(_._1)
+            .flatMapGroupsWithState(
+              OutputMode.Update(), GroupStateTimeout.NoTimeout)(sketchDistinct _)
+          val q = updates.toDF("event_type", "approx_users").writeStream
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              b.withColumn("batch", lit(id)).write.mode("append").parquet(outDir)
+            }
+            .outputMode(OutputMode.Update)
+            .option("checkpointLocation", s"$runDir/chk")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          lastRunProgress = q.recentProgress
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        val raw = s.read.parquet(outDir)
+        val last = raw.groupBy($"event_type").agg(max($"batch").as("batch"))
+        raw.join(last, Seq("event_type", "batch"))
+          .select($"event_type", $"approx_users")
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users
+        FROM events GROUP BY event_type ORDER BY event_type""")))
 
   /** st11's state transition: per-key latest-wins under the
     * (micros, event_id) version order — a commutative, associative,
@@ -714,6 +777,26 @@ object StreamQueries {
       .maxBy { case (m, id, _) => (m, id) }
     state.update(best)
     Iterator.single((key, best._1, best._3))
+  }
+
+  /** st12's state transition: union the batch's user_ids into the key's
+    * theta sketch (lgK=12, x4's exact-mode capacity) and re-emit the
+    * estimate — in exact mode an integral double, so toLong is exact.
+    * Union is commutative/associative/idempotent, which is the whole
+    * replayability argument. */
+  private[streaming] def sketchDistinct(
+      key: String, rows: Iterator[(String, Long)],
+      state: org.apache.spark.sql.streaming.GroupState[Array[Byte]])
+      : Iterator[(String, Long)] = {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{Sketches => TS}
+    val union = TS.setOperationBuilder().setLogNominalEntries(12).buildUnion()
+    state.getOption.foreach(b =>
+      union.union(TS.heapifyCompactSketch(Memory.wrap(b))))
+    rows.foreach { case (_, id) => union.update(id) }
+    val compact = union.getResult()
+    state.update(compact.toByteArray)
+    Iterator.single((key, compact.getEstimate.toLong))
   }
 
   /** st10's state transition: merge the batch's (hash, id) pairs into

@@ -104,7 +104,14 @@ class PlanAuditSpec extends SparkTestBase {
     // t28 crosses the 1-ROW unigram-total and bigram-total scalars onto
     // the vocab-sized bigram counts — two t16 scalar crosses; the
     // unigram joins themselves are equi-keyed broadcasts
-    "t28_pmi_bigrams")
+    "t28_pmi_bigrams",
+    // s11's per-round centroid cross is k=8 broadcast rows against the
+    // stationary vector scan — the s2 centroid-cross shape; the update
+    // aggregate is (cid, dim)-equi-keyed
+    "s11_kmeans_train",
+    // e5 embeds s11's centroid crosses (training + the final posting
+    // assignment); the quantization join is vec_id-equi-keyed
+    "e5_index_build")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -153,7 +160,8 @@ class PlanAuditSpec extends SparkTestBase {
     "t27_mojibake_detect", "s10_rrf_fusion", "g5_kcore_peel",
     "q60_winsorized_stats", "g6_label_propagation",
     "q61_mad_outliers", "t28_pmi_bigrams", "x9_column_profile",
-    "g7_hits_trade_graph", "d20_soft_dedup_weights")
+    "g7_hits_trade_graph", "d20_soft_dedup_weights", "s11_kmeans_train",
+    "e5_index_build")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>

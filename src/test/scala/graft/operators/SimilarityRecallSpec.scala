@@ -225,4 +225,80 @@ class SimilarityRecallSpec extends SparkTestBase {
       assert(rs.forall(_._3 != q), s"query $q retrieved itself")
     }
   }
+
+  test("s11 equals a driver-side Lloyd run and the training really moves") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("s11_kmeans_train")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
+      .toMap
+    val grid = graft.Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+      .map { case (id, e) =>
+        id -> e.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+      }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cent: Map[Long, Array[Long]] =
+      grid.take(8).zipWithIndex.map { case ((_, g), i) => i.toLong -> g }.toMap
+    var assigned = Map.empty[Long, Long]
+    def wcss(a: Map[Long, Long], c: Map[Long, Array[Long]]): BigInt =
+      a.iterator.map { case (v, cid) =>
+        BigInt(d2(grid.find(_._1 == v).get._2, c(cid))) }.sum
+    var lastWcss: Option[BigInt] = None
+    (1 to 2).foreach { _ =>
+      assigned = grid.map { case (id, g) =>
+        id -> cent.toSeq.map { case (cid, cg) => (d2(g, cg), cid) }.min._2
+      }.toMap
+      // Lloyd monotonicity: each new assignment can only improve the
+      // objective measured against the centroids it assigned to
+      val w = wcss(assigned, cent)
+      lastWcss.foreach(prev => assert(w <= prev,
+        s"assignment step raised WCSS: $prev -> $w"))
+      cent = assigned.groupBy(_._2).map { case (cid, ms) =>
+        val gs = ms.keys.map(v => grid.find(_._1 == v).get._2).toSeq
+        cid -> Array.tabulate(gs.head.length)(d =>
+          math.floor(gs.map(_(d)).sum.toDouble / gs.size).toLong)
+      }
+      lastWcss = Some(wcss(assigned, cent))
+    }
+    val expect = cent.map { case (cid, cg) =>
+      val n = assigned.count(_._2 == cid).toLong
+      val fp = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(cg.mkString(",").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }
+      cid -> (n, fp, cg.sum)
+    }
+    assert(got == expect, {
+      val diff = got.keySet ++ expect.keySet
+      s"clusters disagree: ${diff.filter(k => got.get(k) != expect.get(k)).take(3)}"
+    })
+    // the trainer is not a no-op: centroids moved off their seeds and
+    // more than one cluster captured members
+    val seeds = grid.take(8).map(_._2)
+    assert(cent.exists { case (cid, cg) =>
+      !seeds(cid.toInt).sameElements(cg) }, "no centroid moved")
+    assert(got.count(_._2._1 > 0L) > 1, "training collapsed to one cluster")
+  }
+
+  test("e5's index accounts for every vector exactly once, cells from s11") {
+    val e5 = graft.SparkEntry.queries("e5_index_build")(spark, dir).collect()
+    val s11 = graft.SparkEntry.queries("s11_kmeans_train")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val nVecs = graft.Tables(spark, dir, "embeddings").count()
+    assert(e5.map(_.getAs[Long]("n_vecs")).sum == nVecs,
+      "posting lists lose or double-count vectors")
+    assert(e5.map(_.getLong(0)).toSet.subsetOf(s11),
+      "e5 assigned to a cell s11 never trained")
+    e5.foreach { r =>
+      assert(r.getAs[Long]("total_dist") >= 0L)
+      assert(r.getAs[Long]("n_saturated") >= r.getAs[Long]("n_vecs"),
+        // every vector saturates at least its own max|x| coordinate
+        s"cell ${r.getLong(0)}: fewer saturated coords than vectors")
+      assert(r.getAs[Double]("avg_scale") > 0.0)
+    }
+  }
 }

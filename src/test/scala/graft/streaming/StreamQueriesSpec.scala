@@ -156,6 +156,27 @@ class StreamQueriesSpec extends SparkTestBase {
       s"final st11 state ${totals.last} != $users keys")
   }
 
+  test("st12 sketch state is one row per event type and stays exact-mode") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("st12_distinct_sketch_stream")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = stateTotals()
+    assert(totals.nonEmpty, "st12 recorded no stateful progress")
+    val types = Tables(spark, sfDir, "events")
+      .select($"event_type").distinct().count()
+    assert(totals.max <= types, s"st12 state ${totals.max} exceeds $types keys")
+    assert(totals.last == types, s"final st12 state ${totals.last} != $types")
+    // the capacity precondition as a gate (the x4/x7 pattern): every
+    // per-type distinct count must sit below the 2^12 exact-mode
+    // capacity at this SF, and then the sketch estimates must be EXACT
+    val exact = Tables(spark, sfDir, "events").groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.values.forall(_ < 4096L),
+      "fixture outgrew theta exact mode — the COUNT(DISTINCT) oracle is invalid here")
+    assert(got == exact, s"sketch estimates diverged in exact mode: $got vs $exact")
+  }
+
   test("st8 sessionizer state is one row per still-open user session") {
     import spark.implicits._
     graft.SparkEntry.queries("st8_stateful_sessions_stream")(spark, sfDir).collect()
