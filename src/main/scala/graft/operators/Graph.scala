@@ -447,6 +447,63 @@ object Graph {
           .orderBy($"node_type", $"score".desc, $"node_id")
       },
       Some(HitsOracle)),
+
+    // ----------------------------------------------------------------- g8
+    // Item-item similarity (collaborative filtering's build step): for
+    // every supplier pair, the Jaccard of their CUSTOMER sets — "buyers
+    // of X also buy from Y", the neighborhood model every recommender
+    // bootstraps from and the graph twin of d2's document Jaccard. Same
+    // scale skeleton as d2's inverted index: the co-rating join keys on
+    // the shared CUSTOMER (never supplier×supplier), so pair generation
+    // is Σ_c deg(c)² — and promiscuous customers (the stopword analog:
+    // a buyer of everything co-occurs every pair and says nothing) are
+    // DF-CAPPED out at >64 distinct suppliers before the self-join, the
+    // d2 cap that keeps the fan-out bounded on power-law data. One
+    // customer-keyed exchange + one pair aggregate; sizes computed on
+    // the SAME capped universe so jaccard stays a true set ratio.
+    QuerySpec(
+      "g8_item_similarity",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        val cp = li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("c"), $"l_suppkey".as("p"))
+          .distinct()
+        val kept = cp.groupBy($"c").agg(count(lit(1)).as("deg"))
+          .filter($"deg" <= 64).select($"c")
+        val capped = cp.join(kept, "c").persist()
+        val pairs = capped.as("x").join(capped.as("y"),
+            $"x.c" === $"y.c" && $"x.p" < $"y.p")
+          .groupBy($"x.p".as("p_a"), $"y.p".as("p_b"))
+          .agg(count(lit(1)).as("common"))
+        val sizes = capped.groupBy($"p").agg(count(lit(1)).as("n"))
+        val out = pairs
+          .join(sizes.select($"p".as("p_a"), $"n".as("na")), "p_a")
+          .join(sizes.select($"p".as("p_b"), $"n".as("nb")), "p_b")
+          .withColumn("jaccard", round($"common".cast("double") /
+            ($"na" + $"nb" - $"common"), 6))
+          .select($"p_a", $"p_b", $"common", $"jaccard")
+          .orderBy($"jaccard".desc, $"p_a", $"p_b")
+          .limit(50)
+        graft.Materialize.thenRelease(out, capped)
+      },
+      Some("""
+        WITH cp AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        kept AS (SELECT c FROM cp GROUP BY c HAVING COUNT(*) <= 64),
+        capped AS (SELECT cp.c, cp.p FROM cp JOIN kept USING (c)),
+        pairs AS (
+          SELECT x.p AS p_a, y.p AS p_b, CAST(COUNT(*) AS BIGINT) AS common
+          FROM capped x JOIN capped y ON x.c = y.c AND x.p < y.p
+          GROUP BY x.p, y.p),
+        sizes AS (SELECT p, COUNT(*) AS n FROM capped GROUP BY p)
+        SELECT p_a, p_b, common,
+               ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6)
+                 AS jaccard
+        FROM pairs JOIN sizes sa ON p_a = sa.p JOIN sizes sb ON p_b = sb.p
+        ORDER BY jaccard DESC, p_a, p_b LIMIT 50""")),
   )
 
   /** Per-node triangle participation counts for an undirected simple

@@ -79,7 +79,29 @@ object MinHashDedup {
     QuerySpec(
       "d13_minhash_oracle_twin",
       (s, dir) => minhashOracleTwin(s, dir),
-      Some(MinhashOracleSql)))
+      Some(MinhashOracleSql)),
+
+    // ---------------------------------------------------------------- d21
+    // FUZZY decontamination — d6's near-duplicate sibling: d6 flags
+    // train docs sharing an exact 8-gram with the eval slice, which a
+    // light paraphrase (one word swapped per line) walks straight past;
+    // this pass flags train docs within MinHash/Jaccard distance 0.5 of
+    // ANY eval doc, the contamination screen the Llama/GPT-3 reports
+    // describe alongside the exact one. Pipeline = d13's md5-keyed
+    // machinery (bands → bucket join → exact string-shingle rerank)
+    // with the candidate join restricted to TRAIN×EVAL: the eval side
+    // is small and fixed (d6's premise), so its band table BROADCASTS
+    // and the corpus-side work is one map-side band build plus a rerank
+    // that touches candidates only — the d12 probe shape, here fully
+    // under the oracle because every stage is md5-replayable. Banding
+    // misses (candidate recall < 1) are identical in both engines by
+    // construction, so the oracle pins the LSH behavior itself, not an
+    // idealized all-pairs answer; d4/d12's murmur3 path keeps the
+    // production hash and its recall specs.
+    QuerySpec(
+      "d21_fuzzy_decontamination",
+      (s, dir) => fuzzyDecontamination(s, dir),
+      Some(FuzzyDecontaminationSql)))
 
   /** d13's Spark side: md5-keyed MinHash + LSH + exact string-shingle
     * rerank. Deliberately expression-only (no typed flatMap) so the plan
@@ -132,6 +154,86 @@ object MinHashDedup {
       .filter($"jaccard_dist" <= 0.5)
       .select($"a_id", $"b_id", $"common", $"jaccard_dist")
     graft.Materialize.thenRelease(pairs, sh).orderBy($"a_id", $"b_id")
+  }
+
+  /** d21's Spark side: d13's band construction with the candidate join
+    * split TRAIN (doc_id%7≠0) × EVAL (doc_id%7=0, broadcast — the d6
+    * small-fixed-eval premise), exact string-shingle rerank on
+    * candidates only. */
+  private def fuzzyDecontamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Shingles.pairs(s, Tables(s, dir, "documents")).persist()
+    val minCols = (0 until NumBands).map(i =>
+      min((lit(coefA(i)) * $"x" + lit(coefB(i))) % P).as(s"hv$i"))
+    val bands = sh
+      .withColumn("x", conv(substring(md5($"shingle"), 1, 7), 16, 10).cast("long"))
+      .groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+      .select($"doc_id", posexplode(
+        array((0 until NumBands).map(i => col(s"hv$i")): _*))
+        .as(Seq("band", "hv")))
+    val evalBands = bands.filter($"doc_id" % 7 === 0)
+      .select($"doc_id".as("eval_id"), $"band", $"hv")
+    val trainBands = bands.filter($"doc_id" % 7 =!= 0)
+      .select($"doc_id".as("train_id"), $"band", $"hv")
+    val cands = trainBands.join(broadcast(evalBands), Seq("band", "hv"))
+      .select($"train_id", $"eval_id").distinct()
+    val shT = sh.select($"doc_id".as("train_id"), $"shingle")
+    val shE = sh.select($"doc_id".as("eval_id"), $"shingle")
+    val common = cands.join(shT, "train_id").join(shE, Seq("eval_id", "shingle"))
+      .groupBy($"train_id", $"eval_id").agg(count(lit(1)).as("common"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = common
+      .join(sizes.select($"doc_id".as("train_id"), $"n".as("nt")), "train_id")
+      .join(sizes.select($"doc_id".as("eval_id"), $"n".as("ne")), "eval_id")
+      .withColumn("jaccard_dist",
+        lit(1.0) - $"common".cast("double") / ($"nt" + $"ne" - $"common"))
+      .filter($"jaccard_dist" <= 0.5)
+      .select($"train_id", $"eval_id", $"common", $"jaccard_dist")
+    graft.Materialize.thenRelease(pairs, sh).orderBy($"train_id", $"eval_id")
+  }
+
+  /** d21's oracle: [[MinhashOracleSql]]'s stages with the candidate join
+    * restricted to train×eval. */
+  private def FuzzyDecontaminationSql: String = {
+    val aList = coefA.mkString(", ")
+    val bList = coefB.mkString(", ")
+    raw"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
+                 i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+2])) AS shingle
+        FROM documents)),
+    shx AS (
+      SELECT doc_id, shingle,
+             CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS x
+      FROM sh),
+    coef AS (
+      SELECT unnest(range(0, $NumBands)) AS band,
+             unnest([$aList]) AS a, unnest([$bList]) AS b),
+    mh AS (
+      SELECT s.doc_id, c.band, MIN((c.a * s.x + c.b) % $P) AS hv
+      FROM shx s CROSS JOIN coef c GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+      FROM mh t JOIN mh e ON t.band = e.band AND t.hv = e.hv
+      WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    com AS (
+      SELECT c.train_id, c.eval_id, CAST(COUNT(*) AS BIGINT) AS common
+      FROM cand c
+      JOIN sh t ON t.doc_id = c.train_id
+      JOIN sh e ON e.doc_id = c.eval_id AND e.shingle = t.shingle
+      GROUP BY 1, 2)
+    SELECT train_id, eval_id, common,
+           1.0 - CAST(common AS DOUBLE) / (st.n + se.n - common) AS jaccard_dist
+    FROM com JOIN sizes st ON train_id = st.doc_id
+             JOIN sizes se ON eval_id = se.doc_id
+    WHERE 1.0 - CAST(common AS DOUBLE) / (st.n + se.n - common) <= 0.5
+    ORDER BY train_id, eval_id"""
   }
 
   /** d13's oracle: the identical pipeline in DuckDB SQL (shingling shared

@@ -1053,7 +1053,69 @@ object Mixing {
           FROM surv)
         SELECT source, CAST(pos AS BIGINT) AS pos, doc_id, score
         FROM ranked WHERE pos <= 5
-        ORDER BY source, pos"""))
+        ORDER BY source, pos""")),
+
+    // ---------------------------------------------------------------- p13
+    // Token-budget corpus selection — "spend a B-token budget on the
+    // best documents" as a THRESHOLD query, not a sort: docs bucket by a
+    // quality score (mean token length at 1dp — ~30 buckets), one
+    // bucket aggregate rolls up each bucket's token mass, and a
+    // running sum over the BUCKET-sized frame (≤ a few dozen rows —
+    // this window never sees data) finds the greedy prefix that fits
+    // B = 25% of corpus tokens. Selection is then a broadcast-threshold
+    // map-side filter — the shape that picks 25 TB out of 100 TB
+    // without ever totally ordering the corpus (the exact-knapsack
+    // alternative is a global sort + running sum over EVERY doc). The
+    // greedy bucket prefix under-fills by at most one bucket — the
+    // resolution/budget-precision tradeoff is the bucket width, and
+    // finer widths converge on the sort answer. Budget total rides a
+    // 1-row scalar cross (the t16/p8 pattern).
+    QuerySpec(
+      "p13_budget_select",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val docs = Tables(s, dir, "documents").filter($"text".isNotNull)
+          .select($"doc_id",
+            size(split(trim($"text"), "\\s+")).cast("long").as("n_toks"),
+            length(regexp_replace($"text", lit(" "), lit(""))).cast("long")
+              .as("n_chars2"))
+          .withColumn("qbucket",
+            round($"n_chars2".cast("double") / $"n_toks", 1))
+        val buckets = docs.groupBy($"qbucket")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_toks"))
+        val tot = buckets.agg(sum($"n_toks").cast("double").as("total"))
+        val w = Window.orderBy($"qbucket".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        buckets
+          .withColumn("cum_toks", sum($"n_toks").over(w))
+          .crossJoin(broadcast(tot))
+          .filter($"cum_toks".cast("double") <= $"total" / 4.0)
+          .select($"qbucket", $"n_docs", $"n_toks", $"cum_toks")
+          .orderBy($"qbucket".desc)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_toks,
+                 CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chars2
+          FROM documents WHERE text IS NOT NULL),
+        b AS (
+          SELECT ROUND(CAST(n_chars2 AS DOUBLE) / n_toks, 1) AS qbucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_toks) AS BIGINT) AS n_toks
+          FROM d GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_toks) AS DOUBLE) AS total FROM b),
+        c AS (
+          SELECT qbucket, n_docs, n_toks,
+                 CAST(SUM(n_toks) OVER (ORDER BY qbucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_toks
+          FROM b)
+        SELECT qbucket, n_docs, n_toks, cum_toks
+        FROM c WHERE CAST(cum_toks AS DOUBLE) <= (SELECT total FROM t) / 4.0
+        ORDER BY qbucket DESC"""))
   )
 
   /** Write-once lang-partitioned copy of the documents table (the

@@ -1442,6 +1442,74 @@ object TextAnalysis {
                      ((CAST(ua.c1 AS DOUBLE) / (SELECT n FROM n1)) *
                       (CAST(ub.c1 AS DOUBLE) / (SELECT n FROM n1)))), 6) AS pmi
         FROM j JOIN uni ua ON j.w1 = ua.w JOIN uni ub ON j.w2 = ub.w
-        ORDER BY pmi DESC, w1, w2 LIMIT 30"""))
+        ORDER BY pmi DESC, w1, w2 LIMIT 30""")),
+
+    // ---------------------------------------------------------------- t29
+    // BPE-style pre-tokenizer counts — the GPT-2-family pre-tokenization
+    // regex (contraction pieces, space-prefixed letter runs, digit runs,
+    // punctuation runs, whitespace) counted per document: the token
+    // accounting a training-data pipeline budgets with BEFORE any real
+    // BPE merge table exists (t2's whitespace count underestimates cost
+    // on numbery/punctuated text; this is the standard first-order
+    // correction). The alternation is deliberately restricted to the
+    // RE2∩java.util.regex common dialect — NO lookarounds (RE2 has
+    // none; the canonical GPT-2 pattern's \s+(?!\S) tail is dropped),
+    // both engines leftmost-first — so the DuckDB oracle matches piece
+    // counts exactly. The ASCII fixture (t18's premise) never exercises
+    // the contraction/digit/punct branches on its own, so each is
+    // PLANTED by doc_id residue (the t27 move), making every branch
+    // count hash-falsifiable. Pure map-side regex scan; the one regex
+    // runs once per row, zero shuffles before the presentation sort.
+    QuerySpec(
+      "t29_bpe_token_count",
+      (s, dir) => {
+        import s.implicits._
+        val pat = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+        val planted = when($"doc_id" % 4 === 1, concat($"text", lit(" don't stop")))
+          .when($"doc_id" % 4 === 2, concat($"text", lit(" v2.1 costs 9,99")))
+          .when($"doc_id" % 4 === 3, concat($"text", lit(" end... ok?!")))
+          .otherwise($"text")
+        Tables(s, dir, "documents").filter($"text".isNotNull)
+          .withColumn("t", planted)
+          .select($"doc_id",
+            size(split(trim($"t"), "\\s+")).cast("long").as("n_ws_tokens"),
+            size(regexp_extract_all($"t", lit(pat), lit(0))).cast("long")
+              .as("n_pieces"),
+            size(array_distinct(regexp_extract_all($"t", lit(pat), lit(0))))
+              .cast("long").as("n_distinct_pieces"),
+            size(regexp_extract_all($"t", lit(" ?[0-9]+"), lit(0))).cast("long")
+              .as("n_num"),
+            size(regexp_extract_all($"t", lit(" ?[^A-Za-z0-9\\s]+"), lit(0)))
+              .cast("long").as("n_punct"))
+          .withColumn("pieces_per_word",
+            round($"n_pieces".cast("double") / $"n_ws_tokens", 6))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH p AS (
+          SELECT doc_id,
+            CASE
+              WHEN doc_id % 4 = 1 THEN text || ' don''t stop'
+              WHEN doc_id % 4 = 2 THEN text || ' v2.1 costs 9,99'
+              WHEN doc_id % 4 = 3 THEN text || ' end... ok?!'
+              ELSE text END AS t
+          FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(t), '\s+')) AS BIGINT)
+                 AS n_ws_tokens,
+               CAST(len(regexp_extract_all(t,
+                 '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+                 AS BIGINT) AS n_pieces,
+               CAST(len(list_distinct(regexp_extract_all(t,
+                 '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')))
+                 AS BIGINT) AS n_distinct_pieces,
+               CAST(len(regexp_extract_all(t, ' ?[0-9]+')) AS BIGINT) AS n_num,
+               CAST(len(regexp_extract_all(t, ' ?[^A-Za-z0-9\s]+')) AS BIGINT)
+                 AS n_punct,
+               ROUND(CAST(len(regexp_extract_all(t,
+                 '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+                 AS DOUBLE) / len(regexp_split_to_array(trim(t), '\s+')), 6)
+                 AS pieces_per_word
+        FROM p ORDER BY doc_id"""))
   )
 }

@@ -537,4 +537,103 @@ class CorpusAnalyticsSpec extends SparkTestBase {
       assert(r.getAs[String]("max_val") == mx, s"$c max")
     }
   }
+
+  test("t29 piece counts match java-regex recompute; planted branches fire") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("t29_bpe_token_count")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val pat = java.util.regex.Pattern.compile(
+      "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+")
+    def pieces(t: String): Seq[String] = {
+      val m = pat.matcher(t); val b = Seq.newBuilder[String]
+      while (m.find()) b += m.group(); b.result()
+    }
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    docs.foreach { case (id, text) =>
+      val t = (id % 4) match {
+        case 1 => text + " don't stop"
+        case 2 => text + " v2.1 costs 9,99"
+        case 3 => text + " end... ok?!"
+        case _ => text
+      }
+      val ps = pieces(t)
+      val r = got(id)
+      assert(r.getAs[Long]("n_pieces") == ps.length.toLong, s"doc $id pieces")
+      assert(r.getAs[Long]("n_distinct_pieces") == ps.distinct.length.toLong,
+        s"doc $id distinct")
+      // branch premises: the ASCII corpus has no digits or punctuation
+      // of its own (t18's premise), so the planted residues are the ONLY
+      // sources — each class fires exactly where planted
+      (id % 4) match {
+        case 0 => assert(r.getAs[Long]("n_num") == 0 &&
+          r.getAs[Long]("n_punct") == 0, s"doc $id: clean doc has artifacts")
+        case 1 => assert(r.getAs[Long]("n_punct") == 1, s"doc $id apostrophe")
+        case 2 => assert(r.getAs[Long]("n_num") == 4, s"doc $id digit runs")
+        case 3 => assert(r.getAs[Long]("n_punct") == 2, s"doc $id punct runs")
+      }
+    }
+  }
+
+  test("g8 equals a driver-side co-purchase Jaccard rebuild (capped universe)") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("g8_item_similarity")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val li = graft.Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey")
+    val ord = graft.Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val cp = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey", $"l_suppkey").distinct()
+      .as[(Long, Long)].collect()
+    val byC = cp.groupBy(_._1).filter(_._2.length <= 64)
+    val bySupp = byC.values.flatten.groupBy(_._2).map {
+      case (p, es) => p -> es.map(_._1).toSet }
+    val pairs = for {
+      a <- bySupp.keys.toSeq; b <- bySupp.keys.toSeq
+      if a < b
+      common = (bySupp(a) & bySupp(b)).size if common > 0
+    } yield {
+      val j = BigDecimal(common.toDouble /
+        (bySupp(a).size + bySupp(b).size - common))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, common.toLong, j)
+    }
+    val expect = pairs.sortBy { case (a, b, _, j) => (-j, a, b) }.take(50)
+    assert(got.toSeq == expect, "g8 disagrees with the driver rebuild")
+    assert(got.forall { case (_, _, c, j) => c > 0 && j > 0.0 && j <= 1.0 })
+  }
+
+  test("p13 budget prefix is greedy-maximal: fits B, next bucket would not") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("p13_budget_select")(spark, sfDir)
+      .collect()
+      .map(r => (r.getDouble(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_toks"), r.getAs[Long]("cum_toks")))
+    assert(got.nonEmpty, "empty selection — budget smaller than best bucket?")
+    // recompute the bucket table driver-side
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select($"text").as[String].collect()
+    val buckets = docs.map { t =>
+      val n = t.trim.split("\\s+").length.toLong
+      val c = t.count(_ != ' ').toLong
+      val qb = BigDecimal(c.toDouble / n)
+        .setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (qb, n)
+    }.groupBy(_._1).map { case (qb, xs) =>
+      (qb, xs.length.toLong, xs.map(_._2).sum) }
+      .toSeq.sortBy(-_._1)
+    val total = buckets.map(_._3).sum.toDouble
+    val cums = buckets.scanLeft(0L)(_ + _._3).tail
+    val expect = buckets.zip(cums).takeWhile(_._2 <= total / 4.0)
+      .map { case ((qb, nd, nt), cum) => (qb, nd, nt, cum) }
+    assert(got.toSeq == expect, "p13 disagrees with the driver rebuild")
+    // greedy maximality: the selection fills the budget up to the next
+    // bucket — one more bucket would overshoot
+    val cutIdx = expect.length
+    assert(cutIdx == buckets.length ||
+      cums(cutIdx) > total / 4.0, "selection stopped early")
+    assert(got.last._4 <= (total / 4.0).toLong)
+  }
 }

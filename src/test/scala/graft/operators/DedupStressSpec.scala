@@ -255,4 +255,29 @@ class DedupStressSpec extends SparkTestBase {
     // and duplicates are really downweighted on the fixture
     assert(w.exists(_.getAs[Long]("cluster_size") > 1L))
   }
+
+  test("d21 is exactly d13's cross-side slice, and never leaks same-side pairs") {
+    val d21 = graft.SparkEntry.queries("d21_fuzzy_decontamination")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // purity: train ids are never eval-slice docs and vice versa
+    d21.foreach { case (t, e, _, dist) =>
+      assert(t % 7 != 0, s"eval doc $t reported as train")
+      assert(e % 7 == 0, s"train doc $e reported as eval")
+      assert(dist <= 0.5)
+    }
+    // the same md5-band machinery over ALL pairs (d13), sliced to the
+    // cross-side subset, must agree pair-for-pair — candidacy, common
+    // counts and distance all derive from identical band minima
+    val d13 = graft.SparkEntry.queries("d13_minhash_oracle_twin")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect = d13.collect {
+      case (a, b, c, j) if (a % 7 == 0) != (b % 7 == 0) =>
+        if (a % 7 == 0) (b, a, c, j) else (a, b, c, j)
+    }.toSet
+    assert(d21.toSet == expect,
+      s"d21 ${d21.length} pairs vs d13 cross-side ${expect.size}")
+    assert(d21.nonEmpty, "no cross-side contamination on the fixture — untested")
+  }
 }

@@ -111,7 +111,10 @@ class PlanAuditSpec extends SparkTestBase {
     "s11_kmeans_train",
     // e5 embeds s11's centroid crosses (training + the final posting
     // assignment); the quantization join is vec_id-equi-keyed
-    "e5_index_build")
+    "e5_index_build",
+    // p13 crosses the 1-ROW corpus-token-total scalar onto the
+    // bucket-sized prefix frame — the t16/p8 scalar-cross shape
+    "p13_budget_select")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -161,7 +164,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q60_winsorized_stats", "g6_label_propagation",
     "q61_mad_outliers", "t28_pmi_bigrams", "x9_column_profile",
     "g7_hits_trade_graph", "d20_soft_dedup_weights", "s11_kmeans_train",
-    "e5_index_build")
+    "e5_index_build", "d21_fuzzy_decontamination", "t29_bpe_token_count",
+    "g8_item_similarity", "p13_budget_select")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
