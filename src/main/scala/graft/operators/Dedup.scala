@@ -1139,7 +1139,97 @@ object Dedup {
         SELECT doc_id, cluster_id,
                CAST(cluster_size AS BIGINT) AS cluster_size,
                ROUND(CAST(1.0 AS DOUBLE) / cluster_size, 6) AS weight
-        FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id"""))
+        FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- d22
+    // TF-IDF cosine near-dup pairs — the WEIGHTED lexical similarity
+    // between d2's unweighted set Jaccard and d5's dense embedding
+    // cosine (the SpotSigs/shingle-cosine shape): rare shared shingles
+    // count for more than common ones, so boilerplate-heavy pairs that
+    // clear a Jaccard threshold on filler drop, and pairs sharing
+    // distinctive content rise. Features are d2's word-3-gram shingles
+    // with multiset tf (t26's occurrence counts) and the same
+    // [[MaxShingleDf]] hot-term cap applied to the WHOLE universe
+    // (candidates, weights, norms — one consistent vector space).
+    // Determinism — the part a naive float TF-IDF gets wrong on a
+    // distributed engine: a double dot product is an aggregation whose
+    // summation ORDER differs per partitioning, so weights are
+    // integer-scaled ONCE (w = tf · round(1000·ln(N/df)); one ln per
+    // TERM, the t16 ulp argument at 1e-3 granularity) and every dot
+    // product and norm² is then an exact BIGINT sum — order-free; the
+    // single sqrt/divide runs once per PAIR at presentation, rounded
+    // 6dp. Scale shape = d2's: df-capped inverted index keyed on the
+    // shingle, pair fan-out bounded by the cap, norms ride the same
+    // per-doc aggregate; the (N, ·) corpus total is a 1-row broadcast
+    // cross (the t16 scalar pattern).
+    QuerySpec(
+      "d22_tfidf_cosine_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val tf = Shingles.occurrencesN(s, docs, 3)
+          .select($"doc_id", xxhash64($"shingle").as("sh"))
+          .groupBy($"doc_id", $"sh").agg(count(lit(1)).as("tf"))
+          .persist()
+        val df = tf.groupBy($"sh").agg(count(lit(1)).as("df"))
+          .filter($"df" <= MaxShingleDf)
+        val nDocs = tf.select($"doc_id").distinct()
+          .agg(count(lit(1)).cast("double").as("n"))
+        val w = tf.join(df, "sh")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("iw",
+            round(log($"n" / $"df".cast("double")) * 1000.0, 0).cast("long"))
+          .withColumn("w", $"tf" * $"iw")
+          .select($"doc_id", $"sh", $"w")
+          .localCheckpoint(true)
+        val norms = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("norm2"))
+        val dots = w.select($"doc_id".as("a_id"), $"sh", $"w".as("wa"))
+          .join(w.select($"doc_id".as("b_id"), $"sh", $"w".as("wb")), "sh")
+          .filter($"a_id" < $"b_id")
+          .groupBy($"a_id", $"b_id").agg(sum($"wa" * $"wb").as("dot"))
+        val out = dots
+          .join(norms.select($"doc_id".as("a_id"), $"norm2".as("na2")), "a_id")
+          .join(norms.select($"doc_id".as("b_id"), $"norm2".as("nb2")), "b_id")
+          .withColumn("cosine", round($"dot".cast("double") /
+            (sqrt($"na2".cast("double")) * sqrt($"nb2".cast("double"))), 6))
+          .select($"a_id", $"b_id", $"dot", $"cosine")
+          .orderBy($"cosine".desc, $"a_id", $"b_id")
+          .limit(100)
+        graft.Materialize.thenRelease(out, tf)
+      },
+      Some(raw"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+          FROM documents WHERE text IS NOT NULL),
+        g AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 0)),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+          FROM t),
+        tf AS (SELECT doc_id, shingle, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM g GROUP BY doc_id, shingle),
+        df AS (SELECT shingle, COUNT(*) AS df FROM tf GROUP BY shingle
+               HAVING COUNT(*) <= $MaxShingleDf),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+        w AS (
+          SELECT tf.doc_id, tf.shingle,
+                 tf.tf * CAST(ROUND(LN((SELECT n FROM n) / df.df) * 1000.0, 0)
+                              AS BIGINT) AS w
+          FROM tf JOIN df USING (shingle)),
+        norms AS (SELECT doc_id, SUM(w * w) AS norm2 FROM w GROUP BY doc_id),
+        dots AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+          FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT a_id, b_id, dot,
+               ROUND(CAST(dot AS DOUBLE) /
+                 (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))),
+                 6) AS cosine
+        FROM dots JOIN norms na ON a_id = na.doc_id
+                  JOIN norms nb ON b_id = nb.doc_id
+        ORDER BY cosine DESC, a_id, b_id LIMIT 100"""))
   )
 
   /** d10's winnow window (consecutive shingle hashes per min-selection).

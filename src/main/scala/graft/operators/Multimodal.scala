@@ -147,6 +147,50 @@ object Multimodal {
     s.read.parquet(path.getAbsolutePath)
   }
 
+  /** m6's staged fixture: one "video" per doc — the m3 container shape
+    * (concatenated PNG frames, the stub codec) filled with m5's
+    * STRUCTURED pattern frames so frame-level perceptual hashing is
+    * non-degenerate: frame f of doc id renders pattern (id+f)%4 at
+    * scale f%3+1. The same pattern therefore recurs across videos at
+    * DIFFERENT sizes — the resized-duplicate case — and the oracle can
+    * predict every cluster from the (id, f) arithmetic alone. */
+  def videoTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "media_video_" + base)
+    if (!verifiedFixtures.contains(path.getAbsolutePath)) {
+      val stamp =
+        s"v1:${sourceFingerprint(new java.io.File(dir, "documents.parquet"))}"
+      val marker = new java.io.File(path.getAbsolutePath + ".staged")
+      val upToDate = path.isDirectory && marker.isFile &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+      if (!upToDate) {
+        Tables(s, dir, "documents").select($"doc_id").as[Long]
+          .mapPartitions { it =>
+            val cache = scala.collection.mutable.Map.empty[(Int, Int), Array[Byte]]
+            it.map { id =>
+              val nFrames = (id % 5 + 2).toInt
+              val payload = (0 until nFrames).map { f =>
+                val pattern = ((id + f) % 4).toInt
+                val scale = f % 3 + 1
+                cache.getOrElseUpdate((pattern, scale),
+                  renderPattern(pattern, scale))
+              }.reduce(_ ++ _)
+              (id, payload)
+            }
+          }.toDF("doc_id", "payload")
+          .write.mode("overwrite").parquet(path.getAbsolutePath)
+        java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+        ()
+      }
+      verifiedFixtures.add(path.getAbsolutePath)
+      ()
+    }
+    s.read.parquet(path.getAbsolutePath)
+  }
+
   /** Four pairwise-distinct 4×4 cell masks, 8 white cells each. */
   private val PatternMasks = Array(0x5A5A, 0x33CC, 0x0FF0, 0x9669)
 
@@ -431,6 +475,72 @@ object Multimodal {
       },
       Some("""
         SELECT MIN(doc_id) AS rep_doc, CAST(COUNT(*) AS BIGINT) AS n_images
-        FROM documents GROUP BY doc_id % 4 ORDER BY rep_doc"""))
+        FROM documents GROUP BY doc_id % 4 ORDER BY rep_doc""")),
+
+    // ----------------------------------------------------------------- m6
+    // Cross-video frame deduplication — m3 ∘ m5: walk each video's
+    // container for its frame index (the PNG-signature scan standing in
+    // for a codec's index, exactly m3), perceptually hash every frame
+    // (m5's resize-invariant aHash), and cluster frames ACROSS videos —
+    // the near-dup pass a video-corpus pipeline runs to find recycled
+    // footage and channel intros regardless of resolution. The decode +
+    // hash is embarrassingly parallel map-side work spread across cores;
+    // the only exchange carries (ahash, doc, frame) longs — never pixel
+    // payloads (the m1 binary-stays-below-the-exchange rule). The oracle
+    // never hashes a pixel: the staged fixture plants pattern (id+f)%4
+    // at scale f%3+1, the aHash is a pure function of the pattern
+    // (cell-aligned blocks, m5's premise, MediaFixtureSpec), so cluster
+    // membership is pure (id, f) arithmetic — a detector that confuses
+    // patterns, loses frames, or breaks resize invariance flips rows.
+    QuerySpec(
+      "m6_frame_dedup",
+      (s, dir) => {
+        import s.implicits._
+        videoTable(s, dir).select($"doc_id", $"payload")
+          .as[(Long, Array[Byte])]
+          .repartition(s.sparkContext.defaultParallelism)
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+            it.flatMap { case (id, payload) =>
+              val offsets = payload.indices.filter(i =>
+                i + 4 <= payload.length && payload(i) == sig(0) &&
+                  payload(i + 1) == sig(1) && payload(i + 2) == sig(2) &&
+                  payload(i + 3) == sig(3))
+              val bounds = offsets.toArray :+ payload.length
+              offsets.indices.map { fi =>
+                val frame = java.util.Arrays.copyOfRange(
+                  payload, bounds(fi), bounds(fi + 1))
+                (id, fi.toLong, aHash64(frame))
+              }
+            }
+          }
+          .toDF("doc_id", "frame_idx", "ahash")
+          .groupBy($"ahash")
+          .agg(min(struct($"doc_id", $"frame_idx")).as("rep"),
+            countDistinct($"doc_id").as("n_videos"),
+            count(lit(1)).as("n_frames"))
+          .select($"rep.doc_id".as("rep_doc"),
+            $"rep.frame_idx".as("rep_frame"), $"n_videos", $"n_frames")
+          .orderBy($"rep_doc", $"rep_frame")
+      },
+      Some("""
+        WITH fr AS (
+          SELECT doc_id, UNNEST(range(0, doc_id % 5 + 2)) AS f
+          FROM documents),
+        cl AS (SELECT doc_id, f, (doc_id + f) % 4 AS pat FROM fr),
+        agg AS (
+          SELECT pat, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_videos,
+                 CAST(COUNT(*) AS BIGINT) AS n_frames,
+                 MIN(doc_id) AS rep_doc
+          FROM cl GROUP BY pat),
+        rep AS (
+          SELECT cl.pat, MIN(cl.f) AS rep_frame
+          FROM cl JOIN agg ON cl.pat = agg.pat AND cl.doc_id = agg.rep_doc
+          GROUP BY cl.pat)
+        SELECT agg.rep_doc, CAST(rep.rep_frame AS BIGINT) AS rep_frame,
+               agg.n_videos, agg.n_frames
+        FROM agg JOIN rep ON agg.pat = rep.pat
+        ORDER BY rep_doc, rep_frame"""))
   )
 }

@@ -2038,6 +2038,71 @@ object Relational {
         FROM dev JOIN mad USING (etype)
         GROUP BY dev.etype ORDER BY etype""")),
 
+    // ---------------------------------------------------------------- q62
+    // Rolling z-score anomaly detection — the time-series complement to
+    // q61's static MAD screen: each day's per-type total is scored
+    // against the trailing 7-day window (EXCLUDING the current day —
+    // scoring a point against a window that contains it shrinks every
+    // anomaly), z = (x − μ)/σ, flag |z| > 2. The monitoring query every
+    // ingest pipeline runs over its own volume counters. Shape: one
+    // (type, day) pre-aggregate collapses the event stream, then the
+    // window runs over the DIMENSION-sized daily frame (days × types —
+    // tiny at any corpus scale; the raw stream never enters a window).
+    // Determinism (q34's move): μ and σ derive from exact DECIMAL
+    // power sums (Σx, Σx² over the 7-row frame), cast to double in one
+    // identical expression on both engines; the flag cuts on the
+    // ROUNDED z (the t11 round-before-rank rule).
+    QuerySpec(
+      "q62_rolling_anomaly",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val daily = Tables(s, dir, "events")
+          .groupBy($"event_type".as("etype"), to_date($"ts").as("day"))
+          .agg(sum($"value".cast("decimal(18,4)")).as("total"))
+        val w = Window.partitionBy($"etype").orderBy($"day")
+          .rowsBetween(-7, -1)
+        val scored = daily
+          .withColumn("n_prior", count(lit(1)).over(w))
+          .withColumn("s1", sum($"total").over(w))
+          .withColumn("s2", sum($"total" * $"total").over(w))
+          .filter($"n_prior" === 7)
+          .withColumn("mu", $"s1".cast("double") / 7.0)
+          .withColumn("sd", sqrt(($"s2".cast("double") -
+            $"s1".cast("double") * $"s1".cast("double") / 7.0) / 6.0))
+          .withColumn("z",
+            round(($"total".cast("double") - $"mu") / $"sd", 6))
+        scored.select($"etype", $"day",
+            $"total".cast("double").as("total"),
+            round($"mu", 6).as("mu"), $"z",
+            (abs($"z") > 2.0).as("flagged"))
+          .orderBy($"etype", $"day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type AS etype, CAST(ts AS DATE) AS day,
+                 SUM(CAST(value AS DECIMAL(18,4))) AS total
+          FROM events GROUP BY 1, 2),
+        win AS (
+          SELECT etype, day, total,
+                 COUNT(*) OVER w AS n_prior,
+                 SUM(total) OVER w AS s1,
+                 SUM(total * total) OVER w AS s2
+          FROM daily
+          WINDOW w AS (PARTITION BY etype ORDER BY day
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        scored AS (
+          SELECT etype, day, total,
+                 CAST(s1 AS DOUBLE) / 7.0 AS mu,
+                 sqrt((CAST(s2 AS DOUBLE) -
+                       CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0) / 6.0) AS sd
+          FROM win WHERE n_prior = 7)
+        SELECT etype, day, CAST(total AS DOUBLE) AS total,
+               ROUND(mu, 6) AS mu,
+               ROUND((CAST(total AS DOUBLE) - mu) / sd, 6) AS z,
+               abs(ROUND((CAST(total AS DOUBLE) - mu) / sd, 6)) > 2.0 AS flagged
+        FROM scored ORDER BY etype, day""")),
+
     // ---------------------------------------------------------------- q53
     // MULTISET set operations — EXCEPT ALL / INTERSECT ALL, the
     // bag-semantics variants q8/q9's DISTINCT forms don't exercise:

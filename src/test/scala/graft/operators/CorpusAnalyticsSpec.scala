@@ -636,4 +636,43 @@ class CorpusAnalyticsSpec extends SparkTestBase {
       cums(cutIdx) > total / 4.0, "selection stopped early")
     assert(got.last._4 <= (total / 4.0).toLong)
   }
+
+  test("q62 rolling z-scores match a driver recompute and the screen fires") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q62_rolling_anomaly")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getDouble(2), r.getDouble(4), r.getBoolean(5))).toMap
+    val daily = graft.Tables(spark, sfDir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum($"value".cast("decimal(18,4)")).as("total"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDecimal(2)))
+      .groupBy(_._1)
+    var expectFlagged = 0
+    daily.foreach { case (etype, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.indices.foreach { i =>
+        val win = sorted.slice(math.max(0, i - 7), i)
+        if (win.length == 7) {
+          val s1 = win.map(x => BigDecimal(x._3)).sum
+          val s2 = win.map(x => BigDecimal(x._3) * BigDecimal(x._3)).sum
+          val mu = s1.toDouble / 7.0
+          val sd = math.sqrt((s2.toDouble - s1.toDouble * s1.toDouble / 7.0) / 6.0)
+          val x = BigDecimal(sorted(i)._3).toDouble
+          val z = BigDecimal((x - mu) / sd)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val (gx, gz, gf) = got((etype, sorted(i)._2))
+          assert(math.abs(gx - x) < 1e-9, s"$etype ${sorted(i)._2} total")
+          assert(math.abs(gz - z) < 1e-9, s"$etype ${sorted(i)._2} z: $gz vs $z")
+          assert(gf == (math.abs(z) > 2.0), s"$etype ${sorted(i)._2} flag")
+          if (gf) expectFlagged += 1
+        } else
+          assert(!got.contains((etype, sorted(i)._2)),
+            s"$etype ${sorted(i)._2} scored with only ${win.length} prior days")
+      }
+    }
+    assert(expectFlagged > 0, "no anomaly on the fixture — the screen is inert")
+  }
 }

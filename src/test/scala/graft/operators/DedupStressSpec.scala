@@ -280,4 +280,58 @@ class DedupStressSpec extends SparkTestBase {
       s"d21 ${d21.length} pairs vs d13 cross-side ${expect.size}")
     assert(d21.nonEmpty, "no cross-side contamination on the fixture — untested")
   }
+
+  test("d22 equals a driver-side TF-IDF rebuild and weighting is not Jaccard") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("d22_tfidf_cosine_pairs")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val texts = graft.Tables(spark, sfDir, "documents")
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def shingles(t: String): Seq[String] = {
+      val w = t.trim.split("\\s+")
+      (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+    }
+    val tf = texts.flatMap { case (id, t) =>
+      shingles(t).groupBy(identity).map { case (sh, xs) =>
+        ((id, sh), xs.size.toLong) }
+    }.toMap
+    val df = tf.keys.groupBy(_._2).map { case (sh, ks) => sh -> ks.size }
+      .filter(_._2 <= Dedup.MaxShingleDf)
+    val n = tf.keys.map(_._1).toSeq.distinct.size.toDouble
+    val w = tf.collect { case ((id, sh), t) if df.contains(sh) =>
+      ((id, sh), t * BigDecimal(math.log(n / df(sh)) * 1000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.toMap
+    val norms = w.groupBy(_._1._1).map { case (id, ws) =>
+      id -> ws.values.map(x => x * x).sum }
+    val bySh = w.toSeq.groupBy(_._1._2)
+    val dots = collection.mutable.Map.empty[(Long, Long), Long]
+    bySh.values.foreach { ws =>
+      for (a <- ws; b <- ws if a._1._1 < b._1._1)
+        dots((a._1._1, b._1._1)) =
+          dots.getOrElse((a._1._1, b._1._1), 0L) + a._2 * b._2
+    }
+    val expect = dots.toSeq.map { case ((a, b), dot) =>
+      val c = BigDecimal(dot.toDouble /
+        (math.sqrt(norms(a).toDouble) * math.sqrt(norms(b).toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, dot, c)
+    }.sortBy { case (a, b, _, c) => (-c, a, b) }.take(100)
+    assert(got.toSeq == expect, "d22 disagrees with the driver rebuild")
+    // the weighting is REAL: tf-idf cosine must not be a monotone
+    // relabeling of d2's Jaccard — at least one top pair ranks
+    // differently than its shingle-set Jaccard would place it
+    val setsById = texts.map { case (id, t) => id -> shingles(t).toSet }.toMap
+    def jac(a: Long, b: Long): Double = {
+      val (sa, sb) = (setsById(a), setsById(b))
+      (sa & sb).size.toDouble / (sa | sb).size
+    }
+    val byCos = got.map { case (a, b, _, _) => (a, b) }
+    val byJac = got.sortBy { case (a, b, _, _) => (-jac(a, b), a, b) }
+      .map { case (a, b, _, _) => (a, b) }
+    assert(byCos != byJac.toSeq,
+      "tf-idf ordering identical to Jaccard — weighting is inert")
+  }
 }

@@ -72,4 +72,26 @@ class MediaFixtureSpec extends SparkTestBase {
     // premise: the payload BYTES genuinely differ across scales
     assert(t.map(_._2.length).distinct.length >= 3)
   }
+
+  test("m6 walks every frame exactly once and clusters across videos/scales") {
+    import org.apache.spark.sql.functions._
+    val got = graft.SparkEntry.queries("m6_frame_dedup")(spark, sfDir).collect()
+    val nDocs = graft.Tables(spark, sfDir, "documents").count()
+    val docIds = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id").as[Long].collect()
+    // exactly-once container walk: cluster frame counts sum to the
+    // fixture's total frame count Σ (id%5+2)
+    val totalFrames = docIds.map(_ % 5 + 2).sum
+    assert(got.map(_.getAs[Long]("n_frames")).sum == totalFrames,
+      "frame index walk lost or duplicated frames")
+    // 4 patterns → exactly 4 perceptual clusters, each spanning many
+    // videos (cross-video dedup is the point) — and frames of the same
+    // pattern at different scales MERGED (each pattern appears at all
+    // three scales across the corpus)
+    assert(got.length == 4, s"expected 4 clusters, got ${got.length}")
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_videos") > 1, "cluster confined to one video")
+      assert(r.getAs[Long]("n_videos") < nDocs + 1)
+    }
+  }
 }

@@ -114,7 +114,11 @@ class PlanAuditSpec extends SparkTestBase {
     "e5_index_build",
     // p13 crosses the 1-ROW corpus-token-total scalar onto the
     // bucket-sized prefix frame — the t16/p8 scalar-cross shape
-    "p13_budget_select")
+    "p13_budget_select",
+    // d22 crosses the 1-ROW doc-count scalar onto the (doc, term) tf
+    // frame to scale idf — the t16 scalar-cross shape; the dot-product
+    // join itself is shingle-equi-keyed and df-capped
+    "d22_tfidf_cosine_pairs")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -165,7 +169,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q61_mad_outliers", "t28_pmi_bigrams", "x9_column_profile",
     "g7_hits_trade_graph", "d20_soft_dedup_weights", "s11_kmeans_train",
     "e5_index_build", "d21_fuzzy_decontamination", "t29_bpe_token_count",
-    "g8_item_similarity", "p13_budget_select")
+    "g8_item_similarity", "p13_budget_select", "d22_tfidf_cosine_pairs",
+    "q62_rolling_anomaly", "m6_frame_dedup")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
