@@ -2103,6 +2103,100 @@ object Relational {
                abs(ROUND((CAST(total AS DOUBLE) - mu) / sd, 6)) > 2.0 AS flagged
         FROM scored ORDER BY etype, day""")),
 
+    // ---------------------------------------------------------------- q63
+    // VARIANT semi-structured extraction — Spark 4's typed answer to
+    // q14's string-churning get_json_object: parse_json ONCE into the
+    // binary Variant encoding, then every variant_get is a typed path
+    // read over the parsed tree (no re-parse per access — at 100 TB the
+    // difference between parsing the JSON k-times per row and once).
+    // The extraction is map-side and feeds an ordinary aggregate; NULL
+    // semantics (absent path → NULL long) ride the typed cast.
+    QuerySpec(
+      "q63_variant_extract",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .withColumn("v", parse_json($"props"))
+          .select($"event_type".as("etype"),
+            variant_get($"v", "$.k", "long").as("k"))
+          .groupBy($"etype")
+          .agg(count(lit(1)).as("n"),
+            count($"k").as("n_with_k"),
+            sum($"k").as("k_sum"),
+            min($"k").as("k_min"),
+            max($"k").as("k_max"))
+          .orderBy($"etype")
+      },
+      Some("""
+        SELECT event_type AS etype,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                 AS n_with_k,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                 AS k_sum,
+               MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+               MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+        FROM events GROUP BY event_type ORDER BY etype""")),
+
+    // ---------------------------------------------------------------- q64
+    // Order-free table fingerprint — "did the 100 TB copy arrive
+    // intact?" answered WITHOUT sorting either side: each row renders a
+    // canonical string (decimals at fixed scale, timestamps as exact
+    // epoch-micros — never engine-formatted doubles/dates), hashes to
+    // the d13 28-bit md5 prefix (the one hash both engines parse
+    // identically), and the table's fingerprint is the SUM — a
+    // commutative, partition-order-free aggregate, so two engines (or
+    // two replicas) can each compute it over arbitrary partitionings
+    // and compare one row per table. This is the replication-
+    // verification primitive (pt-table-checksum's shape) as a pure
+    // map + aggregate: at 100 TB it costs one scan, no exchange wider
+    // than the per-table partial sums.
+    QuerySpec(
+      "q64_table_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        def fp(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+        val docs = Tables(s, dir, "documents")
+          .select(fp(concat_ws("|",
+            $"doc_id", coalesce($"text", lit("<null>")), $"lang",
+            $"source", $"n_chars")).as("h"))
+          .agg(count(lit(1)).as("n_rows"), sum($"h").as("checksum"))
+          .withColumn("table_name", lit("documents"))
+        val ords = Tables(s, dir, "orders")
+          .select(fp(concat_ws("|",
+            $"o_orderkey", $"o_custkey", $"o_orderstatus",
+            $"o_totalprice".cast("decimal(18,4)"),
+            unix_micros($"o_orderdate".cast("timestamp")),
+            $"o_orderpriority")).as("h"))
+          .agg(count(lit(1)).as("n_rows"), sum($"h").as("checksum"))
+          .withColumn("table_name", lit("orders"))
+        docs.unionAll(ords)
+          .select($"table_name", $"n_rows", $"checksum")
+          .orderBy($"table_name")
+      },
+      Some("""
+        SELECT table_name, n_rows, checksum FROM (
+          SELECT 'documents' AS table_name,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(('0x' || substr(md5(
+                   CAST(doc_id AS VARCHAR) || '|' ||
+                   COALESCE(text, '<null>') || '|' || lang || '|' ||
+                   source || '|' || CAST(n_chars AS VARCHAR)), 1, 7))
+                   AS BIGINT)) AS BIGINT) AS checksum
+          FROM documents
+          UNION ALL
+          SELECT 'orders',
+                 CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+                   CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR) || '|' ||
+                   CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' ||
+                   o_orderpriority), 1, 7)) AS BIGINT)) AS BIGINT)
+          FROM orders)
+        ORDER BY table_name""")),
+
     // ---------------------------------------------------------------- q53
     // MULTISET set operations — EXCEPT ALL / INTERSECT ALL, the
     // bag-semantics variants q8/q9's DISTINCT forms don't exercise:

@@ -1510,6 +1510,76 @@ object TextAnalysis {
                  '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
                  AS DOUBLE) / len(regexp_split_to_array(trim(t), '\s+')), 6)
                  AS pieces_per_word
-        FROM p ORDER BY doc_id"""))
+        FROM p ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t30
+    // Feature hashing (the "hashing trick") — the fastText/Vowpal-Wabbit
+    // input representation: word-2-gram features hash into a FIXED
+    // 1024-bucket space, so the feature vector's width is a constant
+    // (no vocabulary dictionary to build, broadcast, or keep in sync —
+    // the property that makes the trick THE text-featurizer at 100 TB:
+    // zero corpus-wide state, pure map-side). Reported per document:
+    // distinct grams, occupied buckets (nnz), in-doc collisions
+    // (grams − nnz: features silently sharing a slot, accepted in
+    // exchange for statelessness), and the heaviest bucket's load.
+    // Bucket = the d13 28-bit md5 prefix mod 1024 — the one hash both
+    // engines compute identically, so every collision count is
+    // hash-falsifiable rather than implementation-trusted. One
+    // doc-local gram flatMap + a (doc, bucket) aggregate riding the
+    // doc_id key; nothing corpus-wide anywhere.
+    QuerySpec(
+      "t30_feature_hashing",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents").filter($"text".isNotNull)
+        val buckets = Shingles.pairsN(s, docs, 2)
+          .select($"doc_id",
+            (conv(substring(md5($"shingle"), 1, 7), 16, 10).cast("long")
+              % 1024L).as("bucket"))
+        val perBucket = buckets.groupBy($"doc_id", $"bucket")
+          .agg(count(lit(1)).as("load"))
+        docs.select($"doc_id").join(
+          perBucket.groupBy($"doc_id")
+            .agg(sum($"load").as("n_grams"),
+              count(lit(1)).as("nnz"),
+              max($"load").as("max_load")),
+          Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n_grams", lit(0L)).as("n_grams"),
+            coalesce($"nnz", lit(0L)).as("nnz"),
+            (coalesce($"n_grams", lit(0L)) - coalesce($"nnz", lit(0L)))
+              .as("n_collisions"),
+            coalesce($"max_load", lit(0L)).as("max_load"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+          FROM documents WHERE text IS NOT NULL),
+        g AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                     generate_series(1, greatest(len(tk) - 1, 0)),
+                     i -> tk[i] || ' ' || tk[i+1])) AS shingle
+            FROM t)),
+        b AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) % 1024
+                   AS bucket
+          FROM g),
+        pb AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS load
+               FROM b GROUP BY doc_id, bucket),
+        agg AS (
+          SELECT doc_id, CAST(SUM(load) AS BIGINT) AS n_grams,
+                 CAST(COUNT(*) AS BIGINT) AS nnz,
+                 CAST(MAX(load) AS BIGINT) AS max_load
+          FROM pb GROUP BY doc_id)
+        SELECT t.doc_id,
+               COALESCE(agg.n_grams, 0) AS n_grams,
+               COALESCE(agg.nnz, 0) AS nnz,
+               COALESCE(agg.n_grams, 0) - COALESCE(agg.nnz, 0) AS n_collisions,
+               COALESCE(agg.max_load, 0) AS max_load
+        FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id"""))
   )
 }

@@ -675,4 +675,74 @@ class CorpusAnalyticsSpec extends SparkTestBase {
     }
     assert(expectFlagged > 0, "no anomaly on the fixture — the screen is inert")
   }
+
+  test("q63 variant path agrees with the string-JSON path on every aggregate") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q63_variant_extract")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // the pre-variant extraction (q14's get_json_object) must see the
+    // identical values — a variant codec bug would split the two paths
+    val legacy = graft.Tables(spark, sfDir, "events")
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)), count($"k"), sum($"k"), min($"k"), max($"k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got == legacy, "variant and string-JSON extraction disagree")
+  }
+
+  test("q64 fingerprint matches a driver md5 rebuild and detects a row flip") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q64_table_fingerprint")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def fp28(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 7), 16)
+    }
+    val docs = graft.Tables(spark, sfDir, "documents").collect()
+    def canon(r: org.apache.spark.sql.Row): String =
+      s"${r.getAs[Long]("doc_id")}|${Option(r.getAs[String]("text")).getOrElse("<null>")}|" +
+        s"${r.getAs[String]("lang")}|${r.getAs[String]("source")}|${r.getAs[Long]("n_chars")}"
+    val sums = docs.map(r => fp28(canon(r)))
+    assert(got("documents") == ((docs.length.toLong, sums.sum)),
+      "documents fingerprint diverges from the driver rebuild")
+    // sensitivity: flipping ONE row's text must change the checksum
+    val flipped = sums.sum - fp28(canon(docs.head)) +
+      fp28(canon(docs.head) + "x")
+    assert(flipped != sums.sum, "fingerprint blind to a row edit")
+  }
+
+  test("t30 bucket loads match a driver md5 rebuild and collisions are real") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("t30_feature_hashing")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def fp28(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 7), 16)
+    }
+    val texts = graft.Tables(spark, sfDir, "documents")
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    texts.foreach { case (id, t) =>
+      val w = t.trim.split("\\s+")
+      val grams = (0 to w.length - 2).map(i => s"${w(i)} ${w(i + 1)}").distinct
+      val loads = grams.map(g => fp28(g) % 1024L).groupBy(identity)
+        .map(_._2.size.toLong)
+      val expect =
+        if (grams.isEmpty) (0L, 0L, 0L, 0L)
+        else (grams.size.toLong, loads.size.toLong,
+          grams.size.toLong - loads.size, loads.max)
+      assert(got(id) == expect, s"doc $id feature-hash accounting")
+    }
+    // the hashing trick's cost is real on this corpus: some doc pays a
+    // slot collision (≈ birthday at ~99 grams into 1024 buckets)
+    assert(got.values.map(_._3).sum > 0, "no collisions — bucket fn suspect")
+  }
 }

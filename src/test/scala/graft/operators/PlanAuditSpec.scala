@@ -170,7 +170,8 @@ class PlanAuditSpec extends SparkTestBase {
     "g7_hits_trade_graph", "d20_soft_dedup_weights", "s11_kmeans_train",
     "e5_index_build", "d21_fuzzy_decontamination", "t29_bpe_token_count",
     "g8_item_similarity", "p13_budget_select", "d22_tfidf_cosine_pairs",
-    "q62_rolling_anomaly", "m6_frame_dedup")
+    "q62_rolling_anomaly", "m6_frame_dedup", "q63_variant_extract",
+    "q64_table_fingerprint", "t30_feature_hashing")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
