@@ -1229,7 +1229,90 @@ object Dedup {
                  6) AS cosine
         FROM dots JOIN norms na ON a_id = na.doc_id
                   JOIN norms nb ON b_id = nb.doc_id
-        ORDER BY cosine DESC, a_id, b_id LIMIT 100"""))
+        ORDER BY cosine DESC, a_id, b_id LIMIT 100""")),
+
+    // ---------------------------------------------------------------- d23
+    // SemDeDup representative selection — the semantic twin of d18's
+    // lexical keeper, and the paper's actual rule: within each embedding
+    // cluster keep the member FARTHEST from the cluster centroid (the
+    // least-redundant exemplar — near-centroid members are the
+    // "semantic duplicates" the pass exists to drop; d18 keeps the
+    // longest, which has no meaning in embedding space). Composition of
+    // three shipped pieces: d8's clusters (cosine pair graph → CC
+    // labels), s11's exact BIGINT micro-unit grid (float centroid means
+    // are partition-order-dependent; floored integer means replay
+    // bit-identically), and d18's cluster-window keeper. Scale: labels
+    // are edge-vertex-sized, the centroid update is one
+    // (cluster, dim) aggregate, distances are map-side after a
+    // cluster-keyed centroid join, and the keeper window partitions by
+    // cluster with d8's bounded cluster sizes.
+    QuerySpec(
+      "d23_semdedup_keeper",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val grid = Tables(s, dir, "embeddings")
+          .select($"vec_id", expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))")
+            .as("g"))
+        val pairs = cosinePairs(s, dir, 0.4).select($"a_id", $"b_id")
+        val labels = connectedComponents(s, pairs)._1
+          .withColumnRenamed("doc_id", "vec_id")
+        val lab = grid.join(labels, Seq("vec_id"), "left")
+          .withColumn("cluster_id", coalesce($"cluster_id", $"vec_id"))
+        val cent = lab.select($"cluster_id", posexplode($"g").as(Seq("d", "v")))
+          .groupBy($"cluster_id", $"d")
+          .agg(floor(sum($"v").cast("double") / count(lit(1)))
+            .cast("long").as("c"))
+          .groupBy($"cluster_id")
+          .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)")
+            .as("cg"))
+        val w = Window.partitionBy($"cluster_id")
+          .orderBy($"dist2".desc, $"vec_id")
+        lab.join(cent, "cluster_id")
+          .withColumn("dist2", expr(
+            "aggregate(zip_with(g, cg, (x, y) -> (x - y) * (x - y)), " +
+              "CAST(0 AS BIGINT), (acc, e) -> acc + e)"))
+          .withColumn("keep", row_number().over(w) === 1)
+          .select($"vec_id", $"cluster_id", $"dist2", $"keep")
+          .orderBy($"vec_id")
+      },
+      Some("WITH RECURSIVE " + CosinePairsOracle(0.4).trim.stripPrefix("WITH") + """,
+        edges AS (
+          SELECT a_id AS s, b_id AS d FROM cpairs
+          UNION ALL SELECT b_id, a_id FROM cpairs),
+        reach AS (
+          SELECT DISTINCT s AS id, s AS r FROM edges
+          UNION
+          SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+        labels AS (SELECT id AS vec_id, MIN(r) AS cluster_id
+                   FROM reach GROUP BY id),
+        grid AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS g
+          FROM embeddings),
+        cl AS (
+          SELECT grid.vec_id, COALESCE(l.cluster_id, grid.vec_id) AS cluster_id,
+                 grid.g
+          FROM grid LEFT JOIN labels l ON grid.vec_id = l.vec_id),
+        m AS (
+          SELECT cluster_id, d, CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS c
+          FROM (SELECT cluster_id, UNNEST(g) AS v, UNNEST(range(len(g))) AS d
+                FROM cl)
+          GROUP BY cluster_id, d),
+        cg AS (SELECT cluster_id, list(c ORDER BY d) AS cg FROM m
+               GROUP BY cluster_id),
+        dist AS (
+          SELECT cl.vec_id, cl.cluster_id,
+                 CAST(list_sum(list_transform(generate_series(1, len(cl.g)),
+                   i -> (cl.g[i] - cg.cg[i]) * (cl.g[i] - cg.cg[i])))
+                   AS BIGINT) AS dist2
+          FROM cl JOIN cg USING (cluster_id))
+        SELECT vec_id, cluster_id, dist2,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY dist2 DESC, vec_id) = 1 AS keep
+        FROM dist ORDER BY vec_id"""))
   )
 
   /** d10's winnow window (consecutive shingle hashes per min-selection).

@@ -1115,7 +1115,92 @@ object Mixing {
           FROM b)
         SELECT qbucket, n_docs, n_toks, cum_toks
         FROM c WHERE CAST(cum_toks AS DOUBLE) <= (SELECT total FROM t) / 4.0
-        ORDER BY qbucket DESC"""))
+        ORDER BY qbucket DESC""")),
+
+    // ---------------------------------------------------------------- e6
+    // Release manifest — the "data card" every published training
+    // corpus ships with (the Datasheets-for-Datasets accounting),
+    // generated as ONE query: row counts, null accounting, exact-dup
+    // rate (d1's statistic), token totals, language/source cardinality
+    // and the dominant language, plus q64's order-free content
+    // checksum — the line a consumer re-computes to verify their copy.
+    // Shape: one corpus scan feeds a single multi-aggregate row (the
+    // x9 Expand for its two COUNT(DISTINCT)s), one LANGUAGE-sized
+    // histogram argmax rides beside it, and a constant stack() reshapes
+    // to the long (metric, value) report — at 100 TB this is one scan
+    // plus dimension-sized sides, the cost of reading the data once.
+    QuerySpec(
+      "e6_release_manifest",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val fpCol = conv(substring(md5(concat_ws("|",
+          $"doc_id", coalesce($"text", lit("<null>")), $"lang",
+          $"source", $"n_chars")), 1, 7), 16, 10).cast("long")
+        val a = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"text".isNull, 1L).otherwise(0L)).as("n_null_text"),
+          countDistinct($"text").as("n_distinct_texts"),
+          sum(when($"text".isNotNull,
+            size(split(trim($"text"), "\\s+")).cast("long"))
+            .otherwise(0L)).as("total_tokens"),
+          countDistinct($"lang").as("n_langs"),
+          countDistinct($"source").as("n_sources"),
+          sum(fpCol).as("checksum"))
+        val top = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"lang").limit(1)
+          .select($"lang".as("top_lang"), $"n".as("top_n"))
+        a.crossJoin(broadcast(top))
+          .withColumn("dup_rate_pct",
+            round(lit(100.0) * ($"n_docs" - $"n_distinct_texts" - $"n_null_text")
+              .cast("double") / $"n_docs", 2).cast("decimal(6,2)"))
+          .select(expr(
+            "stack(9, " +
+              "'checksum', CAST(checksum AS STRING), " +
+              "'dup_rate_pct', CAST(dup_rate_pct AS STRING), " +
+              "'n_distinct_texts', CAST(n_distinct_texts AS STRING), " +
+              "'n_docs', CAST(n_docs AS STRING), " +
+              "'n_langs', CAST(n_langs AS STRING), " +
+              "'n_null_text', CAST(n_null_text AS STRING), " +
+              "'n_sources', CAST(n_sources AS STRING), " +
+              "'top_lang', CAST(top_lang AS STRING), " +
+              "'total_tokens', CAST(total_tokens AS STRING)" +
+              ") AS (metric, value)"))
+          .orderBy($"metric")
+      },
+      Some("""
+        WITH a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_text,
+                 CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+                 CAST(SUM(CASE WHEN text IS NOT NULL
+                      THEN len(regexp_split_to_array(trim(text), '\s+'))
+                      ELSE 0 END) AS BIGINT) AS total_tokens,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                 CAST(SUM(CAST(('0x' || substr(md5(
+                   CAST(doc_id AS VARCHAR) || '|' ||
+                   COALESCE(text, '<null>') || '|' || lang || '|' ||
+                   source || '|' || CAST(n_chars AS VARCHAR)), 1, 7))
+                   AS BIGINT)) AS BIGINT) AS checksum
+          FROM documents),
+        top AS (SELECT lang AS top_lang FROM documents GROUP BY lang
+                ORDER BY COUNT(*) DESC, lang LIMIT 1)
+        SELECT metric, value FROM (
+          SELECT 'checksum' AS metric, CAST(checksum AS VARCHAR) AS value FROM a
+          UNION ALL SELECT 'dup_rate_pct',
+            CAST(CAST(ROUND(CAST(100.0 AS DOUBLE)
+                 * (n_docs - n_distinct_texts - n_null_text)
+                 / n_docs, 2) AS DECIMAL(6,2)) AS VARCHAR) FROM a
+          UNION ALL SELECT 'n_distinct_texts', CAST(n_distinct_texts AS VARCHAR) FROM a
+          UNION ALL SELECT 'n_docs', CAST(n_docs AS VARCHAR) FROM a
+          UNION ALL SELECT 'n_langs', CAST(n_langs AS VARCHAR) FROM a
+          UNION ALL SELECT 'n_null_text', CAST(n_null_text AS VARCHAR) FROM a
+          UNION ALL SELECT 'n_sources', CAST(n_sources AS VARCHAR) FROM a
+          UNION ALL SELECT 'top_lang', (SELECT top_lang FROM top)
+          UNION ALL SELECT 'total_tokens', CAST(total_tokens AS VARCHAR) FROM a)
+        ORDER BY metric"""))
   )
 
   /** Write-once lang-partitioned copy of the documents table (the

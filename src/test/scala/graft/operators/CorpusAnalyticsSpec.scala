@@ -745,4 +745,28 @@ class CorpusAnalyticsSpec extends SparkTestBase {
     // slot collision (≈ birthday at ~99 grams into 1024 buckets)
     assert(got.values.map(_._3).sum > 0, "no collisions — bucket fn suspect")
   }
+
+  test("e6 manifest agrees with the operators it summarizes") {
+    import spark.implicits._
+    val m = graft.SparkEntry.queries("e6_release_manifest")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // checksum line == q64's documents fingerprint (a consumer verifies
+    // their copy against exactly this value)
+    val q64 = graft.SparkEntry.queries("q64_table_fingerprint")(spark, sfDir)
+      .collect().find(_.getString(0) == "documents").get
+    assert(m("checksum") == q64.getLong(2).toString, "manifest checksum drifts from q64")
+    assert(m("n_docs") == q64.getLong(1).toString)
+    // distinct-text accounting == d1's dedup output cardinality
+    val d1 = graft.SparkEntry.queries("d1_exact_dedup")(spark, sfDir).count()
+    assert(m("n_distinct_texts").toLong == d1,
+      s"manifest distinct ${m("n_distinct_texts")} vs d1 $d1")
+    // totals recompute
+    val docs = graft.Tables(spark, sfDir, "documents").collect()
+    val toks = docs.flatMap(r => Option(r.getAs[String]("text")))
+      .map(_.trim.split("\\s+").length.toLong).sum
+    assert(m("total_tokens").toLong == toks)
+    assert(m("n_langs").toLong ==
+      docs.map(_.getAs[String]("lang")).distinct.length.toLong)
+    assert(m.keySet.size == 9)
+  }
 }

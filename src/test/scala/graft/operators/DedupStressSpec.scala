@@ -334,4 +334,46 @@ class DedupStressSpec extends SparkTestBase {
     assert(byCos != byJac.toSeq,
       "tf-idf ordering identical to Jaccard — weighting is inert")
   }
+
+  test("d23 partitions like d8 and keeps the farthest-from-centroid member") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("d23_semdedup_keeper")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // cluster partition must be exactly d8's (plus self-clusters for
+    // vectors outside any cosine pair)
+    val d8 = graft.SparkEntry.queries("d8_semantic_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (v, (c, _, _)) =>
+      assert(c == d8.getOrElse(v, v), s"vec $v cluster $c vs d8")
+    }
+    // centroid distances: recompute on the integer grid and check the
+    // keeper is the (dist2 DESC, vec_id) argmax of every cluster
+    val grid = graft.Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) =>
+        id -> e.map(x => math.floor(x.toDouble * 1000000.0).toLong) }
+      .toMap
+    val byCluster = got.toSeq.groupBy(_._2._1)
+    byCluster.foreach { case (c, members) =>
+      val ids = members.map(_._1)
+      val dims = grid(ids.head).length
+      val cent = Array.tabulate(dims)(d =>
+        math.floor(ids.map(grid(_)(d)).sum.toDouble / ids.size).toLong)
+      members.foreach { case (v, (_, dist2, _)) =>
+        val expect = grid(v).zip(cent)
+          .map { case (x, y) => (x - y) * (x - y) }.sum
+        assert(dist2 == expect, s"vec $v dist2 $dist2 vs $expect")
+      }
+      val keeper = members
+        .minBy { case (v, (_, dist2, _)) => (-dist2, v) }._1
+      members.foreach { case (v, (_, _, keep)) =>
+        assert(keep == (v == keeper), s"cluster $c keeper")
+      }
+    }
+    // the pass is real: some cluster has >1 member and drops something
+    assert(byCluster.exists(_._2.length > 1),
+      "no multi-member semantic cluster — keeper choice untested")
+  }
 }

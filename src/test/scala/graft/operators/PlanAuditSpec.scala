@@ -118,7 +118,13 @@ class PlanAuditSpec extends SparkTestBase {
     // d22 crosses the 1-ROW doc-count scalar onto the (doc, term) tf
     // frame to scale idf — the t16 scalar-cross shape; the dot-product
     // join itself is shingle-equi-keyed and df-capped
-    "d22_tfidf_cosine_pairs")
+    "d22_tfidf_cosine_pairs",
+    // d23 reuses d5/d8's deliberate bounded block-pair join as its
+    // cluster edge source; everything downstream is cluster-equi-keyed
+    "d23_semdedup_keeper",
+    // e6 crosses the 1-ROW top-language argmax onto the 1-row corpus
+    // aggregate — a 1×1 scalar cross
+    "e6_release_manifest")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -171,7 +177,8 @@ class PlanAuditSpec extends SparkTestBase {
     "e5_index_build", "d21_fuzzy_decontamination", "t29_bpe_token_count",
     "g8_item_similarity", "p13_budget_select", "d22_tfidf_cosine_pairs",
     "q62_rolling_anomaly", "m6_frame_dedup", "q63_variant_extract",
-    "q64_table_fingerprint", "t30_feature_hashing")
+    "q64_table_fingerprint", "t30_feature_hashing", "d23_semdedup_keeper",
+    "e6_release_manifest")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
