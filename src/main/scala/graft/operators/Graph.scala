@@ -642,15 +642,22 @@ object Graph {
     * the previous wave's surviving edges, classifies nodes, and filters
     * the edge list; node-sized levels, no recursion. */
   private def KcoreOracle: String = {
+    // The chained m$i / a$i levels are each referenced TWICE by the next
+    // wave; without explicit materialization DuckDB inlines the chain,
+    // re-executing the (part, week) pair join 2^waves times — measured
+    // as a >70 GB spill death at sf0.1. AS MATERIALIZED (DuckDB syntax;
+    // the oracle never runs on Spark) pins each level to one execution,
+    // the same per-round truncation the engine gets from localCheckpoint.
     val base = raw"""
-      WITH cp AS (
+      WITH cp AS MATERIALIZED (
         SELECT DISTINCT o_custkey AS c, l_partkey AS p,
                date_trunc('week', l_shipdate) AS w
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      e AS (
+      e AS MATERIALIZED (
         SELECT DISTINCT a.c AS x, b.c AS y
         FROM cp a JOIN cp b ON a.p = b.p AND a.w = b.w AND a.c < b.c),
-      m0 AS (SELECT x AS s, y AS d FROM e UNION ALL SELECT y AS s, x AS d FROM e),
+      m0 AS MATERIALIZED (
+        SELECT x AS s, y AS d FROM e UNION ALL SELECT y AS s, x AS d FROM e),
       a0 AS (SELECT DISTINCT s AS v FROM m0)"""
     val waves = (1 to KcorePeels).map { i =>
       raw"""
@@ -658,9 +665,10 @@ object Graph {
       ann$i AS (SELECT a${i - 1}.v, COALESCE(deg$i.deg, 0) AS deg
                 FROM a${i - 1} LEFT JOIN deg$i USING (v)),
       rm$i AS (SELECT v FROM ann$i WHERE deg < $KcoreK),
-      a$i AS (SELECT v FROM ann$i WHERE deg >= $KcoreK),
-      m$i AS (SELECT s, d FROM m${i - 1}
-              WHERE s IN (SELECT v FROM a$i) AND d IN (SELECT v FROM a$i))"""
+      a$i AS MATERIALIZED (SELECT v FROM ann$i WHERE deg >= $KcoreK),
+      m$i AS MATERIALIZED (SELECT m.s, m.d FROM m${i - 1} m
+              JOIN a$i x ON m.s = x.v
+              JOIN a$i y ON m.d = y.v)"""
     }.mkString(",")
     val unioned = (1 to KcorePeels).map { i =>
       raw"SELECT v AS custkey, CAST($i AS BIGINT) AS removed_round FROM rm$i"
@@ -679,14 +687,15 @@ object Graph {
     * (count DESC, label ASC) argmax; node-sized levels throughout. */
   private def LpaOracle: String = {
     val base = raw"""
-      WITH cp AS (
+      WITH cp AS MATERIALIZED (
         SELECT DISTINCT o_custkey AS c, l_partkey AS p,
                date_trunc('week', l_shipdate) AS w
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      e AS (
+      e AS MATERIALIZED (
         SELECT DISTINCT a.c AS x, b.c AS y
         FROM cp a JOIN cp b ON a.p = b.p AND a.w = b.w AND a.c < b.c),
-      m0 AS (SELECT x AS s, y AS d FROM e UNION ALL SELECT y AS s, x AS d FROM e),
+      m0 AS MATERIALIZED (
+        SELECT x AS s, y AS d FROM e UNION ALL SELECT y AS s, x AS d FROM e),
       l0 AS (SELECT DISTINCT s AS v, s AS label FROM m0)"""
     val rounds = (1 to LpaRounds).map { i =>
       raw"""
@@ -754,7 +763,7 @@ object Graph {
       WITH pairs AS (
         SELECT DISTINCT o_custkey AS c, l_suppkey AS p
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT c AS src, 'c' AS src_t, p AS dst, 's' AS dst_t FROM pairs
         UNION ALL
         SELECT p AS src, 's' AS src_t, c AS dst, 'c' AS dst_t FROM pairs),
@@ -763,7 +772,7 @@ object Graph {
         FROM customer WHERE c_nationkey = 0)"""
     val levels = (1 to BfsHops).map { i =>
       raw"""
-      d$i AS (
+      d$i AS MATERIALIZED (
         SELECT t, id, MIN(hop) AS hop FROM (
           SELECT t, id, hop FROM d${i - 1}
           UNION ALL
@@ -817,7 +826,7 @@ object Graph {
                100 - LEAST(COUNT(*), 99) AS w
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_custkey, l_suppkey),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT c AS src, 'c' AS src_t, p AS dst, 's' AS dst_t, w FROM wpairs
         UNION ALL
         SELECT p AS src, 's' AS src_t, c AS dst, 'c' AS dst_t, w FROM wpairs),
@@ -826,7 +835,7 @@ object Graph {
         FROM customer WHERE c_nationkey = 0)"""
     val levels = (1 to BfsHops).map { i =>
       raw"""
-      d$i AS (
+      d$i AS MATERIALIZED (
         SELECT t, id, MIN(cost) AS cost FROM (
           SELECT t, id, cost FROM d${i - 1}
           UNION ALL
