@@ -763,6 +763,78 @@ object StreamQueries {
       Some("""
         SELECT event_type,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---------------------------------------------------------------- st13
+    // Streaming replication fingerprint — q64's continuous twin: per
+    // event type, a running (row count, Σ row-fingerprint) maintained
+    // as ValueState while the inbox drains. The row fingerprint is
+    // q64's exact canonical-string 28-bit md5 prefix (computed
+    // COLUMN-side before the stateful operator — codegen'd md5/conv,
+    // the state function only adds longs), and both components are
+    // COMMUTATIVE MONOTONE SUMS — st6's replayability class — so the
+    // final state is independent of micro-batch slicing and the batch
+    // q64-style aggregate is an exact oracle. This is how a replica
+    // verifies a CONTINUOUSLY-replicated feed without ever pausing it:
+    // compare one (count, checksum) row per key against the source's,
+    // any divergence localizes to a key, no sort, no scan freeze.
+    // Constant state per key (two longs), no watermark.
+    QuerySpec(
+      "st13_fingerprint_stream",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.streaming.GroupStateTimeout
+        val inbox = stagedInbox(s, dir)
+        val runDir =
+          java.nio.file.Files.createTempDirectory("graft_st13").toString
+        val outDir = s"$runDir/out"
+        Seq.empty[(String, Long, Long, Long)]
+          .toDF("event_type", "n_rows", "checksum", "batch")
+          .write.mode("overwrite").parquet(outDir)
+        val schema = s.read.parquet(inbox).schema
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 4).parquet(inbox)
+          val updates = stream
+            .select($"event_type",
+              conv(substring(md5(concat_ws("|",
+                $"event_id", $"user_id", $"event_type",
+                unix_micros($"ts"),
+                $"value".cast("decimal(18,4)"))), 1, 7), 16, 10)
+                .cast("long").as("fp"))
+            .as[(String, Long)]
+            .groupByKey(_._1)
+            .flatMapGroupsWithState(
+              OutputMode.Update(), GroupStateTimeout.NoTimeout)(fingerprintUpdate _)
+          val q = updates.toDF("event_type", "n_rows", "checksum").writeStream
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              b.withColumn("batch", lit(id)).write.mode("append").parquet(outDir)
+            }
+            .outputMode(OutputMode.Update)
+            .option("checkpointLocation", s"$runDir/chk")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          lastRunProgress = q.recentProgress
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        val raw = s.read.parquet(outDir)
+        val last = raw.groupBy($"event_type").agg(max($"batch").as("batch"))
+        raw.join(last, Seq("event_type", "batch"))
+          .select($"event_type", $"n_rows", $"checksum")
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(('0x' || substr(md5(
+                 CAST(event_id AS VARCHAR) || '|' ||
+                 CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
+                 CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+                 CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR)), 1, 7))
+                 AS BIGINT)) AS BIGINT) AS checksum
         FROM events GROUP BY event_type ORDER BY event_type""")))
 
   /** st11's state transition: per-key latest-wins under the
@@ -797,6 +869,20 @@ object StreamQueries {
     val compact = union.getResult()
     state.update(compact.toByteArray)
     Iterator.single((key, compact.getEstimate.toLong))
+  }
+
+  /** st13's state transition: fold the batch's row fingerprints into
+    * the key's running (count, checksum) — two commutative monotone
+    * sums, st6's replayability class, so the batch aggregate is an
+    * exact oracle. */
+  private[streaming] def fingerprintUpdate(
+      key: String, rows: Iterator[(String, Long)],
+      state: org.apache.spark.sql.streaming.GroupState[(Long, Long)])
+      : Iterator[(String, Long, Long)] = {
+    var (n, sum) = state.getOption.getOrElse((0L, 0L))
+    rows.foreach { case (_, fp) => n += 1L; sum += fp }
+    state.update((n, sum))
+    Iterator.single((key, n, sum))
   }
 
   /** st10's state transition: merge the batch's (hash, id) pairs into

@@ -177,6 +177,33 @@ class StreamQueriesSpec extends SparkTestBase {
     assert(got == exact, s"sketch estimates diverged in exact mode: $got vs $exact")
   }
 
+  test("st13 fingerprint state is one row per type and equals q64-style sums") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("st13_fingerprint_stream")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val totals = stateTotals()
+    assert(totals.nonEmpty, "st13 recorded no stateful progress")
+    val types = Tables(spark, sfDir, "events")
+      .select($"event_type").distinct().count()
+    assert(totals.max <= types && totals.last == types)
+    // driver-side rebuild of the commutative checksum
+    def fp28(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 7), 16)
+    }
+    val rows = Tables(spark, sfDir, "events")
+      .select($"event_type", $"event_id", $"user_id",
+        unix_micros($"ts").as("us"), $"value".cast("decimal(18,4)").as("v"))
+      .collect()
+    val expect = rows.groupBy(_.getString(0)).map { case (t, rs) =>
+      t -> (rs.length.toLong, rs.map(r => fp28(
+        s"${r.getLong(1)}|${r.getLong(2)}|$t|${r.getLong(3)}|${r.getDecimal(4)}"))
+        .sum)
+    }
+    assert(got == expect, "streaming fingerprint diverges from the batch rebuild")
+  }
+
   test("st8 sessionizer state is one row per still-open user session") {
     import spark.implicits._
     graft.SparkEntry.queries("st8_stateful_sessions_stream")(spark, sfDir).collect()
