@@ -155,6 +155,15 @@ object Bench {
     // parse in r1/r2 — stderr lines pass through clean
     System.err.println(json)
     Files.writeString(Paths.get(outFile), json)
+    // A final SHORT self-describing line (VERDICT r9 hygiene): the
+    // driver keeps only the output's 2000-char tail, which decapitates
+    // the full per-query map once the roster is big enough. This line
+    // is always < 200 chars, so the tail always contains a parseable
+    // total; the full map lives above and in the committed bench file.
+    val shortJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errNames.size},"sf":"$sfDir"}"""
+    println(shortJson)
+    System.err.println(shortJson)
     spark.stop()
   }
 }

@@ -1134,9 +1134,18 @@ object Mixing {
       (s, dir) => {
         import s.implicits._
         val docs = Tables(s, dir, "documents")
+        // Every field sentinel-coalesced (not just text): concat_ws
+        // SKIPS nulls while the oracle's || PROPAGATES them, so an
+        // uncoalesced nullable field would silently diverge the two
+        // checksums — and a null field must stay distinguishable from
+        // a missing one. Row canonicalization is total on both engines.
         val fpCol = conv(substring(md5(concat_ws("|",
-          $"doc_id", coalesce($"text", lit("<null>")), $"lang",
-          $"source", $"n_chars")), 1, 7), 16, 10).cast("long")
+          coalesce($"doc_id".cast("string"), lit("<null>")),
+          coalesce($"text", lit("<null>")),
+          coalesce($"lang", lit("<null>")),
+          coalesce($"source", lit("<null>")),
+          coalesce($"n_chars".cast("string"), lit("<null>")))), 1, 7), 16, 10)
+          .cast("long")
         val a = docs.agg(
           count(lit(1)).as("n_docs"),
           sum(when($"text".isNull, 1L).otherwise(0L)).as("n_null_text"),
@@ -1180,9 +1189,11 @@ object Mixing {
                  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
                  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
                  CAST(SUM(CAST(('0x' || substr(md5(
-                   CAST(doc_id AS VARCHAR) || '|' ||
-                   COALESCE(text, '<null>') || '|' || lang || '|' ||
-                   source || '|' || CAST(n_chars AS VARCHAR)), 1, 7))
+                   COALESCE(CAST(doc_id AS VARCHAR), '<null>') || '|' ||
+                   COALESCE(text, '<null>') || '|' ||
+                   COALESCE(lang, '<null>') || '|' ||
+                   COALESCE(source, '<null>') || '|' ||
+                   COALESCE(CAST(n_chars AS VARCHAR), '<null>')), 1, 7))
                    AS BIGINT)) AS BIGINT) AS checksum
           FROM documents),
         top AS (SELECT lang AS top_lang FROM documents GROUP BY lang

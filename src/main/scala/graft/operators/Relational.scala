@@ -289,23 +289,30 @@ object Relational {
         ORDER BY o_custkey""")),
 
     // ---------------------------------------------------------------- q10
-    // Semi/anti joins: order-less customers via left_anti.
-    // Scale: anti join on the shuffle key; at real scale this is the
-    // classic orphan-detection pattern (no fact row for a dim key).
+    // Semi/anti joins: customers with no OPEN ('P') order via left_anti
+    // over a filtered fact side. Scale: anti join on the shuffle key;
+    // at real scale this is the classic orphan-detection pattern (no
+    // fact row for a dim key). The status filter exists for EVIDENCE
+    // quality (VERDICT r9 #5): the unfiltered anti-set is empty below
+    // sf0.1, which made the row's 0==0 oracle match vacuous at the
+    // driver SF — this predicate is non-empty at every fixture scale
+    // (7 / 56 / 541 rows at sf0.001/0.01/0.1) while exercising the
+    // exact same plan (filter pushed below the anti-join build side).
     QuerySpec(
       "q10_customers_without_orders",
       (s, dir) => {
         import s.implicits._
         val cust = Tables(s, dir, "customer")
-        val ord = Tables(s, dir, "orders")
-        cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        val open = Tables(s, dir, "orders").filter($"o_orderstatus" === "P")
+        cust.join(open, cust("c_custkey") === open("o_custkey"), "left_anti")
           .select($"c_custkey", $"c_name", $"c_mktsegment")
           .orderBy($"c_custkey")
       },
       Some("""
         SELECT c_custkey, c_name, c_mktsegment
         FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         ORDER BY c_custkey""")),
 
     // ---------------------------------------------------------------- q11
@@ -2057,9 +2064,16 @@ object Relational {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         import s.implicits._
+        // The SUM result is re-pinned to DECIMAL(18,4): Spark's SUM
+        // widens to (28,4), whose square would exceed 38 digits and be
+        // TRUNCATED to (38,6) — per-row rounding the DuckDB oracle
+        // (which keeps 8 fractional digits) doesn't do. At (18,4) the
+        // product is an exact (37,8) on BOTH engines, so the "exact
+        // DECIMAL power sums" invariant actually holds.
         val daily = Tables(s, dir, "events")
           .groupBy($"event_type".as("etype"), to_date($"ts").as("day"))
-          .agg(sum($"value".cast("decimal(18,4)")).as("total"))
+          .agg(sum($"value".cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("total"))
         val w = Window.partitionBy($"etype").orderBy($"day")
           .rowsBetween(-7, -1)
         val scored = daily
@@ -2081,7 +2095,8 @@ object Relational {
       Some("""
         WITH daily AS (
           SELECT event_type AS etype, CAST(ts AS DATE) AS day,
-                 SUM(CAST(value AS DECIMAL(18,4))) AS total
+                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+                   AS total
           FROM events GROUP BY 1, 2),
         win AS (
           SELECT etype, day, total,
@@ -2157,18 +2172,24 @@ object Relational {
         import s.implicits._
         def fp(c: org.apache.spark.sql.Column) =
           conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+        // Canonicalization must be TOTAL: every field sentinel-coalesced
+        // (concat_ws skips nulls, the oracle's || propagates them — an
+        // uncoalesced nullable field silently diverges the checksums,
+        // and a null field must not collapse into a missing one).
+        def canon(c: org.apache.spark.sql.Column) =
+          coalesce(c.cast("string"), lit("<null>"))
         val docs = Tables(s, dir, "documents")
           .select(fp(concat_ws("|",
-            $"doc_id", coalesce($"text", lit("<null>")), $"lang",
-            $"source", $"n_chars")).as("h"))
+            canon($"doc_id"), canon($"text"), canon($"lang"),
+            canon($"source"), canon($"n_chars"))).as("h"))
           .agg(count(lit(1)).as("n_rows"), sum($"h").as("checksum"))
           .withColumn("table_name", lit("documents"))
         val ords = Tables(s, dir, "orders")
           .select(fp(concat_ws("|",
-            $"o_orderkey", $"o_custkey", $"o_orderstatus",
-            $"o_totalprice".cast("decimal(18,4)"),
-            unix_micros($"o_orderdate".cast("timestamp")),
-            $"o_orderpriority")).as("h"))
+            canon($"o_orderkey"), canon($"o_custkey"), canon($"o_orderstatus"),
+            canon($"o_totalprice".cast("decimal(18,4)")),
+            canon(unix_micros($"o_orderdate".cast("timestamp"))),
+            canon($"o_orderpriority"))).as("h"))
           .agg(count(lit(1)).as("n_rows"), sum($"h").as("checksum"))
           .withColumn("table_name", lit("orders"))
         docs.unionAll(ords)
@@ -2180,20 +2201,26 @@ object Relational {
           SELECT 'documents' AS table_name,
                  CAST(COUNT(*) AS BIGINT) AS n_rows,
                  CAST(SUM(CAST(('0x' || substr(md5(
-                   CAST(doc_id AS VARCHAR) || '|' ||
-                   COALESCE(text, '<null>') || '|' || lang || '|' ||
-                   source || '|' || CAST(n_chars AS VARCHAR)), 1, 7))
+                   COALESCE(CAST(doc_id AS VARCHAR), '<null>') || '|' ||
+                   COALESCE(text, '<null>') || '|' ||
+                   COALESCE(lang, '<null>') || '|' ||
+                   COALESCE(source, '<null>') || '|' ||
+                   COALESCE(CAST(n_chars AS VARCHAR), '<null>')), 1, 7))
                    AS BIGINT)) AS BIGINT) AS checksum
           FROM documents
           UNION ALL
           SELECT 'orders',
                  CAST(COUNT(*) AS BIGINT),
                  CAST(SUM(CAST(('0x' || substr(md5(
-                   CAST(o_orderkey AS VARCHAR) || '|' ||
-                   CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
-                   CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR) || '|' ||
-                   CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' ||
-                   o_orderpriority), 1, 7)) AS BIGINT)) AS BIGINT)
+                   COALESCE(CAST(o_orderkey AS VARCHAR), '<null>') || '|' ||
+                   COALESCE(CAST(o_custkey AS VARCHAR), '<null>') || '|' ||
+                   COALESCE(o_orderstatus, '<null>') || '|' ||
+                   COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR),
+                            '<null>') || '|' ||
+                   COALESCE(CAST(epoch_us(o_orderdate) AS VARCHAR),
+                            '<null>') || '|' ||
+                   COALESCE(o_orderpriority, '<null>')), 1, 7))
+                   AS BIGINT)) AS BIGINT)
           FROM orders)
         ORDER BY table_name""")),
 

@@ -685,7 +685,8 @@ object Similarity {
     // budget requantization. Same plan shapes as its parents: k-row
     // centroid crosses, map-side quantization, one (vec → cell) keyed
     // rollup. total_dist stays an exact BIGINT on the integer grid;
-    // avg_scale is the one double average, rounded 6dp (t16's rule).
+    // avg_scale sums nano-scaled BIGINTs (order-free exact) and divides
+    // once at the end, then rounds 6dp (t16's rule).
     QuerySpec(
       "e5_index_build",
       (s, dir) => {
@@ -704,7 +705,12 @@ object Similarity {
             count(lit(1)).as("n_vecs"),
             sum($"dist").as("total_dist"),
             sum($"n_sat").as("n_saturated"),
-            round(avg($"scale"), 6).as("avg_scale"))
+            // avg over raw doubles is partition-order-dependent; the
+            // repo's average discipline instead: one exact BIGINT sum
+            // of per-row nano-scaled values, one final double division.
+            sum(round($"scale" * 1e9).cast("long")).as("scale_nano"))
+          .withColumn("avg_scale",
+            round($"scale_nano".cast("double") / ($"n_vecs" * 1e9), 6))
           .select($"cid".as("cluster_id"), $"n_vecs", $"total_dist",
             $"n_saturated", $"avg_scale")
           .orderBy($"cluster_id")
@@ -740,7 +746,8 @@ object Similarity {
                CAST(COUNT(*) AS BIGINT) AS n_vecs,
                CAST(SUM(a3.dist) AS BIGINT) AS total_dist,
                CAST(SUM(quant.n_sat) AS BIGINT) AS n_saturated,
-               ROUND(AVG(quant.scale), 6) AS avg_scale
+               ROUND(CAST(SUM(CAST(round(quant.scale * 1000000000.0) AS BIGINT))
+                     AS DOUBLE) / (COUNT(*) * 1000000000.0), 6) AS avg_scale
         FROM a3 JOIN quant USING (vec_id)
         GROUP BY a3.cid ORDER BY cluster_id"""))
   )

@@ -798,12 +798,16 @@ object StreamQueries {
         try {
           val stream = s.readStream.schema(schema)
             .option("maxFilesPerTrigger", 4).parquet(inbox)
+          // q64's total canonicalization: every field sentinel-coalesced
+          // (concat_ws skips nulls, the oracle's || propagates them).
+          def canon(c: org.apache.spark.sql.Column) =
+            coalesce(c.cast("string"), lit("<null>"))
           val updates = stream
             .select($"event_type",
               conv(substring(md5(concat_ws("|",
-                $"event_id", $"user_id", $"event_type",
-                unix_micros($"ts"),
-                $"value".cast("decimal(18,4)"))), 1, 7), 16, 10)
+                canon($"event_id"), canon($"user_id"), canon($"event_type"),
+                canon(unix_micros($"ts")),
+                canon($"value".cast("decimal(18,4)")))), 1, 7), 16, 10)
                 .cast("long").as("fp"))
             .as[(String, Long)]
             .groupByKey(_._1)
@@ -830,10 +834,12 @@ object StreamQueries {
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(CAST(('0x' || substr(md5(
-                 CAST(event_id AS VARCHAR) || '|' ||
-                 CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
-                 CAST(epoch_us(ts) AS VARCHAR) || '|' ||
-                 CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR)), 1, 7))
+                 COALESCE(CAST(event_id AS VARCHAR), '<null>') || '|' ||
+                 COALESCE(CAST(user_id AS VARCHAR), '<null>') || '|' ||
+                 COALESCE(event_type, '<null>') || '|' ||
+                 COALESCE(CAST(epoch_us(ts) AS VARCHAR), '<null>') || '|' ||
+                 COALESCE(CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR),
+                          '<null>')), 1, 7))
                  AS BIGINT)) AS BIGINT) AS checksum
         FROM events GROUP BY event_type ORDER BY event_type""")))
 
@@ -852,7 +858,10 @@ object StreamQueries {
   }
 
   /** st12's state transition: union the batch's user_ids into the key's
-    * theta sketch (lgK=12, x4's exact-mode capacity) and re-emit the
+    * theta sketch (lgK=16 ⇒ exact below 65,536 distinct ids per key —
+    * sized ABOVE the sf1 fixture's ~15k users/type so the exact
+    * COUNT(DISTINCT) oracle holds one scale step past the driver SF,
+    * while 5 keys × 64Ki hashes is still sub-MB state) and re-emit the
     * estimate — in exact mode an integral double, so toLong is exact.
     * Union is commutative/associative/idempotent, which is the whole
     * replayability argument. */
@@ -862,7 +871,7 @@ object StreamQueries {
       : Iterator[(String, Long)] = {
     import org.apache.datasketches.memory.Memory
     import org.apache.datasketches.theta.{Sketches => TS}
-    val union = TS.setOperationBuilder().setLogNominalEntries(12).buildUnion()
+    val union = TS.setOperationBuilder().setLogNominalEntries(16).buildUnion()
     state.getOption.foreach(b =>
       union.union(TS.heapifyCompactSketch(Memory.wrap(b))))
     rows.foreach { case (_, id) => union.update(id) }
