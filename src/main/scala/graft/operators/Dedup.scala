@@ -1248,71 +1248,52 @@ object Dedup {
     // cluster with d8's bounded cluster sizes.
     QuerySpec(
       "d23_semdedup_keeper",
+      (s, dir) =>
+        semdedupKeeper(s, dir,
+          cosinePairs(s, dir, 0.4).select(col("a_id"), col("b_id"))),
+      Some("WITH RECURSIVE " + CosinePairsOracle(0.4).trim.stripPrefix("WITH")
+        + SemdedupKeeperSqlTail)),
+
+    // ---------------------------------------------------------------- d24
+    // SemDeDup at the PRODUCTION edge source (VERDICT r9 #1): d23's
+    // cluster→centroid→farthest-keeper pipeline unchanged, but the
+    // cluster graph comes from MULTI-BAND sign-LSH candidates instead
+    // of d5/d8's exact O(n²) block-cosine verifier — the d4-vs-d2 move
+    // replayed in embedding space. Bands OR-amplify (d4's argument):
+    // a pair is a candidate iff ALL rowsPerBand anchor-dot signs agree
+    // in AT LEAST ONE band, exact cosine then verifies candidates only.
+    // Anchors are the first nBands·rowsPerBand corpus vectors —
+    // deterministic, so BOTH engines derive identical buckets and the
+    // whole banded graph replays under a full DuckDB oracle (stronger
+    // than the d4/d12 rows-only rows: the bucketing here needs no RNG).
+    // Pinned (10 bands × 3 planes) IS [[bandedCosinePairsAuto]]'s own
+    // sizing at the driver SF; the auto path re-derives (r, bands) from
+    // the corpus count so block population stays ~[[MaxCosineBlock]]/8
+    // as n grows — candidate volume n·blocksize·bands, the n^(1+ρ)
+    // sub-quadratic LSH law (ρ = ln p1/ln p2 ≈ 0.66 at this fixture's
+    // adversarially-low 0.4 threshold; ≈ 0.22 at the 0.9 operating
+    // point real SemDeDup runs). Edge recall vs the exact d5 graph and
+    // CC-label agreement vs d8 are MEASURED and pinned in
+    // BandedSemanticDedupSpec (94–98% / 96–98% at fixture scales).
+    QuerySpec(
+      "d24_banded_semdedup",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        import s.implicits._
-        val grid = Tables(s, dir, "embeddings")
-          .select($"vec_id", expr(
-            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))")
-            .as("g"))
-        val pairs = cosinePairs(s, dir, 0.4).select($"a_id", $"b_id")
-        val labels = connectedComponents(s, pairs)._1
-          .withColumnRenamed("doc_id", "vec_id")
-        val lab = grid.join(labels, Seq("vec_id"), "left")
-          .withColumn("cluster_id", coalesce($"cluster_id", $"vec_id"))
-        val cent = lab.select($"cluster_id", posexplode($"g").as(Seq("d", "v")))
-          .groupBy($"cluster_id", $"d")
-          .agg(floor(sum($"v").cast("double") / count(lit(1)))
-            .cast("long").as("c"))
-          .groupBy($"cluster_id")
-          .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)")
-            .as("cg"))
-        val w = Window.partitionBy($"cluster_id")
-          .orderBy($"dist2".desc, $"vec_id")
-        lab.join(cent, "cluster_id")
-          .withColumn("dist2", expr(
-            "aggregate(zip_with(g, cg, (x, y) -> (x - y) * (x - y)), " +
-              "CAST(0 AS BIGINT), (acc, e) -> acc + e)"))
-          .withColumn("keep", row_number().over(w) === 1)
-          .select($"vec_id", $"cluster_id", $"dist2", $"keep")
-          .orderBy($"vec_id")
+        // dev-only scale knobs (SCALING.md runs): GRAFT_D24_AUTO sizes
+        // (bands, r) from the corpus count; GRAFT_D24_THRESHOLD probes
+        // the 0.9 production operating point where banding's reduction
+        // is steep. The driver sets neither — the oracle pins (0.4, 10,
+        // 3), which IS the auto shape at the driver SF.
+        val th = sys.env.get("GRAFT_D24_THRESHOLD")
+          .map(_.toDouble).getOrElse(0.4)
+        val pairs =
+          if (sys.env.get("GRAFT_D24_AUTO").exists(_.nonEmpty))
+            bandedCosinePairsAuto(s, dir, th)._1
+          else bandedCosinePairs(s, dir, th, 10, 3)
+        semdedupKeeper(s, dir, pairs.select(col("a_id"), col("b_id")))
       },
-      Some("WITH RECURSIVE " + CosinePairsOracle(0.4).trim.stripPrefix("WITH") + """,
-        edges AS (
-          SELECT a_id AS s, b_id AS d FROM cpairs
-          UNION ALL SELECT b_id, a_id FROM cpairs),
-        reach AS (
-          SELECT DISTINCT s AS id, s AS r FROM edges
-          UNION
-          SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
-        labels AS (SELECT id AS vec_id, MIN(r) AS cluster_id
-                   FROM reach GROUP BY id),
-        grid AS (
-          SELECT vec_id,
-                 list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS g
-          FROM embeddings),
-        cl AS (
-          SELECT grid.vec_id, COALESCE(l.cluster_id, grid.vec_id) AS cluster_id,
-                 grid.g
-          FROM grid LEFT JOIN labels l ON grid.vec_id = l.vec_id),
-        m AS (
-          SELECT cluster_id, d, CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS c
-          FROM (SELECT cluster_id, UNNEST(g) AS v, UNNEST(range(len(g))) AS d
-                FROM cl)
-          GROUP BY cluster_id, d),
-        cg AS (SELECT cluster_id, list(c ORDER BY d) AS cg FROM m
-               GROUP BY cluster_id),
-        dist AS (
-          SELECT cl.vec_id, cl.cluster_id,
-                 CAST(list_sum(list_transform(generate_series(1, len(cl.g)),
-                   i -> (cl.g[i] - cg.cg[i]) * (cl.g[i] - cg.cg[i])))
-                   AS BIGINT) AS dist2
-          FROM cl JOIN cg USING (cluster_id))
-        SELECT vec_id, cluster_id, dist2,
-               ROW_NUMBER() OVER (PARTITION BY cluster_id
-                                  ORDER BY dist2 DESC, vec_id) = 1 AS keep
-        FROM dist ORDER BY vec_id"""))
+      Some("WITH RECURSIVE "
+        + BandedCosinePairsOracle(0.4, 10, 3).trim.stripPrefix("WITH")
+        + SemdedupKeeperSqlTail))
   )
 
   /** d10's winnow window (consecutive shingle hashes per min-selection).
@@ -1515,6 +1496,210 @@ object Dedup {
 
   /** The d5 oracle's CTE chain up to threshold pairs (`cpairs`), shared
     * with d8. */
+  /** d23/d24's shared SemDeDup tail: cluster labels from the given pair
+    * graph (CC, singletons self-labeled), s11's exact BIGINT micro-unit
+    * centroid grid, and the farthest-from-centroid keeper window. See
+    * the d23 QuerySpec scaladoc for the shape/scale argument. */
+  def semdedupKeeper(s: org.apache.spark.sql.SparkSession, dir: String,
+                     pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val grid = Tables(s, dir, "embeddings")
+      .select($"vec_id", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))")
+        .as("g"))
+    val labels = connectedComponents(s, pairs)._1
+      .withColumnRenamed("doc_id", "vec_id")
+    val lab = grid.join(labels, Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce($"cluster_id", $"vec_id"))
+    val cent = lab.select($"cluster_id", posexplode($"g").as(Seq("d", "v")))
+      .groupBy($"cluster_id", $"d")
+      .agg(floor(sum($"v").cast("double") / count(lit(1)))
+        .cast("long").as("c"))
+      .groupBy($"cluster_id")
+      .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)")
+        .as("cg"))
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"dist2".desc, $"vec_id")
+    lab.join(cent, "cluster_id")
+      .withColumn("dist2", expr(
+        "aggregate(zip_with(g, cg, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (acc, e) -> acc + e)"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select($"vec_id", $"cluster_id", $"dist2", $"keep")
+      .orderBy($"vec_id")
+  }
+
+  /** The DuckDB twin of [[semdedupKeeper]], appended after any CTE chain
+    * ending in `cpairs(a_id, b_id, ...)`. A def, not a val: `specs`
+    * initializes first in declaration order and would read a null val. */
+  private def SemdedupKeeperSqlTail: String = """,
+        edges AS (
+          SELECT a_id AS s, b_id AS d FROM cpairs
+          UNION ALL SELECT b_id, a_id FROM cpairs),
+        reach AS (
+          SELECT DISTINCT s AS id, s AS r FROM edges
+          UNION
+          SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+        labels AS (SELECT id AS vec_id, MIN(r) AS cluster_id
+                   FROM reach GROUP BY id),
+        grid AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS g
+          FROM embeddings),
+        cl AS (
+          SELECT grid.vec_id, COALESCE(l.cluster_id, grid.vec_id) AS cluster_id,
+                 grid.g
+          FROM grid LEFT JOIN labels l ON grid.vec_id = l.vec_id),
+        m AS (
+          SELECT cluster_id, d, CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS c
+          FROM (SELECT cluster_id, UNNEST(g) AS v, UNNEST(range(len(g))) AS d
+                FROM cl)
+          GROUP BY cluster_id, d),
+        cg AS (SELECT cluster_id, list(c ORDER BY d) AS cg FROM m
+               GROUP BY cluster_id),
+        dist AS (
+          SELECT cl.vec_id, cl.cluster_id,
+                 CAST(list_sum(list_transform(generate_series(1, len(cl.g)),
+                   i -> (cl.g[i] - cg.cg[i]) * (cl.g[i] - cg.cg[i])))
+                   AS BIGINT) AS dist2
+          FROM cl JOIN cg USING (cluster_id))
+        SELECT vec_id, cluster_id, dist2,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY dist2 DESC, vec_id) = 1 AS keep
+        FROM dist ORDER BY vec_id"""
+
+  /** d24's multi-band sign-LSH signatures: one row per (vector, band).
+    * Anchors are the first nBands·rowsPerBand corpus vectors (broadcast;
+    * the anchor cross is O(n·bands·r) map-side work); plane p belongs to
+    * band p DIV rowsPerBand and contributes bit p MOD rowsPerBand of the
+    * band's signature. Anchor dots ride the codegen'd fused loop
+    * (sequential index-order fold = the oracle's list_reduce,
+    * bit-identical doubles, so bucket assignment never diverges —
+    * s4's parity argument). */
+  def bandSignatures(s: org.apache.spark.sql.SparkSession, dir: String,
+                     nBands: Int, rowsPerBand: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val anchors = emb.filter($"vec_id" < nBands * rowsPerBand)
+      .select($"vec_id".as("plane"), $"embedding".as("av"))
+    emb.select($"vec_id", $"embedding")
+      .crossJoin(broadcast(anchors))
+      .withColumn("dot",
+        graft.functions.GraftFunctions.dot($"embedding", $"av"))
+      .groupBy($"vec_id",
+        expr(s"CAST(plane DIV $rowsPerBand AS BIGINT)").as("band"))
+      .agg(sum(when($"dot" >= 0,
+          pow(lit(2.0), ($"plane" % rowsPerBand).cast("double")).cast("long"))
+        .otherwise(0L)).as("sg"))
+  }
+
+  /** d24's banded near-dup pair generation — the PRODUCTION-scale edge
+    * source replacing [[cosinePairs]]'s exact O(n²) block verifier:
+    * candidates are pairs sharing a (band, signature) bucket in ANY of
+    * the nBands bands (one equi-keyed self-join, distinct'd), and exact
+    * cosine (round-6dp-then-filter, d5's convention) verifies ONLY the
+    * candidate stream. Pair volume is Σ_band Σ_bucket occupancy² — with
+    * blocksize-targeted sizing (see [[bandedCosinePairsAuto]]) that is
+    * n·blocksize·bands instead of n², the d4 banding law with anchor
+    * planes as the hash family. Returns (a_id, b_id, cosine), a_id <
+    * b_id, unordered. */
+  def bandedCosinePairs(s: org.apache.spark.sql.SparkSession, dir: String,
+                        threshold: Double, nBands: Int, rowsPerBand: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val sig = bandSignatures(s, dir, nBands, rowsPerBand)
+    // Vectors ride THROUGH the bucket join (the s4/s8 shape): the only
+    // big exchange carries n·bands (id, band, sg, vector) rows, and the
+    // dedup across bands runs on the rounded SURVIVORS, not the raw
+    // candidate stream — a pair colliding in k bands recomputes one
+    // 64-flop cosine k−1 extra times instead of dragging the full
+    // candidate volume through a DISTINCT exchange before the verify.
+    // (Cosine is 6dp-rounded and deterministic per pair, so the final
+    // distinct collapses band duplicates exactly.)
+    val withVec = sig
+      .join(Tables(s, dir, "embeddings").select($"vec_id", $"embedding"),
+        "vec_id")
+    val a = withVec.select($"band", $"sg", $"vec_id".as("a_id"),
+      $"embedding".as("av"))
+    val b = withVec.select($"band", $"sg", $"vec_id".as("b_id"),
+      $"embedding".as("bv"))
+    a.join(b, Seq("band", "sg"))
+      .filter($"a_id" < $"b_id")
+      .withColumn("cosine",
+        round(graft.functions.GraftFunctions.cosineSim($"av", $"bv"), 6))
+      .filter($"cosine" >= threshold)
+      .select($"a_id", $"b_id", $"cosine")
+      .distinct()
+  }
+
+  /** Blocksize-targeted auto-sizing for [[bandedCosinePairs]] — the
+    * 100 TB knob the roster query pins at the driver-SF values (10, 3):
+    *  - r grows with log n: the smallest r with (MaxCosineBlock/8)·2^r
+    *    ≥ n, so per-band bucket occupancy stays ~64 rows and candidate
+    *    volume stays n·occupancy·bands — linear in n per band;
+    *  - bands compensate r for recall: ceil(ln 10 / p1^r) keeps the
+    *    per-pair miss probability (1−p1^r)^bands ≤ 10% at the
+    *    threshold, where p1 = 1 − acos(threshold)/π is the sign-LSH
+    *    collision probability (Goemans–Williamson). Total work follows
+    *    the LSH n^(1+ρ) law, ρ = ln p1 / ln(1/2).
+    * Returns (pairs, nBands, rowsPerBand) so scale harnesses can report
+    * the chosen shape. At sf0.01 (n=500) this derives exactly (10, 3) —
+    * the roster pin IS the auto shape at the driver SF. */
+  def bandedCosinePairsAuto(s: org.apache.spark.sql.SparkSession,
+                            dir: String, threshold: Double)
+      : (org.apache.spark.sql.DataFrame, Int, Int) = {
+    val n = Tables(s, dir, "embeddings").count() // parquet metadata count
+    val targetBlock = (MaxCosineBlock / 8).toLong
+    var r = 1
+    while ((targetBlock << r) < n) r += 1
+    val p1 = 1.0 - math.acos(threshold) / math.Pi
+    val nBands = math.max(8,
+      math.ceil(math.log(10.0) / math.pow(p1, r)).toInt)
+    (bandedCosinePairs(s, dir, threshold, nBands, r), nBands, r)
+  }
+
+  /** DuckDB twin of [[bandedCosinePairs]]: identical anchors, identical
+    * sequential-fold dots, identical band/bit layout, exact cosine over
+    * candidates only — ends in the same `cpairs(a_id, b_id, cosine)`
+    * shape as [[CosinePairsOracle]] so the keeper tail composes. */
+  private def BandedCosinePairsOracle(threshold: Double, nBands: Int,
+                                      rowsPerBand: Int): String = s"""
+        WITH anch AS (SELECT vec_id AS plane, embedding AS av
+                      FROM embeddings WHERE vec_id < ${nBands * rowsPerBand}),
+        bdots AS (
+          SELECT e.vec_id, anch.plane,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(anch.av[i] AS DOUBLE))),
+                   (acc, x) -> acc + x) AS dot
+          FROM embeddings e CROSS JOIN anch),
+        sig AS (
+          SELECT vec_id, CAST(plane // $rowsPerBand AS BIGINT) AS band,
+                 CAST(SUM(CASE WHEN dot >= 0
+                               THEN CAST(pow(2, plane % $rowsPerBand) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS sg
+          FROM bdots GROUP BY vec_id, band),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+          FROM sig x JOIN sig y
+            ON x.band = y.band AND x.sg = y.sg AND x.vec_id < y.vec_id),
+        cp AS (
+          SELECT c.a_id, c.b_id,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(a.embedding)),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
+          FROM cand c JOIN embeddings a ON a.vec_id = c.a_id
+                      JOIN embeddings b ON b.vec_id = c.b_id),
+        cpairs AS (SELECT a_id, b_id, cosine FROM cp WHERE cosine >= $threshold)"""
+
   private def CosinePairsOracle(threshold: Double): String = s"""
         WITH e AS (SELECT vec_id, embedding FROM embeddings),
         p AS (

@@ -122,6 +122,11 @@ class PlanAuditSpec extends SparkTestBase {
     // d23 reuses d5/d8's deliberate bounded block-pair join as its
     // cluster edge source; everything downstream is cluster-equi-keyed
     "d23_semdedup_keeper",
+    // d24 reuses s4/s8's anchor cross (bands·r broadcast rows against
+    // the corpus — O(n·bands·r) signature assignment by construction);
+    // the candidate join itself is (band, signature)-equi-keyed and the
+    // keeper tail is cluster-equi-keyed
+    "d24_banded_semdedup",
     // e6 crosses the 1-ROW top-language argmax onto the 1-row corpus
     // aggregate — a 1×1 scalar cross
     "e6_release_manifest")
@@ -178,7 +183,7 @@ class PlanAuditSpec extends SparkTestBase {
     "g8_item_similarity", "p13_budget_select", "d22_tfidf_cosine_pairs",
     "q62_rolling_anomaly", "m6_frame_dedup", "q63_variant_extract",
     "q64_table_fingerprint", "t30_feature_hashing", "d23_semdedup_keeper",
-    "e6_release_manifest")
+    "e6_release_manifest", "d24_banded_semdedup")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
