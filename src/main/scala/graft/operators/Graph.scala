@@ -461,6 +461,13 @@ object Graph {
     // d2 cap that keeps the fan-out bounded on power-law data. One
     // customer-keyed exchange + one pair aggregate; sizes computed on
     // the SAME capped universe so jaccard stays a true set ratio.
+    // NO SILENT CAPS (VERDICT r9 #2): every output row carries the
+    // cap's coverage accounting — how many customers the ≤64 rule
+    // excluded and how many co-rating pairs (Σ C(deg,2) over them) that
+    // sacrificed — so a consumer sees exactly what the bound cost
+    // instead of inferring it from prose. The accounting rides a 1-row
+    // broadcast cross (the t16 scalar-cross shape) off the SAME
+    // customer-degree frame that computes the cap, persisted once.
     QuerySpec(
       "g8_item_similarity",
       (s, dir) => {
@@ -470,8 +477,12 @@ object Graph {
         val cp = li.join(ord, $"l_orderkey" === $"o_orderkey")
           .select($"o_custkey".as("c"), $"l_suppkey".as("p"))
           .distinct()
-        val kept = cp.groupBy($"c").agg(count(lit(1)).as("deg"))
-          .filter($"deg" <= 64).select($"c")
+        val degs = cp.groupBy($"c").agg(count(lit(1)).as("deg")).persist()
+        val kept = degs.filter($"deg" <= 64).select($"c")
+        val acc = degs.filter($"deg" > 64)
+          .agg(count(lit(1)).as("capped_customers"),
+            coalesce(sum(expr("CAST(deg * (deg - 1) DIV 2 AS BIGINT)")),
+              lit(0L)).as("dropped_copairs"))
         val capped = cp.join(kept, "c").persist()
         val pairs = capped.as("x").join(capped.as("y"),
             $"x.c" === $"y.c" && $"x.p" < $"y.p")
@@ -486,24 +497,36 @@ object Graph {
           .select($"p_a", $"p_b", $"common", $"jaccard")
           .orderBy($"jaccard".desc, $"p_a", $"p_b")
           .limit(50)
-        graft.Materialize.thenRelease(out, capped)
+          .crossJoin(broadcast(acc))
+        graft.Materialize.thenRelease(out, capped, degs)
       },
       Some("""
         WITH cp AS (
           SELECT DISTINCT o_custkey AS c, l_suppkey AS p
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        kept AS (SELECT c FROM cp GROUP BY c HAVING COUNT(*) <= 64),
+        degs AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS deg
+                 FROM cp GROUP BY c),
+        kept AS (SELECT c FROM degs WHERE deg <= 64),
+        acc AS (SELECT CAST(COUNT(*) AS BIGINT) AS capped_customers,
+                       CAST(COALESCE(SUM(deg * (deg - 1) // 2), 0) AS BIGINT)
+                         AS dropped_copairs
+                FROM degs WHERE deg > 64),
         capped AS (SELECT cp.c, cp.p FROM cp JOIN kept USING (c)),
         pairs AS (
           SELECT x.p AS p_a, y.p AS p_b, CAST(COUNT(*) AS BIGINT) AS common
           FROM capped x JOIN capped y ON x.c = y.c AND x.p < y.p
           GROUP BY x.p, y.p),
-        sizes AS (SELECT p, COUNT(*) AS n FROM capped GROUP BY p)
-        SELECT p_a, p_b, common,
-               ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6)
-                 AS jaccard
-        FROM pairs JOIN sizes sa ON p_a = sa.p JOIN sizes sb ON p_b = sb.p
-        ORDER BY jaccard DESC, p_a, p_b LIMIT 50""")),
+        top AS (
+          SELECT p_a, p_b, common,
+                 ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6)
+                   AS jaccard
+          FROM pairs
+          JOIN (SELECT p, COUNT(*) AS n FROM capped GROUP BY p) sa ON p_a = sa.p
+          JOIN (SELECT p, COUNT(*) AS n FROM capped GROUP BY p) sb ON p_b = sb.p
+          ORDER BY jaccard DESC, p_a, p_b LIMIT 50)
+        SELECT p_a, p_b, common, jaccard, capped_customers, dropped_copairs
+        FROM top CROSS JOIN acc
+        ORDER BY jaccard DESC, p_a, p_b""")),
   )
 
   /** Per-node triangle participation counts for an undirected simple

@@ -129,7 +129,10 @@ class PlanAuditSpec extends SparkTestBase {
     "d24_banded_semdedup",
     // e6 crosses the 1-ROW top-language argmax onto the 1-row corpus
     // aggregate — a 1×1 scalar cross
-    "e6_release_manifest")
+    "e6_release_manifest",
+    // g8 crosses the 1-ROW cap-accounting aggregate onto its 50-row
+    // top list — the t16 scalar-cross shape ("no silent caps")
+    "g8_item_similarity")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
