@@ -40,7 +40,10 @@ object TimeOne {
       val sampler = if (probe) {
         val t = new Thread(() => {
           val rt = Runtime.getRuntime
-          while (sampling) {
+          // swallow shutdown races: if the measured query throws, the
+          // context can stop while this daemon thread is mid-poll — the
+          // probe must never mask the query's own failure
+          try while (sampling) {
             val info = spark.sparkContext.getRDDStorageInfo
             val bytes = info.map(x => x.memSize + x.diskSize).sum
             if (bytes > peakStorage) peakStorage = bytes
@@ -48,7 +51,7 @@ object TimeOne {
             val heap = rt.totalMemory() - rt.freeMemory()
             if (heap > peakHeap) peakHeap = heap
             Thread.sleep(100)
-          }
+          } catch { case _: Throwable => () }
         }, "graft-memprobe")
         t.setDaemon(true); t.start(); Some(t)
       } else None

@@ -243,8 +243,11 @@ object Dedup {
       .repartition(parts, $"b_id").localCheckpoint(true)
     var labels = edges.select($"a_id".as("id")).distinct()
       .withColumn("label", $"id").localCheckpoint(true)
+    // sum coalesced: an EMPTY edge set (legal — e.g. d24 probed at a
+    // threshold above the corpus's max cosine) yields an empty label
+    // frame, whose SUM is NULL and would crash the Long deserializer
     var prevSum = -1L
-    var curSum = labels.agg(sum($"label")).as[Long].head()
+    var curSum = labels.agg(coalesce(sum($"label"), lit(0L))).as[Long].head()
     var rounds = 0
     while (curSum != prevSum && rounds < maxRounds) {
       val nmin = edges.join(labels, edges("b_id") === labels("id"))
@@ -259,7 +262,7 @@ object Dedup {
           coalesce($"plabel", col("x.label")).as("label"))
         .localCheckpoint(true)
       prevSum = curSum
-      curSum = next.agg(sum($"label")).as[Long].head()
+      curSum = next.agg(coalesce(sum($"label"), lit(0L))).as[Long].head()
       labels = next
       rounds += 1
     }
