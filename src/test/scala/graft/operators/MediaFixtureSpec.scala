@@ -73,6 +73,21 @@ class MediaFixtureSpec extends SparkTestBase {
     assert(t.map(_._2.length).distinct.length >= 3)
   }
 
+  test("m6 video payloads are real JFIF containers, not PNG stubs") {
+    // the round-10 codec upgrade's premise: every frame is a baseline
+    // JPEG (SOI = FFD8) that the JVM's own codec decodes — so the m6
+    // walk + hash exercises a real codec end-to-end, and the aHash
+    // survives the LOSSY encode round-trip (4 clusters pinned below)
+    val payloads = Multimodal.videoTable(spark, sfDir)
+      .select($"payload").as[Array[Byte]].head(5)
+    payloads.foreach { p =>
+      assert((p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8,
+        "video payload must start with a JPEG SOI marker")
+      assert(!(p.take(4).sameElements(
+        Array[Byte](0x89.toByte, 'P', 'N', 'G'))), "PNG stub resurfaced")
+    }
+  }
+
   test("m6 walks every frame exactly once and clusters across videos/scales") {
     import org.apache.spark.sql.functions._
     val got = graft.SparkEntry.queries("m6_frame_dedup")(spark, sfDir).collect()
