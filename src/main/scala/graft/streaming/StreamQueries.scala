@@ -210,6 +210,14 @@ object StreamQueries {
     runCatchUp(s, dir, ev => EventStreams.followupPairsStreamOuter(ev))
       .orderBy(col("a_id"), col("b_id"))
 
+  /** st14: the FULL OUTER stream-stream interval join
+    * ([[EventStreams.followupPairsStreamFull]]) run to termination.
+    * Null ids sort FIRST so the presentation order is total over the
+    * three row classes (matched / trigger-only / follow-up-only). */
+  def followupFullCatchUp(s: SparkSession, dir: String): DataFrame =
+    runCatchUp(s, dir, ev => EventStreams.followupPairsStreamFull(ev))
+      .orderBy(col("a_id").asc_nulls_first, col("b_id").asc_nulls_first)
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "st1_hourly_rollup_stream",
@@ -841,7 +849,54 @@ object StreamQueries {
                  COALESCE(CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR),
                           '<null>')), 1, 7))
                  AS BIGINT)) AS BIGINT) AS checksum
-        FROM events GROUP BY event_type ORDER BY event_type""")))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---------------------------------------------------------------- st14
+    // FULL OUTER stream-stream interval join under the oracle — the last
+    // join mode (st4 covers left-outer, followupPairsStream inner), and
+    // the one where BOTH sides' negatives are eviction-driven. The
+    // oracle replays all three row classes: the match set is the plain
+    // interval join (st4's argument — time-ordered inbox, 2 h watermark
+    // vs 10 min window, so no state evicts before its candidates
+    // arrive); trigger-only rows are a's with no follow-up whose horizon
+    // (a_ts + 10 min) is STRICTLY below the final watermark (st4's
+    // pinned strictness); follow-up-only rows are b's with no same-user
+    // trigger in the PRECEDING 10 minutes whose OWN timestamp is
+    // strictly below the watermark — b's candidate triggers all have
+    // a_ts < b_ts, so b's match set is provably complete once the
+    // watermark clears b_ts, the earlier of the two horizons (this is
+    // why the b side evicts sooner and the join's state stays
+    // one-horizon-bounded on both sides). Events inside the final
+    // watermark lag emit nothing — their verdict is pending, exactly as
+    // an unbounded deployment would leave it.
+    QuerySpec(
+      "st14_followup_full_outer_stream",
+      (s, dir) => followupFullCatchUp(s, dir),
+      Some("""
+        WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events),
+        m AS (
+          SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id
+          FROM events a JOIN events b ON a.user_id = b.user_id
+            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE),
+        nega AS (
+          SELECT a.event_id AS a_id, CAST(NULL AS BIGINT) AS b_id,
+                 a.user_id
+          FROM events a, wm
+          WHERE a.ts + INTERVAL 10 MINUTE < wm.w
+            AND NOT EXISTS (SELECT 1 FROM m WHERE m.a_id = a.event_id)),
+        negb AS (
+          SELECT CAST(NULL AS BIGINT) AS a_id, b.event_id AS b_id,
+                 b.user_id
+          FROM events b, wm
+          WHERE b.ts < wm.w
+            AND NOT EXISTS (SELECT 1 FROM events a
+                            WHERE a.user_id = b.user_id AND a.ts < b.ts
+                              AND a.ts >= b.ts - INTERVAL 10 MINUTE))
+        SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+               user_id FROM m
+        UNION ALL SELECT a_id, b_id, user_id FROM nega
+        UNION ALL SELECT a_id, b_id, user_id FROM negb
+        ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""")))
 
   /** st11's state transition: per-key latest-wins under the
     * (micros, event_id) version order — a commutative, associative,

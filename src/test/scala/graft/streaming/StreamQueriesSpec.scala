@@ -130,6 +130,29 @@ class StreamQueriesSpec extends SparkTestBase {
       s"state never shrank ($totals) — eviction never ran")
   }
 
+  test("st14 full-outer-join state is horizon-bounded and actually evicted") {
+    import spark.implicits._
+    graft.SparkEntry.queries("st14_followup_full_outer_stream")(spark, sfDir)
+      .collect()
+    val totals = stateTotals()
+    assert(totals.nonEmpty, "st14 recorded no stateful progress")
+    val events = Tables(spark, sfDir, "events")
+    val total = events.count()
+    val maxTs = events.agg(max($"ts")).head().getTimestamp(0)
+    // same horizon arithmetic as st4: the full-outer mode adds the
+    // b-side null-padding duty but NOT extra state — b evicts at its
+    // own timestamp (the earlier horizon), a at ts + window
+    val horizonRows = events
+      .filter($"ts" > lit(maxTs) - expr("INTERVAL 150 MINUTES")).count()
+    assert(totals.max <= 2 * total,
+      s"join buffered more than both full inputs: ${totals.max}")
+    assert(totals.last <= 2 * math.max(horizonRows, 1L),
+      s"final state ${totals.last} exceeds the 2x${horizonRows}-row horizon " +
+        "— full-outer eviction is not tracking the watermark")
+    assert(totals.last < totals.max,
+      s"state never shrank ($totals) — eviction never ran")
+  }
+
   test("st6 transformWithState holds one state row per active (user, type)") {
     import spark.implicits._
     graft.SparkEntry.queries("st6_type_counts_stream")(spark, sfDir).collect()
