@@ -1117,6 +1117,76 @@ object Mixing {
         FROM c WHERE CAST(cum_toks AS DOUBLE) <= (SELECT total FROM t) / 4.0
         ORDER BY qbucket DESC""")),
 
+    // ---------------------------------------------------------------- p14
+    // Small-files compaction — the lake OPTIMIZE pass (VERDICT r9 #7),
+    // the read-side complement to p3/p7/p9's write-side layout control:
+    // a fragmented parquet dir (the staged fixture plants the classic
+    // failure — 64 near-empty files from an over-parallel upstream
+    // write) is rewritten into ceil(n/2000) target-size files via ONE
+    // user-specified repartition (round-robin balances partitions to
+    // within a row, AQE never coalesces an explicit repartition, and
+    // maxRecordsPerFile caps stragglers) — so the output file count is
+    // EXACTLY the target, not a function of upstream parallelism. The
+    // accounting result is the operator's own audit trail: one row per
+    // phase carrying file count, row count, and q64's order-free
+    // content checksum computed FROM THE FILES THEMSELVES — the oracle
+    // recomputes both checksums from the source table, so a compaction
+    // that lost, duplicated, or mutated any row goes red, and the
+    // before/after file counts pin the layout contract (64 → ceil).
+    // At 100 TB this is the nightly job that keeps scan task counts
+    // proportional to data, not to historical write parallelism.
+    QuerySpec(
+      "p14_compact_small_files",
+      (s, dir) => {
+        import s.implicits._
+        val fragDir = fragmentedCorpus(s, dir)
+        def partFiles(d: String): Long =
+          Option(new java.io.File(d).listFiles()).get
+            .count(f => f.getName.startsWith("part-")).toLong
+        val before = s.read.parquet(fragDir)
+        val n = before.count()
+        val target = 2000L
+        val k = ((n + target - 1) / target).toInt
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft_p14").toString + "/compacted"
+        before.repartition(k).write
+          .option("maxRecordsPerFile", target)
+          .mode("overwrite").parquet(outDir)
+        def canon(c: org.apache.spark.sql.Column) =
+          coalesce(c.cast("string"), lit("<null>"))
+        def audit(df: org.apache.spark.sql.DataFrame, phase: String,
+                  nFiles: Long) =
+          df.select(conv(substring(md5(concat_ws("|",
+              canon($"doc_id"), canon($"text"), canon($"lang"),
+              canon($"source"), canon($"n_chars"))), 1, 7), 16, 10)
+              .cast("long").as("h"))
+            .agg(count(lit(1)).as("n_rows"), sum($"h").as("checksum"))
+            .select(lit(phase).as("phase"), lit(nFiles).as("n_files"),
+              $"n_rows", $"checksum")
+        audit(before, "before", partFiles(fragDir))
+          .unionAll(audit(s.read.parquet(outDir), "after", partFiles(outDir)))
+          .orderBy($"phase")
+      },
+      Some("""
+        WITH n AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(('0x' || substr(md5(
+                   COALESCE(CAST(doc_id AS VARCHAR), '<null>') || '|' ||
+                   COALESCE(text, '<null>') || '|' ||
+                   COALESCE(lang, '<null>') || '|' ||
+                   COALESCE(source, '<null>') || '|' ||
+                   COALESCE(CAST(n_chars AS VARCHAR), '<null>')), 1, 7))
+                   AS BIGINT)) AS BIGINT) AS checksum
+          FROM documents)
+        SELECT 'before' AS phase,
+               CAST(LEAST(64, n_rows) AS BIGINT) AS n_files,
+               n_rows, checksum FROM n
+        UNION ALL
+        SELECT 'after',
+               CAST((n_rows + 1999) // 2000 AS BIGINT),
+               n_rows, checksum FROM n
+        ORDER BY phase""")),
+
     // ---------------------------------------------------------------- e6
     // Release manifest — the "data card" every published training
     // corpus ships with (the Datasheets-for-Datasets accounting),
@@ -1235,6 +1305,35 @@ object Mixing {
     if (!upToDate) {
       writePackedShards(graft.Tables(s, dir, "documents"), "lang",
         path.getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedLayouts.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
+  /** Write-once FRAGMENTED copy of the documents table — p14's staged
+    * fixture: 64 near-empty parquet files, the over-parallel-upstream
+    * pathology the compaction pass exists to fix (explicit
+    * repartition(64) → round-robin → every partition non-empty → exactly
+    * 64 part files at any fixture scale ≥ 64 rows). Same
+    * source-fingerprint marker convention as [[partitionedCorpus]]. */
+  private[graft] def fragmentedCorpus(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "corpus_frag_" + base)
+    if (verifiedLayouts.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(dir, "documents.parquet"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      graft.Tables(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(path.getAbsolutePath)
       java.nio.file.Files.write(marker.toPath, stamp.getBytes)
       ()
     }
