@@ -1281,7 +1281,87 @@ object Mixing {
           UNION ALL SELECT 'n_sources', CAST(n_sources AS VARCHAR) FROM a
           UNION ALL SELECT 'top_lang', (SELECT top_lang FROM top)
           UNION ALL SELECT 'total_tokens', CAST(total_tokens AS VARCHAR) FROM a)
-        ORDER BY metric"""))
+        ORDER BY metric""")),
+
+    // ---------------------------------------------------------------- e7
+    // Release diff — dataset versioning's core audit (the Delta-CDF /
+    // "what changed between corpus v1 and v2" question every published
+    // dataset answers in its changelog): two release frames full-outer
+    // join on the document key, each row classifies as added / removed /
+    // modified / unchanged (modified = key present in both, canonical
+    // row fingerprint differs — q64's coalesced canon, so a NULL→value
+    // flip in ANY field classifies correctly), and the report rolls up
+    // per status with the CURRENT side's order-free checksum (v1's for
+    // removed — what left; v2's otherwise — what a consumer holds).
+    // The two versions derive deterministically from the fixture (v1
+    // drops doc_id%13==3, v2 drops doc_id%11==7 and revises text on
+    // doc_id%9==4), so every class is non-empty and hash-falsifiable.
+    // Scale: the diff is ONE doc_id-equi-keyed full outer join (one
+    // exchange per release frame, no skew — keys are unique per side)
+    // feeding a STATUS-sized rollup; at 100 TB this is how you diff two
+    // physical releases without trusting either side's manifest.
+    QuerySpec(
+      "e7_release_diff",
+      (s, dir) => {
+        import s.implicits._
+        def canon(c: org.apache.spark.sql.Column) =
+          coalesce(c.cast("string"), lit("<null>"))
+        def fpOf(text: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat_ws("|",
+            canon($"doc_id"), canon(text), canon($"lang"),
+            canon($"source"), canon($"n_chars"))), 1, 7), 16, 10)
+            .cast("long")
+        val docs = Tables(s, dir, "documents")
+        val v1 = docs.filter($"doc_id" % 13 =!= 3)
+          .select($"doc_id", fpOf($"text").as("fp1"))
+        val v2 = docs.filter($"doc_id" % 11 =!= 7)
+          .select($"doc_id", fpOf(
+            when($"doc_id" % 9 === 4 && $"text".isNotNull,
+              concat($"text", lit(" rev2"))).otherwise($"text")).as("fp2"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when($"fp1".isNull, "added")
+              .when($"fp2".isNull, "removed")
+              .when($"fp1" =!= $"fp2", "modified")
+              .otherwise("unchanged"))
+          .groupBy($"status")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce($"fp2", $"fp1")).as("checksum"))
+          .orderBy($"status")
+      },
+      Some("""
+        WITH v1 AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(
+                   COALESCE(CAST(doc_id AS VARCHAR), '<null>') || '|' ||
+                   COALESCE(text, '<null>') || '|' ||
+                   COALESCE(lang, '<null>') || '|' ||
+                   COALESCE(source, '<null>') || '|' ||
+                   COALESCE(CAST(n_chars AS VARCHAR), '<null>')), 1, 7))
+                   AS BIGINT) AS fp1
+          FROM documents WHERE doc_id % 13 <> 3),
+        v2 AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(
+                   COALESCE(CAST(doc_id AS VARCHAR), '<null>') || '|' ||
+                   COALESCE(CASE WHEN doc_id % 9 = 4 AND text IS NOT NULL
+                                 THEN text || ' rev2' ELSE text END,
+                            '<null>') || '|' ||
+                   COALESCE(lang, '<null>') || '|' ||
+                   COALESCE(source, '<null>') || '|' ||
+                   COALESCE(CAST(n_chars AS VARCHAR), '<null>')), 1, 7))
+                   AS BIGINT) AS fp2
+          FROM documents WHERE doc_id % 11 <> 7),
+        d AS (
+          SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, fp1, fp2,
+                 CASE WHEN fp1 IS NULL THEN 'added'
+                      WHEN fp2 IS NULL THEN 'removed'
+                      WHEN fp1 <> fp2 THEN 'modified'
+                      ELSE 'unchanged' END AS status
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(COALESCE(fp2, fp1)) AS BIGINT) AS checksum
+        FROM d GROUP BY status ORDER BY status"""))
   )
 
   /** Write-once lang-partitioned copy of the documents table (the

@@ -627,6 +627,92 @@ object Multimodal {
         SELECT agg.rep_doc, CAST(rep.rep_frame AS BIGINT) AS rep_frame,
                agg.n_videos, agg.n_frames
         FROM agg JOIN rep ON agg.pat = rep.pat
-        ORDER BY rep_doc, rep_frame"""))
+        ORDER BY rep_doc, rep_frame""")),
+
+    // ----------------------------------------------------------------- m7
+    // Energy-based audio segmentation — the speech-corpus preprocessing
+    // pass between m4's feature extraction and any ASR training set
+    // (VAD's simplest honest form): samples are voiced iff |pcm| >= 500
+    // (the synthesis spans ±1001, so ~½ the stream), and a SEGMENT is a
+    // maximal voiced run — per clip the pass reports segment count,
+    // voiced-sample total, and the longest run, the statistics a
+    // segmenter uses to cut training utterances and drop silence-only
+    // clips. The operator reads the REAL RIFF/WAVE container (m4's
+    // synthesized PCM16: v_i = (id·31+i·7)%2003−1001) byte-for-byte —
+    // header fields at their little-endian offsets, then ONE imperative
+    // pass over the samples carrying two counters and a run length: the
+    // mapPartitions batch shape (binary in, features out, no shuffle)
+    // with per-clip state that never leaves the task. The oracle
+    // rebuilds every segment with the islands technique over the
+    // synthesis formula — a segmenter that merges across silence,
+    // splits a run, or miscounts an edge sample flips rows.
+    QuerySpec(
+      "m7_audio_segments",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents").select($"doc_id").as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val n = ((id % 3) + 1).toInt * 100
+              val sr = 8000
+              val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              bb.put("RIFF".getBytes); bb.putInt(36 + n * 2); bb.put("WAVE".getBytes)
+              bb.put("fmt ".getBytes); bb.putInt(16)
+              bb.putShort(1); bb.putShort(1)
+              bb.putInt(sr); bb.putInt(sr * 2); bb.putShort(2); bb.putShort(16)
+              bb.put("data".getBytes); bb.putInt(n * 2)
+              var i = 0
+              while (i < n) {
+                bb.putShort((((id * 31 + i * 7) % 2003) - 1001).toShort)
+                i += 1
+              }
+              val wav = bb.array()
+              // ---- segmentation (reads only the container bytes)
+              val rb = java.nio.ByteBuffer.wrap(wav)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              val nSamples = rb.getInt(40) / 2
+              var nSeg = 0L
+              var nVoiced = 0L
+              var longest = 0L
+              var run = 0L
+              var j = 0
+              while (j < nSamples) {
+                val voiced = math.abs(rb.getShort(44 + j * 2).toInt) >= 500
+                if (voiced) {
+                  if (run == 0L) nSeg += 1
+                  run += 1
+                  nVoiced += 1
+                  if (run > longest) longest = run
+                } else run = 0L
+                j += 1
+              }
+              (id, nSeg, nVoiced, longest)
+            }
+          }
+          .toDF("doc_id", "n_segments", "n_voiced", "longest_run")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT doc_id, i,
+                 abs((doc_id * 31 + i * 7) % 2003 - 1001) >= 500 AS voiced
+          FROM documents,
+               UNNEST(range(0, (doc_id % 3 + 1) * 100)) AS t(i)),
+        runs AS (
+          SELECT doc_id, i,
+                 i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+          FROM v WHERE voiced),
+        seg AS (SELECT doc_id, grp, COUNT(*) AS len
+                FROM runs GROUP BY doc_id, grp),
+        agg AS (SELECT doc_id, COUNT(*) AS n_seg, SUM(len) AS n_voiced,
+                       MAX(len) AS longest
+                FROM seg GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_seg, 0) AS BIGINT) AS n_segments,
+               CAST(COALESCE(a.n_voiced, 0) AS BIGINT) AS n_voiced,
+               CAST(COALESCE(a.longest, 0) AS BIGINT) AS longest_run
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id"""))
   )
 }

@@ -769,4 +769,52 @@ class CorpusAnalyticsSpec extends SparkTestBase {
       docs.map(_.getAs[String]("lang")).distinct.length.toLong)
     assert(m.keySet.size == 9)
   }
+
+  test("e7 diff classes are all non-empty and partition both releases exactly") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("e7_release_diff")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("added", "removed", "modified", "unchanged"),
+      s"a diff class went empty: ${rows.keySet}")
+    // the four classes partition the KEY UNION of the two releases —
+    // recomputed from the residue arithmetic that derives them
+    val ids = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id").as[Long].collect()
+    val v1 = ids.filter(_ % 13 != 3).toSet
+    val v2 = ids.filter(_ % 11 != 7).toSet
+    assert(rows("added") == (v2 -- v1).size.toLong)
+    assert(rows("removed") == (v1 -- v2).size.toLong)
+    val both = (v1 intersect v2)
+    // modified = revised docs present in both releases WITH text (a
+    // NULL-text doc revises to itself — fp unchanged)
+    val texts = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val modified = both.count(id => id % 9 == 4 && texts(id).nonEmpty).toLong
+    assert(rows("modified") == modified)
+    assert(rows("unchanged") == both.size - modified)
+  }
+
+  test("m7 segments agree with a driver-side recompute of the PCM islands") {
+    val got = graft.SparkEntry.queries("m7_audio_segments")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(got.nonEmpty)
+    // non-degenerate: segmentation must actually split (some clip has
+    // >1 segment) and some clip must carry silence (voiced < n)
+    assert(got.exists(_._2._1 > 1), "no clip segmented into >1 run")
+    got.foreach { case (id, (nSeg, nVoiced, longest)) =>
+      val n = ((id % 3) + 1).toInt * 100
+      val voiced = (0 until n).map(i =>
+        math.abs(((id * 31 + i * 7) % 2003) - 1001) >= 500)
+      val runs = voiced.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true) => 1 :: acc
+        case (acc, false) if acc.nonEmpty && acc.head == 0 => acc
+        case (acc, false) => 0 :: acc
+      }.filter(_ > 0)
+      assert(nSeg == runs.length.toLong, s"doc $id segment count")
+      assert(nVoiced == voiced.count(identity).toLong, s"doc $id voiced total")
+      assert(longest == (if (runs.isEmpty) 0L else runs.max.toLong), s"doc $id longest")
+    }
+  }
 }

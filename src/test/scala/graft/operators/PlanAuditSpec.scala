@@ -186,7 +186,8 @@ class PlanAuditSpec extends SparkTestBase {
     "g8_item_similarity", "p13_budget_select", "d22_tfidf_cosine_pairs",
     "q62_rolling_anomaly", "m6_frame_dedup", "q63_variant_extract",
     "q64_table_fingerprint", "t30_feature_hashing", "d23_semdedup_keeper",
-    "e6_release_manifest", "d24_banded_semdedup", "p14_compact_small_files")
+    "e6_release_manifest", "d24_banded_semdedup", "p14_compact_small_files",
+    "e7_release_diff", "m7_audio_segments")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
