@@ -1587,8 +1587,22 @@ object Dedup {
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
-    val anchors = emb.filter($"vec_id" < nBands * rowsPerBand)
-      .select($"vec_id".as("plane"), $"embedding".as("av"))
+    // Anchors are the nA smallest-vec_id vectors BY RANK, not by the
+    // `vec_id < nA` id filter: on the contiguous 0-based fixtures the
+    // two are identical (so the pinned DuckDB oracle is unchanged), but
+    // on a SPARSE id space the id filter silently under-selects — the
+    // sf10 ScaleUp dir (ids shifted by copy·1e6) yielded only 2,000 of
+    // the 6,948 requested anchors, quietly running 167 effective bands
+    // instead of 579 and collapsing measured recall to 56% (SCALING.md
+    // round 10). Rank selection makes the anchor count a guarantee;
+    // plane = rank keeps the band/bit layout identical on contiguous
+    // ids. The limit-then-window runs on an nA-row frame.
+    val nA = nBands * rowsPerBand
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"vec_id")
+    val anchors = emb.select($"vec_id", $"embedding")
+      .orderBy($"vec_id").limit(nA)
+      .select((row_number().over(w) - 1).as("plane"),
+        $"embedding".as("av"))
     emb.select($"vec_id", $"embedding")
       .crossJoin(broadcast(anchors))
       .withColumn("dot",
@@ -1662,6 +1676,12 @@ object Dedup {
     val p1 = 1.0 - math.acos(threshold) / math.Pi
     val nBands = math.max(8,
       math.ceil(math.log(10.0) / math.pow(p1, r)).toInt)
+    // anchor sufficiency is a hard precondition, not a silent cap: a
+    // corpus smaller than its own anchor demand means the threshold/
+    // scale combination is outside this design's regime (use the exact
+    // d5 kernel there — n is tiny by definition)
+    require(nBands.toLong * r <= n,
+      s"auto-sizing needs ${nBands.toLong * r} anchors but the corpus has $n vectors")
     (bandedCosinePairs(s, dir, threshold, nBands, r), nBands, r)
   }
 
