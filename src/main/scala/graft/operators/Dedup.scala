@@ -1296,7 +1296,132 @@ object Dedup {
       },
       Some("WITH RECURSIVE "
         + BandedCosinePairsOracle(0.4, 10, 3).trim.stripPrefix("WITH")
-        + SemdedupKeeperSqlTail))
+        + SemdedupKeeperSqlTail)),
+
+    // ---------------------------------------------------------------- d25
+    // INCREMENTAL semantic dedup — d24's daily-run mode, closing the
+    // incremental symmetry the dedup plane already has for exact
+    // passages (d11 Bloom) and MinHash shingles (d12): a standing
+    // corpus with a FIXED anchor family (the band space is the index's
+    // immutable part) receives a new batch; each new vector is signed
+    // against the SAME anchors ([[bandSignaturesOn]]), probed into the
+    // corpus's (band, signature) buckets, exact-cosine verified on
+    // candidates only, and ADMITTED iff nothing in the corpus matches
+    // at the threshold. Per new doc the output carries the admit
+    // verdict plus its best corpus match (max cosine, min-id
+    // tie-break) — the audit row a daily ingest job logs. At 100 TB
+    // the corpus signature table is PERSISTED (bucket-keyed, append-
+    // only as batches are admitted) so a day's cost is
+    // |batch|·bands·r signing work + the candidate verify — never a
+    // corpus rescan; the roster query re-derives corpus signatures
+    // inline only so the full computation replays under the DuckDB
+    // oracle (anchors = first bands·r corpus vectors by rank, seed-
+    // free, both engines derive identical buckets — d24's argument).
+    // Batch split: vec_id % 5 == 0 (20% arrives "today").
+    QuerySpec(
+      "d25_incremental_semdedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val th = 0.4
+        val (nBands, r) = (10, 3)
+        val emb = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding")
+        val corpus = emb.filter($"vec_id" % 5 =!= 0)
+        val batch = emb.filter($"vec_id" % 5 === 0)
+        val wA = Window.orderBy($"vec_id")
+        val anchors = corpus.orderBy($"vec_id").limit(nBands * r)
+          .select((row_number().over(wA) - 1).as("plane"),
+            $"embedding".as("av"))
+        val cSide = bandSignaturesOn(corpus, anchors, r)
+          .join(corpus, "vec_id")
+          .select($"band", $"sg", $"vec_id".as("corpus_id"),
+            $"embedding".as("cv"))
+        val bSide = bandSignaturesOn(batch, anchors, r)
+          .join(batch, "vec_id")
+          .select($"band", $"sg", $"vec_id".as("new_id"),
+            $"embedding".as("nv"))
+        val matches = bSide.join(cSide, Seq("band", "sg"))
+          .withColumn("cosine",
+            round(graft.functions.GraftFunctions.cosineSim($"nv", $"cv"), 6))
+          .filter($"cosine" >= th)
+          .select($"new_id", $"corpus_id", $"cosine")
+          .distinct()
+        val best = matches
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"new_id")
+              .orderBy($"cosine".desc, $"corpus_id")))
+          .filter($"rk" === 1)
+          .select($"new_id", $"corpus_id".as("matched_id"),
+            $"cosine".as("best_cosine"))
+        batch.select($"vec_id".as("new_id"))
+          .join(best, Seq("new_id"), "left_outer")
+          .select($"new_id", $"matched_id".isNull.as("admitted"),
+            $"matched_id", $"best_cosine")
+          .orderBy($"new_id")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+        batch AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+        anch AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS plane,
+                 embedding AS av
+          FROM corpus ORDER BY vec_id LIMIT 30),
+        cdots AS (
+          SELECT c.vec_id, anch.plane,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(generate_series(1, len(c.embedding)),
+                     i -> CAST(c.embedding[i] AS DOUBLE) * CAST(anch.av[i] AS DOUBLE))),
+                   (acc, x) -> acc + x) AS dot
+          FROM corpus c CROSS JOIN anch),
+        bdots AS (
+          SELECT b.vec_id, anch.plane,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(generate_series(1, len(b.embedding)),
+                     i -> CAST(b.embedding[i] AS DOUBLE) * CAST(anch.av[i] AS DOUBLE))),
+                   (acc, x) -> acc + x) AS dot
+          FROM batch b CROSS JOIN anch),
+        csig AS (
+          SELECT vec_id, CAST(plane // 3 AS BIGINT) AS band,
+                 CAST(SUM(CASE WHEN dot >= 0
+                               THEN CAST(pow(2, plane % 3) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS sg
+          FROM cdots GROUP BY vec_id, band),
+        bsig AS (
+          SELECT vec_id, CAST(plane // 3 AS BIGINT) AS band,
+                 CAST(SUM(CASE WHEN dot >= 0
+                               THEN CAST(pow(2, plane % 3) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS sg
+          FROM bdots GROUP BY vec_id, band),
+        cand AS (
+          SELECT DISTINCT b.vec_id AS new_id, c.vec_id AS corpus_id
+          FROM bsig b JOIN csig c ON b.band = c.band AND b.sg = c.sg),
+        cp AS (
+          SELECT cand.new_id, cand.corpus_id,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(a.embedding)),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
+          FROM cand JOIN embeddings a ON a.vec_id = cand.new_id
+                    JOIN embeddings b ON b.vec_id = cand.corpus_id),
+        m AS (SELECT * FROM cp WHERE cosine >= 0.4),
+        best AS (
+          SELECT new_id, corpus_id AS matched_id, cosine AS best_cosine,
+                 ROW_NUMBER() OVER (PARTITION BY new_id
+                   ORDER BY cosine DESC, corpus_id) AS rk
+          FROM m)
+        SELECT bt.vec_id AS new_id,
+               (w.matched_id IS NULL) AS admitted,
+               w.matched_id, w.best_cosine
+        FROM batch bt
+        LEFT JOIN (SELECT * FROM best WHERE rk = 1) w
+          ON bt.vec_id = w.new_id
+        ORDER BY new_id"""))
   )
 
   /** d10's winnow window (consecutive shingle hashes per min-selection).
@@ -1603,7 +1728,21 @@ object Dedup {
       .orderBy($"vec_id").limit(nA)
       .select((row_number().over(w) - 1).as("plane"),
         $"embedding".as("av"))
-    emb.select($"vec_id", $"embedding")
+    bandSignaturesOn(emb, anchors, rowsPerBand)
+  }
+
+  /** [[bandSignatures]] over ARBITRARY vector/anchor frames — the
+    * incremental form d25 needs: signatures for `vecs(vec_id,
+    * embedding)` against a FIXED `anchors(plane, av)` frame, so a new
+    * batch buckets into the SAME band space as the standing corpus
+    * without touching it (the anchor family is the index's immutable
+    * part; signatures are additive per vector). Identical arithmetic to
+    * the d24 path — bandSignatures delegates here. */
+  def bandSignaturesOn(vecs: org.apache.spark.sql.DataFrame,
+                       anchors: org.apache.spark.sql.DataFrame,
+                       rowsPerBand: Int): org.apache.spark.sql.DataFrame = {
+    import vecs.sparkSession.implicits._
+    vecs.select($"vec_id", $"embedding")
       .crossJoin(broadcast(anchors))
       .withColumn("dot",
         graft.functions.GraftFunctions.dot($"embedding", $"av"))

@@ -1187,6 +1187,79 @@ object Mixing {
                n_rows, checksum FROM n
         ORDER BY phase""")),
 
+    // ---------------------------------------------------------------- p15
+    // Stratified sampling with EXACT per-stratum allocation — the eval/
+    // holdout-split constructor p12's flat bottom-k can't express: each
+    // language stratum contributes exactly ceil(n_h/5) documents (20%
+    // proportional allocation, never zero for a non-empty stratum), so
+    // the split's language mix provably mirrors the corpus instead of
+    // drifting with hash luck. Selection within a stratum is p12's
+    // seeded-md5 bottom-k (exchangeable ⇒ exact uniform k-subset;
+    // mergeable across shards by the KMV property — at 100 TB every
+    // daily shard keeps its own per-stratum bottom-k and the merge
+    // re-truncates, nothing global ever sorts). Plan: the rank filter
+    // against the CONSTANT cross-stratum max quota compiles to the
+    // two-phase WindowGroupLimit (map-side cut BELOW the stratum
+    // exchange — the p12 pin), then the broadcast quota join applies
+    // each stratum's exact ceil(n_h/5) cut; the constant bound is
+    // derived from a language-cardinality aggregate (dimension-sized,
+    // the t16 scalar convention). Output is the audit frame: per
+    // stratum population, quota, realized sample size (== quota by
+    // construction), the sample's order-free id checksum, and its
+    // char mass — the row an eval-set release ships.
+    QuerySpec(
+      "p15_stratified_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val quotas = docs.groupBy($"lang")
+          .agg(count(lit(1)).as("n_pop"))
+          .withColumn("quota", (($"n_pop" + 4L) / lit(5L)).cast("long"))
+        // constant bound for the map-side WindowGroupLimit cut: the
+        // largest stratum's quota (language-cardinality agg → scalar)
+        val maxQuota = quotas.agg(max($"quota")).head().getLong(0)
+        val w = Window.partitionBy($"lang")
+          .orderBy(md5(concat(lit("graft:15:"), $"doc_id".cast("string"))),
+            $"doc_id")
+        docs.select($"lang", $"doc_id", $"n_chars")
+          .withColumn("pos", row_number().over(w))
+          .filter($"pos" <= lit(maxQuota))
+          .join(broadcast(quotas), Seq("lang"))
+          .filter($"pos" <= $"quota")
+          .groupBy($"lang")
+          .agg(first($"n_pop").as("n_pop"), first($"quota").as("quota"),
+            count(lit(1)).as("n_sampled"),
+            sum(conv(substring(md5($"doc_id".cast("string")), 1, 7), 16, 10)
+              .cast("long")).as("sample_checksum"),
+            sum($"n_chars").as("sample_chars"))
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH q AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pop,
+                 CAST((COUNT(*) + 4) // 5 AS BIGINT) AS quota
+          FROM documents GROUP BY lang),
+        ranked AS (
+          SELECT lang, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5('graft:15:' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS pos
+          FROM documents),
+        s AS (
+          SELECT r.lang, r.doc_id, r.n_chars
+          FROM ranked r JOIN q USING (lang) WHERE r.pos <= q.quota)
+        SELECT lang,
+               CAST(MIN(n_pop) AS BIGINT) AS n_pop,
+               CAST(MIN(quota) AS BIGINT) AS quota,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                 AS BIGINT)) AS BIGINT) AS sample_checksum,
+               CAST(SUM(n_chars) AS BIGINT) AS sample_chars
+        FROM s JOIN q USING (lang)
+        GROUP BY lang
+        ORDER BY lang""")),
+
     // ---------------------------------------------------------------- e6
     // Release manifest — the "data card" every published training
     // corpus ships with (the Datasheets-for-Datasets accounting),

@@ -2316,6 +2316,110 @@ object Relational {
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
+    // ---------------------------------------------------------------- q65
+    // Dynamic partition pruning — THE fact-table lever at lake scale:
+    // the fact side is the lang-partitioned corpus layout (p9's
+    // [[Mixing.partitionedCorpus]] fixture), the dim side's qualifying
+    // lang set is only known at RUNTIME (langs that appear under one
+    // source — a selective filter the optimizer cannot fold into a
+    // static partition predicate), so Catalyst injects a
+    // `dynamicpruning` subquery into the scan's PartitionFilters: the
+    // broadcast build side is REUSED as the pruning filter and the
+    // fact scan never lists, opens, or reads the non-qualifying
+    // partitions. On a 100 TB date/lang-partitioned lake this is the
+    // difference between scanning the whole fact table and scanning
+    // the joined slice — p9 proves the STATIC literal case, q65 the
+    // runtime-join case. PlanAuditSpec pins `dynamicpruning#` in the
+    // scan and DppBloomSpec measures the partition-level skip.
+    QuerySpec(
+      "q65_dpp_partition_prune",
+      (s, dir) => {
+        import s.implicits._
+        val part = s.read.parquet(Mixing.partitionedCorpus(s, dir))
+        // runtime-only dim: the langs observed under source 'src14'
+        // (EqualTo — a selective predicate, so the DPP rule fires)
+        val dim = Tables(s, dir, "documents")
+          .filter($"source" === "src14")
+          .select($"lang").distinct()
+        part.join(broadcast(dim), Seq("lang"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("total_chars"))
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH dim AS (SELECT DISTINCT lang FROM documents WHERE source = 'src14')
+        SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents d JOIN dim USING (lang)
+        GROUP BY d.lang ORDER BY d.lang""")),
+
+    // ---------------------------------------------------------------- q66
+    // Runtime bloom-filter join — the OTHER fact-table lever: when the
+    // fact side is NOT partitioned by the join key (so q65's DPP can't
+    // help) and the dim side is too big or too late to broadcast, the
+    // optimizer builds a bloom filter over the selective dim's join
+    // keys and pushes `bloom_filter_might_contain` into the fact scan
+    // side — rows that cannot survive the join die BEFORE the shuffle,
+    // so the exchange carries the joined slice, not the table. Scoped
+    // confs force the 100 TB shape at fixture scale (broadcast off →
+    // shuffle join, application-side threshold 0 so the tiny fixture
+    // qualifies); the q49 convention pins the plan inside the flag
+    // scope (eager checkpoint on the production path, forced
+    // executedPlan for the audit) so the flags never leak. The oracle
+    // is pure join semantics — the bloom filter is a pure pre-filter
+    // (false positives die in the join, no false negatives), so the
+    // result is flag-invariant. DppBloomSpec measures the row
+    // reduction the filter achieves at the shuffle boundary.
+    QuerySpec(
+      "q66_bloom_runtime_filter",
+      (s, dir) => {
+        import s.implicits._
+        val scoped = Seq(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+        val prev = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+        scoped.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val li = Tables(s, dir, "lineitem")
+          // selective creation side: urgent orders above a high cutoff
+          val sel = Tables(s, dir, "orders")
+            .filter($"o_orderpriority" === "1-URGENT" &&
+              $"o_totalprice" > 400000.0)
+            .select($"o_orderkey")
+          val out = li.join(sel, $"l_orderkey" === $"o_orderkey")
+            .groupBy($"l_returnflag")
+            .agg(count(lit(1)).as("n_lines"),
+              round(sum(dec($"l_extendedprice") *
+                (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
+                .cast("double"), 4).as("revenue"))
+          val eager = s.conf.getOption("graft.eagerRelease").forall(_.toBoolean)
+          if (eager) out.localCheckpoint(true).orderBy($"l_returnflag")
+          else {
+            // audit path: pin the ORDERED plan inside the flag scope —
+            // forcing only the pre-sort frame would let the derived
+            // orderBy re-plan after the finally restores the confs,
+            // silently auditing a broadcast plan with no bloom filter
+            val ordered = out.orderBy($"l_returnflag")
+            ordered.queryExecution.executedPlan
+            ordered
+          }
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None)    => s.conf.unset(k)
+        }
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n_lines,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000.0
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
     variantSpec
   )
 

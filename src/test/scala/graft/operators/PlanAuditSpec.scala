@@ -132,7 +132,11 @@ class PlanAuditSpec extends SparkTestBase {
     "e6_release_manifest",
     // g8 crosses the 1-ROW cap-accounting aggregate onto its 50-row
     // top list — the t16 scalar-cross shape ("no silent caps")
-    "g8_item_similarity")
+    "g8_item_similarity",
+    // d25 reuses d24's anchor cross (bands·r broadcast rows against
+    // corpus and batch — O(n·bands·r) signature assignment by
+    // construction); the probe join itself is (band, signature)-keyed
+    "d25_incremental_semdedup")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -187,7 +191,9 @@ class PlanAuditSpec extends SparkTestBase {
     "q62_rolling_anomaly", "m6_frame_dedup", "q63_variant_extract",
     "q64_table_fingerprint", "t30_feature_hashing", "d23_semdedup_keeper",
     "e6_release_manifest", "d24_banded_semdedup", "p14_compact_small_files",
-    "e7_release_diff", "m7_audio_segments")
+    "e7_release_diff", "m7_audio_segments", "q65_dpp_partition_prune",
+    "q66_bloom_runtime_filter", "d25_incremental_semdedup",
+    "p15_stratified_sample")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
@@ -402,6 +408,20 @@ class PlanAuditSpec extends SparkTestBase {
     val iPartial = p.lastIndexOf("WindowGroupLimit")
     assert(iFinal >= 0 && iExchange >= 0 && iPartial > iFinal,
       s"p12 lost the two-phase group limit:\n${p.take(800)}")
+    assert(iFinal < iExchange && iExchange < iPartial,
+      "the partial cut must run below the exchange, the final above it")
+  }
+
+  test("p15's constant-bound rank filter gets the two-phase WindowGroupLimit cut") {
+    // the stratified sampler's scale claim is p12's: the rank filter
+    // against the cross-stratum max quota must map-side cut BELOW the
+    // stratum exchange before the per-stratum exact quotas apply
+    val p = planOf("p15_stratified_sample")
+    val iFinal = p.indexOf("WindowGroupLimit")
+    val iExchange = p.indexOf("Exchange hashpartitioning(lang")
+    val iPartial = p.lastIndexOf("WindowGroupLimit")
+    assert(iFinal >= 0 && iExchange >= 0 && iPartial > iFinal,
+      s"p15 lost the two-phase group limit:\n${p.take(800)}")
     assert(iFinal < iExchange && iExchange < iPartial,
       "the partial cut must run below the exchange, the final above it")
   }
