@@ -348,8 +348,11 @@ object PdfParser extends FormatParser {
       }
   }
 
-  private def pageOrderedStreams(objs: Seq[PdfObject]): Option[Seq[(Array[Byte], Seq[LinkRect])]] = {
-    val byNum = objs.map(o => o.num -> o).toMap
+  /** Page objects in page-tree order (catalog → /Pages → /Kids walk,
+    * cycle-guarded) — empty when the file has no parsable page tree.
+    * Shared by [[pageOrderedStreams]] and [[ocrTriage]]. */
+  private def pageObjects(objs: Seq[PdfObject],
+                          byNum: Map[Int, PdfObject]): Seq[PdfObject] = {
     def pagesOf(num: Int, depth: Int): Seq[PdfObject] =
       if (depth > 32) Seq.empty // cycle guard
       else byNum.get(num).toSeq.flatMap { o =>
@@ -364,18 +367,108 @@ object PdfParser extends FormatParser {
       .nextOption()
       .orElse(objs.find(o => o.body.contains("/Type /Pages") || o.body.contains("/Type/Pages"))
         .map(_.num))
-    val pages = rootPagesNum.map(pagesOf(_, 0)).getOrElse(Seq.empty)
+    rootPagesNum.map(pagesOf(_, 0)).getOrElse(Seq.empty)
+  }
+
+  /** A page's /Contents stream refs (array or single form). */
+  private def pageContentRefs(p: PdfObject): Seq[Int] =
+    ContentsArr.findFirstMatchIn(p.body)
+      .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq)
+      .orElse(ContentsRef.findFirstMatchIn(p.body).map(m => Seq(m.group(1).toInt)))
+      .getOrElse(Seq.empty)
+
+  private def pageOrderedStreams(objs: Seq[PdfObject]): Option[Seq[(Array[Byte], Seq[LinkRect])]] = {
+    val byNum = objs.map(o => o.num -> o).toMap
+    val pages = pageObjects(objs, byNum)
     if (pages.isEmpty) None
     else {
       val streams = pages.flatMap { p =>
-        val refs = ContentsArr.findFirstMatchIn(p.body)
-          .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq)
-          .orElse(ContentsRef.findFirstMatchIn(p.body).map(m => Seq(m.group(1).toInt)))
-          .getOrElse(Seq.empty)
         val links = pageLinks(p, byNum)
-        refs.flatMap(byNum.get).flatMap(_.data).map(d => (d, links))
+        pageContentRefs(p).flatMap(byNum.get).flatMap(_.data)
+          .map(d => (d, links))
       }
       if (streams.isEmpty) None else Some(streams)
+    }
+  }
+
+  // ------------------------------------------------------------- OCR triage
+
+  /** k9's per-document routing facts (VERDICT r11 #7): page counts a
+    * 100 TB triage pass derives WITHOUT attempting text extraction, so
+    * scanned/image-only documents route to an OCR lane as a filter
+    * instead of a convert-fail-reparse loop. `imageOnlyPages` counts
+    * pages with NO text-showing operator but at least one invocation of
+    * an image XObject; `textPages` counts pages with a non-empty
+    * text-show (a page with both counts as text — its words are
+    * extractable; the reference's OCR path, service.py:63-70, is for
+    * pages where they are not). */
+  final case class OcrTriage(nPages: Int, textPages: Int,
+                             imageOnlyPages: Int)
+
+  /** A non-empty text-SHOW operator: a literal or hex string (with at
+    * least one non-space / one hex digit) fed to Tj or ', or a TJ array
+    * containing one. A triage heuristic by design — it never decodes
+    * fonts, so it costs one regex pass per stream instead of the full
+    * extraction stack. */
+  private val TextShowRe = (
+    """\((?:\\.|[^\\()])*[^\s\\()](?:\\.|[^\\()])*\)\s*(?:Tj|')""" +
+      """|<[0-9A-Fa-f][0-9A-Fa-f\s]*>\s*(?:Tj|')""" +
+      """|\[[^\]]*?(?:\((?:\\.|[^\\()])+\)|<[0-9A-Fa-f][0-9A-Fa-f\s]*>)[^\]]*?\]\s*TJ""").r
+
+  /** Classify every page for OCR routing. Structural only: object scan,
+    * page-tree walk, per-page content-stream regex — no font decode, no
+    * image decode (the image-name set keeps ALL /Subtype /Image
+    * XObjects, decodable by this kernel or not — a CCITT scan still
+    * needs OCR). Files without a page tree fall back to one-stream≈one-
+    * page (the [[parse]] fallback's granularity). Encrypted files are
+    * refused with the same honest cause as [[parse]] — their content
+    * streams are ciphertext, so counting text operators in them would
+    * fabricate verdicts. */
+  def ocrTriage(bytes: Array[Byte]): Either[String, OcrTriage] = {
+    try {
+      val objs = parseObjects(bytes)
+      val trailerTail = {
+        val raw = new String(bytes, StandardCharsets.ISO_8859_1)
+        val t = raw.lastIndexOf("trailer")
+        if (t < 0) "" else raw.substring(t)
+      }
+      if (trailerTail.contains("/Encrypt") || objs.exists(_.body.contains("/Encrypt")))
+        return Left("PDF is encrypted; decryption is not supported in this build")
+      val byNum = objs.map(o => o.num -> o).toMap
+      val imageNums = objs.iterator
+        .filter(o => ImageSubtype.findFirstIn(o.body).isDefined)
+        .map(_.num).toSet
+      val imageNames: Set[String] = (for {
+        o <- objs
+        d <- XObjDictRe.findAllMatchIn(o.body)
+        r <- FontRefRe.findAllMatchIn(d.group(1))
+        if imageNums(r.group(2).toInt)
+      } yield r.group(1)).toSet
+      val pages = pageObjects(objs, byNum)
+      val pageStreams: Seq[Seq[Array[Byte]]] =
+        if (pages.nonEmpty)
+          pages.map(p => pageContentRefs(p).flatMap(byNum.get).flatMap(_.data))
+        else
+          // no page tree: every non-image stream-bearing object is its
+          // own "page" — the same granularity parse() falls back to
+          objs.filter(o => o.data.isDefined &&
+            ImageSubtype.findFirstIn(o.body).isEmpty &&
+            FontType.findFirstIn(o.body).isEmpty)
+            .map(o => o.data.toSeq)
+      var text = 0
+      var imgOnly = 0
+      pageStreams.foreach { streams =>
+        val s = streams
+          .map(new String(_, StandardCharsets.ISO_8859_1)).mkString("\n")
+        val hasText = TextShowRe.findFirstIn(s).isDefined
+        lazy val hasImage =
+          DoRe.findAllMatchIn(s).exists(m => imageNames(m.group(1)))
+        if (hasText) text += 1
+        else if (hasImage) imgOnly += 1
+      }
+      Right(OcrTriage(pageStreams.size, text, imgOnly))
+    } catch {
+      case e: Exception => Left(s"Invalid PDF: ${e.getMessage}")
     }
   }
 

@@ -1217,8 +1217,15 @@ object Mixing {
           .agg(count(lit(1)).as("n_pop"))
           .withColumn("quota", (($"n_pop" + 4L) / lit(5L)).cast("long"))
         // constant bound for the map-side WindowGroupLimit cut: the
-        // largest stratum's quota (language-cardinality agg → scalar)
-        val maxQuota = quotas.agg(max($"quota")).head().getLong(0)
+        // largest stratum's quota (language-cardinality agg → scalar).
+        // NOTE this is an EAGER scalar job at frame-construction time —
+        // the bandedCosinePairsAuto convention: the bound must be a
+        // literal for the WindowGroupLimit rewrite to fire, so every
+        // plan/explain of p15 pays one dimension-sized aggregate. The
+        // max over an EMPTY corpus is SQL NULL — guarded to 0 (empty
+        // sample), not an NPE (ADVICE r11).
+        val maxQuota = Option(quotas.agg(max($"quota")).head().get(0))
+          .fold(0L)(_.asInstanceOf[Long])
         val w = Window.partitionBy($"lang")
           .orderBy(md5(concat(lit("graft:15:"), $"doc_id".cast("string"))),
             $"doc_id")
@@ -1434,7 +1441,75 @@ object Mixing {
           FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
         SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(COALESCE(fp2, fp1)) AS BIGINT) AS checksum
-        FROM d GROUP BY status ORDER BY status"""))
+        FROM d GROUP BY status ORDER BY status""")),
+
+    // ---------------------------------------------------------------- e8
+    // Lakehouse-scan capstone (VERDICT r11 #5) — the round-11 levers
+    // composed into the one query shape a 100 TB lake actually runs:
+    // the fact side is the COMPACTED, lang-PARTITIONED corpus layout
+    // (p9's packed shards — p14's target layout), partition-pruned at
+    // RUNTIME by a dim only a join can resolve (q65's dynamic partition
+    // pruning: langs observed under source src14), and pre-filtered on
+    // the UNpartitioned doc_id key by q66's runtime bloom filter built
+    // over a selective dim (src3's doc ids) — fact rows that can't
+    // survive the join die at the scan, partitions that can't qualify
+    // are never listed, and the files scanned are the packed ones. The
+    // lang dim broadcasts by explicit hint (DPP reuses that exchange as
+    // the pruning subquery) while both broadcast thresholds are off so
+    // the doc_id join stays a shuffle join — the shape bloom injection
+    // requires. DppBloomSpec pins BOTH `dynamicpruning#` and the
+    // `might_contain` probe in one executed plan; the oracle is pure
+    // join semantics over the base table — layout- and flag-invariant.
+    QuerySpec(
+      "e8_lakehouse_scan",
+      (s, dir) => {
+        import s.implicits._
+        val scoped = Seq(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+        val prev = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+        scoped.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val part = s.read.parquet(partitionedCorpus(s, dir))
+          val docs = Tables(s, dir, "documents")
+          // runtime-only partition dim (q65's shape: EqualTo is a
+          // selective predicate, so the DPP rule fires on the join)
+          val langDim = docs.filter($"source" === "src14")
+            .select($"lang").distinct()
+          // selective creation side for the bloom filter: one source's
+          // doc ids (~1/15 of the corpus)
+          val sel = docs.filter($"source" === "src3")
+            .select($"doc_id".as("sel_id"))
+          val out = part
+            .join(broadcast(langDim), Seq("lang"))
+            .join(sel, $"doc_id" === $"sel_id")
+            .groupBy($"lang")
+            .agg(count(lit(1)).as("n_docs"),
+              sum($"n_chars").as("total_chars"))
+          val eager = s.conf.getOption("graft.eagerRelease").forall(_.toBoolean)
+          if (eager) out.localCheckpoint(true).orderBy($"lang")
+          else {
+            // q66's audit-path convention: pin the ORDERED plan inside
+            // the flag scope (same AQE-at-collect caveat applies)
+            val ordered = out.orderBy($"lang")
+            ordered.queryExecution.executedPlan
+            ordered
+          }
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None)    => s.conf.unset(k)
+        }
+      },
+      Some("""
+        WITH dim AS (SELECT DISTINCT lang FROM documents WHERE source = 'src14'),
+        sel AS (SELECT doc_id FROM documents WHERE source = 'src3')
+        SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents d JOIN dim USING (lang) JOIN sel USING (doc_id)
+        GROUP BY d.lang ORDER BY d.lang"""))
   )
 
   /** Write-once lang-partitioned copy of the documents table (the

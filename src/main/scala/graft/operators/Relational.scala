@@ -2402,7 +2402,16 @@ object Relational {
             // audit path: pin the ORDERED plan inside the flag scope —
             // forcing only the pre-sort frame would let the derived
             // orderBy re-plan after the finally restores the confs,
-            // silently auditing a broadcast plan with no bloom filter
+            // silently auditing a broadcast plan with no bloom filter.
+            // Caveat (ADVICE r11): the pin fixes the COMPILED plan (the
+            // bloom build + might_contain probe survive), but AQE's
+            // runtime re-optimization at collect time reads the LIVE
+            // session conf — after the finally restores the defaults it
+            // may still convert the probed shuffle join to a broadcast
+            // join. The shuffle MAP stages (where the probe runs and
+            // where DppBloomSpec reads recordsWritten) materialize
+            // before that conversion, so the measurement and the result
+            // hold; only the final join strategy is not frozen here.
             val ordered = out.orderBy($"l_returnflag")
             ordered.queryExecution.executedPlan
             ordered
@@ -2420,8 +2429,136 @@ object Relational {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
+    // ---------------------------------------------------------------- q67
+    // AQE skew-join split — the built-in lever a 100 TB user reaches
+    // for FIRST on a skewed shuffle join (VERDICT r11 #6), beside q28's
+    // manual salting (still the answer for skewed AGGREGATIONS and
+    // pre-AQE engines): the fact side plants the classic pathology
+    // (~95% of lineitem rows collapse onto one hot key), scoped confs
+    // lower the skew thresholds so the KB-scale fixture partition trips
+    // the same OptimizeSkewedJoin path a multi-GB partition trips in
+    // production, and AQE splits the hot partition into advisory-sized
+    // reader slices at runtime — no key rewrite, no salt column, result
+    // identical to the plain join (the oracle). The join itself is
+    // [[skewJoinDemo]] (shared with AqeSkewJoinSpec, which executes it
+    // inside the conf scope and pins `skew=true` in the FINAL adaptive
+    // plan — the split only exists post-execution, so the pin needs a
+    // collect). Production path materializes INSIDE the scope
+    // (localCheckpoint) — AQE reads live confs at execution time, so
+    // restoring them first would silently skip the split (the q66
+    // caveat, load-bearing here).
+    QuerySpec(
+      "q67_aqe_skew_join",
+      (s, dir) => {
+        import s.implicits._
+        val scoped = SkewConfs
+        val prev = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+        scoped.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val out = skewJoinDemo(s, dir)
+          val eager = s.conf.getOption("graft.eagerRelease").forall(_.toBoolean)
+          if (eager) out.localCheckpoint(true).orderBy($"grp")
+          else {
+            val ordered = out.orderBy($"grp")
+            ordered.queryExecution.executedPlan
+            ordered
+          }
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None)    => s.conf.unset(k)
+        }
+      },
+      Some("""
+        WITH fact AS (
+          SELECT CAST(CASE WHEN l_orderkey % 20 <> 0 THEN 42
+                           ELSE l_orderkey % 97 END AS BIGINT) AS k,
+                 l_quantity
+          FROM lineitem),
+        dimk AS (
+          SELECT CAST(c_custkey % 97 AS BIGINT) AS k,
+                 CAST(COUNT(*) AS BIGINT) AS dim_n
+          FROM customer GROUP BY 1),
+        dim AS (
+          SELECT k, dim_n,
+                 'g' || lpad(CAST(k % 13 AS VARCHAR), 2, '0') AS grp
+          FROM dimk)
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+               MIN(dim_n) AS min_dim_n
+        FROM fact JOIN dim USING (k)
+        GROUP BY grp ORDER BY grp""")),
+
     variantSpec
   )
+
+  /** q67's scoped conf deltas: production skew-split defaults (factor 5,
+    * 256 MB) scaled to the fixture so the planted hot partition (tens of
+    * KB at sf0.001+) trips the same code path; broadcast off on both
+    * thresholds forces the sort-merge join the splitter rewrites;
+    * coalesce off keeps the skew reader the only AQE rewrite. */
+  private[operators] def SkewConfs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+
+  /** q67's join, conf-free and lazy (shared by the roster wrapper and
+    * AqeSkewJoinSpec's post-execution `skew=true` pin): planted-skew
+    * fact (~95% of lineitem on hot key 42, the rest spread over 97
+    * residues) joined to the customer-derived 97-key dimension, then
+    * aggregated by the dim-side GROUP label. The aggregation key is
+    * deliberately NOT the join key: OptimizeSkewedJoin never introduces
+    * an extra shuffle, so it declines to split a join whose output
+    * partitioning a downstream agg would reuse — group-by-join-key is
+    * the one shape the lever cannot help without
+    * forceOptimizeSkewedJoin. Grouping by the dim attribute (the common
+    * fact-join-dim rollup) keeps the split free. Semantics are
+    * flag-invariant — the split is a pure partition-level rewrite. */
+  private[operators] def skewJoinDemo(s: org.apache.spark.sql.SparkSession,
+                                      dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // the round-robin repartition emulates the multi-mapper input a
+    // real fact table always has (the m2 fixture convention): AQE
+    // splits a skewed REDUCE partition at map-output granularity, so a
+    // single-file fixture scan (one mapper) is structurally unsplittable
+    // no matter how skewed — at 100 TB the fact side arrives in
+    // thousands of map outputs and this shuffle does not exist
+    val fact = Tables(s, dir, "lineitem")
+      .select(
+        when($"l_orderkey" % 20 =!= 0, lit(42L))
+          .otherwise($"l_orderkey" % 97).as("k"),
+        $"l_quantity")
+      .repartition(s.sparkContext.defaultParallelism)
+    // the dimension is MATERIALIZED (97 rows, one tiny eager job — the
+    // p15 scalar convention) so the join's build side is a bare
+    // ENSURE_REQUIREMENTS exchange: OptimizeSkewedJoin only rewrites a
+    // join whose children are Sort-over-shuffle-stage directly, and the
+    // dim's aggregate would otherwise sit between its sort and its
+    // stage, silently disqualifying the join from the split. At 100 TB
+    // dimensions are read pre-materialized from storage anyway — this
+    // reproduces that shape at fixture scale.
+    val dim = Tables(s, dir, "customer")
+      .groupBy(($"c_custkey" % 97).as("k"))
+      .agg(count(lit(1)).as("dim_n"))
+      .withColumn("grp",
+        concat(lit("g"), lpad(($"k" % 13).cast("string"), 2, "0")))
+      .localCheckpoint(true)
+    fact.join(dim, Seq("k"))
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(dec($"l_quantity")).cast("double"), 4).as("sum_qty"),
+        // NOT countDistinct(k): a distinct-agg plans a merge aggregate
+        // keyed (grp, k) whose ClusteredDistribution the join's
+        // k-partitioning happens to satisfy — the skew split would
+        // invalidate it, so OptimizeSkewedJoin reverts (the same
+        // group-by-join-key trap, one level up)
+        min($"dim_n").as("min_dim_n"))
+  }
 
   /** q40 runs identical SQL in Spark and DuckDB. A `def` for the same
     * init-order reason as [[Q30Sql]]. */

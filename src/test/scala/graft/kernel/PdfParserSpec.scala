@@ -586,4 +586,42 @@ class PdfParserSpec extends AnyFunSuite {
     assert(r.error == null, String.valueOf(r.error))
     assert(r.markdown == "H")
   }
+
+  test("ocrTriage classifies k9's mixed fixture exactly per its construction") {
+    // doc 1: 2 text pages + 1 image-only page (1 + 1%3 = 2, 1%2 = 1)
+    val mixed = graft.operators.KernelQueries.pdfFor(1L, 100L)
+    assert(PdfParser.ocrTriage(mixed) ==
+      Right(PdfParser.OcrTriage(3, 2, 1)))
+    // doc 16: fully image-only scan (16%10 == 6) — triage routes it,
+    // parse refuses it with the honest OCR error
+    val scan = graft.operators.KernelQueries.pdfFor(16L, 100L)
+    assert(PdfParser.ocrTriage(scan) ==
+      Right(PdfParser.OcrTriage(2, 0, 2)))
+    val r = convertOne("doc16.pdf", scan)
+    assert(r.error != null && r.error.contains("OCR"))
+    // doc 2: pure text (2%10 != 6, 1 + 2%3 = 3 text pages, 2%2 = 0)
+    val text = graft.operators.KernelQueries.pdfFor(2L, 7L)
+    assert(PdfParser.ocrTriage(text) ==
+      Right(PdfParser.OcrTriage(3, 3, 0)))
+    // and parse() agrees the text pages are extractable
+    val rt = convertOne("doc2.pdf", text)
+    assert(rt.error == null, String.valueOf(rt.error))
+    assert(rt.markdown.contains("Doc 2 text page 0 of 7 chars."))
+  }
+
+  test("ocrTriage: empty text shows don't count as text; undeclared images don't count as images") {
+    // page shows only an empty string -> neither text nor image-only
+    val blankShow = pdf(Seq("BT () Tj ET" -> false))
+    assert(PdfParser.ocrTriage(blankShow) ==
+      Right(PdfParser.OcrTriage(1, 0, 0)))
+    // /Do of a name with no /Subtype /Image object behind it is not an
+    // image invocation (form XObjects must not trigger OCR routing)
+    val formOnly = pdf(Seq("q /Fm0 Do Q" -> false))
+    assert(PdfParser.ocrTriage(formOnly) ==
+      Right(PdfParser.OcrTriage(1, 0, 0)))
+    // TJ-array and hex forms DO count as text
+    val tjArr = pdf(Seq("BT [(a) -250 (b)] TJ ET" -> true))
+    assert(PdfParser.ocrTriage(tjArr) ==
+      Right(PdfParser.OcrTriage(1, 1, 0)))
+  }
 }

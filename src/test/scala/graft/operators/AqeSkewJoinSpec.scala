@@ -83,4 +83,56 @@ class AqeSkewJoinSpec extends SparkTestBase {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("q67: the roster skew join splits the hot partition and matches the broadcast oracle") {
+    // the skew split only exists in the FINAL adaptive plan, i.e. after
+    // execution, and OptimizeSkewedJoin reads the LIVE session conf at
+    // runtime — so this pin must collect INSIDE the conf scope (the
+    // roster wrapper's production path does the same via its scoped
+    // localCheckpoint; its finally would restore the thresholds before
+    // a later collect ever ran)
+    val saved = Relational.SkewConfs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    Relational.SkewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // sf0.01: the sf0.001 hot partition compresses to ~the threshold
+      // itself (5.7k near-identical keys lz4 to a few KB) — the split
+      // premise needs the hot side clearly above it
+      val dir = "/root/testdata/sf0.01"
+      val joined = Relational.skewJoinDemo(spark, dir).orderBy($"grp")
+      val got = joined.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"q67's adaptive plan never split the skewed partition:\n${plan.take(1200)}")
+      // hot key 42 lands in grp g03 (42 % 13 = 3): it must dominate
+      assert(got.exists { case (g, n, _, _) =>
+        g == "g03" && n > got.map(_._2).sum / 2 },
+        "test premise: the hot key's group must dominate the fact side")
+
+      // broadcast twin: no shuffle partitions exist to split, so the
+      // result is the unskewed oracle
+      val oracle = {
+        val fact = graft.Tables(spark, dir, "lineitem").select(
+          when($"l_orderkey" % 20 =!= 0, lit(42L))
+            .otherwise($"l_orderkey" % 97).as("k"), $"l_quantity")
+        val dim = graft.Tables(spark, dir, "customer")
+          .groupBy(($"c_custkey" % 97).as("k")).agg(count(lit(1)).as("dim_n"))
+          .withColumn("grp",
+            concat(lit("g"), lpad(($"k" % 13).cast("string"), 2, "0")))
+        fact.join(broadcast(dim), Seq("k")).groupBy($"grp")
+          .agg(count(lit(1)).as("n_lines"),
+            round(sum($"l_quantity".cast("decimal(18,4)")).cast("double"), 4)
+              .as("sum_qty"),
+            min($"dim_n").as("min_dim_n"))
+          .orderBy($"grp").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+          .toSeq
+      }
+      assert(got == oracle)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -85,4 +85,26 @@ class BandedSemanticDedupSpec extends SparkTestBase {
     assert((bands, r) == ((Bands, RowsPerBand)),
       s"auto sizing drifted from the pinned oracle shape: ($bands, $r)")
   }
+
+  test("autoShape: d26's generated-oracle shape, LSH monotonicity, anchor guard") {
+    // the pure rule (round 12): d26's oracle is generated for
+    // autoShape(500, 0.45) — pin that shape, and the d24 pin beside it
+    assert(Dedup.autoShape(500L, 0.45) == ((9, 3)))
+    assert(Dedup.autoShape(500L, 0.4) == ((10, 3)))
+    // r grows with log n (block occupancy stays ~constant)
+    assert(Dedup.autoShape(5000L, 0.4)._2 > 3)
+    // at fixed r, a lower threshold (lower p1) needs MORE bands for the
+    // same recall floor
+    val loose = Dedup.autoShape(500L, 0.3)._1
+    val tight = Dedup.autoShape(500L, 0.6)._1
+    assert(loose > tight || tight == 8, // 8 is the floor
+      s"band count not monotone in threshold: $loose vs $tight")
+    // the auto entry point refuses a corpus smaller than its anchor
+    // demand instead of silently capping (the sf10 56%-recall lesson):
+    // at n=50 (sf0.001) an adversarially loose threshold demands more
+    // anchors than the corpus has vectors
+    assertThrows[IllegalArgumentException] {
+      Dedup.bandedCosinePairsAuto(spark, "/root/testdata/sf0.001", -0.99)
+    }
+  }
 }

@@ -376,4 +376,28 @@ class DedupStressSpec extends SparkTestBase {
     assert(byCluster.exists(_._2.length > 1),
       "no multi-member semantic cluster — keeper choice untested")
   }
+
+  test("d25 probe over the persisted signature index ≡ the inline derivation") {
+    // the round-12 persist-and-probe form (VERDICT r11 #2): the standing
+    // index staged by semanticIndex and probed from disk must produce
+    // the EXACT frame the corpus-re-signing inline derivation produces —
+    // same admit verdicts, same best matches, same rounded cosines.
+    // (The DuckDB oracle replays the inline form; this pin is what
+    // extends its coverage to the probe path the roster now runs.)
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))
+    val probe = Dedup.semanticProbe(spark, dir,
+      Dedup.semanticIndex(spark, dir)).collect().map(key).toSeq
+    val inline = Dedup.incrementalSemdedupInline(spark, dir)
+      .collect().map(key).toSeq
+    assert(probe == inline,
+      s"probe diverged from inline: ${probe.diff(inline).take(5)} vs ${inline.diff(probe).take(5)}")
+    // the pass is real: the batch is non-empty and someone was rejected
+    assert(probe.nonEmpty, "empty batch — equivalence vacuous")
+    assert(probe.exists(!_._2) && probe.exists(_._2),
+      "batch has no mix of admitted/rejected docs — equivalence weak")
+  }
 }

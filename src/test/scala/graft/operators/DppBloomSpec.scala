@@ -52,17 +52,30 @@ class DppBloomSpec extends SparkTestBase {
       }.getOrElse(0L))
       .sum
 
-  test("q65: DPP subquery prunes the lang=de partition (4 of 5 read)") {
+  test("q65: DPP subquery skips the non-qualifying lang partitions") {
+    // the expected qualifying-lang set is COMPUTED from the fixture
+    // (ADVICE r11: hardcoding en/es/fr/zh made the test fixture-seed-
+    // dependent — a regenerated fixture could fail it, or make the skip
+    // vacuous, with no code regression either way)
+    val allLangs = graft.Tables(spark, dir, "documents")
+      .select($"lang").distinct().collect().map(_.getString(0)).toSeq.sorted
+    val expected = graft.Tables(spark, dir, "documents")
+      .filter($"source" === "src14")
+      .select($"lang").distinct().collect().map(_.getString(0)).toSeq.sorted
+    assert(expected.size < allLangs.size,
+      s"fixture premise broken: src14 spans all ${allLangs.size} langs — " +
+        "the partition skip this test measures would be vacuous")
+
     val df = graft.SparkEntry.queries("q65_dpp_partition_prune")(spark, dir)
     val rows = df.collect()
-    // src14 spans en/es/fr/zh at sf0.01 — de must be absent
-    assert(rows.map(_.getString(0)).toSeq.sorted == Seq("en", "es", "fr", "zh"))
+    assert(rows.map(_.getString(0)).toSeq.sorted == expected)
 
     val plan = df.queryExecution.executedPlan
     assert(plan.toString.contains("dynamicpruning"),
       s"q65 lost its DPP subquery:\n${plan.toString.take(800)}")
 
-    // the measured skip: the partitioned-corpus scan read 4 partitions
+    // the measured skip: the partitioned-corpus scan read only the
+    // qualifying partitions
     val scan = flatten(plan).collectFirst {
       case f: FileSourceScanExec
           if f.metadata.get("Location").exists(_.contains("corpus_bylang")) => f
@@ -70,7 +83,39 @@ class DppBloomSpec extends SparkTestBase {
     val nParts = scan.metrics.collectFirst {
       case (k, m) if k == "numPartitions" => m.value
     }.getOrElse(fail(s"no numPartitions metric; keys=${scan.metrics.keys}"))
-    assert(nParts == 4L, s"expected 4 of 5 lang partitions read, got $nParts")
+    assert(nParts == expected.size.toLong,
+      s"expected ${expected.size} of ${allLangs.size} lang partitions read, got $nParts")
+  }
+
+  test("e8: one plan carries BOTH the DPP subquery and the bloom probe") {
+    // the lakehouse capstone's contract: partition pruning on the
+    // partitioned key AND the runtime bloom filter on the unpartitioned
+    // key, in the SAME executed plan over the packed layout
+    spark.conf.set("graft.eagerRelease", "false")
+    try {
+      val df = graft.SparkEntry.queries("e8_lakehouse_scan")(spark, dir)
+      val rows = df.collect()
+      assert(rows.nonEmpty, "e8 premise: src3 ∩ src14-langs must be non-empty")
+      val planStr = df.queryExecution.executedPlan.toString
+      assert(planStr.contains("dynamicpruning"),
+        s"e8 lost the DPP subquery:\n${planStr.take(800)}")
+      assert(planStr.contains("bloom_filter_agg"),
+        s"e8 lost the bloom build side:\n${planStr.take(800)}")
+      assert(planStr.contains("might_contain"),
+        s"e8 lost the bloom probe:\n${planStr.take(800)}")
+      // and the partition skip is real, same measurement as q65
+      val scan = flatten(df.queryExecution.executedPlan).collectFirst {
+        case f: FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("corpus_bylang")) => f
+      }.getOrElse(fail("no packed-corpus scan in the e8 plan"))
+      val nParts = scan.metrics.collectFirst {
+        case (k, m) if k == "numPartitions" => m.value
+      }.getOrElse(fail(s"no numPartitions metric; keys=${scan.metrics.keys}"))
+      val allLangs = graft.Tables(spark, dir, "documents")
+        .select($"lang").distinct().count()
+      assert(nParts < allLangs,
+        s"e8 read all $nParts partitions — DPP skipped nothing")
+    } finally spark.conf.set("graft.eagerRelease", "true")
   }
 
   test("q66: bloom probe kills fact rows before the shuffle (measured)") {

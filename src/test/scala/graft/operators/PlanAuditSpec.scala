@@ -127,6 +127,8 @@ class PlanAuditSpec extends SparkTestBase {
     // the candidate join itself is (band, signature)-equi-keyed and the
     // keeper tail is cluster-equi-keyed
     "d24_banded_semdedup",
+    // d26 is d24's auto-sized edge source — the same anchor cross
+    "d26_banded_auto_pairs",
     // e6 crosses the 1-ROW top-language argmax onto the 1-row corpus
     // aggregate — a 1×1 scalar cross
     "e6_release_manifest",
@@ -193,7 +195,8 @@ class PlanAuditSpec extends SparkTestBase {
     "e6_release_manifest", "d24_banded_semdedup", "p14_compact_small_files",
     "e7_release_diff", "m7_audio_segments", "q65_dpp_partition_prune",
     "q66_bloom_runtime_filter", "d25_incremental_semdedup",
-    "p15_stratified_sample")
+    "p15_stratified_sample", "d26_banded_auto_pairs", "e8_lakehouse_scan",
+    "q67_aqe_skew_join", "k9_ocr_triage")
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
