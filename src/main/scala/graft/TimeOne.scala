@@ -60,18 +60,50 @@ object TimeOne {
         }, "graft-memprobe")
         t.setDaemon(true); t.start(); Some(t)
       } else None
+      // Streaming-state telemetry (round 12): st* queries keep their
+      // working set in the STATE STORE, which the RDD-storage sampler
+      // above reads as zero — the number SCALING.md needs for "state
+      // pins at the watermark horizon" is the state operators' own
+      // memoryUsedBytes, reported per micro-batch in the progress
+      // events. Peak across all batches and operators.
+      @volatile var peakStateBytes = 0L
+      @volatile var peakStateRows = 0L
+      val listener = if (probe) {
+        val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+            val ops = e.progress.stateOperators
+            if (ops != null && ops.nonEmpty) {
+              val bytes = ops.map(_.memoryUsedBytes).sum
+              val rows = ops.map(_.numRowsTotal).sum
+              if (bytes > peakStateBytes) peakStateBytes = bytes
+              if (rows > peakStateRows) peakStateRows = rows
+            }
+          }
+          override def onQueryTerminated(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        }
+        spark.streams.addListener(l)
+        Some(l)
+      } else None
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write
         .format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       sampling = false
       sampler.foreach(_.join())
+      listener.foreach(spark.streams.removeListener)
       spark.catalog.clearCache()
       System.err.println(f"[timeone] $name iter $i: $dt%.2f s")
       if (probe) System.err.println(
         f"[timeone] $name iter $i mem: peak cached storage " +
           f"${peakStorage / 1048576.0}%.1f MiB across $peakRdds%d RDDs, " +
-          f"peak heap ${peakHeap / 1073741824.0}%.2f GiB")
+          f"peak heap ${peakHeap / 1073741824.0}%.2f GiB" +
+          (if (peakStateBytes > 0)
+            f", peak streaming state ${peakStateBytes / 1048576.0}%.1f MiB / $peakStateRows%d rows"
+          else ""))
     }
     spark.stop()
   }
