@@ -872,7 +872,42 @@ object StreamQueries {
     QuerySpec(
       "st14_followup_full_outer_stream",
       (s, dir) => followupFullCatchUp(s, dir),
-      Some("""
+      Some(FollowupFullOracle)),
+
+    // ---------------------------------------------------------------- st15
+    // st14's full-outer interval join under the ROCKSDB state store
+    // provider — the standard lever when watermark-horizon state
+    // outgrows the executor heap (the st14 sf10 telemetry point: 3.7 GiB
+    // of HDFS-backed heap state on an 8 GiB heap; RocksDB pages state to
+    // native memory + local SST files instead, bounding the heap at the
+    // block-cache size). The provider is a FIRST-START checkpoint
+    // property, so the conf is scoped around the run-to-termination and
+    // every run uses a fresh checkpoint — the choice never leaks into
+    // another query's run. Results are provider-invariant by contract:
+    // this row reuses st14's oracle verbatim, and StreamQueriesSpec pins
+    // that the run's state operators actually reported RocksDB custom
+    // metrics (a silent fallback to the default provider would pass the
+    // oracle while testing nothing).
+    QuerySpec(
+      "st15_followup_rocksdb_state",
+      (s, dir) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try followupFullCatchUp(s, dir)
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None    => s.conf.unset(key)
+        }
+      },
+      Some(FollowupFullOracle)))
+
+  /** The finalization oracle shared by st14 and st15 (the state-store
+    * provider must not change results): matched pairs, watermark-
+    * finalized trigger-only rows, and follow-up-only rows with no
+    * earlier trigger inside the interval. */
+  private def FollowupFullOracle: String = """
         WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events),
         m AS (
           SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id
@@ -896,7 +931,7 @@ object StreamQueries {
                user_id FROM m
         UNION ALL SELECT a_id, b_id, user_id FROM nega
         UNION ALL SELECT a_id, b_id, user_id FROM negb
-        ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""")))
+        ORDER BY a_id NULLS FIRST, b_id NULLS FIRST"""
 
   /** st11's state transition: per-key latest-wins under the
     * (micros, event_id) version order — a commutative, associative,

@@ -153,6 +153,36 @@ class StreamQueriesSpec extends SparkTestBase {
       s"state never shrank ($totals) — eviction never ran")
   }
 
+  test("st15 really runs on RocksDB state stores and matches st14 row-for-row") {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(providerKey)
+    val rocks = graft.SparkEntry
+      .queries("st15_followup_rocksdb_state")(spark, sfDir).collect()
+    // the provider pin: a silent fallback to HDFSBackedStateStore would
+    // pass the shared oracle while testing nothing — RocksDB stores
+    // report their own custom metrics in every progress event
+    val metricKeys = Option(StreamQueries.lastRunProgress).toSeq.flatten
+      .flatMap(_.stateOperators.toSeq)
+      .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+      .toSet
+    assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+      s"no RocksDB state-store metrics in the run's progress: $metricKeys")
+    // provider restored after the scoped run (getOption yields the
+    // conf's DEFAULT — HDFSBacked — when unset, so compare to before)
+    assert(spark.conf.getOption(providerKey) == before,
+      "st15 leaked the RocksDB provider into the session")
+    assert(!spark.conf.getOption(providerKey).exists(_.contains("RocksDB")))
+    // provider-invariance, directly (the shared oracle pins it too)
+    val hdfs = graft.SparkEntry
+      .queries("st14_followup_full_outer_stream")(spark, sfDir).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))
+    assert(rocks.map(key).toSeq == hdfs.map(key).toSeq,
+      "RocksDB and HDFS-backed runs diverged")
+  }
+
   test("st6 transformWithState holds one state row per active (user, type)") {
     import spark.implicits._
     graft.SparkEntry.queries("st6_type_counts_stream")(spark, sfDir).collect()
