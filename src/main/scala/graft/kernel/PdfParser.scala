@@ -406,13 +406,15 @@ object PdfParser extends FormatParser {
                              imageOnlyPages: Int)
 
   /** A non-empty text-SHOW operator: a literal or hex string (with at
-    * least one non-space / one hex digit) fed to Tj or ', or a TJ array
-    * containing one. A triage heuristic by design — it never decodes
-    * fonts, so it costs one regex pass per stream instead of the full
-    * extraction stack. */
+    * least one non-space / one hex digit) fed to Tj, ' or " (the
+    * set-spacing-and-show form — same string operand, two numeric
+    * operands before it; ADVICE r12 caught its omission misrouting
+    * "-only pages to the OCR lane), or a TJ array containing one. A
+    * triage heuristic by design — it never decodes fonts, so it costs
+    * one regex pass per stream instead of the full extraction stack. */
   private val TextShowRe = (
-    """\((?:\\.|[^\\()])*[^\s\\()](?:\\.|[^\\()])*\)\s*(?:Tj|')""" +
-      """|<[0-9A-Fa-f][0-9A-Fa-f\s]*>\s*(?:Tj|')""" +
+    """\((?:\\.|[^\\()])*[^\s\\()](?:\\.|[^\\()])*\)\s*(?:Tj|'|")""" +
+      """|<[0-9A-Fa-f][0-9A-Fa-f\s]*>\s*(?:Tj|'|")""" +
       """|\[[^\]]*?(?:\((?:\\.|[^\\()])+\)|<[0-9A-Fa-f][0-9A-Fa-f\s]*>)[^\]]*?\]\s*TJ""").r
 
   /** Classify every page for OCR routing. Structural only: object scan,

@@ -1281,15 +1281,18 @@ object Dedup {
     QuerySpec(
       "d24_banded_semdedup",
       (s, dir) => {
-        // dev-only scale knobs (SCALING.md runs): GRAFT_D24_AUTO sizes
-        // (bands, r) from the corpus count; GRAFT_D24_THRESHOLD probes
-        // the 0.9 production operating point where banding's reduction
-        // is steep. The driver sets neither — the oracle pins (0.4, 10,
-        // 3), which IS the auto shape at the driver SF.
-        val th = sys.env.get("GRAFT_D24_THRESHOLD")
+        // dev-only scale knobs (SCALING.md runs): -Dgraft.d24.auto
+        // sizes (bands, r) from the corpus count;
+        // -Dgraft.d24.threshold probes the 0.9 production operating
+        // point where banding's reduction is steep. JVM properties,
+        // not env vars, so a lingering shell export can never bend an
+        // oracle-verified run (ADVICE r12). The driver sets neither —
+        // the oracle pins (0.4, 10, 3), which IS the auto shape at the
+        // driver SF.
+        val th = sys.props.get("graft.d24.threshold")
           .map(_.toDouble).getOrElse(0.4)
         val pairs =
-          if (sys.env.get("GRAFT_D24_AUTO").exists(_.nonEmpty))
+          if (sys.props.get("graft.d24.auto").exists(_.nonEmpty))
             bandedCosinePairsAuto(s, dir, th)._1
           else bandedCosinePairs(s, dir, th, 10, 3)
         semdedupKeeper(s, dir, pairs.select(col("a_id"), col("b_id")))
@@ -1341,8 +1344,8 @@ object Dedup {
     // from the corpus count and the threshold. Anchors are seed-free,
     // so the auto shape is oracle-replayable exactly like the pinned
     // one — this row runs the REAL auto path (count → sizing rule →
-    // banded pairs) at threshold 0.6, where the rule lands on a shape
-    // (8, 3) the pinned row does NOT use, and the oracle is GENERATED
+    // banded pairs) at threshold 0.45, where the rule lands on a shape
+    // (9, 3) the pinned row does NOT use, and the oracle is GENERATED
     // for [[autoShape]](n at the driver SF) — if either the sizing rule
     // or the fixture drifts, the shapes diverge and this row goes red
     // loudly instead of the auto path staying unverified. 0.45 is the
@@ -1854,11 +1857,13 @@ object Dedup {
     * exchange is candidate-sized. DedupStressSpec pins this frame
     * row-identical to [[incrementalSemdedupInline]].
     *
-    * Dev-only scale knob (SCALING.md): GRAFT_D25_BATCH_LIMIT caps the
-    * batch at vec_id < limit, so the probe can be timed with a FIXED
-    * batch against a 10× corpus (cost must follow the batch, not the
-    * corpus). The driver never sets it — the oracle pins the full
-    * batch. */
+    * Dev-only scale knob (SCALING.md): JVM property
+    * `graft.d25.batchLimit` caps the batch at vec_id < limit, so the
+    * probe can be timed with a FIXED batch against a 10× corpus (cost
+    * must follow the batch, not the corpus). A SYSTEM PROPERTY, not an
+    * env var (ADVICE r12): properties only exist when a harness passes
+    * -D explicitly, so a knob lingering in a shell environment can
+    * never silently shrink an oracle-verified or benched run. */
   private[graft] def semanticProbe(s: org.apache.spark.sql.SparkSession,
                                    dir: String, indexRoot: String)
       : org.apache.spark.sql.DataFrame = {
@@ -1875,7 +1880,7 @@ object Dedup {
       new java.io.File(indexRoot, "signatures").getAbsolutePath)
       .select($"band".cast("long").as("band"), $"sg", $"corpus_id")
     val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
-    val batch = sys.env.get("GRAFT_D25_BATCH_LIMIT").map(_.toLong)
+    val batch = sys.props.get("graft.d25.batchLimit").map(_.toLong)
       .foldLeft(emb.filter($"vec_id" % 5 === 0))((b, lim) =>
         b.filter($"vec_id" < lim))
     val bSig = bandSignaturesOn(batch, anchors, r)

@@ -623,5 +623,13 @@ class PdfParserSpec extends AnyFunSuite {
     val tjArr = pdf(Seq("BT [(a) -250 (b)] TJ ET" -> true))
     assert(PdfParser.ocrTriage(tjArr) ==
       Right(PdfParser.OcrTriage(1, 1, 0)))
+    // the " (set-spacing-and-show) operator is a text show too (ADVICE
+    // r12): a page whose only text rides " must NOT route to OCR
+    val quoteShow = pdf(Seq("BT 0.25 0 (quoted line) \" ET" -> false))
+    assert(PdfParser.ocrTriage(quoteShow) ==
+      Right(PdfParser.OcrTriage(1, 1, 0)))
+    val quoteHex = pdf(Seq("BT 0 0 <48490A> \" ET" -> true))
+    assert(PdfParser.ocrTriage(quoteHex) ==
+      Right(PdfParser.OcrTriage(1, 1, 0)))
   }
 }

@@ -91,6 +91,7 @@ class DppBloomSpec extends SparkTestBase {
     // the lakehouse capstone's contract: partition pruning on the
     // partitioned key AND the runtime bloom filter on the unpartitioned
     // key, in the SAME executed plan over the packed layout
+    val prevEager = spark.conf.getOption("graft.eagerRelease")
     spark.conf.set("graft.eagerRelease", "false")
     try {
       val df = graft.SparkEntry.queries("e8_lakehouse_scan")(spark, dir)
@@ -115,12 +116,15 @@ class DppBloomSpec extends SparkTestBase {
         .select($"lang").distinct().count()
       assert(nParts < allLangs,
         s"e8 read all $nParts partitions — DPP skipped nothing")
-    } finally spark.conf.set("graft.eagerRelease", "true")
+    } finally prevEager.fold(spark.conf.unset("graft.eagerRelease"))(
+      spark.conf.set("graft.eagerRelease", _))
   }
 
   test("q66: bloom probe kills fact rows before the shuffle (measured)") {
     // keep the roster fn lazy so THIS test owns execution and can read
-    // the executed plan's metrics afterwards (Materialize convention)
+    // the executed plan's metrics afterwards (Materialize convention);
+    // restore the PRE-TEST conf state, not a hardcoded value (ADVICE r12)
+    val prevEager = spark.conf.getOption("graft.eagerRelease")
     spark.conf.set("graft.eagerRelease", "false")
     try {
       val df = graft.SparkEntry.queries("q66_bloom_runtime_filter")(spark, dir)
@@ -168,6 +172,7 @@ class DppBloomSpec extends SparkTestBase {
       // survive the probe at sf0.01 (1,523 of 15,000 orders qualify)
       assert(plainShuffled > 0 && bloomShuffled < plainShuffled / 2,
         s"bloom filter did not reduce the shuffle: $bloomShuffled vs $plainShuffled")
-    } finally spark.conf.set("graft.eagerRelease", "true")
+    } finally prevEager.fold(spark.conf.unset("graft.eagerRelease"))(
+      spark.conf.set("graft.eagerRelease", _))
   }
 }
