@@ -1362,6 +1362,39 @@ object Dedup {
         val (nBands, r) = autoShape(DriverSfEmbeddingCount, D26Threshold)
         BandedCosinePairsOracle(D26Threshold, nBands, r) +
           " SELECT a_id, b_id, cosine FROM cpairs ORDER BY a_id, b_id"
+      }),
+
+    // ---------------------------------------------------------------- d27
+    // The PRODUCTION SemDeDup composition end-to-end under the
+    // correctness gate (VERDICT r12 #1): auto-shaped banded edges
+    // (d26's count → [[autoShape]] → [[bandedCosinePairs]] path)
+    // feeding the SAME CC → integer-grid centroid → farthest-keeper
+    // tail as d23/d24 ([[semdedupKeeper]]). Until this row, every
+    // oracle-pinned KEEPER ran on either the quadratic oracle-anchor
+    // edge source (d23) or the FIXED (10, 3) banded shape (d24); this
+    // is the path a 100 TB run actually executes — shape derived from
+    // the corpus count at runtime, no quadratic stage anywhere — with
+    // the oracle GENERATED for the derived shape exactly as d26 does,
+    // so a sizing-rule or fixture drift turns this row red instead of
+    // leaving the production composition unverified. Threshold is
+    // d26's 0.45: the auto shape at the driver SF is (9, 3), distinct
+    // from d24's pinned (10, 3), so the keeper tail is exercised on a
+    // cluster graph no pinned row produces. Scale shape: everything is
+    // d24's — anchor cross O(n·bands·r) broadcast, (band, signature)
+    // equi-keyed candidates, cluster-equi-keyed keeper — with the
+    // no-all-pairs property plan-pinned in PlanAuditSpec.
+    QuerySpec(
+      "d27_auto_semdedup_keeper",
+      (s, dir) => {
+        val (pairs, _, _) = bandedCosinePairsAuto(s, dir, D26Threshold)
+        semdedupKeeper(s, dir, pairs.select(col("a_id"), col("b_id")))
+      },
+      Some {
+        val (nBands, r) = autoShape(DriverSfEmbeddingCount, D26Threshold)
+        "WITH RECURSIVE " +
+          BandedCosinePairsOracle(D26Threshold, nBands, r)
+            .trim.stripPrefix("WITH") +
+          SemdedupKeeperSqlTail
       })
   )
 

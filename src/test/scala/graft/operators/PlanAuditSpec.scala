@@ -129,6 +129,11 @@ class PlanAuditSpec extends SparkTestBase {
     "d24_banded_semdedup",
     // d26 is d24's auto-sized edge source — the same anchor cross
     "d26_banded_auto_pairs",
+    // d27 composes d26's auto-sized edge source with the keeper tail —
+    // the only nested loop is the bands·r anchor cross (pinned exactly
+    // below in the dedicated d27 test); candidates are (band,
+    // signature)-equi-keyed, the keeper is cluster-equi-keyed
+    "d27_auto_semdedup_keeper",
     // e6 crosses the 1-ROW top-language argmax onto the 1-row corpus
     // aggregate — a 1×1 scalar cross
     "e6_release_manifest",
@@ -196,7 +201,42 @@ class PlanAuditSpec extends SparkTestBase {
     "e7_release_diff", "m7_audio_segments", "q65_dpp_partition_prune",
     "q66_bloom_runtime_filter", "d25_incremental_semdedup",
     "p15_stratified_sample", "d26_banded_auto_pairs", "e8_lakehouse_scan",
-    "q67_aqe_skew_join", "k9_ocr_triage")
+    "q67_aqe_skew_join", "k9_ocr_triage", "d27_auto_semdedup_keeper")
+
+  test("d27's production edge source has NO all-pairs stage: one anchor cross only") {
+    // the d23/d5 quadratic block-pair join is a non-equi (blk_a <=
+    // blk_b) nested loop; the production path must never contain it.
+    // d27's edge frame is fully lazy (no checkpoints), so the whole
+    // pipeline plan is visible: exactly ONE nested loop — the bands·r
+    // anchor cross — and zero cartesians. 0.45 is d27/d26's pinned
+    // threshold (D26Threshold).
+    val prevEager = spark.conf.getOption("graft.eagerRelease")
+    spark.conf.set("graft.eagerRelease", "false")
+    try {
+      val (pairs, bands, r) = Dedup.bandedCosinePairsAuto(spark, sfDir, 0.45)
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), "d27 edges grew a cartesian")
+      // the candidate join must be EQUI-keyed on (band, sg) — the
+      // all-pairs block join would be a conditioned (<=) nested loop
+      assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[band#"
+        .r.findFirstIn(plan).isDefined,
+        s"no (band, sg)-keyed candidate join in the d27 edge plan:\n${plan.take(800)}")
+      val bnljLines = plan.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+      // exactly the bands·r anchor cross, instantiated once per side of
+      // the bucket self-join (the optimizer dedups it at execution via
+      // ReusedExchange); every instance must be an unconditioned Cross —
+      // a conditioned (<=) nested loop would be the quadratic block join
+      assert(bnljLines.size == 2 &&
+        bnljLines.forall(l => l.contains("Cross") && !l.contains("<=")),
+        s"d27 edges should carry only the ${bands}x$r anchor cross " +
+          s"(2 plan instances), found:\n${bnljLines.mkString("\n")}")
+    } finally {
+      prevEager.fold(spark.conf.unset("graft.eagerRelease"))(
+        spark.conf.set("graft.eagerRelease", _))
+      spark.catalog.clearCache()
+    }
+  }
 
   test("no cartesian products; nested-loop joins only where deliberate") {
     Audited.foreach { name =>
