@@ -73,51 +73,29 @@ object Similarity {
     QuerySpec(
       "s2_ivf_ann_topk",
       (s, dir) => ivfTopK(s, dir, nQueries = 10, nProbe = 2, k = 5),
-      Some("""
-        WITH e AS (
-          SELECT label, vec_id, embedding,
-                 UNNEST(embedding) AS v,
-                 UNNEST(range(len(embedding))) AS dim
-          FROM embeddings),
-        cent AS (
-          SELECT label AS cell, dim,
-                 CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
-          FROM e GROUP BY label, dim),
-        centl AS (
-          SELECT cell, list(c ORDER BY dim) AS centroid FROM cent GROUP BY cell),
-        q AS (SELECT vec_id AS query_id, embedding AS qv
-              FROM embeddings WHERE vec_id < 10),
-        probe AS (
-          SELECT query_id, qv, cell,
-                 list_sum(list_transform(generate_series(1, len(qv)),
-                   i -> (CAST(qv[i] AS DOUBLE) - centroid[i]) *
-                        (CAST(qv[i] AS DOUBLE) - centroid[i]))) AS cdist
-          FROM q CROSS JOIN centl),
-        pr AS (
-          SELECT query_id, qv, cell,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY cdist ASC, cell) AS probe_rank
-          FROM probe),
-        probed AS (SELECT query_id, qv, cell FROM pr WHERE probe_rank <= 2),
-        cand AS (SELECT vec_id AS cand_id, embedding AS cv, label AS cell
-                 FROM embeddings),
-        p AS (
-          SELECT query_id, cand_id,
-                 ROUND(
-                   list_sum(list_transform(generate_series(1, len(qv)),
-                     i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-                   / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
-                        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-                      * sqrt(list_sum(list_transform(generate_series(1, len(cv)),
-                          i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 6) AS cosine
-          FROM probed JOIN cand USING (cell)
-          WHERE query_id != cand_id),
-        r AS (SELECT query_id, cand_id, cosine,
-                     ROW_NUMBER() OVER (PARTITION BY query_id
-                                        ORDER BY cosine DESC, cand_id) AS rank
-              FROM p)
-        SELECT query_id, rank, cand_id, cosine FROM r WHERE rank <= 5
-        ORDER BY query_id, rank""")),
+      Some(IvfTopKOracle)),
+
+    // ---------------------------------------------------------------- s12
+    // The PERSISTED-index form of s2 (VERDICT r12 #2 — the d25 move for
+    // similarity search): at 100 TB the IVF index is a standing
+    // artifact, not something each query batch re-derives. [[ivfIndex]]
+    // stages it write-once as two parquet tables — the tiny
+    // (cell, centroid) table and the corpus postings PARTITIONED BY
+    // cell — and [[ivfTopKFromIndex]] serves s2's exact top-k shape
+    // from it: the query batch broadcasts onto the centroid table
+    // (Q·cells probe work), the router's probed-cell list statically
+    // prunes the postings scan on the PARTITION column (scan-metric
+    // pinned in IvfIndexSpec: partitions read = probed cells) — per
+    // run the corpus is neither re-clustered nor fully scanned; cost
+    // follows the query batch. The index derivation
+    // is s2's deterministic decimal-mean centroid math, so the DuckDB
+    // oracle (which has no standing index) replays the probe
+    // row-for-row — probe ≡ inline s2 is additionally spec-pinned.
+    QuerySpec(
+      "s12_ivf_index_topk",
+      (s, dir) => ivfTopKFromIndex(s, dir, ivfIndex(s, dir),
+        nQueries = 10, nProbe = 2, k = 5),
+      Some(IvfTopKOracle)),
 
     // ----------------------------------------------------------------- s3
     // Int8 symmetric quantization — the compression step a 100 TB vector
@@ -1011,22 +989,35 @@ object Similarity {
   def ivfProbe(s: SparkSession, dir: String, nQueries: Int,
                nProbe: Int): DataFrame = {
     import s.implicits._
-    val emb = Tables(s, dir, "embeddings")
-    // Centroids: elementwise mean per label. Decimal sums make the centroid
-    // exactly reproducible regardless of partition/merge order.
-    val centroids = emb
+    val queries = Tables(s, dir, "embeddings").filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    probeCells(queries, ivfCentroids(s, dir), nProbe)
+  }
+
+  /** s2's centroid derivation, factored so s12's standing index stages
+    * the SAME frame: elementwise mean per label cell. Decimal sums make
+    * the centroid exactly reproducible regardless of partition/merge
+    * order — which is what lets the staged parquet copy and the
+    * oracle's inline derivation agree bit-for-bit. */
+  private[graft] def ivfCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
       .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
       .groupBy($"label", $"dim")
       .agg((sum($"v".cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
       .groupBy($"label")
       .agg(array_sort(collect_list(struct($"dim", $"c"))).as("pairs"))
       .select($"label".as("cell"), expr("transform(pairs, p -> p.c)").as("centroid"))
+  }
 
-    val queries = emb.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
-
-    // Probe assignment: nearest nProbe centroids per query (centroid table
-    // is tiny — broadcast; cost O(Q·cells)).
+  /** Probe assignment against an ARBITRARY (cell, centroid) frame — the
+    * piece s2 (inline centroids) and s12 (centroids read from the
+    * standing index) share: nearest `nProbe` cells per query by squared
+    * distance; the centroid table is tiny — broadcast; cost O(Q·cells).
+    * Returns (query_id, qv, cell). */
+  private def probeCells(queries: DataFrame, centroids: DataFrame,
+                         nProbe: Int): DataFrame = {
+    import queries.sparkSession.implicits._
     val wProbe = Window.partitionBy($"query_id").orderBy($"cdist".asc, $"cell")
     queries.crossJoin(broadcast(centroids))
       .withColumn("cdist",
@@ -1035,6 +1026,149 @@ object Similarity {
       .filter($"probe_rank" <= nProbe)
       .select($"query_id", $"qv", $"cell")
   }
+
+  /** s12's STANDING IVF INDEX — the persisted artifact a 100 TB vector
+    * store probes instead of re-deriving the index per query batch (the
+    * d25 semanticIndex convention applied to similarity search). Two
+    * write-once parquet tables under `data/ivfidx_<sf>/`:
+    *  - `centroids/` — (cell, centroid): [[ivfCentroids]]' tiny
+    *    decimal-mean table, the probe stage's broadcast side;
+    *  - `postings/` — (cand_id, cv) PARTITIONED BY cell: the corpus
+    *    bucketed by its coarse cell, laid out so a probe's cell keys
+    *    prune the SCAN (directory-level partition pruning), not just
+    *    the join. Append-only in production as vectors arrive; the
+    *    fixture form rebuilds only when the source parquet fingerprint
+    *    drifts. Returns the index root path. */
+  private[graft] def ivfIndex(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "ivfidx_" + base)
+    if (verifiedIvfIndexes.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val stamp = s"v1:ivf-label-cells:${Multimodal.sourceFingerprint(
+      new java.io.File(dir, "embeddings.parquet"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      ivfCentroids(s, dir).write.mode("overwrite")
+        .parquet(new java.io.File(path, "centroids").getAbsolutePath)
+      Tables(s, dir, "embeddings")
+        .select($"vec_id".as("cand_id"), $"embedding".as("cv"),
+          $"label".as("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(new java.io.File(path, "postings").getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedIvfIndexes.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
+  private val verifiedIvfIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** s12's probe path: serve s2's exact top-k shape from the standing
+    * index — the query batch broadcasts onto the staged centroid table
+    * (Q·cells probe work), the probed cell list routes the read, and
+    * the postings scan is STATICALLY partition-pruned to exactly those
+    * cells (scan-metric pinned in IvfIndexSpec: numPartitions = probed
+    * cells, never the corpus). Per run the corpus is neither
+    * re-clustered nor fully scanned — cost follows the query batch.
+    * IvfIndexSpec also pins this frame row-identical to the inline
+    * [[ivfTopK]].
+    *
+    * The cell routing is a driver-side list BY DESIGN (the bounded-
+    * collect class: ≤ Q·nProbe ints, the same order as any broadcast
+    * build side) — this is how IVF serving works everywhere: the
+    * router owns the probed-cell set and dispatches reads for those
+    * postings alone. A dynamic-pruning formulation was tried and
+    * rejected: Spark's PartitionPruning rule does not recognize a
+    * window-derived build side (the per-query rank ≤ nProbe cut), so
+    * the DPP filter plans as `dynamicpruningexpression(true)` and the
+    * scan silently reads every cell — the static IN list prunes
+    * deterministically at plan time instead. */
+  private[graft] def ivfTopKFromIndex(s: SparkSession, dir: String,
+      indexRoot: String, nQueries: Int, nProbe: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val centroids = s.read.parquet(
+      new java.io.File(indexRoot, "centroids").getAbsolutePath)
+    val queries = Tables(s, dir, "embeddings").filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    // materialized once (tiny: Q·nProbe rows) so the router list and
+    // the rerank join share it without recomputing the probe stage
+    val probed = probeCells(queries, centroids, nProbe).localCheckpoint(true)
+    val probedCells = probed.select($"cell").distinct()
+      .as[Int].collect().toSeq.sorted
+    // the partition column comes back via directory-name inference as
+    // INT — the same type as the source label, so neither the IN list
+    // nor the join key coerces mid-plan (the d25 band alignment lesson)
+    val postings = s.read.parquet(
+      new java.io.File(indexRoot, "postings").getAbsolutePath)
+      .filter(col("cell").isin(probedCells: _*))
+    val wTop = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")
+    postings.join(broadcast(probed), Seq("cell"))
+      .filter($"query_id" =!= $"cand_id")
+      .withColumn("cosine",
+        round(graft.functions.GraftFunctions.cosineSim($"qv", $"cv"), 6))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"cand_id", $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** s2/s12's shared DuckDB twin — the full inline derivation
+    * (centroids, probe, rerank); it has no standing index, which is
+    * exactly the point: the staged artifact must reproduce the inline
+    * math bit-for-bit or the s12 row goes red. A def, not a val: the
+    * specs Seq initializes first in declaration order. */
+  private def IvfTopKOracle: String = """
+        WITH e AS (
+          SELECT label, vec_id, embedding,
+                 UNNEST(embedding) AS v,
+                 UNNEST(range(len(embedding))) AS dim
+          FROM embeddings),
+        cent AS (
+          SELECT label AS cell, dim,
+                 CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+          FROM e GROUP BY label, dim),
+        centl AS (
+          SELECT cell, list(c ORDER BY dim) AS centroid FROM cent GROUP BY cell),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 10),
+        probe AS (
+          SELECT query_id, qv, cell,
+                 list_sum(list_transform(generate_series(1, len(qv)),
+                   i -> (CAST(qv[i] AS DOUBLE) - centroid[i]) *
+                        (CAST(qv[i] AS DOUBLE) - centroid[i]))) AS cdist
+          FROM q CROSS JOIN centl),
+        pr AS (
+          SELECT query_id, qv, cell,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cdist ASC, cell) AS probe_rank
+          FROM probe),
+        probed AS (SELECT query_id, qv, cell FROM pr WHERE probe_rank <= 2),
+        cand AS (SELECT vec_id AS cand_id, embedding AS cv, label AS cell
+                 FROM embeddings),
+        p AS (
+          SELECT query_id, cand_id,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(qv)),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(cv)),
+                          i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 6) AS cosine
+          FROM probed JOIN cand USING (cell)
+          WHERE query_id != cand_id),
+        r AS (SELECT query_id, cand_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, cand_id) AS rank
+              FROM p)
+        SELECT query_id, rank, cand_id, cosine FROM r WHERE rank <= 5
+        ORDER BY query_id, rank"""
 
   /** s5's per-(vector, anchor, subspace) squared distances — public so
     * the spec can pin encode properties (anchors code to themselves).

@@ -143,7 +143,11 @@ class PlanAuditSpec extends SparkTestBase {
     // d25 reuses d24's anchor cross (bands·r broadcast rows against
     // corpus and batch — O(n·bands·r) signature assignment by
     // construction); the probe join itself is (band, signature)-keyed
-    "d25_incremental_semdedup")
+    "d25_incremental_semdedup",
+    // s12 reuses s2's centroid cross (cells broadcast rows against the
+    // Q-row query batch); the rerank join is cell-equi-keyed over the
+    // statically pruned postings scan
+    "s12_ivf_index_topk")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -201,7 +205,8 @@ class PlanAuditSpec extends SparkTestBase {
     "e7_release_diff", "m7_audio_segments", "q65_dpp_partition_prune",
     "q66_bloom_runtime_filter", "d25_incremental_semdedup",
     "p15_stratified_sample", "d26_banded_auto_pairs", "e8_lakehouse_scan",
-    "q67_aqe_skew_join", "k9_ocr_triage", "d27_auto_semdedup_keeper")
+    "q67_aqe_skew_join", "k9_ocr_triage", "d27_auto_semdedup_keeper",
+    "s12_ivf_index_topk")
 
   test("d27's production edge source has NO all-pairs stage: one anchor cross only") {
     // the d23/d5 quadratic block-pair join is a non-equi (blk_a <=
