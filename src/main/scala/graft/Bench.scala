@@ -15,7 +15,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // Optional comma-separated query filter (SPARK_GRAFT_QUERIES): the
+    // scaling harness (SCALING.md) times query subsets at several scale
+    // factors without paying the full roster sweep. Absent = all
+    // queries, the driver's configuration.
+    val filter = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A FILTERED run never overwrites the canonical full-roster artifact
+    // (ADVICE r12: a one-query debug run replaced the committed 204-query
+    // record): subsets default to bench_partial.json; an explicit
+    // SPARK_GRAFT_BENCH_OUT always wins.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (filter.isDefined) "bench_partial.json" else "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,15 +39,40 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir).write
         .format("noop").mode("overwrite").save()
 
-    // Optional comma-separated query filter (SPARK_GRAFT_QUERIES): the
-    // scaling harness (SCALING.md) times query subsets at several scale
-    // factors without paying the full 93-query sweep. Absent = all
-    // queries, the driver's configuration.
-    val filter = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(prefix: String): Boolean =
       filter.forall(_.exists(_.startsWith(prefix)))
 
+    // Machine-load self-identification, START side (VERDICT r12 #3: two
+    // rounds of end-of-round totals needed judge forensics to separate
+    // background load from code regressions — the run must carry its own
+    // comparability evidence).
+    def loadavgNow: Option[Seq[Double]] = scala.util.Try {
+      Files.readString(Paths.get("/proc/loadavg")).trim
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+    }.toOption
+    val loadStart = loadavgNow
+    val maxLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD").map(_.toDouble)
+      .getOrElse(1.5)
+    val loadExceeded = loadStart.exists(_.head > maxLoad)
+    if (loadExceeded)
+      System.err.println(s"[bench] WARNING: 1-min loadavg " +
+        s"${loadStart.map(_.head).getOrElse(-1.0)} exceeds $maxLoad at start " +
+        "— this run is NOT comparable round-over-round; it is annotated " +
+        "\"load_exceeded\":true in the output")
+
+    // Warm/cold context: a run whose warmup STAGED fixture artifacts
+    // (first run after a fixture or code change) pays different I/O than
+    // one reusing them — the flag lets round-over-round comparison skip
+    // the apples-to-oranges pair without forensics.
+    def fixtureFileCount: Long = scala.util.Try {
+      val root = Paths.get(sys.props.getOrElse("graft.fixture.dir",
+        sys.props("user.dir") + "/data"))
+      if (!Files.isDirectory(root)) 0L
+      else { val st = Files.walk(root); try st.count() finally st.close() }
+    }.getOrElse(0L)
+    val preFixtures = fixtureFileCount
+
+    val warmT0 = System.nanoTime()
     // Warmup, untimed: one scan of every fixture table (parquet footers +
     // scan codegen) plus a shuffle on the big fact table (JIT + shuffle
     // machinery).
@@ -95,8 +131,12 @@ object Bench {
       // measures
       if (selected("d"))
         operators.Dedup.semanticIndex(spark, sfDir)
+      // s12's standing IVF index, same principle
+      if (selected("s"))
+        operators.Similarity.ivfIndex(spark, sfDir)
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
+    val warmupSec = math.round((System.nanoTime() - warmT0) / 1e6) / 1e3
 
     // Either a measured time or the failure message. A query that dies
     // (analysis or runtime) must read as RED in the bench file, not as a
@@ -153,17 +193,36 @@ object Bench {
     val errNames = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
     val errField =
       if (errNames.isEmpty) "" else s""","errors":[${errNames.mkString(",")}]"""
-    // Machine-load self-identification (VERDICT r11 #1): r11's recorded
-    // 460s total was contamination from concurrent load, indistinguishable
-    // after the fact from a code regression. Record the 1/5/15-min load
-    // averages at bench end so a contaminated run carries its own evidence.
-    val loadField = scala.util.Try {
-      val la = Files.readString(Paths.get("/proc/loadavg")).trim
-        .split("\\s+").take(3).mkString(",")
-      s""","loadavg":[$la]"""
-    }.getOrElse("")
+    // Machine-load self-identification (VERDICT r11 #1 / r12 #3): r11's
+    // recorded 460s total was contamination from concurrent load,
+    // indistinguishable after the fact from a code regression. Record
+    // the 1/5/15-min load averages at START and END plus the warm/cold
+    // staging context so a contaminated or cold run carries its own
+    // evidence instead of costing a judge round.
+    def loadJson(l: Option[Seq[Double]]): Option[String] =
+      l.map(_.mkString("[", ",", "]"))
+    val loadField =
+      loadJson(loadavgNow).map(j => s""","loadavg":$j""").getOrElse("") +
+        loadJson(loadStart).map(j => s""","loadavg_start":$j""").getOrElse("") +
+        (if (loadExceeded) ""","load_exceeded":true""" else "")
+    val stagedCold = fixtureFileCount != preFixtures
+    val contextField =
+      s""","warmup_sec":$warmupSec,"staged_cold":$stagedCold""" +
+        (if (filter.isDefined) ""","filtered":true""" else "")
+    // Per-family subtotals (VERDICT r12 #3): the family prefix is the
+    // query name up to its first digit (q, d, s, st, t, m, p, e, g, k,
+    // x) — lets a reviewer see WHERE a total moved without diffing 200
+    // per-query entries.
+    val famField = {
+      val fams = results.collect { case (k, Right(v)) =>
+        (k.takeWhile(!_.isDigit), v)
+      }.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, vs) =>
+        "\"" + f + "\":" + math.round(vs.map(_._2).sum * 1000) / 1e3
+      }
+      if (fams.isEmpty) "" else s""","families":{${fams.mkString(",")}}"""
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField$loadField}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField$famField$contextField$loadField}"""
     println(json)
     // stderr too: sbt [info] prefixes stdout, which broke the driver's
     // parse in r1/r2 — stderr lines pass through clean
@@ -172,10 +231,11 @@ object Bench {
     // A final SHORT self-describing line (VERDICT r9 hygiene): the
     // driver keeps only the output's 2000-char tail, which decapitates
     // the full per-query map once the roster is big enough. This line
-    // is always < 200 chars, so the tail always contains a parseable
-    // total; the full map lives above and in the committed bench file.
+    // stays well inside that tail (~300 chars with the r13 context
+    // fields), so the tail always contains a parseable total; the full
+    // map lives above and in the committed bench file.
     val shortJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errNames.size},"sf":"$sfDir"$loadField}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errNames.size},"sf":"$sfDir"$contextField$loadField}"""
     println(shortJson)
     System.err.println(shortJson)
     spark.stop()
