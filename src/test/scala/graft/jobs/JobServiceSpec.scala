@@ -124,4 +124,41 @@ class JobServiceSpec extends SparkTestBase {
     assert(s.status == Success)
     assert(s.result.map(_.markdown) == Some("# owned"))
   }
+
+  test("TTL sweep deletes only completed-and-expired jobs; lookup-after-expiry " +
+      "returns the unknown-id quirk unchanged (VERDICT r12 #8)") {
+    val ledger = newLedger()
+    val done = ledger.submit(Seq(("a.md", b("# A"))), batch = false)
+    ledger.process(spark, done)
+    val pending = ledger.submit(Seq(("b.md", b("# B"))), batch = false)
+    // injectable clock: "now" is one hour past the completion marker
+    val hour = 60L * 60 * 1000
+    val later = System.currentTimeMillis() + hour
+    // a fresh completion survives a 2h TTL ...
+    assert(ledger.sweepExpired(2 * hour, later) == Seq.empty)
+    assert(ledger.singleStatus(spark, done).status == Success)
+    // ... and falls to a 30min TTL; the never-completed job is untouched
+    // no matter how old (only completion starts the clock)
+    assert(ledger.sweepExpired(hour / 2, later) == Seq(done))
+    assert(!Files.exists(Paths.get(ledger.root, "requests", done)))
+    assert(!Files.exists(Paths.get(ledger.root, "results", done)))
+    assert(Files.isDirectory(Paths.get(ledger.root, "requests", pending)))
+    assert(ledger.pendingJobs() == Seq(pending))
+    // the swept id now answers like any unknown id: IN_PROGRESS, both
+    // lookup shapes (service.py:230-231 — Celery forgetting a task)
+    assert(ledger.singleStatus(spark, done).status == InProgress)
+    assert(ledger.batchStatus(spark, done).status == InProgress)
+  }
+
+  test("TTL sweep also expires task-FAILED jobs (the failure marker starts the clock)") {
+    val ledger = newLedger()
+    val id = ledger.submit(Seq(("a.md", b("# A"))), batch = false)
+    // corrupt the manifest so process() takes the task-failure path
+    Files.delete(Paths.get(ledger.root, "requests", id, "_MANIFEST"))
+    ledger.process(spark, id)
+    assert(ledger.singleStatus(spark, id).status == Failure)
+    val later = System.currentTimeMillis() + 60L * 60 * 1000
+    assert(ledger.sweepExpired(60L * 1000, later) == Seq(id))
+    assert(ledger.singleStatus(spark, id).status == InProgress)
+  }
 }
