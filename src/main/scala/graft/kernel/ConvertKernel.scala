@@ -48,14 +48,58 @@ object ConvertKernel {
   final case class ConversionConfig(
       extractTablesAsImages: Boolean = false,
       imageResolutionScale: Int = 4,
-      outputFormat: String = "md") {
+      outputFormat: String = "md",
+      ocrEngine: Option[String] = None) {
     require(imageResolutionScale >= 1 && imageResolutionScale <= 4,
       "image_resolution_scale must be in [1,4]")
     require(OutputSerializers.byFormat.contains(outputFormat),
       s"output_format must be one of ${OutputSerializers.byFormat.keys.toSeq.sorted.mkString(", ")}")
+    require(ocrEngine.forall(OcrEngines.known.contains),
+      s"ocr_engine must be one of ${OcrEngines.known.toSeq.sorted.mkString(", ")}")
     /** The reference's per-request copy-with-overrides, as a pure copy. */
     def withOverrides(extractTables: Boolean, scale: Int): ConversionConfig =
       copy(extractTablesAsImages = extractTables, imageResolutionScale = scale)
+  }
+
+  /** Pluggable OCR engine — the lane consumer's CONTRACT (VERDICT r12
+    * #6). The kernel carries no ML by design; a real engine (Tesseract,
+    * Docling's EasyOCR stack — reference service.py:63-70) plugs in by
+    * registering a name in [[OcrEngines]], and the lane's PLUMBING —
+    * triage routing (k9), the needs_ocr partition layout, the re-entry
+    * path below — never changes. `recognize` sees the document's
+    * original bytes and returns the recovered text, or None when it
+    * cannot help (the honest error row stands). Engines travel BY NAME
+    * inside [[ConversionConfig]] (configs are data; engine instances
+    * are per-JVM, resolved on the executor like [[ParserPool]]). */
+  trait OcrEngine extends Serializable {
+    def recognize(filename: String, content: Array[Byte]): Option[String]
+  }
+
+  object OcrEngines {
+    /** The deterministic test double: "recognizes" one paragraph per
+      * image-only page from the page STRUCTURE alone (the k9 triage
+      * walk), so its output is a pure function of the document —
+      * replayable by the DuckDB oracle from fixture arithmetic. A real
+      * engine decodes the page images; the double exists to pin the
+      * plumbing (routing, partition round-trip, re-entry, config
+      * isolation) without fabricating ML output. */
+    val Deterministic = "deterministic"
+    val known: Set[String] = Set(Deterministic)
+    def byName(name: String): OcrEngine = name match {
+      case Deterministic => DeterministicOcr
+      case other =>
+        throw new IllegalArgumentException(s"unknown OCR engine: $other")
+    }
+  }
+
+  private object DeterministicOcr extends OcrEngine {
+    def recognize(filename: String, content: Array[Byte]): Option[String] =
+      PdfParser.ocrTriage(content).toOption.collect {
+        case t if t.imageOnlyPages > 0 =>
+          (1 to t.imageOnlyPages)
+            .map(p => s"Recovered page $p of ${t.imageOnlyPages}.")
+            .mkString("\n\n")
+      }
   }
 
   /** Per-executor parser registry: initialized once per JVM on first
@@ -98,37 +142,63 @@ object ConvertKernel {
               case None => bytes = t.utf8Bytes
             }
           }
+          // Attach rendered images per request config, mirroring the
+          // reference's pipeline options: pictures always
+          // (generate_picture_images=True, service.py:67), tables only
+          // when extract_tables_as_images (service.py:61), dimensions
+          // scaled by images_scale (service.py:60). Pictures whose
+          // container carried real embedded bytes (word/media/…,
+          // ppt/media/…) ship the document's actual pixels, scaled and
+          // re-encoded PNG (service.py:106-128); only undecodable or
+          // absent media falls back to the placeholder render.
+          def finish(tree: DocModel.DocTree): ConversionResult = {
+            val items = tree.items.map {
+              case p: DocModel.PictureElement if p.imagePng.isEmpty =>
+                val png = p.rawMedia
+                  .flatMap(ImageRenderer.renderEmbedded(_, config.imageResolutionScale))
+                  .getOrElse(ImageRenderer.renderPicture(config.imageResolutionScale))
+                p.copy(imagePng = Some(png))
+              case t: DocModel.TableElement if config.extractTablesAsImages && t.imagePng.isEmpty =>
+                t.copy(imagePng = Some(ImageRenderer.renderTable(
+                  t.numRows, t.numCols, config.imageResolutionScale)))
+              case e => e
+            }
+            val rendered = OutputSerializers.byFormat(config.outputFormat)
+              .serialize(DocModel.DocTree(tree.name, items))
+            // splice rewrites markdown anchors only; in other formats the
+            // anchors never match, so content passes through and the
+            // images array still accumulates with the same counters
+            val (content_out, images) = ImageSplicer.splice(rendered, items)
+            ConversionResult(stem(filename), content_out,
+              images.map(i => ImageData(i.imageType, i.filename, i.base64Png)), null)
+          }
           ParserPool.parsers(format).parse(filename, bytes) match {
-            case Left(err) => ConversionResult(errorName, null, Seq.empty, err)
-            case Right(tree) =>
-              // Attach rendered images per request config, mirroring the
-              // reference's pipeline options: pictures always
-              // (generate_picture_images=True, service.py:67), tables only
-              // when extract_tables_as_images (service.py:61), dimensions
-              // scaled by images_scale (service.py:60). Pictures whose
-              // container carried real embedded bytes (word/media/…,
-              // ppt/media/…) ship the document's actual pixels, scaled and
-              // re-encoded PNG (service.py:106-128); only undecodable or
-              // absent media falls back to the placeholder render.
-              val items = tree.items.map {
-                case p: DocModel.PictureElement if p.imagePng.isEmpty =>
-                  val png = p.rawMedia
-                    .flatMap(ImageRenderer.renderEmbedded(_, config.imageResolutionScale))
-                    .getOrElse(ImageRenderer.renderPicture(config.imageResolutionScale))
-                  p.copy(imagePng = Some(png))
-                case t: DocModel.TableElement if config.extractTablesAsImages && t.imagePng.isEmpty =>
-                  t.copy(imagePng = Some(ImageRenderer.renderTable(
-                    t.numRows, t.numCols, config.imageResolutionScale)))
-                case e => e
+            case Left(err) =>
+              // OCR re-entry (VERDICT r12 #6): when a configured engine
+              // supplies text for a document whose parse failed for LACK
+              // of text, the recovered text re-enters the normal
+              // conversion as a plain-text document — same serializers,
+              // same output formats, same splice — so a real OCR engine
+              // changes only the text source, never the plan. Any other
+              // parse failure, or an engine returning None, keeps the
+              // honest error row.
+              val recovered =
+                if (err.contains("OCR"))
+                  config.ocrEngine.map(OcrEngines.byName)
+                    .flatMap(_.recognize(filename, content))
+                else None
+              recovered match {
+                case Some(text) =>
+                  ParserPool.parsers("md")
+                    .parse(filename,
+                      text.getBytes(java.nio.charset.StandardCharsets.UTF_8)) match {
+                    case Right(tree) => finish(tree)
+                    case Left(e2) =>
+                      ConversionResult(errorName, null, Seq.empty, e2)
+                  }
+                case None => ConversionResult(errorName, null, Seq.empty, err)
               }
-              val rendered = OutputSerializers.byFormat(config.outputFormat)
-                .serialize(DocModel.DocTree(tree.name, items))
-              // splice rewrites markdown anchors only; in other formats the
-              // anchors never match, so content passes through and the
-              // images array still accumulates with the same counters
-              val (content_out, images) = ImageSplicer.splice(rendered, items)
-              ConversionResult(stem(filename), content_out,
-                images.map(i => ImageData(i.imageType, i.filename, i.base64Png)), null)
+            case Right(tree) => finish(tree)
           }
       }
     } catch {

@@ -257,12 +257,65 @@ object KernelQueries {
   private val verifiedCorpora =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** k10's OCR LANE — the standing `needs_ocr` partition the triage
+    * pass routes into (VERDICT r12 #6; the Mixing.writePackedShards
+    * layout applied to the kernel plane): one row per PDF —
+    * `(doc_id, filename, content, n_text_pages, n_image_only)`
+    * PARTITIONED BY `needs_ocr` under `data/ocrlane_<sf>/`. The content
+    * column carries the document's ORIGINAL bytes — byte-complete,
+    * pinned by OcrLaneSpec's digest equality against the source corpus
+    * — so the lane consumer re-enters the REAL conversion, never a
+    * re-synthesized fixture. Write-once per fixture fingerprint; in
+    * production the triage pass appends each batch's routed slice. */
+  private[graft] def stagedOcrLane(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "ocrlane_" + base)
+    val lanePath = path.getAbsolutePath
+    if (verifiedCorpora.contains(lanePath)) return lanePath
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(dir, "documents.parquet"))}"
+    val marker = new java.io.File(lanePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      val pdfDir = stagedPdfCorpus(s, dir)
+      val triaged = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf").load(pdfDir)
+        .select($"path", $"content")
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (p, bytes) =>
+            val name = p.substring(p.lastIndexOf('/') + 1)
+            val id = name.replaceAll("[^0-9]", "").toLong
+            graft.kernel.PdfParser.ocrTriage(bytes) match {
+              case Right(t) =>
+                (id, name, bytes, t.textPages, t.imageOnlyPages,
+                  t.imageOnlyPages > 0)
+              case Left(_) => (id, name, bytes, 0, 0, false)
+            }
+          }
+        }
+        .toDF("doc_id", "filename", "content", "n_text_pages",
+          "n_image_only", "needs_ocr")
+      Mixing.writePackedShards(triaged, "needs_ocr", lanePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedCorpora.add(lanePath)
+    lanePath
+  }
+
   /** Public staging hook for Bench's untimed warmup: corpus construction
     * (one file per document row — 50k creates at sf1) is fixture setup,
-    * not the conversion operator k1-k5 (or the k9 triage) measure. */
+    * not the conversion operator k1-k5 (or the k9 triage / k10 lane
+    * consume) measure. */
   def stageCorpus(s: SparkSession, dir: String): Unit = {
     stagedCorpus(s, dir)
     stagedPdfCorpus(s, dir)
+    stagedOcrLane(s, dir)
     ()
   }
 
@@ -641,7 +694,54 @@ object KernelQueries {
                CASE WHEN doc_id % 10 = 6 THEN TRUE
                     ELSE (doc_id % 2) = 1 END AS needs_ocr,
                CAST(NULL AS VARCHAR) AS error
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------- k10
+    // OCR-lane CONSUMER (VERDICT r12 #6): k9 routes scans; this row
+    // consumes the lane. [[stagedOcrLane]] is the standing needs_ocr-
+    // partitioned parquet layout the pipeline writes (byte-complete —
+    // OcrLaneSpec pins content digests against the source corpus); the
+    // consumer reads ONLY the needs_ocr=true partition (statically
+    // pruned on the partition column), narrows to the scan-only slice
+    // (zero text pages — the documents conversion CANNOT produce text
+    // for without OCR), and re-enters conversion with the deterministic
+    // OCR hook ([[graft.kernel.ConvertKernel.OcrEngines]]): the hook
+    // supplies text, the text rides the normal md-parse → serialize
+    // path, and the former error rows become markdown. The hookless
+    // error for the SAME bytes rides alongside, so the before/after
+    // contract is in the oracle row, not just a spec. The double's
+    // output is a pure function of page structure, so DuckDB replays
+    // it from doc_id arithmetic (pdfFor: doc_id%10==6 ⇒ 2 image-only
+    // pages). A real OCR engine drops in by name without touching this
+    // plan — the kernel's documented extension point.
+    QuerySpec(
+      "k10_ocr_lane_consume",
+      (s, dir) => {
+        import s.implicits._
+        val lane = s.read.parquet(stagedOcrLane(s, dir))
+          .filter($"needs_ocr" === true && $"n_text_pages" === 0)
+        val hooked = ConversionConfig(
+          ocrEngine = Some(graft.kernel.ConvertKernel.OcrEngines.Deterministic))
+        lane.select($"doc_id", $"filename", $"content")
+          .as[(Long, String, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, name, bytes) =>
+              val without = graft.kernel.ConvertKernel.convertOne(name, bytes)
+              val r = graft.kernel.ConvertKernel.convertOne(name, bytes, hooked)
+              (id, r.markdown, r.error, without.error)
+            }
+          }
+          .toDF("doc_id", "markdown", "error", "error_without_ocr")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               'Recovered page 1 of 2.' || chr(10) || chr(10) ||
+                 'Recovered page 2 of 2.' AS markdown,
+               CAST(NULL AS VARCHAR) AS error,
+               'PDF has no extractable text (image-only PDFs need OCR models not available in this build)'
+                 AS error_without_ocr
+        FROM documents WHERE doc_id % 10 = 6 ORDER BY doc_id"""))
   )
 
   /** k1's oracle, shared verbatim by k5 (the DSv2 connector must produce
