@@ -778,7 +778,14 @@ object PdfParser extends FormatParser {
         val et = indexOfToken(src, "ET", bt + 2)
         val end = if (et < 0) src.length else et
         val (text0, runs) = extractFromBlock(src.substring(bt + 2, end), fonts, undecodable)
-        detectTable(runs) match {
+        // positioned-grid detection first; when every run sits at ONE x
+        // (the single-origin multi-line shape detectTable is blind to),
+        // try whitespace-column inference on the line text (r13)
+        val singleOrigin = runs.nonEmpty &&
+          runs.forall(r => math.abs(r.x - runs.head.x) <= ColTolX)
+        detectTable(runs)
+          .orElse(if (singleOrigin) detectWhitespaceTable(text0.trim) else None)
+        match {
           case Some(t) => flushTextBuffer(textBuf, out); out += t
           case None =>
             val text = applyLinks(text0, runs, links, linksConsumed)
@@ -851,6 +858,73 @@ object PdfParser extends FormatParser {
 
   private val BandTolY = 2.0 // same visual line when |Δy| ≤ this
   private val ColTolX = 3.0  // same column when |Δx| ≤ this
+  private val WsMinGap = 2   // min shared-space run that separates columns
+
+  /** UNRULED-table inference over aligned text LINES (VERDICT r12 #5) —
+    * the whitespace-column shape the reference handles with TableFormer
+    * ML (service.py:66 `do_table_structure`): a producer types the
+    * whole table as plain text lines, columns aligned with runs of
+    * spaces instead of `Td` positioning. [[detectTable]] is blind to it
+    * (every line sits at ONE x — a single origin cluster), so this pass
+    * runs on the line text itself, with [[detectTable]]'s conservative
+    * evidence bar transposed to character space — a stray line vetoes,
+    * prose must never reclassify:
+    *  - ≥ 2 lines, none blank; the common leading indent is stripped
+    *    first (indentation is layout, not a separator);
+    *  - column separators are the character positions where EVERY line
+    *    has whitespace (or has already ended), taken as maximal runs of
+    *    width ≥ [[WsMinGap]] strictly inside the text extent — single
+    *    word spaces never qualify, and one line whose text crosses a
+    *    would-be gap removes that separator for all lines (the veto);
+    *  - the segments between separators must give ≥ 2 columns, every
+    *    line's FIRST column non-empty (ragged left edges are prose),
+    *    ≥ 2 lines with ≥ 2 filled cells, and ≥ 60% of all cells filled
+    *    — the same gates the positioned-grid path applies. */
+  private[kernel] def detectWhitespaceTable(text: String): Option[TableElement] = {
+    val raw = text.split("\n", -1).toIndexedSeq
+    if (raw.size < 2 || raw.exists(_.trim.isEmpty)) return None
+    val indent = raw.map(_.takeWhile(_ == ' ').length).min
+    val lines = raw.map(_.substring(indent))
+    val width = lines.map(_.length).max
+    def isSep(p: Int): Boolean =
+      lines.forall(l => p >= l.length || l.charAt(p) == ' ')
+    // maximal separator runs, interior only (a run touching either edge
+    // is indent/trailing space, not a column gap)
+    val gaps = ArrayBuffer[(Int, Int)]()
+    var p = 0
+    while (p < width) {
+      if (isSep(p)) {
+        val start = p
+        while (p < width && isSep(p)) p += 1
+        if (start > 0 && p < width && p - start >= WsMinGap)
+          gaps += ((start, p))
+      } else p += 1
+    }
+    if (gaps.isEmpty) return None
+    val bounds = ArrayBuffer[(Int, Int)]()
+    var prevEnd = 0
+    for ((a, b) <- gaps) { bounds += ((prevEnd, a)); prevEnd = b }
+    bounds += ((prevEnd, width))
+    val nCols = bounds.size
+    if (nCols < 2) return None
+    val grid = lines.map { l =>
+      bounds.map { case (a, b) =>
+        l.substring(math.min(a, l.length), math.min(b, l.length)).trim
+      }
+    }
+    if (grid.exists(_.head.isEmpty)) return None
+    val filled = grid.iterator.map(_.count(_.nonEmpty)).sum
+    val rowsWithTwo = grid.count(_.count(_.nonEmpty) >= 2)
+    if (rowsWithTwo < 2 || filled.toDouble < lines.size * nCols * 0.6)
+      return None
+    val cells = for {
+      ri <- grid.indices
+      ci <- 0 until nCols
+      if grid(ri)(ci).nonEmpty
+    } yield TableCellSpec(ri, ri + 1, ci, ci + 1, grid(ri)(ci),
+      columnHeader = ri == 0)
+    Some(TableElement(cells, lines.size, nCols))
+  }
 
   /** Heuristic grid reconstruction from one BT block's positioned runs —
     * the no-ML path to the reference's headline capability (its README

@@ -257,6 +257,80 @@ object KernelQueries {
   private val verifiedCorpora =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** k11's deterministic UNRULED-table PDF for doc `id` — a pure
+    * function, so the DuckDB oracle recomputes the expected table
+    * geometry from `documents` arithmetic alone. One page, two BT
+    * blocks at the SAME x origin: an intro prose line, then the table
+    * typed as plain text lines whose columns exist only as aligned runs
+    * of spaces (8-char fields) — no `Td` column positioning, no rules;
+    * the shape the reference's TableFormer handles with ML
+    * (service.py:66) and [[graft.kernel.PdfParser.detectWhitespaceTable]]
+    * reconstructs structurally. Header `h<c>` plus `2 + id%3` data rows
+    * `r<r>c<c>` over `2 + id%2` columns; every `id % 5 == 0` doc
+    * appends a stray prose line that crosses the gaps — the
+    * conservative bar must VETO those (no table, text preserved). */
+  def unruledPdfFor(id: Long): Array[Byte] = {
+    val nData = (2 + id % 3).toInt
+    val nCols = (2 + id % 2).toInt
+    def pad8(s: String) = s + " " * (8 - s.length)
+    def line(cells: Seq[String]) =
+      cells.map(pad8).mkString.replaceAll("\\s+$", "")
+    val header = line((0 until nCols).map(c => s"h$c"))
+    val data = (1 to nData).map(r => line((0 until nCols).map(c => s"r${r}c$c")))
+    val lines = (header +: data) ++
+      (if (id % 5 == 0) Seq("a stray prose line crossing gaps") else Seq.empty)
+    val table = "BT /F1 10 Tf 72 640 Td " + lines.zipWithIndex.map {
+      case (l, i) => (if (i == 0) "" else "0 -12 Td ") + s"($l) Tj "
+    }.mkString + "ET"
+    val payload = (s"BT /F1 12 Tf 72 700 Td (Intro for doc $id.) Tj ET\n" +
+      table).getBytes(StandardCharsets.ISO_8859_1)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    w(s"4 0 obj\n<< /Length ${payload.length} >>\nstream\n")
+    bos.write(payload)
+    w("\nendstream\nendobj\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  /** Stage k11's unruled-table corpus (write-once, the
+    * [[stagedPdfCorpus]] marker convention); one `doc<id>.pdf` per
+    * documents row. */
+  private[graft] def stagedUnruledCorpus(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val staging = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_k11_" + java.lang.Integer.toHexString(dir.hashCode))
+    val stagingPath = staging.getAbsolutePath
+    if (verifiedCorpora.contains(stagingPath)) return stagingPath
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(dir, "documents.parquet"))}"
+    val marker = new java.io.File(stagingPath + ".staged")
+    val upToDate = staging.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      if (staging.isDirectory)
+        staging.listFiles().foreach(f => { f.delete(); () })
+      staging.mkdirs()
+      Tables(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { id =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(stagingPath, s"doc$id.pdf"),
+              unruledPdfFor(id))
+            ()
+          }
+        }
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedCorpora.add(stagingPath)
+    stagingPath
+  }
+
   /** k10's OCR LANE — the standing `needs_ocr` partition the triage
     * pass routes into (VERDICT r12 #6; the Mixing.writePackedShards
     * layout applied to the kernel plane): one row per PDF —
@@ -316,6 +390,7 @@ object KernelQueries {
     stagedCorpus(s, dir)
     stagedPdfCorpus(s, dir)
     stagedOcrLane(s, dir)
+    stagedUnruledCorpus(s, dir)
     ()
   }
 
@@ -741,7 +816,73 @@ object KernelQueries {
                CAST(NULL AS VARCHAR) AS error,
                'PDF has no extractable text (image-only PDFs need OCR models not available in this build)'
                  AS error_without_ocr
-        FROM documents WHERE doc_id % 10 = 6 ORDER BY doc_id"""))
+        FROM documents WHERE doc_id % 10 = 6 ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------- k11
+    // Unruled-table reconstruction (VERDICT r12 #5): the reference gets
+    // table structure for layouts WITHOUT rules or column positioning
+    // from TableFormer ML (service.py:66 `do_table_structure`); this
+    // row pins the engine's structural answer —
+    // [[graft.kernel.PdfParser.detectWhitespaceTable]], whitespace-
+    // column inference over aligned single-origin lines with the grid
+    // path's conservative evidence bar. The corpus is [[unruledPdfFor]]'s
+    // pure construction, so the oracle recomputes the expected table
+    // geometry (count, rows, cols, corner cells) from doc_id arithmetic
+    // — including the VETO slice (every doc_id%5==0 file carries a
+    // stray line crossing the gaps and must yield NO table). Scale
+    // shape = k9: binaryFile scan → mapPartitions, no shuffle before
+    // the presentation sort.
+    QuerySpec(
+      "k11_unruled_tables",
+      (s, dir) => {
+        import s.implicits._
+        val pdfDir = stagedUnruledCorpus(s, dir)
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.pdf").load(pdfDir)
+          .select($"path", $"content")
+          .as[(String, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (path, bytes) =>
+              val name = path.substring(path.lastIndexOf('/') + 1)
+              val id = name.replaceAll("[^0-9]", "").toLong
+              graft.kernel.PdfParser.parse(name, bytes) match {
+                case Right(tree) =>
+                  val tables = tree.items.collect {
+                    case t: graft.kernel.DocModel.TableElement => t
+                  }
+                  tables.headOption match {
+                    case Some(t) =>
+                      (id, tables.size.toLong, Option(t.numRows),
+                        Option(t.numCols), Option(t.cells.head.text),
+                        Option(t.cells.last.text), null: String)
+                    case None =>
+                      (id, 0L, None: Option[Int], None: Option[Int],
+                        None: Option[String], None: Option[String],
+                        null: String)
+                  }
+                case Left(e) =>
+                  (id, 0L, None: Option[Int], None: Option[Int],
+                    None: Option[String], None: Option[String], e)
+              }
+            }
+          }
+          .toDF("doc_id", "n_tables", "n_rows", "n_cols", "first_cell",
+            "last_cell", "error")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_tables,
+               CASE WHEN doc_id % 5 = 0 THEN NULL
+                    ELSE CAST(3 + doc_id % 3 AS INTEGER) END AS n_rows,
+               CASE WHEN doc_id % 5 = 0 THEN NULL
+                    ELSE CAST(2 + doc_id % 2 AS INTEGER) END AS n_cols,
+               CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 'h0' END AS first_cell,
+               CASE WHEN doc_id % 5 = 0 THEN NULL
+                    ELSE 'r' || CAST(2 + doc_id % 3 AS VARCHAR) ||
+                         'c' || CAST(1 + doc_id % 2 AS VARCHAR) END AS last_cell,
+               CAST(NULL AS VARCHAR) AS error
+        FROM documents ORDER BY doc_id"""))
   )
 
   /** k1's oracle, shared verbatim by k5 (the DSv2 connector must produce

@@ -587,6 +587,42 @@ class PdfParserSpec extends AnyFunSuite {
     assert(r.markdown == "H")
   }
 
+  test("whitespace-aligned unruled table reconstructs as a pipe grid (r13)") {
+    // no Td column positioning, no rules: columns exist only as aligned
+    // runs of spaces inside single-origin lines — the TableFormer shape
+    val content = "BT /F1 10 Tf 72 700 Td (Name    Qty   Price) Tj " +
+      "0 -12 Td (Apple   3     1.50) Tj 0 -12 Td (Pear    12    0.75) Tj ET"
+    val r = convertOne("t.pdf", pdf(Seq(content -> false)))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "| Name | Qty | Price |\n|---|---|---|\n" +
+      "| Apple | 3 | 1.50 |\n| Pear | 12 | 0.75 |")
+  }
+
+  test("a stray line crossing the gaps vetoes whitespace-table inference") {
+    val content = "BT /F1 10 Tf 72 700 Td (Name    Qty   Price) Tj " +
+      "0 -12 Td (Apple   3     1.50) Tj " +
+      "0 -12 Td (a stray prose line crossing gaps) Tj ET"
+    val r = convertOne("t.pdf", pdf(Seq(content -> false)))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(!r.markdown.contains("|") && r.markdown.contains("stray prose line"))
+  }
+
+  test("prose with single word spaces never reclassifies as a table") {
+    val content = "BT /F1 10 Tf 72 700 Td (This is a line of prose.) Tj " +
+      "0 -12 Td (And a second line here.) Tj ET"
+    val r = convertOne("t.pdf", pdf(Seq(content -> false)))
+    assert(r.error == null && !r.markdown.contains("|"))
+  }
+
+  test("short last line = missing trailing cell, still a table (fill gate)") {
+    val content = "BT /F1 10 Tf 72 700 Td (colA    colB    colC) Tj " +
+      "0 -12 Td (a1      b1      c1) Tj 0 -12 Td (a2      b2) Tj ET"
+    val r = convertOne("t.pdf", pdf(Seq(content -> false)))
+    assert(r.error == null, String.valueOf(r.error))
+    assert(r.markdown == "| colA | colB | colC |\n|---|---|---|\n" +
+      "| a1 | b1 | c1 |\n| a2 | b2 |  |")
+  }
+
   test("ocrTriage classifies k9's mixed fixture exactly per its construction") {
     // doc 1: 2 text pages + 1 image-only page (1 + 1%3 = 2, 1%2 = 1)
     val mixed = graft.operators.KernelQueries.pdfFor(1L, 100L)

@@ -206,7 +206,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q66_bloom_runtime_filter", "d25_incremental_semdedup",
     "p15_stratified_sample", "d26_banded_auto_pairs", "e8_lakehouse_scan",
     "q67_aqe_skew_join", "k9_ocr_triage", "d27_auto_semdedup_keeper",
-    "s12_ivf_index_topk", "k10_ocr_lane_consume")
+    "s12_ivf_index_topk", "k10_ocr_lane_consume", "k11_unruled_tables")
 
   test("d27's production edge source has NO all-pairs stage: one anchor cross only") {
     // the d23/d5 quadratic block-pair join is a non-equi (blk_a <=
