@@ -32,3 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forward graft.* system properties from the sbt JVM into forked
+// test/run JVMs: the dev-only scale knobs travel as explicit -D flags
+// (never ambient env vars — ADVICE r12), so `sbt -Dgraft.x=y "runMain
+// …"` reaches the measured process while a plain driver run carries
+// none of them.
+javaOptions ++= sys.props.toSeq.collect {
+  case (k, v) if k.startsWith("graft.") => s"-D$k=$v"
+}

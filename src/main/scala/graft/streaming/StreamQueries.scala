@@ -36,7 +36,17 @@ object StreamQueries {
     val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
       sys.props("user.dir") + "/data"))
     val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = new java.io.File(root, "events_inbox_" + base)
+    // Dev-only cadence knob (SCALING r13, VERDICT r12 #7): -Dgraft.
+    // inbox.files re-stages the inbox at a finer slicing so trigger
+    // cadence can be measured (8 files / 4-per-trigger = 2 giant data
+    // batches; 32 files = 8 batches each ~1/8 of the span). A JVM
+    // property, never env; non-default counts stage to their OWN dir so
+    // the roster artifact is never clobbered. Results are cadence-
+    // invariant (the finalization oracles depend only on the final
+    // watermark); only wall/state telemetry changes.
+    val nFiles = sys.props.get("graft.inbox.files").map(_.toInt).getOrElse(8)
+    val path = new java.io.File(root, "events_inbox_" + base +
+      (if (nFiles == 8) "" else s"_f$nFiles"))
     // same once-per-process fast path as Multimodal.mediaTable: after the
     // first verification the measured st* calls skip the count() job
     if (verifiedInboxes.contains(path.getAbsolutePath))
@@ -46,7 +56,7 @@ object StreamQueries {
     // mediaTable/stagedCorpus convention): no Spark count() job to decide
     // the inbox is current, and a driver-side fixture regeneration that
     // keeps the row count but changes values still rebuilds
-    val stamp = s"v5:${graft.operators.Multimodal.sourceFingerprint(
+    val stamp = s"v5:f$nFiles:${graft.operators.Multimodal.sourceFingerprint(
       new java.io.File(dir, "events.parquet"))}"
     val marker = new java.io.File(path.getAbsolutePath + ".staged")
     val upToDate = path.isDirectory && marker.isFile &&
@@ -61,7 +71,7 @@ object StreamQueries {
       // correctly LATE-DROPS most of the remaining inbox — valid
       // semantics, but then the row tests the staging artifact, not the
       // rollup.
-      events.repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+      events.repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
         .write.mode("overwrite").parquet(path.getAbsolutePath)
       // The file source replays in MODIFICATION-TIME order, and the 8
       // parallel write tasks finish in arbitrary order — pin the part
@@ -161,8 +171,13 @@ object StreamQueries {
         // final no-data flush batch: still exercises cross-batch state and
         // the incremental watermark advance, at half the per-batch
         // state-store/sink-commit overhead of smaller triggers (each extra
-        // micro-batch costs a checkpoint + sink commit, ~1 s on tmpfs)
-        .option("maxFilesPerTrigger", 4)
+        // micro-batch costs a checkpoint + sink commit, ~1 s on tmpfs).
+        // -Dgraft.stream.filesPerTrigger is the cadence half of the
+        // stagedInbox dev knob (SCALING r13) — results are invariant,
+        // only the micro-batch slicing changes.
+        .option("maxFilesPerTrigger",
+          sys.props.get("graft.stream.filesPerTrigger")
+            .map(_.toInt).getOrElse(4))
         .parquet(inbox)
       val q = transform(stream)
         .writeStream
