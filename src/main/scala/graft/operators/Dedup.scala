@@ -221,9 +221,14 @@ object Dedup {
     * means something is structurally wrong (e.g. a non-monotone label
     * update) — we fail loudly rather than return silently-partial
     * labels. */
+  // 50, not 25 (r13): d27's sf1 probe (50k vectors at the adversarial
+  // 0.45 threshold, where ScaleUp's perturbed copies chain into huge-
+  // diameter components) needed 26-30 rounds — the old cap fired as a
+  // FALSE alarm on a converging run. The guard's job is catching a
+  // truly non-converging loop loudly, which 50 still does at ~1 s/round.
   def connectedComponents(s: org.apache.spark.sql.SparkSession,
                           pairs: org.apache.spark.sql.DataFrame,
-                          maxRounds: Int = 25): (org.apache.spark.sql.DataFrame, Int) = {
+                          maxRounds: Int = 50): (org.apache.spark.sql.DataFrame, Int) = {
     import s.implicits._
     // materialize the (possibly expensive) pair computation ONCE before
     // mirroring: a union of two projections of `pairs` would carry the
@@ -255,12 +260,25 @@ object Dedup {
       val propagated = labels.join(nmin, labels("id") === $"nid", "left")
         .select(labels("id").as("id"),
           least(labels("label"), coalesce($"nmin", labels("label"))).as("label"))
-      val next = propagated.as("x")
+      val next0 = propagated.as("x")
         .join(propagated.select($"id".as("pid"), $"label".as("plabel")),
           col("x.label") === $"pid", "left")
         .select(col("x.id").as("id"),
           coalesce($"plabel", col("x.label")).as("label"))
         .localCheckpoint(true)
+      // RESET the checkpoint's preserved plan statistics (r13, found at
+      // sf1): localCheckpoint carries optimizedPlan.stats into its
+      // LogicalRDD, and each round's plan multiplies the PREVIOUS
+      // round's preserved sizeInBytes through three joins (incl. the
+      // pointer-jumping self-join), so the BigInteger digit count
+      // compounds ~2-6x PER ROUND — by round ~10 the driver burns
+      // minutes in BigInteger.multiplyToomCook3 under
+      // SizeInBytesOnlyStatsPlanVisitor while executors idle (observed:
+      // 700+ driver CPU-seconds planning d27 at sf1). Rebasing the
+      // label frame on the checkpointed RDD restores default leaf
+      // stats; labels are vertex-sized, so the extra Row round-trip is
+      // noise next to the round's own shuffles.
+      val next = s.createDataFrame(next0.rdd, next0.schema)
       prevSum = curSum
       curSum = next.agg(coalesce(sum($"label"), lit(0L))).as[Long].head()
       labels = next
