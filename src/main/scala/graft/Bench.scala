@@ -131,9 +131,12 @@ object Bench {
       // measures
       if (selected("d"))
         operators.Dedup.semanticIndex(spark, sfDir)
-      // s12's standing IVF index, same principle
-      if (selected("s"))
+      // s12/s13's standing IVF indexes, same principle
+      if (selected("s")) {
         operators.Similarity.ivfIndex(spark, sfDir)
+        operators.Similarity.ivfIncIndex(spark, sfDir)
+        ()
+      }
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
     val warmupSec = math.round((System.nanoTime() - warmT0) / 1e6) / 1e3

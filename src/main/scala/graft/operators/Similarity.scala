@@ -97,6 +97,87 @@ object Similarity {
         nQueries = 10, nProbe = 2, k = 5),
       Some(IvfTopKOracle)),
 
+    // ---------------------------------------------------------------- s13
+    // The INCREMENTAL index append under the correctness gate — s12's
+    // "append-only as vectors arrive" demonstrated, not argued (the
+    // d25 move completed for similarity search). The standing half is
+    // built from the corpus split alone (centroids = the quantizer a
+    // real index trains once); the batch routes through that STALE
+    // quantizer (nearest corpus centroid, its own label never
+    // consulted) and APPENDS into the assigned cell partitions; the
+    // serving probe then runs [[ivfTopKFromIndex]] UNCHANGED over the
+    // appended root — batch vectors are found where the quantizer put
+    // them, exactly like a vector store between retrains. Append-only
+    // and idempotence are file-level spec pins (IvfIndexSpec); the
+    // full oracle replays corpus-centroids → assignment → appended
+    // postings → probe. At 100 TB this is the daily ingest shape:
+    // batch-sized assignment work + batch-sized appended files, the
+    // standing index never rewritten, the quantizer never retrained.
+    QuerySpec(
+      "s13_ivf_index_append",
+      (s, dir) => ivfTopKFromIndex(s, dir, ivfIncIndex(s, dir),
+        nQueries = 10, nProbe = 2, k = 5),
+      Some("""
+        WITH corpus AS (
+          SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 <> 0),
+        batch AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+        e AS (
+          SELECT label, UNNEST(embedding) AS v,
+                 UNNEST(range(len(embedding))) AS dim
+          FROM corpus),
+        cent AS (
+          SELECT label AS cell, dim,
+                 CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+          FROM e GROUP BY label, dim),
+        centl AS (
+          SELECT cell, list(c ORDER BY dim) AS centroid FROM cent GROUP BY cell),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT b.vec_id, centl.cell,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                     list_sum(list_transform(generate_series(1, len(b.embedding)),
+                       i -> (CAST(b.embedding[i] AS DOUBLE) - centroid[i]) *
+                            (CAST(b.embedding[i] AS DOUBLE) - centroid[i]))) ASC,
+                     cell) AS rn
+            FROM batch b CROSS JOIN centl) WHERE rn = 1),
+        posts AS (
+          SELECT vec_id AS cand_id, embedding AS cv, label AS cell FROM corpus
+          UNION ALL
+          SELECT b.vec_id AS cand_id, b.embedding AS cv, a.cell
+          FROM batch b JOIN assign a USING (vec_id)),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 10),
+        probe AS (
+          SELECT query_id, qv, cell,
+                 list_sum(list_transform(generate_series(1, len(qv)),
+                   i -> (CAST(qv[i] AS DOUBLE) - centroid[i]) *
+                        (CAST(qv[i] AS DOUBLE) - centroid[i]))) AS cdist
+          FROM q CROSS JOIN centl),
+        pr AS (
+          SELECT query_id, qv, cell,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cdist ASC, cell) AS probe_rank
+          FROM probe),
+        probed AS (SELECT query_id, qv, cell FROM pr WHERE probe_rank <= 2),
+        p AS (
+          SELECT query_id, cand_id,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(qv)),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(cv)),
+                          i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 6) AS cosine
+          FROM probed JOIN posts USING (cell)
+          WHERE query_id != cand_id),
+        r AS (SELECT query_id, cand_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, cand_id) AS rank
+              FROM p)
+        SELECT query_id, rank, cand_id, cosine FROM r WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
     // ----------------------------------------------------------------- s3
     // Int8 symmetric quantization — the compression step a 100 TB vector
     // store runs before ANN serving (4× memory vs float32, 8× vs float64):
@@ -1069,6 +1150,102 @@ object Similarity {
 
   private val verifiedIvfIndexes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** s13's INCREMENTAL index — the append path a standing IVF index
+    * actually runs in production, where s12's "append-only as vectors
+    * arrive" was prose (the d25→d12 incremental symmetry applied to
+    * similarity search). Two halves, split so IvfIndexSpec can observe
+    * the filesystem between them:
+    *  - [[ivfIncCorpus]] stages the STANDING half from the corpus
+    *    split alone (vec_id % 5 != 0, d25's convention): centroids
+    *    derived from corpus vectors only — the quantizer a real index
+    *    trains once and does NOT retrain per batch — and corpus
+    *    postings partitioned by cell (= label);
+    *  - [[ivfIncAppend]] routes the incoming batch (vec_id % 5 == 0)
+    *    through the STALE quantizer — nearest corpus centroid by the
+    *    same argmin the probe uses, the batch's own label is never
+    *    consulted — and APPENDS the routed rows into the assigned cell
+    *    partitions. Append-only is spec-pinned at the file level: the
+    *    standing part files are byte-untouched, new files land only
+    *    under assigned cells, and a second append is a no-op (marker-
+    *    idempotent, so a re-run never duplicates postings).
+    * The s13 probe then serves [[ivfTopKFromIndex]] unchanged from the
+    * appended root — batch vectors are found in the cells the stale
+    * quantizer put them in, exactly like a vector store between
+    * retrains. Every stage is the deterministic s2 arithmetic, so the
+    * full DuckDB oracle replays corpus-centroids → batch assignment →
+    * appended postings → probe row-for-row. */
+  private[graft] def ivfIncCorpus(s: SparkSession, dir: String,
+                                  rootOverride: Option[java.io.File] = None)
+      : String = {
+    import s.implicits._
+    val root = rootOverride.getOrElse(
+      new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+        sys.props("user.dir") + "/data")))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "ivfinc_" + base)
+    val stamp = s"v1:ivf-inc-corpus:${Multimodal.sourceFingerprint(
+      new java.io.File(dir, "embeddings.parquet"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      // a stale corpus restage invalidates any prior append
+      val aMarker = new java.io.File(path.getAbsolutePath + ".appended")
+      java.nio.file.Files.deleteIfExists(aMarker.toPath)
+      val corpus = Tables(s, dir, "embeddings").filter($"vec_id" % 5 =!= 0)
+      corpus
+        .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+        .groupBy($"label", $"dim")
+        .agg((sum($"v".cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+        .groupBy($"label")
+        .agg(array_sort(collect_list(struct($"dim", $"c"))).as("pairs"))
+        .select($"label".as("cell"), expr("transform(pairs, p -> p.c)").as("centroid"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(path, "centroids").getAbsolutePath)
+      corpus
+        .select($"vec_id".as("cand_id"), $"embedding".as("cv"),
+          $"label".as("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(new java.io.File(path, "postings").getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    path.getAbsolutePath
+  }
+
+  /** Route the batch through the STALE quantizer and append into the
+    * assigned cell partitions — see [[ivfIncCorpus]]. Idempotent per
+    * fixture fingerprint. Returns the index root. */
+  private[graft] def ivfIncAppend(s: SparkSession, dir: String,
+                                  indexRoot: String): String = {
+    import s.implicits._
+    val stamp = s"v1:ivf-inc-append:${Multimodal.sourceFingerprint(
+      new java.io.File(dir, "embeddings.parquet"))}"
+    val marker = new java.io.File(indexRoot + ".appended")
+    val done = marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!done) {
+      val centroids = s.read.parquet(
+        new java.io.File(indexRoot, "centroids").getAbsolutePath)
+      val batch = Tables(s, dir, "embeddings").filter($"vec_id" % 5 === 0)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      // nProbe=1 probe IS the assignment argmin (same arithmetic the
+      // serving probe uses, cell tie-break included)
+      probeCells(batch, centroids, nProbe = 1)
+        .select($"query_id".as("cand_id"), $"qv".as("cv"), $"cell")
+        .write.mode("append").partitionBy("cell")
+        .parquet(new java.io.File(indexRoot, "postings").getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    indexRoot
+  }
+
+  /** The composed staging s13 runs: standing corpus index + the
+    * batch append, once each per fixture fingerprint. */
+  private[graft] def ivfIncIndex(s: SparkSession, dir: String): String =
+    ivfIncAppend(s, dir, ivfIncCorpus(s, dir))
 
   /** s12's probe path: serve s2's exact top-k shape from the standing
     * index — the query batch broadcasts onto the staged centroid table

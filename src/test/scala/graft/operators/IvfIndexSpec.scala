@@ -74,4 +74,46 @@ class IvfIndexSpec extends SparkTestBase {
       s"1 query at nProbe=2 should read exactly 2 of $nCells cell " +
         s"partitions, read $nParts")
   }
+
+  test("s13 append is file-level append-only and idempotent") {
+    import scala.jdk.CollectionConverters._
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivfinc").toFile
+    val root = Similarity.ivfIncCorpus(spark, dir, Some(tmpRoot))
+    def postFiles: Map[String, (Long, Long)] = {
+      val d = new java.io.File(root, "postings")
+      val st = java.nio.file.Files.walk(d.toPath)
+      try st.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith("part-"))
+        .map(p => p.toString -> (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toMap
+      finally st.close()
+    }
+    val before = postFiles
+    assert(before.nonEmpty, "corpus staging premise")
+    Similarity.ivfIncAppend(spark, dir, root)
+    val after = postFiles
+    // the standing index is NEVER rewritten: every pre-append part file
+    // survives with identical size and mtime
+    before.foreach { case (f, meta) =>
+      assert(after.get(f).contains(meta), s"standing file $f was rewritten")
+    }
+    // the appended files land only under cell partitions
+    val added = after.keySet.diff(before.keySet)
+    assert(added.nonEmpty && added.forall(_.contains("/cell=")),
+      s"append wrote outside cell partitions: ${added.take(3)}")
+    // a second append is a no-op (marker idempotence — a re-run must
+    // never duplicate postings)
+    Similarity.ivfIncAppend(spark, dir, root)
+    assert(postFiles == after, "second append changed the postings")
+    // completeness: every batch vector appears exactly once; the index
+    // now covers the whole table
+    val posts = spark.read.parquet(
+      new java.io.File(root, "postings").getAbsolutePath)
+    val emb = graft.Tables(spark, dir, "embeddings")
+    assert(posts.filter($"cand_id" % 5 === 0).count() ==
+      emb.filter($"vec_id" % 5 === 0).count())
+    assert(posts.count() == emb.count())
+  }
 }

@@ -147,7 +147,10 @@ class PlanAuditSpec extends SparkTestBase {
     // s12 reuses s2's centroid cross (cells broadcast rows against the
     // Q-row query batch); the rerank join is cell-equi-keyed over the
     // statically pruned postings scan
-    "s12_ivf_index_topk")
+    "s12_ivf_index_topk",
+    // s13 serves the same probe over the APPENDED index root — identical
+    // plan shape (staging/append happen outside the served plan)
+    "s13_ivf_index_append")
 
   // join-heavy / scan-heavy representatives; auditing all 70 would add
   // minutes of planning time for little extra signal
@@ -206,7 +209,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q66_bloom_runtime_filter", "d25_incremental_semdedup",
     "p15_stratified_sample", "d26_banded_auto_pairs", "e8_lakehouse_scan",
     "q67_aqe_skew_join", "k9_ocr_triage", "d27_auto_semdedup_keeper",
-    "s12_ivf_index_topk", "k10_ocr_lane_consume", "k11_unruled_tables")
+    "s12_ivf_index_topk", "k10_ocr_lane_consume", "k11_unruled_tables",
+    "s13_ivf_index_append")
 
   test("d27's production edge source has NO all-pairs stage: one anchor cross only") {
     // the d23/d5 quadratic block-pair join is a non-equi (blk_a <=
