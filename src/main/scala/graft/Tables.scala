@@ -76,4 +76,28 @@ private[graft] object Materialize {
       out
     }
   }
+
+  /** Eager localCheckpoint + STATS REBASE — the per-round truncation for
+    * iterative loops (connected components, PageRank, BFS/Bellman-Ford,
+    * LPA, HITS). `localCheckpoint` preserves `optimizedPlan.stats` into
+    * its LogicalRDD, and Spark's size-only join estimate MULTIPLIES the
+    * children's sizeInBytes — so a loop that checkpoints a join of the
+    * previous round's checkpoint compounds the preserved estimate
+    * geometrically per round. At high round counts that stalls the
+    * DRIVER in BigInteger multiplication under
+    * SizeInBytesOnlyStatsPlanVisitor (the d27 sf1 hang, SCALING r13);
+    * at fixed small round counts the loop still RETURNS a frame whose
+    * sizeInBytes is astronomically wrong (10^36+ observed for the graph
+    * family at sf0.01), which poisons any downstream composition — a
+    * node-sized rank table with a 10^36 estimate will never clear
+    * autoBroadcastJoinThreshold. Rebasing on the checkpointed RDD
+    * restores default leaf stats; loop-carried frames are node-sized,
+    * so the extra Row round-trip is noise next to the round's shuffles.
+    * (Loops whose per-round plans only semi-join or aggregate the
+    * carried frame — g5's peel, s11's broadcast k-means — do not
+    * multiply carried stats and stay on plain localCheckpoint.) */
+  def checkpointRebased(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint(true)
+    c.sparkSession.createDataFrame(c.rdd, c.schema)
+  }
 }

@@ -267,17 +267,13 @@ object Dedup {
           coalesce($"plabel", col("x.label")).as("label"))
         .localCheckpoint(true)
       // RESET the checkpoint's preserved plan statistics (r13, found at
-      // sf1): localCheckpoint carries optimizedPlan.stats into its
-      // LogicalRDD, and each round's plan multiplies the PREVIOUS
-      // round's preserved sizeInBytes through three joins (incl. the
-      // pointer-jumping self-join), so the BigInteger digit count
-      // compounds ~2-6x PER ROUND — by round ~10 the driver burns
-      // minutes in BigInteger.multiplyToomCook3 under
-      // SizeInBytesOnlyStatsPlanVisitor while executors idle (observed:
-      // 700+ driver CPU-seconds planning d27 at sf1). Rebasing the
-      // label frame on the checkpointed RDD restores default leaf
-      // stats; labels are vertex-sized, so the extra Row round-trip is
-      // noise next to the round's own shuffles.
+      // sf1): each round's plan multiplies the PREVIOUS round's
+      // preserved sizeInBytes through three joins (incl. the
+      // pointer-jumping self-join) — by round ~10 the driver burns
+      // minutes in BigInteger.multiplyToomCook3 while executors idle
+      // (700+ driver CPU-seconds planning d27 at sf1). Full rationale
+      // and the loop-class sweep at [[graft.Materialize.checkpointRebased]]
+      // (r13 swept the same fix into g1/g3/g4/g6/g7).
       val next = s.createDataFrame(next0.rdd, next0.schema)
       prevSum = curSum
       curSum = next.agg(coalesce(sum($"label"), lit(0L))).as[Long].head()

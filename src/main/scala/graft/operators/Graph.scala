@@ -205,14 +205,16 @@ object Graph {
         var dist = seeds.localCheckpoint(true)
         var frontier = dist
         for (i <- 1 to BfsHops) {
-          val next = edges
+          // stats-rebased checkpoints: the inner join multiplies the
+          // carried frontier's preserved estimate into each round
+          // (graft.Materialize.checkpointRebased)
+          val next = graft.Materialize.checkpointRebased(edges
             .join(frontier,
               edges("src") === frontier("id") && edges("src_t") === frontier("t"))
             .select($"dst_t".as("t"), $"dst".as("id")).distinct()
             .join(dist, Seq("t", "id"), "left_anti")
-            .withColumn("hop", lit(i.toLong))
-            .localCheckpoint(true)
-          dist = dist.union(next).localCheckpoint(true)
+            .withColumn("hop", lit(i.toLong)))
+          dist = graft.Materialize.checkpointRebased(dist.union(next))
           frontier = next
         }
         edges.unpersist(false)
@@ -257,13 +259,13 @@ object Graph {
           .select(lit("c").as("t"), $"c_custkey".as("id"), lit(0L).as("cost"))
           .localCheckpoint(true)
         for (_ <- 1 to BfsHops) {
-          dist = dist.union(
+          // stats-rebased checkpoint, same rationale as g3's loop
+          dist = graft.Materialize.checkpointRebased(dist.union(
               edges.join(dist,
                 edges("src") === dist("id") && edges("src_t") === dist("t"))
                 .select($"dst_t".as("t"), $"dst".as("id"),
                   ($"cost" + $"w").as("cost")))
-            .groupBy($"t", $"id").agg(min($"cost").as("cost"))
-            .localCheckpoint(true)
+            .groupBy($"t", $"id").agg(min($"cost").as("cost")))
         }
         edges.unpersist(false)
         dist.select($"t".as("node_type"), $"id".as("node_id"), $"cost")
@@ -314,6 +316,11 @@ object Graph {
           .localCheckpoint(true)
         var alive = edges.select($"s".as("v")).distinct().localCheckpoint(true)
         var removed = Seq.empty[(Long, Long)].toDF("custkey", "removed_round")
+        // plain (non-rebased) checkpoints are correct HERE: the loop's
+        // joins against carried frames are left/left_semi, whose size
+        // estimate is the left side alone — carried stats never
+        // multiply (probed: 12 digits after 4 peels, vs g1/g6/g7's
+        // 36-41 before the graft.Materialize.checkpointRebased sweep)
         for (r <- 1 to KcorePeels) {
           val deg = edges.groupBy($"s".as("v")).agg(count(lit(1)).as("deg"))
           // left join, not inner: a node whose edges ALL vanished last
@@ -381,13 +388,15 @@ object Graph {
           .withColumn("label", $"v").localCheckpoint(true)
         val byNode = Window.partitionBy($"v").orderBy($"cnt".desc, $"label")
         for (_ <- 1 to LpaRounds) {
-          labels = edges.join(labels, edges("d") === labels("v"))
-            .groupBy(edges("s").as("v"), $"label")
-            .agg(count(lit(1)).as("cnt"))
-            .withColumn("rk", row_number().over(byNode))
-            .filter($"rk" === 1)
-            .select($"v", $"label")
-            .localCheckpoint(true)
+          // stats-rebased checkpoint: the vote join multiplies the
+          // carried label frame's preserved estimate per round
+          labels = graft.Materialize.checkpointRebased(
+            edges.join(labels, edges("d") === labels("v"))
+              .groupBy(edges("s").as("v"), $"label")
+              .agg(count(lit(1)).as("cnt"))
+              .withColumn("rk", row_number().over(byNode))
+              .filter($"rk" === 1)
+              .select($"v", $"label"))
         }
         labels.select($"v".as("custkey"), $"label".as("community"))
           .orderBy($"custkey")
@@ -428,12 +437,12 @@ object Graph {
         var hub = pairs.select($"c").distinct().withColumn("h", lit(1L))
         var auth = pairs.select($"p").distinct().withColumn("a", lit(1L))
         for (_ <- 1 to HitsRounds) {
-          auth = pairs.join(hub, "c")
-            .groupBy($"p").agg(sum($"h").as("a"))
-            .localCheckpoint(true)
-          hub = pairs.join(auth, "p")
-            .groupBy($"c").agg(sum($"a").as("h"))
-            .localCheckpoint(true)
+          // stats-rebased checkpoints: each half-round joins the other
+          // half's checkpoint, compounding preserved estimates
+          auth = graft.Materialize.checkpointRebased(pairs.join(hub, "c")
+            .groupBy($"p").agg(sum($"h").as("a")))
+          hub = graft.Materialize.checkpointRebased(pairs.join(auth, "p")
+            .groupBy($"c").agg(sum($"a").as("h")))
         }
         val topHubs = hub
           .select(lit("c").as("node_type"), $"c".as("node_id"),
@@ -651,7 +660,10 @@ object Graph {
         .select($"id", $"t", $"deg",
           (lit((1.0 - Damping) / n) +
             lit(Damping) * coalesce($"mass", lit(0.0))).as("score"))
-        .localCheckpoint(true)
+      // stats-rebased checkpoint: the round joins the previous round's
+      // checkpoint twice, so preserved size estimates would compound
+      // geometrically per round (graft.Materialize.checkpointRebased)
+      ranks = graft.Materialize.checkpointRebased(ranks)
     }
     edges.unpersist(false)
     ranks.select($"id", $"t", $"score")
