@@ -1270,10 +1270,24 @@ object Similarity {
   private[graft] def ivfTopKFromIndex(s: SparkSession, dir: String,
       indexRoot: String, nQueries: Int, nProbe: Int, k: Int): DataFrame = {
     import s.implicits._
-    val centroids = s.read.parquet(
-      new java.io.File(indexRoot, "centroids").getAbsolutePath)
     val queries = Tables(s, dir, "embeddings").filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    ivfProbeIndex(queries, indexRoot, nProbe, k)
+  }
+
+  /** The serving core shared by s12/s13's batch probes and st16's
+    * streaming micro-batch serve: probe the STANDING index at
+    * `indexRoot` with an arbitrary `(query_id, qv)` frame. Per call the
+    * work is query-batch-sized (broadcast batch × tiny centroid table,
+    * postings scan statically pruned to the probed cells) — which is
+    * exactly what makes it safe to invoke once per micro-batch from a
+    * stream: serving cost follows the ARRIVAL RATE, never the corpus. */
+  private[graft] def ivfProbeIndex(queries: DataFrame, indexRoot: String,
+      nProbe: Int, k: Int): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val centroids = s.read.parquet(
+      new java.io.File(indexRoot, "centroids").getAbsolutePath)
     // materialized once (tiny: Q·nProbe rows) so the router list and
     // the rerank join share it without recomputing the probe stage
     val probed = probeCells(queries, centroids, nProbe).localCheckpoint(true)

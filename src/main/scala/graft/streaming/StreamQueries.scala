@@ -916,7 +916,158 @@ object StreamQueries {
           case None    => s.conf.unset(key)
         }
       },
-      Some(FollowupFullOracle)))
+      Some(FollowupFullOracle)),
+
+    // ---------------------------------------------------------------- st16
+    // ANN SERVING as a stream — the production shape of s12's standing
+    // IVF index: query vectors ARRIVE (staged 4-file inbox of the
+    // vec_id % 5 == 2 slice), and each micro-batch probes the standing
+    // index via the SAME serving core the batch rows use
+    // (Similarity.ivfProbeIndex): broadcast batch × 10-row centroid
+    // table, postings scan statically pruned to the batch's probed
+    // cells — per-trigger cost follows the ARRIVAL RATE, the corpus is
+    // never re-clustered or fully scanned. foreachBatch is the right
+    // primitive (not a stream-static join): the IVF router is a
+    // driver-side probed-cell list dispatching a pruned batch read,
+    // which is per-micro-batch batch-DataFrame work by construction —
+    // exactly what foreachBatch exists for, and how every vector store
+    // services a query stream (accumulate → dispatch → append).
+    // Determinism/oracle: top-k per query is independent of micro-batch
+    // slicing (per-query work shares nothing across queries), so the
+    // finalized sink equals the one-shot batch probe row-for-row
+    // (AnnServeStreamSpec pins stream ≡ batch; the DuckDB oracle
+    // replays the full inline derivation for the st16 query slice).
+    QuerySpec(
+      "st16_ann_serve_stream",
+      (s, dir) => annServeCatchUp(s, dir),
+      Some(AnnServeOracle)))
+
+  /** Stage the st16 query-vector inbox: the vec_id % 5 == 2 slice of
+    * the embeddings table as a 4-file query_id-ranged parquet inbox
+    * (write-once per sf dir, [[stagedInbox]]'s marker convention). No
+    * mtime pinning: st16's per-query output is independent of which
+    * micro-batch a query lands in ([[stagedDocInbox]]'s rationale). */
+  def stagedQueryInbox(s: SparkSession, dir: String): String = {
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "ann_inbox_" + base)
+    if (verifiedInboxes.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    import s.implicits._
+    val stamp = s"v1:${graft.operators.Multimodal.sourceFingerprint(
+      new java.io.File(dir, "embeddings.parquet"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      Tables(s, dir, "embeddings").filter($"vec_id" % 5 === 2)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+        .repartitionByRange(4, col("query_id"))
+        .sortWithinPartitions("query_id")
+        .write.mode("overwrite").parquet(path.getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedInboxes.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
+  /** st16's run-to-termination: stream the staged query inbox, probe
+    * the standing IVF index per micro-batch, read back the finalized
+    * sink. The index is s12's artifact — staged once per fixture by
+    * [[graft.operators.Similarity.ivfIndex]], UNTOUCHED by the stream
+    * (serving never writes the index; s13 owns appends). Stateless
+    * (no watermark/state store): the probe is per-query work, so
+    * append-mode parquet writes inside foreachBatch are exactly-once
+    * enough here — a replayed batch would re-derive identical rows,
+    * and AvailableNow's ledger prevents replay within a run. */
+  def annServeCatchUp(s: SparkSession, dir: String): DataFrame = {
+    val indexRoot = graft.operators.Similarity.ivfIndex(s, dir)
+    val inbox = stagedQueryInbox(s, dir)
+    val runDir = java.nio.file.Files.createTempDirectory("graft_st16").toString
+    val outDir = s"$runDir/out"
+    val schema = s.read.parquet(inbox).schema
+    // stream-sized shuffle parallelism, runCatchUp's rationale — here
+    // it sizes the per-batch top-k window, not a state store
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = s.readStream
+        .schema(schema)
+        // 4 ranged files / 2 per trigger = 2 data batches: enough to
+        // demonstrate cross-batch index serving at half the per-batch
+        // sink-commit overhead (runCatchUp's batching rationale)
+        .option("maxFilesPerTrigger",
+          sys.props.get("graft.stream.filesPerTrigger")
+            .map(_.toInt).getOrElse(2))
+        .parquet(inbox)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Similarity
+            .ivfProbeIndex(batch, indexRoot, nProbe = 2, k = 5)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", s"$runDir/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastRunProgress = q.recentProgress
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.read.parquet(outDir).orderBy(col("query_id"), col("rank"))
+  }
+
+  /** st16's oracle: the s2/s12 inline IVF derivation (decimal-mean
+    * centroids → nProbe=2 probe → cosine rerank → top-5) replayed for
+    * the st16 query slice — the stream serves from a standing index,
+    * DuckDB re-derives everything from the base table; they must land
+    * on identical rows. */
+  private def AnnServeOracle: String = """
+        WITH e AS (
+          SELECT label, vec_id, embedding,
+                 UNNEST(embedding) AS v,
+                 UNNEST(range(len(embedding))) AS dim
+          FROM embeddings),
+        cent AS (
+          SELECT label AS cell, dim,
+                 CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+          FROM e GROUP BY label, dim),
+        centl AS (
+          SELECT cell, list(c ORDER BY dim) AS centroid FROM cent GROUP BY cell),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id % 5 = 2),
+        probe AS (
+          SELECT query_id, qv, cell,
+                 list_sum(list_transform(generate_series(1, len(qv)),
+                   i -> (CAST(qv[i] AS DOUBLE) - centroid[i]) *
+                        (CAST(qv[i] AS DOUBLE) - centroid[i]))) AS cdist
+          FROM q CROSS JOIN centl),
+        pr AS (
+          SELECT query_id, qv, cell,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cdist ASC, cell) AS probe_rank
+          FROM probe),
+        probed AS (SELECT query_id, qv, cell FROM pr WHERE probe_rank <= 2),
+        cand AS (SELECT vec_id AS cand_id, embedding AS cv, label AS cell
+                 FROM embeddings),
+        p AS (
+          SELECT query_id, cand_id,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(qv)),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(cv)),
+                          i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 6) AS cosine
+          FROM probed JOIN cand USING (cell)
+          WHERE query_id != cand_id),
+        r AS (SELECT query_id, cand_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, cand_id) AS rank
+              FROM p)
+        SELECT query_id, rank, cand_id, cosine FROM r WHERE rank <= 5
+        ORDER BY query_id, rank"""
 
   /** The finalization oracle shared by st14 and st15 (the state-store
     * provider must not change results): matched pairs, watermark-
