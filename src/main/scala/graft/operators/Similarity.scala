@@ -117,66 +117,32 @@ object Similarity {
       "s13_ivf_index_append",
       (s, dir) => ivfTopKFromIndex(s, dir, ivfIncIndex(s, dir),
         nQueries = 10, nProbe = 2, k = 5),
-      Some("""
-        WITH corpus AS (
-          SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 <> 0),
-        batch AS (
-          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
-        e AS (
-          SELECT label, UNNEST(embedding) AS v,
-                 UNNEST(range(len(embedding))) AS dim
-          FROM corpus),
-        cent AS (
-          SELECT label AS cell, dim,
-                 CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
-          FROM e GROUP BY label, dim),
-        centl AS (
-          SELECT cell, list(c ORDER BY dim) AS centroid FROM cent GROUP BY cell),
-        assign AS (
-          SELECT vec_id, cell FROM (
-            SELECT b.vec_id, centl.cell,
-                   ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
-                     list_sum(list_transform(generate_series(1, len(b.embedding)),
-                       i -> (CAST(b.embedding[i] AS DOUBLE) - centroid[i]) *
-                            (CAST(b.embedding[i] AS DOUBLE) - centroid[i]))) ASC,
-                     cell) AS rn
-            FROM batch b CROSS JOIN centl) WHERE rn = 1),
-        posts AS (
-          SELECT vec_id AS cand_id, embedding AS cv, label AS cell FROM corpus
-          UNION ALL
-          SELECT b.vec_id AS cand_id, b.embedding AS cv, a.cell
-          FROM batch b JOIN assign a USING (vec_id)),
-        q AS (SELECT vec_id AS query_id, embedding AS qv
-              FROM embeddings WHERE vec_id < 10),
-        probe AS (
-          SELECT query_id, qv, cell,
-                 list_sum(list_transform(generate_series(1, len(qv)),
-                   i -> (CAST(qv[i] AS DOUBLE) - centroid[i]) *
-                        (CAST(qv[i] AS DOUBLE) - centroid[i]))) AS cdist
-          FROM q CROSS JOIN centl),
-        pr AS (
-          SELECT query_id, qv, cell,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY cdist ASC, cell) AS probe_rank
-          FROM probe),
-        probed AS (SELECT query_id, qv, cell FROM pr WHERE probe_rank <= 2),
-        p AS (
-          SELECT query_id, cand_id,
-                 ROUND(
-                   list_sum(list_transform(generate_series(1, len(qv)),
-                     i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-                   / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
-                        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-                      * sqrt(list_sum(list_transform(generate_series(1, len(cv)),
-                          i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 6) AS cosine
-          FROM probed JOIN posts USING (cell)
-          WHERE query_id != cand_id),
-        r AS (SELECT query_id, cand_id, cosine,
-                     ROW_NUMBER() OVER (PARTITION BY query_id
-                                        ORDER BY cosine DESC, cand_id) AS rank
-              FROM p)
-        SELECT query_id, rank, cand_id, cosine FROM r WHERE rank <= 5
-        ORDER BY query_id, rank""")),
+      Some(IvfIncOracle)),
+
+    // ---------------------------------------------------------------- s14
+    // The MAINTENANCE half of the s13 ingest loop: postings COMPACTION.
+    // Every s13-style append lands batch-sized part files inside the
+    // assigned cell partitions, so a standing index accumulates one
+    // file per (batch, cell) — at 100 TB with daily ingest that is the
+    // classic lakehouse small-files failure (every probe opens
+    // O(appends) files per probed cell; footer/open cost swamps the
+    // scan). [[ivfCompact]] is the copy-on-write fix: ONLY cells whose
+    // directory is fragmented (>1 part file) are rewritten — one task
+    // per cell, one output file per cell — and each cell directory is
+    // swapped ATOMICALLY (old dir retired under a Spark-hidden `_` name
+    // first), so a concurrent probe reads the old or the new layout,
+    // never a mix; single-file cells are not even read. The pass is
+    // self-describing-idempotent: a second run finds no fragmented
+    // cells and touches nothing. Content is by construction identical,
+    // so the s13 oracle pins the post-compaction probe row-for-row —
+    // this row IS the "maintenance never changes answers" gate, with
+    // the file-level invariants (1 file/cell, untouched singles,
+    // byte-identical rows) pinned in IvfIndexSpec.
+    QuerySpec(
+      "s14_ivf_index_compact",
+      (s, dir) => ivfTopKFromIndex(s, dir, ivfCompact(s, ivfIncIndex(s, dir)),
+        nQueries = 10, nProbe = 2, k = 5),
+      Some(IvfIncOracle)),
 
     // ----------------------------------------------------------------- s3
     // Int8 symmetric quantization — the compression step a 100 TB vector
@@ -1245,7 +1211,77 @@ object Similarity {
   /** The composed staging s13 runs: standing corpus index + the
     * batch append, once each per fixture fingerprint. */
   private[graft] def ivfIncIndex(s: SparkSession, dir: String): String =
-    ivfIncAppend(s, dir, ivfIncCorpus(s, dir))
+    ivfIncCompactGuard.synchronized { ivfIncAppend(s, dir, ivfIncCorpus(s, dir)) }
+
+  /** Serializes [[ivfCompact]] against [[ivfIncAppend]] on the shared
+    * fixture root: a compaction mid-append could retire a cell directory
+    * the append's committer is writing into. Production would take a
+    * per-cell lease; the fixture form takes a JVM lock. */
+  private object ivfIncCompactGuard
+
+  /** s14's maintenance pass: merge each FRAGMENTED cell partition
+    * (>1 part file — the residue of the staging write's task
+    * parallelism plus every s13-style batch append) down to one file,
+    * copy-on-write, leaving single-file cells untouched on disk.
+    *
+    * Scale shape: the rewrite reads only the fragmented cells (cell-
+    * partition-pruned scan), repartitions BY CELL so each cell is one
+    * task writing one file, and swaps each cell directory atomically —
+    * the retired directory is first moved to a `_retired_`-prefixed
+    * name, which Spark's partition discovery ignores, so a concurrent
+    * probe never sees a half-swapped cell or a double-counted row. Cost
+    * is proportional to the fragmented slice, not the index: a daily
+    * compaction after a daily append rewrites yesterday's touched cells
+    * only. Idempotence is structural (no marker): a second run observes
+    * 1 file/cell and returns without reading anything.
+    *
+    * The reference has no maintenance plane (its store is per-request);
+    * this is the lakehouse operation a STANDING index at 100 TB cannot
+    * run without — the small-files probe-latency cliff is the failure
+    * mode, and the s13 oracle re-pinning the post-compaction probe
+    * row-for-row is the "maintenance never changes answers" gate. */
+  private[graft] def ivfCompact(s: SparkSession, indexRoot: String): String =
+    ivfIncCompactGuard.synchronized {
+    val postRoot = new java.io.File(indexRoot, "postings")
+    def partFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.startsWith("part-")).toSeq
+    val fragmented = Option(postRoot.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(d => d.isDirectory && d.getName.startsWith("cell=") &&
+        partFiles(d).size > 1).toSeq
+    if (fragmented.nonEmpty) {
+      val cells = fragmented.map(_.getName.stripPrefix("cell=").toInt)
+      val tmp = new java.io.File(indexRoot, "postings.compact.tmp")
+      deleteRecursively(tmp)
+      // one shuffle, fragmented-slice-sized; repartition BY CELL puts each
+      // cell in exactly one task, so partitionBy emits one file per cell
+      s.read.parquet(postRoot.getAbsolutePath)
+        .filter(col("cell").isin(cells: _*))
+        .repartition(cells.size, col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(tmp.getAbsolutePath)
+      fragmented.foreach { d =>
+        val fresh = new java.io.File(tmp, d.getName)
+        require(fresh.isDirectory, s"compaction produced no output for ${d.getName}")
+        val retired = new java.io.File(postRoot, "_retired_" + d.getName)
+        java.nio.file.Files.move(d.toPath, retired.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.Files.move(fresh.toPath, d.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(retired)
+      }
+      deleteRecursively(tmp)
+    }
+    indexRoot
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(deleteRecursively)
+    java.nio.file.Files.deleteIfExists(f.toPath)
+    ()
+  }
 
   /** s12's probe path: serve s2's exact top-k shape from the standing
     * index — the query batch broadcasts onto the staged centroid table
@@ -1309,6 +1345,72 @@ object Similarity {
       .select($"query_id", $"rank", $"cand_id", $"cosine")
       .orderBy($"query_id", $"rank")
   }
+
+  /** s13/s14's shared DuckDB twin — full replay of corpus-centroid
+    * derivation, stale-quantizer batch assignment, appended postings
+    * and the probe. s14 serves the COMPACTED layout, which must be
+    * content-identical — one oracle pins both. A def, not a val (the
+    * specs Seq initializes first in declaration order). */
+  private def IvfIncOracle: String = """
+        WITH corpus AS (
+          SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 <> 0),
+        batch AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+        e AS (
+          SELECT label, UNNEST(embedding) AS v,
+                 UNNEST(range(len(embedding))) AS dim
+          FROM corpus),
+        cent AS (
+          SELECT label AS cell, dim,
+                 CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+          FROM e GROUP BY label, dim),
+        centl AS (
+          SELECT cell, list(c ORDER BY dim) AS centroid FROM cent GROUP BY cell),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT b.vec_id, centl.cell,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                     list_sum(list_transform(generate_series(1, len(b.embedding)),
+                       i -> (CAST(b.embedding[i] AS DOUBLE) - centroid[i]) *
+                            (CAST(b.embedding[i] AS DOUBLE) - centroid[i]))) ASC,
+                     cell) AS rn
+            FROM batch b CROSS JOIN centl) WHERE rn = 1),
+        posts AS (
+          SELECT vec_id AS cand_id, embedding AS cv, label AS cell FROM corpus
+          UNION ALL
+          SELECT b.vec_id AS cand_id, b.embedding AS cv, a.cell
+          FROM batch b JOIN assign a USING (vec_id)),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 10),
+        probe AS (
+          SELECT query_id, qv, cell,
+                 list_sum(list_transform(generate_series(1, len(qv)),
+                   i -> (CAST(qv[i] AS DOUBLE) - centroid[i]) *
+                        (CAST(qv[i] AS DOUBLE) - centroid[i]))) AS cdist
+          FROM q CROSS JOIN centl),
+        pr AS (
+          SELECT query_id, qv, cell,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cdist ASC, cell) AS probe_rank
+          FROM probe),
+        probed AS (SELECT query_id, qv, cell FROM pr WHERE probe_rank <= 2),
+        p AS (
+          SELECT query_id, cand_id,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(qv)),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(cv)),
+                          i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 6) AS cosine
+          FROM probed JOIN posts USING (cell)
+          WHERE query_id != cand_id),
+        r AS (SELECT query_id, cand_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, cand_id) AS rank
+              FROM p)
+        SELECT query_id, rank, cand_id, cosine FROM r WHERE rank <= 5
+        ORDER BY query_id, rank"""
 
   /** s2/s12's shared DuckDB twin — the full inline derivation
     * (centroids, probe, rerank); it has no standing index, which is

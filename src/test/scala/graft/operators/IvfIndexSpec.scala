@@ -116,4 +116,58 @@ class IvfIndexSpec extends SparkTestBase {
       emb.filter($"vec_id" % 5 === 0).count())
     assert(posts.count() == emb.count())
   }
+
+  test("s14 compaction: 1 file/cell, single-file cells untouched, rows and probe identical, idempotent") {
+    import scala.jdk.CollectionConverters._
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivfcomp").toFile
+    val root = Similarity.ivfIncCorpus(spark, dir, Some(tmpRoot))
+    Similarity.ivfIncAppend(spark, dir, root)
+    val postDir = new java.io.File(root, "postings")
+    def cellFiles: Map[String, Seq[(String, Long, Long)]] =
+      Option(postDir.listFiles()).get.filter(d => d.isDirectory &&
+          d.getName.startsWith("cell=")).map { d =>
+        d.getName -> Option(d.listFiles()).get
+          .filter(f => f.isFile && f.getName.startsWith("part-"))
+          .map(f => (f.getName, f.length,
+            java.nio.file.Files.getLastModifiedTime(f.toPath).toMillis))
+          .toSeq.sortBy(_._1)
+      }.toMap
+    def rows = spark.read.parquet(postDir.getAbsolutePath)
+      .select($"cand_id", $"cell", $"cv")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toList)).sortBy(x => (x._1, x._2)).toSeq
+    def probe = Similarity.ivfTopKFromIndex(spark, dir, root,
+      nQueries = 10, nProbe = 2, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val filesBefore = cellFiles
+    // premise: the append left at least one fragmented cell, or the
+    // compaction under test would be vacuous
+    assert(filesBefore.exists(_._2.size > 1),
+      s"premise: no fragmented cell after append: ${filesBefore.view.mapValues(_.size).toMap}")
+    val singles = filesBefore.filter(_._2.size == 1)
+    val (rowsBefore, probeBefore) = (rows, probe)
+    Similarity.ivfCompact(spark, root)
+    val filesAfter = cellFiles
+    assert(filesAfter.nonEmpty && filesAfter.forall(_._2.size == 1),
+      s"cells still fragmented: ${filesAfter.view.mapValues(_.size).toMap}")
+    // copy-on-write touches only the fragmented slice: single-file cells
+    // keep the same part file, size and mtime
+    singles.foreach { case (cell, meta) =>
+      assert(filesAfter(cell) == meta, s"single-file cell $cell was rewritten")
+    }
+    // no retired/tmp residue survives the swap
+    val residue = java.nio.file.Files.walk(new java.io.File(root).toPath)
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.contains("_retired_") || n.contains("compact.tmp")).toList
+    assert(residue.isEmpty, s"swap residue left behind: $residue")
+    // maintenance never changes answers: postings content and the served
+    // probe are row-identical
+    assert(rows == rowsBefore, "compaction changed postings content")
+    assert(probe == probeBefore && probeBefore.size == 50,
+      "compaction changed the served probe")
+    // structurally idempotent: a second run observes 1 file/cell and
+    // touches nothing (same names, sizes, mtimes)
+    Similarity.ivfCompact(spark, root)
+    assert(cellFiles == filesAfter, "second compaction was not a no-op")
+  }
 }
