@@ -1409,7 +1409,28 @@ object Dedup {
           BandedCosinePairsOracle(D26Threshold, nBands, r)
             .trim.stripPrefix("WITH") +
           SemdedupKeeperSqlTail
-      })
+      }),
+
+    // ---------------------------------------------------------------- d28
+    // INCREMENTAL cluster maintenance (round 13) — the d25/s13
+    // standing-artifact move applied to connected components. The
+    // standing corpus carries a persisted label table beside the d25
+    // signature index; per ingest batch, only the batch is signed, new
+    // edges are verified candidate-only, the edge endpoints CONTRACT to
+    // their standing supernodes, and a batch-sized CC resolves which
+    // clusters merge — the corpus is never re-signed, re-paired, or
+    // re-clustered. The oracle is the FULL RECOMPUTE (banded edges over
+    // corpus∪batch at the corpus-rank anchors → recursive CC → min
+    // label), generated at d25's pinned (10, 3)/0.4 operating point:
+    // maintained-equals-recomputed is checked row-for-row, the property
+    // that makes incremental clustering trustworthy at all. Mechanism
+    // pins (artifact not rewritten by the run, only edge-touched
+    // clusters relabeled, Spark-side full-recompute equality) live in
+    // IncrementalClustersSpec.
+    QuerySpec(
+      "d28_incremental_clusters",
+      (s, dir) => incrementalClusters(s, dir),
+      Some(D28OracleSql(D25Threshold, D25Shape._1, D25Shape._2)))
   )
 
   /** d25's pinned operating point, shared by the Scala side and the
@@ -1957,6 +1978,138 @@ object Dedup {
       .orderBy($"new_id")
   }
 
+  /** d28's STANDING LABEL artifact — the cluster assignment a 100 TB
+    * corpus carries between ingest batches, staged once beside the
+    * signature index ([[semanticIndex]]'s root, `labels/` + a
+    * `.labeled` marker on the same source-fingerprint stamp): banded
+    * corpus↔corpus edges derived from the PERSISTED signatures (one
+    * equi-keyed self-join on (band, sg) — the index is the candidate
+    * structure, the corpus is never re-signed) verified by exact
+    * cosine at d25's threshold, then [[connectedComponents]]. Rows are
+    * (doc_id, cluster_id = min doc_id in component) for every corpus
+    * doc with ≥1 corpus edge — exactly the d7 label shape. */
+  private[graft] def corpusLabels(s: org.apache.spark.sql.SparkSession,
+                                  dir: String, indexRoot: String): String = {
+    import s.implicits._
+    val th = D25Threshold
+    val path = new java.io.File(indexRoot, "labels")
+    val stamp = s"v1:labels:${Multimodal.sourceFingerprint(
+      new java.io.File(dir, "embeddings.parquet"))}"
+    val marker = new java.io.File(indexRoot + ".labeled")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      val cSig = s.read.parquet(
+        new java.io.File(indexRoot, "signatures").getAbsolutePath)
+        .select($"band".cast("long").as("band"), $"sg", $"corpus_id")
+      val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val cand = cSig.select($"band", $"sg", $"corpus_id".as("a_id"))
+        .join(cSig.select($"band", $"sg", $"corpus_id".as("b_id")),
+          Seq("band", "sg"))
+        .filter($"a_id" < $"b_id")
+        .select($"a_id", $"b_id").distinct()
+      val edges = cand
+        .join(emb.select($"vec_id".as("a_id"), $"embedding".as("av")), "a_id")
+        .join(emb.select($"vec_id".as("b_id"), $"embedding".as("bv")), "b_id")
+        .withColumn("cosine",
+          round(graft.functions.GraftFunctions.cosineSim($"av", $"bv"), 6))
+        .filter($"cosine" >= th)
+        .select($"a_id", $"b_id")
+      connectedComponents(s, edges)._1
+        .write.mode("overwrite").parquet(path.getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    path.getAbsolutePath
+  }
+
+  /** d28's INCREMENTAL cluster maintenance — the d25/s13 standing-
+    * artifact move applied to connected components, which is the piece
+    * that makes near-dup CLUSTERING (not just pair detection) viable as
+    * a daily ingest job at 100 TB: the corpus labeling is maintained,
+    * never recomputed. Per batch the work is
+    *  1. sign ONLY the batch against the index anchors
+    *     (|batch|·bands·r dots);
+    *  2. candidates: batch signatures BROADCAST into the persisted
+    *     bucket index (batch↔corpus — the index is scanned, never
+    *     shuffled) plus a batch↔batch broadcast self-join;
+    *  3. exact-cosine verify on the candidate stream only → NEW edges;
+    *  4. CONTRACT each new edge endpoint to its standing supernode
+    *     (corpus doc → its standing label, fresh doc → itself) and run
+    *     [[connectedComponents]] on the contracted graph — batch-sized,
+    *     never corpus-sized: an edge inside an existing cluster
+    *     contracts to a self-loop and vanishes;
+    *  5. relabel: the resolution map (touched supernode → merged label)
+    *     is tiny and BROADCAST, so the standing label table is rewritten
+    *     with one map-side scan — untouched clusters' labels flow
+    *     through coalesce unchanged. (A production job would write only
+    *     the delta — rows whose label changed — plus the fresh docs;
+    *     the roster row emits the full maintained table because that is
+    *     the object the oracle can pin.)
+    * Equivalence to a full recompute is exact, not approximate: the
+    * incremental edge set (standing corpus edges ∪ new edges) IS the
+    * full banded edge set over corpus∪batch at the index's anchors,
+    * and min-label union-find is associative under contraction — so
+    * the GENERATED oracle ([[D28OracleSql]]) replays the full
+    * recompute and must match row-for-row, which is the whole gate:
+    * maintained labels ≡ labels a from-scratch run would produce. */
+  private[graft] def incrementalClusters(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val th = D25Threshold
+    val r = D25Shape._2
+    val indexRoot = semanticIndex(s, dir)
+    val standing = s.read.parquet(corpusLabels(s, dir, indexRoot))
+    val anchors = s.read.parquet(
+      new java.io.File(indexRoot, "anchors").getAbsolutePath)
+    val cSig = s.read.parquet(
+      new java.io.File(indexRoot, "signatures").getAbsolutePath)
+      .select($"band".cast("long").as("band"), $"sg", $"corpus_id")
+    val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val bSig = bandSignaturesOn(batch, anchors, r)
+      .select($"band", $"sg", $"vec_id".as("new_id")).localCheckpoint(true)
+    val bc = cSig.join(broadcast(bSig), Seq("band", "sg"))
+      .select(least($"new_id", $"corpus_id").as("a_id"),
+        greatest($"new_id", $"corpus_id").as("b_id"))
+    val bb = bSig.select($"band", $"sg", $"new_id".as("a_id"))
+      .join(broadcast(bSig.select($"band", $"sg", $"new_id".as("b_id"))),
+        Seq("band", "sg"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id")
+    val newEdges = bc.union(bb).distinct()
+      .join(emb.select($"vec_id".as("a_id"), $"embedding".as("av")), "a_id")
+      .join(emb.select($"vec_id".as("b_id"), $"embedding".as("bv")), "b_id")
+      .withColumn("cosine",
+        round(graft.functions.GraftFunctions.cosineSim($"av", $"bv"), 6))
+      .filter($"cosine" >= th)
+      .select($"a_id", $"b_id").localCheckpoint(true)
+    val contracted = newEdges
+      .join(standing.select($"doc_id".as("a_id"), $"cluster_id".as("la")),
+        Seq("a_id"), "left")
+      .join(standing.select($"doc_id".as("b_id"), $"cluster_id".as("lb")),
+        Seq("b_id"), "left")
+      .select(coalesce($"la", $"a_id").as("a_id"),
+        coalesce($"lb", $"b_id").as("b_id"))
+      .filter($"a_id" =!= $"b_id").distinct()
+    val resolved = connectedComponents(s, contracted)._1
+      .select($"doc_id".as("node"), $"cluster_id".as("merged"))
+    val standingFinal = standing
+      .join(broadcast(resolved), standing("cluster_id") === $"node", "left")
+      .select($"doc_id", coalesce($"merged", $"cluster_id").as("cluster_id"))
+    // endpoints with no standing label: every batch doc in a new edge,
+    // plus corpus docs whose FIRST edge ever is to this batch — each
+    // appears as itself in the contracted graph, so `resolved` covers it
+    val fresh = newEdges.select($"a_id".as("doc_id"))
+      .union(newEdges.select($"b_id".as("doc_id"))).distinct()
+      .join(standing.select($"doc_id"), Seq("doc_id"), "left_anti")
+    val freshFinal = fresh
+      .join(broadcast(resolved), fresh("doc_id") === $"node", "left")
+      .select($"doc_id", coalesce($"merged", $"doc_id").as("cluster_id"))
+    standingFinal.union(freshFinal).orderBy($"doc_id")
+  }
+
   /** The pre-round-12 INLINE derivation of d25 (corpus re-signed every
     * run) — retained as the equivalence twin DedupStressSpec pins the
     * probe path against, and as the shape the DuckDB oracle replays. */
@@ -2007,6 +2160,59 @@ object Dedup {
     * hardcoded the (10, 3) shape in three places) — every shape-
     * dependent term (anchor LIMIT, band division, bit weights, the
     * threshold) derives from the same constants the Scala side uses. */
+  /** d28's GENERATED oracle — the FULL RECOMPUTE the incremental path
+    * must equal: anchors are the first bands·r CORPUS vectors BY RANK
+    * (the index's immutable band space — [[semanticIndex]]'s selection,
+    * replayed), signatures cover corpus AND batch, candidates are all
+    * same-bucket pairs, exact cosine at the threshold, recursive CC,
+    * label = min reachable id. Shares [[D25Threshold]]/[[D25Shape]]
+    * with the Scala path so the operating point can never drift. */
+  private def D28OracleSql(threshold: Double, nBands: Int, r: Int): String = s"""
+        WITH RECURSIVE corpus AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+        anch AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS plane,
+                 embedding AS av
+          FROM corpus ORDER BY vec_id LIMIT ${nBands * r}),
+        dots AS (
+          SELECT e.vec_id, anch.plane,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(anch.av[i] AS DOUBLE))),
+                   (acc, x) -> acc + x) AS dot
+          FROM embeddings e CROSS JOIN anch),
+        sig AS (
+          SELECT vec_id, CAST(plane // $r AS BIGINT) AS band,
+                 CAST(SUM(CASE WHEN dot >= 0
+                               THEN CAST(pow(2, plane % $r) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS sg
+          FROM dots GROUP BY vec_id, band),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+          FROM sig x JOIN sig y
+            ON x.band = y.band AND x.sg = y.sg AND x.vec_id < y.vec_id),
+        cp AS (
+          SELECT c.a_id, c.b_id,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(a.embedding)),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
+          FROM cand c JOIN embeddings a ON a.vec_id = c.a_id
+                      JOIN embeddings b ON b.vec_id = c.b_id),
+        cpairs AS (SELECT a_id, b_id FROM cp WHERE cosine >= $threshold),
+        edges AS (
+          SELECT a_id AS s, b_id AS d FROM cpairs
+          UNION ALL SELECT b_id, a_id FROM cpairs),
+        reach AS (
+          SELECT DISTINCT s AS id, s AS r FROM edges
+          UNION
+          SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id)
+        SELECT id AS doc_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY id ORDER BY doc_id"""
+
   private def D25OracleSql(threshold: Double, nBands: Int, r: Int): String = s"""
         WITH corpus AS (
           SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
