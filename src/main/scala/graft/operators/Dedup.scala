@@ -2057,22 +2057,46 @@ object Dedup {
       s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val th = D25Threshold
-    val r = D25Shape._2
     val indexRoot = semanticIndex(s, dir)
     val standing = s.read.parquet(corpusLabels(s, dir, indexRoot))
     val anchors = s.read.parquet(
       new java.io.File(indexRoot, "anchors").getAbsolutePath)
     val cSig = s.read.parquet(
       new java.io.File(indexRoot, "signatures").getAbsolutePath)
-      .select($"band".cast("long").as("band"), $"sg", $"corpus_id")
+      .select($"band".cast("long").as("band"), $"sg", $"corpus_id".as("id"))
     val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
     val batch = emb.filter($"vec_id" % 5 === 0)
-    val bSig = bandSignaturesOn(batch, anchors, r)
+    maintainStep(s, emb, anchors, D25Shape._2, D25Threshold,
+      standing, cSig, batch)._1.orderBy($"doc_id")
+  }
+
+  /** ONE maintenance step of the d28 loop, shared verbatim by the
+    * one-shot roster row and st17's per-micro-batch streaming twin (so
+    * the two paths cannot drift): given the id→vector lookup, the
+    * index's anchors, the ACCUMULATED signature set (corpus + every
+    * previously admitted batch), the current label table and an
+    * arriving `batch(vec_id, embedding)`, returns (updatedLabels,
+    * updatedSigs) — both checkpoint-rebased so a loop of steps keeps
+    * constant-size plans and default leaf stats (the r13 CC lesson).
+    * The batch's own signatures join the accumulated set only AFTER
+    * the step, so candidates split cleanly into batch↔standing
+    * (broadcast into the persisted/accumulated buckets) and
+    * batch↔batch (broadcast self-join). */
+  private[graft] def maintainStep(s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame,
+      anchors: org.apache.spark.sql.DataFrame,
+      rowsPerBand: Int, threshold: Double,
+      labels: org.apache.spark.sql.DataFrame,
+      sigs: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val bSig = bandSignaturesOn(batch, anchors, rowsPerBand)
       .select($"band", $"sg", $"vec_id".as("new_id")).localCheckpoint(true)
-    val bc = cSig.join(broadcast(bSig), Seq("band", "sg"))
-      .select(least($"new_id", $"corpus_id").as("a_id"),
-        greatest($"new_id", $"corpus_id").as("b_id"))
+    val bc = sigs.join(broadcast(bSig), Seq("band", "sg"))
+      .select(least($"new_id", $"id").as("a_id"),
+        greatest($"new_id", $"id").as("b_id"))
+      .filter($"a_id" =!= $"b_id")
     val bb = bSig.select($"band", $"sg", $"new_id".as("a_id"))
       .join(broadcast(bSig.select($"band", $"sg", $"new_id".as("b_id"))),
         Seq("band", "sg"))
@@ -2083,32 +2107,43 @@ object Dedup {
       .join(emb.select($"vec_id".as("b_id"), $"embedding".as("bv")), "b_id")
       .withColumn("cosine",
         round(graft.functions.GraftFunctions.cosineSim($"av", $"bv"), 6))
-      .filter($"cosine" >= th)
+      .filter($"cosine" >= threshold)
       .select($"a_id", $"b_id").localCheckpoint(true)
     val contracted = newEdges
-      .join(standing.select($"doc_id".as("a_id"), $"cluster_id".as("la")),
+      .join(labels.select($"doc_id".as("a_id"), $"cluster_id".as("la")),
         Seq("a_id"), "left")
-      .join(standing.select($"doc_id".as("b_id"), $"cluster_id".as("lb")),
+      .join(labels.select($"doc_id".as("b_id"), $"cluster_id".as("lb")),
         Seq("b_id"), "left")
       .select(coalesce($"la", $"a_id").as("a_id"),
         coalesce($"lb", $"b_id").as("b_id"))
       .filter($"a_id" =!= $"b_id").distinct()
     val resolved = connectedComponents(s, contracted)._1
       .select($"doc_id".as("node"), $"cluster_id".as("merged"))
-    val standingFinal = standing
-      .join(broadcast(resolved), standing("cluster_id") === $"node", "left")
+    val standingFinal = labels
+      .join(broadcast(resolved), labels("cluster_id") === $"node", "left")
       .select($"doc_id", coalesce($"merged", $"cluster_id").as("cluster_id"))
     // endpoints with no standing label: every batch doc in a new edge,
-    // plus corpus docs whose FIRST edge ever is to this batch — each
+    // plus standing docs whose FIRST edge ever is to this batch — each
     // appears as itself in the contracted graph, so `resolved` covers it
     val fresh = newEdges.select($"a_id".as("doc_id"))
       .union(newEdges.select($"b_id".as("doc_id"))).distinct()
-      .join(standing.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
     val freshFinal = fresh
       .join(broadcast(resolved), fresh("doc_id") === $"node", "left")
       .select($"doc_id", coalesce($"merged", $"doc_id").as("cluster_id"))
-    standingFinal.union(freshFinal).orderBy($"doc_id")
+    val newLabels = graft.Materialize.checkpointRebased(
+      standingFinal.union(freshFinal))
+    val newSigs = graft.Materialize.checkpointRebased(
+      sigs.union(bSig.select($"band", $"sg", $"new_id".as("id"))))
+    (newLabels, newSigs)
   }
+
+  /** d28's oracle + operating point, shared with st17's streaming twin
+    * (the stream must land on the same full-recompute rows). */
+  private[graft] def d28Oracle: String =
+    D28OracleSql(D25Threshold, D25Shape._1, D25Shape._2)
+  private[graft] def d28Threshold: Double = D25Threshold
+  private[graft] def d28Shape: (Int, Int) = D25Shape
 
   /** The pre-round-12 INLINE derivation of d25 (corpus re-signed every
     * run) — retained as the equivalence twin DedupStressSpec pins the

@@ -940,7 +940,32 @@ object StreamQueries {
     QuerySpec(
       "st16_ann_serve_stream",
       (s, dir) => annServeCatchUp(s, dir),
-      Some(AnnServeOracle)))
+      Some(AnnServeOracle)),
+
+    // ---------------------------------------------------------------- st17
+    // CLUSTER MAINTENANCE as a stream — d28's ingest loop at trigger
+    // cadence, completing the standing-artifact matrix (d25 probe /
+    // d28 one-shot maintain / s13 append / st16 serve): vector batches
+    // ARRIVE (staged 4-file inbox of the d28 batch slice) and each
+    // micro-batch runs Dedup.maintainStep — the SAME step function the
+    // one-shot row executes — against the driver-held evolving state:
+    // the label table and the ACCUMULATED signature set (corpus + every
+    // previously admitted batch; each batch's signatures join the set
+    // after its step, the s13 append move, so near-dups ACROSS
+    // micro-batches are found exactly like batch-vs-corpus ones).
+    // foreachBatch is the primitive (not mapGroupsWithState): the state
+    // is two corpus-keyed FRAMES maintained by joins + a batch-sized
+    // CC, not per-key values — the vector-store ingest-loop shape.
+    // Equivalence is associativity, pinned two ways: min-label
+    // union-find is independent of edge arrival order, so the finalized
+    // labels equal d28's one-shot result AND the DuckDB full-recompute
+    // oracle (shared verbatim with d28); ClusterMaintainStreamSpec
+    // additionally pins trigger-slicing invariance (1 vs 4 files per
+    // trigger) and that cross-micro-batch merges actually occurred.
+    QuerySpec(
+      "st17_cluster_maintain_stream",
+      (s, dir) => clusterMaintainCatchUp(s, dir),
+      Some(graft.operators.Dedup.d28Oracle)))
 
   /** Stage the st16 query-vector inbox: the vec_id % 5 == 2 slice of
     * the embeddings table as a 4-file query_id-ranged parquet inbox
@@ -1016,6 +1041,94 @@ object StreamQueries {
       lastRunProgress = q.recentProgress
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.read.parquet(outDir).orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Stage the st17 ingest inbox: the d28 batch slice (vec_id % 5 == 0)
+    * as a 4-file vec_id-ranged parquet inbox ([[stagedQueryInbox]]'s
+    * convention). No mtime pinning: st17's finalized labels are
+    * invariant to micro-batch slicing (min-label union-find is
+    * arrival-order independent — the property the spec pins). */
+  def stagedBatchVectorInbox(s: SparkSession, dir: String): String = {
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "cm_inbox_" + base)
+    if (verifiedInboxes.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    import s.implicits._
+    val stamp = s"v1:${graft.operators.Multimodal.sourceFingerprint(
+      new java.io.File(dir, "embeddings.parquet"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      Tables(s, dir, "embeddings").filter($"vec_id" % 5 === 0)
+        .select($"vec_id", $"embedding")
+        .repartitionByRange(4, col("vec_id"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(path.getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedInboxes.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
+  /** st17's run-to-termination: stream the staged vector inbox and run
+    * one [[graft.operators.Dedup.maintainStep]] per micro-batch against
+    * the driver-held evolving (labels, signatures) state, seeded from
+    * the STANDING artifacts (d25's signature index + d28's label
+    * table — read once, never written by the stream: production would
+    * publish the final frames back as the next standing snapshot, a
+    * write this run skips so the roster row stays a pure function of
+    * the fixture). Both state frames are checkpoint-rebased per step
+    * (constant-size plans, default leaf stats — the r13 CC lesson,
+    * which a per-trigger loop would otherwise re-trip in one run).
+    * Returns the finalized label table. */
+  def clusterMaintainCatchUp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val D = graft.operators.Dedup
+    val indexRoot = D.semanticIndex(s, dir)
+    val labelsPath = D.corpusLabels(s, dir, indexRoot)
+    val anchors = s.read.parquet(
+      new java.io.File(indexRoot, "anchors").getAbsolutePath)
+      .localCheckpoint(true)
+    @volatile var labels = s.read.parquet(labelsPath).localCheckpoint(true)
+    @volatile var sigs = s.read.parquet(
+      new java.io.File(indexRoot, "signatures").getAbsolutePath)
+      .select($"band".cast("long").as("band"), $"sg", $"corpus_id".as("id"))
+      .localCheckpoint(true)
+    val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val inbox = stagedBatchVectorInbox(s, dir)
+    val schema = s.read.parquet(inbox).schema
+    val runDir = java.nio.file.Files.createTempDirectory("graft_st17").toString
+    // stream-sized shuffle parallelism (runCatchUp's rationale): the
+    // per-trigger frames are batch/edge-sized, far below the session's
+    // corpus-sized default
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger",
+          sys.props.get("graft.stream.filesPerTrigger")
+            .map(_.toInt).getOrElse(2))
+        .parquet(inbox)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val (nl, ns) = D.maintainStep(s, emb, anchors,
+            D.d28Shape._2, D.d28Threshold, labels, sigs, batch)
+          labels = nl
+          sigs = ns
+          ()
+        }
+        .option("checkpointLocation", s"$runDir/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastRunProgress = q.recentProgress
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    labels.orderBy($"doc_id")
   }
 
   /** st16's oracle: the s2/s12 inline IVF derivation (decimal-mean
