@@ -1878,13 +1878,18 @@ object Dedup {
     * The standing corpus is d25's split (vec_id % 5 != 0); returns the
     * index root path. */
   private[graft] def semanticIndex(s: org.apache.spark.sql.SparkSession,
-                                   dir: String): String = {
+                                   dir: String,
+                                   shape: (Int, Int) = D25Shape): String = {
     import s.implicits._
-    val (nBands, r) = D25Shape
+    val (nBands, r) = shape
     val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
       sys.props("user.dir") + "/data"))
     val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = new java.io.File(root, "semidx_" + base)
+    // a non-default shape stages under its own root so the pinned d25
+    // artifacts are never clobbered by a dev-shape run
+    val prefix = if (shape == D25Shape) "semidx_"
+                 else s"semidx_b${nBands}r${r}_"
+    val path = new java.io.File(root, prefix + base)
     if (verifiedIndexes.contains(path.getAbsolutePath))
       return path.getAbsolutePath
     val stamp = s"v1:b$nBands-r$r:${Multimodal.sourceFingerprint(
@@ -2055,9 +2060,35 @@ object Dedup {
     * maintained labels ≡ labels a from-scratch run would produce. */
   private[graft] def incrementalClusters(
       s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    incrementalClustersAt(s, dir, d28DevShape.getOrElse(D25Shape))
+
+  /** Dev-only shape override for d28's standing index (SCALING r13):
+    * JVM property `graft.d28.shape=BANDS,R` re-stages index + labels at
+    * that banding shape and runs the identical maintenance step there —
+    * how the sf1/sf10 probes measure the [[autoShape]] operating point
+    * the fixed pinned (10, 3) cannot reach (bucket occupancy grows ∝ n
+    * at a fixed shape; autoShape holds it at ~[[MaxCosineBlock]]/8). A
+    * SYSTEM PROPERTY, not an env var (the d25.batchLimit rationale):
+    * the roster oracle is generated at the PINNED shape, so a knob that
+    * could linger in a shell must not exist unless a harness passes -D
+    * explicitly — set during a verify run, the d28 row goes loudly red
+    * rather than silently measuring the wrong thing. */
+  private def d28DevShape: Option[(Int, Int)] =
+    sys.props.get("graft.d28.shape").map { v =>
+      val Array(b, r) = v.split(","); (b.trim.toInt, r.trim.toInt)
+    }
+
+  /** [[incrementalClusters]] at an explicit index shape — the
+    * maintenance math is shape-generic (the shape is a STAGING-time
+    * parameter of the standing index); IncrementalClustersSpec pins
+    * maintained ≡ recomputed at a second shape to make that a checked
+    * property, not a claim. */
+  private[graft] def incrementalClustersAt(
+      s: org.apache.spark.sql.SparkSession, dir: String, shape: (Int, Int))
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val indexRoot = semanticIndex(s, dir)
+    val indexRoot = semanticIndex(s, dir, shape)
     val standing = s.read.parquet(corpusLabels(s, dir, indexRoot))
     val anchors = s.read.parquet(
       new java.io.File(indexRoot, "anchors").getAbsolutePath)
@@ -2066,7 +2097,7 @@ object Dedup {
       .select($"band".cast("long").as("band"), $"sg", $"corpus_id".as("id"))
     val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
     val batch = emb.filter($"vec_id" % 5 === 0)
-    maintainStep(s, emb, anchors, D25Shape._2, D25Threshold,
+    maintainStep(s, emb, anchors, shape._2, D25Threshold,
       standing, cSig, batch)._1.orderBy($"doc_id")
   }
 

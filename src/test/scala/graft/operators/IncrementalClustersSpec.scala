@@ -31,8 +31,8 @@ class IncrementalClustersSpec extends SparkTestBase {
   /** Independent full recompute: banded edges over ALL vectors at the
     * corpus-rank anchors (the index's band space), exact-cosine verify,
     * CC — the object d28 must equal without ever computing it. */
-  private def fullRecompute(): Seq[(Long, Long)] = {
-    val (nBands, r) = (10, 3) // D25Shape, restated independently
+  private def fullRecompute(shape: (Int, Int) = (10, 3)): Seq[(Long, Long)] = {
+    val (nBands, r) = shape // default = D25Shape, restated independently
     val emb = graft.Tables(spark, dir, "embeddings")
       .select($"vec_id", $"embedding")
     val corpus = emb.filter($"vec_id" % 5 =!= 0)
@@ -67,6 +67,29 @@ class IncrementalClustersSpec extends SparkTestBase {
     assert(inc.nonEmpty, "no clustered docs at all")
     assert(inc.exists { case (id, lab) => id % 5 == 0 && lab != id },
       "premise: no batch doc joined any cluster — the merge path is untested")
+  }
+
+  test("d28 maintenance is shape-generic: maintained ≡ recomputed at a second index shape") {
+    // the shape is a STAGING-time parameter of the standing index (at
+    // 100 TB it comes from autoShape, not the pinned (10, 3)); the
+    // maintenance step itself must be shape-blind. (8, 2) differs from
+    // the pinned shape in BOTH bands and rows-per-band, and stages
+    // under its own semidx_b8r2_ root, so the pinned artifacts are
+    // untouched by this test.
+    val alt = (8, 2)
+    val inc = Dedup.incrementalClustersAt(spark, dir, alt)
+      .collect().map(rw => (rw.getLong(0), rw.getLong(1))).toSeq.sorted
+    val full = fullRecompute(alt)
+    assert(inc == full,
+      s"alt-shape incremental diverged: only-inc=${inc.diff(full).take(5)} " +
+        s"only-full=${full.diff(inc).take(5)}")
+    assert(inc.nonEmpty)
+    // a genuinely different operating point, not a re-pin of the default
+    assert(inc != Dedup.incrementalClusters(spark, dir)
+      .collect().map(rw => (rw.getLong(0), rw.getLong(1))).toSeq.sorted ||
+      fullRecompute() != full,
+      "premise: (8, 2) landed on the identical label set as (10, 3) — " +
+        "pick a shape that actually changes the edge set at this fixture")
   }
 
   test("d28 probe run reads, never rewrites, the standing artifacts") {
