@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1509,7 +1510,63 @@ object Mixing {
         SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents d JOIN dim USING (lang) JOIN sel USING (doc_id)
-        GROUP BY d.lang ORDER BY d.lang"""))
+        GROUP BY d.lang ORDER BY d.lang""")),
+
+    // ---------------------------------------------------------------- e9
+    // Z-CLUSTERED layout scan — p7 computes the Morton key and ZOrderSpec
+    // pins its locality; this row closes the remaining prose gap ("at
+    // scale the zkey feeds repartitionByRange + sortWithinPartitions")
+    // by actually STAGING that layout ([[zorderedLineitem]]: write-once,
+    // range-exchanged on the interleaved key, sorted within files) and
+    // running the query shape the layout exists for: a box constrained
+    // on BOTH unpartitioned keys. The bounds are LITERALS derived
+    // driver-side from the BASE table's parquet footer min/max (eighth-
+    // fractions of each key's range — footer stats for INT64 are exact,
+    // so the oracle replays the identical bounds from data MIN/MAX), so
+    // both predicates reach the scan as PushedFilters and row groups
+    // whose zkey span misses the box die on their footer stats — the
+    // 100 TB win: I/O ∝ box volume, not corpus size. ZOrderLayoutSpec
+    // pins the pruning quantitatively (per-row-group stats overlap: the
+    // z layout skips what a 1-D sorted layout cannot) and the pushdown;
+    // the oracle is layout-invariant box semantics over the base table,
+    // so the roster row ALSO pins that the re-layout lost or duplicated
+    // no rows. Ref for the technique: public Delta/Iceberg OPTIMIZE
+    // ZORDER / sort-order clustering.
+    QuerySpec(
+      "e9_zorder_pruned_scan",
+      (s, dir) => {
+        import s.implicits._
+        val lay = zorderedLineitem(s, dir)
+        val (pLo, pHi, sLo, sHi) = e9Box(dir)
+        s.read.parquet(lay)
+          .filter($"l_partkey".between(pLo, pHi) &&
+            $"l_suppkey".between(sLo, sHi))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"l_quantity".cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        WITH b AS (
+          SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+                 MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+          FROM lineitem),
+        box AS (
+          SELECT pmin + CAST(FLOOR(1 * (pmax - pmin) / 8.0) AS BIGINT) AS plo,
+                 pmin + CAST(FLOOR(3 * (pmax - pmin) / 8.0) AS BIGINT) AS phi,
+                 smin + CAST(FLOOR(2 * (smax - smin) / 8.0) AS BIGINT) AS slo,
+                 smin + CAST(FLOOR(4 * (smax - smin) / 8.0) AS BIGINT) AS shi
+          FROM b)
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem, box
+        WHERE l_partkey BETWEEN plo AND phi
+          AND l_suppkey BETWEEN slo AND shi
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
   /** Write-once lang-partitioned copy of the documents table (the
@@ -1562,6 +1619,153 @@ object Mixing {
     if (!upToDate) {
       graft.Tables(s, dir, "documents").repartition(64)
         .write.mode("overwrite").parquet(path.getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedLayouts.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
+  /** Per-row-group parquet footer statistics for `cols` (INT32/INT64
+    * columns only): the metadata a stats-pruning scan consults without
+    * touching data pages. Driver-side footer reads, no Spark job — the
+    * same class of metadata access a catalog serves at 100 TB. `root`
+    * may be a single parquet file or a directory of part files. */
+  private[graft] final case class RowGroupStats(
+      file: String, rows: Long, stats: Map[String, (Long, Long)])
+
+  private[graft] def footerStats(root: java.io.File, cols: Set[String])
+      : Seq[RowGroupStats] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    val conf = new org.apache.hadoop.conf.Configuration()
+    walk(root).flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val st = b.getColumns.asScala.flatMap { c =>
+            val name = c.getPath.toDotString
+            if (!cols.contains(name)) None
+            else {
+              val s = c.getStatistics
+              require(s != null && s.hasNonNullValue,
+                s"footer carries no min/max for $name in $f")
+              def asLong(v: Any): Long = v match {
+                case l: java.lang.Long    => l.longValue
+                case i: java.lang.Integer => i.longValue
+                case other => sys.error(
+                  s"non-integer footer stats for $name: ${other.getClass}")
+              }
+              Some(name -> ((asLong(s.genericGetMin),
+                asLong(s.genericGetMax)): (Long, Long)))
+            }
+          }.toMap
+          RowGroupStats(f.getAbsolutePath, b.getRowCount, st)
+        }
+      } finally r.close()
+    }
+  }
+
+  /** e9's literal box bounds: eighth-fractions of each key's global
+    * range, read from the BASE lineitem's footer min/max (exact for
+    * INT64, so the oracle's data-side MIN/MAX CTE lands on the same
+    * numbers). Integer floor arithmetic mirrors the SQL's
+    * `CAST(FLOOR(k * d / 8.0) AS BIGINT)` term for non-negative d. */
+  private[graft] def e9Box(dir: String): (Long, Long, Long, Long) = {
+    val keys = Set("l_partkey", "l_suppkey")
+    val groups = footerStats(new java.io.File(dir, "lineitem.parquet"), keys)
+    def global(col: String): (Long, Long) =
+      groups.map(_.stats(col)).reduce { (a, b) =>
+        (math.min(a._1, b._1), math.max(a._2, b._2))
+      }
+    val (pMin, pMax) = global("l_partkey")
+    val (sMin, sMax) = global("l_suppkey")
+    (pMin + 1 * (pMax - pMin) / 8, pMin + 3 * (pMax - pMin) / 8,
+      sMin + 2 * (sMax - sMin) / 8, sMin + 4 * (sMax - sMin) / 8)
+  }
+
+  /** Cells per dimension in the clustering key's normalized grid (10
+    * bits). Interleaving RAW keys skews the space-filling curve when the
+    * dims carry unequal bit widths (lineitem's partkey has ~4 more bits
+    * than suppkey, so the curve's top-level splits are partkey-only and
+    * 64 files tile 32×2 instead of 8×8) — so each dim is first scaled
+    * to its footer min/max range, the same move as the range-partition-
+    * id normalization public lakehouse ZORDER implementations apply
+    * before interleaving. 1024 cells/dim bounds clustering granularity,
+    * not key cardinality — finer splits than 2^10 per dim only matter
+    * past ~2^20 files. */
+  private[graft] val ZGridBits: Int = 10
+
+  /** The z-clustering write itself — the `OPTIMIZE ZORDER` pass:
+    * min-max-normalize both keys to the [[ZGridBits]] grid (bounds from
+    * the base table's parquet footers — driver-side metadata, no job),
+    * interleave, then range-exchange on the Morton key (sampling picks
+    * balanced range bounds; each output task owns one contiguous z-span
+    * = a near-square box of the 2-D key space) and sort within files so
+    * every row group's zkey span — and therefore its (partkey, suppkey)
+    * footer min/max box — is tight. One shuffle, no driver
+    * materialization; parameterized on file count so ZOrderLayoutSpec
+    * can stage comparison shapes. The ×1023/÷span arithmetic stays
+    * exact in double space (products < 2^41), so the cast-to-long floor
+    * is deterministic. */
+  private[graft] def writeZorderedLineitem(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      out: String, numFiles: Int): Unit = {
+    import s.implicits._
+    val keys = Set("l_partkey", "l_suppkey")
+    val groups = footerStats(new java.io.File(dir, "lineitem.parquet"), keys)
+    def global(col: String): (Long, Long) =
+      groups.map(_.stats(col)).reduce { (a, b) =>
+        (math.min(a._1, b._1), math.max(a._2, b._2))
+      }
+    val (pMin, pMax) = global("l_partkey")
+    val (sMin, sMax) = global("l_suppkey")
+    val cells = (1L << ZGridBits) - 1
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      ((c - lit(lo)) * lit(cells) / lit(math.max(1L, hi - lo))).cast("long")
+    graft.Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_returnflag",
+        $"l_quantity", $"l_extendedprice")
+      .withColumn("zkey", zorderKey(
+        norm($"l_partkey".cast("long"), pMin, pMax),
+        norm($"l_suppkey".cast("long"), sMin, sMax), ZGridBits))
+      .repartitionByRange(numFiles, $"zkey")
+      .sortWithinPartitions($"zkey")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  /** Write-once z-clustered lineitem layout (the [[partitionedCorpus]]
+    * staging convention: source-fingerprint marker, up-to-date path
+    * launches no job). File count targets 64k rows/file with a floor of
+    * 16 — at fixture scale the floor keeps pruning granularity real; at
+    * lake scale the row target is the stand-in for a bytes-per-file
+    * target and file count grows with the data, never the driver. */
+  private[graft] def zorderedLineitem(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "li_zorder_" + base)
+    if (verifiedLayouts.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    // v2: grid-normalized interleave (the stamp version tracks the
+    // LAYOUT algorithm, not just the source bytes — a staged v1 artifact
+    // restages rather than serving the skewed raw-bit tiling)
+    val stamp = s"v2:${Multimodal.sourceFingerprint(
+      new java.io.File(dir, "lineitem.parquet"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      val rows = footerStats(
+        new java.io.File(dir, "lineitem.parquet"), Set.empty)
+        .map(_.rows).sum
+      val numFiles = math.max(16, math.ceil(rows / 65536.0).toInt)
+      writeZorderedLineitem(s, dir, path.getAbsolutePath, numFiles)
       java.nio.file.Files.write(marker.toPath, stamp.getBytes)
       ()
     }
