@@ -28,4 +28,52 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
                    key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Buckets for [[bucketedFixture]]. At lake scale this is sized so one
+    * bucket of the biggest table is a few hundred MB (thousands of
+    * buckets); the VALUE of the technique is bucket-count-invariant —
+    * both sides hash-route by the same function, so the join plans
+    * exchange-free at any count — and 16 keeps fixture staging cheap. */
+  val FixtureBuckets: Int = 16
+
+  /** Write-once bucketed (lineitem, orders) pair for q68 — both sides
+    * bucketed AND sorted by their join key at [[FixtureBuckets]], the
+    * layout a warehouse stages once so every subsequent fact⋈fact query
+    * on the key joins with no shuffle on either side. Managed tables
+    * (bucket metadata needs the catalog); the source-fingerprint marker
+    * lives under the fixture root like the parquet layout stagings, and
+    * an up-to-date pair launches no job. */
+  private[graft] def bucketedFixture(s: SparkSession, dir: String)
+      : (String, String) = {
+    val base = new java.io.File(dir).getName
+      .replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
+    val liT = s"li_bkt_$base"
+    val oT = s"ord_bkt_$base"
+    if (verifiedPairs.contains(liT)) return (liT, oT)
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    root.mkdirs()
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(dir, "lineitem.parquet"))}:${
+      Multimodal.sourceFingerprint(new java.io.File(dir, "orders.parquet"))}"
+    val marker = new java.io.File(root, s"bkt_$base.staged")
+    val upToDate = marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp &&
+      s.catalog.tableExists(liT) && s.catalog.tableExists(oT)
+    if (!upToDate) {
+      writeBucketed(graft.Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+        liT, "l_orderkey", FixtureBuckets)
+      writeBucketed(graft.Tables(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority"),
+        oT, "o_orderkey", FixtureBuckets)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedPairs.add(liT)
+    (liT, oT)
+  }
+
+  private val verifiedPairs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

@@ -2488,6 +2488,61 @@ object Relational {
         FROM fact JOIN dim USING (k)
         GROUP BY grp ORDER BY grp""")),
 
+    // ---------------------------------------------------------------- q68
+    // Bucketed CO-LOCATED fact⋈fact join — the storage-side answer to
+    // the shuffle q67/q28 optimize at runtime: both sides staged once
+    // bucketed+sorted by the join key ([[Bucketing.bucketedFixture]]),
+    // so every subsequent join on that key plans with NO shuffle
+    // exchange on either side — at 100 TB this converts the daily
+    // lineitem⋈orders from a full-network exchange of both tables into
+    // per-bucket local merges. Broadcast is forced off (fact⋈fact:
+    // neither side broadcastable at scale — and the fixture-scale dim
+    // would otherwise broadcast and hide the co-location). The ONLY
+    // hash exchange in the plan is the post-join groupBy; BucketingSpec
+    // pins the join subtree exchange-free on the executed plan. Oracle
+    // is plain join semantics over the base tables — the row also pins
+    // that the bucketed staging lost/duplicated nothing.
+    QuerySpec(
+      "q68_bucketed_colocated_join",
+      (s, dir) => {
+        import s.implicits._
+        val (liT, oT) = Bucketing.bucketedFixture(s, dir)
+        val scoped = Seq(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.sources.bucketing.enabled" -> "true")
+        val prev = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+        scoped.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val li = s.table(liT)
+          val o = s.table(oT)
+          val out = li.join(o, li("l_orderkey") === o("o_orderkey"))
+            .groupBy($"o_orderpriority")
+            .agg(count(lit(1)).as("n_rows"),
+              round(sum(dec($"l_extendedprice") *
+                (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
+                .cast("double"), 4).as("revenue"))
+          val eager = s.conf.getOption("graft.eagerRelease")
+            .forall(_.toBoolean)
+          if (eager) out.localCheckpoint(true).orderBy($"o_orderpriority")
+          else {
+            val ordered = out.orderBy($"o_orderpriority")
+            ordered.queryExecution.executedPlan
+            ordered
+          }
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None)    => s.conf.unset(k)
+        }
+      },
+      Some("""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                 (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                 AS DOUBLE), 4) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     variantSpec
   )
 

@@ -36,4 +36,40 @@ class BucketingSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("q68's executed join subtree is exchange-free (the staged pair co-locates)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec        => q +: flatten(q.plan)
+      case other                    => other +: other.children.flatMap(flatten)
+    }
+    // audit the FULL pre-checkpoint plan (PlanAuditSpec's convention)
+    val prevEager = spark.conf.getOption("graft.eagerRelease")
+    spark.conf.set("graft.eagerRelease", "false")
+    try {
+      val df = Relational.specs
+        .find(_.name == "q68_bucketed_colocated_join").get.fn(spark, sfDir)
+      df.queryExecution.executedPlan // resolve inside the conf scope
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val smj = nodes.collectFirst { case j: SortMergeJoinExec => j }
+        .getOrElse(fail("q68 did not plan a sort-merge join"))
+      val joinExchanges = flatten(smj).collect {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(joinExchanges.isEmpty,
+        s"bucketed join subtree shuffles: ${joinExchanges.map(_.nodeName)}")
+      // the groupBy AFTER the join still exchanges — co-location removes
+      // the join's shuffles, not the aggregation's
+      val allExchanges = nodes.collect { case e: ShuffleExchangeLike => e }
+      assert(allExchanges.nonEmpty,
+        "expected the post-join groupBy exchange in the full plan")
+    } finally prevEager match {
+      case Some(v) => spark.conf.set("graft.eagerRelease", v)
+      case None    => spark.conf.unset("graft.eagerRelease")
+    }
+  }
 }
