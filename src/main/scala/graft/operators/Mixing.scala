@@ -1566,6 +1566,58 @@ object Mixing {
         FROM lineitem, box
         WHERE l_partkey BETWEEN plo AND phi
           AND l_suppkey BETWEEN slo AND shi
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- e10
+    // Incremental MAINTENANCE of the z-layout — what keeps e9's
+    // standing artifact useful under daily ingest (the s13/s14 move
+    // applied to the clustered layout): appends land AS-ARRIVED
+    // (round-robin delta files whose footer boxes span the whole key
+    // space — stats-pruning is blind to them), and the maintenance pass
+    // re-clusters ONLY the delta on the SHARED grid, never touching a
+    // standing file — cost ∝ batch, not corpus. The roster row runs the
+    // maintained state's box scan over standing ∪ delta (two z-sorted
+    // runs, both pruning on footer stats); the oracle is e9's box
+    // semantics over the full base table, so the row pins that
+    // append + maintenance lost or duplicated nothing. ZOrderMaintainSpec
+    // pins the raw delta reads ~all its files while the maintained delta
+    // prunes, standing bytes untouched, and maintenance idempotence.
+    QuerySpec(
+      "e10_zorder_maintain",
+      (s, dir) => {
+        import s.implicits._
+        val root = zorderedIncCorpus(s, dir)
+        val (pLo, pHi, sLo, sHi) = e9Box(dir)
+        s.read.parquet(
+          new java.io.File(root, "standing").getAbsolutePath,
+          new java.io.File(root, "delta").getAbsolutePath)
+          .filter($"l_partkey".between(pLo, pHi) &&
+            $"l_suppkey".between(sLo, sHi))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"l_quantity".cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        WITH b AS (
+          SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+                 MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+          FROM lineitem),
+        box AS (
+          SELECT pmin + CAST(FLOOR(1 * (pmax - pmin) / 8.0) AS BIGINT) AS plo,
+                 pmin + CAST(FLOOR(3 * (pmax - pmin) / 8.0) AS BIGINT) AS phi,
+                 smin + CAST(FLOOR(2 * (smax - smin) / 8.0) AS BIGINT) AS slo,
+                 smin + CAST(FLOOR(4 * (smax - smin) / 8.0) AS BIGINT) AS shi
+          FROM b)
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem, box
+        WHERE l_partkey BETWEEN plo AND phi
+          AND l_suppkey BETWEEN slo AND shi
         GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
@@ -1714,7 +1766,8 @@ object Mixing {
     * is deterministic. */
   private[graft] def writeZorderedLineitem(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      out: String, numFiles: Int): Unit = {
+      out: String, numFiles: Int,
+      rowFilter: Option[Column] = None): Unit = {
     import s.implicits._
     val keys = Set("l_partkey", "l_suppkey")
     val groups = footerStats(new java.io.File(dir, "lineitem.parquet"), keys)
@@ -1722,12 +1775,16 @@ object Mixing {
       groups.map(_.stats(col)).reduce { (a, b) =>
         (math.min(a._1, b._1), math.max(a._2, b._2))
       }
+    // grid bounds always come from the FULL base table, filter or not —
+    // a standing layout and its later deltas must share one grid or
+    // their zkey spaces (and therefore merge order) diverge
     val (pMin, pMax) = global("l_partkey")
     val (sMin, sMax) = global("l_suppkey")
     val cells = (1L << ZGridBits) - 1
     def norm(c: Column, lo: Long, hi: Long): Column =
       ((c - lit(lo)) * lit(cells) / lit(math.max(1L, hi - lo))).cast("long")
     graft.Tables(s, dir, "lineitem")
+      .where(rowFilter.getOrElse(lit(true)))
       .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_returnflag",
         $"l_quantity", $"l_extendedprice")
       .withColumn("zkey", zorderKey(
@@ -1766,6 +1823,103 @@ object Mixing {
         .map(_.rows).sum
       val numFiles = math.max(16, math.ceil(rows / 65536.0).toInt)
       writeZorderedLineitem(s, dir, path.getAbsolutePath, numFiles)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedLayouts.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
+  /** e10's staging: standing/ = the 80% split (l_orderkey % 5 != 0)
+    * z-clustered; delta_raw/ = the 20% batch appended AS-ARRIVED
+    * (round-robin files, no clustering — each file's footer box spans
+    * the whole key space, the exact pathology daily ingest creates in a
+    * clustered table). Shared grid: both use the FULL base table's
+    * footer bounds ([[writeZorderedLineitem]]), so the delta's zkeys
+    * live in the standing layout's space. */
+  private[graft] val ZincDeltaFiles = 8
+
+  private[graft] def zincStage(s: org.apache.spark.sql.SparkSession,
+                               dir: String, root: java.io.File): Unit = {
+    import s.implicits._
+    val rows = footerStats(
+      new java.io.File(dir, "lineitem.parquet"), Set.empty).map(_.rows).sum
+    val standingFiles =
+      math.max(16, math.ceil(rows * 0.8 / 65536.0).toInt)
+    writeZorderedLineitem(s, dir,
+      new java.io.File(root, "standing").getAbsolutePath, standingFiles,
+      Some($"l_orderkey" % 5 =!= 0))
+    graft.Tables(s, dir, "lineitem")
+      .where($"l_orderkey" % 5 === 0)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_returnflag",
+        $"l_quantity", $"l_extendedprice")
+      .repartition(ZincDeltaFiles)
+      .write.mode("overwrite")
+      .parquet(new java.io.File(root, "delta_raw").getAbsolutePath)
+  }
+
+  /** e10's maintenance pass — incremental OPTIMIZE: z-cluster ONLY the
+    * raw delta (read from the artifact, never re-derived from the base
+    * table) into delta/, then retire delta_raw/. The standing files are
+    * never opened, moved, or rewritten — maintenance cost ∝ delta, not
+    * corpus (the s14 compaction contract applied to the clustered
+    * layout). Structurally idempotent: no raw delta ⇒ no-op. The
+    * retire-after-write ordering means a crash between the two steps
+    * leaves both dirs; a re-run re-clusters the raw and retires it —
+    * at lake scale the swap is one metadata transaction. */
+  private[graft] def zincMaintain(s: org.apache.spark.sql.SparkSession,
+                                  dir: String, root: java.io.File): Unit = {
+    import s.implicits._
+    val raw = new java.io.File(root, "delta_raw")
+    if (!raw.isDirectory) return
+    val keys = Set("l_partkey", "l_suppkey")
+    val groups = footerStats(new java.io.File(dir, "lineitem.parquet"), keys)
+    def global(col: String): (Long, Long) =
+      groups.map(_.stats(col)).reduce { (a, b) =>
+        (math.min(a._1, b._1), math.max(a._2, b._2))
+      }
+    val (pMin, pMax) = global("l_partkey")
+    val (sMin, sMax) = global("l_suppkey")
+    val cells = (1L << ZGridBits) - 1
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      ((c - lit(lo)) * lit(cells) / lit(math.max(1L, hi - lo))).cast("long")
+    s.read.parquet(raw.getAbsolutePath)
+      .withColumn("zkey", zorderKey(
+        norm($"l_partkey".cast("long"), pMin, pMax),
+        norm($"l_suppkey".cast("long"), sMin, sMax), ZGridBits))
+      .repartitionByRange(ZincDeltaFiles, $"zkey")
+      .sortWithinPartitions($"zkey")
+      .write.mode("overwrite")
+      .parquet(new java.io.File(root, "delta").getAbsolutePath)
+    deleteRecursively(raw.toPath)
+  }
+
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  /** Write-once incremental z-layout root for e10 (standing + maintained
+    * delta), the [[zorderedLineitem]] marker convention. */
+  private[graft] def zorderedIncCorpus(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "li_zinc_" + base)
+    if (verifiedLayouts.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(dir, "lineitem.parquet"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      zincStage(s, dir, path)
+      zincMaintain(s, dir, path)
       java.nio.file.Files.write(marker.toPath, stamp.getBytes)
       ()
     }
