@@ -61,6 +61,23 @@ object Bucketing {
       new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp &&
       s.catalog.tableExists(liT) && s.catalog.tableExists(oT)
     if (!upToDate) {
+      // Restage from scratch: a FRESH session's in-memory catalog has no
+      // memory of the tables, but a previous JVM's managed locations can
+      // still sit under spark-warehouse/ — and saveAsTable(Overwrite) on
+      // an uncataloged name whose location exists fails with
+      // LOCATION_ALREADY_EXISTS (caught by the r13 verify sweep). Drop
+      // whatever the catalog knows AND delete any orphaned location.
+      Seq(liT, oT).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        val loc = new java.io.File(wh, t)
+        if (loc.exists()) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc.toPath).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
       writeBucketed(graft.Tables(s, dir, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_discount"),
         liT, "l_orderkey", FixtureBuckets)
