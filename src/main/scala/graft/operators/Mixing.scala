@@ -1568,6 +1568,63 @@ object Mixing {
           AND l_suppkey BETWEEN slo AND shi
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---------------------------------------------------------------- e11
+    // MANIFEST-planned scan — the metadata layer above e9's footer
+    // stats: at 100 TB "read every footer per query" is itself the
+    // bottleneck (millions of S3 GETs), so table formats persist one
+    // stats row per data file and plan the file LIST from that manifest
+    // (the Iceberg manifest / Delta add-file-stats move). The staged
+    // manifest derives from the same [[footerStats]] the scan would
+    // consult; planning filters it to the files whose boxes intersect
+    // the query box and hands ONLY those paths to the reader. The
+    // collect is one row per surviving DATA FILE — bounded by file
+    // count, i.e. metadata-scale, the same driver-side planning work
+    // every table format does (NOT a data collect; the data path stays
+    // fully distributed). The oracle is e9's box semantics over the
+    // base table, which makes the pruning itself correctness-gated: a
+    // manifest that drops a qualifying file loses rows and fails the
+    // hash, one that keeps a spurious file is caught by the residual
+    // filter. ZOrderLayoutSpec pins list ≡ footer-derived must-read set.
+    QuerySpec(
+      "e11_manifest_planned_scan",
+      (s, dir) => {
+        import s.implicits._
+        val (pLo, pHi, sLo, sHi) = e9Box(dir)
+        val files = s.read.parquet(zorderManifest(s, dir))
+          .filter($"pmax" >= pLo && $"pmin" <= pHi &&
+            $"smax" >= sLo && $"smin" <= sHi)
+          .select($"file").as[String].collect().toSeq.sorted
+        require(files.nonEmpty, "manifest planning pruned every file")
+        s.read.parquet(files: _*)
+          .filter($"l_partkey".between(pLo, pHi) &&
+            $"l_suppkey".between(sLo, sHi))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"l_quantity".cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        WITH b AS (
+          SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+                 MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+          FROM lineitem),
+        box AS (
+          SELECT pmin + CAST(FLOOR(1 * (pmax - pmin) / 8.0) AS BIGINT) AS plo,
+                 pmin + CAST(FLOOR(3 * (pmax - pmin) / 8.0) AS BIGINT) AS phi,
+                 smin + CAST(FLOOR(2 * (smax - smin) / 8.0) AS BIGINT) AS slo,
+                 smin + CAST(FLOOR(4 * (smax - smin) / 8.0) AS BIGINT) AS shi
+          FROM b)
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem, box
+        WHERE l_partkey BETWEEN plo AND phi
+          AND l_suppkey BETWEEN slo AND shi
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---------------------------------------------------------------- e10
     // Incremental MAINTENANCE of the z-layout — what keeps e9's
     // standing artifact useful under daily ingest (the s13/s14 move
@@ -1823,6 +1880,50 @@ object Mixing {
         .map(_.rows).sum
       val numFiles = math.max(16, math.ceil(rows / 65536.0).toInt)
       writeZorderedLineitem(s, dir, path.getAbsolutePath, numFiles)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedLayouts.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
+  /** Write-once per-file stats manifest over [[zorderedLineitem]]'s
+    * layout — one row per data file: path, rows, and the (partkey,
+    * suppkey) box aggregated across the file's row groups. Derived from
+    * the identical [[footerStats]] a direct scan would consult, staged
+    * beside the layout with the marker convention (stamped against the
+    * LAYOUT's marker, so a restaged layout invalidates its manifest). */
+  private[graft] def zorderManifest(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val lay = zorderedLineitem(s, dir)
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "li_zmanifest_" + base)
+    if (verifiedLayouts.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(lay + ".staged"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      import s.implicits._
+      val perFile = footerStats(new java.io.File(lay),
+        Set("l_partkey", "l_suppkey"))
+        .groupBy(_.file).toSeq
+        .map { case (f, gs) =>
+          def agg(col: String): (Long, Long) =
+            gs.map(_.stats(col)).reduce { (a, b) =>
+              (math.min(a._1, b._1), math.max(a._2, b._2))
+            }
+          val (pMin, pMax) = agg("l_partkey")
+          val (sMin, sMax) = agg("l_suppkey")
+          (f, gs.map(_.rows).sum, pMin, pMax, sMin, sMax)
+        }
+      perFile.toDF("file", "rows", "pmin", "pmax", "smin", "smax")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path.getAbsolutePath)
       java.nio.file.Files.write(marker.toPath, stamp.getBytes)
       ()
     }

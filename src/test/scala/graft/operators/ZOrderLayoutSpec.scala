@@ -89,6 +89,38 @@ class ZOrderLayoutSpec extends SparkTestBase {
     info(s"suppkey-only: z reads $z/${zGroups.size}, linear reads $lin/${linGroups.size}")
   }
 
+  test("e11's manifest planning lands on exactly the footer-derived must-read file set") {
+    val man = Mixing.zorderManifest(spark, dir)
+    val lay = new java.io.File(
+      new java.io.File(man).getParentFile,
+      "li_zorder_" + new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val cols = Set("l_partkey", "l_suppkey")
+    val groups = Mixing.footerStats(lay, cols)
+    val (pLo, pHi, sLo, sHi) = Mixing.e9Box(dir)
+    // per-FILE must-read set straight from the footers (a file is read
+    // iff any of its row groups overlaps the box)
+    val expected = groups.filter { g =>
+      val (pMin, pMax) = g.stats("l_partkey")
+      val (sMin, sMax) = g.stats("l_suppkey")
+      pMax >= pLo && pMin <= pHi && sMax >= sLo && sMin <= sHi
+    }.map(_.file).distinct.sorted
+    import spark.implicits._
+    val planned = spark.read.parquet(man)
+      .filter($"pmax" >= pLo && $"pmin" <= pHi &&
+        $"smax" >= sLo && $"smin" <= sHi)
+      .select($"file").as[String].collect().toSeq.sorted
+    assert(planned == expected,
+      s"manifest planned ${planned.size} files, footers say ${expected.size}")
+    assert(planned.size < groups.map(_.file).distinct.size,
+      "manifest planning pruned nothing — the layout or box is degenerate")
+    // and the planned scan answers identically to the full staged scan
+    val e11 = Mixing.specs.find(_.name == "e11_manifest_planned_scan").get
+      .fn(spark, dir).collect().map(_.toString).toSeq
+    val e9 = Mixing.specs.find(_.name == "e9_zorder_pruned_scan").get
+      .fn(spark, dir).collect().map(_.toString).toSeq
+    assert(e11 == e9, "manifest-planned result diverged from the full scan")
+  }
+
   test("e9's box bounds reach the staged scan as pushed parquet filters") {
     val df = Mixing.specs.find(_.name == "e9_zorder_pruned_scan").get
       .fn(spark, dir)
