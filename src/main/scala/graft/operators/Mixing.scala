@@ -1625,6 +1625,60 @@ object Mixing {
           AND l_suppkey BETWEEN slo AND shi
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---------------------------------------------------------------- e12
+    // Manifest LIFECYCLE — e11's planning layer maintained through
+    // e10's append/maintain transaction: bootstrap writes manifest_v1
+    // (standing + as-arrived delta), the maintenance pass swaps the
+    // layout AND commits manifest_v2 as a metadata-only edit (standing
+    // rows carried verbatim — their footers never re-opened — retired
+    // raw files dropped, one footer pass over only the clustered
+    // delta). The query plans its file list from manifest_v2, so the
+    // oracle over the base table gates the COMMIT: a lost or duplicated
+    // file in the manifest edit fails the hash. ZincManifestSpec pins
+    // v2 ≡ from-scratch, commit-with-standing-absent, and the planned
+    // set ≡ the footer-derived must-read set.
+    QuerySpec(
+      "e12_manifest_lifecycle_scan",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(zincManifestRoot(s, dir))
+        val (pLo, pHi, sLo, sHi) = e9Box(dir)
+        val files = s.read.parquet(
+          new java.io.File(root, "manifest_v2").getAbsolutePath)
+          .filter($"pmax" >= pLo && $"pmin" <= pHi &&
+            $"smax" >= sLo && $"smin" <= sHi)
+          .select($"file").as[String].collect().toSeq.sorted
+        require(files.nonEmpty, "manifest planning pruned every file")
+        s.read.parquet(files: _*)
+          .filter($"l_partkey".between(pLo, pHi) &&
+            $"l_suppkey".between(sLo, sHi))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"l_quantity".cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        WITH b AS (
+          SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+                 MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+          FROM lineitem),
+        box AS (
+          SELECT pmin + CAST(FLOOR(1 * (pmax - pmin) / 8.0) AS BIGINT) AS plo,
+                 pmin + CAST(FLOOR(3 * (pmax - pmin) / 8.0) AS BIGINT) AS phi,
+                 smin + CAST(FLOOR(2 * (smax - smin) / 8.0) AS BIGINT) AS slo,
+                 smin + CAST(FLOOR(4 * (smax - smin) / 8.0) AS BIGINT) AS shi
+          FROM b)
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem, box
+        WHERE l_partkey BETWEEN plo AND phi
+          AND l_suppkey BETWEEN slo AND shi
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---------------------------------------------------------------- e10
     // Incremental MAINTENANCE of the z-layout — what keeps e9's
     // standing artifact useful under daily ingest (the s13/s14 move
@@ -1908,22 +1962,100 @@ object Mixing {
     val upToDate = path.isDirectory && marker.isFile &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
     if (!upToDate) {
-      import s.implicits._
-      val perFile = footerStats(new java.io.File(lay),
-        Set("l_partkey", "l_suppkey"))
-        .groupBy(_.file).toSeq
-        .map { case (f, gs) =>
-          def agg(col: String): (Long, Long) =
-            gs.map(_.stats(col)).reduce { (a, b) =>
-              (math.min(a._1, b._1), math.max(a._2, b._2))
-            }
-          val (pMin, pMax) = agg("l_partkey")
-          val (sMin, sMax) = agg("l_suppkey")
-          (f, gs.map(_.rows).sum, pMin, pMax, sMin, sMax)
-        }
-      perFile.toDF("file", "rows", "pmin", "pmax", "smin", "smax")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(path.getAbsolutePath)
+      writeManifest(s, footerBoxRows(new java.io.File(lay)),
+        path.getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedLayouts.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
+  /** One manifest row per data file under `root`: path, row count, and
+    * the (partkey, suppkey) box aggregated across the file's row groups
+    * — the per-file stats a table-format manifest persists so planning
+    * never opens data-file footers. Driver-side, file-count-bounded. */
+  private[graft] def footerBoxRows(root: java.io.File)
+      : Seq[(String, Long, Long, Long, Long, Long)] =
+    footerStats(root, Set("l_partkey", "l_suppkey"))
+      .groupBy(_.file).toSeq
+      .map { case (f, gs) =>
+        def agg(col: String): (Long, Long) =
+          gs.map(_.stats(col)).reduce { (a, b) =>
+            (math.min(a._1, b._1), math.max(a._2, b._2))
+          }
+        val (pMin, pMax) = agg("l_partkey")
+        val (sMin, sMax) = agg("l_suppkey")
+        (f, gs.map(_.rows).sum, pMin, pMax, sMin, sMax)
+      }.sortBy(_._1)
+
+  private def writeManifest(
+      s: org.apache.spark.sql.SparkSession,
+      rows: Seq[(String, Long, Long, Long, Long, Long)],
+      dest: String): Unit = {
+    import s.implicits._
+    rows.toDF("file", "rows", "pmin", "pmax", "smin", "smax")
+      .coalesce(1).write.mode("overwrite").parquet(dest)
+  }
+
+  /** e12's MAINTENANCE COMMIT — the manifest edit that accompanies
+    * [[zincMaintain]]'s layout transaction, metadata-only like a
+    * table-format commit: the next manifest is the previous one's rows
+    * with the retired raw-delta files dropped and one footer pass over
+    * ONLY the freshly clustered delta appended. Standing rows are
+    * carried VERBATIM from the previous manifest — standing footers are
+    * never re-opened (ZincManifestSpec pins this by running the commit
+    * with standing/ physically absent), so commit cost follows the
+    * batch, not the corpus. The collect is manifest-sized (one row per
+    * data file): driver-side planning metadata, the same scale class as
+    * the footer reads themselves. */
+  private[graft] def zincManifestCommit(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File): Unit = {
+    val prev = s.read.parquet(
+      new java.io.File(root, "manifest_v1").getAbsolutePath)
+      .select("file", "rows", "pmin", "pmax", "smin", "smax")
+      .collect().toSeq.map { r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      }
+    val retired = java.io.File.separator + "delta_raw" + java.io.File.separator
+    val kept = prev.filterNot(_._1.contains(retired))
+    val appended = footerBoxRows(new java.io.File(root, "delta"))
+    writeManifest(s, (kept ++ appended).sortBy(_._1),
+      new java.io.File(root, "manifest_v2").getAbsolutePath)
+  }
+
+  /** Write-once lifecycle root for e12: [[zorderedIncCorpus]]'s
+    * append/maintain sequence replayed WITH its manifest commits, so the
+    * manifest — not the directory listing — is the table's source of
+    * truth across the transaction (the Iceberg/Delta commit protocol's
+    * data motion, minus the catalog pointer swap). Bootstrap writes
+    * manifest_v1 from one footer pass over standing + as-arrived delta;
+    * maintenance then swaps the layout ([[zincMaintain]]) and commits
+    * manifest_v2 via [[zincManifestCommit]]. e12 plans its scan from
+    * manifest_v2 and is oracle-checked against the base table, so a
+    * commit that loses or duplicates a file fails the hash. */
+  private[graft] def zincManifestRoot(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "li_zincm_" + base)
+    if (verifiedLayouts.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(dir, "lineitem.parquet"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      zincStage(s, dir, path)
+      writeManifest(s,
+        footerBoxRows(new java.io.File(path, "standing")) ++
+          footerBoxRows(new java.io.File(path, "delta_raw")),
+        new java.io.File(path, "manifest_v1").getAbsolutePath)
+      zincMaintain(s, dir, path)
+      zincManifestCommit(s, path)
       java.nio.file.Files.write(marker.toPath, stamp.getBytes)
       ()
     }
