@@ -1625,6 +1625,59 @@ object Mixing {
           AND l_suppkey BETWEEN slo AND shi
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---------------------------------------------------------------- e13
+    // TIME TRAVEL — reading the PREVIOUS snapshot after the maintenance
+    // commit: e12's lifecycle retains the retired raw-delta bytes (the
+    // commit stops referencing them, it doesn't delete them), so
+    // planning from manifest_v1 still answers — the AS OF read every
+    // table format serves until snapshot expiry. Because maintenance
+    // only re-clusters, the v1 snapshot is row-identical to v2 and both
+    // share the base-table oracle: time travel landing on different
+    // rows than the live read is a hash failure, not a silent skew.
+    // ZincManifestSpec owns the expiry half (vacuum kills v1, spares
+    // v2) on a spec-owned root so roster order never matters.
+    QuerySpec(
+      "e13_time_travel_scan",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(zincManifestRoot(s, dir))
+        val (pLo, pHi, sLo, sHi) = e9Box(dir)
+        val files = s.read.parquet(
+          new java.io.File(root, "manifest_v1").getAbsolutePath)
+          .filter($"pmax" >= pLo && $"pmin" <= pHi &&
+            $"smax" >= sLo && $"smin" <= sHi)
+          .select($"file").as[String].collect().toSeq.sorted
+        require(files.nonEmpty, "snapshot planning pruned every file")
+        s.read.parquet(files: _*)
+          .filter($"l_partkey".between(pLo, pHi) &&
+            $"l_suppkey".between(sLo, sHi))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"l_quantity".cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        WITH b AS (
+          SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+                 MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+          FROM lineitem),
+        box AS (
+          SELECT pmin + CAST(FLOOR(1 * (pmax - pmin) / 8.0) AS BIGINT) AS plo,
+                 pmin + CAST(FLOOR(3 * (pmax - pmin) / 8.0) AS BIGINT) AS phi,
+                 smin + CAST(FLOOR(2 * (smax - smin) / 8.0) AS BIGINT) AS slo,
+                 smin + CAST(FLOOR(4 * (smax - smin) / 8.0) AS BIGINT) AS shi
+          FROM b)
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem, box
+        WHERE l_partkey BETWEEN plo AND phi
+          AND l_suppkey BETWEEN slo AND shi
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---------------------------------------------------------------- e12
     // Manifest LIFECYCLE — e11's planning layer maintained through
     // e10's append/maintain transaction: bootstrap writes manifest_v1
@@ -2025,6 +2078,33 @@ object Mixing {
       new java.io.File(root, "manifest_v2").getAbsolutePath)
   }
 
+  /** VACUUM — snapshot expiry for the manifest lifecycle: delete every
+    * data file under `root` that the LIVE manifest (manifest_v2) does
+    * not reference, then drop the expired manifest_v1. After a vacuum
+    * the v2-planned scan answers byte-identically (it never referenced
+    * the retired files) and the v1 snapshot is gone — the Delta
+    * VACUUM / Iceberg expire-snapshots contract. Structurally
+    * idempotent: a second run finds nothing unreferenced. Driver-side
+    * file ops at manifest scale (one row per file); at lake scale this
+    * is the same object-store delete batch every table format issues.
+    * Spec-owned (ZincManifestSpec) — the staged e13 root is never
+    * vacuumed, so the time-travel row stays runnable in any order. */
+  private[graft] def zincVacuum(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File): Unit = {
+    val live = s.read.parquet(
+      new java.io.File(root, "manifest_v2").getAbsolutePath)
+      .select("file").collect().map(_.getString(0)).toSet
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    Seq("standing", "delta_raw", "delta")
+      .map(new java.io.File(root, _)).filter(_.isDirectory)
+      .flatMap(walk)
+      .filterNot(f => live.contains(f.getAbsolutePath))
+      .foreach(f => java.nio.file.Files.delete(f.toPath))
+    deleteRecursively(new java.io.File(root, "manifest_v1").toPath)
+  }
+
   /** Write-once lifecycle root for e12: [[zorderedIncCorpus]]'s
     * append/maintain sequence replayed WITH its manifest commits, so the
     * manifest — not the directory listing — is the table's source of
@@ -2043,7 +2123,9 @@ object Mixing {
     val path = new java.io.File(root, "li_zincm_" + base)
     if (verifiedLayouts.contains(path.getAbsolutePath))
       return path.getAbsolutePath
-    val stamp = s"v1:${Multimodal.sourceFingerprint(
+    // v2: the lifecycle now retains retired raw files for e13's time
+    // travel — a v1-staged root (raw deleted) must restage
+    val stamp = s"v2:${Multimodal.sourceFingerprint(
       new java.io.File(dir, "lineitem.parquet"))}"
     val marker = new java.io.File(path.getAbsolutePath + ".staged")
     val upToDate = path.isDirectory && marker.isFile &&
@@ -2054,7 +2136,11 @@ object Mixing {
         footerBoxRows(new java.io.File(path, "standing")) ++
           footerBoxRows(new java.io.File(path, "delta_raw")),
         new java.io.File(path, "manifest_v1").getAbsolutePath)
-      zincMaintain(s, dir, path)
+      // retainRaw: the commit stops REFERENCING the raw files but the
+      // bytes stay until a vacuum — manifest_v1 remains a readable
+      // snapshot (e13's time travel) exactly as table formats keep
+      // retired files until snapshot expiry
+      zincMaintain(s, dir, path, retainRaw = true)
       zincManifestCommit(s, path)
       java.nio.file.Files.write(marker.toPath, stamp.getBytes)
       ()
@@ -2099,9 +2185,16 @@ object Mixing {
     * layout). Structurally idempotent: no raw delta ⇒ no-op. The
     * retire-after-write ordering means a crash between the two steps
     * leaves both dirs; a re-run re-clusters the raw and retires it —
-    * at lake scale the swap is one metadata transaction. */
+    * at lake scale the swap is one metadata transaction.
+    *
+    * `retainRaw` = the manifest-lifecycle mode (e12/e13): the raw files
+    * are NOT deleted — the commit merely stops referencing them, so the
+    * previous manifest stays readable (time travel) until a VACUUM
+    * expires the snapshot. Directory-listing readers (e10) keep the
+    * delete; manifest readers never see unreferenced files anyway. */
   private[graft] def zincMaintain(s: org.apache.spark.sql.SparkSession,
-                                  dir: String, root: java.io.File): Unit = {
+                                  dir: String, root: java.io.File,
+                                  retainRaw: Boolean = false): Unit = {
     import s.implicits._
     val raw = new java.io.File(root, "delta_raw")
     if (!raw.isDirectory) return
@@ -2124,7 +2217,7 @@ object Mixing {
       .sortWithinPartitions($"zkey")
       .write.mode("overwrite")
       .parquet(new java.io.File(root, "delta").getAbsolutePath)
-    deleteRecursively(raw.toPath)
+    if (!retainRaw) deleteRecursively(raw.toPath)
   }
 
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {

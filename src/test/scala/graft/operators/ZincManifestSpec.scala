@@ -84,6 +84,61 @@ class ZincManifestSpec extends SparkTestBase {
       s"commit re-read only ${Mixing.ZincDeltaFiles} delta files")
   }
 
+  test("time travel reads the v1 snapshot until vacuum expires it; vacuum spares every live file") {
+    val root = java.nio.file.Files
+      .createTempDirectory("zincm_vac").toFile
+    Mixing.zincStage(spark, dir, root)
+    import spark.implicits._
+    Mixing.footerBoxRows(new java.io.File(root, "standing"))
+      .++(Mixing.footerBoxRows(new java.io.File(root, "delta_raw")))
+      .toDF("file", "rows", "pmin", "pmax", "smin", "smax").coalesce(1)
+      .write.parquet(new java.io.File(root, "manifest_v1").getAbsolutePath)
+    Mixing.zincMaintain(spark, dir, root, retainRaw = true)
+    Mixing.zincManifestCommit(spark, root)
+
+    def planAll(manifest: String): Seq[String] =
+      spark.read.parquet(new java.io.File(root, manifest).getAbsolutePath)
+        .select("file").collect().map(_.getString(0)).toSeq.sorted
+    def total(files: Seq[String]): Long =
+      spark.read.parquet(files: _*).count()
+
+    // before vacuum: BOTH snapshots are readable and row-identical
+    // (maintenance only re-clusters)
+    val v1Files = planAll("manifest_v1")
+    val v2Files = planAll("manifest_v2")
+    assert(v1Files.forall(f => new java.io.File(f).isFile),
+      "a v1-referenced file is already missing before vacuum")
+    val v1Rows = total(v1Files)
+    assert(v1Rows == total(v2Files),
+      "v1 snapshot and live read disagree on row count")
+
+    Mixing.zincVacuum(spark, root)
+
+    // after: every live file intact (live scan byte-identical), every
+    // unreferenced file gone, the expired manifest gone
+    assert(v2Files.forall(f => new java.io.File(f).isFile),
+      "vacuum deleted a file the live manifest references")
+    assert(total(v2Files) == v1Rows, "live read changed across vacuum")
+    val retired = v1Files.toSet -- v2Files.toSet
+    assert(retired.nonEmpty && retired.forall(f => !new java.io.File(f).exists()),
+      "vacuum left an unreferenced data file behind")
+    assert(!new java.io.File(root, "manifest_v1").exists(),
+      "vacuum left the expired manifest readable")
+    // structurally idempotent
+    Mixing.zincVacuum(spark, root)
+    assert(v2Files.forall(f => new java.io.File(f).isFile))
+    info(s"vacuum expired ${retired.size} retired files; " +
+      s"${v2Files.size} live files untouched")
+  }
+
+  test("e13's staged snapshot answers identically to the live e12 read") {
+    val e13 = Mixing.specs.find(_.name == "e13_time_travel_scan").get
+      .fn(spark, dir).collect().map(_.toString).toSeq
+    val e12 = Mixing.specs.find(_.name == "e12_manifest_lifecycle_scan").get
+      .fn(spark, dir).collect().map(_.toString).toSeq
+    assert(e13 == e12, "time-travel result diverged from the live read")
+  }
+
   test("e12's planning lands on the footer-derived must-read set and answers like e10") {
     val root = new java.io.File(Mixing.zincManifestRoot(spark, dir))
     val (pLo, pHi, sLo, sHi) = Mixing.e9Box(dir)
