@@ -1625,6 +1625,45 @@ object Mixing {
           AND l_suppkey BETWEEN slo AND shi
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---------------------------------------------------------------- e14
+    // MERGE-ON-READ DELETE via positional deletion vectors — the
+    // row-level mutation a lakehouse serves without rewriting data
+    // files: a staged sidecar of pure (file, row_index) positions masks
+    // the scan through a BROADCAST anti-join (DV size follows the
+    // delete, not the table — at 100 TB the sidecar per file is a
+    // bitmap, here a position list; the fact side never shuffles for
+    // the mask). The DV carries no data columns, so the roster row is
+    // the proof that position alone reproduces the logical delete: the
+    // oracle applies the predicate relationally and a single
+    // misattributed row index fails the hash. DeletionVectorSpec pins
+    // the sidecar schema, the broadcast-anti plan shape, and layout
+    // byte-identity across DV staging.
+    QuerySpec(
+      "e14_deletion_vector_scan",
+      (s, dir) => {
+        import s.implicits._
+        val lay = zorderedLineitem(s, dir)
+        val dv = s.read.parquet(deletionVector(s, dir))
+        s.read.parquet(lay)
+          .withColumn("file", col("_metadata.file_path"))
+          .withColumn("pos", col("_metadata.row_index"))
+          .join(broadcast(dv), Seq("file", "pos"), "left_anti")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"l_quantity".cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_orderkey % 97 <> 0
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---------------------------------------------------------------- e13
     // TIME TRAVEL — reading the PREVIOUS snapshot after the maintenance
     // commit: e12's lifecycle retains the retired raw-delta bytes (the
@@ -2076,6 +2115,45 @@ object Mixing {
     val appended = footerBoxRows(new java.io.File(root, "delta"))
     writeManifest(s, (kept ++ appended).sortBy(_._1),
       new java.io.File(root, "manifest_v2").getAbsolutePath)
+  }
+
+  /** Write-once POSITIONAL deletion-vector sidecar over
+    * [[zorderedLineitem]] — the merge-on-read DELETE: the logical
+    * predicate (l_orderkey % 97 = 0) is evaluated ONCE against the
+    * layout via parquet's `_metadata.file_path`/`row_index`, and what
+    * persists is pure position — (file, pos), no data columns — so the
+    * delete applies to any later read without re-evaluating (or even
+    * knowing) the predicate, and the data files are never rewritten
+    * (the Iceberg positional-delete / Delta deletion-vector contract).
+    * Stamped against the LAYOUT's marker: a restaged layout (new
+    * positions) invalidates its DVs. */
+  private[graft] def deletionVector(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import s.implicits._
+    val lay = zorderedLineitem(s, dir)
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "li_dv_" + base)
+    if (verifiedLayouts.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(lay + ".staged"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      s.read.parquet(lay)
+        .select(col("_metadata.file_path").as("file"),
+          col("_metadata.row_index").as("pos"), $"l_orderkey")
+        .filter($"l_orderkey" % 97 === 0)
+        .select($"file", $"pos")
+        .coalesce(1).write.mode("overwrite").parquet(path.getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedLayouts.add(path.getAbsolutePath)
+    path.getAbsolutePath
   }
 
   /** VACUUM — snapshot expiry for the manifest lifecycle: delete every
