@@ -1625,6 +1625,56 @@ object Mixing {
           AND l_suppkey BETWEEN slo AND shi
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---------------------------------------------------------------- e15
+    // DV PURGE — the maintenance half of e14: deletes ACCUMULATE (a
+    // clustered batch — the e9 box, which the z-layout concentrates in
+    // few files — then a scattered l_orderkey % 97 sprinkle), and the
+    // compaction pass rewrites ONLY the files whose delete ratio
+    // crossed 20%, dropping their DV entries; the sprinkle stays masked
+    // (rewriting every touched file for a 1% delete is the write
+    // amplification DVs exist to avoid). The roster row reads
+    // data ∪ latest-DV; the oracle applies BOTH predicates
+    // relationally, so a rewrite that loses a survivor or resurrects a
+    // deleted row fails the hash. DvCompactSpec pins hot/cold file
+    // split, cold-file byte-identity, DV shrinkage, and idempotence.
+    QuerySpec(
+      "e15_dv_compacted_scan",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(dvLifecycleRoot(s, dir))
+        val dv = s.read.parquet(new java.io.File(root, "dv2").getAbsolutePath)
+        s.read.parquet(new java.io.File(root, "data").getAbsolutePath)
+          .withColumn("file", col("_metadata.file_path"))
+          .withColumn("pos", col("_metadata.row_index"))
+          .join(broadcast(dv), Seq("file", "pos"), "left_anti")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"l_quantity".cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        WITH b AS (
+          SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+                 MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+          FROM lineitem),
+        box AS (
+          SELECT pmin + CAST(FLOOR(1 * (pmax - pmin) / 8.0) AS BIGINT) AS plo,
+                 pmin + CAST(FLOOR(3 * (pmax - pmin) / 8.0) AS BIGINT) AS phi,
+                 smin + CAST(FLOOR(2 * (smax - smin) / 8.0) AS BIGINT) AS slo,
+                 smin + CAST(FLOOR(4 * (smax - smin) / 8.0) AS BIGINT) AS shi
+          FROM b)
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem, box
+        WHERE NOT (l_partkey BETWEEN plo AND phi
+                   AND l_suppkey BETWEEN slo AND shi)
+          AND l_orderkey % 97 <> 0
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---------------------------------------------------------------- e14
     // MERGE-ON-READ DELETE via positional deletion vectors — the
     // row-level mutation a lakehouse serves without rewriting data
@@ -2149,6 +2199,120 @@ object Mixing {
         .filter($"l_orderkey" % 97 === 0)
         .select($"file", $"pos")
         .coalesce(1).write.mode("overwrite").parquet(path.getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedLayouts.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
+  /** One positional-delete batch: evaluate `pred` against the live data
+    * files ONCE and keep only (file, pos) — see [[deletionVector]]. */
+  private def dvBatch(s: org.apache.spark.sql.SparkSession,
+                      dataDir: String,
+                      pred: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame =
+    s.read.parquet(dataDir)
+      .withColumn("file", col("_metadata.file_path"))
+      .withColumn("pos", col("_metadata.row_index"))
+      .filter(pred)
+      .select(col("file"), col("pos"))
+
+  private def uriToLocal(p: String): String =
+    if (p.startsWith("file:")) p.stripPrefix("file://").stripPrefix("file:")
+    else p
+
+  /** DV PURGE — the maintenance half of merge-on-read deletes: files
+    * whose accumulated delete ratio crosses `threshold` are rewritten
+    * WITHOUT their deleted rows (per-file copy-on-write, one task per
+    * hot file at lake scale) and their DV entries dropped; files below
+    * the threshold keep their bytes and their DV mask. Reads `inDv`,
+    * writes `outDv` (the masked scan always reads the LATEST dv dir),
+    * returns the rewritten files. Structurally idempotent: a rewritten
+    * file has ratio 0, so a second pass over the new dv finds nothing
+    * hot. The per-file ratio bookkeeping is manifest-scale metadata. */
+  private[graft] def dvCompact(s: org.apache.spark.sql.SparkSession,
+                               root: java.io.File, threshold: Double,
+                               inDv: String = "dv1", outDv: String = "dv2")
+      : Seq[String] = {
+    import s.implicits._
+    val dataDir = new java.io.File(root, "data")
+    val dv = s.read.parquet(new java.io.File(root, inDv).getAbsolutePath)
+    val deleted = dv.distinct().groupBy("file").count().collect()
+      .map(r => uriToLocal(r.getString(0)) -> r.getLong(1)).toMap
+    val rows = footerStats(dataDir, Set.empty)
+      .groupBy(_.file).view.mapValues(_.map(_.rows).sum).toMap
+    val hot = rows.keys.toSeq.sorted.filter { f =>
+      deleted.getOrElse(f, 0L).toDouble / rows(f) >= threshold
+    }
+    val localFile = regexp_replace(col("file"), "^file:(//)?", "")
+    hot.foreach { f =>
+      val local = new java.io.File(f)
+      val mine = dv.filter(localFile === f)
+      val tmp = new java.io.File(root, "rewrite_tmp")
+      s.read.parquet(f)
+        .withColumn("file", col("_metadata.file_path"))
+        .withColumn("pos", col("_metadata.row_index"))
+        .join(broadcast(mine), Seq("file", "pos"), "left_anti")
+        .drop("file", "pos")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(dataDir,
+        local.getName.stripSuffix(".parquet") + "-rw.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      java.nio.file.Files.delete(local.toPath)
+      deleteRecursively(tmp.toPath)
+    }
+    val survivors =
+      if (hot.isEmpty) dv else dv.filter(!localFile.isin(hot: _*))
+    survivors.coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(root, outDv).getAbsolutePath)
+    hot
+  }
+
+  /** Write-once DV lifecycle root for e15: a copy-on-write clone of the
+    * z-layout takes two positional-delete batches — one CLUSTERED (the
+    * e9 box: the layout concentrates those rows in few files, exactly
+    * what a GDPR-style or partition-retirement delete looks like on a
+    * clustered table) and one SCATTERED (l_orderkey % 97: a sprinkle no
+    * rewrite should chase) — then [[dvCompact]] purges at 20%: the
+    * box-heavy files rewrite and drop their DV entries, the sprinkle
+    * stays masked. The roster row reads data ∪ latest-DV and is
+    * oracle-checked against both predicates applied relationally, so a
+    * rewrite that drops a survivor or resurrects a deleted row fails
+    * the hash. */
+  private[graft] def dvLifecycleRoot(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import s.implicits._
+    val lay = zorderedLineitem(s, dir)
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "li_dvlc_" + base)
+    if (verifiedLayouts.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(lay + ".staged"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      deleteRecursively(path.toPath)
+      val dataDir = new java.io.File(path, "data")
+      dataDir.mkdirs()
+      new java.io.File(lay).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            new java.io.File(dataDir, f.getName).toPath)
+        }
+      val (pLo, pHi, sLo, sHi) = e9Box(dir)
+      val dv1 = new java.io.File(path, "dv1").getAbsolutePath
+      dvBatch(s, dataDir.getAbsolutePath,
+        $"l_partkey".between(pLo, pHi) && $"l_suppkey".between(sLo, sHi))
+        .write.mode("append").parquet(dv1)
+      dvBatch(s, dataDir.getAbsolutePath, $"l_orderkey" % 97 === 0)
+        .write.mode("append").parquet(dv1)
+      dvCompact(s, path, 0.2)
       java.nio.file.Files.write(marker.toPath, stamp.getBytes)
       ()
     }
