@@ -2140,6 +2140,36 @@ object Mixing {
       .coalesce(1).write.mode("overwrite").parquet(dest)
   }
 
+  /** Append one COMMIT of manifest rows to a manifest LOG dir — st18's
+    * per-trigger primitive (each micro-batch's commit is one more file
+    * in the log; the table is the union of all commits). */
+  private[graft] def writeManifestLog(
+      s: org.apache.spark.sql.SparkSession,
+      rows: Seq[(String, Long, Long, Long, Long, Long)],
+      dest: String): Unit = {
+    import s.implicits._
+    rows.toDF("file", "rows", "pmin", "pmax", "smin", "smax")
+      .coalesce(1).write.mode("append").parquet(dest)
+  }
+
+  /** Z-cluster `df` on the SHARED (partkey, suppkey) grid with explicit
+    * global bounds — the one-grid-for-standing-and-every-delta rule
+    * ([[zincMaintain]]'s body, factored so st18's per-trigger ingest
+    * runs the identical clustering). */
+  private[graft] def clusterOnSharedGrid(
+      df: org.apache.spark.sql.DataFrame,
+      pMin: Long, pMax: Long, sMin: Long, sMax: Long,
+      numFiles: Int): org.apache.spark.sql.DataFrame = {
+    val cells = (1L << ZGridBits) - 1
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      ((c - lit(lo)) * lit(cells) / lit(math.max(1L, hi - lo))).cast("long")
+    df.withColumn("zkey", zorderKey(
+      norm(col("l_partkey").cast("long"), pMin, pMax),
+      norm(col("l_suppkey").cast("long"), sMin, sMax), ZGridBits))
+      .repartitionByRange(numFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+  }
+
   /** e12's MAINTENANCE COMMIT — the manifest edit that accompanies
     * [[zincMaintain]]'s layout transaction, metadata-only like a
     * table-format commit: the next manifest is the previous one's rows
@@ -2448,15 +2478,8 @@ object Mixing {
       }
     val (pMin, pMax) = global("l_partkey")
     val (sMin, sMax) = global("l_suppkey")
-    val cells = (1L << ZGridBits) - 1
-    def norm(c: Column, lo: Long, hi: Long): Column =
-      ((c - lit(lo)) * lit(cells) / lit(math.max(1L, hi - lo))).cast("long")
-    s.read.parquet(raw.getAbsolutePath)
-      .withColumn("zkey", zorderKey(
-        norm($"l_partkey".cast("long"), pMin, pMax),
-        norm($"l_suppkey".cast("long"), sMin, sMax), ZGridBits))
-      .repartitionByRange(ZincDeltaFiles, $"zkey")
-      .sortWithinPartitions($"zkey")
+    clusterOnSharedGrid(s.read.parquet(raw.getAbsolutePath),
+      pMin, pMax, sMin, sMax, ZincDeltaFiles)
       .write.mode("overwrite")
       .parquet(new java.io.File(root, "delta").getAbsolutePath)
     if (!retainRaw) deleteRecursively(raw.toPath)

@@ -965,7 +965,45 @@ object StreamQueries {
     QuerySpec(
       "st17_cluster_maintain_stream",
       (s, dir) => clusterMaintainCatchUp(s, dir),
-      Some(graft.operators.Dedup.d28Oracle)))
+      Some(graft.operators.Dedup.d28Oracle)),
+
+    // ---------------------------------------------------------------- st18
+    // LAKEHOUSE INGEST as a stream — the write side of the e9–e15
+    // plane at trigger cadence: batches of rows ARRIVE (staged 4-file
+    // inbox of the 20% split), and each micro-batch z-clusters its rows
+    // on the SHARED grid, appends the files to the table, and COMMITS
+    // manifest rows for exactly the new files (footer boxes of the
+    // batch — the e12 commit, per trigger). The table's source of
+    // truth is the manifest log assembled across commits: the roster
+    // row plans the e9 box from it and is oracle-checked against the
+    // full base table, so a commit that loses, duplicates, or
+    // mis-boxes a batch's files fails the hash. The standing layout is
+    // read-only throughout (spec-pinned byte-identity); per-trigger
+    // cost is batch-sized — cluster the batch, read the batch's
+    // footers, append manifest rows. ManifestIngestStreamSpec pins ≥2
+    // commits, manifest ≡ from-scratch rebuild, and parity with e10's
+    // directory-listed scan.
+    QuerySpec(
+      "st18_manifest_ingest_stream",
+      (s, dir) => manifestIngestCatchUp(s, dir),
+      Some("""
+        WITH b AS (
+          SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+                 MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+          FROM lineitem),
+        box AS (
+          SELECT pmin + CAST(FLOOR(1 * (pmax - pmin) / 8.0) AS BIGINT) AS plo,
+                 pmin + CAST(FLOOR(3 * (pmax - pmin) / 8.0) AS BIGINT) AS phi,
+                 smin + CAST(FLOOR(2 * (smax - smin) / 8.0) AS BIGINT) AS slo,
+                 smin + CAST(FLOOR(4 * (smax - smin) / 8.0) AS BIGINT) AS shi
+          FROM b)
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem, box
+        WHERE l_partkey BETWEEN plo AND phi
+          AND l_suppkey BETWEEN slo AND shi
+        GROUP BY l_returnflag ORDER BY l_returnflag""")))
 
   /** Stage the st16 query-vector inbox: the vec_id % 5 == 2 slice of
     * the embeddings table as a 4-file query_id-ranged parquet inbox
@@ -1283,5 +1321,123 @@ object StreamQueries {
     merged.iterator.zipWithIndex.map { case ((_, id), i) =>
       (key, (i + 1).toLong, id)
     }
+  }
+
+  /** Stage the st18 ingest inbox: the 20% lineitem split (l_orderkey %
+    * 5 == 0, the zinc delta slice) with the layout's six columns as a
+    * 4-file l_orderkey-ranged parquet inbox ([[stagedQueryInbox]]'s
+    * convention). No mtime pinning: st18's final manifest-planned
+    * answer is invariant to micro-batch slicing (the box agg sees the
+    * union of all committed files; only the file/commit layout
+    * varies). */
+  def stagedLineitemDeltaInbox(s: SparkSession, dir: String): String = {
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "zli_inbox_" + base)
+    if (verifiedInboxes.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    import s.implicits._
+    val stamp = s"v1:${graft.operators.Multimodal.sourceFingerprint(
+      new java.io.File(dir, "lineitem.parquet"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      Tables(s, dir, "lineitem").filter($"l_orderkey" % 5 === 0)
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_returnflag",
+          $"l_quantity", $"l_extendedprice")
+        .repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(path.getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedInboxes.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
+  /** The last st18 run's table root (delta + manifest log), for
+    * ManifestIngestStreamSpec's physical pins — [[lastRunProgress]]'s
+    * convention. */
+  @volatile private[graft] var lastIngestRunDir: String = _
+
+  /** st18's run-to-termination: stream the staged delta inbox; each
+    * micro-batch z-clusters its rows on the SHARED grid (bounds from
+    * the base table's footers — the zincMaintain contract: one grid for
+    * standing and every delta), appends the files into the run's delta
+    * dir, and commits manifest rows for exactly the new files. The
+    * standing layout ([[graft.operators.Mixing.zincManifestRoot]]'s
+    * standing/) is read-only — its manifest rows are bootstrapped once
+    * at run start from footer boxes, the e11 derivation. The final
+    * answer plans the e9 box from the assembled manifest log. Fresh
+    * run dir per call: the roster row stays a pure function of the
+    * fixture; AvailableNow's ledger gives exactly-once within the
+    * run. */
+  def manifestIngestCatchUp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Mixing
+    val standing = new java.io.File(
+      new java.io.File(M.zincManifestRoot(s, dir)), "standing")
+    val inbox = stagedLineitemDeltaInbox(s, dir)
+    val runDir = java.nio.file.Files
+      .createTempDirectory("graft_st18").toFile
+    lastIngestRunDir = runDir.getAbsolutePath
+    val deltaDir = new java.io.File(runDir, "delta")
+    val manifestDir = new java.io.File(runDir, "manifest").getAbsolutePath
+    // bootstrap commit: the standing layout's manifest rows
+    M.writeManifestLog(s, M.footerBoxRows(standing), manifestDir)
+    // shared grid bounds — base-table footers, zincMaintain's rule
+    val keys = Set("l_partkey", "l_suppkey")
+    val groups = M.footerStats(new java.io.File(dir, "lineitem.parquet"), keys)
+    def global(col: String): (Long, Long) =
+      groups.map(_.stats(col)).reduce { (a, b) =>
+        (math.min(a._1, b._1), math.max(a._2, b._2))
+      }
+    val (pMin, pMax) = global("l_partkey")
+    val (sMin, sMax) = global("l_suppkey")
+    def listParquet(d: java.io.File): Set[String] =
+      if (!d.isDirectory) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).toSet
+    val schema = s.read.parquet(inbox).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger",
+        sys.props.get("graft.stream.filesPerTrigger")
+          .map(_.toInt).getOrElse(2))
+      .parquet(inbox)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val before = listParquet(deltaDir)
+        M.clusterOnSharedGrid(batch, pMin, pMax, sMin, sMax, 2)
+          .write.mode("append").parquet(deltaDir.getAbsolutePath)
+        val fresh = (listParquet(deltaDir) -- before).toSeq.sorted
+        val rows = fresh.flatMap(f => M.footerBoxRows(new java.io.File(f)))
+        M.writeManifestLog(s, rows, manifestDir)
+        ()
+      }
+      .option("checkpointLocation",
+        new java.io.File(runDir, "chk").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastRunProgress = q.recentProgress
+    // the table IS the manifest log: plan the e9 box from it
+    val (pLo, pHi, sLo, sHi) = M.e9Box(dir)
+    val files = s.read.parquet(manifestDir)
+      .filter($"pmax" >= pLo && $"pmin" <= pHi &&
+        $"smax" >= sLo && $"smin" <= sHi)
+      .select($"file").as[String].collect().toSeq.sorted
+    require(files.nonEmpty, "manifest planning pruned every file")
+    s.read.parquet(files: _*)
+      .filter($"l_partkey".between(pLo, pHi) &&
+        $"l_suppkey".between(sLo, sHi))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(18,4)")).cast("double")
+          .as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
+          .as("sum_price"))
+      .orderBy($"l_returnflag")
   }
 }
