@@ -1625,6 +1625,46 @@ object Mixing {
           AND l_suppkey BETWEEN slo AND shi
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---------------------------------------------------------------- e16
+    // SCHEMA EVOLUTION — the additive column change a long-lived table
+    // accrues, answered WITHOUT rewriting a standing byte: the delta
+    // batch lands with the new l_tax column, and the read reconciles
+    // the schemas via parquet merging (mergeSchema — a footer-level
+    // union, no data pass), standing rows surfacing NULL for the new
+    // column exactly as the add-column contract demands. The oracle
+    // recomputes the null pattern relationally (tax visible only on
+    // the delta split), so a read that defaults instead of nulling, or
+    // that drops old files under the new schema, fails the hash.
+    // SchemaEvolutionSpec pins standing byte-identity and that the
+    // merged scan still prunes files on the pushed box bounds.
+    QuerySpec(
+      "e16_schema_evolution_scan",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(schemaEvolvedRoot(s, dir))
+        s.read.option("mergeSchema", "true").parquet(
+          new java.io.File(root, "standing").getAbsolutePath,
+          new java.io.File(root, "delta").getAbsolutePath)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            count($"l_tax").as("n_taxed"),
+            sum($"l_quantity".cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"),
+            sum($"l_tax".cast("decimal(18,4)")).cast("double")
+              .as("sum_tax"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(CASE WHEN l_orderkey % 5 = 0 THEN 1 END) AS BIGINT)
+                 AS n_taxed,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CASE WHEN l_orderkey % 5 = 0
+                 THEN CAST(l_tax AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_tax
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---------------------------------------------------------------- e15
     // DV PURGE — the maintenance half of e14: deletes ACCUMULATE (a
     // clustered batch — the e9 box, which the z-layout concentrates in
@@ -2195,6 +2235,55 @@ object Mixing {
     val appended = footerBoxRows(new java.io.File(root, "delta"))
     writeManifest(s, (kept ++ appended).sortBy(_._1),
       new java.io.File(root, "manifest_v2").getAbsolutePath)
+  }
+
+  /** Write-once SCHEMA-EVOLVED layout for e16: standing = the 80% split
+    * at the original six columns; delta = the 20% batch written WITH
+    * l_tax — the additive column evolution every long-lived table
+    * accrues. No rewrite of standing files ever happens (spec-pinned):
+    * the evolved schema is reconciled AT READ via parquet schema
+    * merging, standing rows surfacing NULL for the new column — the
+    * Iceberg/Delta add-column contract where old files stay valid
+    * under the new schema. */
+  private[graft] def schemaEvolvedRoot(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "li_zevo_" + base)
+    if (verifiedLayouts.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(dir, "lineitem.parquet"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      writeZorderedLineitem(s, dir,
+        new java.io.File(path, "standing").getAbsolutePath, 16,
+        Some($"l_orderkey" % 5 =!= 0))
+      val keys = Set("l_partkey", "l_suppkey")
+      val groups = footerStats(new java.io.File(dir, "lineitem.parquet"), keys)
+      def global(col: String): (Long, Long) =
+        groups.map(_.stats(col)).reduce { (a, b) =>
+          (math.min(a._1, b._1), math.max(a._2, b._2))
+        }
+      val (pMin, pMax) = global("l_partkey")
+      val (sMin, sMax) = global("l_suppkey")
+      clusterOnSharedGrid(
+        graft.Tables(s, dir, "lineitem")
+          .where($"l_orderkey" % 5 === 0)
+          .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+            $"l_returnflag", $"l_quantity", $"l_extendedprice", $"l_tax"),
+        pMin, pMax, sMin, sMax, ZincDeltaFiles)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(path, "delta").getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedLayouts.add(path.getAbsolutePath)
+    path.getAbsolutePath
   }
 
   /** Write-once POSITIONAL deletion-vector sidecar over
