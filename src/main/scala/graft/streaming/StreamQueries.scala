@@ -1003,6 +1003,40 @@ object StreamQueries {
         FROM lineitem, box
         WHERE l_partkey BETWEEN plo AND phi
           AND l_suppkey BETWEEN slo AND shi
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- st19
+    // INCREMENTAL CONSUMPTION of the manifest log — st18's read-side
+    // twin (the Delta/Iceberg readStream contract): a downstream
+    // consumer streams the table's COMMITS (each manifest file is one
+    // micro-batch), reads exactly the files that commit added, and
+    // folds batch-sized PARTIAL aggregates that merge exactly (decimal
+    // partials, algebraic count/sum — no commit read twice, none
+    // skipped). The oracle is the same box over the full base table,
+    // so double-consuming or dropping a commit fails the hash — the
+    // exactly-once property is value-checked, not asserted.
+    // ManifestConsumeStreamSpec pins one micro-batch per commit file
+    // and parity with the batch manifest-planned scan.
+    QuerySpec(
+      "st19_manifest_consume_stream",
+      (s, dir) => manifestConsumeCatchUp(s, dir),
+      Some("""
+        WITH b AS (
+          SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+                 MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+          FROM lineitem),
+        box AS (
+          SELECT pmin + CAST(FLOOR(1 * (pmax - pmin) / 8.0) AS BIGINT) AS plo,
+                 pmin + CAST(FLOOR(3 * (pmax - pmin) / 8.0) AS BIGINT) AS phi,
+                 smin + CAST(FLOOR(2 * (smax - smin) / 8.0) AS BIGINT) AS slo,
+                 smin + CAST(FLOOR(4 * (smax - smin) / 8.0) AS BIGINT) AS shi
+          FROM b)
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem, box
+        WHERE l_partkey BETWEEN plo AND phi
+          AND l_suppkey BETWEEN slo AND shi
         GROUP BY l_returnflag ORDER BY l_returnflag""")))
 
   /** Stage the st16 query-vector inbox: the vec_id % 5 == 2 slice of
@@ -1362,6 +1396,91 @@ object StreamQueries {
     * convention. */
   @volatile private[graft] var lastIngestRunDir: String = _
 
+  /** st19's run-to-termination: stream the staged table's manifest LOG
+    * one commit file per trigger; each micro-batch reads exactly the
+    * data files its commits reference (box-filtered — at lake scale the
+    * consumer would also prune on the manifest boxes before opening
+    * files) and appends a batch-sized PARTIAL aggregate; the finalized
+    * answer merges the partials. Partials stay DECIMAL so the merge is
+    * exact regardless of batch slicing; the table root is read-only
+    * throughout. */
+  def manifestConsumeCatchUp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Mixing
+    val tableRoot = new java.io.File(stagedIngestRoot(s, dir))
+    val manifestDir = new java.io.File(tableRoot, "manifest")
+    val runDir = java.nio.file.Files
+      .createTempDirectory("graft_st19").toFile
+    val partialDir = new java.io.File(runDir, "partials").getAbsolutePath
+    val (pLo, pHi, sLo, sHi) = M.e9Box(dir)
+    val schema = s.read.parquet(manifestDir.getAbsolutePath).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(manifestDir.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (commits: DataFrame, _: Long) =>
+        // manifest-scale collect: one row per data file in this commit;
+        // prune on the committed boxes before opening any data file
+        val files = commits
+          .filter(col("pmax") >= pLo && col("pmin") <= pHi &&
+            col("smax") >= sLo && col("smin") <= sHi)
+          .select("file").collect().map(_.getString(0)).toSeq.sorted
+        if (files.nonEmpty) {
+          s.read.parquet(files: _*)
+            .filter(col("l_partkey").between(pLo, pHi) &&
+              col("l_suppkey").between(sLo, sHi))
+            .groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+              sum(col("l_extendedprice").cast("decimal(18,4)"))
+                .as("sum_price"))
+            .write.mode("append").parquet(partialDir)
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        new java.io.File(runDir, "chk").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastRunProgress = q.recentProgress
+    s.read.parquet(partialDir)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_qty")).cast("double").as("sum_qty"),
+        sum(col("sum_price")).cast("double").as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Write-once STAGED result of one st18 ingest run (delta dir +
+    * manifest log with one file per commit), for st19's read side: the
+    * consumer needs a standing table whose manifest log it can stream,
+    * so the producing run executes once per fixture under the marker
+    * convention and its output becomes the artifact. The bootstrap
+    * commit + one commit per data micro-batch means the log carries ≥3
+    * files — three triggers for the consumer. */
+  def stagedIngestRoot(s: SparkSession, dir: String): String = {
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "zingest_" + base)
+    if (verifiedInboxes.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val stamp = s"v1:${graft.operators.Multimodal.sourceFingerprint(
+      new java.io.File(dir, "lineitem.parquet"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      graft.operators.Mixing.deleteRecursively(path.toPath)
+      manifestIngestCatchUp(s, dir, Some(path))
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedInboxes.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
   /** st18's run-to-termination: stream the staged delta inbox; each
     * micro-batch z-clusters its rows on the SHARED grid (bounds from
     * the base table's footers — the zincMaintain contract: one grid for
@@ -1374,14 +1493,17 @@ object StreamQueries {
     * run dir per call: the roster row stays a pure function of the
     * fixture; AvailableNow's ledger gives exactly-once within the
     * run. */
-  def manifestIngestCatchUp(s: SparkSession, dir: String): DataFrame = {
+  def manifestIngestCatchUp(s: SparkSession, dir: String,
+                            fixedRoot: Option[java.io.File] = None)
+      : DataFrame = {
     import s.implicits._
     val M = graft.operators.Mixing
     val standing = new java.io.File(
       new java.io.File(M.zincManifestRoot(s, dir)), "standing")
     val inbox = stagedLineitemDeltaInbox(s, dir)
-    val runDir = java.nio.file.Files
-      .createTempDirectory("graft_st18").toFile
+    val runDir = fixedRoot.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft_st18").toFile)
+    runDir.mkdirs()
     lastIngestRunDir = runDir.getAbsolutePath
     val deltaDir = new java.io.File(runDir, "delta")
     val manifestDir = new java.io.File(runDir, "manifest").getAbsolutePath
