@@ -69,14 +69,14 @@ object Bucketing {
       // whatever the catalog knows AND delete any orphaned location.
       Seq(liT, oT).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
-        val wh = s.conf.get("spark.sql.warehouse.dir")
-          .stripPrefix("file:")
-        val loc = new java.io.File(wh, t)
-        if (loc.exists()) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(loc.toPath).iterator().asScala.toSeq
-            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+        // resolve + delete through Hadoop's FileSystem so a non-file:
+        // warehouse URI (hdfs/s3a on a real cluster) is handled the same
+        // way saveAsTable will resolve it (ADVICE r13: string surgery on
+        // the URI silently no-ops off local disk)
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) { fs.delete(loc, true); () }
       }
       writeBucketed(graft.Tables(s, dir, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_discount"),

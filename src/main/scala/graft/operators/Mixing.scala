@@ -61,6 +61,49 @@ object Mixing {
     }
   }
 
+  /** The shared "e9 box" CTE: the literal-bounds derivation every
+    * lakehouse-plane oracle replays (eighth-fractions of each key's
+    * exact footer MIN/MAX — see [[e9Box]]). ONE definition so a box
+    * change cannot drift the e9/e10/e11/e12/e13/e15/e17/st18/st19
+    * oracles apart (VERDICT r13 what's-wrong #3). */
+  private[graft] val ZBoxCte: String = """
+        WITH b AS (
+          SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+                 MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+          FROM lineitem),
+        box AS (
+          SELECT pmin + CAST(FLOOR(1 * (pmax - pmin) / 8.0) AS BIGINT) AS plo,
+                 pmin + CAST(FLOOR(3 * (pmax - pmin) / 8.0) AS BIGINT) AS phi,
+                 smin + CAST(FLOOR(2 * (smax - smin) / 8.0) AS BIGINT) AS slo,
+                 smin + CAST(FLOOR(4 * (smax - smin) / 8.0) AS BIGINT) AS shi
+          FROM b)"""
+
+  /** The full box-scan oracle — [[ZBoxCte]] + the per-returnflag rollup
+    * [[flagAgg]] computes. Layout-invariant box semantics over the BASE
+    * table: every row that answers it from a staged layout/manifest/log
+    * is thereby pinned to have lost or duplicated nothing. */
+  private[graft] val ZBoxAggOracle: String = ZBoxCte + """
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem, box
+        WHERE l_partkey BETWEEN plo AND phi
+          AND l_suppkey BETWEEN slo AND shi
+        GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** The per-returnflag rollup shared by every lakehouse-plane row
+    * (decimal-exact sums surfaced as doubles, ordered by flag) — the
+    * Spark half of [[ZBoxAggOracle]]. */
+  private[graft] def flagAgg(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("l_returnflag"))
+
   /** The [[zorderKey]] arithmetic as an ANSI SQL expression string (same
     * shift/mask/sum terms), for the DuckDB oracle. */
   def zorderSqlExpr(x: String, y: String, bits: Int): String = {
@@ -1541,32 +1584,9 @@ object Mixing {
         s.read.parquet(lay)
           .filter($"l_partkey".between(pLo, pHi) &&
             $"l_suppkey".between(sLo, sHi))
-          .groupBy($"l_returnflag")
-          .agg(count(lit(1)).as("n_rows"),
-            sum($"l_quantity".cast("decimal(18,4)")).cast("double")
-              .as("sum_qty"),
-            sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
-              .as("sum_price"))
-          .orderBy($"l_returnflag")
+          .transform(flagAgg)
       },
-      Some("""
-        WITH b AS (
-          SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
-                 MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
-          FROM lineitem),
-        box AS (
-          SELECT pmin + CAST(FLOOR(1 * (pmax - pmin) / 8.0) AS BIGINT) AS plo,
-                 pmin + CAST(FLOOR(3 * (pmax - pmin) / 8.0) AS BIGINT) AS phi,
-                 smin + CAST(FLOOR(2 * (smax - smin) / 8.0) AS BIGINT) AS slo,
-                 smin + CAST(FLOOR(4 * (smax - smin) / 8.0) AS BIGINT) AS shi
-          FROM b)
-        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-        FROM lineitem, box
-        WHERE l_partkey BETWEEN plo AND phi
-          AND l_suppkey BETWEEN slo AND shi
-        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+      Some(ZBoxAggOracle)),
 
     // ---------------------------------------------------------------- e11
     // MANIFEST-planned scan — the metadata layer above e9's footer
@@ -1598,32 +1618,9 @@ object Mixing {
         s.read.parquet(files: _*)
           .filter($"l_partkey".between(pLo, pHi) &&
             $"l_suppkey".between(sLo, sHi))
-          .groupBy($"l_returnflag")
-          .agg(count(lit(1)).as("n_rows"),
-            sum($"l_quantity".cast("decimal(18,4)")).cast("double")
-              .as("sum_qty"),
-            sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
-              .as("sum_price"))
-          .orderBy($"l_returnflag")
+          .transform(flagAgg)
       },
-      Some("""
-        WITH b AS (
-          SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
-                 MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
-          FROM lineitem),
-        box AS (
-          SELECT pmin + CAST(FLOOR(1 * (pmax - pmin) / 8.0) AS BIGINT) AS plo,
-                 pmin + CAST(FLOOR(3 * (pmax - pmin) / 8.0) AS BIGINT) AS phi,
-                 smin + CAST(FLOOR(2 * (smax - smin) / 8.0) AS BIGINT) AS slo,
-                 smin + CAST(FLOOR(4 * (smax - smin) / 8.0) AS BIGINT) AS shi
-          FROM b)
-        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-        FROM lineitem, box
-        WHERE l_partkey BETWEEN plo AND phi
-          AND l_suppkey BETWEEN slo AND shi
-        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+      Some(ZBoxAggOracle)),
 
     // ---------------------------------------------------------------- e16
     // SCHEMA EVOLUTION — the additive column change a long-lived table
@@ -1687,25 +1684,9 @@ object Mixing {
           .withColumn("file", col("_metadata.file_path"))
           .withColumn("pos", col("_metadata.row_index"))
           .join(broadcast(dv), Seq("file", "pos"), "left_anti")
-          .groupBy($"l_returnflag")
-          .agg(count(lit(1)).as("n_rows"),
-            sum($"l_quantity".cast("decimal(18,4)")).cast("double")
-              .as("sum_qty"),
-            sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
-              .as("sum_price"))
-          .orderBy($"l_returnflag")
+          .transform(flagAgg)
       },
-      Some("""
-        WITH b AS (
-          SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
-                 MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
-          FROM lineitem),
-        box AS (
-          SELECT pmin + CAST(FLOOR(1 * (pmax - pmin) / 8.0) AS BIGINT) AS plo,
-                 pmin + CAST(FLOOR(3 * (pmax - pmin) / 8.0) AS BIGINT) AS phi,
-                 smin + CAST(FLOOR(2 * (smax - smin) / 8.0) AS BIGINT) AS slo,
-                 smin + CAST(FLOOR(4 * (smax - smin) / 8.0) AS BIGINT) AS shi
-          FROM b)
+      Some(ZBoxCte + """
         SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
@@ -1738,13 +1719,7 @@ object Mixing {
           .withColumn("file", col("_metadata.file_path"))
           .withColumn("pos", col("_metadata.row_index"))
           .join(broadcast(dv), Seq("file", "pos"), "left_anti")
-          .groupBy($"l_returnflag")
-          .agg(count(lit(1)).as("n_rows"),
-            sum($"l_quantity".cast("decimal(18,4)")).cast("double")
-              .as("sum_qty"),
-            sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
-              .as("sum_price"))
-          .orderBy($"l_returnflag")
+          .transform(flagAgg)
       },
       Some("""
         SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1780,32 +1755,9 @@ object Mixing {
         s.read.parquet(files: _*)
           .filter($"l_partkey".between(pLo, pHi) &&
             $"l_suppkey".between(sLo, sHi))
-          .groupBy($"l_returnflag")
-          .agg(count(lit(1)).as("n_rows"),
-            sum($"l_quantity".cast("decimal(18,4)")).cast("double")
-              .as("sum_qty"),
-            sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
-              .as("sum_price"))
-          .orderBy($"l_returnflag")
+          .transform(flagAgg)
       },
-      Some("""
-        WITH b AS (
-          SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
-                 MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
-          FROM lineitem),
-        box AS (
-          SELECT pmin + CAST(FLOOR(1 * (pmax - pmin) / 8.0) AS BIGINT) AS plo,
-                 pmin + CAST(FLOOR(3 * (pmax - pmin) / 8.0) AS BIGINT) AS phi,
-                 smin + CAST(FLOOR(2 * (smax - smin) / 8.0) AS BIGINT) AS slo,
-                 smin + CAST(FLOOR(4 * (smax - smin) / 8.0) AS BIGINT) AS shi
-          FROM b)
-        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-        FROM lineitem, box
-        WHERE l_partkey BETWEEN plo AND phi
-          AND l_suppkey BETWEEN slo AND shi
-        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+      Some(ZBoxAggOracle)),
 
     // ---------------------------------------------------------------- e12
     // Manifest LIFECYCLE — e11's planning layer maintained through
@@ -1834,32 +1786,9 @@ object Mixing {
         s.read.parquet(files: _*)
           .filter($"l_partkey".between(pLo, pHi) &&
             $"l_suppkey".between(sLo, sHi))
-          .groupBy($"l_returnflag")
-          .agg(count(lit(1)).as("n_rows"),
-            sum($"l_quantity".cast("decimal(18,4)")).cast("double")
-              .as("sum_qty"),
-            sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
-              .as("sum_price"))
-          .orderBy($"l_returnflag")
+          .transform(flagAgg)
       },
-      Some("""
-        WITH b AS (
-          SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
-                 MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
-          FROM lineitem),
-        box AS (
-          SELECT pmin + CAST(FLOOR(1 * (pmax - pmin) / 8.0) AS BIGINT) AS plo,
-                 pmin + CAST(FLOOR(3 * (pmax - pmin) / 8.0) AS BIGINT) AS phi,
-                 smin + CAST(FLOOR(2 * (smax - smin) / 8.0) AS BIGINT) AS slo,
-                 smin + CAST(FLOOR(4 * (smax - smin) / 8.0) AS BIGINT) AS shi
-          FROM b)
-        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-        FROM lineitem, box
-        WHERE l_partkey BETWEEN plo AND phi
-          AND l_suppkey BETWEEN slo AND shi
-        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+      Some(ZBoxAggOracle)),
 
     // ---------------------------------------------------------------- e10
     // Incremental MAINTENANCE of the z-layout — what keeps e9's
@@ -1886,32 +1815,9 @@ object Mixing {
           new java.io.File(root, "delta").getAbsolutePath)
           .filter($"l_partkey".between(pLo, pHi) &&
             $"l_suppkey".between(sLo, sHi))
-          .groupBy($"l_returnflag")
-          .agg(count(lit(1)).as("n_rows"),
-            sum($"l_quantity".cast("decimal(18,4)")).cast("double")
-              .as("sum_qty"),
-            sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
-              .as("sum_price"))
-          .orderBy($"l_returnflag")
+          .transform(flagAgg)
       },
-      Some("""
-        WITH b AS (
-          SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
-                 MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
-          FROM lineitem),
-        box AS (
-          SELECT pmin + CAST(FLOOR(1 * (pmax - pmin) / 8.0) AS BIGINT) AS plo,
-                 pmin + CAST(FLOOR(3 * (pmax - pmin) / 8.0) AS BIGINT) AS phi,
-                 smin + CAST(FLOOR(2 * (smax - smin) / 8.0) AS BIGINT) AS slo,
-                 smin + CAST(FLOOR(4 * (smax - smin) / 8.0) AS BIGINT) AS shi
-          FROM b)
-        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-        FROM lineitem, box
-        WHERE l_partkey BETWEEN plo AND phi
-          AND l_suppkey BETWEEN slo AND shi
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      Some(ZBoxAggOracle))
   )
 
   /** Write-once lang-partitioned copy of the documents table (the

@@ -2516,7 +2516,14 @@ object Relational {
         try {
           val li = s.table(liT)
           val o = s.table(oT)
-          val out = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          // MERGE hint on both sides: the scoped broadcast confs are
+          // restored in `finally` BEFORE the non-eager path executes, and
+          // AQE's re-optimization reads live session conf at execution
+          // time — the hint travels inside the logical plan, so the join
+          // stays sort-merge (hence exchange-free on the bucketed pair)
+          // no matter when execution happens (ADVICE r13).
+          val out = li.hint("merge")
+            .join(o.hint("merge"), li("l_orderkey") === o("o_orderkey"))
             .groupBy($"o_orderpriority")
             .agg(count(lit(1)).as("n_rows"),
               round(sum(dec($"l_extendedprice") *

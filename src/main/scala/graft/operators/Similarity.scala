@@ -1243,6 +1243,22 @@ object Similarity {
   private[graft] def ivfCompact(s: SparkSession, indexRoot: String): String =
     ivfIncCompactGuard.synchronized {
     val postRoot = new java.io.File(indexRoot, "postings")
+    // Crash recovery for the two-step swap below (ADVICE r13): a crash
+    // between `cell → _retired_` and `fresh → cell` leaves the cell
+    // hidden under _retired_ with no live dir — restore it before
+    // computing the fragmented set so no later probe serves an index
+    // missing a cell. A _retired_ dir WITH a live twin is the other
+    // crash window (swap done, delete pending): finish the delete.
+    Option(postRoot.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(d => d.isDirectory && d.getName.startsWith("_retired_cell="))
+      .foreach { r =>
+        val live = new java.io.File(postRoot,
+          r.getName.stripPrefix("_retired_"))
+        if (!live.exists())
+          java.nio.file.Files.move(r.toPath, live.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        else deleteRecursively(r)
+      }
     def partFiles(d: java.io.File): Seq[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.isFile && f.getName.startsWith("part-")).toSeq

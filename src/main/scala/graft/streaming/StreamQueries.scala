@@ -986,24 +986,7 @@ object StreamQueries {
     QuerySpec(
       "st18_manifest_ingest_stream",
       (s, dir) => manifestIngestCatchUp(s, dir),
-      Some("""
-        WITH b AS (
-          SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
-                 MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
-          FROM lineitem),
-        box AS (
-          SELECT pmin + CAST(FLOOR(1 * (pmax - pmin) / 8.0) AS BIGINT) AS plo,
-                 pmin + CAST(FLOOR(3 * (pmax - pmin) / 8.0) AS BIGINT) AS phi,
-                 smin + CAST(FLOOR(2 * (smax - smin) / 8.0) AS BIGINT) AS slo,
-                 smin + CAST(FLOOR(4 * (smax - smin) / 8.0) AS BIGINT) AS shi
-          FROM b)
-        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-        FROM lineitem, box
-        WHERE l_partkey BETWEEN plo AND phi
-          AND l_suppkey BETWEEN slo AND shi
-        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+      Some(graft.operators.Mixing.ZBoxAggOracle)),
 
     // ---------------------------------------------------------------- st19
     // INCREMENTAL CONSUMPTION of the manifest log — st18's read-side
@@ -1020,24 +1003,7 @@ object StreamQueries {
     QuerySpec(
       "st19_manifest_consume_stream",
       (s, dir) => manifestConsumeCatchUp(s, dir),
-      Some("""
-        WITH b AS (
-          SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
-                 MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
-          FROM lineitem),
-        box AS (
-          SELECT pmin + CAST(FLOOR(1 * (pmax - pmin) / 8.0) AS BIGINT) AS plo,
-                 pmin + CAST(FLOOR(3 * (pmax - pmin) / 8.0) AS BIGINT) AS phi,
-                 smin + CAST(FLOOR(2 * (smax - smin) / 8.0) AS BIGINT) AS slo,
-                 smin + CAST(FLOOR(4 * (smax - smin) / 8.0) AS BIGINT) AS shi
-          FROM b)
-        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-        FROM lineitem, box
-        WHERE l_partkey BETWEEN plo AND phi
-          AND l_suppkey BETWEEN slo AND shi
-        GROUP BY l_returnflag ORDER BY l_returnflag""")))
+      Some(graft.operators.Mixing.ZBoxAggOracle)))
 
   /** Stage the st16 query-vector inbox: the vec_id % 5 == 2 slice of
     * the embeddings table as a 4-file query_id-ranged parquet inbox
@@ -1396,6 +1362,24 @@ object StreamQueries {
     * convention. */
   @volatile private[graft] var lastIngestRunDir: String = _
 
+  /** Temp run dirs, deleted lazily when the SAME stream family runs
+    * again: the latest run's artifacts stay inspectable by the stream
+    * specs (lastIngestRunDir, partial frames not yet collected) while a
+    * long session — the bench loops every roster row, a server serves
+    * for days — accumulates at most one run dir per family instead of
+    * one per invocation (ADVICE r13: st18 leaves a full clustered copy
+    * of the 20% slice per run). */
+  private val lastTempRunDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  private def freshRunDir(family: String): java.io.File = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_" + family).toFile
+    Option(lastTempRunDirs.put(family, dir)).foreach(prev =>
+      graft.operators.Mixing.deleteRecursively(prev.toPath))
+    dir
+  }
+
   /** st19's run-to-termination: stream the staged table's manifest LOG
     * one commit file per trigger; each micro-batch reads exactly the
     * data files its commits reference (box-filtered — at lake scale the
@@ -1409,10 +1393,19 @@ object StreamQueries {
     val M = graft.operators.Mixing
     val tableRoot = new java.io.File(stagedIngestRoot(s, dir))
     val manifestDir = new java.io.File(tableRoot, "manifest")
-    val runDir = java.nio.file.Files
-      .createTempDirectory("graft_st19").toFile
+    val runDir = freshRunDir("st19")
     val partialDir = new java.io.File(runDir, "partials").getAbsolutePath
     val (pLo, pHi, sLo, sHi) = M.e9Box(dir)
+    // one commit's partial aggregate — shared by the per-trigger body
+    // and the empty-log guard below (same plan, so schemas agree)
+    def partialAgg(data: DataFrame): DataFrame = data
+      .filter(col("l_partkey").between(pLo, pHi) &&
+        col("l_suppkey").between(sLo, sHi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .as("sum_price"))
     val schema = s.read.parquet(manifestDir.getAbsolutePath).schema
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -1426,14 +1419,7 @@ object StreamQueries {
             col("smax") >= sLo && col("smin") <= sHi)
           .select("file").collect().map(_.getString(0)).toSeq.sorted
         if (files.nonEmpty) {
-          s.read.parquet(files: _*)
-            .filter(col("l_partkey").between(pLo, pHi) &&
-              col("l_suppkey").between(sLo, sHi))
-            .groupBy(col("l_returnflag"))
-            .agg(count(lit(1)).as("n_rows"),
-              sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
-              sum(col("l_extendedprice").cast("decimal(18,4)"))
-                .as("sum_price"))
+          partialAgg(s.read.parquet(files: _*))
             .write.mode("append").parquet(partialDir)
         }
         ()
@@ -1444,7 +1430,15 @@ object StreamQueries {
       .start()
     q.awaitTermination()
     lastRunProgress = q.recentProgress
-    s.read.parquet(partialDir)
+    // every commit can be box-pruned (then no partial file was ever
+    // written): answer from an empty partial of the same shape rather
+    // than throwing path-not-found (ADVICE r13)
+    val partials =
+      if (new java.io.File(partialDir).isDirectory)
+        s.read.parquet(partialDir)
+      else partialAgg(s.read.parquet(
+        new java.io.File(tableRoot, "delta").getAbsolutePath).limit(0))
+    partials
       .groupBy(col("l_returnflag"))
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("sum_qty")).cast("double").as("sum_qty"),
@@ -1501,8 +1495,7 @@ object StreamQueries {
     val standing = new java.io.File(
       new java.io.File(M.zincManifestRoot(s, dir)), "standing")
     val inbox = stagedLineitemDeltaInbox(s, dir)
-    val runDir = fixedRoot.getOrElse(java.nio.file.Files
-      .createTempDirectory("graft_st18").toFile)
+    val runDir = fixedRoot.getOrElse(freshRunDir("st18"))
     runDir.mkdirs()
     lastIngestRunDir = runDir.getAbsolutePath
     val deltaDir = new java.io.File(runDir, "delta")
@@ -1554,12 +1547,6 @@ object StreamQueries {
     s.read.parquet(files: _*)
       .filter($"l_partkey".between(pLo, pHi) &&
         $"l_suppkey".between(sLo, sHi))
-      .groupBy($"l_returnflag")
-      .agg(count(lit(1)).as("n_rows"),
-        sum($"l_quantity".cast("decimal(18,4)")).cast("double")
-          .as("sum_qty"),
-        sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
-          .as("sum_price"))
-      .orderBy($"l_returnflag")
+      .transform(graft.operators.Mixing.flagAgg)
   }
 }

@@ -16,6 +16,10 @@ class BucketingSpec extends SparkTestBase {
 
     Bucketing.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
     Bucketing.writeBucketed(o, "o_bucketed", "l_orderkey", 8)
+    // capture the pre-test value so the restore can't leak a hardcoded
+    // threshold into later suites (the DppBloomSpec conf-leak class)
+    val prevThreshold =
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     try {
       // bucketed plans only apply to sort-merge joins; disable broadcast
       // for the check (at real scale neither side would broadcast anyway)
@@ -31,7 +35,12 @@ class BucketingSpec extends SparkTestBase {
       val expected = li.join(o, "l_orderkey").count()
       assert(joined.count() == expected)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+      prevThreshold match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
