@@ -1860,6 +1860,61 @@ object Mixing {
       },
       Some(ZBoxAggOracle)),
 
+    // ---------------------------------------------------------------- e18
+    // MERGE-ON-READ MERGE INTO — the mutation composition the plane had
+    // only in halves (e14 DELETE via DVs, e10/st18 INSERT via appends):
+    // a CDC batch of full row images applies as matched-UPDATE =
+    // DV-mask the old version + append the new one, unmatched-INSERT =
+    // append, decided by ONE broadcast join of the batch's keys onto
+    // the standing scan — the standing layout is never rewritten and
+    // never shuffles (q44/q58 do this relationally; e18 does it against
+    // the STANDING layout, spec-pinned byte-identical across the
+    // apply). The read is standing ∪ append minus the DV (broadcast
+    // anti-join, the e14 mask); the oracle replays plain MERGE
+    // semantics over the base table — NOT EXISTS for replaced versions,
+    // UNION ALL for the batch — so a double-kept old version, a lost
+    // update, or a dropped insert each fail the hash.
+    QuerySpec(
+      "e18_merge_on_read",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(mergeRoot(s, dir))
+        val dv = s.read.parquet(new java.io.File(root, "dv").getAbsolutePath)
+        s.read.parquet(
+          new java.io.File(root, "standing").getAbsolutePath,
+          new java.io.File(root, "append").getAbsolutePath)
+          .withColumn("file", col("_metadata.file_path"))
+          .withColumn("pos", col("_metadata.row_index"))
+          .join(broadcast(dv), Seq("file", "pos"), "left_anti")
+          .transform(flagAgg)
+      },
+      Some("""
+        WITH mx AS (SELECT MAX(l_orderkey) AS mk FROM lineitem),
+        src AS (
+          SELECT l_orderkey, l_linenumber, MIN(l_returnflag) AS l_returnflag,
+                 MIN(l_quantity) + 50 AS l_quantity,
+                 MIN(l_extendedprice) AS l_extendedprice
+          FROM lineitem WHERE l_orderkey % 7 = 3 GROUP BY 1, 2
+          UNION ALL
+          SELECT l_orderkey + mk + 1, l_linenumber,
+                 MIN(l_returnflag) AS l_returnflag,
+                 MIN(l_quantity) AS l_quantity,
+                 MIN(l_extendedprice) AS l_extendedprice
+          FROM lineitem CROSS JOIN mx WHERE l_orderkey % 97 = 0
+          GROUP BY 1, 2),
+        merged AS (
+          SELECT t.l_returnflag, t.l_quantity, t.l_extendedprice
+          FROM lineitem t
+          WHERE NOT EXISTS (SELECT 1 FROM src s
+            WHERE s.l_orderkey = t.l_orderkey
+              AND s.l_linenumber = t.l_linenumber)
+          UNION ALL
+          SELECT l_returnflag, l_quantity, l_extendedprice FROM src)
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM merged GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---------------------------------------------------------------- e19
     // MANIFEST-LOG CHECKPOINTING — the bootstrap-cost answer st19 left
     // open (VERDICT r13 ask #3): replaying one micro-batch per commit
@@ -2676,6 +2731,105 @@ object Mixing {
     val frame = s.read.parquet(cp.getAbsolutePath +:
       tail.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
     (frame, tail)
+  }
+
+  /** MERGE INTO standing USING batch ON (l_orderkey, l_linenumber) —
+    * merge-on-read: the matched targets' OLD versions are DV-masked
+    * (pure (file, pos), computed by ONE broadcast semi-join of the
+    * batch's keys onto the standing scan — the batch broadcasts, the
+    * fact side never shuffles and is never rewritten) and the batch's
+    * full row images — updated versions AND inserts alike — append
+    * clustered on the SHARED grid. This is the composition a CDC apply
+    * at 100 TB actually runs: matched-update = mask + append, unmatched-
+    * insert = append, decided by the same join, one pass over the batch.
+    * Requires the standard MERGE precondition (unique source keys);
+    * standing bytes are untouched by construction (spec-pinned). */
+  private[graft] def mergeOnRead(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      batch: org.apache.spark.sql.DataFrame,
+      pMin: Long, pMax: Long, sMin: Long, sMax: Long): Unit = {
+    val standing = new java.io.File(root, "standing").getAbsolutePath
+    s.read.parquet(standing)
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("pos"),
+        col("l_orderkey"), col("l_linenumber"))
+      .join(broadcast(batch.select("l_orderkey", "l_linenumber")),
+        Seq("l_orderkey", "l_linenumber"), "left_semi")
+      .select(col("file"), col("pos"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(root, "dv").getAbsolutePath)
+    clusterOnSharedGrid(batch, pMin, pMax, sMin, sMax, ZincDeltaFiles)
+      .write.mode("overwrite")
+      .parquet(new java.io.File(root, "append").getAbsolutePath)
+  }
+
+  /** Write-once MERGE lifecycle root for e18: standing = the FULL base
+    * table (seven columns — the merge key needs l_linenumber)
+    * z-clustered on the shared grid; the CDC batch = updated row images
+    * for every l_orderkey % 7 = 3 line (l_quantity + 50) plus INSERTS
+    * re-keyed past the table's exact footer MAX(l_orderkey) (so they
+    * match nothing); [[mergeOnRead]] applies it. The staged state is
+    * standing ∪ append with the DV masking the replaced versions —
+    * e18 reads it and the oracle replays plain MERGE semantics
+    * relationally, so a double-kept old version, a lost update, or a
+    * dropped insert all fail the hash. */
+  private[graft] def mergeRoot(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "li_merge_" + base)
+    if (verifiedLayouts.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(dir, "lineitem.parquet"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      deleteRecursively(path.toPath)
+      val groups = footerStats(new java.io.File(dir, "lineitem.parquet"),
+        Set("l_partkey", "l_suppkey", "l_orderkey"))
+      def global(col: String): (Long, Long) =
+        groups.map(_.stats(col)).reduce { (a, b) =>
+          (math.min(a._1, b._1), math.max(a._2, b._2))
+        }
+      val (pMin, pMax) = global("l_partkey")
+      val (sMin, sMax) = global("l_suppkey")
+      val maxKey = global("l_orderkey")._2
+      val cols = Seq($"l_orderkey", $"l_linenumber", $"l_partkey",
+        $"l_suppkey", $"l_returnflag", $"l_quantity", $"l_extendedprice")
+      val table = graft.Tables(s, dir, "lineitem").select(cols: _*)
+      clusterOnSharedGrid(table, pMin, pMax, sMin, sMax, 16)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(path, "standing").getAbsolutePath)
+      // One row image per key (MIN-folded, so the DuckDB oracle replays
+      // it exactly): the synthetic fixture's (l_orderkey, l_linenumber)
+      // is NOT unique, and MERGE demands unique source keys — each
+      // key's new image replaces ALL its old versions (latest-wins CDC
+      // apply, the q58 contract against the standing layout). Inserts
+      // re-key past maxKey + 1: the fixture carries l_orderkey = 0,
+      // which re-keyed by maxKey alone would land ON the max key.
+      def oneImagePerKey(df: org.apache.spark.sql.DataFrame,
+                         key: Column, qty: Column) =
+        df.groupBy(key.as("l_orderkey"), $"l_linenumber")
+          .agg(min($"l_partkey").as("l_partkey"),
+            min($"l_suppkey").as("l_suppkey"),
+            min($"l_returnflag").as("l_returnflag"),
+            qty.as("l_quantity"),
+            min($"l_extendedprice").as("l_extendedprice"))
+      val updates = oneImagePerKey(table.filter($"l_orderkey" % 7 === 3),
+        $"l_orderkey", min($"l_quantity") + 50)
+      val inserts = oneImagePerKey(table.filter($"l_orderkey" % 97 === 0),
+        $"l_orderkey" + lit(maxKey + 1), min($"l_quantity"))
+      mergeOnRead(s, path, updates.unionByName(inserts).select(cols: _*),
+        pMin, pMax, sMin, sMax)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedLayouts.add(path.getAbsolutePath)
+    path.getAbsolutePath
   }
 
   private[graft] def zincManifestRoot(
