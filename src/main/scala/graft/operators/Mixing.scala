@@ -2488,19 +2488,32 @@ object Mixing {
     * Spec-owned (ZincManifestSpec) — the staged e13 root is never
     * vacuumed, so the time-travel row stays runnable in any order. */
   private[graft] def zincVacuum(
-      s: org.apache.spark.sql.SparkSession, root: java.io.File): Unit = {
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      retentionMs: Long = 0L): Unit = {
     val live = s.read.parquet(
       new java.io.File(root, "manifest_v2").getAbsolutePath)
       .select("file").collect().map(_.getString(0)).toSet
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
       else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    // retention clock (mtime-based, the Delta VACUUM contract): a
+    // reader that planned from the OLD snapshot may still be mid-
+    // flight on its files — physical deletion only touches state
+    // older than the retention window, so a too-young snapshot
+    // survives intact (files AND its manifest; dropping the manifest
+    // while keeping the files would still strand that reader's
+    // time-travel re-plan). Age gates per FILE: files the young
+    // snapshot could reference stay, ancient strays still collect.
+    val cutoff = System.currentTimeMillis() - retentionMs
     Seq("standing", "delta_raw", "delta")
       .map(new java.io.File(root, _)).filter(_.isDirectory)
       .flatMap(walk)
       .filterNot(f => live.contains(f.getAbsolutePath))
+      .filter(_.lastModified() < cutoff)
       .foreach(f => java.nio.file.Files.delete(f.toPath))
-    deleteRecursively(new java.io.File(root, "manifest_v1").toPath)
+    val v1 = new java.io.File(root, "manifest_v1")
+    if (!v1.isDirectory || v1.lastModified() < cutoff)
+      deleteRecursively(v1.toPath)
   }
 
   /** Write-once lifecycle root for e12: [[zorderedIncCorpus]]'s

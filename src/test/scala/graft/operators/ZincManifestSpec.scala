@@ -112,6 +112,17 @@ class ZincManifestSpec extends SparkTestBase {
     assert(v1Rows == total(v2Files),
       "v1 snapshot and live read disagree on row count")
 
+    // retention window first (r13 ADVICE/ask #7): the snapshot was
+    // committed seconds ago — a reader could still be mid-flight on it,
+    // so a retention-gated vacuum must spare EVERYTHING
+    Mixing.zincVacuum(spark, root, retentionMs = 60L * 60 * 1000)
+    assert(v1Files.forall(f => new java.io.File(f).isFile),
+      "retention-gated vacuum deleted a too-young snapshot's file")
+    assert(new java.io.File(root, "manifest_v1").isDirectory,
+      "retention-gated vacuum expired a too-young manifest")
+    assert(v1Rows == total(v1Files),
+      "the young snapshot no longer answers after the gated vacuum")
+
     Mixing.zincVacuum(spark, root)
 
     // after: every live file intact (live scan byte-identical), every
