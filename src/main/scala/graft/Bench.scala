@@ -32,6 +32,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Parallel file-status listing (InMemoryFileIndex over many root
+      // paths — e.g. the file-stream source re-resolving a micro-batch's
+      // explicit file list) defaults to ONE TASK PER PATH (cap 10000):
+      // at ~60 ms fixed cost per local task, a 5,000-file batch burns
+      // ~9 s of wall on statuses alone (measured round 14, st9). Cap the
+      // listing job at 2× core count — same parallel I/O, packed tasks.
+      .config("spark.sql.sources.parallelPartitionDiscovery.parallelism",
+        (cpus.toInt * 2).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

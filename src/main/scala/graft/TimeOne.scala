@@ -25,11 +25,20 @@ object TimeOne {
     // executor heap at the target SF): g8's 3.3B-pair shuffle at sf30
     // OOMs 32 partitions on an 8g heap; 128+ spills and completes.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_EXTRACONF: "k=v;k=v" session-conf overrides for
+    // A/B probes (e.g. spark.sql.adaptive.enabled=false) — dev only.
+    val extra = sys.env.getOrElse("SPARK_GRAFT_EXTRACONF", "")
+      .split(";").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    val spark = extra.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      // pack parallel file-status listing jobs (see Bench.scala note)
+      .config("spark.sql.sources.parallelPartitionDiscovery.parallelism",
+        (cpus.toInt * 2).toString)
+      .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // same warmup as Bench: scan footers + one shuffle
@@ -88,6 +97,52 @@ object TimeOne {
         spark.streams.addListener(l)
         Some(l)
       } else None
+      // Task-count telemetry (round 14, d24 diagnosis): many SMALL tasks
+      // make a query's wall hypersensitive to background load — each
+      // descheduling stalls a whole wave when task time ~ scheduler
+      // quantum. SPARK_GRAFT_TASKPROBE=1 counts tasks/stages/jobs and
+      // sums task time so amplification claims carry numbers.
+      val taskProbe = sys.env.get("SPARK_GRAFT_TASKPROBE").exists(_.nonEmpty)
+      val taskCount = new java.util.concurrent.atomic.AtomicLong()
+      val taskTimeMs = new java.util.concurrent.atomic.AtomicLong()
+      val stageCount = new java.util.concurrent.atomic.AtomicLong()
+      val jobCount = new java.util.concurrent.atomic.AtomicLong()
+      val stageTimeMs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val taskListener = if (taskProbe) {
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            taskCount.incrementAndGet()
+            taskTimeMs.addAndGet(e.taskInfo.duration)
+            stageTimeMs.merge(e.stageId, e.taskInfo.duration, Long.box(_) + _)
+            ()
+          }
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stageCount.incrementAndGet()
+            val info = e.stageInfo
+            if (info.numTasks > 31) System.err.println(
+              s"[timeone]   hot stage ${info.stageId} (parents ${info.parentIds.mkString(",")}): ${info.numTasks} tasks, " +
+                f"${stageTimeMs.getOrDefault(info.stageId, 0L) / 1000.0}%.1f s task-time — " +
+                info.name.take(100) + " :: " + info.details.linesIterator.take(14).mkString(" | "))
+            ()
+          }
+          override def onJobStart(
+              e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            if (sys.env.contains("SPARK_GRAFT_JOBPROBE")) System.err.println(
+              s"[timeone]   job ${e.jobId} stages=${e.stageInfos.map(s => s"${s.stageId}(${s.numTasks})").mkString(",")} — " +
+                e.stageInfos.headOption.map(_.name.take(120)).getOrElse(""))
+            ()
+          }
+          override def onJobEnd(
+              e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            jobCount.incrementAndGet(); ()
+          }
+        }
+        spark.sparkContext.addSparkListener(l)
+        Some(l)
+      } else None
+      if (taskProbe) graft.streaming.StreamQueries.lastRunProgress = null
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write
         .format("noop").mode("overwrite").save()
@@ -95,6 +150,33 @@ object TimeOne {
       sampling = false
       sampler.foreach(_.join())
       listener.foreach(spark.streams.removeListener)
+      // Streaming floor decomposition (round 14, st9): the catch-up
+      // runners stash recentProgress — print each micro-batch's phase
+      // durations so "per-trigger floor vs work" carries numbers.
+      if (taskProbe) {
+        val prog = graft.streaming.StreamQueries.lastRunProgress
+        if (prog != null) prog.foreach { p =>
+          val d = p.durationMs
+          System.err.println(
+            s"[timeone] $name batch ${p.batchId}: rows=${p.numInputRows} " +
+              s"trigger=${d.get("triggerExecution")}ms " +
+              s"getBatch=${d.get("getBatch")}ms " +
+              s"addBatch=${d.get("addBatch")}ms " +
+              s"latestOffset=${d.get("latestOffset")}ms " +
+              s"commit=${d.get("commitOffsets")}ms " +
+              s"walCommit=${d.get("walCommit")}ms")
+        }
+      }
+      taskListener.foreach { l =>
+        Thread.sleep(500) // listener bus drains asynchronously
+        spark.sparkContext.removeSparkListener(l)
+        val n = taskCount.get()
+        System.err.println(
+          f"[timeone] $name iter $i tasks: $n%d tasks / " +
+            f"${stageCount.get()}%d stages / ${jobCount.get()}%d jobs, " +
+            f"task-time ${taskTimeMs.get() / 1000.0}%.1f s " +
+            f"(mean ${if (n > 0) taskTimeMs.get().toDouble / n else 0.0}%.1f ms/task)")
+      }
       spark.catalog.clearCache()
       System.err.println(f"[timeone] $name iter $i: $dt%.2f s")
       if (probe) System.err.println(

@@ -69,6 +69,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // pack parallel file-status listing jobs (see Bench.scala note)
+      .config("spark.sql.sources.parallelPartitionDiscovery.parallelism",
+        (cpus.toInt * 2).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional comma-separated query filter (SPARK_GRAFT_QUERIES), same

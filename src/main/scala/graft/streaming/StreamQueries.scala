@@ -574,10 +574,16 @@ object StreamQueries {
         // carry the FULL filename; single mode stems them — the
         // reference's §3.2/§3.3 asymmetry), so k1's oracle applies
         // verbatim
+        // dev-only cadence knob (SCALING round 14 floor decomposition);
+        // unset for the driver — the default file-source slicing stands
+        val fpt = sys.props.get("graft.st9.filesPerTrigger")
+          .orElse(sys.env.get("SPARK_GRAFT_ST9_FPT")).map(_.toInt)
         val q = EventStreams.conversionCatchUp(
           s, corpus, s"$runDir/out", s"$runDir/chk",
-          graft.kernel.ConvertKernel.ConversionConfig(), batchMode = true)
+          graft.kernel.ConvertKernel.ConversionConfig(), batchMode = true,
+          maxFilesPerTrigger = fpt)
         q.awaitTermination()
+        lastRunProgress = q.recentProgress
         s.read.schema(
             "filename STRING, markdown STRING, " +
               "images ARRAY<STRUCT<type: STRING, filename: STRING, image: STRING>>, " +

@@ -12,6 +12,8 @@ object SparkTestBase {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // pack parallel file-status listing jobs (see Bench.scala note)
+    .config("spark.sql.sources.parallelPartitionDiscovery.parallelism", "8")
     .getOrCreate()
 }
 
