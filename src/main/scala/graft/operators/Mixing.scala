@@ -1847,8 +1847,8 @@ object Mixing {
         import s.implicits._
         val root = new java.io.File(occRoot(s, dir))
         val (pLo, pHi, sLo, sHi) = e9Box(dir)
-        val files = s.read.parquet(
-          new java.io.File(root, "commits").getAbsolutePath)
+        val files = occVisible(s.read.parquet(
+          new java.io.File(root, "commits").getAbsolutePath))
           .filter($"pmax" >= pLo && $"pmin" <= pHi &&
             $"smax" >= sLo && $"smin" <= sHi)
           .select($"file").as[String].collect().toSeq.sorted
@@ -1938,11 +1938,55 @@ object Mixing {
         val (frame, tail) = occBootstrap(s, root)
         require(tail.nonEmpty, "staged log should have post-checkpoint commits")
         val (pLo, pHi, sLo, sHi) = e9Box(dir)
-        val files = frame
+        // the tail carries v5/v6's remove actions against adds that live
+        // in the CHECKPOINT — occVisible reconciles across the boundary
+        val files = occVisible(frame)
           .filter($"pmax" >= pLo && $"pmin" <= pHi &&
             $"smax" >= sLo && $"smin" <= sHi)
           .select($"file").as[String].collect().toSeq.sorted
         require(files.nonEmpty, "bootstrap planning pruned every file")
+        s.read.parquet(files: _*)
+          .filter($"l_partkey".between(pLo, pHi) &&
+            $"l_suppkey".between(sLo, sHi))
+          .transform(flagAgg)
+      },
+      Some(ZBoxAggOracle)),
+
+    // ---------------------------------------------------------------- e20
+    // OPTIMIZE UNDER THE MULTI-WRITER PROTOCOL — rewrites as OCC
+    // commits: a compaction's commit is { add packed, remove victims }
+    // ([[occCompact]]), so the rewrite lands atomically and any writer
+    // racing over a victim is a DETECTED conflict, not silent loss.
+    // The staged lifecycle ends with TWO CONCURRENT compactions on
+    // disjoint victim pairs barrier-gated onto the same slot — both
+    // must land (disjoint rewrites serialize like disjoint appends;
+    // exactly one retry, staging-pinned), while OccCommitSpec pins that
+    // OVERLAPPING-victim compactions abort and leave the table
+    // byte-identical (orphaned packed file cleaned). The row reads the
+    // NET state ([[occVisible]]: adds minus removed — tombstones
+    // applied before any stats pruning) and the oracle is the full base
+    // table: a resurrected victim (double count) or a lost packed file
+    // (undercount) is a hash failure. Guards pin that the log really
+    // carries remove actions and that the plan reads packed files in
+    // place of their victims.
+    QuerySpec(
+      "e20_occ_compaction",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(occRoot(s, dir))
+        val all = s.read.parquet(
+          new java.io.File(root, "commits").getAbsolutePath)
+        val removed = all.filter($"action" === "remove")
+          .select($"file").as[String].collect().toSet
+        require(removed.size == 4, s"staged log should retire 4 victims")
+        val (pLo, pHi, sLo, sHi) = e9Box(dir)
+        val files = occVisible(all)
+          .filter($"pmax" >= pLo && $"pmin" <= pHi &&
+            $"smax" >= sLo && $"smin" <= sHi)
+          .select($"file").as[String].collect().toSeq.sorted
+        require(files.nonEmpty, "visible-state planning pruned every file")
+        require(files.forall(f => !removed.contains(f)),
+          "a retired victim leaked into the plan")
         s.read.parquet(files: _*)
           .filter($"l_partkey".between(pLo, pHi) &&
             $"l_suppkey".between(sLo, sHi))
@@ -2563,25 +2607,39 @@ object Mixing {
     * claim is one object-store put-if-absent per commit, the conflict
     * check reads only the raced commits (each one manifest file, never
     * data), and the temp write is commit-sized — nothing here scales
-    * with the table. */
+    * with the table.
+    *
+    * Round 14: a commit is adds PLUS `removes` (Delta's remove-file
+    * actions) so a REWRITE — compaction, clustering — rides the same
+    * protocol: its commit removes the victims and adds the packed
+    * replacement atomically. The conflict set is the union of both
+    * sides' touched paths: two rewrites racing over the same victim, or
+    * an add racing the rewrite that retires it, is a true conflict; a
+    * remove can never race an add it hasn't seen (removes only name
+    * files visible in the remover's snapshot). Table state = adds minus
+    * removed ([[occVisible]]). */
   private[graft] def occCommit(
       s: org.apache.spark.sql.SparkSession, root: java.io.File,
       rows: Seq[(String, Long, Long, Long, Long, Long)],
       snapshotVersion: Int,
       onAttempt: Int => Unit = _ => (),
-      maxAttempts: Int = 50): OccResult = {
+      maxAttempts: Int = 50,
+      removes: Seq[String] = Nil): OccResult = {
     import s.implicits._
     val commitsDir = new java.io.File(root, "commits")
     commitsDir.mkdirs()
     val tmp = java.nio.file.Files
       .createTempDirectory(root.toPath, "_occ_tmp_").toFile
     try {
-      rows.toDF("file", "rows", "pmin", "pmax", "smin", "smax")
+      (rows.map { case (f, n, pmin, pmax, smin, smax) =>
+        (f, n, pmin, pmax, smin, smax, "add")
+      } ++ removes.map(f => (f, 0L, 0L, 0L, 0L, 0L, "remove")))
+        .toDF("file", "rows", "pmin", "pmax", "smin", "smax", "action")
         .coalesce(1).write.mode("overwrite")
         .parquet(new java.io.File(tmp, "m").getAbsolutePath)
       val part = new java.io.File(tmp, "m").listFiles()
         .filter(_.getName.endsWith(".parquet")).head
-      val mine = rows.map(_._1).toSet
+      val mine = (rows.map(_._1) ++ removes).toSet
       val checked = scala.collection.mutable.Set.empty[Int]
       var attempt = 0
       while (attempt < maxAttempts) {
@@ -2616,9 +2674,24 @@ object Mixing {
     } finally deleteRecursively(tmp.toPath)
   }
 
+  /** Net table state of an OCC commit-log frame: the add actions minus
+    * every path a remove action retired (a rewrite's victims). Planning
+    * must apply this BEFORE any stats pruning — remove rows carry no
+    * box, they are tombstones, and dropping them early would resurrect
+    * the victims. One manifest-sized anti-join, no data I/O. */
+  private[graft] def occVisible(
+      frame: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    frame.filter(col("action") === "add")
+      .join(frame.filter(col("action") === "remove").select("file"),
+        Seq("file"), "left_anti")
+
   /** Retries observed while staging [[occRoot]]'s concurrent pair —
     * proof the barrier actually forced a same-slot race (spec-read). */
   @volatile private[graft] var lastOccStagingRetries: Int = -1
+
+  /** Retries observed while staging [[occRoot]]'s concurrent DISJOINT
+    * compaction pair (v5/v6) — spec-read, same convention. */
+  @volatile private[graft] var lastOccCompactionRetries: Int = -1
 
   /** Write-once OCC-committed table root for e17/e19: the zinc layout's
     * standing + maintained delta (read-only reuse — commits reference
@@ -2639,7 +2712,9 @@ object Mixing {
     if (verifiedLayouts.contains(path.getAbsolutePath))
       return path.getAbsolutePath
     val zroot = new java.io.File(zincManifestRoot(s, dir))
-    val stamp = s"v1:${Multimodal.sourceFingerprint(
+    // v2: commits carry add/remove actions and the lifecycle ends with
+    // the raced compaction pair (e20) — a v1 root lacks both
+    val stamp = s"v2:${Multimodal.sourceFingerprint(
       new java.io.File(zroot.getAbsolutePath + ".staged"))}"
     val marker = new java.io.File(path.getAbsolutePath + ".staged")
     val upToDate = path.isDirectory && marker.isFile &&
@@ -2682,6 +2757,37 @@ object Mixing {
         occCommit(s, path, q, snapshotVersion = occVersions(
           new java.io.File(path, "commits")).last))
       occCheckpoint(s, path, upTo = 2)
+      // e20: TWO CONCURRENT COMPACTIONS on disjoint victim pairs (the
+      // four smallest standing files), barrier-raced onto the same slot
+      // — both must land (v5/v6, exactly one retry) because rewrites of
+      // DISJOINT victims serialize like disjoint appends. Both commits
+      // sit PAST the checkpoint, so e19's bootstrap replays remove
+      // actions across the snapshot boundary against checkpoint adds —
+      // the exact reconciliation Delta tails perform.
+      val standingByRows = footerBoxRows(new java.io.File(zroot, "standing"))
+        .sortBy(r => (r._2, r._1)).map(_._1)
+      require(standingByRows.size >= 4,
+        s"need >= 4 standing files to stage two disjoint compactions")
+      val snapAll = occVersions(new java.io.File(path, "commits")).last
+      val cBarrier = new java.util.concurrent.CyclicBarrier(2)
+      def cGate(attempt: Int): Unit =
+        if (attempt == 0) { cBarrier.await(30, java.util.concurrent.TimeUnit.SECONDS); () }
+      val cResults = new java.util.concurrent.ConcurrentLinkedQueue[OccResult]()
+      val cFailures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val cThreads = Seq(standingByRows.take(2), standingByRows.slice(2, 4))
+        .zipWithIndex.map { case (victims, i) =>
+          new Thread(() =>
+            try cResults.add(occCompact(s, path, victims, s"c$i", snapAll, cGate))
+            catch { case t: Throwable => cFailures.add(t); () })
+        }
+      cThreads.foreach(_.start()); cThreads.foreach(_.join())
+      if (!cFailures.isEmpty) throw cFailures.peek()
+      val crs = cResults.asScala.toSeq
+      require(crs.map(_.version).sorted == Seq(snapAll + 1, snapAll + 2),
+        s"concurrent compactions landed at ${crs.map(_.version).sorted}")
+      lastOccCompactionRetries = crs.map(_.retries).sum
+      require(lastOccCompactionRetries >= 1,
+        "the compaction barrier should have forced at least one claim retry")
       java.nio.file.Files.write(marker.toPath, stamp.getBytes)
       ()
     }
@@ -2690,7 +2796,9 @@ object Mixing {
   }
 
   /** Write a COMPACTED CHECKPOINT of the OCC log: one manifest file
-    * carrying the union of all commits ≤ `upTo`, plus the
+    * carrying the NET state of all commits ≤ `upTo` ([[occVisible]] —
+    * remove actions are applied, not copied forward, exactly as Delta
+    * checkpoints reconcile add/remove pairs), plus the
     * `_last_checkpoint` pointer (Delta's convention) swapped in by
     * atomic rename. A consumer bootstraps from snapshot + tail instead
     * of replaying every commit since table creation — the year-old
@@ -2709,7 +2817,7 @@ object Mixing {
     val tmp = java.nio.file.Files
       .createTempDirectory(root.toPath, "_cp_tmp_").toFile
     try {
-      s.read.parquet(srcs: _*).coalesce(1).write.mode("overwrite")
+      occVisible(s.read.parquet(srcs: _*)).coalesce(1).write.mode("overwrite")
         .parquet(new java.io.File(tmp, "m").getAbsolutePath)
       val part = new java.io.File(tmp, "m").listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -2744,6 +2852,33 @@ object Mixing {
     val frame = s.read.parquet(cp.getAbsolutePath +:
       tail.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
     (frame, tail)
+  }
+
+  /** One OPTIMIZE step under the multi-writer protocol (e20): read the
+    * victim files, write their rows as ONE packed file under
+    * root/compacted/, then commit { add packed, remove victims } through
+    * [[occCommit]] — the rewrite becomes visible atomically or not at
+    * all, and a racing writer touching any victim is a detected
+    * conflict, never silent data loss. The physical write happens
+    * BEFORE the claim loop (a lost claim retries the commit only, the
+    * packed bytes stay valid); an ABORT deletes the orphaned packed
+    * file so a conflict leaves the table byte-identical. Packed footer
+    * stats are re-derived from the written file (the union box of the
+    * victims — coarser pruning, same correctness). Maintenance cost ∝
+    * victims, never the table. */
+  private[graft] def occCompact(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      victims: Seq[String], label: String, snapshotVersion: Int,
+      onAttempt: Int => Unit = _ => ()): OccResult = {
+    require(victims.nonEmpty, "compaction needs victims")
+    val dest = new java.io.File(new java.io.File(root, "compacted"), label)
+    s.read.parquet(victims: _*).coalesce(1)
+      .write.mode("overwrite").parquet(dest.getAbsolutePath)
+    try occCommit(s, root, footerBoxRows(dest), snapshotVersion,
+      onAttempt, removes = victims)
+    catch {
+      case t: Throwable => deleteRecursively(dest.toPath); throw t
+    }
   }
 
   /** MERGE INTO standing USING batch ON (l_orderkey, l_linenumber) —

@@ -109,26 +109,116 @@ class OccCommitSpec extends SparkTestBase {
   test("e19 bootstrap: snapshot + tail equals full replay, opening only 1 + |tail| manifests") {
     val root = new java.io.File(Mixing.occRoot(spark, sfDir))
     val commitsDir = new java.io.File(root, "commits")
-    assert(Mixing.occVersions(commitsDir) == Seq(0, 1, 2, 3, 4),
-      "staged OCC log should carry 5 commits")
+    assert(Mixing.occVersions(commitsDir) == Seq(0, 1, 2, 3, 4, 5, 6),
+      "staged OCC log should carry 7 commits (incl. the raced compactions)")
     val cpV = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(root, "_last_checkpoint").toPath)).trim.toInt
     assert(cpV == 2, s"checkpoint pointer should read v2, got v$cpV")
 
     val (frame, tail) = Mixing.occBootstrap(spark, root)
-    assert(tail == Seq(3, 4),
+    assert(tail == Seq(3, 4, 5, 6),
       s"bootstrap should replay exactly the post-checkpoint commits, got $tail")
-    val viaBootstrap = frame
+    // visible (net) state must agree — the tail's v5/v6 REMOVE actions
+    // apply against adds that live inside the checkpoint file
+    val viaBootstrap = Mixing.occVisible(frame)
       .select("file").collect().map(_.getString(0)).toSet
-    val viaFullReplay = spark.read.parquet(commitsDir.getAbsolutePath)
+    val viaFullReplay = Mixing.occVisible(
+      spark.read.parquet(commitsDir.getAbsolutePath))
       .select("file").collect().map(_.getString(0)).toSet
     assert(viaBootstrap == viaFullReplay,
       "snapshot+tail diverged from replaying the full commit log")
-    // the physical bootstrap read set: one checkpoint + the two tail
-    // commits — never the five log files
+    // the physical bootstrap read set: one checkpoint + the four tail
+    // commits — never the seven log files
     val opened = frame.inputFiles.toSeq.sorted
     assert(opened.size == 1 + tail.size,
       s"bootstrap opened ${opened.size} manifests: $opened")
     assert(opened.exists(_.contains("cp_v00002")), opened.toString)
+  }
+
+  test("e20 staged log: compactions retired 4 victims, visible state swaps them for packed files, rows preserved") {
+    val root = new java.io.File(Mixing.occRoot(spark, sfDir))
+    val all = spark.read.parquet(new java.io.File(root, "commits").getAbsolutePath)
+    val removed = all.filter("action = 'remove'")
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(removed.size == 4, s"expected 4 retired victims, got $removed")
+    val visible = Mixing.occVisible(all)
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(removed.forall(v => !visible.contains(v)),
+      "a retired victim stayed visible")
+    val packed = visible.filter(_.contains("/compacted/"))
+    assert(packed.size == 2, s"expected 2 packed files, got $packed")
+    // content preservation, value-checked: packed rows == victims' rows
+    val packedRows = spark.read.parquet(packed.toSeq: _*).count()
+    val victimRows = spark.read.parquet(removed.toSeq: _*).count()
+    assert(packedRows == victimRows,
+      s"compaction changed the row count: $victimRows -> $packedRows")
+  }
+
+  test("overlapping-victim compactions: exactly one lands, the loser aborts and cleans its packed file") {
+    import spark.implicits._
+    val root = freshRoot()
+    // three REAL one-file parquet leaves (occCompact reads victim bytes)
+    val leaves = (0 until 3).map { i =>
+      val d = new java.io.File(root, s"leaf$i")
+      Seq((i.toLong * 10, i.toLong * 10, 1L))
+        .toDF("l_partkey", "l_suppkey", "l_orderkey")
+        .coalesce(1).write.parquet(d.getAbsolutePath)
+      Mixing.footerBoxRows(d)
+    }
+    Mixing.occCommit(spark, root, leaves.flatten, snapshotVersion = -1)
+    val files = leaves.flatten.map(_._1)
+    val barrier = new CyclicBarrier(2)
+    def gate(attempt: Int): Unit =
+      if (attempt == 0) { barrier.await(30, TimeUnit.SECONDS); () }
+    val oks = new ConcurrentLinkedQueue[Mixing.OccResult]()
+    val aborts = new ConcurrentLinkedQueue[Throwable]()
+    // both rewrite leaf1 — a true write-write conflict
+    val threads = Seq(files.take(2), files.drop(1)).zipWithIndex.map {
+      case (victims, i) =>
+        new Thread(() =>
+          try oks.add(Mixing.occCompact(spark, root, victims, s"c$i",
+            snapshotVersion = 0, gate))
+          catch { case t: Throwable => aborts.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(oks.size == 1 && aborts.size == 1,
+      s"expected one winner and one abort, got ${oks.size}/${aborts.size}")
+    assert(aborts.peek().isInstanceOf[java.util.ConcurrentModificationException],
+      s"loser should abort with ConcurrentModificationException: ${aborts.peek()}")
+    // the log carries only v0 + the winner; the loser's packed file is gone
+    assert(Mixing.occVersions(new java.io.File(root, "commits")) == Seq(0, 1))
+    val packedDirs = Option(new java.io.File(root, "compacted").listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    import scala.jdk.CollectionConverters._
+    val winnerLabel = spark.read.parquet(Mixing.occCommitFile(
+      new java.io.File(root, "commits"), 1).getAbsolutePath)
+      .filter("action = 'add'").select("file")
+      .collect().map(_.getString(0)).head match {
+        case p if p.contains("/c0/") => "c0"
+        case _ => "c1"
+      }
+    assert(packedDirs == Set(winnerLabel),
+      s"loser's orphaned packed dir survived: $packedDirs")
+    // table content is byte-identical to pre-race state: 3 rows, same keys
+    val visible = Mixing.occVisible(spark.read.parquet(
+      new java.io.File(root, "commits").getAbsolutePath))
+      .select("file").as[String].collect().toSeq
+    val keys = spark.read.parquet(visible: _*)
+      .select("l_partkey").as[Long].collect().toSet
+    assert(keys == Set(0L, 10L, 20L), s"post-race content diverged: $keys")
+  }
+
+  test("checkpoint nets out remove actions instead of copying tombstones forward") {
+    val root = freshRoot()
+    Mixing.occCommit(spark, root, Seq(row("x"), row("y")), snapshotVersion = -1)
+    Mixing.occCommit(spark, root, Seq(row("z")), snapshotVersion = 0,
+      removes = Seq("x"))
+    Mixing.occCheckpoint(spark, root, upTo = 1)
+    val cp = spark.read.parquet(new java.io.File(
+      new java.io.File(root, "checkpoints"), "cp_v00001.parquet").getAbsolutePath)
+    assert(cp.filter("action = 'remove'").count() == 0,
+      "checkpoint copied a tombstone forward")
+    val files = cp.select("file").collect().map(_.getString(0)).toSet
+    assert(files == Set("y", "z"), s"checkpoint net state wrong: $files")
   }
 }
