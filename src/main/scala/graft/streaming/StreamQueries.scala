@@ -1009,6 +1009,27 @@ object StreamQueries {
     QuerySpec(
       "st19_manifest_consume_stream",
       (s, dir) => manifestConsumeCatchUp(s, dir),
+      Some(graft.operators.Mixing.ZBoxAggOracle)),
+
+    // ---------------------------------------------------------------- st20
+    // CHECKPOINT-BOOTSTRAPPED consumption of the OCC LOG with
+    // remove-action reconciliation — the streaming composition of e19
+    // (bootstrap = one snapshot read, never the log's history) and e20
+    // (rewrite commits retract files): the consumer seeds per-FILE
+    // partial aggregates from the checkpoint, then streams only the
+    // post-checkpoint commits one per trigger, appending partials for
+    // each commit's adds and TOMBSTONES for its removes. The staged
+    // log's raced compactions (v5/v6) remove files whose partials came
+    // from the CHECKPOINT, so the retraction genuinely crosses the
+    // snapshot boundary — the failure mode a naive consumer hits when a
+    // rewrite lands after its bootstrap (victim counted AND its packed
+    // replacement = double count; the oracle is the base table, so
+    // that's a hash failure, not an assertion). Per-trigger cost is
+    // commit-sized; the downstream "materialized view" heals under
+    // OPTIMIZE without reprocessing the table.
+    QuerySpec(
+      "st20_occ_log_consume_stream",
+      (s, dir) => occLogConsume(s, dir),
       Some(graft.operators.Mixing.ZBoxAggOracle)))
 
   /** Stage the st16 query-vector inbox: the vec_id % 5 == 2 slice of
@@ -1368,6 +1389,10 @@ object StreamQueries {
     * convention. */
   @volatile private[graft] var lastIngestRunDir: String = _
 
+  /** The last st20 run's dir (partials + tombstones), for
+    * OccLogConsumeStreamSpec's physical pins — same convention. */
+  @volatile private[graft] var lastOccConsumeRunDir: String = _
+
   /** Temp run dirs, deleted lazily when the SAME stream family runs
     * again: the latest run's artifacts stay inspectable by the stream
     * specs (lastIngestRunDir, partial frames not yet collected) while a
@@ -1445,6 +1470,95 @@ object StreamQueries {
       else partialAgg(s.read.parquet(
         new java.io.File(tableRoot, "delta").getAbsolutePath).limit(0))
     partials
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_qty")).cast("double").as("sum_qty"),
+        sum(col("sum_price")).cast("double").as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** st20's run-to-termination: bootstrap per-file partials from the
+    * OCC checkpoint (ONE manifest read replaces replaying every commit
+    * ≤ cpV), then stream exactly the post-checkpoint commits — one per
+    * trigger via a version-name glob over the commit log — folding each
+    * commit's adds into new per-file partials and its removes into a
+    * tombstone set. The final answer merges partials MINUS tombstoned
+    * files: keying partials by file is what makes a rewrite's
+    * retraction exact (remove victim partials, add the packed file's —
+    * algebraic, no table rescans). Partials stay DECIMAL so the merge
+    * is exact under any commit slicing; paths are normalized to the
+    * manifest's scheme-less spelling so `_metadata.file_path`'s
+    * `file:///` form joins the tombstones correctly. */
+  def occLogConsume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Mixing
+    val root = new java.io.File(M.occRoot(s, dir))
+    val commitsDir = new java.io.File(root, "commits")
+    val runDir = freshRunDir("st20")
+    lastOccConsumeRunDir = runDir.getAbsolutePath
+    val partialDir = new java.io.File(runDir, "partials").getAbsolutePath
+    val tombDir = new java.io.File(runDir, "tombstones").getAbsolutePath
+    val (pLo, pHi, sLo, sHi) = M.e9Box(dir)
+    // one manifest frame's add-side partials, keyed by file (box-pruned
+    // on the committed footer stats before any data file opens)
+    def filePartials(manifest: DataFrame): Option[DataFrame] = {
+      val files = manifest
+        .filter(col("action") === "add" &&
+          col("pmax") >= pLo && col("pmin") <= pHi &&
+          col("smax") >= sLo && col("smin") <= sHi)
+        .select("file").as[String].collect().toSeq.sorted
+      if (files.isEmpty) None
+      else Some(s.read.parquet(files: _*)
+        .filter(col("l_partkey").between(pLo, pHi) &&
+          col("l_suppkey").between(sLo, sHi))
+        .groupBy(
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+            .as("file"),
+          col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).as("sum_price")))
+    }
+    // BOOTSTRAP: the checkpoint's net state, one read
+    val cpV = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "_last_checkpoint").toPath)).trim.toInt
+    val cp = new java.io.File(new java.io.File(root, "checkpoints"),
+      f"cp_v$cpV%05d.parquet")
+    filePartials(s.read.parquet(cp.getAbsolutePath))
+      .foreach(_.write.mode("append").parquet(partialDir))
+    // TAIL: stream only versions past the checkpoint, one per trigger
+    val tailVs = M.occVersions(commitsDir).filter(_ > cpV)
+    require(tailVs.nonEmpty, "staged log should have post-checkpoint commits")
+    val glob = tailVs.map(v => f"v$v%05d.parquet").mkString("{", ",", "}")
+    val schema = s.read.parquet(
+      M.occCommitFile(commitsDir, tailVs.head).getAbsolutePath).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", glob)
+      .parquet(commitsDir.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (commit: DataFrame, _: Long) =>
+        filePartials(commit)
+          .foreach(_.write.mode("append").parquet(partialDir))
+        commit.filter(col("action") === "remove")
+          .select(regexp_replace(col("file"), "^file:/+", "/").as("file"))
+          .write.mode("append").parquet(tombDir)
+        ()
+      }
+      .option("checkpointLocation",
+        new java.io.File(runDir, "chk").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastRunProgress = q.recentProgress
+    val partials =
+      if (new java.io.File(partialDir).isDirectory) s.read.parquet(partialDir)
+      else s.range(0).select(lit("").as("file"),
+        lit("").as("l_returnflag"), lit(0L).as("n_rows"),
+        lit(null).cast("decimal(28,4)").as("sum_qty"),
+        lit(null).cast("decimal(28,4)").as("sum_price"))
+    val tombs = s.read.parquet(tombDir)
+    partials.join(tombs, Seq("file"), "left_anti")
       .groupBy(col("l_returnflag"))
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("sum_qty")).cast("double").as("sum_qty"),
