@@ -1992,7 +1992,53 @@ object Mixing {
             $"l_suppkey".between(sLo, sHi))
           .transform(flagAgg)
       },
-      Some(ZBoxAggOracle))
+      Some(ZBoxAggOracle)),
+
+    // ---------------------------------------------------------------- e21
+    // BLOOM-MANIFEST FILE SKIPPING (Iceberg puffin / Delta bloom index):
+    // the zinc layout clusters on (l_partkey, l_suppkey), so every
+    // file's l_orderkey min/max spans nearly the whole key domain —
+    // footer boxes prune NOTHING for a needle lookup on the non-
+    // clustered column. The manifest instead carries one Bloom filter
+    // per file ([[bloomManifestRoot]]); planning probes three needle
+    // keys against manifest-resident filters (no data I/O) and opens
+    // only might-contain files. Bloom false positives cost an extra
+    // file read, never a wrong row (the exact filter reapplies); false
+    // negatives are impossible (pinned by the relational oracle — a
+    // skipped file that held a needle row changes the sums). The plan
+    // guard requires genuine skipping; BloomSkipSpec pins ground truth
+    // (opened ⊇ files truly containing needles, with bounded FP slack).
+    QuerySpec(
+      "e21_bloom_file_skip",
+      (s, dir) => {
+        import s.implicits._
+        val needles = bloomNeedles(s, dir)
+        val manifest = s.read.parquet(new java.io.File(
+            bloomManifestRoot(s, dir), "manifest").getAbsolutePath)
+          .as[(String, Array[Byte])].collect()
+        val open = manifest.filter { case (_, bytes) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+          needles.exists(bf.mightContainLong)
+        }.map(_._1).toSeq.sorted
+        require(open.nonEmpty, "every needle file was bloom-pruned")
+        require(open.size < manifest.length,
+          s"bloom skipping degenerate: ${open.size}/${manifest.length} open")
+        s.read.parquet(open: _*)
+          .filter($"l_orderkey".isin(needles: _*))
+          .transform(flagAgg)
+      },
+      Some("""
+        WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        needles AS (
+          SELECT (SELECT MAX(o_orderkey) FROM orders
+                  WHERE o_orderkey <= (mx.mk * t.i) // 4) AS k
+          FROM mx, (VALUES (1), (2), (3)) t(i))
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem WHERE l_orderkey IN (SELECT k FROM needles)
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
   /** Write-once lang-partitioned copy of the documents table (the
@@ -2879,6 +2925,80 @@ object Mixing {
     catch {
       case t: Throwable => deleteRecursively(dest.toPath); throw t
     }
+  }
+
+  /** Write-once PER-FILE BLOOM manifest over the zinc layout (e21):
+    * one row per data file carrying a serialized Bloom filter of the
+    * file's l_orderkey values (Iceberg puffin blobs / Delta's bloom
+    * index, as a backfill job). Built distributed the way a 100 TB
+    * backfill must be: a column-pruned scan of (file, key) pairs,
+    * shuffled BY FILE, one group task builds each file's filter from
+    * its distinct keys — memory is one file's key set, never the
+    * table's. 1% FPP sized at the file's distinct count (~1.2 KB per
+    * 65k-row file). */
+  private[graft] def bloomManifestRoot(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import s.implicits._
+    val zroot = new java.io.File(zincManifestRoot(s, dir))
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "li_bloomidx_" + base)
+    if (verifiedLayouts.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(zroot.getAbsolutePath + ".staged"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      deleteRecursively(path.toPath)
+      s.read.parquet(
+          new java.io.File(zroot, "standing").getAbsolutePath,
+          new java.io.File(zroot, "delta").getAbsolutePath)
+        .select(
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+            .as("file"),
+          col("l_orderkey").cast("long").as("k"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (file, it) =>
+          val keys = it.map(_._2).toArray.distinct
+          val bf = org.apache.spark.util.sketch.BloomFilter
+            .create(math.max(keys.length.toLong, 1L), 0.01)
+          keys.foreach(bf.putLong)
+          val out = new java.io.ByteArrayOutputStream()
+          bf.writeTo(out)
+          (file, out.toByteArray)
+        }
+        .toDF("file", "bloom")
+        .write.mode("overwrite")
+        .parquet(new java.io.File(path, "manifest").getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedLayouts.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
+  /** e21's needle set: the three EXISTING order keys at the quartile
+    * probes of the key domain, resolved from the orders key column in
+    * one pruned single-column pass (`MAX(o_orderkey) WHERE <= probe` per
+    * probe — deterministic, and replayable verbatim in ANSI SQL). */
+  private[graft] def bloomNeedles(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[Long] = {
+    import s.implicits._
+    val ok = graft.Tables(s, dir, "orders")
+      .select(col("o_orderkey").cast("long").as("k"))
+    val mk = ok.agg(max($"k")).as[Long].head()
+    val probes = (1 to 3).map(i => mk * i / 4)
+    ok.agg(
+        max(when($"k" <= probes(0), $"k")),
+        max(when($"k" <= probes(1), $"k")),
+        max(when($"k" <= probes(2), $"k")))
+      .as[(Long, Long, Long)].head() match {
+        case (a, b, c) => Seq(a, b, c)
+      }
   }
 
   /** MERGE INTO standing USING batch ON (l_orderkey, l_linenumber) —
