@@ -2038,6 +2038,46 @@ object Mixing {
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         FROM lineitem WHERE l_orderkey IN (SELECT k FROM needles)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- e22
+    // VERSION AS OF over the OCC log — time travel for the multi-writer
+    // plane (e13 gave the single-writer manifest lifecycle its AS OF
+    // read; this is Delta's `VERSION AS OF` on the versioned commit
+    // log): replay commits ≤ v, apply remove actions, plan the box from
+    // that historical net state. The row reads AS OF v0 — the bootstrap
+    // commit, i.e. the STANDING 80% split exactly as it stood before
+    // any delta landed or any rewrite ran — under its own relational
+    // oracle (the box agg restricted to the standing predicate), so a
+    // historical read that leaks a later append or loses a standing
+    // file is a hash failure. OccCommitSpec pins the complementary
+    // equalities: AS OF pre-compaction ≡ AS OF head by VALUE (rewrites
+    // preserve content) while their file sets differ, and AS OF head ≡
+    // the live e17 plan.
+    QuerySpec(
+      "e22_occ_time_travel",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(occRoot(s, dir))
+        val (pLo, pHi, sLo, sHi) = e9Box(dir)
+        val files = occAsOf(s, root, 0)
+          .filter($"pmax" >= pLo && $"pmin" <= pHi &&
+            $"smax" >= sLo && $"smin" <= sHi)
+          .select($"file").as[String].collect().toSeq.sorted
+        require(files.nonEmpty, "AS OF 0 planning pruned every file")
+        s.read.parquet(files: _*)
+          .filter($"l_partkey".between(pLo, pHi) &&
+            $"l_suppkey".between(sLo, sHi))
+          .transform(flagAgg)
+      },
+      Some(ZBoxCte + """
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem, box
+        WHERE l_partkey BETWEEN plo AND phi
+          AND l_suppkey BETWEEN slo AND shi
+          AND l_orderkey % 5 <> 0
         GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
@@ -2898,6 +2938,23 @@ object Mixing {
     val frame = s.read.parquet(cp.getAbsolutePath +:
       tail.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
     (frame, tail)
+  }
+
+  /** VERSION AS OF over the OCC log (e22): the net table state after
+    * replaying commits ≤ `v` — one manifest-sized read of the retained
+    * log prefix, remove actions applied ([[occVisible]]). Works because
+    * commits are immutable and data files outlive the commits that
+    * retire them until a vacuum's retention clock expires them (e13's
+    * contract) — Delta's `VERSION AS OF` verbatim, cost ∝ the prefix's
+    * manifest rows, never the table. */
+  private[graft] def occAsOf(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      v: Int): org.apache.spark.sql.DataFrame = {
+    val commitsDir = new java.io.File(root, "commits")
+    val srcs = occVersions(commitsDir).filter(_ <= v)
+      .map(x => occCommitFile(commitsDir, x).getAbsolutePath)
+    require(srcs.nonEmpty, s"no commits at or below v$v")
+    occVisible(s.read.parquet(srcs: _*))
   }
 
   /** One OPTIMIZE step under the multi-writer protocol (e20): read the

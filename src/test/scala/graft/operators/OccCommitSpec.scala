@@ -208,6 +208,31 @@ class OccCommitSpec extends SparkTestBase {
     assert(keys == Set(0L, 10L, 20L), s"post-race content diverged: $keys")
   }
 
+  test("e22 time travel: AS OF pre-compaction equals head by value with different file sets; AS OF 0 is the standing split") {
+    import spark.implicits._
+    val root = new java.io.File(Mixing.occRoot(spark, sfDir))
+    def files(v: Int): Seq[String] = Mixing.occAsOf(spark, root, v)
+      .select($"file").as[String].collect().toSeq.sorted
+    def agg(fs: Seq[String]): Seq[String] = Mixing.flagAgg(
+      spark.read.parquet(fs: _*).select("l_returnflag", "l_quantity",
+        "l_extendedprice")).collect().map(_.toString).toSeq
+
+    val preCompaction = files(4)
+    val head = files(6)
+    assert(preCompaction != head,
+      "compaction should change the visible file set")
+    assert(head.exists(_.contains("/compacted/")) &&
+      !preCompaction.exists(_.contains("/compacted/")),
+      "head should read packed files, the historical version must not")
+    // rewrites preserve content: the two versions agree BY VALUE
+    assert(agg(preCompaction) == agg(head),
+      "AS OF pre-compaction diverged from head by value")
+    // AS OF 0 = the bootstrap commit = the standing files only
+    val v0 = files(0)
+    assert(v0.forall(_.contains("/standing/")),
+      s"AS OF 0 leaked non-standing files: ${v0.filterNot(_.contains("/standing/"))}")
+  }
+
   test("checkpoint nets out remove actions instead of copying tombstones forward") {
     val root = freshRoot()
     Mixing.occCommit(spark, root, Seq(row("x"), row("y")), snapshotVersion = -1)
