@@ -150,7 +150,7 @@ object StreamQueries {
   private def runCatchUp(s: SparkSession, dir: String,
                          transform: DataFrame => DataFrame): DataFrame = {
     val inbox = stagedInbox(s, dir)
-    val runDir = java.nio.file.Files.createTempDirectory("graft_st").toString
+    val runDir = freshRunDir("st").getAbsolutePath
     val outDir = s"$runDir/out"
     val schema = s.read.parquet(inbox).schema
     // Size stateful parallelism to the STREAM, not the session: every
@@ -364,7 +364,7 @@ object StreamQueries {
           .persist()
         corpus.count()
         val runDir =
-          java.nio.file.Files.createTempDirectory("graft_st5").toString
+          freshRunDir("st5").getAbsolutePath
         val outDir = s"$runDir/out"
         // seed the sink with the (empty) match schema so a no-match run
         // still reads back as a valid empty frame
@@ -431,7 +431,7 @@ object StreamQueries {
         import s.implicits._
         val inbox = stagedInbox(s, dir)
         val runDir =
-          java.nio.file.Files.createTempDirectory("graft_st6").toString
+          freshRunDir("st6").getAbsolutePath
         val outDir = s"$runDir/out"
         Seq.empty[(Long, String, Long)].toDF("user_id", "event_type", "n")
           .write.mode("overwrite").parquet(outDir)
@@ -569,7 +569,7 @@ object StreamQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions._
         val corpus = graft.operators.KernelQueries.stagedCorpus(s, dir)
-        val runDir = java.nio.file.Files.createTempDirectory("graft_st9").toString
+        val runDir = freshRunDir("st9").getAbsolutePath
         // batchMode mirrors k1's batch-conversion plane (error rows
         // carry the FULL filename; single mode stems them — the
         // reference's §3.2/§3.3 asymmetry), so k1's oracle applies
@@ -622,7 +622,7 @@ object StreamQueries {
         import org.apache.spark.sql.streaming.GroupStateTimeout
         val inbox = stagedInbox(s, dir)
         val runDir =
-          java.nio.file.Files.createTempDirectory("graft_st10").toString
+          freshRunDir("st10").getAbsolutePath
         val outDir = s"$runDir/out"
         Seq.empty[(String, Long, Long, Long)]
           .toDF("event_type", "pos", "event_id", "batch")
@@ -686,7 +686,7 @@ object StreamQueries {
         import org.apache.spark.sql.streaming.GroupStateTimeout
         val inbox = stagedInbox(s, dir)
         val runDir =
-          java.nio.file.Files.createTempDirectory("graft_st11").toString
+          freshRunDir("st11").getAbsolutePath
         val outDir = s"$runDir/out"
         Seq.empty[(Long, Long, Double, Long)]
           .toDF("user_id", "micros", "value", "batch")
@@ -756,7 +756,7 @@ object StreamQueries {
         import org.apache.spark.sql.streaming.GroupStateTimeout
         val inbox = stagedInbox(s, dir)
         val runDir =
-          java.nio.file.Files.createTempDirectory("graft_st12").toString
+          freshRunDir("st12").getAbsolutePath
         val outDir = s"$runDir/out"
         Seq.empty[(String, Long, Long)]
           .toDF("event_type", "approx_users", "batch")
@@ -816,7 +816,7 @@ object StreamQueries {
         import org.apache.spark.sql.streaming.GroupStateTimeout
         val inbox = stagedInbox(s, dir)
         val runDir =
-          java.nio.file.Files.createTempDirectory("graft_st13").toString
+          freshRunDir("st13").getAbsolutePath
         val outDir = s"$runDir/out"
         Seq.empty[(String, Long, Long, Long)]
           .toDF("event_type", "n_rows", "checksum", "batch")
@@ -1075,7 +1075,7 @@ object StreamQueries {
   def annServeCatchUp(s: SparkSession, dir: String): DataFrame = {
     val indexRoot = graft.operators.Similarity.ivfIndex(s, dir)
     val inbox = stagedQueryInbox(s, dir)
-    val runDir = java.nio.file.Files.createTempDirectory("graft_st16").toString
+    val runDir = freshRunDir("st16").getAbsolutePath
     val outDir = s"$runDir/out"
     val schema = s.read.parquet(inbox).schema
     // stream-sized shuffle parallelism, runCatchUp's rationale — here
@@ -1166,7 +1166,7 @@ object StreamQueries {
     val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
     val inbox = stagedBatchVectorInbox(s, dir)
     val schema = s.read.parquet(inbox).schema
-    val runDir = java.nio.file.Files.createTempDirectory("graft_st17").toString
+    val runDir = freshRunDir("st17").getAbsolutePath
     // stream-sized shuffle parallelism (runCatchUp's rationale): the
     // per-trigger frames are batch/edge-sized, far below the session's
     // corpus-sized default
