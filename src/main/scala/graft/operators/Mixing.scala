@@ -2992,7 +2992,13 @@ object Mixing {
     * shuffled BY FILE, one group task builds each file's filter from
     * its distinct keys — memory is one file's key set, never the
     * table's. 1% FPP sized at the file's distinct count (~1.2 KB per
-    * 65k-row file). */
+    * 65k-row file). Blooms are per-file and content-addressed to the
+    * file, so a rewrite commit (e20) keeps them consistent by
+    * CONSTRUCTION on the live table — victims leave the visible set
+    * with their blooms, and a production writer would attach the packed
+    * file's bloom to its add action the way this backfill computes it
+    * (the zinc layout e21 indexes is immutable post-staging, so the
+    * staged manifest never goes stale). */
   private[graft] def bloomManifestRoot(
       s: org.apache.spark.sql.SparkSession, dir: String): String = {
     import s.implicits._

@@ -284,8 +284,8 @@ object EventStreams {
           .collect()
         if (manifest.nonEmpty) {
           // LPT greedy packing: largest file first onto the lightest
-          // bucket — bounds any bucket at (mean + max/k), so one huge
-          // upload can't straggle a whole wave behind it.
+          // bucket — the classic (4/3 − 1/3k)·OPT makespan bound, so
+          // one huge upload can't straggle a whole wave behind it.
           val k = math.min(par, manifest.length)
           val heap = scala.collection.mutable.PriorityQueue
             .tabulate(k)(i => (0L, i))(Ordering.by[(Long, Int), Long](_._1).reverse)
