@@ -1030,6 +1030,27 @@ object StreamQueries {
     QuerySpec(
       "st20_occ_log_consume_stream",
       (s, dir) => occLogConsume(s, dir),
+      Some(graft.operators.Mixing.ZBoxAggOracle)),
+
+    // ---------------------------------------------------------------- st21
+    // STREAMING INGEST THROUGH THE OCC PROTOCOL — st18's write side
+    // promoted from the single-writer manifest log to the multi-writer
+    // commit log, WITH a foreign writer landing mid-stream: each
+    // micro-batch z-clusters its rows, appends the files, and commits
+    // through the claim-and-retry loop ([[graft.operators.Mixing
+    // .occCommit]]); between the second data batch's snapshot read and
+    // its claim, a competing writer takes the slot (injected
+    // deterministically through the onAttempt hook — a genuine
+    // FileAlreadyExists collision, not a mock), so the stream
+    // conflict-checks the foreign commit, verifies disjointness, and
+    // retries at the new head. The foreign file's rows live OUTSIDE
+    // the e9 box, so the oracle stays the base table: a batch lost to
+    // the race, double-committed on the retry, or mis-ordered in the
+    // log is a hash failure. This is the shape a 100 TB CDC apply has
+    // to survive — ingest streams don't get the table to themselves.
+    QuerySpec(
+      "st21_occ_ingest_stream",
+      (s, dir) => occIngestCatchUp(s, dir),
       Some(graft.operators.Mixing.ZBoxAggOracle)))
 
   /** Stage the st16 query-vector inbox: the vec_id % 5 == 2 slice of
@@ -1564,6 +1585,116 @@ object StreamQueries {
         sum(col("sum_qty")).cast("double").as("sum_qty"),
         sum(col("sum_price")).cast("double").as("sum_price"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** The last st21 run's root (commits + delta + foreign), and the
+    * claim retries its injected race forced — OccIngestStreamSpec's
+    * physical pins. */
+  @volatile private[graft] var lastOccIngestRunDir: String = _
+  @volatile private[graft] var lastOccIngestRetries: Int = -1
+
+  /** st21's run-to-termination: st18's ingest loop, but every commit
+    * goes through the OCC claim-and-retry protocol against a commit
+    * log a FOREIGN writer also lands in mid-stream. The injection is
+    * deterministic: on the second data batch's FIRST claim attempt
+    * (occCommit's onAttempt hook fires after the snapshot
+    * read/conflict check, immediately before the link(2) claim), the
+    * foreign commit synchronously takes the contested slot — the
+    * stream's claim then throws FileAlreadyExists, re-reads the log,
+    * conflict-checks the foreign adds (disjoint — its rows sit outside
+    * every grid box), and lands at the new head. The final answer
+    * plans the e9 box from the net visible state, so the race can't
+    * silently lose or duplicate a batch. */
+  def occIngestCatchUp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Mixing
+    val standing = new java.io.File(
+      new java.io.File(M.zincManifestRoot(s, dir)), "standing")
+    val inbox = stagedLineitemDeltaInbox(s, dir)
+    val runDir = freshRunDir("st21")
+    runDir.mkdirs()
+    lastOccIngestRunDir = runDir.getAbsolutePath
+    val deltaDir = new java.io.File(runDir, "delta")
+    // bootstrap commit: the standing layout's manifest rows (v0)
+    M.occCommit(s, runDir, M.footerBoxRows(standing), snapshotVersion = -1)
+    // shared grid bounds — base-table footers, zincMaintain's rule
+    val keys = Set("l_partkey", "l_suppkey")
+    val groups = M.footerStats(new java.io.File(dir, "lineitem.parquet"), keys)
+    def global(col: String): (Long, Long) =
+      groups.map(_.stats(col)).reduce { (a, b) =>
+        (math.min(a._1, b._1), math.max(a._2, b._2))
+      }
+    val (pMin, pMax) = global("l_partkey")
+    val (sMin, sMax) = global("l_suppkey")
+    // the foreign writer's file: one row OUTSIDE the grid (so its
+    // footer box never enters the e9 plan and the shared base-table
+    // oracle stands) — a real parquet leaf, a real commit
+    val foreignDir = new java.io.File(runDir, "foreign")
+    Seq((0L, pMax + 1, sMax + 1, "F", 0.0, 0.0))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+        "l_quantity", "l_extendedprice")
+      .coalesce(1).write.parquet(foreignDir.getAbsolutePath)
+    val foreignRows = M.footerBoxRows(foreignDir)
+    val raceArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val retries = new java.util.concurrent.atomic.AtomicInteger(0)
+    def listParquet(d: java.io.File): Set[String] =
+      if (!d.isDirectory) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).toSet
+    var dataBatches = 0
+    val schema = s.read.parquet(inbox).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger",
+        sys.props.get("graft.stream.filesPerTrigger")
+          .map(_.toInt).getOrElse(2))
+      .parquet(inbox)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val before = listParquet(deltaDir)
+        M.clusterOnSharedGrid(batch, pMin, pMax, sMin, sMax, 2)
+          .write.mode("append").parquet(deltaDir.getAbsolutePath)
+        val fresh = (listParquet(deltaDir) -- before).toSeq.sorted
+        if (fresh.nonEmpty) {
+          dataBatches += 1
+          val arm = dataBatches == 2 && raceArmed.compareAndSet(false, true)
+          val snapshot = M.occVersions(new java.io.File(runDir, "commits")).last
+          val gate: Int => Unit = attempt =>
+            if (attempt == 0 && arm) {
+              // the competing writer lands on the slot this commit is
+              // about to claim — same snapshot, disjoint adds
+              M.occCommit(s, runDir, foreignRows, snapshotVersion = snapshot)
+              ()
+            }
+          val r = M.occCommit(s, runDir,
+            fresh.flatMap(f => M.footerBoxRows(new java.io.File(f))),
+            snapshotVersion = snapshot, onAttempt = gate)
+          retries.addAndGet(r.retries)
+          ()
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        new java.io.File(runDir, "chk").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastRunProgress = q.recentProgress
+    lastOccIngestRetries = retries.get()
+    require(raceArmed.get(), "the injected race never armed")
+    require(lastOccIngestRetries >= 1,
+      "the foreign commit should have forced a claim retry")
+    // the table IS the commit log: plan the e9 box from the net state
+    val (pLo, pHi, sLo, sHi) = M.e9Box(dir)
+    val files = M.occVisible(s.read.parquet(
+        new java.io.File(runDir, "commits").getAbsolutePath))
+      .filter($"pmax" >= pLo && $"pmin" <= pHi &&
+        $"smax" >= sLo && $"smin" <= sHi)
+      .select($"file").as[String].collect().toSeq.sorted
+    require(files.nonEmpty, "commit-log planning pruned every file")
+    s.read.parquet(files: _*)
+      .filter($"l_partkey".between(pLo, pHi) &&
+        $"l_suppkey".between(sLo, sHi))
+      .transform(M.flagAgg)
   }
 
   /** Write-once STAGED result of one st18 ingest run (delta dir +
