@@ -2078,6 +2078,122 @@ object Mixing {
         WHERE l_partkey BETWEEN plo AND phi
           AND l_suppkey BETWEEN slo AND shi
           AND l_orderkey % 5 <> 0
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- e23
+    // CHANGE DATA FEED over the OCC log (Delta CDF): a CDC consumer
+    // asks "what changed between version A and B" and must get LOGICAL
+    // changes only — commits stamped dataChange=false (the v5/v6
+    // compactions, which remove four victims and add packed rewrites)
+    // contribute NOTHING even though their file sets churn, while
+    // dataChange commits yield their add-files' rows as inserts and
+    // their remove-files' rows as deletes (retired bytes stay readable
+    // until vacuum — e13's retention clock). The row reads CDF(0, head]
+    // — exactly the four delta-quarter commits — so the feed must equal
+    // the 20% delta slice of the base table BY VALUE: a feed that leaks
+    // a rewrite (double count), loses a quarter, or mis-tags a change
+    // fails the hash. Guards pin that the rewrite-only window (4, head]
+    // is EMPTY despite its commits adding and removing files — the
+    // maintenance-invisibility property that makes CDC consumers safe
+    // to run alongside OPTIMIZE. OccCommitSpec pins the delete side on
+    // a synthetic log (a dataChange remove emits the removed rows as
+    // deletes; a rewrite of the same file emits nothing).
+    QuerySpec(
+      "e23_change_data_feed",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(occRoot(s, dir))
+        val commitsDir = new java.io.File(root, "commits")
+        val head = occVersions(commitsDir).last
+        require(head >= 6, s"staged log should reach v6, head=v$head")
+        // maintenance invisibility: the compaction-only window (4, head]
+        // moves files (4 removes + packed adds) but changes NO rows
+        val (rewIns, rewDel) = occChangedFiles(s, root, 4, head)
+        require(rewIns.isEmpty && rewDel.isEmpty,
+          s"dataChange=false rewrites leaked into the feed: " +
+            s"${rewIns.size} inserts, ${rewDel.size} deletes")
+        val (ins, del) = occChangedFiles(s, root, 0, head)
+        require(del.isEmpty, "staged log has no dataChange deletes")
+        require(ins.size == ZincDeltaFiles,
+          s"feed should carry the $ZincDeltaFiles delta files, got ${ins.size}")
+        occChangeFeed(s, root, 0, head)
+          .groupBy($"change_type", $"l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"l_quantity".cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+          .orderBy($"change_type", $"l_returnflag")
+      },
+      Some("""
+        SELECT 'insert' AS change_type, l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_orderkey % 5 = 0
+        GROUP BY l_returnflag ORDER BY change_type, l_returnflag""")),
+
+    // ---------------------------------------------------------------- e24
+    // PARTITION-SPEC EVOLUTION with hidden partitioning (Iceberg's
+    // hallmark): the table's first era was written under spec-0 =
+    // (year(l_shipdate)); the spec then evolved to spec-1 = (year,
+    // month) and later files landed under it — WITHOUT rewriting a
+    // single old file (the operation Hive-style layouts cannot do:
+    // there, a partition change is a full-table migration; at 100 TB
+    // that's the difference between a metadata edit and a week of
+    // rewrite). The manifest records each file's OWN spec id and
+    // partition tuple, and the user's predicate is on the RAW column
+    // (l_shipdate range) — the planner derives year bounds for spec-0
+    // files and (year, month) bounds for spec-1 files from the same
+    // predicate, each file pruned under the spec it was written with.
+    // The straddling range makes both derivations load-bearing: spec-0
+    // must open its whole boundary year (the coarse-spec cost), spec-1
+    // only the three in-range months (the evolution's payoff, guard-
+    // pinned); the exact predicate reapplies on the scan, so the
+    // base-table oracle catches a file wrongly pruned under either
+    // spec. PartitionEvolutionSpec pins era totality, era-locality of
+    // the pruning, and the 12/12-vs-3/12 open-ratio benefit.
+    QuerySpec(
+      "e24_partition_evolution",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(partitionSpecRoot(s, dir))
+        val sy = pspecSplitYear(s, dir)
+        // user predicate: Oct 1 (sy-1) <= l_shipdate < Apr 1 (sy)
+        val lo = to_timestamp(lit(s"${sy - 1}-10-01 00:00:00"))
+        val hiEx = to_timestamp(lit(s"$sy-04-01 00:00:00"))
+        // hidden partitioning: the planner's transform derivation
+        val loYm = (sy - 1) * 100 + 10
+        val hiYm = sy * 100 + 3
+        val m = s.read.parquet(
+          new java.io.File(root, "manifest").getAbsolutePath)
+        val open = m.filter(
+            ($"spec" === 0 && $"p_y".between(sy - 1, sy)) ||
+            ($"spec" === 1 &&
+              ($"p_y" * 100 + $"p_m").between(loYm, hiYm)))
+          .select($"file", $"spec").as[(String, Int)].collect().toSeq
+        val total = m.count()
+        require(open.nonEmpty && open.size < total,
+          s"spec-aware pruning degenerate: ${open.size}/$total open")
+        val bySpec = open.groupBy(_._2).view.mapValues(_.size).toMap
+        require(bySpec.getOrElse(0, 0) > 0 && bySpec.getOrElse(1, 0) > 0,
+          s"both eras should contribute files, got $bySpec")
+        s.read.parquet(open.map(_._1).sorted: _*)
+          .filter($"l_shipdate" >= lo && $"l_shipdate" < hiEx)
+          .transform(flagAgg)
+      },
+      Some("""
+        WITH yb AS (
+          SELECT CAST(FLOOR((year(MIN(l_shipdate)) + year(MAX(l_shipdate)))
+                 / 2.0) AS INT) AS sy
+          FROM lineitem)
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem, yb
+        WHERE l_shipdate >= make_timestamp(sy - 1, 10, 1, 0, 0, 0)
+          AND l_shipdate <  make_timestamp(sy, 4, 1, 0, 0, 0)
         GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
@@ -2086,6 +2202,87 @@ object Mixing {
     * staged under the fixture root with the source-parquet-fingerprint
     * marker convention (see Multimodal.mediaTable): the up-to-date path
     * launches no Spark job. Feeds p9's partition-pruning query. */
+  /** The partition-evolution split year: floor((minYear + maxYear) / 2)
+    * of l_shipdate — derivable by the DuckDB oracle from the same data.
+    * One narrow column agg; at a real lakehouse the boundary comes from
+    * the table's spec history, not a scan. */
+  private[graft] def pspecSplitYear(
+      s: org.apache.spark.sql.SparkSession, dir: String): Int = {
+    val r = graft.Tables(s, dir, "lineitem")
+      .agg(min(year(col("l_shipdate"))), max(year(col("l_shipdate"))))
+      .head()
+    (r.getInt(0) + r.getInt(1)) / 2
+  }
+
+  /** Write-once PARTITION-EVOLVED layout for e24: era-0 rows (ship year
+    * below the split) under spec-0 = (year), era-1 rows under spec-1 =
+    * (year, month) — two specs, one table, no old file rewritten, with
+    * a manifest recording each file's own spec id and partition tuple
+    * (Iceberg's per-file spec-id exactly). Both eras carry l_shipdate
+    * in the data so the exact predicate reapplies after pruning. */
+  private[graft] def partitionSpecRoot(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "li_pspec_" + base)
+    if (verifiedLayouts.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(dir, "lineitem.parquet"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      deleteRecursively(path.toPath)
+      path.mkdirs()
+      import s.implicits._
+      val sy = pspecSplitYear(s, dir)
+      val li = graft.Tables(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_returnflag",
+          $"l_quantity", $"l_extendedprice", $"l_shipdate")
+      // era 0, spec-0 = (year): a few files per year partition
+      li.filter(year($"l_shipdate") < sy)
+        .withColumn("p_y", year($"l_shipdate"))
+        .withColumn("p_b", pmod($"l_orderkey", lit(2)))
+        .repartition($"p_y", $"p_b").drop("p_b")
+        .write.partitionBy("p_y")
+        .parquet(new java.io.File(path, "spec0").getAbsolutePath)
+      // era 1, spec-1 = (year, month): the evolved, finer grain
+      li.filter(year($"l_shipdate") >= sy)
+        .withColumn("p_y", year($"l_shipdate"))
+        .withColumn("p_m", month($"l_shipdate"))
+        .repartition($"p_y", $"p_m")
+        .write.partitionBy("p_y", "p_m")
+        .parquet(new java.io.File(path, "spec1").getAbsolutePath)
+      // the manifest: one row per data file under ITS OWN spec
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      def part(f: java.io.File, key: String): Int = {
+        val rx = (".*/" + key + "=(\\d+)/.*").r
+        f.getAbsolutePath match {
+          case rx(v) => v.toInt
+          case _ => throw new IllegalStateException(
+            s"no $key= dir on ${f.getAbsolutePath}")
+        }
+      }
+      val rows =
+        walk(new java.io.File(path, "spec0"))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getAbsolutePath, 0, part(f, "p_y"), -1)) ++
+        walk(new java.io.File(path, "spec1"))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getAbsolutePath, 1, part(f, "p_y"), part(f, "p_m")))
+      rows.toDF("file", "spec", "p_y", "p_m")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new java.io.File(path, "manifest").getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedLayouts.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
   private[graft] def partitionedCorpus(
       s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
@@ -2703,24 +2900,40 @@ object Mixing {
     * an add racing the rewrite that retires it, is a true conflict; a
     * remove can never race an add it hasn't seen (removes only name
     * files visible in the remover's snapshot). Table state = adds minus
-    * removed ([[occVisible]]). */
+    * removed ([[occVisible]]).
+    *
+    * Round 14b, two more Delta action fields:
+    *  - `dataChange` = false marks a commit as a REWRITE (compaction,
+    *    clustering): its file churn is physical, not logical, so the
+    *    change-data-feed ([[occChangedFiles]]) skips it entirely —
+    *    exactly Delta's `dataChange=false` contract.
+    *  - `txn` = (appId, version) is Delta's transaction action: a
+    *    streaming writer stamps each commit with its micro-batch id so
+    *    a REPLAYED batch (Spark re-runs the last foreachBatch after a
+    *    crash, same batchId) is detected via [[occLastTxn]] and skipped
+    *    — exactly-once sink semantics without coordination. */
   private[graft] def occCommit(
       s: org.apache.spark.sql.SparkSession, root: java.io.File,
       rows: Seq[(String, Long, Long, Long, Long, Long)],
       snapshotVersion: Int,
       onAttempt: Int => Unit = _ => (),
       maxAttempts: Int = 50,
-      removes: Seq[String] = Nil): OccResult = {
+      removes: Seq[String] = Nil,
+      dataChange: Boolean = true,
+      txn: Option[(String, Long)] = None): OccResult = {
     import s.implicits._
     val commitsDir = new java.io.File(root, "commits")
     commitsDir.mkdirs()
     val tmp = java.nio.file.Files
       .createTempDirectory(root.toPath, "_occ_tmp_").toFile
     try {
+      val (app, txnV) = txn.getOrElse(("", -1L))
       (rows.map { case (f, n, pmin, pmax, smin, smax) =>
-        (f, n, pmin, pmax, smin, smax, "add")
-      } ++ removes.map(f => (f, 0L, 0L, 0L, 0L, 0L, "remove")))
-        .toDF("file", "rows", "pmin", "pmax", "smin", "smax", "action")
+        (f, n, pmin, pmax, smin, smax, "add", dataChange, app, txnV)
+      } ++ removes.map(f =>
+        (f, 0L, 0L, 0L, 0L, 0L, "remove", dataChange, app, txnV)))
+        .toDF("file", "rows", "pmin", "pmax", "smin", "smax", "action",
+          "dataChange", "app", "txn")
         .coalesce(1).write.mode("overwrite")
         .parquet(new java.io.File(tmp, "m").getAbsolutePath)
       val part = new java.io.File(tmp, "m").listFiles()
@@ -2798,9 +3011,10 @@ object Mixing {
     if (verifiedLayouts.contains(path.getAbsolutePath))
       return path.getAbsolutePath
     val zroot = new java.io.File(zincManifestRoot(s, dir))
-    // v2: commits carry add/remove actions and the lifecycle ends with
-    // the raced compaction pair (e20) — a v1 root lacks both
-    val stamp = s"v2:${Multimodal.sourceFingerprint(
+    // v3: commits carry the dataChange/app/txn action fields (e23's
+    // change feed, st22's idempotent writes) — earlier logs lack the
+    // columns and must restage
+    val stamp = s"v3:${Multimodal.sourceFingerprint(
       new java.io.File(zroot.getAbsolutePath + ".staged"))}"
     val marker = new java.io.File(path.getAbsolutePath + ".staged")
     val upToDate = path.isDirectory && marker.isFile &&
@@ -2957,6 +3171,69 @@ object Mixing {
     occVisible(s.read.parquet(srcs: _*))
   }
 
+  /** High-water transaction version the log has recorded for `app`
+    * (Delta's txn-action lookup): -1 if the app never committed. An
+    * idempotent streaming writer compares its micro-batch id against
+    * this BEFORE writing anything — a replayed batch (same id) is a
+    * no-op, a fresh one proceeds. One manifest-sized read of the log,
+    * no data I/O; at real log lengths the scan bootstraps from the
+    * checkpoint tail exactly like any other consumer (the checkpoint
+    * carries the net add rows, whose txn columns preserve each file's
+    * committing transaction). */
+  private[graft] def occLastTxn(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      app: String): Long = {
+    val commitsDir = new java.io.File(root, "commits")
+    val vs = occVersions(commitsDir)
+    if (vs.isEmpty) return -1L
+    val row = s.read.parquet(
+        vs.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
+      .filter(col("app") === app)
+      .agg(max(col("txn"))).head()
+    if (row.isNullAt(0)) -1L else row.getLong(0)
+  }
+
+  /** CHANGE DATA FEED planning over the OCC log for versions in
+    * (`from`, `to`]: per commit, `dataChange` ADD actions contribute
+    * their file as an INSERT source and `dataChange` REMOVE actions as
+    * a DELETE source (the retired bytes outlive the commit until a
+    * vacuum — e13's retention contract — so delete images are
+    * readable); commits with `dataChange=false` (compactions,
+    * re-clustering) contribute NOTHING, because their file churn is
+    * physical, not logical — the property that makes a CDC consumer
+    * immune to table maintenance. Returns (insertFiles, deleteFiles);
+    * cost ∝ the range's manifest rows, never the table. */
+  private[graft] def occChangedFiles(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      from: Int, to: Int): (Seq[String], Seq[String]) = {
+    val commitsDir = new java.io.File(root, "commits")
+    val vs = occVersions(commitsDir).filter(v => v > from && v <= to)
+    if (vs.isEmpty) return (Nil, Nil)
+    val m = s.read.parquet(
+        vs.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
+      .filter(col("dataChange"))
+      .select(col("action"), col("file"))
+      .collect()
+    (m.filter(_.getString(0) == "add").map(_.getString(1)).toSeq.sorted,
+     m.filter(_.getString(0) == "remove").map(_.getString(1)).toSeq.sorted)
+  }
+
+  /** The change rows themselves — each insert/delete source file's rows
+    * tagged with Delta CDF's `_change_type` spelling (`change_type`
+    * here; the driver compare is column-name-sorted). */
+  private[graft] def occChangeFeed(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      from: Int, to: Int): org.apache.spark.sql.DataFrame = {
+    val (ins, del) = occChangedFiles(s, root, from, to)
+    def tagged(files: Seq[String], tag: String) =
+      if (files.isEmpty) None
+      else Some(s.read.parquet(files: _*)
+        .withColumn("change_type", lit(tag)))
+    val parts = tagged(ins, "insert").toSeq ++ tagged(del, "delete").toSeq
+    require(parts.nonEmpty, s"no change rows in ($from, $to]")
+    parts.reduce(_ unionByName _)
+  }
+
   /** One OPTIMIZE step under the multi-writer protocol (e20): read the
     * victim files, write their rows as ONE packed file under
     * root/compacted/, then commit { add packed, remove victims } through
@@ -2978,7 +3255,7 @@ object Mixing {
     s.read.parquet(victims: _*).coalesce(1)
       .write.mode("overwrite").parquet(dest.getAbsolutePath)
     try occCommit(s, root, footerBoxRows(dest), snapshotVersion,
-      onAttempt, removes = victims)
+      onAttempt, removes = victims, dataChange = false)
     catch {
       case t: Throwable => deleteRecursively(dest.toPath); throw t
     }

@@ -1051,6 +1051,28 @@ object StreamQueries {
     QuerySpec(
       "st21_occ_ingest_stream",
       (s, dir) => occIngestCatchUp(s, dir),
+      Some(graft.operators.Mixing.ZBoxAggOracle)),
+
+    // ---------------------------------------------------------------- st22
+    // EXACTLY-ONCE UNDER RESTART — the delivery contract st18/st21
+    // leave open: Spark's foreachBatch documentation guarantees only
+    // that a crashed stream RE-EXECUTES its last micro-batch with the
+    // SAME batchId on restart, so a sink that blindly commits would
+    // double-ingest that batch. The writer here stamps every commit
+    // with Delta's txn action (appId, batchId) and checks the log's
+    // per-app high-water mark BEFORE writing anything
+    // ([[graft.operators.Mixing.occLastTxn]]): a replayed batch is a
+    // no-op, a fresh one proceeds. The run ingests the delta inbox,
+    // then REPLAYS its last delivery verbatim (same rows, same
+    // batchId — the documented crash shape, driven deterministically
+    // rather than by killing the JVM); guards pin that the replay
+    // committed nothing and left the log version-identical, and the
+    // base-table oracle pins that the net state lost/duplicated no
+    // rows. The idempotence gate costs one manifest-log read per
+    // batch — commit-sized, table-size-invariant.
+    QuerySpec(
+      "st22_idempotent_ingest_stream",
+      (s, dir) => occIngestIdempotent(s, dir),
       Some(graft.operators.Mixing.ZBoxAggOracle)))
 
   /** Stage the st16 query-vector inbox: the vec_id % 5 == 2 slice of
@@ -1687,6 +1709,125 @@ object StreamQueries {
     val (pLo, pHi, sLo, sHi) = M.e9Box(dir)
     val files = M.occVisible(s.read.parquet(
         new java.io.File(runDir, "commits").getAbsolutePath))
+      .filter($"pmax" >= pLo && $"pmin" <= pHi &&
+        $"smax" >= sLo && $"smin" <= sHi)
+      .select($"file").as[String].collect().toSeq.sorted
+    require(files.nonEmpty, "commit-log planning pruned every file")
+    s.read.parquet(files: _*)
+      .filter($"l_partkey".between(pLo, pHi) &&
+        $"l_suppkey".between(sLo, sHi))
+      .transform(M.flagAgg)
+  }
+
+  /** The last st22 run's root, replay-skip count, and data-commit count
+    * — IdempotentIngestStreamSpec's physical pins. */
+  @volatile private[graft] var lastIdemRunDir: String = _
+  @volatile private[graft] var lastIdemSkips: Int = -1
+  @volatile private[graft] var lastIdemCommits: Int = -1
+
+  /** st22's run-to-termination: the OCC ingest loop with Delta's txn
+    * action making it exactly-once under Spark's restart contract.
+    * The writer is check-first — one commit-log read
+    * ([[graft.operators.Mixing.occLastTxn]]) decides skip-or-proceed
+    * before any data bytes move (Delta's own foreachBatch txn pattern
+    * writes the data files first and skips only the commit, orphaning
+    * the bytes until vacuum; checking first buys the same guarantee
+    * without the churn, and the log read is manifest-sized). After the
+    * stream terminates, the run replays its LAST delivery with the
+    * same batchId — the exact re-execution Spark performs when a
+    * stream restarts after crashing between the sink action and the
+    * offset-log commit. */
+  def occIngestIdempotent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Mixing
+    val standing = new java.io.File(
+      new java.io.File(M.zincManifestRoot(s, dir)), "standing")
+    val inbox = stagedLineitemDeltaInbox(s, dir)
+    val runDir = freshRunDir("st22")
+    runDir.mkdirs()
+    lastIdemRunDir = runDir.getAbsolutePath
+    val deltaDir = new java.io.File(runDir, "delta")
+    val commitsDir = new java.io.File(runDir, "commits")
+    M.occCommit(s, runDir, M.footerBoxRows(standing), snapshotVersion = -1)
+    val keys = Set("l_partkey", "l_suppkey")
+    val groups = M.footerStats(new java.io.File(dir, "lineitem.parquet"), keys)
+    def global(col: String): (Long, Long) =
+      groups.map(_.stats(col)).reduce { (a, b) =>
+        (math.min(a._1, b._1), math.max(a._2, b._2))
+      }
+    val (pMin, pMax) = global("l_partkey")
+    val (sMin, sMax) = global("l_suppkey")
+    val appId = "st22_ingest"
+    val skips = new java.util.concurrent.atomic.AtomicInteger(0)
+    val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+    def listParquet(d: java.io.File): Set[String] =
+      if (!d.isDirectory) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).toSet
+    // THE WRITER — all idempotence lives here, so the replay below can
+    // exercise the identical code path Spark re-executes on restart
+    def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+      if (M.occLastTxn(s, runDir, appId) >= batchId) {
+        skips.incrementAndGet(); return
+      }
+      val before = listParquet(deltaDir)
+      M.clusterOnSharedGrid(batch, pMin, pMax, sMin, sMax, 2)
+        .write.mode("append").parquet(deltaDir.getAbsolutePath)
+      val fresh = (listParquet(deltaDir) -- before).toSeq.sorted
+      if (fresh.nonEmpty) {
+        val snapshot = M.occVersions(commitsDir).last
+        M.occCommit(s, runDir,
+          fresh.flatMap(f => M.footerBoxRows(new java.io.File(f))),
+          snapshotVersion = snapshot, txn = Some((appId, batchId)))
+        commits.incrementAndGet()
+        ()
+      }
+    }
+    val lastBatchId = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val schema = s.read.parquet(inbox).schema
+    val chkDir = new java.io.File(runDir, "chk")
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger",
+        sys.props.get("graft.stream.filesPerTrigger")
+          .map(_.toInt).getOrElse(2))
+      .parquet(inbox)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lastBatchId.set(batchId)
+        applyBatch(batch, batchId)
+        ()
+      }
+      .option("checkpointLocation", chkDir.getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastRunProgress = q.recentProgress
+    require(commits.get() >= 2, s"expected >= 2 data commits, got ${commits.get()}")
+    require(skips.get() == 0, "a live batch was wrongly skipped")
+    // CRASH REPLAY: the last delivery again, same rows, same batchId.
+    // The rows come from the checkpoint's file-source offset log — the
+    // SAME record Spark replays the batch from when a restarted stream
+    // finds the sink ran but the batch never committed to the offset
+    // log's commits/ side.
+    val replayId = lastBatchId.get()
+    val replayFiles = {
+      val entry = new java.io.File(chkDir, s"sources/0/$replayId")
+      val rx = "\"path\":\"([^\"]+)\"".r
+      rx.findAllMatchIn(
+        new String(java.nio.file.Files.readAllBytes(entry.toPath)))
+        .map(_.group(1)).toSeq.sorted
+    }
+    require(replayFiles.nonEmpty, "last delivery carried no input files")
+    val logBefore = M.occVersions(commitsDir)
+    applyBatch(s.read.parquet(replayFiles: _*), replayId)
+    require(skips.get() == 1, "the replayed batch should have been skipped")
+    require(M.occVersions(commitsDir) == logBefore,
+      "the replay changed the commit log")
+    lastIdemSkips = skips.get()
+    lastIdemCommits = commits.get()
+    // the table IS the commit log: plan the e9 box from the net state
+    val (pLo, pHi, sLo, sHi) = M.e9Box(dir)
+    val files = M.occVisible(s.read.parquet(commitsDir.getAbsolutePath))
       .filter($"pmax" >= pLo && $"pmin" <= pHi &&
         $"smax" >= sLo && $"smin" <= sHi)
       .select($"file").as[String].collect().toSeq.sorted

@@ -246,4 +246,53 @@ class OccCommitSpec extends SparkTestBase {
     val files = cp.select("file").collect().map(_.getString(0)).toSet
     assert(files == Set("y", "z"), s"checkpoint net state wrong: $files")
   }
+
+  test("e23 change feed: dataChange deletes emit removed rows, rewrites emit nothing") {
+    import spark.implicits._
+    val root = freshRoot()
+    def stage(name: String, ks: Seq[Int]): String = {
+      val d = new java.io.File(root, name)
+      ks.map(k => (k, s"v$k")).toDF("k", "v")
+        .coalesce(1).write.parquet(d.getAbsolutePath)
+      d.getAbsolutePath
+    }
+    val a = stage("a", Seq(1, 2))
+    val b = stage("b", Seq(3))
+    val p = stage("p", Seq(1, 2, 3)) // the compaction's packed rewrite
+    def fr(f: String) = (f, 1L, 0L, 100L, 0L, 100L)
+    Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1) // v0
+    Mixing.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 0)  // v1
+    Mixing.occCommit(spark, root, Seq(fr(p)), snapshotVersion = 1,  // v2
+      removes = Seq(a, b), dataChange = false)                      // rewrite
+    Mixing.occCommit(spark, root, Nil, snapshotVersion = 2,         // v3
+      removes = Seq(p))                                             // DELETE
+
+    // the rewrite window alone: file churn, zero logical changes
+    assert(Mixing.occChangedFiles(spark, root, 1, 2) == ((Nil, Nil)),
+      "the dataChange=false rewrite leaked into the feed")
+    // (0, 3]: insert of b's rows at v1, delete of p's rows at v3
+    val feed = Mixing.occChangeFeed(spark, root, 0, 3)
+      .select("change_type", "k").as[(String, Int)].collect().toSet
+    assert(feed == Set(("insert", 3), ("delete", 1), ("delete", 2),
+      ("delete", 3)), s"feed rows wrong: $feed")
+    // a delete image reads the RETIRED bytes — retention keeps them
+    val (_, del) = Mixing.occChangedFiles(spark, root, 2, 3)
+    assert(del == Seq(p), s"delete sources wrong: $del")
+  }
+
+  test("st22 txn action: occLastTxn tracks the per-app high-water mark") {
+    val root = freshRoot()
+    Mixing.occCommit(spark, root, Seq(row("boot")), snapshotVersion = -1)
+    assert(Mixing.occLastTxn(spark, root, "writer-a") == -1L,
+      "an app that never committed should read -1")
+    Mixing.occCommit(spark, root, Seq(row("a0")), snapshotVersion = 0,
+      txn = Some(("writer-a", 0L)))
+    Mixing.occCommit(spark, root, Seq(row("b5")), snapshotVersion = 1,
+      txn = Some(("writer-b", 5L)))
+    Mixing.occCommit(spark, root, Seq(row("a1")), snapshotVersion = 2,
+      txn = Some(("writer-a", 1L)))
+    assert(Mixing.occLastTxn(spark, root, "writer-a") == 1L)
+    assert(Mixing.occLastTxn(spark, root, "writer-b") == 5L)
+    assert(Mixing.occLastTxn(spark, root, "writer-c") == -1L)
+  }
 }
