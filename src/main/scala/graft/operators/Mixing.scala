@@ -2194,7 +2194,89 @@ object Mixing {
         FROM lineitem, yb
         WHERE l_shipdate >= make_timestamp(sy - 1, 10, 1, 0, 0, 0)
           AND l_shipdate <  make_timestamp(sy, 4, 1, 0, 0, 0)
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- e25
+    // ROW-LEVEL DELETE AS AN OCC COMMIT — the composition the plane had
+    // in halves: e14's positional deletion vectors lived OUTSIDE any
+    // log, e17's protocol moved only whole files. Here DELETE WHERE
+    // commits as dv actions (one row per masked file + a positional
+    // sidecar — Delta's add-with-deletionVector) through the same
+    // claim-and-retry loop, so a DELETE racing a compaction of the
+    // same file is a DETECTED conflict in either order (the rewrite
+    // would orphan the mask — OccDvSpec pins both directions and the
+    // disjoint-file non-conflict). The scan plans visible files from
+    // the log and applies the union of their sidecars as one broadcast
+    // anti-join; no data file is rewritten. The oracle applies the
+    // predicate relationally over the base table: one misattributed
+    // position, a mask applied twice, or a dropped sidecar is a hash
+    // failure.
+    QuerySpec(
+      "e25_occ_row_delete",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(occDvRoot(s, dir))
+        val frame = s.read.parquet(
+          new java.io.File(root, "commits").getAbsolutePath)
+        val dvActs = frame.filter($"action" === "dv").count()
+        require(dvActs >= 1, "staged log carries no dv actions")
+        occScanVisible(s, root).transform(flagAgg)
+      },
+      Some("""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_orderkey % 97 <> 0
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- e26
+    // ROW-LEVEL DELETES IN THE CHANGE FEED — e23 emits whole-file
+    // changes; a DELETE WHERE at 100 TB masks a few rows per file, and
+    // the CDC consumer needs exactly those rows, not the file. The
+    // feed's dv handling reads each dv'd file once and SEMI-joins the
+    // sidecar positions (the e14 mask inverted), so delete images cost
+    // O(masked files), never the table. Over the staged log the full
+    // window (0, head] carries the delta ingest as inserts AND the
+    // %97 DELETE as row-level deletes — including rows that appear as
+    // BOTH (inserted at v1, deleted at v2): CDF semantics keep both
+    // events, and the oracle replays them as two independent slices of
+    // the base table, so a feed that nets them out (or emits a
+    // non-deleted row) fails the hash. Guards pin the DELETE-only
+    // window (1, 2] emits no inserts.
+    QuerySpec(
+      "e26_cdf_row_deletes",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(occDvRoot(s, dir))
+        val head = occVersions(new java.io.File(root, "commits")).last
+        require(head == 2, s"staged dv log should have 3 commits, head=v$head")
+        val (delIns, delFiles) = occChangedFiles(s, root, 1, head)
+        require(delIns.isEmpty && delFiles.isEmpty,
+          "the DELETE window should carry no whole-file changes")
+        require(occChangedDvs(s, root, 1, head).nonEmpty,
+          "the DELETE window should carry dv actions")
+        occChangeFeed(s, root, 0, head)
+          .groupBy($"change_type", $"l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"l_quantity".cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+          .orderBy($"change_type", $"l_returnflag")
+      },
+      Some("""
+        SELECT ct AS change_type, l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM (
+          SELECT 'insert' AS ct, l_returnflag, l_quantity, l_extendedprice
+          FROM lineitem WHERE l_orderkey % 5 = 0
+          UNION ALL
+          SELECT 'delete' AS ct, l_returnflag, l_quantity, l_extendedprice
+          FROM lineitem WHERE l_orderkey % 97 = 0)
+        GROUP BY ct, l_returnflag ORDER BY change_type, l_returnflag"""))
   )
 
   /** Write-once lang-partitioned copy of the documents table (the
@@ -2911,7 +2993,14 @@ object Mixing {
     *    streaming writer stamps each commit with its micro-batch id so
     *    a REPLAYED batch (Spark re-runs the last foreachBatch after a
     *    crash, same batchId) is detected via [[occLastTxn]] and skipped
-    *    — exactly-once sink semantics without coordination. */
+    *    — exactly-once sink semantics without coordination.
+    *  - `dvs` = (file, sidecar) DELETION-VECTOR actions (Delta's
+    *    add-with-deletionVector): a row-level DELETE commits as dv
+    *    actions naming each masked file and the positional sidecar;
+    *    scans apply the union of a file's dv sidecars (e14's broadcast
+    *    anti-join). A dv'd file joins the CONFLICT SET — a DELETE
+    *    racing a rewrite of the same file (either order) is a detected
+    *    conflict, since the rewrite would orphan the mask. */
   private[graft] def occCommit(
       s: org.apache.spark.sql.SparkSession, root: java.io.File,
       rows: Seq[(String, Long, Long, Long, Long, Long)],
@@ -2920,7 +3009,8 @@ object Mixing {
       maxAttempts: Int = 50,
       removes: Seq[String] = Nil,
       dataChange: Boolean = true,
-      txn: Option[(String, Long)] = None): OccResult = {
+      txn: Option[(String, Long)] = None,
+      dvs: Seq[(String, String)] = Nil): OccResult = {
     import s.implicits._
     val commitsDir = new java.io.File(root, "commits")
     commitsDir.mkdirs()
@@ -2929,16 +3019,19 @@ object Mixing {
     try {
       val (app, txnV) = txn.getOrElse(("", -1L))
       (rows.map { case (f, n, pmin, pmax, smin, smax) =>
-        (f, n, pmin, pmax, smin, smax, "add", dataChange, app, txnV)
+        (f, n, pmin, pmax, smin, smax, "add", dataChange, app, txnV, "")
       } ++ removes.map(f =>
-        (f, 0L, 0L, 0L, 0L, 0L, "remove", dataChange, app, txnV)))
+        (f, 0L, 0L, 0L, 0L, 0L, "remove", dataChange, app, txnV, "")) ++
+        dvs.map { case (f, sidecar) =>
+          (f, 0L, 0L, 0L, 0L, 0L, "dv", dataChange, app, txnV, sidecar)
+        })
         .toDF("file", "rows", "pmin", "pmax", "smin", "smax", "action",
-          "dataChange", "app", "txn")
+          "dataChange", "app", "txn", "dv")
         .coalesce(1).write.mode("overwrite")
         .parquet(new java.io.File(tmp, "m").getAbsolutePath)
       val part = new java.io.File(tmp, "m").listFiles()
         .filter(_.getName.endsWith(".parquet")).head
-      val mine = (rows.map(_._1) ++ removes).toSet
+      val mine = (rows.map(_._1) ++ removes ++ dvs.map(_._1)).toSet
       val checked = scala.collection.mutable.Set.empty[Int]
       var attempt = 0
       while (attempt < maxAttempts) {
@@ -2984,6 +3077,91 @@ object Mixing {
       .join(frame.filter(col("action") === "remove").select("file"),
         Seq("file"), "left_anti")
 
+  /** Write-once OCC log with a ROW-LEVEL DELETE for e25/e26: the zinc
+    * layout's standing + delta files (read-only references — commits
+    * point at them, never copy) under a fresh commit log: v0 = standing
+    * adds, v1 = the delta ingest (dataChange adds), v2 = a DELETE
+    * (l_orderkey % 97 = 0) evaluated ONCE over the visible files and
+    * committed as dv actions — one positional sidecar plus one action
+    * row per masked file (Delta's add-with-deletionVector). No data
+    * file is rewritten; the DELETE's cost is the predicate pass plus a
+    * commit. */
+  private[graft] def occDvRoot(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "li_occdv_" + base)
+    if (verifiedLayouts.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val zroot = new java.io.File(zincManifestRoot(s, dir))
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(zroot.getAbsolutePath + ".staged"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      deleteRecursively(path.toPath)
+      path.mkdirs()
+      occCommit(s, path,
+        footerBoxRows(new java.io.File(zroot, "standing")),
+        snapshotVersion = -1)
+      occCommit(s, path,
+        footerBoxRows(new java.io.File(zroot, "delta")),
+        snapshotVersion = 0)
+      val visible = occVisible(s.read.parquet(
+          new java.io.File(path, "commits").getAbsolutePath))
+        .select($"file").as[String].collect().toSeq.sorted
+      val sidecar = new java.io.File(path, "dv_v2")
+      s.read.parquet(visible: _*)
+        .select(col("_metadata.file_path").as("file"),
+          col("_metadata.row_index").as("pos"), $"l_orderkey")
+        .filter($"l_orderkey" % 97 === 0)
+        .select($"file", $"pos")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(sidecar.getAbsolutePath)
+      val affected = s.read.parquet(sidecar.getAbsolutePath)
+        .select($"file").distinct().as[String].collect().toSeq
+        .map(uriToLocal).sorted
+      require(affected.nonEmpty, "the staged DELETE masked no file")
+      occCommit(s, path, Nil, snapshotVersion = 1,
+        dvs = affected.map(f => (f, sidecar.getAbsolutePath)))
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedLayouts.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
+  /** Net SCAN of an OCC log with row-level masks applied: visible files
+    * ([[occVisible]]) minus every position a dv action's sidecar masks
+    * — the e14 broadcast anti-join driven from the log itself. Masks of
+    * files a later rewrite retired are dropped with their file. */
+  private[graft] def occScanVisible(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val frame = s.read.parquet(
+      new java.io.File(root, "commits").getAbsolutePath)
+    val files = occVisible(frame)
+      .select($"file").as[String].collect().toSeq.sorted
+    require(files.nonEmpty, "no visible files in the log")
+    val visible = files.toSet
+    val sidecars = frame.filter($"action" === "dv")
+      .select($"file", $"dv").as[(String, String)].collect()
+      .filter { case (f, _) => visible.contains(f) }
+      .map(_._2).distinct.sorted
+    val base = s.read.parquet(files: _*)
+    if (sidecars.isEmpty) base
+    else base
+      .withColumn("file", col("_metadata.file_path"))
+      .withColumn("pos", col("_metadata.row_index"))
+      .join(broadcast(s.read.parquet(sidecars: _*)),
+        Seq("file", "pos"), "left_anti")
+      .drop("file", "pos")
+  }
+
   /** Retries observed while staging [[occRoot]]'s concurrent pair —
     * proof the barrier actually forced a same-slot race (spec-read). */
   @volatile private[graft] var lastOccStagingRetries: Int = -1
@@ -3011,10 +3189,10 @@ object Mixing {
     if (verifiedLayouts.contains(path.getAbsolutePath))
       return path.getAbsolutePath
     val zroot = new java.io.File(zincManifestRoot(s, dir))
-    // v3: commits carry the dataChange/app/txn action fields (e23's
-    // change feed, st22's idempotent writes) — earlier logs lack the
-    // columns and must restage
-    val stamp = s"v3:${Multimodal.sourceFingerprint(
+    // v4: commits carry the dataChange/app/txn/dv action fields (e23's
+    // change feed, st22's idempotent writes, e25's row-level deletes)
+    // — earlier logs lack the columns and must restage
+    val stamp = s"v4:${Multimodal.sourceFingerprint(
       new java.io.File(zroot.getAbsolutePath + ".staged"))}"
     val marker = new java.io.File(path.getAbsolutePath + ".staged")
     val upToDate = path.isDirectory && marker.isFile &&
@@ -3117,7 +3295,14 @@ object Mixing {
     val tmp = java.nio.file.Files
       .createTempDirectory(root.toPath, "_cp_tmp_").toFile
     try {
-      occVisible(s.read.parquet(srcs: _*)).coalesce(1).write.mode("overwrite")
+      val all = s.read.parquet(srcs: _*)
+      val net = occVisible(all)
+      // dv actions of still-visible files ride the checkpoint (Delta
+      // embeds the DV descriptor in the checkpointed add); a retired
+      // file's mask drops with its file
+      val liveDvs = all.filter(col("action") === "dv")
+        .join(net.select("file"), Seq("file"), "left_semi")
+      net.unionByName(liveDvs).coalesce(1).write.mode("overwrite")
         .parquet(new java.io.File(tmp, "m").getAbsolutePath)
       val part = new java.io.File(tmp, "m").listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -3218,18 +3403,49 @@ object Mixing {
      m.filter(_.getString(0) == "remove").map(_.getString(1)).toSeq.sorted)
   }
 
+  /** The range's `dataChange` DELETION-VECTOR actions — (file, sidecar)
+    * pairs whose masked positions are row-level deletes in the feed. */
+  private[graft] def occChangedDvs(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      from: Int, to: Int): Seq[(String, String)] = {
+    val commitsDir = new java.io.File(root, "commits")
+    val vs = occVersions(commitsDir).filter(v => v > from && v <= to)
+    if (vs.isEmpty) return Nil
+    s.read.parquet(
+        vs.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
+      .filter(col("dataChange") && col("action") === "dv")
+      .select(col("file"), col("dv"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+  }
+
   /** The change rows themselves — each insert/delete source file's rows
     * tagged with Delta CDF's `_change_type` spelling (`change_type`
-    * here; the driver compare is column-name-sorted). */
+    * here; the driver compare is column-name-sorted). Whole-file
+    * actions contribute the file's rows; dv actions contribute exactly
+    * the sidecar's masked positions as deletes (one broadcast semi-join
+    * per dv'd file set, the e14 mask inverted). */
   private[graft] def occChangeFeed(
       s: org.apache.spark.sql.SparkSession, root: java.io.File,
       from: Int, to: Int): org.apache.spark.sql.DataFrame = {
     val (ins, del) = occChangedFiles(s, root, from, to)
+    val dvd = occChangedDvs(s, root, from, to)
     def tagged(files: Seq[String], tag: String) =
       if (files.isEmpty) None
       else Some(s.read.parquet(files: _*)
         .withColumn("change_type", lit(tag)))
-    val parts = tagged(ins, "insert").toSeq ++ tagged(del, "delete").toSeq
+    val dvDeletes =
+      if (dvd.isEmpty) None
+      else {
+        val mask = s.read.parquet(dvd.map(_._2).distinct: _*)
+        Some(s.read.parquet(dvd.map(_._1).distinct: _*)
+          .withColumn("file", col("_metadata.file_path"))
+          .withColumn("pos", col("_metadata.row_index"))
+          .join(broadcast(mask), Seq("file", "pos"), "left_semi")
+          .drop("file", "pos")
+          .withColumn("change_type", lit("delete")))
+      }
+    val parts = tagged(ins, "insert").toSeq ++
+      tagged(del, "delete").toSeq ++ dvDeletes.toSeq
     require(parts.nonEmpty, s"no change rows in ($from, $to]")
     parts.reduce(_ unionByName _)
   }
