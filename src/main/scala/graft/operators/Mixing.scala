@@ -2276,7 +2276,54 @@ object Mixing {
           UNION ALL
           SELECT 'delete' AS ct, l_returnflag, l_quantity, l_extendedprice
           FROM lineitem WHERE l_orderkey % 97 = 0)
-        GROUP BY ct, l_returnflag ORDER BY change_type, l_returnflag"""))
+        GROUP BY ct, l_returnflag ORDER BY change_type, l_returnflag""")),
+
+    // ---------------------------------------------------------------- e27
+    // EQUALITY DELETES with sequence-number semantics (Iceberg v2's
+    // second delete flavor, completing the taxonomy: e14/e25 positional
+    // = "I read the data and know the rows"; equality = "I only know
+    // the keys" — the shape a CDC stream's DELETE arrives in, written
+    // WITHOUT opening a single data file). The delete applies BY
+    // SEQUENCE: key-matching rows die only in files committed BELOW the
+    // delete's version; the delta ingest commits ABOVE it, so its
+    // matching keys survive — the rule that makes delete-then-reinsert
+    // streams correct, and the load-bearing half of this row (a scan
+    // that applied the delete globally would kill the reinserted rows
+    // and fail the hash; guards pin that surviving matches exist).
+    // Planning partitions visible files by applicable delete set and
+    // anti-joins each group's broadcast keys once. OccEqDeleteSpec pins
+    // the rewrite hazard: a packed replacement commits at the HEAD,
+    // re-sequencing above the delete, so rewrites MUST apply pending
+    // masks ([[occRewriteApplied]]) or they resurrect rows.
+    QuerySpec(
+      "e27_equality_delete",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(occEqRoot(s, dir))
+        val log = occLogWithVersions(s, root)
+        val delV = log.filter($"action" === "eqdel")
+          .select($"version").as[Int].collect().toSeq
+        require(delV == Seq(1), s"staged log should carry one eqdel at v1: $delV")
+        // sequence semantics are load-bearing: the post-delete ingest
+        // must CARRY key-matching rows (their survival in the answer is
+        // then value-pinned by the oracle, which includes them). One
+        // file-sized probe, not a second scan pass.
+        val postFiles = log.filter($"action" === "add" && $"version" > 1)
+          .select($"file").as[String].collect().toSeq.sorted
+        require(postFiles.nonEmpty, "no post-delete ingest in the log")
+        require(s.read.parquet(postFiles: _*)
+          .filter($"l_suppkey" % 13 === 5).limit(1).count() == 1,
+          "the post-delete ingest carries no key-matching rows — " +
+            "sequence rule untested")
+        occScanEq(s, root, Seq("l_suppkey")).transform(flagAgg)
+      },
+      Some("""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_orderkey % 5 = 0 OR l_suppkey % 13 <> 5
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
   /** Write-once lang-partitioned copy of the documents table (the
@@ -3000,7 +3047,17 @@ object Mixing {
     *    scans apply the union of a file's dv sidecars (e14's broadcast
     *    anti-join). A dv'd file joins the CONFLICT SET — a DELETE
     *    racing a rewrite of the same file (either order) is a detected
-    *    conflict, since the rewrite would orphan the mask. */
+    *    conflict, since the rewrite would orphan the mask.
+    *  - `eqDeletes` = EQUALITY-DELETE files (Iceberg v2's second delete
+    *    flavor): each names a parquet of KEY VALUES written WITHOUT
+    *    reading any data file — the streaming-CDC-friendly delete. It
+    *    applies by SEQUENCE: only to data files committed at an
+    *    EARLIER version ([[occScanEq]]); later adds with the same keys
+    *    survive. An equality delete names no data file, so it never
+    *    conflicts with appends — but a REWRITE of a masked file must
+    *    apply pending equality deletes ([[occRewriteApplied]]) or it
+    *    would re-sequence the rows above the delete and resurrect
+    *    them (OccEqDeleteSpec pins the hazard and the fix). */
   private[graft] def occCommit(
       s: org.apache.spark.sql.SparkSession, root: java.io.File,
       rows: Seq[(String, Long, Long, Long, Long, Long)],
@@ -3010,7 +3067,8 @@ object Mixing {
       removes: Seq[String] = Nil,
       dataChange: Boolean = true,
       txn: Option[(String, Long)] = None,
-      dvs: Seq[(String, String)] = Nil): OccResult = {
+      dvs: Seq[(String, String)] = Nil,
+      eqDeletes: Seq[String] = Nil): OccResult = {
     import s.implicits._
     val commitsDir = new java.io.File(root, "commits")
     commitsDir.mkdirs()
@@ -3024,14 +3082,16 @@ object Mixing {
         (f, 0L, 0L, 0L, 0L, 0L, "remove", dataChange, app, txnV, "")) ++
         dvs.map { case (f, sidecar) =>
           (f, 0L, 0L, 0L, 0L, 0L, "dv", dataChange, app, txnV, sidecar)
-        })
+        } ++ eqDeletes.map(f =>
+          (f, 0L, 0L, 0L, 0L, 0L, "eqdel", dataChange, app, txnV, "")))
         .toDF("file", "rows", "pmin", "pmax", "smin", "smax", "action",
           "dataChange", "app", "txn", "dv")
         .coalesce(1).write.mode("overwrite")
         .parquet(new java.io.File(tmp, "m").getAbsolutePath)
       val part = new java.io.File(tmp, "m").listFiles()
         .filter(_.getName.endsWith(".parquet")).head
-      val mine = (rows.map(_._1) ++ removes ++ dvs.map(_._1)).toSet
+      val mine =
+        (rows.map(_._1) ++ removes ++ dvs.map(_._1) ++ eqDeletes).toSet
       val checked = scala.collection.mutable.Set.empty[Int]
       var attempt = 0
       while (attempt < maxAttempts) {
@@ -3160,6 +3220,130 @@ object Mixing {
       .join(broadcast(s.read.parquet(sidecars: _*)),
         Seq("file", "pos"), "left_anti")
       .drop("file", "pos")
+  }
+
+  /** The commit log with each action's VERSION (parsed from its commit
+    * file's name) — the sequence number Iceberg scopes deletes by. */
+  private[graft] def occLogWithVersions(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File)
+      : org.apache.spark.sql.DataFrame =
+    s.read.parquet(new java.io.File(root, "commits").getAbsolutePath)
+      .withColumn("version", regexp_extract(input_file_name(),
+        "v(\\d{5})\\.parquet", 1).cast("int"))
+
+  /** Sequence-scoped scan with EQUALITY DELETES applied: a delete file
+    * committed at version d masks key-matching rows ONLY in data files
+    * added at versions BELOW d — later adds with the same keys survive
+    * (Iceberg v2's sequence-number rule, what makes an upsert stream's
+    * delete-then-reinsert correct). Visible files partition by their
+    * applicable delete set — delete sets are version-prefix-monotone,
+    * so the groups are few — and each group anti-joins the union of
+    * its delete keys once, broadcast (delete files are key-sized). */
+  private[graft] def occScanEq(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val log = occLogWithVersions(s, root)
+    val removed = log.filter($"action" === "remove").select("file")
+    val adds = log.filter($"action" === "add")
+      .join(removed, Seq("file"), "left_anti")
+      .select($"file", $"version").as[(String, Int)].collect().toSeq.sorted
+    require(adds.nonEmpty, "no visible files in the log")
+    val dels = log.filter($"action" === "eqdel")
+      .select($"file", $"version").as[(String, Int)].collect().toSeq
+      .sortBy(_._2)
+    val groups = adds.groupBy { case (_, addV) =>
+      dels.filter(_._2 > addV).map(_._1)
+    }.toSeq.sortBy(_._2.head._1)
+    groups.map { case (delFiles, files) =>
+      val base = s.read.parquet(files.map(_._1): _*)
+      if (delFiles.isEmpty) base
+      else base.join(
+        broadcast(s.read.parquet(delFiles: _*)
+          .select(keyCols.map(col): _*).distinct()),
+        keyCols, "left_anti")
+    }.reduce(_ unionByName _)
+  }
+
+  /** REWRITE of `victim` under pending equality deletes: applying the
+    * masks is MANDATORY — the packed replacement commits at the log
+    * HEAD, re-sequencing its rows above every existing delete, so a
+    * naive byte copy would resurrect masked rows (Iceberg's rewrite
+    * rule; OccEqDeleteSpec pins the hazard and this fix). The physical
+    * write happens before the claim loop, dataChange=false keeps the
+    * feed clean. `stats` builds the manifest row (footer boxes for
+    * lineitem-shaped files; specs pass their own). */
+  private[graft] def occRewriteApplied(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      victim: String, keyCols: Seq[String], label: String,
+      snapshotVersion: Int,
+      stats: java.io.File => Seq[(String, Long, Long, Long, Long, Long)]
+        = footerBoxRows): OccResult = {
+    import s.implicits._
+    val log = occLogWithVersions(s, root)
+    val addV = log.filter($"action" === "add" && $"file" === victim)
+      .select($"version").as[Int].head()
+    val dels = log.filter($"action" === "eqdel" && $"version" > addV)
+      .select($"file").as[String].collect().toSeq.sorted
+    val dest = new java.io.File(new java.io.File(root, "rewritten"), label)
+    val base = s.read.parquet(victim)
+    val applied =
+      if (dels.isEmpty) base
+      else base.join(
+        broadcast(s.read.parquet(dels: _*)
+          .select(keyCols.map(col): _*).distinct()),
+        keyCols, "left_anti")
+    applied.coalesce(1).write.mode("overwrite")
+      .parquet(dest.getAbsolutePath)
+    try occCommit(s, root, stats(dest), snapshotVersion,
+      removes = Seq(victim), dataChange = false)
+    catch {
+      case t: Throwable => deleteRecursively(dest.toPath); throw t
+    }
+  }
+
+  /** Write-once OCC log with an EQUALITY DELETE for e27: v0 = standing
+    * adds, v1 = the delete (key values `l_suppkey % 13 = 5`, written
+    * WITHOUT opening a single data file — the CDC-writer shape), v2 =
+    * the delta ingest, whose key-matching rows must SURVIVE (committed
+    * above the delete). */
+  private[graft] def occEqRoot(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "li_occeq_" + base)
+    if (verifiedLayouts.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val zroot = new java.io.File(zincManifestRoot(s, dir))
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(zroot.getAbsolutePath + ".staged"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      deleteRecursively(path.toPath)
+      path.mkdirs()
+      occCommit(s, path,
+        footerBoxRows(new java.io.File(zroot, "standing")),
+        snapshotVersion = -1)
+      // the delete file: key VALUES only, derived from the base table
+      // (deterministic, oracle-replayable), no data file read
+      val keys = new java.io.File(path, "eqdel_v1")
+      graft.Tables(s, dir, "lineitem")
+        .select($"l_suppkey").filter($"l_suppkey" % 13 === 5).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(keys.getAbsolutePath)
+      occCommit(s, path, Nil, snapshotVersion = 0,
+        eqDeletes = Seq(keys.getAbsolutePath))
+      occCommit(s, path,
+        footerBoxRows(new java.io.File(zroot, "delta")),
+        snapshotVersion = 1)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedLayouts.add(path.getAbsolutePath)
+    path.getAbsolutePath
   }
 
   /** Retries observed while staging [[occRoot]]'s concurrent pair —

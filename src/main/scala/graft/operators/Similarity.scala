@@ -144,6 +144,68 @@ object Similarity {
         nQueries = 10, nProbe = 2, k = 5),
       Some(IvfIncOracle)),
 
+    // ---------------------------------------------------------------- s15
+    // BINARY (sign) quantization + Hamming coarse search — the extreme
+    // end of the compression ladder (s3 int8 = 4×; s5 PQ = 32× but
+    // needs trained codebooks; sign-BQ = 32× with NO training: one bit
+    // per dimension, the 64-dim float vector becomes two 32-bit halves
+    // in BIGINTs). The coarse pass is XOR + POPCOUNT per candidate —
+    // pure codegen'd integer arithmetic over an 8-byte-per-vector code
+    // table that stays RAM-resident at corpus sizes where floats
+    // cannot — cut by (hamming asc, cand_id), then exact cosine
+    // fetches full vectors for the finalists only (the matryoshka/s7
+    // two-stage shape). Sign thresholds are single-float comparisons
+    // (no summation, no rounding hazard), so codes are bit-identical
+    // across engines and the whole pipeline is hash-checkable;
+    // SimilarityRecallSpec pins recall@k vs exact s1.
+    QuerySpec(
+      "s15_binary_quant_topk",
+      (s, dir) => binaryQuantTopK(s, dir, nQueries = 10, cut = 50, k = 5),
+      Some("""
+        WITH codes AS (
+          SELECT vec_id,
+                 CAST(list_sum(list_transform(generate_series(0, 31),
+                   i -> CASE WHEN embedding[i + 1] >= 0
+                        THEN (CAST(1 AS BIGINT) << i)
+                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS c0,
+                 CAST(list_sum(list_transform(generate_series(0, 31),
+                   i -> CASE WHEN embedding[i + 33] >= 0
+                        THEN (CAST(1 AS BIGINT) << i)
+                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS c1
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, c0 AS q0, c1 AS q1
+              FROM codes WHERE vec_id < 10),
+        h AS (SELECT query_id, c.vec_id AS cand_id,
+                     bit_count(xor(c.c0, q0)) + bit_count(xor(c.c1, q1))
+                       AS hamming
+              FROM codes c CROSS JOIN q WHERE c.vec_id <> query_id),
+        f AS (SELECT query_id, cand_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY hamming, cand_id) AS crank
+              FROM h),
+        p AS (
+          SELECT f.query_id, f.cand_id,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(qe.embedding)),
+                     i -> CAST(qe.embedding[i] AS DOUBLE)
+                        * CAST(ce.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(qe.embedding)),
+                        i -> CAST(qe.embedding[i] AS DOUBLE)
+                           * CAST(qe.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(ce.embedding)),
+                          i -> CAST(ce.embedding[i] AS DOUBLE)
+                             * CAST(ce.embedding[i] AS DOUBLE))))), 6) AS cosine
+          FROM f
+          JOIN embeddings qe ON qe.vec_id = f.query_id
+          JOIN embeddings ce ON ce.vec_id = f.cand_id
+          WHERE f.crank <= 50),
+        r AS (SELECT query_id, cand_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, cand_id) AS rank
+              FROM p)
+        SELECT query_id, rank, cand_id, cosine FROM r WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
     // ----------------------------------------------------------------- s3
     // Int8 symmetric quantization — the compression step a 100 TB vector
     // store runs before ANN serving (4× memory vs float32, 8× vs float64):
@@ -1571,6 +1633,49 @@ object Similarity {
     finalists
       .join(emb.select($"vec_id".as("cand_id"), $"embedding".as("cv")), "cand_id")
       .join(broadcast(qFull.select($"query_id", $"qv")), "query_id")
+      .withColumn("cosine",
+        round(graft.functions.GraftFunctions.cosineSim($"qv", $"cv"), 6))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"cand_id", $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** s15: sign-bit binary quantization + Hamming coarse search + exact
+    * rerank (see the QuerySpec scaladoc). The code table is two packed
+    * 32-bit halves per vector; the coarse candidate pass is XOR +
+    * POPCOUNT in whole-stage codegen, the exact pass fetches full
+    * vectors for the `cut`-sized finalist set only. */
+  def binaryQuantTopK(s: SparkSession, dir: String, nQueries: Int = 10,
+                      cut: Int = 50, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    // pack dims [off, off+32) into one BIGINT: bit i = [v(off+i) >= 0]
+    def half(off: Int) = expr(
+      s"""aggregate(transform(sequence(0, 31), i ->
+         |  IF(element_at(embedding, i + $off + 1) >= cast(0 as float),
+         |     shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
+         |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin)
+    val codes = emb.select($"vec_id", half(0).as("c0"), half(32).as("c1"))
+    val q = codes.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"c0".as("q0"), $"c1".as("q1"))
+    val wCut = Window.partitionBy($"query_id")
+      .orderBy($"hamming".asc, $"cand_id")
+    val finalists = codes
+      .select($"vec_id".as("cand_id"), $"c0", $"c1")
+      .crossJoin(broadcast(q))
+      .filter($"query_id" =!= $"cand_id")
+      .withColumn("hamming",
+        expr("bit_count(c0 ^ q0) + bit_count(c1 ^ q1)"))
+      .withColumn("crank", row_number().over(wCut))
+      .filter($"crank" <= cut)
+      .select($"query_id", $"cand_id")
+    val qFull = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val wTop = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")
+    finalists
+      .join(emb.select($"vec_id".as("cand_id"), $"embedding".as("cv")), "cand_id")
+      .join(broadcast(qFull), "query_id")
       .withColumn("cosine",
         round(graft.functions.GraftFunctions.cosineSim($"qv", $"cv"), 6))
       .withColumn("rank", row_number().over(wTop))

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Pins e27's equality deletes (Iceberg v2 sequence-number semantics):
+  *
+  *  - a delete at version d masks key-matching rows ONLY in files
+  *    added below d; a later add with the same keys survives;
+  *  - stacked deletes scope independently — each file is masked by
+  *    exactly the deletes committed after it;
+  *  - the REWRITE HAZARD: a naive byte-copy rewrite re-sequences its
+  *    rows above every delete and RESURRECTS masked keys; the
+  *    delete-aware rewrite ([[Mixing.occRewriteApplied]]) applies
+  *    pending masks and preserves the answer;
+  *  - an equality delete names no data file, so it never conflicts
+  *    with a racing append.
+  */
+class OccEqDeleteSpec extends SparkTestBase {
+
+  private def freshRoot(): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("occeq_spec_").toFile
+    d.deleteOnExit()
+    d
+  }
+
+  private def stage(root: java.io.File, name: String,
+                    ks: Seq[Int]): String = {
+    import spark.implicits._
+    val d = new java.io.File(root, name)
+    ks.map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.parquet(d.getAbsolutePath)
+    d.getAbsolutePath
+  }
+
+  private def keysFile(root: java.io.File, name: String,
+                       ks: Seq[Int]): String = {
+    import spark.implicits._
+    val d = new java.io.File(root, name)
+    ks.toDF("k").coalesce(1).write.parquet(d.getAbsolutePath)
+    d.getAbsolutePath
+  }
+
+  private def fr(f: String) = (f, 1L, 0L, 100L, 0L, 100L)
+
+  private def scanKs(root: java.io.File): Seq[Int] = {
+    import spark.implicits._
+    Mixing.occScanEq(spark, root, Seq("k"))
+      .select($"k").as[Int].collect().toSeq.sorted
+  }
+
+  test("sequence rule: the delete masks only earlier files; stacked deletes scope per file") {
+    val root = freshRoot()
+    val a = stage(root, "a", Seq(1, 2, 3))
+    Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1) // v0
+    Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,         // v1
+      eqDeletes = Seq(keysFile(root, "d1", Seq(2))))
+    val b = stage(root, "b", Seq(2, 5))                             // v2:
+    Mixing.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 1)  // 2 reinserted
+    assert(scanKs(root) == Seq(1, 2, 3, 5),
+      "the delete leaked onto the later add (or missed the earlier one)")
+
+    Mixing.occCommit(spark, root, Nil, snapshotVersion = 2,         // v3
+      eqDeletes = Seq(keysFile(root, "d2", Seq(3, 5))))
+    // a (v0) is masked by {2} and {3,5}; b (v2) only by {3,5}
+    assert(scanKs(root) == Seq(1, 2),
+      "stacked deletes did not scope per file")
+  }
+
+  test("a naive rewrite resurrects masked keys; the delete-aware rewrite preserves the answer") {
+    // the hazard, demonstrated with real commits
+    locally {
+      val root = freshRoot()
+      val a = stage(root, "a", Seq(1, 2, 3))
+      Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+      Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,
+        eqDeletes = Seq(keysFile(root, "d1", Seq(2))))
+      assert(scanKs(root) == Seq(1, 3))
+      val aCopy = stage(root, "a_naive", Seq(1, 2, 3)) // byte copy
+      Mixing.occCommit(spark, root, Seq(fr(aCopy)), snapshotVersion = 1,
+        removes = Seq(a), dataChange = false)
+      assert(scanKs(root) == Seq(1, 2, 3),
+        "expected the naive rewrite to resurrect key 2 — hazard gone?")
+    }
+    // the fix
+    locally {
+      val root = freshRoot()
+      val a = stage(root, "a", Seq(1, 2, 3))
+      Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+      Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,
+        eqDeletes = Seq(keysFile(root, "d1", Seq(2))))
+      val r = Mixing.occRewriteApplied(spark, root, a, Seq("k"), "rw0",
+        snapshotVersion = 1,
+        stats = d => Seq((d.getAbsolutePath, 0L, 0L, 0L, 0L, 0L)))
+      assert(r.version == 2, s"rewrite should land at the head: $r")
+      assert(scanKs(root) == Seq(1, 3),
+        "the delete-aware rewrite changed the answer")
+    }
+  }
+
+  test("an equality delete never conflicts with a racing append") {
+    val root = freshRoot()
+    val a = stage(root, "a", Seq(1, 2))
+    Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+    val b = stage(root, "b", Seq(3))
+    val r = Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,
+      eqDeletes = Seq(keysFile(root, "d1", Seq(1))),
+      onAttempt = n => if (n == 0) {
+        Mixing.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 0)
+        ()
+      })
+    assert(r.retries == 1 && r.version == 2,
+      s"the delete should have retried past the append and landed: $r")
+    // b committed at v1 < the delete's v2, so ITS keys are in scope —
+    // but none match; a's key 1 dies
+    assert(scanKs(root) == Seq(2, 3), s"post-race scan wrong: ${scanKs(root)}")
+  }
+}
