@@ -1073,7 +1073,34 @@ object StreamQueries {
     QuerySpec(
       "st22_idempotent_ingest_stream",
       (s, dir) => occIngestIdempotent(s, dir),
-      Some(graft.operators.Mixing.ZBoxAggOracle)))
+      Some(graft.operators.Mixing.ZBoxAggOracle)),
+
+    // ---------------------------------------------------------------- st23
+    // ROW-LEVEL RETRACTION in the streaming consumer — st20 retracts
+    // whole files (a rewrite's remove actions); a DELETE WHERE commits
+    // dv actions that mask a few rows per file, and a downstream
+    // materialized aggregate must subtract EXACTLY those rows without
+    // reprocessing the table. Per trigger (one commit file each): adds
+    // fold in box-pruned per-file partials (st20's shape); dv actions
+    // read ONLY the sidecar's masked rows (broadcast semi-join on the
+    // dv'd files) and append NEGATED decimal partials — the algebraic
+    // retraction, cost ∝ masked rows. The final merge sums positives
+    // and negatives; the base-table oracle (box agg minus the deleted
+    // slice) makes an over- or under-retraction a hash failure. At
+    // 100 TB this is the CDC-materialized-view contract: maintenance
+    // and row deletes flow through the same incremental fold.
+    QuerySpec(
+      "st23_occ_dv_consume_stream",
+      (s, dir) => occDvConsume(s, dir),
+      Some(graft.operators.Mixing.ZBoxCte + """
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem, box
+        WHERE l_partkey BETWEEN plo AND phi
+          AND l_suppkey BETWEEN slo AND shi
+          AND l_orderkey % 97 <> 0
+        GROUP BY l_returnflag ORDER BY l_returnflag""")))
 
   /** Stage the st16 query-vector inbox: the vec_id % 5 == 2 slice of
     * the embeddings table as a 4-file query_id-ranged parquet inbox
@@ -1717,6 +1744,100 @@ object StreamQueries {
       .filter($"l_partkey".between(pLo, pHi) &&
         $"l_suppkey".between(sLo, sHi))
       .transform(M.flagAgg)
+  }
+
+  /** The last st23 run's dir and its count of NEGATIVE (retraction)
+    * partial rows — DvConsumeStreamSpec's physical pins. */
+  @volatile private[graft] var lastDvConsumeRunDir: String = _
+  @volatile private[graft] var lastDvConsumeNegatives: Long = -1L
+
+  /** st23's run-to-termination: stream the occDvRoot commit log one
+    * commit per trigger; adds fold into box-pruned per-file partials
+    * (st20's shape), dv actions fold into NEGATED partials built from
+    * only the sidecar's masked rows, removes into tombstones. The
+    * merge is exact under any commit slicing because partials stay
+    * DECIMAL (the st19/st20 discipline). */
+  def occDvConsume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Mixing
+    val root = new java.io.File(M.occDvRoot(s, dir))
+    val commitsDir = new java.io.File(root, "commits")
+    val runDir = freshRunDir("st23")
+    lastDvConsumeRunDir = runDir.getAbsolutePath
+    val partialDir = new java.io.File(runDir, "partials").getAbsolutePath
+    val tombDir = new java.io.File(runDir, "tombstones").getAbsolutePath
+    val (pLo, pHi, sLo, sHi) = M.e9Box(dir)
+    // callers prepare a `file` column (the scan's metadata path); the
+    // group key is normalized to the manifest's scheme-less spelling
+    def boxAgg(df: DataFrame, sign: Int): DataFrame =
+      df.filter(col("l_partkey").between(pLo, pHi) &&
+          col("l_suppkey").between(sLo, sHi))
+        .groupBy(regexp_replace(col("file"), "^file:/+", "/").as("file"),
+          col("l_returnflag"))
+        .agg((count(lit(1)) * sign).as("n_rows"),
+          (sum(col("l_quantity").cast("decimal(18,4)")) * sign)
+            .as("sum_qty"),
+          (sum(col("l_extendedprice").cast("decimal(18,4)")) * sign)
+            .as("sum_price"))
+    def applyCommit(commit: DataFrame): Unit = {
+      val addFiles = commit
+        .filter(col("action") === "add" &&
+          col("pmax") >= pLo && col("pmin") <= pHi &&
+          col("smax") >= sLo && col("smin") <= sHi)
+        .select("file").as[String].collect().toSeq.sorted
+      if (addFiles.nonEmpty)
+        boxAgg(s.read.parquet(addFiles: _*)
+            .withColumn("file", col("_metadata.file_path")), 1)
+          .write.mode("append").parquet(partialDir)
+      val dvd = commit.filter(col("action") === "dv")
+        .select(col("file"), col("dv")).as[(String, String)].collect()
+      if (dvd.nonEmpty) {
+        val mask = s.read.parquet(dvd.map(_._2).distinct.toSeq: _*)
+        val maskedRows = s.read.parquet(dvd.map(_._1).distinct.toSeq: _*)
+          .withColumn("file", col("_metadata.file_path"))
+          .withColumn("pos", col("_metadata.row_index"))
+          .join(broadcast(mask), Seq("file", "pos"), "left_semi")
+          .drop("pos")
+        boxAgg(maskedRows, -1)
+          .write.mode("append").parquet(partialDir)
+        ()
+      }
+      commit.filter(col("action") === "remove")
+        .select(regexp_replace(col("file"), "^file:/+", "/").as("file"))
+        .write.mode("append").parquet(tombDir)
+      ()
+    }
+    val vs = M.occVersions(commitsDir)
+    val glob = vs.map(v => f"v$v%05d.parquet").mkString("{", ",", "}")
+    val schema = s.read.parquet(
+      M.occCommitFile(commitsDir, vs.head).getAbsolutePath).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", glob)
+      .parquet(commitsDir.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (commit: DataFrame, _: Long) =>
+        applyCommit(commit)
+      }
+      .option("checkpointLocation",
+        new java.io.File(runDir, "chk").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastRunProgress = q.recentProgress
+    val partials = s.read.parquet(partialDir)
+    lastDvConsumeNegatives = partials.filter(col("n_rows") < 0).count()
+    require(lastDvConsumeNegatives > 0,
+      "the dv commit should have produced retraction partials")
+    val tombs =
+      if (new java.io.File(tombDir).isDirectory) s.read.parquet(tombDir)
+      else s.range(0).select(lit("").as("file"))
+    partials.join(tombs, Seq("file"), "left_anti")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_qty")).cast("double").as("sum_qty"),
+        sum(col("sum_price")).cast("double").as("sum_price"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** The last st22 run's root, replay-skip count, and data-commit count
