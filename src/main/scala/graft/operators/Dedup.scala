@@ -1372,11 +1372,8 @@ object Dedup {
         val (pairs, _, _) = bandedCosinePairsAuto(s, dir, D26Threshold)
         pairs.orderBy(col("a_id"), col("b_id"))
       },
-      Some {
-        val (nBands, r) = autoShape(DriverSfEmbeddingCount, D26Threshold)
-        BandedCosinePairsOracle(D26Threshold, nBands, r) +
-          " SELECT a_id, b_id, cosine FROM cpairs ORDER BY a_id, b_id"
-      }),
+      Some(BandedCosinePairsAutoOracle(D26Threshold) +
+        " SELECT a_id, b_id, cosine FROM cpairs ORDER BY a_id, b_id")),
 
     // ---------------------------------------------------------------- d27
     // The PRODUCTION SemDeDup composition end-to-end under the
@@ -1403,13 +1400,10 @@ object Dedup {
         val (pairs, _, _) = bandedCosinePairsAuto(s, dir, D26Threshold)
         semdedupKeeper(s, dir, pairs.select(col("a_id"), col("b_id")))
       },
-      Some {
-        val (nBands, r) = autoShape(DriverSfEmbeddingCount, D26Threshold)
-        "WITH RECURSIVE " +
-          BandedCosinePairsOracle(D26Threshold, nBands, r)
-            .trim.stripPrefix("WITH") +
-          SemdedupKeeperSqlTail
-      }),
+      Some("WITH RECURSIVE " +
+        BandedCosinePairsAutoOracle(D26Threshold)
+          .trim.stripPrefix("WITH") +
+        SemdedupKeeperSqlTail)),
 
     // ---------------------------------------------------------------- d28
     // INCREMENTAL cluster maintenance (round 13) — the d25/s13
@@ -1446,13 +1440,10 @@ object Dedup {
     * result at the fixture's cosine ceiling (~0.51). */
   private def D26Threshold: Double = 0.45
 
-  /** Embedding-table row count at the driver's verify SF (sf0.01,
-    * TESTDATA.md) — the one fixture fact d26's generated oracle needs,
-    * since oracle SQL is dumped without a SparkSession to count with.
-    * If the fixture is ever regenerated at a different size the Scala
-    * auto path derives a different shape and the d26 row goes red —
-    * loud, not vacuous. */
-  private def DriverSfEmbeddingCount: Long = 500L
+  // (The former DriverSfEmbeddingCount pin is gone: d26/d27's oracle
+  // now derives the auto shape from COUNT(*) inside the SQL itself
+  // ([[BandedCosinePairsAutoOracle]]), so the compare is SF-invariant
+  // — it was red at sf0.1 under the old 500-row pin.)
 
   /** d10's winnow window (consecutive shingle hashes per min-selection).
     * w=4 ⇒ fingerprint density 2/(w+1) = 40% of shingles, shared-run
@@ -2346,6 +2337,60 @@ object Dedup {
     * sequential-fold dots, identical band/bit layout, exact cosine over
     * candidates only — ends in the same `cpairs(a_id, b_id, cosine)`
     * shape as [[CosinePairsOracle]] so the keeper tail composes. */
+  /** [[BandedCosinePairsOracle]] with the AUTO shape derived inside the
+    * SQL itself — the [[autoShape]] rule replayed over COUNT(*): r is
+    * the exact integer loop (MIN r with (targetBlock << r) >= n, via
+    * generate_series — no float log2, so power-of-two boundaries can't
+    * drift), nBands the same ceil/pow expression both engines evaluate
+    * in IEEE doubles. This makes the d26/d27 compare SF-INVARIANT: the
+    * old literal shape was generated for the driver's 500-row fixture
+    * and went red at any other scale. Ends at the `cpairs` CTE exactly
+    * like the static template, so the two compose interchangeably. */
+  private def BandedCosinePairsAutoOracle(threshold: Double): String = {
+    val targetBlock = (MaxCosineBlock / 8).toLong
+    s"""
+        WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+        rsel AS (
+          SELECT (SELECT MIN(r) FROM generate_series(1, 50) t(r)
+                  WHERE (CAST($targetBlock AS BIGINT) << r) >= nn.n) AS r
+          FROM nn),
+        sh AS (
+          SELECT r, GREATEST(8, CAST(CEIL(LN(10) /
+                 POW(1 - ACOS($threshold) / PI(), r)) AS INT)) AS nb
+          FROM rsel),
+        anch AS (SELECT vec_id AS plane, embedding AS av
+                 FROM embeddings, sh WHERE vec_id < CAST(nb AS BIGINT) * r),
+        bdots AS (
+          SELECT e.vec_id, anch.plane,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(anch.av[i] AS DOUBLE))),
+                   (acc, x) -> acc + x) AS dot
+          FROM embeddings e CROSS JOIN anch),
+        sig AS (
+          SELECT vec_id, CAST(plane // sh.r AS BIGINT) AS band,
+                 CAST(SUM(CASE WHEN dot >= 0
+                               THEN CAST(pow(2, plane % sh.r) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS sg
+          FROM bdots, sh GROUP BY vec_id, band),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+          FROM sig x JOIN sig y
+            ON x.band = y.band AND x.sg = y.sg AND x.vec_id < y.vec_id),
+        cp AS (
+          SELECT c.a_id, c.b_id,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(a.embedding)),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
+          FROM cand c JOIN embeddings a ON a.vec_id = c.a_id
+                      JOIN embeddings b ON b.vec_id = c.b_id),
+        cpairs AS (SELECT a_id, b_id, cosine FROM cp WHERE cosine >= $threshold)"""
+  }
+
   private def BandedCosinePairsOracle(threshold: Double, nBands: Int,
                                       rowsPerBand: Int): String = s"""
         WITH anch AS (SELECT vec_id AS plane, embedding AS av
