@@ -2350,10 +2350,19 @@ object Dedup {
     val targetBlock = (MaxCosineBlock / 8).toLong
     s"""
         WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
-        rsel AS (
+        rsel0 AS (
           SELECT (SELECT MIN(r) FROM generate_series(1, 50) t(r)
                   WHERE (CAST($targetBlock AS BIGINT) << r) >= nn.n) AS r
           FROM nn),
+        -- ADVICE r14: if n ever exceeded targetBlock << 50 the MIN above
+        -- is NULL and the oracle would silently degenerate to empty
+        -- while the Scala autoShape loop keeps going — fail LOUDLY
+        -- instead (error() is evaluated lazily inside CASE, probed).
+        rsel AS (
+          SELECT CASE WHEN r IS NULL THEN CAST(error(
+                   'banded auto-shape oracle: n exceeds targetBlock<<50')
+                   AS INT) ELSE r END AS r
+          FROM rsel0),
         sh AS (
           SELECT r, GREATEST(8, CAST(CEIL(LN(10) /
                  POW(1 - ACOS($threshold) / PI(), r)) AS INT)) AS nb

@@ -2317,14 +2317,108 @@ object Mixing {
             "sequence rule untested")
         occScanEq(s, root, Seq("l_suppkey")).transform(flagAgg)
       },
+      Some(EqDeleteOracle)),
+
+    // ---------------------------------------------------------------- e28
+    // EQUALITY DELETES ACROSS THE CHECKPOINT (VERDICT r14 #1 — the one
+    // wrong-answer path left in shipped code): r14's checkpoint wrote
+    // net adds + live dvs but DROPPED eqdel actions and flattened away
+    // the version sequencing they scope by, so a consumer bootstrapping
+    // from a checkpoint taken after an equality delete RESURRECTED the
+    // deleted keys. The snapshot now persists every row's commit
+    // version and the still-applicable eqdel actions (Iceberg keeps
+    // delete files in manifests across snapshots), and the staged log
+    // checkpoints at v1 — BETWEEN the delete and the matching
+    // re-insert — so this row crosses the boundary in BOTH directions:
+    // the snapshot's delete must still mask the snapshot's adds
+    // (resurrection check) while the TAIL's adds sequence above it and
+    // survive (a bootstrap that re-stamped or lost versions would kill
+    // the re-insert). Bootstrap ≡ full-log replay is additionally
+    // spec-pinned row-for-row (OccEqDeleteSpec); the oracle is e27's —
+    // one relational statement of the sequence rule over the base
+    // table, so either failure mode is a hash failure.
+    QuerySpec(
+      "e28_eqdel_checkpoint_bootstrap",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(occEqRoot(s, dir))
+        val (frame, tail) = occBootstrap(s, root)
+        require(tail == Seq(2),
+          s"bootstrap should replay exactly the post-checkpoint ingest: $tail")
+        // the pending delete must come from the SNAPSHOT, not the tail
+        val cp = s.read.parquet(new java.io.File(
+          new java.io.File(root, "checkpoints"), "cp_v00001.parquet")
+          .getAbsolutePath)
+        require(cp.filter($"action" === "eqdel").count() == 1,
+          "the checkpoint dropped the pending equality delete")
+        occScanEqFrame(s, frame, Seq("l_suppkey")).transform(flagAgg)
+      },
+      Some(EqDeleteOracle)),
+
+    // ---------------------------------------------------------------- e29
+    // EQUALITY-DELETE IMAGES IN THE CHANGE FEED (VERDICT r14 #2): r14's
+    // feed handled whole-file actions (e23) and dv sidecars (e26) but
+    // emitted NOTHING for an eqdel commit — a CDC consumer silently
+    // missed those deletes. The feed now inverts the occScanEq shape:
+    // for a delete at version d it reads the data files visible BELOW d
+    // and SEMI-joins the delete keys (key columns from the delete
+    // file's own schema — Iceberg's equality_ids travel with the file),
+    // so delete images cost O(below-sequence files), never the table,
+    // and rows the delete does NOT apply to (the re-insert, committed
+    // above d) contribute nothing. Over the staged log the full window
+    // carries the delta ingest as inserts AND the key-delete's standing
+    // victims as row-level deletes; the oracle replays both slices
+    // relationally, so a missed delete image, a double-emitted one, or
+    // a delete image leaked from the above-sequence re-insert is a hash
+    // failure. Guards pin the delete-only window (0,1] emits no
+    // inserts. OccEqDeleteSpec pins the ADVICE r14 netting fix beside
+    // this row: a row deleted row-level (dv or eqdel) is NOT re-emitted
+    // when its file is later removed with dataChange=true.
+    QuerySpec(
+      "e29_cdf_equality_delete",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(occEqRoot(s, dir))
+        val head = occVersions(new java.io.File(root, "commits")).last
+        require(head == 2, s"staged eq log should have 3 commits, head=v$head")
+        val (delIns, delFiles) = occChangedFiles(s, root, 0, 1)
+        require(delIns.isEmpty && delFiles.isEmpty,
+          "the DELETE window should carry no whole-file changes")
+        occChangeFeed(s, root, 0, head)
+          .groupBy($"change_type", $"l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"l_quantity".cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+          .orderBy($"change_type", $"l_returnflag")
+      },
       Some("""
+        SELECT ct AS change_type, l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM (
+          SELECT 'insert' AS ct, l_returnflag, l_quantity, l_extendedprice
+          FROM lineitem WHERE l_orderkey % 5 = 0
+          UNION ALL
+          SELECT 'delete' AS ct, l_returnflag, l_quantity, l_extendedprice
+          FROM lineitem
+          WHERE l_orderkey % 5 <> 0 AND l_suppkey % 13 = 5)
+        GROUP BY ct, l_returnflag ORDER BY change_type, l_returnflag"""))
+  )
+
+  /** e27/e28's shared oracle — the sequence rule stated relationally
+    * over the base table: standing rows (not in the re-inserted delta
+    * slice) die on key match, the delta's rows survive unconditionally
+    * (committed above the delete). */
+  private[graft] def EqDeleteOracle: String = """
         SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         FROM lineitem
         WHERE l_orderkey % 5 = 0 OR l_suppkey % 13 <> 5
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
-  )
+        GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   /** Write-once lang-partitioned copy of the documents table (the
     * [[writePackedShards]] layout with lang as the partition label),
@@ -3204,6 +3298,12 @@ object Mixing {
     import s.implicits._
     val frame = s.read.parquet(
       new java.io.File(root, "commits").getAbsolutePath)
+    // ADVICE r14: the two delete flavors are scanned by different entry
+    // points — a log carrying the flavor this scan does NOT apply would
+    // be silently mis-read. Refuse loudly instead (manifest-sized probe).
+    require(frame.filter(col("action") === "eqdel").limit(1).count() == 0,
+      "log carries equality-delete actions — use occScanEq, " +
+        "occScanVisible would resurrect the deleted keys")
     val files = occVisible(frame)
       .select($"file").as[String].collect().toSeq.sorted
     require(files.nonEmpty, "no visible files in the log")
@@ -3241,9 +3341,24 @@ object Mixing {
     * its delete keys once, broadcast (delete files are key-sized). */
   private[graft] def occScanEq(
       s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      keyCols: Seq[String]): org.apache.spark.sql.DataFrame =
+    occScanEqFrame(s, occLogWithVersions(s, root), keyCols)
+
+  /** [[occScanEq]] over an already-assembled VERSIONED log frame — the
+    * shared core that lets a checkpoint bootstrap ([[occBootstrap]])
+    * and a full-log replay serve the identical sequence-scoped scan
+    * (e28 pins the two equal on a log whose checkpoint sits BETWEEN an
+    * equality delete and its matching re-insert). */
+  private[graft] def occScanEqFrame(
+      s: org.apache.spark.sql.SparkSession,
+      log: org.apache.spark.sql.DataFrame,
       keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val log = occLogWithVersions(s, root)
+    // ADVICE r14 flavor guard, mirror of occScanVisible's: this scan
+    // applies equality deletes but not positional dv masks
+    require(log.filter($"action" === "dv").limit(1).count() == 0,
+      "log carries deletion-vector actions — use occScanVisible, " +
+        "occScanEq would ignore the positional masks")
     val removed = log.filter($"action" === "remove").select("file")
     val adds = log.filter($"action" === "add")
       .join(removed, Seq("file"), "left_anti")
@@ -3317,7 +3432,12 @@ object Mixing {
     if (verifiedLayouts.contains(path.getAbsolutePath))
       return path.getAbsolutePath
     val zroot = new java.io.File(zincManifestRoot(s, dir))
-    val stamp = s"v1:${Multimodal.sourceFingerprint(
+    // v2: the log also checkpoints at v1 — BETWEEN the equality delete
+    // and the re-insert — so e28 can pin that a checkpoint-bootstrapped
+    // consumer neither resurrects the deleted keys (the snapshot must
+    // carry the pending eqdel + add versions) nor kills the re-insert
+    // (the tail's adds sequence ABOVE the snapshot's delete)
+    val stamp = s"v2:${Multimodal.sourceFingerprint(
       new java.io.File(zroot.getAbsolutePath + ".staged"))}"
     val marker = new java.io.File(path.getAbsolutePath + ".staged")
     val upToDate = path.isDirectory && marker.isFile &&
@@ -3336,6 +3456,7 @@ object Mixing {
         .coalesce(1).write.mode("overwrite").parquet(keys.getAbsolutePath)
       occCommit(s, path, Nil, snapshotVersion = 0,
         eqDeletes = Seq(keys.getAbsolutePath))
+      occCheckpoint(s, path, upTo = 1)
       occCommit(s, path,
         footerBoxRows(new java.io.File(zroot, "delta")),
         snapshotVersion = 1)
@@ -3375,8 +3496,11 @@ object Mixing {
     val zroot = new java.io.File(zincManifestRoot(s, dir))
     // v4: commits carry the dataChange/app/txn/dv action fields (e23's
     // change feed, st22's idempotent writes, e25's row-level deletes)
-    // — earlier logs lack the columns and must restage
-    val stamp = s"v4:${Multimodal.sourceFingerprint(
+    // — earlier logs lack the columns and must restage.
+    // v5: the CHECKPOINT format changed (round 15 — rows carry the
+    // commit `version`, plus explicit txn high-water rows), so logs
+    // whose checkpoints were written by the flattening v4 code restage.
+    val stamp = s"v5:${Multimodal.sourceFingerprint(
       new java.io.File(zroot.getAbsolutePath + ".staged"))}"
     val marker = new java.io.File(path.getAbsolutePath + ".staged")
     val upToDate = path.isDirectory && marker.isFile &&
@@ -3466,7 +3590,23 @@ object Mixing {
     * of replaying every commit since table creation — the year-old
     * table with tens of thousands of commits costs one checkpoint read
     * plus the commits since (VERDICT r13 ask #3). Maintenance-plane
-    * single writer (like [[zincVacuum]]); commits race only each other. */
+    * single writer (like [[zincVacuum]]); commits race only each other.
+    *
+    * Round 15 (VERDICT r14 #1 / ADVICE r14): the snapshot is VERSIONED
+    * and carries ALL pending action kinds, not just net adds —
+    *  - every row keeps the `version` of the commit it landed in
+    *    (Iceberg's sequence number; the checkpoint used to flatten it
+    *    away, which made equality deletes un-checkpointable);
+    *  - STILL-APPLICABLE `eqdel` actions ride along (those whose
+    *    version exceeds the oldest surviving add's — a delete that
+    *    sequences below every live file masks nothing and is dropped,
+    *    Iceberg's delete-file manifest aging rule). Without this a
+    *    bootstrap after an equality delete RESURRECTED the deleted
+    *    keys (the r14 latent wrong-answer path, now spec-pinned);
+    *  - per-app transaction high-waters persist as explicit `txn`
+    *    action rows (Delta checkpoints setTransaction actions), so an
+    *    idempotent writer's replay detection survives its last commit's
+    *    files being compacted away. */
   private[graft] def occCheckpoint(
       s: org.apache.spark.sql.SparkSession, root: java.io.File,
       upTo: Int): Unit = {
@@ -3480,13 +3620,33 @@ object Mixing {
       .createTempDirectory(root.toPath, "_cp_tmp_").toFile
     try {
       val all = s.read.parquet(srcs: _*)
+        .withColumn("version", regexp_extract(input_file_name(),
+          "v(\\d{5})\\.parquet", 1).cast("int"))
       val net = occVisible(all)
       // dv actions of still-visible files ride the checkpoint (Delta
       // embeds the DV descriptor in the checkpointed add); a retired
       // file's mask drops with its file
       val liveDvs = all.filter(col("action") === "dv")
         .join(net.select("file"), Seq("file"), "left_semi")
-      net.unionByName(liveDvs).coalesce(1).write.mode("overwrite")
+      // equality deletes stay pending while ANY surviving add sequences
+      // below them (delete at version d masks adds with version < d)
+      val oldestAdd = net.agg(min(col("version"))).head()
+      val liveEqs =
+        if (oldestAdd.isNullAt(0)) all.filter(lit(false))
+        else all.filter(col("action") === "eqdel" &&
+          col("version") > oldestAdd.getInt(0))
+      // per-app txn high-waters as explicit rows (file column reused as
+      // a label; these rows are invisible to occVisible's add/remove
+      // reconciliation and to every scan — only occLastTxn reads them)
+      val txns = all.filter(col("app") =!= lit(""))
+        .groupBy(col("app")).agg(max(col("txn")).as("txn"))
+        .select(concat(lit("txn:"), col("app")).as("file"),
+          lit(0L).as("rows"), lit(0L).as("pmin"), lit(0L).as("pmax"),
+          lit(0L).as("smin"), lit(0L).as("smax"), lit("txn").as("action"),
+          lit(false).as("dataChange"), col("app"), col("txn"),
+          lit("").as("dv"), lit(upTo).as("version"))
+      net.unionByName(liveDvs).unionByName(liveEqs).unionByName(txns)
+        .coalesce(1).write.mode("overwrite")
         .parquet(new java.io.File(tmp, "m").getAbsolutePath)
       val part = new java.io.File(tmp, "m").listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -3508,7 +3668,11 @@ object Mixing {
   /** Consumer BOOTSTRAP from the checkpoint: resolve `_last_checkpoint`,
     * read the snapshot file plus only the commits AFTER it. Returns the
     * planning frame and the tail versions it replayed (spec-pinned:
-    * exactly the post-checkpoint commits, never the full log). */
+    * exactly the post-checkpoint commits, never the full log). The
+    * frame is VERSIONED — snapshot rows carry the persisted `version`
+    * column, tail rows get theirs from the commit file name — so
+    * sequence-scoped consumers ([[occScanEqFrame]], [[occLastTxn]])
+    * bootstrap through the same entry point as whole-file planning. */
   private[graft] def occBootstrap(
       s: org.apache.spark.sql.SparkSession, root: java.io.File)
       : (org.apache.spark.sql.DataFrame, Seq[Int]) = {
@@ -3518,8 +3682,14 @@ object Mixing {
     val cp = new java.io.File(new java.io.File(root, "checkpoints"),
       f"cp_v$cpV%05d.parquet")
     val tail = occVersions(commitsDir).filter(_ > cpV)
-    val frame = s.read.parquet(cp.getAbsolutePath +:
-      tail.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
+    val snap = s.read.parquet(cp.getAbsolutePath)
+    val frame =
+      if (tail.isEmpty) snap
+      else snap.unionByName(
+        s.read.parquet(
+            tail.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
+          .withColumn("version", regexp_extract(input_file_name(),
+            "v(\\d{5})\\.parquet", 1).cast("int")))
     (frame, tail)
   }
 
@@ -3544,20 +3714,27 @@ object Mixing {
     * (Delta's txn-action lookup): -1 if the app never committed. An
     * idempotent streaming writer compares its micro-batch id against
     * this BEFORE writing anything — a replayed batch (same id) is a
-    * no-op, a fresh one proceeds. One manifest-sized read of the log,
-    * no data I/O; at real log lengths the scan bootstraps from the
-    * checkpoint tail exactly like any other consumer (the checkpoint
-    * carries the net add rows, whose txn columns preserve each file's
-    * committing transaction). */
+    * no-op, a fresh one proceeds. One manifest-sized read, no data I/O.
+    * When the log has a checkpoint the lookup BOOTSTRAPS from it
+    * (snapshot + tail, like every other consumer): the snapshot
+    * persists each app's high-water as an explicit `txn` action row
+    * (ADVICE r14 — relying on the net add rows' txn columns under-read
+    * the high-water when an app's last commit's files were later
+    * compacted away; OccEqDeleteSpec pins that scenario). */
   private[graft] def occLastTxn(
       s: org.apache.spark.sql.SparkSession, root: java.io.File,
       app: String): Long = {
     val commitsDir = new java.io.File(root, "commits")
-    val vs = occVersions(commitsDir)
-    if (vs.isEmpty) return -1L
-    val row = s.read.parquet(
-        vs.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
-      .filter(col("app") === app)
+    val frame =
+      if (new java.io.File(root, "_last_checkpoint").isFile)
+        occBootstrap(s, root)._1
+      else {
+        val vs = occVersions(commitsDir)
+        if (vs.isEmpty) return -1L
+        s.read.parquet(
+          vs.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
+      }
+    val row = frame.filter(col("app") === app)
       .agg(max(col("txn"))).head()
     if (row.isNullAt(0)) -1L else row.getLong(0)
   }
@@ -3604,32 +3781,116 @@ object Mixing {
 
   /** The change rows themselves — each insert/delete source file's rows
     * tagged with Delta CDF's `_change_type` spelling (`change_type`
-    * here; the driver compare is column-name-sorted). Whole-file
-    * actions contribute the file's rows; dv actions contribute exactly
-    * the sidecar's masked positions as deletes (one broadcast semi-join
-    * per dv'd file set, the e14 mask inverted). */
+    * here; the driver compare is column-name-sorted). Four action kinds
+    * contribute (all `dataChange` only, versions in (`from`, `to`]):
+    *  - ADD: the file's rows as inserts;
+    *  - DV: exactly the sidecar's masked positions as deletes (one
+    *    broadcast semi-join per dv'd file set, the e14 mask inverted);
+    *  - EQDEL (round 15, VERDICT r14 #2): the delete's key-matching
+    *    rows in every data file VISIBLE BELOW the delete's version —
+    *    the occScanEq shape inverted (semi-join instead of anti-join),
+    *    so a CDC consumer sees the rows an equality delete logically
+    *    removed, at O(below-sequence files), never the table. Key
+    *    columns come from the delete file's own schema (Iceberg's
+    *    equality_ids travel with the delete file);
+    *  - REMOVE: the file's rows as deletes, NET OF rows already
+    *    deleted row-level BEFORE the remove (earlier dv masks
+    *    anti-joined by position, earlier applicable eqdel keys
+    *    anti-joined by key — ADVICE r14: without the netting a row
+    *    deleted at v1 via dv was emitted AGAIN when its file was
+    *    removed at v2; Delta's CDF nets these out). */
   private[graft] def occChangeFeed(
       s: org.apache.spark.sql.SparkSession, root: java.io.File,
       from: Int, to: Int): org.apache.spark.sql.DataFrame = {
-    val (ins, del) = occChangedFiles(s, root, from, to)
-    val dvd = occChangedDvs(s, root, from, to)
-    def tagged(files: Seq[String], tag: String) =
+    import s.implicits._
+    val log = occLogWithVersions(s, root)
+    val acts = log.select($"file", $"action", $"dataChange", $"dv", $"version")
+      .as[(String, String, Boolean, String, Int)].collect().toSeq
+    val inWindow = acts.filter(a => a._5 > from && a._5 <= to && a._3)
+    // full-log context for netting/sequencing (masks and add versions
+    // outside the window still scope what a window action means)
+    val addV = acts.filter(_._2 == "add").map(a => a._1 -> a._5).toMap
+    val removedAt = acts.filter(_._2 == "remove").map(a => a._1 -> a._5).toMap
+    val allDvs = acts.filter(_._2 == "dv") // (file, _, _, sidecar, version)
+    val allEqs = acts.filter(_._2 == "eqdel")
+    def eqKeyCols(delFile: String): Seq[String] =
+      s.read.parquet(delFile).schema.fieldNames.toSeq
+    // read `files` with rows already deleted row-level BEFORE version
+    // `beforeV` anti-joined away: earlier dv sidecar positions on each
+    // file, plus earlier eqdel keys applicable to it (delete sequences
+    // above the file's add). Masks are PER FILE, so files group by
+    // their (sidecars, eqdels) signature — one read per group, few
+    // groups (signatures are version-prefix-monotone, the occScanEq
+    // argument).
+    def netEarlierMasks(files: Seq[String], beforeV: Int)
+        : org.apache.spark.sql.DataFrame = {
+      def sig(f: String) = (
+        allDvs.filter(d => d._1 == f && d._5 < beforeV)
+          .map(_._4).distinct.sorted,
+        allEqs.filter(e => e._5 < beforeV &&
+            e._5 > addV.getOrElse(f, Int.MaxValue))
+          .map(_._1).distinct.sorted)
+      files.groupBy(sig).toSeq.sortBy(_._2.head).map {
+        case ((sidecars, eqs), group) =>
+          val base = s.read.parquet(group.sorted: _*)
+          val afterDv =
+            if (sidecars.isEmpty) base
+            else base
+              .withColumn("file", col("_metadata.file_path"))
+              .withColumn("pos", col("_metadata.row_index"))
+              .join(broadcast(s.read.parquet(sidecars: _*)),
+                Seq("file", "pos"), "left_anti")
+              .drop("file", "pos")
+          eqs.foldLeft(afterDv) { (df, delFile) =>
+            val keys = eqKeyCols(delFile)
+            df.join(broadcast(s.read.parquet(delFile)
+                .select(keys.map(col): _*).distinct()),
+              keys, "left_anti")
+          }
+      }.reduce(_ unionByName _)
+    }
+    val inserts = {
+      val files = inWindow.filter(_._2 == "add").map(_._1).sorted
       if (files.isEmpty) None
       else Some(s.read.parquet(files: _*)
-        .withColumn("change_type", lit(tag)))
-    val dvDeletes =
+        .withColumn("change_type", lit("insert")))
+    }
+    val dvDeletes = {
+      val dvd = inWindow.filter(_._2 == "dv").map(d => (d._1, d._4))
       if (dvd.isEmpty) None
       else {
-        val mask = s.read.parquet(dvd.map(_._2).distinct: _*)
-        Some(s.read.parquet(dvd.map(_._1).distinct: _*)
+        val mask = s.read.parquet(dvd.map(_._2).distinct.sorted: _*)
+        Some(s.read.parquet(dvd.map(_._1).distinct.sorted: _*)
           .withColumn("file", col("_metadata.file_path"))
           .withColumn("pos", col("_metadata.row_index"))
           .join(broadcast(mask), Seq("file", "pos"), "left_semi")
           .drop("file", "pos")
           .withColumn("change_type", lit("delete")))
       }
-    val parts = tagged(ins, "insert").toSeq ++
-      tagged(del, "delete").toSeq ++ dvDeletes.toSeq
+    }
+    val eqDeletes = inWindow.filter(_._2 == "eqdel").sortBy(_._5)
+      .map { case (delFile, _, _, _, delV) =>
+        // data files visible below the delete's sequence
+        val below = addV.toSeq
+          .filter { case (f, v) =>
+            v < delV && removedAt.get(f).forall(_ >= delV)
+          }
+          .map(_._1).sorted
+        require(below.nonEmpty,
+          s"eqdel at v$delV applies to no below-sequence file")
+        val keys = eqKeyCols(delFile)
+        netEarlierMasks(below, delV)
+          .join(broadcast(s.read.parquet(delFile)
+            .select(keys.map(col): _*).distinct()),
+            keys, "left_semi")
+          .withColumn("change_type", lit("delete"))
+      }
+    val rmDeletes = inWindow.filter(_._2 == "remove")
+      .sortBy(_._1).map { case (file, _, _, _, rmV) =>
+        netEarlierMasks(Seq(file), rmV)
+          .withColumn("change_type", lit("delete"))
+      }
+    val parts = inserts.toSeq ++ dvDeletes.toSeq ++ eqDeletes ++ rmDeletes
     require(parts.nonEmpty, s"no change rows in ($from, $to]")
     parts.reduce(_ unionByName _)
   }

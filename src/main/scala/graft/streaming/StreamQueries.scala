@@ -1100,7 +1100,32 @@ object StreamQueries {
         WHERE l_partkey BETWEEN plo AND phi
           AND l_suppkey BETWEEN slo AND shi
           AND l_orderkey % 97 <> 0
-        GROUP BY l_returnflag ORDER BY l_returnflag""")))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- st24
+    // EQUALITY-DELETE CONSUMPTION in the streaming consumer (VERDICT
+    // r14 #3, closing the streaming half of the eqdel composition):
+    // st23 retracts positionally-masked rows; a CDC-shaped DELETE
+    // arrives as an EQUALITY-delete commit — key values, no file
+    // named — and the downstream materialized aggregate must subtract
+    // exactly the key-matching rows of BELOW-sequence files while rows
+    // re-inserted ABOVE the delete survive. Per trigger: adds fold in
+    // per-file partials; an eqdel commit appends NEGATED partials from
+    // a broadcast key semi-join against below-sequence adds only
+    // ([[occEqConsume]] — sequencing is order-independent, each
+    // (add, delete) pair handled when the later commit arrives). The
+    // staged log's delta ingest commits above the delete and CARRIES
+    // key-matching rows, so the oracle (e27's sequence predicate over
+    // the base table) value-pins delete-then-reinsert: an
+    // over-retraction (the r14 consumers' inverse failure — they
+    // ignored eqdel commits entirely) or a killed re-insert is a hash
+    // failure. EqConsumeStreamSpec pins the physical story: negative
+    // partials exist, they name only below-sequence files, and the
+    // retraction read masked rows, never a rescan of folded files.
+    QuerySpec(
+      "st24_occ_eq_consume_stream",
+      (s, dir) => occEqConsume(s, dir),
+      Some(graft.operators.Mixing.EqDeleteOracle)))
 
   /** Stage the st16 query-vector inbox: the vec_id % 5 == 2 slice of
     * the embeddings table as a 4-file query_id-ranged parquet inbox
@@ -1825,10 +1850,151 @@ object StreamQueries {
       .start()
     q.awaitTermination()
     lastRunProgress = q.recentProgress
-    val partials = s.read.parquet(partialDir)
+    // every commit can in principle be box-pruned (then no partial file
+    // was ever written): answer from an empty partial of the same shape
+    // rather than throwing path-not-found — the st19/st20 guard, applied
+    // here for consistency (VERDICT r14 #6; unreachable on the staged
+    // fixture, whose dv commit guarantees retraction partials)
+    val partials =
+      if (new java.io.File(partialDir).isDirectory) s.read.parquet(partialDir)
+      else s.range(0).select(lit("").as("file"),
+        lit("").as("l_returnflag"), lit(0L).as("n_rows"),
+        lit(null).cast("decimal(28,4)").as("sum_qty"),
+        lit(null).cast("decimal(28,4)").as("sum_price"))
     lastDvConsumeNegatives = partials.filter(col("n_rows") < 0).count()
     require(lastDvConsumeNegatives > 0,
       "the dv commit should have produced retraction partials")
+    val tombs =
+      if (new java.io.File(tombDir).isDirectory) s.read.parquet(tombDir)
+      else s.range(0).select(lit("").as("file"))
+    partials.join(tombs, Seq("file"), "left_anti")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_qty")).cast("double").as("sum_qty"),
+        sum(col("sum_price")).cast("double").as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The last st24 run's dir and its count of NEGATIVE (retraction)
+    * partial rows — EqConsumeStreamSpec's physical pins. */
+  @volatile private[graft] var lastEqConsumeRunDir: String = _
+  @volatile private[graft] var lastEqConsumeNegatives: Long = -1L
+
+  /** st24's run-to-termination: stream the occEqRoot commit log one
+    * commit per trigger; adds fold into per-file partials (st20's
+    * shape, unpruned — the staged delete keys by l_suppkey, the e9
+    * box's own clustering column, so a box-pruned consumer would be
+    * VACUOUSLY green at fixture scales whose box holds no ≡5-mod-13
+    * suppkey; box-pruned consumption is already pinned by st20/st23),
+    * EQUALITY-DELETE commits fold into NEGATED partials built from the
+    * key-matching rows of BELOW-SEQUENCE adds only — st23's retraction
+    * move at key grain (VERDICT r14 #3: the r14 consumers switched on
+    * add/dv/remove and streamed an eqdel commit through un-retracted).
+    * Sequencing is ORDER-INDEPENDENT: each (add, delete) pair with
+    * addV < delV is negated exactly once, when the LATER of the two
+    * commits is processed — an add arriving after a delete it
+    * sequences under is caught by the add-side sweep, so a re-ordered
+    * trigger can't leak or double-retract.
+    * The delta ingest commits ABOVE the staged delete, so its
+    * key-matching rows must SURVIVE in the final merge — the oracle
+    * (e27's sequence predicate over the base table) value-pins the
+    * delete-then-reinsert contract. Retraction cost ∝ key-matching
+    * rows of below-sequence files, never a rescan of folded files. */
+  def occEqConsume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Mixing
+    val root = new java.io.File(M.occEqRoot(s, dir))
+    val commitsDir = new java.io.File(root, "commits")
+    val runDir = freshRunDir("st24")
+    lastEqConsumeRunDir = runDir.getAbsolutePath
+    val partialDir = new java.io.File(runDir, "partials").getAbsolutePath
+    val tombDir = new java.io.File(runDir, "tombstones").getAbsolutePath
+    def fileAgg(df: DataFrame, sign: Int): DataFrame =
+      df.groupBy(regexp_replace(col("file"), "^file:/+", "/").as("file"),
+          col("l_returnflag"))
+        .agg((count(lit(1)) * sign).as("n_rows"),
+          (sum(col("l_quantity").cast("decimal(18,4)")) * sign)
+            .as("sum_qty"),
+          (sum(col("l_extendedprice").cast("decimal(18,4)")) * sign)
+            .as("sum_price"))
+    // driver-side sequencing state: box-surviving adds and the delete
+    // files seen so far, each with its commit version (commit-log
+    // grain — one entry per data file / delete file, never rows)
+    val seenAdds = scala.collection.mutable.ListBuffer.empty[(String, Int)]
+    val seenEqs = scala.collection.mutable.ListBuffer.empty[(String, Int)]
+    def negate(delFile: String, addFiles: Seq[String]): Unit =
+      if (addFiles.nonEmpty) {
+        val keys = s.read.parquet(delFile).schema.fieldNames.toSeq
+        val masked = s.read.parquet(addFiles.sorted: _*)
+          .withColumn("file", col("_metadata.file_path"))
+          .join(broadcast(s.read.parquet(delFile)
+            .select(keys.map(col): _*).distinct()),
+            keys, "left_semi")
+        fileAgg(masked, -1).write.mode("append").parquet(partialDir)
+        ()
+      }
+    def applyCommit(commit: DataFrame): Unit = {
+      val v = commit.select($"_commit_version")
+        .distinct().as[Int].collect()
+      require(v.length == 1, s"one commit per trigger expected: ${v.toSeq}")
+      val version = v.head
+      val addFiles = commit
+        .filter(col("action") === "add")
+        .select("file").as[String].collect().toSeq.sorted
+      if (addFiles.nonEmpty) {
+        fileAgg(s.read.parquet(addFiles: _*)
+            .withColumn("file", col("_metadata.file_path")), 1)
+          .write.mode("append").parquet(partialDir)
+        // deletes already seen that sequence ABOVE this add mask it
+        seenEqs.filter(_._2 > version)
+          .foreach { case (delFile, _) => negate(delFile, addFiles) }
+        seenAdds ++= addFiles.map(f => (f, version))
+        ()
+      }
+      commit.filter(col("action") === "eqdel")
+        .select($"file").as[String].collect().toSeq.sorted
+        .foreach { delFile =>
+          negate(delFile, seenAdds.filter(_._2 < version).map(_._1).toSeq)
+          seenEqs += ((delFile, version))
+        }
+      commit.filter(col("action") === "remove")
+        .select(regexp_replace(col("file"), "^file:/+", "/").as("file"))
+        .write.mode("append").parquet(tombDir)
+      ()
+    }
+    val vs = M.occVersions(commitsDir)
+    val glob = vs.map(v => f"v$v%05d.parquet").mkString("{", ",", "}")
+    val schema = s.read.parquet(
+      M.occCommitFile(commitsDir, vs.head).getAbsolutePath).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", glob)
+      .parquet(commitsDir.getAbsolutePath)
+      // the commit's version, projected AT THE SOURCE (the _metadata
+      // column resolves only on the scan relation — inside foreachBatch
+      // the micro-batch is already a materialized row set)
+      .withColumn("_commit_version",
+        regexp_extract(col("_metadata.file_path"),
+          "v(\\d{5})\\.parquet", 1).cast("int"))
+      .writeStream
+      .foreachBatch { (commit: DataFrame, _: Long) =>
+        applyCommit(commit)
+      }
+      .option("checkpointLocation",
+        new java.io.File(runDir, "chk").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastRunProgress = q.recentProgress
+    val partials =
+      if (new java.io.File(partialDir).isDirectory) s.read.parquet(partialDir)
+      else s.range(0).select(lit("").as("file"),
+        lit("").as("l_returnflag"), lit(0L).as("n_rows"),
+        lit(null).cast("decimal(28,4)").as("sum_qty"),
+        lit(null).cast("decimal(28,4)").as("sum_price"))
+    lastEqConsumeNegatives = partials.filter(col("n_rows") < 0).count()
+    require(lastEqConsumeNegatives > 0,
+      "the eqdel commit should have produced retraction partials")
     val tombs =
       if (new java.io.File(tombDir).isDirectory) s.read.parquet(tombDir)
       else s.range(0).select(lit("").as("file"))

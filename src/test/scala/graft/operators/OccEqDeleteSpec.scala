@@ -114,4 +114,96 @@ class OccEqDeleteSpec extends SparkTestBase {
     // but none match; a's key 1 dies
     assert(scanKs(root) == Seq(2, 3), s"post-race scan wrong: ${scanKs(root)}")
   }
+
+  test("e28: a checkpoint between delete and re-insert carries the pending eqdel; bootstrap ≡ full replay; the r14 flattened snapshot resurrects") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = freshRoot()
+    val a = stage(root, "a", Seq(1, 2, 3))
+    Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1) // v0
+    Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,         // v1
+      eqDeletes = Seq(keysFile(root, "d1", Seq(2))))
+    Mixing.occCheckpoint(spark, root, upTo = 1)
+    val b = stage(root, "b", Seq(2, 5))                             // v2:
+    Mixing.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 1)  // reinsert
+
+    val (frame, tail) = Mixing.occBootstrap(spark, root)
+    assert(tail == Seq(2), s"tail should be the post-checkpoint ingest: $tail")
+    def ks(log: org.apache.spark.sql.DataFrame): Seq[Int] =
+      Mixing.occScanEqFrame(spark, log, Seq("k"))
+        .select($"k").as[Int].collect().toSeq.sorted
+    // bootstrap ≡ full-log replay, row for row
+    assert(ks(frame) == scanKs(root),
+      "checkpoint bootstrap diverged from full-log replay under a pending eqdel")
+    assert(ks(frame) == Seq(1, 2, 3, 5),
+      "the snapshot's delete must mask the snapshot's add (key 2 in a) " +
+        "while the tail's re-insert (key 2 in b) survives")
+    // the r14 hazard, reproduced: a snapshot WITHOUT the eqdel rows
+    // (what occCheckpoint used to write) resurrects the deleted key
+    val flattened = frame.filter(col("action") =!= "eqdel")
+    assert(ks(flattened) == Seq(1, 2, 2, 3, 5),
+      "expected the eqdel-dropping snapshot to resurrect key 2 — hazard gone?")
+  }
+
+  test("per-app txn high-water survives its commit's files being compacted away, via the checkpoint's txn rows") {
+    val root = freshRoot()
+    val a = stage(root, "a", Seq(1, 2))
+    Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1) // v0
+    val b = stage(root, "b", Seq(3))
+    Mixing.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 0,  // v1
+      txn = Some(("ingest", 7L)))
+    // the app's ONLY commit's file is compacted away (its net-add row —
+    // and with it the txn columns — leaves the checkpoint)
+    val packed = stage(root, "packed", Seq(1, 2, 3))
+    Mixing.occCommit(spark, root, Seq(fr(packed)), snapshotVersion = 1,
+      removes = Seq(a, b), dataChange = false)                      // v2
+    Mixing.occCheckpoint(spark, root, upTo = 2)
+    // bootstrap path (checkpoint exists): the explicit txn row answers
+    assert(Mixing.occLastTxn(spark, root, "ingest") == 7L,
+      "txn high-water lost across compaction + checkpoint — " +
+        "a restarted writer would re-ingest a replayed batch")
+    assert(Mixing.occLastTxn(spark, root, "nobody") == -1L)
+  }
+
+  test("e29 feed netting: rows deleted row-level (dv or eqdel) are not re-emitted when their file is later removed") {
+    import spark.implicits._
+    // eqdel flavor: a(1,2,3) @v0; eqdel {2} @v1; remove a @v2 (dataChange)
+    locally {
+      val root = freshRoot()
+      val a = stage(root, "a", Seq(1, 2, 3))
+      Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+      Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,
+        eqDeletes = Seq(keysFile(root, "d1", Seq(2))))
+      Mixing.occCommit(spark, root, Nil, snapshotVersion = 1,
+        removes = Seq(a))
+      val deletes = Mixing.occChangeFeed(spark, root, 0, 2)
+        .filter($"change_type" === "delete")
+        .select($"k").as[Int].collect().toSeq.sorted
+      assert(deletes == Seq(1, 2, 3),
+        s"each row must be emitted as deleted exactly once, got $deletes")
+    }
+    // dv flavor: a(1,2,3) @v0; dv masks k=2 @v1; remove a @v2
+    locally {
+      val root = freshRoot()
+      val a = stage(root, "a", Seq(1, 2, 3))
+      Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+      val sidecar = new java.io.File(root, "dv1")
+      spark.read.parquet(a)
+        .select(org.apache.spark.sql.functions.col("_metadata.file_path")
+          .as("file"),
+          org.apache.spark.sql.functions.col("_metadata.row_index").as("pos"),
+          $"k")
+        .filter($"k" === 2).select($"file", $"pos")
+        .coalesce(1).write.parquet(sidecar.getAbsolutePath)
+      Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,
+        dvs = Seq((a, sidecar.getAbsolutePath)))
+      Mixing.occCommit(spark, root, Nil, snapshotVersion = 1,
+        removes = Seq(a))
+      val deletes = Mixing.occChangeFeed(spark, root, 0, 2)
+        .filter($"change_type" === "delete")
+        .select($"k").as[Int].collect().toSeq.sorted
+      assert(deletes == Seq(1, 2, 3),
+        s"the dv-masked row was re-emitted by the whole-file remove: $deletes")
+    }
+  }
 }

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.operators.Mixing
+import org.apache.spark.sql.functions._
+
+/** Pins st24's equality-delete consumption: the consumer takes one
+  * trigger per commit, the eqdel commit produces NEGATIVE partials that
+  * name ONLY below-sequence files (the re-insert, committed above the
+  * delete, is never retracted), retraction cost is key-match-sized
+  * (never a rescan of folded files), and the streamed merge equals the
+  * one-shot sequence-scoped scan ([[Mixing.occScanEq]]) and (by value,
+  * at scale) st24's base-table oracle. */
+class EqConsumeStreamSpec extends SparkTestBase {
+
+  private val dir = sfDir
+
+  test("one trigger per commit; eqdel retraction is below-sequence only and key-match-sized; stream equals the one-shot eq scan") {
+    import spark.implicits._
+
+    val result = StreamQueries.occEqConsume(spark, dir)
+      .collect().map(_.toString).toSeq
+
+    // one micro-batch per commit file
+    val root = new java.io.File(Mixing.occEqRoot(spark, dir))
+    val log = Mixing.occLogWithVersions(spark, root)
+    val nCommits = Mixing.occVersions(new java.io.File(root, "commits")).size
+    val batches = StreamQueries.lastRunProgress
+      .filter(_.numInputRows > 0)
+    assert(batches.length == nCommits,
+      s"expected $nCommits data triggers, saw ${batches.length}")
+
+    // negative partials exist and name ONLY below-sequence (v0) files —
+    // a negative keyed to a post-delete (v2) file would mean the
+    // re-insert was retracted
+    assert(StreamQueries.lastEqConsumeNegatives > 0)
+    val run = new java.io.File(StreamQueries.lastEqConsumeRunDir)
+    val partials = spark.read.parquet(
+      new java.io.File(run, "partials").getAbsolutePath)
+    val belowFiles = log
+      .filter($"action" === "add" && $"version" < 1)
+      .select(regexp_replace($"file", "^file:/+", "/").as("file"))
+      .as[String].collect().toSet
+    val negFiles = partials.filter($"n_rows" < 0)
+      .select($"file").distinct().as[String].collect().toSet
+    assert(negFiles.nonEmpty && negFiles.subsetOf(belowFiles),
+      s"retraction partials name non-below-sequence files: " +
+        s"${(negFiles -- belowFiles).take(3)}")
+
+    // retraction equals the standing slice's key-matching rows exactly:
+    // the cost is the masked rows, never a rescan of everything folded
+    val keyMatch = spark.read.parquet(belowFiles.toSeq.sorted: _*)
+      .filter($"l_suppkey" % 13 === 5).count()
+    val negSum = partials.filter($"n_rows" < 0)
+      .agg(sum(-$"n_rows")).head().getLong(0)
+    assert(negSum == keyMatch,
+      s"retracted $negSum rows, standing key-matching rows = $keyMatch")
+
+    // parity with the one-shot sequence-scoped scan over the same log
+    val direct = Mixing.flagAgg(
+      Mixing.occScanEq(spark, root, Seq("l_suppkey")))
+      .collect().map(_.toString).toSeq
+    assert(result == direct,
+      "streamed eqdel retraction diverged from the one-shot eq scan")
+  }
+}
