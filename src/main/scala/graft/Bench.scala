@@ -139,10 +139,13 @@ object Bench {
       // measures
       if (selected("d"))
         operators.Dedup.semanticIndex(spark, sfDir)
-      // s12/s13's standing IVF indexes, same principle
+      // s12/s13's standing IVF indexes and s16's code table, same
+      // principle (fixture setup; the probes are what s12/s13/s16
+      // measure)
       if (selected("s")) {
         operators.Similarity.ivfIndex(spark, sfDir)
         operators.Similarity.ivfIncIndex(spark, sfDir)
+        operators.Similarity.bqCodesRoot(spark, sfDir)
         ()
       }
       spark.catalog.clearCache()

@@ -161,50 +161,31 @@ object Similarity {
     QuerySpec(
       "s15_binary_quant_topk",
       (s, dir) => binaryQuantTopK(s, dir, nQueries = 10, cut = 50, k = 5),
-      Some("""
-        WITH codes AS (
-          SELECT vec_id,
-                 CAST(list_sum(list_transform(generate_series(0, 31),
-                   i -> CASE WHEN embedding[i + 1] >= 0
-                        THEN (CAST(1 AS BIGINT) << i)
-                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS c0,
-                 CAST(list_sum(list_transform(generate_series(0, 31),
-                   i -> CASE WHEN embedding[i + 33] >= 0
-                        THEN (CAST(1 AS BIGINT) << i)
-                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS c1
-          FROM embeddings),
-        q AS (SELECT vec_id AS query_id, c0 AS q0, c1 AS q1
-              FROM codes WHERE vec_id < 10),
-        h AS (SELECT query_id, c.vec_id AS cand_id,
-                     bit_count(xor(c.c0, q0)) + bit_count(xor(c.c1, q1))
-                       AS hamming
-              FROM codes c CROSS JOIN q WHERE c.vec_id <> query_id),
-        f AS (SELECT query_id, cand_id,
-                     ROW_NUMBER() OVER (PARTITION BY query_id
-                                        ORDER BY hamming, cand_id) AS crank
-              FROM h),
-        p AS (
-          SELECT f.query_id, f.cand_id,
-                 ROUND(
-                   list_sum(list_transform(generate_series(1, len(qe.embedding)),
-                     i -> CAST(qe.embedding[i] AS DOUBLE)
-                        * CAST(ce.embedding[i] AS DOUBLE)))
-                   / (sqrt(list_sum(list_transform(generate_series(1, len(qe.embedding)),
-                        i -> CAST(qe.embedding[i] AS DOUBLE)
-                           * CAST(qe.embedding[i] AS DOUBLE))))
-                      * sqrt(list_sum(list_transform(generate_series(1, len(ce.embedding)),
-                          i -> CAST(ce.embedding[i] AS DOUBLE)
-                             * CAST(ce.embedding[i] AS DOUBLE))))), 6) AS cosine
-          FROM f
-          JOIN embeddings qe ON qe.vec_id = f.query_id
-          JOIN embeddings ce ON ce.vec_id = f.cand_id
-          WHERE f.crank <= 50),
-        r AS (SELECT query_id, cand_id, cosine,
-                     ROW_NUMBER() OVER (PARTITION BY query_id
-                                        ORDER BY cosine DESC, cand_id) AS rank
-              FROM p)
-        SELECT query_id, rank, cand_id, cosine FROM r WHERE rank <= 5
-        ORDER BY query_id, rank""")),
+      Some(BinaryQuantOracle)),
+
+    // ---------------------------------------------------------------- s16
+    // s15's code table as a STANDING ARTIFACT (VERDICT r14 #4 — the s12
+    // move, completing the pattern: every ANN structure the engine
+    // serves from is also demonstrated as a persisted, incrementally-
+    // appended artifact). SCALING r14 showed s15's wall was the inline
+    // sign-packing pass re-reading all 64 floats per vector per run;
+    // the production shape packs ONCE at ingest — [[bqCodesRoot]]
+    // stages the corpus split's 8-byte codes write-once, then routes
+    // the batch split through the same packing and APPENDS (the s13
+    // convention: standing part files byte-untouched, re-staging a
+    // marker-idempotent no-op, both file-level pins in BqCodesSpec) —
+    // and the serving probe reads the CODE TABLE ONLY for the coarse
+    // XOR+POPCOUNT pass (spec-pinned: no embeddings scan in the coarse
+    // plan; full vectors are fetched for the cut-sized finalist set
+    // alone, the rerank's job). Sign codes are per-row deterministic
+    // (single-float comparisons, no training state), so corpus-then-
+    // append reproduces the full-table codes exactly and s15's oracle
+    // pins the probe row-for-row.
+    QuerySpec(
+      "s16_bq_code_table_topk",
+      (s, dir) => binaryQuantTopKFromCodes(s, dir, bqCodesRoot(s, dir),
+        nQueries = 10, cut = 50, k = 5),
+      Some(BinaryQuantOracle)),
 
     // ----------------------------------------------------------------- s3
     // Int8 symmetric quantization — the compression step a 100 TB vector
@@ -1641,22 +1622,75 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+
+  /** s15/s16's shared DuckDB oracle: sign-pack both 32-dim halves into
+    * BIGINTs, XOR+bit_count Hamming cut, exact cosine rerank over the
+    * finalists — the identical pipeline stated in SQL. */
+  private[graft] def BinaryQuantOracle: String = """
+        WITH codes AS (
+          SELECT vec_id,
+                 CAST(list_sum(list_transform(generate_series(0, 31),
+                   i -> CASE WHEN embedding[i + 1] >= 0
+                        THEN (CAST(1 AS BIGINT) << i)
+                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS c0,
+                 CAST(list_sum(list_transform(generate_series(0, 31),
+                   i -> CASE WHEN embedding[i + 33] >= 0
+                        THEN (CAST(1 AS BIGINT) << i)
+                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS c1
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, c0 AS q0, c1 AS q1
+              FROM codes WHERE vec_id < 10),
+        h AS (SELECT query_id, c.vec_id AS cand_id,
+                     bit_count(xor(c.c0, q0)) + bit_count(xor(c.c1, q1))
+                       AS hamming
+              FROM codes c CROSS JOIN q WHERE c.vec_id <> query_id),
+        f AS (SELECT query_id, cand_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY hamming, cand_id) AS crank
+              FROM h),
+        p AS (
+          SELECT f.query_id, f.cand_id,
+                 ROUND(
+                   list_sum(list_transform(generate_series(1, len(qe.embedding)),
+                     i -> CAST(qe.embedding[i] AS DOUBLE)
+                        * CAST(ce.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(qe.embedding)),
+                        i -> CAST(qe.embedding[i] AS DOUBLE)
+                           * CAST(qe.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(ce.embedding)),
+                          i -> CAST(ce.embedding[i] AS DOUBLE)
+                             * CAST(ce.embedding[i] AS DOUBLE))))), 6) AS cosine
+          FROM f
+          JOIN embeddings qe ON qe.vec_id = f.query_id
+          JOIN embeddings ce ON ce.vec_id = f.cand_id
+          WHERE f.crank <= 50),
+        r AS (SELECT query_id, cand_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, cand_id) AS rank
+              FROM p)
+        SELECT query_id, rank, cand_id, cosine FROM r WHERE rank <= 5
+        ORDER BY query_id, rank"""
+
   /** s15: sign-bit binary quantization + Hamming coarse search + exact
     * rerank (see the QuerySpec scaladoc). The code table is two packed
     * 32-bit halves per vector; the coarse candidate pass is XOR +
     * POPCOUNT in whole-stage codegen, the exact pass fetches full
     * vectors for the `cut`-sized finalist set only. */
+  /** Pack embedding dims [off, off+32) into one BIGINT: bit i =
+    * [v(off+i) >= 0] — the sign-quantization kernel shared by the
+    * inline s15 pass and the s16 code-table staging (same expression
+    * tree, so artifact codes are bit-identical to inline codes). */
+  private def bqHalf(off: Int): org.apache.spark.sql.Column = expr(
+    s"""aggregate(transform(sequence(0, 31), i ->
+       |  IF(element_at(embedding, i + $off + 1) >= cast(0 as float),
+       |     shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
+       |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin)
+
   def binaryQuantTopK(s: SparkSession, dir: String, nQueries: Int = 10,
                       cut: Int = 50, k: Int = 5): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
-    // pack dims [off, off+32) into one BIGINT: bit i = [v(off+i) >= 0]
-    def half(off: Int) = expr(
-      s"""aggregate(transform(sequence(0, 31), i ->
-         |  IF(element_at(embedding, i + $off + 1) >= cast(0 as float),
-         |     shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
-         |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin)
-    val codes = emb.select($"vec_id", half(0).as("c0"), half(32).as("c1"))
+    val codes = emb.select($"vec_id", bqHalf(0).as("c0"), bqHalf(32).as("c1"))
     val q = codes.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"c0".as("q0"), $"c1".as("q1"))
     val wCut = Window.partitionBy($"query_id")
@@ -1674,6 +1708,100 @@ object Similarity {
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))
     val wTop = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")
     finalists
+      .join(emb.select($"vec_id".as("cand_id"), $"embedding".as("cv")), "cand_id")
+      .join(broadcast(qFull), "query_id")
+      .withColumn("cosine",
+        round(graft.functions.GraftFunctions.cosineSim($"qv", $"cv"), 6))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"cand_id", $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** s16's STANDING code table: the corpus split's (vec_id, c0, c1)
+    * sign codes staged write-once, the batch split packed through the
+    * SAME expression and APPENDED (the s13 ingest convention — standing
+    * part files byte-untouched, marker-idempotent re-runs; BqCodesSpec
+    * pins both at the file level). Packing happens at INGEST, once per
+    * vector — the probe never touches a float for the coarse pass.
+    * Returns the artifact root. */
+  private[graft] def bqCodesRoot(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "bqcodes_" + base)
+    val fp = Multimodal.sourceFingerprint(
+      new java.io.File(dir, "embeddings.parquet"))
+    val codesDir = new java.io.File(path, "codes")
+    // standing half: corpus split (vec_id % 5 != 0, d25's convention)
+    val stamp = s"v1:bq-corpus:$fp"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      val aMarker = new java.io.File(path.getAbsolutePath + ".appended")
+      java.nio.file.Files.deleteIfExists(aMarker.toPath)
+      graft.operators.Mixing.deleteRecursively(path.toPath)
+      Tables(s, dir, "embeddings").filter($"vec_id" % 5 =!= 0)
+        .select($"vec_id", bqHalf(0).as("c0"), bqHalf(32).as("c1"))
+        .write.mode("overwrite").parquet(codesDir.getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    // ingest half: the batch split appends its codes (never rewrites)
+    val aStamp = s"v1:bq-append:$fp"
+    val aMarker = new java.io.File(path.getAbsolutePath + ".appended")
+    val appended = aMarker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(aMarker.toPath)) == aStamp
+    if (!appended) {
+      Tables(s, dir, "embeddings").filter($"vec_id" % 5 === 0)
+        .select($"vec_id", bqHalf(0).as("c0"), bqHalf(32).as("c1"))
+        .write.mode("append").parquet(codesDir.getAbsolutePath)
+      java.nio.file.Files.write(aMarker.toPath, aStamp.getBytes)
+      ()
+    }
+    path.getAbsolutePath
+  }
+
+  /** s16's COARSE pass, served from the standing code table alone:
+    * query codes and candidate codes both come out of the artifact —
+    * XOR + POPCOUNT Hamming, cut by (hamming asc, cand_id). Exposed
+    * separately so BqCodesSpec can pin that this plan scans NO
+    * embedding file (the artifact's whole point: 8 bytes per vector
+    * where the float path reads 512). */
+  private[graft] def bqCoarseFinalists(s: SparkSession, codesRoot: String,
+                                       nQueries: Int, cut: Int): DataFrame = {
+    import s.implicits._
+    val codes = s.read.parquet(
+      new java.io.File(codesRoot, "codes").getAbsolutePath)
+    val q = codes.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"c0".as("q0"), $"c1".as("q1"))
+    val wCut = Window.partitionBy($"query_id")
+      .orderBy($"hamming".asc, $"cand_id")
+    codes
+      .select($"vec_id".as("cand_id"), $"c0", $"c1")
+      .crossJoin(broadcast(q))
+      .filter($"query_id" =!= $"cand_id")
+      .withColumn("hamming",
+        expr("bit_count(c0 ^ q0) + bit_count(c1 ^ q1)"))
+      .withColumn("crank", row_number().over(wCut))
+      .filter($"crank" <= cut)
+      .select($"query_id", $"cand_id")
+  }
+
+  /** s16: [[binaryQuantTopK]] served from the standing code table —
+    * coarse candidates from [[bqCoarseFinalists]] (codes only), exact
+    * cosine fetches full vectors for the finalist set alone. */
+  def binaryQuantTopKFromCodes(s: SparkSession, dir: String,
+                               codesRoot: String, nQueries: Int = 10,
+                               cut: Int = 50, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val qFull = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val wTop = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")
+    bqCoarseFinalists(s, codesRoot, nQueries, cut)
       .join(emb.select($"vec_id".as("cand_id"), $"embedding".as("cv")), "cand_id")
       .join(broadcast(qFull), "query_id")
       .withColumn("cosine",
