@@ -187,6 +187,98 @@ case class ThetaSketchAgg(
     copy(child = newChild)
 }
 
+/** KLL quantiles aggregate over a long/int column (x10/x11 — VERDICT
+  * r14 #8): mergeable quantile summaries with a PROVABLE, merge-order-
+  * INDEPENDENT rank-error bound, where the GK summaries behind Spark's
+  * `percentile_approx` (x2/x7) carry no merge guarantee — their merged
+  * error is order-dependent, which is exactly the property a 100 TB
+  * shard-merge cannot live with (daily/shard partials re-rolled along
+  * arbitrary dimensions must promise the same ±ε·n rank bound however
+  * the merge tree shakes out; KLL's bound is ~1.33% of n at k=200 with
+  * 99% confidence, DataSketches' published envelope, and
+  * [[KllQuantilesAgg.normalizedRankError]] surfaces the library's own
+  * figure for the spec to pin against).
+  *
+  * Buffer is a live heap [[KllLongsSketch]] (the HllSketchAgg pattern —
+  * serialized only across partition boundaries). Result: one value per
+  * requested probability, each answered under the INCLUSIVE search
+  * criterion — probed empirically (25/25 across n ∈ {7..997}, q ∈
+  * {0.1..0.9}): while the sketch never compacts (n ≤ k, retained == n)
+  * the answer is EXACTLY the item at 1-based rank ceil(q·n) of the
+  * group's sorted order, t11's oracle-deterministic discrete quantile —
+  * the x7 capacity argument, which is what lets x11 run the identical
+  * sketch path under a full DuckDB hash oracle while x10 keeps the
+  * production k. */
+case class KllQuantilesAgg(
+    child: Expression,
+    k: Int,
+    probs: Seq[Double],
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.kll.KllLongsSketch]
+  with UnaryLike[Expression] {
+
+  require(k >= 8 && k <= 65535, s"k must be in [8, 65535], got $k")
+  require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+    s"probs must be in [0, 1], got $probs")
+
+  override def prettyName: String = "graft_kll_quantiles"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a long/int column, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): org.apache.datasketches.kll.KllLongsSketch =
+    org.apache.datasketches.kll.KllLongsSketch.newHeapInstance(k)
+
+  override def update(buf: org.apache.datasketches.kll.KllLongsSketch,
+                      input: InternalRow): org.apache.datasketches.kll.KllLongsSketch = {
+    val v = child.eval(input)
+    if (v != null) child.dataType match {
+      case LongType => buf.update(v.asInstanceOf[Long])
+      case IntegerType => buf.update(v.asInstanceOf[Int].toLong)
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    buf
+  }
+
+  override def merge(a: org.apache.datasketches.kll.KllLongsSketch,
+                     b: org.apache.datasketches.kll.KllLongsSketch)
+      : org.apache.datasketches.kll.KllLongsSketch = { a.merge(b); a }
+
+  override def eval(buf: org.apache.datasketches.kll.KllLongsSketch): Any =
+    if (buf.isEmpty) null
+    else new GenericArrayData(probs.map[Any](q => buf.getQuantile(q,
+      org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
+      .toArray)
+
+  override def serialize(buf: org.apache.datasketches.kll.KllLongsSketch): Array[Byte] =
+    buf.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): org.apache.datasketches.kll.KllLongsSketch =
+    org.apache.datasketches.kll.KllLongsSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object KllQuantilesAgg {
+  /** The library's single-sided normalized rank-error bound for `k`
+    * (getQuantile path, 99% confidence) — the figure SketchesSpec's
+    * envelope pins x10 against. */
+  def normalizedRankError(k: Int): Double =
+    org.apache.datasketches.kll.KllLongsSketch.newHeapInstance(k)
+      .getNormalizedRankError(false)
+}
+
 /** Estimate of a serialized theta sketch. CodegenFallback is fine here:
   * it evaluates once per GROUP row (post-aggregation), never per input
   * row — the hot path is the codegen'd scan feeding the aggregate. */
@@ -365,4 +457,10 @@ object SketchFunctions {
   /** Estimated |A ∪ B| of two serialized theta sketches. */
   def thetaUnion(a: Column, b: Column): Column =
     Bridge.column(ThetaUnionEstimate(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Mergeable KLL quantiles of a long/int column: array<long>, one
+    * value per probability in `probs`. */
+  def kllQuantiles(col: Column, k: Int, probs: Seq[Double]): Column =
+    Bridge.column(
+      KllQuantilesAgg(Bridge.expression(col), k, probs).toAggregateExpression())
 }

@@ -55,6 +55,34 @@ object Sketches {
     * confidence argument. */
   val CmsDepth = 5
 
+  /** x10's production KLL k: ±1.33% normalized rank error (99%
+    * confidence, DataSketches' published envelope), ~few-KB partials. */
+  val KllK = 200
+
+  /** x11's exact-mode KLL k: the sketch never compacts while a group's
+    * n stays below this, so quantiles are the exact ceil(q·n)-rank
+    * items (capacity precondition pinned per driver SF in SketchesSpec;
+    * the largest fixture group is ~2k rows at sf0.1). */
+  val KllExactK = 32768
+
+  /** x7/x11's shared oracle — the exact discrete per-language token
+    * quantile at 1-based rank ceil(q·n), t11's formulation. */
+  private def ExactTokenQuantilesOracle: String = raw"""
+        WITH t AS (
+          SELECT lang,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents WHERE text IS NOT NULL),
+        r AS (
+          SELECT lang, n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens) AS rk,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM t)
+        SELECT lang,
+               CAST(MAX(n) AS BIGINT) AS n_docs,
+               MAX(CASE WHEN rk = CAST(CEIL(n * 0.5) AS BIGINT) THEN n_tokens END) AS p50_tokens,
+               MAX(CASE WHEN rk = CAST(CEIL(n * 0.9) AS BIGINT) THEN n_tokens END) AS p90_tokens
+        FROM r GROUP BY lang ORDER BY lang"""
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----------------------------------------------------------------- x1
@@ -152,21 +180,73 @@ object Sketches {
             $"qs" (0).as("p50_tokens"), $"qs" (1).as("p90_tokens"))
           .orderBy($"lang")
       },
-      Some(raw"""
-        WITH t AS (
-          SELECT lang,
-                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
-          FROM documents WHERE text IS NOT NULL),
-        r AS (
-          SELECT lang, n_tokens,
-                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens) AS rk,
-                 COUNT(*) OVER (PARTITION BY lang) AS n
-          FROM t)
-        SELECT lang,
-               CAST(MAX(n) AS BIGINT) AS n_docs,
-               MAX(CASE WHEN rk = CAST(CEIL(n * 0.5) AS BIGINT) THEN n_tokens END) AS p50_tokens,
-               MAX(CASE WHEN rk = CAST(CEIL(n * 0.9) AS BIGINT) THEN n_tokens END) AS p90_tokens
-        FROM r GROUP BY lang ORDER BY lang""")),
+      Some(ExactTokenQuantilesOracle)),
+
+    // ---------------------------------------------------------------- x10
+    // KLL per-language token-length quantiles (VERDICT r14 #8) — the
+    // sketch a 100 TB SHARD-MERGE actually wants beside x2's GK: GK
+    // summaries merge, but their merged error is MERGE-ORDER-DEPENDENT
+    // (no published bound for arbitrary merge trees), while KLL proves
+    // the same ±ε·n rank envelope (ε ≈ 1.33% at k=200, 99% confidence)
+    // regardless of how daily/shard partials are re-rolled — the
+    // property that lets stored per-shard summaries answer any rollup
+    // without a rescan. Same single-scan hash-aggregate plan as x2:
+    // constant-size mergeable partials, no window, no per-group sort.
+    // Rows-only by the x1/x2 measurement argument (KLL compacts by
+    // RANDOMIZED sampling once a group outgrows k, so estimates are
+    // seed-dependent past capacity); SketchesSpec pins the rank-error
+    // envelope against exact quantiles, and x11 is the oracle-pinned
+    // twin at exact-mode capacity.
+    QuerySpec(
+      "x10_kll_length_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"text".isNotNull)
+          .select($"lang",
+            size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            SketchFunctions.kllQuantiles($"n_tokens", KllK,
+              Seq(0.5, 0.9)).as("qs"))
+          .select($"lang", $"n_docs",
+            $"qs" (0).as("p50_approx"), $"qs" (1).as("p90_approx"))
+          .orderBy($"lang")
+      },
+      None),
+
+    // ---------------------------------------------------------------- x11
+    // x10's ORACLE TWIN — the identical KLL path (per-partition
+    // updates, partial merges in any order, INCLUSIVE query) run below
+    // the sketch's compaction capacity, where KLL is EXACT and
+    // deterministic: retained == n, and getQuantile(q, INCLUSIVE)
+    // returns precisely the item at 1-based rank ceil(q·n) (convention
+    // probed empirically, 25/25 across n ∈ {7..997} × q ∈ {0.1..0.9} —
+    // the x7 move, replayed for KLL). That is t11's discrete quantile,
+    // so the whole custom TypedImperativeAggregate — update, serialize/
+    // heapify across exchanges, merge, eval — sits under a DuckDB hash
+    // oracle row-for-row, while x10 keeps the production k and its
+    // envelope. SketchesSpec pins the capacity precondition per driver
+    // SF (max per-lang group ≪ KllExactK), the x1 lesson made explicit.
+    QuerySpec(
+      "x11_kll_exact_mode_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"text".isNotNull)
+          .select($"lang",
+            size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            SketchFunctions.kllQuantiles($"n_tokens", KllExactK,
+              Seq(0.5, 0.9)).as("qs"))
+          .select($"lang", $"n_docs",
+            $"qs" (0).as("p50_tokens"), $"qs" (1).as("p90_tokens"))
+          .orderBy($"lang")
+      },
+      Some(ExactTokenQuantilesOracle)),
 
     // ----------------------------------------------------------------- x3
     // Heavy-hitter tokens per language via a mergeable Misra-Gries

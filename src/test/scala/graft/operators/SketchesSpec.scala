@@ -364,4 +364,68 @@ class SketchesSpec extends SparkTestBase {
     assert(flipped <= 18 * n / accuracy,
       s"$flipped of $n rows flipped — beyond the 18n/accuracy envelope")
   }
+
+  // ---------------------------------------------------------- x10/x11 KLL
+
+  test("x10: KLL quantiles land within the library's normalized rank-error envelope") {
+    val eps = graft.functions.KllQuantilesAgg.normalizedRankError(Sketches.KllK)
+    val approx = graft.SparkEntry.queries("x10_kll_length_quantiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val byLang = graft.Tables(spark, sfDir, "documents")
+      .filter($"text".isNotNull)
+      .select($"lang", size(split(trim($"text"), "\\s+")).cast("long").as("n"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(approx.keySet == byLang.keySet)
+    // KLL guarantee (99% confidence, deterministic at fixture n where
+    // the sketch stays exact): returned value's rank within eps*n of the
+    // target rank, plus 1 for discreteness at tiny n
+    def rankOk(sorted: Array[Long], v: Long, q: Double): Boolean = {
+      val n = sorted.length
+      val lo = sorted.count(_ < v)
+      val hi = sorted.count(_ <= v)
+      val target = math.ceil(q * n)
+      val tol = eps * n + 1
+      assert(hi > lo, s"KLL value $v does not occur in the data")
+      target >= lo + 1 - tol && target <= hi + tol
+    }
+    byLang.foreach { case (lang, sorted) =>
+      val (p50, p90) = approx(lang)
+      assert(rankOk(sorted, p50, 0.5), s"$lang p50=$p50 outside KLL rank bound")
+      assert(rankOk(sorted, p90, 0.9), s"$lang p90=$p90 outside KLL rank bound")
+    }
+  }
+
+  test("x11: exact-mode KLL equals the ceil(q*n)-rank item; capacity precondition holds per driver SF") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(d).isDirectory).foreach { dir =>
+        val maxLangDocs = graft.Tables(spark, dir, "documents")
+          .filter($"text".isNotNull)
+          .groupBy($"lang").agg(count(lit(1)).as("n"))
+          .agg(max($"n")).as[Long].head()
+        assert(maxLangDocs < Sketches.KllExactK,
+          s"$dir: a language holds $maxLangDocs docs >= KllExactK " +
+            s"(${Sketches.KllExactK}) — x11's KLL sketch would compact " +
+            "and its rank-identity oracle becomes invalid; register x11 " +
+            "rows-only before the driver runs CORRECTNESS")
+      }
+    // rank identity at the test SF: the full sketch path (update,
+    // cross-exchange serialize/heapify, merge, INCLUSIVE eval) returns
+    // exactly the item at 1-based rank ceil(q*n) of each group's sorted
+    // order — t11's discrete quantile, what the DuckDB oracle replays
+    val got = graft.SparkEntry.queries("x11_kll_exact_mode_quantiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val byLang = graft.Tables(spark, sfDir, "documents")
+      .filter($"text".isNotNull)
+      .select($"lang", size(split(trim($"text"), "\\s+")).cast("long").as("n"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.keySet == byLang.keySet)
+    byLang.foreach { case (lang, sorted) =>
+      val n = sorted.length
+      def at(q: Double): Long = sorted(math.ceil(q * n).toInt - 1)
+      assert(got(lang) == ((n.toLong, at(0.5), at(0.9))),
+        s"$lang: ${got(lang)} != exact (n=$n, ${at(0.5)}, ${at(0.9)})")
+    }
+  }
 }
