@@ -152,6 +152,25 @@ object Bench {
     } catch { case _: Throwable => () }
     val warmupSec = math.round((System.nanoTime() - warmT0) / 1e6) / 1e3
 
+    // Dispatch-latency calibration (VERDICT r14 #5): the dispatch-bound
+    // loop family (g1/d18/d20/d23/d24/d28 — dozens of driver-sequential
+    // 1-task jobs each) drifted +9% quiet-to-quiet between r13 and r14
+    // with untouched code; the r14 task probe measured ~45 ms/job but ran
+    // ad hoc, so cross-round comparison had no per-run floor to normalize
+    // against. Time N trivial single-task jobs here (untimed warmup side)
+    // and record the MEDIAN ms/job in the output, the way loadavg already
+    // travels: a reviewer recomputes family deltas as
+    //   wall_family − n_jobs × dispatch_ms  before calling a regression.
+    val dispatchMs: Double = {
+      val n = 41
+      val times = (0 until n).map { _ =>
+        val t0 = System.nanoTime()
+        spark.sparkContext.parallelize(Seq(1), 1).count()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      math.round(times(n / 2) * 100) / 100.0
+    }
+
     // Either a measured time or the failure message. A query that dies
     // (analysis or runtime) must read as RED in the bench file, not as a
     // suspiciously fast entry silently flattering the total (VERDICT r7
@@ -222,6 +241,7 @@ object Bench {
     val stagedCold = fixtureFileCount != preFixtures
     val contextField =
       s""","warmup_sec":$warmupSec,"staged_cold":$stagedCold""" +
+        s""","dispatch_ms_per_job":$dispatchMs""" +
         (if (filter.isDefined) ""","filtered":true""" else "")
     // Per-family subtotals (VERDICT r12 #3): the family prefix is the
     // query name up to its first digit (q, d, s, st, t, m, p, e, g, k,
