@@ -23,10 +23,10 @@ object ManifestProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.operators.Mixing
+    import graft.operators.{Lakehouse, Mixing}
 
     val t0 = System.nanoTime()
-    val root = new java.io.File(Mixing.zincManifestRoot(spark, sfDir))
+    val root = new java.io.File(Lakehouse.zincManifestRoot(spark, sfDir))
     println(f"stage_or_check: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     val (pLo, pHi, sLo, sHi) = Mixing.e9Box(sfDir)
     val cols = Set("l_partkey", "l_suppkey")
@@ -56,8 +56,8 @@ object ManifestProbe {
         pMax >= pLo && pMin <= pHi && sMax >= sLo && sMin <= sHi
       }.map(_.file).distinct
     }
-    time("commit") { Mixing.zincManifestCommit(spark, root) }
-    println(s"live data files: $liveFiles; delta files: ${Mixing.ZincDeltaFiles}")
+    time("commit") { Lakehouse.zincManifestCommit(spark, root) }
+    println(s"live data files: $liveFiles; delta files: ${Lakehouse.ZincDeltaFiles}")
     spark.stop()
   }
 }

@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
+  // the table-format plane moved to [[Lakehouse]] (round 15); specs
+  // registered here keep their unqualified call sites through this import
+  import Lakehouse._
+
   /** The pipeline's last mile: write a sharded frame as parquet
     * PARTITIONED by the shard label, with per-file row caps so no shard
     * degenerates into one giant file. `partitionBy` gives the layout a
@@ -2425,87 +2429,6 @@ object Mixing {
     * staged under the fixture root with the source-parquet-fingerprint
     * marker convention (see Multimodal.mediaTable): the up-to-date path
     * launches no Spark job. Feeds p9's partition-pruning query. */
-  /** The partition-evolution split year: floor((minYear + maxYear) / 2)
-    * of l_shipdate — derivable by the DuckDB oracle from the same data.
-    * One narrow column agg; at a real lakehouse the boundary comes from
-    * the table's spec history, not a scan. */
-  private[graft] def pspecSplitYear(
-      s: org.apache.spark.sql.SparkSession, dir: String): Int = {
-    val r = graft.Tables(s, dir, "lineitem")
-      .agg(min(year(col("l_shipdate"))), max(year(col("l_shipdate"))))
-      .head()
-    (r.getInt(0) + r.getInt(1)) / 2
-  }
-
-  /** Write-once PARTITION-EVOLVED layout for e24: era-0 rows (ship year
-    * below the split) under spec-0 = (year), era-1 rows under spec-1 =
-    * (year, month) — two specs, one table, no old file rewritten, with
-    * a manifest recording each file's own spec id and partition tuple
-    * (Iceberg's per-file spec-id exactly). Both eras carry l_shipdate
-    * in the data so the exact predicate reapplies after pruning. */
-  private[graft] def partitionSpecRoot(
-      s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
-      sys.props("user.dir") + "/data"))
-    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = new java.io.File(root, "li_pspec_" + base)
-    if (verifiedLayouts.contains(path.getAbsolutePath))
-      return path.getAbsolutePath
-    val stamp = s"v1:${Multimodal.sourceFingerprint(
-      new java.io.File(dir, "lineitem.parquet"))}"
-    val marker = new java.io.File(path.getAbsolutePath + ".staged")
-    val upToDate = path.isDirectory && marker.isFile &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
-    if (!upToDate) {
-      deleteRecursively(path.toPath)
-      path.mkdirs()
-      import s.implicits._
-      val sy = pspecSplitYear(s, dir)
-      val li = graft.Tables(s, dir, "lineitem")
-        .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_returnflag",
-          $"l_quantity", $"l_extendedprice", $"l_shipdate")
-      // era 0, spec-0 = (year): a few files per year partition
-      li.filter(year($"l_shipdate") < sy)
-        .withColumn("p_y", year($"l_shipdate"))
-        .withColumn("p_b", pmod($"l_orderkey", lit(2)))
-        .repartition($"p_y", $"p_b").drop("p_b")
-        .write.partitionBy("p_y")
-        .parquet(new java.io.File(path, "spec0").getAbsolutePath)
-      // era 1, spec-1 = (year, month): the evolved, finer grain
-      li.filter(year($"l_shipdate") >= sy)
-        .withColumn("p_y", year($"l_shipdate"))
-        .withColumn("p_m", month($"l_shipdate"))
-        .repartition($"p_y", $"p_m")
-        .write.partitionBy("p_y", "p_m")
-        .parquet(new java.io.File(path, "spec1").getAbsolutePath)
-      // the manifest: one row per data file under ITS OWN spec
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      def part(f: java.io.File, key: String): Int = {
-        val rx = (".*/" + key + "=(\\d+)/.*").r
-        f.getAbsolutePath match {
-          case rx(v) => v.toInt
-          case _ => throw new IllegalStateException(
-            s"no $key= dir on ${f.getAbsolutePath}")
-        }
-      }
-      val rows =
-        walk(new java.io.File(path, "spec0"))
-          .filter(_.getName.endsWith(".parquet"))
-          .map(f => (f.getAbsolutePath, 0, part(f, "p_y"), -1)) ++
-        walk(new java.io.File(path, "spec1"))
-          .filter(_.getName.endsWith(".parquet"))
-          .map(f => (f.getAbsolutePath, 1, part(f, "p_y"), part(f, "p_m")))
-      rows.toDF("file", "spec", "p_y", "p_m")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(new java.io.File(path, "manifest").getAbsolutePath)
-      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
-      ()
-    }
-    verifiedLayouts.add(path.getAbsolutePath)
-    path.getAbsolutePath
-  }
-
   private[graft] def partitionedCorpus(
       s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
@@ -2758,7 +2681,7 @@ object Mixing {
         (f, gs.map(_.rows).sum, pMin, pMax, sMin, sMax)
       }.sortBy(_._1)
 
-  private def writeManifest(
+  private[graft] def writeManifest(
       s: org.apache.spark.sql.SparkSession,
       rows: Seq[(String, Long, Long, Long, Long, Long)],
       dest: String): Unit = {
@@ -2795,33 +2718,6 @@ object Mixing {
       norm(col("l_suppkey").cast("long"), sMin, sMax), ZGridBits))
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))
-  }
-
-  /** e12's MAINTENANCE COMMIT — the manifest edit that accompanies
-    * [[zincMaintain]]'s layout transaction, metadata-only like a
-    * table-format commit: the next manifest is the previous one's rows
-    * with the retired raw-delta files dropped and one footer pass over
-    * ONLY the freshly clustered delta appended. Standing rows are
-    * carried VERBATIM from the previous manifest — standing footers are
-    * never re-opened (ZincManifestSpec pins this by running the commit
-    * with standing/ physically absent), so commit cost follows the
-    * batch, not the corpus. The collect is manifest-sized (one row per
-    * data file): driver-side planning metadata, the same scale class as
-    * the footer reads themselves. */
-  private[graft] def zincManifestCommit(
-      s: org.apache.spark.sql.SparkSession, root: java.io.File): Unit = {
-    val prev = s.read.parquet(
-      new java.io.File(root, "manifest_v1").getAbsolutePath)
-      .select("file", "rows", "pmin", "pmax", "smin", "smax")
-      .collect().toSeq.map { r =>
-        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), r.getLong(5))
-      }
-    val retired = java.io.File.separator + "delta_raw" + java.io.File.separator
-    val kept = prev.filterNot(_._1.contains(retired))
-    val appended = footerBoxRows(new java.io.File(root, "delta"))
-    writeManifest(s, (kept ++ appended).sortBy(_._1),
-      new java.io.File(root, "manifest_v2").getAbsolutePath)
   }
 
   /** Write-once SCHEMA-EVOLVED layout for e16: standing = the 80% split
@@ -2873,1332 +2769,6 @@ object Mixing {
     path.getAbsolutePath
   }
 
-  /** Write-once POSITIONAL deletion-vector sidecar over
-    * [[zorderedLineitem]] — the merge-on-read DELETE: the logical
-    * predicate (l_orderkey % 97 = 0) is evaluated ONCE against the
-    * layout via parquet's `_metadata.file_path`/`row_index`, and what
-    * persists is pure position — (file, pos), no data columns — so the
-    * delete applies to any later read without re-evaluating (or even
-    * knowing) the predicate, and the data files are never rewritten
-    * (the Iceberg positional-delete / Delta deletion-vector contract).
-    * Stamped against the LAYOUT's marker: a restaged layout (new
-    * positions) invalidates its DVs. */
-  private[graft] def deletionVector(
-      s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    import s.implicits._
-    val lay = zorderedLineitem(s, dir)
-    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
-      sys.props("user.dir") + "/data"))
-    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = new java.io.File(root, "li_dv_" + base)
-    if (verifiedLayouts.contains(path.getAbsolutePath))
-      return path.getAbsolutePath
-    val stamp = s"v1:${Multimodal.sourceFingerprint(
-      new java.io.File(lay + ".staged"))}"
-    val marker = new java.io.File(path.getAbsolutePath + ".staged")
-    val upToDate = path.isDirectory && marker.isFile &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
-    if (!upToDate) {
-      s.read.parquet(lay)
-        .select(col("_metadata.file_path").as("file"),
-          col("_metadata.row_index").as("pos"), $"l_orderkey")
-        .filter($"l_orderkey" % 97 === 0)
-        .select($"file", $"pos")
-        .coalesce(1).write.mode("overwrite").parquet(path.getAbsolutePath)
-      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
-      ()
-    }
-    verifiedLayouts.add(path.getAbsolutePath)
-    path.getAbsolutePath
-  }
-
-  /** One positional-delete batch: evaluate `pred` against the live data
-    * files ONCE and keep only (file, pos) — see [[deletionVector]]. */
-  private def dvBatch(s: org.apache.spark.sql.SparkSession,
-                      dataDir: String,
-                      pred: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.DataFrame =
-    s.read.parquet(dataDir)
-      .withColumn("file", col("_metadata.file_path"))
-      .withColumn("pos", col("_metadata.row_index"))
-      .filter(pred)
-      .select(col("file"), col("pos"))
-
-  private def uriToLocal(p: String): String =
-    if (p.startsWith("file:")) p.stripPrefix("file://").stripPrefix("file:")
-    else p
-
-  /** DV PURGE — the maintenance half of merge-on-read deletes: files
-    * whose accumulated delete ratio crosses `threshold` are rewritten
-    * WITHOUT their deleted rows (per-file copy-on-write, one task per
-    * hot file at lake scale) and their DV entries dropped; files below
-    * the threshold keep their bytes and their DV mask. Reads `inDv`,
-    * writes `outDv` (the masked scan always reads the LATEST dv dir),
-    * returns the rewritten files. Structurally idempotent: a rewritten
-    * file has ratio 0, so a second pass over the new dv finds nothing
-    * hot. The per-file ratio bookkeeping is manifest-scale metadata. */
-  private[graft] def dvCompact(s: org.apache.spark.sql.SparkSession,
-                               root: java.io.File, threshold: Double,
-                               inDv: String = "dv1", outDv: String = "dv2")
-      : Seq[String] = {
-    import s.implicits._
-    val dataDir = new java.io.File(root, "data")
-    val dv = s.read.parquet(new java.io.File(root, inDv).getAbsolutePath)
-    val deleted = dv.distinct().groupBy("file").count().collect()
-      .map(r => uriToLocal(r.getString(0)) -> r.getLong(1)).toMap
-    val rows = footerStats(dataDir, Set.empty)
-      .groupBy(_.file).view.mapValues(_.map(_.rows).sum).toMap
-    val hot = rows.keys.toSeq.sorted.filter { f =>
-      deleted.getOrElse(f, 0L).toDouble / rows(f) >= threshold
-    }
-    val localFile = regexp_replace(col("file"), "^file:(//)?", "")
-    hot.foreach { f =>
-      val local = new java.io.File(f)
-      val mine = dv.filter(localFile === f)
-      val tmp = new java.io.File(root, "rewrite_tmp")
-      s.read.parquet(f)
-        .withColumn("file", col("_metadata.file_path"))
-        .withColumn("pos", col("_metadata.row_index"))
-        .join(broadcast(mine), Seq("file", "pos"), "left_anti")
-        .drop("file", "pos")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dest = new java.io.File(dataDir,
-        local.getName.stripSuffix(".parquet") + "-rw.parquet")
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      java.nio.file.Files.delete(local.toPath)
-      deleteRecursively(tmp.toPath)
-    }
-    val survivors =
-      if (hot.isEmpty) dv else dv.filter(!localFile.isin(hot: _*))
-    survivors.coalesce(1).write.mode("overwrite")
-      .parquet(new java.io.File(root, outDv).getAbsolutePath)
-    hot
-  }
-
-  /** Write-once DV lifecycle root for e15: a copy-on-write clone of the
-    * z-layout takes two positional-delete batches — one CLUSTERED (the
-    * e9 box: the layout concentrates those rows in few files, exactly
-    * what a GDPR-style or partition-retirement delete looks like on a
-    * clustered table) and one SCATTERED (l_orderkey % 97: a sprinkle no
-    * rewrite should chase) — then [[dvCompact]] purges at 20%: the
-    * box-heavy files rewrite and drop their DV entries, the sprinkle
-    * stays masked. The roster row reads data ∪ latest-DV and is
-    * oracle-checked against both predicates applied relationally, so a
-    * rewrite that drops a survivor or resurrects a deleted row fails
-    * the hash. */
-  private[graft] def dvLifecycleRoot(
-      s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    import s.implicits._
-    val lay = zorderedLineitem(s, dir)
-    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
-      sys.props("user.dir") + "/data"))
-    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = new java.io.File(root, "li_dvlc_" + base)
-    if (verifiedLayouts.contains(path.getAbsolutePath))
-      return path.getAbsolutePath
-    val stamp = s"v1:${Multimodal.sourceFingerprint(
-      new java.io.File(lay + ".staged"))}"
-    val marker = new java.io.File(path.getAbsolutePath + ".staged")
-    val upToDate = path.isDirectory && marker.isFile &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
-    if (!upToDate) {
-      deleteRecursively(path.toPath)
-      val dataDir = new java.io.File(path, "data")
-      dataDir.mkdirs()
-      new java.io.File(lay).listFiles()
-        .filter(_.getName.endsWith(".parquet")).foreach { f =>
-          java.nio.file.Files.copy(f.toPath,
-            new java.io.File(dataDir, f.getName).toPath)
-        }
-      val (pLo, pHi, sLo, sHi) = e9Box(dir)
-      val dv1 = new java.io.File(path, "dv1").getAbsolutePath
-      dvBatch(s, dataDir.getAbsolutePath,
-        $"l_partkey".between(pLo, pHi) && $"l_suppkey".between(sLo, sHi))
-        .write.mode("append").parquet(dv1)
-      dvBatch(s, dataDir.getAbsolutePath, $"l_orderkey" % 97 === 0)
-        .write.mode("append").parquet(dv1)
-      dvCompact(s, path, 0.2)
-      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
-      ()
-    }
-    verifiedLayouts.add(path.getAbsolutePath)
-    path.getAbsolutePath
-  }
-
-  /** VACUUM — snapshot expiry for the manifest lifecycle: delete every
-    * data file under `root` that the LIVE manifest (manifest_v2) does
-    * not reference, then drop the expired manifest_v1. After a vacuum
-    * the v2-planned scan answers byte-identically (it never referenced
-    * the retired files) and the v1 snapshot is gone — the Delta
-    * VACUUM / Iceberg expire-snapshots contract. Structurally
-    * idempotent: a second run finds nothing unreferenced. Driver-side
-    * file ops at manifest scale (one row per file); at lake scale this
-    * is the same object-store delete batch every table format issues.
-    * Spec-owned (ZincManifestSpec) — the staged e13 root is never
-    * vacuumed, so the time-travel row stays runnable in any order. */
-  private[graft] def zincVacuum(
-      s: org.apache.spark.sql.SparkSession, root: java.io.File,
-      retentionMs: Long = 0L): Unit = {
-    val live = s.read.parquet(
-      new java.io.File(root, "manifest_v2").getAbsolutePath)
-      .select("file").collect().map(_.getString(0)).toSet
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
-      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-    // retention clock (mtime-based, the Delta VACUUM contract): a
-    // reader that planned from the OLD snapshot may still be mid-
-    // flight on its files — physical deletion only touches state
-    // older than the retention window, so a too-young snapshot
-    // survives intact (files AND its manifest; dropping the manifest
-    // while keeping the files would still strand that reader's
-    // time-travel re-plan). Age gates per FILE: files the young
-    // snapshot could reference stay, ancient strays still collect.
-    val cutoff = System.currentTimeMillis() - retentionMs
-    Seq("standing", "delta_raw", "delta")
-      .map(new java.io.File(root, _)).filter(_.isDirectory)
-      .flatMap(walk)
-      .filterNot(f => live.contains(f.getAbsolutePath))
-      .filter(_.lastModified() < cutoff)
-      .foreach(f => java.nio.file.Files.delete(f.toPath))
-    val v1 = new java.io.File(root, "manifest_v1")
-    if (!v1.isDirectory || v1.lastModified() < cutoff)
-      deleteRecursively(v1.toPath)
-  }
-
-  /** Write-once lifecycle root for e12: [[zorderedIncCorpus]]'s
-    * append/maintain sequence replayed WITH its manifest commits, so the
-    * manifest — not the directory listing — is the table's source of
-    * truth across the transaction (the Iceberg/Delta commit protocol's
-    * data motion, minus the catalog pointer swap). Bootstrap writes
-    * manifest_v1 from one footer pass over standing + as-arrived delta;
-    * maintenance then swaps the layout ([[zincMaintain]]) and commits
-    * manifest_v2 via [[zincManifestCommit]]. e12 plans its scan from
-    * manifest_v2 and is oracle-checked against the base table, so a
-    * commit that loses or duplicates a file fails the hash. */
-  /** Outcome of one [[occCommit]]: the version slot the commit landed
-    * in and how many claim attempts lost a race first. */
-  private[graft] final case class OccResult(version: Int, retries: Int)
-
-  /** Versions currently visible in an OCC commit log (sorted). */
-  private[graft] def occVersions(commitsDir: java.io.File): Seq[Int] =
-    Option(commitsDir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .flatMap { f =>
-        val m = "v(\\d{5})\\.parquet".r
-        f.getName match { case m(v) => Some(v.toInt); case _ => None }
-      }.sorted.toSeq
-
-  /** Path of commit version `v` in the log. */
-  private[graft] def occCommitFile(commitsDir: java.io.File,
-                                   v: Int): java.io.File =
-    new java.io.File(commitsDir, f"v$v%05d.parquet")
-
-  /** One OPTIMISTIC commit against the versioned log at root/commits:
-    * write the manifest rows to a temp file first (never visible), then
-    * claim the next version slot with an atomic create-if-absent —
-    * `Files.createLink` materializes the complete, already-written file
-    * at the slot or throws `FileAlreadyExistsException`, so readers can
-    * never observe a torn commit and two writers can never both own a
-    * slot (rename(2) would silently REPLACE an existing file; link(2)
-    * is the POSIX put-if-absent). On losing a claim the committer
-    * CONFLICT-CHECKS every commit that appeared after its snapshot —
-    * file-path overlap with its own adds is a true write conflict and
-    * aborts with `ConcurrentModificationException` (re-trying would
-    * double-commit the file); disjoint adds serialize safely and the
-    * claim retries at the new head. `onAttempt(n)` fires before the
-    * n-th claim (0-based) — the spec's barrier hook that forces two
-    * committers onto the same slot.
-    *
-    * At 100 TB this is the Delta/Iceberg commit protocol verbatim: the
-    * claim is one object-store put-if-absent per commit, the conflict
-    * check reads only the raced commits (each one manifest file, never
-    * data), and the temp write is commit-sized — nothing here scales
-    * with the table.
-    *
-    * Round 14: a commit is adds PLUS `removes` (Delta's remove-file
-    * actions) so a REWRITE — compaction, clustering — rides the same
-    * protocol: its commit removes the victims and adds the packed
-    * replacement atomically. The conflict set is the union of both
-    * sides' touched paths: two rewrites racing over the same victim, or
-    * an add racing the rewrite that retires it, is a true conflict; a
-    * remove can never race an add it hasn't seen (removes only name
-    * files visible in the remover's snapshot). Table state = adds minus
-    * removed ([[occVisible]]).
-    *
-    * Round 14b, two more Delta action fields:
-    *  - `dataChange` = false marks a commit as a REWRITE (compaction,
-    *    clustering): its file churn is physical, not logical, so the
-    *    change-data-feed ([[occChangedFiles]]) skips it entirely —
-    *    exactly Delta's `dataChange=false` contract.
-    *  - `txn` = (appId, version) is Delta's transaction action: a
-    *    streaming writer stamps each commit with its micro-batch id so
-    *    a REPLAYED batch (Spark re-runs the last foreachBatch after a
-    *    crash, same batchId) is detected via [[occLastTxn]] and skipped
-    *    — exactly-once sink semantics without coordination.
-    *  - `dvs` = (file, sidecar) DELETION-VECTOR actions (Delta's
-    *    add-with-deletionVector): a row-level DELETE commits as dv
-    *    actions naming each masked file and the positional sidecar;
-    *    scans apply the union of a file's dv sidecars (e14's broadcast
-    *    anti-join). A dv'd file joins the CONFLICT SET — a DELETE
-    *    racing a rewrite of the same file (either order) is a detected
-    *    conflict, since the rewrite would orphan the mask.
-    *  - `eqDeletes` = EQUALITY-DELETE files (Iceberg v2's second delete
-    *    flavor): each names a parquet of KEY VALUES written WITHOUT
-    *    reading any data file — the streaming-CDC-friendly delete. It
-    *    applies by SEQUENCE: only to data files committed at an
-    *    EARLIER version ([[occScanEq]]); later adds with the same keys
-    *    survive. An equality delete names no data file, so it never
-    *    conflicts with appends — but a REWRITE of a masked file must
-    *    apply pending equality deletes ([[occRewriteApplied]]) or it
-    *    would re-sequence the rows above the delete and resurrect
-    *    them (OccEqDeleteSpec pins the hazard and the fix). */
-  private[graft] def occCommit(
-      s: org.apache.spark.sql.SparkSession, root: java.io.File,
-      rows: Seq[(String, Long, Long, Long, Long, Long)],
-      snapshotVersion: Int,
-      onAttempt: Int => Unit = _ => (),
-      maxAttempts: Int = 50,
-      removes: Seq[String] = Nil,
-      dataChange: Boolean = true,
-      txn: Option[(String, Long)] = None,
-      dvs: Seq[(String, String)] = Nil,
-      eqDeletes: Seq[String] = Nil): OccResult = {
-    import s.implicits._
-    val commitsDir = new java.io.File(root, "commits")
-    commitsDir.mkdirs()
-    val tmp = java.nio.file.Files
-      .createTempDirectory(root.toPath, "_occ_tmp_").toFile
-    try {
-      val (app, txnV) = txn.getOrElse(("", -1L))
-      (rows.map { case (f, n, pmin, pmax, smin, smax) =>
-        (f, n, pmin, pmax, smin, smax, "add", dataChange, app, txnV, "")
-      } ++ removes.map(f =>
-        (f, 0L, 0L, 0L, 0L, 0L, "remove", dataChange, app, txnV, "")) ++
-        dvs.map { case (f, sidecar) =>
-          (f, 0L, 0L, 0L, 0L, 0L, "dv", dataChange, app, txnV, sidecar)
-        } ++ eqDeletes.map(f =>
-          (f, 0L, 0L, 0L, 0L, 0L, "eqdel", dataChange, app, txnV, "")))
-        .toDF("file", "rows", "pmin", "pmax", "smin", "smax", "action",
-          "dataChange", "app", "txn", "dv")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(new java.io.File(tmp, "m").getAbsolutePath)
-      val part = new java.io.File(tmp, "m").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val mine =
-        (rows.map(_._1) ++ removes ++ dvs.map(_._1) ++ eqDeletes).toSet
-      val checked = scala.collection.mutable.Set.empty[Int]
-      var attempt = 0
-      while (attempt < maxAttempts) {
-        val seen = occVersions(commitsDir)
-        // validate against every commit that appeared after our snapshot
-        // and that we haven't inspected yet (each read is one
-        // manifest-sized file, no data I/O)
-        seen.filter(v => v > snapshotVersion && !checked.contains(v))
-          .foreach { v =>
-            val theirs = s.read.parquet(
-              occCommitFile(commitsDir, v).getAbsolutePath)
-              .select("file").as[String].collect().toSet
-            if (theirs.exists(mine.contains))
-              throw new java.util.ConcurrentModificationException(
-                s"commit v$v already added ${
-                  theirs.intersect(mine).toSeq.sorted.headOption.getOrElse("")
-                } — concurrent writers touched the same file")
-            checked += v
-          }
-        val next = seen.lastOption.getOrElse(-1) + 1
-        onAttempt(attempt)
-        try {
-          java.nio.file.Files.createLink(
-            occCommitFile(commitsDir, next).toPath, part.toPath)
-          return OccResult(next, attempt)
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => attempt += 1
-        }
-      }
-      throw new IllegalStateException(
-        s"commit lost $maxAttempts consecutive claim races")
-    } finally deleteRecursively(tmp.toPath)
-  }
-
-  /** Net table state of an OCC commit-log frame: the add actions minus
-    * every path a remove action retired (a rewrite's victims). Planning
-    * must apply this BEFORE any stats pruning — remove rows carry no
-    * box, they are tombstones, and dropping them early would resurrect
-    * the victims. One manifest-sized anti-join, no data I/O. */
-  private[graft] def occVisible(
-      frame: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    frame.filter(col("action") === "add")
-      .join(frame.filter(col("action") === "remove").select("file"),
-        Seq("file"), "left_anti")
-
-  /** Write-once OCC log with a ROW-LEVEL DELETE for e25/e26: the zinc
-    * layout's standing + delta files (read-only references — commits
-    * point at them, never copy) under a fresh commit log: v0 = standing
-    * adds, v1 = the delta ingest (dataChange adds), v2 = a DELETE
-    * (l_orderkey % 97 = 0) evaluated ONCE over the visible files and
-    * committed as dv actions — one positional sidecar plus one action
-    * row per masked file (Delta's add-with-deletionVector). No data
-    * file is rewritten; the DELETE's cost is the predicate pass plus a
-    * commit. */
-  private[graft] def occDvRoot(
-      s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    import s.implicits._
-    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
-      sys.props("user.dir") + "/data"))
-    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = new java.io.File(root, "li_occdv_" + base)
-    if (verifiedLayouts.contains(path.getAbsolutePath))
-      return path.getAbsolutePath
-    val zroot = new java.io.File(zincManifestRoot(s, dir))
-    val stamp = s"v1:${Multimodal.sourceFingerprint(
-      new java.io.File(zroot.getAbsolutePath + ".staged"))}"
-    val marker = new java.io.File(path.getAbsolutePath + ".staged")
-    val upToDate = path.isDirectory && marker.isFile &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
-    if (!upToDate) {
-      deleteRecursively(path.toPath)
-      path.mkdirs()
-      occCommit(s, path,
-        footerBoxRows(new java.io.File(zroot, "standing")),
-        snapshotVersion = -1)
-      occCommit(s, path,
-        footerBoxRows(new java.io.File(zroot, "delta")),
-        snapshotVersion = 0)
-      val visible = occVisible(s.read.parquet(
-          new java.io.File(path, "commits").getAbsolutePath))
-        .select($"file").as[String].collect().toSeq.sorted
-      val sidecar = new java.io.File(path, "dv_v2")
-      s.read.parquet(visible: _*)
-        .select(col("_metadata.file_path").as("file"),
-          col("_metadata.row_index").as("pos"), $"l_orderkey")
-        .filter($"l_orderkey" % 97 === 0)
-        .select($"file", $"pos")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(sidecar.getAbsolutePath)
-      val affected = s.read.parquet(sidecar.getAbsolutePath)
-        .select($"file").distinct().as[String].collect().toSeq
-        .map(uriToLocal).sorted
-      require(affected.nonEmpty, "the staged DELETE masked no file")
-      occCommit(s, path, Nil, snapshotVersion = 1,
-        dvs = affected.map(f => (f, sidecar.getAbsolutePath)))
-      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
-      ()
-    }
-    verifiedLayouts.add(path.getAbsolutePath)
-    path.getAbsolutePath
-  }
-
-  /** Net SCAN of an OCC log with row-level masks applied: visible files
-    * ([[occVisible]]) minus every position a dv action's sidecar masks
-    * — the e14 broadcast anti-join driven from the log itself. Masks of
-    * files a later rewrite retired are dropped with their file. */
-  private[graft] def occScanVisible(
-      s: org.apache.spark.sql.SparkSession, root: java.io.File)
-      : org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val frame = s.read.parquet(
-      new java.io.File(root, "commits").getAbsolutePath)
-    // ADVICE r14: the two delete flavors are scanned by different entry
-    // points — a log carrying the flavor this scan does NOT apply would
-    // be silently mis-read. Refuse loudly instead (manifest-sized probe).
-    require(frame.filter(col("action") === "eqdel").limit(1).count() == 0,
-      "log carries equality-delete actions — use occScanEq, " +
-        "occScanVisible would resurrect the deleted keys")
-    val files = occVisible(frame)
-      .select($"file").as[String].collect().toSeq.sorted
-    require(files.nonEmpty, "no visible files in the log")
-    val visible = files.toSet
-    val sidecars = frame.filter($"action" === "dv")
-      .select($"file", $"dv").as[(String, String)].collect()
-      .filter { case (f, _) => visible.contains(f) }
-      .map(_._2).distinct.sorted
-    val base = s.read.parquet(files: _*)
-    if (sidecars.isEmpty) base
-    else base
-      .withColumn("file", col("_metadata.file_path"))
-      .withColumn("pos", col("_metadata.row_index"))
-      .join(broadcast(s.read.parquet(sidecars: _*)),
-        Seq("file", "pos"), "left_anti")
-      .drop("file", "pos")
-  }
-
-  /** The commit log with each action's VERSION (parsed from its commit
-    * file's name) — the sequence number Iceberg scopes deletes by. */
-  private[graft] def occLogWithVersions(
-      s: org.apache.spark.sql.SparkSession, root: java.io.File)
-      : org.apache.spark.sql.DataFrame =
-    s.read.parquet(new java.io.File(root, "commits").getAbsolutePath)
-      .withColumn("version", regexp_extract(input_file_name(),
-        "v(\\d{5})\\.parquet", 1).cast("int"))
-
-  /** Sequence-scoped scan with EQUALITY DELETES applied: a delete file
-    * committed at version d masks key-matching rows ONLY in data files
-    * added at versions BELOW d — later adds with the same keys survive
-    * (Iceberg v2's sequence-number rule, what makes an upsert stream's
-    * delete-then-reinsert correct). Visible files partition by their
-    * applicable delete set — delete sets are version-prefix-monotone,
-    * so the groups are few — and each group anti-joins the union of
-    * its delete keys once, broadcast (delete files are key-sized). */
-  private[graft] def occScanEq(
-      s: org.apache.spark.sql.SparkSession, root: java.io.File,
-      keyCols: Seq[String]): org.apache.spark.sql.DataFrame =
-    occScanEqFrame(s, occLogWithVersions(s, root), keyCols)
-
-  /** [[occScanEq]] over an already-assembled VERSIONED log frame — the
-    * shared core that lets a checkpoint bootstrap ([[occBootstrap]])
-    * and a full-log replay serve the identical sequence-scoped scan
-    * (e28 pins the two equal on a log whose checkpoint sits BETWEEN an
-    * equality delete and its matching re-insert). */
-  private[graft] def occScanEqFrame(
-      s: org.apache.spark.sql.SparkSession,
-      log: org.apache.spark.sql.DataFrame,
-      keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    // ADVICE r14 flavor guard, mirror of occScanVisible's: this scan
-    // applies equality deletes but not positional dv masks
-    require(log.filter($"action" === "dv").limit(1).count() == 0,
-      "log carries deletion-vector actions — use occScanVisible, " +
-        "occScanEq would ignore the positional masks")
-    val removed = log.filter($"action" === "remove").select("file")
-    val adds = log.filter($"action" === "add")
-      .join(removed, Seq("file"), "left_anti")
-      .select($"file", $"version").as[(String, Int)].collect().toSeq.sorted
-    require(adds.nonEmpty, "no visible files in the log")
-    val dels = log.filter($"action" === "eqdel")
-      .select($"file", $"version").as[(String, Int)].collect().toSeq
-      .sortBy(_._2)
-    val groups = adds.groupBy { case (_, addV) =>
-      dels.filter(_._2 > addV).map(_._1)
-    }.toSeq.sortBy(_._2.head._1)
-    groups.map { case (delFiles, files) =>
-      val base = s.read.parquet(files.map(_._1): _*)
-      if (delFiles.isEmpty) base
-      else base.join(
-        broadcast(s.read.parquet(delFiles: _*)
-          .select(keyCols.map(col): _*).distinct()),
-        keyCols, "left_anti")
-    }.reduce(_ unionByName _)
-  }
-
-  /** REWRITE of `victim` under pending equality deletes: applying the
-    * masks is MANDATORY — the packed replacement commits at the log
-    * HEAD, re-sequencing its rows above every existing delete, so a
-    * naive byte copy would resurrect masked rows (Iceberg's rewrite
-    * rule; OccEqDeleteSpec pins the hazard and this fix). The physical
-    * write happens before the claim loop, dataChange=false keeps the
-    * feed clean. `stats` builds the manifest row (footer boxes for
-    * lineitem-shaped files; specs pass their own). */
-  private[graft] def occRewriteApplied(
-      s: org.apache.spark.sql.SparkSession, root: java.io.File,
-      victim: String, keyCols: Seq[String], label: String,
-      snapshotVersion: Int,
-      stats: java.io.File => Seq[(String, Long, Long, Long, Long, Long)]
-        = footerBoxRows): OccResult = {
-    import s.implicits._
-    val log = occLogWithVersions(s, root)
-    val addV = log.filter($"action" === "add" && $"file" === victim)
-      .select($"version").as[Int].head()
-    val dels = log.filter($"action" === "eqdel" && $"version" > addV)
-      .select($"file").as[String].collect().toSeq.sorted
-    val dest = new java.io.File(new java.io.File(root, "rewritten"), label)
-    val base = s.read.parquet(victim)
-    val applied =
-      if (dels.isEmpty) base
-      else base.join(
-        broadcast(s.read.parquet(dels: _*)
-          .select(keyCols.map(col): _*).distinct()),
-        keyCols, "left_anti")
-    applied.coalesce(1).write.mode("overwrite")
-      .parquet(dest.getAbsolutePath)
-    try occCommit(s, root, stats(dest), snapshotVersion,
-      removes = Seq(victim), dataChange = false)
-    catch {
-      case t: Throwable => deleteRecursively(dest.toPath); throw t
-    }
-  }
-
-  /** Write-once OCC log with an EQUALITY DELETE for e27: v0 = standing
-    * adds, v1 = the delete (key values `l_suppkey % 13 = 5`, written
-    * WITHOUT opening a single data file — the CDC-writer shape), v2 =
-    * the delta ingest, whose key-matching rows must SURVIVE (committed
-    * above the delete). */
-  private[graft] def occEqRoot(
-      s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    import s.implicits._
-    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
-      sys.props("user.dir") + "/data"))
-    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = new java.io.File(root, "li_occeq_" + base)
-    if (verifiedLayouts.contains(path.getAbsolutePath))
-      return path.getAbsolutePath
-    val zroot = new java.io.File(zincManifestRoot(s, dir))
-    // v2: the log also checkpoints at v1 — BETWEEN the equality delete
-    // and the re-insert — so e28 can pin that a checkpoint-bootstrapped
-    // consumer neither resurrects the deleted keys (the snapshot must
-    // carry the pending eqdel + add versions) nor kills the re-insert
-    // (the tail's adds sequence ABOVE the snapshot's delete)
-    val stamp = s"v2:${Multimodal.sourceFingerprint(
-      new java.io.File(zroot.getAbsolutePath + ".staged"))}"
-    val marker = new java.io.File(path.getAbsolutePath + ".staged")
-    val upToDate = path.isDirectory && marker.isFile &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
-    if (!upToDate) {
-      deleteRecursively(path.toPath)
-      path.mkdirs()
-      occCommit(s, path,
-        footerBoxRows(new java.io.File(zroot, "standing")),
-        snapshotVersion = -1)
-      // the delete file: key VALUES only, derived from the base table
-      // (deterministic, oracle-replayable), no data file read
-      val keys = new java.io.File(path, "eqdel_v1")
-      graft.Tables(s, dir, "lineitem")
-        .select($"l_suppkey").filter($"l_suppkey" % 13 === 5).distinct()
-        .coalesce(1).write.mode("overwrite").parquet(keys.getAbsolutePath)
-      occCommit(s, path, Nil, snapshotVersion = 0,
-        eqDeletes = Seq(keys.getAbsolutePath))
-      occCheckpoint(s, path, upTo = 1)
-      occCommit(s, path,
-        footerBoxRows(new java.io.File(zroot, "delta")),
-        snapshotVersion = 1)
-      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
-      ()
-    }
-    verifiedLayouts.add(path.getAbsolutePath)
-    path.getAbsolutePath
-  }
-
-  /** Retries observed while staging [[occRoot]]'s concurrent pair —
-    * proof the barrier actually forced a same-slot race (spec-read). */
-  @volatile private[graft] var lastOccStagingRetries: Int = -1
-
-  /** Retries observed while staging [[occRoot]]'s concurrent DISJOINT
-    * compaction pair (v5/v6) — spec-read, same convention. */
-  @volatile private[graft] var lastOccCompactionRetries: Int = -1
-
-  /** Write-once OCC-committed table root for e17/e19: the zinc layout's
-    * standing + maintained delta (read-only reuse — commits reference
-    * those files, never copy them) under a VERSIONED commit log built
-    * as: v0 = bootstrap (standing manifest rows), then the delta's
-    * manifest rows split four ways — quarters 1+2 committed by TWO
-    * CONCURRENT THREADS gated through a barrier so both claim slot v1
-    * and exactly one retries to v2, then quarters 3+4 committed
-    * sequentially (v3, v4 — e19's checkpoint tail). The union of all
-    * commits covers exactly standing ∪ delta, so e17's base-table
-    * oracle gates lost-update impossibility by value. */
-  private[graft] def occRoot(
-      s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
-      sys.props("user.dir") + "/data"))
-    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = new java.io.File(root, "li_occ_" + base)
-    if (verifiedLayouts.contains(path.getAbsolutePath))
-      return path.getAbsolutePath
-    val zroot = new java.io.File(zincManifestRoot(s, dir))
-    // v4: commits carry the dataChange/app/txn/dv action fields (e23's
-    // change feed, st22's idempotent writes, e25's row-level deletes)
-    // — earlier logs lack the columns and must restage.
-    // v5: the CHECKPOINT format changed (round 15 — rows carry the
-    // commit `version`, plus explicit txn high-water rows), so logs
-    // whose checkpoints were written by the flattening v4 code restage.
-    val stamp = s"v5:${Multimodal.sourceFingerprint(
-      new java.io.File(zroot.getAbsolutePath + ".staged"))}"
-    val marker = new java.io.File(path.getAbsolutePath + ".staged")
-    val upToDate = path.isDirectory && marker.isFile &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
-    if (!upToDate) {
-      deleteRecursively(path.toPath)
-      path.mkdirs()
-      occCommit(s, path,
-        footerBoxRows(new java.io.File(zroot, "standing")),
-        snapshotVersion = -1)
-      val delta = footerBoxRows(new java.io.File(zroot, "delta"))
-      val quarters = delta.zipWithIndex.groupBy(_._2 % 4).toSeq.sortBy(_._1)
-        .map(_._2.map(_._1))
-      require(quarters.size == 4 && quarters.forall(_.nonEmpty),
-        s"delta has only ${delta.size} files — cannot stage a 4-commit log")
-      // two concurrent committers, barrier-gated onto the same slot
-      val barrier = new java.util.concurrent.CyclicBarrier(2)
-      def gate(attempt: Int): Unit =
-        if (attempt == 0) { barrier.await(30, java.util.concurrent.TimeUnit.SECONDS); () }
-      val results = new java.util.concurrent.ConcurrentLinkedQueue[OccResult]()
-      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-      val threads = quarters.take(2).map { q =>
-        new Thread(() =>
-          try results.add(occCommit(s, path, q, snapshotVersion = 0, gate))
-          catch { case t: Throwable => failures.add(t); () })
-      }
-      threads.foreach(_.start()); threads.foreach(_.join())
-      if (!failures.isEmpty) throw failures.peek()
-      import scala.jdk.CollectionConverters._
-      val rs = results.asScala.toSeq
-      require(rs.map(_.version).sorted == Seq(1, 2),
-        s"concurrent commits landed at ${rs.map(_.version).sorted}")
-      lastOccStagingRetries = rs.map(_.retries).sum
-      require(lastOccStagingRetries >= 1,
-        "the barrier should have forced at least one claim retry")
-      // sequential tail (a later day's ingest); the checkpoint then
-      // compacts v0..v2, leaving v3/v4 as e19's replay tail — a
-      // checkpoint normally LAGS the log head exactly like this
-      quarters.drop(2).foreach(q =>
-        occCommit(s, path, q, snapshotVersion = occVersions(
-          new java.io.File(path, "commits")).last))
-      occCheckpoint(s, path, upTo = 2)
-      // e20: TWO CONCURRENT COMPACTIONS on disjoint victim pairs (the
-      // four smallest standing files), barrier-raced onto the same slot
-      // — both must land (v5/v6, exactly one retry) because rewrites of
-      // DISJOINT victims serialize like disjoint appends. Both commits
-      // sit PAST the checkpoint, so e19's bootstrap replays remove
-      // actions across the snapshot boundary against checkpoint adds —
-      // the exact reconciliation Delta tails perform.
-      val standingByRows = footerBoxRows(new java.io.File(zroot, "standing"))
-        .sortBy(r => (r._2, r._1)).map(_._1)
-      require(standingByRows.size >= 4,
-        s"need >= 4 standing files to stage two disjoint compactions")
-      val snapAll = occVersions(new java.io.File(path, "commits")).last
-      val cBarrier = new java.util.concurrent.CyclicBarrier(2)
-      def cGate(attempt: Int): Unit =
-        if (attempt == 0) { cBarrier.await(30, java.util.concurrent.TimeUnit.SECONDS); () }
-      val cResults = new java.util.concurrent.ConcurrentLinkedQueue[OccResult]()
-      val cFailures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-      val cThreads = Seq(standingByRows.take(2), standingByRows.slice(2, 4))
-        .zipWithIndex.map { case (victims, i) =>
-          new Thread(() =>
-            try cResults.add(occCompact(s, path, victims, s"c$i", snapAll, cGate))
-            catch { case t: Throwable => cFailures.add(t); () })
-        }
-      cThreads.foreach(_.start()); cThreads.foreach(_.join())
-      if (!cFailures.isEmpty) throw cFailures.peek()
-      val crs = cResults.asScala.toSeq
-      require(crs.map(_.version).sorted == Seq(snapAll + 1, snapAll + 2),
-        s"concurrent compactions landed at ${crs.map(_.version).sorted}")
-      lastOccCompactionRetries = crs.map(_.retries).sum
-      require(lastOccCompactionRetries >= 1,
-        "the compaction barrier should have forced at least one claim retry")
-      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
-      ()
-    }
-    verifiedLayouts.add(path.getAbsolutePath)
-    path.getAbsolutePath
-  }
-
-  /** Write a COMPACTED CHECKPOINT of the OCC log: one manifest file
-    * carrying the NET state of all commits ≤ `upTo` ([[occVisible]] —
-    * remove actions are applied, not copied forward, exactly as Delta
-    * checkpoints reconcile add/remove pairs), plus the
-    * `_last_checkpoint` pointer (Delta's convention) swapped in by
-    * atomic rename. A consumer bootstraps from snapshot + tail instead
-    * of replaying every commit since table creation — the year-old
-    * table with tens of thousands of commits costs one checkpoint read
-    * plus the commits since (VERDICT r13 ask #3). Maintenance-plane
-    * single writer (like [[zincVacuum]]); commits race only each other.
-    *
-    * Round 15 (VERDICT r14 #1 / ADVICE r14): the snapshot is VERSIONED
-    * and carries ALL pending action kinds, not just net adds —
-    *  - every row keeps the `version` of the commit it landed in
-    *    (Iceberg's sequence number; the checkpoint used to flatten it
-    *    away, which made equality deletes un-checkpointable);
-    *  - STILL-APPLICABLE `eqdel` actions ride along (those whose
-    *    version exceeds the oldest surviving add's — a delete that
-    *    sequences below every live file masks nothing and is dropped,
-    *    Iceberg's delete-file manifest aging rule). Without this a
-    *    bootstrap after an equality delete RESURRECTED the deleted
-    *    keys (the r14 latent wrong-answer path, now spec-pinned);
-    *  - per-app transaction high-waters persist as explicit `txn`
-    *    action rows (Delta checkpoints setTransaction actions), so an
-    *    idempotent writer's replay detection survives its last commit's
-    *    files being compacted away. */
-  private[graft] def occCheckpoint(
-      s: org.apache.spark.sql.SparkSession, root: java.io.File,
-      upTo: Int): Unit = {
-    val commitsDir = new java.io.File(root, "commits")
-    val cpDir = new java.io.File(root, "checkpoints")
-    cpDir.mkdirs()
-    val srcs = occVersions(commitsDir).filter(_ <= upTo)
-      .map(v => occCommitFile(commitsDir, v).getAbsolutePath)
-    require(srcs.nonEmpty, s"no commits at or below v$upTo to checkpoint")
-    val tmp = java.nio.file.Files
-      .createTempDirectory(root.toPath, "_cp_tmp_").toFile
-    try {
-      val all = s.read.parquet(srcs: _*)
-        .withColumn("version", regexp_extract(input_file_name(),
-          "v(\\d{5})\\.parquet", 1).cast("int"))
-      val net = occVisible(all)
-      // dv actions of still-visible files ride the checkpoint (Delta
-      // embeds the DV descriptor in the checkpointed add); a retired
-      // file's mask drops with its file
-      val liveDvs = all.filter(col("action") === "dv")
-        .join(net.select("file"), Seq("file"), "left_semi")
-      // equality deletes stay pending while ANY surviving add sequences
-      // below them (delete at version d masks adds with version < d)
-      val oldestAdd = net.agg(min(col("version"))).head()
-      val liveEqs =
-        if (oldestAdd.isNullAt(0)) all.filter(lit(false))
-        else all.filter(col("action") === "eqdel" &&
-          col("version") > oldestAdd.getInt(0))
-      // per-app txn high-waters as explicit rows (file column reused as
-      // a label; these rows are invisible to occVisible's add/remove
-      // reconciliation and to every scan — only occLastTxn reads them)
-      val txns = all.filter(col("app") =!= lit(""))
-        .groupBy(col("app")).agg(max(col("txn")).as("txn"))
-        .select(concat(lit("txn:"), col("app")).as("file"),
-          lit(0L).as("rows"), lit(0L).as("pmin"), lit(0L).as("pmax"),
-          lit(0L).as("smin"), lit(0L).as("smax"), lit("txn").as("action"),
-          lit(false).as("dataChange"), col("app"), col("txn"),
-          lit("").as("dv"), lit(upTo).as("version"))
-      net.unionByName(liveDvs).unionByName(liveEqs).unionByName(txns)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(new java.io.File(tmp, "m").getAbsolutePath)
-      val part = new java.io.File(tmp, "m").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val target = new java.io.File(cpDir, f"cp_v$upTo%05d.parquet")
-      java.nio.file.Files.deleteIfExists(target.toPath)
-      java.nio.file.Files.move(part.toPath, target.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      // pointer swap: POSIX rename replaces atomically — a reader sees
-      // the old pointer or the new one, never a torn write
-      val ptmp = new java.io.File(root, "_last_checkpoint.tmp")
-      java.nio.file.Files.write(ptmp.toPath, upTo.toString.getBytes)
-      java.nio.file.Files.move(ptmp.toPath,
-        new java.io.File(root, "_last_checkpoint").toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      ()
-    } finally deleteRecursively(tmp.toPath)
-  }
-
-  /** Consumer BOOTSTRAP from the checkpoint: resolve `_last_checkpoint`,
-    * read the snapshot file plus only the commits AFTER it. Returns the
-    * planning frame and the tail versions it replayed (spec-pinned:
-    * exactly the post-checkpoint commits, never the full log). The
-    * frame is VERSIONED — snapshot rows carry the persisted `version`
-    * column, tail rows get theirs from the commit file name — so
-    * sequence-scoped consumers ([[occScanEqFrame]], [[occLastTxn]])
-    * bootstrap through the same entry point as whole-file planning. */
-  private[graft] def occBootstrap(
-      s: org.apache.spark.sql.SparkSession, root: java.io.File)
-      : (org.apache.spark.sql.DataFrame, Seq[Int]) = {
-    val commitsDir = new java.io.File(root, "commits")
-    val cpV = new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(root, "_last_checkpoint").toPath)).trim.toInt
-    val cp = new java.io.File(new java.io.File(root, "checkpoints"),
-      f"cp_v$cpV%05d.parquet")
-    val tail = occVersions(commitsDir).filter(_ > cpV)
-    val snap = s.read.parquet(cp.getAbsolutePath)
-    val frame =
-      if (tail.isEmpty) snap
-      else snap.unionByName(
-        s.read.parquet(
-            tail.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
-          .withColumn("version", regexp_extract(input_file_name(),
-            "v(\\d{5})\\.parquet", 1).cast("int")))
-    (frame, tail)
-  }
-
-  /** VERSION AS OF over the OCC log (e22): the net table state after
-    * replaying commits ≤ `v` — one manifest-sized read of the retained
-    * log prefix, remove actions applied ([[occVisible]]). Works because
-    * commits are immutable and data files outlive the commits that
-    * retire them until a vacuum's retention clock expires them (e13's
-    * contract) — Delta's `VERSION AS OF` verbatim, cost ∝ the prefix's
-    * manifest rows, never the table. */
-  private[graft] def occAsOf(
-      s: org.apache.spark.sql.SparkSession, root: java.io.File,
-      v: Int): org.apache.spark.sql.DataFrame = {
-    val commitsDir = new java.io.File(root, "commits")
-    val srcs = occVersions(commitsDir).filter(_ <= v)
-      .map(x => occCommitFile(commitsDir, x).getAbsolutePath)
-    require(srcs.nonEmpty, s"no commits at or below v$v")
-    occVisible(s.read.parquet(srcs: _*))
-  }
-
-  /** High-water transaction version the log has recorded for `app`
-    * (Delta's txn-action lookup): -1 if the app never committed. An
-    * idempotent streaming writer compares its micro-batch id against
-    * this BEFORE writing anything — a replayed batch (same id) is a
-    * no-op, a fresh one proceeds. One manifest-sized read, no data I/O.
-    * When the log has a checkpoint the lookup BOOTSTRAPS from it
-    * (snapshot + tail, like every other consumer): the snapshot
-    * persists each app's high-water as an explicit `txn` action row
-    * (ADVICE r14 — relying on the net add rows' txn columns under-read
-    * the high-water when an app's last commit's files were later
-    * compacted away; OccEqDeleteSpec pins that scenario). */
-  private[graft] def occLastTxn(
-      s: org.apache.spark.sql.SparkSession, root: java.io.File,
-      app: String): Long = {
-    val commitsDir = new java.io.File(root, "commits")
-    val frame =
-      if (new java.io.File(root, "_last_checkpoint").isFile)
-        occBootstrap(s, root)._1
-      else {
-        val vs = occVersions(commitsDir)
-        if (vs.isEmpty) return -1L
-        s.read.parquet(
-          vs.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
-      }
-    val row = frame.filter(col("app") === app)
-      .agg(max(col("txn"))).head()
-    if (row.isNullAt(0)) -1L else row.getLong(0)
-  }
-
-  /** CHANGE DATA FEED planning over the OCC log for versions in
-    * (`from`, `to`]: per commit, `dataChange` ADD actions contribute
-    * their file as an INSERT source and `dataChange` REMOVE actions as
-    * a DELETE source (the retired bytes outlive the commit until a
-    * vacuum — e13's retention contract — so delete images are
-    * readable); commits with `dataChange=false` (compactions,
-    * re-clustering) contribute NOTHING, because their file churn is
-    * physical, not logical — the property that makes a CDC consumer
-    * immune to table maintenance. Returns (insertFiles, deleteFiles);
-    * cost ∝ the range's manifest rows, never the table. */
-  private[graft] def occChangedFiles(
-      s: org.apache.spark.sql.SparkSession, root: java.io.File,
-      from: Int, to: Int): (Seq[String], Seq[String]) = {
-    val commitsDir = new java.io.File(root, "commits")
-    val vs = occVersions(commitsDir).filter(v => v > from && v <= to)
-    if (vs.isEmpty) return (Nil, Nil)
-    val m = s.read.parquet(
-        vs.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
-      .filter(col("dataChange"))
-      .select(col("action"), col("file"))
-      .collect()
-    (m.filter(_.getString(0) == "add").map(_.getString(1)).toSeq.sorted,
-     m.filter(_.getString(0) == "remove").map(_.getString(1)).toSeq.sorted)
-  }
-
-  /** The range's `dataChange` DELETION-VECTOR actions — (file, sidecar)
-    * pairs whose masked positions are row-level deletes in the feed. */
-  private[graft] def occChangedDvs(
-      s: org.apache.spark.sql.SparkSession, root: java.io.File,
-      from: Int, to: Int): Seq[(String, String)] = {
-    val commitsDir = new java.io.File(root, "commits")
-    val vs = occVersions(commitsDir).filter(v => v > from && v <= to)
-    if (vs.isEmpty) return Nil
-    s.read.parquet(
-        vs.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
-      .filter(col("dataChange") && col("action") === "dv")
-      .select(col("file"), col("dv"))
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
-  }
-
-  /** The change rows themselves — each insert/delete source file's rows
-    * tagged with Delta CDF's `_change_type` spelling (`change_type`
-    * here; the driver compare is column-name-sorted). Four action kinds
-    * contribute (all `dataChange` only, versions in (`from`, `to`]):
-    *  - ADD: the file's rows as inserts;
-    *  - DV: exactly the sidecar's masked positions as deletes (one
-    *    broadcast semi-join per dv'd file set, the e14 mask inverted);
-    *  - EQDEL (round 15, VERDICT r14 #2): the delete's key-matching
-    *    rows in every data file VISIBLE BELOW the delete's version —
-    *    the occScanEq shape inverted (semi-join instead of anti-join),
-    *    so a CDC consumer sees the rows an equality delete logically
-    *    removed, at O(below-sequence files), never the table. Key
-    *    columns come from the delete file's own schema (Iceberg's
-    *    equality_ids travel with the delete file);
-    *  - REMOVE: the file's rows as deletes, NET OF rows already
-    *    deleted row-level BEFORE the remove (earlier dv masks
-    *    anti-joined by position, earlier applicable eqdel keys
-    *    anti-joined by key — ADVICE r14: without the netting a row
-    *    deleted at v1 via dv was emitted AGAIN when its file was
-    *    removed at v2; Delta's CDF nets these out). */
-  private[graft] def occChangeFeed(
-      s: org.apache.spark.sql.SparkSession, root: java.io.File,
-      from: Int, to: Int): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val log = occLogWithVersions(s, root)
-    val acts = log.select($"file", $"action", $"dataChange", $"dv", $"version")
-      .as[(String, String, Boolean, String, Int)].collect().toSeq
-    val inWindow = acts.filter(a => a._5 > from && a._5 <= to && a._3)
-    // full-log context for netting/sequencing (masks and add versions
-    // outside the window still scope what a window action means)
-    val addV = acts.filter(_._2 == "add").map(a => a._1 -> a._5).toMap
-    val removedAt = acts.filter(_._2 == "remove").map(a => a._1 -> a._5).toMap
-    val allDvs = acts.filter(_._2 == "dv") // (file, _, _, sidecar, version)
-    val allEqs = acts.filter(_._2 == "eqdel")
-    def eqKeyCols(delFile: String): Seq[String] =
-      s.read.parquet(delFile).schema.fieldNames.toSeq
-    // read `files` with rows already deleted row-level BEFORE version
-    // `beforeV` anti-joined away: earlier dv sidecar positions on each
-    // file, plus earlier eqdel keys applicable to it (delete sequences
-    // above the file's add). Masks are PER FILE, so files group by
-    // their (sidecars, eqdels) signature — one read per group, few
-    // groups (signatures are version-prefix-monotone, the occScanEq
-    // argument).
-    def netEarlierMasks(files: Seq[String], beforeV: Int)
-        : org.apache.spark.sql.DataFrame = {
-      def sig(f: String) = (
-        allDvs.filter(d => d._1 == f && d._5 < beforeV)
-          .map(_._4).distinct.sorted,
-        allEqs.filter(e => e._5 < beforeV &&
-            e._5 > addV.getOrElse(f, Int.MaxValue))
-          .map(_._1).distinct.sorted)
-      files.groupBy(sig).toSeq.sortBy(_._2.head).map {
-        case ((sidecars, eqs), group) =>
-          val base = s.read.parquet(group.sorted: _*)
-          val afterDv =
-            if (sidecars.isEmpty) base
-            else base
-              .withColumn("file", col("_metadata.file_path"))
-              .withColumn("pos", col("_metadata.row_index"))
-              .join(broadcast(s.read.parquet(sidecars: _*)),
-                Seq("file", "pos"), "left_anti")
-              .drop("file", "pos")
-          eqs.foldLeft(afterDv) { (df, delFile) =>
-            val keys = eqKeyCols(delFile)
-            df.join(broadcast(s.read.parquet(delFile)
-                .select(keys.map(col): _*).distinct()),
-              keys, "left_anti")
-          }
-      }.reduce(_ unionByName _)
-    }
-    val inserts = {
-      val files = inWindow.filter(_._2 == "add").map(_._1).sorted
-      if (files.isEmpty) None
-      else Some(s.read.parquet(files: _*)
-        .withColumn("change_type", lit("insert")))
-    }
-    val dvDeletes = {
-      val dvd = inWindow.filter(_._2 == "dv").map(d => (d._1, d._4))
-      if (dvd.isEmpty) None
-      else {
-        val mask = s.read.parquet(dvd.map(_._2).distinct.sorted: _*)
-        Some(s.read.parquet(dvd.map(_._1).distinct.sorted: _*)
-          .withColumn("file", col("_metadata.file_path"))
-          .withColumn("pos", col("_metadata.row_index"))
-          .join(broadcast(mask), Seq("file", "pos"), "left_semi")
-          .drop("file", "pos")
-          .withColumn("change_type", lit("delete")))
-      }
-    }
-    val eqDeletes = inWindow.filter(_._2 == "eqdel").sortBy(_._5)
-      .map { case (delFile, _, _, _, delV) =>
-        // data files visible below the delete's sequence
-        val below = addV.toSeq
-          .filter { case (f, v) =>
-            v < delV && removedAt.get(f).forall(_ >= delV)
-          }
-          .map(_._1).sorted
-        require(below.nonEmpty,
-          s"eqdel at v$delV applies to no below-sequence file")
-        val keys = eqKeyCols(delFile)
-        netEarlierMasks(below, delV)
-          .join(broadcast(s.read.parquet(delFile)
-            .select(keys.map(col): _*).distinct()),
-            keys, "left_semi")
-          .withColumn("change_type", lit("delete"))
-      }
-    val rmDeletes = inWindow.filter(_._2 == "remove")
-      .sortBy(_._1).map { case (file, _, _, _, rmV) =>
-        netEarlierMasks(Seq(file), rmV)
-          .withColumn("change_type", lit("delete"))
-      }
-    val parts = inserts.toSeq ++ dvDeletes.toSeq ++ eqDeletes ++ rmDeletes
-    require(parts.nonEmpty, s"no change rows in ($from, $to]")
-    parts.reduce(_ unionByName _)
-  }
-
-  /** One OPTIMIZE step under the multi-writer protocol (e20): read the
-    * victim files, write their rows as ONE packed file under
-    * root/compacted/, then commit { add packed, remove victims } through
-    * [[occCommit]] — the rewrite becomes visible atomically or not at
-    * all, and a racing writer touching any victim is a detected
-    * conflict, never silent data loss. The physical write happens
-    * BEFORE the claim loop (a lost claim retries the commit only, the
-    * packed bytes stay valid); an ABORT deletes the orphaned packed
-    * file so a conflict leaves the table byte-identical. Packed footer
-    * stats are re-derived from the written file (the union box of the
-    * victims — coarser pruning, same correctness). Maintenance cost ∝
-    * victims, never the table. */
-  private[graft] def occCompact(
-      s: org.apache.spark.sql.SparkSession, root: java.io.File,
-      victims: Seq[String], label: String, snapshotVersion: Int,
-      onAttempt: Int => Unit = _ => ()): OccResult = {
-    require(victims.nonEmpty, "compaction needs victims")
-    val dest = new java.io.File(new java.io.File(root, "compacted"), label)
-    s.read.parquet(victims: _*).coalesce(1)
-      .write.mode("overwrite").parquet(dest.getAbsolutePath)
-    try occCommit(s, root, footerBoxRows(dest), snapshotVersion,
-      onAttempt, removes = victims, dataChange = false)
-    catch {
-      case t: Throwable => deleteRecursively(dest.toPath); throw t
-    }
-  }
-
-  /** Write-once PER-FILE BLOOM manifest over the zinc layout (e21):
-    * one row per data file carrying a serialized Bloom filter of the
-    * file's l_orderkey values (Iceberg puffin blobs / Delta's bloom
-    * index, as a backfill job). Built distributed the way a 100 TB
-    * backfill must be: a column-pruned scan of (file, key) pairs,
-    * shuffled BY FILE, one group task builds each file's filter from
-    * its distinct keys — memory is one file's key set, never the
-    * table's. 1% FPP sized at the file's distinct count (~1.2 KB per
-    * 65k-row file). Blooms are per-file and content-addressed to the
-    * file, so a rewrite commit (e20) keeps them consistent by
-    * CONSTRUCTION on the live table — victims leave the visible set
-    * with their blooms, and a production writer would attach the packed
-    * file's bloom to its add action the way this backfill computes it
-    * (the zinc layout e21 indexes is immutable post-staging, so the
-    * staged manifest never goes stale). */
-  private[graft] def bloomManifestRoot(
-      s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    import s.implicits._
-    val zroot = new java.io.File(zincManifestRoot(s, dir))
-    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
-      sys.props("user.dir") + "/data"))
-    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = new java.io.File(root, "li_bloomidx_" + base)
-    if (verifiedLayouts.contains(path.getAbsolutePath))
-      return path.getAbsolutePath
-    val stamp = s"v1:${Multimodal.sourceFingerprint(
-      new java.io.File(zroot.getAbsolutePath + ".staged"))}"
-    val marker = new java.io.File(path.getAbsolutePath + ".staged")
-    val upToDate = path.isDirectory && marker.isFile &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
-    if (!upToDate) {
-      deleteRecursively(path.toPath)
-      s.read.parquet(
-          new java.io.File(zroot, "standing").getAbsolutePath,
-          new java.io.File(zroot, "delta").getAbsolutePath)
-        .select(
-          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
-            .as("file"),
-          col("l_orderkey").cast("long").as("k"))
-        .as[(String, Long)]
-        .groupByKey(_._1)
-        .mapGroups { (file, it) =>
-          val keys = it.map(_._2).toArray.distinct
-          val bf = org.apache.spark.util.sketch.BloomFilter
-            .create(math.max(keys.length.toLong, 1L), 0.01)
-          keys.foreach(bf.putLong)
-          val out = new java.io.ByteArrayOutputStream()
-          bf.writeTo(out)
-          (file, out.toByteArray)
-        }
-        .toDF("file", "bloom")
-        .write.mode("overwrite")
-        .parquet(new java.io.File(path, "manifest").getAbsolutePath)
-      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
-      ()
-    }
-    verifiedLayouts.add(path.getAbsolutePath)
-    path.getAbsolutePath
-  }
-
-  /** e21's needle set: the three EXISTING order keys at the quartile
-    * probes of the key domain, resolved from the orders key column in
-    * one pruned single-column pass (`MAX(o_orderkey) WHERE <= probe` per
-    * probe — deterministic, and replayable verbatim in ANSI SQL). */
-  private[graft] def bloomNeedles(
-      s: org.apache.spark.sql.SparkSession, dir: String): Seq[Long] = {
-    import s.implicits._
-    val ok = graft.Tables(s, dir, "orders")
-      .select(col("o_orderkey").cast("long").as("k"))
-    val mk = ok.agg(max($"k")).as[Long].head()
-    val probes = (1 to 3).map(i => mk * i / 4)
-    ok.agg(
-        max(when($"k" <= probes(0), $"k")),
-        max(when($"k" <= probes(1), $"k")),
-        max(when($"k" <= probes(2), $"k")))
-      .as[(Long, Long, Long)].head() match {
-        case (a, b, c) => Seq(a, b, c)
-      }
-  }
-
-  /** MERGE INTO standing USING batch ON (l_orderkey, l_linenumber) —
-    * merge-on-read: the matched targets' OLD versions are DV-masked
-    * (pure (file, pos), computed by ONE broadcast semi-join of the
-    * batch's keys onto the standing scan — the batch broadcasts, the
-    * fact side never shuffles and is never rewritten) and the batch's
-    * full row images — updated versions AND inserts alike — append
-    * clustered on the SHARED grid. This is the composition a CDC apply
-    * at 100 TB actually runs: matched-update = mask + append, unmatched-
-    * insert = append, decided by the same join, one pass over the batch.
-    * Requires the standard MERGE precondition (unique source keys);
-    * standing bytes are untouched by construction (spec-pinned). */
-  private[graft] def mergeOnRead(
-      s: org.apache.spark.sql.SparkSession, root: java.io.File,
-      batch: org.apache.spark.sql.DataFrame,
-      pMin: Long, pMax: Long, sMin: Long, sMax: Long): Unit = {
-    val standing = new java.io.File(root, "standing").getAbsolutePath
-    s.read.parquet(standing)
-      .select(col("_metadata.file_path").as("file"),
-        col("_metadata.row_index").as("pos"),
-        col("l_orderkey"), col("l_linenumber"))
-      .join(broadcast(batch.select("l_orderkey", "l_linenumber")),
-        Seq("l_orderkey", "l_linenumber"), "left_semi")
-      .select(col("file"), col("pos"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(new java.io.File(root, "dv").getAbsolutePath)
-    clusterOnSharedGrid(batch, pMin, pMax, sMin, sMax, ZincDeltaFiles)
-      .write.mode("overwrite")
-      .parquet(new java.io.File(root, "append").getAbsolutePath)
-  }
-
-  /** Write-once MERGE lifecycle root for e18: standing = the FULL base
-    * table (seven columns — the merge key needs l_linenumber)
-    * z-clustered on the shared grid; the CDC batch = updated row images
-    * for every l_orderkey % 7 = 3 line (l_quantity + 50) plus INSERTS
-    * re-keyed past the table's exact footer MAX(l_orderkey) (so they
-    * match nothing); [[mergeOnRead]] applies it. The staged state is
-    * standing ∪ append with the DV masking the replaced versions —
-    * e18 reads it and the oracle replays plain MERGE semantics
-    * relationally, so a double-kept old version, a lost update, or a
-    * dropped insert all fail the hash. */
-  private[graft] def mergeRoot(
-      s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    import s.implicits._
-    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
-      sys.props("user.dir") + "/data"))
-    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = new java.io.File(root, "li_merge_" + base)
-    if (verifiedLayouts.contains(path.getAbsolutePath))
-      return path.getAbsolutePath
-    val stamp = s"v1:${Multimodal.sourceFingerprint(
-      new java.io.File(dir, "lineitem.parquet"))}"
-    val marker = new java.io.File(path.getAbsolutePath + ".staged")
-    val upToDate = path.isDirectory && marker.isFile &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
-    if (!upToDate) {
-      deleteRecursively(path.toPath)
-      val groups = footerStats(new java.io.File(dir, "lineitem.parquet"),
-        Set("l_partkey", "l_suppkey", "l_orderkey"))
-      def global(col: String): (Long, Long) =
-        groups.map(_.stats(col)).reduce { (a, b) =>
-          (math.min(a._1, b._1), math.max(a._2, b._2))
-        }
-      val (pMin, pMax) = global("l_partkey")
-      val (sMin, sMax) = global("l_suppkey")
-      val maxKey = global("l_orderkey")._2
-      val cols = Seq($"l_orderkey", $"l_linenumber", $"l_partkey",
-        $"l_suppkey", $"l_returnflag", $"l_quantity", $"l_extendedprice")
-      val table = graft.Tables(s, dir, "lineitem").select(cols: _*)
-      clusterOnSharedGrid(table, pMin, pMax, sMin, sMax, 16)
-        .write.mode("overwrite")
-        .parquet(new java.io.File(path, "standing").getAbsolutePath)
-      // One row image per key (MIN-folded, so the DuckDB oracle replays
-      // it exactly): the synthetic fixture's (l_orderkey, l_linenumber)
-      // is NOT unique, and MERGE demands unique source keys — each
-      // key's new image replaces ALL its old versions (latest-wins CDC
-      // apply, the q58 contract against the standing layout). Inserts
-      // re-key past maxKey + 1: the fixture carries l_orderkey = 0,
-      // which re-keyed by maxKey alone would land ON the max key.
-      def oneImagePerKey(df: org.apache.spark.sql.DataFrame,
-                         key: Column, qty: Column) =
-        df.groupBy(key.as("l_orderkey"), $"l_linenumber")
-          .agg(min($"l_partkey").as("l_partkey"),
-            min($"l_suppkey").as("l_suppkey"),
-            min($"l_returnflag").as("l_returnflag"),
-            qty.as("l_quantity"),
-            min($"l_extendedprice").as("l_extendedprice"))
-      val updates = oneImagePerKey(table.filter($"l_orderkey" % 7 === 3),
-        $"l_orderkey", min($"l_quantity") + 50)
-      val inserts = oneImagePerKey(table.filter($"l_orderkey" % 97 === 0),
-        $"l_orderkey" + lit(maxKey + 1), min($"l_quantity"))
-      mergeOnRead(s, path, updates.unionByName(inserts).select(cols: _*),
-        pMin, pMax, sMin, sMax)
-      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
-      ()
-    }
-    verifiedLayouts.add(path.getAbsolutePath)
-    path.getAbsolutePath
-  }
-
-  private[graft] def zincManifestRoot(
-      s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
-      sys.props("user.dir") + "/data"))
-    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = new java.io.File(root, "li_zincm_" + base)
-    if (verifiedLayouts.contains(path.getAbsolutePath))
-      return path.getAbsolutePath
-    // v2: the lifecycle now retains retired raw files for e13's time
-    // travel — a v1-staged root (raw deleted) must restage
-    val stamp = s"v2:${Multimodal.sourceFingerprint(
-      new java.io.File(dir, "lineitem.parquet"))}"
-    val marker = new java.io.File(path.getAbsolutePath + ".staged")
-    val upToDate = path.isDirectory && marker.isFile &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
-    if (!upToDate) {
-      zincStage(s, dir, path)
-      writeManifest(s,
-        footerBoxRows(new java.io.File(path, "standing")) ++
-          footerBoxRows(new java.io.File(path, "delta_raw")),
-        new java.io.File(path, "manifest_v1").getAbsolutePath)
-      // retainRaw: the commit stops REFERENCING the raw files but the
-      // bytes stay until a vacuum — manifest_v1 remains a readable
-      // snapshot (e13's time travel) exactly as table formats keep
-      // retired files until snapshot expiry
-      zincMaintain(s, dir, path, retainRaw = true)
-      zincManifestCommit(s, path)
-      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
-      ()
-    }
-    verifiedLayouts.add(path.getAbsolutePath)
-    path.getAbsolutePath
-  }
-
-  /** e10's staging: standing/ = the 80% split (l_orderkey % 5 != 0)
-    * z-clustered; delta_raw/ = the 20% batch appended AS-ARRIVED
-    * (round-robin files, no clustering — each file's footer box spans
-    * the whole key space, the exact pathology daily ingest creates in a
-    * clustered table). Shared grid: both use the FULL base table's
-    * footer bounds ([[writeZorderedLineitem]]), so the delta's zkeys
-    * live in the standing layout's space. */
-  private[graft] val ZincDeltaFiles = 8
-
-  private[graft] def zincStage(s: org.apache.spark.sql.SparkSession,
-                               dir: String, root: java.io.File): Unit = {
-    import s.implicits._
-    val rows = footerStats(
-      new java.io.File(dir, "lineitem.parquet"), Set.empty).map(_.rows).sum
-    val standingFiles =
-      math.max(16, math.ceil(rows * 0.8 / 65536.0).toInt)
-    writeZorderedLineitem(s, dir,
-      new java.io.File(root, "standing").getAbsolutePath, standingFiles,
-      Some($"l_orderkey" % 5 =!= 0))
-    graft.Tables(s, dir, "lineitem")
-      .where($"l_orderkey" % 5 === 0)
-      .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_returnflag",
-        $"l_quantity", $"l_extendedprice")
-      .repartition(ZincDeltaFiles)
-      .write.mode("overwrite")
-      .parquet(new java.io.File(root, "delta_raw").getAbsolutePath)
-  }
-
-  /** e10's maintenance pass — incremental OPTIMIZE: z-cluster ONLY the
-    * raw delta (read from the artifact, never re-derived from the base
-    * table) into delta/, then retire delta_raw/. The standing files are
-    * never opened, moved, or rewritten — maintenance cost ∝ delta, not
-    * corpus (the s14 compaction contract applied to the clustered
-    * layout). Structurally idempotent: no raw delta ⇒ no-op. The
-    * retire-after-write ordering means a crash between the two steps
-    * leaves both dirs; a re-run re-clusters the raw and retires it —
-    * at lake scale the swap is one metadata transaction.
-    *
-    * `retainRaw` = the manifest-lifecycle mode (e12/e13): the raw files
-    * are NOT deleted — the commit merely stops referencing them, so the
-    * previous manifest stays readable (time travel) until a VACUUM
-    * expires the snapshot. Directory-listing readers (e10) keep the
-    * delete; manifest readers never see unreferenced files anyway. */
-  private[graft] def zincMaintain(s: org.apache.spark.sql.SparkSession,
-                                  dir: String, root: java.io.File,
-                                  retainRaw: Boolean = false): Unit = {
-    import s.implicits._
-    val raw = new java.io.File(root, "delta_raw")
-    if (!raw.isDirectory) return
-    val keys = Set("l_partkey", "l_suppkey")
-    val groups = footerStats(new java.io.File(dir, "lineitem.parquet"), keys)
-    def global(col: String): (Long, Long) =
-      groups.map(_.stats(col)).reduce { (a, b) =>
-        (math.min(a._1, b._1), math.max(a._2, b._2))
-      }
-    val (pMin, pMax) = global("l_partkey")
-    val (sMin, sMax) = global("l_suppkey")
-    clusterOnSharedGrid(s.read.parquet(raw.getAbsolutePath),
-      pMin, pMax, sMin, sMax, ZincDeltaFiles)
-      .write.mode("overwrite")
-      .parquet(new java.io.File(root, "delta").getAbsolutePath)
-    if (!retainRaw) deleteRecursively(raw.toPath)
-  }
-
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
@@ -4232,6 +2802,6 @@ object Mixing {
     path.getAbsolutePath
   }
 
-  private val verifiedLayouts =
+  private[graft] val verifiedLayouts =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

@@ -1061,7 +1061,7 @@ object StreamQueries {
     // double-ingest that batch. The writer here stamps every commit
     // with Delta's txn action (appId, batchId) and checks the log's
     // per-app high-water mark BEFORE writing anything
-    // ([[graft.operators.Mixing.occLastTxn]]): a replayed batch is a
+    // ([[graft.operators.Lakehouse.occLastTxn]]): a replayed batch is a
     // no-op, a fresh one proceeds. The run ingests the delta inbox,
     // then REPLAYS its last delivery verbatim (same rows, same
     // batchId — the documented crash shape, driven deterministically
@@ -1517,6 +1517,7 @@ object StreamQueries {
   def manifestConsumeCatchUp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val M = graft.operators.Mixing
+    val L = graft.operators.Lakehouse
     val tableRoot = new java.io.File(stagedIngestRoot(s, dir))
     val manifestDir = new java.io.File(tableRoot, "manifest")
     val runDir = freshRunDir("st19")
@@ -1587,7 +1588,8 @@ object StreamQueries {
   def occLogConsume(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val M = graft.operators.Mixing
-    val root = new java.io.File(M.occRoot(s, dir))
+    val L = graft.operators.Lakehouse
+    val root = new java.io.File(L.occRoot(s, dir))
     val commitsDir = new java.io.File(root, "commits")
     val runDir = freshRunDir("st20")
     lastOccConsumeRunDir = runDir.getAbsolutePath
@@ -1622,11 +1624,11 @@ object StreamQueries {
     filePartials(s.read.parquet(cp.getAbsolutePath))
       .foreach(_.write.mode("append").parquet(partialDir))
     // TAIL: stream only versions past the checkpoint, one per trigger
-    val tailVs = M.occVersions(commitsDir).filter(_ > cpV)
+    val tailVs = L.occVersions(commitsDir).filter(_ > cpV)
     require(tailVs.nonEmpty, "staged log should have post-checkpoint commits")
     val glob = tailVs.map(v => f"v$v%05d.parquet").mkString("{", ",", "}")
     val schema = s.read.parquet(
-      M.occCommitFile(commitsDir, tailVs.head).getAbsolutePath).schema
+      L.occCommitFile(commitsDir, tailVs.head).getAbsolutePath).schema
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", glob)
@@ -1682,15 +1684,16 @@ object StreamQueries {
   def occIngestCatchUp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val M = graft.operators.Mixing
+    val L = graft.operators.Lakehouse
     val standing = new java.io.File(
-      new java.io.File(M.zincManifestRoot(s, dir)), "standing")
+      new java.io.File(L.zincManifestRoot(s, dir)), "standing")
     val inbox = stagedLineitemDeltaInbox(s, dir)
     val runDir = freshRunDir("st21")
     runDir.mkdirs()
     lastOccIngestRunDir = runDir.getAbsolutePath
     val deltaDir = new java.io.File(runDir, "delta")
     // bootstrap commit: the standing layout's manifest rows (v0)
-    M.occCommit(s, runDir, M.footerBoxRows(standing), snapshotVersion = -1)
+    L.occCommit(s, runDir, M.footerBoxRows(standing), snapshotVersion = -1)
     // shared grid bounds — base-table footers, zincMaintain's rule
     val keys = Set("l_partkey", "l_suppkey")
     val groups = M.footerStats(new java.io.File(dir, "lineitem.parquet"), keys)
@@ -1731,15 +1734,15 @@ object StreamQueries {
         if (fresh.nonEmpty) {
           dataBatches += 1
           val arm = dataBatches == 2 && raceArmed.compareAndSet(false, true)
-          val snapshot = M.occVersions(new java.io.File(runDir, "commits")).last
+          val snapshot = L.occVersions(new java.io.File(runDir, "commits")).last
           val gate: Int => Unit = attempt =>
             if (attempt == 0 && arm) {
               // the competing writer lands on the slot this commit is
               // about to claim — same snapshot, disjoint adds
-              M.occCommit(s, runDir, foreignRows, snapshotVersion = snapshot)
+              L.occCommit(s, runDir, foreignRows, snapshotVersion = snapshot)
               ()
             }
-          val r = M.occCommit(s, runDir,
+          val r = L.occCommit(s, runDir,
             fresh.flatMap(f => M.footerBoxRows(new java.io.File(f))),
             snapshotVersion = snapshot, onAttempt = gate)
           retries.addAndGet(r.retries)
@@ -1759,7 +1762,7 @@ object StreamQueries {
       "the foreign commit should have forced a claim retry")
     // the table IS the commit log: plan the e9 box from the net state
     val (pLo, pHi, sLo, sHi) = M.e9Box(dir)
-    val files = M.occVisible(s.read.parquet(
+    val files = L.occVisible(s.read.parquet(
         new java.io.File(runDir, "commits").getAbsolutePath))
       .filter($"pmax" >= pLo && $"pmin" <= pHi &&
         $"smax" >= sLo && $"smin" <= sHi)
@@ -1785,7 +1788,8 @@ object StreamQueries {
   def occDvConsume(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val M = graft.operators.Mixing
-    val root = new java.io.File(M.occDvRoot(s, dir))
+    val L = graft.operators.Lakehouse
+    val root = new java.io.File(L.occDvRoot(s, dir))
     val commitsDir = new java.io.File(root, "commits")
     val runDir = freshRunDir("st23")
     lastDvConsumeRunDir = runDir.getAbsolutePath
@@ -1832,10 +1836,10 @@ object StreamQueries {
         .write.mode("append").parquet(tombDir)
       ()
     }
-    val vs = M.occVersions(commitsDir)
+    val vs = L.occVersions(commitsDir)
     val glob = vs.map(v => f"v$v%05d.parquet").mkString("{", ",", "}")
     val schema = s.read.parquet(
-      M.occCommitFile(commitsDir, vs.head).getAbsolutePath).schema
+      L.occCommitFile(commitsDir, vs.head).getAbsolutePath).schema
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", glob)
@@ -1903,7 +1907,8 @@ object StreamQueries {
   def occEqConsume(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val M = graft.operators.Mixing
-    val root = new java.io.File(M.occEqRoot(s, dir))
+    val L = graft.operators.Lakehouse
+    val root = new java.io.File(L.occEqRoot(s, dir))
     val commitsDir = new java.io.File(root, "commits")
     val runDir = freshRunDir("st24")
     lastEqConsumeRunDir = runDir.getAbsolutePath
@@ -1962,10 +1967,10 @@ object StreamQueries {
         .write.mode("append").parquet(tombDir)
       ()
     }
-    val vs = M.occVersions(commitsDir)
+    val vs = L.occVersions(commitsDir)
     val glob = vs.map(v => f"v$v%05d.parquet").mkString("{", ",", "}")
     val schema = s.read.parquet(
-      M.occCommitFile(commitsDir, vs.head).getAbsolutePath).schema
+      L.occCommitFile(commitsDir, vs.head).getAbsolutePath).schema
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", glob)
@@ -2015,7 +2020,7 @@ object StreamQueries {
   /** st22's run-to-termination: the OCC ingest loop with Delta's txn
     * action making it exactly-once under Spark's restart contract.
     * The writer is check-first — one commit-log read
-    * ([[graft.operators.Mixing.occLastTxn]]) decides skip-or-proceed
+    * ([[graft.operators.Lakehouse.occLastTxn]]) decides skip-or-proceed
     * before any data bytes move (Delta's own foreachBatch txn pattern
     * writes the data files first and skips only the commit, orphaning
     * the bytes until vacuum; checking first buys the same guarantee
@@ -2027,15 +2032,16 @@ object StreamQueries {
   def occIngestIdempotent(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val M = graft.operators.Mixing
+    val L = graft.operators.Lakehouse
     val standing = new java.io.File(
-      new java.io.File(M.zincManifestRoot(s, dir)), "standing")
+      new java.io.File(L.zincManifestRoot(s, dir)), "standing")
     val inbox = stagedLineitemDeltaInbox(s, dir)
     val runDir = freshRunDir("st22")
     runDir.mkdirs()
     lastIdemRunDir = runDir.getAbsolutePath
     val deltaDir = new java.io.File(runDir, "delta")
     val commitsDir = new java.io.File(runDir, "commits")
-    M.occCommit(s, runDir, M.footerBoxRows(standing), snapshotVersion = -1)
+    L.occCommit(s, runDir, M.footerBoxRows(standing), snapshotVersion = -1)
     val keys = Set("l_partkey", "l_suppkey")
     val groups = M.footerStats(new java.io.File(dir, "lineitem.parquet"), keys)
     def global(col: String): (Long, Long) =
@@ -2054,7 +2060,7 @@ object StreamQueries {
     // THE WRITER — all idempotence lives here, so the replay below can
     // exercise the identical code path Spark re-executes on restart
     def applyBatch(batch: DataFrame, batchId: Long): Unit = {
-      if (M.occLastTxn(s, runDir, appId) >= batchId) {
+      if (L.occLastTxn(s, runDir, appId) >= batchId) {
         skips.incrementAndGet(); return
       }
       val before = listParquet(deltaDir)
@@ -2062,8 +2068,8 @@ object StreamQueries {
         .write.mode("append").parquet(deltaDir.getAbsolutePath)
       val fresh = (listParquet(deltaDir) -- before).toSeq.sorted
       if (fresh.nonEmpty) {
-        val snapshot = M.occVersions(commitsDir).last
-        M.occCommit(s, runDir,
+        val snapshot = L.occVersions(commitsDir).last
+        L.occCommit(s, runDir,
           fresh.flatMap(f => M.footerBoxRows(new java.io.File(f))),
           snapshotVersion = snapshot, txn = Some((appId, batchId)))
         commits.incrementAndGet()
@@ -2105,16 +2111,16 @@ object StreamQueries {
         .map(_.group(1)).toSeq.sorted
     }
     require(replayFiles.nonEmpty, "last delivery carried no input files")
-    val logBefore = M.occVersions(commitsDir)
+    val logBefore = L.occVersions(commitsDir)
     applyBatch(s.read.parquet(replayFiles: _*), replayId)
     require(skips.get() == 1, "the replayed batch should have been skipped")
-    require(M.occVersions(commitsDir) == logBefore,
+    require(L.occVersions(commitsDir) == logBefore,
       "the replay changed the commit log")
     lastIdemSkips = skips.get()
     lastIdemCommits = commits.get()
     // the table IS the commit log: plan the e9 box from the net state
     val (pLo, pHi, sLo, sHi) = M.e9Box(dir)
-    val files = M.occVisible(s.read.parquet(commitsDir.getAbsolutePath))
+    val files = L.occVisible(s.read.parquet(commitsDir.getAbsolutePath))
       .filter($"pmax" >= pLo && $"pmin" <= pHi &&
         $"smax" >= sLo && $"smin" <= sHi)
       .select($"file").as[String].collect().toSeq.sorted
@@ -2159,7 +2165,7 @@ object StreamQueries {
     * the base table's footers — the zincMaintain contract: one grid for
     * standing and every delta), appends the files into the run's delta
     * dir, and commits manifest rows for exactly the new files. The
-    * standing layout ([[graft.operators.Mixing.zincManifestRoot]]'s
+    * standing layout ([[graft.operators.Lakehouse.zincManifestRoot]]'s
     * standing/) is read-only — its manifest rows are bootstrapped once
     * at run start from footer boxes, the e11 derivation. The final
     * answer plans the e9 box from the assembled manifest log. Fresh
@@ -2171,8 +2177,9 @@ object StreamQueries {
       : DataFrame = {
     import s.implicits._
     val M = graft.operators.Mixing
+    val L = graft.operators.Lakehouse
     val standing = new java.io.File(
-      new java.io.File(M.zincManifestRoot(s, dir)), "standing")
+      new java.io.File(L.zincManifestRoot(s, dir)), "standing")
     val inbox = stagedLineitemDeltaInbox(s, dir)
     val runDir = fixedRoot.getOrElse(freshRunDir("st18"))
     runDir.mkdirs()

@@ -29,7 +29,8 @@ class SparkEntrySpec extends SparkTestBase {
     // the by-design rows-only set stays exactly as documented
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("d4_minhash_lsh_pairs", "d12_minhash_incremental",
-      "x1_hll_distinct_users", "x2_approx_length_quantiles"),
+      "x1_hll_distinct_users", "x2_approx_length_quantiles",
+      "x10_kll_length_quantiles"),
       s"rows-only set drifted: $noOracle")
   }
 }

@@ -20,11 +20,11 @@ class BloomSkipSpec extends SparkTestBase {
 
   test("opened files cover exactly the needle-bearing files, with bounded FP slack; min/max would not skip") {
     import spark.implicits._
-    val needles = Mixing.bloomNeedles(spark, dir)
+    val needles = Lakehouse.bloomNeedles(spark, dir)
     assert(needles.size == 3 && needles.distinct.size == 3)
 
     val manifest = spark.read.parquet(new java.io.File(
-        Mixing.bloomManifestRoot(spark, dir), "manifest").getAbsolutePath)
+        Lakehouse.bloomManifestRoot(spark, dir), "manifest").getAbsolutePath)
       .as[(String, Array[Byte])].collect()
     val opened = manifest.filter { case (_, bytes) =>
       val bf = org.apache.spark.util.sketch.BloomFilter
@@ -33,7 +33,7 @@ class BloomSkipSpec extends SparkTestBase {
     }.map(_._1).toSet
 
     // ground truth: which files actually hold a needle row
-    val zroot = new java.io.File(Mixing.zincManifestRoot(spark, dir))
+    val zroot = new java.io.File(Lakehouse.zincManifestRoot(spark, dir))
     val all = spark.read.parquet(
         new java.io.File(zroot, "standing").getAbsolutePath,
         new java.io.File(zroot, "delta").getAbsolutePath)

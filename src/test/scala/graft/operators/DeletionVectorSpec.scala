@@ -17,7 +17,7 @@ class DeletionVectorSpec extends SparkTestBase {
     val lay = new java.io.File(Mixing.zorderedLineitem(spark, dir))
     val before = lay.listFiles().filter(_.getName.endsWith(".parquet"))
       .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
-    val dv = spark.read.parquet(Mixing.deletionVector(spark, dir))
+    val dv = spark.read.parquet(Lakehouse.deletionVector(spark, dir))
     assert(dv.columns.toSet == Set("file", "pos"),
       s"DV must carry pure position, got ${dv.columns.mkString(",")}")
     assert(dv.count() > 0, "fixture predicate deleted nothing — degenerate")
@@ -34,7 +34,7 @@ class DeletionVectorSpec extends SparkTestBase {
   test("positional masking reproduces the logical delete through a broadcast anti-join") {
     import spark.implicits._
     val lay = Mixing.zorderedLineitem(spark, dir)
-    val dv = spark.read.parquet(Mixing.deletionVector(spark, dir))
+    val dv = spark.read.parquet(Lakehouse.deletionVector(spark, dir))
     val masked = spark.read.parquet(lay)
       .withColumn("file", col("_metadata.file_path"))
       .withColumn("pos", col("_metadata.row_index"))

@@ -49,7 +49,7 @@ class DvCompactSpec extends SparkTestBase {
     val snapshot = dataDir.listFiles().filter(_.getName.endsWith(".parquet"))
       .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
 
-    val hot = Mixing.dvCompact(spark, root, 0.2)
+    val hot = Lakehouse.dvCompact(spark, root, 0.2)
     assert(hot.nonEmpty, "the clustered delete should make some files hot")
     assert(hot.size < snapshot.size,
       "every file rewrote — the threshold split is degenerate")
@@ -84,7 +84,7 @@ class DvCompactSpec extends SparkTestBase {
       "the purge changed the masked answer")
 
     // idempotent: nothing hot remains against the compacted DV
-    val hot2 = Mixing.dvCompact(spark, root, 0.2, inDv = "dv2", outDv = "dv3")
+    val hot2 = Lakehouse.dvCompact(spark, root, 0.2, inDv = "dv2", outDv = "dv3")
     assert(hot2.isEmpty, s"second purge rewrote ${hot2.size} files")
     info(s"purged ${hot.size}/${snapshot.size} files; " +
       s"DV ${spark.read.parquet(dv1).count()} → ${dv2.count()} entries")

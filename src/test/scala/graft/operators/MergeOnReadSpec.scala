@@ -14,7 +14,7 @@ class MergeOnReadSpec extends SparkTestBase {
 
   test("standing bytes untouched; DV = matched versions; append = batch; masked read = relational merge") {
     import spark.implicits._
-    val root = new java.io.File(Mixing.mergeRoot(spark, dir))
+    val root = new java.io.File(Lakehouse.mergeRoot(spark, dir))
     val standingDir = new java.io.File(root, "standing")
 
     def sig(d: java.io.File): Map[String, (Long, Long)] =
@@ -79,7 +79,7 @@ class MergeOnReadSpec extends SparkTestBase {
     assert(sig(standingDir) == before,
       "the MERGE apply modified a standing file")
     // staging idempotence: a second call is a marker no-op
-    assert(Mixing.mergeRoot(spark, dir) == root.getAbsolutePath)
+    assert(Lakehouse.mergeRoot(spark, dir) == root.getAbsolutePath)
     assert(sig(standingDir) == before)
   }
 

@@ -32,16 +32,16 @@ class OccCommitSpec extends SparkTestBase {
 
   test("four barrier-gated writers race one slot: contiguous versions, no lost update, three retries") {
     val root = freshRoot()
-    Mixing.occCommit(spark, root, Seq(row("bootstrap")), snapshotVersion = -1)
+    Lakehouse.occCommit(spark, root, Seq(row("bootstrap")), snapshotVersion = -1)
     val writers = 4
     val barrier = new CyclicBarrier(writers)
     def gate(attempt: Int): Unit =
       if (attempt == 0) { barrier.await(30, TimeUnit.SECONDS); () }
-    val results = new ConcurrentLinkedQueue[Mixing.OccResult]()
+    val results = new ConcurrentLinkedQueue[Lakehouse.OccResult]()
     val failures = new ConcurrentLinkedQueue[Throwable]()
     val threads = (1 to writers).map { i =>
       new Thread(() =>
-        try results.add(Mixing.occCommit(spark, root,
+        try results.add(Lakehouse.occCommit(spark, root,
           Seq(row(s"writer$i-a"), row(s"writer$i-b")),
           snapshotVersion = 0, gate))
         catch { case t: Throwable => failures.add(t); () })
@@ -73,22 +73,22 @@ class OccCommitSpec extends SparkTestBase {
 
   test("adding a file another post-snapshot commit already added aborts, never double-commits") {
     val root = freshRoot()
-    Mixing.occCommit(spark, root, Seq(row("base")), snapshotVersion = -1)
-    Mixing.occCommit(spark, root, Seq(row("shared"), row("a-only")),
+    Lakehouse.occCommit(spark, root, Seq(row("base")), snapshotVersion = -1)
+    Lakehouse.occCommit(spark, root, Seq(row("shared"), row("a-only")),
       snapshotVersion = 0)
-    val before = Mixing.occVersions(new java.io.File(root, "commits"))
+    val before = Lakehouse.occVersions(new java.io.File(root, "commits"))
     intercept[java.util.ConcurrentModificationException] {
-      Mixing.occCommit(spark, root, Seq(row("shared"), row("b-only")),
+      Lakehouse.occCommit(spark, root, Seq(row("shared"), row("b-only")),
         snapshotVersion = 0)
     }
-    val after = Mixing.occVersions(new java.io.File(root, "commits"))
+    val after = Lakehouse.occVersions(new java.io.File(root, "commits"))
     assert(after == before, "an aborted commit left a version in the log")
     assert(!root.listFiles().exists(_.getName.startsWith("_occ_tmp_")),
       "aborted commit leaked temp state")
     // the same adds re-tried from a FRESH snapshot (which sees the
     // winner) must also abort — the conflict is real, not a race artifact
     intercept[java.util.ConcurrentModificationException] {
-      Mixing.occCommit(spark, root, Seq(row("shared")),
+      Lakehouse.occCommit(spark, root, Seq(row("shared")),
         snapshotVersion = 0)
     }
   }
@@ -98,31 +98,31 @@ class OccCommitSpec extends SparkTestBase {
     // before the writer claims; the writer (also adding X) must detect
     // it during the claim loop
     val root = freshRoot()
-    Mixing.occCommit(spark, root, Seq(row("base")), snapshotVersion = -1)
-    Mixing.occCommit(spark, root, Seq(row("day1")), snapshotVersion = 0)
-    Mixing.occCommit(spark, root, Seq(row("x")), snapshotVersion = 1) // v2
+    Lakehouse.occCommit(spark, root, Seq(row("base")), snapshotVersion = -1)
+    Lakehouse.occCommit(spark, root, Seq(row("day1")), snapshotVersion = 0)
+    Lakehouse.occCommit(spark, root, Seq(row("x")), snapshotVersion = 1) // v2
     intercept[java.util.ConcurrentModificationException] {
-      Mixing.occCommit(spark, root, Seq(row("x")), snapshotVersion = 1)
+      Lakehouse.occCommit(spark, root, Seq(row("x")), snapshotVersion = 1)
     }
   }
 
   test("e19 bootstrap: snapshot + tail equals full replay, opening only 1 + |tail| manifests") {
-    val root = new java.io.File(Mixing.occRoot(spark, sfDir))
+    val root = new java.io.File(Lakehouse.occRoot(spark, sfDir))
     val commitsDir = new java.io.File(root, "commits")
-    assert(Mixing.occVersions(commitsDir) == Seq(0, 1, 2, 3, 4, 5, 6),
+    assert(Lakehouse.occVersions(commitsDir) == Seq(0, 1, 2, 3, 4, 5, 6),
       "staged OCC log should carry 7 commits (incl. the raced compactions)")
     val cpV = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(root, "_last_checkpoint").toPath)).trim.toInt
     assert(cpV == 2, s"checkpoint pointer should read v2, got v$cpV")
 
-    val (frame, tail) = Mixing.occBootstrap(spark, root)
+    val (frame, tail) = Lakehouse.occBootstrap(spark, root)
     assert(tail == Seq(3, 4, 5, 6),
       s"bootstrap should replay exactly the post-checkpoint commits, got $tail")
     // visible (net) state must agree — the tail's v5/v6 REMOVE actions
     // apply against adds that live inside the checkpoint file
-    val viaBootstrap = Mixing.occVisible(frame)
+    val viaBootstrap = Lakehouse.occVisible(frame)
       .select("file").collect().map(_.getString(0)).toSet
-    val viaFullReplay = Mixing.occVisible(
+    val viaFullReplay = Lakehouse.occVisible(
       spark.read.parquet(commitsDir.getAbsolutePath))
       .select("file").collect().map(_.getString(0)).toSet
     assert(viaBootstrap == viaFullReplay,
@@ -136,12 +136,12 @@ class OccCommitSpec extends SparkTestBase {
   }
 
   test("e20 staged log: compactions retired 4 victims, visible state swaps them for packed files, rows preserved") {
-    val root = new java.io.File(Mixing.occRoot(spark, sfDir))
+    val root = new java.io.File(Lakehouse.occRoot(spark, sfDir))
     val all = spark.read.parquet(new java.io.File(root, "commits").getAbsolutePath)
     val removed = all.filter("action = 'remove'")
       .select("file").collect().map(_.getString(0)).toSet
     assert(removed.size == 4, s"expected 4 retired victims, got $removed")
-    val visible = Mixing.occVisible(all)
+    val visible = Lakehouse.occVisible(all)
       .select("file").collect().map(_.getString(0)).toSet
     assert(removed.forall(v => !visible.contains(v)),
       "a retired victim stayed visible")
@@ -165,18 +165,18 @@ class OccCommitSpec extends SparkTestBase {
         .coalesce(1).write.parquet(d.getAbsolutePath)
       Mixing.footerBoxRows(d)
     }
-    Mixing.occCommit(spark, root, leaves.flatten, snapshotVersion = -1)
+    Lakehouse.occCommit(spark, root, leaves.flatten, snapshotVersion = -1)
     val files = leaves.flatten.map(_._1)
     val barrier = new CyclicBarrier(2)
     def gate(attempt: Int): Unit =
       if (attempt == 0) { barrier.await(30, TimeUnit.SECONDS); () }
-    val oks = new ConcurrentLinkedQueue[Mixing.OccResult]()
+    val oks = new ConcurrentLinkedQueue[Lakehouse.OccResult]()
     val aborts = new ConcurrentLinkedQueue[Throwable]()
     // both rewrite leaf1 — a true write-write conflict
     val threads = Seq(files.take(2), files.drop(1)).zipWithIndex.map {
       case (victims, i) =>
         new Thread(() =>
-          try oks.add(Mixing.occCompact(spark, root, victims, s"c$i",
+          try oks.add(Lakehouse.occCompact(spark, root, victims, s"c$i",
             snapshotVersion = 0, gate))
           catch { case t: Throwable => aborts.add(t); () })
     }
@@ -186,11 +186,11 @@ class OccCommitSpec extends SparkTestBase {
     assert(aborts.peek().isInstanceOf[java.util.ConcurrentModificationException],
       s"loser should abort with ConcurrentModificationException: ${aborts.peek()}")
     // the log carries only v0 + the winner; the loser's packed file is gone
-    assert(Mixing.occVersions(new java.io.File(root, "commits")) == Seq(0, 1))
+    assert(Lakehouse.occVersions(new java.io.File(root, "commits")) == Seq(0, 1))
     val packedDirs = Option(new java.io.File(root, "compacted").listFiles())
       .map(_.map(_.getName).toSet).getOrElse(Set.empty)
     import scala.jdk.CollectionConverters._
-    val winnerLabel = spark.read.parquet(Mixing.occCommitFile(
+    val winnerLabel = spark.read.parquet(Lakehouse.occCommitFile(
       new java.io.File(root, "commits"), 1).getAbsolutePath)
       .filter("action = 'add'").select("file")
       .collect().map(_.getString(0)).head match {
@@ -200,7 +200,7 @@ class OccCommitSpec extends SparkTestBase {
     assert(packedDirs == Set(winnerLabel),
       s"loser's orphaned packed dir survived: $packedDirs")
     // table content is byte-identical to pre-race state: 3 rows, same keys
-    val visible = Mixing.occVisible(spark.read.parquet(
+    val visible = Lakehouse.occVisible(spark.read.parquet(
       new java.io.File(root, "commits").getAbsolutePath))
       .select("file").as[String].collect().toSeq
     val keys = spark.read.parquet(visible: _*)
@@ -210,8 +210,8 @@ class OccCommitSpec extends SparkTestBase {
 
   test("e22 time travel: AS OF pre-compaction equals head by value with different file sets; AS OF 0 is the standing split") {
     import spark.implicits._
-    val root = new java.io.File(Mixing.occRoot(spark, sfDir))
-    def files(v: Int): Seq[String] = Mixing.occAsOf(spark, root, v)
+    val root = new java.io.File(Lakehouse.occRoot(spark, sfDir))
+    def files(v: Int): Seq[String] = Lakehouse.occAsOf(spark, root, v)
       .select($"file").as[String].collect().toSeq.sorted
     def agg(fs: Seq[String]): Seq[String] = Mixing.flagAgg(
       spark.read.parquet(fs: _*).select("l_returnflag", "l_quantity",
@@ -235,10 +235,10 @@ class OccCommitSpec extends SparkTestBase {
 
   test("checkpoint nets out remove actions instead of copying tombstones forward") {
     val root = freshRoot()
-    Mixing.occCommit(spark, root, Seq(row("x"), row("y")), snapshotVersion = -1)
-    Mixing.occCommit(spark, root, Seq(row("z")), snapshotVersion = 0,
+    Lakehouse.occCommit(spark, root, Seq(row("x"), row("y")), snapshotVersion = -1)
+    Lakehouse.occCommit(spark, root, Seq(row("z")), snapshotVersion = 0,
       removes = Seq("x"))
-    Mixing.occCheckpoint(spark, root, upTo = 1)
+    Lakehouse.occCheckpoint(spark, root, upTo = 1)
     val cp = spark.read.parquet(new java.io.File(
       new java.io.File(root, "checkpoints"), "cp_v00001.parquet").getAbsolutePath)
     assert(cp.filter("action = 'remove'").count() == 0,
@@ -260,39 +260,39 @@ class OccCommitSpec extends SparkTestBase {
     val b = stage("b", Seq(3))
     val p = stage("p", Seq(1, 2, 3)) // the compaction's packed rewrite
     def fr(f: String) = (f, 1L, 0L, 100L, 0L, 100L)
-    Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1) // v0
-    Mixing.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 0)  // v1
-    Mixing.occCommit(spark, root, Seq(fr(p)), snapshotVersion = 1,  // v2
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1) // v0
+    Lakehouse.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 0)  // v1
+    Lakehouse.occCommit(spark, root, Seq(fr(p)), snapshotVersion = 1,  // v2
       removes = Seq(a, b), dataChange = false)                      // rewrite
-    Mixing.occCommit(spark, root, Nil, snapshotVersion = 2,         // v3
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 2,         // v3
       removes = Seq(p))                                             // DELETE
 
     // the rewrite window alone: file churn, zero logical changes
-    assert(Mixing.occChangedFiles(spark, root, 1, 2) == ((Nil, Nil)),
+    assert(Lakehouse.occChangedFiles(spark, root, 1, 2) == ((Nil, Nil)),
       "the dataChange=false rewrite leaked into the feed")
     // (0, 3]: insert of b's rows at v1, delete of p's rows at v3
-    val feed = Mixing.occChangeFeed(spark, root, 0, 3)
+    val feed = Lakehouse.occChangeFeed(spark, root, 0, 3)
       .select("change_type", "k").as[(String, Int)].collect().toSet
     assert(feed == Set(("insert", 3), ("delete", 1), ("delete", 2),
       ("delete", 3)), s"feed rows wrong: $feed")
     // a delete image reads the RETIRED bytes — retention keeps them
-    val (_, del) = Mixing.occChangedFiles(spark, root, 2, 3)
+    val (_, del) = Lakehouse.occChangedFiles(spark, root, 2, 3)
     assert(del == Seq(p), s"delete sources wrong: $del")
   }
 
   test("st22 txn action: occLastTxn tracks the per-app high-water mark") {
     val root = freshRoot()
-    Mixing.occCommit(spark, root, Seq(row("boot")), snapshotVersion = -1)
-    assert(Mixing.occLastTxn(spark, root, "writer-a") == -1L,
+    Lakehouse.occCommit(spark, root, Seq(row("boot")), snapshotVersion = -1)
+    assert(Lakehouse.occLastTxn(spark, root, "writer-a") == -1L,
       "an app that never committed should read -1")
-    Mixing.occCommit(spark, root, Seq(row("a0")), snapshotVersion = 0,
+    Lakehouse.occCommit(spark, root, Seq(row("a0")), snapshotVersion = 0,
       txn = Some(("writer-a", 0L)))
-    Mixing.occCommit(spark, root, Seq(row("b5")), snapshotVersion = 1,
+    Lakehouse.occCommit(spark, root, Seq(row("b5")), snapshotVersion = 1,
       txn = Some(("writer-b", 5L)))
-    Mixing.occCommit(spark, root, Seq(row("a1")), snapshotVersion = 2,
+    Lakehouse.occCommit(spark, root, Seq(row("a1")), snapshotVersion = 2,
       txn = Some(("writer-a", 1L)))
-    assert(Mixing.occLastTxn(spark, root, "writer-a") == 1L)
-    assert(Mixing.occLastTxn(spark, root, "writer-b") == 5L)
-    assert(Mixing.occLastTxn(spark, root, "writer-c") == -1L)
+    assert(Lakehouse.occLastTxn(spark, root, "writer-a") == 1L)
+    assert(Lakehouse.occLastTxn(spark, root, "writer-b") == 5L)
+    assert(Lakehouse.occLastTxn(spark, root, "writer-c") == -1L)
   }
 }

@@ -8,7 +8,7 @@ import graft.SparkTestBase
   *    SAME file aborts in either order (the rewrite would orphan the
   *    mask), two DELETEs on the same file conflict, disjoint files
   *    serialize;
-  *  - scan semantics: [[Mixing.occScanVisible]] equals a direct
+  *  - scan semantics: [[Lakehouse.occScanVisible]] equals a direct
   *    predicate filter, masks of files a rewrite retired are dropped
   *    with their file (the rewrite applied them physically);
   *  - feed semantics: a dataChange dv action emits EXACTLY the masked
@@ -56,13 +56,13 @@ class OccDvSpec extends SparkTestBase {
       val root = freshRoot()
       val a = stage(root, "a", Seq(1, 2, 3))
       val p = stage(root, "p", Seq(1, 2, 3))
-      Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+      Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
       val sc = sidecar(root, "sc", a, Seq(2))
       val ex = intercept[java.util.ConcurrentModificationException] {
-        Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,
+        Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
           dvs = Seq((a, sc)),
           onAttempt = n => if (n == 0) {
-            Mixing.occCommit(spark, root, Seq(fr(p)), snapshotVersion = 0,
+            Lakehouse.occCommit(spark, root, Seq(fr(p)), snapshotVersion = 0,
               removes = Seq(a), dataChange = false)
             ()
           })
@@ -75,13 +75,13 @@ class OccDvSpec extends SparkTestBase {
       val root = freshRoot()
       val a = stage(root, "a", Seq(1, 2, 3))
       val p = stage(root, "p", Seq(1, 2, 3))
-      Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+      Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
       val sc = sidecar(root, "sc", a, Seq(2))
       intercept[java.util.ConcurrentModificationException] {
-        Mixing.occCommit(spark, root, Seq(fr(p)), snapshotVersion = 0,
+        Lakehouse.occCommit(spark, root, Seq(fr(p)), snapshotVersion = 0,
           removes = Seq(a), dataChange = false,
           onAttempt = n => if (n == 0) {
-            Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,
+            Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
               dvs = Seq((a, sc)))
             ()
           })
@@ -93,20 +93,20 @@ class OccDvSpec extends SparkTestBase {
       val root = freshRoot()
       val a = stage(root, "a", Seq(1, 2, 3))
       val b = stage(root, "b", Seq(4, 5, 6))
-      Mixing.occCommit(spark, root, Seq(fr(a), fr(b)), snapshotVersion = -1)
+      Lakehouse.occCommit(spark, root, Seq(fr(a), fr(b)), snapshotVersion = -1)
       val s1 = sidecar(root, "s1", a, Seq(1))
       val s2 = sidecar(root, "s2", a, Seq(3))
       val s3 = sidecar(root, "s3", b, Seq(4))
       intercept[java.util.ConcurrentModificationException] {
-        Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,
+        Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
           dvs = Seq((a, s2)),
           onAttempt = n => if (n == 0) {
-            Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,
+            Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
               dvs = Seq((a, s1)))
             ()
           })
       }
-      val r = Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,
+      val r = Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
         dvs = Seq((b, s3)),
         onAttempt = n => ())
       assert(r.retries == 0 && r.version == 2,
@@ -119,11 +119,11 @@ class OccDvSpec extends SparkTestBase {
     val root = freshRoot()
     val a = stage(root, "a", Seq(1, 2, 3, 4))
     val b = stage(root, "b", Seq(5, 6))
-    Mixing.occCommit(spark, root, Seq(fr(a), fr(b)), snapshotVersion = -1)
+    Lakehouse.occCommit(spark, root, Seq(fr(a), fr(b)), snapshotVersion = -1)
     val sc = sidecar(root, "sc", a, Seq(2, 4))
-    Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
       dvs = Seq((a, sc)))
-    val masked = Mixing.occScanVisible(spark, root)
+    val masked = Lakehouse.occScanVisible(spark, root)
       .select($"k").as[Int].collect().toSet
     assert(masked == Set(1, 3, 5, 6), s"masked scan wrong: $masked")
 
@@ -131,15 +131,15 @@ class OccDvSpec extends SparkTestBase {
     // mask must drop with the file (applying it again would be wrong
     // only if the rewrite had kept the rows — it didn't)
     val aPrime = stage(root, "a_rw", Seq(1, 3))
-    Mixing.occCommit(spark, root, Seq(fr(aPrime)), snapshotVersion = 1,
+    Lakehouse.occCommit(spark, root, Seq(fr(aPrime)), snapshotVersion = 1,
       removes = Seq(a), dataChange = false)
-    val after = Mixing.occScanVisible(spark, root)
+    val after = Lakehouse.occScanVisible(spark, root)
       .select($"k").as[Int].collect().toSet
     assert(after == Set(1, 3, 5, 6),
       s"the rewrite changed the answer: $after")
     // and the feed treats none of it as a logical change
-    assert(Mixing.occChangedFiles(spark, root, 1, 2) == ((Nil, Nil)) &&
-      Mixing.occChangedDvs(spark, root, 1, 2).isEmpty,
+    assert(Lakehouse.occChangedFiles(spark, root, 1, 2) == ((Nil, Nil)) &&
+      Lakehouse.occChangedDvs(spark, root, 1, 2).isEmpty,
       "the dataChange=false purge leaked into the feed")
   }
 
@@ -148,15 +148,15 @@ class OccDvSpec extends SparkTestBase {
     val root = freshRoot()
     val a = stage(root, "a", Seq(1, 2, 3, 4))
     val b = stage(root, "b", Seq(5, 6))
-    Mixing.occCommit(spark, root, Seq(fr(a), fr(b)), snapshotVersion = -1)
-    Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,
+    Lakehouse.occCommit(spark, root, Seq(fr(a), fr(b)), snapshotVersion = -1)
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
       dvs = Seq((a, sidecar(root, "sa", a, Seq(2))),
         (b, sidecar(root, "sb", b, Seq(5)))))
     // a's rewrite (mask applied physically) retires a and its mask
     val aPrime = stage(root, "a_rw", Seq(1, 3, 4))
-    Mixing.occCommit(spark, root, Seq(fr(aPrime)), snapshotVersion = 1,
+    Lakehouse.occCommit(spark, root, Seq(fr(aPrime)), snapshotVersion = 1,
       removes = Seq(a), dataChange = false)
-    Mixing.occCheckpoint(spark, root, upTo = 2)
+    Lakehouse.occCheckpoint(spark, root, upTo = 2)
     val cp = spark.read.parquet(new java.io.File(
       new java.io.File(root, "checkpoints"), "cp_v00002.parquet")
       .getAbsolutePath)
@@ -166,8 +166,8 @@ class OccDvSpec extends SparkTestBase {
       s"checkpoint should keep b's live mask and drop a's: $cpDvFiles")
     // a consumer bootstrapped from the checkpoint alone sees the same
     // masked answer as the full log
-    val (frame, _) = Mixing.occBootstrap(spark, root)
-    val files = Mixing.occVisible(frame)
+    val (frame, _) = Lakehouse.occBootstrap(spark, root)
+    val files = Lakehouse.occVisible(frame)
       .select($"file").as[String].collect().toSeq.sorted
     val masks = frame.filter($"action" === "dv")
       .select($"dv").as[String].collect().toSeq.distinct
@@ -179,7 +179,7 @@ class OccDvSpec extends SparkTestBase {
       .join(org.apache.spark.sql.functions.broadcast(
         spark.read.parquet(masks: _*)), Seq("file", "pos"), "left_anti")
       .select($"k").as[Int].collect().toSet
-    val want = Mixing.occScanVisible(spark, root)
+    val want = Lakehouse.occScanVisible(spark, root)
       .select($"k").as[Int].collect().toSet
     assert(got == want && got == Set(1, 3, 4, 6),
       s"checkpoint-bootstrapped masked scan diverged: $got vs $want")
@@ -189,11 +189,11 @@ class OccDvSpec extends SparkTestBase {
     import spark.implicits._
     val root = freshRoot()
     val a = stage(root, "a", Seq(1, 2, 3, 4))
-    Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
     val sc = sidecar(root, "sc", a, Seq(2, 4))
-    Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
       dvs = Seq((a, sc)))
-    val feed = Mixing.occChangeFeed(spark, root, 0, 1)
+    val feed = Lakehouse.occChangeFeed(spark, root, 0, 1)
       .select($"change_type", $"k").as[(String, Int)].collect().toSet
     assert(feed == Set(("delete", 2), ("delete", 4)),
       s"dv feed rows wrong: $feed")

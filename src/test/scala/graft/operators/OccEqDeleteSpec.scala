@@ -10,7 +10,7 @@ import graft.SparkTestBase
   *    exactly the deletes committed after it;
   *  - the REWRITE HAZARD: a naive byte-copy rewrite re-sequences its
   *    rows above every delete and RESURRECTS masked keys; the
-  *    delete-aware rewrite ([[Mixing.occRewriteApplied]]) applies
+  *    delete-aware rewrite ([[Lakehouse.occRewriteApplied]]) applies
   *    pending masks and preserves the answer;
   *  - an equality delete names no data file, so it never conflicts
   *    with a racing append.
@@ -44,22 +44,22 @@ class OccEqDeleteSpec extends SparkTestBase {
 
   private def scanKs(root: java.io.File): Seq[Int] = {
     import spark.implicits._
-    Mixing.occScanEq(spark, root, Seq("k"))
+    Lakehouse.occScanEq(spark, root, Seq("k"))
       .select($"k").as[Int].collect().toSeq.sorted
   }
 
   test("sequence rule: the delete masks only earlier files; stacked deletes scope per file") {
     val root = freshRoot()
     val a = stage(root, "a", Seq(1, 2, 3))
-    Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1) // v0
-    Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,         // v1
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1) // v0
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,         // v1
       eqDeletes = Seq(keysFile(root, "d1", Seq(2))))
     val b = stage(root, "b", Seq(2, 5))                             // v2:
-    Mixing.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 1)  // 2 reinserted
+    Lakehouse.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 1)  // 2 reinserted
     assert(scanKs(root) == Seq(1, 2, 3, 5),
       "the delete leaked onto the later add (or missed the earlier one)")
 
-    Mixing.occCommit(spark, root, Nil, snapshotVersion = 2,         // v3
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 2,         // v3
       eqDeletes = Seq(keysFile(root, "d2", Seq(3, 5))))
     // a (v0) is masked by {2} and {3,5}; b (v2) only by {3,5}
     assert(scanKs(root) == Seq(1, 2),
@@ -71,12 +71,12 @@ class OccEqDeleteSpec extends SparkTestBase {
     locally {
       val root = freshRoot()
       val a = stage(root, "a", Seq(1, 2, 3))
-      Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
-      Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,
+      Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+      Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
         eqDeletes = Seq(keysFile(root, "d1", Seq(2))))
       assert(scanKs(root) == Seq(1, 3))
       val aCopy = stage(root, "a_naive", Seq(1, 2, 3)) // byte copy
-      Mixing.occCommit(spark, root, Seq(fr(aCopy)), snapshotVersion = 1,
+      Lakehouse.occCommit(spark, root, Seq(fr(aCopy)), snapshotVersion = 1,
         removes = Seq(a), dataChange = false)
       assert(scanKs(root) == Seq(1, 2, 3),
         "expected the naive rewrite to resurrect key 2 — hazard gone?")
@@ -85,10 +85,10 @@ class OccEqDeleteSpec extends SparkTestBase {
     locally {
       val root = freshRoot()
       val a = stage(root, "a", Seq(1, 2, 3))
-      Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
-      Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,
+      Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+      Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
         eqDeletes = Seq(keysFile(root, "d1", Seq(2))))
-      val r = Mixing.occRewriteApplied(spark, root, a, Seq("k"), "rw0",
+      val r = Lakehouse.occRewriteApplied(spark, root, a, Seq("k"), "rw0",
         snapshotVersion = 1,
         stats = d => Seq((d.getAbsolutePath, 0L, 0L, 0L, 0L, 0L)))
       assert(r.version == 2, s"rewrite should land at the head: $r")
@@ -100,12 +100,12 @@ class OccEqDeleteSpec extends SparkTestBase {
   test("an equality delete never conflicts with a racing append") {
     val root = freshRoot()
     val a = stage(root, "a", Seq(1, 2))
-    Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
     val b = stage(root, "b", Seq(3))
-    val r = Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,
+    val r = Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
       eqDeletes = Seq(keysFile(root, "d1", Seq(1))),
       onAttempt = n => if (n == 0) {
-        Mixing.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 0)
+        Lakehouse.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 0)
         ()
       })
     assert(r.retries == 1 && r.version == 2,
@@ -120,17 +120,17 @@ class OccEqDeleteSpec extends SparkTestBase {
     import spark.implicits._
     val root = freshRoot()
     val a = stage(root, "a", Seq(1, 2, 3))
-    Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1) // v0
-    Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,         // v1
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1) // v0
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,         // v1
       eqDeletes = Seq(keysFile(root, "d1", Seq(2))))
-    Mixing.occCheckpoint(spark, root, upTo = 1)
+    Lakehouse.occCheckpoint(spark, root, upTo = 1)
     val b = stage(root, "b", Seq(2, 5))                             // v2:
-    Mixing.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 1)  // reinsert
+    Lakehouse.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 1)  // reinsert
 
-    val (frame, tail) = Mixing.occBootstrap(spark, root)
+    val (frame, tail) = Lakehouse.occBootstrap(spark, root)
     assert(tail == Seq(2), s"tail should be the post-checkpoint ingest: $tail")
     def ks(log: org.apache.spark.sql.DataFrame): Seq[Int] =
-      Mixing.occScanEqFrame(spark, log, Seq("k"))
+      Lakehouse.occScanEqFrame(spark, log, Seq("k"))
         .select($"k").as[Int].collect().toSeq.sorted
     // bootstrap ≡ full-log replay, row for row
     assert(ks(frame) == scanKs(root),
@@ -148,21 +148,21 @@ class OccEqDeleteSpec extends SparkTestBase {
   test("per-app txn high-water survives its commit's files being compacted away, via the checkpoint's txn rows") {
     val root = freshRoot()
     val a = stage(root, "a", Seq(1, 2))
-    Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1) // v0
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1) // v0
     val b = stage(root, "b", Seq(3))
-    Mixing.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 0,  // v1
+    Lakehouse.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 0,  // v1
       txn = Some(("ingest", 7L)))
     // the app's ONLY commit's file is compacted away (its net-add row —
     // and with it the txn columns — leaves the checkpoint)
     val packed = stage(root, "packed", Seq(1, 2, 3))
-    Mixing.occCommit(spark, root, Seq(fr(packed)), snapshotVersion = 1,
+    Lakehouse.occCommit(spark, root, Seq(fr(packed)), snapshotVersion = 1,
       removes = Seq(a, b), dataChange = false)                      // v2
-    Mixing.occCheckpoint(spark, root, upTo = 2)
+    Lakehouse.occCheckpoint(spark, root, upTo = 2)
     // bootstrap path (checkpoint exists): the explicit txn row answers
-    assert(Mixing.occLastTxn(spark, root, "ingest") == 7L,
+    assert(Lakehouse.occLastTxn(spark, root, "ingest") == 7L,
       "txn high-water lost across compaction + checkpoint — " +
         "a restarted writer would re-ingest a replayed batch")
-    assert(Mixing.occLastTxn(spark, root, "nobody") == -1L)
+    assert(Lakehouse.occLastTxn(spark, root, "nobody") == -1L)
   }
 
   test("e29 feed netting: rows deleted row-level (dv or eqdel) are not re-emitted when their file is later removed") {
@@ -171,12 +171,12 @@ class OccEqDeleteSpec extends SparkTestBase {
     locally {
       val root = freshRoot()
       val a = stage(root, "a", Seq(1, 2, 3))
-      Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
-      Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,
+      Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+      Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
         eqDeletes = Seq(keysFile(root, "d1", Seq(2))))
-      Mixing.occCommit(spark, root, Nil, snapshotVersion = 1,
+      Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 1,
         removes = Seq(a))
-      val deletes = Mixing.occChangeFeed(spark, root, 0, 2)
+      val deletes = Lakehouse.occChangeFeed(spark, root, 0, 2)
         .filter($"change_type" === "delete")
         .select($"k").as[Int].collect().toSeq.sorted
       assert(deletes == Seq(1, 2, 3),
@@ -186,7 +186,7 @@ class OccEqDeleteSpec extends SparkTestBase {
     locally {
       val root = freshRoot()
       val a = stage(root, "a", Seq(1, 2, 3))
-      Mixing.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+      Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
       val sidecar = new java.io.File(root, "dv1")
       spark.read.parquet(a)
         .select(org.apache.spark.sql.functions.col("_metadata.file_path")
@@ -195,11 +195,11 @@ class OccEqDeleteSpec extends SparkTestBase {
           $"k")
         .filter($"k" === 2).select($"file", $"pos")
         .coalesce(1).write.parquet(sidecar.getAbsolutePath)
-      Mixing.occCommit(spark, root, Nil, snapshotVersion = 0,
+      Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
         dvs = Seq((a, sidecar.getAbsolutePath)))
-      Mixing.occCommit(spark, root, Nil, snapshotVersion = 1,
+      Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 1,
         removes = Seq(a))
-      val deletes = Mixing.occChangeFeed(spark, root, 0, 2)
+      val deletes = Lakehouse.occChangeFeed(spark, root, 0, 2)
         .filter($"change_type" === "delete")
         .select($"k").as[Int].collect().toSeq.sorted
       assert(deletes == Seq(1, 2, 3),

@@ -16,8 +16,8 @@ class PartitionEvolutionSpec extends SparkTestBase {
 
   test("eras are total and disjoint; each file's manifest tuple matches its rows") {
     import spark.implicits._
-    val root = new java.io.File(Mixing.partitionSpecRoot(spark, dir))
-    val sy = Mixing.pspecSplitYear(spark, dir)
+    val root = new java.io.File(Lakehouse.partitionSpecRoot(spark, dir))
+    val sy = Lakehouse.pspecSplitYear(spark, dir)
     val m = spark.read.parquet(
       new java.io.File(root, "manifest").getAbsolutePath)
       .as[(String, Int, Int, Int)].collect().toSeq
@@ -48,8 +48,8 @@ class PartitionEvolutionSpec extends SparkTestBase {
 
   test("a range inside the evolved era opens zero spec-0 files and only its months; values match the base table") {
     import spark.implicits._
-    val root = new java.io.File(Mixing.partitionSpecRoot(spark, dir))
-    val sy = Mixing.pspecSplitYear(spark, dir)
+    val root = new java.io.File(Lakehouse.partitionSpecRoot(spark, dir))
+    val sy = Lakehouse.pspecSplitYear(spark, dir)
     val m = spark.read.parquet(
       new java.io.File(root, "manifest").getAbsolutePath)
     // Jun 1 .. Sep 1 of the split year — entirely era-1
@@ -79,8 +79,8 @@ class PartitionEvolutionSpec extends SparkTestBase {
 
   test("the evolution's payoff: the boundary year opens 12/12 under spec-0 grain but 3/12 months under spec-1") {
     import spark.implicits._
-    val root = new java.io.File(Mixing.partitionSpecRoot(spark, dir))
-    val sy = Mixing.pspecSplitYear(spark, dir)
+    val root = new java.io.File(Lakehouse.partitionSpecRoot(spark, dir))
+    val sy = Lakehouse.pspecSplitYear(spark, dir)
     val m = spark.read.parquet(
       new java.io.File(root, "manifest").getAbsolutePath)
     // e24's straddling range: Oct (sy-1) .. Mar (sy)

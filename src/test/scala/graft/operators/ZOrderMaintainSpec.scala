@@ -31,7 +31,7 @@ class ZOrderMaintainSpec extends SparkTestBase {
   test("maintenance makes the blind delta prunable without touching a standing byte") {
     val root = java.nio.file.Files
       .createTempDirectory("zinc_spec").toFile
-    Mixing.zincStage(spark, dir, root)
+    Lakehouse.zincStage(spark, dir, root)
     val standing = new java.io.File(root, "standing")
     val raw = new java.io.File(root, "delta_raw")
     val standingBefore = snapshot(standing)
@@ -45,7 +45,7 @@ class ZOrderMaintainSpec extends SparkTestBase {
     assert(rawRead == rawGroups.size,
       s"expected the blind delta fully read, $rawRead of ${rawGroups.size}")
 
-    Mixing.zincMaintain(spark, dir, root)
+    Lakehouse.zincMaintain(spark, dir, root)
     assert(!raw.isDirectory, "maintenance should retire delta_raw")
     val delta = new java.io.File(root, "delta")
     val deltaGroups = Mixing.footerStats(delta, cols)
@@ -64,7 +64,7 @@ class ZOrderMaintainSpec extends SparkTestBase {
 
     // idempotence: a second pass with no raw delta is a structural no-op
     val deltaBefore = snapshot(delta)
-    Mixing.zincMaintain(spark, dir, root)
+    Lakehouse.zincMaintain(spark, dir, root)
     assert(snapshot(delta) == deltaBefore, "re-maintain rewrote the delta")
 
     // row-content identity: standing ∪ delta ≡ the base table (the

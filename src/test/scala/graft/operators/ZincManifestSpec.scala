@@ -28,15 +28,15 @@ class ZincManifestSpec extends SparkTestBase {
   test("maintenance commit edits metadata only and matches a from-scratch rebuild") {
     val root = java.nio.file.Files
       .createTempDirectory("zincm_spec").toFile
-    Mixing.zincStage(spark, dir, root)
+    Lakehouse.zincStage(spark, dir, root)
     val v1 = Mixing.footerBoxRows(new java.io.File(root, "standing")) ++
       Mixing.footerBoxRows(new java.io.File(root, "delta_raw"))
     import spark.implicits._
     v1.toDF("file", "rows", "pmin", "pmax", "smin", "smax").coalesce(1)
       .write.parquet(new java.io.File(root, "manifest_v1").getAbsolutePath)
 
-    Mixing.zincMaintain(spark, dir, root)
-    Mixing.zincManifestCommit(spark, root)
+    Lakehouse.zincMaintain(spark, dir, root)
+    Lakehouse.zincManifestCommit(spark, root)
     val v2 = rows(new java.io.File(root, "manifest_v2"))
 
     // no retired file survives the commit; every standing row carried
@@ -72,7 +72,7 @@ class ZincManifestSpec extends SparkTestBase {
     }
     copy("manifest_v1"); copy("delta")
     assert(!new java.io.File(clone, "standing").exists())
-    Mixing.zincManifestCommit(spark, clone)
+    Lakehouse.zincManifestCommit(spark, clone)
     val v2NoStanding = rows(new java.io.File(clone, "manifest_v2"))
     // identical rows modulo the delta paths now living under the clone
     def canon(rs: Seq[(String, Long, Long, Long, Long, Long)]) =
@@ -81,20 +81,20 @@ class ZincManifestSpec extends SparkTestBase {
     assert(canon(v2NoStanding) == canon(v2),
       "commit behaved differently when standing/ was absent — it must not depend on standing files")
     info(s"manifest v1 ${v1.size} rows → v2 ${v2.size} rows, " +
-      s"commit re-read only ${Mixing.ZincDeltaFiles} delta files")
+      s"commit re-read only ${Lakehouse.ZincDeltaFiles} delta files")
   }
 
   test("time travel reads the v1 snapshot until vacuum expires it; vacuum spares every live file") {
     val root = java.nio.file.Files
       .createTempDirectory("zincm_vac").toFile
-    Mixing.zincStage(spark, dir, root)
+    Lakehouse.zincStage(spark, dir, root)
     import spark.implicits._
     Mixing.footerBoxRows(new java.io.File(root, "standing"))
       .++(Mixing.footerBoxRows(new java.io.File(root, "delta_raw")))
       .toDF("file", "rows", "pmin", "pmax", "smin", "smax").coalesce(1)
       .write.parquet(new java.io.File(root, "manifest_v1").getAbsolutePath)
-    Mixing.zincMaintain(spark, dir, root, retainRaw = true)
-    Mixing.zincManifestCommit(spark, root)
+    Lakehouse.zincMaintain(spark, dir, root, retainRaw = true)
+    Lakehouse.zincManifestCommit(spark, root)
 
     def planAll(manifest: String): Seq[String] =
       spark.read.parquet(new java.io.File(root, manifest).getAbsolutePath)
@@ -115,7 +115,7 @@ class ZincManifestSpec extends SparkTestBase {
     // retention window first (r13 ADVICE/ask #7): the snapshot was
     // committed seconds ago — a reader could still be mid-flight on it,
     // so a retention-gated vacuum must spare EVERYTHING
-    Mixing.zincVacuum(spark, root, retentionMs = 60L * 60 * 1000)
+    Lakehouse.zincVacuum(spark, root, retentionMs = 60L * 60 * 1000)
     assert(v1Files.forall(f => new java.io.File(f).isFile),
       "retention-gated vacuum deleted a too-young snapshot's file")
     assert(new java.io.File(root, "manifest_v1").isDirectory,
@@ -123,7 +123,7 @@ class ZincManifestSpec extends SparkTestBase {
     assert(v1Rows == total(v1Files),
       "the young snapshot no longer answers after the gated vacuum")
 
-    Mixing.zincVacuum(spark, root)
+    Lakehouse.zincVacuum(spark, root)
 
     // after: every live file intact (live scan byte-identical), every
     // unreferenced file gone, the expired manifest gone
@@ -136,7 +136,7 @@ class ZincManifestSpec extends SparkTestBase {
     assert(!new java.io.File(root, "manifest_v1").exists(),
       "vacuum left the expired manifest readable")
     // structurally idempotent
-    Mixing.zincVacuum(spark, root)
+    Lakehouse.zincVacuum(spark, root)
     assert(v2Files.forall(f => new java.io.File(f).isFile))
     info(s"vacuum expired ${retired.size} retired files; " +
       s"${v2Files.size} live files untouched")
@@ -151,7 +151,7 @@ class ZincManifestSpec extends SparkTestBase {
   }
 
   test("e12's planning lands on the footer-derived must-read set and answers like e10") {
-    val root = new java.io.File(Mixing.zincManifestRoot(spark, dir))
+    val root = new java.io.File(Lakehouse.zincManifestRoot(spark, dir))
     val (pLo, pHi, sLo, sHi) = Mixing.e9Box(dir)
     val cols = Set("l_partkey", "l_suppkey")
     val live = Mixing.footerStats(new java.io.File(root, "standing"), cols) ++

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkTestBase
-import graft.operators.Mixing
+import graft.operators.{Lakehouse, Mixing}
 import org.apache.spark.sql.functions._
 
 /** Pins st23's row-level retraction: the consumer takes one trigger
@@ -20,8 +20,8 @@ class DvConsumeStreamSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq
 
     // one micro-batch per commit file
-    val root = new java.io.File(Mixing.occDvRoot(spark, dir))
-    val nCommits = Mixing.occVersions(new java.io.File(root, "commits")).size
+    val root = new java.io.File(Lakehouse.occDvRoot(spark, dir))
+    val nCommits = Lakehouse.occVersions(new java.io.File(root, "commits")).size
     val batches = StreamQueries.lastRunProgress
       .filter(_.numInputRows > 0)
     assert(batches.length == nCommits,
@@ -43,7 +43,7 @@ class DvConsumeStreamSpec extends SparkTestBase {
     // parity with the one-shot masked scan over the same log
     val (pLo, pHi, sLo, sHi) = Mixing.e9Box(dir)
     val direct = Mixing.flagAgg(
-      Mixing.occScanVisible(spark, root)
+      Lakehouse.occScanVisible(spark, root)
         .filter($"l_partkey".between(pLo, pHi) &&
           $"l_suppkey".between(sLo, sHi)))
       .collect().map(_.toString).toSeq

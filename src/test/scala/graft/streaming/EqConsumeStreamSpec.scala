@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkTestBase
-import graft.operators.Mixing
+import graft.operators.{Lakehouse, Mixing}
 import org.apache.spark.sql.functions._
 
 /** Pins st24's equality-delete consumption: the consumer takes one
@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * name ONLY below-sequence files (the re-insert, committed above the
   * delete, is never retracted), retraction cost is key-match-sized
   * (never a rescan of folded files), and the streamed merge equals the
-  * one-shot sequence-scoped scan ([[Mixing.occScanEq]]) and (by value,
+  * one-shot sequence-scoped scan ([[Lakehouse.occScanEq]]) and (by value,
   * at scale) st24's base-table oracle. */
 class EqConsumeStreamSpec extends SparkTestBase {
 
@@ -22,9 +22,9 @@ class EqConsumeStreamSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq
 
     // one micro-batch per commit file
-    val root = new java.io.File(Mixing.occEqRoot(spark, dir))
-    val log = Mixing.occLogWithVersions(spark, root)
-    val nCommits = Mixing.occVersions(new java.io.File(root, "commits")).size
+    val root = new java.io.File(Lakehouse.occEqRoot(spark, dir))
+    val log = Lakehouse.occLogWithVersions(spark, root)
+    val nCommits = Lakehouse.occVersions(new java.io.File(root, "commits")).size
     val batches = StreamQueries.lastRunProgress
       .filter(_.numInputRows > 0)
     assert(batches.length == nCommits,
@@ -58,7 +58,7 @@ class EqConsumeStreamSpec extends SparkTestBase {
 
     // parity with the one-shot sequence-scoped scan over the same log
     val direct = Mixing.flagAgg(
-      Mixing.occScanEq(spark, root, Seq("l_suppkey")))
+      Lakehouse.occScanEq(spark, root, Seq("l_suppkey")))
       .collect().map(_.toString).toSeq
     assert(result == direct,
       "streamed eqdel retraction diverged from the one-shot eq scan")

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkTestBase
-import graft.operators.Mixing
+import graft.operators.{Lakehouse, Mixing}
 
 /** Pins st22's exactly-once contract: every data commit carries the
   * writer's txn action (appId, batchId), the crash replay of the last
@@ -27,7 +27,7 @@ class IdempotentIngestStreamSpec extends SparkTestBase {
 
     val run = new java.io.File(StreamQueries.lastIdemRunDir)
     val commitsDir = new java.io.File(run, "commits")
-    val versions = Mixing.occVersions(commitsDir)
+    val versions = Lakehouse.occVersions(commitsDir)
     assert(versions == versions.indices.toSeq,
       s"commit log not contiguous: $versions")
     assert(versions.size == 1 + StreamQueries.lastIdemCommits,
@@ -37,7 +37,7 @@ class IdempotentIngestStreamSpec extends SparkTestBase {
     // strictly increasing, and the high-water lookup sees the max
     val stamps = versions.drop(1).map { v =>
       val r = spark.read.parquet(
-          Mixing.occCommitFile(commitsDir, v).getAbsolutePath)
+          Lakehouse.occCommitFile(commitsDir, v).getAbsolutePath)
         .select($"app", $"txn").distinct()
         .as[(String, Long)].collect()
       assert(r.length == 1, s"commit v$v should carry one txn stamp")
@@ -48,18 +48,18 @@ class IdempotentIngestStreamSpec extends SparkTestBase {
     val ids = stamps.map(_._2)
     assert(ids == ids.sorted && ids.distinct == ids,
       s"batch ids should be strictly increasing: $ids")
-    assert(Mixing.occLastTxn(spark, run, "st22_ingest") == ids.max,
+    assert(Lakehouse.occLastTxn(spark, run, "st22_ingest") == ids.max,
       "txn high-water lookup disagrees with the log")
 
     // a batchId at (or below) the high-water would be skipped; the
     // NEXT id would not — the gate is a comparison, not a freeze
-    assert(Mixing.occLastTxn(spark, run, "st22_ingest") >= ids.max)
-    assert(Mixing.occLastTxn(spark, run, "some-other-writer") == -1L)
+    assert(Lakehouse.occLastTxn(spark, run, "st22_ingest") >= ids.max)
+    assert(Lakehouse.occLastTxn(spark, run, "some-other-writer") == -1L)
 
     // parity with a direct standing ∪ streamed-delta scan
     val (pLo, pHi, sLo, sHi) = Mixing.e9Box(dir)
     val standing = new java.io.File(
-      new java.io.File(Mixing.zincManifestRoot(spark, dir)), "standing")
+      new java.io.File(Lakehouse.zincManifestRoot(spark, dir)), "standing")
     val direct = Mixing.flagAgg(
       spark.read.parquet(standing.getAbsolutePath,
           new java.io.File(run, "delta").getAbsolutePath)

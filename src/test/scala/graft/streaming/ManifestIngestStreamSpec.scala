@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkTestBase
-import graft.operators.Mixing
+import graft.operators.{Lakehouse, Mixing}
 
 /** Pins st18's physical contract: the catch-up run really commits per
   * micro-batch (≥2 data batches), the assembled manifest log equals a
@@ -16,7 +16,7 @@ class ManifestIngestStreamSpec extends SparkTestBase {
 
   test("per-trigger commits assemble a manifest equal to a rebuild; standing untouched") {
     val standing = new java.io.File(
-      new java.io.File(Mixing.zincManifestRoot(spark, dir)), "standing")
+      new java.io.File(Lakehouse.zincManifestRoot(spark, dir)), "standing")
     val before = standing.listFiles().filter(_.getName.endsWith(".parquet"))
       .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
 

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkTestBase
-import graft.operators.Mixing
+import graft.operators.{Lakehouse, Mixing}
 
 /** Pins st21's physical contract: the streaming ingest commits through
   * the OCC claim loop while a foreign writer lands mid-stream —
@@ -18,7 +18,7 @@ class OccIngestStreamSpec extends SparkTestBase {
   test("foreign writer takes the contested slot; the stream retries, loses nothing, and the plan excludes the foreign file") {
     import spark.implicits._
     val standing = new java.io.File(
-      new java.io.File(Mixing.zincManifestRoot(spark, dir)), "standing")
+      new java.io.File(Lakehouse.zincManifestRoot(spark, dir)), "standing")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
     val before = walk(standing)
@@ -31,7 +31,7 @@ class OccIngestStreamSpec extends SparkTestBase {
       "the injected race should force at least one claim retry")
     val run = new java.io.File(StreamQueries.lastOccIngestRunDir)
     val commitsDir = new java.io.File(run, "commits")
-    val versions = Mixing.occVersions(commitsDir)
+    val versions = Lakehouse.occVersions(commitsDir)
     assert(versions == versions.indices.toSeq,
       s"commit log not contiguous: $versions")
     assert(versions.size == 4,
@@ -39,7 +39,7 @@ class OccIngestStreamSpec extends SparkTestBase {
 
     // locate the foreign commit and the raced data commit around it
     def filesOf(v: Int): Seq[String] = spark.read.parquet(
-        Mixing.occCommitFile(commitsDir, v).getAbsolutePath)
+        Lakehouse.occCommitFile(commitsDir, v).getAbsolutePath)
       .filter($"action" === "add")
       .select($"file").as[String].collect().toSeq
     val foreignV = versions.filter(v => filesOf(v).exists(_.contains("/foreign/")))
@@ -60,7 +60,7 @@ class OccIngestStreamSpec extends SparkTestBase {
     // file contributes nothing (outside the grid) and never enters the
     // box plan
     val (pLo, pHi, sLo, sHi) = Mixing.e9Box(dir)
-    val planned = Mixing.occVisible(
+    val planned = Lakehouse.occVisible(
         spark.read.parquet(commitsDir.getAbsolutePath))
       .filter($"pmax" >= pLo && $"pmin" <= pHi &&
         $"smax" >= sLo && $"smin" <= sHi)

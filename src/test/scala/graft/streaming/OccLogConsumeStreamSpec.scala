@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkTestBase
-import graft.operators.Mixing
+import graft.operators.{Lakehouse, Mixing}
 
 /** Pins st20's physical contract: the consumer bootstraps from the
   * CHECKPOINT (its partials exist before the stream starts), takes one
@@ -18,7 +18,7 @@ class OccLogConsumeStreamSpec extends SparkTestBase {
 
   test("bootstrap from checkpoint + one batch per tail commit; tombstones retract the rewrites' victims; merge equals the batch net-state scan") {
     import spark.implicits._
-    val root = new java.io.File(Mixing.occRoot(spark, dir))
+    val root = new java.io.File(Lakehouse.occRoot(spark, dir))
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
     val before = walk(root)
@@ -32,7 +32,7 @@ class OccLogConsumeStreamSpec extends SparkTestBase {
     val commitsDir = new java.io.File(root, "commits")
     val cpV = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(root, "_last_checkpoint").toPath)).trim.toInt
-    val tail = Mixing.occVersions(commitsDir).count(_ > cpV)
+    val tail = Lakehouse.occVersions(commitsDir).count(_ > cpV)
     assert(tail == 4, s"staged log should tail 4 commits, found $tail")
     val dataBatches = StreamQueries.lastRunProgress
       .count(p => p.numInputRows > 0)
@@ -57,7 +57,7 @@ class OccLogConsumeStreamSpec extends SparkTestBase {
     // merged partials ≡ the batch net-state scan (e20's plan) — the
     // partial keying really joined _metadata spelling to the manifest's
     val (pLo, pHi, sLo, sHi) = Mixing.e9Box(dir)
-    val files = Mixing.occVisible(
+    val files = Lakehouse.occVisible(
       spark.read.parquet(commitsDir.getAbsolutePath))
       .filter($"pmax" >= pLo && $"pmin" <= pHi &&
         $"smax" >= sLo && $"smin" <= sHi)
