@@ -980,10 +980,128 @@ object Lakehouse {
       s: org.apache.spark.sql.SparkSession, root: java.io.File,
       v: Int): org.apache.spark.sql.DataFrame = {
     val commitsDir = new java.io.File(root, "commits")
-    val srcs = occVersions(commitsDir).filter(_ <= v)
+    val vs = occVersions(commitsDir)
+    // round 15 (e30): once occVacuum truncates the log prefix behind
+    // the checkpoint, the commits dir no longer starts at v0 — a naive
+    // prefix replay would silently MISS the truncated history. Replay
+    // from the snapshot instead (cp carries the net state ≤ cpV), and
+    // refuse LOUDLY for versions the truncation expired — Delta's
+    // "cannot time travel before earliest retained version" contract.
+    if (vs.isEmpty || vs.min > 0) {
+      val cpPtr = new java.io.File(root, "_last_checkpoint")
+      require(cpPtr.isFile,
+        s"log starts at v${vs.headOption.getOrElse(-1)} with no checkpoint" +
+          " — cannot reconstruct any version")
+      val cpV = new String(java.nio.file.Files.readAllBytes(
+        cpPtr.toPath)).trim.toInt
+      require(v >= cpV,
+        s"version v$v expired: the log is truncated to checkpoint v$cpV")
+      val cp = new java.io.File(new java.io.File(root, "checkpoints"),
+        f"cp_v$cpV%05d.parquet")
+      val tail = vs.filter(x => x > cpV && x <= v)
+        .map(x => occCommitFile(commitsDir, x).getAbsolutePath)
+      return occVisible(s.read.parquet(cp.getAbsolutePath +: tail: _*)
+        .select("file", "rows", "pmin", "pmax", "smin", "smax",
+          "action", "dataChange", "app", "txn", "dv"))
+    }
+    val srcs = vs.filter(_ <= v)
       .map(x => occCommitFile(commitsDir, x).getAbsolutePath)
     require(srcs.nonEmpty, s"no commits at or below v$v")
     occVisible(s.read.parquet(srcs: _*))
+  }
+
+  /** VACUUM + LOG TRUNCATION for the OCC plane (e30 — the lifecycle
+    * piece e13 gave the zinc manifest, composed with the checkpoint):
+    * once a snapshot exists at cpV, every commit file ≤ cpV is
+    * replayable from it, and every data file RETIRED at or below cpV
+    * is referenced by nothing a reader can still name — so the pass
+    * (1) physically deletes those retired data files and (2) deletes
+    * the commit files ≤ cpV (Delta's logRetention expiry). What it
+    * must NOT touch, all spec-pinned: live data files (the snapshot's
+    * net adds), post-checkpoint commits (the bootstrap tail — including
+    * removes of files that ARE in the snapshot: those bytes outlive
+    * the vacuum until a LATER checkpoint retires them), and the
+    * snapshot itself. [[occAsOf]] below the checkpoint now fails
+    * loudly (expired), at or above it bootstraps from the snapshot.
+    * Cost ∝ the truncated prefix's manifest rows — never the table.
+    * Maintenance-plane single writer, like [[occCheckpoint]]. Returns
+    * (truncated commit versions, deleted data files). */
+  private[graft] def occVacuum(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File)
+      : (Seq[Int], Seq[String]) = {
+    val commitsDir = new java.io.File(root, "commits")
+    val cpPtr = new java.io.File(root, "_last_checkpoint")
+    require(cpPtr.isFile, "occVacuum needs a checkpoint to truncate behind")
+    val cpV = new String(java.nio.file.Files.readAllBytes(
+      cpPtr.toPath)).trim.toInt
+    val prefix = occVersions(commitsDir).filter(_ <= cpV)
+    if (prefix.isEmpty) return (Nil, Nil)
+    val frame = s.read.parquet(prefix.map(v =>
+      occCommitFile(commitsDir, v).getAbsolutePath): _*)
+    // retired at ≤ cpV — removed, and (by occVisible) absent from every
+    // snapshot a reader can reach
+    val retired = frame.filter(col("action") === "remove")
+      .select("file").collect().map(_.getString(0)).toSeq.distinct.sorted
+    // a manifest entry may name a flat parquet file (the staged copies)
+    // or a directory-shaped one (spec logs) — delete either shape
+    retired.foreach(f => deleteRecursively(new java.io.File(f).toPath))
+    prefix.foreach(v =>
+      java.nio.file.Files.delete(occCommitFile(commitsDir, v).toPath))
+    (prefix, retired)
+  }
+
+  /** Write-once POST-VACUUM OCC log for e30. Unlike every other staged
+    * log, this root OWNS its data bytes (file-level COPIES of the zinc
+    * layout's standing/delta parts, never references) because the
+    * vacuum physically deletes retired files — sharing them would
+    * corrupt the sibling fixtures. Lifecycle staged: v0 = standing
+    * adds, v1 = a compaction retiring the two smallest standing files
+    * (remove + packed add, dataChange=false), checkpoint at v1, v2 =
+    * the delta ingest, then [[occVacuum]] — truncating commits v0/v1
+    * and deleting the two victims' bytes. The surviving artifact is
+    * what a year-old production table looks like: a snapshot, a short
+    * tail, and no reachable history before the checkpoint. */
+  private[graft] def occVacRoot(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "li_occvac_" + base)
+    if (verifiedLayouts.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val zroot = new java.io.File(zincManifestRoot(s, dir))
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(zroot.getAbsolutePath + ".staged"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      deleteRecursively(path.toPath)
+      def copyParts(src: java.io.File, destName: String): java.io.File = {
+        val dest = new java.io.File(path, destName)
+        dest.mkdirs()
+        src.listFiles().filter(_.getName.endsWith(".parquet")).foreach(f =>
+          java.nio.file.Files.copy(f.toPath,
+            new java.io.File(dest, f.getName).toPath))
+        dest
+      }
+      val standing = copyParts(new java.io.File(zroot, "standing"), "standing")
+      val delta = copyParts(new java.io.File(zroot, "delta"), "delta")
+      occCommit(s, path, footerBoxRows(standing), snapshotVersion = -1)
+      val victims = footerBoxRows(standing)
+        .sortBy(r => (r._2, r._1)).map(_._1).take(2)
+      occCompact(s, path, victims, "c0", snapshotVersion = 0)
+      occCheckpoint(s, path, upTo = 1)
+      occCommit(s, path, footerBoxRows(delta), snapshotVersion = 1)
+      val (truncated, deleted) = occVacuum(s, path)
+      require(truncated == Seq(0, 1) && deleted.map(uriToLocal).sorted ==
+        victims.map(uriToLocal).sorted,
+        s"vacuum staged unexpectedly: truncated=$truncated deleted=$deleted")
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedLayouts.add(path.getAbsolutePath)
+    path.getAbsolutePath
   }
 
   /** High-water transaction version the log has recorded for `app`

@@ -2409,7 +2409,59 @@ object Mixing {
           SELECT 'delete' AS ct, l_returnflag, l_quantity, l_extendedprice
           FROM lineitem
           WHERE l_orderkey % 5 <> 0 AND l_suppkey % 13 = 5)
-        GROUP BY ct, l_returnflag ORDER BY change_type, l_returnflag"""))
+        GROUP BY ct, l_returnflag ORDER BY change_type, l_returnflag""")),
+
+    // ---------------------------------------------------------------- e30
+    // VACUUM + LOG TRUNCATION under the checkpoint — the lifecycle
+    // piece that makes a year-old multi-writer table FINITE (e13 gave
+    // the zinc manifest a retention clock; the OCC log until now only
+    // ever GREW, and its retired bytes lived forever): once a snapshot
+    // exists, commits at or below it are replayable from the snapshot
+    // and data files RETIRED at or below it are unreachable, so
+    // occVacuum deletes both (Delta's logRetention + VACUUM in one
+    // maintenance pass). The staged root is post-vacuum: commits start
+    // at v2, the two compaction victims' BYTES are gone, and the row
+    // pins the reader contract that survives it — bootstrap (snapshot
+    // + tail) still answers the FULL table by value, VERSION AS OF at
+    // or above the checkpoint bootstraps from the snapshot, and AS OF
+    // below it fails LOUDLY as expired (guard-pinned here; a silent
+    // partial replay was exactly what naive prefix-reading occAsOf
+    // would have done on a truncated log). The oracle is the whole
+    // base table: a vacuum that deleted one live byte or lost one
+    // tail commit is a hash failure. OccVacuumSpec pins the
+    // filesystem story (victims gone, live files byte-present,
+    // post-checkpoint commits intact, idempotence).
+    QuerySpec(
+      "e30_occ_vacuum_truncate",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(occVacRoot(s, dir))
+        val commitsDir = new java.io.File(root, "commits")
+        require(occVersions(commitsDir) == Seq(2),
+          s"staged log should retain only the tail: ${occVersions(commitsDir)}")
+        // expired version → loud, never a silent partial state
+        val expired =
+          try { occAsOf(s, root, 0).count(); false }
+          catch { case _: IllegalArgumentException => true }
+        require(expired, "AS OF an expired version must fail loudly")
+        // AS OF the checkpoint itself bootstraps from the snapshot:
+        // the compaction already applied, victims invisible
+        val atCp = occAsOf(s, root, 1)
+          .select($"file").as[String].collect()
+        require(atCp.nonEmpty && atCp.exists(_.contains("compacted")),
+          "AS OF the checkpoint lost the packed file")
+        val (frame, tail) = occBootstrap(s, root)
+        require(tail == Seq(2), s"bootstrap tail drifted: $tail")
+        val files = occVisible(frame)
+          .select($"file").as[String].collect().toSeq.sorted
+        s.read.parquet(files: _*).transform(flagAgg)
+      },
+      Some("""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
   /** e27/e28's shared oracle — the sequence rule stated relationally
