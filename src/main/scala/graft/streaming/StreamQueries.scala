@@ -1125,6 +1125,26 @@ object StreamQueries {
     QuerySpec(
       "st24_occ_eq_consume_stream",
       (s, dir) => occEqConsume(s, dir),
+      Some(graft.operators.Mixing.EqDeleteOracle)),
+
+    // ---------------------------------------------------------------- st25
+    // st24 BOOTSTRAPPED FROM THE e28 CHECKPOINT — the two round-15
+    // pieces composed: e28 made the snapshot carry pending equality
+    // deletes WITH their versions; st25 is the consumer that earns
+    // that format — per-file partials, sequencing state, AND the
+    // pending delete's retraction all seed from ONE snapshot read
+    // (the staged log streams exactly one tail commit where st24
+    // replays three — trigger-count spec-pinned), then the tail's
+    // re-insert folds in ABOVE the snapshot's delete and survives.
+    // A consumer bootstrapping from the r14 flattened snapshot would
+    // have resurrected the deleted keys and failed this row's hash;
+    // sharing st24's oracle pins bootstrap ≡ full replay by value at
+    // the streaming grain, completing the e19→st20 pattern for the
+    // equality-delete plane. EqConsumeStreamSpec pins one-tail-trigger
+    // and bootstrap-vs-replay result identity.
+    QuerySpec(
+      "st25_occ_eq_bootstrap_stream",
+      (s, dir) => occEqBootstrapConsume(s, dir),
       Some(graft.operators.Mixing.EqDeleteOracle)))
 
   /** Stage the st16 query-vector inbox: the vec_id % 5 == 2 slice of
@@ -1904,14 +1924,39 @@ object StreamQueries {
     * (e27's sequence predicate over the base table) value-pins the
     * delete-then-reinsert contract. Retraction cost ∝ key-matching
     * rows of below-sequence files, never a rescan of folded files. */
-  def occEqConsume(s: SparkSession, dir: String): DataFrame = {
+  def occEqConsume(s: SparkSession, dir: String): DataFrame =
+    eqConsume(s, dir, bootstrap = false)
+
+  /** The last st25 run's dir, negatives, and streamed-trigger count —
+    * EqConsumeStreamSpec's physical pins for the bootstrap variant. */
+  @volatile private[graft] var lastEqBootRunDir: String = _
+  @volatile private[graft] var lastEqBootNegatives: Long = -1L
+  @volatile private[graft] var lastEqBootTriggers: Int = -1
+
+  /** st25: st24's consumer BOOTSTRAPPED from the e28 checkpoint — the
+    * composition that makes a new eqdel-aware consumer cheap on an old
+    * log: the versioned snapshot (net adds + PENDING eqdel actions,
+    * each with its commit version) seeds the per-file partials AND the
+    * bootstrap-time retraction in one manifest read, then only the
+    * post-checkpoint commits stream (one trigger each — the staged log
+    * streams exactly ONE tail commit where st24 replays three). The
+    * pending delete applies at bootstrap to snapshot adds below its
+    * version; the tail's re-insert sequences above it and survives —
+    * the same order-independent (add, delete) pairing as st24, with
+    * the snapshot standing in for the replayed prefix. Shares st24's
+    * oracle: bootstrap-vs-replay divergence is a hash failure. */
+  def occEqBootstrapConsume(s: SparkSession, dir: String): DataFrame =
+    eqConsume(s, dir, bootstrap = true)
+
+  private def eqConsume(s: SparkSession, dir: String,
+                        bootstrap: Boolean): DataFrame = {
     import s.implicits._
-    val M = graft.operators.Mixing
     val L = graft.operators.Lakehouse
     val root = new java.io.File(L.occEqRoot(s, dir))
     val commitsDir = new java.io.File(root, "commits")
-    val runDir = freshRunDir("st24")
-    lastEqConsumeRunDir = runDir.getAbsolutePath
+    val runDir = freshRunDir(if (bootstrap) "st25" else "st24")
+    if (bootstrap) lastEqBootRunDir = runDir.getAbsolutePath
+    else lastEqConsumeRunDir = runDir.getAbsolutePath
     val partialDir = new java.io.File(runDir, "partials").getAbsolutePath
     val tombDir = new java.io.File(runDir, "tombstones").getAbsolutePath
     def fileAgg(df: DataFrame, sign: Int): DataFrame =
@@ -1967,10 +2012,36 @@ object StreamQueries {
         .write.mode("append").parquet(tombDir)
       ()
     }
-    val vs = L.occVersions(commitsDir)
-    val glob = vs.map(v => f"v$v%05d.parquet").mkString("{", ",", "}")
+    // BOOTSTRAP (st25): seed state, partials, and the pending delete's
+    // retraction from the e28 checkpoint — ONE manifest read; the
+    // stream then carries only the post-checkpoint tail
+    val allVs = L.occVersions(commitsDir)
+    val streamVs =
+      if (!bootstrap) allVs
+      else {
+        val cpV = new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(root, "_last_checkpoint").toPath)).trim.toInt
+        val cp = s.read.parquet(new java.io.File(
+          new java.io.File(root, "checkpoints"),
+          f"cp_v$cpV%05d.parquet").getAbsolutePath)
+        val cpAdds = L.occVisible(cp)
+          .select($"file", $"version").as[(String, Int)].collect().toSeq.sorted
+        if (cpAdds.nonEmpty)
+          fileAgg(s.read.parquet(cpAdds.map(_._1): _*)
+              .withColumn("file", col("_metadata.file_path")), 1)
+            .write.mode("append").parquet(partialDir)
+        seenAdds ++= cpAdds
+        cp.filter($"action" === "eqdel")
+          .select($"file", $"version").as[(String, Int)].collect().toSeq
+          .sortBy(_._2).foreach { case (delFile, delV) =>
+            negate(delFile, cpAdds.filter(_._2 < delV).map(_._1))
+            seenEqs += ((delFile, delV))
+          }
+        allVs.filter(_ > cpV)
+      }
+    val glob = streamVs.map(v => f"v$v%05d.parquet").mkString("{", ",", "}")
     val schema = s.read.parquet(
-      L.occCommitFile(commitsDir, vs.head).getAbsolutePath).schema
+      L.occCommitFile(commitsDir, streamVs.head).getAbsolutePath).schema
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", glob)
@@ -1991,15 +2062,19 @@ object StreamQueries {
       .start()
     q.awaitTermination()
     lastRunProgress = q.recentProgress
+    if (bootstrap)
+      lastEqBootTriggers = lastRunProgress.count(_.numInputRows > 0)
     val partials =
       if (new java.io.File(partialDir).isDirectory) s.read.parquet(partialDir)
       else s.range(0).select(lit("").as("file"),
         lit("").as("l_returnflag"), lit(0L).as("n_rows"),
         lit(null).cast("decimal(28,4)").as("sum_qty"),
         lit(null).cast("decimal(28,4)").as("sum_price"))
-    lastEqConsumeNegatives = partials.filter(col("n_rows") < 0).count()
-    require(lastEqConsumeNegatives > 0,
-      "the eqdel commit should have produced retraction partials")
+    val negatives = partials.filter(col("n_rows") < 0).count()
+    if (bootstrap) lastEqBootNegatives = negatives
+    else lastEqConsumeNegatives = negatives
+    require(negatives > 0,
+      "the eqdel should have produced retraction partials")
     val tombs =
       if (new java.io.File(tombDir).isDirectory) s.read.parquet(tombDir)
       else s.range(0).select(lit("").as("file"))

@@ -63,4 +63,32 @@ class EqConsumeStreamSpec extends SparkTestBase {
     assert(result == direct,
       "streamed eqdel retraction diverged from the one-shot eq scan")
   }
+
+  test("st25: checkpoint bootstrap streams only the tail, retracts the pending delete at bootstrap, and equals the full replay") {
+    import spark.implicits._
+    val full = StreamQueries.occEqConsume(spark, dir)
+      .collect().map(_.toString).toSeq
+    val boot = StreamQueries.occEqBootstrapConsume(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(boot == full,
+      "checkpoint-bootstrapped consumption diverged from full replay")
+    // only the post-checkpoint commit streamed (cp sits at v1, head v2)
+    assert(StreamQueries.lastEqBootTriggers == 1,
+      s"expected 1 tail trigger, saw ${StreamQueries.lastEqBootTriggers}")
+    // the pending delete retracted at bootstrap: negatives exist and
+    // name only snapshot (below-sequence) files
+    assert(StreamQueries.lastEqBootNegatives > 0)
+    val root = new java.io.File(Lakehouse.occEqRoot(spark, dir))
+    val belowFiles = Lakehouse.occLogWithVersions(spark, root)
+      .filter($"action" === "add" && $"version" < 1)
+      .select(regexp_replace($"file", "^file:/+", "/").as("file"))
+      .as[String].collect().toSet
+    val negFiles = spark.read.parquet(new java.io.File(
+        new java.io.File(StreamQueries.lastEqBootRunDir), "partials")
+      .getAbsolutePath)
+      .filter($"n_rows" < 0)
+      .select($"file").distinct().as[String].collect().toSet
+    assert(negFiles.nonEmpty && negFiles.subsetOf(belowFiles),
+      s"bootstrap retraction named non-snapshot files: ${(negFiles -- belowFiles).take(3)}")
+  }
 }
