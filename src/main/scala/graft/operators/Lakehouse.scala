@@ -576,9 +576,14 @@ object Lakehouse {
       new java.io.File(root, "commits").getAbsolutePath)
     // ADVICE r14: the two delete flavors are scanned by different entry
     // points — a log carrying the flavor this scan does NOT apply would
-    // be silently mis-read. Refuse loudly instead (manifest-sized probe).
-    require(frame.filter(col("action") === "eqdel").limit(1).count() == 0,
-      "log carries equality-delete actions — use occScanEq, " +
+    // be silently mis-read. Refuse loudly instead (manifest-sized
+    // probe). LIVE eqdels only: a delete file RETIRED by a remove
+    // action (e31's equality→positional conversion) masks nothing.
+    require(frame.filter(col("action") === "eqdel")
+      .join(frame.filter(col("action") === "remove").select("file"),
+        Seq("file"), "left_anti")
+      .limit(1).count() == 0,
+      "log carries live equality-delete actions — use occScanEq, " +
         "occScanVisible would resurrect the deleted keys")
     val files = occVisible(frame)
       .select($"file").as[String].collect().toSeq.sorted
@@ -736,6 +741,121 @@ object Lakehouse {
       occCommit(s, path,
         footerBoxRows(new java.io.File(zroot, "delta")),
         snapshotVersion = 1)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedLayouts.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
+  /** EQUALITY→POSITIONAL delete conversion (e31 — Iceberg's
+    * delete-file rewrite maintenance): each LIVE equality delete is
+    * materialized ONCE against its below-sequence visible files — the
+    * key semi-join evaluated at maintenance time instead of on every
+    * read — and committed as dv actions (one positional sidecar, one
+    * action row per masked file) plus a REMOVE of the delete file
+    * (retiring it; [[occScanVisible]]'s flavor guard admits retired
+    * eqdels). Sequence semantics are preserved exactly: positions are
+    * computed only over files added BELOW the delete's version, and a
+    * dv names files, so later adds stay untouched forever. The commit
+    * is `dataChange = false` — conversion changes no logical row, the
+    * delete's images already fed the change feed when it landed — so
+    * CDC consumers see NOTHING (maintenance invisibility, guard-pinned
+    * in e31). After conversion the log is dv-flavored and every
+    * [[occScanVisible]] read costs a position anti-join instead of
+    * re-running the key join per scan — the read-amplification trade
+    * Iceberg's RewritePositionDeleteFiles makes. Idempotent: a second
+    * pass finds no live eqdels and commits nothing. Returns the number
+    * of deletes converted. */
+  private[graft] def occConvertEqDeletes(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File): Int = {
+    import s.implicits._
+    val log = occLogWithVersions(s, root)
+    val removed = log.filter($"action" === "remove")
+      .select($"file").as[String].collect().toSet
+    val live = log.filter($"action" === "eqdel")
+      .select($"file", $"version").as[(String, Int)].collect()
+      .filter { case (f, _) => !removed.contains(f) }.toSeq.sortBy(_._2)
+    if (live.isEmpty) return 0
+    val adds = log.filter($"action" === "add")
+      .select($"file", $"version").as[(String, Int)].collect()
+      .filter { case (f, _) => !removed.contains(f) }.toSeq.sorted
+    val snapshot = occVersions(new java.io.File(root, "commits")).last
+    live.zipWithIndex.foreach { case ((delFile, delV), i) =>
+      val below = adds.filter(_._2 < delV).map(_._1).sorted
+      require(below.nonEmpty,
+        s"eqdel at v$delV applies to no below-sequence file")
+      val keys = s.read.parquet(delFile).schema.fieldNames.toSeq
+      val sidecar = new java.io.File(
+        new java.io.File(root, "dv_conv"), s"c$i")
+      val positions = s.read.parquet(below: _*)
+        .select(col("_metadata.file_path").as("file"),
+          col("_metadata.row_index").as("pos"),
+          col("*"))
+        .join(broadcast(s.read.parquet(delFile)
+          .select(keys.map(col): _*).distinct()),
+          keys, "left_semi")
+        .select($"file", $"pos")
+      positions.coalesce(1).write.mode("overwrite")
+        .parquet(sidecar.getAbsolutePath)
+      // the dv action names the ADD entry the masked part belongs to
+      // (a manifest add may be a flat file or a directory-shaped one —
+      // spec logs; _metadata paths always name the part file inside)
+      val masked = s.read.parquet(sidecar.getAbsolutePath)
+        .select($"file").distinct().as[String].collect().toSeq
+        .map(uriToLocal)
+        .map(part => below.find(f =>
+          part == f || part.startsWith(f + "/")).getOrElse(part))
+        .distinct.sorted
+      occCommit(s, root, Nil,
+        snapshotVersion = occVersions(new java.io.File(root, "commits")).last
+          .max(snapshot),
+        removes = Seq(delFile), dataChange = false,
+        dvs = masked.map(f => (f, sidecar.getAbsolutePath)))
+      ()
+    }
+    live.size
+  }
+
+  /** Write-once CONVERTED eq-delete log for e31: the occEqRoot shape
+    * replayed on its own commit log (v0 standing, v1 eqdel, v2 delta —
+    * data files REFERENCED from the zinc layout, safe: conversion adds
+    * commits and sidecars, never touches data bytes), then
+    * [[occConvertEqDeletes]] lands v3. Separate root because the
+    * shared occEqRoot's 3-commit log is trigger-count-pinned by
+    * st24/st25. */
+  private[graft] def occEqConvRoot(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "li_occeqconv_" + base)
+    if (verifiedLayouts.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val zroot = new java.io.File(zincManifestRoot(s, dir))
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(zroot.getAbsolutePath + ".staged"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      deleteRecursively(path.toPath)
+      path.mkdirs()
+      occCommit(s, path,
+        footerBoxRows(new java.io.File(zroot, "standing")),
+        snapshotVersion = -1)
+      val keys = new java.io.File(path, "eqdel_v1")
+      graft.Tables(s, dir, "lineitem")
+        .select($"l_suppkey").filter($"l_suppkey" % 13 === 5).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(keys.getAbsolutePath)
+      occCommit(s, path, Nil, snapshotVersion = 0,
+        eqDeletes = Seq(keys.getAbsolutePath))
+      occCommit(s, path,
+        footerBoxRows(new java.io.File(zroot, "delta")),
+        snapshotVersion = 1)
+      val n = occConvertEqDeletes(s, path)
+      require(n == 1, s"staging should convert exactly one delete, got $n")
       java.nio.file.Files.write(marker.toPath, stamp.getBytes)
       ()
     }

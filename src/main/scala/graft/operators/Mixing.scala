@@ -2461,7 +2461,41 @@ object Mixing {
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         FROM lineitem
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- e31
+    // EQUALITY→POSITIONAL DELETE CONVERSION (Iceberg's delete-file
+    // rewrite maintenance, completing the delete taxonomy's lifecycle):
+    // an equality delete is cheap to WRITE (keys only, no data read —
+    // e27) but every scan re-runs its key join; the conversion
+    // materializes the join ONCE into positional sidecars, commits dv
+    // actions + a REMOVE retiring the delete file, and flips the log to
+    // the dv flavor — reads thereafter pay a position anti-join
+    // (e14/e25's shape). Sequence semantics preserved exactly: the
+    // conversion evaluated keys only over BELOW-sequence files and dv
+    // masks name files, so the re-insert's matching rows survive
+    // forever — the same oracle as e27, now answered by occScanVisible
+    // (the flavor guard admits RETIRED eqdels and still refuses live
+    // ones). dataChange=false: no logical row changed — the delete's
+    // images already fed the feed at v1 — so the conversion window is
+    // CDC-invisible (guard-pinned). OccEqDeleteSpec pins conversion ≡
+    // eq scan row-for-row, idempotence, and live-guard behavior.
+    QuerySpec(
+      "e31_eqdel_conversion",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(occEqConvRoot(s, dir))
+        val log = occLogWithVersions(s, root)
+        require(log.filter($"action" === "dv").limit(1).count() == 1,
+          "converted log should carry dv actions")
+        // the conversion commit is maintenance: CDC window (2, head] empty
+        val head = occVersions(new java.io.File(root, "commits")).last
+        val (ins, del) = occChangedFiles(s, root, 2, head)
+        require(ins.isEmpty && del.isEmpty && occChangedDvs(s, root, 2, head).isEmpty,
+          "the conversion leaked into the change feed")
+        occScanVisible(s, root).transform(flagAgg)
+      },
+      Some(EqDeleteOracle))
   )
 
   /** e27/e28's shared oracle — the sequence rule stated relationally

@@ -165,6 +165,36 @@ class OccEqDeleteSpec extends SparkTestBase {
     assert(Lakehouse.occLastTxn(spark, root, "nobody") == -1L)
   }
 
+  test("e31: equality→positional conversion preserves the sequence answer, is idempotent, and flips the scan flavor") {
+    import spark.implicits._
+    val root = freshRoot()
+    val a = stage(root, "a", Seq(1, 2, 3))
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1) // v0
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,         // v1
+      eqDeletes = Seq(keysFile(root, "d1", Seq(2))))
+    val b = stage(root, "b", Seq(2, 5))                                // v2:
+    Lakehouse.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 1)  // reinsert
+    val expected = scanKs(root)
+    assert(expected == Seq(1, 2, 3, 5))
+    // pre-conversion, the positional scan refuses the LIVE eqdel
+    intercept[IllegalArgumentException] {
+      Lakehouse.occScanVisible(spark, root).count()
+    }
+    assert(Lakehouse.occConvertEqDeletes(spark, root) == 1)
+    // post-conversion the retired eqdel is admitted and the positional
+    // scan answers the identical sequence-scoped result: a's key 2 is
+    // position-masked, b's re-inserted key 2 survives
+    val converted = Lakehouse.occScanVisible(spark, root)
+      .select($"k").as[Int].collect().toSeq.sorted
+    assert(converted == expected,
+      s"conversion changed the answer: $converted vs $expected")
+    // idempotent: no live deletes remain, nothing commits
+    val head = Lakehouse.occVersions(new java.io.File(root, "commits")).last
+    assert(Lakehouse.occConvertEqDeletes(spark, root) == 0)
+    assert(Lakehouse.occVersions(new java.io.File(root, "commits")).last == head,
+      "a second conversion committed something")
+  }
+
   test("e29 feed netting: rows deleted row-level (dv or eqdel) are not re-emitted when their file is later removed") {
     import spark.implicits._
     // eqdel flavor: a(1,2,3) @v0; eqdel {2} @v1; remove a @v2 (dataChange)
