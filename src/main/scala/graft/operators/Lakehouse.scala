@@ -748,6 +748,125 @@ object Lakehouse {
     path.getAbsolutePath
   }
 
+  /** UNIFIED scan applying BOTH delete flavors in one pass (e32 —
+    * ADVICE r14's "unify the two scans" alternative, closing the last
+    * composition refusal): a real Iceberg v2 table carries positional
+    * AND equality deletes in the same log — CDC streams write equality
+    * deletes, interactive DELETEs write dvs — and until now each entry
+    * point refused the other flavor. Order of application is
+    * immaterial because the two masks compose by intersection:
+    * equality deletes are SEQUENCE-scoped key anti-joins per
+    * applicable-delete group (occScanEq's shape), positional masks are
+    * (file, pos) anti-joins against the named files' sidecars
+    * (occScanVisible's shape) — a row survives iff it passes both.
+    * Retired (removed) delete files and retired data files drop out
+    * exactly as in the single-flavor scans. */
+  private[graft] def occScanAll(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val log = occLogWithVersions(s, root)
+    val removed = log.filter($"action" === "remove")
+      .select($"file").as[String].collect().toSet
+    val adds = log.filter($"action" === "add")
+      .select($"file", $"version").as[(String, Int)].collect()
+      .filter { case (f, _) => !removed.contains(f) }.toSeq.sorted
+    require(adds.nonEmpty, "no visible files in the log")
+    val dels = log.filter($"action" === "eqdel")
+      .select($"file", $"version").as[(String, Int)].collect()
+      .filter { case (f, _) => !removed.contains(f) }.toSeq.sortBy(_._2)
+    val visible = adds.map(_._1).toSet
+    val sidecarsByFile = log.filter($"action" === "dv")
+      .select($"file", $"dv").as[(String, String)].collect()
+      .filter { case (f, _) => visible.contains(f) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted.toSeq).toMap
+    // group by (applicable eqdel set, applicable sidecar set) — both
+    // are per-file, few distinct signatures (the occScanEq argument)
+    val groups = adds.groupBy { case (f, addV) =>
+      (dels.filter(_._2 > addV).map(_._1),
+        sidecarsByFile.getOrElse(f, Nil))
+    }.toSeq.sortBy(_._2.head._1)
+    groups.map { case ((delFiles, sidecars), files) =>
+      val base = s.read.parquet(files.map(_._1): _*)
+      val afterDv =
+        if (sidecars.isEmpty) base
+        else base
+          .withColumn("file", col("_metadata.file_path"))
+          .withColumn("pos", col("_metadata.row_index"))
+          .join(broadcast(s.read.parquet(sidecars: _*)),
+            Seq("file", "pos"), "left_anti")
+          .drop("file", "pos")
+      if (delFiles.isEmpty) afterDv
+      else afterDv.join(
+        broadcast(s.read.parquet(delFiles: _*)
+          .select(keyCols.map(col): _*).distinct()),
+        keyCols, "left_anti")
+    }.reduce(_ unionByName _)
+  }
+
+  /** Write-once MIXED-FLAVOR log for e32: v0 = standing adds, v1 = a
+    * positional DELETE (l_orderkey % 97 = 0 over the visible files,
+    * dv actions + sidecar), v2 = an equality delete (l_suppkey % 13 =
+    * 5 keys, no data read), v3 = the delta ingest — whose key-matching
+    * rows survive the eqdel (committed above it) and whose positions
+    * are untouched by the dv (it names v0 files). The shape a real CDC
+    * table reaches within a day of mixed interactive + streaming
+    * deletes. */
+  private[graft] def occMixRoot(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "li_occmix_" + base)
+    if (verifiedLayouts.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val zroot = new java.io.File(zincManifestRoot(s, dir))
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(zroot.getAbsolutePath + ".staged"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      deleteRecursively(path.toPath)
+      path.mkdirs()
+      occCommit(s, path,
+        footerBoxRows(new java.io.File(zroot, "standing")),
+        snapshotVersion = -1)
+      // v1: the positional delete over the files visible NOW
+      val sidecar = new java.io.File(path, "dv_v1")
+      val standingFiles = footerBoxRows(new java.io.File(zroot, "standing"))
+        .map(_._1).sorted
+      s.read.parquet(standingFiles: _*)
+        .select(col("_metadata.file_path").as("file"),
+          col("_metadata.row_index").as("pos"), $"l_orderkey")
+        .filter($"l_orderkey" % 97 === 0)
+        .select($"file", $"pos")
+        .coalesce(1).write.mode("overwrite").parquet(sidecar.getAbsolutePath)
+      val masked = s.read.parquet(sidecar.getAbsolutePath)
+        .select($"file").distinct().as[String].collect().toSeq
+        .map(uriToLocal).sorted
+      require(masked.nonEmpty, "the staged positional DELETE masked no file")
+      occCommit(s, path, Nil, snapshotVersion = 0,
+        dvs = masked.map(f => (f, sidecar.getAbsolutePath)))
+      // v2: the equality delete, keys only
+      val keys = new java.io.File(path, "eqdel_v2")
+      graft.Tables(s, dir, "lineitem")
+        .select($"l_suppkey").filter($"l_suppkey" % 13 === 5).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(keys.getAbsolutePath)
+      occCommit(s, path, Nil, snapshotVersion = 1,
+        eqDeletes = Seq(keys.getAbsolutePath))
+      // v3: the delta ingest, above both deletes
+      occCommit(s, path,
+        footerBoxRows(new java.io.File(zroot, "delta")),
+        snapshotVersion = 2)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedLayouts.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
   /** EQUALITY→POSITIONAL delete conversion (e31 — Iceberg's
     * delete-file rewrite maintenance): each LIVE equality delete is
     * materialized ONCE against its below-sequence visible files — the

@@ -2495,7 +2495,52 @@ object Mixing {
           "the conversion leaked into the change feed")
         occScanVisible(s, root).transform(flagAgg)
       },
-      Some(EqDeleteOracle))
+      Some(EqDeleteOracle)),
+
+    // ---------------------------------------------------------------- e32
+    // BOTH DELETE FLAVORS IN ONE LOG, ONE SCAN — the composition the
+    // single-flavor entry points refuse (by design — ADVICE r14 added
+    // the guards; this row lands the suggested alternative, the
+    // UNIFIED scan): a real Iceberg v2 table accumulates positional
+    // deletes (interactive DELETE WHERE → dv actions, e25) and
+    // equality deletes (CDC streams → key files, e27) in the same log
+    // within a day. [[occScanAll]] groups visible files by their
+    // (applicable eqdel set, sidecar set) signature and applies both
+    // masks per group — sequence-scoped key anti-join composed with
+    // positional anti-join; a row survives iff it passes both. The
+    // staged log stacks a %97 positional delete (v1, masking standing
+    // files) under a %13 equality delete (v2) under the delta ingest
+    // (v3, above both — its key-matching rows survive the eqdel and
+    // its positions are untouched by the dv). The oracle states the
+    // intersection relationally, so masking a row twice, missing
+    // either flavor, or leaking a mask onto the above-sequence ingest
+    // is a hash failure. Guards pin that the single-flavor scans still
+    // REFUSE this log (the mis-scan the guards exist for).
+    QuerySpec(
+      "e32_mixed_delete_scan",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(occMixRoot(s, dir))
+        val log = occLogWithVersions(s, root)
+        require(log.filter($"action" === "dv").count() >= 1 &&
+          log.filter($"action" === "eqdel").count() == 1,
+          "staged log should carry both delete flavors")
+        def refuses(f: => org.apache.spark.sql.DataFrame): Boolean =
+          try { f.count(); false }
+          catch { case _: IllegalArgumentException => true }
+        require(refuses(occScanVisible(s, root)) &&
+          refuses(occScanEq(s, root, Seq("l_suppkey"))),
+          "a single-flavor scan accepted the mixed log")
+        occScanAll(s, root, Seq("l_suppkey")).transform(flagAgg)
+      },
+      Some("""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_orderkey % 5 = 0
+           OR (l_orderkey % 97 <> 0 AND l_suppkey % 13 <> 5)
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
   /** e27/e28's shared oracle — the sequence rule stated relationally

@@ -195,6 +195,41 @@ class OccEqDeleteSpec extends SparkTestBase {
       "a second conversion committed something")
   }
 
+  test("e32: the unified scan applies both flavors by intersection; single-flavor scans refuse the mixed log") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = freshRoot()
+    val a = stage(root, "a", Seq(1, 2, 3))
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1) // v0
+    // v1: positional delete of a's k=2 row
+    val sidecar = new java.io.File(root, "dv1")
+    spark.read.parquet(a)
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("pos"), $"k")
+      .filter($"k" === 2).select($"file", $"pos")
+      .coalesce(1).write.parquet(sidecar.getAbsolutePath)
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
+      dvs = Seq((a, sidecar.getAbsolutePath)))
+    // v2: equality delete of key 3 (sequences above a, below b)
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 1,
+      eqDeletes = Seq(keysFile(root, "d1", Seq(3))))
+    // v3: re-insert of 2 and 3 — above the eqdel, not named by the dv
+    val b = stage(root, "b", Seq(2, 3))
+    Lakehouse.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 2)
+    // both single-flavor entry points refuse the mixed log
+    intercept[IllegalArgumentException] {
+      Lakehouse.occScanVisible(spark, root).count()
+    }
+    intercept[IllegalArgumentException] {
+      Lakehouse.occScanEq(spark, root, Seq("k")).count()
+    }
+    // unified: a loses 2 (position) and 3 (key, below sequence); b's
+    // 2 and 3 both survive (above the eqdel, unnamed by the dv)
+    val ks = Lakehouse.occScanAll(spark, root, Seq("k"))
+      .select($"k").as[Int].collect().toSeq.sorted
+    assert(ks == Seq(1, 2, 3), s"unified scan wrong: $ks")
+  }
+
   test("e29 feed netting: rows deleted row-level (dv or eqdel) are not re-emitted when their file is later removed") {
     import spark.implicits._
     // eqdel flavor: a(1,2,3) @v0; eqdel {2} @v1; remove a @v2 (dataChange)
