@@ -1145,7 +1145,34 @@ object StreamQueries {
     QuerySpec(
       "st25_occ_eq_bootstrap_stream",
       (s, dir) => occEqBootstrapConsume(s, dir),
-      Some(graft.operators.Mixing.EqDeleteOracle)))
+      Some(graft.operators.Mixing.EqDeleteOracle)),
+
+    // ---------------------------------------------------------------- st26
+    // MIXED-FLAVOR STREAMING CONSUMPTION — e32's unified scan at
+    // trigger cadence, with the property a batch scan gets for free
+    // but a fold must EARN: exactly-once retraction PER ROW. The
+    // staged log stacks a positional delete (v1) under an equality
+    // delete (v2) under the ingest (v3); rows hit by BOTH masks (the
+    // %97 ∩ %13≡5 overlap) must be negated once, whichever commit
+    // arrives first — so the dv fold anti-joins already-seen
+    // applicable eqdel keys and the eqdel fold anti-joins already-seen
+    // sidecar positions on its below-sequence files
+    // ([[occMixConsume]]). The e32 intersection oracle makes the naive
+    // sum-of-masks fold (double retraction of the overlap) a hash
+    // failure, not a lucky pass; MixConsumeStreamSpec pins one trigger
+    // per commit, parity with the one-shot unified scan, and that the
+    // total retraction equals the overlap-netted union by count.
+    QuerySpec(
+      "st26_occ_mixed_consume_stream",
+      (s, dir) => occMixConsume(s, dir),
+      Some("""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_orderkey % 5 = 0
+           OR (l_orderkey % 97 <> 0 AND l_suppkey % 13 <> 5)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")))
 
   /** Stage the st16 query-vector inbox: the vec_id % 5 == 2 slice of
     * the embeddings table as a 4-file query_id-ranged parquet inbox
@@ -1888,6 +1915,171 @@ object StreamQueries {
     lastDvConsumeNegatives = partials.filter(col("n_rows") < 0).count()
     require(lastDvConsumeNegatives > 0,
       "the dv commit should have produced retraction partials")
+    val tombs =
+      if (new java.io.File(tombDir).isDirectory) s.read.parquet(tombDir)
+      else s.range(0).select(lit("").as("file"))
+    partials.join(tombs, Seq("file"), "left_anti")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_qty")).cast("double").as("sum_qty"),
+        sum(col("sum_price")).cast("double").as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The last st26 run's dir and its negative-partial count —
+    * MixConsumeStreamSpec's physical pins. */
+  @volatile private[graft] var lastMixConsumeRunDir: String = _
+  @volatile private[graft] var lastMixConsumeNegatives: Long = -1L
+
+  /** st26's run-to-termination: the MIXED-flavor log (occMixRoot — a
+    * positional delete UNDER an equality delete UNDER the delta
+    * ingest) consumed one commit per trigger, with EXACTLY-ONCE
+    * retraction PER ROW: a row masked by both flavors must be negated
+    * once, whichever mask's commit arrives first — so each flavor's
+    * negation NETS OUT the other's earlier masks (dv retraction
+    * anti-joins the keys of already-seen applicable equality deletes;
+    * eqdel retraction anti-joins the already-seen sidecars' positions
+    * on its below-sequence files — occChangeFeed's netting discipline,
+    * applied to streaming partials). Sequence rules carry over from
+    * st24 (eqdels scope by version, order-independent per (add,
+    * delete) pair); dv masks name files, so the ingest above both
+    * deletes folds in untouched. Shares e32's intersection oracle:
+    * a double retraction (the naive sum of both masks), a missed
+    * flavor, or a mask leaking onto the ingest is a hash failure. */
+  def occMixConsume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val L = graft.operators.Lakehouse
+    val root = new java.io.File(L.occMixRoot(s, dir))
+    val commitsDir = new java.io.File(root, "commits")
+    val runDir = freshRunDir("st26")
+    lastMixConsumeRunDir = runDir.getAbsolutePath
+    val partialDir = new java.io.File(runDir, "partials").getAbsolutePath
+    val tombDir = new java.io.File(runDir, "tombstones").getAbsolutePath
+    def fileAgg(df: DataFrame, sign: Int): DataFrame =
+      df.groupBy(regexp_replace(col("file"), "^file:/+", "/").as("file"),
+          col("l_returnflag"))
+        .agg((count(lit(1)) * sign).as("n_rows"),
+          (sum(col("l_quantity").cast("decimal(18,4)")) * sign)
+            .as("sum_qty"),
+          (sum(col("l_extendedprice").cast("decimal(18,4)")) * sign)
+            .as("sum_price"))
+    val seenAdds = scala.collection.mutable.ListBuffer.empty[(String, Int)]
+    val seenEqs = scala.collection.mutable.ListBuffer.empty[(String, Int)]
+    // dv sidecars seen so far, per masked file
+    val seenDvs = scala.collection.mutable.Map.empty[String, List[String]]
+    def eqKeys(delFile: String): Seq[String] =
+      s.read.parquet(delFile).schema.fieldNames.toSeq
+    // NEGATE an equality delete over its below-sequence adds, net of
+    // positions already retracted by earlier dv masks on those files
+    def negateEq(delFile: String, belowAdds: Seq[String]): Unit =
+      if (belowAdds.nonEmpty) {
+        val keys = eqKeys(delFile)
+        val sidecars = belowAdds.flatMap(f =>
+          seenDvs.getOrElse(f, Nil)).distinct.sorted
+        val keyed = s.read.parquet(belowAdds.sorted: _*)
+          .withColumn("file", col("_metadata.file_path"))
+          .withColumn("pos", col("_metadata.row_index"))
+          .join(broadcast(s.read.parquet(delFile)
+            .select(keys.map(col): _*).distinct()),
+            keys, "left_semi")
+        val netted =
+          if (sidecars.isEmpty) keyed
+          else keyed.join(broadcast(s.read.parquet(sidecars: _*)),
+            Seq("file", "pos"), "left_anti")
+        fileAgg(netted.drop("pos"), -1)
+          .write.mode("append").parquet(partialDir)
+        ()
+      }
+    // NEGATE a dv commit's masked positions, net of rows already
+    // retracted by earlier applicable equality deletes — per add-
+    // version stratum, since an eqdel applies only to files it
+    // sequences above (the occChangeFeed signature-grouping argument)
+    def negateDv(dvd: Seq[(String, String)]): Unit = {
+      val addV = seenAdds.toMap
+      dvd.groupBy(d => addV.getOrElse(d._1, Int.MaxValue)).toSeq
+        .sortBy(_._1).foreach { case (av, group) =>
+          val mask = s.read.parquet(group.map(_._2).distinct.sorted: _*)
+          val positioned = s.read.parquet(group.map(_._1).distinct.sorted: _*)
+            .withColumn("file", col("_metadata.file_path"))
+            .withColumn("pos", col("_metadata.row_index"))
+            .join(broadcast(mask), Seq("file", "pos"), "left_semi")
+          val netted = seenEqs.filter(_._2 > av).map(_._1)
+            .foldLeft(positioned) { (df, delFile) =>
+              val keys = eqKeys(delFile)
+              df.join(broadcast(s.read.parquet(delFile)
+                  .select(keys.map(col): _*).distinct()),
+                keys, "left_anti")
+            }
+          fileAgg(netted.drop("pos"), -1)
+            .write.mode("append").parquet(partialDir)
+          ()
+        }
+    }
+    def applyCommit(commit: DataFrame): Unit = {
+      val v = commit.select($"_commit_version")
+        .distinct().as[Int].collect()
+      require(v.length == 1, s"one commit per trigger expected: ${v.toSeq}")
+      val version = v.head
+      val addFiles = commit.filter(col("action") === "add")
+        .select("file").as[String].collect().toSeq.sorted
+      if (addFiles.nonEmpty) {
+        fileAgg(s.read.parquet(addFiles: _*)
+            .withColumn("file", col("_metadata.file_path")), 1)
+          .write.mode("append").parquet(partialDir)
+        seenEqs.filter(_._2 > version)
+          .foreach { case (delFile, _) => negateEq(delFile, addFiles) }
+        seenAdds ++= addFiles.map(f => (f, version))
+        ()
+      }
+      val dvd = commit.filter(col("action") === "dv")
+        .select($"file", $"dv").as[(String, String)].collect().toSeq
+      if (dvd.nonEmpty) {
+        negateDv(dvd)
+        dvd.foreach { case (f, sc) =>
+          seenDvs(f) = (seenDvs.getOrElse(f, Nil) :+ sc).distinct
+        }
+      }
+      commit.filter(col("action") === "eqdel")
+        .select($"file").as[String].collect().toSeq.sorted
+        .foreach { delFile =>
+          negateEq(delFile, seenAdds.filter(_._2 < version).map(_._1).toSeq)
+          seenEqs += ((delFile, version))
+        }
+      commit.filter(col("action") === "remove")
+        .select(regexp_replace(col("file"), "^file:/+", "/").as("file"))
+        .write.mode("append").parquet(tombDir)
+      ()
+    }
+    val vs = L.occVersions(commitsDir)
+    val glob = vs.map(v => f"v$v%05d.parquet").mkString("{", ",", "}")
+    val schema = s.read.parquet(
+      L.occCommitFile(commitsDir, vs.head).getAbsolutePath).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", glob)
+      .parquet(commitsDir.getAbsolutePath)
+      .withColumn("_commit_version",
+        regexp_extract(col("_metadata.file_path"),
+          "v(\\d{5})\\.parquet", 1).cast("int"))
+      .writeStream
+      .foreachBatch { (commit: DataFrame, _: Long) =>
+        applyCommit(commit)
+      }
+      .option("checkpointLocation",
+        new java.io.File(runDir, "chk").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastRunProgress = q.recentProgress
+    val partials =
+      if (new java.io.File(partialDir).isDirectory) s.read.parquet(partialDir)
+      else s.range(0).select(lit("").as("file"),
+        lit("").as("l_returnflag"), lit(0L).as("n_rows"),
+        lit(null).cast("decimal(28,4)").as("sum_qty"),
+        lit(null).cast("decimal(28,4)").as("sum_price"))
+    lastMixConsumeNegatives = partials.filter(col("n_rows") < 0).count()
+    require(lastMixConsumeNegatives > 0,
+      "the delete commits should have produced retraction partials")
     val tombs =
       if (new java.io.File(tombDir).isDirectory) s.read.parquet(tombDir)
       else s.range(0).select(lit("").as("file"))

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.operators.{Lakehouse, Mixing}
+import org.apache.spark.sql.functions._
+
+/** Pins st26's mixed-flavor consumption: one trigger per commit, the
+  * total retraction equals the OVERLAP-NETTED union of both masks (a
+  * naive sum-of-masks fold double-retracts the rows hit by both), and
+  * the streamed merge equals the one-shot unified scan
+  * ([[Lakehouse.occScanAll]]). */
+class MixConsumeStreamSpec extends SparkTestBase {
+
+  private val dir = sfDir
+
+  test("one trigger per commit; retraction equals the netted union of both masks; stream equals the unified scan") {
+    import spark.implicits._
+
+    val result = StreamQueries.occMixConsume(spark, dir)
+      .collect().map(_.toString).toSeq
+
+    val root = new java.io.File(Lakehouse.occMixRoot(spark, dir))
+    val nCommits = Lakehouse.occVersions(new java.io.File(root, "commits")).size
+    val batches = StreamQueries.lastRunProgress
+      .filter(_.numInputRows > 0)
+    assert(batches.length == nCommits,
+      s"expected $nCommits data triggers, saw ${batches.length}")
+
+    // total retraction = |dv-masked| + |key-matched standing rows NOT
+    // already dv-masked| — the union, each overlap row counted once
+    assert(StreamQueries.lastMixConsumeNegatives > 0)
+    val log = Lakehouse.occLogWithVersions(spark, root)
+    val standing = log
+      .filter($"action" === "add" && $"version" === 0)
+      .select($"file").as[String].collect().toSeq.sorted
+    val dvMasked = spark.read.parquet(
+      new java.io.File(root, "dv_v1").getAbsolutePath).count()
+    val keyOnly = spark.read.parquet(standing: _*)
+      .filter($"l_suppkey" % 13 === 5 && $"l_orderkey" % 97 =!= 0)
+      .count()
+    // the hazard must be EXERCISED: rows hit by BOTH masks exist (5 at
+    // sf0.001, 362 at sf0.1), so a sum-of-masks fold WOULD over-retract
+    val overlap = spark.read.parquet(standing: _*)
+      .filter($"l_suppkey" % 13 === 5 && $"l_orderkey" % 97 === 0)
+      .count()
+    assert(overlap > 0, "fixture lost the both-masks overlap — the " +
+      "double-retraction hazard is no longer exercised")
+    val run = new java.io.File(StreamQueries.lastMixConsumeRunDir)
+    val negSum = spark.read.parquet(
+        new java.io.File(run, "partials").getAbsolutePath)
+      .filter($"n_rows" < 0)
+      .agg(sum(-$"n_rows")).head().getLong(0)
+    assert(negSum == dvMasked + keyOnly,
+      s"retracted $negSum rows; netted union = $dvMasked dv + $keyOnly " +
+        "key-only — a mismatch means the overlap was double-retracted " +
+        "or a mask was missed")
+
+    // parity with the one-shot unified scan
+    val direct = Mixing.flagAgg(
+      Lakehouse.occScanAll(spark, root, Seq("l_suppkey")))
+      .collect().map(_.toString).toSeq
+    assert(result == direct,
+      "streamed mixed-flavor retraction diverged from the unified scan")
+  }
+}
