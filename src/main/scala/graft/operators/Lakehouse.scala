@@ -645,7 +645,11 @@ object Lakehouse {
       .join(removed, Seq("file"), "left_anti")
       .select($"file", $"version").as[(String, Int)].collect().toSeq.sorted
     require(adds.nonEmpty, "no visible files in the log")
+    // a RETIRED delete file (a remove names it — e31's conversion)
+    // masks nothing; re-applying it would double the delete beside its
+    // converted dv masks (and, post-vacuum, read a deleted path)
     val dels = log.filter($"action" === "eqdel")
+      .join(removed, Seq("file"), "left_anti")
       .select($"file", $"version").as[(String, Int)].collect().toSeq
       .sortBy(_._2)
     val groups = adds.groupBy { case (_, addV) =>
@@ -679,13 +683,31 @@ object Lakehouse {
     val log = occLogWithVersions(s, root)
     val addV = log.filter($"action" === "add" && $"file" === victim)
       .select($"version").as[Int].head()
+    // pending = above the victim's sequence AND unretired (a remove
+    // naming the delete file — e31's conversion — ends its life)
     val dels = log.filter($"action" === "eqdel" && $"version" > addV)
+      .join(log.filter($"action" === "remove").select("file"),
+        Seq("file"), "left_anti")
       .select($"file").as[String].collect().toSeq.sorted
+    // the victim's dv masks are equally mandatory (round-15 self-review:
+    // the eqdel flavor was applied, the positional one resurrected) —
+    // a packed byte copy of a dv'd file re-exposes every masked row,
+    // since the mask drops with the retired victim
+    val sidecars = log.filter($"action" === "dv" && $"file" === victim)
+      .select($"dv").as[String].collect().toSeq.distinct.sorted
     val dest = new java.io.File(new java.io.File(root, "rewritten"), label)
     val base = s.read.parquet(victim)
+    val afterDv =
+      if (sidecars.isEmpty) base
+      else base
+        .withColumn("file", col("_metadata.file_path"))
+        .withColumn("pos", col("_metadata.row_index"))
+        .join(broadcast(s.read.parquet(sidecars: _*)),
+          Seq("file", "pos"), "left_anti")
+        .drop("file", "pos")
     val applied =
-      if (dels.isEmpty) base
-      else base.join(
+      if (dels.isEmpty) afterDv
+      else afterDv.join(
         broadcast(s.read.parquet(dels: _*)
           .select(keyCols.map(col): _*).distinct()),
         keyCols, "left_anti")
@@ -830,13 +852,11 @@ object Lakehouse {
     if (!upToDate) {
       deleteRecursively(path.toPath)
       path.mkdirs()
-      occCommit(s, path,
-        footerBoxRows(new java.io.File(zroot, "standing")),
-        snapshotVersion = -1)
+      val standingRows = footerBoxRows(new java.io.File(zroot, "standing"))
+      occCommit(s, path, standingRows, snapshotVersion = -1)
       // v1: the positional delete over the files visible NOW
       val sidecar = new java.io.File(path, "dv_v1")
-      val standingFiles = footerBoxRows(new java.io.File(zroot, "standing"))
-        .map(_._1).sorted
+      val standingFiles = standingRows.map(_._1).sorted
       s.read.parquet(standingFiles: _*)
         .select(col("_metadata.file_path").as("file"),
           col("_metadata.row_index").as("pos"), $"l_orderkey")
@@ -1121,22 +1141,52 @@ object Lakehouse {
     *  - per-app transaction high-waters persist as explicit `txn`
     *    action rows (Delta checkpoints setTransaction actions), so an
     *    idempotent writer's replay detection survives its last commit's
-    *    files being compacted away. */
+    *    files being compacted away.
+    *
+    * Round 15b (self-review): on a TRUNCATED log ([[occVacuum]] deleted
+    * the prefix, making the previous snapshot the only replica of that
+    * history) the rebuild folds the PREVIOUS checkpoint in as the base
+    * frame — without it, re-checkpointing after a vacuum silently lost
+    * every pre-vacuum add (and its txn rows); and eqdel actions RETIRED
+    * by a remove (e31's conversion) are dropped, not carried as
+    * spuriously pending. */
   private[graft] def occCheckpoint(
       s: org.apache.spark.sql.SparkSession, root: java.io.File,
       upTo: Int): Unit = {
     val commitsDir = new java.io.File(root, "commits")
     val cpDir = new java.io.File(root, "checkpoints")
     cpDir.mkdirs()
-    val srcs = occVersions(commitsDir).filter(_ <= upTo)
+    val vs = occVersions(commitsDir)
+    val srcs = vs.filter(_ <= upTo)
       .map(v => occCommitFile(commitsDir, v).getAbsolutePath)
-    require(srcs.nonEmpty, s"no commits at or below v$upTo to checkpoint")
+    // a truncated log (prefix vacuumed) folds the previous snapshot in
+    // — it is the only replica of the truncated history
+    val prevCp: Option[java.io.File] = {
+      val ptr = new java.io.File(root, "_last_checkpoint")
+      if (vs.nonEmpty && vs.min == 0) None
+      else if (!ptr.isFile) None
+      else {
+        val pv = new String(java.nio.file.Files.readAllBytes(
+          ptr.toPath)).trim.toInt
+        Some(new java.io.File(cpDir, f"cp_v$pv%05d.parquet"))
+          .filter(_.isFile).filter(_ => pv <= upTo)
+      }
+    }
+    require(srcs.nonEmpty || prevCp.nonEmpty,
+      s"no commits at or below v$upTo to checkpoint")
     val tmp = java.nio.file.Files
       .createTempDirectory(root.toPath, "_cp_tmp_").toFile
     try {
-      val all = s.read.parquet(srcs: _*)
-        .withColumn("version", regexp_extract(input_file_name(),
-          "v(\\d{5})\\.parquet", 1).cast("int"))
+      val actionCols = Seq("file", "rows", "pmin", "pmax", "smin", "smax",
+        "action", "dataChange", "app", "txn", "dv").map(col)
+      val fresh =
+        if (srcs.isEmpty) None
+        else Some(s.read.parquet(srcs: _*)
+          .withColumn("version", regexp_extract(input_file_name(),
+            "v(\\d{5})\\.parquet", 1).cast("int")))
+      val base = prevCp.map(f => s.read.parquet(f.getAbsolutePath)
+        .select(actionCols :+ col("version"): _*))
+      val all = (base.toSeq ++ fresh.toSeq).reduce(_ unionByName _)
       val net = occVisible(all)
       // dv actions of still-visible files ride the checkpoint (Delta
       // embeds the DV descriptor in the checkpointed add); a retired
@@ -1145,11 +1195,16 @@ object Lakehouse {
         .join(net.select("file"), Seq("file"), "left_semi")
       // equality deletes stay pending while ANY surviving add sequences
       // below them (delete at version d masks adds with version < d)
+      // AND the delete file itself is unretired (a remove naming it —
+      // e31's conversion — ends its life; carrying it forward would
+      // double-apply the delete beside its converted dv masks)
       val oldestAdd = net.agg(min(col("version"))).head()
       val liveEqs =
         if (oldestAdd.isNullAt(0)) all.filter(lit(false))
         else all.filter(col("action") === "eqdel" &&
-          col("version") > oldestAdd.getInt(0))
+            col("version") > oldestAdd.getInt(0))
+          .join(all.filter(col("action") === "remove").select("file"),
+            Seq("file"), "left_anti")
       // per-app txn high-waters as explicit rows (file column reused as
       // a label; these rows are invisible to occVisible's add/remove
       // reconciliation and to every scan — only occLastTxn reads them)
@@ -1326,8 +1381,9 @@ object Lakehouse {
       }
       val standing = copyParts(new java.io.File(zroot, "standing"), "standing")
       val delta = copyParts(new java.io.File(zroot, "delta"), "delta")
-      occCommit(s, path, footerBoxRows(standing), snapshotVersion = -1)
-      val victims = footerBoxRows(standing)
+      val standingRows = footerBoxRows(standing)
+      occCommit(s, path, standingRows, snapshotVersion = -1)
+      val victims = standingRows
         .sortBy(r => (r._2, r._1)).map(_._1).take(2)
       occCompact(s, path, victims, "c0", snapshotVersion = 0)
       occCheckpoint(s, path, upTo = 1)
@@ -1543,12 +1599,36 @@ object Lakehouse {
   private[graft] def occCompact(
       s: org.apache.spark.sql.SparkSession, root: java.io.File,
       victims: Seq[String], label: String, snapshotVersion: Int,
-      onAttempt: Int => Unit = _ => ()): OccResult = {
+      onAttempt: Int => Unit = _ => (),
+      stats: java.io.File => Seq[(String, Long, Long, Long, Long, Long)]
+        = footerBoxRows): OccResult = {
     require(victims.nonEmpty, "compaction needs victims")
     val dest = new java.io.File(new java.io.File(root, "compacted"), label)
-    s.read.parquet(victims: _*).coalesce(1)
+    // a victim's dv masks are MANDATORY on rewrite (round-15
+    // self-review — the occRewriteApplied rule, which the eqdel flavor
+    // already followed: the mask drops with the retired file, so a
+    // packed byte copy would re-expose every positionally-deleted row)
+    val victimSet = victims.toSet
+    val sidecars = {
+      import s.implicits._
+      s.read.parquet(new java.io.File(root, "commits").getAbsolutePath)
+        .filter(col("action") === "dv")
+        .select($"file", $"dv").as[(String, String)].collect()
+        .filter { case (f, _) => victimSet.contains(f) }
+        .map(_._2).distinct.sorted.toSeq
+    }
+    val base = s.read.parquet(victims: _*)
+    val packed =
+      if (sidecars.isEmpty) base
+      else base
+        .withColumn("file", col("_metadata.file_path"))
+        .withColumn("pos", col("_metadata.row_index"))
+        .join(broadcast(s.read.parquet(sidecars: _*)),
+          Seq("file", "pos"), "left_anti")
+        .drop("file", "pos")
+    packed.coalesce(1)
       .write.mode("overwrite").parquet(dest.getAbsolutePath)
-    try occCommit(s, root, footerBoxRows(dest), snapshotVersion,
+    try occCommit(s, root, stats(dest), snapshotVersion,
       onAttempt, removes = victims, dataChange = false)
     catch {
       case t: Throwable => deleteRecursively(dest.toPath); throw t

@@ -1832,17 +1832,20 @@ object StreamQueries {
     * only the sidecar's masked rows, removes into tombstones. The
     * merge is exact under any commit slicing because partials stay
     * DECIMAL (the st19/st20 discipline). */
-  def occDvConsume(s: SparkSession, dir: String): DataFrame = {
+  def occDvConsume(s: SparkSession, dir: String,
+                   rootOverride: Option[java.io.File] = None): DataFrame = {
     import s.implicits._
     val M = graft.operators.Mixing
     val L = graft.operators.Lakehouse
-    val root = new java.io.File(L.occDvRoot(s, dir))
+    val root = rootOverride.getOrElse(new java.io.File(L.occDvRoot(s, dir)))
     val commitsDir = new java.io.File(root, "commits")
     val runDir = freshRunDir("st23")
     lastDvConsumeRunDir = runDir.getAbsolutePath
     val partialDir = new java.io.File(runDir, "partials").getAbsolutePath
     val tombDir = new java.io.File(runDir, "tombstones").getAbsolutePath
     val (pLo, pHi, sLo, sHi) = M.e9Box(dir)
+    // sidecars already folded, per masked file — overlapping-dv netting
+    val seenDvSidecars = scala.collection.mutable.Map.empty[String, List[String]]
     // callers prepare a `file` column (the scan's metadata path); the
     // group key is normalized to the manifest's scheme-less spelling
     def boxAgg(df: DataFrame, sign: Int): DataFrame =
@@ -1869,14 +1872,28 @@ object StreamQueries {
         .select(col("file"), col("dv")).as[(String, String)].collect()
       if (dvd.nonEmpty) {
         val mask = s.read.parquet(dvd.map(_._2).distinct.toSeq: _*)
-        val maskedRows = s.read.parquet(dvd.map(_._1).distinct.toSeq: _*)
+        val positioned = s.read.parquet(dvd.map(_._1).distinct.toSeq: _*)
           .withColumn("file", col("_metadata.file_path"))
           .withColumn("pos", col("_metadata.row_index"))
           .join(broadcast(mask), Seq("file", "pos"), "left_semi")
+        // positions an EARLIER sidecar on the same file already
+        // retracted subtract once, not per overlapping DELETE (the
+        // batch scan's sidecar-union anti-join, replayed incrementally
+        // — round-15 self-review)
+        val earlier = dvd.map(_._1).distinct
+          .flatMap(f => seenDvSidecars.getOrElse(f, Nil)).distinct.sorted
+        val maskedRows =
+          (if (earlier.isEmpty) positioned
+           else positioned.join(
+             broadcast(s.read.parquet(earlier.toSeq: _*)),
+             Seq("file", "pos"), "left_anti"))
           .drop("pos")
         boxAgg(maskedRows, -1)
           .write.mode("append").parquet(partialDir)
-        ()
+        dvd.foreach { case (f, sc) =>
+          seenDvSidecars(f) =
+            (seenDvSidecars.getOrElse(f, Nil) :+ sc).distinct
+        }
       }
       commit.filter(col("action") === "remove")
         .select(regexp_replace(col("file"), "^file:/+", "/").as("file"))
@@ -1993,7 +2010,11 @@ object StreamQueries {
     // NEGATE a dv commit's masked positions, net of rows already
     // retracted by earlier applicable equality deletes — per add-
     // version stratum, since an eqdel applies only to files it
-    // sequences above (the occChangeFeed signature-grouping argument)
+    // sequences above (the occChangeFeed signature-grouping argument) —
+    // AND net of positions earlier sidecars on the SAME files already
+    // retracted (two overlapping DELETEs masking one row must subtract
+    // it once; the batch scan anti-joins the sidecar UNION and gets
+    // this for free — round-15 self-review)
     def negateDv(dvd: Seq[(String, String)]): Unit = {
       val addV = seenAdds.toMap
       dvd.groupBy(d => addV.getOrElse(d._1, Int.MaxValue)).toSeq
@@ -2003,8 +2024,14 @@ object StreamQueries {
             .withColumn("file", col("_metadata.file_path"))
             .withColumn("pos", col("_metadata.row_index"))
             .join(broadcast(mask), Seq("file", "pos"), "left_semi")
+          val earlier = group.map(_._1).flatMap(f =>
+            seenDvs.getOrElse(f, Nil)).distinct.sorted
+          val posNetted =
+            if (earlier.isEmpty) positioned
+            else positioned.join(broadcast(s.read.parquet(earlier: _*)),
+              Seq("file", "pos"), "left_anti")
           val netted = seenEqs.filter(_._2 > av).map(_._1)
-            .foldLeft(positioned) { (df, delFile) =>
+            .foldLeft(posNetted) { (df, delFile) =>
               val keys = eqKeys(delFile)
               df.join(broadcast(s.read.parquet(delFile)
                   .select(keys.map(col): _*).distinct()),

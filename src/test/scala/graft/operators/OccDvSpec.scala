@@ -198,4 +198,27 @@ class OccDvSpec extends SparkTestBase {
     assert(feed == Set(("delete", 2), ("delete", 4)),
       s"dv feed rows wrong: $feed")
   }
+
+  test("OPTIMIZE of a dv'd victim applies the mask; the packed file never resurrects deleted rows") {
+    import spark.implicits._
+    val root = freshRoot()
+    val a = stage(root, "a", Seq(1, 2, 3, 4))
+    val b = stage(root, "b", Seq(5, 6))
+    Lakehouse.occCommit(spark, root, Seq(fr(a), fr(b)), snapshotVersion = -1)
+    val sc = sidecar(root, "sc", a, Seq(2, 4))
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
+      dvs = Seq((a, sc)))
+    val before = Lakehouse.occScanVisible(spark, root)
+      .select($"k").as[Int].collect().toSet
+    assert(before == Set(1, 3, 5, 6))
+    // round-15 self-review pin: the victim's mask drops with the file,
+    // so the compaction MUST apply it to the packed bytes — a raw byte
+    // copy silently resurrected rows 2 and 4
+    Lakehouse.occCompact(spark, root, Seq(a, b), "c0", snapshotVersion = 1,
+      stats = d => Seq((d.getAbsolutePath, 0L, 0L, 100L, 0L, 100L)))
+    val after = Lakehouse.occScanVisible(spark, root)
+      .select($"k").as[Int].collect().toSet
+    assert(after == Set(1, 3, 5, 6),
+      s"compaction resurrected dv-deleted rows: $after")
+  }
 }

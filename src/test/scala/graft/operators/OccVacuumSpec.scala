@@ -88,4 +88,23 @@ class OccVacuumSpec extends SparkTestBase {
     assert(Lakehouse.occVacuum(spark, root) == ((Nil, Nil)),
       "second vacuum was not a no-op")
   }
+
+  test("re-checkpointing a truncated log folds the previous snapshot in — pre-vacuum state survives") {
+    val root = freshRoot()
+    val a = stage(root, "a", Seq(1, 2))
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)  // v0
+    Lakehouse.occCheckpoint(spark, root, upTo = 0)
+    val b = stage(root, "b", Seq(3))
+    Lakehouse.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 0)   // v1
+    Lakehouse.occVacuum(spark, root)                 // truncates v0
+    val c = stage(root, "c", Seq(4))
+    Lakehouse.occCommit(spark, root, Seq(fr(c)), snapshotVersion = 1)   // v2
+    // round-15 self-review pin: the commits dir no longer holds v0 —
+    // a snapshot rebuilt from surviving commits alone would LOSE a
+    Lakehouse.occCheckpoint(spark, root, upTo = 2)
+    assert(bootKs(root) == Seq(1, 2, 3, 4),
+      "re-checkpoint after vacuum lost the truncated history")
+    // and the tail is now empty: the snapshot alone answers
+    assert(Lakehouse.occBootstrap(spark, root)._2.isEmpty)
+  }
 }

@@ -50,4 +50,49 @@ class DvConsumeStreamSpec extends SparkTestBase {
     assert(result == direct,
       "streamed retraction diverged from the one-shot masked scan")
   }
+
+  test("overlapping dv sidecars on one file retract a shared row once, not once per DELETE") {
+    import spark.implicits._
+    // synthetic log: one in-box file, two DELETE commits whose masks
+    // OVERLAP on one row — the batch scan anti-joins the sidecar
+    // union (row dropped once); the streamed fold must net the second
+    // commit's already-retracted position or it over-retracts
+    val (pLo, _, sLo, _) = Mixing.e9Box(dir)
+    val root = java.nio.file.Files.createTempDirectory("dvoverlap_").toFile
+    root.deleteOnExit()
+    val a = new java.io.File(root, "a").getAbsolutePath
+    Seq((1L, pLo, sLo, "A", 1.0, 10.0), (2L, pLo, sLo, "A", 2.0, 20.0),
+        (3L, pLo, sLo, "A", 3.0, 30.0))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+        "l_quantity", "l_extendedprice")
+      .coalesce(1).write.parquet(a)
+    Lakehouse.occCommit(spark, root,
+      Seq((a, 3L, pLo, pLo, sLo, sLo)), snapshotVersion = -1)
+    def sidecar(name: String, keys: Seq[Long]): String = {
+      val d = new java.io.File(root, name)
+      spark.read.parquet(a)
+        .select(col("_metadata.file_path").as("file"),
+          col("_metadata.row_index").as("pos"), $"l_orderkey")
+        .filter($"l_orderkey".isin(keys: _*))
+        .select($"file", $"pos")
+        .coalesce(1).write.parquet(d.getAbsolutePath)
+      d.getAbsolutePath
+    }
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
+      dvs = Seq((a, sidecar("dv1", Seq(1L)))))           // masks row 1
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 1,
+      dvs = Seq((a, sidecar("dv2", Seq(1L, 2L)))))       // overlaps on 1
+    val streamed = StreamQueries.occDvConsume(spark, dir, Some(root))
+      .collect().map(_.toString).toSeq
+    val direct = Mixing.flagAgg(Lakehouse.occScanVisible(spark, root))
+      .collect().map(_.toString).toSeq
+    assert(streamed == direct,
+      s"overlapping masks double-retracted: $streamed vs $direct")
+    // exactly 2 distinct rows retracted (1 and 2), never 3
+    val negSum = spark.read.parquet(new java.io.File(
+        new java.io.File(StreamQueries.lastDvConsumeRunDir), "partials")
+      .getAbsolutePath)
+      .filter($"n_rows" < 0).agg(sum(-$"n_rows")).head().getLong(0)
+    assert(negSum == 2, s"retracted $negSum rows, union holds 2")
+  }
 }
