@@ -1544,17 +1544,42 @@ object Lakehouse {
       else Some(s.read.parquet(files: _*)
         .withColumn("change_type", lit("insert")))
     }
+    // DV delete images, NET of rows already deleted BEFORE each dv's
+    // commit — earlier sidecars on the same file (two overlapping masks
+    // emit the shared position once) and earlier applicable eqdel keys
+    // (a row equality-deleted at v1 then position-masked at v2 is not
+    // deleted AGAIN at v2). The remove and eqdel branches both net
+    // earlier masks; this was the one asymmetric path (ADVICE r15 #2).
+    // Grouped by netting signature like netEarlierMasks — one read per
+    // (own sidecars, earlier sidecars, earlier eqdels) group.
     val dvDeletes = {
-      val dvd = inWindow.filter(_._2 == "dv").map(d => (d._1, d._4))
-      if (dvd.isEmpty) None
-      else {
-        val mask = s.read.parquet(dvd.map(_._2).distinct.sorted: _*)
-        Some(s.read.parquet(dvd.map(_._1).distinct.sorted: _*)
-          .withColumn("file", col("_metadata.file_path"))
-          .withColumn("pos", col("_metadata.row_index"))
-          .join(broadcast(mask), Seq("file", "pos"), "left_semi")
-          .drop("file", "pos")
-          .withColumn("change_type", lit("delete")))
+      val dvd = inWindow.filter(_._2 == "dv")
+      def sig(d: (String, String, Boolean, String, Int)) = (
+        allDvs.filter(e => e._1 == d._1 && e._5 < d._5)
+          .map(_._4).distinct.sorted,
+        allEqs.filter(e => e._5 < d._5 &&
+            e._5 > addV.getOrElse(d._1, Int.MaxValue))
+          .map(_._1).distinct.sorted)
+      dvd.groupBy(sig).toSeq.sortBy(_._2.head._4).map {
+        case ((earlierScs, earlierEqs), group) =>
+          val own = s.read.parquet(group.map(_._4).distinct.sorted: _*)
+          val positioned =
+            s.read.parquet(group.map(_._1).distinct.sorted: _*)
+              .withColumn("file", col("_metadata.file_path"))
+              .withColumn("pos", col("_metadata.row_index"))
+              .join(broadcast(own), Seq("file", "pos"), "left_semi")
+          val afterDv =
+            if (earlierScs.isEmpty) positioned
+            else positioned.join(
+              broadcast(s.read.parquet(earlierScs: _*)),
+              Seq("file", "pos"), "left_anti")
+          earlierEqs.foldLeft(afterDv) { (df, delFile) =>
+            val keys = eqKeyCols(delFile)
+            df.join(broadcast(s.read.parquet(delFile)
+                .select(keys.map(col): _*).distinct()),
+              keys, "left_anti")
+          }.drop("file", "pos")
+            .withColumn("change_type", lit("delete"))
       }
     }
     val eqDeletes = inWindow.filter(_._2 == "eqdel").sortBy(_._5)

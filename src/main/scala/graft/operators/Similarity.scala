@@ -1735,7 +1735,7 @@ object Similarity {
       new java.io.File(dir, "embeddings.parquet"))
     val codesDir = new java.io.File(path, "codes")
     // standing half: corpus split (vec_id % 5 != 0, d25's convention)
-    val stamp = s"v1:bq-corpus:$fp"
+    val stamp = s"v2:bq-corpus:$fp"
     val marker = new java.io.File(path.getAbsolutePath + ".staged")
     val upToDate = path.isDirectory && marker.isFile &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
@@ -1749,15 +1749,30 @@ object Similarity {
       java.nio.file.Files.write(marker.toPath, stamp.getBytes)
       ()
     }
-    // ingest half: the batch split appends its codes (never rewrites)
-    val aStamp = s"v1:bq-append:$fp"
+    // ingest half: the batch split appends its codes (never rewrites).
+    // CRASH-SAFE staging (ADVICE r15 #3): the split writes to a temp
+    // dir OUTSIDE codes/, its part files move in under an `append-`
+    // prefix, and the marker commits LAST — a crash at any point leaves
+    // either no append- files or a partial set the next run deletes
+    // (append- names never collide with the corpus half's part- names),
+    // so a re-run can never stack duplicate vec_ids into the code table.
+    val aStamp = s"v2:bq-append:$fp"
     val aMarker = new java.io.File(path.getAbsolutePath + ".appended")
     val appended = aMarker.isFile &&
       new String(java.nio.file.Files.readAllBytes(aMarker.toPath)) == aStamp
     if (!appended) {
+      codesDir.listFiles().filter(_.getName.startsWith("append-"))
+        .foreach(f => java.nio.file.Files.delete(f.toPath))
+      val tmp = new java.io.File(path, "codes_append_tmp")
       Tables(s, dir, "embeddings").filter($"vec_id" % 5 === 0)
         .select($"vec_id", bqHalf(0).as("c0"), bqHalf(32).as("c1"))
-        .write.mode("append").parquet(codesDir.getAbsolutePath)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      tmp.listFiles().filter(_.getName.endsWith(".parquet")).sorted
+        .foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(codesDir, "append-" + f.getName).toPath)
+        }
+      graft.operators.Mixing.deleteRecursively(tmp.toPath)
       java.nio.file.Files.write(aMarker.toPath, aStamp.getBytes)
       ()
     }

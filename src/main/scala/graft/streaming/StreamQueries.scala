@@ -1963,10 +1963,11 @@ object StreamQueries {
     * deletes folds in untouched. Shares e32's intersection oracle:
     * a double retraction (the naive sum of both masks), a missed
     * flavor, or a mask leaking onto the ingest is a hash failure. */
-  def occMixConsume(s: SparkSession, dir: String): DataFrame = {
+  def occMixConsume(s: SparkSession, dir: String,
+                    rootOverride: Option[java.io.File] = None): DataFrame = {
     import s.implicits._
     val L = graft.operators.Lakehouse
-    val root = new java.io.File(L.occMixRoot(s, dir))
+    val root = rootOverride.getOrElse(new java.io.File(L.occMixRoot(s, dir)))
     val commitsDir = new java.io.File(root, "commits")
     val runDir = freshRunDir("st26")
     lastMixConsumeRunDir = runDir.getAbsolutePath
@@ -1988,7 +1989,12 @@ object StreamQueries {
       s.read.parquet(delFile).schema.fieldNames.toSeq
     // NEGATE an equality delete over its below-sequence adds, net of
     // positions already retracted by earlier dv masks on those files
-    def negateEq(delFile: String, belowAdds: Seq[String]): Unit =
+    // AND of rows already retracted by OTHER eqdels whose (add, delete)
+    // pair was negated earlier (`priorDels`) — two overlapping equality
+    // deletes matching one row subtract it once, the batch scan's
+    // distinct()-union contract (ADVICE r15 #1)
+    def negateEq(delFile: String, belowAdds: Seq[String],
+                 priorDels: Seq[String]): Unit =
       if (belowAdds.nonEmpty) {
         val keys = eqKeys(delFile)
         val sidecars = belowAdds.flatMap(f =>
@@ -1999,14 +2005,28 @@ object StreamQueries {
           .join(broadcast(s.read.parquet(delFile)
             .select(keys.map(col): _*).distinct()),
             keys, "left_semi")
-        val netted =
+        val posNetted =
           if (sidecars.isEmpty) keyed
           else keyed.join(broadcast(s.read.parquet(sidecars: _*)),
             Seq("file", "pos"), "left_anti")
+        val netted = priorDels.foldLeft(posNetted) { (df, pd) =>
+          val pk = eqKeys(pd)
+          df.join(broadcast(s.read.parquet(pd)
+              .select(pk.map(col): _*).distinct()),
+            pk, "left_anti")
+        }
         fileAgg(netted.drop("pos"), -1)
           .write.mode("append").parquet(partialDir)
         ()
       }
+    // a delete's full below-sequence sweep, per add-version stratum
+    // (an earlier delete nets only rows of adds it ALSO sequences above)
+    def negateEqBelow(delFile: String, delV: Int): Unit =
+      seenAdds.toSeq.filter(_._2 < delV).groupBy(_._2).toSeq.sortBy(_._1)
+        .foreach { case (av, adds) =>
+          negateEq(delFile, adds.map(_._1).sorted,
+            seenEqs.toSeq.filter(_._2 > av).map(_._1).distinct.sorted)
+        }
     // NEGATE a dv commit's masked positions, net of rows already
     // retracted by earlier applicable equality deletes — per add-
     // version stratum, since an eqdel applies only to files it
@@ -2053,8 +2073,11 @@ object StreamQueries {
         fileAgg(s.read.parquet(addFiles: _*)
             .withColumn("file", col("_metadata.file_path")), 1)
           .write.mode("append").parquet(partialDir)
-        seenEqs.filter(_._2 > version)
-          .foreach { case (delFile, _) => negateEq(delFile, addFiles) }
+        val applicable = seenEqs.toSeq.filter(_._2 > version)
+          .map(_._1).distinct.sorted
+        applicable.zipWithIndex.foreach { case (delFile, i) =>
+          negateEq(delFile, addFiles, applicable.take(i))
+        }
         seenAdds ++= addFiles.map(f => (f, version))
         ()
       }
@@ -2069,7 +2092,7 @@ object StreamQueries {
       commit.filter(col("action") === "eqdel")
         .select($"file").as[String].collect().toSeq.sorted
         .foreach { delFile =>
-          negateEq(delFile, seenAdds.filter(_._2 < version).map(_._1).toSeq)
+          negateEqBelow(delFile, version)
           seenEqs += ((delFile, version))
         }
       commit.filter(col("action") === "remove")
@@ -2143,8 +2166,9 @@ object StreamQueries {
     * (e27's sequence predicate over the base table) value-pins the
     * delete-then-reinsert contract. Retraction cost ∝ key-matching
     * rows of below-sequence files, never a rescan of folded files. */
-  def occEqConsume(s: SparkSession, dir: String): DataFrame =
-    eqConsume(s, dir, bootstrap = false)
+  def occEqConsume(s: SparkSession, dir: String,
+                   rootOverride: Option[java.io.File] = None): DataFrame =
+    eqConsume(s, dir, bootstrap = false, rootOverride)
 
   /** The last st25 run's dir, negatives, and streamed-trigger count —
     * EqConsumeStreamSpec's physical pins for the bootstrap variant. */
@@ -2168,10 +2192,11 @@ object StreamQueries {
     eqConsume(s, dir, bootstrap = true)
 
   private def eqConsume(s: SparkSession, dir: String,
-                        bootstrap: Boolean): DataFrame = {
+                        bootstrap: Boolean,
+                        rootOverride: Option[java.io.File] = None): DataFrame = {
     import s.implicits._
     val L = graft.operators.Lakehouse
-    val root = new java.io.File(L.occEqRoot(s, dir))
+    val root = rootOverride.getOrElse(new java.io.File(L.occEqRoot(s, dir)))
     val commitsDir = new java.io.File(root, "commits")
     val runDir = freshRunDir(if (bootstrap) "st25" else "st24")
     if (bootstrap) lastEqBootRunDir = runDir.getAbsolutePath
@@ -2191,7 +2216,14 @@ object StreamQueries {
     // grain — one entry per data file / delete file, never rows)
     val seenAdds = scala.collection.mutable.ListBuffer.empty[(String, Int)]
     val seenEqs = scala.collection.mutable.ListBuffer.empty[(String, Int)]
-    def negate(delFile: String, addFiles: Seq[String]): Unit =
+    // NEGATE an equality delete over below-sequence adds, net of rows
+    // already retracted by OTHER eqdels whose (add, delete) pair was
+    // negated earlier (`priorDels`) — two OVERLAPPING equality deletes
+    // matching one row must subtract it once; the batch scan distinct()s
+    // the key UNION and gets this for free (ADVICE r15 #1: without the
+    // netting the fold double-retracts the overlap)
+    def negate(delFile: String, addFiles: Seq[String],
+               priorDels: Seq[String]): Unit =
       if (addFiles.nonEmpty) {
         val keys = s.read.parquet(delFile).schema.fieldNames.toSeq
         val masked = s.read.parquet(addFiles.sorted: _*)
@@ -2199,9 +2231,24 @@ object StreamQueries {
           .join(broadcast(s.read.parquet(delFile)
             .select(keys.map(col): _*).distinct()),
             keys, "left_semi")
-        fileAgg(masked, -1).write.mode("append").parquet(partialDir)
+        val netted = priorDels.foldLeft(masked) { (df, pd) =>
+          val pk = s.read.parquet(pd).schema.fieldNames.toSeq
+          df.join(broadcast(s.read.parquet(pd)
+              .select(pk.map(col): _*).distinct()),
+            pk, "left_anti")
+        }
+        fileAgg(netted, -1).write.mode("append").parquet(partialDir)
         ()
       }
+    // a delete's full below-sequence sweep: one negation per add-version
+    // stratum (netting applicability is version-scoped — an earlier
+    // delete nets only rows of adds it ALSO sequences above)
+    def negateBelow(delFile: String, delV: Int): Unit =
+      seenAdds.toSeq.filter(_._2 < delV).groupBy(_._2).toSeq.sortBy(_._1)
+        .foreach { case (av, adds) =>
+          negate(delFile, adds.map(_._1).sorted,
+            seenEqs.toSeq.filter(_._2 > av).map(_._1).distinct.sorted)
+        }
     def applyCommit(commit: DataFrame): Unit = {
       val v = commit.select($"_commit_version")
         .distinct().as[Int].collect()
@@ -2214,16 +2261,20 @@ object StreamQueries {
         fileAgg(s.read.parquet(addFiles: _*)
             .withColumn("file", col("_metadata.file_path")), 1)
           .write.mode("append").parquet(partialDir)
-        // deletes already seen that sequence ABOVE this add mask it
-        seenEqs.filter(_._2 > version)
-          .foreach { case (delFile, _) => negate(delFile, addFiles) }
+        // deletes already seen that sequence ABOVE this add mask it —
+        // each netted of the sweep's earlier deletes (overlap once)
+        val applicable = seenEqs.toSeq.filter(_._2 > version)
+          .map(_._1).distinct.sorted
+        applicable.zipWithIndex.foreach { case (delFile, i) =>
+          negate(delFile, addFiles, applicable.take(i))
+        }
         seenAdds ++= addFiles.map(f => (f, version))
         ()
       }
       commit.filter(col("action") === "eqdel")
         .select($"file").as[String].collect().toSeq.sorted
         .foreach { delFile =>
-          negate(delFile, seenAdds.filter(_._2 < version).map(_._1).toSeq)
+          negateBelow(delFile, version)
           seenEqs += ((delFile, version))
         }
       commit.filter(col("action") === "remove")
@@ -2253,7 +2304,7 @@ object StreamQueries {
         cp.filter($"action" === "eqdel")
           .select($"file", $"version").as[(String, Int)].collect().toSeq
           .sortBy(_._2).foreach { case (delFile, delV) =>
-            negate(delFile, cpAdds.filter(_._2 < delV).map(_._1))
+            negateBelow(delFile, delV)
             seenEqs += ((delFile, delV))
           }
         allVs.filter(_ > cpV)

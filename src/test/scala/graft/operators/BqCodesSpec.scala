@@ -69,4 +69,36 @@ class BqCodesSpec extends SparkTestBase {
     assert(served == inlineTopK,
       "code-table probe diverged from the inline s15 pass")
   }
+
+  test("a crashed append is repaired, never stacked (ADVICE r15: duplicate vec_ids)") {
+    import org.apache.spark.sql.functions._
+    val root = Similarity.bqCodesRoot(spark, dir)
+    val codesDir = new java.io.File(root, "codes")
+    val total = spark.read.parquet(codesDir.getAbsolutePath).count()
+    val aMarker = new java.io.File(root + ".appended")
+
+    // crash AFTER the moves landed, BEFORE the marker write: the next
+    // run must replace the orphaned append- files, not stack a second
+    // copy of the batch split onto them
+    java.nio.file.Files.delete(aMarker.toPath)
+    Similarity.bqCodesRoot(spark, dir)
+    val afterFull = spark.read.parquet(codesDir.getAbsolutePath)
+    assert(afterFull.count() == total, "re-run stacked a duplicate append")
+
+    // crash MID-MOVE: only part of the append- set landed; the repair
+    // deletes the partial set and restages the whole batch split
+    val appendParts = codesDir.listFiles()
+      .filter(_.getName.startsWith("append-")).sorted
+    assert(appendParts.nonEmpty, "append produced no append- part files")
+    java.nio.file.Files.delete(appendParts.head.toPath)
+    java.nio.file.Files.delete(aMarker.toPath)
+    val repaired = spark.read.parquet(
+      new java.io.File(Similarity.bqCodesRoot(spark, dir), "codes")
+        .getAbsolutePath)
+    assert(repaired.count() == total,
+      "mid-move repair lost or duplicated rows")
+    assert(repaired.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0,
+      "code table holds duplicate vec_ids after repair")
+  }
 }

@@ -271,4 +271,52 @@ class OccEqDeleteSpec extends SparkTestBase {
         s"the dv-masked row was re-emitted by the whole-file remove: $deletes")
     }
   }
+
+  test("dv feed netting (ADVICE r15): a dv image nets rows already deleted by an earlier eqdel or an earlier dv") {
+    import spark.implicits._
+    def sidecarFor(root: java.io.File, a: String, name: String,
+                   ks: Seq[Int]): String = {
+      val d = new java.io.File(root, name)
+      spark.read.parquet(a)
+        .select(org.apache.spark.sql.functions.col("_metadata.file_path")
+          .as("file"),
+          org.apache.spark.sql.functions.col("_metadata.row_index")
+            .as("pos"), $"k")
+        .filter($"k".isin(ks: _*)).select($"file", $"pos")
+        .coalesce(1).write.parquet(d.getAbsolutePath)
+      d.getAbsolutePath
+    }
+    // eqdel-then-dv: a(1,2,3) @v0; eqdel {2} @v1; dv masks k=2 @v2 —
+    // the row deleted at v1 must not be emitted AGAIN at v2
+    locally {
+      val root = freshRoot()
+      val a = stage(root, "a", Seq(1, 2, 3))
+      Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+      Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
+        eqDeletes = Seq(keysFile(root, "d1", Seq(2))))
+      Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 1,
+        dvs = Seq((a, sidecarFor(root, a, "dv1", Seq(2)))))
+      val deletes = Lakehouse.occChangeFeed(spark, root, 0, 2)
+        .filter($"change_type" === "delete")
+        .select($"k").as[Int].collect().toSeq.sorted
+      assert(deletes == Seq(2),
+        s"the eqdel-deleted row was re-emitted by the later dv: $deletes")
+    }
+    // dv-then-dv overlap: dv {2} @v1, dv {2,3} @v2 — the shared
+    // position is one delete image, not two
+    locally {
+      val root = freshRoot()
+      val a = stage(root, "a", Seq(1, 2, 3))
+      Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+      Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
+        dvs = Seq((a, sidecarFor(root, a, "dv1", Seq(2)))))
+      Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 1,
+        dvs = Seq((a, sidecarFor(root, a, "dv2", Seq(2, 3)))))
+      val deletes = Lakehouse.occChangeFeed(spark, root, 0, 2)
+        .filter($"change_type" === "delete")
+        .select($"k").as[Int].collect().toSeq.sorted
+      assert(deletes == Seq(2, 3),
+        s"overlapping dv masks double-emitted the shared row: $deletes")
+    }
+  }
 }

@@ -91,4 +91,42 @@ class EqConsumeStreamSpec extends SparkTestBase {
     assert(negFiles.nonEmpty && negFiles.subsetOf(belowFiles),
       s"bootstrap retraction named non-snapshot files: ${(negFiles -- belowFiles).take(3)}")
   }
+
+  test("overlapping equality deletes retract a shared key once, not once per DELETE") {
+    import spark.implicits._
+    // synthetic log: one file, two eqdel commits whose KEY SETS overlap
+    // on one row — the batch scan anti-joins the distinct()ed key UNION
+    // (row dropped once); the streamed fold must net the second
+    // delete's already-retracted keys or it over-retracts (ADVICE r15)
+    val root = java.nio.file.Files.createTempDirectory("eqoverlap_").toFile
+    root.deleteOnExit()
+    val a = new java.io.File(root, "a").getAbsolutePath
+    Seq((1L, "A", 1.0, 10.0), (2L, "A", 2.0, 20.0), (3L, "A", 3.0, 30.0))
+      .toDF("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .coalesce(1).write.parquet(a)
+    Lakehouse.occCommit(spark, root,
+      Seq((a, 3L, 0L, 0L, 0L, 0L)), snapshotVersion = -1)
+    def eqdel(name: String, keys: Seq[Long]): String = {
+      val d = new java.io.File(root, name)
+      keys.toDF("l_orderkey").coalesce(1).write.parquet(d.getAbsolutePath)
+      d.getAbsolutePath
+    }
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
+      eqDeletes = Seq(eqdel("d1", Seq(1L))))          // masks key 1
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 1,
+      eqDeletes = Seq(eqdel("d2", Seq(1L, 2L))))      // overlaps on 1
+    val streamed = StreamQueries.occEqConsume(spark, dir, Some(root))
+      .collect().map(_.toString).toSeq
+    val direct = Mixing.flagAgg(
+      Lakehouse.occScanEq(spark, root, Seq("l_orderkey")))
+      .collect().map(_.toString).toSeq
+    assert(streamed == direct,
+      s"overlapping eqdels double-retracted: $streamed vs $direct")
+    // exactly 2 distinct rows retracted (keys 1 and 2), never 3
+    val negSum = spark.read.parquet(new java.io.File(
+        new java.io.File(StreamQueries.lastEqConsumeRunDir), "partials")
+      .getAbsolutePath)
+      .filter($"n_rows" < 0).agg(sum(-$"n_rows")).head().getLong(0)
+    assert(negSum == 2, s"retracted $negSum rows, key union holds 2")
+  }
 }

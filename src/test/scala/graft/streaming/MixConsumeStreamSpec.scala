@@ -62,4 +62,51 @@ class MixConsumeStreamSpec extends SparkTestBase {
     assert(result == direct,
       "streamed mixed-flavor retraction diverged from the unified scan")
   }
+
+  test("overlapping equality deletes in the mixed fold retract a shared key once") {
+    import spark.implicits._
+    // synthetic mixed log: a dv mask on row 3 PLUS two eqdel commits
+    // overlapping on key 1 — the unified scan intersects the flavor
+    // masks and distinct()s the eqdel key union; the streamed fold must
+    // net the second delete's already-retracted keys (ADVICE r15)
+    val root = java.nio.file.Files.createTempDirectory("mixoverlap_").toFile
+    root.deleteOnExit()
+    val a = new java.io.File(root, "a").getAbsolutePath
+    Seq((1L, "A", 1.0, 10.0), (2L, "A", 2.0, 20.0), (3L, "A", 3.0, 30.0),
+        (4L, "A", 4.0, 40.0))
+      .toDF("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .coalesce(1).write.parquet(a)
+    Lakehouse.occCommit(spark, root,
+      Seq((a, 4L, 0L, 0L, 0L, 0L)), snapshotVersion = -1)
+    val dv = new java.io.File(root, "dv1")
+    spark.read.parquet(a)
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("pos"), $"l_orderkey")
+      .filter($"l_orderkey" === 3L).select($"file", $"pos")
+      .coalesce(1).write.parquet(dv.getAbsolutePath)
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
+      dvs = Seq((a, dv.getAbsolutePath)))             // masks row 3
+    def eqdel(name: String, keys: Seq[Long]): String = {
+      val d = new java.io.File(root, name)
+      keys.toDF("l_orderkey").coalesce(1).write.parquet(d.getAbsolutePath)
+      d.getAbsolutePath
+    }
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 1,
+      eqDeletes = Seq(eqdel("d1", Seq(1L))))          // masks key 1
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 2,
+      eqDeletes = Seq(eqdel("d2", Seq(1L, 2L))))      // overlaps on 1
+    val streamed = StreamQueries.occMixConsume(spark, dir, Some(root))
+      .collect().map(_.toString).toSeq
+    val direct = Mixing.flagAgg(
+      Lakehouse.occScanAll(spark, root, Seq("l_orderkey")))
+      .collect().map(_.toString).toSeq
+    assert(streamed == direct,
+      s"overlapping eqdels double-retracted: $streamed vs $direct")
+    // exactly 3 distinct rows retracted (keys 1, 2 and the dv'd row 3)
+    val negSum = spark.read.parquet(new java.io.File(
+        new java.io.File(StreamQueries.lastMixConsumeRunDir), "partials")
+      .getAbsolutePath)
+      .filter($"n_rows" < 0).agg(sum(-$"n_rows")).head().getLong(0)
+    assert(negSum == 3, s"retracted $negSum rows, netted union holds 3")
+  }
 }
