@@ -570,10 +570,18 @@ object Lakehouse {
     * files a later rewrite retired are dropped with their file. */
   private[graft] def occScanVisible(
       s: org.apache.spark.sql.SparkSession, root: java.io.File)
+      : org.apache.spark.sql.DataFrame =
+    occScanVisibleFrame(s, occPlanningFrame(s, root))
+
+  /** [[occScanVisible]] over an already-assembled planning frame — the
+    * truncation-aware core (e33): fed from [[occPlanningFrame]], a
+    * vacuumed log's pre-truncation adds resolve through the snapshot
+    * instead of silently vanishing from the scan. */
+  private[graft] def occScanVisibleFrame(
+      s: org.apache.spark.sql.SparkSession,
+      frame: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val frame = s.read.parquet(
-      new java.io.File(root, "commits").getAbsolutePath)
     // ADVICE r14: the two delete flavors are scanned by different entry
     // points — a log carrying the flavor this scan does NOT apply would
     // be silently mis-read. Refuse loudly instead (manifest-sized
@@ -623,7 +631,7 @@ object Lakehouse {
   private[graft] def occScanEq(
       s: org.apache.spark.sql.SparkSession, root: java.io.File,
       keyCols: Seq[String]): org.apache.spark.sql.DataFrame =
-    occScanEqFrame(s, occLogWithVersions(s, root), keyCols)
+    occScanEqFrame(s, occPlanningFrame(s, root), keyCols)
 
   /** [[occScanEq]] over an already-assembled VERSIONED log frame — the
     * shared core that lets a checkpoint bootstrap ([[occBootstrap]])
@@ -680,9 +688,16 @@ object Lakehouse {
       stats: java.io.File => Seq[(String, Long, Long, Long, Long, Long)]
         = footerBoxRows): OccResult = {
     import s.implicits._
-    val log = occLogWithVersions(s, root)
-    val addV = log.filter($"action" === "add" && $"file" === victim)
-      .select($"version").as[Int].head()
+    val log = occPlanningFrame(s, root)
+    // a snapshot-only victim (its add commit truncated by a vacuum)
+    // resolves through the snapshot's persisted version; a victim in
+    // neither is a named refusal, not a bare NoSuchElementException
+    // (VERDICT r15 #5)
+    val addVs = log.filter($"action" === "add" && $"file" === victim)
+      .select($"version").as[Int].collect()
+    require(addVs.nonEmpty,
+      s"rewrite victim $victim is not a live add in the log or snapshot")
+    val addV = addVs.head
     // pending = above the victim's sequence AND unretired (a remove
     // naming the delete file — e31's conversion — ends its life)
     val dels = log.filter($"action" === "eqdel" && $"version" > addV)
@@ -787,7 +802,7 @@ object Lakehouse {
       s: org.apache.spark.sql.SparkSession, root: java.io.File,
       keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val log = occLogWithVersions(s, root)
+    val log = occPlanningFrame(s, root)
     val removed = log.filter($"action" === "remove")
       .select($"file").as[String].collect().toSet
     val adds = log.filter($"action" === "add")
@@ -887,6 +902,71 @@ object Lakehouse {
     path.getAbsolutePath
   }
 
+  /** Write-once VACUUMED mixed-flavor log for e33: [[occMixRoot]]'s
+    * exact shape (v0 standing, v1 dv, v2 eqdel, v3 delta) with a
+    * checkpoint at v2 and an [[occVacuum]] truncating commits v0–v2 —
+    * the composition VERDICT r15 #1 flagged: after the truncation, the
+    * standing adds, the dv masks, and the PENDING equality delete all
+    * live only in the snapshot, so any scan reading the raw commits
+    * dir would silently serve the delta-only slice. Data files are
+    * REFERENCES into the zinc layout (safe: the prefix carries no
+    * remove actions, so the vacuum deletes no data bytes — byte
+    * deletion is [[occVacRoot]]'s plane); the sidecar and key files
+    * live under this root and stay reachable from the snapshot. */
+  private[graft] def occMixVacRoot(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "li_occmixvac_" + base)
+    if (verifiedLayouts.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val zroot = new java.io.File(zincManifestRoot(s, dir))
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(zroot.getAbsolutePath + ".staged"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      deleteRecursively(path.toPath)
+      path.mkdirs()
+      val standingRows = footerBoxRows(new java.io.File(zroot, "standing"))
+      occCommit(s, path, standingRows, snapshotVersion = -1)
+      val sidecar = new java.io.File(path, "dv_v1")
+      val standingFiles = standingRows.map(_._1).sorted
+      s.read.parquet(standingFiles: _*)
+        .select(col("_metadata.file_path").as("file"),
+          col("_metadata.row_index").as("pos"), $"l_orderkey")
+        .filter($"l_orderkey" % 97 === 0)
+        .select($"file", $"pos")
+        .coalesce(1).write.mode("overwrite").parquet(sidecar.getAbsolutePath)
+      val masked = s.read.parquet(sidecar.getAbsolutePath)
+        .select($"file").distinct().as[String].collect().toSeq
+        .map(uriToLocal).sorted
+      require(masked.nonEmpty, "the staged positional DELETE masked no file")
+      occCommit(s, path, Nil, snapshotVersion = 0,
+        dvs = masked.map(f => (f, sidecar.getAbsolutePath)))
+      val keys = new java.io.File(path, "eqdel_v2")
+      graft.Tables(s, dir, "lineitem")
+        .select($"l_suppkey").filter($"l_suppkey" % 13 === 5).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(keys.getAbsolutePath)
+      occCommit(s, path, Nil, snapshotVersion = 1,
+        eqDeletes = Seq(keys.getAbsolutePath))
+      occCheckpoint(s, path, upTo = 2)
+      occCommit(s, path,
+        footerBoxRows(new java.io.File(zroot, "delta")),
+        snapshotVersion = 2)
+      val (truncated, deleted) = occVacuum(s, path)
+      require(truncated == Seq(0, 1, 2) && deleted.isEmpty,
+        s"mixvac staged unexpectedly: truncated=$truncated deleted=$deleted")
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedLayouts.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
   /** EQUALITY→POSITIONAL delete conversion (e31 — Iceberg's
     * delete-file rewrite maintenance): each LIVE equality delete is
     * materialized ONCE against its below-sequence visible files — the
@@ -909,7 +989,7 @@ object Lakehouse {
   private[graft] def occConvertEqDeletes(
       s: org.apache.spark.sql.SparkSession, root: java.io.File): Int = {
     import s.implicits._
-    val log = occLogWithVersions(s, root)
+    val log = occPlanningFrame(s, root)
     val removed = log.filter($"action" === "remove")
       .select($"file").as[String].collect().toSet
     val live = log.filter($"action" === "eqdel")
@@ -1263,6 +1343,28 @@ object Lakehouse {
     (frame, tail)
   }
 
+  /** The VERSIONED planning frame every batch entry point reads (e33 —
+    * VERDICT r15 #1, the last instance of the truncation-blindness
+    * class e28 closed for checkpoints): a complete log (starts at v0)
+    * reads as-is; a TRUNCATED log ([[occVacuum]] deleted the prefix
+    * behind the checkpoint) resolves through [[occBootstrap]] — the
+    * snapshot is the only replica of the truncated history, and its
+    * rows carry their original commit versions, so sequence-scoped
+    * consumers are exact. A truncated log with no checkpoint refuses
+    * loudly instead of silently serving the tail-only slice. */
+  private[graft] def occPlanningFrame(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File)
+      : org.apache.spark.sql.DataFrame = {
+    val vs = occVersions(new java.io.File(root, "commits"))
+    if (vs.nonEmpty && vs.min == 0) occLogWithVersions(s, root)
+    else {
+      require(new java.io.File(root, "_last_checkpoint").isFile,
+        s"log starts at v${vs.headOption.getOrElse(-1)} with no " +
+          "checkpoint — the truncated history is unreachable")
+      occBootstrap(s, root)._1
+    }
+  }
+
   /** VERSION AS OF over the OCC log (e22): the net table state after
     * replaying commits ≤ `v` — one manifest-sized read of the retained
     * log prefix, remove actions applied ([[occVisible]]). Works because
@@ -1282,17 +1384,25 @@ object Lakehouse {
     // refuse LOUDLY for versions the truncation expired — Delta's
     // "cannot time travel before earliest retained version" contract.
     if (vs.isEmpty || vs.min > 0) {
-      val cpPtr = new java.io.File(root, "_last_checkpoint")
-      require(cpPtr.isFile,
+      val cps = occCheckpointVersions(root)
+      require(cps.nonEmpty,
         s"log starts at v${vs.headOption.getOrElse(-1)} with no checkpoint" +
           " — cannot reconstruct any version")
-      val cpV = new String(java.nio.file.Files.readAllBytes(
-        cpPtr.toPath)).trim.toInt
-      require(v >= cpV,
-        s"version v$v expired: the log is truncated to checkpoint v$cpV")
+      // the newest RETAINED snapshot at or below v whose tail to v is
+      // contiguous (e34: a retention-clocked vacuum keeps the floor
+      // checkpoint and every commit inside the window, so versions ≥
+      // the floor replay as snapshot + tail; versions below it expired
+      // with their checkpoints — Delta's "cannot time travel before
+      // the earliest retained version")
+      val usable = cps.filter(c => c <= v &&
+        (c + 1 >= vs.headOption.getOrElse(c + 1)))
+      require(usable.nonEmpty,
+        s"version v$v expired: the log is truncated to checkpoint " +
+          s"v${cps.min}")
+      val cpX = usable.max
       val cp = new java.io.File(new java.io.File(root, "checkpoints"),
-        f"cp_v$cpV%05d.parquet")
-      val tail = vs.filter(x => x > cpV && x <= v)
+        f"cp_v$cpX%05d.parquet")
+      val tail = vs.filter(x => x > cpX && x <= v)
         .map(x => occCommitFile(commitsDir, x).getAbsolutePath)
       return occVisible(s.read.parquet(cp.getAbsolutePath +: tail: _*)
         .select("file", "rows", "pmin", "pmax", "smin", "smax",
@@ -1321,19 +1431,36 @@ object Lakehouse {
     * Maintenance-plane single writer, like [[occCheckpoint]]. Returns
     * (truncated commit versions, deleted data files). */
   private[graft] def occVacuum(
-      s: org.apache.spark.sql.SparkSession, root: java.io.File)
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      retainMillis: Long = 0L,
+      now: Long = System.currentTimeMillis())
       : (Seq[Int], Seq[String]) = {
     val commitsDir = new java.io.File(root, "commits")
     val cpPtr = new java.io.File(root, "_last_checkpoint")
     require(cpPtr.isFile, "occVacuum needs a checkpoint to truncate behind")
     val cpV = new String(java.nio.file.Files.readAllBytes(
       cpPtr.toPath)).trim.toInt
-    val prefix = occVersions(commitsDir).filter(_ <= cpV)
+    val vs = occVersions(commitsDir)
+    // e34 (Delta's `VACUUM … RETAIN n HOURS` / Iceberg's
+    // expire_snapshots(older_than)): the truncation floor T is the
+    // NEWEST checkpointed version whose entire commit prefix is older
+    // than the retention cutoff — every commit inside the retention
+    // window survives, so AS OF any version ≥ T still answers
+    // ([[occAsOf]] resolves through the floor checkpoint). With the
+    // default retainMillis = 0 every past commit is expirable and T is
+    // the checkpoint pointer — the pre-e34 behavior.
+    val cutoff = now - retainMillis
+    val floors = occCheckpointVersions(root).filter(_ <= cpV)
+      .filter(t => vs.filter(_ <= t).forall(v =>
+        occCommitFile(commitsDir, v).lastModified < cutoff))
+    if (floors.isEmpty) return (Nil, Nil)
+    val floor = floors.max
+    val prefix = vs.filter(_ <= floor)
     if (prefix.isEmpty) return (Nil, Nil)
     val frame = s.read.parquet(prefix.map(v =>
       occCommitFile(commitsDir, v).getAbsolutePath): _*)
-    // retired at ≤ cpV — removed, and (by occVisible) absent from every
-    // snapshot a reader can reach
+    // retired at ≤ floor — removed, and (by occVisible) absent from
+    // every snapshot a reader can still reach
     val retired = frame.filter(col("action") === "remove")
       .select("file").collect().map(_.getString(0)).toSeq.distinct.sorted
     // a manifest entry may name a flat parquet file (the staged copies)
@@ -1341,7 +1468,25 @@ object Lakehouse {
     retired.foreach(f => deleteRecursively(new java.io.File(f).toPath))
     prefix.foreach(v =>
       java.nio.file.Files.delete(occCommitFile(commitsDir, v).toPath))
+    // checkpoints strictly below the floor serve only expired versions
+    // — expire them too, or AS OF below the floor would still resolve
+    occCheckpointVersions(root).filter(_ < floor).foreach(v =>
+      java.nio.file.Files.delete(new java.io.File(
+        new java.io.File(root, "checkpoints"),
+        f"cp_v$v%05d.parquet").toPath))
     (prefix, retired)
+  }
+
+  /** Versions with a retained snapshot file under checkpoints/ — the
+    * candidate AS-OF resolution floors ([[occAsOf]]) and vacuum
+    * truncation floors ([[occVacuum]]). */
+  private[graft] def occCheckpointVersions(root: java.io.File): Seq[Int] = {
+    val cpDir = new java.io.File(root, "checkpoints")
+    if (!cpDir.isDirectory) Nil
+    else cpDir.listFiles()
+      .filter(_.getName.matches("cp_v\\d{5}\\.parquet"))
+      .map(_.getName.stripPrefix("cp_v").stripSuffix(".parquet").toInt)
+      .toSeq.sorted
   }
 
   /** Write-once POST-VACUUM OCC log for e30. Unlike every other staged
@@ -1392,6 +1537,70 @@ object Lakehouse {
       require(truncated == Seq(0, 1) && deleted.map(uriToLocal).sorted ==
         victims.map(uriToLocal).sorted,
         s"vacuum staged unexpectedly: truncated=$truncated deleted=$deleted")
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    verifiedLayouts.add(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
+  /** Write-once RETENTION-CLOCKED vacuum log for e34 (Delta's
+    * `VACUUM … RETAIN n HOURS` / Iceberg's
+    * `expire_snapshots(older_than)`): v0 = standing adds and v1 = the
+    * delta ingest, both checkpointed and aged 48 h via explicit commit
+    * mtimes; v2 = an equality delete committed fresh. A 24 h-retention
+    * vacuum then truncates exactly the AGED checkpointed prefix
+    * (v0–v1), expires cp_v0 (it served only expired versions), and
+    * spares everything inside the window — AS OF v2 still answers, AS
+    * OF v1 answers from the floor snapshot (Iceberg keeps the
+    * expire-boundary snapshot), AS OF v0 fails loudly as expired.
+    * Data files are zinc references (no removes → no byte deletion). */
+  private[graft] def occVacRetRoot(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "li_occvacret_" + base)
+    if (verifiedLayouts.contains(path.getAbsolutePath))
+      return path.getAbsolutePath
+    val zroot = new java.io.File(zincManifestRoot(s, dir))
+    val stamp = s"v1:${Multimodal.sourceFingerprint(
+      new java.io.File(zroot.getAbsolutePath + ".staged"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      deleteRecursively(path.toPath)
+      path.mkdirs()
+      val commitsDir = new java.io.File(path, "commits")
+      occCommit(s, path,
+        footerBoxRows(new java.io.File(zroot, "standing")),
+        snapshotVersion = -1)
+      occCheckpoint(s, path, upTo = 0)
+      occCommit(s, path,
+        footerBoxRows(new java.io.File(zroot, "delta")),
+        snapshotVersion = 0)
+      occCheckpoint(s, path, upTo = 1)
+      val keys = new java.io.File(path, "eqdel_v2")
+      graft.Tables(s, dir, "lineitem")
+        .select($"l_suppkey").filter($"l_suppkey" % 13 === 5).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(keys.getAbsolutePath)
+      occCommit(s, path, Nil, snapshotVersion = 1,
+        eqDeletes = Seq(keys.getAbsolutePath))
+      // age the prefix: v0/v1 committed "two days ago", v2 fresh
+      val now = System.currentTimeMillis()
+      Seq(0, 1).foreach { v =>
+        require(occCommitFile(commitsDir, v)
+          .setLastModified(now - 48L * 3600 * 1000),
+          s"could not age commit v$v")
+      }
+      val (truncated, deleted) =
+        occVacuum(s, path, retainMillis = 24L * 3600 * 1000, now = now)
+      require(truncated == Seq(0, 1) && deleted.isEmpty,
+        s"retention vacuum staged unexpectedly: $truncated / $deleted")
+      require(occCheckpointVersions(path) == Seq(1),
+        s"cp_v0 should have expired: ${occCheckpointVersions(path)}")
       java.nio.file.Files.write(marker.toPath, stamp.getBytes)
       ()
     }
@@ -1492,7 +1701,25 @@ object Lakehouse {
       s: org.apache.spark.sql.SparkSession, root: java.io.File,
       from: Int, to: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val log = occLogWithVersions(s, root)
+    // e33/e35: on a TRUNCATED log the snapshot carries only NET state —
+    // per-version insert/delete images below the checkpoint are
+    // unreconstructible, so a window reaching under it refuses loudly
+    // (Delta's "CDF range expired" contract); windows at or above the
+    // checkpoint read the tail with snapshot rows supplying the
+    // netting/sequencing context at their ORIGINAL versions.
+    val vs = occVersions(new java.io.File(root, "commits"))
+    if (vs.isEmpty || vs.min > 0) {
+      val cpPtr = new java.io.File(root, "_last_checkpoint")
+      require(cpPtr.isFile,
+        s"log starts at v${vs.headOption.getOrElse(-1)} with no " +
+          "checkpoint — the truncated history is unreachable")
+      val cpV = new String(java.nio.file.Files.readAllBytes(
+        cpPtr.toPath)).trim.toInt
+      require(from >= cpV,
+        s"change feed from v$from expired: the log is truncated to " +
+          s"checkpoint v$cpV")
+    }
+    val log = occPlanningFrame(s, root)
     val acts = log.select($"file", $"action", $"dataChange", $"dv", $"version")
       .as[(String, String, Boolean, String, Int)].collect().toSeq
     val inWindow = acts.filter(a => a._5 > from && a._5 <= to && a._3)
@@ -1634,14 +1861,21 @@ object Lakehouse {
     // already followed: the mask drops with the retired file, so a
     // packed byte copy would re-expose every positionally-deleted row)
     val victimSet = victims.toSet
-    val sidecars = {
+    // planning frame, not the raw commits dir: on a truncated log a
+    // snapshot-only victim's masks (and its very existence) live only
+    // in the checkpoint (e33; VERDICT r15 #5)
+    val (sidecars, knownAdds) = {
       import s.implicits._
-      s.read.parquet(new java.io.File(root, "commits").getAbsolutePath)
-        .filter(col("action") === "dv")
+      val log = occPlanningFrame(s, root)
+      (log.filter(col("action") === "dv")
         .select($"file", $"dv").as[(String, String)].collect()
         .filter { case (f, _) => victimSet.contains(f) }
-        .map(_._2).distinct.sorted.toSeq
+        .map(_._2).distinct.sorted.toSeq,
+        log.filter(col("action") === "add")
+          .select($"file").as[String].collect().toSet)
     }
+    victims.foreach(v => require(knownAdds.contains(v),
+      s"compaction victim $v is not a live add in the log or snapshot"))
     val base = s.read.parquet(victims: _*)
     val packed =
       if (sidecars.isEmpty) base

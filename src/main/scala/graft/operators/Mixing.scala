@@ -2540,7 +2540,137 @@ object Mixing {
         FROM lineitem
         WHERE l_orderkey % 5 = 0
            OR (l_orderkey % 97 <> 0 AND l_suppkey % 13 <> 5)
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- e33
+    // TRUNCATION-AWARE BATCH SCANS (VERDICT r15 #1 — the last instance
+    // of the latent class e28 closed for checkpoints): every batch
+    // entry point (occScanVisible / occScanEq / occScanAll /
+    // occChangeFeed and the maintenance passes) now plans from
+    // [[Lakehouse.occPlanningFrame]] — the raw log when it starts at
+    // v0, the versioned snapshot + tail after a vacuum truncated the
+    // prefix. The staged root is occMixRoot's exact mixed-flavor shape
+    // VACUUMED behind a v2 checkpoint: the standing adds, dv masks,
+    // and the PENDING equality delete all live only in the snapshot,
+    // so the pre-e33 scans would have served the delta-only slice (the
+    // silent wrong answer this row exists to kill). Same oracle as e32
+    // — one lost snapshot row, one resurrected masked row, or one
+    // mis-sequenced delete is a hash failure. Guards pinned here: the
+    // single-flavor scans still REFUSE the mixed log when fed from the
+    // snapshot, and a CDC window reaching under the checkpoint is a
+    // loud expiry, never a partial feed. OccVacuumSpec pins vacuumed ≡
+    // unvacuumed row-for-row on synthetic logs for all four scans.
+    QuerySpec(
+      "e33_vacuumed_scan_bootstrap",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(occMixVacRoot(s, dir))
+        val commitsDir = new java.io.File(root, "commits")
+        require(occVersions(commitsDir) == Seq(3),
+          s"staged log should retain only the tail: ${occVersions(commitsDir)}")
+        def refuses(f: => org.apache.spark.sql.DataFrame): Boolean =
+          try { f.count(); false }
+          catch { case _: IllegalArgumentException => true }
+        require(refuses(occScanVisible(s, root)) &&
+          refuses(occScanEq(s, root, Seq("l_suppkey"))),
+          "a single-flavor scan accepted the vacuumed mixed log")
+        require(refuses(occChangeFeed(s, root, 0, 3)),
+          "a CDC window under the checkpoint must expire loudly")
+        occScanAll(s, root, Seq("l_suppkey")).transform(flagAgg)
+      },
+      Some("""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_orderkey % 5 = 0
+           OR (l_orderkey % 97 <> 0 AND l_suppkey % 13 <> 5)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- e34
+    // RETENTION-CLOCKED VACUUM (VERDICT r15 #2 — Delta's `VACUUM …
+    // RETAIN n HOURS` / Iceberg's expire_snapshots(older_than), the
+    // production contract the checkpoint-gated e30 rule lacked): the
+    // truncation floor is the newest CHECKPOINTED version whose entire
+    // commit prefix is older than the cutoff — commits inside the
+    // window survive a vacuum wholesale, checkpoints below the floor
+    // expire with their versions. The staged root ages v0 (standing) /
+    // v1 (delta) 48 h, commits an equality delete fresh at v2, and
+    // vacuums at 24 h retention: v0–v1 truncate, cp_v0 expires, AS OF
+    // v2 (in-window) and v1 (the floor snapshot — Iceberg keeps the
+    // expire boundary) still answer, AS OF v0 fails loudly. The
+    // returned scan is the truncated log's sequence-scoped read: both
+    // snapshot add generations below the fresh delete, so every
+    // key-matching row dies — one resurrected key or one lost
+    // snapshot row is a hash failure.
+    QuerySpec(
+      "e34_retention_vacuum",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(occVacRetRoot(s, dir))
+        val commitsDir = new java.io.File(root, "commits")
+        require(occVersions(commitsDir) == Seq(2),
+          s"retention vacuum should keep only v2: ${occVersions(commitsDir)}")
+        require(occCheckpointVersions(root) == Seq(1),
+          "the expired cp_v0 survived or the floor cp_v1 was lost")
+        val expired =
+          try { occAsOf(s, root, 0).count(); false }
+          catch { case _: IllegalArgumentException => true }
+        require(expired, "AS OF an expired version must fail loudly")
+        // in-window and floor versions still answer post-vacuum
+        require(occAsOf(s, root, 1).count() > 0 &&
+          occAsOf(s, root, 2).count() > 0,
+          "a retained version stopped answering after the vacuum")
+        occScanEq(s, root, Seq("l_suppkey")).transform(flagAgg)
+      },
+      Some("""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_suppkey % 13 <> 5
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- e35
+    // CDC FROM A BOOTSTRAP FRAME (VERDICT r15 #6 — the window a daily
+    // consumer actually runs on a year-old table): the change feed
+    // over the VACUUMED mixed root's tail window (2, 3], where the
+    // in-window actions stream from the tail and every piece of
+    // netting/sequencing context — add versions, dv masks, the pending
+    // equality delete — resolves from the snapshot at its ORIGINAL
+    // commit version. Pinned equal, group-for-group, to the same
+    // window's feed over the UNVACUUMED occMixRoot (the full-log
+    // replay), so one misattributed snapshot version or lost mask is a
+    // row failure, then oracle-pinned: the (2, 3] window carries
+    // exactly the delta ingest's inserts (the deletes landed at v1/v2,
+    // below the window).
+    QuerySpec(
+      "e35_cdf_after_vacuum",
+      (s, dir) => {
+        import s.implicits._
+        def grouped(f: org.apache.spark.sql.DataFrame) =
+          f.groupBy($"change_type", $"l_returnflag")
+            .agg(count(lit(1)).as("n_rows"),
+              sum($"l_quantity".cast("decimal(18,4)")).cast("double")
+                .as("sum_qty"),
+              sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
+                .as("sum_price"))
+            .orderBy($"change_type", $"l_returnflag")
+        val vac = grouped(occChangeFeed(s,
+          new java.io.File(occMixVacRoot(s, dir)), 2, 3))
+        val unvac = grouped(occChangeFeed(s,
+          new java.io.File(occMixRoot(s, dir)), 2, 3))
+        require(vac.collect().toSeq == unvac.collect().toSeq,
+          "the vacuumed tail window diverged from the full-log feed")
+        vac
+      },
+      Some("""
+        SELECT 'insert' AS change_type, l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem WHERE l_orderkey % 5 = 0
+        GROUP BY l_returnflag ORDER BY change_type, l_returnflag"""))
   )
 
   /** e27/e28's shared oracle — the sequence rule stated relationally

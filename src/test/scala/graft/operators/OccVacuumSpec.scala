@@ -107,4 +107,155 @@ class OccVacuumSpec extends SparkTestBase {
     // and the tail is now empty: the snapshot alone answers
     assert(Lakehouse.occBootstrap(spark, root)._2.isEmpty)
   }
+
+  private def keysFile(root: java.io.File, name: String,
+                       ks: Seq[Int]): String = {
+    import spark.implicits._
+    val d = new java.io.File(root, name)
+    ks.toDF("k").coalesce(1).write.parquet(d.getAbsolutePath)
+    d.getAbsolutePath
+  }
+
+  private def sidecarFor(root: java.io.File, a: String, name: String,
+                         ks: Seq[Int]): String = {
+    import spark.implicits._
+    val d = new java.io.File(root, name)
+    spark.read.parquet(a)
+      .select(org.apache.spark.sql.functions.col("_metadata.file_path")
+        .as("file"),
+        org.apache.spark.sql.functions.col("_metadata.row_index")
+          .as("pos"), $"k")
+      .filter($"k".isin(ks: _*)).select($"file", $"pos")
+      .coalesce(1).write.parquet(d.getAbsolutePath)
+    d.getAbsolutePath
+  }
+
+  test("e33: all four batch scans and the change feed agree row-for-row across a vacuum; maintenance resolves snapshot-only victims") {
+    import spark.implicits._
+    // mixed log: a(1..4) @v0; dv masks 3 @v1; eqdel {1} @v2; cp @v2;
+    // b(5,6) @v3 — then vacuum truncates v0–v2
+    val root = freshRoot()
+    val a = stage(root, "a", Seq(1, 2, 3, 4))
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
+      dvs = Seq((a, sidecarFor(root, a, "dv1", Seq(3)))))
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 1,
+      eqDeletes = Seq(keysFile(root, "d1", Seq(1))))
+    Lakehouse.occCheckpoint(spark, root, upTo = 2)
+    val b = stage(root, "b", Seq(5, 6))
+    Lakehouse.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 2)
+    def ks(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.select($"k").as[Int].collect().toSeq.sorted
+    val allBefore = ks(Lakehouse.occScanAll(spark, root, Seq("k")))
+    val feedBefore = Lakehouse.occChangeFeed(spark, root, 2, 3)
+      .select($"change_type", $"k").as[(String, Int)]
+      .collect().toSeq.sorted
+    assert(allBefore == Seq(2, 4, 5, 6), s"pre-vacuum scan wrong: $allBefore")
+
+    val (truncated, _) = Lakehouse.occVacuum(spark, root)
+    assert(truncated == Seq(0, 1, 2))
+    // the unified scan answers identically from the snapshot
+    assert(ks(Lakehouse.occScanAll(spark, root, Seq("k"))) == allBefore,
+      "occScanAll changed across the vacuum")
+    // the tail-window feed answers identically (context from snapshot)
+    val feedAfter = Lakehouse.occChangeFeed(spark, root, 2, 3)
+      .select($"change_type", $"k").as[(String, Int)]
+      .collect().toSeq.sorted
+    assert(feedAfter == feedBefore, "the feed changed across the vacuum")
+    // a window reaching under the checkpoint expires loudly
+    intercept[IllegalArgumentException] {
+      Lakehouse.occChangeFeed(spark, root, 0, 3)
+    }
+    // single-flavor scans on single-flavor truncated logs: stage two
+    // more roots, dv-only and eq-only, same shape
+    locally { // dv-only
+      val r = freshRoot()
+      val f = stage(r, "a", Seq(1, 2, 3))
+      Lakehouse.occCommit(spark, r, Seq(fr(f)), snapshotVersion = -1)
+      Lakehouse.occCommit(spark, r, Nil, snapshotVersion = 0,
+        dvs = Seq((f, sidecarFor(r, f, "dv1", Seq(2)))))
+      Lakehouse.occCheckpoint(spark, r, upTo = 1)
+      val g = stage(r, "b", Seq(4))
+      Lakehouse.occCommit(spark, r, Seq(fr(g)), snapshotVersion = 1)
+      val before = ks(Lakehouse.occScanVisible(spark, r))
+      Lakehouse.occVacuum(spark, r)
+      assert(ks(Lakehouse.occScanVisible(spark, r)) == before,
+        "occScanVisible changed across the vacuum")
+      // maintenance on a SNAPSHOT-ONLY dv'd victim resolves (VERDICT
+      // r15 #5: was a bare NoSuchElementException path) and must not
+      // resurrect the masked row
+      Lakehouse.occCompact(spark, r, Seq(f), "c0",
+        snapshotVersion = Lakehouse.occVersions(
+          new java.io.File(r, "commits")).last,
+        stats = d => Seq((d.getAbsolutePath, 0L, 0L, 100L, 0L, 100L)))
+      assert(ks(Lakehouse.occScanVisible(spark, r)) == before,
+        "compacting a snapshot-only victim resurrected a masked row")
+    }
+    locally { // eq-only
+      val r = freshRoot()
+      val f = stage(r, "a", Seq(1, 2, 3))
+      Lakehouse.occCommit(spark, r, Seq(fr(f)), snapshotVersion = -1)
+      Lakehouse.occCommit(spark, r, Nil, snapshotVersion = 0,
+        eqDeletes = Seq(keysFile(r, "d1", Seq(2))))
+      Lakehouse.occCheckpoint(spark, r, upTo = 1)
+      val g = stage(r, "b", Seq(2, 4))
+      Lakehouse.occCommit(spark, r, Seq(fr(g)), snapshotVersion = 1)
+      // a loses k=2 (below the delete); b's re-inserted 2 survives
+      val before = ks(Lakehouse.occScanEq(spark, r, Seq("k")))
+      assert(before == Seq(1, 2, 3, 4), s"pre-vacuum eq scan wrong: $before")
+      Lakehouse.occVacuum(spark, r)
+      assert(ks(Lakehouse.occScanEq(spark, r, Seq("k"))) == before,
+        "occScanEq changed across the vacuum")
+      // eq→positional conversion on a truncated log resolves the
+      // snapshot-only add and its pending delete through the snapshot
+      assert(Lakehouse.occConvertEqDeletes(spark, r) == 1)
+      assert(ks(Lakehouse.occScanVisible(spark, r)) == before,
+        "conversion on a truncated log changed the answer")
+    }
+    // a victim in neither log nor snapshot is a NAMED refusal
+    val miss = intercept[IllegalArgumentException] {
+      Lakehouse.occCompact(spark, root, Seq("/nope/missing.parquet"), "cx",
+        snapshotVersion = 3,
+        stats = d => Seq((d.getAbsolutePath, 0L, 0L, 100L, 0L, 100L)))
+    }
+    assert(miss.getMessage.contains("not a live add"),
+      s"unnamed refusal: ${miss.getMessage}")
+  }
+
+  test("e34: the retention clock truncates only the aged checkpointed prefix; in-window versions survive") {
+    import spark.implicits._
+    val root = freshRoot()
+    val commitsDir = new java.io.File(root, "commits")
+    val a = stage(root, "a", Seq(1, 2))
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+    Lakehouse.occCheckpoint(spark, root, upTo = 0)
+    val b = stage(root, "b", Seq(3))
+    Lakehouse.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 0)
+    Lakehouse.occCheckpoint(spark, root, upTo = 1)
+    val c = stage(root, "c", Seq(4))
+    Lakehouse.occCommit(spark, root, Seq(fr(c)), snapshotVersion = 1)
+    val now = System.currentTimeMillis()
+    val hour = 3600L * 1000
+    // v0 aged 48h, v1 aged 30h, v2 fresh; retention 24h → floor = v1
+    assert(Lakehouse.occCommitFile(commitsDir, 0).setLastModified(now - 48 * hour))
+    assert(Lakehouse.occCommitFile(commitsDir, 1).setLastModified(now - 30 * hour))
+    val (truncated, deleted) =
+      Lakehouse.occVacuum(spark, root, retainMillis = 24 * hour, now = now)
+    assert(truncated == Seq(0, 1) && deleted.isEmpty,
+      s"retention floor wrong: $truncated / $deleted")
+    assert(Lakehouse.occCheckpointVersions(root) == Seq(1),
+      "cp_v0 must expire with its versions; cp_v1 is the floor")
+    // AS OF: v0 expired, v1 (floor) and v2 (in-window) answer
+    intercept[IllegalArgumentException] { Lakehouse.occAsOf(spark, root, 0) }
+    assert(Lakehouse.occAsOf(spark, root, 1)
+      .select($"file").as[String].collect().toSeq.sorted == Seq(a, b).sorted)
+    assert(Lakehouse.occAsOf(spark, root, 2)
+      .select($"file").as[String].collect().toSeq.sorted ==
+      Seq(a, b, c).sorted)
+    assert(bootKs(root) == Seq(1, 2, 3, 4))
+    // a retention window covering everything is a no-op
+    assert(Lakehouse.occVacuum(spark, root,
+      retainMillis = 365L * 24 * hour, now = now) == ((Nil, Nil)),
+      "an all-covering retention window truncated something")
+  }
 }
