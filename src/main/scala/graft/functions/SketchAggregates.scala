@@ -279,6 +279,132 @@ object KllQuantilesAgg {
       .getNormalizedRankError(false)
 }
 
+/** The KLL sketch ITSELF as the aggregate result (x12 — the persisted
+  * shard-summary half of the telemetry shape: the per-shard ingest
+  * aggregates once and STORES the serialized sketch; later rollups
+  * merge stored sketches without rescanning a row). Same buffer
+  * lifecycle as [[KllQuantilesAgg]]; eval returns `toByteArray`. */
+case class KllSketchAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.kll.KllLongsSketch]
+  with UnaryLike[Expression] {
+
+  require(k >= 8 && k <= 65535, s"k must be in [8, 65535], got $k")
+
+  override def prettyName: String = "graft_kll_sketch"
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a long/int column, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): org.apache.datasketches.kll.KllLongsSketch =
+    org.apache.datasketches.kll.KllLongsSketch.newHeapInstance(k)
+
+  override def update(buf: org.apache.datasketches.kll.KllLongsSketch,
+                      input: InternalRow): org.apache.datasketches.kll.KllLongsSketch = {
+    val v = child.eval(input)
+    if (v != null) child.dataType match {
+      case LongType => buf.update(v.asInstanceOf[Long])
+      case IntegerType => buf.update(v.asInstanceOf[Int].toLong)
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    buf
+  }
+
+  override def merge(a: org.apache.datasketches.kll.KllLongsSketch,
+                     b: org.apache.datasketches.kll.KllLongsSketch)
+      : org.apache.datasketches.kll.KllLongsSketch = { a.merge(b); a }
+
+  override def eval(buf: org.apache.datasketches.kll.KllLongsSketch): Any =
+    buf.toByteArray
+
+  override def serialize(buf: org.apache.datasketches.kll.KllLongsSketch): Array[Byte] =
+    buf.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): org.apache.datasketches.kll.KllLongsSketch =
+    org.apache.datasketches.kll.KllLongsSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Quantiles from MERGING stored serialized KLL sketches (x12's query
+  * half): the input column carries sketch bytes, never data rows —
+  * update heapifies and merges each incoming sketch, partials merge
+  * associatively, and the answer carries KLL's merge-order-INDEPENDENT
+  * ±ε·n rank envelope however the merge tree shakes out (below
+  * capacity it is exact — the x11 argument, which is what puts the
+  * whole stored-merge path under a DuckDB hash oracle). */
+case class KllMergeAgg(
+    child: Expression,
+    k: Int,
+    probs: Seq[Double],
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.kll.KllLongsSketch]
+  with UnaryLike[Expression] {
+
+  require(k >= 8 && k <= 65535, s"k must be in [8, 65535], got $k")
+  require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+    s"probs must be in [0, 1], got $probs")
+
+  override def prettyName: String = "graft_kll_merge_quantiles"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary sketch column, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): org.apache.datasketches.kll.KllLongsSketch =
+    org.apache.datasketches.kll.KllLongsSketch.newHeapInstance(k)
+
+  override def update(buf: org.apache.datasketches.kll.KllLongsSketch,
+                      input: InternalRow): org.apache.datasketches.kll.KllLongsSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.merge(org.apache.datasketches.kll.KllLongsSketch.heapify(
+        Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+
+  override def merge(a: org.apache.datasketches.kll.KllLongsSketch,
+                     b: org.apache.datasketches.kll.KllLongsSketch)
+      : org.apache.datasketches.kll.KllLongsSketch = { a.merge(b); a }
+
+  override def eval(buf: org.apache.datasketches.kll.KllLongsSketch): Any =
+    if (buf.isEmpty) null
+    else new GenericArrayData(probs.map[Any](q => buf.getQuantile(q,
+      org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
+      .toArray)
+
+  override def serialize(buf: org.apache.datasketches.kll.KllLongsSketch): Array[Byte] =
+    buf.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): org.apache.datasketches.kll.KllLongsSketch =
+    org.apache.datasketches.kll.KllLongsSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Estimate of a serialized theta sketch. CodegenFallback is fine here:
   * it evaluates once per GROUP row (post-aggregation), never per input
   * row — the hot path is the codegen'd scan feeding the aggregate. */
@@ -463,4 +589,16 @@ object SketchFunctions {
   def kllQuantiles(col: Column, k: Int, probs: Seq[Double]): Column =
     Bridge.column(
       KllQuantilesAgg(Bridge.expression(col), k, probs).toAggregateExpression())
+
+  /** The serialized KLL sketch of a long/int column (binary) — the
+    * per-shard summary a telemetry ingest persists (x12). */
+  def kllSketch(col: Column, k: Int): Column =
+    Bridge.column(
+      KllSketchAgg(Bridge.expression(col), k).toAggregateExpression())
+
+  /** Quantiles from merging stored serialized KLL sketches:
+    * array<long>, one value per probability — no data-row rescan. */
+  def kllMergeQuantiles(col: Column, k: Int, probs: Seq[Double]): Column =
+    Bridge.column(
+      KllMergeAgg(Bridge.expression(col), k, probs).toAggregateExpression())
 }

@@ -248,6 +248,36 @@ object Sketches {
       },
       Some(ExactTokenQuantilesOracle)),
 
+    // ---------------------------------------------------------------- x12
+    // PERSISTED-SKETCH SHARD MERGE (VERDICT r15 #4 — the standing-
+    // artifact move s12/s16/d25 made for indexes, now for the sketch
+    // plane): the ingest aggregates each shard's token-length KLL ONCE
+    // and STORES the serialized sketch ([[kllShardsRoot]], 8 shards ×
+    // lang); every later rollup MERGES stored sketches — the query's
+    // scan set is the few-KB artifact, never a document row (scan-set
+    // spec-pinned, the s16 move). This is the actual 100 TB telemetry
+    // shape: per-shard/day summaries land once, arbitrary re-rolls are
+    // manifest-sized merges. Shards are built at exact-mode k, so the
+    // whole stored path — serialize at ingest, parquet round-trip,
+    // heapify + merge in any order, INCLUSIVE query — sits under the
+    // x11 DuckDB hash oracle row-for-row; SketchesSpec additionally
+    // pins merge-order invariance across permutations.
+    QuerySpec(
+      "x12_kll_shard_merge",
+      (s, dir) => {
+        import s.implicits._
+        s.read.parquet(kllShardsRoot(s, dir))
+          .groupBy($"lang")
+          .agg(
+            sum($"n_docs").as("n_docs"),
+            SketchFunctions.kllMergeQuantiles($"sk", KllExactK,
+              Seq(0.5, 0.9)).as("qs"))
+          .select($"lang", $"n_docs",
+            $"qs" (0).as("p50_tokens"), $"qs" (1).as("p90_tokens"))
+          .orderBy($"lang")
+      },
+      Some(ExactTokenQuantilesOracle)),
+
     // ----------------------------------------------------------------- x3
     // Heavy-hitter tokens per language via a mergeable Misra-Gries
     // frequent-items sketch (graft.functions.FrequentItemsAgg, a custom
@@ -566,4 +596,41 @@ object Sketches {
         ORDER BY col_name"""))
   )
 
+  /** x12's STANDING shard-sketch artifact: one row per (shard, lang)
+    * carrying the shard's doc count and its serialized exact-mode KLL
+    * of token lengths — written ONCE per corpus (fingerprint-stamped,
+    * marker-idempotent like the s12/s16 index roots). 8 hash shards
+    * stand in for the per-day/per-shard ingest partitions a real
+    * telemetry pipeline lands; the artifact is a few KB per shard, and
+    * every rollup thereafter is a merge over it, never a corpus
+    * rescan. Returns the artifact path. */
+  private[graft] def kllShardsRoot(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = new java.io.File(sys.props.getOrElse("graft.fixture.dir",
+      sys.props("user.dir") + "/data"))
+    root.mkdirs()
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(root, "kllshards_" + base)
+    val stamp = s"v1:kll-shards:${Multimodal.sourceFingerprint(
+      new java.io.File(dir, "documents.parquet"))}"
+    val marker = new java.io.File(path.getAbsolutePath + ".staged")
+    val upToDate = path.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!upToDate) {
+      Mixing.deleteRecursively(path.toPath)
+      Tables(s, dir, "documents")
+        .filter($"text".isNotNull)
+        .select($"doc_id", $"lang",
+          size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+        .withColumn("shard", pmod(hash($"doc_id"), lit(8)))
+        .groupBy($"shard", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          SketchFunctions.kllSketch($"n_tokens", KllExactK).as("sk"))
+        .write.mode("overwrite").parquet(path.getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+      ()
+    }
+    path.getAbsolutePath
+  }
 }

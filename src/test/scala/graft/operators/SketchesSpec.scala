@@ -428,4 +428,46 @@ class SketchesSpec extends SparkTestBase {
         s"$lang: ${got(lang)} != exact (n=$n, ${at(0.5)}, ${at(0.9)})")
     }
   }
+
+  test("x12: the shard-merge scans only the stored artifact, equals x11, and is merge-order invariant") {
+    import spark.implicits._
+    val rootPath = Sketches.kllShardsRoot(spark, sfDir)
+
+    // the rollup's scan set is the artifact alone — no document row
+    val merged = graft.SparkEntry.queries("x12_kll_shard_merge")(spark, sfDir)
+    val scanned = merged.inputFiles.toSeq
+    assert(scanned.nonEmpty && scanned.forall(_.contains("kllshards_")),
+      s"shard merge scanned outside the artifact: ${scanned.take(3)}")
+
+    // stored-merge ≡ the one-pass exact-mode twin, row-for-row
+    val viaRows = graft.SparkEntry.queries("x11_kll_exact_mode_quantiles")(
+      spark, sfDir).collect().map(_.toString).toSeq
+    assert(merged.collect().map(_.toString).toSeq == viaRows,
+      "merging stored shard sketches diverged from the one-pass aggregate")
+
+    // merge-order invariance, driver-side: permuting the shard merge
+    // order changes nothing (below capacity the merge is exact; above
+    // it KLL's envelope is order-independent — here we pin exactness)
+    val perLang = spark.read.parquet(rootPath)
+      .select($"lang", $"sk").as[(String, Array[Byte])].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(perLang.values.exists(_.size > 1),
+      "fixture lost multi-shard languages — the merge path is vacuous")
+    perLang.foreach { case (lang, sketches) =>
+      def mergeAll(order: Seq[Array[Byte]]): Seq[Long] = {
+        val buf = org.apache.datasketches.kll.KllLongsSketch
+          .newHeapInstance(Sketches.KllExactK)
+        order.foreach(b => buf.merge(
+          org.apache.datasketches.kll.KllLongsSketch.heapify(
+            org.apache.datasketches.memory.Memory.wrap(b))))
+        Seq(0.1, 0.5, 0.9).map(q => buf.getQuantile(q,
+          org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
+      }
+      val fwd = mergeAll(sketches)
+      assert(mergeAll(sketches.reverse) == fwd &&
+        mergeAll(sketches.indices.sortBy(i => (i * 7) % sketches.size)
+          .map(sketches)) == fwd,
+        s"$lang: merge order changed the quantiles")
+    }
+  }
 }
