@@ -1985,6 +1985,16 @@ object StreamQueries {
     val seenEqs = scala.collection.mutable.ListBuffer.empty[(String, Int)]
     // dv sidecars seen so far, per masked file
     val seenDvs = scala.collection.mutable.Map.empty[String, List[String]]
+    // signed partial frames accumulated within a trigger, written as
+    // ONE job (VERDICT r15 #3 — the st24/st25 batching, same move)
+    val pending = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    def flush(): Unit =
+      if (pending.nonEmpty) {
+        pending.reduce(_ unionByName _)
+          .write.mode("append").parquet(partialDir)
+        pending.clear()
+      }
     def eqKeys(delFile: String): Seq[String] =
       s.read.parquet(delFile).schema.fieldNames.toSeq
     // NEGATE an equality delete over its below-sequence adds, net of
@@ -2015,8 +2025,7 @@ object StreamQueries {
               .select(pk.map(col): _*).distinct()),
             pk, "left_anti")
         }
-        fileAgg(netted.drop("pos"), -1)
-          .write.mode("append").parquet(partialDir)
+        pending += fileAgg(netted.drop("pos"), -1)
         ()
       }
     // a delete's full below-sequence sweep, per add-version stratum
@@ -2057,22 +2066,21 @@ object StreamQueries {
                   .select(keys.map(col): _*).distinct()),
                 keys, "left_anti")
             }
-          fileAgg(netted.drop("pos"), -1)
-            .write.mode("append").parquet(partialDir)
+          pending += fileAgg(netted.drop("pos"), -1)
           ()
         }
     }
     def applyCommit(commit: DataFrame): Unit = {
-      val v = commit.select($"_commit_version")
-        .distinct().as[Int].collect()
-      require(v.length == 1, s"one commit per trigger expected: ${v.toSeq}")
-      val version = v.head
-      val addFiles = commit.filter(col("action") === "add")
-        .select("file").as[String].collect().toSeq.sorted
+      // ONE collect per trigger (manifest-sized), ONE partial write
+      val acts = commit.select($"file", $"action", $"dv", $"_commit_version")
+        .as[(String, String, String, Int)].collect()
+      val vs = acts.map(_._4).distinct
+      require(vs.length == 1, s"one commit per trigger expected: ${vs.toSeq}")
+      val version = vs.head
+      val addFiles = acts.filter(_._2 == "add").map(_._1).toSeq.sorted
       if (addFiles.nonEmpty) {
-        fileAgg(s.read.parquet(addFiles: _*)
-            .withColumn("file", col("_metadata.file_path")), 1)
-          .write.mode("append").parquet(partialDir)
+        pending += fileAgg(s.read.parquet(addFiles: _*)
+          .withColumn("file", col("_metadata.file_path")), 1)
         val applicable = seenEqs.toSeq.filter(_._2 > version)
           .map(_._1).distinct.sorted
         applicable.zipWithIndex.foreach { case (delFile, i) =>
@@ -2081,24 +2089,23 @@ object StreamQueries {
         seenAdds ++= addFiles.map(f => (f, version))
         ()
       }
-      val dvd = commit.filter(col("action") === "dv")
-        .select($"file", $"dv").as[(String, String)].collect().toSeq
+      val dvd = acts.filter(_._2 == "dv").map(a => (a._1, a._3)).toSeq
       if (dvd.nonEmpty) {
         negateDv(dvd)
         dvd.foreach { case (f, sc) =>
           seenDvs(f) = (seenDvs.getOrElse(f, Nil) :+ sc).distinct
         }
       }
-      commit.filter(col("action") === "eqdel")
-        .select($"file").as[String].collect().toSeq.sorted
+      acts.filter(_._2 == "eqdel").map(_._1).toSeq.sorted
         .foreach { delFile =>
           negateEqBelow(delFile, version)
           seenEqs += ((delFile, version))
         }
-      commit.filter(col("action") === "remove")
-        .select(regexp_replace(col("file"), "^file:/+", "/").as("file"))
-        .write.mode("append").parquet(tombDir)
-      ()
+      val removes = acts.filter(_._2 == "remove")
+        .map(_._1.replaceFirst("^file:/+", "/")).toSeq.sorted
+      if (removes.nonEmpty)
+        removes.toDF("file").write.mode("append").parquet(tombDir)
+      flush()
     }
     val vs = L.occVersions(commitsDir)
     val glob = vs.map(v => f"v$v%05d.parquet").mkString("{", ",", "}")
@@ -2216,6 +2223,20 @@ object StreamQueries {
     // grain — one entry per data file / delete file, never rows)
     val seenAdds = scala.collection.mutable.ListBuffer.empty[(String, Int)]
     val seenEqs = scala.collection.mutable.ListBuffer.empty[(String, Int)]
+    // signed partial frames accumulated within a trigger and written as
+    // ONE job (VERDICT r15 #3 — the st9 floor move: the fold's wall at
+    // fixture scale was driver-sequential micro-jobs, one per negation
+    // read + parquet append; the union write keeps every row identical,
+    // negatives included, while cutting jobs/trigger to one collect +
+    // one write)
+    val pending = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    def flush(): Unit =
+      if (pending.nonEmpty) {
+        pending.reduce(_ unionByName _)
+          .write.mode("append").parquet(partialDir)
+        pending.clear()
+      }
     // NEGATE an equality delete over below-sequence adds, net of rows
     // already retracted by OTHER eqdels whose (add, delete) pair was
     // negated earlier (`priorDels`) — two OVERLAPPING equality deletes
@@ -2237,7 +2258,7 @@ object StreamQueries {
               .select(pk.map(col): _*).distinct()),
             pk, "left_anti")
         }
-        fileAgg(netted, -1).write.mode("append").parquet(partialDir)
+        pending += fileAgg(netted, -1)
         ()
       }
     // a delete's full below-sequence sweep: one negation per add-version
@@ -2250,17 +2271,18 @@ object StreamQueries {
             seenEqs.toSeq.filter(_._2 > av).map(_._1).distinct.sorted)
         }
     def applyCommit(commit: DataFrame): Unit = {
-      val v = commit.select($"_commit_version")
-        .distinct().as[Int].collect()
-      require(v.length == 1, s"one commit per trigger expected: ${v.toSeq}")
-      val version = v.head
-      val addFiles = commit
-        .filter(col("action") === "add")
-        .select("file").as[String].collect().toSeq.sorted
+      // ONE collect per trigger (the commit is manifest-sized) — the
+      // r15 shape probed the micro-batch once per action kind, four
+      // driver-sequential jobs before any fold work started
+      val acts = commit.select($"file", $"action", $"_commit_version")
+        .as[(String, String, Int)].collect()
+      val vs = acts.map(_._3).distinct
+      require(vs.length == 1, s"one commit per trigger expected: ${vs.toSeq}")
+      val version = vs.head
+      val addFiles = acts.filter(_._2 == "add").map(_._1).toSeq.sorted
       if (addFiles.nonEmpty) {
-        fileAgg(s.read.parquet(addFiles: _*)
-            .withColumn("file", col("_metadata.file_path")), 1)
-          .write.mode("append").parquet(partialDir)
+        pending += fileAgg(s.read.parquet(addFiles: _*)
+          .withColumn("file", col("_metadata.file_path")), 1)
         // deletes already seen that sequence ABOVE this add mask it —
         // each netted of the sweep's earlier deletes (overlap once)
         val applicable = seenEqs.toSeq.filter(_._2 > version)
@@ -2271,16 +2293,16 @@ object StreamQueries {
         seenAdds ++= addFiles.map(f => (f, version))
         ()
       }
-      commit.filter(col("action") === "eqdel")
-        .select($"file").as[String].collect().toSeq.sorted
+      acts.filter(_._2 == "eqdel").map(_._1).toSeq.sorted
         .foreach { delFile =>
           negateBelow(delFile, version)
           seenEqs += ((delFile, version))
         }
-      commit.filter(col("action") === "remove")
-        .select(regexp_replace(col("file"), "^file:/+", "/").as("file"))
-        .write.mode("append").parquet(tombDir)
-      ()
+      val removes = acts.filter(_._2 == "remove")
+        .map(_._1.replaceFirst("^file:/+", "/")).toSeq.sorted
+      if (removes.nonEmpty)
+        removes.toDF("file").write.mode("append").parquet(tombDir)
+      flush()
     }
     // BOOTSTRAP (st25): seed state, partials, and the pending delete's
     // retraction from the e28 checkpoint — ONE manifest read; the
@@ -2294,19 +2316,24 @@ object StreamQueries {
         val cp = s.read.parquet(new java.io.File(
           new java.io.File(root, "checkpoints"),
           f"cp_v$cpV%05d.parquet").getAbsolutePath)
-        val cpAdds = L.occVisible(cp)
-          .select($"file", $"version").as[(String, Int)].collect().toSeq.sorted
+        // ONE manifest collect seeds adds, pending deletes, and the
+        // bootstrap retraction; ONE write lands every seeded partial
+        val cpActs = cp.select($"file", $"action", $"version")
+          .as[(String, String, Int)].collect()
+        val cpRemoved = cpActs.filter(_._2 == "remove").map(_._1).toSet
+        val cpAdds = cpActs.filter(_._2 == "add")
+          .filter(a => !cpRemoved.contains(a._1))
+          .map(a => (a._1, a._3)).toSeq.sorted
         if (cpAdds.nonEmpty)
-          fileAgg(s.read.parquet(cpAdds.map(_._1): _*)
-              .withColumn("file", col("_metadata.file_path")), 1)
-            .write.mode("append").parquet(partialDir)
+          pending += fileAgg(s.read.parquet(cpAdds.map(_._1): _*)
+            .withColumn("file", col("_metadata.file_path")), 1)
         seenAdds ++= cpAdds
-        cp.filter($"action" === "eqdel")
-          .select($"file", $"version").as[(String, Int)].collect().toSeq
+        cpActs.filter(_._2 == "eqdel").map(a => (a._1, a._3)).toSeq
           .sortBy(_._2).foreach { case (delFile, delV) =>
             negateBelow(delFile, delV)
             seenEqs += ((delFile, delV))
           }
+        flush()
         allVs.filter(_ > cpV)
       }
     val glob = streamVs.map(v => f"v$v%05d.parquet").mkString("{", ",", "}")
