@@ -188,6 +188,23 @@ object Bench {
     // suspiciously fast entry silently flattering the total (VERDICT r7
     // "what's wrong" #2: 15 analysis-failed queries recorded ~0.05s each
     // and the 64.7s headline was not comparable round-over-round).
+    // Per-query JOB counts (VERDICT r15 #7): the dispatch-bound loop
+    // family's walls drift with the box's serial-path speed, and the
+    // artifact already carries dispatch_ms_per_job — recording each
+    // query's job count lets a reviewer normalize
+    //   wall − n_jobs × dispatch_ms
+    // mechanically instead of re-probing by hand. Counted by listener
+    // (async bus, so ±1 at query boundaries — calibration data, not a
+    // correctness signal).
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          jobCounter.incrementAndGet(); ()
+        }
+      })
+
     def once(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
       val out =
@@ -202,6 +219,7 @@ object Bench {
       out
     }
 
+    val jobCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => filter.forall(_.contains(n))).map { name =>
       // Median-of-3 for sub-5s queries (VERDICT r6 #3): this box's
@@ -210,6 +228,8 @@ object Bench {
       // are bounded to cheap queries so total wall-clock stays sane; a
       // >=5s query's signal already dominates the noise floor. A failed
       // first run is terminal — no point re-running a broken plan.
+      val jobs0 = jobCounter.get()
+      var runsDone = 1
       val dt = once(name) match {
         case Left(err) => Left(err)
         case Right(first) if first >= 5.0 => Right(first)
@@ -217,8 +237,12 @@ object Bench {
           // re-runs of a query that just succeeded; treat a rare repeat
           // failure as that repeat's time being unusable, keep the firsts
           val reps = Seq(once(name), once(name)).collect { case Right(t) => t }
+          runsDone = 3
           Right(((first +: reps).sorted).apply(reps.size / 2))
       }
+      // jobs of the whole measurement block, normalized per run (the
+      // repeats re-run the same plan, so per-run ≈ block / runs)
+      jobCounts(name) = (jobCounter.get() - jobs0) / runsDone
       name -> dt
     }
     def jsonStr(s: String): String =
@@ -260,9 +284,13 @@ object Bench {
         (if (loadExceeded) ""","load_exceeded":true""" else "") +
         stealField
     val stagedCold = fixtureFileCount != preFixtures
+    val jobsField =
+      if (jobCounts.isEmpty) ""
+      else s""","jobs":{${jobCounts.map { case (k, v) =>
+        "\"" + k + "\":" + v }.mkString(",")}}"""
     val contextField =
       s""","warmup_sec":$warmupSec,"staged_cold":$stagedCold""" +
-        s""","dispatch_ms_per_job":$dispatchMs""" +
+        s""","dispatch_ms_per_job":$dispatchMs""" + jobsField +
         (if (filter.isDefined) ""","filtered":true""" else "")
     // Per-family subtotals (VERDICT r12 #3): the family prefix is the
     // query name up to its first digit (q, d, s, st, t, m, p, e, g, k,
