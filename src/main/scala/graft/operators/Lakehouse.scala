@@ -462,6 +462,18 @@ object Lakehouse {
         .filter(_.getName.endsWith(".parquet")).head
       val mine =
         (rows.map(_._1) ++ removes ++ dvs.map(_._1) ++ eqDeletes).toSet
+      // version floor from the checkpoint pointer (round-16 self-review):
+      // a vacuum whose checkpoint sits at the log HEAD empties the
+      // commits dir entirely — a writer deriving `next` from the dir
+      // alone would claim v0, making the truncated log look COMPLETE
+      // and silently shadowing the snapshot for every reader
+      val cpFloor = {
+        val ptr = new java.io.File(root, "_last_checkpoint")
+        if (ptr.isFile)
+          new String(java.nio.file.Files.readAllBytes(ptr.toPath))
+            .trim.toInt + 1
+        else 0
+      }
       val checked = scala.collection.mutable.Set.empty[Int]
       var attempt = 0
       while (attempt < maxAttempts) {
@@ -481,7 +493,7 @@ object Lakehouse {
                 } — concurrent writers touched the same file")
             checked += v
           }
-        val next = seen.lastOption.getOrElse(-1) + 1
+        val next = math.max(seen.lastOption.getOrElse(-1) + 1, cpFloor)
         onAttempt(attempt)
         try {
           java.nio.file.Files.createLink(
@@ -999,7 +1011,12 @@ object Lakehouse {
     val adds = log.filter($"action" === "add")
       .select($"file", $"version").as[(String, Int)].collect()
       .filter { case (f, _) => !removed.contains(f) }.toSeq.sorted
-    val snapshot = occVersions(new java.io.File(root, "commits")).last
+    // lastOption: a vacuum whose checkpoint sat at the head leaves the
+    // commits dir empty — the conversion's conflict watermark is then
+    // the snapshot frame's own high version (occCommit's cpFloor keeps
+    // the claimed version above the checkpoint either way)
+    val snapshot = occVersions(new java.io.File(root, "commits")).lastOption
+      .getOrElse(log.agg(max(col("version"))).head().getInt(0))
     live.zipWithIndex.foreach { case ((delFile, delV), i) =>
       val below = adds.filter(_._2 < delV).map(_._1).sorted
       require(below.nonEmpty,
@@ -1027,8 +1044,8 @@ object Lakehouse {
           part == f || part.startsWith(f + "/")).getOrElse(part))
         .distinct.sorted
       occCommit(s, root, Nil,
-        snapshotVersion = occVersions(new java.io.File(root, "commits")).last
-          .max(snapshot),
+        snapshotVersion = occVersions(new java.io.File(root, "commits"))
+          .lastOption.getOrElse(snapshot).max(snapshot),
         removes = Seq(delFile), dataChange = false,
         dvs = masked.map(f => (f, sidecar.getAbsolutePath)))
       ()
@@ -1237,21 +1254,27 @@ object Lakehouse {
     val cpDir = new java.io.File(root, "checkpoints")
     cpDir.mkdirs()
     val vs = occVersions(commitsDir)
-    val srcs = vs.filter(_ <= upTo)
-      .map(v => occCommitFile(commitsDir, v).getAbsolutePath)
     // a truncated log (prefix vacuumed) folds the previous snapshot in
     // — it is the only replica of the truncated history
-    val prevCp: Option[java.io.File] = {
+    val prevCp: Option[(java.io.File, Int)] = {
       val ptr = new java.io.File(root, "_last_checkpoint")
       if (vs.nonEmpty && vs.min == 0) None
       else if (!ptr.isFile) None
       else {
         val pv = new String(java.nio.file.Files.readAllBytes(
           ptr.toPath)).trim.toInt
-        Some(new java.io.File(cpDir, f"cp_v$pv%05d.parquet"))
-          .filter(_.isFile).filter(_ => pv <= upTo)
+        Some((new java.io.File(cpDir, f"cp_v$pv%05d.parquet"), pv))
+          .filter(_._1.isFile).filter(_ => pv <= upTo)
       }
     }
+    // fresh commits start ABOVE the folded snapshot: a retention vacuum
+    // (e34) can leave the floor BELOW the pointer, so commits in
+    // (floor, prevCpV] are still on disk AND inside the snapshot —
+    // reading them twice would duplicate their add rows (round-16
+    // self-review; the pre-e34 floor always equalled the pointer, so
+    // the overlap was empty)
+    val srcs = vs.filter(v => v <= upTo && prevCp.forall(v > _._2))
+      .map(v => occCommitFile(commitsDir, v).getAbsolutePath)
     require(srcs.nonEmpty || prevCp.nonEmpty,
       s"no commits at or below v$upTo to checkpoint")
     val tmp = java.nio.file.Files
@@ -1264,7 +1287,7 @@ object Lakehouse {
         else Some(s.read.parquet(srcs: _*)
           .withColumn("version", regexp_extract(input_file_name(),
             "v(\\d{5})\\.parquet", 1).cast("int")))
-      val base = prevCp.map(f => s.read.parquet(f.getAbsolutePath)
+      val base = prevCp.map(f => s.read.parquet(f._1.getAbsolutePath)
         .select(actionCols :+ col("version"): _*))
       val all = (base.toSeq ++ fresh.toSeq).reduce(_ unionByName _)
       val net = occVisible(all)
@@ -1452,7 +1475,7 @@ object Lakehouse {
     val cutoff = now - retainMillis
     val floors = occCheckpointVersions(root).filter(_ <= cpV)
       .filter(t => vs.filter(_ <= t).forall(v =>
-        occCommitFile(commitsDir, v).lastModified < cutoff))
+        occCommitFile(commitsDir, v).lastModified <= cutoff))
     if (floors.isEmpty) return (Nil, Nil)
     val floor = floors.max
     val prefix = vs.filter(_ <= floor)

@@ -258,4 +258,60 @@ class OccVacuumSpec extends SparkTestBase {
       retainMillis = 365L * 24 * hour, now = now) == ((Nil, Nil)),
       "an all-covering retention window truncated something")
   }
+
+  test("round-16 self-review: a writer on a fully-truncated log claims above the checkpoint, never v0") {
+    // checkpoint at the HEAD, then vacuum: the commits dir is EMPTY and
+    // the snapshot is the only replica — a writer deriving its version
+    // from the dir alone would claim v0, making the log look complete
+    // and silently shadowing the snapshot for every reader
+    val root = freshRoot()
+    val a = stage(root, "a", Seq(1, 2))
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+    Lakehouse.occCheckpoint(spark, root, upTo = 0)
+    val (truncated, _) = Lakehouse.occVacuum(spark, root)
+    assert(truncated == Seq(0))
+    assert(Lakehouse.occVersions(new java.io.File(root, "commits")).isEmpty,
+      "head-checkpointed vacuum should empty the commits dir")
+    val b = stage(root, "b", Seq(3))
+    val res = Lakehouse.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 0)
+    assert(res.version == 1,
+      s"writer claimed v${res.version} on a truncated log — v0 would " +
+        "shadow the snapshot")
+    assert(bootKs(root) == Seq(1, 2, 3))
+  }
+
+  test("round-16 self-review: re-checkpointing a retention-vacuumed log does not double-count commits under the pointer") {
+    import spark.implicits._
+    // floor BELOW the pointer: cp_0 and cp_1 exist, only v0 is aged —
+    // the retention vacuum truncates v0 alone, ptr stays at 1, and v1
+    // remains BOTH on disk and inside cp_1. A re-checkpoint that folds
+    // cp_1 in and re-reads v1 raw would duplicate v1's add rows.
+    val root = freshRoot()
+    val commitsDir = new java.io.File(root, "commits")
+    val a = stage(root, "a", Seq(1, 2))
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+    Lakehouse.occCheckpoint(spark, root, upTo = 0)
+    val b = stage(root, "b", Seq(3))
+    Lakehouse.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 0)
+    Lakehouse.occCheckpoint(spark, root, upTo = 1)
+    val now = System.currentTimeMillis()
+    val hour = 3600L * 1000
+    assert(Lakehouse.occCommitFile(commitsDir, 0)
+      .setLastModified(now - 48 * hour))
+    val (truncated, _) =
+      Lakehouse.occVacuum(spark, root, retainMillis = 24 * hour, now = now)
+    assert(truncated == Seq(0), s"floor drifted: $truncated")
+    val c = stage(root, "c", Seq(4))
+    Lakehouse.occCommit(spark, root, Seq(fr(c)), snapshotVersion = 1)
+    Lakehouse.occCheckpoint(spark, root, upTo = 2)
+    // one add row per file in the fresh snapshot, and the answer exact
+    val cp = spark.read.parquet(new java.io.File(
+      new java.io.File(root, "checkpoints"), "cp_v00002.parquet")
+      .getAbsolutePath)
+    val dup = cp.filter($"action" === "add")
+      .groupBy($"file").count().filter($"count" > 1).count()
+    assert(dup == 0, "re-checkpoint duplicated add rows under the pointer")
+    assert(bootKs(root) == Seq(1, 2, 3, 4),
+      "re-checkpoint after a retention vacuum lost or duplicated rows")
+  }
 }
