@@ -200,7 +200,7 @@ object Lakehouse {
       .filter(pred)
       .select(col("file"), col("pos"))
 
-  private def uriToLocal(p: String): String =
+  private[graft] def uriToLocal(p: String): String =
     if (p.startsWith("file:")) p.stripPrefix("file://").stripPrefix("file:")
     else p
 
@@ -1498,6 +1498,95 @@ object Lakehouse {
         new java.io.File(root, "checkpoints"),
         f"cp_v$v%05d.parquet").toPath))
     (prefix, retired)
+  }
+
+  /** RESTORE the table to the state AS OF version `v` (e36 — Delta's
+    * `RESTORE TABLE … VERSION AS OF` / Iceberg's rollback_to_snapshot):
+    * ONE commit that re-adds the files visible at `v` but not now
+    * (original manifest stats, straight from the AS-OF frame) and
+    * removes the files visible now but not at `v`. The re-added bytes
+    * still exist — retired files outlive their remove until a vacuum,
+    * and the vacuum's retention floor bounds how far back a restore
+    * can reach exactly as it bounds AS OF ([[occAsOf]] refuses expired
+    * versions loudly, so a restore below the floor refuses the same
+    * way).
+    *
+    * Path mechanics, stated honestly: this log's visibility algebra is
+    * TOMBSTONE-SET based ([[occVisible]] — a remove kills its path
+    * forever), where Delta replays actions in order and Iceberg swaps
+    * manifest snapshots, so re-using the removed PATH would leave the
+    * file permanently shadowed. The restore therefore re-adds each
+    * resurrected file under a fresh path in root/restored/ as a HARD
+    * LINK to the surviving bytes — a metadata-speed directory entry,
+    * no row bytes move (cross-device staging falls back to a copy;
+    * production tables share one filesystem with their data). Cost ∝
+    * restored files, never rows.
+    *
+    * The commit is `dataChange = true`: a CDC consumer sees the
+    * rollback as inserts of the resurrected rows and deletes of the
+    * rolled-back ones (Delta RESTORE's CDF contract). History is
+    * intact — AS OF the rolled-back version still answers it.
+    * File-granularity only: a log carrying LIVE row-level deletes
+    * refuses loudly (restoring through a dv/eqdel would need the mask
+    * state at `v`; the honest refusal beats a silent mis-restore —
+    * retired delete files are fine). Restoring to the current state
+    * is a no-op (None), so the pass is idempotent. */
+  private[graft] def occRestore(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      v: Int): Option[OccResult] = {
+    import s.implicits._
+    val frame = occPlanningFrame(s, root)
+    require(frame.filter(col("action") === "dv").limit(1).count() == 0 &&
+      frame.filter(col("action") === "eqdel")
+        .join(frame.filter(col("action") === "remove").select("file"),
+          Seq("file"), "left_anti")
+        .limit(1).count() == 0,
+      "log carries live row-level deletes — file-granularity RESTORE " +
+        "would mis-scope them; compact the masks first")
+    def manifest(df: org.apache.spark.sql.DataFrame)
+        : Map[String, (Long, Long, Long, Long, Long)] =
+      df.select($"file", $"rows", $"pmin", $"pmax", $"smin", $"smax")
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val target = manifest(occAsOf(s, root, v))
+    val current = manifest(occVisible(frame))
+    val resurrect = (target.keySet -- current.keySet).toSeq.sorted
+    val removeNow = (current.keySet -- target.keySet).toSeq.sorted
+    if (resurrect.isEmpty && removeNow.isEmpty) return None
+    val head = occVersions(new java.io.File(root, "commits"))
+      .lastOption.getOrElse(v)
+    // fresh paths for the resurrected files: hard-link every part (a
+    // manifest entry may be a flat file or a directory-shaped one)
+    def relink(src: java.io.File, dest: java.io.File): Unit = {
+      dest.getParentFile.mkdirs()
+      deleteRecursively(dest.toPath) // a crashed prior attempt's leftovers
+      if (src.isDirectory) {
+        dest.mkdirs()
+        src.listFiles().foreach(f =>
+          relink(f, new java.io.File(dest, f.getName)))
+      } else
+        try java.nio.file.Files.createLink(dest.toPath, src.toPath)
+        catch {
+          case _: java.nio.file.FileSystemException =>
+            java.nio.file.Files.copy(src.toPath, dest.toPath); ()
+        }
+    }
+    val addBack = resurrect.zipWithIndex.map { case (f, i) =>
+      val src = new java.io.File(uriToLocal(f))
+      val dest = new java.io.File(new java.io.File(root, "restored"),
+        s"v${head + 1}_${i}_${src.getName}")
+      relink(src, dest)
+      val t = target(f)
+      (dest.getAbsolutePath, t._1, t._2, t._3, t._4, t._5)
+    }
+    try Some(occCommit(s, root, addBack, snapshotVersion = head,
+      removes = removeNow))
+    catch {
+      case t: Throwable =>
+        addBack.foreach(r =>
+          deleteRecursively(new java.io.File(r._1).toPath))
+        throw t
+    }
   }
 
   /** Versions with a retained snapshot file under checkpoints/ — the

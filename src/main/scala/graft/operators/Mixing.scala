@@ -2670,7 +2670,67 @@ object Mixing {
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         FROM lineitem WHERE l_orderkey % 5 = 0
-        GROUP BY l_returnflag ORDER BY change_type, l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY change_type, l_returnflag""")),
+
+    // ---------------------------------------------------------------- e36
+    // RESTORE VERSION AS OF (Delta's RESTORE TABLE / Iceberg's
+    // rollback_to_snapshot — the ops lifecycle piece the plane lacked:
+    // e22 reads an old version, e36 makes it CURRENT again): one
+    // metadata commit re-adds the files visible at the target version
+    // (original manifest stats, straight from the AS-OF frame) and
+    // removes the files visible now but not then; no data byte moves,
+    // because retired bytes outlive their remove until a vacuum — and
+    // the vacuum's retention floor bounds a restore exactly as it
+    // bounds AS OF. The staged scenario is the rollback a production
+    // table actually runs: the delta ingest (v1) gets REMOVED at v2 (a
+    // bad-merge revert), ops realize the revert itself was wrong and
+    // RESTORE to v1 — the commit must re-add every delta file and
+    // nothing else. Whole-table oracle: one lost or doubled file is a
+    // hash failure. Built on a per-run temp log (commits reference the
+    // shared zinc bytes; a restore COMMITS, so a shared fixture root
+    // would grow per run). Guards pinned in OccRestoreSpec: CDC sees
+    // the rollback as inserts+deletes (dataChange=true), AS OF below
+    // the vacuum floor refuses, live row-level deletes refuse,
+    // restoring to the current state is a no-op.
+    QuerySpec(
+      "e36_restore_version",
+      (s, dir) => {
+        import s.implicits._
+        val zroot = new java.io.File(zincManifestRoot(s, dir))
+        val root = java.nio.file.Files
+          .createTempDirectory("occrestore_").toFile
+        root.deleteOnExit()
+        occCommit(s, root,
+          footerBoxRows(new java.io.File(zroot, "standing")),
+          snapshotVersion = -1)
+        val deltaRows = footerBoxRows(new java.io.File(zroot, "delta"))
+        occCommit(s, root, deltaRows, snapshotVersion = 0)
+        occCommit(s, root, Nil, snapshotVersion = 1,
+          removes = deltaRows.map(_._1))
+        val res = occRestore(s, root, 1)
+        require(res.isDefined && res.get.version == 3,
+          s"restore should land as v3: $res")
+        // the restore re-added exactly the delta files (fresh restored/
+        // paths hard-linked to the surviving bytes)
+        val (ins, del) = occChangedFiles(s, root, 2, 3)
+        require(del.isEmpty && ins.size == deltaRows.size &&
+          ins.forall(_.contains("restored")),
+          s"restore commit wrong: +${ins.size} -${del.size}")
+        // idempotent: restoring to the now-current state is a no-op
+        require(occRestore(s, root, 3).isEmpty,
+          "restore to the current state should be a no-op")
+        // history intact: AS OF the revert still shows the standing slice
+        require(occAsOf(s, root, 2).count() ==
+          occAsOf(s, root, 0).count(),
+          "AS OF the reverted version changed after the restore")
+        occScanVisible(s, root).transform(flagAgg)
+      },
+      Some("""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
   /** e27/e28's shared oracle — the sequence rule stated relationally
