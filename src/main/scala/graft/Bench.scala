@@ -197,13 +197,13 @@ object Bench {
     // (async bus, so ±1 at query boundaries — calibration data, not a
     // correctness signal).
     val jobCounter = new java.util.concurrent.atomic.AtomicLong()
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onJobEnd(
-            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          jobCounter.incrementAndGet(); ()
-        }
-      })
+    val jobListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        jobCounter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(jobListener)
 
     def once(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
@@ -245,6 +245,9 @@ object Bench {
       jobCounts(name) = (jobCounter.get() - jobs0) / runsDone
       name -> dt
     }
+    // Deregister so a second run() in the same JVM (or stray concurrent
+    // Spark work) can't inflate a later invocation's deltas (ADVICE r16).
+    spark.sparkContext.removeSparkListener(jobListener)
     def jsonStr(s: String): String =
       "\"" + s.flatMap {
         case '"'  => "\\\""
@@ -288,10 +291,18 @@ object Bench {
       if (jobCounts.isEmpty) ""
       else s""","jobs":{${jobCounts.map { case (k, v) =>
         "\"" + k + "\":" + v }.mkString(",")}}"""
-    val contextField =
+    // The short tail line must stay parseable inside the driver's
+    // 2000-char tail window — so the (roster-sized, ~16KB at 257
+    // queries) jobs map goes ONLY into the full record. Riding it into
+    // the short line via the shared context string is exactly what made
+    // BENCH_r16.json parsed:null (VERDICT r16 "what's wrong" #1, the
+    // third recurrence of this class after r9/r10) — hence the split
+    // field + the hard length pin on shortJson below.
+    val shortContextField =
       s""","warmup_sec":$warmupSec,"staged_cold":$stagedCold""" +
-        s""","dispatch_ms_per_job":$dispatchMs""" + jobsField +
+        s""","dispatch_ms_per_job":$dispatchMs""" +
         (if (filter.isDefined) ""","filtered":true""" else "")
+    val contextField = shortContextField + jobsField
     // Per-family subtotals (VERDICT r12 #3): the family prefix is the
     // query name up to its first digit (q, d, s, st, t, m, p, e, g, k,
     // x) — lets a reviewer see WHERE a total moved without diffing 200
@@ -317,10 +328,38 @@ object Bench {
     // stays well inside that tail (~300 chars with the r13 context
     // fields), so the tail always contains a parseable total; the full
     // map lives above and in the committed bench file.
-    val shortJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errNames.size},"sf":"$sfDir"$contextField$loadField}"""
+    val shortJson = shortLine(
+      total, results.size, errNames.size, sfDir, shortContextField, loadField)
     println(shortJson)
     System.err.println(shortJson)
     spark.stop()
+  }
+
+  /** The final SHORT self-describing line (VERDICT r9 hygiene): the
+    * driver keeps only the output's 2000-char tail, which decapitates
+    * the full per-query map once the roster is big enough. This line
+    * must stay well inside that tail so it always contains a parseable
+    * total; the full map lives above and in the committed bench file.
+    *
+    * Hard pin: if the short line ever grows past the driver's tail
+    * window again — a roster-sized field leaking in, as the r16 jobs
+    * map did via the shared context string (BENCH_r16.json parsed:null,
+    * the third recurrence after r9/r10) — fail the bench loudly instead
+    * of silently shipping an unparseable artifact. BenchShortLineSpec
+    * pins both directions.
+    */
+  private[graft] def shortLine(
+      total: Double,
+      nQueries: Int,
+      nErrors: Int,
+      sfDir: String,
+      shortContext: String,
+      loadField: String): String = {
+    val s =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nQueries,"n_errors":$nErrors,"sf":"$sfDir"$shortContext$loadField}"""
+    require(s.length < 400,
+      s"shortJson regressed to ${s.length} chars (limit 400) — " +
+        "a roster-sized field leaked into the short tail line")
+    s
   }
 }

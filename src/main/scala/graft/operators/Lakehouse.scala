@@ -1255,18 +1255,28 @@ object Lakehouse {
     cpDir.mkdirs()
     val vs = occVersions(commitsDir)
     // a truncated log (prefix vacuumed) folds the previous snapshot in
-    // — it is the only replica of the truncated history
-    val prevCp: Option[(java.io.File, Int)] = {
-      val ptr = new java.io.File(root, "_last_checkpoint")
+    // — it is the only replica of the truncated history. Resolved like
+    // [[occAsOf]]: the newest RETAINED checkpoint ≤ upTo whose tail to
+    // upTo is contiguous on disk, NOT the `_last_checkpoint` pointer
+    // (ADVICE r16 medium: after an e34 retention vacuum the floor sits
+    // BELOW the pointer, and an upTo between them made the pointer-based
+    // lookup yield no base while the retained commits still produced
+    // srcs — silently checkpointing away all pre-floor history). If the
+    // log is truncated and no retained checkpoint ≤ upTo exists, refuse
+    // loudly — a backwards checkpoint must never lose history.
+    val prevCp: Option[(java.io.File, Int)] =
       if (vs.nonEmpty && vs.min == 0) None
-      else if (!ptr.isFile) None
       else {
-        val pv = new String(java.nio.file.Files.readAllBytes(
-          ptr.toPath)).trim.toInt
+        val usable = occCheckpointVersions(root)
+          .filter(c => c <= upTo && c + 1 >= vs.headOption.getOrElse(c + 1))
+        require(usable.nonEmpty,
+          s"cannot checkpoint at v$upTo: log starts at " +
+            s"v${vs.headOption.getOrElse(-1)} with no retained checkpoint " +
+            s"at or below v$upTo to fold — the truncated history would " +
+            "be lost")
+        val pv = usable.max
         Some((new java.io.File(cpDir, f"cp_v$pv%05d.parquet"), pv))
-          .filter(_._1.isFile).filter(_ => pv <= upTo)
       }
-    }
     // fresh commits start ABOVE the folded snapshot: a retention vacuum
     // (e34) can leave the floor BELOW the pointer, so commits in
     // (floor, prevCpV] are still on disk AND inside the snapshot —
@@ -1328,12 +1338,22 @@ object Lakehouse {
       java.nio.file.Files.move(part.toPath, target.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       // pointer swap: POSIX rename replaces atomically — a reader sees
-      // the old pointer or the new one, never a torn write
-      val ptmp = new java.io.File(root, "_last_checkpoint.tmp")
-      java.nio.file.Files.write(ptmp.toPath, upTo.toString.getBytes)
-      java.nio.file.Files.move(ptmp.toPath,
-        new java.io.File(root, "_last_checkpoint").toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // the old pointer or the new one, never a torn write. The pointer
+      // only moves FORWARD (ADVICE r16 medium, second half): a
+      // checkpoint written at an older version — legal, it serves
+      // occAsOf floors — must not regress the bootstrap entry point to
+      // a snapshot with a longer replay tail.
+      val ptrFile = new java.io.File(root, "_last_checkpoint")
+      val curPtr =
+        if (!ptrFile.isFile) -1
+        else new String(java.nio.file.Files.readAllBytes(
+          ptrFile.toPath)).trim.toInt
+      if (upTo >= curPtr) {
+        val ptmp = new java.io.File(root, "_last_checkpoint.tmp")
+        java.nio.file.Files.write(ptmp.toPath, upTo.toString.getBytes)
+        java.nio.file.Files.move(ptmp.toPath, ptrFile.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
       ()
     } finally deleteRecursively(tmp.toPath)
   }
@@ -1349,21 +1369,33 @@ object Lakehouse {
   private[graft] def occBootstrap(
       s: org.apache.spark.sql.SparkSession, root: java.io.File)
       : (org.apache.spark.sql.DataFrame, Seq[Int]) = {
-    val commitsDir = new java.io.File(root, "commits")
     val cpV = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(root, "_last_checkpoint").toPath)).trim.toInt
+    val tail = occVersions(new java.io.File(root, "commits")).filter(_ > cpV)
+    (occFrameFromCheckpoint(s, root, cpV), tail)
+  }
+
+  /** The versioned frame `snapshot(cpX) + retained commits > cpX` — the
+    * [[occBootstrap]] core generalized to ANY retained checkpoint, not
+    * just the `_last_checkpoint` pointer. [[occChangeFeed]] resolves
+    * through the oldest usable base so a CDF window starting in
+    * [retention floor, pointer) stays replayable after an e34 vacuum
+    * (ADVICE r16: the retained in-window commits exist on disk
+    * precisely for this). */
+  private[graft] def occFrameFromCheckpoint(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      cpX: Int): org.apache.spark.sql.DataFrame = {
+    val commitsDir = new java.io.File(root, "commits")
     val cp = new java.io.File(new java.io.File(root, "checkpoints"),
-      f"cp_v$cpV%05d.parquet")
-    val tail = occVersions(commitsDir).filter(_ > cpV)
+      f"cp_v$cpX%05d.parquet")
+    val tail = occVersions(commitsDir).filter(_ > cpX)
     val snap = s.read.parquet(cp.getAbsolutePath)
-    val frame =
-      if (tail.isEmpty) snap
-      else snap.unionByName(
-        s.read.parquet(
-            tail.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
-          .withColumn("version", regexp_extract(input_file_name(),
-            "v(\\d{5})\\.parquet", 1).cast("int")))
-    (frame, tail)
+    if (tail.isEmpty) snap
+    else snap.unionByName(
+      s.read.parquet(
+          tail.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
+        .withColumn("version", regexp_extract(input_file_name(),
+          "v(\\d{5})\\.parquet", 1).cast("int")))
   }
 
   /** The VERSIONED planning frame every batch entry point reads (e33 —
@@ -1473,7 +1505,14 @@ object Lakehouse {
     // default retainMillis = 0 every past commit is expirable and T is
     // the checkpoint pointer — the pre-e34 behavior.
     val cutoff = now - retainMillis
+    // e39 ref clamp: a version a TAG or BRANCH BASE still references
+    // must stay answerable (AS OF r needs floor ≤ r), so the floor is
+    // capped at the oldest ref regardless of age — Iceberg's
+    // expire_snapshots never expires a snapshot a ref points at.
+    // Dropping the ref makes its versions expirable again.
+    val refs = occRefVersions(root)
     val floors = occCheckpointVersions(root).filter(_ <= cpV)
+      .filter(t => refs.forall(_ >= t))
       .filter(t => vs.filter(_ <= t).forall(v =>
         occCommitFile(commitsDir, v).lastModified <= cutoff))
     if (floors.isEmpty) return (Nil, Nil)
@@ -1536,13 +1575,48 @@ object Lakehouse {
       v: Int): Option[OccResult] = {
     import s.implicits._
     val frame = occPlanningFrame(s, root)
-    require(frame.filter(col("action") === "dv").limit(1).count() == 0 &&
-      frame.filter(col("action") === "eqdel")
-        .join(frame.filter(col("action") === "remove").select("file"),
-          Seq("file"), "left_anti")
-        .limit(1).count() == 0,
-      "log carries live row-level deletes — file-granularity RESTORE " +
-        "would mis-scope them; compact the masks first")
+    // Row-level-delete guard, scoped to what file-granularity restore
+    // can actually mis-state (ADVICE r16 low asked for liveness-now —
+    // a dv'd-then-rewritten file must not block forever; the round-17
+    // self-review tightened it further, because liveness-now alone has
+    // its own wrong-answer path: a mask retired NOW could still have
+    // been live AT the target version, and restoring there would
+    // resurrect rows the target state masked). Restore refuses when:
+    //  (a) a mask was APPLICABLE AT the target v — a dv ≤ v on a file
+    //      visible at v, or an eqdel ≤ v unretired at v with a visible
+    //      below-sequence add: a RESURRECTED file comes back unmasked
+    //      (the AS-OF manifest is file-level), dropping that mask;
+    //  (b) a mask touches a file the restore KEEPS (dv on a kept file,
+    //      or a live eqdel sequencing above a kept add): the kept
+    //      file's masks ride through the restore unexamined.
+    // (b) is deliberately conservative — a kept file whose mask set is
+    // provably identical at v and now would be safe, but proving that
+    // per mask buys little when occRestoreThroughDeletes compacts the
+    // masks away anyway. Masks fully retired at BOTH ends, and masks
+    // only on files the restore removes wholesale, are inert and pass
+    // (the ADVICE case: dv'd-then-rewritten, restore to pre-dv).
+    val actRows = frame.select(col("file"), col("action"), col("version"))
+      .as[(String, String, Int)].collect().toSeq
+    def visibleAt(w: Int): Set[String] =
+      actRows.filter(x => x._2 == "add" && x._3 <= w).map(_._1).toSet --
+        actRows.filter(x => x._2 == "remove" && x._3 <= w).map(_._1)
+    val visV = visibleAt(v)
+    val visNow = visibleAt(Int.MaxValue)
+    val kept = visV.intersect(visNow)
+    val addVer = actRows.filter(_._2 == "add").map(x => x._1 -> x._3).toMap
+    def removedBy(f: String, w: Int): Boolean =
+      actRows.exists(x => x._2 == "remove" && x._1 == f && x._3 <= w)
+    val dvBlocks = actRows.exists(x => x._2 == "dv" &&
+      ((x._3 <= v && visV.contains(x._1)) || kept.contains(x._1)))
+    val eqBlocks = actRows.exists(x => x._2 == "eqdel" && (
+      (x._3 <= v && !removedBy(x._1, v) &&
+        visV.exists(f => addVer.get(f).exists(_ < x._3))) ||
+        (!removedBy(x._1, Int.MaxValue) &&
+          kept.exists(f => addVer.get(f).exists(_ < x._3)))))
+    require(!dvBlocks && !eqBlocks,
+      "log carries row-level deletes live at the target version or on " +
+        "kept files — file-granularity RESTORE would mis-scope them; " +
+        "compact the masks first")
     def manifest(df: org.apache.spark.sql.DataFrame)
         : Map[String, (Long, Long, Long, Long, Long)] =
       df.select($"file", $"rows", $"pmin", $"pmax", $"smin", $"smax")
@@ -1589,6 +1663,259 @@ object Lakehouse {
     }
   }
 
+  // -------------------------------------------------------------- e39
+  // NAMED REFS on the OCC log (Iceberg refs / Delta's nascent branch
+  // story): TAGS pin a version under a name; BRANCHES fork the table at
+  // a base version into their own commit namespace; PUBLISH
+  // (write-audit-publish's third step) lands the branch's net change on
+  // main as ONE atomic commit. Refs also clamp the vacuum floor — a
+  // version a tag or branch base still references cannot expire.
+
+  private[graft] def occRefsDir(root: java.io.File): java.io.File =
+    new java.io.File(root, "refs")
+
+  /** Create an immutable TAG naming `v` (Iceberg's tag): one small ref
+    * file, claimed put-if-absent — two writers racing the same tag name
+    * is a detected conflict, and a tag can never be silently moved. */
+  private[graft] def occTag(
+      root: java.io.File, name: String, v: Int): Unit = {
+    val dir = occRefsDir(root)
+    dir.mkdirs()
+    try {
+      java.nio.file.Files.write(
+        new java.io.File(dir, s"tag_$name").toPath,
+        v.toString.getBytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      ()
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"tag '$name' already exists — tags are immutable")
+    }
+  }
+
+  private[graft] def occTagVersion(root: java.io.File, name: String): Int = {
+    val f = new java.io.File(occRefsDir(root), s"tag_$name")
+    require(f.isFile, s"no tag '$name' under ${root.getName}/refs")
+    new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toInt
+  }
+
+  /** Delete a ref (tag or branch) — versions it pinned become
+    * expirable again at the next vacuum. */
+  private[graft] def occDropRef(root: java.io.File, refFile: String): Unit = {
+    java.nio.file.Files.delete(
+      new java.io.File(occRefsDir(root), refFile).toPath)
+    val br = new java.io.File(new java.io.File(root, "branches"),
+      refFile.stripPrefix("branch_"))
+    if (refFile.startsWith("branch_") && br.isDirectory)
+      deleteRecursively(br.toPath)
+  }
+
+  /** Every version a ref still references — tag versions and branch
+    * bases. [[occVacuum]] clamps its truncation floor to these: a
+    * referenced version can never expire out from under its ref. */
+  private[graft] def occRefVersions(root: java.io.File): Seq[Int] = {
+    val dir = occRefsDir(root)
+    if (!dir.isDirectory) Nil
+    else dir.listFiles()
+      .filter(f => f.getName.startsWith("tag_") ||
+        f.getName.startsWith("branch_"))
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath))
+        .trim.toInt)
+      .toSeq.sorted
+  }
+
+  /** Fork a BRANCH at main's current head (Iceberg's createBranch):
+    * the ref file records the base version; branch commits claim
+    * versions in root/branches/<name>/commits — their own namespace,
+    * raced only by each other through the same [[occCommit]] claim
+    * protocol (the branch root's `_last_checkpoint` seeds the claim
+    * floor at base + 1, so branch versions align above the base).
+    * File-granularity only: branch commits carry adds/removes. */
+  private[graft] def occBranch(
+      root: java.io.File, name: String): Int = {
+    val vs = occVersions(new java.io.File(root, "commits"))
+    require(vs.nonEmpty, "cannot branch an empty log")
+    val base = vs.last
+    val dir = occRefsDir(root)
+    dir.mkdirs()
+    try java.nio.file.Files.write(
+      new java.io.File(dir, s"branch_$name").toPath,
+      base.toString.getBytes,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"branch '$name' already exists")
+    }
+    val broot = occBranchRoot(root, name)
+    broot.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(broot, "_last_checkpoint").toPath,
+      base.toString.getBytes)
+    base
+  }
+
+  private[graft] def occBranchRoot(
+      root: java.io.File, name: String): java.io.File =
+    new java.io.File(new java.io.File(root, "branches"), name)
+
+  private[graft] def occBranchBase(
+      root: java.io.File, name: String): Int = {
+    val f = new java.io.File(occRefsDir(root), s"branch_$name")
+    require(f.isFile, s"no branch '$name' under ${root.getName}/refs")
+    new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toInt
+  }
+
+  /** Commit to a branch — the write-audit-publish WRITE step: the same
+    * OCC claim/conflict protocol, in the branch's namespace. Main never
+    * sees the files until [[occPublishBranch]]. */
+  private[graft] def occBranchCommit(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      name: String, rows: Seq[(String, Long, Long, Long, Long, Long)],
+      removes: Seq[String] = Nil): OccResult = {
+    val broot = occBranchRoot(root, name)
+    require(broot.isDirectory, s"no branch '$name'")
+    val head = occVersions(new java.io.File(broot, "commits")).lastOption
+      .getOrElse(occBranchBase(root, name))
+    occCommit(s, broot, rows, snapshotVersion = head, removes = removes)
+  }
+
+  /** SCAN a branch: the main table AS OF the branch base, with the
+    * branch's own commits replayed on top ([[occVisible]] over the
+    * combined frame). The AUDIT step reads exactly what a publish
+    * would make current. Mask-free plane: a main log carrying dv/eqdel
+    * actions at the base, or a branch commit carrying them, refuses
+    * loudly (branches are file-granularity, like [[occRestore]]). */
+  private[graft] def occBranchScan(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      name: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val files = occBranchVisibleFiles(s, root, name).map(_._1)
+    require(files.nonEmpty, s"branch '$name' has no visible files")
+    s.read.parquet(files: _*)
+  }
+
+  /** The branch's net visible manifest (file + stats), shared by the
+    * scan and the publish diff. */
+  private[graft] def occBranchVisibleFiles(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      name: String): Seq[(String, Long, Long, Long, Long, Long)] = {
+    import s.implicits._
+    val base = occBranchBase(root, name)
+    val main = occPlanningFrame(s, root)
+    require(main.filter(col("action").isin("dv", "eqdel"))
+      .filter(col("version") <= base).limit(1).count() == 0,
+      "main carries row-level deletes at the branch base — " +
+        "file-granularity branching would mis-scope them")
+    val broot = occBranchRoot(root, name)
+    val bvs = occVersions(new java.io.File(broot, "commits"))
+    val baseMan = occAsOf(s, root, base).withColumn("version", lit(base))
+    val combined =
+      if (bvs.isEmpty) baseMan
+      else {
+        val bframe = occLogWithVersions(s, broot)
+        require(bframe.filter(col("action").isin("dv", "eqdel"))
+          .limit(1).count() == 0,
+          "branch commits carry row-level deletes — branches are " +
+            "file-granularity")
+        baseMan.unionByName(bframe)
+      }
+    occVisible(combined)
+      .select($"file", $"rows", $"pmin", $"pmax", $"smin", $"smax")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+  }
+
+  /** PUBLISH a branch to main (write-audit-publish's third step /
+    * Iceberg's fast-forward): the branch's NET change vs its base —
+    * adds it introduced, base files it retired — lands as ONE main
+    * commit, atomic by construction (a single [[occCommit]] claim; a
+    * multi-file per-commit replay could be torn by a racing writer,
+    * the squash cannot). Refuses loudly if main advanced past the base
+    * (Iceberg's not-fast-forwardable contract — rebase first). After
+    * the publish the branch EQUALS main: its namespace is cleared and
+    * its base advances to the published version. Returns None for an
+    * empty branch (nothing to publish). */
+  private[graft] def occPublishBranch(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      name: String): Option[OccResult] = {
+    val base = occBranchBase(root, name)
+    val mainHead = occVersions(new java.io.File(root, "commits")).last
+    require(mainHead == base,
+      s"main advanced to v$mainHead past branch '$name' base v$base — " +
+        "not fast-forwardable, rebase the branch first")
+    val net = occBranchVisibleFiles(s, root, name)
+    val baseFiles = {
+      import s.implicits._
+      occAsOf(s, root, base).select($"file").as[String].collect().toSet
+    }
+    val adds = net.filter(r => !baseFiles.contains(r._1))
+    val removes = (baseFiles -- net.map(_._1)).toSeq.sorted
+    if (adds.isEmpty && removes.isEmpty) return None
+    val res = occCommit(s, root, adds, snapshotVersion = mainHead,
+      removes = removes)
+    // branch == main now: clear the namespace, advance the ref
+    val broot = occBranchRoot(root, name)
+    deleteRecursively(new java.io.File(broot, "commits").toPath)
+    java.nio.file.Files.write(
+      new java.io.File(broot, "_last_checkpoint").toPath,
+      res.version.toString.getBytes)
+    val reftmp = new java.io.File(occRefsDir(root), s".branch_$name.tmp")
+    java.nio.file.Files.write(reftmp.toPath, res.version.toString.getBytes)
+    java.nio.file.Files.move(reftmp.toPath,
+      new java.io.File(occRefsDir(root), s"branch_$name").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Some(res)
+  }
+
+  /** RESTORE THROUGH ROW-LEVEL DELETES (e38 — VERDICT r16 #3, the
+    * convert-then-restore path): [[occRestore]] is file-granularity and
+    * refuses a log whose masks it would mis-scope; Delta nevertheless
+    * restores such tables. This pass RETIRES the masks first with the
+    * two shipped maintenance passes, then the plain restore applies:
+    *  1. [[occConvertEqDeletes]] — every live equality delete
+    *     materializes into positional sidecars and its key file retires
+    *     (dataChange=false, CDC-invisible);
+    *  2. a dv MATERIALIZATION — every visible file carrying positional
+    *     masks (original or just-converted) is rewritten once via
+    *     [[occCompact]] with the masks applied, retiring file and masks
+    *     together (dataChange=false);
+    *  3. [[occRestore]] to `v` — no mask is live anywhere, and the
+    *     pre-delete files' BYTES still exist (retired files outlive
+    *     their remove until a vacuum), so the rollback is the usual
+    *     one hard-link-speed commit.
+    * Valid for mask-free target versions (a target where a mask WAS
+    * live still refuses inside occRestore — reconstructing mask state
+    * AS OF v is path (b), not shipped). Cost: the conversion's key
+    * joins over below-sequence files + ONE rewrite of the masked file
+    * set + a manifest-sized restore — each pass ∝ masked data, never
+    * the table. Maintenance commits land even when the restore turns
+    * out to be a no-op — they are idempotent, CDC-invisible physical
+    * reshapes, exactly what a standalone maintenance run would do. */
+  private[graft] def occRestoreThroughDeletes(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      v: Int,
+      stats: java.io.File => Seq[(String, Long, Long, Long, Long, Long)]
+        = footerBoxRows): Option[OccResult] = {
+    import s.implicits._
+    occConvertEqDeletes(s, root)
+    val log = occPlanningFrame(s, root)
+    val visible = occVisible(log)
+      .select($"file").as[String].collect().toSet
+    val dvFiles = log.filter(col("action") === "dv")
+      .select($"file").as[String].collect().toSeq
+      .distinct.filter(visible.contains).sorted
+    if (dvFiles.nonEmpty) {
+      val head = occVersions(new java.io.File(root, "commits")).last
+      // label keyed by the claimed slot so a LATER restore-through on
+      // the same root never overwrites a still-live packed file
+      occCompact(s, root, dvFiles, s"restoreprep_v${head + 1}",
+        snapshotVersion = head, stats = stats)
+      ()
+    }
+    occRestore(s, root, v)
+  }
+
   /** Versions with a retained snapshot file under checkpoints/ — the
     * candidate AS-OF resolution floors ([[occAsOf]]) and vacuum
     * truncation floors ([[occVacuum]]). */
@@ -1599,6 +1926,124 @@ object Lakehouse {
       .filter(_.getName.matches("cp_v\\d{5}\\.parquet"))
       .map(_.getName.stripPrefix("cp_v").stripSuffix(".parquet").toInt)
       .toSeq.sorted
+  }
+
+  /** One field of a MAPPED table schema (e37 — Delta column mapping /
+    * Iceberg field ids): `id` is the immutable identity, `logical` the
+    * user-facing name under THIS schema version, `physical` the column
+    * name actually stored in parquet files written under this version,
+    * `ddl` the Spark DDL type (so a column no generation carries yet
+    * still surfaces with its declared type, not NullType). */
+  private[graft] case class MappedField(
+      id: Int, logical: String, physical: String, ddl: String)
+
+  /** Persist schema version `v` of the mapped table — one small text
+    * manifest per version under root/schemas/, swapped in by atomic
+    * rename (the metadata-only commit that makes RENAME/DROP free: no
+    * data byte is read or written). Line format `id|logical|physical|
+    * ddl`, field order = column order. */
+  private[graft] def writeMappedSchema(
+      root: java.io.File, v: Int, fields: Seq[MappedField]): Unit = {
+    require(fields.map(_.id).distinct.size == fields.size &&
+      fields.map(_.logical).distinct.size == fields.size,
+      "schema fields must have unique ids and logical names")
+    val dir = new java.io.File(root, "schemas")
+    dir.mkdirs()
+    val body = fields.map(f =>
+      s"${f.id}|${f.logical}|${f.physical}|${f.ddl}").mkString("\n")
+    val tmp = new java.io.File(dir, s".schema_v$v.tmp")
+    java.nio.file.Files.write(tmp.toPath, body.getBytes)
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, f"schema_v$v%05d.txt").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private[graft] def readMappedSchema(
+      root: java.io.File, v: Int): Seq[MappedField] =
+    new String(java.nio.file.Files.readAllBytes(new java.io.File(
+      new java.io.File(root, "schemas"), f"schema_v$v%05d.txt").toPath))
+      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val Array(id, lg, ph, ddl) = line.split("\\|", 4)
+        MappedField(id.toInt, lg, ph, ddl)
+      }
+
+  /** Latest persisted schema version under root/schemas/. */
+  private[graft] def mappedSchemaVersions(root: java.io.File): Seq[Int] = {
+    val dir = new java.io.File(root, "schemas")
+    if (!dir.isDirectory) Nil
+    else dir.listFiles()
+      .filter(_.getName.matches("schema_v\\d{5}\\.txt"))
+      .map(_.getName.stripPrefix("schema_v").stripSuffix(".txt").toInt)
+      .toSeq.sorted
+  }
+
+  /** Register a data generation: `dir` was written under schema `v`.
+    * The marker lives INSIDE the generation dir with a `_` prefix, so
+    * Spark's file index ignores it on data reads. */
+  private[graft] def stampMappedGeneration(
+      dir: java.io.File, v: Int): Unit = {
+    java.nio.file.Files.write(
+      new java.io.File(dir, "_schema_id").toPath, v.toString.getBytes)
+    ()
+  }
+
+  /** The table's generations: every `gen*` child dir carrying a
+    * `_schema_id` stamp, with its schema version. */
+  private[graft] def mappedGenerations(
+      root: java.io.File): Seq[(java.io.File, Int)] =
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("gen") &&
+        new java.io.File(d, "_schema_id").isFile)
+      .toSeq.sortBy(_.getName)
+      .map(d => (d, new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(d, "_schema_id").toPath)).trim.toInt))
+
+  /** SCAN through the column mapping (e37 — the read side of Delta
+    * column mapping / Iceberg field ids): each generation's files are
+    * read under their OWN schema version's physical names and projected
+    * to the CURRENT schema by FIELD ID — never by name. That one rule
+    * buys the whole contract:
+    *  - RENAME is a metadata commit: old files' physical column (id
+    *    kept) surfaces under the new logical name, zero bytes rewritten;
+    *  - DROP is a metadata commit: the dropped id simply stops being
+    *    selected — old files still CONTAIN the bytes (time travel to an
+    *    old schema could surface them) but no current read touches the
+    *    column (parquet is columnar: the dropped column is not even
+    *    decoded);
+    *  - a RE-ADDED same-name column gets a FRESH id, so old
+    *    generations' same-named physical bytes do NOT resurrect — they
+    *    surface NULL (the wrong-answer path name-based mapping hits);
+    *  - a generation predating a column surfaces typed NULLs for it.
+    * Cost: one pruned scan per generation (few — generations are
+    * schema EPOCHS, not files), unioned by name; at 100 TB the
+    * projection pushes down per generation exactly as a plain scan. */
+  private[graft] def mappedScan(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File)
+      : org.apache.spark.sql.DataFrame = {
+    val vs = mappedSchemaVersions(root)
+    require(vs.nonEmpty, s"no mapped schema under $root/schemas")
+    val cur = readMappedSchema(root, vs.max)
+    val gens = mappedGenerations(root)
+    require(gens.nonEmpty, s"no stamped generation under $root")
+    val frames = gens.map { case (dir, gv) =>
+      require(vs.contains(gv),
+        s"generation ${dir.getName} stamped with unknown schema v$gv")
+      val physById = readMappedSchema(root, gv)
+        .map(f => f.id -> f.physical).toMap
+      val cols = cur.flatMap(f =>
+        physById.get(f.id).map(p => col(p).as(f.logical)))
+      if (cols.isEmpty) None
+      else Some(s.read.parquet(dir.getAbsolutePath).select(cols: _*))
+    }.flatten
+    require(frames.nonEmpty, "no generation carries any current column")
+    val unioned = frames.reduce(
+      (a, b) => a.unionByName(b, allowMissingColumns = true))
+    // current column ORDER, with never-written columns as typed nulls
+    val have = unioned.columns.toSet
+    unioned.select(cur.map(f =>
+      if (have.contains(f.logical)) col(f.logical)
+      else lit(null).cast(f.ddl).as(f.logical)): _*)
   }
 
   /** Write-once POST-VACUUM OCC log for e30. Unlike every other staged
@@ -1749,6 +2194,33 @@ object Lakehouse {
     if (row.isNullAt(0)) -1L else row.getLong(0)
   }
 
+  /** Named truncation guard for the RAW-commit window readers
+    * ([[occChangedFiles]]/[[occChangedDvs]] — VERDICT r16 #5): on a
+    * truncated log, per-version actions below the oldest retained
+    * commit are gone from disk, so a window reaching under it would
+    * silently UNDER-report — the same latent class e33 closed for the
+    * scans. Commits claim versions contiguously, so "every version in
+    * (from, to] is on disk" reduces to `from + 1 >= oldest retained`
+    * (a brand-new empty log has floor 0 and passes trivially; an
+    * emptied post-vacuum dir floors at pointer + 1, admitting only the
+    * empty window). */
+  private[graft] def occRequireWindowRetained(
+      root: java.io.File, from: Int): Unit = {
+    val vs = occVersions(new java.io.File(root, "commits"))
+    if (vs.isEmpty || vs.min > 0) {
+      val ptr = new java.io.File(root, "_last_checkpoint")
+      val floor = vs.headOption.getOrElse(
+        if (ptr.isFile)
+          new String(java.nio.file.Files.readAllBytes(ptr.toPath))
+            .trim.toInt + 1
+        else 0)
+      require(from + 1 >= floor,
+        s"change window from v$from expired: commits below v$floor were " +
+          "vacuumed — per-version changes are unreconstructible from " +
+          "raw commits")
+    }
+  }
+
   /** CHANGE DATA FEED planning over the OCC log for versions in
     * (`from`, `to`]: per commit, `dataChange` ADD actions contribute
     * their file as an INSERT source and `dataChange` REMOVE actions as
@@ -1763,6 +2235,7 @@ object Lakehouse {
       s: org.apache.spark.sql.SparkSession, root: java.io.File,
       from: Int, to: Int): (Seq[String], Seq[String]) = {
     val commitsDir = new java.io.File(root, "commits")
+    occRequireWindowRetained(root, from)
     val vs = occVersions(commitsDir).filter(v => v > from && v <= to)
     if (vs.isEmpty) return (Nil, Nil)
     val m = s.read.parquet(
@@ -1780,6 +2253,7 @@ object Lakehouse {
       s: org.apache.spark.sql.SparkSession, root: java.io.File,
       from: Int, to: Int): Seq[(String, String)] = {
     val commitsDir = new java.io.File(root, "commits")
+    occRequireWindowRetained(root, from)
     val vs = occVersions(commitsDir).filter(v => v > from && v <= to)
     if (vs.isEmpty) return Nil
     s.read.parquet(
@@ -1814,24 +2288,32 @@ object Lakehouse {
       from: Int, to: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     // e33/e35: on a TRUNCATED log the snapshot carries only NET state —
-    // per-version insert/delete images below the checkpoint are
-    // unreconstructible, so a window reaching under it refuses loudly
-    // (Delta's "CDF range expired" contract); windows at or above the
-    // checkpoint read the tail with snapshot rows supplying the
-    // netting/sequencing context at their ORIGINAL versions.
+    // per-version insert/delete images below the oldest usable
+    // checkpoint are unreconstructible, so a window reaching under it
+    // refuses loudly (Delta's "CDF range expired" contract). The expiry
+    // bound is the oldest RETAINED checkpoint at or below `from` with a
+    // contiguous tail, not the `_last_checkpoint` pointer (ADVICE r16:
+    // an e34 retention vacuum keeps every commit in (floor, pointer] on
+    // disk precisely so those windows stay replayable — the in-window
+    // actions stream from the retained raw commits, and only the
+    // netting/sequencing context comes from the floor snapshot, at its
+    // ORIGINAL versions; the pointer-based bound refused windows the
+    // retention contract promises to answer, inconsistent with occAsOf).
     val vs = occVersions(new java.io.File(root, "commits"))
-    if (vs.isEmpty || vs.min > 0) {
-      val cpPtr = new java.io.File(root, "_last_checkpoint")
-      require(cpPtr.isFile,
-        s"log starts at v${vs.headOption.getOrElse(-1)} with no " +
-          "checkpoint — the truncated history is unreachable")
-      val cpV = new String(java.nio.file.Files.readAllBytes(
-        cpPtr.toPath)).trim.toInt
-      require(from >= cpV,
-        s"change feed from v$from expired: the log is truncated to " +
-          s"checkpoint v$cpV")
-    }
-    val log = occPlanningFrame(s, root)
+    val log =
+      if (vs.nonEmpty && vs.min == 0) occPlanningFrame(s, root)
+      else {
+        require(new java.io.File(root, "_last_checkpoint").isFile,
+          s"log starts at v${vs.headOption.getOrElse(-1)} with no " +
+            "checkpoint — the truncated history is unreachable")
+        val usable = occCheckpointVersions(root)
+          .filter(c => c <= from && c + 1 >= vs.headOption.getOrElse(c + 1))
+        require(usable.nonEmpty,
+          s"change feed from v$from expired: the log is truncated to " +
+            s"checkpoint v${occCheckpointVersions(root)
+              .headOption.getOrElse(-1)}")
+        occFrameFromCheckpoint(s, root, usable.max)
+      }
     val acts = log.select($"file", $"action", $"dataChange", $"dv", $"version")
       .as[(String, String, Boolean, String, Int)].collect().toSeq
     val inWindow = acts.filter(a => a._5 > from && a._5 <= to && a._3)

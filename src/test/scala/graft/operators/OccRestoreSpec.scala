@@ -114,5 +114,95 @@ class OccRestoreSpec extends SparkTestBase {
       removes = Seq(keys.getAbsolutePath))
     assert(Lakehouse.occRestore(spark, root, 2).isEmpty,
       "restore to the current state should be a no-op on a retired-eqdel log")
+    // … but a target version where the since-retired eqdel WAS live
+    // still refuses (round-17 self-review: liveness-now alone would
+    // have silently "no-op'd" here, dropping the mask the v1 state had)
+    val e2 = intercept[IllegalArgumentException] {
+      Lakehouse.occRestore(spark, root, 1)
+    }
+    assert(e2.getMessage.contains("row-level deletes"),
+      s"unnamed refusal: ${e2.getMessage}")
+  }
+
+  test("ADVICE r16: a dv'd-then-rewritten file does not block restore to a pre-dv version; masked target versions still refuse") {
+    import spark.implicits._
+    val root = freshRoot()
+    val a = stage(root, "a", Seq(1, 2, 3))
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1) // v0
+    // v1: dv masks k=2; v2: a rewrite retires `a` (mask applied), so
+    // the dv is fully RETIRED now — no live mask anywhere
+    val sidecar = new java.io.File(root, "dv1")
+    spark.read.parquet(a)
+      .select(org.apache.spark.sql.functions.col("_metadata.file_path")
+        .as("file"),
+        org.apache.spark.sql.functions.col("_metadata.row_index").as("pos"),
+        $"k")
+      .filter($"k" === 2).select($"file", $"pos")
+      .coalesce(1).write.parquet(sidecar.getAbsolutePath)
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
+      dvs = Seq((a, sidecar.getAbsolutePath)))
+    Lakehouse.occCompact(spark, root, Seq(a), "c0", snapshotVersion = 1,
+      stats = d => Seq((d.getAbsolutePath, 2L, 0L, 100L, 0L, 100L)))
+    assert(ks(root) == Seq(1, 3), "pre-restore state wrong")
+    // restore to v0 (pre-dv): the retired mask is inert — the old
+    // unconditional dv check blocked this forever (ADVICE r16 low)
+    val res = Lakehouse.occRestore(spark, root, 0)
+    assert(res.isDefined && ks(root) == Seq(1, 2, 3),
+      "restore to the pre-dv version failed or lost rows")
+    // restore to v1 (the dv WAS live on a file visible there): the
+    // resurrected copy would drop the mask — refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.occRestore(spark, root, 1)
+    }
+    assert(e.getMessage.contains("row-level deletes"),
+      s"unnamed refusal: ${e.getMessage}")
+  }
+
+  test("e38: restore-through-deletes retires both mask flavors then rolls back; masked target versions still refuse") {
+    import spark.implicits._
+    val root = freshRoot()
+    val a = stage(root, "a", Seq(1, 2, 3))
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1) // v0
+    val b = stage(root, "b", Seq(4))
+    Lakehouse.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 0)  // v1
+    // v2: dv masks k=2 in a; v3: eqdel kills k=3 (below-sequence only)
+    val sidecar = new java.io.File(root, "dv1")
+    spark.read.parquet(a)
+      .select(org.apache.spark.sql.functions.col("_metadata.file_path")
+        .as("file"),
+        org.apache.spark.sql.functions.col("_metadata.row_index").as("pos"),
+        $"k")
+      .filter($"k" === 2).select($"file", $"pos")
+      .coalesce(1).write.parquet(sidecar.getAbsolutePath)
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 1,
+      dvs = Seq((a, sidecar.getAbsolutePath)))
+    val keys = new java.io.File(root, "d1")
+    Seq(3).toDF("k").coalesce(1).write.parquet(keys.getAbsolutePath)
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 2,
+      eqDeletes = Seq(keys.getAbsolutePath))
+    val maskedNow = Lakehouse.occScanAll(spark, root, Seq("k"))
+      .select($"k").as[Int].collect().toSeq.sorted
+    assert(maskedNow == Seq(1, 4), s"staged masked state wrong: $maskedNow")
+    val synthStats: java.io.File => Seq[(String, Long, Long, Long, Long, Long)] =
+      d => Seq((d.getAbsolutePath, 0L, 0L, 100L, 0L, 100L))
+
+    // a target where a mask WAS live refuses even through the prep
+    // (the maintenance commits land — they are idempotent reshapes)
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.occRestoreThroughDeletes(spark, root, 2, synthStats)
+    }
+    assert(e.getMessage.contains("row-level deletes"),
+      s"unnamed refusal: ${e.getMessage}")
+
+    // a mask-free target restores: both flavors rolled back, the kept
+    // file (b) untouched, the masked file (a) resurrected whole
+    val res = Lakehouse.occRestoreThroughDeletes(spark, root, 1, synthStats)
+    assert(res.isDefined, "restore-through-deletes was a no-op")
+    assert(ks(root) == Seq(1, 2, 3, 4),
+      "restore-through-deletes did not recover the pre-delete state")
+    // no live mask remains anywhere: the single-flavor scan accepts
+    // the log (flavor guards would refuse a live eqdel)
+    assert(Lakehouse.occScanVisible(spark, root)
+      .select($"k").as[Int].collect().toSeq.sorted == Seq(1, 2, 3, 4))
   }
 }

@@ -280,6 +280,111 @@ class OccVacuumSpec extends SparkTestBase {
     assert(bootKs(root) == Seq(1, 2, 3))
   }
 
+  test("ADVICE r16: checkpointing BETWEEN the retention floor and the pointer folds the floor snapshot and never regresses the pointer") {
+    import spark.implicits._
+    // cp_0, then v1/v2, cp_2; age only v0 → retention vacuum floors at
+    // 0 (< pointer 2), truncating just v0. occCheckpoint(upTo = 1) then
+    // sits strictly between floor and pointer: the pointer-based base
+    // lookup found NO base but non-empty srcs — silently writing a
+    // checkpoint missing all pre-floor history AND regressing
+    // _last_checkpoint to 1, losing `a` for every later bootstrap.
+    val root = freshRoot()
+    val commitsDir = new java.io.File(root, "commits")
+    val a = stage(root, "a", Seq(1, 2))
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+    Lakehouse.occCheckpoint(spark, root, upTo = 0)
+    val b = stage(root, "b", Seq(3))
+    Lakehouse.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 0)
+    val c = stage(root, "c", Seq(4))
+    Lakehouse.occCommit(spark, root, Seq(fr(c)), snapshotVersion = 1)
+    Lakehouse.occCheckpoint(spark, root, upTo = 2)
+    val now = System.currentTimeMillis()
+    val hour = 3600L * 1000
+    assert(Lakehouse.occCommitFile(commitsDir, 0)
+      .setLastModified(now - 48 * hour))
+    val (truncated, _) =
+      Lakehouse.occVacuum(spark, root, retainMillis = 24 * hour, now = now)
+    assert(truncated == Seq(0), s"floor drifted: $truncated")
+    assert(Lakehouse.occCheckpointVersions(root) == Seq(0, 2))
+
+    Lakehouse.occCheckpoint(spark, root, upTo = 1)
+    // the backwards checkpoint carries the FULL history ≤ 1 (cp_0's a
+    // folded in, v1 replayed) …
+    val cp1 = spark.read.parquet(new java.io.File(
+      new java.io.File(root, "checkpoints"), "cp_v00001.parquet")
+      .getAbsolutePath)
+    val cp1Files = cp1.filter($"action" === "add")
+      .select($"file").as[String].collect().toSeq.sorted
+    assert(cp1Files == Seq(a, b).sorted,
+      s"backwards checkpoint lost pre-floor history: $cp1Files")
+    // … and the pointer did NOT regress: bootstrap still serves a,b,c
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "_last_checkpoint").toPath)).trim.toInt == 2,
+      "a backwards checkpoint regressed _last_checkpoint")
+    assert(bootKs(root) == Seq(1, 2, 3, 4))
+    // a checkpoint below every retained base refuses loudly once the
+    // floor has truncated the history it would need
+    Seq(0).foreach { v =>
+      java.nio.file.Files.delete(new java.io.File(
+        new java.io.File(root, "checkpoints"), f"cp_v$v%05d.parquet").toPath)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.occCheckpoint(spark, root, upTo = 0)
+    }
+    assert(e.getMessage.contains("truncated history"),
+      s"unnamed refusal: ${e.getMessage}")
+  }
+
+  test("ADVICE r16: a CDF window starting at the retention floor replays from retained raw commits; under the floor expires") {
+    import spark.implicits._
+    // floor 0 < pointer 1 with v1/v2 retained: the (0, 2] window is
+    // fully reconstructible — in-window actions from raw commits,
+    // netting context from cp_0 — and must answer identically across
+    // the vacuum (the pointer-based bound refused it).
+    val root = freshRoot()
+    val commitsDir = new java.io.File(root, "commits")
+    val a = stage(root, "a", Seq(1, 2))
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+    Lakehouse.occCheckpoint(spark, root, upTo = 0)
+    val b = stage(root, "b", Seq(3))
+    Lakehouse.occCommit(spark, root, Seq(fr(b)), snapshotVersion = 0)
+    Lakehouse.occCheckpoint(spark, root, upTo = 1)
+    val c = stage(root, "c", Seq(4))
+    Lakehouse.occCommit(spark, root, Seq(fr(c)), snapshotVersion = 1)
+    def feed(from: Int, to: Int): Seq[(String, Int)] =
+      Lakehouse.occChangeFeed(spark, root, from, to)
+        .select($"change_type", $"k").as[(String, Int)]
+        .collect().toSeq.sorted
+    val before = feed(0, 2)
+    assert(before == Seq(("insert", 3), ("insert", 4)), s"pre: $before")
+    val now = System.currentTimeMillis()
+    val hour = 3600L * 1000
+    assert(Lakehouse.occCommitFile(commitsDir, 0)
+      .setLastModified(now - 48 * hour))
+    val (truncated, _) =
+      Lakehouse.occVacuum(spark, root, retainMillis = 24 * hour, now = now)
+    assert(truncated == Seq(0))
+    assert(feed(0, 2) == before,
+      "the floor-window feed diverged across the retention vacuum")
+    // reaching under the floor: v0's per-version images expired
+    intercept[IllegalArgumentException] {
+      Lakehouse.occChangeFeed(spark, root, -1, 2)
+    }
+    // the raw-commit window readers refuse the same reach (VERDICT r16
+    // #5 — they silently dropped vacuumed versions before)
+    val e1 = intercept[IllegalArgumentException] {
+      Lakehouse.occChangedFiles(spark, root, -1, 2)
+    }
+    assert(e1.getMessage.contains("expired"), s"unnamed: ${e1.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      Lakehouse.occChangedDvs(spark, root, -1, 2)
+    }
+    assert(e2.getMessage.contains("expired"), s"unnamed: ${e2.getMessage}")
+    // at-or-above the floor the raw readers still answer
+    assert(Lakehouse.occChangedFiles(spark, root, 0, 2)._1.sorted ==
+      Seq(b, c).sorted)
+  }
+
   test("round-16 self-review: re-checkpointing a retention-vacuumed log does not double-count commits under the pointer") {
     import spark.implicits._
     // floor BELOW the pointer: cp_0 and cp_1 exist, only v0 is aged —
