@@ -1821,9 +1821,13 @@ object Lakehouse {
             "file-granularity")
         baseMan.unionByName(bframe)
       }
+    // distinct: identical add rows can coexist transiently mid-rebase
+    // (old commits + the replay, before the old files retire) — the
+    // net STATE is the same either way, so the scan must not re-read
     occVisible(combined)
       .select($"file", $"rows", $"pmin", $"pmax", $"smin", $"smax")
-      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      .distinct.sorted
   }
 
   /** PUBLISH a branch to main (write-audit-publish's third step /
@@ -1866,6 +1870,73 @@ object Lakehouse {
       new java.io.File(occRefsDir(root), s"branch_$name").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     Some(res)
+  }
+
+  /** REBASE a branch onto main's current head (e41 — the move
+    * [[occPublishBranch]]'s not-fast-forwardable refusal points at,
+    * Iceberg/git's rebase): the branch's NET DIFF vs its old base
+    * (adds it introduced, base files it retired) is replayed on top of
+    * main's head as ONE fresh branch commit, and the base advances.
+    * CONFLICT = any file named by BOTH the branch's diff and a main
+    * action in (oldBase, head] — two writers touched the same file, so
+    * a silent replay could drop one side's change: refuse loudly,
+    * exactly the occCommit file-overlap rule lifted to the ref plane.
+    * Disjoint main progress (the common case: main ingests while the
+    * audit runs) rebases cleanly; publish then fast-forwards. Branch
+    * history squashes into the replay commit — the same trade
+    * [[occPublishBranch]] makes, and the audit scan is net-state-based
+    * so nothing observable changes. Cost: two manifest-sized diffs. */
+  private[graft] def occRebaseBranch(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      name: String): Int = {
+    import s.implicits._
+    val base = occBranchBase(root, name)
+    val mainHead = occVersions(new java.io.File(root, "commits")).last
+    if (mainHead == base) return base
+    require(mainHead > base, s"branch '$name' base v$base is ahead of " +
+      s"main head v$mainHead — the log was truncated out from under it")
+    val net = occBranchVisibleFiles(s, root, name)
+    val baseFiles = occAsOf(s, root, base)
+      .select($"file").as[String].collect().toSet
+    val bAdds = net.filter(r => !baseFiles.contains(r._1))
+    val bRemoves = (baseFiles -- net.map(_._1)).toSeq.sorted
+    val touched = occLogWithVersions(s, root)
+      .filter(col("version") > base && col("version") <= mainHead)
+      .select($"file").as[String].collect().toSet
+    val mine = bAdds.map(_._1).toSet ++ bRemoves
+    val overlap = mine.intersect(touched)
+    require(overlap.isEmpty,
+      s"rebase conflict on branch '$name': main also touched " +
+        s"${overlap.toSeq.sorted.head} since v$base — resolve manually")
+    // Crash-ordered re-seed (each intermediate state stays readable):
+    //  1. raise the branch claim floor to mainHead + 1 (affects only
+    //     future claims — the old commits still scan correctly);
+    //  2. commit the replay diff at mainHead + 1 (a crash here leaves
+    //     old commits + replay coexisting: the scan dedupes identical
+    //     add rows, and a re-run recomputes the same diff);
+    //  3. retire the old branch commit files (a crash here reads
+    //     asOf(oldBase) + replay = exactly the branch state);
+    //  4. swap the ref to the new base — the atomic commit point.
+    val broot = occBranchRoot(root, name)
+    java.nio.file.Files.write(
+      new java.io.File(broot, "_last_checkpoint").toPath,
+      mainHead.toString.getBytes)
+    val replayV =
+      if (bAdds.isEmpty && bRemoves.isEmpty) None
+      else Some(occBranchCommit(s, root, name, bAdds,
+        removes = bRemoves).version)
+    // retire every pre-rebase commit — by exclusion, not by version
+    // bound: a branch with more commits than main advanced has old
+    // claims ABOVE mainHead, and the replay claims past them
+    val bCommits = new java.io.File(broot, "commits")
+    occVersions(bCommits).filter(v => !replayV.contains(v)).foreach(v =>
+      java.nio.file.Files.delete(occCommitFile(bCommits, v).toPath))
+    val reftmp = new java.io.File(occRefsDir(root), s".branch_$name.tmp")
+    java.nio.file.Files.write(reftmp.toPath, mainHead.toString.getBytes)
+    java.nio.file.Files.move(reftmp.toPath,
+      new java.io.File(occRefsDir(root), s"branch_$name").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    mainHead
   }
 
   /** RESTORE THROUGH ROW-LEVEL DELETES (e38 — VERDICT r16 #3, the
@@ -2017,18 +2088,37 @@ object Lakehouse {
     *  - a generation predating a column surfaces typed NULLs for it.
     * Cost: one pruned scan per generation (few — generations are
     * schema EPOCHS, not files), unioned by name; at 100 TB the
-    * projection pushes down per generation exactly as a plain scan. */
+    * projection pushes down per generation exactly as a plain scan.
+    *
+    * `atSchema` (e40 — schema TIME TRAVEL, Delta's "read an old table
+    * version under its old schema"): project to schema epoch `v`
+    * instead of the latest, reading only the generations that existed
+    * then (stamps are epoch-monotone by construction). The payoff of
+    * metadata-only DROP becomes visible here: the dropped column's
+    * bytes were never rewritten, so AS OF the pre-drop epoch they
+    * resurface with their ORIGINAL values under the ORIGINAL name. */
   private[graft] def mappedScan(
-      s: org.apache.spark.sql.SparkSession, root: java.io.File)
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      atSchema: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     val vs = mappedSchemaVersions(root)
     require(vs.nonEmpty, s"no mapped schema under $root/schemas")
-    val cur = readMappedSchema(root, vs.max)
-    val gens = mappedGenerations(root)
-    require(gens.nonEmpty, s"no stamped generation under $root")
-    val frames = gens.map { case (dir, gv) =>
+    val at = atSchema.getOrElse(vs.max)
+    require(vs.contains(at), s"no schema epoch v$at under $root/schemas " +
+      s"(have ${vs.mkString(",")})")
+    val cur = readMappedSchema(root, at)
+    // validate EVERY stamp before the epoch filter — a generation
+    // stamped with a schema that does not exist is corruption, and the
+    // AS-OF filter must not silently hide it
+    val allGens = mappedGenerations(root)
+    allGens.foreach { case (dir, gv) =>
       require(vs.contains(gv),
         s"generation ${dir.getName} stamped with unknown schema v$gv")
+    }
+    val gens = allGens.filter(_._2 <= at)
+    require(gens.nonEmpty,
+      s"no stamped generation existed at schema epoch v$at")
+    val frames = gens.map { case (dir, gv) =>
       val physById = readMappedSchema(root, gv)
         .map(f => f.id -> f.physical).toMap
       val cols = cur.flatMap(f =>

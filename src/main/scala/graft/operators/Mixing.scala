@@ -2928,7 +2928,112 @@ object Mixing {
                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
           FROM lineitem WHERE l_orderkey % 5 <> 0 GROUP BY l_returnflag)
-        ORDER BY ref, l_returnflag"""))
+        ORDER BY ref, l_returnflag""")),
+
+    // ---------------------------------------------------------------- e40
+    // SCHEMA TIME TRAVEL over the column mapping (the read e37's
+    // metadata-only DROP makes possible: the dropped column's bytes
+    // were never rewritten, so reading AS OF the pre-drop epoch
+    // resurfaces them with their ORIGINAL values under the ORIGINAL
+    // name — Delta's "time travel reads the old schema" contract).
+    // The row projects the e37 table to schema epoch v0: only gen0
+    // existed then, and l_extendedprice (the id later dropped and
+    // re-added under a fresh id) carries its real v0 values — the
+    // exact bytes the CURRENT read must NOT surface (e37 pins the
+    // null side; this row pins the resurrection side, so together
+    // they prove the mapping distinguishes the two reads by EPOCH,
+    // not by luck). Requires pin the v1 epoch too: four columns under
+    // the renamed name, gen2 not yet in existence. Oracle = the gen0
+    // slice with real prices, recomputed relationally.
+    QuerySpec(
+      "e40_schema_time_travel",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(mappedSchemaRoot(s, dir))
+        val atV1 = mappedScan(s, root, Some(1))
+        require(atV1.columns.toSeq ==
+          Seq("l_orderkey", "l_returnflag", "l_quantity", "note"),
+          s"epoch v1 shape drifted: ${atV1.columns.toSeq}")
+        val atV0 = mappedScan(s, root, Some(0))
+        require(atV0.columns.toSeq == Seq("l_orderkey", "l_returnflag",
+          "l_quantity", "l_extendedprice", "l_linestatus"),
+          s"epoch v0 shape drifted: ${atV0.columns.toSeq}")
+        atV0.groupBy($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"l_quantity".cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_orderkey % 5 <> 0
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---------------------------------------------------------------- e41
+    // BRANCH REBASE (the move e39's not-fast-forwardable refusal
+    // points at — Iceberg/git rebase): main advancing DISJOINTLY while
+    // the audit branch holds its ingest is the common WAP race, and
+    // without a rebase the branch is stuck. occRebaseBranch replays
+    // the branch's net diff on top of main's head as one fresh branch
+    // commit and advances the base; a file touched by BOTH sides since
+    // the base refuses loudly (the occCommit file-overlap rule lifted
+    // to the ref plane — OccBranchSpec pins the conflict). The staged
+    // flow: standing on main (v0), branch 'audit' takes the delta
+    // ingest, main lands a fresh %97 slice (v1, disjoint), publish
+    // REFUSES (pinned), rebase onto v1, publish lands (v2). Final scan
+    // = standing ∪ %97 slice ∪ delta — whole table plus the duplicated
+    // slice, stated relationally: one lost branch file, one dropped
+    // main file, or a double-replayed diff is a hash failure.
+    QuerySpec(
+      "e41_branch_rebase_publish",
+      (s, dir) => {
+        import s.implicits._
+        val zroot = new java.io.File(zincManifestRoot(s, dir))
+        val root = java.nio.file.Files
+          .createTempDirectory("occrebase_").toFile
+        root.deleteOnExit()
+        occCommit(s, root,
+          footerBoxRows(new java.io.File(zroot, "standing")),
+          snapshotVersion = -1)
+        occBranch(root, "audit")
+        occBranchCommit(s, root, "audit",
+          footerBoxRows(new java.io.File(zroot, "delta")))
+        // main advances disjointly: a fresh %97 slice file
+        val extra = new java.io.File(root, "main_extra")
+        graft.Tables(s, dir, "lineitem")
+          .filter($"l_orderkey" % 97 === 0)
+          .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+            $"l_returnflag", $"l_quantity", $"l_extendedprice")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(extra.getAbsolutePath)
+        occCommit(s, root, footerBoxRows(extra), snapshotVersion = 0)
+        val refused =
+          try { occPublishBranch(s, root, "audit"); false }
+          catch { case _: IllegalArgumentException => true }
+        require(refused, "publish must refuse after main advanced")
+        require(occRebaseBranch(s, root, "audit") == 1,
+          "rebase did not land on main's head")
+        val pub = occPublishBranch(s, root, "audit")
+        require(pub.exists(_.version == 2), s"post-rebase publish: $pub")
+        occScanVisible(s, root).transform(flagAgg)
+      },
+      Some("""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM (
+          SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem
+          WHERE l_orderkey % 97 = 0)
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
   /** e27/e28's shared oracle — the sequence rule stated relationally

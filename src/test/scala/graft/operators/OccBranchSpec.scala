@@ -106,6 +106,55 @@ class OccBranchSpec extends SparkTestBase {
     assert(Lakehouse.occTagVersion(root, "prod") == 0)
   }
 
+  test("e41: rebase replays the branch diff onto main's head — disjoint progress rebases, shared files refuse, extra branch commits squash without duplication") {
+    val root = freshRoot()
+    val a = stage(root, "a", Seq(1))
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+    Lakehouse.occBranch(root, "wap")
+    // TWO branch commits (more than main will advance — the replay
+    // must retire BOTH old claims, including the one above main head)
+    val b = stage(root, "b", Seq(2))
+    Lakehouse.occBranchCommit(spark, root, "wap", Seq(fr(b)))
+    val b2 = stage(root, "b2", Seq(5))
+    Lakehouse.occBranchCommit(spark, root, "wap", Seq(fr(b2)))
+    // main advances by ONE disjoint commit
+    val c = stage(root, "c", Seq(3))
+    Lakehouse.occCommit(spark, root, Seq(fr(c)), snapshotVersion = 0)
+    intercept[IllegalArgumentException] {
+      Lakehouse.occPublishBranch(spark, root, "wap")
+    }
+    assert(Lakehouse.occRebaseBranch(spark, root, "wap") == 1)
+    assert(Lakehouse.occBranchBase(root, "wap") == 1)
+    // branch now sees main's progress AND its own diff, exactly once
+    assert(branchKs(root, "wap") == Seq(1, 2, 3, 5),
+      "rebased branch state wrong (lost or duplicated a file)")
+    // exactly one replay commit remains in the branch namespace
+    assert(Lakehouse.occVersions(new java.io.File(
+      Lakehouse.occBranchRoot(root, "wap"), "commits")).size == 1,
+      "rebase left stale pre-rebase branch commits behind")
+    // rebase onto an unchanged head is a no-op
+    assert(Lakehouse.occRebaseBranch(spark, root, "wap") == 1)
+    // publish fast-forwards now
+    val pub = Lakehouse.occPublishBranch(spark, root, "wap")
+    assert(pub.exists(_.version == 2))
+    assert(mainKs(root) == Seq(1, 2, 3, 5))
+
+    // CONFLICT: a second branch retires a file main also touches
+    Lakehouse.occBranch(root, "clash")
+    val packed = stage(root, "packed", Seq(1))
+    Lakehouse.occBranchCommit(spark, root, "clash", Seq(fr(packed)),
+      removes = Seq(a))
+    // main rewrites the SAME file `a` concurrently
+    val packed2 = stage(root, "packed2", Seq(1))
+    Lakehouse.occCommit(spark, root, Seq(fr(packed2)), snapshotVersion = 2,
+      removes = Seq(a), dataChange = false)
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.occRebaseBranch(spark, root, "clash")
+    }
+    assert(e.getMessage.contains("rebase conflict"),
+      s"unnamed refusal: ${e.getMessage}")
+  }
+
   test("the vacuum floor never expires a version a tag or branch base references; dropping the ref re-arms it") {
     val root = freshRoot()
     val a = stage(root, "a", Seq(1, 2))

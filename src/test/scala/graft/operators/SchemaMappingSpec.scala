@@ -84,6 +84,27 @@ class SchemaMappingSpec extends SparkTestBase {
     // metadata-only: no generation byte moved across two evolutions
     assert(partHashes(gen0) == bytesBefore,
       "a schema evolution rewrote generation bytes")
+
+    // e40 SCHEMA TIME TRAVEL: AS OF epoch v0 only gen0 existed, and
+    // the later-dropped `price` (id 2) resurfaces its ORIGINAL values
+    // — the payoff of the metadata-only drop (bytes never rewritten)
+    val v0 = Lakehouse.mappedScan(spark, root, Some(0))
+    assert(v0.columns.toSeq == Seq("k", "price", "tag"))
+    assert(v0.select($"k", $"price", $"tag")
+      .as[(Int, Double, String)].collect().toSeq.sortBy(_._1) ==
+      Seq((1, 10.0, "a"), (2, 20.0, "b")),
+      "AS OF the pre-drop epoch must resurface the dropped column's values")
+    // AS OF v1: the rename applies, the drop applies, gen2 not yet born
+    val v1 = Lakehouse.mappedScan(spark, root, Some(1))
+    assert(v1.columns.toSeq == Seq("k", "label"))
+    assert(v1.select($"k").as[Int].collect().toSeq.sorted == Seq(1, 2, 3),
+      "epoch v1 must see exactly generations 0 and 1")
+    // an unknown epoch refuses loudly
+    val eEpoch = intercept[IllegalArgumentException] {
+      Lakehouse.mappedScan(spark, root, Some(9))
+    }
+    assert(eEpoch.getMessage.contains("no schema epoch"),
+      s"unnamed refusal: ${eEpoch.getMessage}")
   }
 
   test("a current column no generation carries surfaces as a typed null column; unknown stamps refuse") {
