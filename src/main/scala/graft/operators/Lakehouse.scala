@@ -1674,6 +1674,19 @@ object Lakehouse {
   private[graft] def occRefsDir(root: java.io.File): java.io.File =
     new java.io.File(root, "refs")
 
+  /** The log's current HEAD version — the newest commit on disk, or
+    * the checkpoint pointer when a vacuum emptied the commits dir (the
+    * round-16 claim-floor scenario: a head-checkpointed log has STATE
+    * but no commit files, and `.last` on the empty dir was an unnamed
+    * crash for every ref operation — round-17 self-review). */
+  private[graft] def occHeadVersion(root: java.io.File): Int =
+    occVersions(new java.io.File(root, "commits")).lastOption.getOrElse {
+      val ptr = new java.io.File(root, "_last_checkpoint")
+      require(ptr.isFile, s"log under ${root.getName} has no commits " +
+        "and no checkpoint — no head version exists")
+      new String(java.nio.file.Files.readAllBytes(ptr.toPath)).trim.toInt
+    }
+
   /** Create an immutable TAG naming `v` (Iceberg's tag): one small ref
     * file, claimed put-if-absent — two writers racing the same tag name
     * is a detected conflict, and a tag can never be silently moved. */
@@ -1734,9 +1747,7 @@ object Lakehouse {
     * File-granularity only: branch commits carry adds/removes. */
   private[graft] def occBranch(
       root: java.io.File, name: String): Int = {
-    val vs = occVersions(new java.io.File(root, "commits"))
-    require(vs.nonEmpty, "cannot branch an empty log")
-    val base = vs.last
+    val base = occHeadVersion(root)
     val dir = occRefsDir(root)
     dir.mkdirs()
     try java.nio.file.Files.write(
@@ -1844,7 +1855,7 @@ object Lakehouse {
       s: org.apache.spark.sql.SparkSession, root: java.io.File,
       name: String): Option[OccResult] = {
     val base = occBranchBase(root, name)
-    val mainHead = occVersions(new java.io.File(root, "commits")).last
+    val mainHead = occHeadVersion(root)
     require(mainHead == base,
       s"main advanced to v$mainHead past branch '$name' base v$base — " +
         "not fast-forwardable, rebase the branch first")
@@ -1891,7 +1902,7 @@ object Lakehouse {
       name: String): Int = {
     import s.implicits._
     val base = occBranchBase(root, name)
-    val mainHead = occVersions(new java.io.File(root, "commits")).last
+    val mainHead = occHeadVersion(root)
     if (mainHead == base) return base
     require(mainHead > base, s"branch '$name' base v$base is ahead of " +
       s"main head v$mainHead — the log was truncated out from under it")

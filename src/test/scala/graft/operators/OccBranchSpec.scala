@@ -155,6 +155,29 @@ class OccBranchSpec extends SparkTestBase {
       s"unnamed refusal: ${e.getMessage}")
   }
 
+  test("refs work on a fully-truncated log: branch at the checkpointed head, publish claims above the snapshot") {
+    // head-checkpointed + vacuumed → the commits dir is EMPTY but the
+    // table has state; every ref op used `.last` on the empty dir and
+    // crashed unnamed (round-17 self-review) — the head now resolves
+    // through the checkpoint pointer
+    val root = freshRoot()
+    val a = stage(root, "a", Seq(1, 2))
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+    Lakehouse.occCheckpoint(spark, root, upTo = 0)
+    Lakehouse.occVacuum(spark, root)
+    assert(Lakehouse.occVersions(new java.io.File(root, "commits")).isEmpty)
+    assert(Lakehouse.occBranch(root, "wap") == 0,
+      "branch base must resolve to the checkpointed head")
+    val b = stage(root, "b", Seq(3))
+    Lakehouse.occBranchCommit(spark, root, "wap", Seq(fr(b)))
+    assert(branchKs(root, "wap") == Seq(1, 2, 3))
+    assert(mainKs(root) == Seq(1, 2), "branch leaked into truncated main")
+    val pub = Lakehouse.occPublishBranch(spark, root, "wap")
+    assert(pub.exists(_.version == 1),
+      s"publish must claim above the snapshot, got $pub")
+    assert(mainKs(root) == Seq(1, 2, 3))
+  }
+
   test("the vacuum floor never expires a version a tag or branch base references; dropping the ref re-arms it") {
     val root = freshRoot()
     val a = stage(root, "a", Seq(1, 2))
