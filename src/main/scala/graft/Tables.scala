@@ -100,4 +100,45 @@ private[graft] object Materialize {
     val c = df.localCheckpoint(true)
     c.sparkSession.createDataFrame(c.rdd, c.schema)
   }
+
+  /** [[checkpointRebased]] whose materializing action doubles as the
+    * caller's per-round scalar (r18, guide §1.2 "don't compute things
+    * twice"): the iterative families all follow "checkpoint the round,
+    * then read one convergence scalar from it", which as two separate
+    * actions costs two driver-sequential jobs per round — the second a
+    * full re-scan of the just-cached partitions. A LAZY localCheckpoint
+    * materialized BY the scalar aggregation fuses them: one job computes
+    * the round, caches it (localCheckpoint persists on first
+    * computation), and folds the scalar. The returned frame is
+    * stats-rebased exactly like [[checkpointRebased]]. */
+  def checkpointRebasedAgg[T](df: DataFrame)(agg: DataFrame => T)
+      : (DataFrame, T) = {
+    val c = df.localCheckpoint(false)
+    val v = agg(c) // one job: materialize the checkpoint + the scalar
+    (c.sparkSession.createDataFrame(c.rdd, c.schema), v)
+  }
+
+  /** Run `body` under LOOP-SCOPED shuffle parallelism with AQE off,
+    * restoring the session values after (r18, guide §2.2/§2.4). The
+    * iterative families move node-/edge-sized frames per round; `parts`
+    * is derived from that DATA size by the caller (scale-adaptive — at
+    * 100 TB the same formula yields hundreds of partitions), so every
+    * per-round exchange is already right-sized and AQE's contribution
+    * collapses to pure overhead: each AQE shuffle stage runs as its own
+    * driver-sequential job (re-planned between stages), turning a
+    * 3-join round into 4-5 jobs of a few ms dispatch each (before/after
+    * evidence: OPTIMIZATION_r18.md). Session values are restored in a
+    * finally so caller plans (and st17's stream-scoped 8-partition
+    * setting) are untouched. */
+  def loopScoped[T](s: SparkSession, parts: Int)(body: => T): T = {
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }

@@ -234,8 +234,11 @@ object Dedup {
     // mirroring: a union of two projections of `pairs` would carry the
     // full upstream plan in BOTH branches, and exchange reuse does not
     // cover the stages above the last shuffle (e.g. d2's typed pair-gen
-    // flatMap, d5's block-cosine flatMap) — those would execute twice
-    val p0 = pairs.select($"a_id", $"b_id").localCheckpoint(true)
+    // flatMap, d5's block-cosine flatMap) — those would execute twice.
+    // LAZY checkpoint materialized by the sizing count below: one job
+    // computes the pairs, caches them, and counts (r18 fused-action
+    // convention — graft.Materialize.checkpointRebasedAgg).
+    val p0 = pairs.select($"a_id", $"b_id").localCheckpoint(false)
     // size the iteration's parallelism to the GRAPH, not the session
     // default: a near-dup edge set is orders of magnitude smaller than
     // the corpus, and per-round shuffle overhead scales with partition
@@ -243,16 +246,25 @@ object Dedup {
     val defaultPar = s.sparkContext.defaultParallelism
     val parts = math.max(1,
       math.min(defaultPar, (p0.count() * 2 / 100000L).toInt + 1))
+    // the whole loop runs under graph-sized shuffle parallelism with
+    // AQE off (graft.Materialize.loopScoped): every per-round exchange
+    // is already sized to the edge set by `parts` (scale-adaptive — the
+    // same formula yields hundreds of partitions at 100 TB), so AQE's
+    // per-stage re-planning only fragments each round into extra
+    // driver-sequential jobs
+    graft.Materialize.loopScoped(s, parts) {
     val edges = p0
       .union(p0.select($"b_id".as("a_id"), $"a_id".as("b_id")))
       .repartition(parts, $"b_id").localCheckpoint(true)
-    var labels = edges.select($"a_id".as("id")).distinct()
-      .withColumn("label", $"id").localCheckpoint(true)
     // sum coalesced: an EMPTY edge set (legal — e.g. d24 probed at a
     // threshold above the corpus's max cosine) yields an empty label
     // frame, whose SUM is NULL and would crash the Long deserializer
+    val labelSum = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(coalesce(sum($"label"), lit(0L))).as[Long].head()
+    var (labels, curSum) = graft.Materialize.checkpointRebasedAgg(
+      edges.select($"a_id".as("id")).distinct()
+        .withColumn("label", $"id"))(labelSum)
     var prevSum = -1L
-    var curSum = labels.agg(coalesce(sum($"label"), lit(0L))).as[Long].head()
     var rounds = 0
     while (curSum != prevSum && rounds < maxRounds) {
       val nmin = edges.join(labels, edges("b_id") === labels("id"))
@@ -260,23 +272,20 @@ object Dedup {
       val propagated = labels.join(nmin, labels("id") === $"nid", "left")
         .select(labels("id").as("id"),
           least(labels("label"), coalesce($"nmin", labels("label"))).as("label"))
-      val next0 = propagated.as("x")
-        .join(propagated.select($"id".as("pid"), $"label".as("plabel")),
-          col("x.label") === $"pid", "left")
-        .select(col("x.id").as("id"),
-          coalesce($"plabel", col("x.label")).as("label"))
-        .localCheckpoint(true)
-      // RESET the checkpoint's preserved plan statistics (r13, found at
-      // sf1): each round's plan multiplies the PREVIOUS round's
-      // preserved sizeInBytes through three joins (incl. the
-      // pointer-jumping self-join) — by round ~10 the driver burns
-      // minutes in BigInteger.multiplyToomCook3 while executors idle
-      // (700+ driver CPU-seconds planning d27 at sf1). Full rationale
-      // and the loop-class sweep at [[graft.Materialize.checkpointRebased]]
-      // (r13 swept the same fix into g1/g3/g4/g6/g7).
-      val next = s.createDataFrame(next0.rdd, next0.schema)
+      // checkpointRebasedAgg = the r13 stats-rebased checkpoint (each
+      // round's plan would otherwise multiply the PREVIOUS round's
+      // preserved sizeInBytes through three joins — by round ~10 the
+      // driver burns minutes in BigInteger.multiplyToomCook3; see
+      // [[graft.Materialize.checkpointRebased]]) FUSED with the
+      // convergence scalar: one job per round, not two (r18).
+      val (next, nextSum) = graft.Materialize.checkpointRebasedAgg(
+        propagated.as("x")
+          .join(propagated.select($"id".as("pid"), $"label".as("plabel")),
+            col("x.label") === $"pid", "left")
+          .select(col("x.id").as("id"),
+            coalesce($"plabel", col("x.label")).as("label")))(labelSum)
       prevSum = curSum
-      curSum = next.agg(coalesce(sum($"label"), lit(0L))).as[Long].head()
+      curSum = nextSum
       labels = next
       rounds += 1
     }
@@ -285,6 +294,7 @@ object Dedup {
         s"connected components did not converge within $maxRounds rounds " +
           s"(label sum still changing: $prevSum -> $curSum)")
     (labels.select($"id".as("doc_id"), $"label".as("cluster_id")), rounds)
+    }
   }
 
   /** The shared shingle→pair CTE core (through per-pair intersection
