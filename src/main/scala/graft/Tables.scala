@@ -130,6 +130,15 @@ private[graft] object Materialize {
     * evidence: OPTIMIZATION_r18.md). Session values are restored in a
     * finally so caller plans (and st17's stream-scoped 8-partition
     * setting) are untouched. */
+  /** The loop families' shared shuffle-parallelism formula: one
+    * partition per ~100k carried rows (edges for the graph loops, pairs
+    * for CC), capped at the session's core count — scale-adaptive, so a
+    * 100 TB edge list still gets hundreds of partitions while a
+    * node-sized loop frame gets one. */
+  def loopParts(s: SparkSession, rows: Long): Int =
+    math.max(1, math.min(s.sparkContext.defaultParallelism,
+      (rows / 100000L).toInt + 1))
+
   def loopScoped[T](s: SparkSession, parts: Int)(body: => T): T = {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = s.conf.get("spark.sql.adaptive.enabled")

@@ -199,9 +199,13 @@ object Graph {
           .union(pairs.select($"p".as("src"), lit("s").as("src_t"),
             $"c".as("dst"), lit("c").as("dst_t")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        // materialize + size in one action (the first round paid this
+        // compute anyway); m drives the loop's shuffle parallelism
+        val m = edges.count()
         val seeds = Tables(s, dir, "customer")
           .filter($"c_nationkey" === 0)
           .select(lit("c").as("t"), $"c_custkey".as("id"), lit(0L).as("hop"))
+        graft.Materialize.loopScoped(s, graft.Materialize.loopParts(s, m)) {
         var dist = seeds.localCheckpoint(true)
         var frontier = dist
         for (i <- 1 to BfsHops) {
@@ -214,12 +218,19 @@ object Graph {
             .select($"dst_t".as("t"), $"dst".as("id")).distinct()
             .join(dist, Seq("t", "id"), "left_anti")
             .withColumn("hop", lit(i.toLong)))
-          dist = graft.Materialize.checkpointRebased(dist.union(next))
+          // the visited set stays a LAZY union of the per-level
+          // checkpoints (depth = BfsHops, so the plan stays bounded):
+          // re-checkpointing the union copied the whole accumulated
+          // set every round — one full O(|visited|) pass per level
+          // that the anti-join never needed (r18; union of ≤5
+          // checkpointed leaves ADDS size estimates, no multiplication)
+          dist = dist.union(next)
           frontier = next
         }
         edges.unpersist(false)
         dist.select($"t".as("node_type"), $"id".as("node_id"), $"hop")
           .orderBy($"hop", $"node_type", $"node_id")
+        }
       },
       Some(BfsOracle)),
 
@@ -254,6 +265,10 @@ object Graph {
           .union(weighted.select($"p".as("src"), lit("s").as("src_t"),
             $"c".as("dst"), lit("c").as("dst_t"), $"w"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        // materialize + size in one action (round 1 paid this compute
+        // anyway); m drives the loop's shuffle parallelism
+        val m = edges.count()
+        graft.Materialize.loopScoped(s, graft.Materialize.loopParts(s, m)) {
         var dist = Tables(s, dir, "customer")
           .filter($"c_nationkey" === 0)
           .select(lit("c").as("t"), $"c_custkey".as("id"), lit(0L).as("cost"))
@@ -270,6 +285,7 @@ object Graph {
         edges.unpersist(false)
         dist.select($"t".as("node_type"), $"id".as("node_id"), $"cost")
           .orderBy($"cost", $"node_type", $"node_id")
+        }
       },
       Some(WeightedPathsOracle)),
 
@@ -311,10 +327,19 @@ object Graph {
               "named_struct('x', a, 'y', b)))), s -> s.x < s.y)")).as("e"))
           .select($"e.x".as("x"), $"e.y".as("y"))
           .distinct()
+        // lazy checkpoint materialized by the sizing count: one job
+        // computes the mirrored edges, caches them, and sizes the loop
         var edges = und.select($"x".as("s"), $"y".as("d"))
           .union(und.select($"y".as("s"), $"x".as("d")))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
+        val m = edges.count()
+        graft.Materialize.loopScoped(s, graft.Materialize.loopParts(s, m)) {
         var alive = edges.select($"s".as("v")).distinct().localCheckpoint(true)
+        // removed stays a LAZY union of per-wave checkpointed slices
+        // (depth = KcorePeels, bounded): re-checkpointing the union
+        // copied the accumulated set every wave for nothing (r18) —
+        // the per-wave slices below are cached through `alive`'s and
+        // `edges`'s checkpoints, and removed is only SCANNED at the end
         var removed = Seq.empty[(Long, Long)].toDF("custkey", "removed_round")
         // plain (non-rebased) checkpoints are correct HERE: the loop's
         // joins against carried frames are left/left_semi, whose size
@@ -327,12 +352,11 @@ object Graph {
           // wave has no degree row at all — it peels as degree 0
           val annotated = alive.join(deg, Seq("v"), "left")
             .withColumn("deg", coalesce($"deg", lit(0L)))
+            .localCheckpoint(true)
           removed = removed.union(
               annotated.filter($"deg" < KcoreK)
                 .select($"v".as("custkey"), lit(r.toLong).as("removed_round")))
-            .localCheckpoint(true)
-          alive = annotated.filter($"deg" >= KcoreK)
-            .select($"v").localCheckpoint(true)
+          alive = annotated.filter($"deg" >= KcoreK).select($"v")
           edges = edges
             .join(alive.select($"v".as("s")), Seq("s"), "left_semi")
             .join(alive.select($"v".as("d")), Seq("d"), "left_semi")
@@ -342,6 +366,7 @@ object Graph {
         removed
           .union(alive.select($"v".as("custkey"), lit(0L).as("removed_round")))
           .orderBy($"custkey")
+        }
       },
       Some(KcoreOracle)),
 
@@ -381,9 +406,12 @@ object Graph {
               "named_struct('x', a, 'y', b)))), s -> s.x < s.y)")).as("e"))
           .select($"e.x".as("x"), $"e.y".as("y"))
           .distinct()
+        // lazy checkpoint materialized by the sizing count (r18)
         val edges = und.select($"x".as("s"), $"y".as("d"))
           .union(und.select($"y".as("s"), $"x".as("d")))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
+        val m = edges.count()
+        graft.Materialize.loopScoped(s, graft.Materialize.loopParts(s, m)) {
         var labels = edges.select($"s".as("v")).distinct()
           .withColumn("label", $"v").localCheckpoint(true)
         val byNode = Window.partitionBy($"v").orderBy($"cnt".desc, $"label")
@@ -400,6 +428,7 @@ object Graph {
         }
         labels.select($"v".as("custkey"), $"label".as("community"))
           .orderBy($"custkey")
+        }
       },
       Some(LpaOracle)),
 
@@ -425,10 +454,13 @@ object Graph {
         import s.implicits._
         val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
         val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        // lazy checkpoint materialized by the sizing count (r18)
         val pairs = li.join(ord, $"l_orderkey" === $"o_orderkey")
           .select($"o_custkey".as("c"), $"l_suppkey".as("p"))
           .distinct()
-          .localCheckpoint(true)
+          .localCheckpoint(false)
+        val m = pairs.count()
+        graft.Materialize.loopScoped(s, graft.Materialize.loopParts(s, m)) {
         // h0 = 1 for every customer; each round: a(s) = Σ h(c) over
         // in-edges, then h(c) = Σ a(s) over out-edges. Every supplier
         // has an in-edge and every customer an out-edge by construction
@@ -454,6 +486,7 @@ object Graph {
           .orderBy($"score".desc, $"node_id").limit(50)
         topHubs.unionAll(topAuths)
           .orderBy($"node_type", $"score".desc, $"node_id")
+        }
       },
       Some(HitsOracle)),
 
@@ -623,16 +656,30 @@ object Graph {
     // it), so nothing outlives the query (CacheHygieneSpec).
     val raw = edgeList
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // lazy checkpoint materialized by the sizing aggregate: ONE job
+    // computes out-degrees, caches them, and reads (node count, edge
+    // count) — n drives the teleport term and the broadcast decision
+    // exactly as before, m sizes the loop's shuffle parallelism (r18
+    // fused-action convention, graft.Materialize.checkpointRebasedAgg)
     val outdeg = raw.groupBy($"src", $"src_t")
       .agg(count(lit(1)).as("deg"))
       .select($"src".as("id"), $"src_t".as("t"), $"deg")
-      .localCheckpoint(true)
-    val n = outdeg.count()
+      .localCheckpoint(false)
+    val (n, m) = outdeg
+      .agg(count(lit(1)), coalesce(sum($"deg"), lit(0L)))
+      .as[(Long, Long)].head()
     val bcastLimit =
       s.conf.getOption("graft.pagerank.broadcastNodes").map(_.toLong)
         .getOrElse(1000000L)
     def side(df: org.apache.spark.sql.DataFrame) =
       if (n <= bcastLimit) broadcast(df) else df
+    // the layout pass and all five rounds run under EDGE-count-derived
+    // shuffle parallelism with AQE off (graft.Materialize.loopScoped):
+    // the per-round exchanges (contrib aggregate, rank join when not
+    // broadcast) are already right-sized by the data, so AQE's
+    // per-stage re-planning only fragments each round into extra
+    // driver-sequential jobs
+    graft.Materialize.loopScoped(s, graft.Materialize.loopParts(s, m)) {
     // Large n additionally pays ONE extra pass to lay edges out by
     // source key, so all five rank joins reuse that partitioning
     // instead of reshuffling the corpus-scale side per round; small n
@@ -667,6 +714,7 @@ object Graph {
     }
     edges.unpersist(false)
     ranks.select($"id", $"t", $"score")
+    }
   }
 
   /** The oracle unrolls the identical five rounds as chained CTEs over
