@@ -1420,6 +1420,39 @@ object Lakehouse {
     }
   }
 
+  /** The action frame the RESTORE/BRANCH mask guards must read when
+    * their target is a HISTORICAL version `v` (ADVICE r17 medium): on a
+    * retention-vacuumed log [[occPlanningFrame]] bootstraps through the
+    * `_last_checkpoint` POINTER, and dv/eqdel actions retired at or
+    * below the pointer are netted out of that snapshot — so a guard
+    * reading it would miss a mask that was LIVE at a v inside
+    * [retention floor, pointer) and pass a restore that resurrects the
+    * file without its mask. Resolve through the OLDEST retained usable
+    * checkpoint ≤ v instead (the occChangeFeed r17 convention): every
+    * action in (that checkpoint, head] is then explicit, and the
+    * snapshot's netting only hides masks whose files were already gone
+    * at or below that floor — provably not live at any answerable v.
+    * Refusal cases mirror [[occAsOf]]'s: a v below every retained
+    * usable checkpoint is expired and refuses loudly. */
+  private[graft] def occGuardFrame(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      v: Int): org.apache.spark.sql.DataFrame = {
+    val vs = occVersions(new java.io.File(root, "commits"))
+    if (vs.nonEmpty && vs.min == 0) occLogWithVersions(s, root)
+    else {
+      val cps = occCheckpointVersions(root)
+      require(cps.nonEmpty,
+        s"log starts at v${vs.headOption.getOrElse(-1)} with no " +
+          "checkpoint — the truncated history is unreachable")
+      val usable = cps.filter(c => c <= v &&
+        (c + 1 >= vs.headOption.getOrElse(c + 1)))
+      require(usable.nonEmpty,
+        s"version v$v expired: the log is truncated to checkpoint " +
+          s"v${cps.min}")
+      occFrameFromCheckpoint(s, root, usable.min)
+    }
+  }
+
   /** VERSION AS OF over the OCC log (e22): the net table state after
     * replaying commits ≤ `v` — one manifest-sized read of the retained
     * log prefix, remove actions applied ([[occVisible]]). Works because
@@ -1574,7 +1607,12 @@ object Lakehouse {
       s: org.apache.spark.sql.SparkSession, root: java.io.File,
       v: Int): Option[OccResult] = {
     import s.implicits._
-    val frame = occPlanningFrame(s, root)
+    // guard-scoped frame resolution (ADVICE r17 medium): on a
+    // retention-vacuumed log the planning frame's pointer checkpoint
+    // nets out masks retired below the pointer, hiding a mask that was
+    // live AT a target v inside [retention floor, pointer) — resolve
+    // through the oldest retained usable checkpoint ≤ v instead
+    val frame = occGuardFrame(s, root, v)
     // Row-level-delete guard, scoped to what file-granularity restore
     // can actually mis-state (ADVICE r16 low asked for liveness-now —
     // a dv'd-then-rewritten file must not block forever; the round-17
@@ -1689,21 +1727,46 @@ object Lakehouse {
 
   /** Create an immutable TAG naming `v` (Iceberg's tag): one small ref
     * file, claimed put-if-absent — two writers racing the same tag name
-    * is a detected conflict, and a tag can never be silently moved. */
+    * is a detected conflict, and a tag can never be silently moved.
+    * `v` is validated against the log's answerable range at creation
+    * (ADVICE r17: a typo'd future tag used to clamp the vacuum floor
+    * uselessly and only fail at AS-OF time), and the ref body is staged
+    * to a temp name first so a torn write can never leave a ref whose
+    * `toInt` crashes a later vacuum — the put-if-absent claim stays the
+    * final CREATE_NEW of the real name. */
   private[graft] def occTag(
       root: java.io.File, name: String, v: Int): Unit = {
+    val head = occHeadVersion(root)
+    require(v >= 0 && v <= head,
+      s"tag '$name' names v$v but the log's head is v$head — " +
+        "refs must name an existing version")
     val dir = occRefsDir(root)
     dir.mkdirs()
+    writeRefClaimed(dir, s"tag_$name", v,
+      s"tag '$name' already exists — tags are immutable")
+  }
+
+  /** Stage a ref body under a temp name, then claim the final name with
+    * CREATE_NEW via an atomic link — the torn-ref-file guard shared by
+    * [[occTag]] and [[occBranch]]. On any modern local FS createLink of
+    * a complete source is atomic; the CREATE_NEW semantics (claim
+    * conflict = loud failure) are unchanged. */
+  private def writeRefClaimed(dir: java.io.File, refName: String, v: Int,
+                              conflictMsg: String): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(dir.toPath, s".$refName", ".tmp")
     try {
-      java.nio.file.Files.write(
-        new java.io.File(dir, s"tag_$name").toPath,
-        v.toString.getBytes,
-        java.nio.file.StandardOpenOption.CREATE_NEW)
+      java.nio.file.Files.write(tmp, v.toString.getBytes)
+      try {
+        java.nio.file.Files.createLink(
+          new java.io.File(dir, refName).toPath, tmp)
+        ()
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(conflictMsg)
+      }
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp)
       ()
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"tag '$name' already exists — tags are immutable")
     }
   }
 
@@ -1714,14 +1777,28 @@ object Lakehouse {
   }
 
   /** Delete a ref (tag or branch) — versions it pinned become
-    * expirable again at the next vacuum. */
+    * expirable again at the next vacuum. The branch NAMESPACE goes
+    * first, the ref file last (ADVICE r17 / VERDICT r17 "what's wrong"
+    * #2): the old order could crash between the two and leave orphan
+    * `branches/<name>/commits` that a later [[occBranch]] of the same
+    * name would silently adopt — replaying a dead incarnation's adds on
+    * top of the new base. With the namespace deleted first, a crash
+    * leaves only a dangling ref file, which is tolerated: re-creating
+    * the branch still conflicts loudly (tags/branches are put-if-
+    * absent), and dropping it again completes the cleanup. */
   private[graft] def occDropRef(root: java.io.File, refFile: String): Unit = {
-    java.nio.file.Files.delete(
-      new java.io.File(occRefsDir(root), refFile).toPath)
     val br = new java.io.File(new java.io.File(root, "branches"),
       refFile.stripPrefix("branch_"))
-    if (refFile.startsWith("branch_") && br.isDirectory)
-      deleteRecursively(br.toPath)
+    val hadNamespace = refFile.startsWith("branch_") && br.isDirectory
+    if (hadNamespace) deleteRecursively(br.toPath)
+    // deleteIfExists, not delete: the LEGACY crash window (pre-r18
+    // ordering: ref deleted, namespace orphaned) is cleaned up by
+    // re-running the drop, which must not trip over the already-gone
+    // ref. Dropping a ref that left NO trace is still a loud error.
+    val hadRef = java.nio.file.Files.deleteIfExists(
+      new java.io.File(occRefsDir(root), refFile).toPath)
+    require(hadRef || hadNamespace,
+      s"no ref '$refFile' under ${root.getName} — nothing to drop")
   }
 
   /** Every version a ref still references — tag versions and branch
@@ -1748,18 +1825,24 @@ object Lakehouse {
   private[graft] def occBranch(
       root: java.io.File, name: String): Int = {
     val base = occHeadVersion(root)
+    // a leftover namespace from a crashed drop (ref deleted, dir not —
+    // the pre-r18 ordering) must never be adopted into a NEW branch of
+    // the same name: its commits would replay a dead incarnation's adds
+    // on top of the new base (ADVICE r17). occDropRef now deletes the
+    // namespace first, so a leftover here means either that legacy
+    // crash window or a genuinely live branch whose ref claim below
+    // would conflict anyway — refuse loudly rather than inherit.
+    val broot = occBranchRoot(root, name)
+    val leftover = new java.io.File(broot, "commits")
+    require(!leftover.isDirectory ||
+      Option(leftover.list()).forall(_.isEmpty),
+      s"branch namespace '${broot.getPath}' already holds commits — " +
+        "drop the leftover namespace (occDropRef) before re-creating " +
+        "the branch")
     val dir = occRefsDir(root)
     dir.mkdirs()
-    try java.nio.file.Files.write(
-      new java.io.File(dir, s"branch_$name").toPath,
-      base.toString.getBytes,
-      java.nio.file.StandardOpenOption.CREATE_NEW)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"branch '$name' already exists")
-    }
-    val broot = occBranchRoot(root, name)
+    writeRefClaimed(dir, s"branch_$name", base,
+      s"branch '$name' already exists")
     broot.mkdirs()
     java.nio.file.Files.write(
       new java.io.File(broot, "_last_checkpoint").toPath,
@@ -1814,7 +1897,10 @@ object Lakehouse {
       name: String): Seq[(String, Long, Long, Long, Long, Long)] = {
     import s.implicits._
     val base = occBranchBase(root, name)
-    val main = occPlanningFrame(s, root)
+    // guard-scoped resolution, same rationale as occRestore's (ADVICE
+    // r17 medium): the pointer checkpoint nets out masks retired below
+    // the pointer, which could hide one live AT the branch base
+    val main = occGuardFrame(s, root, base)
     require(main.filter(col("action").isin("dv", "eqdel"))
       .filter(col("version") <= base).limit(1).count() == 0,
       "main carries row-level deletes at the branch base — " +
@@ -2118,6 +2204,8 @@ object Lakehouse {
     require(vs.contains(at), s"no schema epoch v$at under $root/schemas " +
       s"(have ${vs.mkString(",")})")
     val cur = readMappedSchema(root, at)
+    require(cur.nonEmpty, s"schema epoch v$at has no fields — " +
+      "a zero-column table cannot be scanned")
     // validate EVERY stamp before the epoch filter — a generation
     // stamped with a schema that does not exist is corruption, and the
     // AS-OF filter must not silently hide it
@@ -2134,9 +2222,18 @@ object Lakehouse {
         .map(f => f.id -> f.physical).toMap
       val cols = cur.flatMap(f =>
         physById.get(f.id).map(p => col(p).as(f.logical)))
-      if (cols.isEmpty) None
-      else Some(s.read.parquet(dir.getAbsolutePath).select(cols: _*))
-    }.flatten
+      // a generation whose every field id was later dropped still
+      // CONTRIBUTES ROWS (ADVICE r17: Delta/Iceberg column mapping
+      // surfaces such rows as all-null — silently eliding them would
+      // change row counts after a drop-everything evolution): project
+      // it to one typed-null column of the current schema; the final
+      // select below fills the rest
+      if (cols.isEmpty) {
+        val f0 = cur.head
+        s.read.parquet(dir.getAbsolutePath)
+          .select(lit(null).cast(f0.ddl).as(f0.logical))
+      } else s.read.parquet(dir.getAbsolutePath).select(cols: _*)
+    }
     require(frames.nonEmpty, "no generation carries any current column")
     val unioned = frames.reduce(
       (a, b) => a.unionByName(b, allowMissingColumns = true))

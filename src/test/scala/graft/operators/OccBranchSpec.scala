@@ -211,4 +211,68 @@ class OccBranchSpec extends SparkTestBase {
       Lakehouse.occAsOf(spark, root, 0)
     }
   }
+
+  test("ADVICE r17: a drop that crashed mid-way never leaks a dead " +
+    "incarnation's commits into a re-created branch") {
+    val root = freshRoot()
+    val a = stage(root, "a", Seq(1, 2))
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+    assert(Lakehouse.occBranch(root, "audit") == 0)
+    val b = stage(root, "b", Seq(3))
+    Lakehouse.occBranchCommit(spark, root, "audit", Seq(fr(b)))
+    assert(branchKs(root, "audit") == Seq(1, 2, 3))
+    // simulate the LEGACY crash window (pre-r18 occDropRef deleted the
+    // ref first): ref file gone, branches/audit/commits still present
+    java.nio.file.Files.delete(
+      new java.io.File(Lakehouse.occRefsDir(root), "branch_audit").toPath)
+    // re-creating the branch must refuse to adopt the stale namespace
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.occBranch(root, "audit")
+    }
+    assert(e.getMessage.contains("already holds commits"))
+    // completing the drop clears the orphaned namespace (the ref is
+    // already gone — deleteIfExists tolerates the legacy window); a
+    // fresh branch then sees exactly the new base and nothing of the
+    // dead incarnation. Dropping a ref with NO trace left refuses.
+    Lakehouse.occDropRef(root, "branch_audit")
+    intercept[IllegalArgumentException] {
+      Lakehouse.occDropRef(root, "branch_audit")
+    }
+    assert(Lakehouse.occBranch(root, "audit") == 0)
+    assert(branchKs(root, "audit") == Seq(1, 2),
+      "the re-created branch adopted the dead incarnation's commits")
+    // the NEW ordering (namespace first, ref last): a drop interrupted
+    // after the namespace delete leaves only a dangling ref, which the
+    // put-if-absent claim reports loudly instead of silently adopting
+    val broot = Lakehouse.occBranchRoot(root, "audit")
+    Mixing.deleteRecursively(broot.toPath)
+    intercept[java.util.ConcurrentModificationException] {
+      Lakehouse.occBranch(root, "audit")
+    }
+    Lakehouse.occDropRef(root, "branch_audit") // tolerate: completes cleanup
+    assert(Lakehouse.occBranch(root, "audit") == 0)
+  }
+
+  test("ADVICE r17: refs validate their version at creation and " +
+    "torn ref bodies cannot exist") {
+    val root = freshRoot()
+    val a = stage(root, "a", Seq(1))
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1)
+    // a future version refuses at tag time, not at AS-OF time
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.occTag(root, "future", 7)
+    }
+    assert(e.getMessage.contains("head is v0"))
+    intercept[IllegalArgumentException] {
+      Lakehouse.occTag(root, "negative", -1)
+    }
+    // valid tag lands; its body is complete (tmp+link staging means a
+    // reader can never observe a torn ref — pinned by reading it back)
+    Lakehouse.occTag(root, "prod", 0)
+    assert(Lakehouse.occTagVersion(root, "prod") == 0)
+    // no stray tmp staging files survive in the refs dir
+    val leftovers = Lakehouse.occRefsDir(root).listFiles()
+      .map(_.getName).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"staging leftovers: ${leftovers.toSeq}")
+  }
 }

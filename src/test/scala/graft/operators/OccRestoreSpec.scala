@@ -158,6 +158,52 @@ class OccRestoreSpec extends SparkTestBase {
       s"unnamed refusal: ${e.getMessage}")
   }
 
+  test("ADVICE r17: the restore mask guard sees masks netted out of the " +
+    "pointer checkpoint on a truncated log") {
+    import spark.implicits._
+    val root = freshRoot()
+    // v0 add `a`; cp_0; v1 dv on `a`; v2 rewrite retiring `a`; cp_2.
+    // Then v0's commit expires (cp_0 retained) — the ADVICE scenario:
+    // the planning frame bootstraps through the POINTER (cp_2), which
+    // nets out the dv (its file was retired at v2), so the old guard
+    // missed a mask that was LIVE at v1 and a restore to v1 would have
+    // resurrected `a` WITHOUT its mask — deleted rows reappearing.
+    val a = stage(root, "a", Seq(1, 2, 3))
+    Lakehouse.occCommit(spark, root, Seq(fr(a)), snapshotVersion = -1) // v0
+    Lakehouse.occCheckpoint(spark, root, upTo = 0)
+    val sidecar = new java.io.File(root, "dv1")
+    spark.read.parquet(a)
+      .select(org.apache.spark.sql.functions.col("_metadata.file_path")
+        .as("file"),
+        org.apache.spark.sql.functions.col("_metadata.row_index").as("pos"),
+        $"k")
+      .filter($"k" === 2).select($"file", $"pos")
+      .coalesce(1).write.parquet(sidecar.getAbsolutePath)
+    Lakehouse.occCommit(spark, root, Nil, snapshotVersion = 0,
+      dvs = Seq((a, sidecar.getAbsolutePath)))                        // v1
+    Lakehouse.occCompact(spark, root, Seq(a), "c0", snapshotVersion = 1,
+      stats = d => Seq((d.getAbsolutePath, 2L, 0L, 100L, 0L, 100L))) // v2
+    Lakehouse.occCheckpoint(spark, root, upTo = 2)
+    // simulate the retention expiry of v0 alone (cp_0 stays retained —
+    // the e34 floor shape); the log now starts at v1 with pointer = 2
+    Mixing.deleteRecursively(
+      new java.io.File(root, "commits/v00000.parquet").toPath)
+    // the guard must resolve through the OLDEST retained usable
+    // checkpoint <= v (cp_0), where the v1 dv is an explicit action —
+    // restore to v1 refuses instead of resurrecting `a` unmasked
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.occRestore(spark, root, 1)
+    }
+    assert(e.getMessage.contains("row-level deletes"),
+      s"unnamed refusal: ${e.getMessage}")
+    // the guard stays scoped: at v0 the dv was not yet live and touches
+    // no kept file, so the pre-dv restore still lands (the ADVICE r16
+    // contract, now also on a truncated log)
+    val res = Lakehouse.occRestore(spark, root, 0)
+    assert(res.isDefined && ks(root) == Seq(1, 2, 3),
+      "restore to the pre-dv version failed on the truncated log")
+  }
+
   test("e38: restore-through-deletes retires both mask flavors then rolls back; masked target versions still refuse") {
     import spark.implicits._
     val root = freshRoot()

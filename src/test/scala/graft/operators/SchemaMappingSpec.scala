@@ -137,4 +137,29 @@ class SchemaMappingSpec extends SparkTestBase {
     assert(e.getMessage.contains("unknown schema"),
       s"unnamed refusal: ${e.getMessage}")
   }
+
+  test("ADVICE r17: a generation whose every field id was later dropped " +
+    "still contributes all-null rows — row counts survive a " +
+    "drop-everything evolution") {
+    import spark.implicits._
+    val root = freshRoot()
+    Lakehouse.writeMappedSchema(root, 0, Seq(
+      Lakehouse.MappedField(1, "k", "k", "INT")))
+    val gen0 = new java.io.File(root, "gen0")
+    Seq(1, 2, 3).toDF("k").coalesce(1).write.parquet(gen0.getAbsolutePath)
+    Lakehouse.stampMappedGeneration(gen0, 0)
+    // v1 drops id 1 and adds a fresh id 2 — gen0 carries NO current id
+    Lakehouse.writeMappedSchema(root, 1, Seq(
+      Lakehouse.MappedField(2, "w", "w", "BIGINT")))
+    val gen1 = new java.io.File(root, "gen1")
+    Seq(10L).toDF("w").coalesce(1).write.parquet(gen1.getAbsolutePath)
+    Lakehouse.stampMappedGeneration(gen1, 1)
+    val scan = Lakehouse.mappedScan(spark, root)
+    assert(scan.columns.toSeq == Seq("w"))
+    // Delta/Iceberg surface gen0's rows as all-null, not as vanished
+    assert(scan.count() == 4,
+      "drop-everything evolution silently elided a generation's rows")
+    assert(scan.filter(col("w").isNull).count() == 3)
+    assert(scan.filter(col("w") === 10L).count() == 1)
+  }
 }
