@@ -446,20 +446,24 @@ object Lakehouse {
       .createTempDirectory(root.toPath, "_occ_tmp_").toFile
     try {
       val (app, txnV) = txn.getOrElse(("", -1L))
-      (rows.map { case (f, n, pmin, pmax, smin, smax) =>
-        (f, n, pmin, pmax, smin, smax, "add", dataChange, app, txnV, "")
-      } ++ removes.map(f =>
-        (f, 0L, 0L, 0L, 0L, 0L, "remove", dataChange, app, txnV, "")) ++
-        dvs.map { case (f, sidecar) =>
-          (f, 0L, 0L, 0L, 0L, 0L, "dv", dataChange, app, txnV, sidecar)
-        } ++ eqDeletes.map(f =>
-          (f, 0L, 0L, 0L, 0L, 0L, "eqdel", dataChange, app, txnV, "")))
-        .toDF("file", "rows", "pmin", "pmax", "smin", "smax", "action",
-          "dataChange", "app", "txn", "dv")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(new java.io.File(tmp, "m").getAbsolutePath)
-      val part = new java.io.File(tmp, "m").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
+      // DRIVER-SIDE parquet write (r18, guide §1.2): a commit is a
+      // manifest-sized metadata file — the Delta log-write shape, where
+      // the driver appends the log file directly. The previous
+      // coalesce(1) Spark write launched one job (task dispatch + a
+      // parquet task init) per commit at EVERY scale for a few dozen
+      // rows of metadata; schema/types are bit-compatible with the old
+      // Spark-written files (same names, INT64/UTF8/BOOLEAN, all
+      // optional, snappy), so mixed-vintage logs read identically.
+      val part = new java.io.File(tmp, "m.parquet")
+      writeCommitParquet(part,
+        rows.map { case (f, n, pmin, pmax, smin, smax) =>
+          (f, n, pmin, pmax, smin, smax, "add", dataChange, app, txnV, "")
+        } ++ removes.map(f =>
+          (f, 0L, 0L, 0L, 0L, 0L, "remove", dataChange, app, txnV, "")) ++
+          dvs.map { case (f, sidecar) =>
+            (f, 0L, 0L, 0L, 0L, 0L, "dv", dataChange, app, txnV, sidecar)
+          } ++ eqDeletes.map(f =>
+            (f, 0L, 0L, 0L, 0L, 0L, "eqdel", dataChange, app, txnV, "")))
       val mine =
         (rows.map(_._1) ++ removes ++ dvs.map(_._1) ++ eqDeletes).toSet
       // version floor from the checkpoint pointer (round-16 self-review):
@@ -506,6 +510,58 @@ object Lakehouse {
       throw new IllegalStateException(
         s"commit lost $maxAttempts consecutive claim races")
     } finally deleteRecursively(tmp.toPath)
+  }
+
+  /** The action-row schema every commit file carries — parsed once;
+    * field names/types match the pre-r18 Spark-written commits so
+    * mixed-vintage logs read identically. */
+  private lazy val CommitSchema: org.apache.parquet.schema.MessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message commit {
+        |  optional binary file (STRING);
+        |  optional int64 rows;
+        |  optional int64 pmin;
+        |  optional int64 pmax;
+        |  optional int64 smin;
+        |  optional int64 smax;
+        |  optional binary action (STRING);
+        |  optional boolean dataChange;
+        |  optional binary app (STRING);
+        |  optional int64 txn;
+        |  optional binary dv (STRING);
+        |}""".stripMargin)
+
+  /** Write one commit's action rows as a single parquet file, driver
+    * side — see the occCommit scaladoc note. */
+  private def writeCommitParquet(dest: java.io.File,
+      actionRows: Seq[(String, Long, Long, Long, Long, Long, String,
+        Boolean, String, Long, String)]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport
+      .setSchema(CommitSchema, conf)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(dest.getAbsolutePath))
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+      CommitSchema)
+    try actionRows.foreach { r =>
+      val g = gf.newGroup()
+      g.append("file", r._1)
+      g.append("rows", r._2)
+      g.append("pmin", r._3)
+      g.append("pmax", r._4)
+      g.append("smin", r._5)
+      g.append("smax", r._6)
+      g.append("action", r._7)
+      g.append("dataChange", r._8)
+      g.append("app", r._9)
+      g.append("txn", r._10)
+      g.append("dv", r._11)
+      w.write(g)
+    } finally w.close()
   }
 
   /** Net table state of an OCC commit-log frame: the add actions minus
