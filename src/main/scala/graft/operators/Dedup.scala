@@ -1493,9 +1493,11 @@ object Dedup {
                          corpusPassages: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import s.implicits._
+    // lazy checkpoint materialized by the Bloom-sizing count — one job,
+    // not two (the r18 fused-action convention)
     val batch = batchPassages
       .select($"doc_id", $"passage", xxhash64($"passage").as("h"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nKeys = math.max(batch.count(), 1L)
     val bloom = batch.stat.bloomFilter("h", nKeys, 0.01)
     val bloomB = s.sparkContext.broadcast(bloom)
