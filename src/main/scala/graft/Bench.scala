@@ -58,7 +58,6 @@ object Bench {
       Files.readString(Paths.get("/proc/loadavg")).trim
         .split("\\s+").take(3).toSeq.map(_.toDouble)
     }.toOption
-    val loadStart = loadavgNow
     // Hypervisor CPU-steal accounting (round 15): this box is a VM on
     // shared hardware, and a uniform 25-45% wall inflation has twice
     // been observed with loadavg_start < 0.3 — invisible to loadavg
@@ -71,8 +70,32 @@ object Bench {
       (f.sum, f(7)) // (total ticks, steal ticks)
     }.toOption
     val ticksStart = cpuTicks
+    // Per-core threshold + bounded idle-wait (VERDICT r18 #3 / "what's
+    // wrong" #3): the old ABSOLUTE default (1.5) tripped on every run of
+    // a 32-core box — the residual 1-min loadavg of the immediately
+    // preceding sbt/test process exceeds it even in a steal-0.04% quiet
+    // window, which blanked the driver's per-query PERF comparison two
+    // rounds running (prev_bench_ok/now_bench_ok both false). Default is
+    // now 0.25 load per core (8.0 at 32 cores, 2.0 at 8 — an actually-
+    // contended box still trips it); SPARK_GRAFT_MAX_LOAD still
+    // overrides with an absolute value as before. If the start load is
+    // above the threshold, idle-wait (untimed, before the warmup — the
+    // timing methodology is unchanged) up to SPARK_GRAFT_LOAD_WAIT_SEC
+    // (default 90 s) for the 1-min average to decay below it, so a
+    // bench launched on the tail of a test suite self-heals instead of
+    // self-flagging.
     val maxLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD").map(_.toDouble)
-      .getOrElse(1.5)
+      .getOrElse(0.25 * cpus.toInt)
+    val loadWaitSec = sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC").map(_.toInt)
+      .getOrElse(90)
+    var loadWaited = 0
+    while (loadavgNow.exists(_.head > maxLoad) && loadWaited < loadWaitSec) {
+      Thread.sleep(5000)
+      loadWaited += 5
+    }
+    // the recorded start load is the POST-WAIT reading — the state the
+    // measured queries actually ran under
+    val loadStart = loadavgNow
     val loadExceeded = loadStart.exists(_.head > maxLoad)
     if (loadExceeded)
       System.err.println(s"[bench] WARNING: 1-min loadavg " +
@@ -301,6 +324,7 @@ object Bench {
     val shortContextField =
       s""","warmup_sec":$warmupSec,"staged_cold":$stagedCold""" +
         s""","dispatch_ms_per_job":$dispatchMs""" +
+        (if (loadWaited > 0) s""","load_wait_sec":$loadWaited""" else "") +
         (if (filter.isDefined) ""","filtered":true""" else "")
     val contextField = shortContextField + jobsField
     // Per-family subtotals (VERDICT r12 #3): the family prefix is the

@@ -101,6 +101,22 @@ private[graft] object Materialize {
     c.sparkSession.createDataFrame(c.rdd, c.schema)
   }
 
+  /** [[checkpointRebased]] with a LAZY checkpoint (r19, guide §1.2):
+    * same plan truncation + stats rebase, but the materializing job is
+    * the CALLER'S next action over the frame instead of an immediate
+    * eager pass — for step-function outputs consumed by the following
+    * step (st17's per-batch labels/signatures) this removes one
+    * driver-sequential job per output per step, and an output the
+    * caller never reads (d28's one-shot discards the updated signature
+    * set) is never computed at all. Bounded growth: the NEXT step's
+    * first action materializes (and caches) the previous step's
+    * checkpoint, so the un-truncated plan depth never exceeds one
+    * step. */
+  def checkpointRebasedLazy(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint(false)
+    c.sparkSession.createDataFrame(c.rdd, c.schema)
+  }
+
   /** [[checkpointRebased]] whose materializing action doubles as the
     * caller's per-round scalar (r18, guide §1.2 "don't compute things
     * twice"): the iterative families all follow "checkpoint the round,
@@ -114,9 +130,22 @@ private[graft] object Materialize {
   def checkpointRebasedAgg[T](df: DataFrame)(agg: DataFrame => T)
       : (DataFrame, T) = {
     val c = df.localCheckpoint(false)
-    val v = agg(c) // one job: materialize the checkpoint + the scalar
+    // release the lazy checkpoint if the materializing aggregate throws
+    // (VERDICT r18 #4 — symmetry; convergence scalars don't throw
+    // mid-loop today, but a leaked cache entry would outlive the query)
+    val v = try agg(c) // one job: materialize the checkpoint + the scalar
+      catch { case t: Throwable => c.unpersist(false); throw t }
     (c.sparkSession.createDataFrame(c.rdd, c.schema), v)
   }
+
+  /** The loop families' shared shuffle-parallelism formula: one
+    * partition per ~100k carried rows (edges for the graph loops, pairs
+    * for CC), capped at the session's core count — scale-adaptive, so a
+    * 100 TB edge list still gets hundreds of partitions while a
+    * node-sized loop frame gets one. */
+  def loopParts(s: SparkSession, rows: Long): Int =
+    math.max(1, math.min(s.sparkContext.defaultParallelism,
+      (rows / 100000L).toInt + 1))
 
   /** Run `body` under LOOP-SCOPED shuffle parallelism with AQE off,
     * restoring the session values after (r18, guide §2.2/§2.4). The
@@ -129,16 +158,23 @@ private[graft] object Materialize {
     * 3-join round into 4-5 jobs of a few ms dispatch each (before/after
     * evidence: OPTIMIZATION_r18.md). Session values are restored in a
     * finally so caller plans (and st17's stream-scoped 8-partition
-    * setting) are untouched. */
-  /** The loop families' shared shuffle-parallelism formula: one
-    * partition per ~100k carried rows (edges for the graph loops, pairs
-    * for CC), capped at the session's core count — scale-adaptive, so a
-    * 100 TB edge list still gets hundreds of partitions while a
-    * node-sized loop frame gets one. */
-  def loopParts(s: SparkSession, rows: Long): Int =
-    math.max(1, math.min(s.sparkContext.defaultParallelism,
-      (rows / 100000L).toInt + 1))
-
+    * setting) are untouched.
+    *
+    * ASSUMES A SINGLE-THREADED SESSION (ADVICE r18): the conf mutation
+    * is session-global, so any query or stream PLANNED concurrently in
+    * the same SparkSession while a loop runs would silently pick up the
+    * loop-scoped settings. The Bench/Verify/HttpApi harnesses all plan
+    * sequentially; a caller that overlaps jobs (guide §2.6) must give
+    * loop queries their own session (`spark.newSession()` shares the
+    * context but isolates conf).
+    *
+    * Skew at scale (VERDICT r18): AQE-off also disables runtime
+    * skew-join splitting inside the loop — deliberate, because the loop
+    * joins' skew is SINGLE-KEY (a giant component's label, a hub node's
+    * edges), which AQE cannot split either (guide §2.5: it cannot split
+    * one enormous key). The CC propagate join neutralizes it
+    * structurally with a deterministic salt instead — see
+    * [[graft.operators.Dedup.connectedComponents]]. */
   def loopScoped[T](s: SparkSession, parts: Int)(body: => T): T = {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = s.conf.get("spark.sql.adaptive.enabled")

@@ -2165,9 +2165,15 @@ object Dedup {
     val freshFinal = fresh
       .join(broadcast(resolved), fresh("doc_id") === $"node", "left")
       .select($"doc_id", coalesce($"merged", $"doc_id").as("cluster_id"))
-    val newLabels = graft.Materialize.checkpointRebased(
+    // LAZY trailing checkpoints (r19 — VERDICT r18 #4): the step's two
+    // state outputs materialize in the CONSUMER's first action (the
+    // next micro-batch's joins, or the final sink for labels), not in
+    // two extra eager jobs per batch; d28's one-shot never computes the
+    // signature set it discards. Plan depth stays bounded at one step
+    // (the next step's action caches these before building on them).
+    val newLabels = graft.Materialize.checkpointRebasedLazy(
       standingFinal.union(freshFinal))
-    val newSigs = graft.Materialize.checkpointRebased(
+    val newSigs = graft.Materialize.checkpointRebasedLazy(
       sigs.union(bSig.select($"band", $"sg", $"new_id".as("id"))))
     (newLabels, newSigs)
   }

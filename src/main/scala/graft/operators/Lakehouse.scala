@@ -451,9 +451,13 @@ object Lakehouse {
       // the driver appends the log file directly. The previous
       // coalesce(1) Spark write launched one job (task dispatch + a
       // parquet task init) per commit at EVERY scale for a few dozen
-      // rows of metadata; schema/types are bit-compatible with the old
-      // Spark-written files (same names, INT64/UTF8/BOOLEAN, all
-      // optional, snappy), so mixed-vintage logs read identically.
+      // rows of metadata; field names and physical types match the old
+      // Spark-written files (INT64/UTF8/BOOLEAN, snappy). Repetition
+      // DIFFERS across vintages (ADVICE r18): the old tuple-derived
+      // writes marked primitive columns required, this path writes all
+      // columns optional — safe because no writer ever emits a null and
+      // the log READERS pin the action schema explicitly
+      // ([[ActionSchema]]) instead of trusting footer inference.
       val part = new java.io.File(tmp, "m.parquet")
       writeCommitParquet(part,
         rows.map { case (f, n, pmin, pmax, smin, smax) =>
@@ -487,9 +491,11 @@ object Lakehouse {
         // manifest-sized file, no data I/O)
         seen.filter(v => v > snapshotVersion && !checked.contains(v))
           .foreach { v =>
-            val theirs = s.read.parquet(
-              occCommitFile(commitsDir, v).getAbsolutePath)
-              .select("file").as[String].collect().toSet
+            // driver-side read (r19): the conflict set is one
+            // manifest-sized file; no Spark job per raced commit
+            val theirs = actionRowsLocal(Seq(
+              (occCommitFile(commitsDir, v), Some(v))))
+              .map(_.getString(0)).toSet
             if (theirs.exists(mine.contains))
               throw new java.util.ConcurrentModificationException(
                 s"commit v$v already added ${
@@ -564,6 +570,175 @@ object Lakehouse {
     } finally w.close()
   }
 
+  /** [[CommitSchema]] plus the persisted `version` column — the
+    * checkpoint-file shape (snapshot rows keep their original commit
+    * versions so sequence-scoped consumers stay exact). */
+  private lazy val CheckpointSchema: org.apache.parquet.schema.MessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message checkpoint {
+        |  optional binary file (STRING);
+        |  optional int64 rows;
+        |  optional int64 pmin;
+        |  optional int64 pmax;
+        |  optional int64 smin;
+        |  optional int64 smax;
+        |  optional binary action (STRING);
+        |  optional boolean dataChange;
+        |  optional binary app (STRING);
+        |  optional int64 txn;
+        |  optional binary dv (STRING);
+        |  optional int32 version;
+        |}""".stripMargin)
+
+  /** Write one checkpoint's rows ([[VersionedActionSchema]] order) as a
+    * single parquet file, driver side — the snapshot twin of
+    * [[writeCommitParquet]]. */
+  private def writeCheckpointParquet(dest: java.io.File,
+      rows: Seq[org.apache.spark.sql.Row]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport
+      .setSchema(CheckpointSchema, conf)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(dest.getAbsolutePath))
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+      CheckpointSchema)
+    val names = VersionedActionSchema.fieldNames
+    try rows.foreach { r =>
+      val g = gf.newGroup()
+      names.zipWithIndex.foreach { case (n, i) =>
+        if (!r.isNullAt(i)) r.get(i) match {
+          case v: String  => g.append(n, v)
+          case v: Long    => g.append(n, v)
+          case v: Int     => g.append(n, v)
+          case v: Boolean => g.append(n, v)
+          case v => throw new IllegalArgumentException(
+            s"unexpected checkpoint cell type for $n: ${v.getClass}")
+        }
+      }
+      w.write(g)
+    } finally w.close()
+  }
+
+  /** The 11 action columns as a SPARK schema, pinned for every log read
+    * (ADVICE r18: commit files ship in two parquet vintages — required
+    * primitives from the old tuple-derived Spark writes, all-optional
+    * from [[writeCommitParquet]] — so footer inference picks an
+    * arbitrary repetition; pinning makes the choice irrelevant). */
+  private[graft] lazy val ActionSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("file", StringType), StructField("rows", LongType),
+      StructField("pmin", LongType), StructField("pmax", LongType),
+      StructField("smin", LongType), StructField("smax", LongType),
+      StructField("action", StringType),
+      StructField("dataChange", BooleanType),
+      StructField("app", StringType), StructField("txn", LongType),
+      StructField("dv", StringType)))
+  }
+
+  /** [[ActionSchema]] plus the commit `version` — the planning-frame
+    * shape ([[occLogWithVersions]]/[[occFrameFromCheckpoint]]). */
+  private[graft] lazy val VersionedActionSchema
+      : org.apache.spark.sql.types.StructType =
+    ActionSchema.add(org.apache.spark.sql.types.StructField("version",
+      org.apache.spark.sql.types.IntegerType))
+
+  /** Log files at or below this TOTAL size assemble driver-side
+    * ([[actionRowsLocal]]); bigger logs keep the distributed
+    * schema-pinned Spark read. Commit/checkpoint files are
+    * manifest-sized (KBs here, MBs at 100 TB — one row per data file
+    * action, never data), so the default keeps every realistic log
+    * driver-side while bounding driver memory the way Delta bounds its
+    * driver-side log replay. Conf `graft.occ.localLogMaxBytes`
+    * overrides (data-derived gate, not a core-count tunable). */
+  private def localLogMaxBytes(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.getOption("graft.occ.localLogMaxBytes").map(_.toLong)
+      .getOrElse(64L << 20)
+
+  /** Read action files DRIVER-SIDE through parquet-hadoop (r19, guide
+    * §1.2/§6 — the read-side twin of [[writeCommitParquet]]): the OCC
+    * log READ plane previously paid a `spark.read.parquet` per helper
+    * call — file listing, footer resolution and one collect JOB each,
+    * at every scale, for manifest-sized metadata (e39 spent most of its
+    * 82 jobs there). Reading the log on the driver is how Delta itself
+    * replays its log; downstream planning stays DataFrame-shaped via a
+    * LocalRelation ([[localActionFrame]]), which Catalyst folds
+    * filters/projections into — planning collects stop launching jobs
+    * entirely. `version` comes stamped from the commit file's name
+    * (`Some(v)`) or from the file's own persisted column (checkpoints,
+    * `None`). Tolerant of both commit-file vintages (absent fields read
+    * as null; none are null in practice — see [[occCommit]]). */
+  private def actionRowsLocal(files: Seq[(java.io.File, Option[Int])])
+      : Seq[org.apache.spark.sql.Row] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    files.foreach { case (f, stamp) =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath))
+        .withConf(new org.apache.hadoop.conf.Configuration())
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          def has(n: String): Boolean =
+            g.getType.containsField(n) && g.getFieldRepetitionCount(n) > 0
+          def str(n: String): String = if (has(n)) g.getString(n, 0) else null
+          def lng(n: String): java.lang.Long =
+            if (has(n)) Long.box(g.getLong(n, 0)) else null
+          def bool(n: String): java.lang.Boolean =
+            if (has(n)) Boolean.box(g.getBoolean(n, 0)) else null
+          val ver: java.lang.Integer = stamp.map(Int.box).getOrElse(
+            if (has("version")) Int.box(g.getInteger("version", 0)) else null)
+          buf += org.apache.spark.sql.Row(
+            str("file"), lng("rows"), lng("pmin"), lng("pmax"),
+            lng("smin"), lng("smax"), str("action"), bool("dataChange"),
+            str("app"), lng("txn"), str("dv"), ver)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    buf.toSeq
+  }
+
+  /** The exact file set the most recent [[actionFrame]] call opened —
+    * the read-set observability `DataFrame.inputFiles` used to provide
+    * before the log reads went driver-side (a LocalRelation carries no
+    * input files); OccCommitSpec's bootstrap contract ("opened only
+    * 1 + |tail| manifests") pins it. */
+  @volatile private[graft] var lastLogReadFiles: Seq[String] = Nil
+
+  /** Versioned action frame over `files`, driver-side when the total
+    * bytes fit [[localLogMaxBytes]] (LocalRelation — zero scan jobs),
+    * schema-pinned Spark read otherwise (same rows, distributed). */
+  private def actionFrame(s: org.apache.spark.sql.SparkSession,
+      files: Seq[(java.io.File, Option[Int])])
+      : org.apache.spark.sql.DataFrame = {
+    lastLogReadFiles = files.map(_._1.getAbsolutePath)
+    if (files.map(_._1.length()).sum <= localLogMaxBytes(s)) {
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(actionRowsLocal(files).asJava, VersionedActionSchema)
+    } else {
+      // distributed fallback: stamped files read under ActionSchema with
+      // the version parsed from the file name (the pre-r19 shape);
+      // checkpoint-style files carry their persisted version column
+      val (stamped, persisted) = files.partition(_._2.isDefined)
+      val parts = Seq(
+        if (stamped.isEmpty) None
+        else Some(s.read.schema(ActionSchema)
+          .parquet(stamped.map(_._1.getAbsolutePath): _*)
+          .withColumn("version", regexp_extract(input_file_name(),
+            "v(\\d{5})\\.parquet", 1).cast("int"))),
+        if (persisted.isEmpty) None
+        else Some(s.read.schema(VersionedActionSchema)
+          .parquet(persisted.map(_._1.getAbsolutePath): _*))).flatten
+      parts.reduce(_ unionByName _)
+    }
+  }
+
   /** Net table state of an OCC commit-log frame: the add actions minus
     * every path a remove action retired (a rewrite's victims). Planning
     * must apply this BEFORE any stats pruning — remove rows carry no
@@ -608,8 +783,7 @@ object Lakehouse {
       occCommit(s, path,
         footerBoxRows(new java.io.File(zroot, "delta")),
         snapshotVersion = 0)
-      val visible = occVisible(s.read.parquet(
-          new java.io.File(path, "commits").getAbsolutePath))
+      val visible = occVisible(occLogWithVersions(s, path))
         .select($"file").as[String].collect().toSeq.sorted
       val sidecar = new java.io.File(path, "dv_v2")
       s.read.parquet(visible: _*)
@@ -680,13 +854,15 @@ object Lakehouse {
   }
 
   /** The commit log with each action's VERSION (parsed from its commit
-    * file's name) — the sequence number Iceberg scopes deletes by. */
+    * file's name) — the sequence number Iceberg scopes deletes by.
+    * Assembled driver-side ([[actionFrame]], r19). */
   private[graft] def occLogWithVersions(
       s: org.apache.spark.sql.SparkSession, root: java.io.File)
-      : org.apache.spark.sql.DataFrame =
-    s.read.parquet(new java.io.File(root, "commits").getAbsolutePath)
-      .withColumn("version", regexp_extract(input_file_name(),
-        "v(\\d{5})\\.parquet", 1).cast("int"))
+      : org.apache.spark.sql.DataFrame = {
+    val commitsDir = new java.io.File(root, "commits")
+    actionFrame(s, occVersions(commitsDir)
+      .map(v => (occCommitFile(commitsDir, v), Some(v))))
+  }
 
   /** Sequence-scoped scan with EQUALITY DELETES applied: a delete file
     * committed at version d masks key-matching rows ONLY in data files
@@ -1340,22 +1516,14 @@ object Lakehouse {
     // self-review; the pre-e34 floor always equalled the pointer, so
     // the overlap was empty)
     val srcs = vs.filter(v => v <= upTo && prevCp.forall(v > _._2))
-      .map(v => occCommitFile(commitsDir, v).getAbsolutePath)
+      .map(v => (occCommitFile(commitsDir, v), Option(v)))
     require(srcs.nonEmpty || prevCp.nonEmpty,
       s"no commits at or below v$upTo to checkpoint")
     val tmp = java.nio.file.Files
       .createTempDirectory(root.toPath, "_cp_tmp_").toFile
     try {
-      val actionCols = Seq("file", "rows", "pmin", "pmax", "smin", "smax",
-        "action", "dataChange", "app", "txn", "dv").map(col)
-      val fresh =
-        if (srcs.isEmpty) None
-        else Some(s.read.parquet(srcs: _*)
-          .withColumn("version", regexp_extract(input_file_name(),
-            "v(\\d{5})\\.parquet", 1).cast("int")))
-      val base = prevCp.map(f => s.read.parquet(f._1.getAbsolutePath)
-        .select(actionCols :+ col("version"): _*))
-      val all = (base.toSeq ++ fresh.toSeq).reduce(_ unionByName _)
+      val all = actionFrame(s,
+        prevCp.map(f => (f._1, Option.empty[Int])).toSeq ++ srcs)
       val net = occVisible(all)
       // dv actions of still-visible files ride the checkpoint (Delta
       // embeds the DV descriptor in the checkpointed add); a retired
@@ -1384,11 +1552,17 @@ object Lakehouse {
           lit(0L).as("smin"), lit(0L).as("smax"), lit("txn").as("action"),
           lit(false).as("dataChange"), col("app"), col("txn"),
           lit("").as("dv"), lit(upTo).as("version"))
-      net.unionByName(liveDvs).unionByName(liveEqs).unionByName(txns)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(new java.io.File(tmp, "m").getAbsolutePath)
-      val part = new java.io.File(tmp, "m").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
+      // DRIVER-SIDE snapshot write (r19 — the checkpoint is manifest-
+      // sized metadata, same shape as the commit write): collect the
+      // net rows and write through parquet-hadoop, replacing the
+      // per-checkpoint coalesce(1) Spark job. Staging + ATOMIC_MOVE
+      // publication unchanged.
+      val cpRows = net.unionByName(liveDvs).unionByName(liveEqs)
+        .unionByName(txns)
+        .select(VersionedActionSchema.fieldNames.map(col): _*)
+        .collect().toSeq
+      val part = new java.io.File(tmp, "m.parquet")
+      writeCheckpointParquet(part, cpRows)
       val target = new java.io.File(cpDir, f"cp_v$upTo%05d.parquet")
       java.nio.file.Files.deleteIfExists(target.toPath)
       java.nio.file.Files.move(part.toPath, target.toPath,
@@ -1445,13 +1619,8 @@ object Lakehouse {
     val cp = new java.io.File(new java.io.File(root, "checkpoints"),
       f"cp_v$cpX%05d.parquet")
     val tail = occVersions(commitsDir).filter(_ > cpX)
-    val snap = s.read.parquet(cp.getAbsolutePath)
-    if (tail.isEmpty) snap
-    else snap.unionByName(
-      s.read.parquet(
-          tail.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
-        .withColumn("version", regexp_extract(input_file_name(),
-          "v(\\d{5})\\.parquet", 1).cast("int")))
+    actionFrame(s, (cp, None) +: tail.map(v =>
+      (occCommitFile(commitsDir, v), Some(v))))
   }
 
   /** The VERSIONED planning frame every batch entry point reads (e33 —
@@ -1547,15 +1716,17 @@ object Lakehouse {
       val cp = new java.io.File(new java.io.File(root, "checkpoints"),
         f"cp_v$cpX%05d.parquet")
       val tail = vs.filter(x => x > cpX && x <= v)
-        .map(x => occCommitFile(commitsDir, x).getAbsolutePath)
-      return occVisible(s.read.parquet(cp.getAbsolutePath +: tail: _*)
+        .map(x => (occCommitFile(commitsDir, x), Some(x)))
+      return occVisible(actionFrame(s, (cp, None) +: tail)
         .select("file", "rows", "pmin", "pmax", "smin", "smax",
           "action", "dataChange", "app", "txn", "dv"))
     }
     val srcs = vs.filter(_ <= v)
-      .map(x => occCommitFile(commitsDir, x).getAbsolutePath)
+      .map(x => (occCommitFile(commitsDir, x), Some(x)))
     require(srcs.nonEmpty, s"no commits at or below v$v")
-    occVisible(s.read.parquet(srcs: _*))
+    occVisible(actionFrame(s, srcs)
+      .select("file", "rows", "pmin", "pmax", "smin", "smax",
+        "action", "dataChange", "app", "txn", "dv"))
   }
 
   /** VACUUM + LOG TRUNCATION for the OCC plane (e30 — the lifecycle
@@ -1608,8 +1779,8 @@ object Lakehouse {
     val floor = floors.max
     val prefix = vs.filter(_ <= floor)
     if (prefix.isEmpty) return (Nil, Nil)
-    val frame = s.read.parquet(prefix.map(v =>
-      occCommitFile(commitsDir, v).getAbsolutePath): _*)
+    val frame = actionFrame(s, prefix.map(v =>
+      (occCommitFile(commitsDir, v), Some(v))))
     // retired at ≤ floor — removed, and (by occVisible) absent from
     // every snapshot a reader can still reach
     val retired = frame.filter(col("action") === "remove")
@@ -1806,19 +1977,32 @@ object Lakehouse {
     * CREATE_NEW via an atomic link — the torn-ref-file guard shared by
     * [[occTag]] and [[occBranch]]. On any modern local FS createLink of
     * a complete source is atomic; the CREATE_NEW semantics (claim
-    * conflict = loud failure) are unchanged. */
+    * conflict = loud failure) are unchanged. Filesystems WITHOUT hard
+    * links (some overlay/network FS — ADVICE r18) fall back to a
+    * CREATE_NEW write: the body is version-digit-sized, so the write is
+    * one syscall and the put-if-absent conflict semantics hold. */
   private def writeRefClaimed(dir: java.io.File, refName: String, v: Int,
                               conflictMsg: String): Unit = {
     val tmp = java.nio.file.Files.createTempFile(dir.toPath, s".$refName", ".tmp")
+    val dest = new java.io.File(dir, refName).toPath
     try {
       java.nio.file.Files.write(tmp, v.toString.getBytes)
       try {
-        java.nio.file.Files.createLink(
-          new java.io.File(dir, refName).toPath, tmp)
+        java.nio.file.Files.createLink(dest, tmp)
         ()
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           throw new java.util.ConcurrentModificationException(conflictMsg)
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          // no hard-link support here — CREATE_NEW keeps put-if-absent
+          try {
+            java.nio.file.Files.write(dest, v.toString.getBytes,
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            ()
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              throw new java.util.ConcurrentModificationException(conflictMsg)
+          }
       }
     } finally {
       java.nio.file.Files.deleteIfExists(tmp)
@@ -2440,8 +2624,7 @@ object Lakehouse {
       else {
         val vs = occVersions(commitsDir)
         if (vs.isEmpty) return -1L
-        s.read.parquet(
-          vs.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
+        actionFrame(s, vs.map(v => (occCommitFile(commitsDir, v), Some(v))))
       }
     val row = frame.filter(col("app") === app)
       .agg(max(col("txn"))).head()
@@ -2492,8 +2675,8 @@ object Lakehouse {
     occRequireWindowRetained(root, from)
     val vs = occVersions(commitsDir).filter(v => v > from && v <= to)
     if (vs.isEmpty) return (Nil, Nil)
-    val m = s.read.parquet(
-        vs.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
+    val m = actionFrame(s,
+        vs.map(v => (occCommitFile(commitsDir, v), Some(v))))
       .filter(col("dataChange"))
       .select(col("action"), col("file"))
       .collect()
@@ -2510,8 +2693,8 @@ object Lakehouse {
     occRequireWindowRetained(root, from)
     val vs = occVersions(commitsDir).filter(v => v > from && v <= to)
     if (vs.isEmpty) return Nil
-    s.read.parquet(
-        vs.map(v => occCommitFile(commitsDir, v).getAbsolutePath): _*)
+    actionFrame(s,
+        vs.map(v => (occCommitFile(commitsDir, v), Some(v))))
       .filter(col("dataChange") && col("action") === "dv")
       .select(col("file"), col("dv"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted

@@ -128,8 +128,11 @@ class OccCommitSpec extends SparkTestBase {
     assert(viaBootstrap == viaFullReplay,
       "snapshot+tail diverged from replaying the full commit log")
     // the physical bootstrap read set: one checkpoint + the four tail
-    // commits — never the seven log files
-    val opened = frame.inputFiles.toSeq.sorted
+    // commits — never the seven log files (r19: the log reads are
+    // driver-side, so the read set comes from the read plane's own
+    // record rather than DataFrame.inputFiles, which a LocalRelation
+    // does not carry)
+    val opened = Lakehouse.lastLogReadFiles.sorted
     assert(opened.size == 1 + tail.size,
       s"bootstrap opened ${opened.size} manifests: $opened")
     assert(opened.exists(_.contains("cp_v00002")), opened.toString)
