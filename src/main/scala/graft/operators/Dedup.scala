@@ -266,28 +266,86 @@ object Dedup {
         .withColumn("label", $"id"))(labelSum)
     var prevSum = -1L
     var rounds = 0
-    while (curSum != prevSum && rounds < maxRounds) {
-      val nmin = edges.join(labels, edges("b_id") === labels("id"))
+    // Salt width for the pointer-jump lookup (r19 — VERDICT r18: with
+    // AQE off inside the loop, nothing at runtime mitigates skew, and
+    // the jump join's probe side is keyed on `label`: as components
+    // coalesce, a giant component concentrates its entire membership on
+    // ONE hash partition — the single-enormous-key case AQE's skewJoin
+    // could not split anyway (guide §2.5). The deterministic salt
+    // spreads each label over `saltK` partitions: the probe salts by
+    // pmod(xxhash64(id), k) (id-derived — deterministic under task
+    // retry, unlike rand()), the lookup side replicates each (pid,
+    // plabel) row k ways, and the equi-join matches exactly one replica
+    // per probe row — provably the same rows as the unsalted join. Cost
+    // is (k-1)·n extra node-sized build rows per round, so k is capped
+    // (conf graft.cc.salt overrides) and tied to the loop's own
+    // data-derived partition count — at sf0.1 parts is 1-2 and the salt
+    // degenerates to a no-op column, at 100 TB it splits the hot label
+    // across up to 8 reducers. The NEIGHBOR-MIN join is left unsalted
+    // deliberately: its probe is the STATIONARY edge layout (partitioned
+    // by b_id once, reused every round — salting would re-shuffle the
+    // edges per round), and its downstream min() partial-aggregates
+    // map-side, so a hub key costs layout imbalance, not reducer
+    // explosion; SCALING.md carries the 100 TB story.
+    val saltK = s.conf.getOption("graft.cc.salt").map(_.toInt)
+      .getOrElse(math.min(parts, 8))
+    // One propagation round over `cur`: neighbor-min, propagate, salted
+    // pointer jump. `propagated` is LAZILY checkpointed (r19): the jump
+    // self-join's two branches shuffle it by DIFFERENT keys ((label,
+    // salt) probe vs (pid, salt) lookup), so exchange reuse never
+    // applies and the un-checkpointed propagate join executed TWICE
+    // per round; the lazy cache dedups that at zero extra jobs (it
+    // materializes inside whichever branch's stage runs first).
+    def ccRound(cur: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val nmin = edges.join(cur, edges("b_id") === cur("id"))
         .groupBy(edges("a_id").as("nid")).agg(min($"label").as("nmin"))
-      val propagated = labels.join(nmin, labels("id") === $"nid", "left")
-        .select(labels("id").as("id"),
-          least(labels("label"), coalesce($"nmin", labels("label"))).as("label"))
-      // checkpointRebasedAgg = the r13 stats-rebased checkpoint (each
-      // round's plan would otherwise multiply the PREVIOUS round's
-      // preserved sizeInBytes through three joins — by round ~10 the
-      // driver burns minutes in BigInteger.multiplyToomCook3; see
-      // [[graft.Materialize.checkpointRebased]]) FUSED with the
-      // convergence scalar: one job per round, not two (r18).
-      val (next, nextSum) = graft.Materialize.checkpointRebasedAgg(
-        propagated.as("x")
-          .join(propagated.select($"id".as("pid"), $"label".as("plabel")),
-            col("x.label") === $"pid", "left")
-          .select(col("x.id").as("id"),
-            coalesce($"plabel", col("x.label")).as("label")))(labelSum)
+      val propagated = graft.Materialize.checkpointRebasedLazy(
+        cur.join(nmin, cur("id") === $"nid", "left")
+          .select(cur("id").as("id"),
+            least(cur("label"), coalesce($"nmin", cur("label"))).as("label")))
+      val jump = propagated
+        .select($"id".as("pid"), $"label".as("plabel"),
+          explode(sequence(lit(0), lit(saltK - 1))).as("psalt"))
+      propagated.as("x")
+        .withColumn("xsalt",
+          pmod(xxhash64(col("x.id")), lit(saltK.toLong)).cast("int"))
+        .join(jump,
+          col("x.label") === $"pid" && col("xsalt") === col("psalt"),
+          "left")
+        .select(col("x.id").as("id"),
+          coalesce($"plabel", col("x.label")).as("label"))
+    }
+    // Convergence-check CADENCE (r19, guide §1.2): the label sum is
+    // monotone non-increasing and a fixpoint round is idempotent, so
+    // checking every k-th round is exact — sums equal across a k-block
+    // ⟺ no label moved inside it — at the cost of up to k−1 extra
+    // (already-converged, hence cheap) rounds. Small graphs (parts ≤ 2,
+    // the data-derived loop parallelism) are DISPATCH-bound: one
+    // materialized job per block instead of per round halves the
+    // driver-sequential job count. Large graphs are SHUFFLE-bound, so a
+    // wasted post-fixpoint round would cost real data movement: cadence
+    // stays 1 there. Conf graft.cc.convergeEvery overrides.
+    val ccBlock = s.conf.getOption("graft.cc.convergeEvery").map(_.toInt)
+      .getOrElse(if (parts <= 2) 2 else 1)
+    while (curSum != prevSum && rounds < maxRounds) {
+      val steps = math.min(ccBlock, maxRounds - rounds)
+      // intermediate rounds stay LAZY (plan-truncated, zero jobs); the
+      // block's last round materializes the whole chain FUSED with the
+      // convergence scalar — the r13 stats-rebased checkpoint (un-
+      // truncated plans would multiply the previous round's preserved
+      // sizeInBytes through three joins: by round ~10 the driver burns
+      // minutes in BigInteger.multiplyToomCook3) + the r18 fused-action
+      // convention: one job per BLOCK, not two per round.
+      var blockPlan = ccRound(labels)
+      for (_ <- 2 to steps)
+        blockPlan = ccRound(graft.Materialize.checkpointRebasedLazy(blockPlan))
+      val (next, nextSum) =
+        graft.Materialize.checkpointRebasedAgg(blockPlan)(labelSum)
       prevSum = curSum
       curSum = nextSum
       labels = next
-      rounds += 1
+      rounds += steps
     }
     if (curSum != prevSum)
       throw new IllegalStateException(
@@ -2125,8 +2183,13 @@ object Dedup {
       batch: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import s.implicits._
+    // LAZY checkpoints (r19): bSig materializes inside the first
+    // broadcast build that reads it, newEdges inside the contracted
+    // graph's CC sizing count — the two leading eager jobs per
+    // micro-batch fold into actions the step already pays. Both stay
+    // cached for their later consumers exactly as before.
     val bSig = bandSignaturesOn(batch, anchors, rowsPerBand)
-      .select($"band", $"sg", $"vec_id".as("new_id")).localCheckpoint(true)
+      .select($"band", $"sg", $"vec_id".as("new_id")).localCheckpoint(false)
     val bc = sigs.join(broadcast(bSig), Seq("band", "sg"))
       .select(least($"new_id", $"id").as("a_id"),
         greatest($"new_id", $"id").as("b_id"))
@@ -2142,7 +2205,7 @@ object Dedup {
       .withColumn("cosine",
         round(graft.functions.GraftFunctions.cosineSim($"av", $"bv"), 6))
       .filter($"cosine" >= threshold)
-      .select($"a_id", $"b_id").localCheckpoint(true)
+      .select($"a_id", $"b_id").localCheckpoint(false)
     val contracted = newEdges
       .join(labels.select($"doc_id".as("a_id"), $"cluster_id".as("la")),
         Seq("a_id"), "left")

@@ -206,18 +206,30 @@ object Graph {
           .filter($"c_nationkey" === 0)
           .select(lit("c").as("t"), $"c_custkey".as("id"), lit(0L).as("hop"))
         graft.Materialize.loopScoped(s, graft.Materialize.loopParts(s, m)) {
-        var dist = seeds.localCheckpoint(true)
+        var dist = seeds.localCheckpoint(false)
         var frontier = dist
+        // LAZY per-level checkpoints, ONE materializing job for the
+        // whole fixed-depth loop (r19, guide §1.2): the level plans
+        // stay truncated and cached exactly as before, but nothing
+        // forces a driver-sequential job per level — the LAST level's
+        // eager checkpoint pulls the entire chain (each lazy
+        // checkpoint caches at first compute, so every level still
+        // executes once), collapsing BfsHops+1 jobs into one. Only
+        // loops with NO data-dependent control flow can do this; the
+        // convergence-checked CC loop keeps its per-block scalar.
         for (i <- 1 to BfsHops) {
-          // stats-rebased checkpoints: the inner join multiplies the
-          // carried frontier's preserved estimate into each round
-          // (graft.Materialize.checkpointRebased)
-          val next = graft.Materialize.checkpointRebased(edges
+          val level = edges
             .join(frontier,
               edges("src") === frontier("id") && edges("src_t") === frontier("t"))
             .select($"dst_t".as("t"), $"dst".as("id")).distinct()
             .join(dist, Seq("t", "id"), "left_anti")
-            .withColumn("hop", lit(i.toLong)))
+            .withColumn("hop", lit(i.toLong))
+          // stats-rebased checkpoints: the inner join multiplies the
+          // carried frontier's preserved estimate into each round
+          // (graft.Materialize.checkpointRebased)
+          val next =
+            if (i == BfsHops) graft.Materialize.checkpointRebased(level)
+            else graft.Materialize.checkpointRebasedLazy(level)
           // the visited set stays a LAZY union of the per-level
           // checkpoints (depth = BfsHops, so the plan stays bounded):
           // re-checkpointing the union copied the whole accumulated
@@ -272,15 +284,20 @@ object Graph {
         var dist = Tables(s, dir, "customer")
           .filter($"c_nationkey" === 0)
           .select(lit("c").as("t"), $"c_custkey".as("id"), lit(0L).as("cost"))
-          .localCheckpoint(true)
-        for (_ <- 1 to BfsHops) {
+          .localCheckpoint(false)
+        // lazy per-round checkpoints, one materializing job at the last
+        // round (the g3 rationale — fixed depth, no per-round scalar)
+        for (r <- 1 to BfsHops) {
           // stats-rebased checkpoint, same rationale as g3's loop
-          dist = graft.Materialize.checkpointRebased(dist.union(
+          val relaxed = dist.union(
               edges.join(dist,
                 edges("src") === dist("id") && edges("src_t") === dist("t"))
                 .select($"dst_t".as("t"), $"dst".as("id"),
                   ($"cost" + $"w").as("cost")))
-            .groupBy($"t", $"id").agg(min($"cost").as("cost")))
+            .groupBy($"t", $"id").agg(min($"cost").as("cost"))
+          dist =
+            if (r == BfsHops) graft.Materialize.checkpointRebased(relaxed)
+            else graft.Materialize.checkpointRebasedLazy(relaxed)
         }
         edges.unpersist(false)
         dist.select($"t".as("node_type"), $"id".as("node_id"), $"cost")
@@ -334,7 +351,7 @@ object Graph {
           .localCheckpoint(false)
         val m = edges.count()
         graft.Materialize.loopScoped(s, graft.Materialize.loopParts(s, m)) {
-        var alive = edges.select($"s".as("v")).distinct().localCheckpoint(true)
+        var alive = edges.select($"s".as("v")).distinct().localCheckpoint(false)
         // removed stays a LAZY union of per-wave checkpointed slices
         // (depth = KcorePeels, bounded): re-checkpointing the union
         // copied the accumulated set every wave for nothing (r18) —
@@ -346,13 +363,18 @@ object Graph {
         // estimate is the left side alone — carried stats never
         // multiply (probed: 12 digits after 4 peels, vs g1/g6/g7's
         // 36-41 before the graft.Materialize.checkpointRebased sweep)
+        // lazy per-wave checkpoints, one materializing job at the last
+        // wave's annotated frame (the g3 rationale): every earlier
+        // wave's annotated/edges slice caches through that job's
+        // lineage, and the LAST wave's filtered edge list — which
+        // nothing downstream reads — is never computed at all.
         for (r <- 1 to KcorePeels) {
           val deg = edges.groupBy($"s".as("v")).agg(count(lit(1)).as("deg"))
           // left join, not inner: a node whose edges ALL vanished last
           // wave has no degree row at all — it peels as degree 0
           val annotated = alive.join(deg, Seq("v"), "left")
             .withColumn("deg", coalesce($"deg", lit(0L)))
-            .localCheckpoint(true)
+            .localCheckpoint(r == KcorePeels)
           removed = removed.union(
               annotated.filter($"deg" < KcoreK)
                 .select($"v".as("custkey"), lit(r.toLong).as("removed_round")))
@@ -361,7 +383,7 @@ object Graph {
             .join(alive.select($"v".as("s")), Seq("s"), "left_semi")
             .join(alive.select($"v".as("d")), Seq("d"), "left_semi")
             .select($"s", $"d")
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         }
         removed
           .union(alive.select($"v".as("custkey"), lit(0L).as("removed_round")))
@@ -413,18 +435,22 @@ object Graph {
         val m = edges.count()
         graft.Materialize.loopScoped(s, graft.Materialize.loopParts(s, m)) {
         var labels = edges.select($"s".as("v")).distinct()
-          .withColumn("label", $"v").localCheckpoint(true)
+          .withColumn("label", $"v").localCheckpoint(false)
         val byNode = Window.partitionBy($"v").orderBy($"cnt".desc, $"label")
-        for (_ <- 1 to LpaRounds) {
+        // lazy per-round checkpoints, one materializing job at the last
+        // round (the g3 rationale — fixed depth, no per-round scalar)
+        for (r <- 1 to LpaRounds) {
           // stats-rebased checkpoint: the vote join multiplies the
           // carried label frame's preserved estimate per round
-          labels = graft.Materialize.checkpointRebased(
-            edges.join(labels, edges("d") === labels("v"))
-              .groupBy(edges("s").as("v"), $"label")
-              .agg(count(lit(1)).as("cnt"))
-              .withColumn("rk", row_number().over(byNode))
-              .filter($"rk" === 1)
-              .select($"v", $"label"))
+          val vote = edges.join(labels, edges("d") === labels("v"))
+            .groupBy(edges("s").as("v"), $"label")
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("rk", row_number().over(byNode))
+            .filter($"rk" === 1)
+            .select($"v", $"label")
+          labels =
+            if (r == LpaRounds) graft.Materialize.checkpointRebased(vote)
+            else graft.Materialize.checkpointRebasedLazy(vote)
         }
         labels.select($"v".as("custkey"), $"label".as("community"))
           .orderBy($"custkey")
@@ -468,13 +494,20 @@ object Graph {
         // node.
         var hub = pairs.select($"c").distinct().withColumn("h", lit(1L))
         var auth = pairs.select($"p").distinct().withColumn("a", lit(1L))
-        for (_ <- 1 to HitsRounds) {
+        // lazy per-half-round checkpoints, one materializing job at the
+        // last hub update (the g3 rationale): the final hub's lineage
+        // pulls and caches every earlier half-round, including the last
+        // auth frame the report reads.
+        for (r <- 1 to HitsRounds) {
           // stats-rebased checkpoints: each half-round joins the other
           // half's checkpoint, compounding preserved estimates
-          auth = graft.Materialize.checkpointRebased(pairs.join(hub, "c")
+          auth = graft.Materialize.checkpointRebasedLazy(pairs.join(hub, "c")
             .groupBy($"p").agg(sum($"h").as("a")))
-          hub = graft.Materialize.checkpointRebased(pairs.join(auth, "p")
-            .groupBy($"c").agg(sum($"a").as("h")))
+          val hubPlan = pairs.join(auth, "p")
+            .groupBy($"c").agg(sum($"a").as("h"))
+          hub =
+            if (r == HitsRounds) graft.Materialize.checkpointRebased(hubPlan)
+            else graft.Materialize.checkpointRebasedLazy(hubPlan)
         }
         val topHubs = hub
           .select(lit("c").as("node_type"), $"c".as("node_id"),
@@ -595,6 +628,14 @@ object Graph {
     val withDeg = edges
       .join(deg.select($"n".as("x"), $"deg".as("dx")), "x")
       .join(deg.select($"n".as("y"), $"deg".as("dy")), "y")
+      // degree pre-filter (r19, guide §2.3/§3.2): an edge with a
+      // degree-1 endpoint can close no wedge and sit in no triangle —
+      // dropping it here shrinks BOTH the wedge self-join's input and
+      // the closing join's build, at zero extra shuffles (the degree
+      // columns are already attached for the orientation). Orientation
+      // still uses the ORIGINAL degrees, so the per-apex fan-out bound
+      // is unchanged; the triangle set is provably identical.
+      .filter($"dx" >= 2 && $"dy" >= 2)
     val xFirst = $"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y")
     val oriented = withDeg.select(
       when(xFirst, $"x").otherwise($"y").as("src"),
@@ -694,13 +735,17 @@ object Graph {
         e
       }
     var ranks = outdeg.withColumn("score", lit(1.0 / n))
-    for (_ <- 1 to Rounds) {
+    // lazy per-round checkpoints, one materializing job at the last
+    // round (the g3 rationale — fixed depth, no per-round scalar); the
+    // per-round broadcast builds still execute in dependency order, but
+    // the driver-sequential eager-checkpoint job per round is gone
+    for (r <- 1 to Rounds) {
       val contrib = edges
         .join(side(ranks),
           edges("src") === ranks("id") && edges("src_t") === ranks("t"))
         .groupBy($"dst", $"dst_t")
         .agg(sum($"score" / $"deg").as("mass"))
-      ranks = outdeg
+      val updated = outdeg
         .join(side(contrib),
           outdeg("id") === contrib("dst") && outdeg("t") === contrib("dst_t"),
           "left")
@@ -710,7 +755,9 @@ object Graph {
       // stats-rebased checkpoint: the round joins the previous round's
       // checkpoint twice, so preserved size estimates would compound
       // geometrically per round (graft.Materialize.checkpointRebased)
-      ranks = graft.Materialize.checkpointRebased(ranks)
+      ranks =
+        if (r == Rounds) graft.Materialize.checkpointRebased(updated)
+        else graft.Materialize.checkpointRebasedLazy(updated)
     }
     edges.unpersist(false)
     ranks.select($"id", $"t", $"score")

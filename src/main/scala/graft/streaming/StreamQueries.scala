@@ -143,6 +143,33 @@ object StreamQueries {
   @volatile private[graft] var lastRunProgress:
       Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = Array.empty
 
+  /** Stream-scoped shuffle parallelism derived from the INBOX, not the
+    * session or a constant (r19 — the loopParts convention lifted to
+    * streams, VERDICT r18 #6): every micro-batch commits one state
+    * store per shuffle partition PER STATEFUL OPERATOR (st4's outer
+    * join keeps four), so partitions beyond what one trigger's data
+    * fills are pure commit round-trips — the pre-r19 constant 8 paid
+    * 8·stores·batches commits for KB-sized triggers, and a session
+    * setting of 32 would pay 4× that. One partition per ~4 MB of
+    * trigger input (the `filesPerTrigger` largest staged files), capped
+    * at the session's core count: the staged catch-up inboxes land on
+    * 1, a production stream at GBs per trigger fills the cores — the
+    * same formula at both scales. Safe to derive per run because every
+    * run starts a FRESH checkpoint (a restarted production stream keeps
+    * whatever its checkpoint pinned at first start). Conf
+    * `graft.stream.parts` overrides. */
+  private def streamParts(s: SparkSession, inbox: String,
+                          filesPerTrigger: Int): Int =
+    s.conf.getOption("graft.stream.parts").map(_.toInt).getOrElse {
+      val fs = Option(new java.io.File(inbox).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet"))
+      val perTrigger = fs.map(_.length()).sorted.reverse
+        .take(math.max(filesPerTrigger, 1)).sum
+      math.max(1, math.min(s.sparkContext.defaultParallelism,
+        (perTrigger / (4L << 20)).toInt + 1))
+    }
+
   /** Run `transform` over the staged inbox as a rate-limited AvailableNow
     * catch-up stream to completion, and return the finalized rows read
     * back from the parquet sink — the shared runner behind every st*
@@ -153,31 +180,26 @@ object StreamQueries {
     val runDir = freshRunDir("st").getAbsolutePath
     val outDir = s"$runDir/out"
     val schema = s.read.parquet(inbox).schema
-    // Size stateful parallelism to the STREAM, not the session: every
-    // micro-batch commits one state store per shuffle partition (per
-    // stateful operator — st4's outer join keeps FOUR), so a session
-    // setting of 32 pays 32·stores·batches commit round-trips for
-    // micro-batch-sized data. 8 partitions is right-sized for the
-    // catch-up volume; a real deployment tunes this to stream rate at
-    // FIRST start (the checkpoint pins it afterwards). Scoped here —
-    // each st* run uses a fresh checkpoint, and the session value is
-    // restored for the read-back and every batch query.
+    // 8 ranged files / 4 per trigger = 2 real data batches plus the
+    // final no-data flush batch: still exercises cross-batch state and
+    // the incremental watermark advance, at half the per-batch
+    // state-store/sink-commit overhead of smaller triggers (each extra
+    // micro-batch costs a checkpoint + sink commit, ~1 s on tmpfs).
+    // -Dgraft.stream.filesPerTrigger is the cadence half of the
+    // stagedInbox dev knob (SCALING r13) — results are invariant,
+    // only the micro-batch slicing changes.
+    val perTrigger = sys.props.get("graft.stream.filesPerTrigger")
+      .map(_.toInt).getOrElse(4)
+    // Stateful parallelism sized to the stream's own trigger volume
+    // ([[streamParts]]); session value restored for the read-back and
+    // every batch query.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions",
+      streamParts(s, inbox, perTrigger).toString)
     try {
       val stream = s.readStream
         .schema(schema)
-        // 8 ranged files / 4 per trigger = 2 real data batches plus the
-        // final no-data flush batch: still exercises cross-batch state and
-        // the incremental watermark advance, at half the per-batch
-        // state-store/sink-commit overhead of smaller triggers (each extra
-        // micro-batch costs a checkpoint + sink commit, ~1 s on tmpfs).
-        // -Dgraft.stream.filesPerTrigger is the cadence half of the
-        // stagedInbox dev knob (SCALING r13) — results are invariant,
-        // only the micro-batch slicing changes.
-        .option("maxFilesPerTrigger",
-          sys.props.get("graft.stream.filesPerTrigger")
-            .map(_.toInt).getOrElse(4))
+        .option("maxFilesPerTrigger", perTrigger)
         .parquet(inbox)
       val q = transform(stream)
         .writeStream
@@ -439,7 +461,8 @@ object StreamQueries {
         val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
         val prevProvider =
           s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions",
+          streamParts(s, inbox, 4).toString)
         s.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
@@ -629,7 +652,8 @@ object StreamQueries {
           .write.mode("overwrite").parquet(outDir)
         val schema = s.read.parquet(inbox).schema
         val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions",
+          streamParts(s, inbox, 4).toString)
         try {
           val stream = s.readStream.schema(schema)
             .option("maxFilesPerTrigger", 4).parquet(inbox)
@@ -693,7 +717,8 @@ object StreamQueries {
           .write.mode("overwrite").parquet(outDir)
         val schema = s.read.parquet(inbox).schema
         val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions",
+          streamParts(s, inbox, 4).toString)
         try {
           val stream = s.readStream.schema(schema)
             .option("maxFilesPerTrigger", 4).parquet(inbox)
@@ -763,7 +788,8 @@ object StreamQueries {
           .write.mode("overwrite").parquet(outDir)
         val schema = s.read.parquet(inbox).schema
         val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions",
+          streamParts(s, inbox, 4).toString)
         try {
           val stream = s.readStream.schema(schema)
             .option("maxFilesPerTrigger", 4).parquet(inbox)
@@ -823,7 +849,8 @@ object StreamQueries {
           .write.mode("overwrite").parquet(outDir)
         val schema = s.read.parquet(inbox).schema
         val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions",
+          streamParts(s, inbox, 4).toString)
         try {
           val stream = s.readStream.schema(schema)
             .option("maxFilesPerTrigger", 4).parquet(inbox)
@@ -1223,7 +1250,8 @@ object StreamQueries {
     // stream-sized shuffle parallelism, runCatchUp's rationale — here
     // it sizes the per-batch top-k window, not a state store
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions",
+          streamParts(s, inbox, 4).toString)
     try {
       val stream = s.readStream
         .schema(schema)
@@ -1312,14 +1340,15 @@ object StreamQueries {
     // stream-sized shuffle parallelism (runCatchUp's rationale): the
     // per-trigger frames are batch/edge-sized, far below the session's
     // corpus-sized default
+    val filesPerTrigger = sys.props.get("graft.stream.filesPerTrigger")
+      .map(_.toInt).getOrElse(2)
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions",
+      streamParts(s, inbox, filesPerTrigger).toString)
     try {
       val stream = s.readStream
         .schema(schema)
-        .option("maxFilesPerTrigger",
-          sys.props.get("graft.stream.filesPerTrigger")
-            .map(_.toInt).getOrElse(2))
+        .option("maxFilesPerTrigger", filesPerTrigger)
         .parquet(inbox)
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
